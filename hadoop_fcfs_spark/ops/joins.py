@@ -1,0 +1,78 @@
+"""Join operators.
+
+Parity targets (SURVEY.md §2.3):
+- ``CompositeInputFormat`` map-side merge join — reference
+  ``mr-core/mapreduce/lib/join/CompositeInputFormat.java:56`` with the
+  ``inner(...)/outer(...)/override(...)`` expression grammar
+  (``Parser.java:75``). Here the N-way composition is a chained
+  ``DataFrame.join``; Catalyst picks sort-merge for big×big (shuffle-free
+  when inputs are bucketed/pre-sorted on the key) and broadcast-hash for
+  small sides — the same physical strategies the reference hand-builds.
+- ``InnerJoinRecordReader.java:34`` → ``how='inner'``.
+- ``OuterJoinRecordReader.java:34`` → ``how='full_outer'``.
+- ``OverrideRecordReader.java:42`` (rightmost source wins per key) →
+  full-outer N-way + ``coalesce`` with reversed source order.
+- DataJoin reduce-side tagged join
+  (``hadoop-tools/hadoop-datajoin/.../DataJoinReducerBase.java:33``):
+  cross-product per key is exactly SQL inner-join semantics — no code
+  needed beyond ``df.join``.
+- Map-side hash join via DistributedCache idiom (``Job.java:1088``) →
+  ``F.broadcast``.
+- Semi/anti joins are not in the reference; Spark gives them natively and
+  we expose them as first-class surface.
+
+Scale notes: the composed join never materializes the tuple — Catalyst
+reorders/pipelines; for 100 TB fact⋈fact, pre-bucket both sides on the
+key (``df.write.bucketBy``) to get the reference's "no shuffle on
+pre-partitioned sorted inputs" property.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def compose_join(key: str | list[str], how: str, *dfs: DataFrame) -> DataFrame:
+    """N-way join on a shared key — the ``compose()`` helper of
+    CompositeInputFormat (reference ``CompositeInputFormat.java:151-185``).
+
+    ``how='inner'`` emits keys present in ALL sources;
+    ``how='full_outer'`` emits keys present in ANY source (missing sides
+    null) — matching Inner/OuterJoinRecordReader semantics.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    return reduce(lambda a, b: a.join(b, on=keys, how=how), dfs)
+
+
+def override_join(key: str | list[str], value_col: str, *dfs: DataFrame) -> DataFrame:
+    """Per key, emit the value from the RIGHTMOST source that has it —
+    ``OverrideRecordReader.java:42`` precedence join.
+
+    Implemented as a full-outer N-way join + ``coalesce`` over sources in
+    reverse order. Each input must expose ``key`` and ``value_col``.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    renamed = [df.select(*keys, F.col(value_col).alias(f"__v{i}")) for i, df in enumerate(dfs)]
+    joined = compose_join(keys, "full_outer", *renamed)
+    prec = [F.col(f"__v{i}") for i in reversed(range(len(dfs)))]
+    return joined.select(*keys, F.coalesce(*prec).alias(value_col))
+
+
+def broadcast_join(big: DataFrame, small: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Map-side hash join: small side shipped to every task — the
+    DistributedCache-HashMap idiom (reference ``Job.java:1079-1104``),
+    expressed as a broadcast-hash join."""
+    return big.join(F.broadcast(small), on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """EXISTS — engine surface beyond the reference (SURVEY §2.3 last row)."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """NOT EXISTS — engine surface beyond the reference."""
+    return left.join(right, on=on, how="left_anti")

@@ -1,0 +1,84 @@
+"""Correctness-gate queries: aggregate family (SURVEY.md §2.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_fcfs_spark.agg.histogram import value_histogram
+from hadoop_fcfs_spark.agg.registry import uniq_value_count_capped
+from hadoop_fcfs_spark.agg.wordstats import word_stats
+from hadoop_fcfs_spark.ops.textops import token_count
+from hadoop_fcfs_spark.registry import register
+from hadoop_fcfs_spark.tables import t
+
+
+@register(
+    "wordcount",
+    oracle="""
+    SELECT w AS token, COUNT(*) AS cnt
+    FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+    WHERE w <> '' GROUP BY w
+    """,
+    doc="WordCount (examples/WordCount.java:35): tokenize + groupBy.count; combiner automatic.",
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(t(spark, sf_dir, "documents"), "text")
+
+
+@register(
+    "word_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_words,
+           ROUND(AVG(LENGTH(w)), 6) AS mean_len,
+           MEDIAN(LENGTH(w)) AS median_len,
+           ROUND(COALESCE(STDDEV_POP(LENGTH(w)), 0.0), 6) AS std_len,
+           MIN(LENGTH(w)) AS min_len,
+           MAX(LENGTH(w)) AS max_len
+    FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+    WHERE w <> ''
+    """,
+    doc="WordMean/WordMedian/WordStandardDeviation (examples/WordMean.java:196 …) in one pass.",
+)
+def word_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return word_stats(t(spark, sf_dir, "documents"), "text")
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    WITH freq AS (
+      SELECT event_type, user_id, COUNT(*) AS freq
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           COUNT(*) AS n_values,
+           MIN(freq) AS min_freq,
+           MEDIAN(freq) AS median_freq,
+           MAX(freq) AS max_freq,
+           ROUND(AVG(freq), 6) AS avg_freq,
+           ROUND(COALESCE(STDDEV_POP(freq), 0.0), 6) AS std_freq
+    FROM freq GROUP BY event_type
+    """,
+    doc="ValueHistogram.java:38 — stats of the per-key value-frequency distribution.",
+)
+def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_histogram(t(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+@register(
+    "uniq_capped",
+    oracle="""
+    SELECT event_type,
+           CAST(LEAST(COUNT(DISTINCT user_id), 50) AS BIGINT) AS uniq_capped,
+           COUNT(DISTINCT user_id) AS uniq_exact
+    FROM events GROUP BY event_type
+    """,
+    doc="UniqValueCount.java:35 with maxNumItems cap.",
+)
+def uniq_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        uniq_value_count_capped(F.col("user_id"), 50).alias("uniq_capped"),
+        F.countDistinct("user_id").alias("uniq_exact"),
+    )

@@ -1,0 +1,444 @@
+"""Correctness-gate queries: relational core (SURVEY.md §2.2–§2.6).
+
+Every query has a DuckDB oracle with identically-aliased columns.
+Floating aggregates are rounded the same on both sides (engine-order
+summation differs in ulps; rounding makes hashes comparable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_fcfs_spark.agg.registry import aggregate
+from hadoop_fcfs_spark.ops.fieldsel import field_selection
+from hadoop_fcfs_spark.ops.joins import anti_join, broadcast_join, compose_join, override_join, semi_join
+from hadoop_fcfs_spark.ops.sort import top_k
+from hadoop_fcfs_spark.ops.textops import regex_extract_count
+from hadoop_fcfs_spark.registry import register
+from hadoop_fcfs_spark.tables import t
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary.
+# Parity: the combiner/partial-aggregation pattern (reference
+# Job.setCombinerClass, mr-core/mapreduce/Job.java:875) — map-side partial
+# HashAggregate is automatic; one shuffle on the two group keys.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
+           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship group-agg; combiner parity (Job.java:875).",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority
+    """,
+    doc="Reduce-side inner join (DataJoinReducerBase.java:33) + agg.",
+)
+def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "join_multiway",
+    oracle="""
+    SELECT r_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY r_name, n_name
+    """,
+    doc="N-way composed join (CompositeInputFormat.java:151-185) with broadcast dims.",
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region")
+    nation = t(spark, sf_dir, "nation")
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    # Dims are broadcast (DistributedCache hash-join idiom, Job.java:1088);
+    # the only big-big join is orders ⋈ lineitem.
+    dims = broadcast_join(
+        broadcast_join(customer, nation, customer.c_nationkey == nation.n_nationkey),
+        region,
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH a AS (SELECT o_custkey, COUNT(*) AS n95 FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+               GROUP BY o_custkey),
+         b AS (SELECT o_custkey, COUNT(*) AS n96 FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+               GROUP BY o_custkey)
+    SELECT o_custkey, n95, n96 FROM a FULL OUTER JOIN b USING (o_custkey)
+    """,
+    doc="OuterJoinRecordReader.java:34 — emit key when ANY source has it.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+
+    def year_counts(y: int, alias: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= f"{y}-01-01") & (F.col("o_orderdate") < f"{y + 1}-01-01")
+            )
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias(alias))
+        )
+
+    return compose_join("o_custkey", "full_outer", year_counts(1995, "n95"), year_counts(1996, "n96"))
+
+
+@register(
+    "join_override",
+    oracle="""
+    WITH a AS (SELECT c_nationkey AS nationkey, ROUND(AVG(c_acctbal), 4) AS acctbal
+               FROM customer GROUP BY c_nationkey),
+         b AS (SELECT s_nationkey AS nationkey, ROUND(AVG(s_acctbal), 4) AS acctbal
+               FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(a.nationkey, b.nationkey) AS nationkey,
+           COALESCE(b.acctbal, a.acctbal) AS acctbal
+    FROM a FULL OUTER JOIN b ON a.nationkey = b.nationkey
+    """,
+    doc="OverrideRecordReader.java:42 — rightmost source wins per key.",
+)
+def join_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    supplier = t(spark, sf_dir, "supplier")
+    a = customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("acctbal")
+    )
+    b = supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.round(F.avg("s_acctbal"), 4).alias("acctbal")
+    )
+    return override_join("nationkey", "acctbal", a, b)
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+    doc="left_semi — engine surface beyond reference (SURVEY §2.3 last row).",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    big_orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return semi_join(customer, big_orders, customer.c_custkey == big_orders.o_custkey).select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="left_anti — engine surface beyond reference.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return anti_join(customer, orders, customer.c_custkey == orders.o_custkey).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / windows (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "secondary_sort",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+           ROUND(LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price
+    FROM orders
+    """,
+    doc="SecondarySort.java:51 — partition by k1, values ordered by k2; Window form.",
+)
+def secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+    )
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="Top-k idiom (single-reducer sort, Grep.java:82-84) → TakeOrderedAndProject.",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    top = top_k(orders, 10, F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return top.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+@register(
+    "window_analytics",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER w AS rn,
+           LAG(l_quantity) OVER w AS lag_qty,
+           ROUND(SUM(l_quantity) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_sum
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+    doc="Analytic windows — net-new surface (reference has only the secondary-sort substrate).",
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).alias("rn"),
+        F.lag("l_quantity").over(w).alias("lag_qty"),
+        F.round(F.sum("l_quantity").over(w.rowsBetween(-2, 0)), 2).alias("mov_sum"),
+    )
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Rollup/grouping-sets — free in Spark, absent in reference (SURVEY §2.4).",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+def _active_custkeys(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= f"{year}-01-01") & (F.col("o_orderdate") < f"{year + 1}-01-01"))
+        .select("o_custkey")
+        .distinct()
+    )
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+    doc="INTERSECT — free in Spark, join-idiom in reference (SURVEY §2.6).",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _active_custkeys(spark, sf_dir, 1995).intersect(_active_custkeys(spark, sf_dir, 1996))
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+    doc="EXCEPT — free in Spark.",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _active_custkeys(spark, sf_dir, 1995).subtract(_active_custkeys(spark, sf_dir, 1996))
+
+
+@register(
+    "union_distinct",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    """,
+    doc="Multi-input union (MultipleInputs.java:40 / FileInputFormat multi-path).",
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.unionByName(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Projection / regex operators (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fieldsel",
+    oracle="""
+    SELECT (parts[3] || ' ' || parts[1]) AS key,
+           array_to_string(parts[2:4], ' ') AS value
+    FROM (SELECT string_split(text, ' ') AS parts FROM documents)
+    """,
+    doc='FieldSelectionMapper.java:61 — spec "2,0:1-3" over space-split fields.',
+)
+def fieldsel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return field_selection(docs, "text", "2,0:1-3", separator=" ")
+
+
+@register(
+    "grep_count",
+    oracle="""
+    SELECT m AS match, COUNT(*) AS cnt
+    FROM (SELECT UNNEST(regexp_extract_all(text, '[a-z]{6,}')) AS m FROM documents)
+    WHERE m <> '' GROUP BY m
+    """,
+    doc="RegexMapper.java:36 + Grep.java:59 — regex match count.",
+)
+def grep_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return regex_extract_count(docs, "text", "[a-z]{6,}").withColumnRenamed("match", "match")
+
+
+# ---------------------------------------------------------------------------
+# Descriptor-driven aggregate framework (SURVEY §2.4, entry point 3 §3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_descriptors",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(user_id AS BIGINT)) AS BIGINT) AS uid_sum,
+           ROUND(SUM(value), 2) AS val_sum,
+           MAX(CAST(user_id AS BIGINT)) AS uid_max,
+           MIN(CAST(user_id AS BIGINT)) AS uid_min,
+           MAX(props) AS props_max,
+           MIN(props) AS props_min,
+           COUNT(DISTINCT user_id) AS uniq_users
+    FROM events GROUP BY event_type
+    """,
+    doc="ValueAggregatorJob.java:63 descriptor registry → one groupBy().agg(*exprs).",
+)
+def agg_descriptors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    out = aggregate(
+        events,
+        ["event_type"],
+        [
+            ("LongValueSum", "user_id", "uid_sum"),
+            ("DoubleValueSum", "value", "val_sum"),
+            ("LongValueMax", "user_id", "uid_max"),
+            ("LongValueMin", "user_id", "uid_min"),
+            ("StringValueMax", "props", "props_max"),
+            ("StringValueMin", "props", "props_min"),
+            ("UniqValueCount", "user_id", "uniq_users"),
+        ],
+    )
+    return out.withColumn("val_sum", F.round("val_sum", 2))

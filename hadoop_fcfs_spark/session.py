@@ -1,0 +1,76 @@
+"""SparkSession factory.
+
+The reference's "session" is a JobConf + YARN submission (SURVEY.md §3);
+here one SparkSession owns the whole lazy DAG. Local defaults target the
+test container (local[N], single JVM); the production profile is the same
+code on YARN with the FIFO queue discipline — the workload-management
+posture of the reference's FCFS fork (SURVEY.md §0.1) — configured
+outside this package.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "hadoop_fcfs_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-sane defaults.
+
+    - shuffle.partitions sized to cores for local mode; at cluster scale
+      AQE coalescing makes the static value a ceiling, not a constant.
+    - AQE on: runtime re-plan handles skewed joins and small partitions.
+    - Arrow on: every Pandas-UDF boundary is batched, never per-row.
+    - UTC session timezone so timestamps compare exactly against a
+      UTC-naive oracle (DuckDB).
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", DEFAULT_CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict:
+    """Read the driver's parquet tables and register temp views.
+
+    Parquet scans give Catalyst pushdown + pruning for free; every query
+    module filters/projects before shuffling so the scan stays minimal.
+    """
+    dfs = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            dfs[name] = df
+    return dfs

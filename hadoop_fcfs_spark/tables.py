@@ -1,0 +1,27 @@
+"""Tiny helpers shared by query modules."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver table. Plain parquet scan → Catalyst pushes filters
+    and prunes columns into the scan; never cache here.
+
+    events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; read nanos as long (runtime conf) and convert
+    to microsecond timestamps in the plan — distributed, no driver
+    materialization, matches DuckDB's nanos→micros truncation.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
