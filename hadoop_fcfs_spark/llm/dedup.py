@@ -1,0 +1,249 @@
+"""Deduplication operators for document corpora.
+
+Scale design notes (the interesting part at 100 TB):
+- Exact dedup is a hash-groupBy: one shuffle on a 128-bit digest.
+  Never shuffle full documents — shuffle (digest, doc_id) and
+  semi-join winners back.
+- N-gram Jaccard self-join explodes on shingles; hot shingles create
+  join skew → drop shingles above a document-frequency cutoff
+  (stop-shingles carry no dedup signal), then AQE skew-join handles
+  the rest.
+- MinHash-LSH is the sub-quadratic path: signature = 64 mins over one
+  scan (single groupBy), banding turns near-dup search into an
+  equi-join on (band_idx, band_hash) — candidates only, verified with
+  exact Jaccard afterwards. All hashes are xxhash64 (deterministic,
+  seed-parameterized) so signatures are reproducible across runs and
+  cluster sizes.
+- SimHash: 64 weighted bit-sums in ONE aggregation pass; hamming
+  candidates via 16-bit band equality (pigeonhole: hamming ≤ 3 ⇒ at
+  least one of 4 bands equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram) distinct pairs — the posting list."""
+    words = F.split(F.col(text_col), r"\s+")
+    if n == 1:
+        grams = words
+    else:
+        idx = F.sequence(F.lit(0), F.size(words) - n)
+        # guard: docs shorter than n words have no shingles (sequence()
+        # would otherwise count downwards and index from the end)
+        grams = F.when(F.size(words) >= n, F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str, normalize: bool = True) -> DataFrame:
+    """Keep one representative per distinct (normalized) text.
+
+    Representative = min id per digest group (deterministic). Shuffles
+    only (digest, id); the winning rows are recovered by a semi-join,
+    so full documents never transit the dedup shuffle.
+    """
+    norm = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
+    digests = df.select(F.col(id_col), F.md5(norm).alias("__digest"))
+    winners = digests.groupBy("__digest").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return df.join(winners, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact near-dup)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.0,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All document pairs sharing ≥1 word n-gram, with exact Jaccard
+    similarity of their n-gram sets. Output: (doc_a, doc_b, jaccard),
+    doc_a < doc_b.
+
+    `max_doc_freq` drops shingles occurring in more than that many
+    docs (stop-shingle skew guard — they contribute O(df²) join rows
+    and almost no signal)."""
+    grams = _gram_rows(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        rare = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("gram")
+        )
+        grams = grams.join(rare, "gram", "left_semi")
+    sizes = grams.groupBy("doc").agg(F.count("*").alias("n_grams"))
+
+    a = grams.select(F.col("doc").alias("doc_a"), "gram")
+    b = grams.select(F.col("doc").alias("doc_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_grams").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (approximate near-dup, the 100 TB path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """64-wide MinHash signature per doc in ONE aggregation pass:
+    h_i(doc) = min over shingles of xxhash64(gram, i). Deterministic —
+    no RNG, stable across partitionings. Output: (doc, sig array)."""
+    grams = _gram_rows(df, id_col, text_col, n)
+    mins = [F.min(F.xxhash64(F.col("gram"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    sig = grams.groupBy("doc").agg(*mins)
+    return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding, verified with exact
+    Jaccard. bands=16 × rows=4 over 64 hashes → catches pairs with
+    J ≳ (1/16)^(1/4) ≈ 0.5 w.h.p.; tune bands up for lower thresholds.
+
+    The quadratic self-join happens only on (band_idx, band_hash)
+    buckets — sub-quadratic overall when near-dups are sparse, which
+    is the regime dedup lives in.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_arr = F.array(
+        *[
+            F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc", F.posexplode(band_arr).alias("band_idx", "band_hash"))
+    l = banded.select(F.col("doc").alias("doc_a"), "band_idx", "band_hash")
+    r = banded.select(F.col("doc").alias("doc_b"), "band_idx", "band_hash")
+    candidates = (
+        l.join(r, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    return exact.join(candidates, ["doc_a", "doc_b"], "left_semi").filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, weighted by term
+    frequency, computed as 64 conditional sums in one aggregation.
+    Signature returned as two 32-bit halves (sig_hi, sig_lo) to stay
+    in signed-long space. Deterministic (xxhash64)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc", "tok").agg(F.count("*").alias("w"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tf.groupBy("doc").agg(*bit_sums)
+    lo = None
+    hi = None
+    for i in range(32):
+        bit_lo = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(
+            2**i
+        ).cast("long")
+        bit_hi = F.when(F.col(f"b{i + 32}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(2**i).cast("long")
+        lo = bit_lo if lo is None else lo + bit_lo
+        hi = bit_hi if hi is None else hi + bit_hi
+    return agg.select("doc", hi.alias("sig_hi"), lo.alias("sig_lo"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(sig) ≤ max_hamming. Candidates via
+    16-bit band equality (pigeonhole over 4 bands), verified with
+    bit_count(xor). Output: (doc_a, doc_b, hamming)."""
+    sig = simhash_signatures(df, id_col, text_col)
+    bands = F.array(
+        *[F.shiftright("sig_lo", s).bitwiseAND(F.lit(0xFFFF)) for s in (0, 16)],
+        *[F.shiftright("sig_hi", s).bitwiseAND(F.lit(0xFFFF)) for s in (0, 16)],
+    )
+    banded = sig.select("doc", "sig_hi", "sig_lo", F.posexplode(bands).alias("band_idx", "band_val"))
+    l = banded.select(
+        F.col("doc").alias("doc_a"),
+        F.col("sig_hi").alias("hi_a"),
+        F.col("sig_lo").alias("lo_a"),
+        "band_idx",
+        "band_val",
+    )
+    r = banded.select(
+        F.col("doc").alias("doc_b"),
+        F.col("sig_hi").alias("hi_b"),
+        F.col("sig_lo").alias("lo_b"),
+        "band_idx",
+        "band_val",
+    )
+    hamming = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return (
+        l.join(r, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(deterministic fake or NotImplementedError) — but everything Spark-side
+is real and tested: schema contract, Arrow batch shape, mapInPandas
+signatures, partition sizing. Swapping the stub for Pillow/librosa is a
+one-function change on a real cluster.
+
+Scale notes: binary payloads ride in the row (parquet BYTE_ARRAY);
+keep `spark.sql.files.maxPartitionBytes` moderate so a partition of
+blobs fits executor memory; metadata-only transforms must select
+narrow columns so the scan prunes the blob column away entirely.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# media struct contract: every multimodal table carries these columns
+MEDIA_META_SCHEMA = "size_bytes bigint, digest string, format string"
+
+_MAGIC = {
+    b"\x89PNG": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"RIFF": "wav",
+    b"ID3": "mp3",
+    b"\x1a\x45\xdf\xa3": "webm",
+}
+
+
+def attach_media_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """Typed metadata from the blob itself — pure expressions, no
+    Python: size, md5 digest, container format sniffed from magic
+    bytes. Column pruning keeps blob-only scans away from queries that
+    read just the metadata."""
+    b = F.col(binary_col)
+    fmt = F.lit("unknown")
+    for magic, name in _MAGIC.items():
+        hexpref = magic.hex()
+        fmt = F.when(F.hex(F.substring(b, 1, len(magic))) == hexpref.upper(), F.lit(name)).otherwise(
+            fmt
+        )
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.length(b).alias("size_bytes"),
+            F.md5(b).alias("digest"),
+            fmt.alias("format"),
+        ),
+    )
+
+
+def decode_images(
+    df: DataFrame, binary_col: str = "payload", id_col: str = "media_id", fake: bool = True
+) -> DataFrame:
+    """Decode image blobs → (id, width, height, mean_luma).
+
+    Real decode needs an image codec (not in this container) — STUB:
+    with fake=True a deterministic pseudo-decode derives dimensions and
+    luma from the blob bytes (stable plumbing test); fake=False raises
+    NotImplementedError where Pillow would be called.
+
+    mapInPandas: Arrow-batched, one pandas frame per input batch —
+    the real decoder slots into the same loop unchanged.
+    """
+
+    out_schema = f"{id_col} long, width int, height int, mean_luma double"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decode requires an image codec (e.g. Pillow); "
+                    "not available in this container — run with fake=True "
+                    "or install a codec on the cluster"
+                )
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                d = hashlib.md5(bytes(blob)).digest()
+                rows.append(
+                    {
+                        id_col: mid,
+                        "width": 16 + d[0] % 64,
+                        "height": 16 + d[1] % 64,
+                        "mean_luma": round(d[2] / 255.0, 6),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "mean_luma"])
+
+    return df.select(id_col, binary_col).mapInPandas(decode, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    every_n_bytes: int = 1024,
+    fake: bool = True,
+) -> DataFrame:
+    """Frame-sampling plumbing for video blobs: emits one row per
+    sampled frame (UDTF shape — rows out ≥ rows in). STUB decode: with
+    fake=True frames are byte-window digests; real frame extraction
+    (ffmpeg) slots into the same iterator."""
+
+    out_schema = f"{id_col} long, frame_idx int, frame_digest string"
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("video frame extraction requires ffmpeg")
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(blob)
+                for i, off in enumerate(range(0, max(len(raw), 1), every_n_bytes)):
+                    window = raw[off : off + every_n_bytes]
+                    rows.append(
+                        {
+                            id_col: mid,
+                            "frame_idx": i,
+                            "frame_digest": hashlib.md5(window).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_digest"])
+
+    return df.select(id_col, binary_col).mapInPandas(sample, schema=out_schema)

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (SURVEY.md §7.2 step 6):
+- `cosine_topk` — exact brute-force: broadcast the (small) query set
+  against the corpus, per-query top-k via TakeOrdered-style window.
+  Correctness baseline; O(|Q|·|C|) — fine when |Q| is bounded.
+- `rp_lsh_topk` — random-hyperplane LSH: bucket vectors by the sign
+  pattern of h pseudo-random projections (hyperplane entries are
+  deterministic ±1 from xxhash64(plane, dim) — no RNG, no stored
+  model), then search only within matching buckets. Sub-linear
+  candidate sets at corpus scale; recall tunable via number of planes
+  and multi-probe (drop-one-bit probing).
+
+All arithmetic is double-precision Column expressions (zip_with +
+aggregate) — JVM-side, no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, in double."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_pairs(
+    corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact all-pairs cosine between a query set and the corpus.
+    Output: (query_id, vec_id, cos). Queries are broadcast — the corpus
+    is scanned once, never shuffled."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+    # "+ 0.0" canonicalizes IEEE negative zero after rounding
+    return c.join(F.broadcast(q)).select(
+        "query_id", "vec_id", (F.round(cosine(F.col("__qv"), F.col("__cv")), 4) + 0.0).alias("cos")
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Per-query exact top-k by cosine (tie-break: vec_id asc)."""
+    pairs = cosine_pairs(corpus, queries, id_col, vec_col)
+    if not include_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane signature: bit_j = sign(Σ_d ±v[d]) where the
+    ±1 pattern is xxhash64(j, d) parity — deterministic, reproducible,
+    nothing to persist. Output: (id, vec, bucket:long)."""
+    vec = F.col(vec_col)
+    bucket = F.lit(0).cast("long")
+    for j in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, d: F.when(
+                    F.xxhash64(F.lit(j), d).bitwiseAND(F.lit(1)) == 1, x.cast("double")
+                ).otherwise(-x.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.select(F.col(id_col).alias("vec_id"), vec.alias("embedding"), bucket.alias("bucket"))
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: equi-join on LSH bucket, exact cosine within bucket.
+    At corpus scale the bucket join replaces the full cross product;
+    recall < 1 by construction — raise num_planes for precision of
+    buckets, lower for recall, or union multi-probe buckets."""
+    cb = rp_lsh_buckets(corpus, num_planes, id_col, vec_col)
+    qb = rp_lsh_buckets(queries, num_planes, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"), "bucket"
+    )
+    pairs = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.round(cosine(F.col("__qv"), F.col("embedding")), 4) + 0.0).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

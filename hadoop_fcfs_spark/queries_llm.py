@@ -1,4 +1,221 @@
 """Correctness-gate queries: LLM-data-pipeline extensions (dedup,
-similarity, text analysis). Filled in alongside hadoop_fcfs_spark.llm."""
+similarity search, text analysis) over the `documents` and
+`embeddings` tables. MinHash-LSH / SimHash use xxhash64 (no DuckDB
+equivalent) → rows-only checks; everything else has an exact oracle.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_fcfs_spark.llm.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from hadoop_fcfs_spark.llm.similarity import cosine_pairs, cosine_topk
+from hadoop_fcfs_spark.llm.textan import fingerprint, lang_id, quality_score, token_counts
+from hadoop_fcfs_spark.registry import register
+from hadoop_fcfs_spark.tables import t
+
+_EN = "'the','a','of','and','to','in','is','it'"
+_DE = "'der','die','das','und','ist','ein','nicht','mit'"
+_FR = "'le','la','les','et','est','un','une','dans'"
+_ES = "'el','la','los','que','y','es','un','en'"
+
+_TOKS = """
+    toks AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+      WHERE w <> ''
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents GROUP BY md5(lower(trim(text)))
+    """,
+    doc="Exact dedup: hash-groupBy on md5(normalized text), min-id representative.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text").select("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id AS doc, array_to_string(ws[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 2)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_grams FROM grams GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b,
+           ROUND(common / (sa.n_grams + sb.n_grams - common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    """,
+    doc="Exact word-3-gram Jaccard over all shingle-sharing pairs.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based; verified vs exact jaccard in tests/test_llm.py
+    doc="MinHash(64)+LSH(16×4) candidates verified with exact Jaccard — the sub-quadratic dedup path.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.0)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based; invariants tested in tests/test_llm.py
+    doc="SimHash-64 near-dup pairs (hamming ≤ 12) via 16-bit band candidates.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=12)
+
+
+@register(
+    "ann_cosine_pairs",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10)
+    SELECT query_id, e.vec_id,
+           ROUND(list_dot_product(qv, e.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(qv, qv)) *
+                  sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 4) + 0.0 AS cos
+    FROM q CROSS JOIN embeddings e
+    """,
+    doc="Brute-force cosine: 10 query vectors × full corpus, broadcast queries.",
+)
+def ann_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, emb.filter(F.col("vec_id") < 10))
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT query_id, e.vec_id,
+             ROUND(list_dot_product(qv, e.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 4) + 0.0 AS cos
+      FROM q CROSS JOIN embeddings e
+      WHERE query_id <> e.vec_id
+    )
+    SELECT query_id, vec_id, cos, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      FROM pairs
+    ) WHERE rank <= 3
+    """,
+    doc="Exact ANN baseline: per-query top-3 by cosine (tie-break vec_id).",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH {_TOKS},
+    scores AS (
+      SELECT doc_id,
+        ROUND(SUM(CASE WHEN lower(w) IN ({_DE}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_de,
+        ROUND(SUM(CASE WHEN lower(w) IN ({_EN}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_en,
+        ROUND(SUM(CASE WHEN lower(w) IN ({_ES}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_es,
+        ROUND(SUM(CASE WHEN lower(w) IN ({_FR}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_fr
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, score_de, score_en, score_es, score_fr,
+      CASE WHEN GREATEST(score_de, score_en, score_es, score_fr) <= 0 THEN 'und'
+           WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
+           WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
+           WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
+           ELSE 'fr' END AS lang_pred
+    FROM scores
+    """,
+    doc="Stopword-ratio language-ID heuristic; argmax with alphabetical tie-break.",
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    WITH {_TOKS},
+    per AS (
+      SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT w) AS n_uniq,
+             AVG(LENGTH(w)) AS mean_len,
+             SUM(CASE WHEN regexp_full_match(w, '[a-z]+') THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS alpha_ratio,
+             SUM(CASE WHEN lower(w) IN ({_EN}) THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS stop_ratio
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_tokens, n_uniq AS n_uniq_tokens,
+           ROUND(mean_len, 4) AS mean_tok_len,
+           ROUND(alpha_ratio, 4) AS alpha_ratio,
+           ROUND(stop_ratio, 4) AS stop_ratio,
+           ROUND(n_uniq * 1.0 / n, 4) AS uniq_ratio,
+           ROUND(0.3 * LEAST(n / 100.0, 1.0) + 0.3 * stop_ratio
+                 + 0.2 * (n_uniq * 1.0 / n) + 0.2 * alpha_ratio, 4) AS quality
+    FROM per
+    """,
+    doc="Per-doc quality signals: counts, ratios, composite score.",
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="Whitespace + BPE-ish pre-token counting (pipeline budget accounting).",
+)
+def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS md5_full,
+           md5(array_to_string(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')[1:8], ' ')) AS md5_prefix
+    FROM documents
+    """,
+    doc="Document fingerprints: full-text md5 + 8-word-prefix md5.",
+)
+def fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(t(spark, sf_dir, "documents"), "doc_id", "text").select(
+        "doc_id", "md5_full", "md5_prefix"
+    )

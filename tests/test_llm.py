@@ -1,0 +1,122 @@
+"""Invariant tests for the hash-based LLM ops that have no SQL oracle
+(MinHash-LSH, SimHash, RP-LSH ANN) plus multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_fcfs_spark.llm.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from hadoop_fcfs_spark.llm.multimodal import attach_media_meta, decode_images, sample_frames
+from hadoop_fcfs_spark.llm.similarity import cosine_topk, rp_lsh_topk
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def _make_near_dups(spark):
+    """Corpus with planted exact and near duplicates."""
+    base = _docs(spark).limit(20).select("doc_id", "text")
+    exact = base.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    # near-dup: append two words -> high but <1 jaccard
+    near = base.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def test_exact_dedup_removes_planted_dups(spark):
+    corpus = _make_near_dups(spark)
+    kept = exact_dedup(corpus, "doc_id", "text")
+    # 3 exact dups removed, near-dups kept
+    assert kept.count() == corpus.count() - 3
+    # representative is the min doc_id
+    assert kept.filter(F.col("doc_id").isin([10_000, 10_001, 10_002])).count() == 0
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    corpus = _make_near_dups(spark)
+    sig = minhash_signatures(corpus, "doc_id", "text")
+    s = {r["doc"]: tuple(r["sig"]) for r in sig.collect()}
+    for d in range(3):
+        assert s[d] == s[d + 10_000], "exact dup must have identical minhash signature"
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    corpus = _make_near_dups(spark)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.5).collect()}
+    for d in range(3):
+        assert (d, d + 10_000) in pairs and pairs[(d, d + 10_000)] == 1.0
+        assert (d, d + 20_000) in pairs, "near-dup pair missed by LSH"
+    # LSH candidates are a subset of exact-jaccard pairs at same threshold
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.5).collect()}
+    assert set(pairs) <= exact
+
+
+def test_simhash_exact_dup_zero_hamming(spark):
+    corpus = _make_near_dups(spark)
+    sig = {r["doc"]: (r["sig_hi"], r["sig_lo"]) for r in
+           simhash_signatures(corpus, "doc_id", "text").collect()}
+    for d in range(3):
+        assert sig[d] == sig[d + 10_000]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             simhash_pairs(corpus, "doc_id", "text", max_hamming=0).collect()}
+    for d in range(3):
+        assert pairs.get((d, d + 10_000)) == 0
+
+
+def test_rp_lsh_topk_finds_planted_duplicates(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    # plant an exact copy of each query vector under a new id: identical
+    # vectors land in the same bucket for ANY hyperplane set, so LSH
+    # must retrieve them at rank 1 with cosine 1.0
+    copies = queries.select((F.col("vec_id") + 9000).alias("vec_id"), "embedding", "label")
+    corpus = emb.unionByName(copies)
+    approx = {(r["query_id"], r["vec_id"]): (r["cos"], r["rank"]) for r in
+              rp_lsh_topk(corpus, queries, k=3, num_planes=8).collect()}
+    for q in range(5):
+        cos, rank = approx[(q, q + 9000)]
+        assert rank == 1 and cos == 1.0
+    # scores inside buckets are exact: spot-check against brute force
+    exact = {(r["query_id"], r["vec_id"]): r["cos"] for r in
+             cosine_topk(corpus, queries, k=50).collect()}
+    for key, (cos, _) in approx.items():
+        assert key in exact and exact[key] == cos
+
+
+def test_multimodal_plumbing(spark):
+    blobs = spark.range(8).select(
+        F.col("id").alias("media_id"),
+        F.concat(
+            F.lit(b"\x89PNG"), F.encode(F.repeat(F.concat(F.lit("x"), F.col("id").cast("string")), 700), "utf-8")
+        ).alias("payload"),
+    )
+    meta = attach_media_meta(blobs)
+    rows = meta.select("media_id", "media_meta.*").collect()
+    assert all(r["format"] == "png" for r in rows)
+    assert all(r["size_bytes"] > 1000 for r in rows)
+
+    decoded = decode_images(blobs).collect()
+    assert len(decoded) == 8
+    assert all(16 <= r["width"] < 80 and 16 <= r["height"] < 80 for r in decoded)
+    # deterministic across runs
+    again = decode_images(blobs).collect()
+    assert sorted(map(tuple, decoded)) == sorted(map(tuple, again))
+
+    frames = sample_frames(blobs, every_n_bytes=512)
+    per_doc = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 2 for r in per_doc)  # >1KB blobs, 512B windows
