@@ -1,0 +1,96 @@
+"""Output formats → DataFrame writers.
+
+Parity targets (reference files under ``mr-core/mapreduce/lib/output/``
+— SURVEY.md §2.1):
+
+- ``TextOutputFormat.java:44`` → ``write_text_kv`` (`key SEP value`
+  lines, default TAB).
+- ``SequenceFileOutputFormat.java:43`` → ``write_sequencefile`` (RDD
+  bridge for interop; parquet is the engine-native container).
+- ``MapFileOutputFormat.java:49`` (sorted + indexed, point lookups) →
+  ``write_sorted_bucketed``: bucketBy + sortBy parquet table — bucket
+  pruning + row-group stats give the same point-lookup behavior.
+- ``MultipleOutputs.java:88`` (per-record output routing) →
+  ``write_partitioned`` (`partitionBy` — filename-from-record routing);
+  heterogeneous named side-outputs = separate write actions.
+- ``LazyOutputFormat.java:42`` → Spark never creates empty partitionBy
+  directories; nothing to build.
+- ``NullOutputFormat.java:36`` / ``FilterOutputFormat.java:36`` →
+  ``write_noop`` (the noop sink — also the bench harness sink).
+- ``db/DBOutputFormat.java:50`` → ``write_jdbc``.
+- ``FileOutputCommitter.java:46`` two-phase commit → built into Spark's
+  HadoopMapReduceCommitProtocol; nothing to build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_text_kv(
+    df: DataFrame,
+    path: str,
+    key_col: str = "key",
+    value_col: str = "value",
+    separator: str = "\t",
+    mode: str = "overwrite",
+) -> None:
+    """`key SEP value` text lines (TextOutputFormat default contract)."""
+    df.select(
+        F.concat_ws(separator, F.col(key_col).cast("string"), F.col(value_col).cast("string")).alias(
+            "value"
+        )
+    ).write.mode(mode).text(path)
+
+
+def write_sequencefile(df: DataFrame, path: str, key_col: str = "key", value_col: str = "value") -> None:
+    """K/V SequenceFile for Hadoop interop (RDD bridge)."""
+    df.select(key_col, value_col).rdd.map(tuple).saveAsSequenceFile(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet", mode: str = "overwrite"
+) -> None:
+    """MultipleOutputs-style output routing: one directory per distinct
+    partition value, written in a single job. At scale, partition count
+    is the file-count lever — repartition on the partition cols first
+    so each dir gets few large files instead of (tasks × dirs) shards."""
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .format(fmt)
+        .save(path)
+    )
+
+
+def write_sorted_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """MapFileOutputFormat parity: sorted, indexed output supporting
+    point lookups — bucketed+sorted parquet table; later equi-joins or
+    lookups on the bucket column skip the shuffle (SURVEY §2.3
+    CompositeInputFormat's pre-partitioned contract)."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def write_noop(df: DataFrame) -> None:
+    """Discard output after full computation (NullOutputFormat; also
+    the benchmarking sink)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
+    """Generated-INSERT writes (DBOutputFormat). Driver jar required."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -1,0 +1,128 @@
+"""Round-trip tests for the IO layer (SURVEY §2.1 readers/writers)."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_fcfs_spark.io.readers import (
+    parse_xml_records,
+    read_fixed_width,
+    read_kv_text,
+    read_multiple,
+    read_sequencefile,
+    read_text,
+    sample_filter,
+)
+from hadoop_fcfs_spark.io.writers import (
+    write_partitioned,
+    write_sequencefile,
+    write_text_kv,
+)
+
+
+def test_text_kv_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "kv")
+    df = spark.createDataFrame(
+        [("k1", "v1"), ("k2", "v with spaces"), ("k3", "")], "key string, value string"
+    )
+    write_text_kv(df, out)
+    back = read_kv_text(spark, out)
+    assert sorted(map(tuple, back.collect())) == [("k1", "v1"), ("k2", "v with spaces"), ("k3", "")]
+
+
+def test_kv_text_no_separator_line(spark, tmp_path):
+    p = tmp_path / "raw"
+    p.mkdir()
+    (p / "f.txt").write_text("solo\nk\tv\n")
+    back = {r["key"]: r["value"] for r in read_kv_text(spark, str(p)).collect()}
+    assert back == {"solo": "", "k": "v"}
+
+
+def test_read_text_tags_file_and_partitions(spark, tmp_path):
+    p = tmp_path / "t"
+    p.mkdir()
+    (p / "a.txt").write_text("1\n2\n")
+    (p / "b.txt").write_text("3\n")
+    df = read_text(spark, str(p), num_partitions=2)
+    rows = df.collect()
+    assert len(rows) == 3
+    assert df.rdd.getNumPartitions() == 2
+    assert {os.path.basename(r["file"]) for r in rows} == {"a.txt", "b.txt"}
+
+
+def test_fixed_width_roundtrip(spark, tmp_path):
+    # FIXTURES.md F6: id int64 + code ascii(4) + amount int64 + flag ascii(4)
+    p = tmp_path / "fw"
+    p.mkdir()
+    recs = [(1, b"AB12", 500, b"OK__"), (2, b"CD34", 12345678901, b"NO__")]
+    with open(p / "data.bin", "wb") as f:
+        for rid, code, amount, flag in recs:
+            f.write(struct.pack(">q", rid) + code + struct.pack(">q", amount) + flag)
+    df = read_fixed_width(
+        spark,
+        str(p / "data.bin"),
+        [("id", "long_be", 8), ("code", "ascii", 4), ("amount", "long_be", 8), ("flag", "ascii", 4)],
+    )
+    got = sorted(map(tuple, df.collect()))
+    assert got == [(1, "AB12", 500, "OK__"), (2, "CD34", 12345678901, "NO__")]
+
+
+def test_sequencefile_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "seq")
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "key string, value long")
+    write_sequencefile(df, out)
+    back = read_sequencefile(spark, out)
+    assert sorted(map(tuple, back.collect())) == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_multiple_inputs_tagging(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, payload string")
+    b = spark.createDataFrame([(2,)], "id long")
+    out = read_multiple(spark, {"src_a": a, "src_b": b})
+    rows = {r["__source"]: r for r in out.collect()}
+    assert rows["src_a"]["payload"] == "x"
+    assert rows["src_b"]["payload"] is None  # allowMissingColumns
+
+
+def test_partitioned_write_routing(spark, tmp_path):
+    out = str(tmp_path / "parts")
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "bucket string, v long"
+    )
+    write_partitioned(df, out, ["bucket"])
+    dirs = {d for d in os.listdir(out) if d.startswith("bucket=")}
+    assert dirs == {"bucket=a", "bucket=b"}
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    # single job wrote each dir; routing preserved values
+    assert back.filter(F.col("bucket") == "a").agg(F.sum("v")).collect()[0][0] == 3
+
+
+def test_sample_filter_modes(spark):
+    df = spark.createDataFrame([(f"key_{i}", i) for i in range(100)], "key string, value long")
+    assert sample_filter(df, regex="key_1$").count() == 1
+    h = sample_filter(df, hash_every=5)
+    n = h.count()
+    assert 0 < n < 100
+    # deterministic: same predicate, same rows
+    assert h.count() == n
+    s = sample_filter(df, percent=0.2).count()
+    assert 0 < s < 100
+
+
+def test_parse_xml_records(spark):
+    df = spark.createDataFrame(
+        [("<r>alpha</r>junk<r>beta</r>",), ("no records here",)], "text string"
+    )
+    recs = parse_xml_records(df, "text", "<r>", "</r>")
+    got = sorted(r["record"] for r in recs.collect())
+    assert got == ["<r>alpha</r>", "<r>beta</r>"]
+
+
+def test_jdbc_reader_gated():
+    """No JDBC driver in this container — API exists, runtime test gated."""
+    pytest.importorskip("nonexistent_jdbc_driver_marker", reason="no JDBC driver jar in container")
