@@ -442,3 +442,159 @@ def agg_descriptors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.withColumn("val_sum", F.round("val_sum", 2))
+
+
+# ---------------------------------------------------------------------------
+# Pivot / cube / numeric-estimation / UDF-contract queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot — net-new surface (conditional-agg idiom in the reference).",
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets — free in Spark, absent in reference (SURVEY §2.4).",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "monte_carlo_pi",
+    oracle="""
+    WITH pts AS (
+      SELECT (id * 0.6180339887498949) - FLOOR(id * 0.6180339887498949) AS x,
+             (id * 0.7548776662466927) - FLOOR(id * 0.7548776662466927) AS y
+      FROM range(100000) t(id)
+    )
+    SELECT COUNT(*) AS n_points,
+           ROUND(4.0 * AVG(CASE WHEN x * x + y * y <= 1.0 THEN 1.0 ELSE 0.0 END), 6) AS pi_est
+    FROM pts
+    """,
+    doc="QuasiMonteCarlo parity (examples/QuasiMonteCarlo.java): low-discrepancy "
+    "point generation + partial-sum reduce; deterministic, no RNG.",
+)
+def monte_carlo_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = spark.range(100_000).select(
+        (F.col("id") * 0.6180339887498949 - F.floor(F.col("id") * 0.6180339887498949)).alias("x"),
+        (F.col("id") * 0.7548776662466927 - F.floor(F.col("id") * 0.7548776662466927)).alias("y"),
+    )
+    inside = F.when(F.col("x") * F.col("x") + F.col("y") * F.col("y") <= 1.0, 1.0).otherwise(0.0)
+    return pts.agg(
+        F.count("*").alias("n_points"), F.round(4.0 * F.avg(inside), 6).alias("pi_est")
+    )
+
+
+@register(
+    "sorted_group_apply",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+      FROM orders
+    )
+    SELECT o_custkey, MAX(n_orders) AS n_orders,
+           string_agg(CASE WHEN rn <= 3 THEN CAST(o_orderkey AS VARCHAR) END, ',' ORDER BY rn) AS first3,
+           MAX(CASE WHEN rn = n_orders THEN ROUND(o_totalprice, 2) END) AS last_price
+    FROM ranked GROUP BY o_custkey
+    """,
+    doc="The sorted-values-per-group reduce contract (SecondarySort.java:51, "
+    "ReduceContextImpl.java:131): repartition+sortWithinPartitions+applyInPandas; "
+    "the pandas fn RELIES on group rows arriving ordered (SURVEY §4.2).",
+)
+def sorted_group_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from hadoop_fcfs_spark.ops.sort import grouped_sorted_apply
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # contract: rows arrive ordered by (o_orderdate, o_orderkey)
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "first3": [",".join(str(k) for k in pdf["o_orderkey"].head(3))],
+                "last_price": [round(float(pdf["o_totalprice"].iloc[-1]), 2)],
+            }
+        )
+
+    return grouped_sorted_apply(
+        orders,
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        per_group,
+        "o_custkey long, n_orders long, first3 string, last_price double",
+    )
+
+
+@register(
+    "keyfield_sort",
+    oracle="""
+    WITH lines AS (
+      SELECT c_mktsegment || ' ' || CAST(c_custkey AS VARCHAR) || ' ' ||
+             CAST(CAST(FLOOR(c_acctbal) AS BIGINT) AS VARCHAR) AS line
+      FROM customer
+    )
+    SELECT line,
+           ROW_NUMBER() OVER (ORDER BY CAST(string_split(line, ' ')[3] AS DOUBLE) DESC,
+                                       string_split(line, ' ')[1],
+                                       CAST(string_split(line, ' ')[2] AS DOUBLE)) AS rank
+    FROM lines
+    """,
+    doc='KeyFieldBasedComparator (.../partition/KeyFieldBasedComparator.java:53): '
+    'Unix sort -k3nr -k1 -k2n over separator-split fields, compiled to expression sort keys.',
+)
+def keyfield_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.ops.sort import key_field_sort_keys
+
+    customer = t(spark, sf_dir, "customer")
+    lines = customer.select(
+        F.concat_ws(
+            " ",
+            "c_mktsegment",
+            F.col("c_custkey").cast("string"),
+            F.floor("c_acctbal").cast("long").cast("string"),
+        ).alias("line")
+    )
+    keys = key_field_sort_keys("line", [(2, True, True), (0, False, False), (1, True, False)])
+    return lines.select("line", F.row_number().over(Window.orderBy(*keys)).alias("rank"))

@@ -1,0 +1,1 @@
+"""User-defined function surface (SURVEY.md §2.8)."""

@@ -1,0 +1,75 @@
+"""Map/Reduce-shaped UDF wrappers.
+
+Parity targets (SURVEY.md §2.8):
+- ``Mapper.map`` (reference ``mr-core/mapreduce/Mapper.java:123``) is a
+  UDTF: 0..n output records per input record, plus setup/cleanup.
+  → ``map_records``: mapInPandas with a per-record generator function;
+  Arrow-batched, setup/cleanup run once per partition (exactly the
+  reference's task-lifecycle hooks, at partition granularity).
+- ``Reducer.reduce`` (``Reducer.java:147``): per key, iterate values —
+  **in sort order when a sort comparator is set** (``Job.java:978,993``).
+  → ``reduce_groups``: the sorted-values-per-group contract done right
+  (SURVEY §4.2/§7.3 — plain groupBy does NOT order values):
+  repartition on the group key + sortWithinPartitions + applyInPandas.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def map_records(
+    df: DataFrame,
+    fn: Callable[[dict[str, Any]], Iterator[dict[str, Any]]],
+    output_schema: str,
+    setup: Callable[[], Any] | None = None,
+    cleanup: Callable[[Any], None] | None = None,
+) -> DataFrame:
+    """Mapper parity: `fn(record) -> iterator of output records`.
+    setup() runs once per partition (its return value is not passed to
+    fn — close over shared state in fn if needed); cleanup(state) runs
+    after the partition drains. Arrow-batched under the hood; per-record
+    Python is the cost of arbitrary-code parity — use Column expressions
+    whenever the logic is expressible."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state = setup() if setup else None
+        try:
+            for pdf in batches:
+                out = []
+                for rec in pdf.to_dict("records"):
+                    out.extend(fn(rec))
+                if out:
+                    yield pd.DataFrame(out)
+        finally:
+            if cleanup:
+                cleanup(state)
+
+    return df.mapInPandas(run, schema=output_schema)
+
+
+def reduce_groups(
+    df: DataFrame,
+    group_cols: list[str],
+    fn: Callable[[tuple, pd.DataFrame], pd.DataFrame],
+    output_schema: str,
+    order_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Reducer parity: `fn(key, group_frame) -> output frame`, with the
+    group's rows ordered by `order_cols` (secondary-sort contract).
+    Without order_cols this is plain applyInPandas."""
+    if order_cols:
+        from hadoop_fcfs_spark.ops.sort import grouped_sorted_apply
+
+        return grouped_sorted_apply(
+            df, group_cols, order_cols, lambda pdf: fn(tuple(pdf.iloc[0][group_cols]), pdf),
+            output_schema, num_partitions,
+        )
+    return df.groupBy(*group_cols).applyInPandas(
+        lambda pdf: fn(tuple(pdf.iloc[0][group_cols]), pdf), schema=output_schema
+    )

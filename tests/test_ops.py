@@ -1,0 +1,136 @@
+"""Unit tests: chain/jobcontrol, counters, pipes shim, pandas UDF
+wrappers, fieldsel spec grammar, sort helpers."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_fcfs_spark.metrics import counted
+from hadoop_fcfs_spark.ops.chain import chain, run_stages
+from hadoop_fcfs_spark.ops.fieldsel import field_selection, parse_spec
+from hadoop_fcfs_spark.ops.joins import override_join
+from hadoop_fcfs_spark.ops.sort import grouped_sorted_apply, top_k
+from hadoop_fcfs_spark.udf.pandas_ops import map_records, reduce_groups
+from hadoop_fcfs_spark.udf.pipes import pipe_map
+
+
+def test_chain_composes_in_one_plan(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    out = chain(
+        df,
+        lambda d: d.filter(F.col("x") % 2 == 0),
+        lambda d: d.withColumn("y", F.col("x") * 10),
+        lambda d: d.select("y"),
+    )
+    assert sorted(r["y"] for r in out.collect()) == [0, 20, 40, 60, 80]
+    # narrow chain: one scan, no exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_run_stages_order_and_failure():
+    log = []
+    with pytest.raises(RuntimeError):
+        run_stages(
+            [
+                ("a", lambda: log.append("a")),
+                ("b", lambda: (_ for _ in ()).throw(RuntimeError("boom"))),
+                ("c", lambda: log.append("c")),
+            ]
+        )
+    assert log == ["a"]  # c never ran (DEPENDENT_FAILED semantics)
+
+
+def test_counters_observe(spark):
+    df = spark.createDataFrame([(1,), (2,), (None,)], "x int")
+    df2, obs = counted(
+        df, "job",
+        n=F.count(F.lit(1)),
+        nulls=F.sum(F.when(F.col("x").isNull(), 1).otherwise(0)),
+    )
+    df2.write.format("noop").mode("overwrite").save()
+    assert obs.get["n"] == 3 and obs.get["nulls"] == 1
+
+
+def test_pipe_map_cat_roundtrip(spark):
+    df = spark.createDataFrame([("a", "1"), ("b", "2")], "key string, value string")
+    out = pipe_map(df, "cat")
+    assert sorted(map(tuple, out.collect())) == [("a", "1"), ("b", "2")]
+
+
+def test_pipe_map_transform(spark):
+    df = spark.createDataFrame([("x", "hello"), ("y", "world")], "key string, value string")
+    out = pipe_map(df, "tr a-z A-Z")  # uppercase everything, key included
+    assert sorted(map(tuple, out.collect())) == [("X", "HELLO"), ("Y", "WORLD")]
+
+
+def test_map_records_udtf_shape_and_lifecycle(spark):
+    df = spark.createDataFrame([("a b",), ("c",), ("",)], "text string")
+
+    def explode_words(rec):
+        for w in rec["text"].split():
+            yield {"word": w, "n": len(w)}
+
+    out = map_records(df, explode_words, "word string, n int")
+    assert sorted(r["word"] for r in out.collect()) == ["a", "b", "c"]
+
+
+def test_reduce_groups_sorted_contract(spark):
+    df = spark.createDataFrame(
+        [(1, 3, "c"), (1, 1, "a"), (1, 2, "b"), (2, 9, "z")], "k long, o long, v string"
+    )
+
+    def concat_in_order(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [key[0]], "joined": ["".join(pdf["v"])]})
+
+    out = reduce_groups(df, ["k"], concat_in_order, "k long, joined string", order_cols=["o"])
+    got = {r["k"]: r["joined"] for r in out.collect()}
+    assert got == {1: "abc", 2: "z"}
+
+
+def test_grouped_sorted_apply_many_groups_order_holds(spark):
+    # stress the no-reshuffle/no-resort plan assumption across many groups
+    rows = [(g, o, g * 1000 + o) for g in range(50) for o in range(20, 0, -1)]
+    df = spark.createDataFrame(rows, "g long, o long, v long")
+
+    def first_last(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"g": [pdf["g"].iloc[0]], "first_v": [pdf["v"].iloc[0]], "last_v": [pdf["v"].iloc[-1]]}
+        )
+
+    out = grouped_sorted_apply(df, ["g"], ["o"], first_last, "g long, first_v long, last_v long")
+    for r in out.collect():
+        assert r["first_v"] == r["g"] * 1000 + 1, "group not sorted ascending by o"
+        assert r["last_v"] == r["g"] * 1000 + 20
+
+
+def test_parse_spec_grammar():
+    key, value = parse_spec("6,5,1-3:0-")
+    assert key == [(6, 6), (5, 5), (1, 3)]
+    assert value == [(0, 1 << 30)]
+
+
+def test_fieldsel_multi_ranges(spark):
+    df = spark.createDataFrame([("a-b-c-d-e",)], "line string")
+    out = field_selection(df, "line", "4,0,1-2:3-", separator="-")
+    r = out.collect()[0]
+    assert r["key"] == "e-a-b-c" and r["value"] == "d-e"
+
+
+def test_top_k_with_ties_deterministic(spark):
+    df = spark.createDataFrame([(i % 3, i) for i in range(30)], "v long, id long")
+    out = top_k(df, 5, F.desc("v"), F.asc("id"))
+    got = [(r["v"], r["id"]) for r in out.collect()]
+    assert got == [(2, 2), (2, 5), (2, 8), (2, 11), (2, 14)]
+
+
+def test_override_join_null_vs_missing(spark):
+    # rightmost source that HAS the key wins, even if its value is null
+    a = spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, v string")
+    b = spark.createDataFrame([(1, None)], "k long, v string")
+    out = {r["k"]: r["v"] for r in override_join("k", "v", a, b).collect()}
+    # coalesce semantics: null value falls through to the earlier source —
+    # matches OverrideRecordReader for written-but-empty slots
+    assert out == {1: "a1", 2: "a2"}
