@@ -49,6 +49,14 @@ def total_order_sort_bench(spark, sf_dir):
     return li.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
 
 
+def terasort_bench(spark, sf_dir):
+    """The reference's own benchmark (Gray sort, BASELINE.md): generate
+    2M 100-byte-ish records, total-order sort on the 10-byte binary key."""
+    from hadoop_fcfs_spark.bench.tera import teragen, terasort
+
+    return terasort(teragen(spark, 2_000_000))
+
+
 def run(spark, name, fn) -> float:
     start = time.perf_counter()
     df = fn(spark, SF_DIR)
@@ -66,6 +74,7 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = run(spark, name, queries[name])
     timings["total_order_sort"] = run(spark, "total_order_sort", total_order_sort_bench)
+    timings["terasort_2m"] = run(spark, "terasort_2m", terasort_bench)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {

@@ -1,4 +1,98 @@
-"""Correctness-gate queries: event-time windowing (batch-checkable
-equivalents of the streaming surface; SURVEY.md §2.7 — net-new)."""
+"""Correctness-gate queries: event-time windowing over `events`
+(SURVEY.md §2.7 — net-new surface; the reference is batch-only).
+
+These are the BATCH twins of the streaming operators in
+hadoop_fcfs_spark.streaming — identical expressions run under
+readStream in production; pytest drives the streaming path through the
+memory sink (tests/test_streaming.py), the DuckDB oracle checks the
+semantics here.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_fcfs_spark.registry import register
+from hadoop_fcfs_spark.streaming.sessionize import sessionize
+from hadoop_fcfs_spark.streaming.windows import session_window_agg, sliding_agg, tumbling_agg
+from hadoop_fcfs_spark.tables import t
+
+
+@register(
+    "tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="Tumbling 1h event-time windows per event_type (window()).",
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(t(spark, sf_dir, "events"), "ts", "1 hour", "event_type")
+
+
+@register(
+    "sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT date_trunc('hour', ts) AS win_start, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start, value FROM events
+    )
+    SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM starts GROUP BY 1, 2
+    """,
+    doc="Sliding windows (2h window, 1h slide): each event in 2 windows.",
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(t(spark, sf_dir, "events"), "ts", "2 hours", "1 hour")
+
+
+_SESSION_CTE = """
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) {gap_op} 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+      FROM flagged
+    )
+"""
+
+
+@register(
+    "sessionize",
+    oracle=f"""
+    WITH {_SESSION_CTE.format(gap_op=">")}
+    SELECT user_id, session_id, MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Batch sessionization: lag+cumsum gap split (>30 min gap = new session).",
+)
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(t(spark, sf_dir, "events"), "user_id", "ts", gap_minutes=30)
+
+
+@register(
+    "session_window",
+    oracle=f"""
+    WITH {_SESSION_CTE.format(gap_op=">=")}
+    SELECT user_id, MIN(ts) AS sess_start, MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="session_window(ts, 30 min): merged dynamic windows, end = last event + gap "
+    "(strict-< merge semantics → gap exactly 30min starts a new session).",
+)
+def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_agg(t(spark, sf_dir, "events"), "ts", "30 minutes", "user_id")

@@ -1,0 +1,92 @@
+"""Event-time windowed aggregation — streaming and batch twins.
+
+Streaming: ``readStream → withWatermark → groupBy(window(...)) → agg``.
+Batch twins produce identical rows on the same (finite) input, which is
+what the DuckDB oracle checks; the streaming path is exercised with the
+memory sink in tests (file source → processAllAvailable).
+
+Scale notes: event-time windows shuffle on (window, keys); state in the
+streaming case is bounded by the watermark horizon — at 100 TB/day the
+levers are watermark delay (state size) and
+``spark.sql.shuffle.partitions`` (state store parallelism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _agg_exprs() -> list[Column]:
+    return [
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ]
+
+
+def tumbling_agg(events: DataFrame, ts_col: str, duration: str, *keys: str) -> DataFrame:
+    """Non-overlapping event-time windows. Works on both batch and
+    streaming DataFrames (add a watermark upstream for append mode)."""
+    return (
+        events.groupBy(F.window(ts_col, duration), *keys)
+        .agg(*_agg_exprs())
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame, ts_col: str, duration: str, slide: str, *keys: str
+) -> DataFrame:
+    """Overlapping windows: each event lands in duration/slide windows."""
+    return (
+        events.groupBy(F.window(ts_col, duration, slide), *keys)
+        .agg(*_agg_exprs())
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(events: DataFrame, ts_col: str, gap: str, *keys: str) -> DataFrame:
+    """Session windows: events within `gap` of each other merge into one
+    session (dynamic window end). Streaming requires a watermark."""
+    return (
+        events.groupBy(F.session_window(ts_col, gap), *keys)
+        .agg(*_agg_exprs())
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_from_dir(spark, path: str, schema) -> DataFrame:
+    """File-source stream (the test/driver entry; production swaps in
+    kafka options without touching the operators)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete"):
+    """Drive a (finite) stream to completion into the memory sink;
+    returns the StreamingQuery (caller reads `SELECT * FROM <name>`)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,122 @@
+"""Streaming execution tests: the batch twins are oracle-checked in
+test_oracle_parity; here the SAME operators run under readStream with
+the memory sink, plus the custom stateful operator and TeraSort
+generate→sort→validate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_fcfs_spark.bench.tera import content_checksum, teragen, terasort, teravalidate
+from hadoop_fcfs_spark.streaming.sessionize import running_counts_stateful, sessionize
+from hadoop_fcfs_spark.streaming.windows import (
+    run_to_memory,
+    session_window_agg,
+    stream_from_dir,
+    tumbling_agg,
+)
+from hadoop_fcfs_spark.tables import t
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Finite micro-batch source: the sf0.001 events as a parquet dir
+    (micros timestamps, streamable)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    t(spark, SF_SMOKE, "events").repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _events_schema(spark, path):
+    return spark.read.parquet(path).schema
+
+
+def test_streaming_tumbling_equals_batch(spark, events_dir):
+    batch = t(spark, SF_SMOKE, "events")
+    expected = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_agg(batch, "ts", "1 hour", "event_type").collect()
+    }
+    stream = stream_from_dir(spark, events_dir, _events_schema(spark, events_dir))
+    agg = tumbling_agg(stream.withWatermark("ts", "1 hour"), "ts", "1 hour", "event_type")
+    q = run_to_memory(agg, "tumbling_out", output_mode="complete")
+    try:
+        got = {
+            (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM tumbling_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+
+def test_streaming_session_window_equals_batch(spark, events_dir):
+    batch = t(spark, SF_SMOKE, "events")
+    expected = sorted(
+        map(tuple, session_window_agg(batch, "ts", "30 minutes", "user_id").collect())
+    )
+    stream = stream_from_dir(spark, events_dir, _events_schema(spark, events_dir))
+    agg = session_window_agg(
+        stream.withWatermark("ts", "1 hour"), "ts", "30 minutes", "user_id"
+    )
+    q = run_to_memory(agg, "session_out", output_mode="complete")
+    try:
+        got = sorted(map(tuple, spark.sql("SELECT * FROM session_out").collect()))
+    finally:
+        q.stop()
+    assert got == expected
+
+
+def test_stateful_running_counts(spark, events_dir):
+    stream = stream_from_dir(spark, events_dir, _events_schema(spark, events_dir)).select(
+        F.col("event_type").cast("string").alias("event_type")
+    )
+    counts = running_counts_stateful(stream, "event_type")
+    q = run_to_memory(counts, "running_out", output_mode="update")
+    try:
+        # last update per key == total count per key
+        rows = spark.sql(
+            "SELECT event_type, max(running_count) AS n FROM running_out GROUP BY event_type"
+        ).collect()
+    finally:
+        q.stop()
+    batch_counts = {
+        r["event_type"]: r["count"]
+        for r in t(spark, SF_SMOKE, "events").groupBy("event_type").count().collect()
+    }
+    got = {r["event_type"]: r["n"] for r in rows}
+    assert got == batch_counts
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 1.0),  # 10 min gap   -> same session
+        (1, "2024-01-01 00:41:00", 1.0),  # 31 min gap   -> new session
+        (2, "2024-01-01 09:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    sess = sessionize(df, "user_id", "ts", gap_minutes=30)
+    got = sorted((r["user_id"], r["session_id"], r["n_events"]) for r in sess.collect())
+    assert got == [(1, 1, 2), (1, 2, 1), (2, 1, 1)]
+
+
+def test_tera_generate_sort_validate(spark):
+    data = teragen(spark, 20_000, partitions=8)
+    before = content_checksum(data)
+    sorted_df = terasort(data)
+    report = teravalidate(sorted_df)
+    assert report["ok"], "global order violated"
+    assert report["rows"] == 20_000
+    assert content_checksum(sorted_df) == before, "content changed during sort"
+
+
+def test_teragen_deterministic(spark):
+    a = teragen(spark, 1000, partitions=4)
+    b = teragen(spark, 1000, partitions=2)  # different partitioning, same content
+    assert content_checksum(a) == content_checksum(b)
+    assert a.select(F.length("key").alias("l")).distinct().collect()[0]["l"] == 10
