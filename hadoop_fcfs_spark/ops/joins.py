@@ -76,3 +76,76 @@ def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
 def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """NOT EXISTS — engine surface beyond the reference."""
     return left.join(right, on=on, how="left_anti")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    partition_col: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    right_ts <= left_ts in the same partition key (ties: the right row
+    at exactly left_ts matches).
+
+    Scalable formulation — NO per-row subquery and NO range cross
+    product: union both sides tagged, one window pass per partition key
+    carrying the last non-null right values forward
+    (last(ignorenulls) over rows-unbounded-preceding), then keep left
+    rows. One shuffle on the partition key; works at any scale where a
+    single key's timeline fits a partition (salt the key by time range
+    if one entity's history is itself huge).
+
+    The reference has no as-of join (SURVEY §2.3) — this is declared
+    engine surface beyond parity; per-group pd.merge_asof via
+    applyInPandas is the alternative when the window form doesn't fit.
+    """
+    from pyspark.sql import Window
+
+    lcols = left.columns
+    r2 = right.select(
+        F.col(partition_col),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != partition_col],
+    )
+    l2 = left.select(
+        F.col(partition_col),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_value_cols],
+        *[F.col(c) for c in lcols if c != partition_col],
+    )
+    unioned = r2.unionByName(l2)
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("__tag") == 1).select(
+        partition_col,
+        *[F.col(c) for c in lcols if c != partition_col],
+        *[F.col(f"__m_{c}").alias(f"{c}{suffix}") for c in right_value_cols],
+    )
+
+
+def range_join(
+    big: DataFrame, buckets: DataFrame, value_col: str, lo_col: str = "lo", hi_col: str = "hi"
+) -> DataFrame:
+    """Theta/range join: rows matched to [lo, hi) buckets. The bucket
+    side is broadcast (BroadcastNestedLoopJoin) — correct strategy for
+    a small range dimension at any fact-table scale; for big×big range
+    joins, bucketize the range key to an equi-join prefix first."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return big.join(F.broadcast(buckets), cond)

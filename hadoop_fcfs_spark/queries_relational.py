@@ -598,3 +598,52 @@ def keyfield_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keys = key_field_sort_keys("line", [(2, True, True), (0, False, False), (1, True, False)])
     return lines.select("line", F.row_number().over(Window.orderBy(*keys)).alias("rank"))
+
+
+@register(
+    "asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts) AS ts_asof
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    doc="As-of join (declared surface beyond reference): each purchase matched to "
+    "the user's most recent click at-or-before it; union+window formulation, "
+    "one shuffle, no per-row subquery.",
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.joins import as_of_join
+
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    out = as_of_join(purchases, clicks, "user_id", "ts", "click_ts", ["click_ts"])
+    return out.select("event_id", "user_id", "ts", F.col("click_ts_asof").alias("ts_asof"))
+
+
+@register(
+    "range_join",
+    oracle="""
+    WITH buckets(lo, hi, label) AS (VALUES (0, 10, 'low'), (10, 25, 'mid'), (25, 100, 'high'))
+    SELECT label, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN buckets ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY label
+    """,
+    doc="Range/theta join: fact rows matched to [lo,hi) buckets via broadcast "
+    "nested-loop — the small-dim range-join strategy.",
+)
+def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.joins import range_join
+
+    li = t(spark, sf_dir, "lineitem")
+    buckets = spark.createDataFrame(
+        [(0, 10, "low"), (10, 25, "mid"), (25, 100, "high")], "lo int, hi int, label string"
+    )
+    return range_join(li, buckets, "l_quantity").groupBy("label").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price")
+    )
