@@ -126,3 +126,16 @@ def test_parse_xml_records(spark):
 def test_jdbc_reader_gated():
     """No JDBC driver in this container — API exists, runtime test gated."""
     pytest.importorskip("nonexistent_jdbc_driver_marker", reason="no JDBC driver jar in container")
+
+
+def test_generators_deterministic(spark):
+    from hadoop_fcfs_spark.io.generators import random_kv, random_text
+
+    a = random_kv(spark, 100, partitions=4)
+    b = random_kv(spark, 100, partitions=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.select(F.length("key")).distinct().collect()[0][0] == 10
+    txt = random_text(spark, 50, words_per_row=7)
+    rows = txt.collect()
+    assert len(rows) == 50
+    assert all(len(r["text"].split(" ")) == 7 for r in rows)
