@@ -1,0 +1,95 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (pushdown, pruning, broadcast, single-shuffle contracts) must
+survive refactors — these assertions read the executed plan the same
+way a human plan audit does."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_fcfs_spark.registry import all_queries
+from tests.conftest import SF_ORACLE
+
+Q = all_queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = Q["pricing_summary"].spark_fn(spark, SF_ORACLE)
+    full = _optimized(df)
+    # filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in full
+    # column pruning: lineitem has 11 columns, the query needs 7 —
+    # the unused keys must not appear in the FileScan column list
+    scan_line = [l for l in full.split("\n") if "FileScan parquet" in l][0]
+    cols = scan_line.split("[", 1)[1].split("]", 1)[0]
+    for unused in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert unused not in cols, f"unpruned column {unused} in scan: {cols}"
+    # exactly one shuffle (the groupBy)
+    assert _plan(df).count("Exchange") == 1
+
+
+def test_join_multiway_broadcasts_dims(spark):
+    df = Q["join_multiway"].spark_fn(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, "dims must broadcast, not shuffle"
+    assert "CartesianProduct" not in plan
+
+
+def test_sorted_group_apply_single_exchange(spark):
+    """The sorted-values-per-group contract: repartition+sort must NOT be
+    followed by another exchange or sort before applyInPandas."""
+    df = Q["sorted_group_apply"].spark_fn(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    df = Q["topk_orders"].spark_fn(spark, SF_ORACLE)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_exact_dedup_never_shuffles_documents(spark):
+    """exact_dedup shuffles (digest, id) only; the full text column must
+    stay out of the exchange."""
+    df = Q["dedup_exact"].spark_fn(spark, SF_ORACLE)
+    plan = _plan(df)
+    for line in plan.split("\n"):
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, f"document text in shuffle: {line}"
+
+
+def test_range_join_broadcast_not_cartesian(spark):
+    df = Q["range_join"].spark_fn(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle_per_side(spark):
+    df = Q["asof_join"].spark_fn(spark, SF_ORACLE)
+    plan = _plan(df)
+    # union + one window: at most 2 exchanges (per-branch reads + window
+    # partitioning), no join operator at all
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_scan_filter_pushdown_generic(spark):
+    """Filters on scans compile to PushedFilters for any table."""
+    df = (
+        spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_orderkey")
+    )
+    full = _optimized(df)
+    assert "GreaterThan(o_totalprice,100000" in full
+    assert "o_custkey" not in [l for l in full.split("\n") if "ReadSchema" in l][0]
