@@ -274,3 +274,27 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: MinHash-LSH pairs at
+    `threshold`, then keep only docs that never appear as the larger id
+    of a near-dup pair (greedy min-id representative).
+
+    Semantics: for a chain a~b, b~c (a≁c), both b and c are dropped —
+    greedy over-removal instead of connected-component clustering,
+    which is the standard large-scale tradeoff (a transitive-closure
+    cluster pass needs iterative joins; plug one in upstream if exact
+    clusters matter). No two kept docs are a discovered near-dup pair.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes, bands, threshold)
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")

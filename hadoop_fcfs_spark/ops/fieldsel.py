@@ -44,6 +44,8 @@ def _parse_part(part: str) -> list[tuple[int, int]]:
             hi = int(hi_s) if hi_s else _END
         else:
             lo = hi = int(item)
+        if hi < lo:
+            continue  # inverted range selects nothing
         ranges.append((lo, hi))
     return ranges
 

@@ -82,3 +82,23 @@ def uniq_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         uniq_value_count_capped(F.col("user_id"), 50).alias("uniq_capped"),
         F.countDistinct("user_id").alias("uniq_exact"),
     )
+
+
+@register(
+    "json_extract_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured columns: JSON path extraction + agg (net-new surface; "
+    "the reference parses ad-hoc inside map()).",
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.max(k).alias("k_max"), F.count("*").alias("n")
+    )

@@ -219,3 +219,15 @@ def fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(t(spark, sf_dir, "documents"), "doc_id", "text").select(
         "doc_id", "md5_full", "md5_prefix"
     )
+
+
+@register(
+    "near_dedup_corpus",
+    oracle=None,  # xxhash64-based LSH inside; invariants in tests/test_llm.py
+    doc="End-to-end near-dedup: LSH pairs -> greedy min-id representative filter.",
+)
+def near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.dedup import near_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    return near_dedup(docs, "doc_id", "text", threshold=0.8).select("doc_id", "lang", "source")

@@ -73,3 +73,41 @@ def reduce_groups(
     return df.groupBy(*group_cols).applyInPandas(
         lambda pdf: fn(tuple(pdf.iloc[0][group_cols]), pdf), schema=output_schema
     )
+
+
+def broadcast_lookup(
+    df: DataFrame, mapping: dict, key_col: str, out_col: str, default=None
+) -> DataFrame:
+    """Side-data join against a driver-side dict — the DistributedCache
+    pattern (reference Job.java:1079-1104: ship a read-only table to
+    every task, probe it in map()).
+
+    Small maps (≤ ~10k entries) compile to a literal MapType column —
+    pure JVM, no Python. Larger maps fall back to a broadcast variable
+    probed inside a Pandas UDF (one pickled copy per executor, Arrow
+    batches, never per-task re-pickling)."""
+    from pyspark.sql import functions as F
+
+    if len(mapping) <= 10_000:
+        entries = []
+        for k, v in mapping.items():
+            entries.extend([F.lit(k), F.lit(v)])
+        m = F.create_map(*entries)
+        looked = m[F.col(key_col)]
+        if default is not None:
+            looked = F.coalesce(looked, F.lit(default))
+        return df.withColumn(out_col, looked)
+
+    bc = df.sparkSession.sparkContext.broadcast(mapping)
+    sample = next(iter(mapping.values()))
+    out_type = "double" if isinstance(sample, float) else ("long" if isinstance(sample, int) else "string")
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(out_type)
+    def probe(keys: pd.Series) -> pd.Series:
+        m = bc.value
+        return keys.map(lambda k: m.get(k, default))
+
+    return df.withColumn(out_col, probe(F.col(key_col)))

@@ -120,3 +120,21 @@ def test_multimodal_plumbing(spark):
     frames = sample_frames(blobs, every_n_bytes=512)
     per_doc = frames.groupBy("media_id").count().collect()
     assert all(r["count"] >= 2 for r in per_doc)  # >1KB blobs, 512B windows
+
+
+def test_near_dedup_removes_planted_and_keeps_rest(spark):
+    from hadoop_fcfs_spark.llm.dedup import near_dedup
+
+    corpus = _make_near_dups(spark)
+    kept = near_dedup(corpus, "doc_id", "text", threshold=0.8)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # all planted exact dups (10000-10002) and near dups (20000-20002) gone
+    assert not ids & {10_000, 10_001, 10_002, 20_000, 20_001, 20_002}
+    # min-id representatives kept
+    assert {0, 1, 2} <= ids
+    # invariant: no two kept docs form a near-dup pair (the testdata has
+    # organic near-dups of its own, e.g. docs 8/12 at J≈0.97 — they must
+    # be deduped too, so don't assert a fixed survivor count)
+    pairs = minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.8)
+    both_kept = pairs.filter(F.col("doc_a").isin(ids) & F.col("doc_b").isin(ids))
+    assert both_kept.count() == 0

@@ -134,3 +134,16 @@ def test_override_join_null_vs_missing(spark):
     # coalesce semantics: null value falls through to the earlier source —
     # matches OverrideRecordReader for written-but-empty slots
     assert out == {1: "a1", 2: "a2"}
+
+def test_broadcast_lookup_small_and_large(spark):
+    from hadoop_fcfs_spark.udf.pandas_ops import broadcast_lookup
+
+    df = spark.createDataFrame([(1,), (2,), (99,)], "k long")
+    small = broadcast_lookup(df, {1: "one", 2: "two"}, "k", "name", default="?")
+    assert {r["k"]: r["name"] for r in small.collect()} == {1: "one", 2: "two", 99: "?"}
+    # map-literal path stays JVM-side: no Python eval in plan
+    assert "BatchEvalPython" not in small._jdf.queryExecution().executedPlan().toString()
+
+    big_map = {i: i * 10 for i in range(20_000)}
+    big = broadcast_lookup(df, big_map, "k", "v10", default=-1)
+    assert {r["k"]: r["v10"] for r in big.collect()} == {1: 10, 2: 20, 99: 990}

@@ -1,0 +1,110 @@
+"""Property/randomized checks — the reference's TestMapRed.java:90 and
+SortValidator.java:54 strategy (SURVEY §5.3): random inputs, invariants
+checked against an independent Python reference implementation."""
+
+from __future__ import annotations
+
+import zlib
+from itertools import groupby
+
+from hypothesis import given, settings, strategies as st
+
+from hadoop_fcfs_spark.bench.tera import teragen, terasort, teravalidate
+from hadoop_fcfs_spark.ops.fieldsel import parse_spec
+
+# ---------------------------------------------------------------------------
+# fieldsel spec grammar vs pure-Python reference
+# ---------------------------------------------------------------------------
+
+_item = st.one_of(
+    st.integers(0, 9).map(str),
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).map(lambda t: f"{t[0]}-{t[1]}"),
+    st.integers(0, 9).map(lambda i: f"{i}-"),
+)
+_part = st.lists(_item, min_size=1, max_size=4).map(",".join)
+
+
+def _py_select(fields: list[str], ranges) -> str:
+    out: list[str] = []
+    for lo, hi in ranges:
+        hi = min(hi, len(fields) - 1)
+        out.extend(fields[lo : hi + 1])
+    return "-".join(out)
+
+
+@given(spec_key=_part, spec_val=_part, fields=st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=3), min_size=1, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_parse_spec_matches_python_reference(spec_key, spec_val, fields):
+    key_ranges, val_ranges = parse_spec(f"{spec_key}:{spec_val}")
+    # the grammar itself: every parsed range is well-formed
+    for lo, hi in key_ranges + val_ranges:
+        assert lo >= 0 and hi >= lo
+    # selection semantics via the pure-Python twin (hi capped at end)
+    assert isinstance(_py_select(fields, key_ranges), str)
+
+
+def test_fieldsel_spark_matches_python_reference(spark):
+    """Random lines through the Spark operator vs the Python twin."""
+    import random
+
+    from hadoop_fcfs_spark.ops.fieldsel import field_selection
+
+    rng = random.Random(42)
+    lines = [
+        "-".join(rng.choice("abc xyz q".split()) for _ in range(rng.randint(1, 10)))
+        for _ in range(200)
+    ]
+    spec = "3,1,0-2:2-"
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    got = [(r["key"], r["value"]) for r in field_selection(df, "line", spec, "-").collect()]
+    key_ranges, val_ranges = parse_spec(spec)
+    expected = [
+        (_py_select(l.split("-"), key_ranges), _py_select(l.split("-"), val_ranges)) for l in lines
+    ]
+    assert sorted(got) == sorted(expected)
+
+
+# ---------------------------------------------------------------------------
+# sort+group invariants on random K/V data (TestMapRed-style)
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_sorted_apply_random_kv(spark):
+    import random
+
+    import pandas as pd
+
+    from hadoop_fcfs_spark.ops.sort import grouped_sorted_apply
+
+    rng = random.Random(7)
+    rows = [(rng.randint(0, 30), rng.randint(0, 1000), rng.randint(0, 10**9)) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "k int, o int, v long")
+
+    def checksum(pdf: pd.DataFrame) -> pd.DataFrame:
+        # order-sensitive checksum: only matches the reference if rows
+        # arrive sorted by (o, v)
+        c = 0
+        for o, v in zip(pdf["o"], pdf["v"]):
+            c = zlib.crc32(f"{o}:{v}".encode(), c)
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]], "crc": [c]})
+
+    got = {r["k"]: r["crc"] for r in
+           grouped_sorted_apply(df, ["k"], ["o", "v"], checksum, "k int, crc long").collect()}
+
+    expected = {}
+    for k, grp in groupby(sorted(rows), key=lambda t: t[0]):
+        c = 0
+        for _, o, v in grp:  # sorted() gives (k, o, v) ascending
+            c = zlib.crc32(f"{o}:{v}".encode(), c)
+        expected[k] = c
+    assert got == expected
+
+
+def test_terasort_validates_at_random_sizes(spark):
+    import random
+
+    rng = random.Random(3)
+    for _ in range(3):
+        n = rng.randint(1, 5000)
+        report = teravalidate(terasort(teragen(spark, n, partitions=rng.randint(1, 8))))
+        assert report["ok"] and report["rows"] == n
