@@ -133,14 +133,28 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _hashed_gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, gram_h) with shingles collapsed to 64-bit hashes at the
+    source: every downstream shuffle/join/agg moves 8-byte longs instead
+    of shingle strings, and the k permutation hashes become long→long
+    (xxhash64 collision on a corpus's shingle set is negligible)."""
+    return _gram_rows(df, id_col, text_col, n).select(
+        "doc", F.xxhash64("gram").alias("gram_h")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
 ) -> DataFrame:
     """64-wide MinHash signature per doc in ONE aggregation pass:
-    h_i(doc) = min over shingles of xxhash64(gram, i). Deterministic —
-    no RNG, stable across partitionings. Output: (doc, sig array)."""
-    grams = _gram_rows(df, id_col, text_col, n)
-    mins = [F.min(F.xxhash64(F.col("gram"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    h_i(doc) = min over shingles of xxhash64(gram_hash, i). The shingle
+    string is hashed once; the k 'permutations' re-hash the 8-byte value
+    (k× cheaper than k string hashes). Deterministic — no RNG, stable
+    across partitionings. Output: (doc, sig array)."""
+    grams = _hashed_gram_rows(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("gram_h"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
     sig = grams.groupBy("doc").agg(*mins)
     return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
@@ -181,14 +195,15 @@ def minhash_lsh_pairs(
     )
     # Verify ONLY the candidates (never the full pair space — that would
     # reintroduce the quadratic join LSH exists to avoid): fan candidate
-    # pairs out to doc_a's shingles, keep the ones doc_b also has.
-    grams = _gram_rows(df, id_col, text_col, n)
+    # pairs out to doc_a's hashed shingles, keep the ones doc_b also has
+    # (8-byte join keys, not shingle strings).
+    grams = _hashed_gram_rows(df, id_col, text_col, n)
     sizes = grams.groupBy("doc").agg(F.count("*").alias("n_grams"))
-    ga = grams.select(F.col("doc").alias("doc_a"), "gram")
-    gb = grams.select(F.col("doc").alias("doc_b"), "gram")
+    ga = grams.select(F.col("doc").alias("doc_a"), "gram_h")
+    gb = grams.select(F.col("doc").alias("doc_b"), "gram_h")
     inter = (
         candidates.join(ga, "doc_a")
-        .join(gb, ["doc_b", "gram"])
+        .join(gb, ["doc_b", "gram_h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )

@@ -1,0 +1,46 @@
+"""Skew mitigation helpers.
+
+The reference's analog is RehashPartitioner (defeating bad hashCodes,
+``mr-core/mapreduce/lib/partition/RehashPartitioner.java:35``) plus
+manual key design; at Spark scale the levers are AQE skew-join
+(enabled in session.py) and explicit salting when a single group key
+is too hot for one task.
+
+``salted_agg`` is the classic two-stage aggregation: stage 1 aggregates
+on (key, salt) — spreading a hot key over `salt_n` tasks — stage 2
+merges the partials per key. Works for any algebraic aggregate
+(sum/count/min/max); averages must be decomposed as sum+count by the
+caller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    partial_aggs: list[tuple[Column, str]],
+    merge_aggs: list[tuple[str, str]],
+    salt_n: int = 16,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation.
+
+    partial_aggs: [(agg_expr_over_input, alias)] for stage 1.
+    merge_aggs:   [(merge_fn_name, alias)] for stage 2, e.g.
+                  [("sum", "cnt"), ("max", "mx")] — applied to the
+                  stage-1 columns of the same alias.
+
+    Salt = xxhash64(whole row cols) % salt_n is uniform per row and
+    deterministic; no RNG.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_n)).alias("__salt")
+    stage1 = df.select(*df.columns, salt).groupBy(*group_cols, "__salt").agg(
+        *[expr.alias(alias) for expr, alias in partial_aggs]
+    )
+    merged = stage1.groupBy(*group_cols).agg(
+        *[getattr(F, fn)(alias).alias(alias) for fn, alias in merge_aggs]
+    )
+    return merged

@@ -647,3 +647,77 @@ def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join(li, buckets, "l_quantity").groupBy("label").agg(
         F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price")
     )
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority,
+           CAST(ROW_NUMBER() OVER (ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, l_orderkey) AS INT) AS rank
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-03-15'
+      AND l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped: selective filters pushed to 3 scans, join, agg, "
+    "top-k by revenue (rank pinned by rounded revenue + key).",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-03-15")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    top = agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return top.select(
+        "l_orderkey", "revenue", "o_orderdate", "o_orderpriority",
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+@register(
+    "large_volume_customer",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    SELECT c_custkey, c_name, o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+           ROUND(q.sum_qty, 2) AS sum_qty
+    FROM orders
+    JOIN big ON o_orderkey = big.l_orderkey
+    JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty FROM lineitem GROUP BY l_orderkey) q
+      ON o_orderkey = q.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18-shaped: HAVING subquery (semi-join on aggregated keys) + "
+    "multi-join enrichment.",
+)
+def large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    qty = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("__sq"))
+    big = qty.filter(F.col("__sq") > 150)
+    out = (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("__sq", 2).alias("sum_qty"),
+        )
+    )
+    return out

@@ -147,3 +147,37 @@ def test_broadcast_lookup_small_and_large(spark):
     big_map = {i: i * 10 for i in range(20_000)}
     big = broadcast_lookup(df, big_map, "k", "v10", default=-1)
     assert {r["k"]: r["v10"] for r in big.collect()} == {1: 10, 2: 20, 99: 990}
+
+
+def test_salted_agg_matches_direct(spark):
+    from hadoop_fcfs_spark.ops.skew import salted_agg
+
+    # one pathologically hot key
+    rows = [("hot", i % 7) for i in range(5000)] + [("cold", i) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    direct = {
+        (r["k"]): (r["cnt"], r["s"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("cnt"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = salted_agg(
+        df,
+        ["k"],
+        [(F.count("*"), "cnt"), (F.sum("v"), "s"), (F.max("v"), "mx")],
+        [("sum", "cnt"), ("sum", "s"), ("max", "mx")],
+        salt_n=8,
+    )
+    got = {r["k"]: (r["cnt"], r["s"], r["mx"]) for r in salted.collect()}
+    assert got == direct
+    # stage-1 really spread the hot key over multiple salt buckets
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") >= 2  # two-stage shuffle
+
+
+def test_approx_uniq_within_tolerance(spark):
+    from hadoop_fcfs_spark.agg.registry import approx_uniq_value_count
+
+    df = spark.range(20_000).select((F.col("id") % 5000).alias("v"))
+    approx = df.agg(approx_uniq_value_count(F.col("v"), rsd=0.05).alias("a")).collect()[0]["a"]
+    assert abs(approx - 5000) / 5000 < 0.15
