@@ -120,12 +120,20 @@ def read_multiple(
     return out
 
 
-def read_sequencefile(spark: SparkSession, path: str) -> DataFrame:
+def read_sequencefile(spark: SparkSession, path: str, as_text: bool = False) -> DataFrame:
     """SequenceFile K/V → 2-column DataFrame (interop bridge; the
     engine-native container is parquet). Writable→Python conversion is
-    done by Spark's built-in converters."""
+    done by Spark's built-in converters. ``as_text=True`` re-encodes
+    both sides as strings — SequenceFileAsTextInputFormat
+    (reference ``.../input/SequenceFileAsTextInputFormat.java:37``)."""
     rdd = spark.sparkContext.sequenceFile(path)
-    return rdd.toDF(["key", "value"])
+    df = rdd.toDF(["key", "value"])
+    if as_text:
+        df = df.select(
+            F.col("key").cast("string").alias("key"),
+            F.col("value").cast("string").alias("value"),
+        )
+    return df
 
 
 def sample_filter(

@@ -82,6 +82,21 @@ def write_sorted_bucketed(
     writer.format("parquet").saveAsTable(table_name)
 
 
+def lookup_bucketed(spark, table_name: str, bucket_col: str, key) -> DataFrame:
+    """MapFileOutputFormat.getEntry parity: point lookup against a
+    sorted+bucketed table (``write_sorted_bucketed``). The filter on the
+    bucket column prunes to one bucket's files (checked in tests via the
+    SelectedBucketsCount plan marker) and row-group stats skip
+    non-matching pages — the same two-level index MapFile maintains."""
+    from pyspark.sql import functions as F
+
+    # the planner's autoBucketedScan drops the bucketed layout when it
+    # sees no join/agg; for point lookups the win IS bucket pruning, so
+    # keep the bucketed scan on
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    return spark.table(table_name).filter(F.col(bucket_col) == key)
+
+
 def write_noop(df: DataFrame) -> None:
     """Discard output after full computation (NullOutputFormat; also
     the benchmarking sink)."""

@@ -721,3 +721,60 @@ def large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@register(
+    "bbp_pi",
+    oracle="""
+    SELECT ROUND(SUM((1.0 / POWER(16.0, k)) * (
+             4.0 / (8 * k + 1) - 2.0 / (8 * k + 4)
+             - 1.0 / (8 * k + 5) - 1.0 / (8 * k + 6))), 10) AS pi_est,
+           COUNT(*) AS n_terms
+    FROM range(30) t(k)
+    """,
+    doc="BaileyBorweinPlouffe parity (examples/BaileyBorweinPlouffe.java, "
+    "pi/DistSum): distributed series partial sums, one reduce.",
+)
+def bbp_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("id").cast("double")
+    term = (1.0 / F.pow(F.lit(16.0), k)) * (
+        4.0 / (8 * k + 1) - 2.0 / (8 * k + 4) - 1.0 / (8 * k + 5) - 1.0 / (8 * k + 6)
+    )
+    return spark.range(30).agg(
+        F.round(F.sum(term), 10).alias("pi_est"), F.count("*").alias("n_terms")
+    )
+
+
+@register(
+    "nqueens",
+    oracle="SELECT CAST(92 AS BIGINT) AS n_solutions",
+    doc="DistributedPentomino/Sudoku parity (examples/dancing/): brute-force "
+    "search fan-out — one subproblem per first-row placement via mapInPandas, "
+    "counts reduced; oracle = the known N=8 solution count.",
+)
+def nqueens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    n = 8
+
+    def solve(batches):
+        def count_from(cols: list[int]) -> int:
+            row = len(cols)
+            if row == n:
+                return 1
+            total = 0
+            for c in range(n):
+                if all(c != pc and abs(c - pc) != row - pr for pr, pc in enumerate(cols)):
+                    total += count_from(cols + [c])
+            return total
+
+        for pdf in batches:
+            out = [
+                {"first_col": int(c), "n_solutions": count_from([int(c)])}
+                for c in pdf["id"]
+            ]
+            yield pd.DataFrame(out, columns=["first_col", "n_solutions"])
+
+    subproblems = spark.range(n).repartition(n)  # one task per first-row placement
+    counts = subproblems.mapInPandas(solve, schema="first_col int, n_solutions long")
+    return counts.agg(F.sum("n_solutions").alias("n_solutions"))

@@ -139,3 +139,31 @@ def test_generators_deterministic(spark):
     rows = txt.collect()
     assert len(rows) == 50
     assert all(len(r["text"].split(" ")) == 7 for r in rows)
+
+
+def test_bucketed_table_point_lookup(spark, tmp_path):
+    from hadoop_fcfs_spark.io.writers import lookup_bucketed, write_sorted_bucketed
+
+    # default warehouse dir (spark-warehouse/, gitignored) — the conf is static
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS kv_bucketed")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, "kv_bucketed"), ignore_errors=True)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(1000)], "k long, v string")
+    write_sorted_bucketed(df, "kv_bucketed", "k", num_buckets=8, sort_col="k")
+    hit = lookup_bucketed(spark, "kv_bucketed", "k", 423)
+    rows = hit.collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(423, "v423")]
+    # bucket pruning visible in the scan: only 1 of 8 buckets selected
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount: 1 out of 8" in plan
+    spark.sql("DROP TABLE kv_bucketed")
+
+
+def test_sequencefile_as_text(spark, tmp_path):
+    out = str(tmp_path / "seqt")
+    df = spark.createDataFrame([("a", 1)], "key string, value long")
+    write_sequencefile(df, out)
+    back = read_sequencefile(spark, out, as_text=True)
+    assert [tuple(r) for r in back.collect()] == [("a", "1")]
