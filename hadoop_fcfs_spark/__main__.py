@@ -1,0 +1,60 @@
+"""CLI entry point — the `hadoop jar ...` / Streaming-CLI analog
+(reference StreamJob.java:283: options-driven job assembly).
+
+    python -m hadoop_fcfs_spark list
+    python -m hadoop_fcfs_spark run <query> [--sf DIR] [--limit N]
+                                   [--explain] [--out PATH [--format fmt]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="hadoop_fcfs_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries")
+
+    runp = sub.add_parser("run", help="run a registered query")
+    runp.add_argument("query")
+    runp.add_argument("--sf", default="/root/testdata/sf0.01", help="table directory")
+    runp.add_argument("--limit", type=int, default=20, help="rows to show (stdout mode)")
+    runp.add_argument("--explain", action="store_true", help="print the physical plan")
+    runp.add_argument("--out", default=None, help="write results here instead of showing")
+    runp.add_argument("--format", default="parquet", help="output format for --out")
+
+    args = parser.parse_args(argv)
+
+    from hadoop_fcfs_spark.registry import all_queries
+
+    queries = all_queries()
+
+    if args.cmd == "list":
+        for name, spec in sorted(queries.items()):
+            oracle = "oracle" if spec.oracle else "rows-only"
+            print(f"{name:24s} [{oracle}] {spec.doc}")
+        return 0
+
+    if args.query not in queries:
+        print(f"unknown query {args.query!r}; `list` shows the inventory", file=sys.stderr)
+        return 2
+
+    from hadoop_fcfs_spark.session import get_spark
+
+    spark = get_spark(f"cli:{args.query}")
+    df = queries[args.query].spark_fn(spark, args.sf)
+    if args.explain:
+        df.explain("formatted")
+    if args.out:
+        df.write.mode("overwrite").format(args.format).save(args.out)
+        print(f"wrote {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

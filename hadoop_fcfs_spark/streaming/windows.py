@@ -90,3 +90,11 @@ def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "com
     )
     q.processAllAvailable()
     return q
+
+
+def stream_dedup(stream_df: DataFrame, id_cols: list[str], ts_col: str, watermark: str) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon
+    (dropDuplicatesWithinWatermark): state is bounded by the watermark
+    instead of growing forever — the streaming twin of the batch
+    exact-dedup pipeline step (llm.dedup.exact_dedup)."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(id_cols)

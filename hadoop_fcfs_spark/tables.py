@@ -17,6 +17,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to microsecond timestamps in the plan — distributed, no driver
     materialization, matches DuckDB's nanos→micros truncation.
     """
+    # timestamps must compare exactly against the UTC-naive DuckDB oracle
+    # regardless of whose SparkSession runs the query (runtime-settable)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -120,3 +120,21 @@ def test_teragen_deterministic(spark):
     b = teragen(spark, 1000, partitions=2)  # different partitioning, same content
     assert content_checksum(a) == content_checksum(b)
     assert a.select(F.length("key").alias("l")).distinct().collect()[0]["l"] == 10
+
+
+def test_stream_dedup_within_watermark(spark, events_dir, tmp_path):
+    from hadoop_fcfs_spark.streaming.windows import stream_dedup
+
+    # duplicate the source: every event appears twice across files
+    dup_dir = str(tmp_path / "dup")
+    src = spark.read.parquet(events_dir)
+    src.unionByName(src).repartition(6).write.mode("overwrite").parquet(dup_dir)
+
+    stream = stream_from_dir(spark, dup_dir, src.schema)
+    deduped = stream_dedup(stream, ["event_id"], "ts", "1 hour")
+    q = run_to_memory(deduped, "dedup_out", output_mode="append")
+    try:
+        n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup_out").collect()[0]
+    finally:
+        q.stop()
+    assert n["n"] == n["c"] == src.count(), "each event exactly once"
