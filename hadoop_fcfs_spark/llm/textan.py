@@ -77,7 +77,13 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
         F.round(uniq_ratio, 4).alias("uniq_ratio"),
-        F.round(score, 4).alias("quality"),
+        # floor-to-micro-units instead of round: the composite's exact
+        # rational value lands on decimal half-tails for round doc
+        # lengths (e.g. n=64 → granularity 1/128000), where round()
+        # implementations disagree across engines (Java shortest-repr
+        # HALF_UP vs C scale-and-round). floor(x*1e6) is a pure IEEE
+        # function of the (bit-identical) double — engine-portable.
+        F.floor(score * 1_000_000).cast("long").alias("quality_e6"),
     )
 
 

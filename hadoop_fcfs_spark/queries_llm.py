@@ -180,8 +180,8 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(alpha_ratio, 4) AS alpha_ratio,
            ROUND(stop_ratio, 4) AS stop_ratio,
            ROUND(n_uniq * 1.0 / n, 4) AS uniq_ratio,
-           ROUND(0.3 * LEAST(n / 100.0, 1.0) + 0.3 * stop_ratio
-                 + 0.2 * (n_uniq * 1.0 / n) + 0.2 * alpha_ratio, 4) AS quality
+           CAST(FLOOR((0.3 * LEAST(n / 100.0, 1.0) + 0.3 * stop_ratio
+                 + 0.2 * (n_uniq * 1.0 / n) + 0.2 * alpha_ratio) * 1000000) AS BIGINT) AS quality_e6
     FROM per
     """,
     doc="Per-doc quality signals: counts, ratios, composite score.",

@@ -269,13 +269,18 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            LAG(l_quantity) OVER w AS lag_qty,
            ROUND(SUM(l_quantity) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_sum
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
     """,
     doc="Analytic windows — net-new surface (reference has only the secondary-sort substrate).",
 )
 def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    # l_quantity in the ordering: the synthetic data duplicates
+    # (l_orderkey, l_linenumber), so without it ties are order-ambiguous
+    # and lag() values diverge between engines
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
+    )
     return li.select(
         "l_suppkey",
         "l_orderkey",
