@@ -11,7 +11,6 @@ semantics here.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from hadoop_fcfs_spark.registry import register
 from hadoop_fcfs_spark.streaming.sessionize import sessionize
