@@ -50,19 +50,28 @@ def write_sequencefile(df: DataFrame, path: str, key_col: str = "key", value_col
 
 
 def write_partitioned(
-    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet", mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    compression: str | None = None,
 ) -> None:
     """MultipleOutputs-style output routing: one directory per distinct
     partition value, written in a single job. At scale, partition count
     is the file-count lever — repartition on the partition cols first
     so each dir gets few large files instead of (tasks × dirs) shards."""
-    (
+    writer = (
         df.repartition(*[F.col(c) for c in partition_cols])
         .write.mode(mode)
         .partitionBy(*partition_cols)
         .format(fmt)
-        .save(path)
     )
+    if compression:
+        # gzip/snappy/zstd/lz4 — the reference's codec set (common/io/compress/)
+        # is built into Spark's sources; pick per-table at write time
+        writer = writer.option("compression", compression)
+    writer.save(path)
 
 
 def write_sorted_bucketed(

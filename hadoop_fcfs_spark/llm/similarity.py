@@ -130,3 +130,126 @@ def rp_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over DataFrame ops: init = the k
+    vectors with smallest xxhash64(id) (reproducible, data-dependent but
+    partition-independent); each iteration is one broadcast (centroid
+    literals) + one groupBy(avg per dimension). Driver holds only k×dim
+    floats. The iteration count is fixed and small — this is an index
+    build, not a convergence chase."""
+    dim = len(df.select(vec_col).first()[0])
+    seeds = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+
+    for _ in range(iterations):
+        assigned = _assign_to_centroid(df, centroids, vec_col)
+        dims = [
+            F.avg(F.col(vec_col)[d].cast("double")).alias(f"d{d}") for d in range(dim)
+        ]
+        rows = assigned.groupBy("__centroid").agg(*dims).collect()
+        new = list(centroids)
+        for r in rows:
+            new[r["__centroid"]] = [float(r[f"d{d}"]) for d in range(dim)]
+        centroids = new
+    return centroids
+
+
+def _assign_to_centroid(df: DataFrame, centroids: list[list[float]], vec_col: str):
+    """Nearest centroid by squared L2 — centroid literals compiled into
+    the plan (broadcast-by-literal), argmin via fold over when()."""
+    vec = F.col(vec_col)
+
+    def sqdist(c: list[float]) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = [sqdist(c) for c in centroids]
+    best_idx = F.lit(0)
+    best_d = dists[0]
+    for i in range(1, len(centroids)):
+        cond = dists[i] < best_d
+        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+        best_d = F.when(cond, dists[i]).otherwise(best_d)
+    return df.withColumn("__centroid", best_idx)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus partitioned into centroid cells (inverted file);
+    each query probes its n_probe nearest cells and scores exactly
+    within them. Corpus side = one assignment pass + equi-join on cell
+    id; recall dial = n_probe/n_centroids. The second scale path next
+    to rp_lsh_topk (SURVEY §7.2 step 6)."""
+    cents = kmeans_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    cells = _assign_to_centroid(corpus, cents, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"), F.col("__centroid").alias("cell")
+    )
+
+    # queries: explode into their n_probe nearest cells
+    qdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+
+    def probe_cells(df_q):
+        vec = F.col("__qv")
+        dist_arr = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]),
+                               lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents
+            ]
+        )
+        ranked = F.transform(
+            F.array_sort(
+                F.zip_with(
+                    dist_arr,
+                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                )
+            ),
+            lambda s: s["i"],
+        )
+        return df_q.withColumn("cell", F.explode(F.slice(ranked, 1, n_probe)))
+
+    probed = probe_cells(qdf)
+    pairs = (
+        cells.join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.round(cosine(F.col("__qv"), F.col("embedding")), 4) + 0.0).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

@@ -231,3 +231,26 @@ def near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return near_dedup(docs, "doc_id", "text", threshold=0.8).select("doc_id", "lang", "source")
+
+
+@register(
+    "corpus_pipeline",
+    oracle=None,  # composes LSH (xxhash64) stages; invariants in tests
+    doc="End-to-end training-data pipeline: quality filter -> exact dedup -> "
+    "near dedup -> per-doc token accounting. The composed flagship of the "
+    "LLM extension surface.",
+)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.dedup import exact_dedup, near_dedup
+    from hadoop_fcfs_spark.llm.textan import quality_score, token_counts
+
+    docs = t(spark, sf_dir, "documents")
+    # 1. quality gate: drop the bottom tail
+    q = quality_score(docs, "doc_id", "text").select("doc_id", "quality_e6")
+    good = docs.join(q.filter(F.col("quality_e6") >= 300_000), "doc_id", "left_semi")
+    # 2. exact dedup, 3. near dedup (LSH)
+    unique = exact_dedup(good, "doc_id", "text")
+    kept = near_dedup(unique, "doc_id", "text", threshold=0.85)
+    # 4. token accounting for the surviving corpus
+    counts = token_counts(kept, "doc_id", "text")
+    return kept.select("doc_id", "lang", "source").join(counts, "doc_id")

@@ -138,3 +138,35 @@ def test_near_dedup_removes_planted_and_keeps_rest(spark):
     pairs = minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.8)
     both_kept = pairs.filter(F.col("doc_a").isin(ids) & F.col("doc_b").isin(ids))
     assert both_kept.count() == 0
+
+
+def test_ivf_topk_finds_planted_duplicates(spark):
+    from hadoop_fcfs_spark.llm.similarity import ivf_topk, kmeans_centroids
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    copies = queries.select((F.col("vec_id") + 9000).alias("vec_id"), "embedding", "label")
+    corpus = emb.unionByName(copies)
+    # identical vector -> same cell assignment -> retrieved at rank 1
+    got = {(r["query_id"], r["vec_id"]): (r["cos"], r["rank"]) for r in
+           ivf_topk(corpus, queries, k=3, n_centroids=8, n_probe=2).collect()}
+    for q in range(5):
+        cos, rank = got[(q, q + 9000)]
+        assert rank == 1 and cos == 1.0
+    # centroids are deterministic across calls
+    c1 = kmeans_centroids(emb, k=4, iterations=2)
+    c2 = kmeans_centroids(emb, k=4, iterations=2)
+    assert c1 == c2
+
+
+def test_corpus_pipeline_invariants(spark):
+    from hadoop_fcfs_spark.queries_llm import corpus_pipeline
+
+    out = corpus_pipeline(spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids)), "pipeline output must be id-unique"
+    assert all(r["ws_tokens"] > 0 and r["n_chars"] > 0 for r in out)
+    # survivors are a subset of the input corpus
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(ids) <= n_docs
