@@ -149,3 +149,39 @@ def range_join(
     joins, bucketize the range key to an equi-join prefix first."""
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return big.join(F.broadcast(buckets), cond)
+
+
+def bucketized_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Big×big range join without a nested loop: both sides are mapped
+    onto integer buckets of `bucket_width` (intervals explode into every
+    bucket they overlap), the join becomes an equi-join on bucket id,
+    and the exact [lo, hi) predicate filters within the bucket.
+
+    Cost: |points| + Σ interval_span/bucket_width join rows — linear,
+    shuffled on bucket id, instead of |points|×|intervals|. Pick
+    bucket_width ≈ median interval span so intervals explode into O(1)
+    buckets. This is the documented scale path of `range_join` for when
+    the interval side is too big to broadcast.
+    """
+    pb = points.withColumn("__bucket", F.floor(F.col(point_col) / bucket_width).cast("long"))
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width).cast("long"),
+                # hi is exclusive: a bucket starting exactly at hi can't match
+                F.floor(
+                    (F.col(hi_col) - F.lit(1e-9)) / bucket_width
+                ).cast("long"),
+            )
+        ),
+    )
+    cond = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    return pb.join(ib, "__bucket").filter(cond).drop("__bucket")

@@ -181,3 +181,40 @@ def test_approx_uniq_within_tolerance(spark):
     df = spark.range(20_000).select((F.col("id") % 5000).alias("v"))
     approx = df.agg(approx_uniq_value_count(F.col("v"), rsd=0.05).alias("a")).collect()[0]["a"]
     assert abs(approx - 5000) / 5000 < 0.15
+
+
+def test_bucketized_interval_join_matches_nested_loop(spark):
+    from hadoop_fcfs_spark.ops.joins import bucketized_interval_join, range_join
+
+    points = spark.createDataFrame([(float(i),) for i in range(0, 100)], "x double")
+    intervals = spark.createDataFrame(
+        [(0.0, 10.0, "a"), (5.0, 7.0, "b"), (50.0, 99.5, "c"), (99.0, 200.0, "d")],
+        "lo double, hi double, label string",
+    )
+    expected = sorted(
+        (r["x"], r["label"]) for r in range_join(points, intervals, "x").collect()
+    )
+    got = sorted(
+        (r["x"], r["label"])
+        for r in bucketized_interval_join(points, intervals, "x", bucket_width=8.0).collect()
+    )
+    assert got == expected and len(got) > 0
+    # plan is an equi-join (SMJ/SHJ on bucket), not a nested loop
+    plan = bucketized_interval_join(points, intervals, "x", bucket_width=8.0)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in s and "CartesianProduct" not in s
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    from hadoop_fcfs_spark.io.writers import write_partitioned
+
+    out = str(tmp_path / "pp")
+    df = spark.createDataFrame(
+        [(d, i) for d in ("a", "b", "c") for i in range(100)], "dt string, v long"
+    )
+    write_partitioned(df, out, ["dt"])
+    q = spark.read.parquet(out).filter(F.col("dt") == "b")
+    assert q.count() == 100
+    full = q._jdf.queryExecution().toString()
+    scan = [l for l in full.split("\n") if "PartitionFilters" in l][0]
+    assert "dt" in scan.split("PartitionFilters")[1][:80], f"no partition pruning: {scan}"
