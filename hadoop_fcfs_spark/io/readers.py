@@ -200,3 +200,18 @@ def parse_xml_records(df: DataFrame, text_col: str, begin_tag: str, end_tag: str
     pat = re.escape(begin_tag) + "(.*?)" + re.escape(end_tag)
     recs = F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
     return df.select(F.explode(recs).alias("record"))
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON lines with explicit schema (no inference pass in
+    production). Semi-structured sibling of the text readers; nested
+    access via dot paths / explode."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning behavior as parquet."""
+    return spark.read.orc(path)

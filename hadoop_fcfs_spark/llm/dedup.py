@@ -177,7 +177,14 @@ def minhash_lsh_pairs(
     is the regime dedup lives in.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # one aggregation produces BOTH the signature mins and the shingle
+    # count — the verification stage reuses n_grams instead of
+    # re-shingling the corpus a second time
+    grams0 = _hashed_gram_rows(df, id_col, text_col, n)
+    sig = grams0.groupBy("doc").agg(
+        *[F.min(F.xxhash64(F.col("gram_h"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)],
+        F.count("*").alias("n_grams"),
+    ).select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"), "n_grams")
     band_arr = F.array(
         *[
             F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
@@ -197,10 +204,9 @@ def minhash_lsh_pairs(
     # reintroduce the quadratic join LSH exists to avoid): fan candidate
     # pairs out to doc_a's hashed shingles, keep the ones doc_b also has
     # (8-byte join keys, not shingle strings).
-    grams = _hashed_gram_rows(df, id_col, text_col, n)
-    sizes = grams.groupBy("doc").agg(F.count("*").alias("n_grams"))
-    ga = grams.select(F.col("doc").alias("doc_a"), "gram_h")
-    gb = grams.select(F.col("doc").alias("doc_b"), "gram_h")
+    sizes = sig.select("doc", "n_grams")
+    ga = grams0.select(F.col("doc").alias("doc_a"), "gram_h")
+    gb = grams0.select(F.col("doc").alias("doc_b"), "gram_h")
     inter = (
         candidates.join(ga, "doc_a")
         .join(gb, ["doc_b", "gram_h"])

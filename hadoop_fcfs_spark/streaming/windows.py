@@ -98,3 +98,20 @@ def stream_dedup(stream_df: DataFrame, id_cols: list[str], ts_col: str, watermar
     instead of growing forever — the streaming twin of the batch
     exact-dedup pipeline step (llm.dedup.exact_dedup)."""
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(id_cols)
+
+
+def foreach_batch_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Exactly-once file sink via foreachBatch: each micro-batch is
+    written to an epoch-suffixed directory with overwrite, so a replayed
+    epoch after failure rewrites the same directory instead of
+    duplicating rows (idempotent by construction; the checkpoint tracks
+    committed epochs)."""
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

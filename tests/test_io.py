@@ -167,3 +167,14 @@ def test_sequencefile_as_text(spark, tmp_path):
     write_sequencefile(df, out)
     back = read_sequencefile(spark, out, as_text=True)
     assert [tuple(r) for r in back.collect()] == [("a", "1")]
+
+
+def test_read_json_with_schema(spark, tmp_path):
+    from hadoop_fcfs_spark.io.readers import read_json
+
+    p = tmp_path / "j"
+    p.mkdir()
+    (p / "a.jsonl").write_text('{"k": 1, "tags": ["x"]}\n{"k": 2, "tags": []}\n')
+    df = read_json(spark, str(p), schema="k long, tags array<string>")
+    rows = sorted((r["k"], tuple(r["tags"])) for r in df.collect())
+    assert rows == [(1, ("x",)), (2, ())]

@@ -138,3 +138,16 @@ def test_stream_dedup_within_watermark(spark, events_dir, tmp_path):
     finally:
         q.stop()
     assert n["n"] == n["c"] == src.count(), "each event exactly once"
+
+
+def test_foreach_batch_idempotent_sink(spark, events_dir, tmp_path):
+    from hadoop_fcfs_spark.streaming.windows import foreach_batch_parquet
+
+    src = spark.read.parquet(events_dir)
+    stream = stream_from_dir(spark, events_dir, src.schema)
+    out = str(tmp_path / "fb_out")
+    q = foreach_batch_parquet(stream, out, str(tmp_path / "fb_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(out)
+    assert back.drop("epoch").count() == src.count()
