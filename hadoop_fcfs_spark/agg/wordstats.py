@@ -27,6 +27,6 @@ def word_stats(df: DataFrame, text_col: str) -> DataFrame:
         F.round(F.avg("len"), 6).alias("mean_len"),
         F.expr("median(len)").alias("median_len"),
         F.round(F.coalesce(F.stddev_pop("len"), F.lit(0.0)), 6).alias("std_len"),
-        F.min("len").alias("min_len"),
-        F.max("len").alias("max_len"),
+        F.min("len").cast("long").alias("min_len"),
+        F.max("len").cast("long").alias("max_len"),
     )

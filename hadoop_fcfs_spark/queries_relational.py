@@ -224,7 +224,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "secondary_sort",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn,
            ROUND(LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price
     FROM orders
     """,
@@ -245,7 +245,7 @@ def secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topk_orders",
     oracle="""
     SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
-           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+           CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
     """,
     doc="Top-k idiom (single-reducer sort, Grep.java:82-84) → TakeOrderedAndProject.",
@@ -265,7 +265,7 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_analytics",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           ROW_NUMBER() OVER w AS rn,
+           CAST(ROW_NUMBER() OVER w AS INT) AS rn,
            LAG(l_quantity) OVER w AS lag_qty,
            ROUND(SUM(l_quantity) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_sum
     FROM lineitem
@@ -528,7 +528,7 @@ def monte_carlo_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ranked AS (
       SELECT o_custkey, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn,
              COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
       FROM orders
     )
@@ -579,9 +579,9 @@ def sorted_group_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     )
     SELECT line,
-           ROW_NUMBER() OVER (ORDER BY CAST(string_split(line, ' ')[3] AS DOUBLE) DESC,
+           CAST(ROW_NUMBER() OVER (ORDER BY CAST(string_split(line, ' ')[3] AS DOUBLE) DESC,
                                        string_split(line, ' ')[1],
-                                       CAST(string_split(line, ' ')[2] AS DOUBLE)) AS rank
+                                       CAST(string_split(line, ' ')[2] AS DOUBLE)) AS INT) AS rank
     FROM lines
     """,
     doc='KeyFieldBasedComparator (.../partition/KeyFieldBasedComparator.java:53): '
@@ -685,7 +685,11 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
     w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
     return top.select(
-        "l_orderkey", "revenue", "o_orderdate", "o_orderpriority",
+        "l_orderkey",
+        "revenue",
+        # parquet stores NTZ; emit LTZ (UTC session) like the other queries
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
         F.row_number().over(w).alias("rank"),
     )
 
