@@ -28,3 +28,21 @@ def value_histogram(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
         F.round(F.avg("freq"), 6).alias("avg_freq"),
         F.round(F.coalesce(F.stddev_pop("freq"), F.lit(0.0)), 6).alias("std_freq"),
     )
+
+
+def format_histogram(df: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Compatibility formatter: render the stats as the reference's
+    tab-separated string blob (ValueHistogram.java:38 getReport shape:
+    count, min, median, max, avg, stddev). The typed columns are the
+    engine-native output; this exists only for byte-shaped parity
+    (SURVEY §7.3)."""
+    blob = F.concat_ws(
+        "\t",
+        F.col("n_values").cast("string"),
+        F.col("min_freq").cast("string"),
+        F.col("median_freq").cast("string"),
+        F.col("max_freq").cast("string"),
+        F.col("avg_freq").cast("string"),
+        F.col("std_freq").cast("string"),
+    )
+    return df.select(F.col(key_col), blob.alias("histogram_report"))

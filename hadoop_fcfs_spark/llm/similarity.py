@@ -253,3 +253,30 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: RP-LSH bucket self-join +
+    exact cosine filter. Near-identical vectors agree on every
+    hyperplane sign, so bucket equality has ~full recall at high
+    thresholds; cost is Σ bucket², not corpus². Output:
+    (vec_a, vec_b, cos) with vec_a < vec_b."""
+    b = rp_lsh_buckets(df, num_planes, id_col, vec_col)
+    left = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("__va"), "bucket")
+    right = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("__vb"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.round(cosine(F.col("__va"), F.col("__vb")), 4) + 0.0).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -254,3 +254,16 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4. token accounting for the surviving corpus
     counts = token_counts(kept, "doc_id", "text")
     return kept.select("doc_id", "lang", "source").join(counts, "doc_id")
+
+
+@register(
+    "embedding_near_dup",
+    oracle=None,  # RP-LSH buckets (xxhash64); invariants in tests
+    doc="Embedding-cosine near-dup pairs: LSH bucket self-join + exact cosine "
+    "filter (the vector-side dedup method).",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import embedding_near_dup_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.95)

@@ -787,3 +787,52 @@ def nqueens(spark: SparkSession, sf_dir: str) -> DataFrame:
     subproblems = spark.range(n).repartition(n)  # one task per first-row placement
     counts = subproblems.mapInPandas(solve, schema="first_col int, n_solutions long")
     return counts.agg(F.sum("n_solutions").alias("n_solutions"))
+
+
+@register(
+    "grep_top",
+    oracle="""
+    WITH counts AS (
+      SELECT m AS match, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(regexp_extract_all(text, '[a-z]{6,}')) AS m FROM documents)
+      WHERE m <> '' GROUP BY m
+    )
+    SELECT match, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, match) AS INT) AS rank
+    FROM counts ORDER BY cnt DESC, match LIMIT 20
+    """,
+    doc="The full Grep example pipeline (Grep.java:59-88): regex count THEN "
+    "the second sort-desc job — rank column makes the order checkable.",
+)
+def grep_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.textops import grep
+
+    docs = t(spark, sf_dir, "documents")
+    top = grep(docs, "text", "[a-z]{6,}").limit(20)
+    w = Window.orderBy(F.desc("cnt"), F.asc("match"))
+    return top.select("match", "cnt", F.row_number().over(w).alias("rank"))
+
+
+@register(
+    "side_data_lookup",
+    oracle="""
+    SELECT event_type,
+           CASE event_type WHEN 'purchase' THEN 10 WHEN 'signup' THEN 5
+                           WHEN 'click' THEN 1 ELSE 0 END AS weight,
+           CAST(SUM(CASE event_type WHEN 'purchase' THEN 10 WHEN 'signup' THEN 5
+                           WHEN 'click' THEN 1 ELSE 0 END) AS BIGINT) AS weighted_events
+    FROM events GROUP BY event_type
+    """,
+    doc="DistributedCache side-data surface (Job.java:1079-1104): driver-side "
+    "dict shipped as a map literal, probed per row JVM-side.",
+)
+def side_data_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.udf.pandas_ops import broadcast_lookup
+
+    events = t(spark, sf_dir, "events")
+    weights = {"purchase": 10, "signup": 5, "click": 1}
+    enriched = broadcast_lookup(events, weights, "event_type", "weight", default=0)
+    return enriched.groupBy("event_type").agg(
+        F.max("weight").alias("weight"),
+        F.sum("weight").cast("long").alias("weighted_events"),
+    )

@@ -170,3 +170,29 @@ def test_corpus_pipeline_invariants(spark):
     # survivors are a subset of the input corpus
     n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
     assert len(ids) <= n_docs
+
+
+def test_embedding_near_dup_finds_planted_copies(spark):
+    from hadoop_fcfs_spark.llm.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    copies = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = {(r["vec_a"], r["vec_b"]): r["cos"] for r in
+             embedding_near_dup_pairs(emb.unionByName(copies), threshold=0.999).collect()}
+    for q in range(5):
+        assert pairs.get((q, q + 9000)) == 1.0
+
+
+def test_format_histogram_blob(spark):
+    from hadoop_fcfs_spark.agg.histogram import format_histogram, value_histogram
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 3)], "k string, v int"
+    )
+    hist = value_histogram(df, "k", "v")
+    blobs = {r["k"]: r["histogram_report"] for r in format_histogram(hist, "k").collect()}
+    # key a: values {1:2, 2:1} -> n=2, min=1, median=1.5, max=2, avg=1.5, std=0.5
+    assert blobs["a"] == "2\t1\t1.5\t2\t1.5\t0.5"
+    assert blobs["b"] == "1\t1\t1.0\t1\t1.0\t0.0"
