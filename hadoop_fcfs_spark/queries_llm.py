@@ -267,3 +267,29 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.95)
+
+
+@register(
+    "multimodal_pipeline",
+    oracle=None,  # binary blobs generated in-plan; plumbing invariants in pytest
+    doc="Multimodal binary-column pipeline: synthesize blobs, sniff format + "
+    "digest metadata (pure exprs), pseudo-decode via mapInPandas (stubbed "
+    "codec, real Arrow plumbing).",
+)
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.multimodal import attach_media_meta, decode_images
+
+    blobs = spark.range(64).select(
+        F.col("id").alias("media_id"),
+        F.concat(
+            F.lit(b"\x89PNG"),
+            F.encode(F.repeat(F.concat(F.lit("px"), F.col("id").cast("string")), 300), "utf-8"),
+        ).alias("payload"),
+    )
+    meta = attach_media_meta(blobs).select(
+        "media_id",
+        F.col("media_meta.size_bytes").alias("size_bytes"),
+        F.col("media_meta.format").alias("format"),
+    )
+    decoded = decode_images(blobs)
+    return meta.join(decoded, "media_id")

@@ -836,3 +836,24 @@ def side_data_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("weight").alias("weight"),
         F.sum("weight").cast("long").alias("weighted_events"),
     )
+
+
+@register(
+    "terasort_validate",
+    oracle=None,  # generation is engine-side (xxhash64); invariants in pytest
+    doc="TeraGen -> TeraSort -> TeraValidate (examples/terasort/TestTeraSort.java:52-96): "
+    "100k records generated, globally sorted, order + boundary + crc32 content "
+    "checksum validated distributively; returns the validation report row.",
+)
+def terasort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.bench.tera import content_checksum, teragen, terasort, teravalidate
+
+    data = teragen(spark, 100_000)
+    before = content_checksum(data)
+    sorted_df = terasort(data)
+    report = teravalidate(sorted_df)
+    preserved = content_checksum(sorted_df) == before
+    return spark.createDataFrame(
+        [(report["ok"], report["rows"], preserved)],
+        "globally_sorted boolean, rows long, content_preserved boolean",
+    )
