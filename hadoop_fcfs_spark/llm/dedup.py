@@ -319,3 +319,70 @@ def near_dedup(
     pairs = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes, bands, threshold)
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 10
+) -> DataFrame:
+    """Connected components over near-dup pairs by iterative min-label
+    propagation: every node starts labeled with itself; each round sends
+    the current label across edges in both directions and keeps the min;
+    stop when no label changes (or max_iter — components with diameter
+    ≤ 2^rounds converge, so 10 rounds covers any realistic dup cluster).
+
+    This is the iterative-algorithm tier of the engine (not SQL-
+    expressible): a driver loop over pure DataFrame joins with one
+    convergence action per round. Output: (doc, component) where
+    component = min doc id of the cluster."""
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    nodes = (
+        edges.select(F.col("src").alias("doc"))
+        .union(edges.select(F.col("dst").alias("doc")))
+        .distinct()
+    )
+    labels = nodes.withColumn("component", F.col("doc"))
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges.src == labels.doc)
+            .select(F.col("dst").alias("doc"), "component")
+            .union(
+                edges.join(labels, edges.dst == labels.doc)
+                .select(F.col("src").alias("doc"), "component")
+            )
+        )
+        new_labels = (
+            labels.select("doc", "component")
+            .union(msgs)
+            .groupBy("doc")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup_clustered(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dedup with exact transitive-closure clusters: LSH pairs →
+    connected components → keep the min-id representative per component.
+    Unlike the greedy `near_dedup`, chains a~b~c keep exactly one doc
+    (a) instead of dropping both b and c."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n, threshold=threshold)
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("doc") != F.col("component")).select(
+        F.col("doc").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

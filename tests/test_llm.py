@@ -196,3 +196,29 @@ def test_format_histogram_blob(spark):
     # key a: values {1:2, 2:1} -> n=2, min=1, median=1.5, max=2, avg=1.5, std=0.5
     assert blobs["a"] == "2\t1\t1.5\t2\t1.5\t0.5"
     assert blobs["b"] == "1\t1\t1.0\t1\t1.0\t0.0"
+
+
+def test_connected_components_chain(spark):
+    from hadoop_fcfs_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["doc"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_near_dedup_clustered_keeps_one_per_chain(spark):
+    from hadoop_fcfs_spark.llm.dedup import near_dedup_clustered
+
+    base = _docs(spark).limit(10).select("doc_id", "text")
+    # chain: doc0 ~ copy0 ~ copy0' (transitively connected via identical text)
+    c1 = base.filter(F.col("doc_id") == 0).select(F.lit(500).alias("doc_id"), "text")
+    c2 = base.filter(F.col("doc_id") == 0).select(
+        F.lit(600).alias("doc_id"), F.concat(F.col("text"), F.lit(" zz")).alias("text")
+    )
+    corpus = base.unionByName(c1).unionByName(c2)
+    kept = {r["doc_id"] for r in
+            near_dedup_clustered(corpus, "doc_id", "text", threshold=0.8).collect()}
+    assert 0 in kept and 500 not in kept and 600 not in kept
