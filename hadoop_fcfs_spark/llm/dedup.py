@@ -177,14 +177,16 @@ def minhash_lsh_pairs(
     is the regime dedup lives in.
     """
     rows_per_band = num_hashes // bands
-    # one aggregation produces BOTH the signature mins and the shingle
-    # count — the verification stage reuses n_grams instead of
-    # re-shingling the corpus a second time
+    # ONE aggregation produces the signature mins AND the doc's gram-hash
+    # set — the verification stage probes the sets instead of re-joining
+    # the gram table (removes two full-gram shuffles + an aggregation).
+    # The set is bounded by document length (same order as the document
+    # itself), so rows stay executor-memory-safe at any corpus scale.
     grams0 = _hashed_gram_rows(df, id_col, text_col, n)
     sig = grams0.groupBy("doc").agg(
         *[F.min(F.xxhash64(F.col("gram_h"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)],
-        F.count("*").alias("n_grams"),
-    ).select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"), "n_grams")
+        F.collect_set("gram_h").alias("gram_set"),
+    ).select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"), "gram_set")
     band_arr = F.array(
         *[
             F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
@@ -201,23 +203,16 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Verify ONLY the candidates (never the full pair space — that would
-    # reintroduce the quadratic join LSH exists to avoid): fan candidate
-    # pairs out to doc_a's hashed shingles, keep the ones doc_b also has
-    # (8-byte join keys, not shingle strings).
-    sizes = sig.select("doc", "n_grams")
-    ga = grams0.select(F.col("doc").alias("doc_a"), "gram_h")
-    gb = grams0.select(F.col("doc").alias("doc_b"), "gram_h")
-    inter = (
-        candidates.join(ga, "doc_a")
-        .join(gb, ["doc_b", "gram_h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_grams").alias("nb"))
-    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    # reintroduce the quadratic join LSH exists to avoid): exact Jaccard
+    # via array_intersect of the two hashed-shingle sets. Candidates are
+    # sparse, so these two joins move gram sets only for near-dup docs.
+    sets = sig.select("doc", "gram_set")
+    sa = sets.select(F.col("doc").alias("doc_a"), F.col("gram_set").alias("__ga"))
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("gram_set").alias("__gb"))
+    common = F.size(F.array_intersect(F.col("__ga"), F.col("__gb")))
+    jac = common / (F.size("__ga") + F.size("__gb") - common)
     return (
-        inter.join(sa, "doc_a")
+        candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
