@@ -67,6 +67,31 @@ def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_summary",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS p50_qty,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 4) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated quantiles per group (the WordMedian family "
+    "generalized, examples/WordMedian.java:43): Spark percentile() == "
+    "DuckDB quantile_cont; approx_percentile is the sketch-based scale "
+    "path for 100 TB (same API shape, t-digest-style bounded state).",
+)
+def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+    )
+
+
+@register(
     "uniq_capped",
     oracle="""
     SELECT event_type,

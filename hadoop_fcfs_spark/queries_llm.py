@@ -257,6 +257,26 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    oracle=None,  # iterative min-label propagation (driver loop); not SQL
+    doc="Transitive near-dup clusters: LSH pairs -> connected components "
+    "(iterative min-label propagation, the non-SQL iterative tier) -> "
+    "cluster size histogram per component representative.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.dedup import connected_components, minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .orderBy("component")
+    )
+
+
+@register(
     "embedding_near_dup",
     oracle=None,  # RP-LSH buckets (xxhash64); invariants in tests
     doc="Embedding-cosine near-dup pairs: LSH bucket self-join + exact cosine "

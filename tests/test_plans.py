@@ -83,6 +83,45 @@ def test_asof_join_single_shuffle_per_side(spark):
     assert plan.count("Window") >= 1
 
 
+def test_local_supplier_volume_one_big_shuffle(spark):
+    """Q5-shaped: the only shuffle joins the two fact tables; every dim
+    side must broadcast, and the order-date filter must reach the scan."""
+    df = Q["local_supplier_volume"].spark_fn(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, "supplier/customer sides must broadcast"
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "GreaterThanOrEqual(o_orderdate" in _optimized(df)
+
+
+def test_returned_items_topk_plan(spark):
+    """Q10-shaped: returnflag filter pushed to the lineitem scan,
+    customer+nation broadcast, top-20 via TakeOrderedAndProject."""
+    df = Q["returned_items_topk"].spark_fn(spark, SF_ORACLE)
+    full = _optimized(df)
+    assert "EqualTo(l_returnflag,R)" in full
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_supplier_part_counts_anti_join_broadcasts(spark):
+    """Q16-shaped: the NOT IN compiles to a broadcast anti join, and the
+    p_size filter reaches the part scan."""
+    df = Q["supplier_part_counts"].spark_fn(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "LessThan(p_size,30)" in _optimized(df)
+
+
+def test_minhash_verification_no_gram_fanout_joins(spark):
+    """The LSH verify stage probes collected gram sets — the executed
+    plan must not re-join the exploded gram table (which would show as
+    >2 aggregates: sig + per-pair intersection count)."""
+    df = Q["dedup_minhash_lsh"].spark_fn(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "array_intersect" in plan
+
+
 def test_scan_filter_pushdown_generic(spark):
     """Filters on scans compile to PushedFilters for any table."""
     df = (
