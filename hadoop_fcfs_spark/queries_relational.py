@@ -113,7 +113,11 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    # Dims are broadcast (DistributedCache hash-join idiom, Job.java:1088).
+    # Fixed-cardinality dims (nation=25, region=5) get explicit broadcast
+    # hints (DistributedCache hash-join idiom, Job.java:1088). customer
+    # scales linearly with the data, so its join is left to Catalyst/AQE:
+    # auto-broadcast below the threshold (always true at test SFs),
+    # shuffle join beyond it — the behavior that survives 100 TB.
     dims = broadcast_join(
         broadcast_join(customer, nation, customer.c_nationkey == nation.n_nationkey),
         region,
@@ -127,7 +131,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
     )
     joined = per_order.join(orders, per_order.l_orderkey == orders.o_orderkey).join(
-        F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey")
+        dims, F.col("o_custkey") == F.col("c_custkey")
     )
     return joined.groupBy("r_name", "n_name").agg(
         F.round(F.sum("__rev"), 2).alias("revenue"),
@@ -682,8 +686,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-03-15")
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    # customer scales with the data — no forced broadcast; Catalyst/AQE
+    # auto-broadcasts the filtered segment below threshold, SMJ beyond.
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        customer, F.col("o_custkey") == F.col("c_custkey")
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
@@ -924,14 +930,17 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     asia_nations = nation.join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
     ).select("n_nationkey", "n_name")
+    # supplier and customer scale linearly — joins left to Catalyst/AQE
+    # (auto-broadcast at test SFs, shuffle join at cluster scale); only
+    # the fixed-size nation/region dims carry explicit hints.
     supplier = t(spark, sf_dir, "supplier").join(
         F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_nationkey", "n_name")
     customer = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)  # the one big shuffle
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("s_nationkey") == F.col("c_nationkey"))
     )
     return joined.groupBy("n_name").agg(
@@ -973,7 +982,7 @@ def returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name", "n_name")
     agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))  # Catalyst/AQE picks strategy
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -1004,9 +1013,11 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part").filter(F.col("p_size") < 30)
     bad_supp = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
-    kept = li.join(
-        F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti"
-    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    # supplier/part scale linearly — strategy left to Catalyst/AQE
+    # (auto-broadcast anti join at test SFs, shuffle beyond threshold)
+    kept = li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti").join(
+        part, F.col("l_partkey") == F.col("p_partkey")
+    )
     return kept.groupBy("p_brand", "p_type").agg(
         F.countDistinct("l_suppkey").alias("supplier_cnt")
     )
