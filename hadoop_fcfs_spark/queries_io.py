@@ -13,6 +13,41 @@ from hadoop_fcfs_spark.tables import t
 
 
 @register(
+    "xml_records",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_records, SUM(LENGTH(text)) AS sum_payload
+    FROM documents GROUP BY lang
+    """,
+    doc="StreamXmlRecordReader parity (tools/hadoop-streaming/.../StreamXmlRecordReader.java): "
+    "documents are packed into multi-record XML blobs (several <doc> "
+    "elements per blob, like records spanning a split), re-extracted with "
+    "the begin/end-tag reader, fields recovered from attributes/body. The "
+    "oracle aggregates the source table directly — equality proves the "
+    "pack→parse round-trip is lossless.",
+)
+def xml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.io.readers import parse_xml_records
+
+    docs = t(spark, sf_dir, "documents")
+    # pack ~50 docs per blob: one XML string with many <doc> elements
+    frag = F.concat(
+        F.lit('<doc lang="'), F.col("lang"), F.lit('">'), F.col("text"), F.lit("</doc>")
+    )
+    blobs = (
+        docs.select((F.col("doc_id") % 100).alias("blob_id"), frag.alias("frag"))
+        .groupBy("blob_id")
+        .agg(F.concat_ws("\n", F.collect_list("frag")).alias("xml"))
+    )
+    recs = parse_xml_records(blobs, "xml", "<doc", "</doc>")
+    return recs.select(
+        F.regexp_extract("record", r'lang="([^"]*)"', 1).alias("lang"),
+        F.length(F.regexp_extract("record", r">(.*)</doc>$", 1)).alias("payload_len"),
+    ).groupBy("lang").agg(
+        F.count("*").alias("n_records"), F.sum("payload_len").alias("sum_payload")
+    )
+
+
+@register(
     "kv_split",
     oracle="""
     SELECT CASE WHEN POSITION(' ' IN text) > 0 THEN text[1:POSITION(' ' IN text) - 1] ELSE text END AS key,

@@ -90,6 +90,37 @@ def test_stateful_running_counts(spark, events_dir):
     assert got == batch_counts
 
 
+def test_stream_static_join_equals_batch(spark, events_dir):
+    """Stream-static enrichment join: a micro-batch stream joined to a
+    static dimension (broadcast per micro-batch — the streaming twin of
+    the DistributedCache side-data idiom), then aggregated."""
+    dim = spark.createDataFrame(
+        [("purchase", 10), ("signup", 5), ("click", 1)], "event_type string, weight int"
+    )
+
+    def weighted(df):
+        return (
+            df.join(dim, "event_type")
+            .groupBy("event_type")
+            .agg(F.sum(F.col("value") * F.col("weight")).alias("weighted_sum"))
+        )
+
+    batch = t(spark, SF_SMOKE, "events")
+    expected = {
+        r["event_type"]: round(r["weighted_sum"], 6) for r in weighted(batch).collect()
+    }
+    stream = stream_from_dir(spark, events_dir, _events_schema(spark, events_dir))
+    q = run_to_memory(weighted(stream), "stream_static_out", output_mode="complete")
+    try:
+        got = {
+            r["event_type"]: round(r["weighted_sum"], 6)
+            for r in spark.sql("SELECT * FROM stream_static_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+
 def test_sessionize_gap_semantics(spark):
     rows = [
         (1, "2024-01-01 00:00:00", 1.0),
