@@ -48,6 +48,26 @@ def xml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_sample",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sum_chars
+    FROM documents WHERE doc_id % 10 = 3 GROUP BY lang
+    """,
+    doc="InputSampler.IntervalSampler parity (mr-core/mapreduce/lib/"
+    "partition/InputSampler.java:249): systematic every-k-th sampling by "
+    "key — deterministic, engine-independent (unlike RandomSampler, whose "
+    "RNG stream is engine-specific; df.sample covers that surface).",
+)
+def interval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+@register(
     "kv_split",
     oracle="""
     SELECT CASE WHEN POSITION(' ' IN text) > 0 THEN text[1:POSITION(' ' IN text) - 1] ELSE text END AS key,

@@ -122,6 +122,36 @@ def test_minhash_verification_no_gram_fanout_joins(spark):
     assert "array_intersect" in plan
 
 
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """The CompositeInputFormat contract (SURVEY §2.3: pre-partitioned,
+    sorted inputs join with no shuffle): two tables bucketed on the join
+    key by write_sorted_bucketed must sort-merge join with ZERO
+    exchanges."""
+    import os
+    import shutil
+
+    from hadoop_fcfs_spark.io.writers import write_sorted_bucketed
+
+    a = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name, df in (("bj_left", a), ("bj_right", b)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+        write_sorted_bucketed(df, name, "k", num_buckets=8, sort_col="k")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bj_left").join(spark.table("bj_right"), "k")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan}"
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for name in ("bj_left", "bj_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_scan_filter_pushdown_generic(spark):
     """Filters on scans compile to PushedFilters for any table."""
     df = (
