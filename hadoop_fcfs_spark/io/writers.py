@@ -12,7 +12,8 @@ Parity targets (reference files under ``mr-core/mapreduce/lib/output/``
   pruning + row-group stats give the same point-lookup behavior.
 - ``MultipleOutputs.java:88`` (per-record output routing) →
   ``write_partitioned`` (`partitionBy` — filename-from-record routing);
-  heterogeneous named side-outputs = separate write actions.
+  heterogeneous named side-outputs → ``write_side_outputs`` (persist
+  once, N filtered/projected write jobs).
 - ``LazyOutputFormat.java:42`` → Spark never creates empty partitionBy
   directories; nothing to build.
 - ``NullOutputFormat.java:36`` / ``FilterOutputFormat.java:36`` →
@@ -72,6 +73,36 @@ def write_partitioned(
         # is built into Spark's sources; pick per-table at write time
         writer = writer.option("compression", compression)
     writer.save(path)
+
+
+def write_side_outputs(
+    df: DataFrame,
+    outputs: dict[str, tuple],
+    base_path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """MultipleOutputs named side-outputs (MultipleOutputs.java:88
+    ``write(name, k, v, basePath)``): route each record to zero or more
+    named outputs, each with its own projection.
+
+    ``outputs`` maps name -> (filter Column | None, [columns] | None).
+    The input is persisted once so the source is scanned a single time
+    while N write jobs run — the Spark analog of MR emitting to several
+    named files inside one task. Partition-parallel at any scale; the
+    cache spills to disk if the round doesn't fit in memory.
+    """
+    from pyspark import StorageLevel
+
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for name, (cond, cols) in outputs.items():
+            out = df if cond is None else df.filter(cond)
+            if cols:
+                out = out.select(*cols)
+            out.write.mode(mode).format(fmt).save(f"{base_path.rstrip('/')}/{name}")
+    finally:
+        df.unpersist()
 
 
 def write_sorted_bucketed(

@@ -102,6 +102,31 @@ def test_partitioned_write_routing(spark, tmp_path):
     assert back.filter(F.col("bucket") == "a").agg(F.sum("v")).collect()[0][0] == 3
 
 
+def test_side_outputs_routing(spark, tmp_path):
+    """MultipleOutputs named side-outputs: one pass over the source, N
+    heterogeneous outputs (own filter + projection each)."""
+    from hadoop_fcfs_spark.io.writers import write_side_outputs
+
+    base = str(tmp_path / "side")
+    df = spark.createDataFrame(
+        [(1, "ok", 10.0), (2, "bad", -1.0), (3, "ok", 5.5)], "id long, status string, v double"
+    )
+    write_side_outputs(
+        df,
+        {
+            "good": (F.col("status") == "ok", ["id", "v"]),
+            "rejects": (F.col("status") != "ok", None),
+            "all_ids": (None, ["id"]),
+        },
+        base,
+    )
+    good = spark.read.parquet(f"{base}/good")
+    assert sorted(r.id for r in good.collect()) == [1, 3] and good.columns == ["id", "v"]
+    rejects = spark.read.parquet(f"{base}/rejects")
+    assert rejects.count() == 1 and rejects.columns == ["id", "status", "v"]
+    assert spark.read.parquet(f"{base}/all_ids").count() == 3
+
+
 def test_sample_filter_modes(spark):
     df = spark.createDataFrame([(f"key_{i}", i) for i in range(100)], "key string, value long")
     assert sample_filter(df, regex="key_1$").count() == 1
