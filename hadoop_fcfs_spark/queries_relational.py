@@ -872,6 +872,37 @@ def terasort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_topk",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+           CAST(rk AS INT) AS rank
+    FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rk
+          FROM customer)
+    WHERE rk <= 3
+    """,
+    doc="Per-group top-k via partitioned window (the scale-safe form when "
+    "k × groups exceeds the driver: global TakeOrdered merges k×partitions "
+    "rows on the driver, a per-group Window keeps everything distributed — "
+    "SCALING.md pressure table, 'driver top-k merge' row).",
+)
+def grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        customer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "rank",
+        )
+    )
+
+
+@register(
     "order_priority_exists",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS order_count

@@ -121,6 +121,50 @@ def test_stream_static_join_equals_batch(spark, events_dir):
     assert got == expected
 
 
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """Stream-stream inner join with an event-time bound (each purchase
+    matched to the same user's clicks in the preceding hour) — both
+    sides watermarked so join state is droppable; the batch twin on the
+    same data is the oracle."""
+    schema = _events_schema(spark, events_dir)
+
+    def split_sides(df):
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("c_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        return purchases, clicks
+
+    cond = F.expr(
+        "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+    )
+    batch_p, batch_c = split_sides(t(spark, SF_SMOKE, "events"))
+    expected = sorted(
+        (r["p_id"], r["c_id"]) for r in batch_p.join(batch_c, cond).collect()
+    )
+    assert expected, "fixture must produce at least one joined pair"
+
+    sp, sc = split_sides(stream_from_dir(spark, events_dir, schema))
+    joined = sp.withWatermark("p_ts", "2 hours").join(
+        sc.withWatermark("c_ts", "2 hours"), cond
+    )
+    q = run_to_memory(joined, "ss_join_out", output_mode="append")
+    try:
+        got = sorted(
+            (r["p_id"], r["c_id"])
+            for r in spark.sql("SELECT * FROM ss_join_out").collect()
+        )
+    finally:
+        q.stop()
+    assert got == expected
+
+
 def test_sessionize_gap_semantics(spark):
     rows = [
         (1, "2024-01-01 00:00:00", 1.0),
