@@ -92,6 +92,27 @@ def main() -> None:
     timings["total_order_sort"] = run(spark, "total_order_sort", total_order_sort_bench)
     timings["terasort_2m"] = run(spark, "terasort_2m", terasort_bench)
 
+    # TestDFSIO parity (jobclient/src/test/.../fs/TestDFSIO.java:87):
+    # bulk write + read-back wall clock. ~45 MB of lineitem columns
+    # round-tripped through parquet in a temp dir (distributed write,
+    # distributed read, noop sink) — the storage-path throughput probe.
+    import shutil
+    import tempfile
+
+    io_dir = tempfile.mkdtemp(prefix="dfsio_")
+    try:
+        li = t(spark, SF_DIR, "lineitem")
+        s = time.perf_counter()
+        li.write.mode("overwrite").parquet(f"{io_dir}/out")
+        w = time.perf_counter() - s
+        s = time.perf_counter()
+        spark.read.parquet(f"{io_dir}/out").write.format("noop").mode("overwrite").save()
+        r = time.perf_counter() - s
+        timings["dfsio_write"] = round(w, 3)
+        timings["dfsio_read"] = round(r, 3)
+    finally:
+        shutil.rmtree(io_dir, ignore_errors=True)
+
     # MRBench parity: small-job latency (tiny end-to-end jobs, mean of 5)
     lat = []
     for _ in range(5):
