@@ -132,3 +132,83 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_digest"])
 
     return df.select(id_col, binary_col).mapInPandas(sample, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Resize plumbing: binary in → binary out (+ recorded dims), the
+    blob-transform shape (payload column is REPLACED, metadata updated
+    downstream by re-running attach_media_meta). STUB: with fake=True
+    the 'resized' payload is a deterministic digest-expansion of the
+    original sized ∝ target area; real Pillow resize slots into the
+    same loop. Output schema: (id, payload, width, height)."""
+
+    out_schema = f"{id_col} long, {binary_col} binary, width int, height int"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires an image codec (e.g. Pillow)"
+                )
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                seed = hashlib.md5(bytes(blob)).digest()
+                need = max(target_w * target_h // 8, 16)
+                buf = (seed * (need // len(seed) + 1))[:need]
+                rows.append(
+                    {id_col: mid, binary_col: buf, "width": target_w, "height": target_h}
+                )
+            yield pd.DataFrame(rows, columns=[id_col, binary_col, "width", "height"])
+
+    return df.select(id_col, binary_col).mapInPandas(resize, schema=out_schema)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    n_features: int = 8,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Audio feature extraction: blob → fixed-width float feature vector
+    (`array<float>`), the column shape the similarity-search tier
+    consumes (llm.similarity.cosine_topk / rp_lsh_topk run on the output
+    unchanged). STUB: deterministic digest-derived pseudo-MFCCs; real
+    librosa/torchaudio extraction slots into the same iterator.
+    Output: (id, duration_s, features array<float>)."""
+
+    out_schema = f"{id_col} long, duration_s double, features array<float>"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio feature extraction requires an audio codec "
+                    "(e.g. librosa) — not available in this container"
+                )
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(blob)
+                d = hashlib.md5(raw).digest()
+                feats = [round((d[i] - 128) / 128.0, 6) for i in range(n_features)]
+                rows.append(
+                    {
+                        id_col: mid,
+                        "duration_s": round(len(raw) / 16000.0, 6),
+                        "features": feats,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "duration_s", "features"])
+
+    return df.select(id_col, binary_col).mapInPandas(extract, schema=out_schema)

@@ -122,6 +122,39 @@ def test_multimodal_plumbing(spark):
     assert all(r["count"] >= 2 for r in per_doc)  # >1KB blobs, 512B windows
 
 
+def test_multimodal_resize_and_audio_features(spark):
+    """Resize = binary→binary transform (payload replaced, meta
+    re-derivable); audio features = blob → array<float> vector that the
+    similarity tier consumes unchanged."""
+    from hadoop_fcfs_spark.llm.multimodal import extract_audio_features, resize_images
+    from hadoop_fcfs_spark.llm.similarity import cosine_topk
+
+    blobs = spark.range(6).select(
+        F.col("id").alias("media_id"),
+        F.concat(
+            F.lit(b"RIFF"),
+            F.encode(F.repeat(F.concat(F.lit("s"), F.col("id").cast("string")), 500), "utf-8"),
+        ).alias("payload"),
+    )
+    resized = resize_images(blobs, 32, 24)
+    rows = resized.collect()
+    assert all(r["width"] == 32 and r["height"] == 24 for r in rows)
+    # payload replaced and re-sniffable via attach_media_meta
+    meta = attach_media_meta(resized).select("media_meta.size_bytes").collect()
+    assert all(r["size_bytes"] == 32 * 24 // 8 for r in meta)
+
+    feats = extract_audio_features(blobs)
+    fr = feats.collect()
+    assert all(len(r["features"]) == 8 for r in fr)
+    assert all(r["duration_s"] > 0 for r in fr)
+    # determinism + composes with the ANN tier: features are a valid
+    # embedding column for cosine top-k
+    emb = feats.select(F.col("media_id").alias("vec_id"), F.col("features").alias("embedding"))
+    queries = emb.limit(2)
+    top = cosine_topk(emb, queries, k=2)
+    assert top.count() == 4  # 2 queries × top-2 (self excluded? k nearest others)
+
+
 def test_near_dedup_removes_planted_and_keeps_rest(spark):
     from hadoop_fcfs_spark.llm.dedup import near_dedup
 
