@@ -1081,6 +1081,93 @@ def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nation_value_share",
+    oracle="""
+    SELECT s_nationkey, ROUND(SUM(s_acctbal), 2) AS nation_value
+    FROM supplier
+    GROUP BY s_nationkey
+    HAVING SUM(s_acctbal) > (SELECT SUM(s_acctbal) * 0.05 FROM supplier)
+    """,
+    doc="TPC-H Q11-shaped: HAVING against an uncorrelated scalar subquery "
+    "(group value vs fraction of the global total) through the SQL entry "
+    "point — one pass for groups, one scalar reduction, no per-group "
+    "rescan.",
+)
+def nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT s_nationkey, ROUND(SUM(s_acctbal), 2) AS nation_value
+        FROM supplier
+        GROUP BY s_nationkey
+        HAVING SUM(s_acctbal) > (SELECT SUM(s_acctbal) * 0.05 FROM supplier)
+        """
+    )
+
+
+@register(
+    "promo_revenue_ratio",
+    oracle="""
+    SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+    doc="TPC-H Q14-shaped: conditional-aggregate ratio (promo revenue "
+    "share) over a month of shipments — single join, single agg, no "
+    "second scan for the denominator.",
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    part = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "disjunctive_filter_revenue",
+    oracle="""
+    SELECT COUNT(*) AS n_items, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    doc="TPC-H Q19-shaped: disjunction of conjunctive predicate branches "
+    "across both join sides — Catalyst extracts the common join key and "
+    "pushes the per-table residuals (brand/size to the part scan) while "
+    "the reference would hand-code the OR ladder inside map().",
+)
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    b = F.col("p_brand")
+    sz = F.col("p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((b == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#34") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+
+
+@register(
     "small_quantity_revenue",
     oracle="""
     SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly, COUNT(*) AS n_items
