@@ -108,3 +108,40 @@ def test_terasort_validates_at_random_sizes(spark):
         n = rng.randint(1, 5000)
         report = teravalidate(terasort(teragen(spark, n, partitions=rng.randint(1, 8))))
         assert report["ok"] and report["rows"] == n
+
+# ---------------------------------------------------------------------------
+# KeyFieldBasedComparator spec vs pure-Python `sort -k` reference
+# ---------------------------------------------------------------------------
+
+
+def test_keyfield_sort_matches_python_reference(spark):
+    """Random token lines sorted by a compiled multi-key spec
+    (KeyFieldBasedComparator.java:53 `sort -k m[nr]` subset) must equal
+    Python's tuple-key sort — numeric vs lexicographic, asc vs desc,
+    per field."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.sort import key_field_sort_keys
+
+    rng = random.Random(7)
+    lines = [
+        " ".join(
+            [rng.choice(["aa", "bb", "cc", "dd"]), str(rng.randint(-50, 50)), str(rng.randint(0, 9))]
+        )
+        for _ in range(300)
+    ]
+    spec = [(1, True, True), (0, False, False), (2, True, False)]  # -k2nr -k1 -k3n
+
+    def py_key(line: str):
+        f = line.split(" ")
+        return (-float(f[1]), f[0], float(f[2]))
+
+    expected = sorted(lines, key=py_key)
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    keys = key_field_sort_keys("line", spec)
+    got = [r["line"] for r in df.orderBy(*keys).collect()]
+    # ties (same tuple key) are order-ambiguous: compare tuple-key sequences
+    assert [py_key(l) for l in got] == [py_key(l) for l in expected]
