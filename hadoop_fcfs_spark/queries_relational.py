@@ -302,6 +302,65 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_rank_family",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(RANK() OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           ROUND(CUME_DIST() OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="The full ranking family (rank / dense_rank / ntile / cume_dist) "
+    "over a partitioned window — net-new analytic surface; the reference's "
+    "only substrate is secondary sort (SecondarySort.java:51).",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT user_id, event_id, ep,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ep
+                               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ep
+                                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS val_last_hour
+    FROM (SELECT user_id, event_id, value,
+                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep FROM events)
+    """,
+    doc="RANGE-frame window (value-based, not row-count-based): per user, "
+    "rolling count/sum over the trailing hour ordered by event time — "
+    "the event-time sliding aggregate in its batch form. Frame bound on "
+    "epoch seconds so both engines agree exactly.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    base = events.select(
+        "user_id", "event_id", "value", F.unix_timestamp("ts").alias("ep")
+    )
+    w = Window.partitionBy("user_id").orderBy("ep").rangeBetween(-3600, 0)
+    return base.select(
+        "user_id",
+        "event_id",
+        "ep",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 4).alias("val_last_hour"),
+    )
+
+
+@register(
     "rollup_agg",
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
