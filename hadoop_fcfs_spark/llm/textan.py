@@ -119,3 +119,42 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, prefix_words: int = 8
         F.md5(prefix).alias("md5_prefix"),
         F.xxhash64(bag).alias("bag_hash"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every word k-gram, then in each sliding window of
+    `w` consecutive k-gram hashes keep the minimum — any shared
+    contiguous run of ≥ k + w - 1 words between two documents is
+    GUARANTEED to share a fingerprint (the local-minimum property),
+    while only ~2/(w+1) of positions are kept.
+
+    Pure expressions end-to-end (split → transform → sliding
+    array_min → distinct → explode); per-row map work, no shuffle —
+    the copy-detection substrate that pairs with the LSH dedup tier.
+    Output: (doc, fp) distinct pairs."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("__t"))
+    n = F.size(F.col("__t"))
+    kgrams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.xxhash64(F.array_join(F.slice(F.col("__t"), i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    hashed = base.select("doc", kgrams.alias("__kh"))
+    m = F.size(F.col("__kh"))
+    fps = F.when(
+        m >= w,
+        F.transform(
+            F.sequence(F.lit(1), m - w + 1),
+            lambda i: F.array_min(F.slice(F.col("__kh"), i, w)),
+        ),
+    ).otherwise(F.col("__kh"))  # short docs: every k-gram hash is a fingerprint
+    return (
+        hashed.select("doc", F.explode(F.array_distinct(fps)).alias("fp"))
+        .distinct()
+    )

@@ -255,3 +255,33 @@ def test_near_dedup_clustered_keeps_one_per_chain(spark):
     kept = {r["doc_id"] for r in
             near_dedup_clustered(corpus, "doc_id", "text", threshold=0.8).collect()}
     assert 0 in kept and 500 not in kept and 600 not in kept
+
+
+def test_winnowing_guarantee_and_selectivity(spark):
+    """Winnowing's defining property: documents sharing a contiguous run
+    of >= k + w - 1 words share at least one fingerprint; documents with
+    disjoint vocabulary share none; identical docs have identical sets;
+    and winnowing keeps far fewer fingerprints than k-grams."""
+    from hadoop_fcfs_spark.llm.textan import winnow_fingerprints
+
+    k, w = 5, 4
+    shared = " ".join(f"common{i}" for i in range(k + w - 1))  # exactly the guarantee length
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, shared + " zeta " + " ".join(f"x{i}" for i in range(20))),
+            (3, " ".join(f"y{i}" for i in range(40))),  # disjoint vocab
+            (4, "alpha beta " + shared + " gamma delta"),  # copy of 1
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, "doc_id", "text", k, w)
+    sets = {r["doc"]: set() for r in fp.select("doc").distinct().collect()}
+    for r in fp.collect():
+        sets[r["doc"]].add(r["fp"])
+    assert sets[1] & sets[2], "guaranteed shared fingerprint missing"
+    assert not (sets[1] & sets[3]), "disjoint docs must not collide"
+    assert sets[1] == sets[4], "identical docs must fingerprint identically"
+    # selectivity: fingerprints ≪ k-gram count for a long doc
+    n_words = 40
+    assert len(sets[3]) < (n_words - k + 1) / 2
