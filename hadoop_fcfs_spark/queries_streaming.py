@@ -11,6 +11,7 @@ semantics here.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hadoop_fcfs_spark.registry import register
 from hadoop_fcfs_spark.streaming.sessionize import sessionize
@@ -95,3 +96,40 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_agg(t(spark, sf_dir, "events"), "ts", "30 minutes", "user_id")
+
+
+@register(
+    "event_interval_join",
+    oracle="""
+    SELECT p.user_id, COUNT(*) AS n_pairs,
+           CAST(COUNT(DISTINCT p.event_id) AS BIGINT) AS n_purchases_matched
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    GROUP BY p.user_id
+    """,
+    doc="Batch twin of the stream-stream interval join "
+    "(tests/test_streaming.py runs the same shape under readStream with "
+    "watermarks both sides): purchases matched to same-user clicks in "
+    "the trailing hour. Equality join on user_id + residual time bound — "
+    "one shuffle per side, no range cross-product.",
+)
+def event_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (c.c_ts <= p.p_ts),
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("p_id").alias("n_purchases_matched"),
+    )
