@@ -280,13 +280,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dup",
     oracle=None,  # RP-LSH buckets (xxhash64); invariants in tests
     doc="Embedding-cosine near-dup pairs: LSH bucket self-join + exact cosine "
-    "filter (the vector-side dedup method).",
+    "filter (the vector-side dedup method). The synthetic embeddings are "
+    "near-orthogonal (max organic pairwise cosine ≈ 0.48), so the gate "
+    "plants exact copies of the 20 lowest-id vectors in-plan — identical "
+    "vectors share every RP bucket, so the operator MUST emit exactly "
+    "those pairs at cos 1.0: a self-validating non-vacuous gate.",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.llm.similarity import embedding_near_dup_pairs
 
     emb = t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.95)
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    return embedding_near_dup_pairs(emb.unionByName(copies), threshold=0.95)
 
 
 @register(

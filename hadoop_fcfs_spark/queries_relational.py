@@ -213,14 +213,20 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
     SELECT c_custkey, c_mktsegment FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1997-01-01'
+                        AND o_orderdate < TIMESTAMP '1998-01-01')
     """,
-    doc="left_anti — engine surface beyond reference.",
+    doc="left_anti — engine surface beyond reference. Year-windowed so "
+    "the gate is non-vacuous (every synthetic customer has SOME order).",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
-    return anti_join(customer, orders, customer.c_custkey == orders.o_custkey).select(
+    orders_97 = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    return anti_join(customer, orders_97, customer.c_custkey == orders_97.o_custkey).select(
         "c_custkey", "c_mktsegment"
     )
 
@@ -1119,11 +1125,16 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1996-01-01'
+                        AND o_orderdate < TIMESTAMP '1997-01-01')
     GROUP BY c_mktsegment
     """,
-    doc="TPC-H Q22-shaped: uncorrelated scalar subquery threshold + NOT EXISTS "
-    "anti join, through the SQL entry point.",
+    doc="TPC-H Q22-shaped: uncorrelated scalar subquery threshold + NOT "
+    "EXISTS anti join (year-windowed so the predicate is non-vacuous on "
+    "the synthetic data — every customer has SOME order), through the "
+    "SQL entry point.",
 )
 def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
@@ -1133,7 +1144,10 @@ def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_mktsegment, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
         FROM customer
         WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1996-01-01'
+                            AND o_orderdate < TIMESTAMP '1997-01-01')
         GROUP BY c_mktsegment
         """
     )
