@@ -320,3 +320,25 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decoded = decode_images(blobs)
     return meta.join(decoded, "media_id")
+
+
+@register(
+    "winnow_fingerprint_stats",
+    oracle=None,  # xxhash64-based fingerprints; guarantee invariants in pytest
+    doc="Winnowing fingerprint index stats (MOSS rolling-hash scheme, "
+    "llm.textan.winnow_fingerprints): per language, distinct fingerprints "
+    "and mean fingerprints per doc — the copy-detection index build in "
+    "its aggregate form. Deterministic (xxhash64).",
+)
+def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import winnow_fingerprints
+
+    docs = t(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, "doc_id", "text")
+    per_doc = fp.groupBy("doc").agg(F.count("*").alias("n_fp"))
+    joined = docs.select(F.col("doc_id").alias("doc"), "lang").join(per_doc, "doc")
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_fp"), 4).alias("avg_fp_per_doc"),
+        F.sum("n_fp").alias("total_fp"),
+    )
