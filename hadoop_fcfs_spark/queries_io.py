@@ -15,7 +15,7 @@ from hadoop_fcfs_spark.tables import t
 @register(
     "xml_records",
     oracle="""
-    SELECT lang, COUNT(*) AS n_records, SUM(LENGTH(text)) AS sum_payload
+    SELECT lang, COUNT(*) AS n_records, CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_payload
     FROM documents GROUP BY lang
     """,
     doc="StreamXmlRecordReader parity (tools/hadoop-streaming/.../StreamXmlRecordReader.java): "
@@ -50,7 +50,7 @@ def xml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "interval_sample",
     oracle="""
-    SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sum_chars
+    SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents WHERE doc_id % 10 = 3 GROUP BY lang
     """,
     doc="InputSampler.IntervalSampler parity (mr-core/mapreduce/lib/"

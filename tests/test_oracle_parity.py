@@ -38,19 +38,27 @@ def _normalize(rows, columns):
 def test_query_matches_oracle(name, spark, duck):
     spec = QUERIES[name]
     sdf = spec.spark_fn(spark, SF_ORACLE)
-    spark_rows = [tuple(r) for r in sdf.collect()]
-    spark_cols = sdf.columns
 
     if spec.oracle is None:
-        assert len(spark_rows) >= 0  # rows-only smoke, mirrors driver's weak check
+        assert len(sdf.collect()) >= 0  # rows-only smoke, mirrors driver's weak check
         return
 
-    rel = duck.execute(spec.oracle)
-    duck_cols = [d[0] for d in rel.description]
-    duck_rows = rel.fetchall()
+    # Go through pandas on BOTH sides, like the driver does: DuckDB HUGEINT
+    # (un-cast SUM of ints) becomes float64 in pandas while Spark stays int64 —
+    # fetchall() would hide that as Python ints (bit us in round 1:
+    # xml_records/interval_sample hash-mismatched only at the driver).
+    spark_pd = sdf.toPandas()
+    duck_pd = duck.execute(spec.oracle).df()
+    spark_cols = list(spark_pd.columns)
+    duck_cols = list(duck_pd.columns)
 
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
-    assert len(spark_rows) == len(duck_rows), f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    assert len(spark_pd) == len(duck_pd), f"{name}: row count {len(spark_pd)} vs {len(duck_pd)}"
+    for c in sorted(spark_cols):
+        sk, dk = spark_pd[c].dtype.kind, duck_pd[c].dtype.kind
+        assert sk == dk, f"{name}: dtype kind differs for {c!r}: spark={spark_pd[c].dtype} duck={duck_pd[c].dtype}"
+    spark_rows = list(spark_pd.itertuples(index=False, name=None))
+    duck_rows = list(duck_pd.itertuples(index=False, name=None))
     a = _normalize(spark_rows, spark_cols)
     b = _normalize(duck_rows, duck_cols)
     if a != b:
