@@ -259,7 +259,18 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with hamming(sig) ≤ max_hamming. Candidates via
     16-bit band equality (pigeonhole over 4 bands), verified with
-    bit_count(xor). Output: (doc_a, doc_b, hamming)."""
+    bit_count(xor). Output: (doc_a, doc_b, hamming).
+
+    Recall is COMPLETE only for max_hamming ≤ 3 (= bands − 1: with ≤ 3
+    differing bits over 4 bands, some band is untouched and collides).
+    Beyond that, pairs whose differing bits spread across all 4 bands are
+    missed, so max_hamming > 3 is rejected rather than silently lossy —
+    re-band with more/smaller bands if a wider radius is needed."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4×16-bit band recall "
+            "guarantee (complete only for hamming ≤ 3)"
+        )
     sig = simhash_signatures(df, id_col, text_col)
     bands = F.array(
         *[F.shiftright("sig_lo", s).bitwiseAND(F.lit(0xFFFF)) for s in (0, 16)],
@@ -319,11 +330,22 @@ def near_dedup(
 def connected_components(
     pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 10
 ) -> DataFrame:
-    """Connected components over near-dup pairs by iterative min-label
-    propagation: every node starts labeled with itself; each round sends
-    the current label across edges in both directions and keeps the min;
-    stop when no label changes (or max_iter — components with diameter
-    ≤ 2^rounds converge, so 10 rounds covers any realistic dup cluster).
+    """Connected components over near-dup pairs by min-label propagation
+    with pointer doubling: every node starts labeled with itself; each
+    round (1) sends the current label across edges in both directions and
+    keeps the min, then (2) short-circuits via label-of-label
+    (component ← label(component)). Step (2) halves the distance to the
+    component minimum each round, so components with diameter ≤ 2^rounds
+    converge — max_iter=10 covers diameter 1024. If the loop exhausts
+    max_iter without converging a warning is emitted and the (split)
+    labels are returned.
+
+    Each round's labels are localCheckpoint()ed: the driver loop would
+    otherwise re-derive round k from the whole prior join/union lineage
+    (quadratic plan growth — fatal at 100TB); checkpointing materializes
+    the ~|V|-row label table per round and truncates lineage, so the
+    per-round `changed` probe and the next round both read the
+    materialized block, not the chain.
 
     This is the iterative-algorithm tier of the engine (not SQL-
     expressible): a driver loop over pure DataFrame joins with one
@@ -335,7 +357,8 @@ def connected_components(
         .union(edges.select(F.col("dst").alias("doc")))
         .distinct()
     )
-    labels = nodes.withColumn("component", F.col("doc"))
+    labels = nodes.withColumn("component", F.col("doc")).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         msgs = (
             edges.join(labels, edges.src == labels.doc)
@@ -345,11 +368,26 @@ def connected_components(
                 .select(F.col("src").alias("doc"), "component")
             )
         )
-        new_labels = (
+        propagated = (
             labels.select("doc", "component")
             .union(msgs)
             .groupBy("doc")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer doubling: replace each label with its label's label
+        # (left join: a component minimum is its own label and stays put)
+        hop = propagated.select(
+            F.col("doc").alias("c_doc"), F.col("component").alias("c_comp")
+        )
+        new_labels = (
+            propagated.join(hop, propagated.component == hop.c_doc, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("component"), F.coalesce("c_comp", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -360,7 +398,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: not converged after {max_iter} rounds; "
+            "components wider than the propagation horizon are split — "
+            "raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -86,14 +86,26 @@ def as_of_join(
     right_ts: str,
     right_value_cols: list[str],
     suffix: str = "_asof",
+    right_id: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
     right_ts <= left_ts in the same partition key (ties: the right row
     at exactly left_ts matches).
 
+    Whole-row semantics, like pd.merge_asof: the matched right row's
+    value columns are taken together (a NULL in one value column of the
+    matched row stays NULL — it is NOT skipped in favor of an older
+    non-NULL value). Internally the right values ride in one struct, so
+    last(ignorenulls) sees NULL only where no right row exists at all.
+
+    Ties among right rows at the identical timestamp are broken
+    deterministically: by `right_id` ascending when given (the matched
+    row is the one with the GREATEST right_id at that timestamp), else
+    by a hash of the value struct (arbitrary but stable across runs).
+
     Scalable formulation — NO per-row subquery and NO range cross
     product: union both sides tagged, one window pass per partition key
-    carrying the last non-null right values forward
+    carrying the last non-null right struct forward
     (last(ignorenulls) over rows-unbounded-preceding), then keep left
     rows. One shuffle on the partition key; works at any scale where a
     single key's timeline fits a partition (salt the key by time range
@@ -104,39 +116,49 @@ def as_of_join(
     applyInPandas is the alternative when the window form doesn't fit.
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import StructField, StructType
 
     lcols = left.columns
+    vals_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_value_cols]
+    )
+    if right_id is not None:
+        tb = F.col(right_id)
+        tb_type = right.schema[right_id].dataType
+    else:
+        from pyspark.sql.types import LongType
+
+        tb = F.xxhash64(*[F.col(c) for c in right_value_cols])
+        tb_type = LongType()
     r2 = right.select(
         F.col(partition_col),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+        tb.alias("__tb"),
+        F.struct(*[F.col(c).alias(c) for c in right_value_cols]).alias("__vals"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != partition_col],
     )
     l2 = left.select(
         F.col(partition_col),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_value_cols],
+        F.lit(None).cast(tb_type).alias("__tb"),
+        F.lit(None).cast(vals_type).alias("__vals"),
         *[F.col(c) for c in lcols if c != partition_col],
     )
     unioned = r2.unionByName(l2)
     w = (
         Window.partitionBy(partition_col)
-        .orderBy("__ts", "__tag")
+        .orderBy("__ts", "__tag", F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in right_value_cols
-        ],
+        "*", F.last("__vals", ignorenulls=True).over(w).alias("__m")
     )
     return carried.filter(F.col("__tag") == 1).select(
         partition_col,
         *[F.col(c) for c in lcols if c != partition_col],
-        *[F.col(f"__m_{c}").alias(f"{c}{suffix}") for c in right_value_cols],
+        *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_value_cols],
     )
 
 

@@ -88,11 +88,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash",
     oracle=None,  # xxhash64-based; invariants tested in tests/test_llm.py
-    doc="SimHash-64 near-dup pairs (hamming ≤ 12) via 16-bit band candidates.",
+    doc="SimHash-64 near-dup pairs (hamming ≤ 3, the 4-band pigeonhole-complete radius) "
+    "via 16-bit band candidates.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=12)
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
 @register(

@@ -3,6 +3,9 @@
 
 from __future__ import annotations
 
+import warnings
+
+import pytest
 from pyspark.sql import functions as F
 
 from hadoop_fcfs_spark.llm.dedup import (
@@ -240,6 +243,34 @@ def test_connected_components_chain(spark):
     )
     comp = {r["doc"]: r["component"] for r in connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_pointer_doubling_long_chain(spark):
+    """A 60-edge chain (diameter 60) must converge within 7 rounds:
+    pointer doubling gives the 2^rounds bound (128 ≥ 61); plain min-label
+    propagation would need 60 rounds and silently return split labels."""
+    from hadoop_fcfs_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # exhaustion warning would fail the test
+        comp = {
+            r["doc"]: r["component"]
+            for r in connected_components(pairs, max_iter=7).collect()
+        }
+    assert comp == {i: 0 for i in range(61)}
+
+
+def test_connected_components_warns_on_exhaustion(spark):
+    from hadoop_fcfs_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="not converged"):
+        connected_components(pairs, max_iter=2).collect()
 
 
 def test_near_dedup_clustered_keeps_one_per_chain(spark):

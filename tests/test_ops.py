@@ -266,3 +266,32 @@ def test_descriptor_framework_custom_uda(spark):
     finally:
         AGGREGATORS.pop("SumOfSquares", None)
         AGGREGATORS.pop("GeometricMean", None)
+
+
+def test_as_of_join_basic_null_and_ties(spark):
+    from hadoop_fcfs_spark.ops.joins import as_of_join
+
+    right = spark.createDataFrame(
+        [
+            # ts=10: two rows tied; greatest right_id (rid=2) must win
+            ("u", 10, 1, 100),
+            ("u", 10, 2, 200),
+            # ts=20: a NULL value row — carried as NULL, not skipped
+            ("u", 20, 3, None),
+        ],
+        "user string, rts int, rid int, price int",
+    )
+    left = spark.createDataFrame(
+        [("u", 5), ("u", 10), ("u", 15), ("u", 25)],
+        "user string, lts int",
+    )
+    out = {
+        r["lts"]: (r["price_asof"], r["rid_asof"])
+        for r in as_of_join(
+            left, right, "user", "lts", "rts", ["price", "rid"], right_id="rid"
+        ).collect()
+    }
+    assert out[5] == (None, None)        # no right row yet
+    assert out[10] == (200, 2)           # tie at ts=10 → greatest rid
+    assert out[15] == (200, 2)
+    assert out[25] == (None, 3)          # matched row rid=3 has NULL price: kept NULL
