@@ -89,7 +89,9 @@ def decode_images(
                         id_col: mid,
                         "width": 16 + d[0] % 64,
                         "height": 16 + d[1] % 64,
-                        "mean_luma": round(d[2] / 255.0, 6),
+                        # floor-to-micro, not round(): Python round() is
+                        # banker's and diverges from SQL ROUND at half-tails
+                        "mean_luma": (d[2] / 255.0 * 1e6) // 1 / 1e6,
                     }
                 )
             yield pd.DataFrame(rows, columns=[id_col, "width", "height", "mean_luma"])

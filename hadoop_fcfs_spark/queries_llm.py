@@ -1,7 +1,16 @@
 """Correctness-gate queries: LLM-data-pipeline extensions (dedup,
 similarity search, text analysis) over the `documents` and
-`embeddings` tables. MinHash-LSH / SimHash use xxhash64 (no DuckDB
-equivalent) → rows-only checks; everything else has an exact oracle.
+`embeddings` tables.
+
+Oracle coverage note: the LSH-based gates (minhash, near-dedup, the
+composed pipeline, embedding near-dup) DO carry full value oracles —
+their outputs are exact-verified (Jaccard / cosine), so whenever LSH
+recall is complete the result equals a SQL-expressible exact pair set
+(recall verified 100% at sf0.01 and sf0.1 for these thresholds; the
+computation is deterministic xxhash64, so a local pass is a driver
+pass). Only dedup_simhash (the simhash VALUE is the semantic) and
+winnow_fingerprint_stats (xxhash rolling hashes) remain rows-only,
+covered by invariant pytests.
 """
 
 from __future__ import annotations
@@ -75,14 +84,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3)
 
 
+_EXACT_PAIRS = """
+    grams AS (
+      SELECT DISTINCT doc_id AS doc, array_to_string(ws[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 2)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}))
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_grams FROM grams GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             ROUND(common / (sa.n_grams + sb.n_grams - common), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE ROUND(common / (sa.n_grams + sb.n_grams - common), 4) >= {thr}
+    )
+"""
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64-based; verified vs exact jaccard in tests/test_llm.py
-    doc="MinHash(64)+LSH(16×4) candidates verified with exact Jaccard — the sub-quadratic dedup path.",
+    oracle="WITH " + _EXACT_PAIRS.format(src="documents", thr=0.8) + """
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
+    doc="MinHash(64)+LSH(16×4) candidates verified with exact Jaccard — the "
+    "sub-quadratic dedup path. Oracle is the exact all-pairs Jaccard ≥ 0.8 "
+    "set: hash-equality asserts LSH recall completeness at this threshold on "
+    "this corpus (verified 100% at sf0.01 and sf0.1), not just row counts.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.0)
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
 @register(
@@ -224,8 +262,13 @@ def fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "near_dedup_corpus",
-    oracle=None,  # xxhash64-based LSH inside; invariants in tests/test_llm.py
-    doc="End-to-end near-dedup: LSH pairs -> greedy min-id representative filter.",
+    oracle="WITH " + _EXACT_PAIRS.format(src="documents", thr=0.8) + """
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+    """,
+    doc="End-to-end near-dedup: LSH pairs -> greedy min-id representative "
+    "filter. Oracle replays the greedy keep-set over the exact Jaccard ≥ 0.8 "
+    "pair set (LSH recall verified complete at this threshold).",
 )
 def near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.llm.dedup import near_dedup
@@ -236,10 +279,36 @@ def near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_pipeline",
-    oracle=None,  # composes LSH (xxhash64) stages; invariants in tests
+    oracle=f"""
+    WITH {_TOKS},
+    per AS (
+      SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT w) AS n_uniq,
+             SUM(CASE WHEN regexp_full_match(w, '[a-z]+') THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS alpha_ratio,
+             SUM(CASE WHEN lower(w) IN ({_EN}) THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS stop_ratio
+      FROM toks GROUP BY doc_id
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(FLOOR((0.3 * LEAST(n / 100.0, 1.0) + 0.3 * stop_ratio
+                   + 0.2 * (n_uniq * 1.0 / n) + 0.2 * alpha_ratio) * 1000000) AS BIGINT) AS quality_e6
+      FROM per
+    ),
+    good AS (SELECT d.* FROM documents d JOIN q USING (doc_id) WHERE quality_e6 >= 300000),
+    winners AS (SELECT MIN(doc_id) AS doc_id FROM good GROUP BY md5(lower(trim(text)))),
+    uniq AS (SELECT g.* FROM good g JOIN winners USING (doc_id)),
+    """ + _EXACT_PAIRS.format(src="uniq", thr=0.85) + """,
+    kept AS (SELECT * FROM uniq WHERE doc_id NOT IN (SELECT doc_b FROM pairs))
+    SELECT doc_id, lang, source,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars
+    FROM kept
+    """,
     doc="End-to-end training-data pipeline: quality filter -> exact dedup -> "
     "near dedup -> per-doc token accounting. The composed flagship of the "
-    "LLM extension surface.",
+    "LLM extension surface. Full-value oracle: every stage re-expressed in "
+    "SQL over the same corpus (near-dedup stage via the exact Jaccard pair "
+    "set; LSH recall verified complete at threshold 0.85).",
 )
 def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.llm.dedup import exact_dedup, near_dedup
@@ -259,33 +328,60 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters",
-    oracle=None,  # iterative min-label propagation (driver loop); not SQL
-    doc="Transitive near-dup clusters: LSH pairs -> connected components "
-    "(iterative min-label propagation, the non-SQL iterative tier) -> "
-    "cluster size histogram per component representative.",
+    oracle="WITH RECURSIVE " + _EXACT_PAIRS.format(src="documents", thr=0.8) + """,
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT src AS doc, src AS comp FROM edges
+      UNION
+      SELECT e.dst AS doc, r.comp AS comp FROM reach r JOIN edges e ON e.src = r.doc
+    )
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM (SELECT doc, MIN(comp) AS component FROM reach GROUP BY doc)
+    GROUP BY component
+    """,
+    doc="Transitive near-dup clusters: exact Jaccard ≥ 0.8 pairs -> connected "
+    "components (iterative min-label propagation with pointer doubling — the "
+    "driver-loop tier) -> cluster size per component representative. Oracle "
+    "computes the same components via a recursive-CTE reachability closure, "
+    "so the iterative algorithm gets a full value-hash gate, not rows-only. "
+    "(The LSH pair source is separately gated by dedup_minhash_lsh.)",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hadoop_fcfs_spark.llm.dedup import connected_components, minhash_lsh_pairs
+    from hadoop_fcfs_spark.llm.dedup import connected_components
 
     docs = t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
     comps = connected_components(pairs)
-    return (
-        comps.groupBy("component")
-        .agg(F.count("*").alias("cluster_size"))
-        .orderBy("component")
-    )
+    return comps.groupBy("component").agg(F.count("*").alias("cluster_size"))
 
 
 @register(
     "embedding_near_dup",
-    oracle=None,  # RP-LSH buckets (xxhash64); invariants in tests
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 20
+    ),
+    allpairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))), 4) + 0.0 AS cos
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos FROM allpairs WHERE cos >= 0.95
+    """,
     doc="Embedding-cosine near-dup pairs: LSH bucket self-join + exact cosine "
     "filter (the vector-side dedup method). The synthetic embeddings are "
     "near-orthogonal (max organic pairwise cosine ≈ 0.48), so the gate "
     "plants exact copies of the 20 lowest-id vectors in-plan — identical "
     "vectors share every RP bucket, so the operator MUST emit exactly "
-    "those pairs at cos 1.0: a self-validating non-vacuous gate.",
+    "those pairs at cos 1.0. Oracle: brute-force exact cosine over the "
+    "same planted corpus (value-hash gate; RP-LSH recall for identical "
+    "vectors is exact, and no organic pair reaches 0.95).",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.llm.similarity import embedding_near_dup_pairs
@@ -297,12 +393,33 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb.unionByName(copies), threshold=0.95)
 
 
+_NIB = "instr('0123456789abcdef', substr(m, {p}, 1)) - 1"
+_BYTE = f"(({_NIB.format(p='{a}')}) * 16 + ({_NIB.format(p='{b}')}))"
+
+
 @register(
     "multimodal_pipeline",
-    oracle=None,  # binary blobs generated in-plan; plumbing invariants in pytest
+    oracle=f"""
+    WITH blobs AS (
+      SELECT i AS media_id, 'RIFF' || repeat('px' || i::VARCHAR, 300) AS payload
+      FROM generate_series(0, 63) s(i)
+    ),
+    hexed AS (SELECT media_id, payload, md5(payload) AS m FROM blobs)
+    SELECT media_id,
+           CAST(LENGTH(payload) AS BIGINT) AS size_bytes,
+           m AS digest,
+           'wav' AS format,
+           CAST(16 + {_BYTE.format(a=1, b=2)} % 64 AS INT) AS width,
+           CAST(16 + {_BYTE.format(a=3, b=4)} % 64 AS INT) AS height,
+           FLOOR({_BYTE.format(a=5, b=6)} / 255.0 * 1000000) / 1000000 AS mean_luma
+    FROM hexed
+    """,
     doc="Multimodal binary-column pipeline: synthesize blobs, sniff format + "
     "digest metadata (pure exprs), pseudo-decode via mapInPandas (stubbed "
-    "codec, real Arrow plumbing).",
+    "codec, real Arrow plumbing). The synthetic payload uses the ASCII "
+    "'RIFF' magic so DuckDB can md5 the identical bytes as VARCHAR — "
+    "full value-hash oracle including the digest and the md5-derived "
+    "pseudo-decode outputs.",
 )
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.llm.multimodal import attach_media_meta, decode_images
@@ -310,13 +427,14 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = spark.range(64).select(
         F.col("id").alias("media_id"),
         F.concat(
-            F.lit(b"\x89PNG"),
+            F.lit(b"RIFF"),
             F.encode(F.repeat(F.concat(F.lit("px"), F.col("id").cast("string")), 300), "utf-8"),
         ).alias("payload"),
     )
     meta = attach_media_meta(blobs).select(
         "media_id",
-        F.col("media_meta.size_bytes").alias("size_bytes"),
+        F.col("media_meta.size_bytes").cast("bigint").alias("size_bytes"),
+        F.col("media_meta.digest").alias("digest"),
         F.col("media_meta.format").alias("format"),
     )
     decoded = decode_images(blobs)
