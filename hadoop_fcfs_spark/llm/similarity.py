@@ -169,7 +169,12 @@ def kmeans_centroids(
 
 def _assign_to_centroid(df: DataFrame, centroids: list[list[float]], vec_col: str):
     """Nearest centroid by squared L2 — centroid literals compiled into
-    the plan (broadcast-by-literal), argmin via fold over when()."""
+    the plan (broadcast-by-literal). Argmin = array_position of the
+    array minimum (first position wins ties → lowest centroid index,
+    deterministic). NOTE: a when()-chain fold here is exponential — each
+    step embeds the running best twice (condition + otherwise), which
+    at 16 centroids × 128 dims stalls analysis for minutes; the array
+    form is linear in k."""
     vec = F.col(vec_col)
 
     def sqdist(c: list[float]) -> Column:
@@ -180,13 +185,8 @@ def _assign_to_centroid(df: DataFrame, centroids: list[list[float]], vec_col: st
             lambda acc, x: acc + x,
         )
 
-    dists = [sqdist(c) for c in centroids]
-    best_idx = F.lit(0)
-    best_d = dists[0]
-    for i in range(1, len(centroids)):
-        cond = dists[i] < best_d
-        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
-        best_d = F.when(cond, dists[i]).otherwise(best_d)
+    dist_arr = F.array(*[sqdist(c) for c in centroids])
+    best_idx = (F.array_position(dist_arr, F.array_min(dist_arr)) - 1).cast("int")
     return df.withColumn("__centroid", best_idx)
 
 
@@ -198,13 +198,21 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN: corpus partitioned into centroid cells (inverted file);
     each query probes its n_probe nearest cells and scores exactly
     within them. Corpus side = one assignment pass + equi-join on cell
     id; recall dial = n_probe/n_centroids. The second scale path next
-    to rp_lsh_topk (SURVEY §7.2 step 6)."""
-    cents = kmeans_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    to rp_lsh_topk (SURVEY §7.2 step 6).
+
+    `centroids` (k×dim floats) bypasses the k-means build — use a
+    precomputed/externally-trained coarse quantizer; ties in both the
+    assignment argmin and cell probing break to the lowest centroid
+    index deterministically."""
+    cents = centroids if centroids is not None else kmeans_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col
+    )
     cells = _assign_to_centroid(corpus, cents, vec_col).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"), F.col("__centroid").alias("cell")
     )

@@ -158,3 +158,138 @@ def winnow_fingerprints(
         hashed.select("doc", F.explode(F.array_distinct(fps)).alias("fp"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# normalization / scrubbing / repetition / contamination
+# ---------------------------------------------------------------------------
+
+# PII patterns: RE2- and Java-regex-compatible (no \b, no lookaround) so
+# Spark and ANSI-SQL oracles match byte-for-byte.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{3,6}",
+}
+
+
+def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical text normalization: lowercase, punctuation → space,
+    whitespace collapsed, trimmed. Pure per-row expressions (no
+    shuffle); the standard pre-dedup canonical form.
+    Output: (id, norm_text, norm_chars)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9\\s]", " "),
+            "\\s+",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("norm_chars"),
+    )
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction: emails, IPv4 addresses, international-format phone
+    numbers replaced with typed placeholders; per-kind match counts kept
+    for audit. Counts are measured on the ORIGINAL text per pattern
+    (independent), redaction is applied email → ip → phone. Pure
+    expressions, no shuffle. Output: (id, clean_text, n_email, n_ip,
+    n_phone)."""
+    text = F.col(text_col)
+    clean = text
+    for kind in ("email", "ip", "phone"):
+        clean = F.regexp_replace(clean, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[k]), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{k}")
+        for k in ("email", "ip", "phone")
+    ]
+    return df.select(F.col(id_col), clean.alias("clean_text"), *counts)
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals: the fraction of the document
+    covered by its single most frequent word bigram, and the duplicate
+    fraction of its word trigrams. High values flag boilerplate /
+    degenerate repetition for pipeline filtering.
+
+    Trigram dup ratio is pure per-row expressions; the top-bigram count
+    is an explode + two-level aggregation (shuffles (id, bigram) — at
+    corpus scale this is the standard word-count shape with map-side
+    partial aggregation). Ratios floor-to-micro for engine portability.
+    Output: (id, n_bigrams, top_bigram_n, top_bigram_e6, dup_trigram_e6).
+    Docs with < 3 words report zero signals."""
+    toks = _tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    n = F.size(F.col("__t"))
+    grams = lambda k: F.when(  # noqa: E731
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(F.col("__t"), i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = grams(3)
+    dup_tri = F.when(
+        F.size(tri) > 0,
+        F.floor(
+            (1 - F.size(F.array_distinct(tri)) / F.size(tri).cast("double")) * 1_000_000
+        ),
+    ).otherwise(F.lit(0))
+    per_doc = base.select(
+        F.col(id_col), F.explode_outer(grams(2)).alias("__bg"), dup_tri.cast("long").alias("__dt")
+    )
+    counted = per_doc.groupBy(id_col, "__bg", "__dt").agg(F.count("*").alias("__c"))
+    return (
+        counted.groupBy(id_col, "__dt")
+        .agg(
+            F.sum(F.when(F.col("__bg").isNotNull(), F.col("__c")).otherwise(0)).alias("__n"),
+            F.max(F.when(F.col("__bg").isNotNull(), F.col("__c")).otherwise(0)).alias("__top"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__n").cast("long").alias("n_bigrams"),
+            F.col("__top").cast("long").alias("top_bigram_n"),
+            F.when(F.col("__n") > 0, F.floor(F.col("__top") / F.col("__n").cast("double") * 1_000_000))
+            .otherwise(0)
+            .cast("long")
+            .alias("top_bigram_e6"),
+            F.col("__dt").alias("dup_trigram_e6"),
+        )
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination check: for every (benchmark doc,
+    corpus doc) pair sharing at least one word n-gram (n=13 is the
+    conventional contamination shingle), the number of shared distinct
+    n-grams. Corpus docs equal to the benchmark doc id are excluded.
+
+    Shape: posting-list equi-join on the n-gram (the benchmark side is
+    tiny → broadcast), grouped count — no quadratic document join.
+    Output: (bench_id, doc_id, shared_ngrams)."""
+    from hadoop_fcfs_spark.llm.dedup import _gram_rows
+
+    cg = _gram_rows(corpus, id_col, text_col, n).select(
+        F.col("doc").alias("doc_id"), "gram"
+    )
+    bg = _gram_rows(benchmark, id_col, text_col, n).select(
+        F.col("doc").alias("bench_id"), "gram"
+    )
+    return (
+        cg.join(F.broadcast(bg), "gram")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("bench_id", "doc_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+    )

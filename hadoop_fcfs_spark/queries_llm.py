@@ -461,3 +461,265 @@ def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_fp"), 4).alias("avg_fp_per_doc"),
         F.sum("n_fp").alias("total_fp"),
     )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                               '\\s+', ' ', 'g')) AS norm_text,
+           CAST(LENGTH(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                           '\\s+', ' ', 'g'))) AS BIGINT) AS norm_chars
+    FROM documents
+    """,
+    doc="Canonical text normalization (lower, punct→space, whitespace collapse) "
+    "— the pre-dedup canonical form; full-string value oracle.",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import normalize_text
+
+    return normalize_text(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_PII_SUFFIX = (
+    " contact u{id}@example.com or +1-555-{id4} node 10.0.{id255}.{id100}"
+)
+
+
+@register(
+    "pii_scrub",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact u' || doc_id::VARCHAR ||
+                       '@example.com or +1-555-' || (doc_id % 10000)::VARCHAR ||
+                       ' node 10.0.' || (doc_id % 255)::VARCHAR || '.' || (doc_id % 100)::VARCHAR
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
+             '\\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{3,6}', '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text, '\\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{3,6}')) AS BIGINT) AS n_phone
+    FROM planted
+    """,
+    doc="PII redaction (emails / IPv4 / intl phone numbers) with per-kind "
+    "audit counts. The synthetic corpus carries no organic PII, so every "
+    "7th doc gets a deterministic planted contact line in-plan (both "
+    "engines) — non-vacuous by construction.",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import scrub_pii
+
+    docs = t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"), (F.col("doc_id") % 10000).cast("string"),
+                F.lit(" node 10.0."), (F.col("doc_id") % 255).cast("string"),
+                F.lit("."), (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return scrub_pii(planted, "doc_id", "text")
+
+
+@register(
+    "repetition_signals",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+                  THEN [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]
+                  ELSE [] END AS tg
+      FROM base
+    ),
+    dup AS (
+      SELECT doc_id,
+             CASE WHEN len(tg) > 0
+                  THEN CAST(FLOOR((1 - len(list_distinct(tg)) / CAST(len(tg) AS DOUBLE)) * 1000000) AS BIGINT)
+                  ELSE 0 END AS dup_trigram_e6
+      FROM tri
+    ),
+    bg AS (
+      SELECT doc_id, UNNEST(CASE WHEN len(ws) >= 2
+                    THEN [array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]
+                    ELSE [] END) AS g
+      FROM base
+    ),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+    agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, CAST(MAX(c) AS BIGINT) AS top_bigram_n
+            FROM cnt GROUP BY doc_id)
+    SELECT b.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           COALESCE(a.top_bigram_n, 0) AS top_bigram_n,
+           CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+                THEN CAST(FLOOR(a.top_bigram_n / CAST(a.n_bigrams AS DOUBLE) * 1000000) AS BIGINT)
+                ELSE 0 END AS top_bigram_e6,
+           d.dup_trigram_e6
+    FROM base b LEFT JOIN agg a USING (doc_id) JOIN dup d ON d.doc_id = b.doc_id
+    """,
+    doc="Gopher-style repetition/boilerplate signals: top-bigram coverage "
+    "fraction and duplicate-trigram fraction per document (floor-to-micro).",
+)
+def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import repetition_signals
+
+    return repetition_signals(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "contamination_check",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 500000, text FROM documents WHERE doc_id % 97 = 0
+    ),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    cg AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+12], ' ') AS gram
+      FROM (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 12)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus))
+    ),
+    bg AS (
+      SELECT DISTINCT doc_id AS bench_id, array_to_string(ws[i:i+12], ' ') AS gram
+      FROM (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 12)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM bench))
+    )
+    SELECT bench_id, doc_id, COUNT(*) AS shared_ngrams
+    FROM cg JOIN bg USING (gram)
+    WHERE doc_id <> bench_id
+    GROUP BY bench_id, doc_id
+    """,
+    doc="Benchmark decontamination: 13-gram overlap between a benchmark set "
+    "(every 97th doc) and the corpus. Contaminated copies are planted "
+    "in-plan (benchmark docs re-inserted at +500000) so the gate is "
+    "non-vacuous; the benchmark docs themselves also match as full-overlap "
+    "corpus members (self-pairs excluded).",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import contamination_overlap
+
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    corpus = docs.select("doc_id", "text").unionByName(
+        bench.select((F.col("doc_id") + 500_000).alias("doc_id"), "text")
+    )
+    return contamination_overlap(corpus, bench, "doc_id", "text", n=13)
+
+
+@register(
+    "sequence_packing",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS BIGINT) AS tks
+      FROM documents
+    ),
+    pre AS (
+      SELECT doc_id, tks,
+             COALESCE(SUM(tks) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+      FROM tk
+    )
+    SELECT CAST(p // 2048 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tks) AS BIGINT) AS sum_tokens
+    FROM pre GROUP BY 1
+    """,
+    doc="Training-sequence packing manifest: docs laid out in id order, a new "
+    "2048-token sequence per budget boundary of the running total. Spark side "
+    "is a TWO-LEVEL distributed prefix sum (per-chunk window + broadcast "
+    "chunk offsets — no single-partition global window); oracle is the "
+    "equivalent single-node window scan.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.packing import pack_sequences, packing_manifest
+    from hadoop_fcfs_spark.llm.textan import token_counts
+
+    docs = t(spark, sf_dir, "documents")
+    tk = token_counts(docs, "doc_id", "text").select("doc_id", "ws_tokens")
+    packed = pack_sequences(tk, "doc_id", "ws_tokens", budget=2048, chunk=1000)
+    return packing_manifest(packed)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle="""
+    WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                   FROM embeddings WHERE vec_id < 16),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, v, cid AS cell FROM (
+        SELECT c.vec_id, c.v, ct.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                  ORDER BY list_distance(c.v, ct.cv), ct.cid) AS rn
+        FROM corpus c CROSS JOIN cents ct) WHERE rn = 1
+    ),
+    queries AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qv, cid AS cell FROM (
+        SELECT q.query_id, q.qv, ct.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_distance(q.qv, ct.cv), ct.cid) AS rn
+        FROM queries q CROSS JOIN cents ct) WHERE rn <= 4
+    ),
+    pairs AS (
+      SELECT p.query_id, a.vec_id,
+             ROUND(list_dot_product(p.qv, a.v) /
+                   (sqrt(list_dot_product(p.qv, p.qv)) *
+                    sqrt(list_dot_product(a.v, a.v))), 4) + 0.0 AS cos
+      FROM probes p JOIN assign a USING (cell)
+      WHERE p.query_id <> a.vec_id
+    )
+    SELECT query_id, vec_id, cos, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id) AS INT) AS rank
+      FROM pairs) WHERE rank <= 3
+    """,
+    doc="IVF ANN (llm.similarity.ivf_topk): corpus partitioned into coarse "
+    "cells, queries probe their 4 nearest of 16 cells, exact cosine top-3 "
+    "within probed cells. Gate uses a FIXED coarse quantizer (the 16 "
+    "lowest-id vectors) so the full IVF mechanics — assignment argmin, "
+    "multi-cell probing, cell-restricted scoring — get a value-hash oracle; "
+    "the k-means index build is covered by pytest (iterative tier).",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=3, n_probe=4, centroids=cents
+    )
+
+
+@register(
+    "ann_rp_lsh_topk",
+    oracle=None,  # xxhash64-derived hyperplanes; recall invariants in pytest
+    doc="Random-hyperplane LSH ANN (llm.similarity.rp_lsh_topk): sign-pattern "
+    "buckets + drop-one-bit multi-probe, exact cosine within candidates.",
+)
+def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import rp_lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return rp_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)

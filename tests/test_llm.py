@@ -316,3 +316,66 @@ def test_winnowing_guarantee_and_selectivity(spark):
     # selectivity: fingerprints ≪ k-gram count for a long doc
     n_words = 40
     assert len(sets[3]) < (n_words - k + 1) / 2
+
+
+def test_pack_sequences_matches_naive_prefix_sum(spark):
+    """Two-level chunked prefix sum == single global window (tiny chunk
+    width forces multiple chunks so the offset path is exercised)."""
+    from pyspark.sql import Window
+    from hadoop_fcfs_spark.llm.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i * 3, 100 + (i * 37) % 50) for i in range(40)], "doc_id long, tks long"
+    )
+    packed = {r["doc_id"]: r["seq_id"]
+              for r in pack_sequences(df, "doc_id", "tks", budget=500, chunk=7).collect()}
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        r["doc_id"]: r["seq"]
+        for r in df.withColumn("p", F.coalesce(F.sum("tks").over(w), F.lit(0)))
+        .selectExpr("doc_id", "CAST(p DIV 500 AS BIGINT) AS seq")
+        .collect()
+    }
+    assert packed == naive
+    assert max(packed.values()) > 0  # multiple sequences actually produced
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from hadoop_fcfs_spark.llm.textan import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-1.org twice a.b+c@ex-1.org ip 10.0.0.1 tel +49-172-99887")],
+        "doc_id long, text string",
+    )
+    r = scrub_pii(df, "doc_id", "text").collect()[0]
+    assert r["n_email"] == 2 and r["n_ip"] == 1 and r["n_phone"] == 1
+    assert r["clean_text"] == "mail <EMAIL> twice <EMAIL> ip <IP> tel <PHONE>"
+
+
+def test_repetition_signals_degenerate_doc(spark):
+    from hadoop_fcfs_spark.llm.textan import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"), (2, "all words here are different tokens"), (3, "hi")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    assert out[1]["top_bigram_e6"] == 1_000_000  # one bigram covers everything
+    assert out[1]["dup_trigram_e6"] == 666_666   # 3 trigrams, 1 distinct → floor(2/3 e6)
+    assert out[2]["top_bigram_e6"] == 200_000    # 5 bigrams, all distinct
+    assert out[2]["dup_trigram_e6"] == 0
+    assert out[3]["n_bigrams"] == 0 and out[3]["top_bigram_e6"] == 0
+
+
+def test_contamination_overlap_planted_copy(spark):
+    from hadoop_fcfs_spark.llm.textan import contamination_overlap
+
+    words = " ".join(f"w{i}" for i in range(20))  # 20 words → 8 distinct 13-grams
+    corpus = spark.createDataFrame(
+        [(1, words), (2, words + " tail"), (3, "short unrelated text")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    out = {(r["bench_id"], r["doc_id"]): r["shared_ngrams"]
+           for r in contamination_overlap(corpus, bench, "doc_id", "text").collect()}
+    assert out == {(1, 2): 8}  # full overlap with the copy; self-pair excluded
