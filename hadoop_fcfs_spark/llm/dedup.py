@@ -187,6 +187,16 @@ def minhash_lsh_pairs(
         *[F.min(F.xxhash64(F.col("gram_h"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)],
         F.collect_set("gram_h").alias("gram_set"),
     ).select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"), "gram_set")
+    # sig feeds THREE consumers (banding + both verify probes); without a
+    # persist the scan→shingle→64-hash aggregation executes once per
+    # consumer (no ReusedExchange: the branches differ structurally).
+    # One row per doc (64 longs + the doc's gram-hash set) — comparable
+    # to the corpus itself, so MEMORY_AND_DISK is safe at any scale where
+    # the corpus is storable; this is the "store the signature index"
+    # step every production MinHash pipeline has anyway.
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     band_arr = F.array(
         *[
             F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
