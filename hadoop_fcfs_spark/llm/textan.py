@@ -122,7 +122,12 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, prefix_words: int = 8
 
 
 def winnow_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03): hash every word k-gram, then in each sliding window of
@@ -134,7 +139,21 @@ def winnow_fingerprints(
     Pure expressions end-to-end (split → transform → sliding
     array_min → distinct → explode); per-row map work, no shuffle —
     the copy-detection substrate that pairs with the LSH dedup tier.
-    Output: (doc, fp) distinct pairs."""
+    Output: (doc, fp) distinct pairs.
+
+    `hash_fn`: 'xxhash64' (default — fastest, JVM-side) or 'md5_60'
+    (first 60 bits of md5 as a bigint — slower but byte-identical in
+    any engine with md5, which is what makes the winnowing gate
+    value-oracle-able in ANSI SQL; the winnowing GUARANTEE is hash-
+    agnostic)."""
+    if hash_fn == "xxhash64":
+        def gram_hash(c):
+            return F.xxhash64(c)
+    elif hash_fn == "md5_60":
+        def gram_hash(c):
+            return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
     base = df.select(F.col(id_col).alias("doc"), toks.alias("__t"))
     n = F.size(F.col("__t"))
@@ -142,7 +161,7 @@ def winnow_fingerprints(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.xxhash64(F.array_join(F.slice(F.col("__t"), i, k), " ")),
+            lambda i: gram_hash(F.array_join(F.slice(F.col("__t"), i, k), " ")),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     hashed = base.select("doc", kgrams.alias("__kh"))

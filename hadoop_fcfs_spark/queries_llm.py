@@ -443,23 +443,51 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "winnow_fingerprint_stats",
-    oracle=None,  # xxhash64-based fingerprints; guarantee invariants in pytest
-    doc="Winnowing fingerprint index stats (MOSS rolling-hash scheme, "
-    "llm.textan.winnow_fingerprints): per language, distinct fingerprints "
-    "and mean fingerprints per doc — the copy-detection index build in "
-    "its aggregate form. Deterministic (xxhash64).",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    kh AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(ws) >= 5
+                  THEN [CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15) AS BIGINT)
+                        FOR i IN range(1, len(ws) - 3)]
+                  ELSE [] END AS khl
+      FROM base
+    ),
+    fps AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(khl) >= 4
+                  THEN [list_min(khl[i:i+3]) FOR i IN range(1, len(khl) - 2)]
+                  ELSE khl END AS fpl
+      FROM kh
+    ),
+    per AS (SELECT doc_id, lang, len(list_distinct(fpl)) AS n_fp FROM fps WHERE len(fpl) > 0)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_fp) AS BIGINT) AS total_fp,
+           CAST(SUM(n_fp) * 1000000 // COUNT(*) AS BIGINT) AS avg_fp_e6
+    FROM per GROUP BY lang
+    """,
+    doc="Winnowing fingerprint index stats (MOSS scheme, llm.textan."
+    "winnow_fingerprints, k=5 w=4): per language, total fingerprints and "
+    "mean fingerprints per doc (integer micro-units — no float division). "
+    "Gate runs the md5_60 portable hash variant so the full winnowing "
+    "pipeline (k-gram hash → sliding min → distinct) is value-oracled in "
+    "SQL; the xxhash64 production variant is guarantee-tested in pytest.",
 )
 def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.llm.textan import winnow_fingerprints
 
     docs = t(spark, sf_dir, "documents")
-    fp = winnow_fingerprints(docs, "doc_id", "text")
+    fp = winnow_fingerprints(docs, "doc_id", "text", hash_fn="md5_60")
     per_doc = fp.groupBy("doc").agg(F.count("*").alias("n_fp"))
     joined = docs.select(F.col("doc_id").alias("doc"), "lang").join(per_doc, "doc")
     return joined.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("n_fp"), 4).alias("avg_fp_per_doc"),
-        F.sum("n_fp").alias("total_fp"),
+        F.sum("n_fp").cast("long").alias("total_fp"),
+        F.expr("CAST(SUM(n_fp) * 1000000 DIV COUNT(*) AS BIGINT)").alias("avg_fp_e6"),
     )
 
 
