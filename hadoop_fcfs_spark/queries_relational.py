@@ -1561,21 +1561,21 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l1 = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
         F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY")
     )
-    # EXISTS: another supplier in the same order
-    others = li.select(F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s"))
-    with_other = l1.join(
-        others,
-        (F.col("l_orderkey") == F.col("o_k")) & (F.col("l_suppkey") != F.col("o_s")),
-        "left_semi",
+    # EXISTS(other supplier in order) ⇔ n_supp ≥ 2;
+    # NOT EXISTS(other LATE supplier) ⇔ n_late_supp = 1 (only me).
+    # Per-order distinct-supplier aggregates instead of inequality
+    # semi/anti joins against full lineitem — one scan each, and the
+    # join keys stay equi (no post-filter theta condition) at any scale.
+    ord_supp = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp")
     )
-    # NOT EXISTS: no OTHER supplier was late on the same order
-    late_others = l1.select(
-        F.col("l_orderkey").alias("lo_k"), F.col("l_suppkey").alias("lo_s")
+    late_supp = l1.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_late")
     )
-    sole_late = with_other.join(
-        late_others,
-        (F.col("l_orderkey") == F.col("lo_k")) & (F.col("l_suppkey") != F.col("lo_s")),
-        "left_anti",
+    sole_late = (
+        l1.join(ord_supp, "l_orderkey")
+        .join(late_supp, "l_orderkey")
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
     )
     return (
         sole_late.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
