@@ -30,7 +30,8 @@ from hadoop_fcfs_spark.tables import t  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per operator family — scan+agg, big join, global
-# sort, shuffle-heavy text agg, sub-quadratic dedup, ANN, windows.
+# sort, shuffle-heavy text agg, sub-quadratic dedup, ANN, windows, plus
+# the composed training-data pipeline and the packing prefix-sum (r2).
 HEADLINE = [
     "pricing_summary",
     "join_multiway",
@@ -39,6 +40,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "value_histogram",
+    "corpus_pipeline",
+    "sequence_packing",
 ]
 
 
