@@ -312,3 +312,97 @@ def contamination_overlap(
         .groupBy("bench_id", "doc_id")
         .agg(F.count("*").alias("shared_ngrams"))
     )
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (bits) — the
+    cheap perplexity proxy: degenerate/binary-ish text scores far from
+    natural-language ~4.0-4.5. Explode chars → per-(doc,char) counts →
+    one aggregation (word-count shape, map-side partials). Entropy in
+    floor-micro bits for engine portability.
+    Output: (id, n_chars, entropy_e6)."""
+    base = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"transform(sequence(1, length({text_col})), i -> substring({text_col}, i, 1))")
+        ).alias("__c"),
+    )
+    counted = base.groupBy(id_col, "__c").agg(F.count("*").alias("__n"))
+    per = counted.groupBy(id_col).agg(
+        F.sum("__n").alias("__tot"),
+        F.sum(F.col("__n") * F.log2(F.col("__n"))).alias("__nlogn"),
+    )
+    # H = log2(T) - (Σ n·log2 n)/T  (algebraic form: one pass, no p column)
+    h = F.log2(F.col("__tot")) - F.col("__nlogn") / F.col("__tot")
+    return per.select(
+        F.col(id_col),
+        F.col("__tot").cast("long").alias("n_chars"),
+        F.floor(h * 1_000_000).cast("long").alias("entropy_e6"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-width chunks (the
+    RAG / context-window preprocessing op). Chunks start every
+    `chunk_tokens - overlap` tokens; the last chunk may be short; docs
+    shorter than one stride yield a single chunk. Pure per-row
+    expressions (sequence + slice + explode) — no shuffle.
+    Output: (id, chunk_idx, chunk_text, n_tokens)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = _tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    n = F.size(F.col("__t"))
+    starts = F.when(
+        n > 0, F.sequence(F.lit(1), n, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.filter(
+        F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.alias("chunk_idx"),
+                F.slice(F.col("__t"), s, chunk_tokens).alias("toks"),
+            ),
+        ),
+        # drop trailing windows fully covered by the previous chunk
+        lambda st: (st["chunk_idx"] == 0) | (F.size(st["toks"]) > overlap),
+    )
+    ex = base.select(F.col(id_col), F.explode(chunks).alias("__ch"))
+    return ex.select(
+        F.col(id_col),
+        F.col("__ch.chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(F.col("__ch.toks"), " ").alias("chunk_text"),
+        F.size(F.col("__ch.toks")).cast("long").alias("n_tokens"),
+    )
+
+
+def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Smoothed TF-IDF per (doc, term): tf = in-doc term count,
+    df = docs containing the term, idf = ln((N+1)/(df+1)) + 1.
+    Two word-count-shaped aggregations + a broadcast scalar for N;
+    weights in floor-micro units for engine portability.
+    Output: (id, term, tf, doc_freq, tfidf_e6)."""
+    toks = _tokens(text_col)
+    pairs = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = pairs.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = df.select(F.countDistinct(id_col).alias("__N"))
+    idf = F.log((F.col("__N") + 1) / (F.col("doc_freq") + 1)) + 1
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.floor(F.col("tf") * idf * 1_000_000).cast("long").alias("tfidf_e6"),
+        )
+    )

@@ -8,9 +8,9 @@ their outputs are exact-verified (Jaccard / cosine), so whenever LSH
 recall is complete the result equals a SQL-expressible exact pair set
 (recall verified 100% at sf0.01 and sf0.1 for these thresholds; the
 computation is deterministic xxhash64, so a local pass is a driver
-pass). Only dedup_simhash (the simhash VALUE is the semantic) and
-winnow_fingerprint_stats (xxhash rolling hashes) remain rows-only,
-covered by invariant pytests.
+pass). Winnowing gates run a portable md5_60 hash variant. Only
+dedup_simhash (the simhash VALUE is the semantic) and ann_rp_lsh_topk
+(xxhash hyperplanes) remain rows-only, covered by invariant pytests.
 """
 
 from __future__ import annotations
@@ -758,3 +758,77 @@ def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return rp_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@register(
+    "char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, UNNEST([substr(text, i, 1) FOR i IN range(1, LENGTH(text) + 1)]) AS c
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c),
+    per AS (SELECT doc_id, SUM(n) AS tot, SUM(n * log2(n)) AS nlogn FROM cnt GROUP BY doc_id)
+    SELECT doc_id, CAST(tot AS BIGINT) AS n_chars,
+           CAST(FLOOR((log2(tot) - nlogn / tot) * 1000000) AS BIGINT) AS entropy_e6
+    FROM per
+    """,
+    doc="Character-distribution Shannon entropy per doc (floor-micro bits) — "
+    "the cheap perplexity proxy for pipeline filtering; algebraic one-pass "
+    "form H = log2(T) − Σ n·log2 n / T.",
+)
+def char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import char_entropy
+
+    return char_entropy(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, ws, UNNEST(CASE WHEN len(ws) > 0 THEN range(1, len(ws) + 1, 48)
+                                     ELSE [] END) AS s
+      FROM base
+    ),
+    ch AS (SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_idx, ws[s:s+63] AS toks FROM st)
+    SELECT doc_id, chunk_idx, array_to_string(toks, ' ') AS chunk_text,
+           CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM ch WHERE chunk_idx = 0 OR len(toks) > 16
+    """,
+    doc="Overlapping fixed-width document chunking (64-token windows, "
+    "16-token overlap, stride 48) — the RAG / context-window prep op; "
+    "pure expressions, trailing windows fully covered by the previous "
+    "chunk are dropped.",
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import chunk_documents
+
+    return chunk_documents(
+        t(spark, sf_dir, "documents"), "doc_id", "text", chunk_tokens=64, overlap=16
+    )
+
+
+@register(
+    "tf_idf",
+    oracle=f"""
+    WITH {_TOKS},
+    tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+    nn AS (SELECT COUNT(DISTINCT doc_id) AS N FROM documents)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(doc_freq AS BIGINT) AS doc_freq,
+           CAST(FLOOR(tf * (ln((N + 1) / (doc_freq + 1)) + 1) * 1000000) AS BIGINT) AS tfidf_e6
+    FROM tf JOIN dfq USING (term) CROSS JOIN nn
+    """,
+    doc="Smoothed TF-IDF per (doc, term): two word-count-shaped "
+    "aggregations (tf, df) + broadcast corpus size; idf = ln((N+1)/(df+1))+1, "
+    "weights floor-micro.",
+)
+def tf_idf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import tf_idf
+
+    return tf_idf(t(spark, sf_dir, "documents"), "doc_id", "text")

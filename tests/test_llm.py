@@ -379,3 +379,41 @@ def test_contamination_overlap_planted_copy(spark):
     out = {(r["bench_id"], r["doc_id"]): r["shared_ngrams"]
            for r in contamination_overlap(corpus, bench, "doc_id", "text").collect()}
     assert out == {(1, 2): 8}  # full overlap with the copy; self-pair excluded
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from hadoop_fcfs_spark.llm.textan import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=2)
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"]) for r in out.collect()}
+    # doc1: starts 1,3,5,7,9 → windows of 4, last (w8 w9) has 2 ≤ overlap → dropped
+    assert rows[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert rows[(1, 1)] == ("w2 w3 w4 w5", 4)
+    assert rows[(1, 3)] == ("w6 w7 w8 w9", 4)
+    assert (1, 4) not in rows
+    # short doc: single chunk; empty doc: no chunks
+    assert rows[(2, 0)] == ("a b", 2)
+    assert not any(d == 3 for d, _ in rows)
+    # every token of doc1 is covered by some chunk
+    covered = set()
+    for (d, _), (txt, _n) in rows.items():
+        if d == 1:
+            covered |= set(txt.split())
+    assert covered == {f"w{i}" for i in range(10)}
+
+
+def test_char_entropy_known_values(spark):
+    from hadoop_fcfs_spark.llm.textan import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["n_chars"], r["entropy_e6"]) for r in
+           char_entropy(df, "doc_id", "text").collect()}
+    assert out[1] == (4, 0)          # uniform single char → H=0
+    assert out[2] == (4, 1_000_000)  # two chars 50/50 → H=1 bit
+    assert out[3] == (4, 2_000_000)  # four distinct → H=2 bits
