@@ -162,3 +162,55 @@ def test_scan_filter_pushdown_generic(spark):
     full = _optimized(df)
     assert "GreaterThan(o_totalprice,100000" in full
     assert "o_custkey" not in [l for l in full.split("\n") if "ReadSchema" in l][0]
+
+def test_sequence_packing_no_global_data_window(spark):
+    """The two-level prefix sum must keep the corpus out of any
+    single-partition exchange: the only SinglePartition exchange allowed
+    is the one over the per-chunk totals (chunk summary rows)."""
+    df = Q["sequence_packing"].spark_fn(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("Exchange SinglePartition") == 1
+    # the data-side window is partitioned by the chunk column
+    assert "windowspecdefinition(__chunk" in plan
+    # chunk offsets come back via broadcast, not a shuffle join
+    assert "BroadcastExchange" in plan
+
+
+def test_minhash_signature_index_cached(spark):
+    """The signature table must be persisted: three consumers (banding +
+    two verify probes) would otherwise re-run the scan+shingle+64-hash
+    aggregation each."""
+    df = Q["dedup_minhash_lsh"].spark_fn(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
+def test_forecast_revenue_full_pushdown(spark):
+    df = Q["forecast_revenue"].spark_fn(spark, SF_ORACLE)
+    full = _optimized(df)
+    scan_line = [l for l in full.split("\n") if "FileScan parquet" in l][0]
+    # discount/quantity predicates reach the scan (the PushedFilters list
+    # is ...-truncated in toString, so assert on the visible prefix)
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual(l_discou" in scan_line
+    cols = scan_line.split("[", 1)[1].split("]", 1)[0]
+    for unused in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert unused not in cols, f"unpruned column {unused}"
+
+
+def test_volume_shipping_broadcasts_nation_dims(spark):
+    df = Q["volume_shipping"].spark_fn(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("BroadcastExchange") >= 2  # both nation aliases
+
+
+def test_contamination_check_broadcasts_benchmark_side(spark):
+    df = Q["contamination_check"].spark_fn(spark, SF_ORACLE)
+    assert "BroadcastExchange" in _plan(df)
+
+
+def test_textan_scoring_ops_no_shuffle(spark):
+    """normalize / scrub / token counts / chunking are pure per-row
+    pipelines — zero exchanges in the whole plan."""
+    for name in ("text_normalize", "pii_scrub", "chunk_documents"):
+        plan = _plan(Q[name].spark_fn(spark, SF_ORACLE))
+        assert "Exchange" not in plan, f"{name} shuffles but must not"
