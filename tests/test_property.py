@@ -8,6 +8,7 @@ import zlib
 from itertools import groupby
 
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from hadoop_fcfs_spark.bench.tera import teragen, terasort, teravalidate
 from hadoop_fcfs_spark.ops.fieldsel import parse_spec
@@ -145,3 +146,86 @@ def test_keyfield_sort_matches_python_reference(spark):
     got = [r["line"] for r in df.orderBy(*keys).collect()]
     # ties (same tuple key) are order-ambiguous: compare tuple-key sequences
     assert [py_key(l) for l in got] == [py_key(l) for l in expected]
+
+
+def test_pack_sequences_random_matches_python_reference(spark):
+    """Chunked two-level prefix sum == sequential Python reference over
+    random sparse ids and token counts, across chunk widths."""
+    import random
+
+    from hadoop_fcfs_spark.llm.packing import pack_sequences
+
+    rng = random.Random(13)
+    ids = sorted(rng.sample(range(100_000), 800))
+    rows = [(i, rng.randint(1, 900)) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, tks long")
+
+    budget = 4096
+    expected, running = {}, 0
+    for i, tk in rows:
+        expected[i] = running // budget
+        running += tk
+
+    for chunk in (97, 1000, 1_000_000):
+        got = {r["doc_id"]: r["seq_id"] for r in
+               pack_sequences(df, "doc_id", "tks", budget=budget, chunk=chunk).collect()}
+        assert got == expected, f"chunk={chunk}"
+
+
+def test_chunk_documents_random_coverage_and_reconstruction(spark):
+    """Every token is covered; every chunk except possibly the last has
+    full width; stripping the overlap prefix from chunks 1.. reconstructs
+    the document exactly."""
+    import random
+
+    from hadoop_fcfs_spark.llm.textan import chunk_documents
+
+    rng = random.Random(5)
+    docs = [(d, " ".join(f"t{d}_{i}" for i in range(rng.randint(0, 300)))) for d in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    chunk_tokens, overlap = 32, 8
+    stride = chunk_tokens - overlap
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens, overlap)
+    by_doc: dict[int, dict[int, list[str]]] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"].split()
+        assert r["n_tokens"] <= chunk_tokens
+    for d, text in docs:
+        toks = text.split()
+        if not toks:
+            assert d not in by_doc
+            continue
+        chunks = by_doc[d]
+        rebuilt = list(chunks[0])
+        for idx in range(1, max(chunks) + 1):
+            # chunk idx starts at token idx*stride: drop the overlap prefix
+            rebuilt.extend(chunks[idx][len(rebuilt) - idx * stride:])
+        assert rebuilt == toks, f"doc {d} not reconstructed"
+
+
+def test_scrub_pii_idempotent_and_preserving(spark):
+    """scrub(scrub(x)) == scrub(x), and text without PII is unchanged."""
+    import random
+
+    from hadoop_fcfs_spark.llm.textan import scrub_pii
+
+    rng = random.Random(3)
+    words = ["alpha", "beta", "x1", "dot.", "plus+", "at"]
+    rows = []
+    for i in range(60):
+        base = " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))
+        if i % 3 == 0:
+            base += f" u{i}@ex.org 10.1.2.{i % 250} +44-20-{1000 + i}"
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = scrub_pii(df, "doc_id", "text").select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = scrub_pii(once, "doc_id", "text")
+    for r in twice.join(once.select("doc_id", F.col("text").alias("c1")), "doc_id").collect():
+        assert r["clean_text"] == r["c1"]
+        assert r["n_email"] == 0 and r["n_ip"] == 0 and r["n_phone"] == 0
+    plain = {i: t for i, t in rows if i % 3 != 0}
+    got = {r["doc_id"]: r["clean_text"] for r in once.collect()}
+    for i, t in plain.items():
+        assert got[i] == t
