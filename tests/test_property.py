@@ -221,11 +221,10 @@ def test_scrub_pii_idempotent_and_preserving(spark):
     once = scrub_pii(df, "doc_id", "text").select(
         "doc_id", F.col("clean_text").alias("text")
     )
-    twice = scrub_pii(once, "doc_id", "text")
-    for r in twice.join(once.select("doc_id", F.col("text").alias("c1")), "doc_id").collect():
-        assert r["clean_text"] == r["c1"]
+    first = {r["doc_id"]: r["text"] for r in once.collect()}
+    for r in scrub_pii(once, "doc_id", "text").collect():
+        assert r["clean_text"] == first[r["doc_id"]]
         assert r["n_email"] == 0 and r["n_ip"] == 0 and r["n_phone"] == 0
     plain = {i: t for i, t in rows if i % 3 != 0}
-    got = {r["doc_id"]: r["clean_text"] for r in once.collect()}
     for i, t in plain.items():
-        assert got[i] == t
+        assert first[i] == t
