@@ -61,3 +61,57 @@ def running_counts_stateful(stream_df: DataFrame, key_col: str) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def user_stats_stateful(stream_df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Custom stateful operator on the MODERN transformWithState API
+    (Spark 4.x StatefulProcessor): per-key running (count, sum, max)
+    kept in a ValueState and re-emitted each micro-batch. The successor
+    surface to applyInPandasWithState — typed named state, timers, TTL —
+    shown here as the engine's template for arbitrary keyed streaming
+    state (reference parity: none; MR state was per-task only).
+
+    NOTE: the transformWithState state-server protocol requires
+    google.protobuf at runtime (absent in this container — the pytest
+    skips itself there); applyInPandasWithState
+    (running_counts_stateful) is the dependency-free fallback."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n long, total double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total, mx = (
+                self._state.get() if self._state.exists() else (0, 0.0, None)
+            )
+            for pdf in rows:
+                vals = pdf[value_col].astype(float)
+                n += len(pdf)
+                total += float(vals.sum())
+                m = float(vals.max()) if len(vals) else None
+                mx = m if mx is None else (m if m is not None and m > mx else mx)
+            self._state.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        UserStats(),
+        outputStructType=f"{key_col} string, n_events long, total_value double, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

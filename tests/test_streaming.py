@@ -226,3 +226,45 @@ def test_foreach_batch_idempotent_sink(spark, events_dir, tmp_path):
     q.stop()
     back = spark.read.parquet(out)
     assert back.drop("epoch").count() == src.count()
+
+
+def test_transform_with_state_user_stats(spark, events_dir):
+    """transformWithStateInPandas running (count,sum,max) per event_type:
+    the final update per key must equal the batch aggregate.
+
+    transformWithState's state-server protocol needs google.protobuf,
+    which this container doesn't ship — skip there (the operator itself
+    is plain DataFrame API and runs wherever protobuf exists)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from hadoop_fcfs_spark.streaming.sessionize import user_stats_stateful
+
+    stream = stream_from_dir(spark, events_dir, _events_schema(spark, events_dir)).select(
+        F.col("event_type").cast("string").alias("event_type"), "value"
+    )
+    stats = user_stats_stateful(stream, "event_type", "value")
+    q = run_to_memory(stats, "tws_out", output_mode="update")
+    try:
+        rows = spark.sql(
+            """SELECT event_type, max_by(n_events, n_events) AS n,
+                      max_by(total_value, n_events) AS tot,
+                      max_by(max_value, n_events) AS mx
+               FROM tws_out GROUP BY event_type"""
+        ).collect()
+    finally:
+        q.stop()
+    batch = {
+        r["event_type"]: (r["n"], r["tot"], r["mx"])
+        for r in t(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("tot"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    got = {r["event_type"]: (r["n"], r["tot"], r["mx"]) for r in rows}
+    assert set(got) == set(batch)
+    for k, (n, tot, mx) in got.items():
+        bn, btot, bmx = batch[k]
+        assert n == bn and mx == bmx and abs(tot - btot) < 1e-6
