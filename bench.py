@@ -63,9 +63,17 @@ def terasort_bench(spark, sf_dir):
 def run(spark, name, fn, repeats: int = 2) -> float:
     """Steady-state wall clock: min of `repeats` runs (single-run numbers
     swing 2-6× on GC/JIT noise at this small scale; min-of-N is the
-    stable estimator of the plan's actual cost)."""
+    stable estimator of the plan's actual cost).
+
+    The cache is cleared before EACH repeat: operators that persist
+    internal waypoints (minhash signature index, corpus_pipeline) would
+    otherwise serve repeat 2 from the round-1 cache and the min would
+    measure a warm rerun, not the query. Within-run reuse (one
+    materialization feeding several consumers) is the legitimate thing
+    being measured; cross-run cache hits are not."""
     best = None
     for _ in range(repeats):
+        spark.catalog.clearCache()
         start = time.perf_counter()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()

@@ -37,12 +37,17 @@ def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     expressions over the raw text would re-split the document for every
     element access (O(len²) per doc — measured 20× slower at sf0.1).
     """
+    # Empty tokens are dropped BEFORE shingling (split on \s+ yields ''
+    # for leading whitespace / consecutive separators) — so shingles are
+    # defined over the clean token sequence and agree with the ANSI-SQL
+    # oracles' list_filter(regexp_split_to_array(text,'\s+'), w -> w <> '').
     words_df = df.select(
-        F.col(id_col).alias("doc"), F.split(F.col(text_col), r"\s+").alias("__w")
+        F.col(id_col).alias("doc"),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")).alias("__w"),
     )
     w = F.col("__w")
     if n == 1:
-        grams = F.filter(w, lambda x: x != F.lit(""))
+        grams = w
     else:
         # guard: docs shorter than n words have no shingles (sequence()
         # would otherwise count downwards and index from the end)
@@ -193,7 +198,11 @@ def minhash_lsh_pairs(
     # One row per doc (64 longs + the doc's gram-hash set) — comparable
     # to the corpus itself, so MEMORY_AND_DISK is safe at any scale where
     # the corpus is storable; this is the "store the signature index"
-    # step every production MinHash pipeline has anyway.
+    # step every production MinHash pipeline has anyway. Lifetime note:
+    # the cache is keyed by logical plan (CacheManager dedups identical
+    # calls) and lives until session end / ContextCleaner GC — callers
+    # running many DISTINCT corpora through one session should
+    # spark.catalog.clearCache() between them.
     from pyspark import StorageLevel
 
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)

@@ -321,10 +321,16 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     one aggregation (word-count shape, map-side partials). Entropy in
     floor-micro bits for engine portability.
     Output: (id, n_chars, entropy_e6)."""
+    # length=0 guard: sequence(1, 0) counts DOWNWARD ([1, 0]) — the same
+    # pitfall _gram_rows guards against; empty docs must yield no chars.
     base = df.select(
         F.col(id_col),
         F.explode(
-            F.expr(f"transform(sequence(1, length({text_col})), i -> substring({text_col}, i, 1))")
+            F.expr(
+                f"CASE WHEN length({text_col}) > 0 THEN "
+                f"transform(sequence(1, length({text_col})), i -> substring({text_col}, i, 1)) "
+                f"ELSE array() END"
+            )
         ).alias("__c"),
     )
     counted = base.groupBy(id_col, "__c").agg(F.count("*").alias("__n"))
@@ -386,8 +392,14 @@ def chunk_documents(
 def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Smoothed TF-IDF per (doc, term): tf = in-doc term count,
     df = docs containing the term, idf = ln((N+1)/(df+1)) + 1.
-    Two word-count-shaped aggregations + a broadcast scalar for N;
-    weights in floor-micro units for engine portability.
+    Two word-count-shaped aggregations + a broadcast SCALAR for N. The
+    document-frequency table is vocabulary-sized (every distinct token)
+    — NEVER broadcast it; tf→dfreq→join all shuffle on `term`, so the
+    df join co-locates with no extra exchange at any corpus scale.
+    Weights in floor-micro units (note: involves ln(), so cross-engine
+    equality additionally assumes matching libm rounding — observed
+    exact on JVM vs DuckDB here; pure-arithmetic micro-floors elsewhere
+    don't carry that assumption).
     Output: (id, term, tf, doc_freq, tfidf_e6)."""
     toks = _tokens(text_col)
     pairs = df.select(F.col(id_col), F.explode(toks).alias("term"))
@@ -396,7 +408,7 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_docs = df.select(F.countDistinct(id_col).alias("__N"))
     idf = F.log((F.col("__N") + 1) / (F.col("doc_freq") + 1)) + 1
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),

@@ -417,3 +417,18 @@ def test_char_entropy_known_values(spark):
     assert out[1] == (4, 0)          # uniform single char → H=0
     assert out[2] == (4, 1_000_000)  # two chars 50/50 → H=1 bit
     assert out[3] == (4, 2_000_000)  # four distinct → H=2 bits
+
+
+def test_gram_rows_irregular_whitespace(spark):
+    """Shingles are defined over the CLEAN token sequence: consecutive /
+    leading / tab-newline whitespace must not create empty tokens or
+    whitespace-polluted grams (oracle-parity-critical: the SQL side
+    filters empty tokens the same way)."""
+    from hadoop_fcfs_spark.llm.dedup import _gram_rows
+
+    df = spark.createDataFrame(
+        [(1, "  a  b\tc\nd "), (2, "a b c d")], "doc_id long, text string"
+    )
+    grams = {(r["doc"], r["gram"]) for r in _gram_rows(df, "doc_id", "text", 3).collect()}
+    expected = {(d, g) for d in (1, 2) for g in ("a b c", "b c d")}
+    assert grams == expected
