@@ -62,7 +62,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH grams AS (
       SELECT DISTINCT doc_id AS doc, array_to_string(ws[i:i+2], ' ') AS gram
       FROM (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 2)) AS i
-            FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws FROM documents))
+            FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws FROM documents))
     ),
     sizes AS (SELECT doc, COUNT(*) AS n_grams FROM grams GROUP BY doc),
     inter AS (
@@ -88,7 +88,7 @@ _EXACT_PAIRS = """
     grams AS (
       SELECT DISTINCT doc_id AS doc, array_to_string(ws[i:i+2], ' ') AS gram
       FROM (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 2)) AS i
-            FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws FROM {src}))
+            FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws FROM {src}))
     ),
     sizes AS (SELECT doc, COUNT(*) AS n_grams FROM grams GROUP BY doc),
     inter AS (
@@ -624,12 +624,12 @@ def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cg AS (
       SELECT DISTINCT doc_id, array_to_string(ws[i:i+12], ' ') AS gram
       FROM (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 12)) AS i
-            FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws FROM corpus))
+            FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws FROM corpus))
     ),
     bg AS (
       SELECT DISTINCT doc_id AS bench_id, array_to_string(ws[i:i+12], ' ') AS gram
       FROM (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 12)) AS i
-            FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws FROM bench))
+            FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws FROM bench))
     )
     SELECT bench_id, doc_id, COUNT(*) AS shared_ngrams
     FROM cg JOIN bg USING (gram)
