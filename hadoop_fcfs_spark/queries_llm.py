@@ -827,3 +827,37 @@ def tf_idf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.llm.textan import tf_idf
 
     return tf_idf(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "near_dedup_clustered",
+    oracle="WITH RECURSIVE " + _EXACT_PAIRS.format(src="documents", thr=0.8) + """,
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT src AS doc, src AS comp FROM edges
+      UNION
+      SELECT e.dst AS doc, r.comp AS comp FROM reach r JOIN edges e ON e.src = r.doc
+    ),
+    labels AS (SELECT doc, MIN(comp) AS component FROM reach GROUP BY doc)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT doc FROM labels WHERE doc <> component)
+    """,
+    doc="Near-dedup with exact transitive-closure clusters: pairs -> "
+    "connected components -> keep ONE representative (the min id) per "
+    "component, unlike the greedy near_dedup which over-removes chains. "
+    "Oracle replays the closure via recursive CTE and drops every "
+    "non-representative member. Gate feeds the components from the exact "
+    "Jaccard pairs so the keep-set is oracle-defined.",
+)
+def near_dedup_clustered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.dedup import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("doc") != F.col("component")).select(
+        F.col("doc").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "source")
