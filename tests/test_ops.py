@@ -295,3 +295,43 @@ def test_as_of_join_basic_null_and_ties(spark):
     assert out[10] == (200, 2)           # tie at ts=10 → greatest rid
     assert out[15] == (200, 2)
     assert out[25] == (None, 3)          # matched row rid=3 has NULL price: kept NULL
+
+
+def test_wrapper_surface_smoke(spark, tmp_path):
+    """Thin built-in wrappers (covered operators, uncovered entry points):
+    csv/orc round-trips, inverse, noop sink, records counter, load_tables
+    view registration, total_order_sort global ordering."""
+    from hadoop_fcfs_spark.io.readers import read_csv, read_orc
+    from hadoop_fcfs_spark.io.writers import write_noop
+    from hadoop_fcfs_spark.metrics import records_counter
+    from hadoop_fcfs_spark.ops.sort import total_order_sort
+    from hadoop_fcfs_spark.ops.textops import inverse
+    from hadoop_fcfs_spark.session import load_tables
+
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 0)], "key string, value int")
+    # csv round-trip
+    cdir = str(tmp_path / "c")
+    df.write.mode("overwrite").csv(cdir)
+    back = read_csv(spark, cdir, schema="key string, value int")
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    # orc round-trip
+    odir = str(tmp_path / "o")
+    df.write.mode("overwrite").orc(odir)
+    assert {tuple(r) for r in read_orc(spark, odir).collect()} == {tuple(r) for r in df.collect()}
+    # inverse swaps and renames
+    assert inverse(df).columns == ["key", "value"]
+    assert (1, "a") in {tuple(r) for r in inverse(df).collect()}
+    # noop sink executes the plan (no exception, no output dir)
+    write_noop(df)
+    # observation counter sees all rows after an action
+    counted_df, obs = records_counter(df)
+    counted_df.write.format("noop").mode("overwrite").save()
+    assert obs.get["count"] == 3
+    # load_tables registers temp views readable via SQL
+    loaded = load_tables(spark, "/root/testdata/sf0.001", ("region", "nation"))
+    assert set(loaded) == {"region", "nation"}
+    assert spark.sql("SELECT COUNT(*) AS n FROM region").collect()[0]["n"] == 5
+    # total order sort: globally ascending across partitions
+    big = spark.range(0, 10_000).select((F.col("id") * 2654435761 % 1_000_003).alias("k"))
+    vals = [r["k"] for r in total_order_sort(big, "k").collect()]
+    assert vals == sorted(vals)
