@@ -1582,3 +1582,75 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "min_acctbal_supplier",
+    oracle="""
+    SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS s_acctbal, n_name
+    FROM supplier s
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+                       WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+    doc="TPC-H Q2-shaped: per-group correlated scalar MIN subquery (the "
+    "min-cost-supplier plan shape; acctbal stands in for the absent "
+    "partsupp supplycost) — decorrelated into a per-nation MIN aggregate "
+    "equi-joined back, dims broadcast.",
+)
+def min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    mins = sup.groupBy(F.col("s_nationkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        sup.join(F.broadcast(mins), (F.col("s_nationkey") == F.col("mk"))
+                 & (F.col("s_acctbal") == F.col("min_bal")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select(
+            "s_suppkey", "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"), "n_name",
+        )
+    )
+
+
+@register(
+    "excess_volume_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY l_suppkey HAVING SUM(l_quantity) > 50)
+    """,
+    doc="TPC-H Q20-shaped: nested IN-subquery chain — suppliers from a "
+    "nation set who shipped more than a volume threshold of pattern-"
+    "matched parts (availqty has no driver column, so shipped quantity "
+    "stands in). IN decorrelates to a semi join on the HAVING aggregate.",
+)
+def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    heavy = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        sup.join(heavy, "s_suppkey", "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
