@@ -8,9 +8,12 @@ their outputs are exact-verified (Jaccard / cosine), so whenever LSH
 recall is complete the result equals a SQL-expressible exact pair set
 (recall verified 100% at sf0.01 and sf0.1 for these thresholds; the
 computation is deterministic xxhash64, so a local pass is a driver
-pass). Winnowing gates run a portable md5_60 hash variant. Only
-dedup_simhash (the simhash VALUE is the semantic) and ann_rp_lsh_topk
-(xxhash hyperplanes) remain rows-only, covered by invariant pytests.
+pass). Winnowing gates run a portable md5_60 hash variant.
+dedup_simhash and ann_rp_lsh_topk (whose xxhash64-derived internals
+DuckDB cannot replay) use planted self-validating oracles: exact
+copies unioned in-plan whose expected pair/top-k set is computable
+exactly in SQL (hamming 0 / cosine 1.0); organic-behavior invariants
+stay in pytest.
 """
 
 from __future__ import annotations
@@ -125,13 +128,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based; invariants tested in tests/test_llm.py
-    doc="SimHash-64 near-dup pairs (hamming ≤ 3, the 4-band pigeonhole-complete radius) "
-    "via 16-bit band candidates.",
+    oracle="""
+    SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b, CAST(0 AS INT) AS hamming
+    FROM documents WHERE doc_id < 20
+    """,
+    doc="SimHash-64 near-dup pairs (hamming ≤ 3, the 4-band pigeonhole-complete "
+    "radius) via 16-bit band candidates. Planted self-validating value gate: "
+    "exact copies of the 20 lowest-id docs are unioned in-plan at doc_id+1e6; "
+    "identical text → identical term frequencies → identical signature, so the "
+    "banding + bit_count-verify path MUST surface each (d, d+1e6) pair at "
+    "hamming 0. The gate projects exactly those pairs (organic near-pairs have "
+    "xxhash64-dependent hamming values DuckDB cannot replay; their invariants "
+    "stay covered in tests/test_llm.py). Max organic doc_id ≪ 1e6 and planted "
+    "ids stop at 1e6+19, so the doc_b = doc_a + 1e6 projection can admit only "
+    "the planted pairs.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    copies = docs.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    pairs = simhash_pairs(docs.unionByName(copies), "doc_id", "text", max_hamming=3)
+    return pairs.filter(F.col("doc_b") == F.col("doc_a") + F.lit(1_000_000))
 
 
 @register(
@@ -744,15 +762,40 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_rp_lsh_topk",
-    oracle=None,  # xxhash64-derived hyperplanes; recall invariants in pytest
+    oracle="""
+    SELECT q.vec_id AS query_id,
+           1000000 + q.vec_id * 3 + j AS vec_id,
+           1.0::DOUBLE AS cos,
+           CAST(j + 1 AS INT) AS rank
+    FROM embeddings q, generate_series(0, 2) s(j)
+    WHERE q.vec_id < 10
+    """,
     doc="Random-hyperplane LSH ANN (llm.similarity.rp_lsh_topk): sign-pattern "
-    "buckets + drop-one-bit multi-probe, exact cosine within candidates.",
+    "buckets, exact cosine within candidates. Planted self-validating value "
+    "gate: 3 exact copies of each of the 10 query vectors are unioned in-plan "
+    "at vec_id 1e6+3q+j. An identical vector has identical projections, hence "
+    "shares EVERY bucket with its query (recall 1 by construction), and its "
+    "cosine rounds to exactly 1.0 — while the organic corpus is "
+    "near-orthogonal (max pairwise cos ≈ 0.48), so the top-3 per query MUST "
+    "be the 3 planted copies ranked by vec_id. Bucket-recall invariants for "
+    "organic vectors stay covered in pytest.",
 )
 def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.llm.similarity import rp_lsh_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    return rp_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+    queries = emb.filter(F.col("vec_id") < 10)
+    copies = queries.select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+    ).select(
+        (F.lit(1_000_000) + F.col("vec_id") * 3 + F.col("j")).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    return rp_lsh_topk(emb.unionByName(copies), queries, k=3)
 
 
 @register(
