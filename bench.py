@@ -71,8 +71,11 @@ def run(spark, name, fn, repeats: int = 2) -> float:
     measure a warm rerun, not the query. Within-run reuse (one
     materialization feeding several consumers) is the legitimate thing
     being measured; cross-run cache hits are not."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
     best = None
     for _ in range(repeats):
+        release_waypoints()  # drop tracked operator waypoints explicitly
         spark.catalog.clearCache()
         start = time.perf_counter()
         df = fn(spark, SF_DIR)

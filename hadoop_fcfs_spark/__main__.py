@@ -53,6 +53,10 @@ def main(argv: list[str] | None = None) -> int:
         print(f"wrote {args.out}")
     else:
         df.show(args.limit, truncate=False)
+
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()  # operator-internal persists are query-scoped here
     return 0
 
 

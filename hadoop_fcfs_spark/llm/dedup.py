@@ -198,14 +198,12 @@ def minhash_lsh_pairs(
     # One row per doc (64 longs + the doc's gram-hash set) — comparable
     # to the corpus itself, so MEMORY_AND_DISK is safe at any scale where
     # the corpus is storable; this is the "store the signature index"
-    # step every production MinHash pipeline has anyway. Lifetime note:
-    # the cache is keyed by logical plan (CacheManager dedups identical
-    # calls) and lives until session end / ContextCleaner GC — callers
-    # running many DISTINCT corpora through one session should
-    # spark.catalog.clearCache() between them.
-    from pyspark import StorageLevel
+    # step every production MinHash pipeline has anyway. Lifetime:
+    # tracked via caching.waypoint — hosts call
+    # caching.release_waypoints() between corpora / bench repeats.
+    from hadoop_fcfs_spark.caching import waypoint
 
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = waypoint(sig)
     band_arr = F.array(
         *[
             F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])

@@ -44,6 +44,68 @@ def top_k(df: DataFrame, k: int, *keys: Column | str) -> DataFrame:
     return df.orderBy(*keys).limit(k)
 
 
+def ranked_total_order(
+    df: DataFrame,
+    keys: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally sorted output with a materialized 1-based global rank,
+    WITHOUT the single-partition ``row_number().over(Window.orderBy(...))``
+    scale-killer (one WindowExec task swallowing the whole table).
+
+    Two-level decomposition (the ``llm/packing.py`` prefix-sum shape,
+    applied to ranking):
+      1. ``repartitionByRange`` on the sort keys — the one full-data
+         shuffle, identical to what a plain global sort pays — then
+         ``sortWithinPartitions``. Range partition ids are ordered by
+         key, so partition p holds exactly the ranks after all rows of
+         partitions < p.
+      2. Per-partition enumeration via ``monotonically_increasing_id()``:
+         the id is ``(partition_index << 33) | row_index_in_partition``,
+         assigned AFTER the sort (nondeterministic expressions are not
+         pushed through sorts), so it yields both the partition id and
+         the local 0-based rank in pure JVM codegen — no extra shuffle,
+         no Python.
+      3. Offsets = exclusive prefix sum over the per-partition COUNTS —
+         a single-partition window over #partitions summary rows only —
+         broadcast-joined back.
+
+    Ranks equal the unpartitioned-window ranks whenever the keys form a
+    total order (add a unique tiebreaker otherwise, as with any
+    row_number).
+
+    The enumerated table is a tracked persist waypoint
+    (``caching.waypoint``): it feeds both the count summary and the
+    final join, and its lineage is nondeterministic (range sampling +
+    monotonically_increasing_id) — re-derivation per branch could
+    disagree, so it must materialize once.
+    """
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.caching import waypoint
+
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    mid = F.monotonically_increasing_id()
+    local = waypoint(
+        df.repartitionByRange(int(parts), *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("__mid", mid)
+        .withColumn("__pid", F.shiftright("__mid", 33))
+        .withColumn("__loc", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
+    )
+    counts = local.groupBy("__pid").agg(F.count("*").alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__loc") + F.col("__off") + 1).cast("int"))
+        .drop("__mid", "__pid", "__loc", "__off")
+    )
+
+
 def grouped_sorted_apply(
     df: DataFrame,
     group_cols: list[str],

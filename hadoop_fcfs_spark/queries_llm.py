@@ -329,10 +329,9 @@ def near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set; LSH recall verified complete at threshold 0.85).",
 )
 def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.caching import waypoint
     from hadoop_fcfs_spark.llm.dedup import exact_dedup, near_dedup
     from hadoop_fcfs_spark.llm.textan import quality_score, token_counts
-
-    from pyspark import StorageLevel
 
     docs = t(spark, sf_dir, "documents")
     # 1. quality gate: drop the bottom tail
@@ -340,12 +339,11 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     good = docs.join(q.filter(F.col("quality_e6") >= 300_000), "doc_id", "left_semi")
     # 2. exact dedup, 3. near dedup (LSH). The survivors feed THREE
     # consumers each (near-dedup shingling, the anti join, token
-    # accounting) — persist the two pipeline waypoints so the
-    # quality+dedup chain isn't re-derived per consumer.
-    unique = exact_dedup(good, "doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
-    kept = near_dedup(unique, "doc_id", "text", threshold=0.85).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # accounting) — persist the two pipeline waypoints (tracked, see
+    # caching.py) so the quality+dedup chain isn't re-derived per
+    # consumer.
+    unique = waypoint(exact_dedup(good, "doc_id", "text"))
+    kept = waypoint(near_dedup(unique, "doc_id", "text", threshold=0.85))
     # 4. token accounting for the surviving corpus
     counts = token_counts(kept, "doc_id", "text")
     return kept.select("doc_id", "lang", "source").join(counts, "doc_id")

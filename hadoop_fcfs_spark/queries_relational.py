@@ -663,9 +663,7 @@ def sorted_group_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     'Unix sort -k3nr -k1 -k2n over separator-split fields, compiled to expression sort keys.',
 )
 def keyfield_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from hadoop_fcfs_spark.ops.sort import key_field_sort_keys
+    from hadoop_fcfs_spark.ops.sort import key_field_sort_keys, ranked_total_order
 
     customer = t(spark, sf_dir, "customer")
     lines = customer.select(
@@ -677,7 +675,9 @@ def keyfield_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("line")
     )
     keys = key_field_sort_keys("line", [(2, True, True), (0, False, False), (1, True, False)])
-    return lines.select("line", F.row_number().over(Window.orderBy(*keys)).alias("rank"))
+    # ranked_total_order, NOT row_number over an unpartitioned window:
+    # the latter funnels the whole table through one WindowExec task.
+    return ranked_total_order(lines, keys, rank_col="rank").select("line", "rank")
 
 
 @register(

@@ -57,6 +57,32 @@ def test_topk_is_take_ordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in _plan(df)
 
 
+def test_rank_filter_gates_are_limit_pushed(spark):
+    """The rank()<=k / row_number()<=k filter gates must compile through
+    LimitPushDownThroughWindow: a TakeOrderedAndProject(limit=k) below the
+    final Window bounds the unpartitioned window's input to k rows. Without
+    it each would single-partition-sort the whole aggregate output."""
+    for name, k in (("shipping_priority", 10), ("grep_top", 20), ("returned_items_topk", 20)):
+        plan = _plan(Q[name].spark_fn(spark, SF_ORACLE))
+        assert f"TakeOrderedAndProject(limit={k}" in plan, f"{name}: rank filter not limit-pushed"
+
+
+def test_keyfield_sort_no_full_table_window(spark):
+    """Global rank via ranked_total_order: range partition + per-partition
+    enumeration (monotonically_increasing_id) + broadcast offsets. The only
+    SinglePartition exchange allowed is over the per-partition COUNT summary;
+    the data itself must never flow through row_number() or a one-task sort."""
+    df = Q["keyfield_sort"].spark_fn(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "row_number()" not in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    # offsets come back via broadcast join, and both consumers of the
+    # enumerated table read the SAME materialization (nondeterministic
+    # lineage: range sampling + monotonically_increasing_id)
+    assert "BroadcastExchange" in plan
+    assert plan.count("InMemoryTableScan") == 2
+
+
 def test_exact_dedup_never_shuffles_documents(spark):
     """exact_dedup shuffles (digest, id) only; the full text column must
     stay out of the exchange."""
