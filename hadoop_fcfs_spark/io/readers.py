@@ -170,8 +170,9 @@ def read_jdbc(
     """JDBC scan. With partition_column, Spark issues one range query
     per partition over [lower, upper] — the reference's
     DataDrivenDBInputFormat MIN..MAX splitters (IntegerSplitter.java:37
-    etc.). Needs a JDBC driver jar on the classpath (not in this
-    container — gated by the caller)."""
+    etc.). Embedded Derby (on Spark's classpath) proves the path
+    end-to-end (tests/test_io.py, dbcount_pageview gate); any other
+    dialect only needs its driver jar in spark.jars."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
         reader = (

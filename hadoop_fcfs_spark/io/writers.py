@@ -144,7 +144,10 @@ def write_noop(df: DataFrame) -> None:
 
 
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
-    """Generated-INSERT writes (DBOutputFormat). Driver jar required."""
+    """Generated-INSERT writes (DBOutputFormat.java:50). Proven
+    end-to-end against embedded Derby (dbcount_pageview gate +
+    tests/test_io.py); other dialects need their driver jar in
+    spark.jars."""
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
     for k, v in options.items():
         writer = writer.option(k, v)

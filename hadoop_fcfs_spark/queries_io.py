@@ -83,3 +83,49 @@ def kv_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(pos > 0, F.substring_index("text", " ", 1)).otherwise(F.col("text")).alias("key"),
         F.when(pos > 0, F.expr("substring(text, instr(text, ' ') + 1)")).otherwise(F.lit("")).alias("value"),
     )
+
+
+@register(
+    "dbcount_pageview",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS views
+    FROM events WHERE event_id % 97 = 0 GROUP BY event_type
+    """,
+    doc="DBCountPageView parity (examples/.../DBCountPageView.java:61) — the "
+    "full DB-in/DB-out cycle against an embedded Derby database (Derby ships "
+    "on Spark's classpath as the metastore dependency, so this runs "
+    "everywhere the engine runs): load an ACCESS table over JDBC "
+    "(DBOutputFormat generated INSERTs, DBOutputFormat.java:50), scan it "
+    "back with DataDrivenDB-style range splits on the integer key "
+    "(DBInputFormat.java:61; MIN/MAX split metadata mirrors "
+    "DataDrivenDBInputFormat's getSplits bounds query), aggregate views per "
+    "type, write the PAGEVIEW result table over JDBC, and return its "
+    "contents. The 1-in-97 event sample keeps INSERT volume bounded at any "
+    "SF; the embedded DB lives in a per-call temp dir (Derby keeps it booted "
+    "for the session — tests exercise the ;shutdown=true teardown).",
+)
+def dbcount_pageview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_fcfs_spark.io.readers import read_jdbc
+    from hadoop_fcfs_spark.io.writers import write_jdbc
+
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='fcfs_derby_')}/db;create=true"
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    access = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 97 == 0)
+        .select("event_id", "user_id", "event_type")
+    )
+    write_jdbc(access, url, "ACCESS", mode="overwrite", **drv)
+    # split metadata: two scalars, the same MIN/MAX bounds query the
+    # reference's DataDrivenDBInputFormat issues in getSplits
+    lo, hi = access.agg(F.min("event_id"), F.max("event_id")).first()
+    scanned = read_jdbc(
+        spark, url, "ACCESS",
+        partition_column="event_id", lower_bound=lo, upper_bound=hi,
+        num_partitions=8, **drv,
+    )
+    views = scanned.groupBy("event_type").agg(F.count("*").alias("views"))
+    write_jdbc(views, url, "PAGEVIEW", mode="overwrite", **drv)
+    return read_jdbc(spark, url, "PAGEVIEW", **drv)
