@@ -66,6 +66,77 @@ def test_pipe_map_transform(spark):
     assert sorted(map(tuple, out.collect())) == [("X", "HELLO"), ("Y", "WORLD")]
 
 
+def test_pipe_typedbytes_cat_binary_roundtrip(spark):
+    """`-io typedbytes` parity: payloads with newlines, tabs and NULs
+    survive a passthrough subprocess — the exact case the line-framed
+    text mode cannot carry."""
+    from hadoop_fcfs_spark.udf.pipes import pipe_map_typedbytes
+
+    rows = [
+        (b"k\n1", b"va\tl\x00ue"),
+        (b"\x00\xff\xfe", b"line1\nline2\n"),
+        (b"plain", b""),
+    ]
+    df = spark.createDataFrame(rows, "key binary, value binary")
+    out = pipe_map_typedbytes(df, "cat")
+    assert out.schema.simpleString() == "struct<key:binary,value:binary>"
+    assert sorted((bytes(r["key"]), bytes(r["value"])) for r in out.collect()) == sorted(rows)
+
+
+def test_pipe_typedbytes_transform_app(spark, tmp_path):
+    """A TypedBytesMapApp-shaped subprocess (reference
+    tools/hadoop-streaming/src/test/.../TypedBytesMapApp.java): decode
+    frames, transform, re-encode — here swapping key/value and
+    doubling int values, exercising non-BYTES wire types both ways."""
+    import sys
+    from pathlib import Path
+
+    from hadoop_fcfs_spark.udf.pipes import pipe_map_typedbytes
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    app = tmp_path / "tb_swap.py"
+    app.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "from hadoop_fcfs_spark.udf.typedbytes import decode_stream, encode\n"
+        "frames = decode_stream(sys.stdin.buffer)\n"
+        "for k in frames:\n"
+        "    v = next(frames)\n"
+        "    out = encode(v * 2) + encode(k)\n"
+        "    sys.stdout.buffer.write(out)\n"
+    )
+    df = spark.createDataFrame([("a", 10), ("b", 21)], "key string, value long")
+    out = pipe_map_typedbytes(
+        df, [sys.executable, str(app)], output_schema="key long, value string"
+    )
+    assert sorted(map(tuple, out.collect())) == [(20, "a"), (42, "b")]
+
+
+def test_typedbytes_codec_all_wire_types():
+    """Encode→decode identity across the Type.java code table, including
+    nested VECTOR/MAP and int32/int64 boundary selection."""
+    import io as _io
+
+    from hadoop_fcfs_spark.udf.typedbytes import decode_stream, encode
+
+    vals = [
+        b"\x00raw\nbytes",
+        True,
+        False,
+        -(2**31),
+        2**31 - 1,
+        2**31,  # first value that must go out as LONG
+        -(2**63),
+        3.5,
+        "uni\tcode\n",
+        [1, "two", b"three"],
+        {"k": 1, "b": b"v"},
+    ]
+    blob = b"".join(encode(v) for v in vals)
+    got = list(decode_stream(_io.BytesIO(blob)))
+    assert got == vals
+
+
 def test_map_records_udtf_shape_and_lifecycle(spark):
     df = spark.createDataFrame([("a b",), ("c",), ("",)], "text string")
 
