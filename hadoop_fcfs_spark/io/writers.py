@@ -105,20 +105,101 @@ def write_side_outputs(
         df.unpersist()
 
 
+def write_routed_text(
+    df: DataFrame,
+    path: str,
+    filename_col: str = "filename",
+    line_col: str = "line",
+    mode: str = "overwrite",
+) -> int:
+    """Old-API ``MultipleTextOutputFormat`` parity
+    (``mr-core/mapred/lib/MultipleTextOutputFormat.java``:
+    ``generateFileNameForKeyValue`` returns an arbitrary, possibly
+    nested, per-record filename): every record lands in
+    ``<path>/<filename_col value>``, one text line per record.
+
+    Spark-first shape: the filename is a derived ROUTING COLUMN (the
+    caller expresses f(record) as a column expression), written with
+    ``partitionBy`` after a hash repartition on it — so each distinct
+    filename is produced by exactly one task (the same "key-partition
+    your records per name" discipline MR users needed, made structural).
+    A driver-side commit pass then renames each escaped
+    ``__route=<name>`` directory to the literal filename through the
+    Hadoop FileSystem API (FS-agnostic: local/HDFS/S3A). The commit is
+    O(#distinct filenames) driver work — file count is the scale unit
+    of this format, exactly as it was for the reference.
+
+    Null filenames are rejected; ``..`` path segments are rejected
+    (traversal guard). Returns the number of files committed."""
+    from urllib.parse import unquote
+
+    tagged = df.select(
+        F.col(filename_col).alias("__route"), F.col(line_col).cast("string").alias("value")
+    )
+    tagged.repartition("__route").write.mode(mode).partitionBy("__route").text(path)
+
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(path)
+    fs = base.getFileSystem(hconf)
+    committed = 0
+    for st in fs.listStatus(base):
+        dirname = st.getPath().getName()
+        if not dirname.startswith("__route="):
+            continue
+        rel = unquote(dirname[len("__route=") :])
+        if rel == "__HIVE_DEFAULT_PARTITION__":
+            raise ValueError("null filename in routed write (a record produced NULL route)")
+        if ".." in rel.split("/"):
+            raise ValueError(f"refusing path-traversal filename {rel!r}")
+        parts = sorted(
+            (s.getPath() for s in fs.listStatus(st.getPath()) if s.getPath().getName().startswith("part-")),
+            key=lambda p: p.getName(),
+        )
+        target = jvm.org.apache.hadoop.fs.Path(base, rel)
+        if target.getParent() is not None:
+            fs.mkdirs(target.getParent())
+        for i, part in enumerate(parts):
+            # one part per route by construction (hash repartition on the
+            # route); numbered suffixes keep any maxRecordsPerFile split safe
+            dest = target if i == 0 else jvm.org.apache.hadoop.fs.Path(base, f"{rel}-{i:05d}")
+            fs.rename(part, dest)
+            committed += 1
+        fs.delete(st.getPath(), True)
+    return committed
+
+
 def write_sorted_bucketed(
     df: DataFrame,
     table_name: str,
     bucket_col: str,
     num_buckets: int = 16,
     sort_col: str | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_ndv: int = 100_000,
 ) -> None:
     """MapFileOutputFormat parity: sorted, indexed output supporting
     point lookups — bucketed+sorted parquet table; later equi-joins or
     lookups on the bucket column skip the shuffle (SURVEY §2.3
-    CompositeInputFormat's pre-partitioned contract)."""
+    CompositeInputFormat's pre-partitioned contract).
+
+    ``bloom_cols`` adds the BloomMapFile tier
+    (``common/io/BloomMapFile.java``: a membership filter in front of the
+    MapFile index): parquet writes a split-block bloom filter per row
+    group for each listed column, and the reader's pushed point predicate
+    consults it to skip row groups whose min/max stats alone cannot rule
+    the key out — the same negative-lookup fast path BloomMapFile.get
+    provides. Size ``bloom_ndv`` to the expected distinct keys per file
+    (over-sizing costs footer bytes, under-sizing raises the false-positive
+    rate — DynamicBloomFilter's errorRate knob in the reference)."""
     writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
+    for c in bloom_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv)
+        )
     writer.format("parquet").saveAsTable(table_name)
 
 

@@ -215,6 +215,92 @@ def test_bucketed_table_point_lookup(spark, tmp_path):
     spark.sql("DROP TABLE kv_bucketed")
 
 
+def test_routed_text_filename_from_record(spark, tmp_path):
+    """MultipleTextOutputFormat parity: per-record filenames, nested
+    subdirectories, exact file placement and contents."""
+    from hadoop_fcfs_spark.io.writers import write_routed_text
+
+    rows = [
+        ("2024/jan.log", "a 1"),
+        ("2024/jan.log", "a 2"),
+        ("2024/feb.log", "b 1"),
+        ("misc notes.txt", "c 1"),
+    ]
+    df = spark.createDataFrame(rows, "filename string, line string")
+    base = str(tmp_path / "routed")
+    n = write_routed_text(df, base)
+    assert n == 3
+    jan = sorted((tmp_path / "routed" / "2024" / "jan.log").read_text().splitlines())
+    assert jan == ["a 1", "a 2"]
+    assert (tmp_path / "routed" / "2024" / "feb.log").read_text().splitlines() == ["b 1"]
+    assert (tmp_path / "routed" / "misc notes.txt").read_text().splitlines() == ["c 1"]
+    # no leftover staging dirs
+    assert not [p for p in os.listdir(base) if p.startswith("__route=")]
+
+
+def test_routed_text_rejects_traversal_and_null(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.io.writers import write_routed_text
+
+    df = spark.createDataFrame([("../escape.txt", "x")], "filename string, line string")
+    with pytest.raises(ValueError, match="traversal"):
+        write_routed_text(df, str(tmp_path / "r1"))
+    df2 = spark.createDataFrame([("ok", "x")], "filename string, line string").select(
+        F.lit(None).cast("string").alias("filename"), "line"
+    )
+    with pytest.raises(ValueError, match="NULL route"):
+        write_routed_text(df2, str(tmp_path / "r2"))
+
+
+def test_bloom_mapfile_tier(spark):
+    """BloomMapFile parity (common/io/BloomMapFile.java): the written
+    parquet files must carry a bloom filter on the key column (verified
+    in the footer through parquet-mr), the point predicate must reach
+    the scan as a pushed filter (so the reader consults the bloom to
+    skip row groups), and a negative lookup — BloomMapFile's fast
+    path — returns empty."""
+    import shutil
+
+    from hadoop_fcfs_spark.io.writers import lookup_bucketed, write_sorted_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS kv_bloom")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, "kv_bloom"), ignore_errors=True)
+    # scatter values so min/max row-group stats are useless for pruning
+    # (every group spans the full range) — only the bloom can say "absent"
+    df = spark.range(2000).selectExpr("CAST(hash(id) AS LONG) AS k", "CAST(id AS STRING) AS v")
+    write_sorted_bucketed(df, "kv_bloom", "k", num_buckets=4, bloom_cols=["k"], bloom_ndv=2000)
+
+    # footer: bloom present on k, absent on v
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    table_dir = os.path.join(wh, "kv_bloom")
+    pq = [f for f in os.listdir(table_dir) if f.endswith(".parquet")]
+    assert pq, "no parquet files written"
+    jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(table_dir, pq[0]))
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(jpath, hconf)
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        blooms = {}
+        block = reader.getFooter().getBlocks().get(0)
+        for i in range(block.getColumns().size()):
+            cc = block.getColumns().get(i)
+            blooms[cc.getPath().toDotString()] = reader.readBloomFilter(cc) is not None
+    finally:
+        reader.close()
+    assert blooms == {"k": True, "v": False}, blooms
+
+    # the membership predicate reaches the parquet reader
+    absent = lookup_bucketed(spark, "kv_bloom", "k", 123456789)
+    full = absent._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,123456789)]" in full
+    assert absent.count() == 0  # negative lookup, bloom's fast path
+    present = df.first()["k"]
+    assert lookup_bucketed(spark, "kv_bloom", "k", present).count() >= 1
+    spark.sql("DROP TABLE kv_bloom")
+
+
 def test_sequencefile_as_text(spark, tmp_path):
     out = str(tmp_path / "seqt")
     df = spark.createDataFrame([("a", 1)], "key string, value long")
