@@ -34,7 +34,22 @@ def pack_sequences(
     """Per-doc sequence assignment: (id, tokens, seq_id) with
     seq_id = floor(exclusive-prefix-sum(tokens) in id order / budget).
     `chunk` is the id-range width of the parallel scan unit — size it
-    so one chunk's rows fit a task comfortably (ids need not be dense)."""
+    so one chunk's rows fit a task comfortably (ids need not be dense).
+
+    Guards: budget/chunk must be >= 1 (a budget of 0 would emit NULL
+    seq_ids), and the id column must be numeric — a string id silently
+    casting to NULL would collapse every row into one __chunk, i.e. the
+    exact single-task scan the two-level design exists to avoid."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+    id_type = df.schema[id_col].dataType.typeName()
+    if id_type not in {"byte", "short", "integer", "long", "decimal"}:
+        raise TypeError(
+            f"id column {id_col!r} must be an integral type for chunked "
+            f"prefix-sum ordering, got {id_type}"
+        )
     chunked = df.select(
         F.col(id_col),
         F.col(token_col).cast("long").alias("__tok"),

@@ -242,7 +242,8 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     corpus scale this is the standard word-count shape with map-side
     partial aggregation). Ratios floor-to-micro for engine portability.
     Output: (id, n_bigrams, top_bigram_n, top_bigram_e6, dup_trigram_e6).
-    Docs with < 3 words report zero signals."""
+    Below 3 words only the TRIGRAM signal is zero; a 2-word doc still
+    reports its single bigram (n_bigrams=1, top_bigram_e6=1000000)."""
     toks = _tokens(text_col)
     base = df.select(F.col(id_col), toks.alias("__t"))
     n = F.size(F.col("__t"))

@@ -119,7 +119,13 @@ _EXACT_PAIRS = """
     doc="MinHash(64)+LSH(16×4) candidates verified with exact Jaccard — the "
     "sub-quadratic dedup path. Oracle is the exact all-pairs Jaccard ≥ 0.8 "
     "set: hash-equality asserts LSH recall completeness at this threshold on "
-    "this corpus (verified 100% at sf0.01 and sf0.1), not just row counts.",
+    "this corpus (verified 100% at sf0.01 and sf0.1), not just row counts. "
+    "CORPUS-PINNED equality gate: precision is exact by construction (every "
+    "candidate is Jaccard-verified before emission), while recall of 16×4 "
+    "banding is probabilistic in general (P[miss] ≈ 2e-4 for a 0.8-Jaccard "
+    "pair) — the gate's hashing is deterministic xxhash64 so the result is "
+    "stable for THIS corpus, but a different corpus/SF could fail the "
+    "equality with correct code; that event means 'recall gap', not a bug.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")

@@ -340,6 +340,23 @@ def test_pack_sequences_matches_naive_prefix_sum(spark):
     assert max(packed.values()) > 0  # multiple sequences actually produced
 
 
+def test_pack_sequences_input_guards(spark):
+    """budget<1 and non-numeric id must raise, not emit NULL seq_ids /
+    collapse every row into one single-task chunk."""
+    import pytest
+
+    from hadoop_fcfs_spark.llm.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, tks long")
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "doc_id", "tks", budget=0)
+    with pytest.raises(ValueError, match="chunk"):
+        pack_sequences(df, "doc_id", "tks", budget=10, chunk=0)
+    sdf = spark.createDataFrame([("a", 10)], "doc_id string, tks long")
+    with pytest.raises(TypeError, match="integral"):
+        pack_sequences(sdf, "doc_id", "tks")
+
+
 def test_scrub_pii_redacts_and_counts(spark):
     from hadoop_fcfs_spark.llm.textan import scrub_pii
 
