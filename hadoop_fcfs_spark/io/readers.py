@@ -51,6 +51,29 @@ def read_text(spark: SparkSession, path: str, num_partitions: int | None = None)
     return df
 
 
+def read_text_offsets(spark: SparkSession, path: str) -> DataFrame:
+    """Lines keyed by their BYTE OFFSET in the file — the exact
+    ``TextInputFormat``/``LineRecordReader`` key contract
+    (``mr-core/mapreduce/lib/input/LineRecordReader.java:49``: key =
+    position of the line start). ``read_text`` substitutes (file, line)
+    keys; this reader closes that boundary for ported jobs that depend
+    on offsets, by running Hadoop's own input format inside Spark
+    (``newAPIHadoopFile`` + TextInputFormat) — split-parallel, byte
+    ranges per task, identical offset semantics including the
+    skip-partial-first-line rule at split boundaries.
+
+    Output: (offset long, value string). Offsets reset per file; add
+    ``input_file_name`` downstream if multiple files need disambiguation
+    (the RDD bridge loses file provenance, as MR mappers did)."""
+    rdd = spark.sparkContext.newAPIHadoopFile(
+        path,
+        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+        "org.apache.hadoop.io.LongWritable",
+        "org.apache.hadoop.io.Text",
+    )
+    return spark.createDataFrame(rdd, "offset long, value string")
+
+
 def read_kv_text(
     spark: SparkSession, path: str, separator: str = "\t"
 ) -> DataFrame:

@@ -1,0 +1,91 @@
+"""Deterministic sampling operators.
+
+Parity targets: ``InputSampler.RandomSampler`` / ``SplitSampler`` /
+``IntervalSampler`` (reference
+``mr-core/mapreduce/lib/partition/InputSampler.java:57``) and the
+hash-mod record-sampling idiom (``SequenceFileInputFilter``'s
+PercentFilter/MD5Filter, ``mr-core/mapred/SequenceFileInputFilter.java``).
+The interval sampler already exists in ``io/readers.py``; these cover the
+random tier — made DETERMINISTIC the MD5Filter way instead of seeded
+RNG, because a training pipeline needs sampling decisions that are
+reproducible across engines, re-runs, and partitionings:
+
+    keep(row)  ⇔  uniform64(md5(id)) < fraction · 2^32
+
+where uniform64 is the first 8 hex digits of the md5 of the row's id.
+Per-row expressions, shuffle-free for the fraction samplers; the
+fixed-n-per-group sampler is one bounded window. md5 (not xxhash64) so
+any engine can replay the exact sample — the property the correctness
+oracles and any cross-engine train/eval handoff rely on.
+
+LLM-pipeline role: held-out split carving (`train_holdout_split`),
+per-source corpus balancing (`stratified_sample`), bounded per-group
+inspection samples (`per_group_sample`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_U32 = 4294967296  # 2^32: the sample key is the first 8 md5 hex digits
+
+
+def _sample_key(id_col: str | Column) -> Column:
+    """Uniform-in-[0, 2^32) deterministic key from a row id."""
+    c = id_col if isinstance(id_col, Column) else F.col(id_col)
+    return F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by id hash. Pure
+    per-row expression — no shuffle, no RNG state, stable under
+    repartitioning (RandomSampler parity with MD5Filter determinism)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_sample_key(id_col) < int(fraction * _U32))
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, id_col: str, fractions: dict, default: float = 0.0
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``DataFrame.sampleBy`` parity
+    without RNG): each stratum keeps its own fraction of rows. Strata
+    absent from ``fractions`` keep ``default``."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for stratum {k!r} must be in [0, 1], got {v}")
+    thr = F.lit(int(default * _U32))
+    for k, v in fractions.items():
+        thr = F.when(F.col(stratum_col) == k, F.lit(int(v * _U32))).otherwise(thr)
+    return df.filter(_sample_key(id_col) < thr)
+
+
+def per_group_sample(
+    df: DataFrame, group_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Fixed-size deterministic sample per group: the ``n`` rows with the
+    smallest sample keys (md5 order ≈ uniform, id tiebreak). One bounded
+    window — the rank<=n filter compiles to WindowGroupLimit on Spark 4,
+    so per-group state is O(n), the distributed reservoir shape."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = Window.partitionBy(group_col).orderBy(_sample_key(id_col), F.col(id_col))
+    return df.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= n).drop("__rk")
+
+
+def train_holdout_split(
+    df: DataFrame, id_col: str, holdout_fraction: float, split_col: str = "split"
+) -> DataFrame:
+    """Tag every row 'train' or 'holdout' deterministically by id hash —
+    the leakage-safe corpus split: membership depends only on the id, so
+    re-runs, incremental arrivals, and other engines agree on the
+    assignment."""
+    if not 0.0 <= holdout_fraction <= 1.0:
+        raise ValueError(f"holdout_fraction must be in [0, 1], got {holdout_fraction}")
+    return df.withColumn(
+        split_col,
+        F.when(
+            _sample_key(id_col) < int(holdout_fraction * _U32), F.lit("holdout")
+        ).otherwise(F.lit("train")),
+    )

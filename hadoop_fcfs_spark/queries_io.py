@@ -129,3 +129,97 @@ def dbcount_pageview(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = scanned.groupBy("event_type").agg(F.count("*").alias("views"))
     write_jdbc(views, url, "PAGEVIEW", mode="overwrite", **drv)
     return read_jdbc(spark, url, "PAGEVIEW", **drv)
+
+
+_SKEY = "CAST('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 8) AS BIGINT)"
+
+
+@register(
+    "hash_sample_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE {_SKEY.format(id="o_orderkey")} < 268435456
+    """,
+    doc="Deterministic 1/16 record sample (InputSampler.RandomSampler parity "
+    "with SequenceFileInputFilter.MD5Filter determinism): keep iff "
+    "uniform32(md5(id)) < 2^32/16. Pure per-row expression, shuffle-free, "
+    "reproducible across engines/re-runs/partitionings (ops/sampling.py).",
+)
+def hash_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sampling import hash_sample
+
+    return hash_sample(t(spark, sf_dir, "orders"), "o_orderkey", 0.0625).select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@register(
+    "stratified_sample_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE {_SKEY.format(id="o_orderkey")} <
+          CASE o_orderstatus WHEN 'F' THEN 536870912
+                             WHEN 'O' THEN 268435456
+                             WHEN 'P' THEN 4294967296 END
+    """,
+    doc="Per-stratum deterministic sampling (sampleBy parity without RNG): "
+    "F keeps 1/8, O keeps 1/16, P keeps all — the per-source corpus "
+    "balancing move. Exact power-of-two thresholds keep the integer "
+    "cutoffs engine-identical.",
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sampling import stratified_sample
+
+    return stratified_sample(
+        t(spark, sf_dir, "orders"),
+        "o_orderstatus",
+        "o_orderkey",
+        {"F": 0.125, "O": 0.0625, "P": 1.0},
+    ).select("o_orderkey", "o_orderstatus")
+
+
+@register(
+    "per_group_sample_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderkey FROM (
+      SELECT o_orderstatus, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY {_SKEY.format(id="o_orderkey")}, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 5
+    """,
+    doc="Fixed-5-per-group deterministic sample: smallest md5 sample keys "
+    "per group, id tiebreak — the bounded-state distributed reservoir "
+    "(rank filter compiles to WindowGroupLimit, per-group state O(n)).",
+)
+def per_group_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sampling import per_group_sample
+
+    return per_group_sample(t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderkey", 5).select(
+        "o_orderstatus", "o_orderkey"
+    )
+
+
+@register(
+    "train_holdout_split",
+    oracle=f"""
+    SELECT CASE WHEN {_SKEY.format(id="doc_id")} < 1073741824
+                THEN 'holdout' ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1
+    """,
+    doc="Leakage-safe deterministic train/holdout carve of the documents "
+    "corpus (25% holdout by id hash): membership depends only on the id, "
+    "so re-runs, incremental arrivals and other engines agree. Gate "
+    "aggregates per-split doc and char counts.",
+)
+def train_holdout_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sampling import train_holdout_split
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        train_holdout_split(docs, "doc_id", 0.25)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )

@@ -215,6 +215,22 @@ def test_bucketed_table_point_lookup(spark, tmp_path):
     spark.sql("DROP TABLE kv_bucketed")
 
 
+def test_read_text_offsets_byte_keys(spark, tmp_path):
+    """LineRecordReader parity: keys are byte offsets of line starts,
+    including multi-byte lines — verified against hand-computed
+    cumulative positions."""
+    from hadoop_fcfs_spark.io.readers import read_text_offsets
+
+    lines = ["alpha", "bb", "", "final line"]
+    (tmp_path / "f.txt").write_text("\n".join(lines) + "\n")
+    got = sorted(map(tuple, read_text_offsets(spark, str(tmp_path / "f.txt")).collect()))
+    expected, off = [], 0
+    for ln in lines:
+        expected.append((off, ln))
+        off += len(ln.encode()) + 1
+    assert got == sorted(expected)
+
+
 def test_routed_text_filename_from_record(spark, tmp_path):
     """MultipleTextOutputFormat parity: per-record filenames, nested
     subdirectories, exact file placement and contents."""

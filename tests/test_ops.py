@@ -406,3 +406,57 @@ def test_wrapper_surface_smoke(spark, tmp_path):
     big = spark.range(0, 10_000).select((F.col("id") * 2654435761 % 1_000_003).alias("k"))
     vals = [r["k"] for r in total_order_sort(big, "k").collect()]
     assert vals == sorted(vals)
+
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    """Same sample under any partitioning; observed rate near the asked
+    fraction (binomial tolerance)."""
+    from hadoop_fcfs_spark.ops.sampling import hash_sample
+
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in hash_sample(df, "k", 0.25).collect())
+    b = sorted(r["k"] for r in hash_sample(df.repartition(13), "k", 0.25).collect())
+    assert a == b  # partitioning-independent membership
+    assert abs(len(a) / 10_000 - 0.25) < 0.02
+
+
+def test_train_holdout_split_partitions_corpus(spark):
+    from hadoop_fcfs_spark.ops.sampling import train_holdout_split
+
+    df = spark.range(1_000).withColumnRenamed("id", "k")
+    out = train_holdout_split(df, "k", 0.1)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "holdout"}
+    assert counts["train"] + counts["holdout"] == 1_000
+    # split is a pure function of the id: re-derivation agrees row-by-row
+    again = {r["k"]: r["split"] for r in train_holdout_split(df, "k", 0.1).collect()}
+    for r in out.collect():
+        assert again[r["k"]] == r["split"]
+
+
+def test_per_group_sample_bounded_and_plan(spark):
+    from hadoop_fcfs_spark.ops.sampling import per_group_sample
+
+    df = spark.range(5_000).selectExpr("id AS k", "CAST(id % 7 AS STRING) AS g")
+    out = per_group_sample(df, "g", "k", 3)
+    sizes = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert set(sizes.values()) == {3}
+    # the rank filter must bound window state (WindowGroupLimit on Spark 4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_sampling_guards():
+    import pytest
+    from pyspark.sql import SparkSession
+
+    from hadoop_fcfs_spark.ops.sampling import hash_sample, per_group_sample, stratified_sample
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(df, "k", 1.5)
+    with pytest.raises(ValueError, match="stratum"):
+        stratified_sample(df, "k", "k", {"x": -0.1})
+    with pytest.raises(ValueError, match="n must be"):
+        per_group_sample(df, "k", "k", 0)
