@@ -132,6 +132,22 @@ def grouped_sorted_apply(
     return arranged.groupBy(*group_cols).applyInPandas(fn, schema=output_schema)
 
 
+def latest_by_key(
+    df: DataFrame, key_cols: list[str], order_cols: list[Column | str]
+) -> DataFrame:
+    """Keep the single latest/winning record per key — the log-compaction
+    / CDC-upsert idiom (the reference idiom is a secondary-sorted reduce
+    that emits only the first value per key group,
+    ``examples/SecondarySort.java:51`` reversed). ``order_cols`` are the
+    recency order, HIGHEST first wins; include a unique tiebreaker for
+    determinism. The rank()=1 filter compiles to WindowGroupLimit on
+    Spark 4, so per-group state is O(1) — no full sort of the group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1).drop("__rk")
+
+
 def key_field_sort_keys(
     input_col: str, spec: list[tuple[int, bool, bool]], separator: str = " "
 ) -> list[Column]:

@@ -908,3 +908,36 @@ def near_dedup_clustered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc").alias("doc_id")
     )
     return docs.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+@register(
+    "vocab_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+      WHERE w <> ''
+    ),
+    tf AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY w)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(COUNT(*) FILTER (n = 1) AS BIGINT) AS hapax_n,
+           CAST(FLOOR(COUNT(*) * 1000000.0 / SUM(n)) AS BIGINT) AS ttr_e6
+    FROM tf
+    """,
+    doc="Corpus vocabulary statistics (word-count shape, "
+    "AggregateWordCount parity applied to corpus QA): total tokens, "
+    "vocabulary size, hapax-legomena count, floor-micro type/token ratio. "
+    "One token-frequency aggregation (map-side combine) then a scalar "
+    "rollup — the standard pre-training corpus health check.",
+)
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", r"\s+")).alias("w")).filter(F.col("w") != "")
+    tf = toks.groupBy("w").agg(F.count("*").alias("n"))
+    return tf.agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("hapax_n"),
+        F.floor(F.count("*") * F.lit(1_000_000.0) / F.sum("n")).cast("long").alias("ttr_e6"),
+    )

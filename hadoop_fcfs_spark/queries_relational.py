@@ -1654,3 +1654,68 @@ def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Two-stage salted aggregation (ops/skew.py salted_agg; reference "
+    "analog RehashPartitioner.java:35 + manual key salting): a hot group "
+    "key is spread over 16 (key, salt) partials then merged per key. "
+    "Salting is result-invariant for algebraic aggregates, so the oracle "
+    "is the plain GROUP BY — the gate proves the skew-safe plan computes "
+    "identical values. l_returnflag has only 3 values at any SF: the "
+    "degenerate-cardinality case where salting is the difference between "
+    "3 tasks and 48.",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.skew import salted_agg
+
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        partial_aggs=[
+            (F.count("*").cast("long"), "cnt"),
+            (F.sum("l_quantity"), "sum_qty"),
+            (F.max("l_extendedprice"), "max_price"),
+        ],
+        merge_aggs=[("sum", "cnt"), ("sum", "sum_qty"), ("max", "max_price")],
+        salt_n=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    ) WHERE rk = 1
+    """,
+    doc="Log-compaction / CDC-upsert idiom (ops/sort.py latest_by_key; the "
+    "reference shape is a secondary-sorted reduce emitting the first value "
+    "per group, examples/SecondarySort.java:51): single winning record per "
+    "user by (ts, event_id) recency. rank=1 compiles to WindowGroupLimit — "
+    "O(1) state per group, no full group sort.",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sort import latest_by_key
+
+    ev = t(spark, sf_dir, "events")
+    return latest_by_key(
+        ev, ["user_id"], [F.desc("ts"), F.desc("event_id")]
+    ).select("user_id", "event_id", "event_type")

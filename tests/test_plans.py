@@ -240,3 +240,19 @@ def test_textan_scoring_ops_no_shuffle(spark):
     for name in ("text_normalize", "pii_scrub", "chunk_documents"):
         plan = _plan(Q[name].spark_fn(spark, SF_ORACLE))
         assert "Exchange" not in plan, f"{name} shuffles but must not"
+
+
+def test_latest_by_key_bounded_window_state(spark):
+    """rank=1 compaction must compile to WindowGroupLimit (O(1) per-group
+    state), not a full per-group sort."""
+    df = Q["latest_event_per_user"].spark_fn(spark, SF_ORACLE)
+    assert "WindowGroupLimit" in _plan(df)
+
+
+def test_skew_salted_agg_two_stage(spark):
+    """Stage-1 partials on (key, salt) then a per-key merge: two hash
+    aggregates, and the stage-1 grouping must include the salt column."""
+    df = Q["skew_salted_agg"].spark_fn(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "__salt" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for each stage
