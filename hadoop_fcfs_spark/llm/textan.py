@@ -419,3 +419,56 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.floor(F.col("tf") * idf * 1_000_000).cast("long").alias("tfidf_e6"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str, text_col: str, k: float = 0.5
+) -> DataFrame:
+    """Per-doc negative log-likelihood under a corpus-trained bigram
+    language model with add-k smoothing — the KenLM-style perplexity
+    quality filter of pretraining pipelines, as pure relational algebra:
+
+        p(w2 | w1) = (C(w1,w2) + k) / (C(w1) + k·V)
+        nll(doc)   = mean over the doc's bigrams of −log2 p(w2|w1)
+
+    Train and score in one plan: bigram counts and unigram counts are
+    word-count-shaped aggregations; the per-doc score joins the doc's
+    bigrams to both count tables ON THE SAME KEYS they were grouped by
+    (co-located shuffles, no extra exchange) and only the scalar V
+    (vocabulary size) broadcasts — the tf_idf scale shape. High nll =
+    improbable text under the corpus model (gibberish/boilerplate
+    outliers), the standard filter signal.
+
+    Output: (id, n_bigrams, nll_e6) — floor-micro bits; docs with < 2
+    tokens have no bigrams and are omitted (no model evidence).
+    Cross-engine note: involves log2 — same libm caveat as tf_idf.
+    """
+    toks = _tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") >= 2)
+    grams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - 2),
+                lambda i: F.struct(
+                    F.col("__t")[i].alias("w1"), F.col("__t")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("g"),
+    ).select(F.col(id_col), F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    big_c = grams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni_c = grams.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = grams.select(F.explode(F.array("w1", "w2")).alias("w")).agg(
+        F.countDistinct("w").alias("__V")
+    )
+    p = (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("__V"))
+    return (
+        grams.join(big_c, ["w1", "w2"])
+        .join(uni_c, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.floor(F.avg(-F.log2(p)) * 1_000_000).cast("long").alias("nll_e6"),
+        )
+    )

@@ -941,3 +941,43 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("hapax_n"),
         F.floor(F.count("*") * F.lit(1_000_000.0) / F.sum("n")).cast("long").alias("ttr_e6"),
     )
+
+
+@register(
+    "lm_perplexity",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 1)) AS i
+            FROM base WHERE len(ws) >= 2)
+    ),
+    big_c AS (SELECT w1, w2, COUNT(*) AS c12 FROM grams GROUP BY w1, w2),
+    uni_c AS (SELECT w1, COUNT(*) AS c1 FROM grams GROUP BY w1),
+    voc AS (SELECT COUNT(DISTINCT w) AS v
+            FROM (SELECT w1 AS w FROM grams UNION ALL SELECT w2 FROM grams)),
+    scored AS (
+      SELECT g.doc_id,
+             -log2((b.c12 + 0.5) / (u.c1 + 0.5 * voc.v)) AS nl
+      FROM grams g
+      JOIN big_c b USING (w1, w2)
+      JOIN uni_c u USING (w1)
+      CROSS JOIN voc
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(FLOOR(AVG(nl) * 1000000) AS BIGINT) AS nll_e6
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Corpus-trained bigram LM with add-0.5 smoothing scoring every doc's "
+    "mean -log2 p(w2|w1) — the KenLM-style perplexity quality filter as "
+    "relational algebra (llm.textan.bigram_lm_scores). Count tables join "
+    "back on their own grouping keys (co-located shuffles); only the "
+    "vocabulary-size scalar broadcasts.",
+)
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import bigram_lm_scores
+
+    return bigram_lm_scores(t(spark, sf_dir, "documents"), "doc_id", "text")

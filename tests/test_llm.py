@@ -449,3 +449,19 @@ def test_gram_rows_irregular_whitespace(spark):
     grams = {(r["doc"], r["gram"]) for r in _gram_rows(df, "doc_id", "text", 3).collect()}
     expected = {(d, g) for d in (1, 2) for g in ("a b c", "b c d")}
     assert grams == expected
+
+
+def test_bigram_lm_scores_hand_case(spark):
+    """Tiny corpus where the smoothed bigram model is hand-computable:
+    C(a,b)=3, C(b,a)=1, C1(a)=3, C1(b)=1, V=2, k=0.5."""
+    import math
+
+    from hadoop_fcfs_spark.llm.textan import bigram_lm_scores
+
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b"), (3, "solo")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["nll_e6"]) for r in bigram_lm_scores(df, "doc_id", "text").collect()}
+    p_ab = (3 + 0.5) / (3 + 0.5 * 2)   # p(b|a)
+    p_ba = (1 + 0.5) / (1 + 0.5 * 2)   # p(a|b)
+    d1 = math.floor((2 * -math.log2(p_ab) + -math.log2(p_ba)) / 3 * 1_000_000)
+    d2 = math.floor(-math.log2(p_ab) * 1_000_000)
+    assert got == {1: (3, d1), 2: (1, d2)}  # doc 3 (single token) omitted
