@@ -57,17 +57,26 @@ def write_partitioned(
     fmt: str = "parquet",
     mode: str = "overwrite",
     compression: str | None = None,
+    dynamic_overwrite: bool = False,
 ) -> None:
     """MultipleOutputs-style output routing: one directory per distinct
     partition value, written in a single job. At scale, partition count
     is the file-count lever — repartition on the partition cols first
-    so each dir gets few large files instead of (tasks × dirs) shards."""
+    so each dir gets few large files instead of (tasks × dirs) shards.
+
+    ``dynamic_overwrite=True`` switches overwrite to dynamic partition
+    mode: only the partitions PRESENT in ``df`` are replaced, untouched
+    partition dirs survive — the idempotent incremental-rerun contract
+    (re-run yesterday's slice without truncating the table; static mode
+    would drop every existing partition first)."""
     writer = (
         df.repartition(*[F.col(c) for c in partition_cols])
         .write.mode(mode)
         .partitionBy(*partition_cols)
         .format(fmt)
     )
+    if dynamic_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if compression:
         # gzip/snappy/zstd/lz4 — the reference's codec set (common/io/compress/)
         # is built into Spark's sources; pick per-table at write time

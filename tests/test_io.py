@@ -377,3 +377,21 @@ def test_small_files_packing(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
         spark.conf.set("spark.sql.files.openCostInBytes", old_oc)
+
+
+def test_dynamic_partition_overwrite_preserves_untouched(spark, tmp_path):
+    """Incremental-rerun contract: dynamic overwrite replaces only the
+    partitions present in the new frame; static overwrite would truncate
+    the whole table first."""
+    from hadoop_fcfs_spark.io.writers import write_partitioned
+
+    base = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("c", 4)], "part string, v long"
+    )
+    write_partitioned(full, base, ["part"])
+    # re-run only partition 'a' with corrected values
+    fix = spark.createDataFrame([("a", 99)], "part string, v long")
+    write_partitioned(fix, base, ["part"], dynamic_overwrite=True)
+    got = {(r["part"], r["v"]) for r in spark.read.parquet(base).collect()}
+    assert got == {("a", 99), ("b", 3), ("c", 4)}  # b/c untouched, a replaced

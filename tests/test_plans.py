@@ -249,6 +249,12 @@ def test_latest_by_key_bounded_window_state(spark):
     assert "WindowGroupLimit" in _plan(df)
 
 
+def test_grouped_topk_bounded_window_state(spark):
+    """Per-group top-k rank filter must also bound window state."""
+    df = Q["grouped_topk"].spark_fn(spark, SF_ORACLE)
+    assert "WindowGroupLimit" in _plan(df)
+
+
 def test_skew_salted_agg_two_stage(spark):
     """Stage-1 partials on (key, salt) then a per-key merge: two hash
     aggregates, and the stage-1 grouping must include the salt column."""
