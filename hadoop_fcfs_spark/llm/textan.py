@@ -443,6 +443,8 @@ def bigram_lm_scores(
     tokens have no bigrams and are omitted (no model evidence).
     Cross-engine note: involves log2 — same libm caveat as tf_idf.
     """
+    from hadoop_fcfs_spark.caching import waypoint
+
     toks = _tokens(text_col)
     base = df.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") >= 2)
     grams = base.select(
@@ -456,19 +458,27 @@ def bigram_lm_scores(
             )
         ).alias("g"),
     ).select(F.col(id_col), F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
-    big_c = grams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    uni_c = grams.groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab = grams.select(F.explode(F.array("w1", "w2")).alias("w")).agg(
+    # per-doc bigram counts FIRST: repeated bigrams inside a doc collapse
+    # before any join, and the three downstream consumers (model counts ×2
+    # + scoring join) read one materialization (tracked waypoint)
+    doc_big = waypoint(grams.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("cd")))
+    big_c = doc_big.groupBy("w1", "w2").agg(F.sum("cd").alias("c12"))
+    uni_c = doc_big.groupBy("w1").agg(F.sum("cd").alias("c1"))
+    # V from the bigram-count table (vocab = tokens appearing as w1 or w2
+    # — identical set, far fewer rows than the raw gram stream)
+    vocab = big_c.select(F.explode(F.array("w1", "w2")).alias("w")).agg(
         F.countDistinct("w").alias("__V")
     )
     p = (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("__V"))
     return (
-        grams.join(big_c, ["w1", "w2"])
+        doc_big.join(big_c, ["w1", "w2"])
         .join(uni_c, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.floor(F.avg(-F.log2(p)) * 1_000_000).cast("long").alias("nll_e6"),
+            F.sum("cd").cast("long").alias("n_bigrams"),
+            F.floor(
+                F.sum(F.col("cd") * -F.log2(p)) / F.sum("cd") * 1_000_000
+            ).cast("long").alias("nll_e6"),
         )
     )
