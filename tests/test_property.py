@@ -228,3 +228,43 @@ def test_scrub_pii_idempotent_and_preserving(spark):
     plain = {i: t for i, t in rows if i % 3 != 0}
     for i, t in plain.items():
         assert first[i] == t
+
+
+@given(
+    st.recursive(
+        st.one_of(
+            st.binary(max_size=64),
+            st.booleans(),
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.text(max_size=32),
+        ),
+        lambda children: st.one_of(
+            st.lists(children, max_size=4),
+            st.dictionaries(st.text(max_size=8), children, max_size=4),
+        ),
+        max_leaves=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_typedbytes_roundtrip_property(value):
+    """encode→decode identity for arbitrary nested values across the
+    whole wire-type table (lists decode as lists, tuples normalize to
+    lists)."""
+    import io as _io
+
+    from hadoop_fcfs_spark.udf.typedbytes import decode_stream, encode
+
+    got = list(decode_stream(_io.BytesIO(encode(value))))
+    assert len(got) == 1
+
+    def norm(v):
+        if isinstance(v, tuple):
+            return [norm(x) for x in v]
+        if isinstance(v, list):
+            return [norm(x) for x in v]
+        if isinstance(v, dict):
+            return {norm(k2): norm(v2) for k2, v2 in v.items()}
+        return v
+
+    assert got[0] == norm(value)
