@@ -26,6 +26,14 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--out", default=None, help="write results here instead of showing")
     runp.add_argument("--format", default="parquet", help="output format for --out")
 
+    sqlp = sub.add_parser("sql", help="run ad-hoc SQL over the registered tables")
+    sqlp.add_argument("statement")
+    sqlp.add_argument("--sf", default="/root/testdata/sf0.01", help="table directory")
+    sqlp.add_argument("--limit", type=int, default=20, help="rows to show (stdout mode)")
+    sqlp.add_argument("--explain", action="store_true", help="print the physical plan")
+    sqlp.add_argument("--out", default=None, help="write results here instead of showing")
+    sqlp.add_argument("--format", default="parquet", help="output format for --out")
+
     args = parser.parse_args(argv)
 
     from hadoop_fcfs_spark.registry import all_queries
@@ -38,14 +46,20 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name:24s} [{oracle}] {spec.doc}")
         return 0
 
-    if args.query not in queries:
-        print(f"unknown query {args.query!r}; `list` shows the inventory", file=sys.stderr)
-        return 2
-
     from hadoop_fcfs_spark.session import get_spark
 
-    spark = get_spark(f"cli:{args.query}")
-    df = queries[args.query].spark_fn(spark, args.sf)
+    if args.cmd == "sql":
+        from hadoop_fcfs_spark.tables import register_views
+
+        spark = get_spark("cli:sql")
+        register_views(spark, args.sf)
+        df = spark.sql(args.statement)
+    else:
+        if args.query not in queries:
+            print(f"unknown query {args.query!r}; `list` shows the inventory", file=sys.stderr)
+            return 2
+        spark = get_spark(f"cli:{args.query}")
+        df = queries[args.query].spark_fn(spark, args.sf)
     if args.explain:
         df.explain("formatted")
     if args.out:

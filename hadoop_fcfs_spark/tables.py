@@ -28,3 +28,22 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)
+
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every table present in ``sf_dir`` as a temp view (same
+    names the DuckDB oracle uses), enabling ad-hoc ``spark.sql`` over the
+    dataset — the SQL front door of the CLI. Returns the registered
+    names."""
+    names = []
+    for name in TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            t(spark, sf_dir, name).createOrReplaceTempView(name)
+            names.append(name)
+    return names

@@ -460,3 +460,24 @@ def test_sampling_guards():
         stratified_sample(df, "k", "k", {"x": -0.1})
     with pytest.raises(ValueError, match="n must be"):
         per_group_sample(df, "k", "k", 0)
+
+
+def test_cli_list_run_sql(spark, capsys, tmp_path):
+    """The CLI front door: list inventory, run a registered query, run
+    ad-hoc SQL over the registered views (StreamJob-CLI parity)."""
+    from hadoop_fcfs_spark.__main__ import main
+    from tests.conftest import SF_SMOKE
+
+    assert main(["list"]) == 0
+    assert "wordcount" in capsys.readouterr().out
+
+    assert main(["run", "wordcount", "--sf", SF_SMOKE, "--limit", "3"]) == 0
+    capsys.readouterr()
+
+    assert main(["sql", "SELECT COUNT(*) AS n FROM orders", "--sf", SF_SMOKE]) == 0
+    assert "1500" in capsys.readouterr().out
+
+    out = str(tmp_path / "sql_out")
+    assert main(["sql", "SELECT o_orderkey FROM orders WHERE o_orderkey < 5",
+                 "--sf", SF_SMOKE, "--out", out]) == 0
+    assert spark.read.parquet(out).count() > 0
