@@ -1,0 +1,82 @@
+"""Data-validation / expectations operators.
+
+The data-quality gate of a production pipeline: declarative rules
+evaluated in as few passes as the rule mix allows, emitting a long-format
+violations report (rule, violations) a scheduler can assert on. The
+reference analog is counter-based record validation inside mappers
+(Counters + the SortValidator RECORD_CHECKER idiom,
+``jobclient/.../SortValidator.java:54``) — re-expressed declaratively so
+Catalyst fuses every per-row rule into ONE aggregation over ONE scan.
+
+Scale shapes:
+- ``check_rows``: all per-row predicates → one scan, one agg row,
+  unpivoted. Zero shuffle beyond the final single-row agg.
+- ``check_unique``: violations = n_rows − n_distinct(key) — two partial
+  aggregates, no row explosion.
+- ``check_foreign_key``: left-anti join child→parent on the key;
+  broadcast-eligible when the parent is a dim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCHEMA_NOTE = "rule string, violations long"
+
+
+def check_rows(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Evaluate per-row violation predicates (True = violation) in one
+    pass. Returns (rule, violations) with one row per rule, in rule
+    order."""
+    if not rules:
+        raise ValueError("no rules given")
+    aggs = [
+        F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(name)
+        for name, cond in rules.items()
+    ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{n}', `{n}`" for n in rules)
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stack}) AS (rule, violations)"
+    )
+
+
+def check_unique(df: DataFrame, key_cols: list[str], rule_name: str | None = None) -> DataFrame:
+    """Uniqueness expectation: violations = rows beyond the first per
+    duplicated key (n_rows − n_distinct keys)."""
+    name = rule_name or f"unique({','.join(key_cols)})"
+    return df.agg(
+        (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in key_cols]))
+        .cast("long")
+        .alias("violations")
+    ).select(F.lit(name).alias("rule"), "violations")
+
+
+def check_foreign_key(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    rule_name: str | None = None,
+) -> DataFrame:
+    """Referential expectation: child rows whose key has no parent
+    (NULL child keys are orphans too, matching FK-with-NOT-NULL
+    semantics — filter first for nullable FKs)."""
+    name = rule_name or f"fk({child_key}->{parent_key})"
+    orphans = child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )
+    return orphans.agg(F.count(F.lit(1)).cast("long").alias("violations")).select(
+        F.lit(name).alias("rule"), "violations"
+    )
+
+
+def validation_report(*checks: DataFrame) -> DataFrame:
+    """Union per-check reports into one (rule, violations) frame."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -1719,3 +1719,54 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_by_key(
         ev, ["user_id"], [F.desc("ts"), F.desc("event_id")]
     ).select("user_id", "event_id", "event_type")
+
+
+@register(
+    "data_validation",
+    oracle="""
+    SELECT 'quantity_out_of_range' AS rule,
+           CAST(COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'nonpositive_price',
+           CAST(COUNT(*) FILTER (l_extendedprice <= 0) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'null_shipdate',
+           CAST(COUNT(*) FILTER (l_shipdate IS NULL) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'unique(l_orderkey,l_linenumber)',
+           CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'fk(l_orderkey->o_orderkey)',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    """,
+    doc="Declarative data-quality gate (ops/validate.py; reference analog: "
+    "counter-based record validation, SortValidator.java:54 RECORD_CHECKER): "
+    "range/positivity/null rules fused into ONE scan+agg, a uniqueness "
+    "expectation (n_rows - n_distinct), and a referential check as a "
+    "left-anti join. The synthetic lineitem's duplicated "
+    "(l_orderkey,l_linenumber) keys make the uniqueness rule a live "
+    "nonzero signal, not a vacuous zero.",
+)
+def data_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.validate import (
+        check_foreign_key,
+        check_rows,
+        check_unique,
+        validation_report,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    rows = check_rows(
+        li,
+        {
+            "quantity_out_of_range": (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+            "nonpositive_price": F.col("l_extendedprice") <= 0,
+            "null_shipdate": F.col("l_shipdate").isNull(),
+        },
+    )
+    uniq = check_unique(li, ["l_orderkey", "l_linenumber"])
+    fk = check_foreign_key(li, "l_orderkey", orders, "o_orderkey")
+    return validation_report(rows, uniq, fk)

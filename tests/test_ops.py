@@ -481,3 +481,41 @@ def test_cli_list_run_sql(spark, capsys, tmp_path):
     assert main(["sql", "SELECT o_orderkey FROM orders WHERE o_orderkey < 5",
                  "--sf", SF_SMOKE, "--out", out]) == 0
     assert spark.read.parquet(out).count() > 0
+
+
+def test_validation_checks_unit(spark):
+    """Hand-countable violations for each check type, plus the one-scan
+    plan property of check_rows."""
+    from hadoop_fcfs_spark.ops.validate import (
+        check_foreign_key,
+        check_rows,
+        check_unique,
+        validation_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (1, -5, None), (2, 200, "y"), (3, 30, "z")],
+        "k long, v long, s string",
+    )
+    rows = check_rows(df, {
+        "neg_v": F.col("v") < 0,
+        "big_v": F.col("v") > 100,
+        "null_s": F.col("s").isNull(),
+    })
+    got = {r["rule"]: r["violations"] for r in rows.collect()}
+    assert got == {"neg_v": 1, "big_v": 1, "null_s": 1}
+    # all predicate rules fused into one aggregation over one scan
+    # (AQE prints the plan twice — inspect the final section only)
+    plan = rows._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert plan.count("Scan ExistingRDD") == 1
+
+    uniq = check_unique(df, ["k"])
+    assert uniq.collect()[0]["violations"] == 1  # k=1 appears twice
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    fk = check_foreign_key(df, "k", parent, "pk")
+    assert fk.collect()[0]["violations"] == 1  # k=3 orphaned
+
+    report = validation_report(rows, uniq, fk)
+    assert report.count() == 5
+    assert report.columns == ["rule", "violations"]
