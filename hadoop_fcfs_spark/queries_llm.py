@@ -981,3 +981,90 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.llm.textan import bigram_lm_scores
 
     return bigram_lm_scores(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "duplicate_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, tk, UNNEST(range(1, len(tk) - 8 + 2)) AS i FROM toks)
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+    brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 7
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM brks
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    """,
+    doc="Exact duplicate-substring tier (Lee et al. 2022 suffix-array dedup "
+    "re-expressed as posting lists): every maximal token span whose 8-token "
+    "windows all repeat corpus-wide. One 8-byte-fingerprint aggregation + a "
+    "semi-join + a per-DOCUMENT gaps-and-islands window — no global sort, "
+    "no all-pairs join (llm.spans.duplicate_spans).",
+)
+def duplicate_spans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.spans import duplicate_spans
+
+    docs = t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", w=8, min_count=2)
+
+
+@register(
+    "duplicate_span_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, tk, UNNEST(range(1, len(tk) - 8 + 2)) AS i FROM toks)
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+    brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 7
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM brks
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+           CAST(MAX(e - s + 1) AS BIGINT) AS max_span_len
+    FROM spans GROUP BY doc_id
+    """,
+    doc="Per-document duplicated-span triage summary (span count, duplicated "
+    "token mass, longest span) — what a removal policy ranks documents by "
+    "(llm.spans.duplicate_span_stats).",
+)
+def duplicate_span_stats_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.spans import duplicate_span_stats
+
+    docs = t(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs, "doc_id", "text", w=8, min_count=2)

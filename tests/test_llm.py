@@ -465,3 +465,62 @@ def test_bigram_lm_scores_hand_case(spark):
     d1 = math.floor((2 * -math.log2(p_ab) + -math.log2(p_ba)) / 3 * 1_000_000)
     d2 = math.floor(-math.log2(p_ab) * 1_000_000)
     assert got == {1: (3, d1), 2: (1, d2)}  # doc 3 (single token) omitted
+
+
+def test_duplicate_spans_planted_hand_case(spark):
+    """Two docs sharing a 10-token run + one doc with an internal repeat;
+    hand-computed maximal spans."""
+    from hadoop_fcfs_spark.llm.spans import duplicate_span_stats, duplicate_spans
+
+    shared = "q w e r t y u i o p"  # 10 tokens, alien to the filler vocab
+    rows = [
+        (1, "f1 f2 f3 " + shared + " f4 f5 f6"),       # span at tokens 3..12
+        (2, shared + " g1 g2 g3 g4 g5 g6 g7 g8"),       # span at tokens 0..9
+        (3, "h1 h2 h3 h4 h5 h6 h7 h8 h9 h10"),          # clean
+        # internal repeat: same 8-token run twice in ONE doc, separated
+        (4, "a1 a2 a3 a4 a5 a6 a7 a8 z1 z2 z3 z4 a1 a2 a3 a4 a5 a6 a7 a8"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicate_spans(df, "doc_id", "text", w=8, min_count=2).collect()
+    )
+    # 10-token shared run => 3 overlapping 8-windows merging to one span;
+    # doc 4's two copies are separate islands (the windows crossing the
+    # z-region are unique, and gap 12 > w-1)
+    assert spans == [
+        (1, 3, 12, 3),
+        (2, 0, 9, 3),
+        (4, 0, 7, 1),
+        (4, 12, 19, 1),
+    ]
+
+    stats = {
+        r["doc_id"]: (r["n_spans"], r["dup_tokens"], r["max_span_len"])
+        for r in duplicate_span_stats(df, "doc_id", "text", w=8, min_count=2).collect()
+    }
+    assert stats[1] == (1, 10, 10)
+    assert stats[4] == (2, 16, 8)
+
+
+def test_duplicate_spans_short_doc_and_touching_runs(spark):
+    from hadoop_fcfs_spark.llm.spans import duplicate_spans, window_fingerprints
+
+    # doc shorter than w yields no windows (sequence() guard)
+    tiny = spark.createDataFrame([(1, "a b c"), (2, "a b c")], ["doc_id", "text"])
+    assert window_fingerprints(tiny, "doc_id", "text", w=8).count() == 0
+    # w=1 duplicated single tokens: doc "x y x" vs "x" -> x duplicated at 0,2
+    # and the two occurrences in doc 1 do NOT merge (gap 2 > w-1=0)
+    df = spark.createDataFrame([(1, "x y x"), (2, "x")], ["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, "doc_id", "text", w=1, min_count=2).collect()
+    )
+    assert got == [(1, 0, 0), (1, 2, 2), (2, 0, 0)]
+
+
+def test_duplicate_spans_rejects_bad_width(spark):
+    from hadoop_fcfs_spark.llm.spans import duplicate_spans
+
+    with pytest.raises(ValueError):
+        duplicate_spans(_docs(spark), "doc_id", "text", w=0)
