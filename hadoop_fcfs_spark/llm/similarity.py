@@ -288,3 +288,49 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means-cluster the embedding space, then drop every
+    point that has a lower-id point in the SAME cluster with cosine >=
+    ``threshold``. Returns survivors as (id_col, cell).
+
+    The clustering is the scale trick: the quadratic pairwise step runs
+    within cells only (cost Σ cell², never corpus²), and the cell
+    self-join is a shuffle on the cell id that AQE skew-splits if one
+    cell is huge. Keep policy here is lowest-id-wins (deterministic,
+    SQL-replayable); the paper keeps the point least similar to the
+    centroid — swap the ordering column to get that variant.
+
+    Like near_dedup's greedy filter, "any lower-id neighbor" slightly
+    over-removes versus greedy-chain semantics (if A~B and B~C but A!~C,
+    C is still dropped when B is) — documented tradeoff, same policy as
+    the text tier so the two stacks compose predictably.
+
+    ``centroids`` bypasses the k-means build with a fixed coarse
+    quantizer (k×dim floats), as in ivf_topk.
+    """
+    cents = centroids if centroids is not None else kmeans_centroids(
+        df, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    cells = _assign_to_centroid(df, cents, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("__centroid").alias("cell")
+    )
+    left = cells.select(F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"), "cell")
+    right = cells.select(F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"), "cell")
+    losers = (
+        left.join(right, "cell")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter((F.round(cosine(F.col("__va"), F.col("__vb")), 4) + 0.0) >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return cells.join(losers, id_col, "left_anti").select(id_col, "cell")

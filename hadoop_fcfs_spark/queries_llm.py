@@ -1068,3 +1068,44 @@ def duplicate_span_stats_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return duplicate_span_stats(docs, "doc_id", "text", w=8, min_count=2)
+
+
+@register(
+    "semdedup",
+    oracle="""
+    WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                   FROM embeddings WHERE vec_id < 16),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, v, cid AS cell FROM (
+        SELECT c.vec_id, c.v, ct.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                  ORDER BY list_distance(c.v, ct.cv), ct.cid) AS rn
+        FROM corpus c CROSS JOIN cents ct) WHERE rn = 1
+    ),
+    losers AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b USING (cell)
+      WHERE a.vec_id < b.vec_id
+        AND ROUND(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(b.v, b.v))), 4) + 0.0 >= 0.95
+    )
+    SELECT vec_id, CAST(cell AS INT) AS cell
+    FROM assign WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    """,
+    doc="SemDeDup (Abbas et al. 2023): k-means cells + within-cell cosine "
+    "dedup, lowest-id survivor (llm.similarity.semdedup). Gate uses the "
+    "FIXED 16-lowest-id coarse quantizer (ann_ivf_topk pattern) so cell "
+    "assignment + the quadratic-within-cell-only pair step get a full "
+    "value-hash oracle; the k-means build stays pytest-covered.",
+)
+def semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import semdedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    return semdedup(emb, threshold=0.95, centroids=cents)

@@ -524,3 +524,21 @@ def test_duplicate_spans_rejects_bad_width(spark):
 
     with pytest.raises(ValueError):
         duplicate_spans(_docs(spark), "doc_id", "text", w=0)
+
+
+def test_semdedup_drops_planted_copies(spark):
+    """Exact copies of a vector land in the same cell (identical => same
+    argmin) and all but the lowest id are dropped; unrelated vectors
+    survive. Uses the learned k-means path (no fixed quantizer)."""
+    from hadoop_fcfs_spark.llm.similarity import semdedup
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(40)
+    copies = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(copies)
+    kept = {r["vec_id"] for r in semdedup(corpus, threshold=0.99, n_centroids=4).collect()}
+    assert {0, 1, 2} <= kept
+    assert kept.isdisjoint({1_000_000, 1_000_001, 1_000_002})
+    # everything not involved in a planted duplicate survived
+    assert len(kept) >= 37
