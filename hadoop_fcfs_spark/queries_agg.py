@@ -127,3 +127,63 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.sum(k).alias("k_sum"), F.max(k).alias("k_max"), F.count("*").alias("n")
     )
+
+
+@register(
+    "hll_distinct_rollup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="Re-aggregatable sketch tier (agg.sketches): per-(event_type, day) "
+    "HLL sketches materialized in ONE scan, rolled up to event_type by "
+    "sketch UNION (hll_union_agg) — the no-rescan distinct-count pattern "
+    "for 100 TB. The oracled value is the ERROR CONTRACT: hll_ok asserts "
+    "the merged estimate lands within 5% of exact (HLL lgk=12 RSE ~1.6%), "
+    "so sketch degradation fails the value hash.",
+)
+def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.agg.sketches import hll_partial, hll_rollup
+
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = hll_partial(ev, ["event_type", "day"], "user_id")
+    merged = hll_rollup(daily, ["event_type"])
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("hll_ok"),
+    )
+
+
+@register(
+    "approx_quantile_bounds",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_e6,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="Quantile sketch with an oracled error contract: exact continuous "
+    "median (percentile(), floor-to-micro) next to percentile_approx "
+    "(Greenwald-Khanna-style mergeable sketch); approx_ok asserts the "
+    "sketch lands within 1% relative of exact. The exact median is the "
+    "oracle's value; the bound catches sketch regressions.",
+)
+def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("__p50"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("__ap"),
+    )
+    return agg.select(
+        "event_type",
+        F.floor(F.col("__p50") * 1_000_000).cast("long").alias("p50_e6"),
+        (
+            F.abs(F.col("__ap") - F.col("__p50"))
+            <= F.greatest(0.01 * F.abs(F.col("__p50")), F.lit(0.01))
+        ).alias("approx_ok"),
+    )

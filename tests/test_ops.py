@@ -519,3 +519,32 @@ def test_validation_checks_unit(spark):
     report = validation_report(rows, uniq, fk)
     assert report.count() == 5
     assert report.columns == ["rule", "violations"]
+
+
+def test_hll_sketch_merge_equals_direct(spark):
+    """Algebraic-aggregate contract: rolling up per-day partial sketches
+    by union must estimate exactly what a direct whole-group sketch
+    estimates (same algorithm, same stream), and land within the HLL
+    error bound of exact."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.agg.sketches import hll_partial, hll_rollup
+    from hadoop_fcfs_spark.tables import t
+    from tests.conftest import SF_SMOKE
+
+    ev = t(spark, SF_SMOKE, "events").withColumn("day", F.to_date("ts"))
+    merged = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_rollup(hll_partial(ev, ["event_type", "day"], "user_id"), ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_rollup(hll_partial(ev, ["event_type"], "user_id"), ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert merged == direct
+    for k, n in exact.items():
+        assert abs(merged[k] - n) <= 0.05 * n
