@@ -44,3 +44,34 @@ def salted_agg(
         *[getattr(F, fn)(alias).alias(alias) for fn, alias in merge_aggs]
     )
     return merged
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_n: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the BIG (skewed) side per row, replicate
+    the small side across all ``salt_n`` salt values, join on
+    (keys + salt). A key holding 30% of the big table spreads over
+    ``salt_n`` tasks instead of melting one.
+
+    This is the manual form of what AQE skew-join does at runtime
+    (session.py enables AQE); keep it for the cases AQE can't see —
+    skew introduced mid-query by a prior operator, or a small side just
+    above the broadcast threshold. Replication multiplies the small
+    side by ``salt_n``: only use when |small| * salt_n stays shuffle-
+    friendly. Supports inner and left joins (the replicated-right outer
+    variants would need a post-dedup; refuse rather than mis-answer).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    dup = set(big.columns) & (set(small.columns) - set(on))
+    if dup:
+        raise ValueError(f"ambiguous non-key columns on both sides: {sorted(dup)}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n))
+    bs = big.withColumn("__salt", salt)
+    ss = small.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)).cast("array<long>")))
+    return bs.join(ss, [*on, "__salt"], how).drop("__salt")

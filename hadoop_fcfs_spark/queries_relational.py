@@ -1770,3 +1770,33 @@ def data_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniq = check_unique(li, ["l_orderkey", "l_linenumber"])
     fk = check_foreign_key(li, "l_orderkey", orders, "o_orderkey")
     return validation_report(rows, uniq, fk)
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    WITH dim AS (SELECT event_type, AVG(value) AS type_avg
+                 FROM events GROUP BY event_type)
+    SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(ABS(e.value - d.type_avg)), 2) + 0.0 AS abs_dev_sum
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="Skew-safe salted equi-join (ops/skew.py salted_join): the big side "
+    "salts per row, the 5-row dim side replicates x16, the join key becomes "
+    "(event_type, salt) — a hot key spreads over 16 tasks. Salting is "
+    "result-invariant, so the oracle is the PLAIN join; the gate proves the "
+    "skew plan computes identical values. This is the manual tier under AQE "
+    "skew-join, for skew AQE can't see (introduced mid-query) or small "
+    "sides just over the broadcast threshold.",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.skew import salted_join
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    joined = salted_join(ev, dim, ["event_type"], salt_n=16)
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("cnt"),
+        (F.round(F.sum(F.abs(F.col("value") - F.col("type_avg"))), 2) + 0.0).alias("abs_dev_sum"),
+    )

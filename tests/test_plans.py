@@ -262,3 +262,54 @@ def test_skew_salted_agg_two_stage(spark):
     plan = _plan(df)
     assert "__salt" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final for each stage
+
+
+def test_runtime_bloom_filter_join_injection(spark):
+    """Runtime row-level filtering: a selective build side injects a bloom
+    filter onto the probe-side scan (Spark's InjectRuntimeFilter), so at
+    cluster scale the fact table drops non-joining rows BEFORE the
+    shuffle — the engine-native BloomMapFile analog for joins. Local
+    thresholds are forced; the assertion is that the mechanism engages
+    (might_contain on the probe filter, bloom_filter_agg on the build)."""
+    from hadoop_fcfs_spark.tables import t
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = t(spark, SF_ORACLE, "lineitem")
+        orders = t(spark, SF_ORACLE, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_salted_join_spreads_and_matches(spark):
+    """salted_join: row-count identity vs the plain join, and the physical
+    join key includes the salt (16-way key spread)."""
+    from hadoop_fcfs_spark.ops.skew import salted_join
+    from hadoop_fcfs_spark.tables import t
+
+    ev = t(spark, SF_ORACLE, "events").select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    salted = salted_join(ev, dim, ["event_type"], salt_n=16)
+    assert salted.count() == ev.join(dim, "event_type").count()
+    assert "__salt" in _plan(salted)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(ev, dim.withColumnRenamed("type_avg", "value"), ["event_type"])
+    with _pytest.raises(ValueError):
+        salted_join(ev, dim, ["event_type"], how="right")
