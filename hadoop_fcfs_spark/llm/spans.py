@@ -137,3 +137,64 @@ def duplicate_span_stats(
         F.sum(span_len).alias("dup_tokens"),
         F.max(span_len).alias("max_span_len"),
     )
+
+
+def remove_boilerplate_units(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    unit_tokens: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Paragraph-level cross-document dedup (the CCNet / C4 boilerplate
+    pass): split every document into consecutive ``unit_tokens``-token
+    units ("paragraphs" — the splitter is positional because the test
+    corpus has no newlines; swap the unit builder for a newline split on
+    real web text), drop every unit that occurs in >= ``min_docs``
+    DISTINCT documents (license headers, nav bars, cookie banners),
+    and reassemble each document from its surviving units in order.
+
+    Returns (id_col, clean_text, n_kept, n_dropped). Documents that were
+    pure boilerplate come back with clean_text = ''.
+
+    Scale shape: one unit-fingerprint aggregation (8-byte xxhash64 keys,
+    distinct-doc count partial-aggregated), a fingerprint equi-join to
+    flag units, one groupBy(doc) reassembly — three linear shuffles, no
+    all-pairs anything. The distinct-doc count is exactly where
+    boilerplate skew concentrates; the count itself is the aggregate, so
+    map-side combine absorbs it.
+    """
+    toks = _token_array(df, id_col, text_col)
+    n_units = F.ceil(F.size("tk") / F.lit(float(unit_tokens))).cast("int")
+    starts = F.when(
+        F.size("tk") > 0, F.sequence(F.lit(0), n_units - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    units = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.concat_ws(
+                    " ", F.slice("tk", i * unit_tokens + 1, unit_tokens)
+                ),
+            )
+        ).alias("upos", "unit"),
+    ).withColumn("fp", F.xxhash64("unit"))
+    boiler = (
+        units.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("ndocs"))
+        .where(F.col("ndocs") >= min_docs)
+        .select("fp", F.lit(True).alias("is_b"))
+    )
+    flagged = units.join(boiler, "fp", "left").withColumn(
+        "is_b", F.coalesce(F.col("is_b"), F.lit(False))
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("upos"), F.col("unit"), F.col("is_b")))
+    )
+    kept = F.filter(ordered, lambda s: ~s["is_b"])
+    return flagged.groupBy(id_col).agg(
+        F.array_join(F.transform(kept, lambda s: s["unit"]), " ").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+    )

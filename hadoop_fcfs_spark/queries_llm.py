@@ -1109,3 +1109,46 @@ def semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
     ]
     return semdedup(emb, threshold=0.95, centroids=cents)
+
+
+@register(
+    "boilerplate_removal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    units AS (
+      SELECT doc_id, i AS upos,
+             array_to_string(tk[i*16+1 : i*16+16], ' ') AS unit
+      FROM (SELECT doc_id, tk,
+                   UNNEST(range(0, CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS i
+            FROM toks)
+    ),
+    boiler AS (
+      SELECT unit FROM units GROUP BY unit HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+      SELECT doc_id, upos, unit,
+             unit IN (SELECT unit FROM boiler) AS is_b
+      FROM units
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT is_b THEN unit END, ' ' ORDER BY upos), '')
+             AS clean_text,
+           CAST(COUNT(*) FILTER (NOT is_b) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (is_b) AS BIGINT) AS n_dropped
+    FROM flagged GROUP BY doc_id
+    """,
+    doc="CCNet/C4-style boilerplate pass (llm.spans.remove_boilerplate_units): "
+    "16-token units duplicated across >= 2 DISTINCT documents are dropped "
+    "and documents reassembled from surviving units in order. One "
+    "fingerprint aggregation + one flag join + one per-doc reassembly — "
+    "three linear shuffles.",
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.spans import remove_boilerplate_units
+
+    docs = t(spark, sf_dir, "documents")
+    return remove_boilerplate_units(docs, "doc_id", "text", unit_tokens=16, min_docs=2)

@@ -542,3 +542,26 @@ def test_semdedup_drops_planted_copies(spark):
     assert kept.isdisjoint({1_000_000, 1_000_001, 1_000_002})
     # everything not involved in a planted duplicate survived
     assert len(kept) >= 37
+
+
+def test_remove_boilerplate_units_planted(spark):
+    """A shared 16-token banner across 3 docs is dropped everywhere;
+    unique tails survive; a pure-boilerplate doc returns ''."""
+    from hadoop_fcfs_spark.llm.spans import remove_boilerplate_units
+
+    banner = " ".join(f"b{i}" for i in range(16))
+    rows = [
+        (1, banner + " u1 u2 u3"),
+        (2, banner + " v1 v2 v3 v4"),
+        (3, banner),                      # pure boilerplate
+        (4, "w1 w2 w3 w4 w5"),            # untouched
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in remove_boilerplate_units(df, "doc_id", "text", unit_tokens=16).collect()
+    }
+    assert out[1] == ("u1 u2 u3", 1, 1)
+    assert out[2] == ("v1 v2 v3 v4", 1, 1)
+    assert out[3] == ("", 0, 1)
+    assert out[4] == ("w1 w2 w3 w4 w5", 1, 0)
