@@ -31,7 +31,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per operator family — scan+agg, big join, global
 # sort, shuffle-heavy text agg, sub-quadratic dedup, ANN, windows, plus
-# the composed training-data pipeline and the packing prefix-sum (r2).
+# the composed training-data pipeline and the packing prefix-sum (r2)
+# and the exact-substring span tier (r3).
 HEADLINE = [
     "pricing_summary",
     "join_multiway",
@@ -42,6 +43,7 @@ HEADLINE = [
     "value_histogram",
     "corpus_pipeline",
     "sequence_packing",
+    "duplicate_spans",
 ]
 
 

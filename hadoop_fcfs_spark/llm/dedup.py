@@ -447,3 +447,37 @@ def near_dedup_clustered(
         F.col("doc").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """Incremental-ingestion dedup: drop every row of ``batch`` whose
+    normalized text digest already exists in ``reference`` (the corpus
+    accumulated by previous runs), then exact-dedup the survivors within
+    the batch (min-id representative).
+
+    This is the shape a daily crawl append actually runs: the reference
+    side is a persisted DIGEST table (16 bytes/doc, not the corpus), the
+    anti-join shuffles digests only, and the within-batch pass is
+    exact_dedup on the (much smaller) new arrivals. At cluster scale put
+    a bloom filter on the digest column of the reference store
+    (io/writers.write_sorted_bucketed bloom_cols) so the anti-join's
+    scan prunes row groups before shuffling anything.
+    """
+    norm = (
+        F.md5(F.lower(F.trim(F.col(text_col))).cast("binary"))
+        if normalize
+        else F.md5(F.col(text_col).cast("binary"))
+    )
+    ref_digests = reference.select(norm.alias("__digest")).distinct()
+    fresh = batch.withColumn("__digest", norm).join(
+        ref_digests, "__digest", "left_anti"
+    )
+    w_min = F.min(id_col).alias(id_col)
+    winners = fresh.groupBy("__digest").agg(w_min)
+    return fresh.join(winners, ["__digest", id_col], "leftsemi").drop("__digest")

@@ -89,3 +89,50 @@ def train_holdout_split(
             _sample_key(id_col) < int(holdout_fraction * _U32), F.lit("holdout")
         ).otherwise(F.lit("train")),
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    text_col: str,
+    budgets: dict,
+    default_budget: int | None = None,
+) -> DataFrame:
+    """Corpus mixing under per-source TOKEN budgets: each source keeps a
+    deterministic hash-sample of its documents sized so the expected
+    kept token mass ≈ its budget (sources under budget keep everything).
+
+    Two passes: (1) one aggregation for per-source token totals (a
+    handful of rows — broadcast back), (2) a per-row threshold filter
+    keep ⇔ uniform32(md5(id)) < floor(budget·2^32 / total_tokens).
+    All threshold arithmetic is double→floor, replayable bit-for-bit by
+    any engine; membership depends only on the id, so re-runs and
+    incremental extensions agree (the property training-data mixes
+    need — "The Pile"/LLaMA-style source weighting).
+
+    Rows sample uniformly, so long documents are not preferentially
+    kept; the budget is hit in expectation over docs, not exactly —
+    length-weighted (importance) sampling is a different keep-key,
+    deliberately not conflated here.
+    """
+    for k, v in budgets.items():
+        if v < 0:
+            raise ValueError(f"budget for source {k!r} must be >= 0, got {v}")
+    ntok = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")))
+    totals = (
+        df.withColumn("__ntok", ntok)
+        .groupBy(source_col)
+        .agg(F.sum("__ntok").alias("__total"))
+    )
+    budget = F.lit(default_budget)
+    for k, v in budgets.items():
+        budget = F.when(F.col(source_col) == k, F.lit(v)).otherwise(budget)
+    thr = F.when(
+        budget.isNull() | (budget >= F.col("__total")), F.lit(_U32)
+    ).otherwise(F.floor(budget.cast("double") * _U32 / F.col("__total")))
+    return (
+        df.join(F.broadcast(totals), source_col)
+        .filter(_sample_key(id_col) < thr)
+        .drop("__total")
+    )

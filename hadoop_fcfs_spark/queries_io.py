@@ -223,3 +223,42 @@ def train_holdout_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
     )
+
+
+@register(
+    "token_budget_mix",
+    oracle=f"""
+    WITH ntoks AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ntok
+      FROM documents
+    ),
+    tot AS (SELECT source, SUM(ntok) AS total FROM ntoks GROUP BY source),
+    kept AS (
+      SELECT n.source, n.ntok
+      FROM ntoks n JOIN tot t USING (source)
+      WHERE {_SKEY.format(id="n.doc_id")} <
+            CASE WHEN 500 >= t.total THEN 4294967296
+                 ELSE FLOOR(CAST(500 AS DOUBLE) * 4294967296 / t.total) END
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY source
+    """,
+    doc="Training-mix source weighting under per-source TOKEN budgets "
+    "(ops/sampling.token_budget_mix; The-Pile/LLaMA-style): one per-source "
+    "token-mass aggregation broadcast back, then a deterministic md5 "
+    "keep-threshold floor(budget*2^32/total) per row — sources under "
+    "budget keep all. Gate applies a 500-token default budget to every "
+    "source and summarizes kept docs + token mass per source.",
+)
+def token_budget_mix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sampling import token_budget_mix
+
+    docs = t(spark, sf_dir, "documents")
+    kept = token_budget_mix(docs, "source", "doc_id", "text", {}, default_budget=500)
+    ntok = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
+    return kept.withColumn("__ntok", ntok).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__ntok").cast("long").alias("tokens_kept"),
+    )

@@ -1152,3 +1152,31 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return remove_boilerplate_units(docs, "doc_id", "text", unit_tokens=16, min_docs=2)
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH ref AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS d FROM documents WHERE doc_id < 250
+    ),
+    fresh AS (
+      SELECT doc_id, md5(lower(trim(text))) AS d FROM documents
+      WHERE doc_id >= 250
+        AND md5(lower(trim(text))) NOT IN (SELECT d FROM ref)
+    )
+    SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY d
+    """,
+    doc="Incremental-ingestion dedup (llm.dedup.incremental_exact_dedup): a "
+    "new batch (doc_id >= 250) anti-joins the accumulated corpus's digest "
+    "set (doc_id < 250), then exact-dedups within the batch. Digest-only "
+    "shuffles; the reference side is a 16-byte/doc digest table at scale "
+    "(bloom-backed via write_sorted_bucketed).",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.dedup import incremental_exact_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") >= 250)
+    reference = docs.filter(F.col("doc_id") < 250)
+    return incremental_exact_dedup(batch, reference, "doc_id", "text").select("doc_id")
