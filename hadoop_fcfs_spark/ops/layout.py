@@ -1,0 +1,100 @@
+"""Data-layout operators: multi-dimensional clustering (Z-order) and
+small-file compaction.
+
+At 100 TB the scan you avoid is worth more than the shuffle you tune.
+Parquet keeps min/max statistics per row group; a scan with a filter
+skips row groups whose stats exclude the predicate. Linear sort layout
+makes that pruning perfect for ONE column and useless for the rest —
+Z-ORDER interleaves the bits of several key columns so every file/row
+group covers a small hyper-rectangle of the key space, giving useful
+pruning on ALL clustered dimensions at once (the technique Delta/
+Iceberg expose as OPTIMIZE ZORDER BY; Morton order from the classic
+multidimensional-indexing literature).
+
+Compaction is the other half of the layout story: streaming/incremental
+ingestion produces many small files; scans pay per-file open cost and
+lose row-group pruning granularity. The reference's CombineFileInputFormat
+(`mr-core/mapreduce/lib/input/CombineFileInputFormat.java:70`) solves
+this READ-side (pack many small files into one split — io/readers.py
+read_parquet_combined); ``compact_files`` is the WRITE-side fix that
+makes every later scan cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def zvalue(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton/Z-value: interleave the low ``bits`` bits of each column
+    into one long (col0 owns bit positions 0, n, 2n, ...). Pure bit
+    arithmetic — shuffle-free, engine-replayable. Callers normalize
+    values into [0, 2^bits) first (see ``rank_normalize``) unless the
+    raw ints already live there; high bits are masked off."""
+    n = len(cols)
+    if not 1 <= n <= 4:
+        raise ValueError(f"zvalue interleaves 1-4 columns, got {n}")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        v = (c if isinstance(c, Column) else F.col(c)).cast("long")
+        for b in range(bits):
+            # bit b of column ci lands at interleaved position b*n + ci
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(v, b).bitwiseAND(F.lit(1)), b * n + ci)
+            )
+    return z
+
+
+def rank_normalize(df: DataFrame, col: str, id_col: str, bits: int = 16) -> Column:
+    """Map a column of any type/skew onto [0, 2^bits) by rank (ntile over
+    a deterministic total order). One window per normalized column —
+    at cluster scale substitute a quantile-sketch bucketizer to avoid
+    the sort; this exact form is for bounded layouts."""
+    w = Window.orderBy(F.col(col), F.col(id_col))
+    return (F.ntile(2**bits).over(w) - 1).cast("long")
+
+
+def zorder_by(
+    df: DataFrame, cols: list[str], bits: int = 16, num_partitions: int | None = None
+) -> DataFrame:
+    """Cluster rows in Z-order on ``cols`` (raw low bits — pre-normalize
+    skewed/unbounded columns): range-partition on the z-value so each
+    output task (→ file) covers one compact z-range ≈ one small
+    hyper-rectangle, then sort within partitions for row-group-level
+    locality. The write that follows this is what makes every later
+    multi-dimensional filter scan cheap."""
+    z = zvalue([F.col(c) for c in cols], bits).alias("__z")
+    out = df.withColumn("__z", z)
+    if num_partitions:
+        out = out.repartitionByRange(num_partitions, "__z")
+    else:
+        out = out.repartitionByRange("__z")
+    return out.sortWithinPartitions("__z").drop("__z")
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Write-side small-file compaction: rewrite ``src_path`` into files
+    of ~``target_file_bytes`` (sized from the source's total on-disk
+    bytes, so the row-count-per-file adapts to the data). Returns the
+    number of files written. Layout-preserving only in the trivial
+    sense — run zorder_by/orderBy before writing when clustering
+    matters."""
+    df = spark.read.format(fmt).load(src_path)
+    # size from filesystem metadata (no data scan): sum of leaf file sizes
+    jvm = spark._jvm
+    jsc = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(jsc)
+    total = fs.getContentSummary(path).getLength()
+    n_files = max(1, int(total / target_file_bytes) + (1 if total % target_file_bytes else 0))
+    df.repartition(n_files).write.format(fmt).mode("overwrite").save(dst_path)
+    return n_files

@@ -262,3 +262,40 @@ def token_budget_mix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("__ntok").cast("long").alias("tokens_kept"),
     )
+
+
+def _z_sql(cols: list[str], bits: int) -> str:
+    n = len(cols)
+    terms = [
+        f"((({c} >> {b}) & 1) << {b * n + ci})"
+        for ci, c in enumerate(cols)
+        for b in range(bits)
+    ]
+    return " | ".join(terms)
+
+
+@register(
+    "zorder_values",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST({_z_sql(["(o_custkey & 255)", "(o_orderkey & 255)"], 8)} AS BIGINT)
+             AS zval
+    FROM orders
+    """,
+    doc="Morton/Z-value bit interleave (ops/layout.zvalue): the clustering "
+    "key behind multi-dimensional layout (Delta/Iceberg OPTIMIZE ZORDER). "
+    "Gate oracles the interleave arithmetic bit-for-bit over the low 8 "
+    "bits of (o_custkey, o_orderkey); the layout/pruning benefit is "
+    "asserted by the per-file locality pytest (test_plans).",
+)
+def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.layout import zvalue
+
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        zvalue(
+            [F.col("o_custkey").bitwiseAND(F.lit(255)), F.col("o_orderkey").bitwiseAND(F.lit(255))],
+            bits=8,
+        ).alias("zval"),
+    )

@@ -548,3 +548,24 @@ def test_hll_sketch_merge_equals_direct(spark):
     assert merged == direct
     for k, n in exact.items():
         assert abs(merged[k] - n) <= 0.05 * n
+
+
+def test_zvalue_guards_and_known_values(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.layout import zvalue
+
+    # interleave(x=0b11, y=0b00) -> bits at even positions: 0b0101 = 5
+    row = spark.range(1).select(
+        zvalue([F.lit(3), F.lit(0)], bits=2).alias("a"),
+        zvalue([F.lit(0), F.lit(3)], bits=2).alias("b"),
+        zvalue([F.lit(255), F.lit(255)], bits=8).alias("c"),
+    ).first()
+    assert row["a"] == 0b0101
+    assert row["b"] == 0b1010
+    assert row["c"] == 65535
+    with pytest.raises(ValueError):
+        zvalue([], bits=8)
+    with pytest.raises(ValueError):
+        zvalue([F.lit(1), F.lit(2)], bits=32)
