@@ -1800,3 +1800,92 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("cnt"),
         (F.round(F.sum(F.abs(F.col("value") - F.col("type_avg"))), 2) + 0.0).alias("abs_dev_sum"),
     )
+
+
+@register(
+    "event_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view'
+      GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT stage, users FROM (
+      SELECT 1 AS ord, 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM s1
+      UNION ALL
+      SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    )
+    """,
+    doc="Ordered-sequence funnel (view -> click -> purchase, strict ts "
+    "order per user): each stage is a user-co-partitioned join + min — "
+    "the shuffles all hash on user_id, so Catalyst reuses one exchange "
+    "per side and the sequential dependency never materializes a "
+    "per-user event list. The marquee product-analytics query shape.",
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").cast("long").alias("users")).select(F.lit("view").alias("stage"), "users")
+        .unionByName(s2.agg(F.count("*").cast("long").alias("users")).select(F.lit("view>click").alias("stage"), "users"))
+        .unionByName(s3.agg(F.count("*").cast("long").alias("users")).select(F.lit("view>click>purchase").alias("stage"), "users"))
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+      GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(CAST(e.ts AS DATE) - f.cohort_day AS BIGINT) AS offset_day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN firsts f USING (user_id)
+    WHERE CAST(e.ts AS DATE) - f.cohort_day BETWEEN 0 AND 7
+    GROUP BY 1, offset_day
+    """,
+    doc="Cohort retention matrix: users bucketed by first-seen day, "
+    "activity counted per day-offset 0..7. One user-grain aggregation "
+    "joined back on user_id (co-located shuffle), then a (cohort, "
+    "offset) count-distinct — output is cohorts x offsets, never "
+    "event-shaped. The standard growth-analytics rollup.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    return (
+        ev.join(firsts, "user_id")
+        .withColumn("offset_day", F.datediff(F.to_date("ts"), F.col("cohort_day")).cast("long"))
+        .filter(F.col("offset_day").between(0, 7))
+        .groupBy(F.col("cohort_day").cast("string").alias("cohort_day"), F.col("offset_day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+    )
