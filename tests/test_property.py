@@ -268,3 +268,36 @@ def test_typedbytes_roundtrip_property(value):
         return v
 
     assert got[0] == norm(value)
+
+
+def _py_zvalue(vals: list[int], bits: int) -> int:
+    z = 0
+    n = len(vals)
+    for ci, v in enumerate(vals):
+        for b in range(bits):
+            z |= ((v >> b) & 1) << (b * n + ci)
+    return z
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**10 - 1), st.integers(0, 2**10 - 1)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_zvalue_matches_python_model_and_is_injective(spark, pts):
+    """Spark zvalue == bit-level Python model for arbitrary points, and
+    distinct (x, y) always get distinct z (injectivity on the masked
+    domain — the property pruning correctness rests on)."""
+    from hadoop_fcfs_spark.ops.layout import zvalue
+
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zvalue(["x", "y"], bits=10).alias("z")).collect()
+    }
+    assert got == {(x, y): _py_zvalue([x, y], 10) for x, y in pts}
+    assert len(set(got.values())) == len(pts)
