@@ -24,8 +24,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # driver-generated micros with isAdjustedToUTC=false infer as
+            # TIMESTAMP_NTZ on Spark 4; normalize to TIMESTAMP (LTZ) under
+            # the UTC session tz — identical wall-clock values, and
+            # functions like unix_micros/window accept it uniformly
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
