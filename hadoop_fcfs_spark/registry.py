@@ -74,10 +74,31 @@ def all_queries() -> dict[str, QuerySpec]:
     from hadoop_fcfs_spark import queries_relational  # noqa: F401
     from hadoop_fcfs_spark import queries_streaming  # noqa: F401
 
-    def bucket(spec: QuerySpec) -> int:
+    # Unconfirmed gates now exceed the ~50-slot prefix; pin the ones with
+    # UNIQUE coverage first (streaming batch-twins — the only events-window
+    # driver evidence — and the two replanted-oracle gates whose prior rows
+    # were no_oracle), so the crowd-out falls on redundant TPC-H shapes.
+    priority = {
+        name: i
+        for i, name in enumerate((
+            "dedup_simhash", "ann_rp_lsh_topk", "tumbling_window",
+            "sliding_window", "sessionize", "session_window",
+            "event_interval_join",
+            # r3-second-session gates: no prior-round history at all
+            "duplicate_spans", "duplicate_span_stats", "boilerplate_removal",
+            "semdedup", "dedup_incremental", "token_budget_mix",
+            "hll_distinct_rollup", "approx_quantile_bounds",
+            "skew_salted_join", "zorder_values", "event_funnel",
+            "cohort_retention",
+        ))
+    }
+
+    def bucket(spec: QuerySpec) -> tuple[int, int]:
         if spec.oracle is None:
-            return 2  # rows-only: weak check, never worth a sampled slot
-        return 1 if spec.name in _DRIVER_CONFIRMED else 0
+            return (3, 0)  # rows-only: weak check, never worth a sampled slot
+        if spec.name in priority:
+            return (0, priority[spec.name])
+        return (2, 0) if spec.name in _DRIVER_CONFIRMED else (1, 0)
 
     ordered = sorted(_REGISTRY.values(), key=lambda s: bucket(s))  # stable within buckets
     return {s.name: s for s in ordered}
