@@ -1,0 +1,78 @@
+"""Iterative graph analytics as DataFrame algebra: PageRank.
+
+Companion to the label-propagation connected components in
+llm/dedup.py (the other iterative-tier operator). Each PageRank
+iteration is two co-partitioned equi-joins + one aggregation — rank
+mass flows src→dst along edges — so an iteration costs what one
+big join costs, and the rank state is one row per NODE (never
+edge-shaped). The iteration count is fixed and small (power iteration
+converges geometrically at rate ~damping); this is an analytics
+rollup, not a convergence chase.
+
+Scale notes:
+  - The edge table shuffles once per iteration (hash on src for the
+    rank join, then on dst for the aggregation). On a real cluster,
+    pre-partition edges by src and persist — every iteration reuses
+    the layout (Pregel's edge-cut, expressed as a Spark partitioning).
+  - Hub skew (a node with millions of in-edges) lands on the dst
+    aggregation — a sum, map-side combined; AQE splits the rest.
+  - Lineage doubles per iteration; ``checkpoint_every`` truncates with
+    localCheckpoint like llm.dedup.connected_components does.
+  - Dangling nodes (no out-edges) leak their mass — ranks sum to < 1,
+    the standard simplification; renormalize or add a dangling-mass
+    redistribution term if the absolute scale matters downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 5,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Weighted PageRank over an edge list. Returns (node, rank).
+
+    Transition mass from a node splits across its out-edges
+    proportionally to ``weight`` (uniformly when None). Node set =
+    distinct src ∪ dst; rank init = 1/N; per iteration
+    rank(v) = (1-damping)/N + damping·Σ_{u→v} rank(u)·w_norm(u,v).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    ew = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+    # per-source normalized transition weights: one window partitioned by src
+    wsrc = Window.partitionBy("src")
+    norm = ew.withColumn("wn", F.col("w") / F.sum("w").over(wsrc)).select("src", "dst", "wn")
+
+    nodes = (
+        ew.select(F.col("src").alias("node"))
+        .unionByName(ew.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # one scalar; the only driver-side value
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+
+    for i in range(iterations):
+        contrib = (
+            norm.join(ranks, norm.src == ranks.node)
+            .select("dst", (F.col("rank") * F.col("wn")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

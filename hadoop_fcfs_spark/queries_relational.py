@@ -1889,3 +1889,95 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cohort_day").cast("string").alias("cohort_day"), F.col("offset_day"))
         .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
     )
+
+
+@register(
+    "pagerank_nations",
+    oracle="""    WITH
+    edges AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst,
+             SUM(l_extendedprice * (1 - l_discount)) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+    nw AS (SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS wn FROM edges),
+    r0 AS (SELECT n, 1.0 / nn.cnt AS r FROM nodes CROSS JOIN nn),
+    r1 AS (
+      SELECT nd.n,
+             0.15 / nn.cnt + 0.85 * COALESCE(SUM(p.r * nw.wn), 0) AS r
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN nw ON nw.dst = nd.n
+      LEFT JOIN r0 p ON p.n = nw.src
+      GROUP BY nd.n, nn.cnt
+    ),
+    r2 AS (
+      SELECT nd.n,
+             0.15 / nn.cnt + 0.85 * COALESCE(SUM(p.r * nw.wn), 0) AS r
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN nw ON nw.dst = nd.n
+      LEFT JOIN r1 p ON p.n = nw.src
+      GROUP BY nd.n, nn.cnt
+    ),
+    r3 AS (
+      SELECT nd.n,
+             0.15 / nn.cnt + 0.85 * COALESCE(SUM(p.r * nw.wn), 0) AS r
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN nw ON nw.dst = nd.n
+      LEFT JOIN r2 p ON p.n = nw.src
+      GROUP BY nd.n, nn.cnt
+    ),
+    r4 AS (
+      SELECT nd.n,
+             0.15 / nn.cnt + 0.85 * COALESCE(SUM(p.r * nw.wn), 0) AS r
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN nw ON nw.dst = nd.n
+      LEFT JOIN r3 p ON p.n = nw.src
+      GROUP BY nd.n, nn.cnt
+    ),
+    r5 AS (
+      SELECT nd.n,
+             0.15 / nn.cnt + 0.85 * COALESCE(SUM(p.r * nw.wn), 0) AS r
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN nw ON nw.dst = nd.n
+      LEFT JOIN r4 p ON p.n = nw.src
+      GROUP BY nd.n, nn.cnt
+    )
+    SELECT n AS node, CAST(FLOOR(r * 1000000) AS BIGINT) AS rank_e6 FROM r5
+    """,
+    doc="Weighted PageRank (ops.graph.pagerank), 5 power iterations over "
+    "the nation-level trade graph (customer nation -> supplier nation, "
+    "revenue-weighted edges aggregated from lineitem). Each iteration is "
+    "two co-partitioned joins + a sum; rank state is node-shaped, never "
+    "edge-shaped; lineage truncated via localCheckpoint. Oracle unrolls "
+    "the 5 iterations as CTEs; ranks floored to micros.",
+)
+def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("src"))
+    sn = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cnk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("snk"))
+        .groupBy("src", "dst")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("w"))
+    )
+    pr = pagerank(edges, "src", "dst", weight="w", iterations=5)
+    return pr.select(
+        F.col("node"), F.floor(F.col("rank") * 1_000_000).cast("long").alias("rank_e6")
+    )

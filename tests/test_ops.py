@@ -569,3 +569,34 @@ def test_zvalue_guards_and_known_values(spark):
         zvalue([], bits=8)
     with pytest.raises(ValueError):
         zvalue([F.lit(1), F.lit(2)], bits=32)
+
+
+def test_pagerank_cycle_and_star(spark):
+    """Hand-checkable graphs: a 3-cycle stays uniform (1/3 each) at every
+    iteration; in a star (B->A, C->A, A->B) the hub outranks the leaf
+    that receives nothing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    r = {x["node"]: x["rank"] for x in pagerank(cycle, iterations=4).collect()}
+    assert all(abs(v - 1 / 3) < 1e-12 for v in r.values())
+
+    star = spark.createDataFrame([("b", "a"), ("c", "a"), ("a", "b")], ["src", "dst"])
+    r = {x["node"]: x["rank"] for x in pagerank(star, iterations=6).collect()}
+    # a<->b oscillate (near-bipartite); both strictly outrank the sink-less c
+    assert r["a"] > r["c"] and r["b"] > r["c"]
+    # c has no in-edges: exactly the teleport mass
+    assert abs(r["c"] - 0.15 / 3) < 1e-12
+    # weighted: heavier edge carries more mass
+    wdf = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0)], ["src", "dst", "w"]
+    )
+    rw = {x["node"]: x["rank"] for x in pagerank(wdf, weight="w", iterations=1).collect()}
+    assert rw["b"] > rw["c"]
+    with pytest.raises(ValueError):
+        pagerank(cycle, iterations=0)
