@@ -41,7 +41,9 @@ def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     # for leading whitespace / consecutive separators) — so shingles are
     # defined over the clean token sequence and agree with the ANSI-SQL
     # oracles' list_filter(regexp_split_to_array(text,'\s+'), w -> w <> '').
-    words_df = df.select(
+    from hadoop_fcfs_spark.tables import fan_out
+
+    words_df = fan_out(df).select(
         F.col(id_col).alias("doc"),
         F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")).alias("__w"),
     )

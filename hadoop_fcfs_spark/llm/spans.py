@@ -45,11 +45,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hadoop_fcfs_spark.tables import fan_out
+
 
 def _token_array(df: DataFrame, id_col: str, text_col: str):
     """(id, tk: array<string>) with empty tokens dropped BEFORE position
     assignment, so offsets match any engine that filters-then-enumerates."""
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")).alias("tk"),
     )

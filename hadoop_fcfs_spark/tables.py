@@ -54,3 +54,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
             t(spark, sf_dir, name).createOrReplaceTempView(name)
             names.append(name)
     return names
+
+
+def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Fan-out control for explode-heavy operators (reference parity:
+    NLineInputFormat's split-per-N-lines mapper fan-out,
+    ``mr-core/mapreduce/lib/input/NLineInputFormat.java:46``).
+
+    Shingling/windowing operators multiply row counts ~50× downstream of
+    the scan; a source with fewer splits than cores serializes that heavy
+    stage before the first shuffle. Repartition up to the session default
+    parallelism ONLY when the input has fewer partitions — a no-op on any
+    real multi-split input (at cluster scale this never fires; locally it
+    fixes the one-file-parquet artifact, measured 1.5× on the sf0.1
+    span/LSH gates). Round-robin redistribution is result-invariant for
+    the aggregation/join-shaped consumers this guards; do NOT use it
+    upstream of monotonically_increasing_id consumers.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
