@@ -1981,3 +1981,32 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node"), F.floor(F.col("rank") * 1_000_000).cast("long").alias("rank_e6")
     )
+
+
+@register(
+    "scd2_user_status",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type AS status, ts,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    ch AS (SELECT user_id, status, ts FROM flagged WHERE prev IS NULL OR status <> prev)
+    SELECT user_id, status, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+    FROM ch
+    """,
+    doc="SCD Type-2 dimension build (ops.cdc.scd2_from_changes): collapse "
+    "no-op updates per key, stitch validity intervals with lead() — two "
+    "key-partitioned windows, per-key bounded state. The historical twin "
+    "of latest_event_per_user (Type 1); pairs with as_of_join for "
+    "what-was-it-at-time-T lookups.",
+)
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.cdc import scd2_from_changes
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("event_type").alias("status"), "ts", "event_id"
+    )
+    return scd2_from_changes(ev, "user_id", "ts", "status", tiebreak="event_id")

@@ -600,3 +600,24 @@ def test_pagerank_cycle_and_star(spark):
     assert rw["b"] > rw["c"]
     with pytest.raises(ValueError):
         pagerank(cycle, iterations=0)
+
+
+def test_scd2_hand_case(spark):
+    """a: x@1 -> x@2 (no-op, collapses) -> y@3 -> x@5; b: single version."""
+    from hadoop_fcfs_spark.ops.cdc import scd2_from_changes
+
+    rows = [
+        ("a", "x", 1, 10), ("a", "x", 2, 11), ("a", "y", 3, 12), ("a", "x", 5, 13),
+        ("b", "z", 4, 14),
+    ]
+    df = spark.createDataFrame(rows, ["k", "v", "ts", "seq"])
+    out = sorted(
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_from_changes(df, "k", "ts", "v", tiebreak="seq").collect()
+    )
+    assert out == [
+        ("a", "x", 1, 3, False),
+        ("a", "x", 5, None, True),
+        ("a", "y", 3, 5, False),
+        ("b", "z", 4, None, True),
+    ]
