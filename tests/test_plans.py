@@ -375,3 +375,22 @@ def test_compact_files_hits_target_count(spark, tmp_path):
     assert len(files) == n <= 6
     # same rows round-tripped
     assert spark.read.parquet(dst).count() == spark.read.parquet(src).count()
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Hive-style partitioned layout + a partition-column filter must
+    prune at PLANNING time: the scan's PartitionFilters carry the
+    predicate and only matching directories are read — the coarse-grain
+    layer above z-order's row-group pruning."""
+    from hadoop_fcfs_spark.tables import t
+
+    path = str(tmp_path / "by_status")
+    t(spark, SF_ORACLE, "orders").write.partitionBy("o_orderstatus").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = _optimized(df)
+    scan = [l for l in plan.split("\n") if "FileScan parquet" in l][0]
+    assert "PartitionFilters" in scan and "o_orderstatus" in scan.split("PartitionFilters", 1)[1]
+    # and the scan actually reads fewer files than the full table
+    n_all = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    n_pruned = df.select(F.input_file_name()).distinct().count()
+    assert n_pruned < n_all
