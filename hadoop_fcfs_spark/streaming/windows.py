@@ -115,3 +115,67 @@ def foreach_batch_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: st
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_incremental_dedup(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming corpus ingestion with cross-batch exact dedup: each
+    micro-batch drops rows whose normalized text digest appeared in ANY
+    previous epoch (llm.dedup.incremental_exact_dedup against the
+    accumulated digest store), then writes survivors + their digests to
+    epoch-suffixed directories.
+
+    Epoch-overwrite keeps the DATA dirs idempotent under replay. The
+    digest-store read races only with this writer (streaming epochs are
+    serial), so the accumulated reference is always the union of
+    committed epochs; a REPLAYED epoch rewrites its own digest dir
+    rather than appending, preserving exactly-once digest accounting.
+    At corpus scale the digest store is 16 bytes/doc parquet — bloom it
+    (write_sorted_bucketed bloom_cols) and compact it periodically
+    (ops.layout.compact_files) as it grows.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        digest_root = f"{out_dir}/digests"
+        prior_epochs = [
+            f"{digest_root}/{d}"
+            for d in (os.listdir(digest_root) if os.path.isdir(digest_root) else [])
+            if d.startswith("epoch=") and d != f"epoch={epoch_id}"
+        ]
+        # the store holds digests (16 bytes/doc), so the cross-batch pass
+        # is a digest-to-digest anti-join — the batch twin
+        # (llm.dedup.incremental_exact_dedup) re-hashes reference TEXT;
+        # here prior epochs already materialized their digests
+        fresh = batch_df.withColumn(
+            "__digest", F.md5(F.lower(F.trim(F.col(text_col))).cast("binary"))
+        )
+        if prior_epochs:
+            fresh = fresh.join(
+                spark.read.parquet(*prior_epochs).select("digest"),
+                F.col("__digest") == F.col("digest"),
+                "left_anti",
+            )
+        # in-batch dedup: min-id representative per digest
+        winners = fresh.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+        kept = fresh.join(winners, ["__digest", id_col], "leftsemi")
+        kept.drop("__digest").write.mode("overwrite").parquet(
+            f"{out_dir}/data/epoch={epoch_id}"
+        )
+        kept.select(F.col("__digest").alias("digest")).distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/digests/epoch={epoch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -301,3 +301,43 @@ def test_transform_with_state_user_stats(spark, events_dir):
     for k, (n, tot, mx) in got.items():
         bn, btot, bmx = batch[k]
         assert n == bn and mx == bmx and abs(tot - btot) < 1e-6
+
+
+def test_stream_incremental_dedup_across_batches(spark, tmp_path):
+    """Three arriving files with overlapping docs: cross-batch dup (same
+    digest in a later epoch) and in-batch dup both collapse; the final
+    data dirs union to the exact-dedup of the full corpus."""
+    import glob
+    import time
+
+    from hadoop_fcfs_spark.streaming.windows import stream_incremental_dedup
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    import pandas as pd
+
+    pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta", "gamma delta"]}).to_parquet(src / "b1.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = stream_incremental_dedup(stream, "doc_id", "text", out, ckpt)
+    try:
+        q.processAllAvailable()
+        # batch 2: one cross-batch dup (alpha beta), one in-batch dup pair
+        pd.DataFrame(
+            {"doc_id": [3, 4, 5], "text": ["alpha beta", "epsilon", "epsilon"]}
+        ).to_parquet(src / "b2.parquet")
+        q.processAllAvailable()
+        # batch 3: re-arrival of old content only
+        pd.DataFrame({"doc_id": [6], "text": ["  ALPHA BETA  "]}).to_parquet(src / "b3.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = spark.read.parquet(*glob.glob(f"{out}/data/epoch=*"))
+    got = sorted((r["doc_id"], r["text"]) for r in kept.collect())
+    # survivors: 1, 2, 4 (epsilon min-id in batch); 3/5/6 deduped
+    assert got == [(1, "alpha beta"), (2, "gamma delta"), (4, "epsilon")]
+    # digest store has exactly the distinct digests
+    digests = spark.read.parquet(*glob.glob(f"{out}/digests/epoch=*"))
+    assert digests.distinct().count() == 3
