@@ -214,3 +214,79 @@ def extract_audio_features(
             yield pd.DataFrame(rows, columns=[id_col, "duration_s", "features"])
 
     return df.select(id_col, binary_col).mapInPandas(extract, schema=out_schema)
+
+
+def image_ahash(
+    df: DataFrame, binary_col: str = "payload", id_col: str = "media_id", fake: bool = True
+) -> DataFrame:
+    """Perceptual average-hash per image: downsample to an 8x8 luma grid,
+    hash = 64 bits of (cell > mean). Output (id, ahash long).
+
+    The decode step shares decode_images' honest stub boundary: with
+    fake=True an 8x8 grid is derived deterministically from the blob
+    bytes (chunk means over the payload — stable, content-sensitive, so
+    identical blobs hash identically and differing blobs differ); with
+    fake=False this raises where Pillow's resize((8,8)) would slot in.
+    The Spark-side shape — Arrow-batched mapInPandas, one long per image
+    — is the real pipeline.
+    """
+    out_schema = f"{id_col} long, ahash long"
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError(
+                "real image decode needs an image codec (Pillow); "
+                "this container ships none — fake=True exercises the plumbing"
+            )
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                # deterministic 64-cell "downsample": mean of 64 byte chunks
+                cells = np.array_split(b, 64) if len(b) >= 64 else [b] * 64
+                grid = np.array([float(c.mean()) if len(c) else 0.0 for c in cells])
+                bits = (grid > grid.mean()).astype(np.uint64)
+                h = np.uint64(0)
+                for bit in bits:
+                    h = np.uint64(h << np.uint64(1)) | bit
+                ids.append(mid)
+                hashes.append(np.int64(h.astype(np.int64)))
+            yield pd.DataFrame({id_col: ids, "ahash": hashes})
+
+    return df.mapInPandas(hash_batch, out_schema)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-duplicate pairs: banded hamming join over perceptual
+    hashes — the multimodal twin of simhash_pairs. The 64-bit ahash
+    splits into 4 x 16-bit bands; pigeonhole guarantees every pair at
+    hamming <= 3 shares at least one exact band, so candidates come from
+    4 equi-joins (never all-pairs) and are verified with an exact
+    popcount. Output (id_a, id_b, hamming)."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(f"max_hamming must be in [0, 3] (4-band pigeonhole), got {max_hamming}")
+    h = image_ahash(df, binary_col, id_col)
+    bands = F.posexplode(
+        F.array(*[
+            F.shiftrightunsigned(F.col("ahash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+            for b in range(4)
+        ])
+    )
+    banded = h.select(F.col(id_col).alias("id"), "ahash", bands.alias("band_idx", "band_val"))
+    l = banded.select(F.col("id").alias("id_a"), F.col("ahash").alias("__ha"), "band_idx", "band_val")
+    r = banded.select(F.col("id").alias("id_b"), F.col("ahash").alias("__hb"), "band_idx", "band_val")
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        l.join(r, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -607,3 +607,35 @@ def test_token_budget_mix_invariants(spark):
     assert all_kept.filter(F.col("source") == "src0").count() == n_src0
     with pytest.raises(ValueError):
         token_budget_mix(docs, "source", "doc_id", "text", {"src0": -1})
+
+
+def test_image_ahash_near_dup_planted(spark):
+    """Identical blobs pair at hamming 0; distinct blobs don't pair at
+    the tight threshold; determinism across runs; guard on radius."""
+    from hadoop_fcfs_spark.llm.multimodal import image_ahash, image_near_dup_pairs
+
+    blobs = spark.range(12).select(
+        F.col("id").alias("media_id"),
+        F.concat(
+            F.lit(b"\x89PNG"),
+            F.encode(F.repeat(F.concat(F.lit("px"), F.col("id").cast("string")), 400), "utf-8"),
+        ).alias("payload"),
+    )
+    copies = blobs.filter(F.col("media_id") < 3).select(
+        (F.col("media_id") + 100).alias("media_id"), "payload"
+    )
+    corpus = blobs.unionByName(copies)
+
+    h1 = {r["media_id"]: r["ahash"] for r in image_ahash(corpus).collect()}
+    h2 = {r["media_id"]: r["ahash"] for r in image_ahash(corpus).collect()}
+    assert h1 == h2  # deterministic
+    for i in range(3):
+        assert h1[i] == h1[i + 100]
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_dup_pairs(corpus, max_hamming=0).collect()}
+    for i in range(3):
+        assert pairs.get((i, i + 100)) == 0
+
+    with pytest.raises(ValueError):
+        image_near_dup_pairs(corpus, max_hamming=7)
