@@ -226,12 +226,31 @@ def parse_xml_records(df: DataFrame, text_col: str, begin_tag: str, end_tag: str
     return df.select(F.explode(recs).alias("record"))
 
 
-def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    bad_records: str = "quarantine",
+) -> DataFrame:
     """JSON lines with explicit schema (no inference pass in
     production). Semi-structured sibling of the text readers; nested
-    access via dot paths / explode."""
-    reader = spark.read
+    access via dot paths / explode.
+
+    Malformed-record policy (a 100 TB ingest WILL contain garbage):
+      - "quarantine" (default): PERMISSIVE parse with the raw line
+        captured in `_corrupt_record` — rows route cleanly downstream
+        (filter on `_corrupt_record IS NULL`, quarantine the rest);
+        requires an explicit schema.
+      - "drop": DROPMALFORMED — silently skip bad lines.
+      - "fail": FAILFAST — abort the job on the first bad line.
+    """
+    modes = {"quarantine": "PERMISSIVE", "drop": "DROPMALFORMED", "fail": "FAILFAST"}
+    if bad_records not in modes:
+        raise ValueError(f"bad_records must be one of {sorted(modes)}, got {bad_records!r}")
+    reader = spark.read.option("mode", modes[bad_records])
     if schema is not None:
+        if bad_records == "quarantine" and "_corrupt_record" not in str(schema):
+            schema = f"{schema}, _corrupt_record string"
         reader = reader.schema(schema)
     return reader.json(path)
 

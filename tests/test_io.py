@@ -395,3 +395,31 @@ def test_dynamic_partition_overwrite_preserves_untouched(spark, tmp_path):
     write_partitioned(fix, base, ["part"], dynamic_overwrite=True)
     got = {(r["part"], r["v"]) for r in spark.read.parquet(base).collect()}
     assert got == {("a", 99), ("b", 3), ("c", 4)}  # b/c untouched, a replaced
+
+
+def test_read_json_bad_records_policies(spark, tmp_path):
+    """Quarantine routes malformed lines to _corrupt_record, drop skips
+    them, fail aborts — the ingestion contract for dirty corpora."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.io.readers import read_json
+
+    p = tmp_path / "dirty"
+    p.mkdir()
+    (p / "a.jsonl").write_text('{"k": 1}\nnot json at all\n{"k": 3}\n')
+
+    q = read_json(spark, str(p), schema="k long", bad_records="quarantine")
+    good = q.filter(F.col("_corrupt_record").isNull()).select("k")
+    bad = q.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r["k"] for r in good.collect()) == [1, 3]
+    assert [r["_corrupt_record"] for r in bad.collect()] == ["not json at all"]
+
+    d = read_json(spark, str(p), schema="k long", bad_records="drop")
+    assert sorted(r["k"] for r in d.collect()) == [1, 3]
+
+    with pytest.raises(Exception):
+        read_json(spark, str(p), schema="k long", bad_records="fail").collect()
+
+    with pytest.raises(ValueError):
+        read_json(spark, str(p), schema="k long", bad_records="explode")
