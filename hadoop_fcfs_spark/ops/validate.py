@@ -80,3 +80,37 @@ def validation_report(*checks: DataFrame) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None, exact: bool = False) -> DataFrame:
+    """ANALYZE-style column profile in ONE aggregation pass: per column
+    (column, n_rows, n_nulls, n_distinct) in long format — the
+    stats a planner, a data-quality monitor, or a schema-drift alert
+    reads first.
+
+    exact=False (default, the 100 TB setting) estimates distincts with
+    HLL (approx_count_distinct: single pass, no Expand); exact=True uses
+    count(DISTINCT) — Catalyst compiles multiple exact distincts into an
+    Expand (rows × columns blowup), acceptable for bounded profiling
+    runs and required when the numbers feed an exact oracle.
+    """
+    cols = cols or df.columns
+    d = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__nulls_{c}"))
+        aggs.append(d(c).cast("long").alias(f"__dist_{c}"))
+    row = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [f"'{c}'", f"__nulls_{c}", f"__dist_{c}"]
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {', '.join(stack_args)}) AS (column, n_nulls, n_distinct)"
+        ),
+        F.col("__n").cast("long").alias("n_rows"),
+    ).select("column", "n_rows", "n_nulls", "n_distinct")

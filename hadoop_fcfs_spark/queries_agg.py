@@ -187,3 +187,122 @@ def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(0.01 * F.abs(F.col("__p50")), F.lit(0.01))
         ).alias("approx_ok"),
     )
+
+
+@register(
+    "quantile_buckets",
+    oracle="""
+    WITH b AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM b GROUP BY decile
+    """,
+    doc="Quantile bucketing / discretization (feature engineering): NTILE "
+    "deciles over a deterministic total order (value, key tiebreak), then "
+    "per-bucket stats. NOTE the global NTILE is the bounded-output case "
+    "(10 buckets); for unbounded discretization at scale use "
+    "approx_percentile cut points + a per-row bucket expr instead of a "
+    "global window.",
+)
+def quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    b = orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+    return b.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@register(
+    "concurrent_events",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, ts AS p, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 5 MINUTE, -1 FROM events
+    ),
+    swept AS (
+      SELECT event_type,
+             SUM(delta) OVER (PARTITION BY event_type ORDER BY p, delta
+                              ROWS UNBOUNDED PRECEDING) AS live
+      FROM pts
+    )
+    SELECT event_type, CAST(MAX(live) AS BIGINT) AS peak_concurrency
+    FROM swept GROUP BY event_type
+    """,
+    doc="Sweep-line concurrency: each event opens a 5-minute interval; "
+    "peak overlap per event_type = max running sum over (+1 at start, -1 "
+    "at end) points ordered by time. The classic interval-overlap "
+    "algorithm as window algebra — partitioned by type, so no global "
+    "sort; ties order ends before starts (delta asc) to not double-count "
+    "a touch.",
+)
+def concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("event_type", "ts")
+    starts = ev.select("event_type", F.col("ts").alias("p"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("p"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionByName(ends)
+    w = Window.partitionBy("event_type").orderBy("p", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = pts.withColumn("live", F.sum("delta").over(w))
+    return swept.groupBy("event_type").agg(
+        F.max("live").cast("long").alias("peak_concurrency")
+    )
+
+
+@register(
+    "profile_orders",
+    oracle="""
+    SELECT col AS "column", (SELECT COUNT(*) FROM orders) AS n_rows, n_nulls, n_distinct
+    FROM (
+      SELECT 'o_orderstatus' AS col,
+             CAST(COUNT(*) FILTER (o_orderstatus IS NULL) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+             CAST(COUNT(*) FILTER (o_orderpriority IS NULL) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_custkey',
+             CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT),
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice',
+             CAST(COUNT(*) FILTER (o_totalprice IS NULL) AS BIGINT),
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate',
+             CAST(COUNT(*) FILTER (o_orderdate IS NULL) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders
+    )
+    """,
+    doc="ANALYZE-style column profiling (ops.validate.profile_table): one "
+    "aggregation pass emitting (column, n_rows, n_nulls, n_distinct) long "
+    "format. Gate runs exact=True for the oracle; production default is "
+    "the HLL estimator (single pass, no Expand blowup).",
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.validate import profile_table
+
+    orders = t(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice", "o_orderdate"],
+        exact=True,
+    )

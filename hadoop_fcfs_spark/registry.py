@@ -89,7 +89,8 @@ def all_queries() -> dict[str, QuerySpec]:
             "semdedup", "dedup_incremental", "token_budget_mix",
             "hll_distinct_rollup", "approx_quantile_bounds",
             "skew_salted_join", "zorder_values", "event_funnel",
-            "cohort_retention", "pagerank_nations",
+            "cohort_retention", "pagerank_nations", "scd2_user_status",
+            "quantile_buckets", "concurrent_events", "profile_orders",
         ))
     }
 

@@ -621,3 +621,17 @@ def test_scd2_hand_case(spark):
         ("a", "y", 3, 5, False),
         ("b", "z", 4, None, True),
     ]
+
+
+def test_profile_table_exact_and_approx(spark):
+    from hadoop_fcfs_spark.ops.validate import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")], "id long, s string"
+    )
+    got = {r["column"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+           for r in profile_table(df, exact=True).collect()}
+    assert got == {"id": (4, 0, 4), "s": (4, 1, 2)}
+    # approx estimator within HLL bounds on tiny input (exact at this size)
+    ap = {r["column"]: r["n_distinct"] for r in profile_table(df).collect()}
+    assert ap["id"] == 4 and ap["s"] == 2
