@@ -54,3 +54,41 @@ def grep(df: DataFrame, text_col: str, pattern: str, group: int = 0) -> DataFram
 def inverse(df: DataFrame, key_col: str = "key", value_col: str = "value") -> DataFrame:
     """(k, v) → (v, k)."""
     return df.select(F.col(value_col).alias(key_col), F.col(key_col).alias(value_col))
+
+
+def fuzzy_term_pairs(
+    terms: DataFrame, term_col: str = "term", min_len: int = 4
+) -> DataFrame:
+    """Approximate string self-join at edit distance <= 1 without an
+    all-pairs comparison (the FastSS / deletion-neighborhood algorithm):
+    every term emits itself plus its single-character-deletion variants;
+    two terms within one edit ALWAYS share a variant, so candidates come
+    from an equi-join on the variant key and are then verified with an
+    exact levenshtein. Cost = O(len) variants per term + bucket joins —
+    never vocabulary².
+
+    Output: (term_a, term_b, dist) with term_a < term_b, dist <= 1
+    (identical strings are not pairs — dedup them upstream).
+    """
+    tl = F.col(term_col)
+    # deletion variants via substring concat: del_i = s[:i-1] + s[i:]
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(tl)),
+        lambda i: F.concat(
+            F.substring(tl, F.lit(1), i - F.lit(1)),
+            F.substring(tl, i + F.lit(1), F.length(tl)),
+        ),
+    )
+    keyed = terms.filter(F.length(tl) >= min_len).select(
+        tl.alias("t"), F.explode(F.array_union(F.array(tl), dels)).alias("v")
+    )
+    l = keyed.select(F.col("t").alias("term_a"), "v")
+    r = keyed.select(F.col("t").alias("term_b"), "v")
+    return (
+        l.join(r, "v")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .select("term_a", "term_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("term_a", "term_b"))
+        .filter(F.col("dist") <= 1)
+    )

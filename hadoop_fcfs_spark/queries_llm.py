@@ -1180,3 +1180,52 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") >= 250)
     reference = docs.filter(F.col("doc_id") < 250)
     return incremental_exact_dedup(batch, reference, "doc_id", "text").select("doc_id")
+
+
+@register(
+    "fuzzy_term_join",
+    oracle="""
+    WITH vocab0 AS (
+      SELECT DISTINCT w AS term FROM (
+        SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+      WHERE w <> '' AND LENGTH(w) >= 4
+    ),
+    vocab AS (
+      SELECT term FROM vocab0
+      UNION
+      SELECT term || 'x' FROM vocab0
+    ),
+    keyed AS (
+      SELECT term,
+             UNNEST(list_append([term[1:i-1] || term[i+1:]
+                                 FOR i IN range(1, LENGTH(term) + 1)], term)) AS v
+      FROM vocab
+    )
+    SELECT term_a, term_b, CAST(levenshtein(term_a, term_b) AS BIGINT) AS dist
+    FROM (
+      SELECT DISTINCT a.term AS term_a, b.term AS term_b
+      FROM keyed a JOIN keyed b USING (v)
+      WHERE a.term < b.term
+    )
+    WHERE levenshtein(term_a, term_b) <= 1
+    """,
+    doc="Approximate string self-join at edit distance <= 1 "
+    "(ops.textops.fuzzy_term_pairs, the FastSS deletion-neighborhood "
+    "algorithm): O(len) variants per term + equi-join buckets, never "
+    "vocabulary²; candidates verified with exact levenshtein. Gate plants "
+    "an 'x'-suffixed misspelling of every vocab term in-plan so the pair "
+    "set is non-trivial and exactly SQL-replayable.",
+)
+def fuzzy_term_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.textops import fuzzy_term_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    vocab0 = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("term"))
+        .filter((F.col("term") != "") & (F.length("term") >= 4))
+        .distinct()
+    )
+    vocab = vocab0.unionByName(
+        vocab0.select(F.concat(F.col("term"), F.lit("x")).alias("term"))
+    ).distinct()
+    return fuzzy_term_pairs(vocab).withColumn("dist", F.col("dist").cast("long"))

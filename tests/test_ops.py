@@ -635,3 +635,23 @@ def test_profile_table_exact_and_approx(spark):
     # approx estimator within HLL bounds on tiny input (exact at this size)
     ap = {r["column"]: r["n_distinct"] for r in profile_table(df).collect()}
     assert ap["id"] == 4 and ap["s"] == 2
+
+
+def test_fuzzy_term_pairs_hand_case(spark):
+    """Substitution, deletion, and insertion neighbors all pair; a
+    distance-2 pair does not; short terms are excluded by min_len."""
+    from hadoop_fcfs_spark.ops.textops import fuzzy_term_pairs
+
+    df = spark.createDataFrame(
+        [("spark",), ("spork",), ("sparks",), ("park",), ("hadoop",), ("hadoops",), ("spoon",), ("cat",)],
+        ["term"],
+    )
+    got = sorted(
+        (r["term_a"], r["term_b"], r["dist"]) for r in fuzzy_term_pairs(df).collect()
+    )
+    assert ("spark", "spork", 1) in got          # substitution
+    assert ("park", "spark", 1) in got           # insertion/deletion
+    assert ("spark", "sparks", 1) in got         # suffix insertion
+    assert ("hadoop", "hadoops", 1) in got
+    assert not any({a, b} == {"spork", "spoon"} for a, b, _ in got)  # dist 2
+    assert not any("cat" in (a, b) for a, b, _ in got)  # below min_len
