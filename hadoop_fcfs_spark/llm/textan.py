@@ -482,3 +482,52 @@ def bigram_lm_scores(
             ).cast("long").alias("nll_e6"),
         )
     )
+
+
+def token_distribution_divergence(
+    df_a: DataFrame, df_b: DataFrame, text_col: str = "text", alpha: float = 0.5
+) -> DataFrame:
+    """Corpus drift detection: KL and Jensen-Shannon divergence between
+    the token distributions of two corpus slices (yesterday vs today, one
+    source vs another). Smoothed with add-``alpha`` over the UNION
+    vocabulary so unseen-in-one-side tokens stay finite. Returns ONE row:
+    (kl_ab_e6, kl_ba_e6, js_e6) floored to micros.
+
+    Shape: two word-count aggregations + a full-outer join on the term
+    (co-located shuffles, vocabulary-sized) + one scalar rollup. Nothing
+    is ever corpus² and nothing collects to the driver. The standard
+    pre-training monitor for "did the crawl distribution move" —
+    a js_e6 alarm threshold is the cheap tripwire before expensive
+    downstream evals.
+    """
+    def counts(df):
+        return (
+            df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count("*").alias("c"))
+        )
+
+    ca = counts(df_a).select(F.col("w"), F.col("c").alias("ca"))
+    cb = counts(df_b).select(F.col("w"), F.col("c").alias("cb"))
+    joined = ca.join(cb, "w", "full_outer").select(
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+    )
+    # smoothed probabilities over the union vocabulary
+    tot = joined.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"), F.count(F.lit(1)).alias("v")
+    )
+    j = joined.crossJoin(F.broadcast(tot))
+    pa = (F.col("ca") + F.lit(alpha)) / (F.col("na") + F.lit(alpha) * F.col("v"))
+    pb = (F.col("cb") + F.lit(alpha)) / (F.col("nb") + F.lit(alpha) * F.col("v"))
+    pm = (pa + pb) / F.lit(2.0)
+    log2 = F.log(F.lit(2.0))
+    return j.agg(
+        F.floor(F.sum(pa * F.log(pa / pb) / log2) * 1_000_000).cast("long").alias("kl_ab_e6"),
+        F.floor(F.sum(pb * F.log(pb / pa) / log2) * 1_000_000).cast("long").alias("kl_ba_e6"),
+        F.floor(
+            (F.sum(pa * F.log(pa / pm) / log2) / 2 + F.sum(pb * F.log(pb / pm) / log2) / 2)
+            * 1_000_000
+        ).cast("long").alias("js_e6"),
+    )

@@ -1229,3 +1229,51 @@ def fuzzy_term_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab0.select(F.concat(F.col("term"), F.lit("x")).alias("term"))
     ).distinct()
     return fuzzy_term_pairs(vocab).withColumn("dist", F.col("dist").cast("long"))
+
+
+@register(
+    "corpus_drift",
+    oracle="""
+    WITH ca AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS w
+        FROM documents WHERE doc_id < 250)
+      WHERE w <> '' GROUP BY w
+    ),
+    cb AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS w
+        FROM documents WHERE doc_id >= 250)
+      WHERE w <> '' GROUP BY w
+    ),
+    joined AS (
+      SELECT COALESCE(ca.c, 0) AS xa, COALESCE(cb.c, 0) AS xb
+      FROM ca FULL OUTER JOIN cb USING (w)
+    ),
+    tot AS (SELECT SUM(xa) AS na, SUM(xb) AS nb, COUNT(*) AS v FROM joined),
+    p AS (
+      SELECT (xa + 0.5) / (na + 0.5 * v) AS pa,
+             (xb + 0.5) / (nb + 0.5 * v) AS pb
+      FROM joined CROSS JOIN tot
+    )
+    SELECT CAST(FLOOR(SUM(pa * ln(pa / pb) / ln(2)) * 1000000) AS BIGINT) AS kl_ab_e6,
+           CAST(FLOOR(SUM(pb * ln(pb / pa) / ln(2)) * 1000000) AS BIGINT) AS kl_ba_e6,
+           CAST(FLOOR((SUM(pa * ln(pa / ((pa + pb) / 2.0)) / ln(2)) / 2
+                     + SUM(pb * ln(pb / ((pa + pb) / 2.0)) / ln(2)) / 2)
+                     * 1000000) AS BIGINT) AS js_e6
+    FROM p
+    """,
+    doc="Corpus drift monitor (llm.textan.token_distribution_divergence): "
+    "add-0.5-smoothed KL(A||B), KL(B||A) and Jensen-Shannon divergence "
+    "between the token distributions of two corpus halves. Two word-count "
+    "aggregations + a vocabulary-sized full-outer join + a scalar rollup "
+    "— the cheap tripwire that fires before expensive downstream evals "
+    "when the crawl distribution moves.",
+)
+def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import token_distribution_divergence
+
+    docs = t(spark, sf_dir, "documents")
+    return token_distribution_divergence(
+        docs.filter(F.col("doc_id") < 250), docs.filter(F.col("doc_id") >= 250)
+    )

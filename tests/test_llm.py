@@ -639,3 +639,21 @@ def test_image_ahash_near_dup_planted(spark):
 
     with pytest.raises(ValueError):
         image_near_dup_pairs(corpus, max_hamming=7)
+
+
+def test_token_distribution_divergence_properties(spark):
+    """Identical slices diverge ~0; a shifted vocabulary diverges
+    strictly more; JS is symmetric and bounded by 1 bit."""
+    from hadoop_fcfs_spark.llm.textan import token_distribution_divergence
+
+    a = spark.createDataFrame([(1, "x y z x y"), (2, "x z z")], ["doc_id", "text"])
+    same = token_distribution_divergence(a, a).first()
+    assert same["kl_ab_e6"] == 0 and same["js_e6"] == 0
+
+    b = spark.createDataFrame([(3, "p q r p q"), (4, "p r r")], ["doc_id", "text"])
+    diff = token_distribution_divergence(a, b).first()
+    rev = token_distribution_divergence(b, a).first()
+    assert diff["js_e6"] > 0
+    assert diff["js_e6"] == rev["js_e6"]          # JS symmetric
+    assert diff["js_e6"] <= 1_000_000             # <= 1 bit
+    assert diff["kl_ab_e6"] == rev["kl_ba_e6"]    # KL mirrors under swap
