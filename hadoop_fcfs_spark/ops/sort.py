@@ -166,3 +166,51 @@ def key_field_sort_keys(
             c = c.cast("double")
         keys.append(c.desc() if reverse else c.asc())
     return keys
+
+
+def chunked_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    chunk_col: Column,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+) -> DataFrame:
+    """Scale-safe grouped running (inclusive prefix) sum — the
+    llm/packing.py two-level scan generalized: a plain
+    ``sum().over(Window.partitionBy(group).orderBy(...))`` puts each
+    group's ENTIRE history through one task, which melts when a group is
+    corpus-sized (a hot event_type, a whole-table scan with one group).
+
+    Level 1 windows within (group, chunk) — parallel across chunks of
+    the same group; level 2 computes per-(group, chunk) totals and
+    prefix-sums THOSE (a per-group window over chunk-summary rows only),
+    broadcast-joining the offsets back. ``chunk_col`` must be a
+    deterministic value-based bucketing of the order columns (e.g. the
+    day of a timestamp) so chunk order agrees with row order.
+    """
+    from pyspark.sql import Window
+
+    chunked = df.withColumn("__chunk", chunk_col)
+    w_local = (
+        Window.partitionBy(*group_cols, "__chunk")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = chunked.withColumn("__local", F.sum(value_col).over(w_local))
+    totals = chunked.groupBy(*group_cols, "__chunk").agg(
+        F.sum(value_col).alias("__tot")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select(*group_cols, "__chunk", "__off")
+    return (
+        local.join(F.broadcast(offsets), [*group_cols, "__chunk"])
+        .withColumn(out_col, F.col("__local") + F.col("__off"))
+        .drop("__chunk", "__local", "__off")
+    )

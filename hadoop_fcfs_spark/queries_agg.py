@@ -202,19 +202,27 @@ def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(MAX(o_totalprice), 2) AS hi
     FROM b GROUP BY decile
     """,
-    doc="Quantile bucketing / discretization (feature engineering): NTILE "
-    "deciles over a deterministic total order (value, key tiebreak), then "
-    "per-bucket stats. NOTE the global NTILE is the bounded-output case "
-    "(10 buckets); for unbounded discretization at scale use "
-    "approx_percentile cut points + a per-row bucket expr instead of a "
-    "global window.",
+    doc="Quantile bucketing / discretization (feature engineering): exact "
+    "NTILE-decile semantics ((rank-1)*k DIV n + 1) computed over "
+    "ranked_total_order's two-level decomposition — range partition + "
+    "per-partition enumeration + broadcast offsets, NO single-task global "
+    "window. Cheaper approximate alternative at scale: approx_percentile "
+    "cut points + a per-row bucket expression.",
 )
 def quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # NTILE(k) == ((rank-1)*k) DIV n + 1 over the same total order, so the
+    # global window becomes the scale-safe ranked_total_order decomposition
+    # (range partition + per-partition enumeration + broadcast offsets) —
+    # no full-table single-task WindowExec (the keyfield_sort lesson).
+    from hadoop_fcfs_spark.ops.sort import ranked_total_order
 
-    orders = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    b = orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+    orders = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = ranked_total_order(orders, [F.col("o_totalprice"), F.col("o_orderkey")])
+    n = orders.count()
+    b = ranked.select(
+        "o_totalprice",
+        (((F.col("rank") - 1) * 10) / F.lit(n)).cast("long").alias("__d"),
+    ).withColumn("decile", (F.col("__d") + 1).cast("int"))
     return b.groupBy("decile").agg(
         F.count("*").cast("long").alias("n"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),
@@ -247,7 +255,10 @@ def quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a touch.",
 )
 def concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # running sum via the two-level chunked scan (chunk = calendar day):
+    # a hot event_type's whole timeline never flows through one window
+    # task; offsets carry the sum across chunk boundaries exactly.
+    from hadoop_fcfs_spark.ops.sort import chunked_running_sum
 
     ev = t(spark, sf_dir, "events").select("event_type", "ts")
     starts = ev.select("event_type", F.col("ts").alias("p"), F.lit(1).alias("delta"))
@@ -257,10 +268,9 @@ def concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).alias("delta"),
     )
     pts = starts.unionByName(ends)
-    w = Window.partitionBy("event_type").orderBy("p", "delta").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    swept = chunked_running_sum(
+        pts, ["event_type"], F.to_date("p"), ["p", "delta"], "delta", out_col="live"
     )
-    swept = pts.withColumn("live", F.sum("delta").over(w))
     return swept.groupBy("event_type").agg(
         F.max("live").cast("long").alias("peak_concurrency")
     )

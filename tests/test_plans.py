@@ -394,3 +394,27 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     n_all = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
     n_pruned = df.select(F.input_file_name()).distinct().count()
     assert n_pruned < n_all
+
+
+def test_quantile_buckets_no_global_ntile_window(spark):
+    """Deciles via ranked_total_order's two-level decomposition: no
+    ntile/row_number over an unpartitioned full-table window; the global
+    order is a range partitioning."""
+    plan = _plan(Q["quantile_buckets"].spark_fn(spark, SF_ORACLE))
+    assert "ntile" not in plan and "row_number" not in plan
+    assert "rangepartitioning" in plan
+    assert plan.count("Exchange SinglePartition") <= 1  # offsets summary only
+
+
+def test_concurrent_events_chunked_scan(spark):
+    """The sweep-line running sum must window on (event_type, __chunk),
+    never on event_type alone — a hot type's timeline stays parallel."""
+    plan = _plan(Q["concurrent_events"].spark_fn(spark, SF_ORACLE))
+    assert "__chunk" in plan
+    data_windows = [
+        l for l in plan.splitlines()
+        if "windowspecdefinition(event_type" in l and "__chunk" not in l
+    ]
+    # the only per-type-only window is the offsets pass over chunk
+    # summaries (operates on __tot), never over the point data (delta)
+    assert all("__tot" in l for l in data_windows), data_windows
