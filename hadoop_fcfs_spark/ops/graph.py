@@ -25,7 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -49,9 +49,14 @@ def pagerank(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     ew = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
-    # per-source normalized transition weights: one window partitioned by src
-    wsrc = Window.partitionBy("src")
-    norm = ew.withColumn("wn", F.col("w") / F.sum("w").over(wsrc)).select("src", "dst", "wn")
+    # per-source normalized transition weights via groupBy + join, not a
+    # window partitioned by src: a hub with 1e8 out-edges would put its
+    # whole edge list through ONE window task, while the aggregation
+    # partial-combines map-side and the join is AQE-skew-splittable
+    out_mass = ew.groupBy("src").agg(F.sum("w").alias("__wsum"))
+    norm = ew.join(out_mass, "src").select(
+        "src", "dst", (F.col("w") / F.col("__wsum")).alias("wn")
+    )
 
     nodes = (
         ew.select(F.col("src").alias("node"))
