@@ -1277,3 +1277,55 @@ def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_distribution_divergence(
         docs.filter(F.col("doc_id") < 250), docs.filter(F.col("doc_id") >= 250)
     )
+
+
+@register(
+    "corpus_pipeline_v2",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    units AS (
+      SELECT doc_id, i AS upos,
+             array_to_string(tk[i*16+1 : i*16+16], ' ') AS unit
+      FROM (SELECT doc_id, tk,
+                   UNNEST(range(0, CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS i
+            FROM toks)
+    ),
+    boiler AS (
+      SELECT unit FROM units GROUP BY unit HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cleaned AS (
+      SELECT doc_id,
+             COALESCE(string_agg(CASE WHEN unit NOT IN (SELECT unit FROM boiler)
+                                      THEN unit END, ' ' ORDER BY upos), '') AS clean_text
+      FROM units GROUP BY doc_id
+    ),
+    nonempty AS (SELECT * FROM cleaned WHERE clean_text <> ''),
+    winners AS (
+      SELECT MIN(doc_id) AS doc_id FROM nonempty GROUP BY md5(lower(trim(clean_text)))
+    )
+    SELECT n.doc_id,
+           CAST(len(list_filter(regexp_split_to_array(n.clean_text, '\\s+'), x -> x <> ''))
+                AS BIGINT) AS clean_tokens
+    FROM nonempty n JOIN winners USING (doc_id)
+    """,
+    doc="Composed pipeline v2 over the round-3 tiers: CCNet boilerplate "
+    "removal (cross-doc duplicated 16-token units dropped, docs "
+    "reassembled) -> drop emptied docs -> exact dedup ON THE CLEANED "
+    "text (boilerplate-stripped twins collapse that raw-text dedup "
+    "misses) -> per-doc clean token accounting. Every stage linear; "
+    "full-value SQL oracle composes the per-stage oracles.",
+)
+def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.dedup import exact_dedup
+    from hadoop_fcfs_spark.llm.spans import remove_boilerplate_units
+
+    docs = t(spark, sf_dir, "documents")
+    cleaned = remove_boilerplate_units(docs, "doc_id", "text", unit_tokens=16, min_docs=2)
+    nonempty = cleaned.filter(F.col("clean_text") != "").select("doc_id", "clean_text")
+    unique = exact_dedup(nonempty, "doc_id", "clean_text")
+    ntok = F.size(F.filter(F.split(F.col("clean_text"), r"\s+"), lambda x: x != F.lit("")))
+    return unique.select("doc_id", ntok.cast("long").alias("clean_tokens"))

@@ -91,7 +91,7 @@ def all_queries() -> dict[str, QuerySpec]:
             "skew_salted_join", "zorder_values", "event_funnel",
             "cohort_retention", "pagerank_nations", "scd2_user_status",
             "quantile_buckets", "concurrent_events", "profile_orders",
-            "fuzzy_term_join", "corpus_drift",
+            "fuzzy_term_join", "corpus_drift", "corpus_pipeline_v2",
         ))
     }
 
