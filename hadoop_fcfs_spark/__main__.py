@@ -4,6 +4,8 @@
     python -m hadoop_fcfs_spark list
     python -m hadoop_fcfs_spark run <query> [--sf DIR] [--limit N]
                                    [--explain] [--out PATH [--format fmt]]
+    python -m hadoop_fcfs_spark sql "<statement>" [--sf DIR]
+    python -m hadoop_fcfs_spark profile <table> [--sf DIR] [--exact]
 """
 
 from __future__ import annotations
@@ -26,6 +28,11 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--out", default=None, help="write results here instead of showing")
     runp.add_argument("--format", default="parquet", help="output format for --out")
 
+    profp = sub.add_parser("profile", help="one-pass column profile of a table")
+    profp.add_argument("table", help="table name (region/nation/.../documents)")
+    profp.add_argument("--sf", default="/root/testdata/sf0.01", help="table directory")
+    profp.add_argument("--exact", action="store_true", help="exact distincts (Expand cost)")
+
     sqlp = sub.add_parser("sql", help="run ad-hoc SQL over the registered tables")
     sqlp.add_argument("statement")
     sqlp.add_argument("--sf", default="/root/testdata/sf0.01", help="table directory")
@@ -47,6 +54,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from hadoop_fcfs_spark.session import get_spark
+
+    if args.cmd == "profile":
+        from hadoop_fcfs_spark.ops.validate import profile_table
+        from hadoop_fcfs_spark.tables import t
+
+        spark = get_spark("cli:profile")
+        profile_table(t(spark, args.sf, args.table), exact=args.exact).show(100, False)
+        return 0
 
     if args.cmd == "sql":
         from hadoop_fcfs_spark.tables import register_views

@@ -655,3 +655,14 @@ def test_fuzzy_term_pairs_hand_case(spark):
     assert ("hadoop", "hadoops", 1) in got
     assert not any({a, b} == {"spork", "spoon"} for a, b, _ in got)  # dist 2
     assert not any("cat" in (a, b) for a, b, _ in got)  # below min_len
+
+
+def test_fan_out_noop_on_well_partitioned_input(spark):
+    from hadoop_fcfs_spark.tables import fan_out
+
+    wide = spark.range(10_000).repartition(64)
+    assert fan_out(wide) is wide  # already >= default parallelism: untouched
+    narrow = spark.range(100).coalesce(1)
+    out = fan_out(narrow)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == 100
