@@ -179,3 +179,65 @@ def stream_incremental_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_drift_monitor(
+    stream_df: DataFrame,
+    reference_counts: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    alarm_js_e6: int = 100_000,
+):
+    """Streaming corpus-drift tripwire: every micro-batch's token
+    distribution is compared (smoothed Jensen-Shannon, llm.textan
+    machinery) against a frozen REFERENCE distribution; one log row
+    (epoch, js_e6, alarm) is appended per batch to ``out_dir``.
+
+    ``reference_counts`` is a (w, c) token-count table — materialize it
+    once from a trusted corpus slice and persist it; at scale it is
+    vocabulary-sized, so each batch pays one vocabulary join, never a
+    corpus scan. The alarm threshold is in JS micro-bits (100_000 =
+    0.1 bit — an order of magnitude above same-distribution noise,
+    an order below a vocabulary swap).
+    """
+    from pyspark.sql import functions as F
+
+    ref = reference_counts.select(F.col("w"), F.col("c").alias("cb"))
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ca = (
+            batch_df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count("*").alias("ca"))
+        )
+        joined = ca.join(ref, "w", "full_outer").select(
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        tot = joined.agg(
+            F.sum("ca").alias("na"), F.sum("cb").alias("nb"), F.count(F.lit(1)).alias("v")
+        )
+        j = joined.crossJoin(F.broadcast(tot))
+        pa = (F.col("ca") + F.lit(0.5)) / (F.col("na") + F.lit(0.5) * F.col("v"))
+        pb = (F.col("cb") + F.lit(0.5)) / (F.col("nb") + F.lit(0.5) * F.col("v"))
+        pm = (pa + pb) / F.lit(2.0)
+        log2 = F.log(F.lit(2.0))
+        js = j.agg(
+            F.floor(
+                (F.sum(pa * F.log(pa / pm) / log2) / 2 + F.sum(pb * F.log(pb / pm) / log2) / 2)
+                * 1_000_000
+            ).cast("long").alias("js_e6")
+        ).first()["js_e6"]
+        spark.createDataFrame(
+            [(int(epoch_id), int(js), bool(js >= alarm_js_e6))],
+            "epoch long, js_e6 long, alarm boolean",
+        ).write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -341,3 +341,46 @@ def test_stream_incremental_dedup_across_batches(spark, tmp_path):
     # digest store has exactly the distinct digests
     digests = spark.read.parquet(*glob.glob(f"{out}/digests/epoch=*"))
     assert digests.distinct().count() == 3
+
+
+def test_stream_drift_monitor_alarms_on_shift(spark, tmp_path):
+    """Batch matching the reference distribution stays quiet; a
+    vocabulary-swapped batch trips the alarm."""
+    import glob
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.streaming.windows import stream_drift_monitor
+
+    ref_docs = spark.createDataFrame(
+        [(i, "x y z x y z") for i in range(20)], ["doc_id", "text"]
+    )
+    ref = (
+        ref_docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "drift"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = stream_drift_monitor(stream, ref, out, ckpt)
+    try:
+        pd.DataFrame({"doc_id": [1, 2], "text": ["x y z x", "y z x y z"]}).to_parquet(src / "same.parquet")
+        q.processAllAvailable()
+        pd.DataFrame({"doc_id": [3, 4], "text": ["p q r p", "q r p q r"]}).to_parquet(src / "shift.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = sorted(
+        (r["epoch"], r["js_e6"], r["alarm"])
+        for r in spark.read.parquet(*glob.glob(f"{out}/epoch=*")).collect()
+    )
+    assert len(rows) == 2
+    (e0, js0, a0), (e1, js1, a1) = rows
+    assert not a0 and js0 < 100_000
+    assert a1 and js1 > js0
