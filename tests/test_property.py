@@ -301,3 +301,59 @@ def test_zvalue_matches_python_model_and_is_injective(spark, pts):
     }
     assert got == {(x, y): _py_zvalue([x, y], 10) for x, y in pts}
     assert len(set(got.values())) == len(pts)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 50), st.integers(-3, 3)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_chunked_running_sum_matches_naive_window(spark, rows):
+    """Two-level scan == single-window cumsum for arbitrary grouped data
+    (ties broken by a unique seq column on both sides)."""
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.ops.sort import chunked_running_sum
+
+    data = [(g, o, i, v) for i, (g, o, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, o long, seq long, v long")
+    got = {
+        r["seq"]: r["running"]
+        for r in chunked_running_sum(
+            df, ["g"], (F.col("o") / 8).cast("long"), ["o", "seq"], "v"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("o", "seq").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r["seq"]: r["running"] for r in df.withColumn("running", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+@given(st.lists(st.text(alphabet="abcd", min_size=4, max_size=6), min_size=2, max_size=15, unique=True))
+@settings(max_examples=8, deadline=None)
+def test_fuzzy_term_pairs_matches_bruteforce(spark, terms):
+    """Deletion-neighborhood join == brute-force levenshtein<=1 pairs
+    (completeness AND precision) on random small vocabularies."""
+    from hadoop_fcfs_spark.ops.textops import fuzzy_term_pairs
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = sorted(
+        (a, b) for i, a in enumerate(terms) for b in terms[i + 1:]
+        if lev(a, b) <= 1
+    )
+    want = sorted((min(a, b), max(a, b)) for a, b in want)
+    df = spark.createDataFrame([(t_,) for t_ in terms], ["term"])
+    got = sorted((r["term_a"], r["term_b"]) for r in fuzzy_term_pairs(df).collect())
+    assert got == want
