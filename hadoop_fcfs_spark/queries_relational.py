@@ -2010,3 +2010,66 @@ def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("event_type").alias("status"), "ts", "event_id"
     )
     return scd2_from_changes(ev, "user_id", "ts", "status", tiebreak="event_id")
+
+
+@register(
+    "set_ops_bag",
+    oracle="""
+    SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    UNION ALL
+    SELECT 'except_all', CAST(COUNT(*) AS BIGINT) FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    """,
+    doc="Bag-semantics set operators (intersectAll / exceptAll): duplicate "
+    "multiplicities follow SQL ALL rules — min(m, n) for intersect, "
+    "max(m - n, 0) for except — distinct from the DISTINCT-semantics "
+    "set_intersect/set_except gates. Compiles to count-per-key aggregation "
+    "+ generate, no pairwise join.",
+)
+def set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    ia = a.intersectAll(b).agg(F.count("*").cast("long").alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    ea = a.exceptAll(b).agg(F.count("*").cast("long").alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    return ia.unionByName(ea)
+
+
+@register(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="Explicit GROUPING SETS with grouping_id disambiguation (the "
+    "general form under cube/rollup, already gated): three aggregation "
+    "grains in one Expand pass; gid distinguishes a NULL group value "
+    "from a rolled-up level.",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+                 AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """)

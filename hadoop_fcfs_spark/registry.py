@@ -92,6 +92,7 @@ def all_queries() -> dict[str, QuerySpec]:
             "cohort_retention", "pagerank_nations", "scd2_user_status",
             "quantile_buckets", "concurrent_events", "profile_orders",
             "fuzzy_term_join", "corpus_drift", "corpus_pipeline_v2",
+            "set_ops_bag", "grouping_sets_agg",
         ))
     }
 
