@@ -51,40 +51,47 @@ def terasort(df: DataFrame, key_col: str = "key") -> DataFrame:
 
 def teravalidate(sorted_df: DataFrame, key_col: str = "key") -> dict:
     """Distributed validation — no driver-side key collection:
-    per-partition (min, max, count, is_sorted, xor-ish checksum), then
+    per-partition (min, max, count, inversions, crc checksum), then
     boundary continuity checked across the handful of partition rows.
-    Returns {'ok': bool, 'rows': n, 'checksum': long}."""
+    Returns {'ok': bool, 'rows': n, 'checksum': long,
+    'order_violations': n_adjacent_inversions_within_partitions,
+    'boundary_violations': n_partition_boundary_inversions} — the counts
+    make the verdict value-comparable (TeraValidate emits 'error' records
+    per misordering; we emit the count)."""
 
     def part_stats(idx: int, it):
         import builtins
         import zlib  # crc32 — deterministic across processes (TeraChecksum parity)
 
         prev = None
-        ok = True
+        inversions = 0
         n = 0
         mn = mx = None
         chk = 0
         for row in it:
             k = bytes(row[key_col])
             if prev is not None and k < prev:
-                ok = False
+                inversions += 1
             prev = k
             n += 1
             mn = k if mn is None else builtins.min(mn, k)
             mx = k if mx is None else builtins.max(mx, k)
             chk = (chk + zlib.crc32(k)) & 0x7FFFFFFFFFFFFFFF
-        yield (idx, ok, n, mn, mx, chk)
+        yield (idx, inversions, n, mn, mx, chk)
 
     stats = sorted(sorted_df.rdd.mapPartitionsWithIndex(part_stats).collect())
-    ok = all(s[1] for s in stats)
+    order_violations = sum(s[1] for s in stats)
+    boundary_violations = 0
     nonempty = [s for s in stats if s[2] > 0]
     for a, b in zip(nonempty, nonempty[1:]):
         if a[4] > b[3]:  # prev partition max > next partition min
-            ok = False
+            boundary_violations += 1
     return {
-        "ok": ok,
+        "ok": order_violations == 0 and boundary_violations == 0,
         "rows": sum(s[2] for s in stats),
         "checksum": sum(s[5] for s in stats) & 0x7FFFFFFFFFFFFFFF,
+        "order_violations": order_violations,
+        "boundary_violations": boundary_violations,
     }
 
 

@@ -41,29 +41,53 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # Gates with a driver-confirmed fully-green CORRECTNESS row (rows+schema+
-# hash) from rounds 1-2. The driver verifies a ~50-entry PREFIX of this
-# inventory per round (observed: CORRECTNESS_r01/r02 sampled registry
-# positions 0..50), so all_queries() orders gates that still LACK a hard
+# hash) — the union of CORRECTNESS_r01..r03 (109 names, every one green in
+# its latest sampling). The driver verifies a ~50-entry PREFIX of this
+# inventory per round, so all_queries() orders gates that still LACK a hard
 # driver row first — newly added or never-sampled ones — then this
-# confirmed tail. Oracle-less (rows-only) gates go last: sampling one
-# burns a verification slot on a weak check.
+# confirmed tail (oldest-confirmed first, for re-validation).
 _DRIVER_CONFIRMED: frozenset[str] = frozenset({
     "agg_descriptors", "ann_cosine_pairs", "ann_cosine_topk", "ann_ivf_topk",
-    "asof_join", "char_entropy", "chunk_documents", "contamination_check",
-    "corpus_pipeline", "cube_agg", "dedup_clusters", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "embedding_near_dup",
-    "fieldsel", "fingerprint", "grep_count", "interval_sample", "join_anti",
+    "ann_rp_lsh_topk", "approx_quantile_bounds", "asof_join", "bbp_pi",
+    "boilerplate_removal", "char_entropy", "chunk_documents",
+    "cohort_retention", "concurrent_events", "contamination_check",
+    "corpus_drift", "corpus_pipeline", "corpus_pipeline_v2", "cube_agg",
+    "dbcount_pageview", "dedup_clusters", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "duplicate_span_stats", "duplicate_spans", "embedding_near_dup",
+    "event_funnel", "event_interval_join", "fieldsel", "fingerprint",
+    "fuzzy_term_join", "grep_count", "grep_top", "grouped_topk",
+    "grouping_sets_agg", "hash_sample_orders", "hll_distinct_rollup",
+    "inactive_rich_customers", "interval_sample", "join_anti",
     "join_full_outer", "join_inner_agg", "join_multiway", "join_override",
     "join_semi", "json_extract_agg", "keyfield_sort", "kv_split", "lang_id",
-    "monte_carlo_pi", "multimodal_pipeline", "near_dedup_clustered",
-    "near_dedup_corpus", "pii_scrub", "pivot_agg", "pricing_summary",
-    "quality_score", "quantile_summary", "repetition_signals", "rollup_agg",
-    "secondary_sort", "sequence_packing", "set_except", "set_intersect",
-    "sorted_group_apply", "text_normalize", "tf_idf", "token_counts",
-    "topk_orders", "union_distinct", "uniq_capped", "value_histogram",
-    "window_analytics", "window_range_frame", "window_rank_family",
-    "winnow_fingerprint_stats", "word_stats", "wordcount", "xml_records",
+    "large_volume_customer", "lm_perplexity", "local_supplier_volume",
+    "monte_carlo_pi", "multimodal_pipeline", "nation_value_share",
+    "near_dedup_clustered", "near_dedup_corpus", "nqueens",
+    "order_priority_exists", "pagerank_nations", "per_group_sample_orders",
+    "pii_scrub", "pivot_agg", "pricing_summary", "profile_orders",
+    "quality_score", "quantile_buckets", "quantile_summary", "range_join",
+    "repetition_signals", "returned_items_topk", "rollup_agg",
+    "scd2_user_status", "secondary_sort", "semdedup", "sequence_packing",
+    "session_window", "sessionize", "set_except", "set_intersect",
+    "set_ops_bag", "shipping_priority", "side_data_lookup",
+    "skew_salted_join", "sliding_window", "sorted_group_apply",
+    "stratified_sample_orders", "supplier_part_counts", "text_normalize",
+    "tf_idf", "token_budget_mix", "token_counts", "topk_orders",
+    "train_holdout_split", "tumbling_window", "union_distinct",
+    "uniq_capped", "value_histogram", "vocab_stats", "window_analytics",
+    "window_range_frame", "window_rank_family", "winnow_fingerprint_stats",
+    "word_stats", "wordcount", "xml_records", "zorder_values",
 })
+
+# Confirmed gates whose LATEST driver row is oldest (round 1) — when the
+# sampling prefix has slots left after the unconfirmed gates, these are the
+# most valuable re-validations.
+_CONFIRMED_R1_ONLY: tuple[str, ...] = (
+    "agg_descriptors", "asof_join", "cube_agg", "fieldsel", "grep_count",
+    "keyfield_sort", "monte_carlo_pi", "pivot_agg", "set_except",
+    "sorted_group_apply", "union_distinct",
+)
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -74,34 +98,36 @@ def all_queries() -> dict[str, QuerySpec]:
     from hadoop_fcfs_spark import queries_relational  # noqa: F401
     from hadoop_fcfs_spark import queries_streaming  # noqa: F401
 
-    # Unconfirmed gates now exceed the ~50-slot prefix; pin the ones with
-    # UNIQUE coverage first (streaming batch-twins — the only events-window
-    # driver evidence — and the two replanted-oracle gates whose prior rows
-    # were no_oracle), so the crowd-out falls on redundant TPC-H shapes.
+    # r4 ordering: the 17 gates that have never received a driver
+    # CORRECTNESS row across r01-r03 go first (VERDICT r3 item #1), then
+    # any gate added this round (not in _DRIVER_CONFIRMED), then the 11
+    # confirmed gates whose latest row is from round 1 (re-validation),
+    # then the rest of the confirmed tail. terasort_validate is now
+    # value-oracled (deterministic verdict row) so it earns a prefix slot.
     priority = {
         name: i
         for i, name in enumerate((
-            "dedup_simhash", "ann_rp_lsh_topk", "tumbling_window",
-            "sliding_window", "sessionize", "session_window",
-            "event_interval_join",
-            # r3-second-session gates: no prior-round history at all
-            "duplicate_spans", "duplicate_span_stats", "boilerplate_removal",
-            "semdedup", "dedup_incremental", "token_budget_mix",
-            "hll_distinct_rollup", "approx_quantile_bounds",
-            "skew_salted_join", "zorder_values", "event_funnel",
-            "cohort_retention", "pagerank_nations", "scd2_user_status",
-            "quantile_buckets", "concurrent_events", "profile_orders",
-            "fuzzy_term_join", "corpus_drift", "corpus_pipeline_v2",
-            "set_ops_bag", "grouping_sets_agg",
+            "promo_revenue_ratio", "disjunctive_filter_revenue",
+            "small_quantity_revenue", "forecast_revenue", "volume_shipping",
+            "national_market_share", "product_type_profit",
+            "late_lines_priority", "customer_distribution", "top_supplier",
+            "waiting_suppliers", "min_acctbal_supplier",
+            "excess_volume_suppliers", "skew_salted_agg",
+            "latest_event_per_user", "data_validation", "terasort_validate",
         ))
     }
+    revalidate = {name: i for i, name in enumerate(_CONFIRMED_R1_ONLY)}
 
     def bucket(spec: QuerySpec) -> tuple[int, int]:
-        if spec.oracle is None:
-            return (3, 0)  # rows-only: weak check, never worth a sampled slot
         if spec.name in priority:
             return (0, priority[spec.name])
-        return (2, 0) if spec.name in _DRIVER_CONFIRMED else (1, 0)
+        if spec.oracle is None:
+            return (4, 0)  # rows-only: weak check, never worth a sampled slot
+        if spec.name not in _DRIVER_CONFIRMED:
+            return (1, 0)  # new this round
+        if spec.name in revalidate:
+            return (2, revalidate[spec.name])
+        return (3, 0)
 
     ordered = sorted(_REGISTRY.values(), key=lambda s: bucket(s))  # stable within buckets
     return {s.name: s for s in ordered}
