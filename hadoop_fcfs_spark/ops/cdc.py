@@ -37,12 +37,16 @@ def scd2_from_changes(
     """
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
+    # Carry the tiebreak through the collapse so the stitching window can
+    # order identically: two surviving changes sharing (key, ts) would
+    # otherwise get nondeterministic valid_to/is_current assignment.
+    keep = [key, attr, ts_col] + ([tiebreak] if tiebreak else [])
     collapsed = (
         changes.withColumn("__prev", F.lag(attr).over(w))
         .filter(F.col("__prev").isNull() | (F.col(attr) != F.col("__prev")))
-        .select(key, attr, ts_col)
+        .select(*keep)
     )
-    w2 = Window.partitionBy(key).orderBy(ts_col)
+    w2 = Window.partitionBy(key).orderBy(*order)
     nxt = F.lead(ts_col).over(w2)
     return collapsed.select(
         F.col(key),

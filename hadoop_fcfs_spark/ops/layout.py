@@ -22,7 +22,7 @@ makes every later scan cheap.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -48,13 +48,22 @@ def zvalue(cols: list[Column | str], bits: int = 16) -> Column:
     return z
 
 
-def rank_normalize(df: DataFrame, col: str, id_col: str, bits: int = 16) -> Column:
-    """Map a column of any type/skew onto [0, 2^bits) by rank (ntile over
-    a deterministic total order). One window per normalized column —
-    at cluster scale substitute a quantile-sketch bucketizer to avoid
-    the sort; this exact form is for bounded layouts."""
-    w = Window.orderBy(F.col(col), F.col(id_col))
-    return (F.ntile(2**bits).over(w) - 1).cast("long")
+def rank_normalize(df: DataFrame, col: str, id_col: str, bits: int = 16, out_col: str | None = None) -> DataFrame:
+    """Map a column of any type/skew onto [0, 2^bits) by rank, adding
+    ``out_col`` (default ``<col>_znorm``). Exact NTILE semantics, but NOT
+    via an unpartitioned window: the total order comes from
+    ``ranked_total_order`` (range partition + per-partition enumeration +
+    broadcast offsets) and the bucket is a per-row expression
+    (``ntile_from_rank``) — no single-task WindowExec, so normalizing a
+    100 TB column shuffles once and never funnels through one task."""
+    from hadoop_fcfs_spark.ops.sort import ntile_from_rank, ranked_total_order
+
+    out = out_col or f"{col}_znorm"
+    n = df.count()
+    ranked = ranked_total_order(df, [F.col(col), F.col(id_col)], rank_col="__rk")
+    return ranked.withColumn(
+        out, (ntile_from_rank(F.col("__rk"), n, 2**bits) - 1).cast("long")
+    ).drop("__rk")
 
 
 def zorder_by(

@@ -33,10 +33,18 @@ def salted_agg(
                   [("sum", "cnt"), ("max", "mx")] — applied to the
                   stage-1 columns of the same alias.
 
-    Salt = xxhash64(whole row cols) % salt_n is uniform per row and
-    deterministic; no RNG.
+    Salt = xxhash64(row cols, monotonically_increasing_id) % salt_n:
+    the id term spreads BYTE-IDENTICAL rows (common in log data — and
+    exactly the hot-key case this operator exists for) that a pure
+    row-content hash would pile into one salt bucket. The id makes the
+    salt nondeterministic across recomputations, which is safe here:
+    stage 2 re-merges per key, so ANY salt assignment yields the same
+    final aggregate (each row still contributes exactly once).
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_n)).alias("__salt")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns], F.monotonically_increasing_id()),
+        F.lit(salt_n),
+    ).alias("__salt")
     stage1 = df.select(*df.columns, salt).groupBy(*group_cols, "__salt").agg(
         *[expr.alias(alias) for expr, alias in partial_aggs]
     )
@@ -71,7 +79,13 @@ def salted_join(
     dup = set(big.columns) & (set(small.columns) - set(on))
     if dup:
         raise ValueError(f"ambiguous non-key columns on both sides: {sorted(dup)}")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n))
+    # id term spreads byte-identical hot-key rows (see salted_agg); safe
+    # because the small side is replicated across EVERY salt value, so any
+    # per-row salt joins correctly.
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns], F.monotonically_increasing_id()),
+        F.lit(salt_n),
+    )
     bs = big.withColumn("__salt", salt)
     ss = small.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)).cast("array<long>")))
     return bs.join(ss, [*on, "__salt"], how).drop("__salt")

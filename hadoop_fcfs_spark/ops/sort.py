@@ -106,6 +106,27 @@ def ranked_total_order(
     )
 
 
+def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
+    """Exact SQL ``NTILE(k)`` bucket from a 1-based global rank over ``n``
+    rows — so the single-task ``NTILE() OVER (ORDER BY ...)`` window can be
+    replaced by ``ranked_total_order`` + this per-row expression.
+
+    NTILE front-loads the remainder: with ``q = n DIV k``, ``r = n MOD k``,
+    the first ``r`` buckets hold ``q+1`` rows and the rest hold ``q``. The
+    equi-width formula ``(rank-1)*k DIV n + 1`` spreads the remainder
+    instead and diverges whenever ``n % k != 0`` (e.g. n=23, k=10).
+    """
+    if n <= 0 or k <= 0:
+        raise ValueError(f"ntile_from_rank needs n>0 and k>0, got n={n} k={k}")
+    q, r = divmod(n, k)
+    if q == 0:  # fewer rows than buckets: bucket == rank
+        return rank.cast("int")
+    cut = (q + 1) * r  # ranks 1..cut fall in the r wide buckets
+    wide = F.floor((rank - 1) / F.lit(q + 1)) + 1
+    narrow = F.lit(r) + F.floor((rank - 1 - cut) / F.lit(q)) + 1
+    return F.when(rank <= cut, wide).otherwise(narrow).cast("int")
+
+
 def grouped_sorted_apply(
     df: DataFrame,
     group_cols: list[str],

@@ -203,26 +203,26 @@ def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b GROUP BY decile
     """,
     doc="Quantile bucketing / discretization (feature engineering): exact "
-    "NTILE-decile semantics ((rank-1)*k DIV n + 1) computed over "
-    "ranked_total_order's two-level decomposition — range partition + "
-    "per-partition enumeration + broadcast offsets, NO single-task global "
-    "window. Cheaper approximate alternative at scale: approx_percentile "
-    "cut points + a per-row bucket expression.",
+    "NTILE-decile semantics (remainder front-loaded into the first n%k "
+    "buckets, ops.sort.ntile_from_rank) computed over ranked_total_order's "
+    "two-level decomposition — range partition + per-partition enumeration "
+    "+ broadcast offsets, NO single-task global window. Cheaper approximate "
+    "alternative at scale: approx_percentile cut points + a per-row bucket "
+    "expression.",
 )
 def quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NTILE(k) == ((rank-1)*k) DIV n + 1 over the same total order, so the
-    # global window becomes the scale-safe ranked_total_order decomposition
+    # NTILE(k) is a pure function of (global rank, n, k), so the global
+    # window becomes the scale-safe ranked_total_order decomposition
     # (range partition + per-partition enumeration + broadcast offsets) —
     # no full-table single-task WindowExec (the keyfield_sort lesson).
-    from hadoop_fcfs_spark.ops.sort import ranked_total_order
+    from hadoop_fcfs_spark.ops.sort import ntile_from_rank, ranked_total_order
 
     orders = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
     ranked = ranked_total_order(orders, [F.col("o_totalprice"), F.col("o_orderkey")])
     n = orders.count()
     b = ranked.select(
-        "o_totalprice",
-        (((F.col("rank") - 1) * 10) / F.lit(n)).cast("long").alias("__d"),
-    ).withColumn("decile", (F.col("__d") + 1).cast("int"))
+        "o_totalprice", ntile_from_rank(F.col("rank"), n, 10).alias("decile")
+    )
     return b.groupBy("decile").agg(
         F.count("*").cast("long").alias("n"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),

@@ -1999,14 +1999,15 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_user_status",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, event_type AS status, ts,
+      SELECT user_id, event_type AS status, ts, event_id,
              LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       FROM events
     ),
-    ch AS (SELECT user_id, status, ts FROM flagged WHERE prev IS NULL OR status <> prev)
+    ch AS (SELECT user_id, status, ts, event_id
+           FROM flagged WHERE prev IS NULL OR status <> prev)
     SELECT user_id, status, ts AS valid_from,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
     FROM ch
     """,
     doc="SCD Type-2 dimension build (ops.cdc.scd2_from_changes): collapse "

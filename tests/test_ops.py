@@ -246,6 +246,28 @@ def test_salted_agg_matches_direct(spark):
     assert plan.count("Exchange") >= 2  # two-stage shuffle
 
 
+def test_salted_agg_spreads_byte_identical_rows(spark):
+    """ADVICE r3: a hot key whose rows are BYTE-IDENTICAL (log data) must
+    still spread over >1 salt bucket — a pure row-content hash would give
+    every copy the same salt, defeating the operator exactly where it's
+    needed. The id-mixed salt is nondeterministic but stage-2 re-merges,
+    so the final aggregate stays exact."""
+    from hadoop_fcfs_spark.ops.skew import salted_agg
+
+    df = spark.createDataFrame([("hot", 1)] * 4096, "k string, v long").repartition(8)
+    out = salted_agg(
+        df, ["k"], [(F.count("*"), "cnt")], [("sum", "cnt")], salt_n=8
+    )
+    assert {(r["k"], r["cnt"]) for r in out.collect()} == {("hot", 4096)}
+    # observe stage-1 spreading directly: distinct salts over identical rows
+    salt = F.pmod(
+        F.xxhash64(F.col("k"), F.col("v"), F.monotonically_increasing_id()),
+        F.lit(8),
+    )
+    n_salts = df.select(salt.alias("s")).distinct().count()
+    assert n_salts > 1
+
+
 def test_approx_uniq_within_tolerance(spark):
     from hadoop_fcfs_spark.agg.registry import approx_uniq_value_count
 
@@ -621,6 +643,53 @@ def test_scd2_hand_case(spark):
         ("a", "y", 3, 5, False),
         ("b", "z", 4, None, True),
     ]
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    """Exact NTILE parity at cardinalities NOT divisible by k — the case
+    the old equi-width formula ((rank-1)*k DIV n + 1) got wrong (ADVICE
+    r3: NTILE front-loads the remainder, equi-width spreads it)."""
+    import duckdb
+
+    from hadoop_fcfs_spark.ops.sort import ntile_from_rank
+
+    for n, k in [(23, 10), (7, 3), (100, 7), (5, 10), (9, 9)]:
+        df = spark.range(1, n + 1).select(F.col("id").cast("int").alias("v"))
+        got = {
+            r["v"]: r["b"]
+            for r in df.select(
+                "v", ntile_from_rank(F.col("v"), n, k).alias("b")
+            ).collect()
+        }
+        exp = {
+            v: b
+            for v, b in duckdb.sql(
+                f"SELECT v, NTILE({k}) OVER (ORDER BY v) FROM range(1, {n + 1}) t(v)"
+            ).fetchall()
+        }
+        assert got == exp, (n, k)
+
+
+def test_scd2_same_timestamp_ties_deterministic(spark):
+    """Two surviving changes sharing (key, ts): the tiebreak must order the
+    interval stitching too, or valid_to/is_current assignment flakes.
+    Stream: w@1, then x@2(seq20) and y@2(seq21) — all three survive the
+    collapse; seq says x precedes y, so x's interval is [2,2) and y is
+    current."""
+    from hadoop_fcfs_spark.ops.cdc import scd2_from_changes
+
+    rows = [("a", "w", 1, 10), ("a", "x", 2, 20), ("a", "y", 2, 21)]
+    df = spark.createDataFrame(rows, ["k", "v", "ts", "seq"])
+    for _ in range(3):  # rerun: nondeterminism would flake across runs
+        out = sorted(
+            (r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in scd2_from_changes(df, "k", "ts", "v", tiebreak="seq").collect()
+        )
+        assert out == [
+            ("w", 1, 2, False),
+            ("x", 2, 2, False),   # closed by y@2 (seq-later)
+            ("y", 2, None, True),
+        ]
 
 
 def test_profile_table_exact_and_approx(spark):

@@ -406,6 +406,34 @@ def test_quantile_buckets_no_global_ntile_window(spark):
     assert plan.count("Exchange SinglePartition") <= 1  # offsets summary only
 
 
+def test_rank_normalize_no_global_ntile_window(spark):
+    """rank_normalize rebuilt on ranked_total_order + ntile_from_rank
+    (VERDICT r3 #5): exact NTILE values, no unpartitioned data-sized
+    window anywhere in the plan."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.caching import release_waypoints
+    from hadoop_fcfs_spark.ops.layout import rank_normalize
+
+    df = spark.range(100).select(
+        (F.col("id") * 37 % 100).alias("v"), F.col("id").alias("rid")
+    )
+    out = rank_normalize(df, "v", "rid", bits=4)
+    plan = _plan(out)
+    assert "ntile" not in plan and "row_number" not in plan
+    assert "rangepartitioning" in plan
+    assert plan.count("Exchange SinglePartition") <= 1  # offsets summary only
+    # exact NTILE semantics: 100 rows into 16 buckets -> first 4 buckets
+    # hold 7 rows (remainder front-loaded), rest 6
+    sizes = sorted(
+        (r["v_znorm"], r["n"])
+        for r in out.groupBy("v_znorm").agg(F.count("*").alias("n")).collect()
+    )
+    assert [n for _, n in sizes] == [7] * 4 + [6] * 12
+    assert [b for b, _ in sizes] == list(range(16))
+    release_waypoints()
+
+
 def test_concurrent_events_chunked_scan(spark):
     """The sweep-line running sum must window on (event_type, __chunk),
     never on event_type alone — a hot type's timeline stays parallel."""
