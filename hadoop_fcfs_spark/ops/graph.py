@@ -18,9 +18,12 @@ Scale notes:
     aggregation — a sum, map-side combined; AQE splits the rest.
   - Lineage doubles per iteration; ``checkpoint_every`` truncates with
     localCheckpoint like llm.dedup.connected_components does.
-  - Dangling nodes (no out-edges) leak their mass — ranks sum to < 1,
-    the standard simplification; renormalize or add a dangling-mass
-    redistribution term if the absolute scale matters downstream.
+  - Dangling nodes (no out-edges): ``dangling="redistribute"`` adds the
+    standard per-iteration dangling-sum term (their rank mass teleports
+    uniformly), keeping ranks summing to 1. The term is ONE scalar
+    aggregate over node-shaped state, broadcast back — no extra
+    edge-sized work. ``dangling="none"`` keeps the classic simplification
+    (ranks sum < 1 when danglers exist).
 """
 
 from __future__ import annotations
@@ -37,16 +40,20 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     checkpoint_every: int = 3,
+    dangling: str = "none",
 ) -> DataFrame:
     """Weighted PageRank over an edge list. Returns (node, rank).
 
     Transition mass from a node splits across its out-edges
     proportionally to ``weight`` (uniformly when None). Node set =
     distinct src ∪ dst; rank init = 1/N; per iteration
-    rank(v) = (1-damping)/N + damping·Σ_{u→v} rank(u)·w_norm(u,v).
+    rank(v) = (1-damping)/N + damping·(Σ_{u→v} rank(u)·w_norm(u,v)
+    [+ dangling_mass/N when dangling="redistribute"]).
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if dangling not in ("none", "redistribute"):
+        raise ValueError(f"dangling must be 'none' or 'redistribute', got {dangling!r}")
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     ew = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
     # per-source normalized transition weights via groupBy + join, not a
@@ -67,6 +74,13 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
 
+    dang = None
+    if dangling == "redistribute":
+        # node-shaped, deterministic, reused every iteration
+        dang = nodes.join(
+            out_mass.select(F.col("src").alias("node")), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+
     for i in range(iterations):
         contrib = (
             norm.join(ranks, norm.src == ranks.node)
@@ -74,9 +88,20 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+        incoming = F.coalesce(F.col("c"), F.lit(0.0))
+        new_ranks = nodes.join(contrib, nodes.node == contrib.dst, "left")
+        if dang is not None:
+            # dangling mass this iteration: one scalar agg over node-shaped
+            # state, broadcast back as a 1-row cross join (the scalar-join
+            # pattern, never edge-sized)
+            dsum = ranks.join(dang, "node", "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+            )
+            new_ranks = new_ranks.crossJoin(F.broadcast(dsum))
+            incoming = incoming + F.col("__dm") / F.lit(float(n))
+        ranks = new_ranks.select(
             "node",
-            (F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("rank"),
+            (F.lit(teleport) + F.lit(damping) * incoming).alias("rank"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)

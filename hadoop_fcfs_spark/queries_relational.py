@@ -1903,9 +1903,15 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pagerank_nations",
-    oracle="""    WITH
+def _pagerank_oracle(iterations: int) -> str:
+    """Unrolled power-iteration CTE chain WITH the dangling-mass
+    redistribution term: d{k} = Σ rank over nodes with no out-edges,
+    teleported uniformly (mirrors ops.graph.pagerank dangling=
+    'redistribute'). The nation trade graph has no danglers at the test
+    SFs (every nation buys), so the term is 0 there — but the oracle
+    computes it generally, keeping the gate honest if the data changes."""
+    cte = [
+        """    WITH
     edges AS (
       SELECT cn.n_name AS src, sn.n_name AS dst,
              SUM(l_extendedprice * (1 - l_discount)) AS w
@@ -1920,55 +1926,40 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
     nw AS (SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS wn FROM edges),
-    r0 AS (SELECT n, 1.0 / nn.cnt AS r FROM nodes CROSS JOIN nn),
-    r1 AS (
-      SELECT nd.n,
-             0.15 / nn.cnt + 0.85 * COALESCE(SUM(p.r * nw.wn), 0) AS r
-      FROM nodes nd CROSS JOIN nn
-      LEFT JOIN nw ON nw.dst = nd.n
-      LEFT JOIN r0 p ON p.n = nw.src
-      GROUP BY nd.n, nn.cnt
+    r0 AS (SELECT n, 1.0 / nn.cnt AS r FROM nodes CROSS JOIN nn)"""
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        cte.append(f"""    d{k} AS (
+      SELECT COALESCE(SUM(r), 0) AS dm FROM r{p}
+      WHERE n NOT IN (SELECT DISTINCT src FROM edges)
     ),
-    r2 AS (
+    r{k} AS (
       SELECT nd.n,
-             0.15 / nn.cnt + 0.85 * COALESCE(SUM(p.r * nw.wn), 0) AS r
-      FROM nodes nd CROSS JOIN nn
+             0.15 / nn.cnt
+               + 0.85 * (COALESCE(SUM(p.r * nw.wn), 0) + d{k}.dm / nn.cnt) AS r
+      FROM nodes nd CROSS JOIN nn CROSS JOIN d{k}
       LEFT JOIN nw ON nw.dst = nd.n
-      LEFT JOIN r1 p ON p.n = nw.src
-      GROUP BY nd.n, nn.cnt
-    ),
-    r3 AS (
-      SELECT nd.n,
-             0.15 / nn.cnt + 0.85 * COALESCE(SUM(p.r * nw.wn), 0) AS r
-      FROM nodes nd CROSS JOIN nn
-      LEFT JOIN nw ON nw.dst = nd.n
-      LEFT JOIN r2 p ON p.n = nw.src
-      GROUP BY nd.n, nn.cnt
-    ),
-    r4 AS (
-      SELECT nd.n,
-             0.15 / nn.cnt + 0.85 * COALESCE(SUM(p.r * nw.wn), 0) AS r
-      FROM nodes nd CROSS JOIN nn
-      LEFT JOIN nw ON nw.dst = nd.n
-      LEFT JOIN r3 p ON p.n = nw.src
-      GROUP BY nd.n, nn.cnt
-    ),
-    r5 AS (
-      SELECT nd.n,
-             0.15 / nn.cnt + 0.85 * COALESCE(SUM(p.r * nw.wn), 0) AS r
-      FROM nodes nd CROSS JOIN nn
-      LEFT JOIN nw ON nw.dst = nd.n
-      LEFT JOIN r4 p ON p.n = nw.src
-      GROUP BY nd.n, nn.cnt
+      LEFT JOIN r{p} p ON p.n = nw.src
+      GROUP BY nd.n, nn.cnt, d{k}.dm
+    )""")
+    return (
+        ",\n".join(cte)
+        + f"\n    SELECT n AS node, CAST(FLOOR(r * 1000000) AS BIGINT) AS rank_e6 FROM r{iterations}\n    "
     )
-    SELECT n AS node, CAST(FLOOR(r * 1000000) AS BIGINT) AS rank_e6 FROM r5
-    """,
-    doc="Weighted PageRank (ops.graph.pagerank), 5 power iterations over "
-    "the nation-level trade graph (customer nation -> supplier nation, "
-    "revenue-weighted edges aggregated from lineitem). Each iteration is "
-    "two co-partitioned joins + a sum; rank state is node-shaped, never "
+
+
+@register(
+    "pagerank_nations",
+    oracle=_pagerank_oracle(5),
+    doc="Weighted PageRank (ops.graph.pagerank, dangling='redistribute'), "
+    "5 power iterations over the nation-level trade graph (customer "
+    "nation -> supplier nation, revenue-weighted edges aggregated from "
+    "lineitem). Each iteration is two co-partitioned joins + a sum + one "
+    "scalar dangling-mass aggregate; rank state is node-shaped, never "
     "edge-shaped; lineage truncated via localCheckpoint. Oracle unrolls "
-    "the 5 iterations as CTEs; ranks floored to micros.",
+    "the 5 iterations (with the dangling term) as CTEs; ranks floored to "
+    "micros.",
 )
 def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.ops.graph import pagerank
@@ -1989,7 +1980,7 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("w"))
     )
-    pr = pagerank(edges, "src", "dst", weight="w", iterations=5)
+    pr = pagerank(edges, "src", "dst", weight="w", iterations=5, dangling="redistribute")
     return pr.select(
         F.col("node"), F.floor(F.col("rank") * 1_000_000).cast("long").alias("rank_e6")
     )

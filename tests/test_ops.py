@@ -624,6 +624,37 @@ def test_pagerank_cycle_and_star(spark):
         pagerank(cycle, iterations=0)
 
 
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    """With a dangling node (c has no out-edges), dangling='none' leaks
+    mass (sum < 1); 'redistribute' teleports it uniformly so ranks sum to
+    exactly 1 each iteration."""
+    from hadoop_fcfs_spark.ops.graph import pagerank
+
+    # a -> b -> c, c dangles
+    g = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    leaked = sum(r["rank"] for r in pagerank(g, iterations=3).collect())
+    assert leaked < 1.0 - 1e-6
+    for iters in (1, 3, 5):
+        total = sum(
+            r["rank"]
+            for r in pagerank(g, iterations=iters, dangling="redistribute").collect()
+        )
+        assert abs(total - 1.0) < 1e-9, (iters, total)
+    # no danglers -> redistribute is a no-op vs none
+    cycle = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    r_none = {r["node"]: r["rank"] for r in pagerank(cycle, iterations=3).collect()}
+    r_red = {
+        r["node"]: r["rank"]
+        for r in pagerank(cycle, iterations=3, dangling="redistribute").collect()
+    }
+    for k in r_none:
+        assert abs(r_none[k] - r_red[k]) < 1e-12
+    import pytest
+
+    with pytest.raises(ValueError):
+        pagerank(cycle, dangling="bogus")
+
+
 def test_scd2_hand_case(spark):
     """a: x@1 -> x@2 (no-op, collapses) -> y@3 -> x@5; b: single version."""
     from hadoop_fcfs_spark.ops.cdc import scd2_from_changes
