@@ -244,13 +244,26 @@ def read_json(
       - "drop": DROPMALFORMED — silently skip bad lines.
       - "fail": FAILFAST — abort the job on the first bad line.
     """
+    from pyspark.sql.types import StringType, StructType
+
     modes = {"quarantine": "PERMISSIVE", "drop": "DROPMALFORMED", "fail": "FAILFAST"}
     if bad_records not in modes:
         raise ValueError(f"bad_records must be one of {sorted(modes)}, got {bad_records!r}")
     reader = spark.read.option("mode", modes[bad_records])
     if schema is not None:
-        if bad_records == "quarantine" and "_corrupt_record" not in str(schema):
-            schema = f"{schema}, _corrupt_record string"
+        if bad_records == "quarantine":
+            # the corrupt-record column must exist in the schema; DDL
+            # strings and StructType need different append paths
+            if isinstance(schema, StructType):
+                if "_corrupt_record" not in schema.fieldNames():
+                    schema = schema.add("_corrupt_record", StringType())
+            elif isinstance(schema, str):
+                if "_corrupt_record" not in schema:
+                    schema = f"{schema}, _corrupt_record string"
+            else:
+                raise TypeError(
+                    f"schema must be a DDL string or StructType, got {type(schema).__name__}"
+                )
         reader = reader.schema(schema)
     return reader.json(path)
 

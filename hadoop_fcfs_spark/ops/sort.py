@@ -206,9 +206,15 @@ def chunked_running_sum(
     Level 1 windows within (group, chunk) — parallel across chunks of
     the same group; level 2 computes per-(group, chunk) totals and
     prefix-sums THOSE (a per-group window over chunk-summary rows only),
-    broadcast-joining the offsets back. ``chunk_col`` must be a
-    deterministic value-based bucketing of the order columns (e.g. the
-    day of a timestamp) so chunk order agrees with row order.
+    joining the offsets back. ``chunk_col`` must be a deterministic
+    value-based bucketing of the order columns (e.g. the day of a
+    timestamp) so chunk order agrees with row order.
+
+    The offsets table has one row per (group, chunk) — usually tiny, but
+    with high-cardinality group_cols it can be data-sized, so the join
+    strategy is left to AQE (which broadcasts when the built side is
+    small) rather than forced with a broadcast hint that could exceed
+    executor memory.
     """
     from pyspark.sql import Window
 
@@ -231,7 +237,7 @@ def chunked_running_sum(
         "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
     ).select(*group_cols, "__chunk", "__off")
     return (
-        local.join(F.broadcast(offsets), [*group_cols, "__chunk"])
+        local.join(offsets, [*group_cols, "__chunk"])
         .withColumn(out_col, F.col("__local") + F.col("__off"))
         .drop("__chunk", "__local", "__off")
     )

@@ -139,18 +139,24 @@ def stream_incremental_dedup(
     (write_sorted_bucketed bloom_cols) and compact it periodically
     (ops.layout.compact_files) as it grows.
     """
-    import os
-
     from pyspark.sql import functions as F
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         digest_root = f"{out_dir}/digests"
-        prior_epochs = [
-            f"{digest_root}/{d}"
-            for d in (os.listdir(digest_root) if os.path.isdir(digest_root) else [])
-            if d.startswith("epoch=") and d != f"epoch={epoch_id}"
-        ]
+        # enumerate prior epochs through the Hadoop FileSystem API (as
+        # compact_files does) so non-local stores (hdfs://, s3a://) list
+        # correctly — driver-local os.listdir would silently return
+        # nothing there and skip cross-batch dedup entirely
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(digest_root)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        prior_epochs = []
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if st.isDirectory() and name.startswith("epoch=") and name != f"epoch={epoch_id}":
+                    prior_epochs.append(f"{digest_root}/{name}")
         # the store holds digests (16 bytes/doc), so the cross-batch pass
         # is a digest-to-digest anti-join — the batch twin
         # (llm.dedup.incremental_exact_dedup) re-hashes reference TEXT;

@@ -423,3 +423,17 @@ def test_read_json_bad_records_policies(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_json(spark, str(p), schema="k long", bad_records="explode")
+
+    # StructType schemas get _corrupt_record appended via schema.add, not
+    # string concatenation (ADVICE r3: the f-string path produced an
+    # invalid schema for StructType)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    st = StructType([StructField("k", LongType())])
+    qs = read_json(spark, str(p), schema=st, bad_records="quarantine")
+    assert "_corrupt_record" in qs.columns
+    assert sorted(
+        r["k"] for r in qs.filter(F.col("_corrupt_record").isNull()).collect()
+    ) == [1, 3]
+    with pytest.raises(TypeError):
+        read_json(spark, str(p), schema=123, bad_records="quarantine")
