@@ -1,16 +1,22 @@
-"""Change-data-capture shapes: SCD Type-2 dimension building.
+"""Change-data-capture shapes: SCD Type-2 dimension building and
+MERGE-style changeset application.
 
 Companion to the latest-by-key compaction gate (SCD Type-1 /
 last-write-wins, queries_relational.latest_event_per_user). Type 2
 keeps every historical value as a validity interval — the warehouse
 pattern for "what was this attribute at time T" joins (pairs with
-ops/joins.as_of_join for the lookup side).
+ops/joins.as_of_join for the lookup side). ``apply_changeset`` is the
+third leg: MERGE INTO semantics (upsert + delete) applied as one pass —
+what Delta/Iceberg expose as MERGE, expressed on plain DataFrames.
 
 Scale shape: two key-partitioned windows (change collapse, then
 interval stitching) — state is per-key and bounded by that key's
 change count; no global sort, no driver state. Skewed keys (one
 entity with millions of changes) are real but rare in dimension
-streams; pre-split such keys by epoch if they appear.
+streams; pre-split such keys by epoch if they appear. apply_changeset
+is one co-partitioned outer join — snapshot and changes shuffle on the
+key once; at table scale, bucket both by the key so the join is
+shuffle-free (io/writers.write_sorted_bucketed).
 """
 
 from __future__ import annotations
@@ -54,4 +60,68 @@ def scd2_from_changes(
         F.col(ts_col).alias("valid_from"),
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
+    )
+
+
+def apply_changeset(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    ts_col: str | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames: apply a changeset of
+    upserts ('U') and deletes ('D') to a snapshot, returning the new
+    snapshot with the snapshot's columns.
+
+    When ``ts_col`` is given, multiple changes per key first compact to
+    the latest one (ordered by ts then ``tiebreak`` — deterministic under
+    same-ts races); without it the changeset must be unique per key
+    (raises otherwise — silently picking an arbitrary row is how merge
+    jobs corrupt dimensions).
+
+    One co-partitioned full-outer join on the key:
+      - key only in snapshot            -> kept as-is
+      - key in changes with op='U'      -> change row wins (insert or update)
+      - key in changes with op='D'      -> dropped
+    """
+    ops = ("U", "D")
+    data_cols = [c for c in snapshot.columns if c != key]
+    latest = changes
+    if ts_col is not None:
+        order = [F.col(ts_col).desc()] + ([F.col(tiebreak).desc()] if tiebreak else [])
+        w = Window.partitionBy(key).orderBy(*order)
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        dupes = latest.groupBy(key).count().filter(F.col("count") > 1)
+        if dupes.take(1):
+            raise ValueError(
+                f"changeset has multiple rows per {key!r} and no ts_col to "
+                "pick the latest - compact it or pass ts_col"
+            )
+    ch = latest.select(
+        F.col(key),
+        F.col(op_col).alias("__op"),
+        *[F.col(c).alias(f"__ch_{c}") for c in data_cols],
+    )
+    merged = snapshot.join(ch, key, "full_outer")
+    surviving = merged.filter(F.col("__op").isNull() | (F.col("__op") == "U"))
+    bad = latest.filter(~F.col(op_col).isin(*ops))
+    # cheap guard: unknown ops fail loudly instead of silently dropping
+    if bad.take(1):
+        vals = [r[op_col] for r in bad.select(op_col).distinct().take(5)]
+        raise ValueError(f"unknown ops in changeset: {vals}; expected one of {ops}")
+    return surviving.select(
+        F.col(key),
+        *[
+            F.when(F.col("__op") == "U", F.col(f"__ch_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in data_cols
+        ],
     )

@@ -91,6 +91,37 @@ def train_holdout_split(
     )
 
 
+def duplicate_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    holdout_fraction: float,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe split where EXACT DUPLICATES cannot straddle the
+    carve: the split key is the content digest (md5 of the normalized
+    text), not the row id, so every copy of a duplicated document lands
+    on the same side. Splitting by row id alone silently leaks training
+    text into the eval set whenever the corpus contains duplicates —
+    which every web-scale corpus does; this is the id-hash split's
+    content-aware upgrade (id determinism is preserved for distinct
+    texts since the digest is a pure function of content).
+
+    Pure per-row expressions — no shuffle, no dedup pass required. For
+    NEAR-duplicate safety, first map rows to a cluster representative
+    (llm.dedup.near_dedup_clusters) and split on that id instead.
+    """
+    if not 0.0 <= holdout_fraction <= 1.0:
+        raise ValueError(f"holdout_fraction must be in [0, 1], got {holdout_fraction}")
+    digest = F.md5(F.lower(F.trim(F.col(text_col))).cast("binary"))
+    return df.withColumn(
+        split_col,
+        F.when(
+            _sample_key(digest) < int(holdout_fraction * _U32), F.lit("holdout")
+        ).otherwise(F.lit("train")),
+    )
+
+
 def token_budget_mix(
     df: DataFrame,
     source_col: str,

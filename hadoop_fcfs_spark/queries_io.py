@@ -226,6 +226,41 @@ def train_holdout_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "duplicate_safe_split",
+    oracle="""
+    WITH d AS (SELECT md5(lower(trim(text))) AS dig, n_chars FROM documents)
+    SELECT CASE WHEN CAST('0x' || substr(md5(dig), 1, 8) AS BIGINT) < 1073741824
+                THEN 'holdout' ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT dig) AS BIGINT) AS n_texts,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM d GROUP BY 1
+    """,
+    doc="Duplicate-safe train/holdout carve (ops/sampling."
+    "duplicate_safe_split): the split key is the CONTENT digest, so every "
+    "copy of a duplicated document lands on the same side — id-hash "
+    "splits silently leak train text into eval whenever the corpus has "
+    "duplicates. Pure per-row expressions, no dedup pass; 25% holdout at "
+    "a dyadic threshold.",
+)
+def duplicate_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sampling import duplicate_safe_split
+
+    docs = t(spark, sf_dir, "documents")
+    dig = F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    return (
+        duplicate_safe_split(docs, "doc_id", "text", 0.25)
+        .withColumn("__dig", dig)
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("__dig").cast("long").alias("n_texts"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@register(
     "token_budget_mix",
     oracle=f"""
     WITH ntoks AS (

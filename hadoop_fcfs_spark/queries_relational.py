@@ -2017,6 +2017,55 @@ def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_upsert_customers",
+    oracle="""
+    WITH latest AS (
+      SELECT o_custkey, o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ),
+    ch AS (
+      SELECT o_custkey AS c_custkey,
+             CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+             o_totalprice
+      FROM latest WHERE rn = 1
+    )
+    SELECT c_custkey,
+           ROUND(CASE WHEN ch.op = 'U' THEN ch.o_totalprice
+                      ELSE c.c_acctbal END, 2) AS acctbal
+    FROM customer c FULL OUTER JOIN ch USING (c_custkey)
+    WHERE ch.op IS NULL OR ch.op = 'U'
+    """,
+    doc="MERGE INTO semantics (ops.cdc.apply_changeset): a changeset "
+    "derived from each customer's latest order (finished -> delete the "
+    "row, open/pending -> upsert the balance to that order's total) "
+    "applied to the customer snapshot in ONE co-partitioned full-outer "
+    "join — the Delta/Iceberg MERGE shape on plain DataFrames. Bucket "
+    "both sides by the key at table scale for a shuffle-free merge.",
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.cdc import apply_changeset
+
+    snap = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    changes = (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+            F.col("o_totalprice").alias("c_acctbal"),
+        )
+    )
+    merged = apply_changeset(snap, changes, "c_custkey")
+    return merged.select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+
+
+@register(
     "set_ops_bag",
     oracle="""
     SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (

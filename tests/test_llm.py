@@ -609,6 +609,33 @@ def test_token_budget_mix_invariants(spark):
         token_budget_mix(docs, "source", "doc_id", "text", {"src0": -1})
 
 
+def test_duplicate_safe_split_no_straddle(spark):
+    """Planted exact copies must land on the same split side (the leak an
+    id-hash split permits); distinct texts still split deterministically."""
+    from hadoop_fcfs_spark.ops.sampling import duplicate_safe_split
+
+    docs = _docs(spark).select("doc_id", "text")
+    copies = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    corpus = docs.unionByName(copies)
+    out = duplicate_safe_split(corpus, "doc_id", "text", 0.5)
+    # no digest straddles: every text value maps to exactly one split
+    straddlers = (
+        out.groupBy("text")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+    )
+    assert straddlers.count() == 0
+    # determinism across runs
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    assert a == b
+    # both sides populated at 50% on 25+ distinct texts
+    sides = {r["split"] for r in out.select("split").distinct().collect()}
+    assert sides == {"train", "holdout"}
+    with pytest.raises(ValueError):
+        duplicate_safe_split(docs, "doc_id", "text", 1.5)
+
+
 def test_token_budget_mix_weighted_pps(spark):
     """PPS keep-key: per-doc threshold scales with token count, so among
     docs sharing a sample key region the long ones are preferentially

@@ -676,6 +676,48 @@ def test_scd2_hand_case(spark):
     ]
 
 
+def test_apply_changeset_merge_semantics(spark):
+    """MERGE INTO on plain DataFrames: untouched keys survive, 'U' rows
+    update-or-insert, 'D' rows drop; ts compaction picks the latest change
+    per key with a deterministic tiebreak; guards fire for ambiguous
+    changesets and unknown ops."""
+    import pytest
+
+    from hadoop_fcfs_spark.ops.cdc import apply_changeset
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "name", "v"]
+    )
+    ch = spark.createDataFrame(
+        [(2, "U", "b2", 21), (3, "D", None, None), (4, "U", "d", 40)],
+        "k long, op string, name string, v long",
+    )
+    got = sorted(
+        (r["k"], r["name"], r["v"]) for r in apply_changeset(snap, ch, "k").collect()
+    )
+    assert got == [(1, "a", 10), (2, "b2", 21), (4, "d", 40)]
+
+    # ts compaction: latest change per key wins; same-ts broken by seq
+    ch2 = spark.createDataFrame(
+        [(2, "U", "x", 1, 100, 1), (2, "D", None, None, 200, 1),
+         (3, "U", "y", 2, 300, 1), (3, "U", "z", 3, 300, 2)],
+        "k long, op string, name string, v long, ts long, seq long",
+    )
+    got2 = sorted(
+        (r["k"], r["name"], r["v"])
+        for r in apply_changeset(
+            snap, ch2, "k", ts_col="ts", tiebreak="seq"
+        ).collect()
+    )
+    assert got2 == [(1, "a", 10), (3, "z", 3)]  # 2 deleted, 3 -> latest (z)
+
+    with pytest.raises(ValueError, match="multiple rows"):
+        apply_changeset(snap, ch2.drop("ts", "seq"), "k").collect()
+    bad = spark.createDataFrame([(1, "X", "q", 9)], "k long, op string, name string, v long")
+    with pytest.raises(ValueError, match="unknown ops"):
+        apply_changeset(snap, bad, "k").collect()
+
+
 def test_ntile_from_rank_matches_sql_ntile(spark):
     """Exact NTILE parity at cardinalities NOT divisible by k — the case
     the old equi-width formula ((rank-1)*k DIV n + 1) got wrong (ADVICE
