@@ -1,4 +1,5 @@
-"""Re-aggregatable sketch tier: HyperLogLog partial sketches + rollup.
+"""Re-aggregatable sketch tier: HyperLogLog / KLL-quantile / Theta
+partial sketches + rollups.
 
 The 100 TB pattern this exists for: you cannot afford to re-scan the
 corpus for every distinct-count slice, so you materialize SKETCHES at a
@@ -43,4 +44,68 @@ def hll_rollup(
     `approx_distinct` (long)."""
     return partial.groupBy(*group_cols).agg(
         F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias("approx_distinct")
+    )
+
+
+def kll_partial(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 200
+) -> DataFrame:
+    """One scan → a mergeable KLL quantile sketch (DataSketches) per
+    group over a DOUBLE column (columns: group_cols + `kll_sketch`).
+    The quantile twin of ``hll_partial``: materialize at the finest
+    grain once, answer any coarser quantile by MERGING sketches —
+    KLL guarantees ~1.65% RANK error at k=200 (99% confidence),
+    independent of the value distribution."""
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias(
+            "kll_sketch"
+        )
+    )
+
+
+def kll_quantile_rollup(
+    partial: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float],
+    sketch_col: str = "kll_sketch",
+) -> DataFrame:
+    """Roll KLL sketches up to a coarser grain without rescanning:
+    merge, then read quantiles. Output: group_cols + q_<pct> double
+    per requested quantile."""
+    # Spark exposes KLL merge as a 2-arg scalar (no merge-aggregate), so
+    # fold the per-fine-grain sketches with a higher-order aggregate():
+    # collect_list is bounded by the fine-grain/coarse-grain fan-in (days
+    # per type, shards per table — structurally small), each sketch ~KB.
+    lists = partial.groupBy(*group_cols).agg(
+        F.collect_list(sketch_col).alias("__sks")
+    )
+    merged = lists.select(
+        *group_cols,
+        F.aggregate(
+            F.slice(F.col("__sks"), 2, F.greatest(F.size("__sks") - 1, F.lit(0))),
+            F.element_at("__sks", 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("__m"),
+    )
+    return merged.select(
+        *group_cols,
+        *[
+            F.kll_sketch_get_quantile_double(F.col("__m"), F.lit(q)).alias(
+                f"q_{int(q * 100)}"
+            )
+            for q in quantiles
+        ],
+    )
+
+
+def theta_partial(
+    df: DataFrame, group_cols: list[str], value_col: str, lgk: int = 12
+) -> DataFrame:
+    """One scan → a Theta sketch per group (columns: group_cols +
+    `theta_sketch`). Unlike HLL, Theta supports the FULL set algebra —
+    union, intersection, difference — so segment-overlap questions
+    ("distinct users who did A and B") roll up from per-segment
+    sketches without rescanning or re-shuffling raw ids."""
+    return df.groupBy(*group_cols).agg(
+        F.theta_sketch_agg(value_col, F.lit(lgk)).alias("theta_sketch")
     )

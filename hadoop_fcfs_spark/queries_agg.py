@@ -190,6 +190,99 @@ def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kll_quantile_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_e6,
+           TRUE AS kll_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="Mergeable quantile sketches (agg.sketches.kll_partial/"
+    "kll_quantile_rollup, DataSketches KLL): per-(event_type, day) "
+    "sketches materialized in ONE scan, merged to event_type — the "
+    "no-rescan quantile pattern. The contract column kll_ok asserts the "
+    "merged sketch's median has RANK within 2% of 0.5 (KLL guarantees "
+    "~1.65% rank error at k=200) — rank, not value, because KLL's bound "
+    "is distribution-free on rank only.",
+)
+def kll_quantile_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.agg.sketches import kll_partial, kll_quantile_rollup
+
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = kll_partial(ev, ["event_type", "day"], "value")
+    q = kll_quantile_rollup(daily, ["event_type"], [0.5])
+    # rank-error contract: exact rank of the sketch's median within the group
+    ranked = (
+        ev.join(q, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.avg((F.col("value") <= F.col("q_50")).cast("double")).alias("__rank"),
+            F.percentile("value", F.lit(0.5)).alias("__p50"),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        F.floor(F.col("__p50") * 1_000_000).cast("long").alias("p50_e6"),
+        (F.abs(F.col("__rank") - 0.5) <= 0.02).alias("kll_ok"),
+    )
+
+
+@register(
+    "theta_user_overlap",
+    oracle="""
+    SELECT
+      (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+        WHERE event_type IN ('click', 'purchase')) AS union_exact,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+          SELECT user_id FROM events WHERE event_type = 'click'
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'purchase')) AS intersect_exact,
+      TRUE AS union_ok, TRUE AS intersect_ok
+    """,
+    doc="Theta-sketch set algebra (agg.sketches.theta_partial): distinct "
+    "users who clicked OR purchased (union) and clicked AND purchased "
+    "(intersection), answered from per-event-type sketches — the "
+    "audience-overlap question HLL cannot answer (no intersection). "
+    "Contract columns assert both estimates within 5% of exact; a "
+    "degraded sketch fails the value hash.",
+)
+def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.agg.sketches import theta_partial
+
+    ev = t(spark, sf_dir, "events")
+    sk = theta_partial(
+        ev.filter(F.col("event_type").isin("click", "purchase")),
+        ["event_type"],
+        "user_id",
+    )
+    ests = sk.agg(
+        F.theta_sketch_estimate(F.theta_union_agg("theta_sketch")).alias("__u"),
+        F.theta_sketch_estimate(F.theta_intersection_agg("theta_sketch")).alias("__i"),
+    )
+    exact = ev.select(
+        F.countDistinct(
+            F.when(F.col("event_type").isin("click", "purchase"), F.col("user_id"))
+        ).alias("union_exact")
+    )
+    ex_i = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(ev.filter(F.col("event_type") == "purchase").select("user_id"))
+        .agg(F.count("*").alias("intersect_exact"))
+    )
+    return (
+        exact.crossJoin(ex_i)
+        .crossJoin(F.broadcast(ests))
+        .select(
+            F.col("union_exact").cast("long"),
+            F.col("intersect_exact").cast("long"),
+            (F.abs(F.col("__u") - F.col("union_exact")) <= 0.05 * F.col("union_exact")).alias("union_ok"),
+            (F.abs(F.col("__i") - F.col("intersect_exact")) <= 0.05 * F.col("intersect_exact")).alias("intersect_ok"),
+        )
+    )
+
+
+@register(
     "quantile_buckets",
     oracle="""
     WITH b AS (

@@ -572,6 +572,58 @@ def test_hll_sketch_merge_equals_direct(spark):
         assert abs(merged[k] - n) <= 0.05 * n
 
 
+def test_kll_rollup_rank_contract(spark):
+    """Merged per-day KLL sketches answer the whole-group median within
+    the rank-error bound (2% at k=200), and quantiles are monotone."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.agg.sketches import kll_partial, kll_quantile_rollup
+    from hadoop_fcfs_spark.tables import t
+    from tests.conftest import SF_SMOKE
+
+    ev = t(spark, SF_SMOKE, "events").withColumn("day", F.to_date("ts"))
+    q = kll_quantile_rollup(
+        kll_partial(ev, ["event_type", "day"], "value"),
+        ["event_type"],
+        [0.25, 0.5, 0.75],
+    )
+    rows = {r["event_type"]: r for r in q.collect()}
+    ranks = {
+        r["event_type"]: r["rk"]
+        for r in ev.join(q.select("event_type", "q_50"), "event_type")
+        .groupBy("event_type")
+        .agg(F.avg((F.col("value") <= F.col("q_50")).cast("double")).alias("rk"))
+        .collect()
+    }
+    for et, r in rows.items():
+        assert r["q_25"] <= r["q_50"] <= r["q_75"], et
+        assert abs(ranks[et] - 0.5) <= 0.02, (et, ranks[et])
+
+
+def test_theta_set_algebra_vs_exact(spark):
+    """Theta union/intersection/difference estimates from per-group
+    sketches track exact distinct counts within 5%."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.agg.sketches import theta_partial
+
+    a = spark.range(0, 2000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    b = spark.range(1000, 3000).select(F.lit("b").alias("g"), F.col("id").alias("v"))
+    sk = theta_partial(a.unionByName(b), ["g"], "v")
+    row = sk.agg(
+        F.theta_sketch_estimate(F.theta_union_agg("theta_sketch")).alias("u"),
+        F.theta_sketch_estimate(F.theta_intersection_agg("theta_sketch")).alias("i"),
+    ).first()
+    assert abs(row["u"] - 3000) <= 150
+    assert abs(row["i"] - 1000) <= 50
+    # difference a \ b = 1000 via the 2-sketch scalar form
+    two = sk.groupBy().pivot("g").agg(F.first("theta_sketch"))
+    d = two.select(
+        F.theta_sketch_estimate(F.theta_difference(F.col("a"), F.col("b"))).alias("d")
+    ).first()["d"]
+    assert abs(d - 1000) <= 50
+
+
 def test_zvalue_guards_and_known_values(spark):
     import pytest
     from pyspark.sql import functions as F
