@@ -421,6 +421,49 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bm25_scores(
+    df: DataFrame, id_col: str, text_col: str, k1: float = 1.2, b: float = 0.75
+) -> DataFrame:
+    """Okapi BM25 per (doc, term) — tf_idf's retrieval-grade upgrade
+    with document-length normalization (the scoring function behind
+    Lucene/Elasticsearch ranking and retrieval-based data curation):
+
+        idf  = ln(1 + (N - df + 0.5) / (df + 0.5))     [non-negative]
+        s    = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Same two word-count-shaped aggregations as tf_idf plus a doc-length
+    table (joined on id — co-partitioned with tf's id grouping) and ONE
+    broadcast scalar row (N, avgdl). The doc-frequency table stays
+    vocabulary-sized and shuffles on term — never broadcast. Scores in
+    floor-micro units; cross-engine equality shares tf_idf's observed
+    libm-ln parity. Output: (id, term, tf, doc_freq, bm25_e6)."""
+    toks = _tokens(text_col)
+    lens = df.select(F.col(id_col), F.size(toks).alias("__dl"))
+    pairs = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = pairs.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    scalars = lens.agg(
+        F.countDistinct(id_col).cast("double").alias("__N"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    idf = F.log(1 + (F.col("__N") - F.col("doc_freq") + 0.5) / (F.col("doc_freq") + 0.5))
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+    return (
+        tf.join(dfreq, "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.floor(idf * (F.col("tf") * (k1 + 1) / denom) * 1_000_000.0)
+            .cast("long")
+            .alias("bm25_e6"),
+        )
+    )
+
+
 def bigram_lm_scores(
     df: DataFrame, id_col: str, text_col: str, k: float = 0.5
 ) -> DataFrame:

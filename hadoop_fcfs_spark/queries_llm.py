@@ -1329,3 +1329,54 @@ def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique = exact_dedup(nonempty, "doc_id", "clean_text")
     ntok = F.size(F.filter(F.split(F.col("clean_text"), r"\s+"), lambda x: x != F.lit("")))
     return unique.select("doc_id", ntok.cast("long").alias("clean_tokens"))
+
+
+@register(
+    "bm25_retrieval",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    lens AS (SELECT doc_id, len(tk) AS dl FROM toks),
+    pairs AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM pairs GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+              FROM tf GROUP BY 1),
+    sc AS (SELECT CAST((SELECT COUNT(DISTINCT doc_id) FROM documents) AS DOUBLE) AS n,
+                  (SELECT AVG(dl) FROM lens) AS avgdl),
+    scored AS (
+      SELECT t.doc_id,
+             FLOOR(ln(1 + (sc.n - d.doc_freq + 0.5) / (d.doc_freq + 0.5))
+                   * (t.tf * (1.2 + 1.0)
+                      / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / sc.avgdl)))
+                   * 1000000.0) AS e6
+      FROM tf t JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
+      CROSS JOIN sc
+      WHERE t.term IN ('hash', 'join', 'scan')
+    )
+    SELECT doc_id, CAST(SUM(e6) AS BIGINT) AS score_e6
+    FROM scored GROUP BY doc_id
+    ORDER BY score_e6 DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 retrieval (llm.textan.bm25_scores): Okapi BM25 with "
+    "doc-length normalization — idf*(tf*(k1+1))/(tf+k1*(1-b+b*dl/avgdl)) "
+    "— scored per (doc, term), summed over the query terms "
+    "{hash, join, scan}, top-20 docs. The ranking function behind "
+    "Lucene-style retrieval and retrieval-based data curation; per-term "
+    "floor-micro scores summed exactly so ordering is engine-stable.",
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import bm25_scores
+
+    docs = t(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, "doc_id", "text")
+    return (
+        scored.filter(F.col("term").isin("hash", "join", "scan"))
+        .groupBy("doc_id")
+        .agg(F.sum("bm25_e6").cast("long").alias("score_e6"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -656,6 +656,30 @@ def test_token_budget_mix_invariants(spark):
         token_budget_mix(docs, "source", "doc_id", "text", {"src0": -1})
 
 
+def test_bm25_length_norm_and_idf(spark):
+    """BM25 hand-properties: (a) same tf, shorter doc -> higher score
+    (length normalization, the thing tf_idf lacks); (b) rarer term ->
+    higher score at equal tf and length; (c) saturation: doubling tf
+    less than doubles the score (k1 damping)."""
+    from hadoop_fcfs_spark.llm.textan import bm25_scores
+
+    rows = [
+        (1, "cat dog"),                  # short doc, one 'cat'
+        (2, "cat dog dog dog dog dog"),  # long doc, one 'cat'
+        (3, "rare dog"),                 # 'rare' appears once in corpus
+        (4, "cat cat dog"),              # tf=2 for cat
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    s = {
+        (r["doc_id"], r["term"]): r["bm25_e6"]
+        for r in bm25_scores(df, "doc_id", "text").collect()
+    }
+    assert s[(1, "cat")] > s[(2, "cat")]          # length norm
+    assert s[(3, "rare")] > s[(1, "cat")]         # idf: rare > common, same dl & tf
+    assert s[(4, "cat")] < 2 * s[(1, "cat")] * 1.2  # saturation (loose: dl differs)
+    assert all(v >= 0 for v in s.values())        # non-negative idf variant
+
+
 def test_duplicate_safe_split_no_straddle(spark):
     """Planted exact copies must land on the same split side (the leak an
     id-hash split permits); distinct texts still split deterministically."""
