@@ -91,6 +91,45 @@ def train_holdout_split(
     )
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row gets key = u^(1/w) with u = deterministic
+    uniform from the id hash; the k largest keys are the sample, and
+    inclusion probability is proportional to weight — the
+    PPS-without-replacement sampler (vs duplicate-prone with-replacement
+    draws). With ``stratum_col``, k per stratum.
+
+    u = (uniform32(md5(id)) + 1) / 2^32  — strictly in (0, 1], so the
+    key is finite and ties break by id. The key is computed in LOG form,
+    ln(u)/w, a monotone transform of u^(1/w) (ln u <= 0, w > 0), so the
+    only transcendental is ln() — the one libm call already observed
+    bit-identical across JVM and DuckDB (tf_idf note); pow() would add a
+    second, riskier one. Pure per-row expressions + one bounded top-k
+    (TakeOrderedAndProject global, or a WindowGroupLimit-bounded
+    per-stratum window) — no RNG state, engine-replayable.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    u = (_sample_key(id_col) + F.lit(1.0)) / F.lit(float(_U32))
+    key = F.log(u) / w
+    tagged = df.withColumn("__akey", key).filter(w > 0)
+    if stratum_col is None:
+        return tagged.orderBy(F.desc("__akey"), F.col(id_col)).limit(k).drop("__akey")
+    win = Window.partitionBy(stratum_col).orderBy(F.desc("__akey"), F.col(id_col))
+    return (
+        tagged.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__akey", "__rn")
+    )
+
+
 def duplicate_safe_split(
     df: DataFrame,
     id_col: str,

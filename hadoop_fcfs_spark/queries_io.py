@@ -226,6 +226,39 @@ def train_holdout_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_orders",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderstatus, o_orderkey,
+             ln(({_SKEY.format(id="o_orderkey")} + 1.0) / 4294967296.0)
+               / CAST(o_totalprice AS DOUBLE) AS akey
+      FROM orders WHERE o_totalprice > 0
+    ),
+    ranked AS (
+      SELECT o_orderstatus, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY akey DESC, o_orderkey) AS rn
+      FROM keyed
+    )
+    SELECT o_orderstatus, o_orderkey FROM ranked WHERE rn <= 10
+    """,
+    doc="Deterministic weighted sampling without replacement "
+    "(ops/sampling.weighted_sample_k, Efraimidis-Spirakis A-ES): "
+    "inclusion probability proportional to o_totalprice, 10 orders per "
+    "status. Key = ln(u)/w in log form so the only transcendental is "
+    "ln() (libm-parity observed); per-stratum top-k is a "
+    "WindowGroupLimit-bounded window, never a global sort.",
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sampling import weighted_sample_k
+
+    orders = t(spark, sf_dir, "orders")
+    return weighted_sample_k(
+        orders, "o_orderkey", "o_totalprice", 10, stratum_col="o_orderstatus"
+    ).select("o_orderstatus", "o_orderkey")
+
+
+@register(
     "duplicate_safe_split",
     oracle="""
     WITH d AS (SELECT md5(lower(trim(text))) AS dig, n_chars FROM documents)

@@ -468,6 +468,42 @@ def test_per_group_sample_bounded_and_plan(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_weighted_sample_k_pps_property(spark):
+    """A-ES sampler: (a) deterministic across runs, (b) heavy rows are
+    selected far more often than light ones (PPS), (c) per-stratum k is
+    respected, (d) zero/negative weights are excluded."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.sampling import weighted_sample_k
+
+    # 1000 rows; ids 0..49 carry weight 100, the rest weight 1
+    df = spark.range(1000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") < 50, 100.0).otherwise(1.0).alias("w"),
+        (F.col("id") % 4).alias("g"),
+    )
+    top = weighted_sample_k(df, "rid", "w", 100)
+    ids = {r["rid"] for r in top.collect()}
+    assert len(ids) == 100
+    heavy = sum(1 for i in ids if i < 50)
+    # heavy rows are 5% of the population but ~84% of the weight; with
+    # k=100 expect nearly all 50 selected — require a strong majority
+    assert heavy >= 40, heavy
+    again = {r["rid"] for r in weighted_sample_k(df, "rid", "w", 100).collect()}
+    assert ids == again
+    # stratified: exactly k per group
+    per = weighted_sample_k(df, "rid", "w", 5, stratum_col="g")
+    cnt = {r["g"]: r["n"] for r in per.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert cnt == {0: 5, 1: 5, 2: 5, 3: 5}
+    # zero-weight rows never selected
+    z = df.withColumn("w", F.when(F.col("rid") < 999, F.col("w")).otherwise(F.lit(0.0)))
+    assert 999 not in {r["rid"] for r in weighted_sample_k(z, "rid", "w", 1000).collect()}
+    import pytest
+
+    with pytest.raises(ValueError):
+        weighted_sample_k(df, "rid", "w", 0)
+
+
 def test_sampling_guards():
     import pytest
     from pyspark.sql import SparkSession
