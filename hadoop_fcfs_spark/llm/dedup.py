@@ -135,6 +135,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC containment C(a in b) = |A ∩ B| / |A| over word
+    n-gram sets — the dedup mode symmetric Jaccard misses: a short doc
+    quoted wholesale inside a long one has tiny Jaccard (the union is
+    dominated by the long doc) but containment ~1. The standard screen
+    for quote-inclusion / subset duplication in corpus curation.
+
+    Output: (doc_small, doc_big, containment) with doc_small the
+    CONTAINED side (its gram set is the denominator); both orientations
+    are evaluated, only pairs clearing ``threshold`` survive. Same
+    posting-list shape as ngram_jaccard_pairs: the only corpus-sized
+    shuffles carry (doc, gram) digests, the gram equi-join is bounded by
+    ``max_doc_freq`` against stop-shingle skew.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    grams = _gram_rows(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        rare = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("gram")
+        )
+        grams = grams.join(rare, "gram", "left_semi")
+    sizes = grams.groupBy("doc").agg(F.count("*").alias("n_grams"))
+
+    a = grams.select(F.col("doc").alias("doc_a"), "gram")
+    b = grams.select(F.col("doc").alias("doc_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_grams").alias("na"))
+    cont = F.col("common") / F.col("na")  # containment of a in b
+    return (
+        inter.join(sa, "doc_a")
+        .select(
+            F.col("doc_a").alias("doc_small"),
+            F.col("doc_b").alias("doc_big"),
+            F.round(cont, 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (approximate near-dup, the 100 TB path)
 # ---------------------------------------------------------------------------

@@ -1380,3 +1380,65 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_e6"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "containment_dedup",
+    oracle="""
+    WITH toks0 AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    quotes AS (
+      SELECT doc_id + 2000000 AS doc_id, array_to_string(ws[1:12], ' ') AS text
+      FROM toks0 WHERE len(ws) >= 12
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM quotes
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id AS doc, array_to_string(ws2[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, ws2, UNNEST(generate_series(1, len(ws2) - 2)) AS i
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws2
+                  FROM corpus))
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_grams FROM grams GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.doc <> b.doc
+      GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a AS doc_small, doc_b AS doc_big,
+           ROUND(common / sa.n_grams, 4) AS containment
+    FROM inter JOIN sizes sa ON sa.doc = doc_a
+    WHERE ROUND(common / sa.n_grams, 4) >= 0.99 AND doc_a >= 2000000
+    """,
+    doc="Asymmetric containment dedup (llm.dedup.containment_pairs): "
+    "C(a in b) = |A∩B|/|A| over word 3-gram sets — catches a short doc "
+    "quoted wholesale inside a long one, where symmetric Jaccard is "
+    "tiny because the union is dominated by the long doc. Planted "
+    "oracle: each doc's first 12 words re-enter as a quote doc at "
+    "id+2e6; every quote's gram set is a subset of its source's, so "
+    "containment is exactly 1.0 — the gate projects the quote-side "
+    "pairs at threshold 0.99.",
+)
+def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.dedup import containment_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    quotes = (
+        docs.withColumn("__ws", ws)
+        .filter(F.size("__ws") >= 12)
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.array_join(F.slice("__ws", 1, 12), " ").alias("text"),
+        )
+    )
+    corpus = docs.unionByName(quotes)
+    pairs = containment_pairs(corpus, "doc_id", "text", n=3, threshold=0.99)
+    return pairs.filter(F.col("doc_small") >= 2_000_000)

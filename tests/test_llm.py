@@ -656,6 +656,32 @@ def test_token_budget_mix_invariants(spark):
         token_budget_mix(docs, "source", "doc_id", "text", {"src0": -1})
 
 
+def test_containment_pairs_hand_case(spark):
+    """Quote-inclusion: doc 2 is a verbatim prefix of doc 1 -> containment
+    (2 in 1) == 1.0 while Jaccard stays low; the reverse orientation
+    (1 in 2) is far below 1; unrelated docs don't pair; threshold guard."""
+    from hadoop_fcfs_spark.llm.dedup import containment_pairs, ngram_jaccard_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    quote = " ".join(f"w{i}" for i in range(10))
+    rows = [(1, long_text), (2, quote), (3, "totally different words entirely here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_small"], r["doc_big"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert got == {(2, 1): 1.0}
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.25  # symmetric metric misses the inclusion
+    import pytest
+
+    with pytest.raises(ValueError):
+        containment_pairs(df, "doc_id", "text", threshold=0.0)
+
+
 def test_bm25_length_norm_and_idf(spark):
     """BM25 hand-properties: (a) same tf, shorter doc -> higher score
     (length normalization, the thing tf_idf lacks); (b) rarer term ->
