@@ -1,4 +1,5 @@
-"""Iterative graph analytics as DataFrame algebra: PageRank.
+"""Iterative graph analytics as DataFrame algebra: PageRank and
+multi-source BFS hop levels.
 
 Companion to the label-propagation connected components in
 llm/dedup.py (the other iterative-tier operator). Each PageRank
@@ -106,3 +107,49 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: list,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any source node,
+    bounded at ``max_hops``. Returns (node, hops) for reached nodes only.
+
+    Per iteration: frontier ⋈ edges (hash join on src) → candidate
+    nodes → anti-join against the visited set → new frontier. State is
+    node-shaped (visited + frontier); the edge table shuffles once per
+    hop on the join key — pre-partition edges by src on a real cluster
+    and every hop reuses the layout. Frontier-based, so each node enters
+    the join exactly once over the whole run (not once per iteration) —
+    the textbook level-synchronous BFS as DataFrame algebra.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    visited = spark.createDataFrame(
+        [(s, 0) for s in sources], ["node", "hops"]
+    ).distinct()
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt.withColumn("hops", F.lit(hop)))
+        frontier = nxt
+        if checkpoint_every and hop % checkpoint_every == 0 and hop < max_hops:
+            visited = visited.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+    return visited

@@ -2126,3 +2126,85 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     """)
+
+
+@register(
+    "bfs_trade_reach",
+    oracle="""
+    WITH e0 AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY 1, 2
+    ),
+    top2 AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM e0) WHERE rn <= 2
+    ),
+    l0 AS (SELECT 'ALGERIA' AS node),
+    l1 AS (
+      SELECT DISTINCT dst AS node FROM top2 JOIN l0 ON top2.src = l0.node
+      WHERE dst NOT IN (SELECT node FROM l0)
+    ),
+    l2 AS (
+      SELECT DISTINCT dst AS node FROM top2 JOIN l1 ON top2.src = l1.node
+      WHERE dst NOT IN (SELECT node FROM l0 UNION SELECT node FROM l1)
+    ),
+    l3 AS (
+      SELECT DISTINCT dst AS node FROM top2 JOIN l2 ON top2.src = l2.node
+      WHERE dst NOT IN (SELECT node FROM l0 UNION SELECT node FROM l1
+                        UNION SELECT node FROM l2)
+    )
+    SELECT node, CAST(0 AS INT) AS hops FROM l0
+    UNION ALL SELECT node, 1 FROM l1
+    UNION ALL SELECT node, 2 FROM l2
+    UNION ALL SELECT node, 3 FROM l3
+    """,
+    doc="Multi-source BFS (ops.graph.bfs_levels) over the sparsified "
+    "trade graph: each customer nation keeps its top-2 supplier nations "
+    "by integer-cent revenue (per-row floor-to-cents then exact BIGINT "
+    "sum - no FP accumulation-order nondeterminism in the rank), then "
+    "min hop distance from ALGERIA bounded at 3. Frontier-based level-"
+    "synchronous BFS: node-shaped state, each node joins once across "
+    "the whole run; oracle unrolls the 3 levels as CTEs.",
+)
+def bfs_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.graph import bfs_levels
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("src"))
+    sn = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("dst"))
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cnk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("snk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(cents).alias("w"))
+    )
+    w2 = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    top2 = (
+        edges.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= 2)
+        .select("src", "dst")
+    )
+    return bfs_levels(top2, ["ALGERIA"], max_hops=3).select(
+        "node", F.col("hops").cast("int").alias("hops")
+    )

@@ -743,6 +743,30 @@ def test_pagerank_dangling_redistribution_conserves_mass(spark):
         pagerank(cycle, dangling="bogus")
 
 
+def test_bfs_levels_hand_case(spark):
+    """Chain a->b->c->d plus a shortcut a->c: min-hop wins (c at 1, not
+    2); unreachable nodes absent; max_hops bounds the frontier; multi-
+    source takes the closer source; guards fire."""
+    import pytest
+
+    from hadoop_fcfs_spark.ops.graph import bfs_levels
+
+    g = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("x", "y")],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["hops"] for r in bfs_levels(g, ["a"], max_hops=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+    capped = {r["node"]: r["hops"] for r in bfs_levels(g, ["a"], max_hops=1).collect()}
+    assert capped == {"a": 0, "b": 1, "c": 1}
+    multi = {r["node"]: r["hops"] for r in bfs_levels(g, ["a", "x"], max_hops=2).collect()}
+    assert multi["y"] == 1 and multi["d"] == 2
+    with pytest.raises(ValueError):
+        bfs_levels(g, [], max_hops=1)
+    with pytest.raises(ValueError):
+        bfs_levels(g, ["a"], max_hops=-1)
+
+
 def test_scd2_hand_case(spark):
     """a: x@1 -> x@2 (no-op, collapses) -> y@3 -> x@5; b: single version."""
     from hadoop_fcfs_spark.ops.cdc import scd2_from_changes
