@@ -1,0 +1,130 @@
+"""Statistical profiling operators: anomaly scoring, correlation,
+mutual information.
+
+Complements ops/validate.profile_table (nulls/distincts) with the
+distribution-level statistics a data-quality pipeline monitors:
+z-score anomaly flags on grain-level aggregates, linear correlation
+between numeric columns, and mutual information between categorical
+columns (the feature-redundancy / leakage screen).
+
+Scale shape: every operator aggregates FIRST (grain rows or scalar
+moments) and computes statistics on the aggregate — the raw table is
+touched exactly once, map-side combined, and no window ever spans
+data-sized input. MI's contingency table is |X|x|Y| categories —
+assert that's small before calling (it's a categorical-column op, not
+a join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    group_cols: list[str],
+    grain_col: Column,
+    value_expr: Column,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Grain-level anomaly detection: aggregate ``value_expr`` per
+    (group, grain) — e.g. events per (event_type, day) — then z-score
+    each grain row against ITS GROUP's mean/stddev and flag
+    |z| > threshold. The aggregate-first shape: the window runs over
+    grain summaries (days, not events), so a hot group never funnels
+    raw rows through one task. Output: group_cols + (grain, metric,
+    z_e6, is_anomaly)."""
+    grains = df.groupBy(*group_cols, grain_col.alias("grain")).agg(
+        value_expr.alias("metric")
+    )
+    stats = grains.groupBy(*group_cols).agg(
+        F.avg("metric").alias("__mu"),
+        F.stddev_samp("metric").alias("__sd"),
+    )
+    z = (F.col("metric") - F.col("__mu")) / F.col("__sd")
+    return (
+        grains.join(stats, group_cols)
+        .select(
+            *group_cols,
+            "grain",
+            "metric",
+            F.floor(z * 1_000_000).cast("long").alias("z_e6"),
+            (F.abs(z) > threshold).alias("is_anomaly"),
+        )
+    )
+
+
+def column_corr(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pearson correlation matrix over numeric columns, upper triangle
+    only: one pass over the data (all pairwise moments in a single
+    aggregation — Spark compiles each corr() to its own partial
+    moments, map-side combined). Output: (col_a, col_b, corr) rounded
+    to 6 decimals (accumulation-order float noise sits at ~1e-12 for
+    corpus-sized inputs; 6 decimals is stable AND catches real
+    regressions)."""
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 columns, got {cols}")
+    aggs = [
+        F.corr(a, b).alias(f"{a}|{b}")
+        for i, a in enumerate(cols)
+        for b in cols[i + 1 :]
+    ]
+    row = df.agg(*aggs)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name.split("|")[0]).alias("col_a"),
+                    F.lit(name.split("|")[1]).alias("col_b"),
+                    F.round(F.col(f"`{name}`"), 6).alias("corr"),
+                )
+                for name in row.columns
+            ]
+        )
+    )
+    return row.select(pairs.alias("p")).select("p.col_a", "p.col_b", "p.corr")
+
+
+def mutual_information(
+    df: DataFrame, col_x: str, col_y: str
+) -> DataFrame:
+    """Mutual information I(X;Y) in nats between two categorical
+    columns — the dependence/leakage screen feature pipelines run
+    before training (a feature with high MI against the label grain is
+    a leak; two features with MI ≈ H are redundant).
+
+    I = Σ p(x,y) · ln(p(x,y) / (p(x)·p(y))) from the exact contingency
+    table: one (x, y) count aggregation (map-side combined), marginals
+    re-aggregated FROM the table (never a second data scan), one
+    broadcast scalar N. Output: 1 row (mi_e6, n_x, n_y)."""
+    joint = df.groupBy(
+        F.col(col_x).alias("__x"), F.col(col_y).alias("__y")
+    ).agg(F.count("*").alias("__nxy"))
+    mx = joint.groupBy("__x").agg(F.sum("__nxy").alias("__nx"))
+    my = joint.groupBy("__y").agg(F.sum("__nxy").alias("__ny"))
+    total = joint.agg(F.sum("__nxy").cast("double").alias("__n"))
+    terms = (
+        joint.join(mx, "__x")
+        .join(my, "__y")
+        .crossJoin(F.broadcast(total))
+        .select(
+            (
+                (F.col("__nxy") / F.col("__n"))
+                * F.log(
+                    (F.col("__nxy") * F.col("__n"))
+                    / (F.col("__nx") * F.col("__ny"))
+                )
+            ).alias("__t")
+        )
+    )
+    return terms.agg(
+        F.floor(F.sum("__t") * 1_000_000).cast("long").alias("mi_e6")
+    ).crossJoin(
+        F.broadcast(
+            joint.agg(
+                F.countDistinct("__x").cast("long").alias("n_x"),
+                F.countDistinct("__y").cast("long").alias("n_y"),
+            )
+        )
+    )

@@ -409,3 +409,100 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice", "o_orderdate"],
         exact=True,
     )
+
+
+@register(
+    "daily_event_anomaly",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS grain,
+             CAST(COUNT(*) AS BIGINT) AS metric
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, AVG(metric) AS mu, STDDEV_SAMP(metric) AS sd
+      FROM g GROUP BY 1
+    )
+    SELECT g.event_type, grain, metric,
+           CAST(FLOOR((metric - mu) / sd * 1000000) AS BIGINT) AS z_e6,
+           ABS((metric - mu) / sd) > 2.0 AS is_anomaly
+    FROM g JOIN s USING (event_type)
+    """,
+    doc="Grain-level anomaly detection (ops.stats.zscore_anomalies): "
+    "events per (type, day), each day z-scored against its type's "
+    "mean/stddev, |z|>2 flagged — the volume-drop/spike monitor every "
+    "ingestion pipeline runs. Aggregate-first: the stats pass runs over "
+    "day summaries, never raw events.",
+)
+def daily_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import zscore_anomalies
+
+    ev = t(spark, sf_dir, "events")
+    out = zscore_anomalies(
+        ev, ["event_type"], F.to_date("ts"), F.count("*").cast("long"), threshold=2.0
+    )
+    return out.select(
+        "event_type",
+        F.col("grain").cast("string").alias("grain"),
+        "metric",
+        "z_e6",
+        "is_anomaly",
+    )
+
+
+@register(
+    "lineitem_corr",
+    oracle="""
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           ROUND(corr(l_quantity, l_discount), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           ROUND(corr(l_extendedprice, l_discount), 6) FROM lineitem
+    """,
+    doc="Pearson correlation matrix (ops.stats.column_corr): all pairwise "
+    "moments in ONE scan (each corr compiles to partial co-moments, "
+    "map-side combined); upper triangle emitted as rows. Quantity-price "
+    "correlation is strongly positive by construction; discount is "
+    "independent - the feature-redundancy screen.",
+)
+def lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import column_corr
+
+    li = t(spark, sf_dir, "lineitem")
+    return column_corr(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@register(
+    "orders_mutual_info",
+    oracle="""
+    WITH joint AS (
+      SELECT o_orderstatus AS x, o_orderpriority AS y,
+             CAST(COUNT(*) AS BIGINT) AS nxy
+      FROM orders GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, SUM(nxy) AS nx FROM joint GROUP BY x),
+    my AS (SELECT y, SUM(nxy) AS ny FROM joint GROUP BY y),
+    tot AS (SELECT CAST(SUM(nxy) AS DOUBLE) AS n FROM joint)
+    SELECT CAST(FLOOR(SUM((nxy / n) * ln((nxy * n) / (nx * ny))) * 1000000)
+                AS BIGINT) AS mi_e6,
+           (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) FROM joint) AS n_x,
+           (SELECT CAST(COUNT(DISTINCT y) AS BIGINT) FROM joint) AS n_y
+    FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    """,
+    doc="Mutual information I(status; priority) in nats "
+    "(ops.stats.mutual_information): exact contingency table in one "
+    "map-side-combined aggregation, marginals re-aggregated FROM the "
+    "table (no second scan), one broadcast scalar. The feature-"
+    "dependence/leakage screen; status and priority are independent in "
+    "the generator so MI ~ 0 - the gate pins the exact floor-micro "
+    "value.",
+)
+def orders_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import mutual_information
+
+    return mutual_information(
+        t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )

@@ -743,6 +743,59 @@ def test_pagerank_dangling_redistribution_conserves_mass(spark):
         pagerank(cycle, dangling="bogus")
 
 
+def test_stats_tier_hand_cases(spark):
+    """zscore: a planted spike day flags, quiet days don't; corr: exact
+    +1/-1 on linear columns; MI: 0 for independent, ln(2) for a copy."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.stats import (
+        column_corr,
+        mutual_information,
+        zscore_anomalies,
+    )
+
+    # 10 quiet days of 10 events + one day of 100
+    rows = [("a", d, i) for d in range(10) for i in range(10)]
+    rows += [("a", 10, i) for i in range(100)]
+    ev = spark.createDataFrame(rows, ["g", "day", "i"])
+    out = {
+        r["grain"]: r["is_anomaly"]
+        for r in zscore_anomalies(
+            ev, ["g"], F.col("day"), F.count("*").cast("long"), threshold=2.0
+        ).collect()
+    }
+    assert out[10] is True and sum(out.values()) == 1
+
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2.0).alias("y"),
+        (-F.col("id").cast("double")).alias("z"),
+    )
+    c = {(r["col_a"], r["col_b"]): r["corr"] for r in column_corr(df, ["x", "y", "z"]).collect()}
+    assert c[("x", "y")] == 1.0 and c[("x", "z")] == -1.0 and c[("y", "z")] == -1.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        column_corr(df, ["x"])
+
+    # independent uniform pair -> MI == 0 exactly (balanced table)
+    ind = spark.range(400).select(
+        (F.col("id") % 2).cast("string").alias("a"),
+        ((F.col("id") / 2).cast("long") % 2).cast("string").alias("b"),
+    )
+    assert mutual_information(ind, "a", "b").first()["mi_e6"] == 0
+    # perfect copy of a binary column -> MI == ln 2 (floored micro)
+    cp = spark.range(400).select(
+        (F.col("id") % 2).cast("string").alias("a"),
+        (F.col("id") % 2).cast("string").alias("b"),
+    )
+    got = mutual_information(cp, "a", "b").first()
+    assert got["mi_e6"] == math.floor(math.log(2) * 1_000_000)
+    assert got["n_x"] == 2 and got["n_y"] == 2
+
+
 def test_bfs_levels_hand_case(spark):
     """Chain a->b->c->d plus a shortcut a->c: min-hop wins (c at 1, not
     2); unreachable nodes absent; max_hops bounds the frontier; multi-
