@@ -125,3 +125,56 @@ def apply_changeset(
             for c in data_cols
         ],
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Table diff: the changeset that turns ``old`` into ``new`` —
+    the data-regression check (what changed between yesterday's and
+    today's build?) and apply_changeset's inverse:
+    ``apply_changeset(old, snapshot_diff(old, new, k), k) == new``.
+
+    One co-partitioned full-outer join on the key; rows equal in every
+    column produce NO change row (null-safe comparison via <=>), so the
+    diff is exactly the minimal upsert/delete set:
+      - key only in new               -> 'U' (insert)
+      - key in both, any column diff  -> 'U' (update, new values)
+      - key only in old               -> 'D'
+    Output: key + op + new's data columns (NULL for deletes).
+    """
+    data_cols = [c for c in old.columns if c != key]
+    if set(new.columns) != set(old.columns):
+        raise ValueError(
+            f"snapshots must share columns; old={sorted(old.columns)} "
+            f"new={sorted(new.columns)}"
+        )
+    o = old.select(
+        F.col(key), F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in data_cols],
+    )
+    nw = new.select(
+        F.col(key), F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in data_cols],
+    )
+    j = o.join(nw, key, "full_outer")
+    same = F.lit(True)
+    for c in data_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("U"))      # insert
+        .when(F.col("__in_new").isNull(), F.lit("D"))       # delete
+        .when(~same, F.lit("U"))                            # update
+    )
+    return (
+        j.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(
+            F.col(key),
+            F.col(op_col),
+            *[F.col(f"__n_{c}").alias(c) for c in data_cols],
+        )
+    )

@@ -2208,3 +2208,55 @@ def bfs_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_levels(top2, ["ALGERIA"], max_hops=3).select(
         "node", F.col("hops").cast("int").alias("hops")
     )
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    nw AS (
+      SELECT o_orderkey, o_orderstatus,
+             ROUND(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN o_totalprice * 2 ELSE o_totalprice END, 2) AS price
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'U'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           n.o_orderstatus, n.price
+    FROM old o FULL OUTER JOIN nw n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+          OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+          OR o.price IS DISTINCT FROM n.price
+    """,
+    doc="Table diff (ops.cdc.snapshot_diff): the minimal upsert/delete "
+    "changeset between two snapshot windows of orders (overlap window "
+    "with urgent-order price doubling -> updates; trailing window -> "
+    "deletes; leading window -> inserts; x2 is FP-exact so ROUND can't "
+    "straddle a half-cent boundary differently per engine). One co-partitioned full-outer "
+    "join with null-safe column comparison; inverse of apply_changeset "
+    "(round-trip property-tested). The data-regression check between "
+    "daily builds.",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.cdc import snapshot_diff
+
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < "1997-01-01").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    new = orders.filter(F.col("o_orderdate") >= "1995-01-01").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("price"),
+    )
+    return snapshot_diff(old, new, "o_orderkey")

@@ -883,6 +883,32 @@ def test_apply_changeset_merge_semantics(spark):
         apply_changeset(snap, bad, "k").collect()
 
 
+def test_snapshot_diff_roundtrip_with_apply(spark):
+    """snapshot_diff is apply_changeset's inverse: applying the diff to
+    the old snapshot reproduces the new one exactly; unchanged rows
+    produce no change row (minimality); schema guard fires."""
+    import pytest
+
+    from hadoop_fcfs_spark.ops.cdc import apply_changeset, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", None)],
+        "k long, name string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", None), (5, "e", 50)],
+        "k long, name string, v long",
+    )
+    d = snapshot_diff(old, new, "k")
+    got = sorted((r["k"], r["op"]) for r in d.collect())
+    # 1 unchanged (absent), 2 updated, 3 deleted, 4 null-equal (absent), 5 inserted
+    assert got == [(2, "U"), (3, "D"), (5, "U")]
+    applied = apply_changeset(old, d, "k")
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
+    with pytest.raises(ValueError, match="share columns"):
+        snapshot_diff(old, new.drop("v"), "k")
+
+
 def test_ntile_from_rank_matches_sql_ntile(spark):
     """Exact NTILE parity at cardinalities NOT divisible by k — the case
     the old equi-width formula ((rank-1)*k DIV n + 1) got wrong (ADVICE
