@@ -35,8 +35,16 @@ def zscore_anomalies(
     grain summaries (days, not events), so a hot group never funnels
     raw rows through one task. Output: group_cols + (grain, metric,
     z_e6, is_anomaly)."""
-    grains = df.groupBy(*group_cols, grain_col.alias("grain")).agg(
-        value_expr.alias("metric")
+    from hadoop_fcfs_spark.caching import waypoint
+
+    # grain summaries feed BOTH the stats aggregation and the final
+    # join; without a persist each consumer re-derives the lineage and
+    # scans the raw table again (Catalyst does not dedupe common
+    # DataFrame subplans) — waypoint keeps it to ONE raw scan
+    grains = waypoint(
+        df.groupBy(*group_cols, grain_col.alias("grain")).agg(
+            value_expr.alias("metric")
+        )
     )
     stats = grains.groupBy(*group_cols).agg(
         F.avg("metric").alias("__mu"),
@@ -98,9 +106,16 @@ def mutual_information(
     table: one (x, y) count aggregation (map-side combined), marginals
     re-aggregated FROM the table (never a second data scan), one
     broadcast scalar N. Output: 1 row (mi_e6, n_x, n_y)."""
-    joint = df.groupBy(
-        F.col(col_x).alias("__x"), F.col(col_y).alias("__y")
-    ).agg(F.count("*").alias("__nxy"))
+    from hadoop_fcfs_spark.caching import waypoint
+
+    # the contingency table feeds marginals, total, the term join and
+    # the cardinality row — persist it so the raw table is scanned ONCE
+    # (re-derivation would re-scan per consumer)
+    joint = waypoint(
+        df.groupBy(F.col(col_x).alias("__x"), F.col(col_y).alias("__y")).agg(
+            F.count("*").alias("__nxy")
+        )
+    )
     mx = joint.groupBy("__x").agg(F.sum("__nxy").alias("__nx"))
     my = joint.groupBy("__y").agg(F.sum("__nxy").alias("__ny"))
     total = joint.agg(F.sum("__nxy").cast("double").alias("__n"))

@@ -446,3 +446,71 @@ def test_concurrent_events_chunked_scan(spark):
     # the only per-type-only window is the offsets pass over chunk
     # summaries (operates on __tot), never over the point data (delta)
     assert all("__tot" in l for l in data_windows), data_windows
+
+
+def test_weighted_sample_bounded_plans(spark):
+    """Global form must be TakeOrderedAndProject (k-bounded driver
+    merge), stratified form a WindowGroupLimit-bounded window — never a
+    global sort of the keyed data."""
+    from hadoop_fcfs_spark.ops.sampling import weighted_sample_k
+    from hadoop_fcfs_spark.tables import t
+
+    orders = t(spark, SF_ORACLE, "orders")
+    g = _plan(weighted_sample_k(orders, "o_orderkey", "o_totalprice", 10))
+    assert "TakeOrderedAndProject" in g
+    s = _plan(
+        weighted_sample_k(
+            orders, "o_orderkey", "o_totalprice", 10, stratum_col="o_orderstatus"
+        )
+    )
+    assert "WindowGroupLimit" in s
+
+
+def test_bm25_no_vocabulary_broadcast(spark):
+    """Top-20 must be TakeOrderedAndProject (not a global sort) and the
+    plan must carry no cartesian beyond the 1-row scalar cross join.
+    (AQE legitimately broadcasts the vocab-sized tables at sf0.01; the
+    scale contract — never FORCE that broadcast — lives in the code,
+    which only hints F.broadcast on the scalar row.)"""
+    df = Q["bm25_retrieval"].spark_fn(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan  # top-20, not a global sort
+    assert "CartesianProduct" not in plan
+    # the only explicit broadcast HINT is the scalar: check the optimized
+    # logical plan carries exactly one user hint
+    assert _optimized(df).count("UnresolvedHint broadcast") <= 1
+
+
+def test_merge_upsert_single_outer_join(spark):
+    """apply_changeset = ONE full-outer join on the key (plus the
+    changeset-derivation window, bounded per customer)."""
+    df = Q["merge_upsert_customers"].spark_fn(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.lower().count("fullouter") == 1
+
+
+def test_stats_tier_aggregate_first(spark):
+    """zscore windows over grain summaries only (no window over raw
+    events) and scans raw data once; corr does all pairwise moments in
+    one scan; MI's marginals/total/terms all read the PERSISTED
+    contingency table — exactly one raw scan each (the waypoint exists
+    because Catalyst re-derives common DataFrame subplans per consumer)."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    a = _plan(Q["daily_event_anomaly"].spark_fn(spark, SF_ORACLE))
+    assert "Window" not in a  # stats via groupBy+join, no window at all
+    # both consumers (stats agg + final join) read the persisted grain
+    # summaries; FileScan lines beyond the first are the embedded
+    # cached-plan description, not executed scans
+    assert a.count("InMemoryTableScan") == 2
+    c = _plan(Q["lineitem_corr"].spark_fn(spark, SF_ORACLE))
+    assert c.count("FileScan") == 1
+    m = _plan(Q["orders_mutual_info"].spark_fn(spark, SF_ORACLE))
+    # every consumer (terms join, marginals, total, cardinality row)
+    # reads the persisted contingency table: each FileScan line in the
+    # plan text is an embedded cached-plan description under an
+    # InMemoryTableScan, so the counts must MATCH (no free-standing
+    # un-cached scan of the raw table)
+    assert m.count("InMemoryTableScan") >= 4
+    assert m.count("FileScan") == m.count("InMemoryTableScan")
+    release_waypoints()
