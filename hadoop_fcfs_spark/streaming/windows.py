@@ -247,3 +247,54 @@ def stream_drift_monitor(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_volume_monitor(
+    stream_df: DataFrame,
+    reference_stats: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    z_threshold: float = 3.0,
+):
+    """Streaming volume-anomaly tripwire — the §2.7 twin of
+    ops.stats.zscore_anomalies: each micro-batch's per-group row count
+    is z-scored against FROZEN reference statistics (mu, sd per group —
+    materialize once from trusted history, e.g. the zscore_anomalies
+    grain table aggregated per group) and one log row per group
+    (epoch, group, n, z_e6, alarm) is written per batch.
+
+    The per-batch work is one count aggregation + a broadcast-sized
+    join against the reference (group-cardinality rows) — no state
+    store, no corpus scan; epoch-overwrite keeps replays idempotent
+    like the other foreachBatch sinks here. Groups ABSENT from a batch
+    produce a row with n=0 (a silent source going dark IS the anomaly
+    the monitor exists for).
+    """
+    from pyspark.sql import functions as F
+
+    ref = reference_stats.select(
+        F.col(group_col), F.col("mu").cast("double"), F.col("sd").cast("double")
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        counts = batch_df.groupBy(group_col).agg(F.count("*").alias("n"))
+        z = (F.col("n") - F.col("mu")) / F.col("sd")
+        out = (
+            ref.join(counts, group_col, "left")
+            .withColumn("n", F.coalesce("n", F.lit(0)))
+            .select(
+                F.lit(int(epoch_id)).alias("epoch"),
+                F.col(group_col),
+                F.col("n").cast("long"),
+                F.floor(z * 1_000_000).cast("long").alias("z_e6"),
+                (F.abs(z) > z_threshold).alias("alarm"),
+            )
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

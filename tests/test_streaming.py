@@ -384,3 +384,45 @@ def test_stream_drift_monitor_alarms_on_shift(spark, tmp_path):
     (e0, js0, a0), (e1, js1, a1) = rows
     assert not a0 and js0 < 100_000
     assert a1 and js1 > js0
+
+
+def test_stream_volume_monitor_alarms_on_spike_and_silence(spark, tmp_path):
+    """Normal-volume batch stays quiet; a 10x spike trips the alarm; a
+    group ABSENT from a batch emits n=0 and alarms (source gone dark)."""
+    import glob
+
+    import pandas as pd
+
+    from hadoop_fcfs_spark.streaming.windows import stream_volume_monitor
+
+    ref = spark.createDataFrame(
+        [("click", 4.0, 1.0), ("view", 4.0, 1.0)], ["event_type", "mu", "sd"]
+    )
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "vol"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("event_id long, event_type string").parquet(str(src))
+    q = stream_volume_monitor(stream, ref, out, ckpt, z_threshold=3.0)
+    try:
+        normal = pd.DataFrame(
+            {"event_id": range(8), "event_type": ["click"] * 4 + ["view"] * 4}
+        )
+        normal.to_parquet(src / "b0.parquet")
+        q.processAllAvailable()
+        spike = pd.DataFrame(
+            {"event_id": range(40), "event_type": ["click"] * 40}  # spike + view silent
+        )
+        spike.to_parquet(src / "b1.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        (r["epoch"], r["event_type"]): (r["n"], r["alarm"])
+        for r in spark.read.parquet(*glob.glob(f"{out}/epoch=*")).collect()
+    }
+    assert rows[(0, "click")] == (4, False) and rows[(0, "view")] == (4, False)
+    n1, a1 = rows[(1, "click")]
+    assert n1 == 40 and a1          # spike alarms
+    n2, a2 = rows[(1, "view")]
+    assert n2 == 0 and a2           # silence alarms (z = -4)
