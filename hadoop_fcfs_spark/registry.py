@@ -34,6 +34,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in _REGISTRY:
+            # a silent overwrite would drop a gate from the driver's
+            # correctness sweep without any test failing
+            raise ValueError(f"duplicate gate name {name!r}")
         _REGISTRY[name] = QuerySpec(name, fn, oracle, doc)
         return fn
 
