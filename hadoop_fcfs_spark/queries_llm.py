@@ -1442,3 +1442,90 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionByName(quotes)
     pairs = containment_pairs(corpus, "doc_id", "text", n=3, threshold=0.99)
     return pairs.filter(F.col("doc_small") >= 2_000_000)
+
+
+@register(
+    "corpus_report",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS ntok,
+             md5(lower(trim(text))) AS dig
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT dig) AS BIGINT) AS n_unique_texts,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(FLOOR(AVG(ntok) * 1000000) AS BIGINT) AS mean_tokens_e6
+    FROM d
+    """,
+    doc="Dataset-card summary in ONE pass: corpus size, exact-dup rate "
+    "(distinct content digests vs docs), language/source cardinality, "
+    "token and char mass, mean doc length — the numbers every corpus "
+    "release documents. All algebraic aggregates + two distinct-counts "
+    "over digests/categories; at 100 TB swap the exact distincts for "
+    "the HLL tier (same query shape, agg.sketches).",
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
+    dig = F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    d = docs.select("lang", "source", "n_chars", ntok.alias("__ntok"), dig.alias("__dig"))
+    return d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("__dig").cast("long").alias("n_unique_texts"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("__ntok").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.floor(F.avg("__ntok") * 1_000_000).cast("long").alias("mean_tokens_e6"),
+    )
+
+
+@register(
+    "cross_source_duplication",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT source, md5(lower(trim(text))) AS dig
+      FROM (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT 'mirror' AS source, text
+        FROM documents WHERE doc_id % 5 = 0
+      )
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_texts
+    FROM d a JOIN d b USING (dig)
+    WHERE a.source < b.source
+    GROUP BY 1, 2
+    """,
+    doc="Cross-source duplication matrix: for every source pair, how many "
+    "distinct text digests appear in BOTH — the mixing diagnostic that "
+    "catches a mirrored/scraped-twice source before it double-weights "
+    "the training mix. Planted: every 5th doc re-enters under a "
+    "'mirror' source, so (srcN, mirror) rows pin exact expected counts. "
+    "Digest-only shuffles; the digest self-join is bounded by per-digest "
+    "source cardinality (stop-digest skew would need a max_doc_freq "
+    "guard like the shingle joins).",
+)
+def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("source", "text")
+    mirror = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.lit("mirror").alias("source"), "text")
+    )
+    dig = F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    d = docs.unionByName(mirror).select("source", dig.alias("dig")).distinct()
+    a = d.select(F.col("source").alias("source_a"), "dig")
+    b = d.select(F.col("source").alias("source_b"), "dig")
+    return (
+        a.join(b, "dig")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared_texts"))
+    )
