@@ -31,8 +31,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per operator family — scan+agg, big join, global
 # sort, shuffle-heavy text agg, sub-quadratic dedup, ANN, windows, plus
-# the composed training-data pipeline and the packing prefix-sum (r2)
-# and the exact-substring span tier (r3).
+# the composed training-data pipeline and the packing prefix-sum (r2),
+# the exact-substring span tier (r3), and BM25 retrieval scoring (r4).
 HEADLINE = [
     "pricing_summary",
     "join_multiway",
@@ -44,6 +44,7 @@ HEADLINE = [
     "corpus_pipeline",
     "sequence_packing",
     "duplicate_spans",
+    "bm25_retrieval",
 ]
 
 

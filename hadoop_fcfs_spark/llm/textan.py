@@ -438,6 +438,9 @@ def bm25_scores(
     floor-micro units; cross-engine equality shares tf_idf's observed
     libm-ln parity. Output: (id, term, tf, doc_freq, bm25_e6)."""
     toks = _tokens(text_col)
+    # no fan_out here: measured at sf0.1, the repartition costs more than
+    # the explode parallelism buys (tokenize-and-count is cheap per row;
+    # the shingling builders that DO fan_out pay quadratic work per doc)
     lens = df.select(F.col(id_col), F.size(toks).alias("__dl"))
     pairs = df.select(F.col(id_col), F.explode(toks).alias("term"))
     tf = pairs.groupBy(id_col, "term").agg(F.count("*").alias("tf"))

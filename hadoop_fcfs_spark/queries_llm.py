@@ -1529,3 +1529,52 @@ def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("long").alias("shared_texts"))
     )
+
+
+@register(
+    "corpus_pipeline_v3",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, text,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS ntok,
+             md5(lower(trim(text))) AS dig
+      FROM documents
+    ),
+    quality AS (SELECT * FROM toks WHERE ntok >= 20),
+    winners AS (SELECT dig, MIN(doc_id) AS doc_id FROM quality GROUP BY dig),
+    unique_docs AS (
+      SELECT q.doc_id, q.source, q.ntok, q.dig
+      FROM quality q JOIN winners w ON q.doc_id = w.doc_id AND q.dig = w.dig
+    ),
+    split AS (
+      SELECT source, ntok,
+             CASE WHEN CAST('0x' || substr(md5(dig), 1, 8) AS BIGINT) < 1073741824
+                  THEN 'holdout' ELSE 'train' END AS split
+      FROM unique_docs
+    )
+    SELECT split, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS tokens
+    FROM split GROUP BY 1, 2
+    """,
+    doc="Composed pipeline v3 over the round-4 tiers: token-count "
+    "quality floor -> exact dedup (min-id winners) -> DUPLICATE-SAFE "
+    "train/holdout carve (content-digest split key: surviving docs and "
+    "any residual copies land on the same side) -> per-(split, source) "
+    "doc and token accounting, the table a mixing run starts from. "
+    "Every stage linear, digest-only shuffles; full-value SQL oracle "
+    "composes the per-stage oracles.",
+)
+def corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.dedup import exact_dedup
+    from hadoop_fcfs_spark.ops.sampling import duplicate_safe_split
+
+    docs = t(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
+    quality = docs.withColumn("__ntok", ntok).filter(F.col("__ntok") >= 20)
+    unique = exact_dedup(quality, "doc_id", "text")
+    carved = duplicate_safe_split(unique, "doc_id", "text", 0.25)
+    return carved.groupBy("split", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__ntok").cast("long").alias("tokens"),
+    )
