@@ -2260,3 +2260,48 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price"),
     )
     return snapshot_diff(old, new, "o_orderkey")
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, SUM(n) AS t FROM pairs GROUP BY 1)
+    SELECT p.event_type, p.next_type, p.n,
+           CAST(FLOOR(p.n * 1000000 / t.t) AS BIGINT) AS prob_e6
+    FROM pairs p JOIN tot t USING (event_type)
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next type | current type) from LEAD over "
+    "(user, ts, event_id) — user-partitioned window (bounded per-key "
+    "state), pair counts map-side combined, row-count totals joined "
+    "back. The path-analysis building block (funnel generalized to all "
+    "transitions); micro-probabilities as FLOOR(n*1e6 / total) — the "
+    "operands are exact in float64 and IEEE division is correctly "
+    "rounded, so both engines floor the same value.",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = pairs.groupBy("event_type").agg(F.sum("n").alias("__t"))
+    return pairs.join(tot, "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        F.floor(F.col("n") * 1_000_000 / F.col("__t")).cast("long").alias("prob_e6"),
+    )
