@@ -298,3 +298,69 @@ def stream_volume_monitor(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_upsert_sink(
+    stream_df: DataFrame,
+    key: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    op_col: str = "op",
+    ts_col: str | None = None,
+    tiebreak: str | None = None,
+):
+    """Streaming MERGE: maintain a keyed snapshot table across epochs by
+    applying each micro-batch as a changeset (ops.cdc.apply_changeset —
+    upserts + deletes) to the last committed snapshot, writing the new
+    snapshot to an epoch-versioned directory plus a `_LATEST` marker.
+
+    This is the change-data-feed consumer shape (Kafka CDC topic →
+    up-to-date table) without a table format: Delta/Iceberg MERGE would
+    replace the snapshot rewrite with a file-level merge, but the
+    changeset semantics — including same-ts tiebreaks — are identical.
+    Epoch-overwrite keeps replays idempotent: a replayed epoch re-reads
+    the PRIOR epoch's snapshot (the marker is written last) and
+    rewrites its own directory. Snapshot rewrite cost is one
+    co-partitioned full-outer join per batch — at table scale, bucket
+    the snapshot by the key so only the join's changeset side shuffles.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hadoop_fcfs_spark.ops.cdc import apply_changeset
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        marker = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/_LATEST")
+        fs = marker.getFileSystem(conf)
+        prev = None
+        if fs.exists(marker):
+            stream = fs.open(marker)
+            try:
+                prev = stream.readUTF()
+            finally:
+                stream.close()
+        if prev is not None and prev == f"epoch={epoch_id}":
+            # replay of the committed epoch: rebuild from the one before
+            prior = int(prev.split("=")[1]) - 1
+            prev = f"epoch={prior}" if prior >= 0 else None
+        if prev is None:
+            snapshot = spark.createDataFrame([], batch_df.drop(op_col).schema)
+        else:
+            snapshot = spark.read.parquet(f"{out_dir}/{prev}")
+        merged = apply_changeset(
+            snapshot, batch_df, key, op_col=op_col, ts_col=ts_col, tiebreak=tiebreak
+        )
+        merged.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+        out = fs.create(marker, True)
+        try:
+            out.writeUTF(f"epoch={epoch_id}")
+        finally:
+            out.close()
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -426,3 +426,46 @@ def test_stream_volume_monitor_alarms_on_spike_and_silence(spark, tmp_path):
     assert n1 == 40 and a1          # spike alarms
     n2, a2 = rows[(1, "view")]
     assert n2 == 0 and a2           # silence alarms (z = -4)
+
+
+def test_stream_upsert_sink_maintains_snapshot(spark, tmp_path):
+    """Two CDC batches: inserts, then update+delete+insert — the latest
+    epoch snapshot reflects the full MERGE history; same-batch same-key
+    changes compact by ts."""
+    import glob
+
+    import pandas as pd
+
+    from hadoop_fcfs_spark.streaming.windows import stream_upsert_sink
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(
+        "k long, op string, name string, ts long"
+    ).parquet(str(src))
+    q = stream_upsert_sink(stream, "k", out, ckpt, ts_col="ts")
+    try:
+        pd.DataFrame(
+            {"k": [1, 2], "op": ["U", "U"], "name": ["a", "b"], "ts": [1, 1]}
+        ).to_parquet(src / "b0.parquet")
+        q.processAllAvailable()
+        pd.DataFrame(
+            {
+                "k": [1, 2, 3, 3],
+                "op": ["U", "D", "U", "U"],
+                "name": ["a2", None, "c-old", "c-new"],
+                "ts": [2, 2, 2, 3],  # k=3 twice: later ts wins
+            }
+        ).to_parquet(src / "b1.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    latest = max(
+        glob.glob(f"{out}/epoch=*"), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    rows = sorted(
+        (r["k"], r["name"]) for r in spark.read.parquet(latest).collect()
+    )
+    assert rows == [(1, "a2"), (3, "c-new")]
