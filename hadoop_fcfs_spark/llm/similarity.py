@@ -334,3 +334,50 @@ def semdedup(
         .distinct()
     )
     return cells.join(losers, id_col, "left_anti").select(id_col, "cell")
+
+
+def label_centroids(df, id_col: str, vec_col: str, label_col: str):
+    """Per-label centroid vectors as (label, pos, c) rows: posexplode +
+    (label, dimension) average — dimension-sharded, so a label with a
+    billion members never funnels through one task (the array-collect
+    alternative would). Output feeds centroid_cosines or any per-
+    dimension analysis."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+    )
+
+
+def centroid_cosines(centroids):
+    """Pairwise cosine similarity between label centroids from
+    label_centroids' (label, pos, c) rows: a self-join on the dimension
+    index (64-row-per-label tables — trivially small after the
+    aggregation) + one sum per pair. Output: (label_a, label_b,
+    cos_e6) for label_a < label_b — the class-separation /
+    embedding-drift report (a drifting encoder collapses or shifts
+    centroid geometry long before top-k recall visibly degrades)."""
+    from pyspark.sql import functions as F
+
+    a = centroids.select(
+        F.col("label").alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = centroids.select(
+        F.col("label").alias("label_b"), "pos", F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("__dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("__na"),
+            F.sum(F.col("cb") * F.col("cb")).alias("__nb"),
+        )
+    )
+    cos = F.col("__dot") / F.sqrt(F.col("__na") * F.col("__nb"))
+    return pairs.select(
+        "label_a", "label_b", F.floor(cos * 1_000_000).cast("long").alias("cos_e6")
+    )

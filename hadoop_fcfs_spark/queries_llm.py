@@ -1578,3 +1578,37 @@ def corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("__ntok").cast("long").alias("tokens"),
     )
+
+
+@register(
+    "centroid_separation",
+    oracle="""
+    WITH e AS (
+      SELECT label, i - 1 AS pos, embedding[i] AS val
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    cent AS (SELECT label, pos, AVG(val) AS c FROM e GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(a.c * b.c) AS dot, SUM(a.c * a.c) AS na, SUM(b.c * b.c) AS nb
+      FROM cent a JOIN cent b USING (pos)
+      WHERE a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           CAST(FLOOR(dot / sqrt(na * nb) * 1000000) AS BIGINT) AS cos_e6
+    FROM pairs
+    """,
+    doc="Embedding class-separation report (llm.similarity."
+    "label_centroids + centroid_cosines): per-label centroids computed "
+    "dimension-sharded (posexplode + (label, dim) average — a label "
+    "with a billion members never funnels through one task), pairwise "
+    "centroid cosines from a tiny dimension-index self-join. The "
+    "embedding-drift canary: a drifting or collapsing encoder moves "
+    "centroid geometry long before top-k recall visibly degrades.",
+)
+def centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import centroid_cosines, label_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    return centroid_cosines(label_centroids(emb, "vec_id", "embedding", "label"))
