@@ -357,3 +357,40 @@ def test_fuzzy_term_pairs_matches_bruteforce(spark, terms):
     df = spark.createDataFrame([(t_,) for t_ in terms], ["term"])
     got = sorted((r["term_a"], r["term_b"]) for r in fuzzy_term_pairs(df).collect())
     assert got == want
+
+
+def test_snapshot_diff_apply_roundtrip_randomized(spark):
+    """Seeded-random snapshot pairs (inserts/deletes/updates/null
+    transitions): apply_changeset(old, snapshot_diff(old, new)) == new,
+    and the diff never contains a row for an unchanged key."""
+    import random
+
+    from hadoop_fcfs_spark.ops.cdc import apply_changeset, snapshot_diff
+
+    rng = random.Random(7)
+    for _ in range(8):
+        keys = list(range(rng.randint(1, 30)))
+        def mk(ks):
+            return [
+                (
+                    k,
+                    rng.choice(["a", "b", "c", None]),
+                    rng.choice([rng.randint(0, 5), None]),
+                )
+                for k in ks
+            ]
+        old_keys = [k for k in keys if rng.random() < 0.8]
+        new_keys = [k for k in keys if rng.random() < 0.8]
+        old = spark.createDataFrame(mk(old_keys), "k long, s string, v long")
+        new = spark.createDataFrame(mk(new_keys), "k long, s string, v long")
+        d = snapshot_diff(old, new, "k")
+        # minimality: no diff row for keys identical in both
+        old_rows = {r["k"]: (r["s"], r["v"]) for r in old.collect()}
+        new_rows = {r["k"]: (r["s"], r["v"]) for r in new.collect()}
+        for r in d.collect():
+            k = r["k"]
+            assert not (
+                k in old_rows and k in new_rows and old_rows[k] == new_rows[k]
+            ), f"diff row for unchanged key {k}"
+        applied = sorted(map(tuple, apply_changeset(old, d, "k").collect()))
+        assert applied == sorted(map(tuple, new.collect()))
