@@ -260,30 +260,24 @@ def image_ahash(
     return df.mapInPandas(hash_batch, out_schema)
 
 
-def image_near_dup_pairs(
-    df: DataFrame,
-    binary_col: str = "payload",
-    id_col: str = "media_id",
-    max_hamming: int = 3,
+def _banded_hamming_pairs(
+    h: DataFrame, id_col: str, hash_col: str, max_hamming: int
 ) -> DataFrame:
-    """Image near-duplicate pairs: banded hamming join over perceptual
-    hashes — the multimodal twin of simhash_pairs. The 64-bit ahash
-    splits into 4 x 16-bit bands; pigeonhole guarantees every pair at
-    hamming <= 3 shares at least one exact band, so candidates come from
-    4 equi-joins (never all-pairs) and are verified with an exact
-    popcount. Output (id_a, id_b, hamming)."""
+    """Shared banded-hamming candidate join over 64-bit signatures: 4 x
+    16-bit bands; pigeonhole guarantees every pair at hamming <= 3
+    shares an exact band, so candidates come from 4 equi-joins (never
+    all-pairs) and are verified with an exact popcount."""
     if not 0 <= max_hamming <= 3:
         raise ValueError(f"max_hamming must be in [0, 3] (4-band pigeonhole), got {max_hamming}")
-    h = image_ahash(df, binary_col, id_col)
     bands = F.posexplode(
         F.array(*[
-            F.shiftrightunsigned(F.col("ahash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+            F.shiftrightunsigned(F.col(hash_col), b * 16).bitwiseAND(F.lit(0xFFFF))
             for b in range(4)
         ])
     )
-    banded = h.select(F.col(id_col).alias("id"), "ahash", bands.alias("band_idx", "band_val"))
-    l = banded.select(F.col("id").alias("id_a"), F.col("ahash").alias("__ha"), "band_idx", "band_val")
-    r = banded.select(F.col("id").alias("id_b"), F.col("ahash").alias("__hb"), "band_idx", "band_val")
+    banded = h.select(F.col(id_col).alias("id"), hash_col, bands.alias("band_idx", "band_val"))
+    l = banded.select(F.col("id").alias("id_a"), F.col(hash_col).alias("__ha"), "band_idx", "band_val")
+    r = banded.select(F.col("id").alias("id_b"), F.col(hash_col).alias("__hb"), "band_idx", "band_val")
     ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
     return (
         l.join(r, ["band_idx", "band_val"])
@@ -292,6 +286,18 @@ def image_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-duplicate pairs: banded hamming join over perceptual
+    hashes — the multimodal twin of simhash_pairs. Output
+    (id_a, id_b, hamming)."""
+    return _banded_hamming_pairs(image_ahash(df, binary_col, id_col), id_col, "ahash", max_hamming)
 
 
 def decode_wav(
@@ -409,3 +415,65 @@ def resample_wav(
             yield pd.DataFrame(rows, columns=[id_col, binary_col, "sample_rate"])
 
     return df.select(id_col, binary_col).mapInPandas(resample, out_schema)
+
+
+def audio_fingerprint(
+    df: DataFrame, binary_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """64-bit energy-contour fingerprint from REAL WAV decode (stdlib
+    wave/audioop): the samples split into 64 equal time windows, bit b =
+    (window b's RMS > median window RMS). Amplitude-invariant (scaling
+    every sample scales the median equally) and deterministic — the
+    audio twin of image_ahash, feeding the same banded-hamming join.
+    Malformed blobs yield a NULL fingerprint. Output: (id, afp long)."""
+    out_schema = f"{id_col} long, afp long"
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import audioop
+        import io
+        import statistics
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    if blob is None:
+                        raise ValueError("null payload")
+                    with wave.open(io.BytesIO(bytes(blob))) as w:
+                        sw = w.getsampwidth()
+                        frames = w.readframes(w.getnframes())
+                    n = len(frames) // sw
+                    if n < 64:
+                        raise ValueError("too short to fingerprint")
+                    win = (n // 64) * sw  # bytes per window, frame-aligned
+                    energies = [
+                        audioop.rms(frames[i * win : (i + 1) * win], sw)
+                        for i in range(64)
+                    ]
+                    med = statistics.median(energies)
+                    h = 0
+                    for e in energies:
+                        h = (h << 1) | (1 if e > med else 0)
+                    # two's-complement into signed 64-bit for LongType
+                    if h >= 1 << 63:
+                        h -= 1 << 64
+                    rows.append({id_col: mid, "afp": h})
+                except (wave.Error, EOFError, ValueError):
+                    rows.append({id_col: mid, "afp": None})
+            yield pd.DataFrame(rows, columns=[id_col, "afp"])
+
+    return df.select(id_col, binary_col).mapInPandas(fp, out_schema)
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Audio near-duplicate pairs over the REAL-codec energy-contour
+    fingerprints: same 4x16-band pigeonhole join as the image tier.
+    Output (id_a, id_b, hamming)."""
+    h = audio_fingerprint(df, binary_col, id_col).filter(F.col("afp").isNotNull())
+    return _banded_hamming_pairs(h, id_col, "afp", max_hamming)

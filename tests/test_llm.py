@@ -829,3 +829,53 @@ def test_token_distribution_divergence_properties(spark):
     assert diff["js_e6"] == rev["js_e6"]          # JS symmetric
     assert diff["js_e6"] <= 1_000_000             # <= 1 bit
     assert diff["kl_ab_e6"] == rev["kl_ba_e6"]    # KL mirrors under swap
+
+
+def test_audio_fingerprint_near_dup_real_codec(spark):
+    """Energy-contour fingerprints from REAL WAV decode: identical
+    recordings pair at hamming 0; an amplitude-scaled copy keeps the
+    SAME fingerprint (contour is scale-invariant); a different rhythm
+    doesn't pair; garbage yields NULL and is excluded."""
+    import io
+    import struct
+    import wave
+
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.llm.multimodal import audio_fingerprint, audio_near_dup_pairs
+
+    def tone_pattern(amps, rate=8000, per=256):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            samples = []
+            for a in amps:
+                samples += [a, -a] * (per // 2)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    loud_soft = [100, 2000] * 32          # alternating energy contour
+    scaled = [a * 4 for a in loud_soft]   # same contour, 4x louder
+    other = [2000, 100] * 32              # inverted rhythm
+    rows = [
+        (0, tone_pattern(loud_soft)),
+        (1, tone_pattern(loud_soft)),     # exact copy
+        (2, tone_pattern(scaled)),        # amplitude-scaled copy
+        (3, tone_pattern(other)),
+        (4, b"garbage"),
+    ]
+    blobs = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = {r["media_id"]: r["afp"] for r in audio_fingerprint(blobs).collect()}
+    assert fps[0] == fps[1] == fps[2]     # copy AND scaled copy identical
+    assert fps[3] != fps[0]
+    assert fps[4] is None
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_near_dup_pairs(blobs, max_hamming=0).collect()
+    }
+    assert pairs == {(0, 1): 0, (0, 2): 0, (1, 2): 0}
+    # determinism
+    again = {r["media_id"]: r["afp"] for r in audio_fingerprint(blobs).collect()}
+    assert again == fps
