@@ -506,3 +506,52 @@ def orders_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(
         t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
     )
+
+
+@register(
+    "winsorize_events",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) FILTER (value < lo) AS BIGINT) AS n_clipped_lo,
+           CAST(COUNT(*) FILTER (value > hi) AS BIGINT) AS n_clipped_hi,
+           CAST(FLOOR(AVG(CASE WHEN value < lo THEN lo
+                               WHEN value > hi THEN hi
+                               ELSE value END) * 1000000) AS BIGINT) AS mean_wins_e6
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="Winsorization (outlier clipping at exact p1/p99 per group): the "
+    "feature-engineering trim pass before training on heavy-tailed "
+    "metrics. One percentile aggregation (group-cardinality rows, "
+    "broadcast back) + a per-row clip expression + one stats pass; at "
+    "unbounded scale swap percentile() for the KLL sketch tier (same "
+    "query shape). Clipped counts + winsorized mean per type, "
+    "floor-micro.",
+)
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("__lo"),
+        F.percentile("value", F.lit(0.99)).alias("__hi"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "value",
+        "__lo",
+        "__hi",
+        F.when(F.col("value") < F.col("__lo"), F.col("__lo"))
+        .when(F.col("value") > F.col("__hi"), F.col("__hi"))
+        .otherwise(F.col("value"))
+        .alias("__w"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.when(F.col("value") < F.col("__lo"), 1)).cast("long").alias("n_clipped_lo"),
+        F.count(F.when(F.col("value") > F.col("__hi"), 1)).cast("long").alias("n_clipped_hi"),
+        F.floor(F.avg("__w") * 1_000_000).cast("long").alias("mean_wins_e6"),
+    )
