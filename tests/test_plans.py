@@ -514,3 +514,46 @@ def test_stats_tier_aggregate_first(spark):
     assert m.count("InMemoryTableScan") >= 4
     assert m.count("FileScan") == m.count("InMemoryTableScan")
     release_waypoints()
+
+
+def test_no_unallowed_unpartitioned_windows_static_sweep():
+    """Package-wide sweep (VERDICT r3 #5): every `Window.orderBy(...)`
+    WITHOUT a partitionBy must be one of the audited bounded cases —
+    either a summary-row prefix sum (per-partition counts / chunk
+    totals) or a rank-filter gate whose window input is plan-asserted
+    TakeOrderedAndProject-bounded. A new unpartitioned window anywhere
+    else fails this test until it's audited and listed."""
+    import ast
+    import pathlib
+
+    ALLOWED = {
+        # (file, enclosing function): why it's bounded
+        ("ops/sort.py", "ranked_total_order"),       # offsets over per-partition COUNT summary
+        ("llm/packing.py", "pack_sequences"),        # offsets over chunk-total summary
+        ("queries_relational.py", "topk_orders"),    # TakeOrderedAndProject(limit=k) plan-asserted
+        ("queries_relational.py", "shipping_priority"),
+        ("queries_relational.py", "grep_top"),
+        ("queries_relational.py", "returned_items_topk"),
+    }
+    root = pathlib.Path("hadoop_fcfs_spark")
+    found = set()
+    for path in root.rglob("*.py"):
+        tree = ast.parse(path.read_text())
+        # map every node to its enclosing function name
+        def visit(node, fn):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                fn = node.name
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "orderBy"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "Window"
+            ):
+                found.add((str(path.relative_to(root)), fn))
+            for child in ast.iter_child_nodes(node):
+                visit(child, fn)
+        visit(tree, "<module>")
+    assert found <= ALLOWED, f"unaudited unpartitioned windows: {sorted(found - ALLOWED)}"
+    # the allowlist shouldn't rot either: entries must still exist
+    assert found == ALLOWED, f"stale allowlist entries: {sorted(ALLOWED - found)}"
