@@ -557,3 +557,41 @@ def test_no_unallowed_unpartitioned_windows_static_sweep():
     assert found <= ALLOWED, f"unaudited unpartitioned windows: {sorted(found - ALLOWED)}"
     # the allowlist shouldn't rot either: entries must still exist
     assert found == ALLOWED, f"stale allowlist entries: {sorted(ALLOWED - found)}"
+
+
+def test_no_unallowed_driver_collects_static_sweep():
+    """Companion sweep: every `.collect()` / `.toPandas()` in the package
+    must be one of the audited k- or partition-bounded cases (k-means
+    seeds/centroids, 16 fixture vectors, per-partition tera stats, one
+    checksum scalar). A new driver-side materialization anywhere else
+    fails until audited."""
+    import ast
+    import pathlib
+
+    ALLOWED = {
+        ("llm/similarity.py", "kmeans_centroids"),  # k seed rows / k centroid rows
+        ("queries_llm.py", "ann_ivf_topk"),          # 16 fixture quantizer vectors
+        ("queries_llm.py", "ann_rp_lsh_topk"),       # 16 fixture query vectors
+        ("queries_llm.py", "semdedup_gate"),         # 16 fixture quantizer vectors
+        ("bench/tera.py", "teravalidate"),           # one stats row per partition
+        ("bench/tera.py", "content_checksum"),       # one scalar
+    }
+    root = pathlib.Path("hadoop_fcfs_spark")
+    found = set()
+    for path in root.rglob("*.py"):
+        tree = ast.parse(path.read_text())
+
+        def visit(node, fn):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                fn = node.name
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in ("collect", "toPandas")
+            ):
+                found.add((str(path.relative_to(root)), fn))
+            for child in ast.iter_child_nodes(node):
+                visit(child, fn)
+
+        visit(tree, "<module>")
+    assert found <= ALLOWED, f"unaudited driver collects: {sorted(found - ALLOWED)}"
