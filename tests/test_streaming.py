@@ -469,3 +469,85 @@ def test_stream_upsert_sink_maintains_snapshot(spark, tmp_path):
         (r["k"], r["name"]) for r in spark.read.parquet(latest).collect()
     )
     assert rows == [(1, "a2"), (3, "c-new")]
+
+
+def test_stream_running_stats_carries_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState (the custom-state surface that WORKS here,
+    unlike protobuf-gated transformWithStateInPandas): per-key (n, total,
+    max) accumulates across micro-batches."""
+    import pandas as pd
+
+    from hadoop_fcfs_spark.streaming.stateful import stream_running_stats
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    stream = spark.readStream.schema("k string, v double").parquet(str(src))
+    out = stream_running_stats(stream, "k", "v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_runstats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        pd.DataFrame({"k": ["a", "a", "b"], "v": [1.0, 2.0, 10.0]}).to_parquet(src / "b0.parquet")
+        q.processAllAvailable()
+        pd.DataFrame({"k": ["a", "b"], "v": [4.0, 5.0]}).to_parquet(src / "b1.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # memory/update sink keeps every emitted row; the LAST per key is the
+    # accumulated state
+    rows = spark.sql("SELECT * FROM t_runstats").collect()
+    last = {}
+    for r in rows:
+        last[r["k"]] = (r["n"], r["total"], r["vmax"])
+    assert last["a"] == (3, 7.0, 4.0)
+    assert last["b"] == (2, 15.0, 10.0)
+
+
+def test_stream_inactivity_sessions_close_on_timeout(spark, tmp_path):
+    """Processing-time inactivity close: after the gap elapses with no
+    data for key 'a', a later trigger emits its closed session and
+    clears state. Driven by sleep+poll — processing-time timeouts make
+    the engine self-trigger, so processAllAvailable never settles on
+    this query (documented on the operator)."""
+    import time
+
+    import pandas as pd
+
+    from hadoop_fcfs_spark.streaming.stateful import stream_inactivity_sessions
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    # pandas writes TIMESTAMP(NANOS) -> Spark 4 reads timestamp_ntz (the
+    # r3 events.ts gotcha); declare ntz and coerce to micros
+    stream = spark.readStream.schema("k string, ts timestamp_ntz").parquet(str(src))
+    out = stream_inactivity_sessions(stream, "k", "ts", gap_ms=300)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        pd.DataFrame(
+            {"k": ["a", "a"], "ts": pd.to_datetime(["2026-01-01 00:00:00", "2026-01-01 00:00:05"])}
+        ).to_parquet(src / "b0.parquet", coerce_timestamps="us")
+        deadline = time.time() + 60
+        rows = {}
+        while time.time() < deadline:
+            rows = {
+                r["k"]: (r["n_events"], r["first_ts"], r["last_ts"])
+                for r in spark.sql("SELECT * FROM t_sessions").collect()
+            }
+            if "a" in rows:
+                break
+            time.sleep(0.5)
+        assert "a" in rows, "session for 'a' never closed within 60s"
+        n, first_ts, last_ts = rows["a"]
+        assert n == 2 and last_ts - first_ts == 5000  # 5 s session span in ms
+    finally:
+        q.stop()
