@@ -2149,7 +2149,7 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
         FROM e0) WHERE rn <= 2
     ),
-    l0 AS (SELECT 'ALGERIA' AS node),
+    l0 AS (SELECT 'NATION_0' AS node),
     l1 AS (
       SELECT DISTINCT dst AS node FROM top2 JOIN l0 ON top2.src = l0.node
       WHERE dst NOT IN (SELECT node FROM l0)
@@ -2172,7 +2172,7 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "trade graph: each customer nation keeps its top-2 supplier nations "
     "by integer-cent revenue (per-row floor-to-cents then exact BIGINT "
     "sum - no FP accumulation-order nondeterminism in the rank), then "
-    "min hop distance from ALGERIA bounded at 3. Frontier-based level-"
+    "min hop distance from NATION_0 bounded at 3. Frontier-based level-"
     "synchronous BFS: node-shaped state, each node joins once across "
     "the whole run; oracle unrolls the 3 levels as CTEs.",
 )
@@ -2205,7 +2205,7 @@ def bfs_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 2)
         .select("src", "dst")
     )
-    return bfs_levels(top2, ["ALGERIA"], max_hops=3).select(
+    return bfs_levels(top2, ["NATION_0"], max_hops=3).select(
         "node", F.col("hops").cast("int").alias("hops")
     )
 
