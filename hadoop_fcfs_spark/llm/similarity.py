@@ -381,3 +381,104 @@ def centroid_cosines(centroids):
     return pairs.select(
         "label_a", "label_b", F.floor(cos * 1_000_000).cast("long").alias("cos_e6")
     )
+
+
+def pq_encode(df, codebooks, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Product-quantization encode: the vector splits into m subvectors;
+    each maps to the index of its nearest subspace centroid (ties →
+    lowest index via first-match array_position). Output:
+    (id, codes array<int>) — m bytes-ish per vector instead of 4·dim,
+    THE memory trick that lets an ANN index for 10^10 vectors live in
+    RAM (Jégou et al., IEEE TPAMI 2011).
+
+    ``codebooks``: list[m] of list[ksub] of list[dsub] floats. Pure
+    per-row expressions (no shuffle, no UDF): m·ksub literal distance
+    terms compiled into codegen.
+    """
+    from pyspark.sql import functions as F
+
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    v = F.col(vec_col)
+
+    def subdist(j, cent):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        return F.aggregate(
+            F.zip_with(
+                sub,
+                F.array(*[F.lit(float(x)) for x in cent]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    codes = []
+    for j in range(m):
+        dists = F.array(*[subdist(j, codebooks[j][c]) for c in range(ksub)])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_adc_topk(
+    codes_df,
+    queries,
+    codebooks,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Asymmetric-distance top-k over PQ codes: each query precomputes a
+    lookup table of m·ksub exact subspace distances (a per-row
+    expression over the query vector), then the corpus scan is ONE
+    lookup per subspace per code — no decode, no float vector reads.
+    The classic IVF-ADC scan shape, minus the IVF routing (compose with
+    ivf_topk's cells to get IVFADC proper).
+
+    Queries are few → broadcast; per-query top-k is a
+    WindowGroupLimit-bounded window. Output:
+    (query_id, vec_id, dist_e6, rank).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    qv = F.col(vec_col)
+
+    lut_terms = []
+    for j in range(m):
+        sub = F.slice(qv, j * dsub + 1, dsub)
+        for c in range(ksub):
+            lut_terms.append(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(float(x)) for x in codebooks[j][c]]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.array(*lut_terms).alias("__lut")
+    )
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("__lut"),
+            (F.lit(j * ksub) + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
+        )
+        dist = term if dist is None else dist + term
+    scored = codes_df.crossJoin(F.broadcast(q)).select(
+        "query_id", F.col(id_col), F.floor(dist * 1_000_000).cast("long").alias("dist_e6")
+    )
+    w = Window.partitionBy("query_id").orderBy("dist_e6", id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "dist_e6", F.col("rank").cast("int"))
+    )

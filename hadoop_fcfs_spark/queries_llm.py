@@ -1612,3 +1612,83 @@ def centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return centroid_cosines(label_centroids(emb, "vec_id", "embedding", "label"))
+
+
+def _pq_sql_subdist(vec_expr: str, cb_expr: str) -> str:
+    """Σ_{d=1..16} (double(vec[j*16+d]) - double(cb[j*16+d]))² with the
+    same left-to-right accumulation and float→double promotion as the
+    Spark expressions (FLOAT arithmetic in DuckDB would diverge)."""
+    return (
+        "list_sum(list_transform(generate_series(1, 16), d -> "
+        f"(CAST({vec_expr}[s.j*16+d] AS DOUBLE) - CAST({cb_expr}[s.j*16+d] AS DOUBLE))"
+        f" * (CAST({vec_expr}[s.j*16+d] AS DOUBLE) - CAST({cb_expr}[s.j*16+d] AS DOUBLE))))"
+    )
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH cb AS (
+      SELECT vec_id - 100 AS c, embedding AS cemb
+      FROM embeddings WHERE vec_id BETWEEN 100 AND 107
+    ),
+    subspaces AS (SELECT UNNEST(generate_series(0, 3)) AS j),
+    enc_d AS (
+      SELECT e.vec_id, s.j, cb.c,
+             {_pq_sql_subdist("e.embedding", "cb.cemb")} AS dist
+      FROM embeddings e CROSS JOIN subspaces s CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        FROM enc_d) WHERE rn = 1
+    ),
+    q_d AS (
+      SELECT qe.vec_id AS query_id, s.j, cb.c,
+             {_pq_sql_subdist("qe.embedding", "cb.cemb")} AS dist
+      FROM embeddings qe CROSS JOIN subspaces s CROSS JOIN cb
+      WHERE qe.vec_id < 5
+    ),
+    adc AS (
+      SELECT q.query_id, co.vec_id, SUM(q.dist) AS dist
+      FROM codes co JOIN q_d q ON q.j = co.j AND q.c = co.c
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             CAST(FLOOR(dist * 1000000) AS BIGINT) AS dist_e6,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY FLOOR(dist * 1000000), vec_id) AS rank
+      FROM adc
+    )
+    SELECT query_id, vec_id, dist_e6, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="Product-quantization ANN (llm.similarity.pq_encode/pq_adc_topk, "
+    "Jegou et al. 2011): 64-dim vectors -> 4 subspace codes against an "
+    "8-centroid-per-subspace codebook (vectors 100..107, deterministic), "
+    "then asymmetric-distance top-3 per query via per-query lookup "
+    "tables — the memory-bound third ANN scale path next to brute/LSH/"
+    "IVF (compose with IVF cells for IVFADC). Oracle replays encode + "
+    "LUT + scan fully relationally; float->double promotion and "
+    "accumulation order matched expression-for-expression.",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import pq_adc_topk, pq_encode
+
+    emb = t(spark, sf_dir, "embeddings")
+    # codebooks: vectors 100..107 split into 4 x 16-dim subvectors —
+    # bounded driver collect (8 rows), the fixed-quantizer pattern
+    cb_rows = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") <= 107))
+        .orderBy("vec_id")
+        .collect()
+    )
+    codebooks = [
+        [[float(x) for x in r["embedding"][j * 16 : (j + 1) * 16]] for r in cb_rows]
+        for j in range(4)
+    ]
+    codes = pq_encode(emb, codebooks)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_adc_topk(codes, queries, codebooks, k=3)

@@ -879,3 +879,36 @@ def test_audio_fingerprint_near_dup_real_codec(spark):
     # determinism
     again = {r["media_id"]: r["afp"] for r in audio_fingerprint(blobs).collect()}
     assert again == fps
+
+
+def test_pq_encode_and_adc_hand_case(spark):
+    """PQ invariants: a vector equal to codebook centroid c in every
+    subspace encodes to [c]*m and has ADC distance 0 from an identical
+    query; a different vector gets a nonzero distance; ties in the
+    argmin break to the lowest centroid index; determinism."""
+    from hadoop_fcfs_spark.llm.similarity import pq_adc_topk, pq_encode
+
+    # dim 8, m=2 subspaces of dsub=4, ksub=3 centroids
+    codebooks = [
+        [[0.0, 0, 0, 0], [1.0, 1, 1, 1], [2.0, 2, 2, 2]],
+        [[0.0, 0, 0, 0], [5.0, 5, 5, 5], [9.0, 9, 9, 9]],
+    ]
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0, 5.0, 5.0, 5.0, 5.0]),   # == centroid 1 / centroid 1
+        (1, [2.0, 2.0, 2.0, 2.0, 0.0, 0.0, 0.0, 0.0]),   # == centroid 2 / centroid 0
+        (2, [1.5, 1.5, 1.5, 1.5, 0.0, 0.0, 0.0, 0.0]),   # equidistant cb0[1]/cb0[2] -> tie to 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, codebooks).collect()}
+    assert codes[0] == [1, 1] and codes[1] == [2, 0]
+    assert codes[2][0] == 1  # tie breaks low
+    # ADC: query identical to vec 0 -> dist 0, rank 1
+    q = df.filter(F.col("vec_id") == 0)
+    got = {
+        (r["query_id"], r["vec_id"]): (r["dist_e6"], r["rank"])
+        for r in pq_adc_topk(pq_encode(df, codebooks), q, codebooks, k=3).collect()
+    }
+    assert got[(0, 0)] == (0, 1)
+    assert got[(0, 1)][0] > 0
+    again = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, codebooks).collect()}
+    assert again == codes
