@@ -555,3 +555,62 @@ def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("value") > F.col("__hi"), 1)).cast("long").alias("n_clipped_hi"),
         F.floor(F.avg("__w") * 1_000_000).cast("long").alias("mean_wins_e6"),
     )
+
+
+@register(
+    "gap_fill_hourly",
+    oracle="""
+    WITH aggd AS (
+      SELECT event_type, date_trunc('hour', ts) AS grid_ts,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(FLOOR(AVG(value) * 1000000) AS BIGINT) AS avg_e6
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT k.event_type, g.grid_ts
+      FROM (SELECT DISTINCT event_type FROM events) k
+      CROSS JOIN bounds
+      CROSS JOIN LATERAL UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g(grid_ts)
+    )
+    SELECT s.event_type,
+           CAST(s.grid_ts AS VARCHAR) AS grid_hour,
+           COALESCE(a.n, 0) AS n,
+           LAST_VALUE(a.avg_e6 IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.grid_ts
+             ROWS UNBOUNDED PRECEDING) AS avg_e6_ffill
+    FROM spine s LEFT JOIN aggd a USING (event_type, grid_ts)
+    """,
+    doc="Time-series regularization (ops.timeseries.gap_fill): hourly "
+    "per-type grid over the full event range — hours with NO events "
+    "materialize with n=0 and the last known mean carried forward "
+    "(last ignorenulls over the key-partitioned grid). The spine is "
+    "born distributed (per-key sequence + explode); the only event-"
+    "sized pass is the pre-aggregation. The missing-row problem plain "
+    "groupBy can't see.",
+)
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.timeseries import gap_fill
+
+    ev = t(spark, sf_dir, "events")
+    out = gap_fill(
+        ev,
+        ["event_type"],
+        "ts",
+        "1 hour",
+        [
+            (F.count("*").cast("long"), "n"),
+            (F.floor(F.avg("value") * 1_000_000).cast("long"), "avg_e6"),
+        ],
+        fill_zero=["n"],
+        fill_forward=["avg_e6"],
+    )
+    return out.select(
+        "event_type",
+        F.col("grid_ts").cast("string").alias("grid_hour"),
+        "n",
+        F.col("avg_e6").alias("avg_e6_ffill"),
+    )

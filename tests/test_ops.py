@@ -999,3 +999,37 @@ def test_fan_out_noop_on_well_partitioned_input(spark):
     out = fan_out(narrow)
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert out.count() == 100
+
+
+def test_gap_fill_hand_case(spark):
+    """Missing grid hours materialize with zero counts and carried-
+    forward values; spine covers the global [min, max] range for every
+    key even where that key has no events at the edges."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.timeseries import gap_fill
+
+    rows = [
+        ("a", "2024-01-01 00:10:00", 10.0),
+        ("a", "2024-01-01 03:20:00", 40.0),  # hours 1, 2 missing for a
+        ("b", "2024-01-01 01:00:00", 7.0),   # b absent at hours 0, 2, 3
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        (r["k"], str(r["grid_ts"])): (r["n"], r["mv"])
+        for r in gap_fill(
+            df, ["k"], "ts", "1 hour",
+            [(F.count("*").cast("long"), "n"), (F.max("v"), "mv")],
+            fill_zero=["n"], fill_forward=["mv"],
+        ).collect()
+    }
+    assert len(out) == 8  # 2 keys x 4 hours
+    assert out[("a", "2024-01-01 00:00:00")] == (1, 10.0)
+    assert out[("a", "2024-01-01 01:00:00")] == (0, 10.0)  # zero + ffill
+    assert out[("a", "2024-01-01 02:00:00")] == (0, 10.0)
+    assert out[("a", "2024-01-01 03:00:00")] == (1, 40.0)
+    assert out[("b", "2024-01-01 00:00:00")][0] == 0
+    assert out[("b", "2024-01-01 00:00:00")][1] is None  # nothing to carry yet
+    assert out[("b", "2024-01-01 03:00:00")] == (0, 7.0)
