@@ -6,6 +6,7 @@
                                    [--explain] [--out PATH [--format fmt]]
     python -m hadoop_fcfs_spark sql "<statement>" [--sf DIR]
     python -m hadoop_fcfs_spark profile <table> [--sf DIR] [--exact]
+    python -m hadoop_fcfs_spark verify <query>|--all [--sf DIR]
 """
 
 from __future__ import annotations
@@ -33,6 +34,11 @@ def main(argv: list[str] | None = None) -> int:
     profp.add_argument("--sf", default="/root/testdata/sf0.01", help="table directory")
     profp.add_argument("--exact", action="store_true", help="exact distincts (Expand cost)")
 
+    verp = sub.add_parser("verify", help="run a gate AND its DuckDB oracle, compare")
+    verp.add_argument("query", nargs="?", default=None)
+    verp.add_argument("--all", action="store_true", help="verify every gate")
+    verp.add_argument("--sf", default="/root/testdata/sf0.01", help="table directory")
+
     sqlp = sub.add_parser("sql", help="run ad-hoc SQL over the registered tables")
     sqlp.add_argument("statement")
     sqlp.add_argument("--sf", default="/root/testdata/sf0.01", help="table directory")
@@ -54,6 +60,45 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from hadoop_fcfs_spark.session import get_spark
+
+    if args.cmd == "verify":
+        import duckdb
+
+        from hadoop_fcfs_spark.caching import release_waypoints
+
+        names = list(queries) if args.all else [args.query]
+        if not args.all and args.query not in queries:
+            print(f"unknown query {args.query!r}; `list` shows the inventory", file=sys.stderr)
+            return 2
+        spark = get_spark("cli:verify")
+        con = duckdb.connect()
+        for tbl in ("region nation customer supplier part orders "
+                    "lineitem events documents embeddings").split():
+            con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM "
+                    f"read_parquet('{args.sf}/{tbl}.parquet')")
+        failed = 0
+        for name in names:
+            spec = queries[name]
+            try:
+                spark_pd = spec.spark_fn(spark, args.sf).toPandas()
+                duck_pd = con.execute(spec.oracle).df()
+                cols = sorted(spark_pd.columns)
+                ok = (
+                    sorted(duck_pd.columns) == cols
+                    and len(spark_pd) == len(duck_pd)
+                    and len(spark_pd) > 0
+                    and spark_pd[cols].sort_values(cols).reset_index(drop=True).astype(str)
+                    .equals(duck_pd[cols].sort_values(cols).reset_index(drop=True).astype(str))
+                )
+            except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
+                print(f"{name:28s} ERROR {type(e).__name__}: {e}", file=sys.stderr)
+                failed += 1
+                release_waypoints()
+                continue
+            print(f"{name:28s} rows={len(spark_pd):<7d} {'OK' if ok else 'MISMATCH'}")
+            failed += 0 if ok else 1
+            release_waypoints()
+        return 1 if failed else 0
 
     if args.cmd == "profile":
         from hadoop_fcfs_spark.ops.validate import profile_table
