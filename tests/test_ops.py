@@ -1033,3 +1033,30 @@ def test_gap_fill_hand_case(spark):
     assert out[("b", "2024-01-01 00:00:00")][0] == 0
     assert out[("b", "2024-01-01 00:00:00")][1] is None  # nothing to carry yet
     assert out[("b", "2024-01-01 03:00:00")] == (0, 7.0)
+
+
+def test_gap_fill_linear_interpolation(spark):
+    """fill_linear: gaps interpolate time-weighted between the
+    surrounding known values; edges fall back to the nearest known."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.timeseries import gap_fill
+
+    rows = [
+        ("a", "2024-01-01 01:00:00", 10.0),
+        ("a", "2024-01-01 04:00:00", 40.0),  # hours 2, 3 missing
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        str(r["grid_ts"]): r["mv"]
+        for r in gap_fill(
+            df, ["k"], "ts", "1 hour",
+            [(F.max("v"), "mv")], fill_linear=["mv"],
+        ).collect()
+    }
+    assert out["2024-01-01 01:00:00"] == 10.0
+    assert out["2024-01-01 02:00:00"] == 20.0
+    assert out["2024-01-01 03:00:00"] == 30.0
+    assert out["2024-01-01 04:00:00"] == 40.0
