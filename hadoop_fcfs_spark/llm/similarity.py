@@ -190,6 +190,35 @@ def _assign_to_centroid(df: DataFrame, centroids: list[list[float]], vec_col: st
     return df.withColumn("__centroid", best_idx)
 
 
+def _probe_nearest_cells(df_q: DataFrame, cents, n_probe: int, vec_col: str = "__qv"):
+    """Explode each query row into its n_probe nearest centroid cells
+    (squared euclidean; ties break to the lowest centroid index via the
+    (d, i) struct sort)."""
+    vec = F.col(vec_col)
+    dist_arr = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]),
+                           lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+    )
+    ranked = F.transform(
+        F.array_sort(
+            F.zip_with(
+                dist_arr,
+                F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        ),
+        lambda s: s["i"],
+    )
+    return df_q.withColumn("cell", F.explode(F.slice(ranked, 1, n_probe)))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -219,33 +248,7 @@ def ivf_topk(
 
     # queries: explode into their n_probe nearest cells
     qdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-
-    def probe_cells(df_q):
-        vec = F.col("__qv")
-        dist_arr = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]),
-                               lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for c in cents
-            ]
-        )
-        ranked = F.transform(
-            F.array_sort(
-                F.zip_with(
-                    dist_arr,
-                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-                )
-            ),
-            lambda s: s["i"],
-        )
-        return df_q.withColumn("cell", F.explode(F.slice(ranked, 1, n_probe)))
-
-    probed = probe_cells(qdf)
+    probed = _probe_nearest_cells(qdf, cents, n_probe)
     pairs = (
         cells.join(F.broadcast(probed), "cell")
         .filter(F.col("query_id") != F.col("vec_id"))
@@ -474,6 +477,81 @@ def pq_adc_topk(
         )
         dist = term if dist is None else dist + term
     scored = codes_df.crossJoin(F.broadcast(q)).select(
+        "query_id", F.col(id_col), F.floor(dist * 1_000_000).cast("long").alias("dist_e6")
+    )
+    w = Window.partitionBy("query_id").orderBy("dist_e6", id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "dist_e6", F.col("rank").cast("int"))
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVFADC — the composed billion-scale ANN shape (Jégou et al.):
+    coarse IVF routing bounds WHICH codes each query scans (n_probe of
+    n_centroids cells), PQ/ADC bounds WHAT a scan costs (one LUT lookup
+    per subspace instead of a float-vector distance). The corpus is
+    stored as (cell, codes) — m small ints + a cell id per vector.
+
+    Same determinism contracts as the halves: assignment argmin and
+    probe ties break to the lowest index, code ties to the lowest
+    centroid. Output: (query_id, vec_id, dist_e6, rank).
+    """
+    from pyspark.sql import Window
+
+    cents = centroids if centroids is not None else kmeans_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    cells = _assign_to_centroid(corpus, cents, vec_col).select(
+        F.col(id_col), F.col("__centroid").alias("cell")
+    )
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col).join(
+        cells, id_col
+    )
+
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    qv = F.col("__qv")
+    lut_terms = []
+    for j in range(m):
+        sub = F.slice(qv, j * dsub + 1, dsub)
+        for c in range(ksub):
+            lut_terms.append(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(float(x)) for x in codebooks[j][c]]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+    qdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    probed = _probe_nearest_cells(qdf, cents, n_probe).select(
+        "query_id", "cell", F.array(*lut_terms).alias("__lut")
+    )
+
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("__lut"),
+            (F.lit(j * ksub) + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
+        )
+        dist = term if dist is None else dist + term
+    scored = codes.join(F.broadcast(probed), "cell").select(
         "query_id", F.col(id_col), F.floor(dist * 1_000_000).cast("long").alias("dist_e6")
     )
     w = Window.partitionBy("query_id").orderBy("dist_e6", id_col)

@@ -1692,3 +1692,92 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(emb, codebooks)
     queries = emb.filter(F.col("vec_id") < 5)
     return pq_adc_topk(codes, queries, codebooks, k=3)
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                   FROM embeddings WHERE vec_id < 16),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT c.vec_id, ct.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                  ORDER BY list_distance(c.v, ct.cv), ct.cid) AS rn
+        FROM corpus c CROSS JOIN cents ct) WHERE rn = 1
+    ),
+    cb AS (
+      SELECT vec_id - 100 AS c, embedding AS cemb
+      FROM embeddings WHERE vec_id BETWEEN 100 AND 107
+    ),
+    subspaces AS (SELECT UNNEST(generate_series(0, 3)) AS j),
+    enc_d AS (
+      SELECT e.vec_id, s.j, cb.c,
+             {_pq_sql_subdist("e.embedding", "cb.cemb")} AS dist
+      FROM embeddings e CROSS JOIN subspaces s CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        FROM enc_d) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT q.vec_id AS query_id, ct.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_distance(q.v, ct.cv), ct.cid) AS rn
+        FROM corpus q CROSS JOIN cents ct WHERE q.vec_id < 5) WHERE rn <= 4
+    ),
+    q_d AS (
+      SELECT qe.vec_id AS query_id, s.j, cb.c,
+             {_pq_sql_subdist("qe.embedding", "cb.cemb")} AS dist
+      FROM embeddings qe CROSS JOIN subspaces s CROSS JOIN cb
+      WHERE qe.vec_id < 5
+    ),
+    adc AS (
+      SELECT p.query_id, a.vec_id, SUM(q.dist) AS dist
+      FROM probes p
+      JOIN assign a USING (cell)
+      JOIN codes co ON co.vec_id = a.vec_id
+      JOIN q_d q ON q.query_id = p.query_id AND q.j = co.j AND q.c = co.c
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             CAST(FLOOR(dist * 1000000) AS BIGINT) AS dist_e6,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY FLOOR(dist * 1000000), vec_id) AS rank
+      FROM adc
+    )
+    SELECT query_id, vec_id, dist_e6, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="IVFADC (llm.similarity.ivf_pq_topk, Jegou et al. 2011): the "
+    "composed billion-scale ANN — coarse IVF routing (fixed 16-cell "
+    "quantizer, 4 probes) bounds WHICH PQ codes each query scans; "
+    "asymmetric-distance lookup tables bound WHAT a scan costs. Corpus "
+    "stored as (cell, 4 subspace codes). Oracle replays assignment, "
+    "encode, probing and the restricted ADC scan fully relationally.",
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import ivf_pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    cb_rows = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") <= 107))
+        .orderBy("vec_id")
+        .collect()
+    )
+    codebooks = [
+        [[float(x) for x in r["embedding"][j * 16 : (j + 1) * 16]] for r in cb_rows]
+        for j in range(4)
+    ]
+    return ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), codebooks, k=3, n_probe=4, centroids=cents
+    )

@@ -912,3 +912,47 @@ def test_pq_encode_and_adc_hand_case(spark):
     assert got[(0, 1)][0] > 0
     again = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, codebooks).collect()}
     assert again == codes
+
+
+def test_ivf_pq_consistent_with_full_adc(spark):
+    """IVFADC scans a probed SUBSET of full ADC: every returned pair's
+    distance must equal the full scan's distance for that pair, and the
+    probed top-k distance can only be >= the unrestricted top-k at the
+    same rank (a subset can miss, never beat). With n_probe ==
+    n_centroids the results are identical."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.llm.similarity import ivf_pq_topk, pq_adc_topk, pq_encode
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    cb_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    codebooks = [
+        [[float(x) for x in r["embedding"][j * 16 : (j + 1) * 16]] for r in cb_rows]
+        for j in range(4)
+    ]
+    queries = emb.filter(F.col("vec_id") < 3)
+    full = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["dist_e6"])
+        for r in pq_adc_topk(pq_encode(emb, codebooks), queries, codebooks, k=3).collect()
+    }
+    full_dists = {
+        (r["query_id"], r["vec_id"]): r["dist_e6"]
+        for r in pq_adc_topk(pq_encode(emb, codebooks), queries, codebooks, k=10**9).collect()
+    }
+    probed = ivf_pq_topk(emb, queries, codebooks, k=3, n_probe=2, centroids=cents).collect()
+    for r in probed:
+        assert full_dists[(r["query_id"], r["vec_id"])] == r["dist_e6"]
+        assert r["dist_e6"] >= full[(r["query_id"], r["rank"])][1]
+    # all cells probed == unrestricted scan
+    all_probed = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["dist_e6"])
+        for r in ivf_pq_topk(
+            emb, queries, codebooks, k=3, n_probe=len(cents), centroids=cents
+        ).collect()
+    }
+    assert all_probed == full

@@ -572,10 +572,12 @@ def test_no_unallowed_driver_collects_static_sweep():
         ("llm/similarity.py", "kmeans_centroids"),  # k seed rows / k centroid rows
         ("queries_llm.py", "ann_ivf_topk"),          # 16 fixture quantizer vectors
         ("queries_llm.py", "ann_pq_adc_topk"),       # 8 codebook vectors
+        ("queries_llm.py", "ann_ivf_pq_topk"),       # 16 cents + 8 codebook vectors
         ("queries_llm.py", "ann_rp_lsh_topk"),       # 16 fixture query vectors
         ("queries_llm.py", "semdedup_gate"),         # 16 fixture quantizer vectors
         ("bench/tera.py", "teravalidate"),           # one stats row per partition
         ("bench/tera.py", "content_checksum"),       # one scalar
+        ("__main__.py", "main"),                     # CLI verify: result display/compare IS the job
     }
     root = pathlib.Path("hadoop_fcfs_spark")
     found = set()
