@@ -614,3 +614,47 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("avg_e6").alias("avg_e6_ffill"),
     )
+
+
+@register(
+    "volume_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    indexed AS (
+      SELECT event_type, n,
+             CAST(day - (SELECT MIN(CAST(ts AS DATE)) FROM events) AS BIGINT) AS x
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(regr_count(n, x) AS BIGINT) AS n_days,
+           CAST(FLOOR(regr_slope(n, x) * 1000000) AS BIGINT) AS slope_e6,
+           CAST(FLOOR(regr_intercept(n, x) * 1000000) AS BIGINT) AS intercept_e6,
+           CAST(FLOOR(regr_r2(n, x) * 1000000) AS BIGINT) AS r2_e6
+    FROM indexed GROUP BY event_type
+    """,
+    doc="Volume trend via the ANSI REGR_* aggregate family: least-"
+    "squares slope/intercept/R^2 of daily event counts against the day "
+    "index, per type — is this source growing, shrinking, or noise? "
+    "One day-grain aggregation (map-side combined) then the regression "
+    "moments over ~90 summary rows per group; floor-micro values. The "
+    "trend half of the anomaly monitor (daily_event_anomaly flags "
+    "days; this fits the line).",
+)
+def volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    lo = ev.agg(F.min(F.to_date("ts")).alias("__lo"))
+    indexed = daily.crossJoin(F.broadcast(lo)).select(
+        "event_type", "n", F.datediff("day", "__lo").cast("long").alias("x")
+    )
+    return indexed.groupBy("event_type").agg(
+        F.regr_count("n", "x").cast("long").alias("n_days"),
+        F.floor(F.regr_slope("n", "x") * 1_000_000).cast("long").alias("slope_e6"),
+        F.floor(F.regr_intercept("n", "x") * 1_000_000).cast("long").alias("intercept_e6"),
+        F.floor(F.regr_r2("n", "x") * 1_000_000).cast("long").alias("r2_e6"),
+    )
