@@ -56,6 +56,82 @@ def inverse(df: DataFrame, key_col: str = "key", value_col: str = "value") -> Da
     return df.select(F.col(value_col).alias(key_col), F.col(key_col).alias(value_col))
 
 
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Inverted index — the canonical MapReduce example beyond WordCount
+    (map: (term, doc) pairs; reduce: postings list per term — the shape
+    every Hadoop-era tutorial built on ``examples/WordCount.java:35``'s
+    skeleton). Output: (term, doc_freq, total_tf, postings) where
+    postings is the SORTED distinct doc-id list.
+
+    Scale shape: the (term, doc) partial aggregation combines map-side;
+    the only hotspot is the postings ``collect_list`` for stopword-grade
+    terms (one reducer key holding millions of doc ids — the same
+    reducer-hotspot the reference had). ``n_shards`` bounds it: postings
+    group by (term, doc_id % n_shards) so no single task materializes a
+    full stopword posting; readers union shards (d-gap style blocked
+    postings). Leave None when term frequencies are corpus-bounded.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    per_doc = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    keys = ["term"] if n_shards is None else ["term", "shard"]
+    if n_shards is not None:
+        per_doc = per_doc.withColumn("shard", F.pmod("doc_id", F.lit(n_shards)))
+    return per_doc.groupBy(*keys).agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+
+
+def cooccurrence_pairs(
+    df: DataFrame, text_col: str, window: int = 2
+) -> DataFrame:
+    """Windowed word co-occurrence — the "pairs" pattern (Lin & Dyer,
+    *Data-Intensive Text Processing with MapReduce* §3.2, the standard
+    companion exercise to the reference's WordCount): count unordered
+    token pairs within ``window`` positions of each other.
+
+    All pair generation happens INSIDE the token array (nested
+    ``transform`` + ``slice`` + one ``flatten``), so the plan is a
+    single explode of the final pair array → groupBy count: no
+    positions self-join, no row ever carries the token array more than
+    once. Pair keys are canonicalized (least, greatest) so (a,b) and
+    (b,a) merge. The count aggregation partial-combines map-side — the
+    combiner the MapReduce pattern had to hand-write.
+    """
+    # project the token array ONCE — referencing the split expression
+    # inside the per-element lambda would re-tokenize per element
+    base = df.select(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "").alias("__arr")
+    )
+    arr = F.col("__arr")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.lit(window)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("w1"), F.greatest(x, y).alias("w2")
+                ),
+            ),
+        )
+    )
+    return (
+        base.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def fuzzy_term_pairs(
     terms: DataFrame, term_col: str = "term", min_len: int = 4
 ) -> DataFrame:

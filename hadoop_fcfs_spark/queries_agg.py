@@ -658,3 +658,73 @@ def volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.regr_intercept("n", "x") * 1_000_000).cast("long").alias("intercept_e6"),
         F.floor(F.regr_r2("n", "x") * 1_000_000).cast("long").alias("r2_e6"),
     )
+
+
+@register(
+    "inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS term
+      FROM documents
+    ),
+    pd AS (
+      SELECT term, doc_id, COUNT(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY term, doc_id
+    )
+    SELECT term,
+           COUNT(*) AS doc_freq,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM pd GROUP BY term
+    HAVING COUNT(*) >= 5
+    """,
+    doc="Inverted index (ops.textops.inverted_index) — the canonical "
+    "MapReduce example built on WordCount's skeleton (examples/"
+    "WordCount.java:35): term -> sorted distinct posting list + doc_freq "
+    "+ total_tf. Postings serialized as a comma string for the hash "
+    "compare (array repr differs between pandas bridges). doc_freq >= 5 "
+    "bounds the gate to reused vocabulary.",
+)
+def inverted_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.textops import inverted_index
+
+    idx = inverted_index(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return idx.filter(F.col("doc_freq") >= 5).select(
+        "term",
+        "doc_freq",
+        "total_tf",
+        F.array_join(F.col("postings"), ",").alias("postings"),
+    )
+
+
+@register(
+    "word_cooccurrence",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(arr) AS w, UNNEST(range(1, len(arr) + 1)) AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS arr
+        FROM documents
+      )
+    )
+    SELECT LEAST(a.w, b.w) AS w1, GREATEST(a.w, b.w) AS w2, COUNT(*) AS cnt
+    FROM toks a
+    JOIN toks b
+      ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+    doc="Windowed word co-occurrence (ops.textops.cooccurrence_pairs) — "
+    "the 'pairs' pattern from Lin & Dyer's MapReduce text-processing "
+    "chapter, the standard companion exercise to the reference's "
+    "WordCount. Spark side generates pairs INSIDE the token array "
+    "(nested transform + slice + flatten, one explode, no positions "
+    "self-join); the oracle uses the naive positions self-join — same "
+    "answer, independent shapes. cnt >= 3 bounds the tail.",
+)
+def word_cooccurrence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.textops import cooccurrence_pairs
+
+    pairs = cooccurrence_pairs(t(spark, sf_dir, "documents"), "text", window=2)
+    return pairs.filter(F.col("cnt") >= 3)

@@ -1060,3 +1060,48 @@ def test_gap_fill_linear_interpolation(spark):
     assert out["2024-01-01 02:00:00"] == 20.0
     assert out["2024-01-01 03:00:00"] == 30.0
     assert out["2024-01-01 04:00:00"] == 40.0
+
+
+def test_inverted_index_postings_sorted_and_counts(spark):
+    from hadoop_fcfs_spark.ops.textops import inverted_index
+
+    df = spark.createDataFrame(
+        [(3, "b a b"), (1, "a c"), (2, "b")], "doc_id long, text string"
+    )
+    out = {r["term"]: r for r in inverted_index(df, "doc_id", "text").collect()}
+    assert out["a"]["postings"] == [1, 3] and out["a"]["doc_freq"] == 2
+    assert out["a"]["total_tf"] == 2
+    assert out["b"]["postings"] == [2, 3] and out["b"]["total_tf"] == 3
+    assert out["c"]["postings"] == [1] and out["c"]["doc_freq"] == 1
+
+
+def test_inverted_index_sharded_bounds_postings(spark):
+    from hadoop_fcfs_spark.ops.textops import inverted_index
+
+    df = spark.createDataFrame(
+        [(i, "stop word") for i in range(10)], "doc_id long, text string"
+    )
+    sharded = inverted_index(df, "doc_id", "text", n_shards=4)
+    rows = [r for r in sharded.collect() if r["term"] == "stop"]
+    assert len(rows) == 4  # hot term split across shards, no single giant list
+    merged = sorted(d for r in rows for d in r["postings"])
+    assert merged == list(range(10))
+    assert sum(r["doc_freq"] for r in rows) == 10
+
+
+def test_cooccurrence_pairs_window_semantics(spark):
+    from hadoop_fcfs_spark.ops.textops import cooccurrence_pairs
+
+    # brute-force expectation on one small doc, window=2
+    toks = "the quick brown fox the".split()
+    expect = {}
+    for i, x in enumerate(toks):
+        for j in range(i + 1, min(i + 3, len(toks))):
+            k = tuple(sorted((x, toks[j])))
+            expect[k] = expect.get(k, 0) + 1
+    df = spark.createDataFrame([(" ".join(toks),)], "text string")
+    got = {
+        (r["w1"], r["w2"]): r["cnt"]
+        for r in cooccurrence_pairs(df, "text", window=2).collect()
+    }
+    assert got == expect
