@@ -153,3 +153,77 @@ def bfs_levels(
             visited = visited.localCheckpoint(eager=True)
             frontier = frontier.localCheckpoint(eager=True)
     return visited
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst", orient: str = "degree"
+) -> DataFrame:
+    """Exact per-node triangle counts — the third classic iterative-era
+    graph kernel next to PageRank and BFS (and a staple Hadoop-era
+    MapReduce benchmark: Cohen, "Graph Twiddling in a MapReduce World",
+    CiSE 2009 — the wedge-close algorithm below is that paper's
+    two-round shape as two DataFrame joins).
+
+    Edges are treated as undirected; self-loops and duplicates are
+    dropped. Each triangle is materialized exactly once by giving every
+    edge a single orientation along a total node order, then closing
+    wedges: fwd(u,v) ⋈ fwd(v,w) gives each wedge once, and a semi-join
+    against fwd(u,w) keeps the closed ones.
+
+    ``orient="degree"``: orient along (degree, node) — the standard
+    skew-killer. A hub of degree d oriented by node id could anchor
+    O(d²) wedges; ordering by degree bounds every node's forward
+    out-degree by O(sqrt(m)) (arboricity argument), so wedge counts —
+    the only superlinear term — stay balanced no matter how skewed the
+    degree distribution is. ``orient="id"`` keeps the naive order (same
+    answer; useful for oracles).
+
+    Returns (node, n_triangles) for nodes in >= 1 triangle.
+    """
+    if orient not in ("degree", "id"):
+        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if orient == "degree":
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionByName(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        da = deg.select(F.col("node").alias("a"), F.col("deg").alias("__da"))
+        db = deg.select(F.col("node").alias("b"), F.col("deg").alias("__db"))
+        lt = (F.col("__da") < F.col("__db")) | (
+            (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+        )
+        fwd = (
+            und.join(da, "a")
+            .join(db, "b")
+            .select(
+                F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+                F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+            )
+        )
+    else:
+        fwd = und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    # wedge u→v→w, closed by forward edge u→w (semi-join: existence only)
+    e2 = fwd.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedges = fwd.join(e2, "v").select("u", "v", "w")
+    closer = fwd.select(F.col("u").alias("__cu"), F.col("v").alias("__cw"))
+    tri = wedges.join(
+        closer,
+        (F.col("u") == F.col("__cu")) & (F.col("w") == F.col("__cw")),
+        "left_semi",
+    )
+    nodes = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))

@@ -2305,3 +2305,79 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.floor(F.col("n") * 1_000_000 / F.col("__t")).cast("long").alias("prob_e6"),
     )
+
+
+@register(
+    "trade_triangles",
+    oracle="""
+    WITH e0 AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY 1, 2
+    ),
+    top3 AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM e0) WHERE rn <= 3
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM top3
+    ),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM und e1 JOIN und e2 ON e2.u = e1.v
+      WHERE EXISTS (SELECT 1 FROM und e3 WHERE e3.u = e1.u AND e3.v = e2.v)
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y AS node FROM tri
+      UNION ALL SELECT z AS node FROM tri
+    ) GROUP BY node
+    """,
+    doc="Per-node triangle counts (ops.graph.triangle_count, degree-"
+    "oriented wedge-close — Cohen's 'Graph Twiddling in a MapReduce "
+    "World' kernel) over the sparsified nation trade graph: each "
+    "customer nation keeps its top-3 supplier nations by integer-cent "
+    "traded value (deterministic rank), edges undirected. The oracle "
+    "closes wedges with the naive id orientation — same triangle set, "
+    "independent orientation, so the gate also proves orientation "
+    "invariance.",
+)
+def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.graph import triangle_count
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("src"))
+    sn = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("dst"))
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cnk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("snk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(cents).alias("w"))
+    )
+    w3 = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    top3 = (
+        edges.withColumn("__rn", F.row_number().over(w3))
+        .filter(F.col("__rn") <= 3)
+        .select("src", "dst")
+    )
+    return triangle_count(top3)

@@ -1105,3 +1105,29 @@ def test_cooccurrence_pairs_window_semantics(spark):
         for r in cooccurrence_pairs(df, "text", window=2).collect()
     }
     assert got == expect
+
+
+def test_triangle_count_k4_and_orientation_invariance(spark):
+    from hadoop_fcfs_spark.ops.graph import triangle_count
+
+    # K4: 4 triangles total, every node in exactly 3; edges fed directed
+    # + duplicated + self-loop to prove normalization
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b] + [(0, 0), (1, 2)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    by_deg = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert by_deg == {0: 3, 1: 3, 2: 3, 3: 3}
+    by_id = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(df, orient="id").collect()
+    }
+    assert by_id == by_deg
+
+
+def test_triangle_count_skewed_star_plus_edge(spark):
+    from hadoop_fcfs_spark.ops.graph import triangle_count
+
+    # star hub 0 with 20 leaves (no triangles) + one leaf-leaf edge -> 1 triangle
+    edges = [(0, i) for i in range(1, 21)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
