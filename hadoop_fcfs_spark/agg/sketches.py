@@ -109,3 +109,74 @@ def theta_partial(
     return df.groupBy(*group_cols).agg(
         F.theta_sketch_agg(value_col, F.lit(lgk)).alias("theta_sketch")
     )
+
+
+def cms_partial(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Count-Min sketch materialized AS A DATAFRAME: ``depth`` hash rows
+    × ``width`` counters, stored as (group_cols…, row, pos, cnt) — at
+    most depth·width rows per group regardless of input size.
+
+    Cormode & Muthukrishnan's CMS is a pure counter array, so its
+    algebra is exactly Spark's aggregation algebra: BUILD is one
+    explode(depth)+groupBy-sum scan (map-side combined — the partial
+    sketch per task IS the per-task CMS), and MERGE across finer grains
+    is union + groupBy-sum (``cms_rollup``) — the same
+    materialize-once / roll-up-forever contract as the HLL/KLL/Theta
+    tiers, with no sketch binary to deserialize. Row hashes are
+    ``xxhash64(row_index, key)`` — independent per row index,
+    engine-deterministic.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    gc = list(group_cols or [])
+    rows = df.select(
+        *gc,
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+        F.col(key_col).alias("__k"),
+    )
+    return (
+        rows.select(
+            *gc, "row", F.pmod(F.xxhash64("row", "__k"), F.lit(width)).alias("pos")
+        )
+        .groupBy(*gc, "row", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_rollup(
+    partial: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge finer-grain CMS partials to a coarser grain: counter-wise
+    sum. (CMS merge is exact counter addition — order-independent.)"""
+    gc = list(group_cols or [])
+    return partial.groupBy(*gc, "row", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, width: int = 2048
+) -> DataFrame:
+    """Point-estimate counts for candidate keys against a CMS
+    DataFrame: join each (key, row-hash position) to its counter, take
+    the MIN across hash rows. Never over the raw data — the join right
+    side is the depth×width sketch. Estimates only OVERCOUNT (collision
+    mass adds); est <= true + e·N/width with prob 1-(1/2)^depth."""
+    # depth inferred from the sketch itself so estimate can't drift from build
+    depth_row = sketch.agg(F.max("row").alias("__maxrow"))
+    cand = (
+        keys.crossJoin(F.broadcast(depth_row))
+        .select(
+            F.col(key_col),
+            F.explode(F.sequence(F.lit(0), F.col("__maxrow"))).alias("row"),
+        )
+        .withColumn("pos", F.pmod(F.xxhash64("row", key_col), F.lit(width)))
+    )
+    hit = cand.join(sketch, ["row", "pos"], "left").select(
+        key_col, F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    return hit.groupBy(key_col).agg(F.min("cnt").alias("est"))

@@ -207,3 +207,39 @@ def bucketized_interval_join(
     )
     cond = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     return pb.join(ib, "__bucket").filter(cond).drop("__bucket")
+
+
+def hash_prefilter_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    modulus: int = 1 << 22,
+) -> DataFrame:
+    """Semi-join with a broadcast hash-digest prefilter — Spark's
+    runtime bloom-filter pattern (SPARK-32268's InjectRuntimeFilter)
+    written out explicitly so it applies even where the optimizer
+    declines to inject one.
+
+    Stage 1 broadcasts the DISTINCT 8-byte digests of the small side's
+    keys (``xxhash64 % modulus`` — at most min(|small|, modulus) longs,
+    a bloom-filter-sized payload with a tunable false-positive rate of
+    ~|small|/modulus) and drops every big-side row whose digest misses:
+    a broadcast hash join, whole-stage codegen, zero shuffle of the big
+    side. Stage 2 scrubs the false positives with the exact semi-join —
+    whose shuffle now moves only the prefiltered survivors. Result is
+    EXACTLY ``big ⋉ small`` (stage 1 can only drop rows stage 2 would
+    drop); the win at 100 TB is the big-side shuffle shrinking by the
+    prefilter's selectivity.
+    """
+    if modulus <= 0:
+        raise ValueError(f"modulus must be positive, got {modulus}")
+    digests = (
+        small.select((F.pmod(F.xxhash64(F.col(key)), F.lit(modulus))).alias("__d"))
+        .distinct()
+    )
+    pre = big.join(
+        F.broadcast(digests),
+        F.pmod(F.xxhash64(big[key]), F.lit(modulus)) == F.col("__d"),
+        "left_semi",
+    )
+    return pre.join(small.select(key), key, "left_semi")

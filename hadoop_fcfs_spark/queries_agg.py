@@ -728,3 +728,46 @@ def word_cooccurrence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = cooccurrence_pairs(t(spark, sf_dir, "documents"), "text", window=2)
     return pairs.filter(F.col("cnt") >= 3)
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle="""
+    SELECT user_id, cnt AS true_cnt, TRUE AS cms_ok FROM (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+      ORDER BY cnt DESC, user_id LIMIT 10
+    )
+    """,
+    doc="Count-Min heavy hitters (agg.sketches.cms_partial/cms_estimate "
+    "— CMS materialized AS A DATAFRAME, depth 4 x width 2048, merge = "
+    "union+sum like the HLL/KLL/Theta tiers): estimate the exact top-10 "
+    "event users' counts from the sketch alone. cms_ok asserts the CMS "
+    "one-sided error contract — never undercounts, overshoot <= "
+    "ceil(3eN/width) — so sketch degradation fails the value hash. The "
+    "oracle's values are the exact counts; deterministic xxhash64 row "
+    "hashes make the estimate engine-reproducible.",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from hadoop_fcfs_spark.agg.sketches import cms_estimate, cms_partial
+
+    ev = t(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    top10 = exact.orderBy(F.desc("true_cnt"), F.asc("user_id")).limit(10)
+    sketch = cms_partial(ev, "user_id", depth=4, width=2048)
+    est = cms_estimate(sketch, top10.select("user_id"), "user_id", width=2048)
+    n = ev.agg(F.count("*").alias("__n"))
+    slack = F.ceil(F.lit(3.0 * math.e / 2048) * F.col("__n"))
+    return (
+        top10.join(est, "user_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "user_id",
+            "true_cnt",
+            (
+                (F.col("est") >= F.col("true_cnt"))
+                & (F.col("est") <= F.col("true_cnt") + slack)
+            ).alias("cms_ok"),
+        )
+    )

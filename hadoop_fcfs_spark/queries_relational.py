@@ -2381,3 +2381,43 @@ def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return triangle_count(top3)
+
+
+@register(
+    "prefiltered_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+    )
+    GROUP BY l_returnflag
+    """,
+    doc="Semi-join through ops.joins.hash_prefilter_semi_join — the "
+    "runtime bloom-filter pattern (SPARK-32268) written explicitly: "
+    "broadcast the selective order set's 8-byte key digests, drop "
+    "non-matching lineitems JVM-side before the exact semi-join's "
+    "shuffle, then scrub false positives with the exact semi-join. "
+    "Result is provably identical to the plain semi-join (the oracle "
+    "IS the plain semi-join); integer-cent revenue keeps the hash "
+    "comparison FP-exact.",
+)
+def prefiltered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.joins import hash_prefilter_semi_join
+
+    li = t(spark, sf_dir, "lineitem")
+    sel = (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 250000))
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    kept = hash_prefilter_semi_join(li, sel, "l_orderkey")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return kept.groupBy("l_returnflag").agg(
+        F.sum(cents).cast("long").alias("revenue_cents"),
+        F.count("*").alias("n_lines"),
+    )

@@ -1131,3 +1131,39 @@ def test_triangle_count_skewed_star_plus_edge(spark):
     df = spark.createDataFrame(edges, "src int, dst int")
     got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_hash_prefilter_semi_join_exact_even_with_tiny_modulus(spark):
+    from hadoop_fcfs_spark.ops.joins import hash_prefilter_semi_join
+
+    big = spark.range(0, 2000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    small = spark.range(0, 2000, 13).select(F.col("id").alias("k"))
+    expect = sorted(r["k"] for r in big.join(small, "k", "left_semi").collect())
+    # modulus=16 forces heavy false positives; the scrub must remove all
+    got = sorted(r["k"] for r in hash_prefilter_semi_join(big, small, "k", modulus=16).collect())
+    assert got == expect
+    plan = hash_prefilter_semi_join(big, small, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # digest prefilter stays a broadcast join
+
+
+def test_cms_never_undercounts_and_rollup_merges(spark):
+    from hadoop_fcfs_spark.agg.sketches import cms_estimate, cms_partial, cms_rollup
+
+    # skewed: key 0 hot, 200 cold keys forced into 64 counters -> collisions
+    rows = [(0,)] * 500 + [(k,) for k in range(1, 201)]
+    df = spark.createDataFrame(rows, "k long")
+    sk = cms_partial(df, "k", depth=4, width=64)
+    keys = spark.createDataFrame([(0,), (1,), (199,)], "k long")
+    est = {r["k"]: r["est"] for r in cms_estimate(sk, keys, "k", width=64).collect()}
+    true = {0: 500, 1: 1, 199: 1}
+    for k, tr in true.items():
+        assert est[k] >= tr  # CMS one-sided error
+        assert est[k] <= tr + 700 // 64 * 4 + 64  # loose sanity ceiling
+    # rollup of per-group partials == direct sketch of the union
+    g = df.withColumn("g", (F.col("k") % 2).cast("int"))
+    part = cms_partial(g, "k", depth=4, width=64, group_cols=["g"])
+    merged = cms_rollup(part.drop("g"))
+    direct = cms_partial(df, "k", depth=4, width=64)
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b
