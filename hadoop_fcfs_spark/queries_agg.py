@@ -771,3 +771,57 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cms_ok"),
         )
     )
+
+
+@register(
+    "merged_user_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+    ),
+    m AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM m
+    ),
+    g AS (
+      SELECT user_id, island, MIN(s) AS s0, MAX(e) AS e1
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(epoch_us(e1) - epoch_us(s0)) AS BIGINT) AS covered_us,
+           CAST(MAX(epoch_us(e1) - epoch_us(s0)) AS BIGINT) AS longest_us
+    FROM g GROUP BY user_id
+    """,
+    doc="Overlapping-interval coalescing (ops.timeseries.merge_intervals "
+    "— the interval flavor of gaps-and-islands): each event opens a "
+    "30-minute coverage window; per user, overlapping windows merge to "
+    "their union and the gate reports merged-interval count, total and "
+    "longest covered microseconds. Key-partitioned bounded windows, one "
+    "shuffle — the same sweep shape as sessionize, over intervals "
+    "instead of gaps.",
+)
+def merged_user_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.timeseries import merge_intervals
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    merged = merge_intervals(ev, ["user_id"], "s", "e")
+    dur = F.unix_micros(F.col("e")) - F.unix_micros(F.col("s"))
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(dur).cast("long").alias("covered_us"),
+        F.max(dur).cast("long").alias("longest_us"),
+    )

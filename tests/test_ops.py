@@ -1167,3 +1167,21 @@ def test_cms_never_undercounts_and_rollup_merges(spark):
     a = sorted(map(tuple, merged.collect()))
     b = sorted(map(tuple, direct.collect()))
     assert a == b
+
+
+def test_merge_intervals_semantics(spark):
+    from hadoop_fcfs_spark.ops.timeseries import merge_intervals
+
+    rows = [
+        ("a", 1, 5), ("a", 3, 7),   # overlap -> [1,7]
+        ("a", 7, 9),                 # touching (start == prev max end) -> merges
+        ("a", 20, 25),               # separate island
+        ("b", 0, 2), ("b", 10, 11),  # other key untouched
+        ("a", 21, 22),               # contained -> absorbed
+    ]
+    df = spark.createDataFrame(rows, "k string, s int, e int")
+    got = sorted(
+        (r["k"], r["s"], r["e"])
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    )
+    assert got == [("a", 1, 9), ("a", 20, 25), ("b", 0, 2), ("b", 10, 11)]
