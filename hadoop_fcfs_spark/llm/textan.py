@@ -577,3 +577,66 @@ def token_distribution_divergence(
             * 1_000_000
         ).cast("long").alias("js_e6"),
     )
+
+
+def kn_bigram_counts(
+    df: DataFrame, id_col: str, text_col: str, discount: float = 0.75
+) -> DataFrame:
+    """Kneser-Ney bigram count tables + interpolated-KN probability —
+    the count artifacts an n-gram LM TRAINING pipeline materializes
+    (bigram_lm_scores is the scoring side; this is the model-building
+    side with the counts a KenLM-style trainer consumes):
+
+        c12           = C(w1,w2)
+        c1            = C(w1·)   (as bigram prefix mass)
+        left_types    = N1+(w1·) (distinct continuations of w1)
+        right_types   = N1+(·w2) (distinct left contexts of w2 — the
+                        "novel continuation" count KN is built on)
+        p_kn(w2|w1)   = max(c12-D,0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/B
+        (B = number of distinct bigram types)
+
+    Scale shape: one gram explode → per-(w1,w2) count (map-side
+    combined); both marginals group on a PREFIX of that key or on a
+    key the pair table is already small under; the only broadcast is
+    the scalar B. Division-only arithmetic — reproducible across
+    engines (no libm).
+    """
+    toks = _tokens(text_col)
+    base = df.select(toks.alias("__t")).filter(F.size("__t") >= 2)
+    grams = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - 2),
+                lambda i: F.struct(
+                    F.col("__t")[i].alias("w1"), F.col("__t")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("g")
+    ).select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    from hadoop_fcfs_spark.caching import waypoint
+
+    big_c = waypoint(grams.groupBy("w1", "w2").agg(F.count("*").alias("c12")))
+    left = big_c.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("left_types")
+    )
+    right = big_c.groupBy("w2").agg(F.count("*").alias("right_types"))
+    btypes = big_c.agg(F.count("*").alias("__B"))
+    d = F.lit(discount)
+    pkn = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + d * F.col("left_types") / F.col("c1") * F.col("right_types") / F.col("__B")
+    )
+    return (
+        big_c.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.col("c1").cast("long").alias("c1"),
+            F.col("left_types").cast("long").alias("left_types"),
+            F.col("right_types").cast("long").alias("right_types"),
+            pkn.alias("p_kn"),
+        )
+    )

@@ -264,3 +264,41 @@ def token_budget_mix_weighted(
         .filter(_sample_key(id_col) < thr)
         .drop("__ntok", "__total", "__tot2")
     )
+
+
+def negative_pairs(
+    df: DataFrame, id_col: str, k: int = 3, n_buckets: int = 64
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor row, ``k`` pseudo-random partners drawn WITHOUT any
+    RNG state — the partner for offset j is the representative
+    (min id) of hash bucket ``(bucket(anchor)+j) mod n_buckets``.
+
+    Properties the training pipeline needs, by construction:
+    engine-replayable (same md5 sample key as the whole sampling tier,
+    so the pair set is reproducible across runs/engines/partitionings),
+    spread (anchors in different buckets draw different partners),
+    self-free (a representative equal to the anchor is dropped, so that
+    anchor yields k-1 pairs — callers wanting exactly k can raise
+    n_buckets). Cost: one n_buckets-row aggregate + a broadcast join
+    onto an exploded offset range — no shuffle of the corpus, no
+    self-join.
+    """
+    if k < 1 or n_buckets < 2:
+        raise ValueError(f"need k >= 1, n_buckets >= 2; got {k}/{n_buckets}")
+    bucketed = df.select(
+        F.col(id_col).alias("anchor_id"),
+        F.pmod(_sample_key(id_col), F.lit(n_buckets)).alias("__b"),
+    )
+    reps = bucketed.groupBy("__b").agg(F.min("anchor_id").alias("negative_id"))
+    reps = reps.select(F.col("__b").alias("__rb"), "negative_id")
+    fanned = bucketed.select(
+        "anchor_id",
+        "__b",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+    ).withColumn("__rb", F.pmod(F.col("__b") + F.col("j"), F.lit(n_buckets)))
+    return (
+        fanned.join(F.broadcast(reps), "__rb")
+        .filter(F.col("negative_id") != F.col("anchor_id"))
+        .select("anchor_id", "j", "negative_id")
+    )

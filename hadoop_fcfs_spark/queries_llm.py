@@ -1781,3 +1781,82 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         emb, emb.filter(F.col("vec_id") < 5), codebooks, k=3, n_probe=4, centroids=cents
     )
+
+
+@register(
+    "kn_bigram_model",
+    oracle="""
+    WITH base AS (
+      SELECT list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT ws[i] AS w1, ws[i+1] AS w2
+      FROM (SELECT ws, UNNEST(generate_series(1, len(ws) - 1)) AS i
+            FROM base WHERE len(ws) >= 2)
+    ),
+    big_c AS (SELECT w1, w2, COUNT(*) AS c12 FROM grams GROUP BY w1, w2),
+    lft AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS left_types FROM big_c GROUP BY w1),
+    rgt AS (SELECT w2, COUNT(*) AS right_types FROM big_c GROUP BY w2),
+    bt AS (SELECT COUNT(*) AS b FROM big_c)
+    SELECT w1, w2, c12, CAST(c1 AS BIGINT) AS c1,
+           CAST(left_types AS BIGINT) AS left_types,
+           CAST(right_types AS BIGINT) AS right_types,
+           CAST(FLOOR((GREATEST(c12 - 0.75, 0.0) / c1
+                 + 0.75 * left_types / c1 * right_types / b) * 1000000) AS BIGINT)
+             AS pkn_e6
+    FROM big_c JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN bt
+    ORDER BY c12 DESC, w1, w2 LIMIT 100
+    """,
+    doc="Kneser-Ney bigram model tables (llm.textan.kn_bigram_counts): "
+    "C(w1,w2), prefix mass C(w1.), continuation-type counts N1+(w1.) "
+    "and N1+(.w2), and the interpolated-KN probability with discount "
+    "0.75 — the count artifacts a KenLM-style trainer materializes "
+    "(the model-building side; lm_perplexity is the scoring side). "
+    "Top-100 bigrams by count, ties broken lexically; division-only "
+    "float arithmetic with identical expression shapes both engines, "
+    "floor-micro.",
+)
+def kn_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import kn_bigram_counts
+
+    kn = kn_bigram_counts(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return (
+        kn.select(
+            "w1", "w2", "c12", "c1", "left_types", "right_types",
+            F.floor(F.col("p_kn") * 1_000_000).cast("long").alias("pkn_e6"),
+        )
+        .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(100)
+    )
+
+
+@register(
+    "contrastive_negatives",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id,
+             CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS bk
+      FROM embeddings
+    ),
+    reps AS (SELECT bk, MIN(vec_id) AS negative_id FROM b GROUP BY bk),
+    offs AS (SELECT UNNEST(range(1, 4)) AS j)
+    SELECT a.vec_id AS anchor_id, CAST(offs.j AS INT) AS j, r.negative_id
+    FROM b a CROSS JOIN offs
+    JOIN reps r ON r.bk = (a.bk + offs.j) % 64
+    WHERE r.negative_id <> a.vec_id
+    """,
+    doc="Deterministic contrastive negative sampling "
+    "(ops.sampling.negative_pairs): each anchor embedding draws 3 "
+    "partners — the min-id representatives of the md5-bucket ring at "
+    "offsets 1..3 — with zero RNG state, so the pair set is replayable "
+    "across engines and partitionings. One 64-row aggregate + "
+    "broadcast join; the corpus never self-joins.",
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sampling import negative_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    return negative_pairs(emb, "vec_id", k=3, n_buckets=64).select(
+        "anchor_id", F.col("j").cast("int").alias("j"), "negative_id"
+    )

@@ -956,3 +956,37 @@ def test_ivf_pq_consistent_with_full_adc(spark):
         ).collect()
     }
     assert all_probed == full
+
+
+def test_kn_bigram_counts_hand_computed(spark):
+    from hadoop_fcfs_spark.llm.textan import kn_bigram_counts
+
+    # corpus: "a b", "a b", "a c", "c b" ->
+    # bigrams: (a,b)x2 (a,c)x1 (c,b)x1; B=3 types
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "c b")],
+        "doc_id long, text string",
+    )
+    out = {(r["w1"], r["w2"]): r for r in kn_bigram_counts(df, "doc_id", "text").collect()}
+    ab = out[("a", "b")]
+    assert (ab["c12"], ab["c1"], ab["left_types"], ab["right_types"]) == (2, 3, 2, 2)
+    # p_kn(b|a) = (2-0.75)/3 + 0.75*2/3 * 2/3
+    assert abs(ab["p_kn"] - ((2 - 0.75) / 3 + 0.75 * 2 / 3 * 2 / 3)) < 1e-12
+    ac = out[("a", "c")]
+    assert (ac["c12"], ac["right_types"]) == (1, 1)
+
+
+def test_negative_pairs_deterministic_and_self_free(spark):
+    from hadoop_fcfs_spark.ops.sampling import negative_pairs
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    p1 = sorted(map(tuple, negative_pairs(df, "id", k=2, n_buckets=16).collect()))
+    p2 = sorted(map(tuple, negative_pairs(df, "id", k=2, n_buckets=16).collect()))
+    assert p1 == p2  # replayable
+    assert all(a != n for a, _, n in p1)  # self-free
+    # every anchor draws at most k and at least k-1 partners
+    from collections import Counter
+
+    per_anchor = Counter(a for a, _, _ in p1)
+    assert set(per_anchor.values()) <= {1, 2}
+    assert len(per_anchor) == 100
