@@ -143,3 +143,66 @@ def mutual_information(
             )
         )
     )
+
+
+def key_skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Key-distribution skew diagnostic — the planning report you run
+    BEFORE choosing a partitioning/salting strategy (ops.skew has the
+    cures; this measures the disease). One output row per analyzed key
+    column:
+
+        key_col, n_rows, n_keys, max_cnt, top10_cnt,
+        top1_share_e6, top10_share_e6, cv_e6
+
+    cv (coefficient of variation of the per-key counts) comes from the
+    EXACT integer moments S1=Σc, S2=Σc² of the key-count table —
+    aggregate-only, no sort over the key space — so the float math is
+    two divisions and one sqrt over exact integers (engine-reproducible
+    with identical expression shapes). top10 is a TakeOrdered over the
+    count table (k-bounded). Per column: one count aggregation
+    (map-side combined) + one moment aggregation over keys, never over
+    rows.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    from hadoop_fcfs_spark.caching import waypoint
+
+    outs = []
+    for c in key_cols:
+        # the count table feeds the moment agg AND the top-10 — persist
+        # so each analyzed column scans the raw table once
+        counts = waypoint(
+            df.groupBy(F.col(c).alias("__k")).agg(F.count("*").alias("cnt"))
+        )
+        moments = counts.agg(
+            F.count("*").alias("n_keys"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("__s2"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        top10 = (
+            counts.orderBy(F.desc("cnt"), F.asc("__k"))
+            .limit(10)
+            .agg(F.sum("cnt").cast("long").alias("top10_cnt"))
+        )
+        nd = F.col("n_keys").cast("double")
+        s1 = F.col("n_rows").cast("double")
+        var = (F.col("n_keys") * F.col("__s2") - F.col("n_rows") * F.col("n_rows")).cast(
+            "double"
+        ) / (nd * nd)
+        mean = s1 / nd
+        row = moments.crossJoin(F.broadcast(top10)).select(
+            F.lit(c).alias("key_col"),
+            "n_rows",
+            "n_keys",
+            "max_cnt",
+            "top10_cnt",
+            F.floor(F.col("max_cnt") / s1 * 1_000_000).cast("long").alias("top1_share_e6"),
+            F.floor(F.col("top10_cnt") / s1 * 1_000_000).cast("long").alias("top10_share_e6"),
+            F.floor(F.sqrt(var) / mean * 1_000_000).cast("long").alias("cv_e6"),
+        )
+        outs.append(row)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

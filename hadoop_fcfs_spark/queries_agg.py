@@ -825,3 +825,52 @@ def merged_user_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dur).cast("long").alias("covered_us"),
         F.max(dur).cast("long").alias("longest_us"),
     )
+
+
+@register(
+    "key_skew_report",
+    oracle="""
+    WITH cu AS (SELECT user_id AS k, COUNT(*) AS cnt FROM events GROUP BY user_id),
+    mu AS (
+      SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS s2, MAX(cnt) AS max_cnt
+      FROM cu
+    ),
+    tu AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top10_cnt FROM
+           (SELECT cnt FROM cu ORDER BY cnt DESC, k LIMIT 10)),
+    ct AS (SELECT event_type AS k, COUNT(*) AS cnt FROM events GROUP BY event_type),
+    mt AS (
+      SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS s2, MAX(cnt) AS max_cnt
+      FROM ct
+    ),
+    tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top10_cnt FROM
+           (SELECT cnt FROM ct ORDER BY cnt DESC, k LIMIT 10))
+    SELECT 'user_id' AS key_col, n_rows, n_keys, max_cnt, top10_cnt,
+           CAST(FLOOR(max_cnt / CAST(n_rows AS DOUBLE) * 1000000) AS BIGINT) AS top1_share_e6,
+           CAST(FLOOR(top10_cnt / CAST(n_rows AS DOUBLE) * 1000000) AS BIGINT) AS top10_share_e6,
+           CAST(FLOOR(sqrt(CAST(n_keys * s2 - n_rows * n_rows AS DOUBLE)
+                 / (CAST(n_keys AS DOUBLE) * CAST(n_keys AS DOUBLE)))
+                 / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) * 1000000) AS BIGINT) AS cv_e6
+    FROM mu CROSS JOIN tu
+    UNION ALL
+    SELECT 'event_type', n_rows, n_keys, max_cnt, top10_cnt,
+           CAST(FLOOR(max_cnt / CAST(n_rows AS DOUBLE) * 1000000) AS BIGINT),
+           CAST(FLOOR(top10_cnt / CAST(n_rows AS DOUBLE) * 1000000) AS BIGINT),
+           CAST(FLOOR(sqrt(CAST(n_keys * s2 - n_rows * n_rows AS DOUBLE)
+                 / (CAST(n_keys AS DOUBLE) * CAST(n_keys AS DOUBLE)))
+                 / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) * 1000000) AS BIGINT)
+    FROM mt CROSS JOIN tt
+    """,
+    doc="Key-skew diagnostic (ops.stats.key_skew_report) over the "
+    "events stream's two shuffle keys: per-key-count moments (exact "
+    "integer S1/S2 -> coefficient of variation), heaviest-key and "
+    "top-10 concentration shares — the report that decides whether a "
+    "key needs ops.skew salting before it becomes a 100 TB shuffle "
+    "key. Aggregate-only over the key-count table; no sort over the "
+    "key space (top-10 is TakeOrdered).",
+)
+def key_skew_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import key_skew_report
+
+    return key_skew_report(t(spark, sf_dir, "events"), ["user_id", "event_type"])

@@ -1185,3 +1185,21 @@ def test_merge_intervals_semantics(spark):
         for r in merge_intervals(df, ["k"], "s", "e").collect()
     )
     assert got == [("a", 1, 9), ("a", 20, 25), ("b", 0, 2), ("b", 10, 11)]
+
+
+def test_key_skew_report_hand_computed(spark):
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import key_skew_report
+
+    # key a x6, b x3, c x1 -> n=10, keys=3, max=6, cv = std/mean
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_report(df, ["k"]).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_cnt"], r["top10_cnt"]) == (10, 3, 6, 10)
+    assert r["top1_share_e6"] == 600000
+    assert r["top10_share_e6"] == 1000000
+    counts = [6, 3, 1]
+    mean = sum(counts) / 3
+    var = sum((x - mean) ** 2 for x in counts) / 3
+    assert r["cv_e6"] == math.floor(math.sqrt(var) / mean * 1_000_000)
