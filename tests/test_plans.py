@@ -598,3 +598,30 @@ def test_no_unallowed_driver_collects_static_sweep():
 
         visit(tree, "<module>")
     assert found <= ALLOWED, f"unaudited driver collects: {sorted(found - ALLOWED)}"
+
+
+def test_cooccurrence_is_one_explode_no_join(spark):
+    """Pair generation stays inside the token array: the physical plan
+    has Generate (one explode of the final pair array) and NO join —
+    the positions-self-join shape the naive formulation would pay."""
+    from hadoop_fcfs_spark.ops.textops import cooccurrence_pairs
+
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    plan = cooccurrence_pairs(df, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan
+    assert "Join" not in plan
+
+
+def test_prefilter_semi_join_digest_side_broadcasts(spark):
+    """Stage 1 of hash_prefilter_semi_join must be a broadcast hash
+    join on the digest (big side never shuffles for the prefilter)."""
+    from hadoop_fcfs_spark.ops.joins import hash_prefilter_semi_join
+
+    big = spark.range(0, 1000).select(F.col("id").alias("k"))
+    small = spark.range(0, 50).select(F.col("id").alias("k"))
+    plan = (
+        hash_prefilter_semi_join(big, small, "k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "xxhash64" in plan
