@@ -538,3 +538,80 @@ def incremental_exact_dedup(
     w_min = F.min(id_col).alias(id_col)
     winners = fresh.groupBy("__digest").agg(w_min)
     return fresh.join(winners, ["__digest", id_col], "leftsemi").drop("__digest")
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08): provably complete for J >= threshold while joining only
+    on each document's PREFIX shingles, not its whole set.
+
+    Order every doc's shingle set by a single global total order
+    (document frequency ascending, then shingle — rarest first). With
+    prefix length L = |s| - ceil(t·|s|) + 1, any two sets with
+    J >= t MUST share a prefix element under the same order (if they
+    shared none, the intersection would be confined to suffixes and
+    too small — the standard pigeonhole argument). So:
+
+      1. candidates = equi-join of PREFIX postings only (rarest-first
+         ordering makes these the least-frequent shingles — the join's
+         fan-out collapses vs the full posting join of
+         ngram_jaccard_pairs);
+      2. verify candidates exactly with array_intersect over each
+         doc's sorted shingle array (per-pair O(|s|), no re-shuffle of
+         postings).
+
+    Windows are doc-partitioned (doc-bounded); the global order needs
+    no global sort — it's a per-doc rank against broadcast-free
+    joined frequencies. Output: (doc_a, doc_b, jaccard) with
+    J >= threshold, doc_a < doc_b.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.caching import waypoint
+
+    grams = waypoint(_gram_rows(df, id_col, text_col, n))  # (doc, gram) distinct
+    freq = grams.groupBy("gram").agg(F.count("*").alias("__gdf"))
+    wdoc = Window.partitionBy("doc").orderBy(F.asc("__gdf"), F.asc("gram"))
+    ranked = (
+        grams.join(freq, "gram")
+        .withColumn("__rn", F.row_number().over(wdoc))
+        .withColumn("__sz", F.count("*").over(Window.partitionBy("doc")))
+    )
+    lprefix = F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    prefix = ranked.filter(F.col("__rn") <= lprefix).select("doc", "gram")
+    cand = (
+        prefix.select(F.col("doc").alias("doc_a"), "gram")
+        .join(prefix.select(F.col("doc").alias("doc_b"), "gram"), "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrays = waypoint(
+        grams.groupBy("doc").agg(
+            F.sort_array(F.collect_list("gram")).alias("__set"),
+            F.count("*").alias("__n"),
+        )
+    )
+    aa = arrays.select(
+        F.col("doc").alias("doc_a"), F.col("__set").alias("__sa"), F.col("__n").alias("__na")
+    )
+    ab = arrays.select(
+        F.col("doc").alias("doc_b"), F.col("__set").alias("__sb"), F.col("__n").alias("__nb")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    jac = inter / (F.col("__na") + F.col("__nb") - inter)
+    return (
+        cand.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

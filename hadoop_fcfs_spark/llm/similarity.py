@@ -560,3 +560,52 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "dist_e6", F.col("rank").cast("int"))
     )
+
+
+def gram_matrix(
+    df: DataFrame, vec_col: str, quantize: int | None = None
+) -> DataFrame:
+    """Distributed Gram matrix XᵀX over an embedding column — the
+    matrix-multiplication kernel (the classic MapReduce matmul example
+    re-expressed as aggregation algebra): output one row per dimension
+    pair (i, j, dot) with i <= j, 1-based, where
+    dot = Σ_rows v[i]·v[j].
+
+    Shape: each row's upper-triangle products are generated INSIDE the
+    vector array (nested transform over the array with positional
+    lambdas — one explode of d(d+1)/2 terms, no self-join), then a
+    (i, j) groupBy-sum whose map-side partial IS the per-task partial
+    Gram block — shuffle traffic is d² rows per task regardless of
+    corpus size, the blocked-matmul contract. Feature covariance / PCA
+    prep at 100 TB runs exactly like this.
+
+    ``quantize=k`` first maps elements to floor(x·k) BIGINT — exact
+    integer accumulation, reproducible across engines/partitionings
+    (float sums are accumulation-order-dependent; the quantized Gram is
+    the cross-engine-checkable variant, and the one to use when runs
+    must be bit-identical).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if quantize is not None:
+        v = F.transform(v, lambda x: F.floor(x * quantize).cast("long"))
+    base = df.select(v.alias("__v"))
+    arr = F.col("__v")
+    terms = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(1), F.size(arr)),
+                lambda y, jj: F.struct(
+                    (i + F.lit(1)).alias("i"),
+                    (i + jj + F.lit(1)).alias("j"),
+                    (x * y).alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        base.select(F.explode(terms).alias("t"))
+        .select("t.i", "t.j", "t.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("dot"))
+    )

@@ -1,0 +1,93 @@
+"""Market-basket affinity: co-occurrence pairs + lift over
+transaction-grouped items — the Amazon-style co-purchase kernel that
+was a flagship Hadoop-era batch workload (the "stripes" pattern of
+Lin & Dyer applied to baskets instead of token windows;
+the reference's aggregate framework would express the counts as
+ValueAggregator jobs, mr-core/mapreduce/lib/aggregate/
+ValueAggregatorJob.java:66).
+
+Scale shape: items collapse to one sorted distinct array PER BASKET
+(groupBy basket — map-side combined, basket-bounded rows), pairs are
+generated INSIDE the array (nested transform + flatten, one explode —
+never a basket self-join), and the pair count aggregation partial-
+combines. The quadratic term is bounded by max basket size squared —
+cap with ``max_basket`` to keep a pathological mega-basket from
+dominating (dropped baskets are the standard practice: a basket with
+10k items carries no affinity signal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Unordered item pairs co-present in a basket → (item_a, item_b,
+    pair_count) with item_a < item_b; each basket contributes each pair
+    at most once (distinct items per basket)."""
+    baskets = df.groupBy(basket_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("__items")
+    )
+    if max_basket is not None:
+        baskets = baskets.filter(F.size("__items") <= max_basket)
+    arr = F.col("__items")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("pair_count"))
+    )
+
+
+def basket_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Pair counts + LIFT = P(a,b) / (P(a)·P(b)) over baskets: > 1 means
+    the items co-occur more than independence predicts — the affinity
+    score item-item recommenders rank by. Adds (count_a, count_b,
+    lift); item marginals and the basket total re-aggregate from the
+    per-basket distinct item table (one scan of it, never of raw
+    rows)."""
+    from hadoop_fcfs_spark.caching import waypoint
+
+    # distinct (basket, item) feeds pairs, marginals AND the total:
+    # persist one materialization
+    bi = waypoint(df.select(basket_col, item_col).distinct())
+    pairs = basket_pairs(bi, basket_col, item_col, max_basket=max_basket)
+    marg = bi.groupBy(F.col(item_col)).agg(F.count("*").alias("__c"))
+    n = bi.agg(F.countDistinct(basket_col).cast("long").alias("__n"))
+    ma = marg.select(F.col(item_col).alias("item_a"), F.col("__c").alias("count_a"))
+    mb = marg.select(F.col(item_col).alias("item_b"), F.col("__c").alias("count_b"))
+    lift = (
+        F.col("__n").cast("double")
+        * F.col("pair_count")
+        / F.col("count_a")
+        / F.col("count_b")
+    )
+    return (
+        pairs.join(ma, "item_a")
+        .join(mb, "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a", "item_b", "pair_count", "count_a", "count_b",
+            lift.alias("lift"),
+        )
+    )

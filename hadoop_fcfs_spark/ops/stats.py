@@ -206,3 +206,55 @@ def key_skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def mad_anomalies(
+    df: DataFrame,
+    group_cols: list[str],
+    grain_col: Column,
+    value_expr: Column,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Robust (median/MAD) grain-level anomaly detection — the
+    outlier-resistant twin of zscore_anomalies: a single huge spike
+    inflates the mean AND stddev enough to hide itself from a z-score,
+    while the median and MAD (median absolute deviation) barely move.
+    Flags |x - median| > threshold · 1.4826 · MAD (1.4826 scales MAD
+    to sigma-equivalents under normality).
+
+    Same aggregate-first shape as the z-score version: one raw-table
+    pass to grain summaries, then two grouped EXACT percentiles over
+    grain rows (days, not events) with a join between — group-bounded,
+    no data-sized window. Groups with MAD = 0 (constant metric) emit
+    NULL rz and never flag. Output: group_cols + (grain, metric,
+    rz_e6, is_anomaly)."""
+    from hadoop_fcfs_spark.caching import waypoint
+
+    grains = waypoint(
+        df.groupBy(*group_cols, grain_col.alias("grain")).agg(
+            value_expr.alias("metric")
+        )
+    )
+    med = grains.groupBy(*group_cols).agg(
+        F.percentile("metric", F.lit(0.5)).alias("__med")
+    )
+    # deviations feed the MAD percentile AND the final projection
+    dev = waypoint(
+        grains.join(med, group_cols).withColumn(
+            "__ad", F.abs(F.col("metric") - F.col("__med"))
+        )
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.percentile("__ad", F.lit(0.5)).alias("__mad")
+    )
+    scale = F.lit(1.4826) * F.col("__mad")
+    rz = (F.col("metric") - F.col("__med")) / scale
+    return dev.join(mad, group_cols).select(
+        *group_cols,
+        "grain",
+        "metric",
+        F.when(F.col("__mad") > 0, F.floor(rz * 1_000_000).cast("long")).alias("rz_e6"),
+        ((F.col("__mad") > 0) & (F.col("__ad") > F.lit(threshold) * scale)).alias(
+            "is_anomaly"
+        ),
+    )

@@ -874,3 +874,47 @@ def key_skew_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.ops.stats import key_skew_report
 
     return key_skew_report(t(spark, sf_dir, "events"), ["user_id", "event_type"])
+
+
+@register(
+    "mad_event_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS grain,
+             CAST(COUNT(*) AS BIGINT) AS metric
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (SELECT event_type, quantile_cont(metric, 0.5) AS m FROM daily GROUP BY 1),
+    dev AS (
+      SELECT d.event_type, grain, metric, m, ABS(metric - m) AS ad
+      FROM daily d JOIN med USING (event_type)
+    ),
+    mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1)
+    SELECT dev.event_type, grain, metric,
+           CASE WHEN mad > 0
+                THEN CAST(FLOOR((metric - m) / (1.4826 * mad) * 1000000) AS BIGINT)
+           END AS rz_e6,
+           (mad > 0 AND ad > 3.0 * (1.4826 * mad)) AS is_anomaly
+    FROM dev JOIN mad USING (event_type)
+    """,
+    doc="Robust median/MAD anomaly flags per (event_type, day) "
+    "(ops.stats.mad_anomalies) — the outlier-resistant twin of "
+    "daily_event_anomaly's z-score: a lone massive spike can't hide "
+    "itself by inflating the dispersion estimate. Exact grouped "
+    "percentiles over day-grain summaries (two group-bounded "
+    "aggregations), identical float shapes, floor-micro.",
+)
+def mad_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import mad_anomalies
+
+    ev = t(spark, sf_dir, "events")
+    out = mad_anomalies(
+        ev, ["event_type"], F.to_date("ts"), F.count("*").cast("long")
+    )
+    return out.select(
+        "event_type",
+        F.col("grain").cast("string").alias("grain"),
+        "metric",
+        "rz_e6",
+        "is_anomaly",
+    )

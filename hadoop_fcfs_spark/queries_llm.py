@@ -1860,3 +1860,80 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_pairs(emb, "vec_id", k=3, n_buckets=64).select(
         "anchor_id", F.col("j").cast("int").alias("j"), "negative_id"
     )
+
+
+@register(
+    "embedding_gram",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, UNNEST(v) AS val, UNNEST(range(1, len(v) + 1)) AS pos FROM q
+    )
+    SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.val * b.val) AS BIGINT) AS dot_m
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+    GROUP BY 1, 2
+    """,
+    doc="Distributed Gram matrix XtX (llm.similarity.gram_matrix) over "
+    "the embedding corpus, milli-quantized for exact integer "
+    "accumulation — the blocked-matmul kernel: per-row upper-triangle "
+    "products generated inside the vector array (one explode, no "
+    "self-join), map-side partial Gram blocks, d^2-bounded shuffle. "
+    "The oracle self-joins positions — same matrix, independent shape. "
+    "Feature covariance / PCA prep at scale is this exact plan.",
+)
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import gram_matrix
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = gram_matrix(emb, "embedding", quantize=1000)
+    return out.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        F.col("dot").cast("long").alias("dot_m"),
+    )
+
+
+@register(
+    "jaccard_prefix_dedup",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id AS doc, array_to_string(ws[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 2)) AS i
+            FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws FROM documents))
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM grams GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.doc < b.doc GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(FLOOR(common / (sa.n + sb.n - common) * 10000) AS BIGINT) AS jac_e4
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE common / (sa.n + sb.n - common) >= 0.5
+    """,
+    doc="Exact Jaccard>=0.5 shingle self-join via PREFIX FILTERING "
+    "(llm.dedup.jaccard_prefix_pairs — the AllPairs/PPJoin candidate "
+    "rule, Bayardo et al. WWW'07): candidates only from each doc's "
+    "rarest-first prefix postings, then exact array_intersect verify. "
+    "Same answer as the full posting join (the oracle IS the naive "
+    "join), provably complete by the prefix pigeonhole; the join "
+    "fan-out collapses to the rare-shingle postings. Floor-e4 "
+    "jaccard; exact-division threshold identical both engines.",
+)
+def jaccard_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.dedup import jaccard_prefix_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    out = jaccard_prefix_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return out.select(
+        "doc_a", "doc_b",
+        F.floor(F.col("jaccard") * 10000).cast("long").alias("jac_e4"),
+    )

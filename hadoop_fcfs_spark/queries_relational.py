@@ -2421,3 +2421,49 @@ def prefiltered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).cast("long").alias("revenue_cents"),
         F.count("*").alias("n_lines"),
     )
+
+
+@register(
+    "copurchase_lift",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, COUNT(*) AS pair_count
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    marg AS (SELECT l_partkey, COUNT(*) AS c FROM op GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op)
+    SELECT item_a, item_b, pair_count,
+           ma.c AS count_a, mb.c AS count_b,
+           CAST(FLOOR(CAST(n.n AS DOUBLE) * pair_count / ma.c / mb.c * 1000000) AS BIGINT)
+             AS lift_e6
+    FROM pairs
+    JOIN marg ma ON ma.l_partkey = item_a
+    JOIN marg mb ON mb.l_partkey = item_b
+    CROSS JOIN n
+    ORDER BY pair_count DESC, item_a, item_b LIMIT 100
+    """,
+    doc="Item-item co-purchase affinity (ops.affinity.basket_lift): "
+    "unordered part pairs co-present in an order + lift vs "
+    "independence — the Amazon-style co-purchase kernel (Lin & Dyer's "
+    "stripes pattern over baskets). Spark generates pairs INSIDE each "
+    "order's sorted distinct part array (one explode, no basket "
+    "self-join); the oracle uses the naive self-join — same pairs, "
+    "independent shapes. Top-100 by pair count, lexical ties, "
+    "floor-micro lift with identical division order.",
+)
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.affinity import basket_lift
+
+    li = t(spark, sf_dir, "lineitem")
+    out = basket_lift(li, "l_orderkey", "l_partkey")
+    return (
+        out.select(
+            "item_a", "item_b", "pair_count", "count_a", "count_b",
+            F.floor(F.col("lift") * 1_000_000).cast("long").alias("lift_e6"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("item_a"), F.asc("item_b"))
+        .limit(100)
+    )

@@ -990,3 +990,37 @@ def test_negative_pairs_deterministic_and_self_free(spark):
     per_anchor = Counter(a for a, _, _ in p1)
     assert set(per_anchor.values()) <= {1, 2}
     assert len(per_anchor) == 100
+
+
+def test_jaccard_prefix_pairs_matches_bruteforce(spark):
+    from hadoop_fcfs_spark.llm.dedup import jaccard_prefix_pairs, ngram_jaccard_pairs
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 1
+        (3, "the quick brown fox jumps over the lazy cat again and again"),  # near-dup
+        (4, "completely different words in this one entirely unrelated text"),
+        (5, "another unrelated document with its own vocabulary of tokens"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 4)
+        for r in jaccard_prefix_pairs(df, "doc_id", "text", n=3, threshold=0.4).collect()
+    }
+    # ngram_jaccard_pairs pre-rounds to 4 decimals — compare at that grain
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3).collect()
+        if r["jaccard"] >= 0.4
+    }
+    assert got == brute and (1, 2) in got and got[(1, 2)] == 1.0
+
+
+def test_gram_matrix_hand_computed(spark):
+    from hadoop_fcfs_spark.llm.similarity import gram_matrix
+
+    df = spark.createDataFrame([([1.0, 2.0],), ([3.0, 4.0],)], "v array<double>")
+    out = {(r["i"], r["j"]): r["dot"] for r in gram_matrix(df, "v").collect()}
+    assert out == {(1, 1): 10.0, (1, 2): 14.0, (2, 2): 20.0}
+    q = {(r["i"], r["j"]): r["dot"] for r in gram_matrix(df, "v", quantize=10).collect()}
+    assert q == {(1, 1): 10 * 10 + 30 * 30, (1, 2): 10 * 20 + 30 * 40, (2, 2): 20 * 20 + 40 * 40}

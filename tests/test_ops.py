@@ -1203,3 +1203,34 @@ def test_key_skew_report_hand_computed(spark):
     mean = sum(counts) / 3
     var = sum((x - mean) ** 2 for x in counts) / 3
     assert r["cv_e6"] == math.floor(math.sqrt(var) / mean * 1_000_000)
+
+
+def test_basket_lift_hand_computed(spark):
+    from hadoop_fcfs_spark.ops.affinity import basket_lift
+
+    # baskets: {a,b}, {a,b}, {a,c}, {b} -> n=4; c_a=3, c_b=3, c_ab=2
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"), (4, "b"),
+            (1, "a")]  # duplicate item in basket collapses
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = {(r["item_a"], r["item_b"]): r for r in basket_lift(df, "basket", "item").collect()}
+    ab = out[("a", "b")]
+    assert (ab["pair_count"], ab["count_a"], ab["count_b"]) == (2, 3, 3)
+    assert abs(ab["lift"] - 4 * 2 / (3 * 3)) < 1e-12
+    assert out[("a", "c")]["pair_count"] == 1
+
+
+def test_mad_anomalies_robust_to_single_spike(spark):
+    from hadoop_fcfs_spark.ops.stats import mad_anomalies, zscore_anomalies
+
+    # 11 quiet days at ~10 plus one 1000x spike: MAD flags it
+    rows = []
+    for d in range(11):
+        rows += [("t", f"2024-01-{d+1:02d}")] * (10 + d % 3)
+    rows += [("t", "2024-01-12")] * 1000
+    df = spark.createDataFrame(rows, "k string, day string")
+    out = {
+        r["grain"]: r["is_anomaly"]
+        for r in mad_anomalies(df, ["k"], F.col("day"), F.count("*")).collect()
+    }
+    assert out["2024-01-12"] is True
+    assert sum(out.values()) == 1
