@@ -32,7 +32,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: one per operator family — scan+agg, big join, global
 # sort, shuffle-heavy text agg, sub-quadratic dedup, ANN, windows, plus
 # the composed training-data pipeline and the packing prefix-sum (r2),
-# the exact-substring span tier (r3), and BM25 retrieval scoring (r4).
+# the exact-substring span tier (r3), BM25 retrieval scoring (r4), and
+# the prefix-filter exact set-similarity join (r4 cont.).
 HEADLINE = [
     "pricing_summary",
     "join_multiway",
@@ -45,6 +46,7 @@ HEADLINE = [
     "sequence_packing",
     "duplicate_spans",
     "bm25_retrieval",
+    "jaccard_prefix_dedup",
 ]
 
 

@@ -180,3 +180,27 @@ def cms_estimate(
         key_col, F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
     return hit.groupBy(key_col).agg(F.min("cnt").alias("est"))
+
+
+def cms_join_size_estimate(
+    sketch_a: DataFrame, sketch_b: DataFrame
+) -> DataFrame:
+    """Equi-join cardinality estimate from two CMS DataFrames over the
+    join key: |A ⋈ B| = Σ_k cA(k)·cB(k), estimated as the MIN over
+    hash rows of the counter inner product — the classic CMS
+    inner-product estimator (Cormode & Muthukrishnan §4.2), and the
+    join-size probe a planner runs WITHOUT touching either table
+    (both operands are depth×width sketches).
+
+    Overestimates only (collision mass is non-negative):
+    exact <= est <= exact + e·N_A·N_B/width with prob 1-(1/2)^depth.
+    One (row, pos) equi-join of two sketch-sized tables + a depth-row
+    aggregation."""
+    a = sketch_a.select("row", "pos", F.col("cnt").alias("__ca"))
+    b = sketch_b.select("row", "pos", F.col("cnt").alias("__cb"))
+    per_row = (
+        a.join(b, ["row", "pos"])
+        .groupBy("row")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+    )
+    return per_row.agg(F.min("__ip").cast("long").alias("join_size_est"))

@@ -918,3 +918,61 @@ def mad_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rz_e6",
         "is_anomaly",
     )
+
+
+@register(
+    "cms_join_size",
+    oracle="""
+    WITH ca AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+    cb AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1)
+    SELECT CAST(SUM(ca.c * cb.c) AS BIGINT) AS exact_size, TRUE AS cms_ok
+    FROM ca JOIN cb USING (k)
+    """,
+    doc="Join-cardinality estimation from sketches "
+    "(agg.sketches.cms_join_size_estimate — the CMS inner-product "
+    "estimator): |lineitem JOIN orders ON orderkey| predicted from two "
+    "depth-4 x width-8192 sketches WITHOUT touching either table's "
+    "rows; the oracle computes the exact join size. cms_ok asserts the "
+    "one-sided contract (never under, overshoot <= 3eN_aN_b/width) — "
+    "the probe a cost-based planner runs before picking a join "
+    "strategy at 100 TB.",
+)
+def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from hadoop_fcfs_spark.agg.sketches import cms_join_size_estimate, cms_partial
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    width = 8192
+    ska = cms_partial(li, "l_orderkey", depth=4, width=width)
+    skb = cms_partial(orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+                      "l_orderkey", depth=4, width=width)
+    est = cms_join_size_estimate(ska, skb)
+    exact = (
+        li.groupBy("l_orderkey").agg(F.count("*").alias("__ca"))
+        .join(
+            orders.groupBy(F.col("o_orderkey").alias("l_orderkey")).agg(
+                F.count("*").alias("__cb")
+            ),
+            "l_orderkey",
+        )
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).cast("long").alias("exact_size"))
+    )
+    na = li.agg(F.count("*").alias("__na"))
+    nb = orders.agg(F.count("*").alias("__nb"))
+    slack = F.ceil(
+        F.lit(3.0 * math.e / width) * F.col("__na").cast("double") * F.col("__nb")
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "exact_size",
+            (
+                (F.col("join_size_est") >= F.col("exact_size"))
+                & (F.col("join_size_est") <= F.col("exact_size") + slack)
+            ).alias("cms_ok"),
+        )
+    )

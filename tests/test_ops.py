@@ -1234,3 +1234,20 @@ def test_mad_anomalies_robust_to_single_spike(spark):
     }
     assert out["2024-01-12"] is True
     assert sum(out.values()) == 1
+
+
+def test_cms_join_size_estimator_contract(spark):
+    from hadoop_fcfs_spark.agg.sketches import cms_join_size_estimate, cms_partial
+
+    # A: key k appears k times (k=1..20); B: each key once -> exact join
+    # size = sum(1..20) = 210
+    a = spark.createDataFrame(
+        [(k,) for k in range(1, 21) for _ in range(k)], "k long"
+    )
+    b = spark.createDataFrame([(k,) for k in range(1, 21)], "k long")
+    est = cms_join_size_estimate(
+        cms_partial(a, "k", depth=4, width=1024),
+        cms_partial(b, "k", depth=4, width=1024),
+    ).collect()[0]["join_size_est"]
+    assert est >= 210          # inner product never undercounts
+    assert est <= 210 + 50     # tiny key space in 1024 counters: near-exact
