@@ -258,3 +258,62 @@ def mad_anomalies(
             "is_anomaly"
         ),
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    chunk_of,
+) -> DataFrame:
+    """2D Pareto frontier (skyline, maximize both dimensions): keep the
+    (x, y) points not dominated by any other point — no q with
+    q.x > p.x and q.y >= p.y, after collapsing ties on x to their best
+    y. The classic "best tradeoff curve" query (price vs recency,
+    quality vs cost).
+
+    Scale shape: the naive formulation is an all-pairs NOT EXISTS
+    (quadratic) or a full-table running max over one sort (one task).
+    This is the chunked_running_sum two-level scan with MAX as the
+    monoid: (1) collapse to one row per distinct x (groupBy — the only
+    data-sized shuffle), (2) STRICT-prefix running max of y within each
+    chunk ordered by x desc, (3) prefix max OVER chunk maxima (a window
+    on the chunk-summary rows only), (4) keep rows whose y beats both.
+    ``chunk_of`` maps the x column to a deterministic MONOTONE bucket
+    (e.g. the year of a date) so chunk order agrees with x order;
+    windows never span more than one chunk of distinct-x rows.
+
+    Reference analog: secondary-sort + single-reducer sweep (the
+    MapReduce skyline idiom); here the sweep is parallel per chunk.
+    Output: (x_col, y_col) frontier vertices."""
+    from pyspark.sql import Window
+
+    best = (
+        df.groupBy(F.col(x_col).alias("__x"))
+        .agg(F.max(y_col).alias("__y"))
+        .withColumn("__chunk", chunk_of(F.col("__x")))
+    )
+    w_local = (
+        Window.partitionBy("__chunk")
+        .orderBy(F.col("__x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = best.withColumn("__lmax", F.max("__y").over(w_local))
+    chunk_max = best.groupBy("__chunk").agg(F.max("__y").alias("__cmax"))
+    w_off = (
+        Window.orderBy(F.col("__chunk").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # chunk-summary rows only (one per chunk) — bounded by construction
+    offsets = chunk_max.withColumn("__omax", F.max("__cmax").over(w_off)).select(
+        "__chunk", "__omax"
+    )
+    dominated_by = F.greatest(
+        F.coalesce(F.col("__lmax"), F.lit(float("-inf"))),
+        F.coalesce(F.col("__omax"), F.lit(float("-inf"))),
+    )
+    return (
+        local.join(offsets, "__chunk")
+        .filter(F.col("__y") > dominated_by)
+        .select(F.col("__x").alias(x_col), F.col("__y").alias(y_col))
+    )

@@ -976,3 +976,37 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cms_ok"),
         )
     )
+
+
+@register(
+    "pareto_orders",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+             MAX(o_totalprice) AS best_price
+      FROM orders GROUP BY 1
+    )
+    SELECT day, best_price FROM d p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d q
+      WHERE q.day > p.day AND q.best_price >= p.best_price
+    )
+    ORDER BY day
+    """,
+    doc="2D Pareto frontier / skyline (ops.stats.pareto_frontier): the "
+    "days whose best order price is not beaten by any later day — no "
+    "all-pairs NOT EXISTS, no full-table single-task sweep; a per-day "
+    "collapse then the two-level strict-prefix-max scan (chunked by "
+    "year, so every window is year- or summary-bounded). Reference "
+    "analog: the secondary-sort single-reducer skyline sweep idiom. "
+    "Float values are compared, never accumulated — FP-exact.",
+)
+def pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import pareto_frontier
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        F.col("o_totalprice").alias("best_price"),
+    )
+    out = pareto_frontier(orders, "day", "best_price", chunk_of=F.year)
+    return out.select(F.col("day").cast("string").alias("day"), "best_price")

@@ -1251,3 +1251,33 @@ def test_cms_join_size_estimator_contract(spark):
     ).collect()[0]["join_size_est"]
     assert est >= 210          # inner product never undercounts
     assert est <= 210 + 50     # tiny key space in 1024 counters: near-exact
+
+
+def test_pareto_frontier_matches_bruteforce_with_ties(spark):
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import pareto_frontier
+
+    rng = random.Random(7)
+    # small x domain forces x-ties; duplicate (x, y) pairs included
+    pts = [(rng.randrange(0, 30), float(rng.randrange(0, 50))) for _ in range(300)]
+    pts += pts[:10]
+    df = spark.createDataFrame(pts, "x int, y double")
+    got = {
+        (r["x"], r["y"])
+        for r in pareto_frontier(
+            df, "x", "y", chunk_of=lambda c: F.floor(c / 6)
+        ).collect()
+    }
+    best = {}
+    for x, y in pts:
+        best[x] = max(best.get(x, float("-inf")), y)
+    expect = {
+        (x, y)
+        for x, y in best.items()
+        if not any(qx > x and qy >= y for qx, qy in best.items())
+    }
+    assert got == expect
+    # frontier is strictly decreasing in y as x increases
+    ordered = sorted(got)
+    assert all(a[1] < b[1] for a, b in zip(ordered[1:], ordered[:-1]))
