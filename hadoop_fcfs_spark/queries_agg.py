@@ -1010,3 +1010,47 @@ def pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pareto_frontier(orders, "day", "best_price", chunk_of=F.year)
     return out.select(F.col("day").cast("string").alias("day"), "best_price")
+
+
+@register(
+    "ewma_daily_events",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(CAST(DATE '1970-01-01' + INTERVAL (a.n) DAY AS DATE) AS VARCHAR) AS day,
+           a.n_events,
+           SUM(b.n_events * power(0.5, a.n - b.n)) AS ewma
+    FROM d a JOIN d b
+      ON a.event_type = b.event_type AND b.n <= a.n AND b.n > a.n - 20
+    GROUP BY a.event_type, a.n, a.n_events
+    """,
+    doc="Exact-dyadic EWMA smoothing of the daily event volume per type "
+    "(ops.timeseries.ewma_decay, decay 1/2 per day, 20-day kernel): "
+    "the smoothed-baseline feed for monitors. Decays by CALENDAR "
+    "distance so silent days shrink history correctly. The alpha=1/2 "
+    "kernel makes every term an exact dyadic and the sum "
+    "order-independent below 2^34 — raw doubles hash-compare across "
+    "engines with NO rounding, which is the point of the design.",
+)
+def ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.timeseries import ewma_decay
+
+    ev = t(spark, sf_dir, "events")
+    grains = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("n"),
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    out = ewma_decay(grains, ["event_type"], "n", "n_events", window=20)
+    return out.select(
+        "event_type",
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("n"))
+        .cast("string")
+        .alias("day"),
+        "n_events",
+        "ewma",
+    )

@@ -1281,3 +1281,28 @@ def test_pareto_frontier_matches_bruteforce_with_ties(spark):
     # frontier is strictly decreasing in y as x increases
     ordered = sorted(got)
     assert all(a[1] < b[1] for a, b in zip(ordered[1:], ordered[:-1]))
+
+
+def test_ewma_decay_gap_and_chunk_boundary(spark):
+    from hadoop_fcfs_spark.ops.timeseries import ewma_decay
+
+    # idx 2 is a silent gap: idx 3 decays history by CALENDAR distance
+    df = spark.createDataFrame(
+        [("g", 0, 4), ("g", 1, 8), ("g", 3, 2)], "k string, n int, x long"
+    )
+    out = {
+        r["n"]: r["ewma"]
+        for r in ewma_decay(df, ["k"], "n", "x", window=20).collect()
+    }
+    assert out == {0: 4.0, 1: 10.0, 3: 2 + 8 * 0.25 + 4 * 0.125}
+
+    # window=2 with idxs crossing the chunk boundary (chunk = n div 2):
+    # every kernel is exactly {n-1, n}
+    df2 = spark.createDataFrame(
+        [("g", i, 1) for i in range(6)], "k string, n int, x long"
+    )
+    out2 = {
+        r["n"]: r["ewma"]
+        for r in ewma_decay(df2, ["k"], "n", "x", window=2).collect()
+    }
+    assert out2 == {0: 1.0, 1: 1.5, 2: 1.5, 3: 1.5, 4: 1.5, 5: 1.5}
