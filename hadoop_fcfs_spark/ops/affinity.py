@@ -91,3 +91,61 @@ def basket_lift(
             lift.alias("lift"),
         )
     )
+
+
+def frequent_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Apriori frequent 3-itemsets: unordered item triples co-present in
+    ≥ ``min_support`` baskets → (item_a < item_b < item_c, support).
+
+    Apriori pruning, distributed: items below min_support are dropped
+    BEFORE triple generation (monotonicity: a triple's support is ≤
+    every member item's support, so pruning never changes the answer —
+    it only shrinks the cubic term). The prune is a semi-join of the
+    distinct (basket, item) table against the frequent-item table, so
+    no driver-side frequent-set materialization at any item
+    cardinality. Triples are then generated INSIDE each basket's sorted
+    pruned array (three nested transforms, one explode — never a
+    basket³ self-join), bounded by max_basket³; the count aggregation
+    partial-combines map-side."""
+    from hadoop_fcfs_spark.caching import waypoint
+
+    bi = waypoint(df.select(basket_col, item_col).distinct())
+    freq = bi.groupBy(item_col).agg(F.count("*").alias("__c")).filter(
+        F.col("__c") >= min_support
+    )
+    pruned = bi.join(freq.select(item_col), item_col, "left_semi")
+    baskets = pruned.groupBy(basket_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("__items")
+    )
+    if max_basket is not None:
+        baskets = baskets.filter(F.size("__items") <= max_basket)
+    arr = F.col("__items")
+    triples = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.flatten(
+                F.transform(
+                    F.slice(arr, i + F.lit(2), F.size(arr)),
+                    lambda y, j: F.transform(
+                        F.slice(arr, i + j + F.lit(3), F.size(arr)),
+                        lambda z: F.struct(
+                            x.alias("item_a"), y.alias("item_b"), z.alias("item_c")
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(triples).alias("t"))
+        .select("t.item_a", "t.item_b", "t.item_c")
+        .groupBy("item_a", "item_b", "item_c")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

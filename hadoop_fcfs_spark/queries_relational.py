@@ -2467,3 +2467,40 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), F.asc("item_a"), F.asc("item_b"))
         .limit(100)
     )
+
+
+@register(
+    "frequent_brand_triples",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, p_brand AS i
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT a.i AS item_a, bb.i AS item_b, c.i AS item_c,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM bi a
+    JOIN bi bb ON a.b = bb.b AND a.i < bb.i
+    JOIN bi c  ON a.b = c.b  AND bb.i < c.i
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= 40
+    """,
+    doc="Apriori frequent 3-itemsets over order baskets of part brands "
+    "(ops.affinity.frequent_triples) — the classic SON/Apriori "
+    "MapReduce workload. Spark prunes items below min_support FIRST "
+    "(monotonicity makes the prune invisible to the answer) and "
+    "generates triples inside each basket's sorted array (one explode, "
+    "no basket^3 self-join); the oracle is the naive three-way "
+    "self-join. Integer supports — no float risk.",
+)
+def frequent_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.affinity import frequent_triples
+
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    baskets = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    out = frequent_triples(baskets, "l_orderkey", "p_brand", min_support=40)
+    return out.select(
+        "item_a", "item_b", "item_c", F.col("support").cast("long").alias("support")
+    )

@@ -1306,3 +1306,31 @@ def test_ewma_decay_gap_and_chunk_boundary(spark):
         for r in ewma_decay(df2, ["k"], "n", "x", window=2).collect()
     }
     assert out2 == {0: 1.0, 1: 1.5, 2: 1.5, 3: 1.5, 4: 1.5, 5: 1.5}
+
+
+def test_frequent_triples_bruteforce_and_prune_invariance(spark):
+    import itertools
+    import random
+
+    from hadoop_fcfs_spark.ops.affinity import frequent_triples
+
+    rng = random.Random(11)
+    rows = [
+        (b, rng.choice("abcdefgh"))
+        for b in range(40)
+        for _ in range(rng.randrange(2, 6))
+    ]
+    df = spark.createDataFrame(rows, "b int, i string")
+    got = {
+        (r["item_a"], r["item_b"], r["item_c"]): r["support"]
+        for r in frequent_triples(df, "b", "i", min_support=3).collect()
+    }
+    baskets = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    expect = {}
+    for items in baskets.values():
+        for tri in itertools.combinations(sorted(items), 3):
+            expect[tri] = expect.get(tri, 0) + 1
+    expect = {k: v for k, v in expect.items() if v >= 3}
+    assert got == expect and len(got) > 0
