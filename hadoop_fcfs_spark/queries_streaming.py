@@ -133,3 +133,54 @@ def event_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.countDistinct("p_id").alias("n_purchases_matched"),
     )
+
+
+@register(
+    "session_path_topk",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS sid
+      FROM flagged
+    ),
+    grams AS (
+      SELECT event_type AS step_1,
+             LEAD(event_type, 1) OVER w2 AS step_2,
+             LEAD(event_type, 2) OVER w2 AS step_3
+      FROM sess
+      WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+    )
+    SELECT step_1, step_2, step_3, CAST(COUNT(*) AS BIGINT) AS path_count
+    FROM grams WHERE step_3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY path_count DESC, step_1, step_2, step_3 LIMIT 25
+    """,
+    doc="Top-25 consecutive 3-step paths within 30-min sessions "
+    "(ops.seqmine.session_ngram_paths): sessionize (lag+cumsum gap "
+    "split) then LEAD×2 inside (user, session) — both window layers "
+    "reuse ONE user-key exchange, path counts partial-aggregate, "
+    "top-k is TakeOrdered with a total ordering (count desc, lexical "
+    "steps) so boundary ties are deterministic. The n=3 extension of "
+    "event_transitions' Markov bigrams.",
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.seqmine import session_ngram_paths
+
+    ev = t(spark, sf_dir, "events")
+    out = session_ngram_paths(
+        ev, "user_id", "ts", "event_type", "event_id", n=3, gap_minutes=30
+    )
+    return (
+        out.select("step_1", "step_2", "step_3",
+                   F.col("path_count").cast("long").alias("path_count"))
+        .orderBy(F.desc("path_count"), "step_1", "step_2", "step_3")
+        .limit(25)
+    )

@@ -1334,3 +1334,32 @@ def test_frequent_triples_bruteforce_and_prune_invariance(spark):
             expect[tri] = expect.get(tri, 0) + 1
     expect = {k: v for k, v in expect.items() if v >= 3}
     assert got == expect and len(got) > 0
+
+
+def test_session_ngram_paths_respect_session_boundaries(spark):
+    from datetime import datetime
+
+    from hadoop_fcfs_spark.ops.seqmine import session_ngram_paths
+
+    T = lambda m: datetime(2024, 1, 1, 10, m)
+    rows = [
+        # user 1: a,b,c within one session; gap >30min; then d,e,f
+        (1, T(0), 1, "a"), (1, T(1), 2, "b"), (1, T(2), 3, "c"),
+        (1, T(40), 4, "d"), (1, T(41), 5, "e"), (1, T(42), 6, "f"),
+        # user 2: same-ts ties ordered by event_id
+        (2, T(0), 1, "x"), (2, T(0), 2, "y"), (2, T(0), 3, "z"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int, event_type string")
+    got = {
+        (r["step_1"], r["step_2"], r["step_3"]): r["path_count"]
+        for r in session_ngram_paths(df, "user_id", "ts", "event_type", "event_id").collect()
+    }
+    # no path crosses the 40-minute gap (no b,c,d or c,d,e)
+    assert got == {("a", "b", "c"): 1, ("d", "e", "f"): 1, ("x", "y", "z"): 1}
+
+    # both window layers + sessionization reuse ONE user-key exchange
+    plan = (
+        session_ngram_paths(df, "user_id", "ts", "event_type", "event_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("hashpartitioning(user_id") == 1
