@@ -1937,3 +1937,62 @@ def jaccard_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b",
         F.floor(F.col("jaccard") * 10000).cast("long").alias("jac_e4"),
     )
+
+
+@register(
+    "dsir_selection",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, (lang = 'en') AS is_t,
+             list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, is_t, UNNEST(ws) AS g FROM base),
+    bi AS (
+      SELECT doc_id, is_t, ws[i] || ' ' || ws[i+1] AS g
+      FROM (SELECT doc_id, is_t, ws, UNNEST(generate_series(1, len(ws)-1)) AS i
+            FROM base WHERE len(ws) >= 2)
+    ),
+    feats AS (
+      SELECT doc_id, is_t,
+             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 8192 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+      GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT bucket, SUM(cnt) AS r,
+             SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS tt
+      FROM feats GROUP BY 1
+    ),
+    tot AS (SELECT SUM(r) AS rr, SUM(tt) AS t FROM stats),
+    model AS (
+      SELECT bucket,
+             ln((tt + 1.0) / (t + 8192.0)) - ln((r + 1.0) / (rr + 8192.0)) AS lam
+      FROM stats CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_features,
+           CAST(FLOOR(SUM(cnt * lam) * 1000) AS BIGINT) AS logw_e3,
+           CAST(FLOOR(SUM(cnt * lam) * 1000) AS BIGINT) > 0 AS selected
+    FROM feats JOIN model USING (bucket)
+    GROUP BY doc_id
+    """,
+    doc="DSIR importance weighting for pretraining-data selection "
+    "(llm.dsir.dsir_log_weights; Xie et al. 2023): hashed "
+    "unigram+bigram bag-of-features (md5-uniform 8192 buckets), add-1 "
+    "smoothed target-vs-raw log-ratio model (target = lang='en'), "
+    "per-doc log weight and the selection flag on the floor-milli "
+    "integer (never a raw-float rank — the discrete-choice gotcha). "
+    "One explode, aggregate-of-aggregate model, broadcast scoring "
+    "join.",
+)
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.dsir import dsir_log_weights
+
+    docs = t(spark, sf_dir, "documents")
+    out = dsir_log_weights(docs, "doc_id", "text", F.col("lang") == "en")
+    logw_e3 = F.floor(F.col("log_weight") * 1000).cast("long")
+    return out.select(
+        "doc_id", "n_features", logw_e3.alias("logw_e3"),
+        (logw_e3 > 0).alias("selected"),
+    )

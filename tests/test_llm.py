@@ -1024,3 +1024,29 @@ def test_gram_matrix_hand_computed(spark):
     assert out == {(1, 1): 10.0, (1, 2): 14.0, (2, 2): 20.0}
     q = {(r["i"], r["j"]): r["dot"] for r in gram_matrix(df, "v", quantize=10).collect()}
     assert q == {(1, 1): 10 * 10 + 30 * 30, (1, 2): 10 * 20 + 30 * 40, (2, 2): 20 * 20 + 40 * 40}
+
+
+def test_dsir_log_weights_separates_target_vocab(spark):
+    from hadoop_fcfs_spark.llm.dsir import dsir_log_weights
+
+    import pyspark.sql.functions as F
+
+    # target (is_t) docs speak vocab A; raw background speaks vocab B.
+    # Probe docs 100 (pure A) and 101 (pure B) are NOT in the target set:
+    # DSIR must rank 100 >> 101, with the signs matching the vocab.
+    a = "alpha beta gamma delta"
+    b = "uno dos tres cuatro"
+    rows = (
+        [(i, a, True) for i in range(100)]
+        + [(i + 200, b, False) for i in range(100)]
+        + [(1000, a, False), (1001, b, False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(df, "doc_id", "text", F.col("is_t")).collect()
+    }
+    assert got[1000] > 0 > got[1001]
+    # weight is a pure function of the feature bag: identical text,
+    # identical weight
+    assert got[1000] == got[0]
