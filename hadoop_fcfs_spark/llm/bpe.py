@@ -1,0 +1,106 @@
+"""Byte-Pair-Encoding tokenizer training at corpus scale (Sennrich et
+al. 2016): the count-heavy kernel of tokenizer construction, run as
+DataFrame aggregations.
+
+The scale insight (same as every serious BPE trainer): merges operate
+on the WORD-TYPE table weighted by frequency — |vocab| rows (millions)
+— never on the token stream (trillions). The corpus is touched exactly
+once, to build (word, count); every merge iteration after that is a
+vocab-sized explode + partial-aggregated pair count + an in-array
+greedy merge rewrite. Driver state per iteration is ONE row (the
+argmax pair — the k-means-centroid precedent for bounded collects).
+
+Reference analog: the aggregate framework's iterative job chaining
+(JobControl over ValueAggregator count jobs); each merge step is one
+"job" whose output feeds the next.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus → weighted word-type table with initial symbol arrays:
+    (word, cnt, symbols = chars + '</w>'). The only corpus-sized pass
+    in BPE training."""
+    w = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return w.withColumn(
+        "symbols", F.concat(F.split(F.col("word"), ""), F.array(F.lit(END)))
+    )
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over the weighted vocab: one
+    in-array zip (no positions self-join), one explode, map-side
+    combined sum. Output: (left, right, pair_count)."""
+    s = F.col("symbols")
+    pairs = F.zip_with(
+        F.slice(s, 1, F.size(s) - 1),
+        F.slice(s, 2, F.size(s) - 1),
+        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+    )
+    return (
+        vocab.select(F.explode(pairs).alias("p"), "cnt")
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def _merge_once(symbols: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right rewrite of adjacent (left, right) →
+    left||right inside a symbol array — the fold BPE applies per merge.
+    Word-bounded arrays, pure expression, no UDF."""
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def learn_bpe_merges(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Run ``n_merges`` BPE iterations. Returns (merges, final_vocab):
+    merges as (left, right, pair_count) in learned order — argmax by
+    (count desc, lexical left/right) so ties are deterministic across
+    runs and partitionings — and the vocab with its rewritten symbol
+    arrays. Each iteration localCheckpoints the vocab: the lineage
+    would otherwise grow by one fold per merge and re-execute the whole
+    history every count."""
+    from hadoop_fcfs_spark.ops.sort import top_k
+
+    vocab = word_vocab(df, text_col).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = top_k(
+            pair_counts(vocab),
+            1,
+            F.desc("pair_count"),
+            F.asc("left"),
+            F.asc("right"),
+        ).collect()
+        if not best:
+            break
+        b = best[0]
+        merges.append((b["left"], b["right"], b["pair_count"]))
+        vocab = vocab.withColumn(
+            "symbols", _merge_once(F.col("symbols"), b["left"], b["right"])
+        ).localCheckpoint()
+    return merges, vocab

@@ -1996,3 +1996,47 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_features", logw_e3.alias("logw_e3"),
         (logw_e3 > 0).alias("selected"),
     )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    pc AS (
+      SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r, cnt
+      FROM (SELECT word, cnt, UNNEST(range(1, length(word))) AS i
+            FROM w WHERE length(word) >= 2)
+      UNION ALL
+      SELECT substr(word, length(word), 1), '</w>', cnt FROM w
+    )
+    SELECT l AS left_sym, r AS right_sym, CAST(SUM(cnt) AS BIGINT) AS pair_count
+    FROM pc GROUP BY 1, 2
+    ORDER BY pair_count DESC, left_sym, right_sym LIMIT 100
+    """,
+    doc="BPE tokenizer training, iteration-1 pair statistics "
+    "(llm.bpe.pair_counts over llm.bpe.word_vocab): adjacent-symbol "
+    "counts weighted by word-type frequency — the kernel a corpus-scale "
+    "BPE trainer re-runs per merge. Counts come from the |vocab|-sized "
+    "type table, never the token stream; pairs are zipped inside the "
+    "symbol array (one explode). Top-100, integer counts, lexical "
+    "ties. Multi-merge learning is locked by pytest vs a pure-Python "
+    "reference (the merge rewrite is not SQL-expressible).",
+)
+def bpe_pair_counts_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.bpe import pair_counts, word_vocab
+
+    pc = pair_counts(word_vocab(t(spark, sf_dir, "documents"), "text"))
+    return (
+        pc.select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            F.col("pair_count").cast("long").alias("pair_count"),
+        )
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(100)
+    )

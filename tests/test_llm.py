@@ -1050,3 +1050,50 @@ def test_dsir_log_weights_separates_target_vocab(spark):
     # weight is a pure function of the feature bag: identical text,
     # identical weight
     assert got[1000] == got[0]
+
+
+def test_learn_bpe_merges_matches_python_reference(spark):
+    from collections import Counter
+
+    from hadoop_fcfs_spark.llm.bpe import END, learn_bpe_merges
+
+    corpus = ["low lower lowest low low", "new newer newest new", "low newer"]
+
+    # pure-Python Sennrich-style reference
+    vocab = Counter()
+    for line in corpus:
+        for w in line.split():
+            vocab[tuple(list(w) + [END])] += 1
+    ref_merges = []
+    for _ in range(6):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        # argmax: count desc, then lexical — mirror the engine's tiebreak
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        ref_merges.append((a, b, n))
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += c
+        vocab = new_vocab
+
+    df = spark.createDataFrame([(l,) for l in corpus], "text string")
+    got_merges, got_vocab = learn_bpe_merges(df, "text", 6)
+    assert got_merges == ref_merges
+    got_syms = {
+        r["word"]: tuple(r["symbols"]) for r in got_vocab.collect()
+    }
+    ref_syms = {"".join(s).replace(END, ""): s for s in vocab}
+    assert got_syms == ref_syms
