@@ -609,3 +609,45 @@ def gram_matrix(
         .groupBy("i", "j")
         .agg(F.sum("p").alias("dot"))
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over embeddings — the standard
+    embedding-quality / label-noise probe (predict each query's label
+    from its neighbors, then read the confusion structure). Output:
+    (query_id, true_label, pred_label).
+
+    Majority vote is argmax over (votes desc, label asc) — a DISCRETE
+    choice, so it ranks on integer vote counts with a total tie order,
+    never on raw float similarity (cosine already quantized @1e-4 in
+    cosine_topk). The vote window is query-partitioned and bounded by
+    the label cardinality; neighbors come from the broadcast-query
+    top-k scan."""
+    nb = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    labels = corpus.select(
+        F.col(id_col), F.col(label_col).alias("__nb_label")
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    votes = (
+        nb.join(labels, id_col)
+        .join(truth, "query_id")
+        .groupBy("query_id", "true_label", "__nb_label")
+        .agg(F.count("*").alias("__votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__votes"), F.asc("__nb_label")
+    )
+    return (
+        votes.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("query_id", "true_label", F.col("__nb_label").alias("pred_label"))
+    )

@@ -2040,3 +2040,134 @@ def bpe_pair_counts_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
         .limit(100)
     )
+
+
+@register(
+    "knn_label_confusion",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                      label AS true_label
+               FROM embeddings WHERE vec_id < 200),
+    pairs AS (
+      SELECT query_id, true_label, e.vec_id, e.label AS nb_label,
+             ROUND(list_dot_product(qv, e.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 4) + 0.0 AS cos
+      FROM q CROSS JOIN embeddings e
+      WHERE query_id <> e.vec_id
+    ),
+    knn AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS rank
+        FROM pairs
+      ) WHERE rank <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, nb_label, COUNT(*) AS v
+      FROM knn GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT query_id, true_label, nb_label AS pred_label
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY v DESC, nb_label) AS rk
+            FROM votes) WHERE rk = 1
+    )
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+    doc="k-NN majority-vote label confusion matrix over embeddings "
+    "(llm.similarity.knn_classify, k=5, 200-query eval sample): the "
+    "embedding-quality / label-noise probe. Neighbor ranking on "
+    "quantized cosine (@1e-4, vec_id ties), prediction on integer "
+    "vote counts with lexical ties — every discrete choice has a "
+    "total order. Confusion counts are integers.",
+)
+def knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import knn_classify
+
+    emb = t(spark, sf_dir, "embeddings")
+    pred = knn_classify(emb, emb.filter(F.col("vec_id") < 200), k=5)
+    return pred.groupBy("true_label", "pred_label").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+@register(
+    "hybrid_rank_fusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+    tf AS (SELECT doc_id, len(list_filter(ws, w -> w = 'data')) AS tf FROM toks),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+    dfq AS (SELECT COUNT(*) AS doc_freq FROM tf WHERE tf > 0),
+    bm AS (
+      SELECT tf.doc_id,
+             FLOOR(ln(1 + (n - doc_freq + 0.5) / (doc_freq + 0.5))
+                   * (tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+                   * 1000000.0) AS bm25_e6
+      FROM tf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN dfq
+      WHERE tf > 0
+    ),
+    ra AS (SELECT doc_id, rank FROM (
+             SELECT doc_id,
+                    ROW_NUMBER() OVER (ORDER BY bm25_e6 DESC, doc_id) AS rank
+             FROM bm) WHERE rank <= 100),
+    rb AS (SELECT doc_id, rank FROM (
+             SELECT doc_id,
+                    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+             FROM documents) WHERE rank <= 100),
+    fused AS (
+      SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             CAST((ra.rank IS NOT NULL) AS INT)
+               + CAST((rb.rank IS NOT NULL) AS INT) AS in_lists,
+             COALESCE(1.0 / (60 + ra.rank), 0.0)
+               + COALESCE(1.0 / (60 + rb.rank), 0.0) AS rrf
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    )
+    SELECT doc_id, in_lists, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    doc="Hybrid retrieval by reciprocal rank fusion "
+    "(ops.ranking.reciprocal_rank_fusion, k=60): a lexical BM25 "
+    "ranking (term 'data', llm.textan.bm25_scores) fused with a "
+    "document-length prior ranking — the calibration-free way to "
+    "combine retrieval signals. Both input ranks come from INTEGER "
+    "keys with id tiebreaks; the fused score is a fixed-order "
+    "two-term float expression (no aggregation), so raw doubles "
+    "hash-compare across engines. Top-20 by (rrf desc, doc_id).",
+)
+def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.llm.textan import bm25_scores
+    from hadoop_fcfs_spark.ops.ranking import reciprocal_rank_fusion
+
+    from hadoop_fcfs_spark.ops.sort import top_k
+
+    docs = t(spark, sf_dir, "documents")
+    bm = bm25_scores(docs, "doc_id", "text").filter(F.col("term") == "data")
+    # each ranker is TakeOrdered-bounded to its top-100 BEFORE the rank
+    # window runs, so the only unpartitioned window is 100 rows — the
+    # fusion consumes bounded lists by construction, at any corpus size
+    ra = top_k(bm, 100, F.desc("bm25_e6"), F.asc("doc_id")).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25_e6"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    rb = top_k(
+        docs.select("doc_id", "n_chars"), 100, F.desc("n_chars"), F.asc("doc_id")
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    fused = reciprocal_rank_fusion([ra, rb], "doc_id", k=60)
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)

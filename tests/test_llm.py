@@ -1097,3 +1097,39 @@ def test_learn_bpe_merges_matches_python_reference(spark):
     }
     ref_syms = {"".join(s).replace(END, ""): s for s in vocab}
     assert got_syms == ref_syms
+
+
+def test_rrf_fusion_semantics_and_knn_planted_labels(spark):
+    from hadoop_fcfs_spark.llm.similarity import knn_classify
+    from hadoop_fcfs_spark.ops.ranking import reciprocal_rank_fusion
+
+    # RRF: item 1 is rank 1 in both lists; item 2 only in list A; item 3
+    # only in list B. Hand-compute the fused scores.
+    a = spark.createDataFrame([(1, 1), (2, 2)], "id int, rank int")
+    b = spark.createDataFrame([(1, 1), (3, 2)], "id int, rank int")
+    got = {
+        r["id"]: (r["in_lists"], r["rrf"])
+        for r in reciprocal_rank_fusion([a, b], "id", k=60).collect()
+    }
+    assert got[1] == (2, 1 / 61 + 1 / 61)
+    assert got[2] == (1, 1 / 62)
+    assert got[3] == (1, 1 / 62)
+
+    # kNN: two well-separated clusters + one mislabeled point — its
+    # neighbors out-vote its own label
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0 + rng.random() * 0.01, 0.0, 0.0], 0))
+    for i in range(20, 40):
+        rows.append((i, [0.0, 1.0 + rng.random() * 0.01, 0.0], 1))
+    rows.append((99, [1.0, 0.001, 0.0], 1))  # sits in cluster 0, labeled 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    pred = {
+        r["query_id"]: (r["true_label"], r["pred_label"])
+        for r in knn_classify(emb, emb, k=5).collect()
+    }
+    assert pred[99] == (1, 0)          # flagged as label noise
+    assert pred[0] == (0, 0) and pred[25] == (1, 1)
