@@ -640,3 +640,37 @@ def kn_bigram_counts(
             pkn.alias("p_kn"),
         )
     )
+
+
+def char_class_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document character-class census: counts of Latin letters,
+    CJK ideographs, digits, whitespace, and everything else — the
+    script-mix signal that catches mislabeled languages, mojibake and
+    code-heavy "text" before they hit a tokenizer (complements the
+    vocabulary-based lang_id).
+
+    Pure per-row expressions (length minus regexp_replace length per
+    class) — no explode, no shuffle, whole-stage codegen. Output:
+    (id, n_chars_total, n_latin, n_cjk, n_digit, n_space, n_other)."""
+    text = F.col(text_col)
+    total = F.length(text)
+
+    def n_of(pattern: str) -> Column:
+        return total - F.length(F.regexp_replace(text, pattern, ""))
+
+    cjk = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
+    counts = {
+        "n_latin": n_of("[A-Za-z]"),
+        "n_cjk": n_of(cjk),
+        "n_digit": n_of("[0-9]"),
+        "n_space": n_of(r"\s"),
+    }
+    other = total
+    for c in counts.values():
+        other = other - c
+    return df.select(
+        F.col(id_col),
+        total.cast("long").alias("n_chars_total"),
+        *[c.cast("long").alias(n) for n, c in counts.items()],
+        other.cast("long").alias("n_other"),
+    )

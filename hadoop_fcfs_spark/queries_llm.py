@@ -2171,3 +2171,48 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fused = reciprocal_rank_fusion([ra, rb], "doc_id", k=60)
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+
+
+@register(
+    "script_profile",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang,
+             LENGTH(text) AS total,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g')) AS lat,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[{chr(0x4E00)}-{chr(0x9FFF)}]', '', 'g')) AS cjk,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS dig,
+             LENGTH(text) - LENGTH(regexp_replace(text, '\\s', '', 'g')) AS spc
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(total) AS BIGINT) AS n_chars,
+           CAST(FLOOR(SUM(lat) * 1000000.0 / SUM(total)) AS BIGINT) AS latin_e6,
+           CAST(FLOOR(SUM(cjk) * 1000000.0 / SUM(total)) AS BIGINT) AS cjk_e6,
+           CAST(FLOOR(SUM(dig) * 1000000.0 / SUM(total)) AS BIGINT) AS digit_e6,
+           CAST(FLOOR(SUM(spc) * 1000000.0 / SUM(total)) AS BIGINT) AS space_e6
+    FROM c GROUP BY lang
+    """,
+    doc="Unicode script-mix census per language label "
+    "(llm.textan.char_class_profile): Latin / CJK / digit / whitespace "
+    "character shares — the mislabeled-language and mojibake screen "
+    "that vocabulary lang_id can't see. Pure per-row regexp counting "
+    "(no explode), one aggregation; integer counts, floor-micro "
+    "shares.",
+)
+def script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import char_class_profile
+
+    docs = t(spark, sf_dir, "documents")
+    prof = char_class_profile(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    e6 = lambda c: F.floor(F.sum(c) * 1_000_000.0 / F.sum("n_chars_total")).cast("long")
+    return prof.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars_total").cast("long").alias("n_chars"),
+        e6("n_latin").alias("latin_e6"),
+        e6("n_cjk").alias("cjk_e6"),
+        e6("n_digit").alias("digit_e6"),
+        e6("n_space").alias("space_e6"),
+    )

@@ -184,3 +184,33 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("path_count"), "step_1", "step_2", "step_3")
         .limit(25)
     )
+
+
+@register(
+    "debounce_events",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap
+      FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(*) FILTER (gap IS NULL OR gap > 60000000) AS BIGINT)
+             AS n_kept
+    FROM g GROUP BY 1
+    """,
+    doc="Debounce / burst collapse (ops.timeseries.debounce): per "
+    "(user, event_type), keep only rows more than 60 s after their "
+    "predecessor — double-click / retry-storm cleaning. One "
+    "key-bounded lag window, (ts, event_id) total order; the gate "
+    "reports per-type raw vs kept counts (integers).",
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.timeseries import debounce
+
+    ev = t(spark, sf_dir, "events")
+    kept = debounce(ev, ["user_id", "event_type"], "ts", "event_id", quiet_ms=60_000)
+    raw = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n_raw"))
+    k = kept.groupBy("event_type").agg(F.count("*").cast("long").alias("n_kept"))
+    return raw.join(k, "event_type")

@@ -1133,3 +1133,17 @@ def test_rrf_fusion_semantics_and_knn_planted_labels(spark):
     }
     assert pred[99] == (1, 0)          # flagged as label noise
     assert pred[0] == (0, 0) and pred[25] == (1, 1)
+
+
+def test_char_class_profile_hand_counts(spark):
+    from hadoop_fcfs_spark.llm.textan import char_class_profile
+
+    df = spark.createDataFrame(
+        [(1, "ab 12 中文!"), (2, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in char_class_profile(df, "doc_id", "text").collect()}
+    assert got[1]["n_latin"] == 2 and got[1]["n_digit"] == 2
+    assert got[1]["n_cjk"] == 2 and got[1]["n_space"] == 2
+    assert got[1]["n_other"] == 1  # the '!'
+    assert got[1]["n_chars_total"] == 9
+    assert got[2]["n_chars_total"] == 0 and got[2]["n_other"] == 0

@@ -1363,3 +1363,26 @@ def test_session_ngram_paths_respect_session_boundaries(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_debounce_bursts_and_first_rows(spark):
+    from datetime import datetime
+
+    from hadoop_fcfs_spark.ops.timeseries import debounce
+
+    T = lambda s: datetime(2024, 1, 1, 10, 0, s)
+    rows = [
+        # burst of 3 within 2s, then quiet, then one more
+        (1, "c", T(0), 1), (1, "c", T(1), 2), (1, "c", T(2), 3),
+        (1, "c", T(50), 4),
+        # different key: independent first row always kept
+        (2, "c", T(1), 5),
+        # slow-burst semantics: consecutive 3s gaps all < quiet -> one kept
+        (3, "c", T(0), 6), (3, "c", T(3), 7), (3, "c", T(6), 8), (3, "c", T(9), 9),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp, event_id int")
+    kept = sorted(
+        r["event_id"]
+        for r in debounce(df, ["user_id", "event_type"], "ts", "event_id", quiet_ms=5000).collect()
+    )
+    assert kept == [1, 4, 5, 6]
