@@ -551,3 +551,57 @@ def test_stream_inactivity_sessions_close_on_timeout(spark, tmp_path):
         assert n == 2 and last_ts - first_ts == 5000  # 5 s session span in ms
     finally:
         q.stop()
+
+
+def test_stream_interval_join_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: matched pairs emit like the inner
+    join; an unmatched left row emits with NULL right columns — but only
+    after later data advances the watermark past its match window."""
+    import pandas as pd
+
+    from hadoop_fcfs_spark.streaming.joins import stream_interval_join
+
+    lsrc = tmp_path / "purchases"
+    rsrc = tmp_path / "clicks"
+    lsrc.mkdir()
+    rsrc.mkdir()
+    ts = lambda m: pd.Timestamp(2024, 1, 1, 10, m)
+
+    # batch 1: purchase 100 has a click 9 min before; purchase 101 has none
+    wp = dict(coerce_timestamps="us", allow_truncated_timestamps=True)
+    pd.DataFrame({"user_id": [1, 2], "p_id": [100, 101], "p_ts": [ts(10), ts(12)]}).to_parquet(lsrc / "b1.parquet", **wp)
+    pd.DataFrame({"r_user_id": [1], "c_id": [500], "c_ts": [ts(1)]}).to_parquet(rsrc / "b1.parquet", **wp)
+
+    left = spark.readStream.schema("user_id long, p_id long, p_ts timestamp").parquet(str(lsrc))
+    right = spark.readStream.schema("r_user_id long, c_id long, c_ts timestamp").parquet(str(rsrc))
+    joined = stream_interval_join(
+        left, right, "user_id", "p_ts", "c_ts",
+        lookback="10 minutes", watermark="10 minutes", how="left_outer",
+    )
+    q = run_to_memory(joined, "ssj_outer_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+        matched_only = {
+            (r["p_id"], r["c_id"]) for r in spark.sql("SELECT * FROM ssj_outer_out").collect()
+        }
+        # batch 2: far-future rows on BOTH sides push the watermark far
+        # past purchase 101's match window, forcing its NULL emission
+        pd.DataFrame({"user_id": [9], "p_id": [999], "p_ts": [ts(50)]}).to_parquet(lsrc / "b2.parquet", **wp)
+        pd.DataFrame({"r_user_id": [9], "c_id": [998], "c_ts": [ts(50)]}).to_parquet(rsrc / "b2.parquet", **wp)
+        q.processAllAvailable()
+        q.processAllAvailable()
+        final = {
+            (r["p_id"], r["c_id"]) for r in spark.sql("SELECT * FROM ssj_outer_out").collect()
+        }
+    finally:
+        q.stop()
+    assert (100, 500) in matched_only
+    assert (101, None) not in matched_only, "outer row must wait for the watermark"
+    assert (100, 500) in final and (101, None) in final
+    assert (999, 998) in final
+
+    # inner variant: reject unknown join types early
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stream_interval_join(left, right, "user_id", "p_ts", "c_ts", how="full")
