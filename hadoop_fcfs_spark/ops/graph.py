@@ -227,3 +227,60 @@ def triangle_count(
         .unionByName(tri.select(F.col("w").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 4,
+) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007)
+    community detection: every node starts as its own community; each
+    iteration it adopts the label with the highest incident edge-weight
+    among its neighbors (tie → MIN label, so a fixed iteration count is
+    fully deterministic — no RNG, no visit-order dependence).
+
+    Scale shape: edges are symmetrized once (union + groupBy); each
+    iteration is one edge⋈label join and THREE aggregations — vote
+    sums, per-node max, then min-label-at-max — never a per-node
+    window, so a hub's degree-sized vote list stays inside partial
+    aggregation instead of one task. Label state is node-shaped;
+    lineage truncated per iteration (localCheckpoint). Weights should
+    be INTEGERS (quantize money to cents): the argmax is a discrete
+    choice and float vote sums are accumulation-order-nondeterministic.
+
+    Output: (node, community). Isolated nodes keep their own label."""
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"), F.col(weight).alias("w")
+    ).filter(F.col("s") != F.col("d"))
+    sym = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d"), "w"))
+        .groupBy("s", "d")
+        .agg(F.sum("w").alias("w"))
+    )
+    nodes = sym.select(F.col("s").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("community")).localCheckpoint()
+    for _ in range(iterations):
+        votes = (
+            sym.join(labels, sym.d == labels.node)
+            .groupBy(F.col("s").alias("n"), "community")
+            .agg(F.sum("w").alias("__wv"))
+        )
+        best = votes.groupBy("n").agg(F.max("__wv").alias("__mw"))
+        new = (
+            votes.join(best, "n")
+            .filter(F.col("__wv") == F.col("__mw"))
+            .groupBy("n")
+            .agg(F.min("community").alias("__new"))
+        )
+        labels = (
+            nodes.join(new, nodes.node == F.col("n"), "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__new"), F.col("node")).alias("community"),
+            )
+            .localCheckpoint()
+        )
+    return labels

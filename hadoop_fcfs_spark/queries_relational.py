@@ -2504,3 +2504,89 @@ def frequent_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "item_a", "item_b", "item_c", F.col("support").cast("long").alias("support")
     )
+
+
+def _lpa_oracle(iterations: int) -> str:
+    """Unrolled synchronous-LPA CTE chain mirroring
+    ops.graph.label_propagation: symmetrized integer-cent trade edges,
+    per-iteration vote sums, max, and min-label-at-max (the
+    deterministic tiebreak)."""
+    cte = [
+        """    WITH
+    e0 AS (
+      SELECT cn.n_name AS s, sn.n_name AS d,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT s, d, SUM(w) AS w FROM (
+        SELECT s, d, w FROM e0 UNION ALL SELECT d, s, w FROM e0
+      ) GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT s AS n FROM agg),
+    l0 AS (SELECT n, n AS lab FROM nodes)"""
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        cte.append(f"""    v{k} AS (
+      SELECT a.s AS n, l.lab, SUM(a.w) AS wv
+      FROM agg a JOIN l{p} l ON l.n = a.d GROUP BY 1, 2
+    ),
+    m{k} AS (SELECT n, MAX(wv) AS mw FROM v{k} GROUP BY n),
+    l{k} AS (
+      SELECT nd.n,
+             COALESCE(MIN(CASE WHEN v.wv = m.mw THEN v.lab END), nd.n) AS lab
+      FROM nodes nd
+      LEFT JOIN v{k} v ON v.n = nd.n
+      LEFT JOIN m{k} m ON m.n = nd.n
+      GROUP BY nd.n
+    )""")
+    return (
+        ",\n".join(cte)
+        + f"\n    SELECT n AS node, lab AS community FROM l{iterations}\n    "
+    )
+
+
+@register(
+    "lpa_communities",
+    oracle=_lpa_oracle(4),
+    doc="Weighted label-propagation communities "
+    "(ops.graph.label_propagation, 4 synchronous iterations) over the "
+    "symmetrized nation trade graph (integer-cent weights — the argmax "
+    "is a discrete choice, so no float vote sums). Each iteration is "
+    "one edge-label join + three aggregations (vote sum, per-node max, "
+    "min-label-at-max) — hub-degree vote lists stay in partial "
+    "aggregation, never a per-node window. Oracle unrolls the "
+    "iterations as CTEs.",
+)
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.graph import label_propagation
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("src"))
+    sn = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("dst"))
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cnk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("snk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(cents).alias("w"))
+    )
+    return label_propagation(edges, iterations=4).select("node", "community")

@@ -1386,3 +1386,26 @@ def test_debounce_bursts_and_first_rows(spark):
         for r in debounce(df, ["user_id", "event_type"], "ts", "event_id", quiet_ms=5000).collect()
     )
     assert kept == [1, 4, 5, 6]
+
+
+def test_label_propagation_two_cliques_weak_bridge(spark):
+    from hadoop_fcfs_spark.ops.graph import label_propagation
+
+    # two triangles {a,b,c} and {x,y,z} joined by a weight-1 bridge c-x;
+    # heavy intra-clique edges pull each side to its min label
+    edges = [
+        ("a", "b", 10), ("b", "c", 10), ("a", "c", 10),
+        ("x", "y", 10), ("y", "z", 10), ("x", "z", 10),
+        ("c", "x", 1),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, iterations=4).collect()
+    }
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "x"
+    # isolated self-loop-only node keeps its own label
+    df2 = df.union(spark.createDataFrame([("q", "q", 5)], "src string, dst string, w long"))
+    got2 = {r["node"]: r["community"] for r in label_propagation(df2, iterations=2).collect()}
+    assert "q" not in got2  # self-loops dropped -> q has no edges at all
