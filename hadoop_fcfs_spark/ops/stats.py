@@ -317,3 +317,57 @@ def pareto_frontier(
         .filter(F.col("__y") > dominated_by)
         .select(F.col("__x").alias(x_col), F.col("__y").alias(y_col))
     )
+
+
+def theil_sen_trend(
+    grains: DataFrame,
+    group_cols: list[str],
+    idx_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend per group: slope = median of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i), intercept = median residual — the
+    outlier-resistant twin of the REGR_* least-squares fit
+    (volume_trend): a single wild day barely moves the median of
+    slopes, while it drags OLS arbitrarily.
+
+    Scale shape: expects GRAIN rows (aggregate first); each group's
+    points collapse to ONE sorted array and the O(grid²) pair slopes
+    are generated inside it (one explode, no grain self-join) — the
+    quadratic is bounded by the calendar grid, never by event count.
+    Two grouped exact percentiles; division-only float math. Requires
+    unique idx per (group, idx) — i.e. genuine grain rows.
+
+    Output: group_cols + (n_points, slope, intercept)."""
+    pts = grains.groupBy(*group_cols).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(idx_col).alias("x"), F.col(value_col).alias("y")))
+        ).alias("__pts")
+    )
+    arr = F.col("__pts")
+    slopes = F.flatten(
+        F.transform(
+            arr,
+            lambda p, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda q: (q["y"] - p["y"]) * F.lit(1.0) / (q["x"] - p["x"]),
+            ),
+        )
+    )
+    sl = (
+        pts.select(*group_cols, F.size(arr).alias("n_points"), F.explode(slopes).alias("__s"))
+        .groupBy(*group_cols, "n_points")
+        .agg(F.percentile("__s", F.lit(0.5)).alias("slope"))
+    )
+    resid = (
+        grains.join(sl, group_cols)
+        .select(
+            *group_cols,
+            (F.col(value_col) - F.col("slope") * F.col(idx_col)).alias("__r"),
+        )
+        .groupBy(*group_cols)
+        .agg(F.percentile("__r", F.lit(0.5)).alias("intercept"))
+    )
+    return sl.join(resid, group_cols).select(
+        *group_cols, "n_points", "slope", "intercept"
+    )

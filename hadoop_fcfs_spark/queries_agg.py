@@ -1054,3 +1054,51 @@ def ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "ewma",
     )
+
+
+@register(
+    "theil_sen_trend",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS n,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type, (b.y - a.y) * 1.0 / (b.n - a.n) AS slope
+      FROM g a JOIN g b ON a.event_type = b.event_type AND b.n > a.n
+    ),
+    np AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points FROM g GROUP BY 1),
+    s AS (SELECT event_type, quantile_cont(slope, 0.5) AS slope FROM p GROUP BY 1),
+    r AS (SELECT g.event_type, g.y - s.slope * g.n AS resid
+          FROM g JOIN s USING (event_type)),
+    i AS (SELECT event_type, quantile_cont(resid, 0.5) AS icpt FROM r GROUP BY 1)
+    SELECT s.event_type, np.n_points,
+           CAST(FLOOR(s.slope * 1000000) AS BIGINT) AS slope_e6,
+           CAST(FLOOR(i.icpt * 1000000) AS BIGINT) AS intercept_e6
+    FROM s JOIN i USING (event_type) JOIN np USING (event_type)
+    """,
+    doc="Theil–Sen robust daily-volume trend per event type "
+    "(ops.stats.theil_sen_trend) — the outlier-resistant twin of "
+    "volume_trend's REGR_* least squares. Pairwise slopes generated "
+    "INSIDE each group's sorted grain array (quadratic bounded by the "
+    "calendar grid, one explode, no self-join on the Spark side; the "
+    "oracle uses the naive pair join); grouped exact medians, "
+    "division-only float, floor-micro.",
+)
+def theil_sen_trend_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import theil_sen_trend
+
+    ev = t(spark, sf_dir, "events")
+    grains = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("n"),
+    ).agg(F.count("*").cast("long").alias("y"))
+    out = theil_sen_trend(grains, ["event_type"], "n", "y")
+    return out.select(
+        "event_type",
+        F.col("n_points").cast("long").alias("n_points"),
+        F.floor(F.col("slope") * 1_000_000).cast("long").alias("slope_e6"),
+        F.floor(F.col("intercept") * 1_000_000).cast("long").alias("intercept_e6"),
+    )

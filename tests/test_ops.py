@@ -1409,3 +1409,15 @@ def test_label_propagation_two_cliques_weak_bridge(spark):
     df2 = df.union(spark.createDataFrame([("q", "q", 5)], "src string, dst string, w long"))
     got2 = {r["node"]: r["community"] for r in label_propagation(df2, iterations=2).collect()}
     assert "q" not in got2  # self-loops dropped -> q has no edges at all
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from hadoop_fcfs_spark.ops.stats import theil_sen_trend
+
+    # perfect line y = 2x + 1 with ONE wild outlier at x=5: the median
+    # of pairwise slopes still recovers slope 2, intercept 1
+    rows = [("g", x, 2 * x + 1) for x in range(10) if x != 5] + [("g", 5, 1000)]
+    df = spark.createDataFrame(rows, "k string, n int, y long")
+    r = theil_sen_trend(df, ["k"], "n", "y").collect()[0]
+    assert r["n_points"] == 10
+    assert r["slope"] == 2.0 and r["intercept"] == 1.0
