@@ -371,3 +371,153 @@ def theil_sen_trend(
     return sl.join(resid, group_cols).select(
         *group_cols, "n_points", "slope", "intercept"
     )
+
+
+def chi_squared_independence(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns: X² = Σ (observed − expected)² / expected over the exact
+    contingency table, dof = (|X|−1)(|Y|−1) — the significance-flavored
+    sibling of mutual_information (same table, different statistic).
+
+    Same aggregate-of-aggregate shape: one (x, y) count pass (map-side
+    combined), marginals re-aggregated from the table, one broadcast
+    scalar N. All counts integer; the statistic is division-only float.
+    Output: 1 row (chi2_e6, dof, n)."""
+    from hadoop_fcfs_spark.caching import waypoint
+
+    joint = waypoint(
+        df.groupBy(F.col(col_x).alias("__x"), F.col(col_y).alias("__y")).agg(
+            F.count("*").alias("__nxy")
+        )
+    )
+    mx = joint.groupBy("__x").agg(F.sum("__nxy").alias("__nx"))
+    my = joint.groupBy("__y").agg(F.sum("__nxy").alias("__ny"))
+    total = joint.agg(F.sum("__nxy").cast("double").alias("__n"))
+    # observed cells only, plus the missing-cell correction: cells with
+    # observed 0 contribute exactly `expected`, and Σ expected over ALL
+    # cells is N — so X² = Σ_obs((o-e)²/e - e) + N, no dense cross join
+    exp = F.col("__nx") * F.col("__ny") / F.col("__n")
+    terms = (
+        joint.join(mx, "__x")
+        .join(my, "__y")
+        .crossJoin(F.broadcast(total))
+        .select(
+            (
+                (F.col("__nxy") - exp) * (F.col("__nxy") - exp) / exp - exp
+            ).alias("__t")
+        )
+    )
+    card = joint.agg(
+        F.countDistinct("__x").alias("__cx"),
+        F.countDistinct("__y").alias("__cy"),
+        F.sum("__nxy").cast("long").alias("n"),
+    )
+    return (
+        terms.agg(F.sum("__t").alias("__s"))
+        .crossJoin(F.broadcast(card))
+        .select(
+            F.floor((F.col("__s") + F.col("n")) * 1_000_000).cast("long").alias("chi2_e6"),
+            ((F.col("__cx") - 1) * (F.col("__cy") - 1)).cast("long").alias("dof"),
+            F.col("n"),
+        )
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    variant_col: Column,
+    success_agg: Column,
+    unit_col: str,
+) -> DataFrame:
+    """A/B conversion test: pooled two-proportion z-statistic between
+    variant FALSE (control) and TRUE (treatment), computed per UNIT
+    (the correct grain for conversion tests — events per user are not
+    independent trials). ``success_agg`` is a boolean AGGREGATE over
+    one unit's rows (e.g. ``F.max(cond.cast("int")) == 1`` for
+    converted-at-all, or a count threshold for engagement metrics).
+
+    One unit-grain aggregation, then a 4-integer scalar reduce; z is
+    division-only float over exact integers, NULL when the pooled
+    standard error is 0 (degenerate all-converted / none-converted
+    splits). Output: 1 row (n_control, conv_control, n_treat,
+    conv_treat, z_e6)."""
+    units = df.groupBy(F.col(unit_col)).agg(
+        F.max(variant_col.cast("int")).alias("__v"),
+        success_agg.cast("int").alias("__s"),
+    )
+    c = units.agg(
+        F.sum(F.when(F.col("__v") == 0, 1).otherwise(0)).cast("long").alias("n_control"),
+        F.sum(F.when((F.col("__v") == 0) & (F.col("__s") == 1), 1).otherwise(0))
+        .cast("long").alias("conv_control"),
+        F.sum(F.when(F.col("__v") == 1, 1).otherwise(0)).cast("long").alias("n_treat"),
+        F.sum(F.when((F.col("__v") == 1) & (F.col("__s") == 1), 1).otherwise(0))
+        .cast("long").alias("conv_treat"),
+    )
+    p1 = F.col("conv_control") / F.col("n_control")
+    p2 = F.col("conv_treat") / F.col("n_treat")
+    pp = (F.col("conv_control") + F.col("conv_treat")) / (
+        F.col("n_control") + F.col("n_treat")
+    )
+    se = F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_control") + 1.0 / F.col("n_treat")))
+    return c.select(
+        "n_control", "conv_control", "n_treat", "conv_treat",
+        F.when(se > 0, F.floor((p2 - p1) / se * 1_000_000).cast("long")).alias("z_e6"),
+    )
+
+
+def population_stability_index(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """PSI drift score between a reference and a current sample of a
+    numeric column over FIXED equal-width bins on [lo, hi] (fixed bins
+    keep the statistic engine-replayable and ref/cur comparable;
+    out-of-range values clamp into the edge bins, the standard
+    scorecard-monitoring convention): PSI = Σ (p_cur − p_ref) ·
+    ln(p_cur / p_ref), add-half-count smoothed so empty bins stay
+    finite. < 0.1 stable, > 0.25 shifted.
+
+    One count aggregation per side over the binned value (map-side
+    combined), a bins-sized join, one scalar row each. Output: 1 row
+    (psi_e6, n_ref, n_cur)."""
+    if not (hi > lo and n_bins >= 2):
+        raise ValueError("need hi > lo and n_bins >= 2")
+    width = (hi - lo) / n_bins
+
+    def binned(d: DataFrame, name: str) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - lo) / width).cast("long"), F.lit(0)
+            ),
+            F.lit(n_bins - 1),
+        )
+        return d.groupBy(b.alias("bin")).agg(F.count("*").alias(name))
+
+    r = binned(ref, "__nr")
+    c = binned(cur, "__nc")
+    tr = r.agg(F.sum("__nr").cast("double").alias("__tr"))
+    tc = c.agg(F.sum("__nc").cast("double").alias("__tc"))
+    joined = (
+        r.join(c, "bin", "full_outer")
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tc))
+    )
+    pr = (F.coalesce(F.col("__nr"), F.lit(0)) + 0.5) / (F.col("__tr") + 0.5 * n_bins)
+    pc = (F.coalesce(F.col("__nc"), F.lit(0)) + 0.5) / (F.col("__tc") + 0.5 * n_bins)
+    return (
+        joined.select(
+            ((pc - pr) * F.log(pc / pr)).alias("__t"),
+            F.col("__tr"), F.col("__tc"),
+        )
+        .groupBy("__tr", "__tc")
+        .agg(F.sum("__t").alias("__psi"))
+        .select(
+            F.floor(F.col("__psi") * 1_000_000).cast("long").alias("psi_e6"),
+            F.col("__tr").cast("long").alias("n_ref"),
+            F.col("__tc").cast("long").alias("n_cur"),
+        )
+    )

@@ -1102,3 +1102,130 @@ def theil_sen_trend_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("slope") * 1_000_000).cast("long").alias("slope_e6"),
         F.floor(F.col("intercept") * 1_000_000).cast("long").alias("intercept_e6"),
     )
+
+
+@register(
+    "chi2_source_lang",
+    oracle="""
+    WITH j AS (
+      SELECT source AS x, lang AS y, CAST(COUNT(*) AS BIGINT) AS nxy
+      FROM documents GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, SUM(nxy) AS nx FROM j GROUP BY 1),
+    my AS (SELECT y, SUM(nxy) AS ny FROM j GROUP BY 1),
+    tot AS (SELECT CAST(SUM(nxy) AS DOUBLE) AS n,
+                   CAST(SUM(nxy) AS BIGINT) AS nb FROM j),
+    card AS (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS cx,
+                    CAST(COUNT(DISTINCT y) AS BIGINT) AS cy FROM j),
+    s AS (
+      SELECT SUM((nxy - nx * ny / n) * (nxy - nx * ny / n) / (nx * ny / n)
+                 - nx * ny / n) AS t
+      FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    )
+    SELECT CAST(FLOOR((t + nb) * 1000000) AS BIGINT) AS chi2_e6,
+           (cx - 1) * (cy - 1) AS dof, nb AS n
+    FROM s CROSS JOIN tot CROSS JOIN card
+    """,
+    doc="Chi-squared independence test source x lang "
+    "(ops.stats.chi_squared_independence) — the significance sibling "
+    "of orders_mutual_info. Observed-cells-only formulation: a zero "
+    "cell contributes exactly its expectation and Σexpected = N, so "
+    "X² = Σ_obs((o−e)²/e − e) + N — no dense |X|x|Y| cross join. "
+    "Integer counts, division-only float, floor-micro.",
+)
+def chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import chi_squared_independence
+
+    return chi_squared_independence(t(spark, sf_dir, "documents"), "source", "lang")
+
+
+@register(
+    "ab_test_conversion",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS v,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+                  THEN 1 ELSE 0 END AS s
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+             CAST(SUM(CASE WHEN v = 0 AND s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_control,
+             CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+             CAST(SUM(CASE WHEN v = 1 AND s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_treat
+      FROM u
+    )
+    SELECT n_control, conv_control, n_treat, conv_treat,
+           CAST(FLOOR(
+             (conv_treat / n_treat - conv_control / n_control)
+             / sqrt(((conv_control + conv_treat) / (n_control + n_treat))
+                    * (1 - (conv_control + conv_treat) / (n_control + n_treat))
+                    * (1.0 / n_control + 1.0 / n_treat))
+             * 1000000) AS BIGINT) AS z_e6
+    FROM c
+    """,
+    doc="A/B conversion test (ops.stats.two_proportion_ztest): pooled "
+    "two-proportion z between a deterministic user split (user_id "
+    "parity — the assignment IS the md5-holdout idiom's degenerate "
+    "case) on purchase conversion, computed at USER grain (events per "
+    "user are not independent trials). One unit aggregation + a "
+    "4-integer scalar reduce; z is division-only float over exact "
+    "integers.",
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import two_proportion_ztest
+
+    ev = t(spark, sf_dir, "events")
+    return two_proportion_ztest(
+        ev,
+        F.col("user_id") % 2 == 1,
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 15,
+        "user_id",
+    )
+
+
+@register(
+    "psi_price_drift",
+    oracle="""
+    WITH r AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / 60000.0) AS BIGINT), 0), 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS nr
+      FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01' GROUP BY 1
+    ),
+    c AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / 60000.0) AS BIGINT), 0), 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS nc
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' GROUP BY 1
+    ),
+    tr AS (SELECT CAST(SUM(nr) AS DOUBLE) AS t FROM r),
+    tc AS (SELECT CAST(SUM(nc) AS DOUBLE) AS t FROM c),
+    terms AS (
+      SELECT ((COALESCE(nc, 0) + 0.5) / (tc.t + 5.0)
+              - (COALESCE(nr, 0) + 0.5) / (tr.t + 5.0))
+             * ln(((COALESCE(nc, 0) + 0.5) / (tc.t + 5.0))
+                  / ((COALESCE(nr, 0) + 0.5) / (tr.t + 5.0))) AS t,
+             tr.t AS trt, tc.t AS tct
+      FROM r FULL OUTER JOIN c USING (bin) CROSS JOIN tr CROSS JOIN tc
+    )
+    SELECT CAST(FLOOR(SUM(t) * 1000000) AS BIGINT) AS psi_e6,
+           CAST(MAX(trt) AS BIGINT) AS n_ref, CAST(MAX(tct) AS BIGINT) AS n_cur
+    FROM terms
+    """,
+    doc="Population stability index on order value, pre-1995 vs "
+    "post-1995 (ops.stats.population_stability_index): the scorecard "
+    "drift monitor over FIXED equal-width bins [0, 600k)x10 (fixed "
+    "bins keep ref/cur comparable and the statistic "
+    "engine-replayable; edge bins clamp), add-half smoothing. Two "
+    "count aggregations + a bins-sized join. corpus_drift's KL is "
+    "the vocabulary twin; PSI is the numeric-column one.",
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import population_stability_index
+
+    orders = t(spark, sf_dir, "orders")
+    ref = orders.filter(F.col("o_orderdate") < "1995-01-01")
+    cur = orders.filter(F.col("o_orderdate") >= "1995-01-01")
+    return population_stability_index(
+        ref, cur, "o_totalprice", lo=0.0, hi=600_000.0, n_bins=10
+    )

@@ -1421,3 +1421,48 @@ def test_theil_sen_robust_to_outlier(spark):
     r = theil_sen_trend(df, ["k"], "n", "y").collect()[0]
     assert r["n_points"] == 10
     assert r["slope"] == 2.0 and r["intercept"] == 1.0
+
+
+def test_stats_tier_chi2_ztest_psi(spark):
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import (
+        chi_squared_independence,
+        population_stability_index,
+        two_proportion_ztest,
+    )
+
+    # chi2: perfectly independent 2x2 -> 0; fully dependent -> n
+    ind = spark.createDataFrame(
+        [("a", "x")] * 10 + [("a", "y")] * 10 + [("b", "x")] * 10 + [("b", "y")] * 10,
+        "u string, v string",
+    )
+    r = chi_squared_independence(ind, "u", "v").collect()[0]
+    assert r["chi2_e6"] == 0 and r["dof"] == 1 and r["n"] == 40
+    dep = spark.createDataFrame(
+        [("a", "x")] * 20 + [("b", "y")] * 20, "u string, v string"
+    )
+    r2 = chi_squared_independence(dep, "u", "v").collect()[0]
+    assert r2["chi2_e6"] == 40 * 1_000_000
+
+    # z-test vs scipy-free hand computation: 30/100 vs 45/100
+    rows = [(i, i % 2, 1 if (i % 2 == 0 and i < 60) or (i % 2 == 1 and i < 90) else 0)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "user long, v int, s int")
+    z = two_proportion_ztest(
+        df, F.col("v") == 1, F.max("s") == 1, "user"
+    ).collect()[0]
+    p1, p2, pp = 30 / 100, 45 / 100, 75 / 200
+    se = math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+    assert z["z_e6"] == math.floor((p2 - p1) / se * 1e6)
+    # degenerate split: everyone converts -> NULL z, no crash
+    allc = spark.createDataFrame([(i, i % 2, 1) for i in range(20)], "user long, v int, s int")
+    assert two_proportion_ztest(allc, F.col("v") == 1, F.max("s") == 1, "user").collect()[0]["z_e6"] is None
+
+    # PSI: identical distributions -> ~0; shifted -> large
+    a = spark.createDataFrame([(float(i % 10),) for i in range(1000)], "x double")
+    b = spark.createDataFrame([(float(i % 10) + 5,) for i in range(1000)], "x double")
+    same = population_stability_index(a, a, "x", 0.0, 10.0, 10).collect()[0]
+    assert same["psi_e6"] == 0 and same["n_ref"] == 1000
+    moved = population_stability_index(a, b, "x", 0.0, 10.0, 10).collect()[0]
+    assert moved["psi_e6"] > 250_000  # way past the 0.25 'shifted' bar
