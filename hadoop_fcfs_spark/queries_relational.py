@@ -2590,3 +2590,66 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents).alias("w"))
     )
     return label_propagation(edges, iterations=4).select("node", "community")
+
+
+@register(
+    "trending_parts",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT month, l_partkey, qty,
+             CAST(ROW_NUMBER() OVER (PARTITION BY month
+                                     ORDER BY qty DESC, l_partkey) AS BIGINT) AS rnk
+      FROM m QUALIFY rnk <= 5
+    )
+    SELECT CAST(a.month AS VARCHAR) AS month, a.l_partkey, a.qty, a.rnk,
+           b.rnk AS prev_rnk
+    FROM ranked a
+    LEFT JOIN ranked b
+      ON b.l_partkey = a.l_partkey
+     AND b.month = CAST(a.month - INTERVAL 1 MONTH AS DATE)
+    """,
+    doc="Trending items: monthly top-5 parts by quantity with the "
+    "previous month's rank attached (NULL = newly trending) — the "
+    "leaderboard-delta analytic. rank<=5 compiles to WindowGroupLimit "
+    "(each month's ranking truncates to 5 rows in partial aggregation "
+    "— never a full part ranking through one task); the month-to-month "
+    "join runs over 5-row lists. Integer quantities; l_quantity cast "
+    "to BIGINT before summing so no float accumulates.",
+)
+def trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    m = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            "l_partkey",
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    )
+    w = Window.partitionBy("month").orderBy(F.desc("qty"), F.asc("l_partkey"))
+    ranked = (
+        m.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
+    prev = ranked.select(
+        F.add_months(F.col("month"), 1).alias("month"),
+        F.col("l_partkey"),
+        F.col("rnk").alias("prev_rnk"),
+    )
+    return (
+        ranked.join(prev, ["month", "l_partkey"], "left")
+        .select(
+            F.col("month").cast("string").alias("month"),
+            "l_partkey", "qty", "rnk", "prev_rnk",
+        )
+    )

@@ -529,11 +529,15 @@ def test_no_unallowed_unpartitioned_windows_static_sweep():
     ALLOWED = {
         # (file, enclosing function): why it's bounded
         ("ops/sort.py", "ranked_total_order"),       # offsets over per-partition COUNT summary
+        ("ops/stats.py", "pareto_frontier"),         # prefix max over one-row-per-chunk summary
         ("llm/packing.py", "pack_sequences"),        # offsets over chunk-total summary
         ("queries_relational.py", "topk_orders"),    # TakeOrderedAndProject(limit=k) plan-asserted
         ("queries_relational.py", "shipping_priority"),
         ("queries_relational.py", "grep_top"),
         ("queries_relational.py", "returned_items_topk"),
+        # both ranker windows run AFTER top_k(100) TakeOrdered-bounds
+        # the input — 100-row windows by construction
+        ("queries_llm.py", "hybrid_rank_fusion"),
     }
     root = pathlib.Path("hadoop_fcfs_spark")
     found = set()
@@ -577,6 +581,7 @@ def test_no_unallowed_driver_collects_static_sweep():
         ("queries_llm.py", "semdedup_gate"),         # 16 fixture quantizer vectors
         ("bench/tera.py", "teravalidate"),           # one stats row per partition
         ("bench/tera.py", "content_checksum"),       # one scalar
+        ("llm/bpe.py", "learn_bpe_merges"),          # 1-row argmax per merge (k-means-centroid precedent)
         ("__main__.py", "main"),                     # CLI verify: result display/compare IS the job
     }
     root = pathlib.Path("hadoop_fcfs_spark")
@@ -625,3 +630,14 @@ def test_prefilter_semi_join_digest_side_broadcasts(spark):
     )
     assert plan.count("BroadcastHashJoin") >= 1
     assert "xxhash64" in plan
+
+
+def test_trending_parts_rank_is_window_group_limit(spark):
+    """The monthly top-5 rank filter must compile to WindowGroupLimit
+    (per-month rankings truncate to 5 rows during partial aggregation),
+    not a full per-month ranking through one task."""
+    from hadoop_fcfs_spark.registry import all_queries
+
+    df = all_queries()["trending_parts"].spark_fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
