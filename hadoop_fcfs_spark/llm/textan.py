@@ -674,3 +674,74 @@ def char_class_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         *[c.cast("long").alias(n) for n, c in counts.items()],
         other.cast("long").alias("n_other"),
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df_frac: float = 0.5,
+    quant: int = 1000,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join via the inverted index —
+    the pre-embedding document-similarity workhorse: partial dot
+    products are generated term-at-a-time (postings self-join on term,
+    doc_a < doc_b) and summed per pair; norms re-aggregate from the
+    same weight table.
+
+    Determinism design: weights are FLOOR-quantized integers
+    (tf · idf · quant), so dot products and norms are EXACT BIGINT sums
+    — no float accumulation anywhere; the only float op is the final
+    cos = dot/(√n²a·√n²b), identical single-expression shape per
+    engine. quant=1000 keeps Σw² far from BIGINT overflow for any
+    realistic document (overflow needs Σ(tf·idf)² > 9.2e12).
+
+    Scale shape: terms with doc_freq > max_df_frac·N are pruned BEFORE
+    the pair join (the stopword-fanout guard: a term in f docs emits
+    O(f²) pairs; cosine is then defined over the pruned vocabulary,
+    mirrored in any oracle). For thresholded similarity at corpus
+    scale, prefix-filter first (llm.dedup.containment/jaccard PPJoin
+    tier) — this operator is the exact-scoring stage.
+
+    Output: (doc_a, doc_b, shared_terms, cos_e6)."""
+    toks = _tokens(text_col)
+    pairs = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = pairs.groupBy(id_col, "term").agg(F.count("*").alias("__tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("__N"))
+    idf = F.log((F.col("__N") + 1) / (F.col("__df") + 1)) + 1
+    from hadoop_fcfs_spark.caching import waypoint
+
+    w = waypoint(
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__df") * (1.0 / max_df_frac) <= F.col("__N"))
+        .select(
+            F.col(id_col),
+            "term",
+            F.floor(F.col("__tf") * idf * quant).cast("long").alias("__w"),
+        )
+    )
+    norms = w.groupBy(id_col).agg(F.sum(F.col("__w") * F.col("__w")).alias("__n2"))
+    a = w.select(F.col(id_col).alias("doc_a"), "term", F.col("__w").alias("__wa"))
+    b = w.select(F.col(id_col).alias("doc_b"), "term", F.col("__w").alias("__wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"),
+            F.count("*").cast("long").alias("shared_terms"),
+        )
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("__n2").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("__n2").alias("__nb"))
+    cos = F.col("__dot") / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb")))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "shared_terms",
+            F.floor(cos * 1_000_000).cast("long").alias("cos_e6"),
+        )
+    )

@@ -2216,3 +2216,51 @@ def script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         e6("n_digit").alias("digit_e6"),
         e6("n_space").alias("space_e6"),
     )
+
+
+@register(
+    "tfidf_cosine_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                                        x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+    w AS (
+      SELECT doc_id, term,
+             CAST(FLOOR(tf * (ln((n + 1) / (df + 1)) + 1) * 1000) AS BIGINT) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+      WHERE df * 2.0 <= n
+    ),
+    norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(a.w * b.w) AS dot, CAST(COUNT(*) AS BIGINT) AS shared_terms
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared_terms,
+           CAST(FLOOR(dot / (sqrt(na.n2) * sqrt(nb.n2)) * 1000000) AS BIGINT)
+             AS cos_e6
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    ORDER BY cos_e6 DESC, doc_a, doc_b LIMIT 100
+    """,
+    doc="Sparse TF-IDF cosine similarity join "
+    "(llm.textan.tfidf_cosine_pairs): term-at-a-time partial dot "
+    "products over the inverted index, stopword terms (df > N/2) "
+    "pruned before the quadratic pair fanout. Weights floor-quantized "
+    "to integers so dots and norms are EXACT BIGINT sums — the only "
+    "float is the final single-expression cosine. Top-100 by "
+    "(cos_e6, lexical pair).",
+)
+def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import tfidf_cosine_pairs
+
+    out = tfidf_cosine_pairs(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.orderBy(F.desc("cos_e6"), "doc_a", "doc_b").limit(100)

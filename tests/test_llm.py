@@ -1147,3 +1147,29 @@ def test_char_class_profile_hand_counts(spark):
     assert got[1]["n_other"] == 1  # the '!'
     assert got[1]["n_chars_total"] == 9
     assert got[2]["n_chars_total"] == 0 and got[2]["n_other"] == 0
+
+
+def test_tfidf_cosine_pairs_identical_docs_and_pruning(spark):
+    from hadoop_fcfs_spark.llm.textan import tfidf_cosine_pairs
+
+    # docs 1 and 2 identical -> cosine exactly 1.0 (1e6 quantized);
+    # 'the' appears in all 4 docs -> pruned (df > N/2), so doc 3 shares
+    # nothing with 1/2 after pruning and produces NO pair with 4
+    rows = [
+        (1, "the alpha beta gamma"),
+        (2, "the alpha beta gamma"),
+        (3, "the zeta"),
+        (4, "the omega"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["shared_terms"], r["cos_e6"])
+        for r in tfidf_cosine_pairs(df, "doc_id", "text").collect()
+    }
+    # identical docs: dot == n2 exactly, but sqrt(n2)*sqrt(n2) may land
+    # one ulp above n2, so the floor-micro cosine is 999999 or 1000000
+    # (deterministically the SAME value in both engines — the gate
+    # hash-compares it)
+    assert set(got) == {(1, 2)}
+    shared, cos = got[(1, 2)]
+    assert shared == 3 and cos in (999_999, 1_000_000)
