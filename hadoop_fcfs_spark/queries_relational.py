@@ -2506,14 +2506,7 @@ def frequent_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_oracle(iterations: int) -> str:
-    """Unrolled synchronous-LPA CTE chain mirroring
-    ops.graph.label_propagation: symmetrized integer-cent trade edges,
-    per-iteration vote sums, max, and min-label-at-max (the
-    deterministic tiebreak)."""
-    cte = [
-        """    WITH
-    e0 AS (
+_TRADE_EDGES_CTE = """e0 AS (
       SELECT cn.n_name AS s, sn.n_name AS d,
              SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS w
       FROM lineitem
@@ -2524,7 +2517,17 @@ def _lpa_oracle(iterations: int) -> str:
       JOIN nation sn ON s_nationkey = sn.n_nationkey
       WHERE cn.n_name <> sn.n_name
       GROUP BY 1, 2
-    ),
+    )"""
+
+
+def _lpa_oracle(iterations: int, edges_cte: str = _TRADE_EDGES_CTE) -> str:
+    """Unrolled synchronous-LPA CTE chain mirroring
+    ops.graph.label_propagation: ``edges_cte`` must define
+    e0(s, d, w) with no self-loops; the chain symmetrizes it, then per
+    iteration: vote sums, max, min-label-at-max (the deterministic
+    tiebreak)."""
+    cte = [
+        "    WITH\n    " + edges_cte + """,
     agg AS (
       SELECT s, d, SUM(w) AS w FROM (
         SELECT s, d, w FROM e0 UNION ALL SELECT d, s, w FROM e0
@@ -2653,3 +2656,46 @@ def trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey", "qty", "rnk", "prev_rnk",
         )
     )
+
+
+_COOC_EDGES_CTE = """toks AS (
+      SELECT doc_id, UNNEST(arr) AS w, UNNEST(range(1, len(arr) + 1)) AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS arr
+        FROM documents
+      )
+    ),
+    e0 AS (
+      SELECT LEAST(a.w, b.w) AS s, GREATEST(a.w, b.w) AS d,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM toks a
+      JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2
+       AND a.w <> b.w
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 100
+    )"""
+
+
+@register(
+    "concept_communities",
+    oracle=_lpa_oracle(3, _COOC_EDGES_CTE),
+    doc="Composed pipeline: windowed word co-occurrence "
+    "(ops.textops.cooccurrence_pairs, the Lin & Dyer pairs pattern) -> "
+    "strong-edge filter (count >= 100) -> weighted label propagation "
+    "(ops.graph.label_propagation, 3 iterations) — topic-ish concept "
+    "clusters straight from text, no embeddings. The Spark side chains "
+    "the in-array pair generation into the aggregation-only LPA; the "
+    "oracle chains the naive positions self-join into the unrolled LPA "
+    "CTEs — same answer, fully independent shapes at both stages.",
+)
+def concept_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.graph import label_propagation
+    from hadoop_fcfs_spark.ops.textops import cooccurrence_pairs
+
+    pairs = cooccurrence_pairs(t(spark, sf_dir, "documents"), "text", window=2)
+    edges = pairs.filter(F.col("cnt") >= 100).select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst"), F.col("cnt").alias("w")
+    )
+    return label_propagation(edges, iterations=3).select("node", "community")
