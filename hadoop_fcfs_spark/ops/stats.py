@@ -521,3 +521,57 @@ def population_stability_index(
             F.col("__tc").cast("long").alias("n_cur"),
         )
     )
+
+
+def kaplan_meier(
+    durations: DataFrame,
+    duration_col: str,
+    censored_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator over integer durations (user
+    lifetime in days, onboarding-to-churn, ticket age): at each
+    duration t with observed (uncensored) exits, S(t) = Π_{s≤t}
+    (1 − d_s/n_s), where n_s counts subjects still at risk (duration ≥
+    s) and d_s the uncensored exits at s. Right-censored subjects
+    (still active at observation end) leave the risk set without
+    counting as exits — dropping them instead is the classic retention
+    anti-pattern this operator exists to avoid.
+
+    Scale shape: one subject-level aggregation to (duration, exits,
+    total) GRAIN rows; n_s is total − prefix-sum and S(t) is
+    exp(Σ ln(1 − d/n)) — both windows run over the duration-grain
+    summary (days, not subjects). Output rows only at durations with
+    exits: (t, n_risk, d_events, surv_e6)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from pyspark.sql import Window
+
+    grain = waypoint(
+        durations.groupBy(F.col(duration_col).alias("t")).agg(
+            F.sum(F.when(~F.col(censored_col), 1).otherwise(0)).alias("__d"),
+            F.count("*").alias("__all"),
+        )
+    )
+    total = grain.agg(F.sum("__all").alias("__n"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # duration-grain summary windows: bounded by the observation span
+    at_risk = (
+        grain.crossJoin(F.broadcast(total))
+        .withColumn("__left", F.coalesce(F.sum("__all").over(w_prev), F.lit(0)))
+        .withColumn("n_risk", (F.col("__n") - F.col("__left")).cast("long"))
+    )
+    surv = F.exp(
+        F.sum(
+            F.log(1.0 - F.col("__d") / F.col("n_risk"))
+        ).over(w_run)
+    )
+    return (
+        at_risk.withColumn("__s", surv)
+        .filter(F.col("__d") > 0)
+        .select(
+            F.col("t").cast("long").alias("t"),
+            "n_risk",
+            F.col("__d").cast("long").alias("d_events"),
+            F.floor(F.col("__s") * 1_000_000).cast("long").alias("surv_e6"),
+        )
+    )

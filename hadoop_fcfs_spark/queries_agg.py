@@ -1229,3 +1229,73 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return population_stability_index(
         ref, cur, "o_totalprice", lo=0.0, hi=600_000.0, n_bins=10
     )
+
+
+@register(
+    "kaplan_meier_retention",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l,
+             MIN(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN CAST(ts AS DATE) END) AS conv
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT CASE WHEN conv IS NOT NULL THEN DATEDIFF('day', f, conv)
+                  ELSE DATEDIFF('day', f, l) END AS t,
+             (conv IS NULL) AS cens
+      FROM u
+    ),
+    g AS (
+      SELECT t, SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS de, COUNT(*) AS a
+      FROM d GROUP BY 1
+    ),
+    tot AS (SELECT SUM(a) AS n FROM g),
+    r1 AS (
+      SELECT t, de, a,
+             n - COALESCE(SUM(a) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM g CROSS JOIN tot
+    ),
+    r2 AS (
+      SELECT t, de, n_risk,
+             exp(SUM(ln(1 - de / n_risk)) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+      FROM r1
+    )
+    SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(de AS BIGINT) AS d_events,
+           CAST(FLOOR(s * 1000000) AS BIGINT) AS surv_e6
+    FROM r2 WHERE de > 0
+    """,
+    doc="Kaplan-Meier time-to-conversion curve "
+    "(ops.stats.kaplan_meier): duration = days from a user's first "
+    "event to their first high-value purchase (value > 150); users who "
+    "never convert are right-censored at their last observed day — "
+    "they leave the risk set without counting as conversions, the bias "
+    "correction naive conversion curves miss. One user-grain "
+    "aggregation; risk-set and product windows run over duration-grain "
+    "summary rows only. S(t) = exp(Σ ln(1−d/n)) — ln/exp parity, "
+    "floor-micro.",
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import kaplan_meier
+
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("__f"),
+        F.max(F.to_date("ts")).alias("__l"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                F.to_date("ts"),
+            )
+        ).alias("__conv"),
+    )
+    durations = u.select(
+        F.when(
+            F.col("__conv").isNotNull(), F.datediff("__conv", "__f")
+        ).otherwise(F.datediff("__l", "__f")).alias("dur"),
+        F.col("__conv").isNull().alias("cens"),
+    )
+    return kaplan_meier(durations, "dur", "cens")

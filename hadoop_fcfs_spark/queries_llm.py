@@ -2264,3 +2264,60 @@ def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = tfidf_cosine_pairs(t(spark, sf_dir, "documents"), "doc_id", "text")
     return out.orderBy(F.desc("cos_e6"), "doc_a", "doc_b").limit(100)
+
+
+@register(
+    "vocab_richness",
+    oracle="""
+    WITH c AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM c
+    )
+    SELECT v, n_tokens, f1, f2,
+           CAST(FLOOR((v + f1 * (f1 - 1) / (2.0 * (f2 + 1))) * 1000000) AS BIGINT)
+             AS chao1_e6,
+           CAST(FLOOR((1 - f1 / CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+             AS coverage_e6
+    FROM s
+    """,
+    doc="Vocabulary richness estimation: bias-corrected Chao1 unseen-"
+    "species bound (V + F1(F1-1)/(2(F2+1))) and Good-Turing sample "
+    "coverage (1 - F1/N) from the token frequency-of-frequencies — "
+    "the 'how much more vocabulary would more data buy' question a "
+    "corpus curator asks before scaling collection. One token count "
+    "aggregation + one frequency-histogram reduce; integer counts, "
+    "division-only float, floor-micro.",
+)
+def vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    c = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    s = c.agg(
+        F.count("*").cast("long").alias("v"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    )
+    return s.select(
+        "v", "n_tokens", "f1", "f2",
+        F.floor(
+            (F.col("v") + F.col("f1") * (F.col("f1") - 1) / (2.0 * (F.col("f2") + 1)))
+            * 1_000_000
+        ).cast("long").alias("chao1_e6"),
+        F.floor(
+            (1 - F.col("f1") / F.col("n_tokens").cast("double")) * 1_000_000
+        ).cast("long").alias("coverage_e6"),
+    )

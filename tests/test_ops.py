@@ -1466,3 +1466,23 @@ def test_stats_tier_chi2_ztest_psi(spark):
     assert same["psi_e6"] == 0 and same["n_ref"] == 1000
     moved = population_stability_index(a, b, "x", 0.0, 10.0, 10).collect()[0]
     assert moved["psi_e6"] > 250_000  # way past the 0.25 'shifted' bar
+
+
+def test_kaplan_meier_hand_case_with_censoring(spark):
+    from hadoop_fcfs_spark.ops.stats import kaplan_meier
+
+    # classic textbook set: exits at t=1 (2 of 10), t=3 (1 of 8, after a
+    # censor at 2), censors at t=2 and t=5
+    rows = (
+        [(1, False)] * 2 + [(2, True)] + [(3, False)] + [(5, True)] * 6
+    )
+    df = spark.createDataFrame(rows, "dur int, cens boolean")
+    got = {r["t"]: (r["n_risk"], r["d_events"], r["surv_e6"]) for r in
+           kaplan_meier(df, "dur", "cens").collect()}
+    # S(1) = 1 - 2/10 = 0.8 ; S(3) = 0.8 * (1 - 1/7)
+    assert got[1] == (10, 2, 800_000)
+    import math
+
+    expect3 = math.floor(math.exp(math.log(1 - 2 / 10) + math.log(1 - 1 / 7)) * 1e6)
+    assert got[3] == (7, 1, expect3)
+    assert set(got) == {1, 3}  # censor-only durations emit no row
