@@ -32,8 +32,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: one per operator family — scan+agg, big join, global
 # sort, shuffle-heavy text agg, sub-quadratic dedup, ANN, windows, plus
 # the composed training-data pipeline and the packing prefix-sum (r2),
-# the exact-substring span tier (r3), BM25 retrieval scoring (r4), and
-# the prefix-filter exact set-similarity join (r4 cont.).
+# the exact-substring span tier (r3), BM25 retrieval scoring (r4), the
+# prefix-filter exact set-similarity join (r4 cont.), and the r4-final
+# DSIR selection + sparse TF-IDF cosine join (hashed-feature scoring
+# and the inverted-index similarity join are distinct shuffle shapes
+# from everything above).
 HEADLINE = [
     "pricing_summary",
     "join_multiway",
@@ -47,6 +50,8 @@ HEADLINE = [
     "duplicate_spans",
     "bm25_retrieval",
     "jaccard_prefix_dedup",
+    "dsir_selection",
+    "tfidf_cosine_topk",
 ]
 
 
