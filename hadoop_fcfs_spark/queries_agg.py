@@ -1299,3 +1299,50 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__conv").isNull().alias("cens"),
     )
     return kaplan_meier(durations, "dur", "cens")
+
+
+@register(
+    "rolling_wau",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
+    win AS (
+      SELECT ud.user_id,
+             CAST(ud.day + INTERVAL (6 - off) DAY AS DATE) AS wend
+      FROM ud CROSS JOIN (SELECT UNNEST(range(0, 7)) AS off)
+    )
+    SELECT CAST(wend AS VARCHAR) AS window_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM win CROSS JOIN bounds
+    WHERE wend >= CAST(lo + INTERVAL 6 DAY AS DATE) AND wend <= hi
+    GROUP BY 1
+    """,
+    doc="Rolling 7-day active users (WAU): the distinct-over-sliding-"
+    "window problem, which has NO partial-aggregatable exact form — "
+    "solved by exploding the per-(user, day) table into the 7 windows "
+    "each day belongs to, then countDistinct per window end. The "
+    "explode runs over the user-day GRAIN (already deduped), never raw "
+    "events, so the fanout is 7x|user-days|. The 100 TB path swaps "
+    "countDistinct for the agg.sketches HLL tier: materialize one "
+    "sketch per day, union 7 per window — hll_distinct_rollup proves "
+    "that machinery. Windows clipped to fully-covered ends.",
+)
+def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    bounds = ud.agg(F.min("day").alias("__lo"), F.max("day").alias("__hi"))
+    win = ud.select(
+        "user_id",
+        F.explode(
+            F.array(*[F.date_add(F.col("day"), 6 - off) for off in range(7)])
+        ).alias("wend"),
+    )
+    return (
+        win.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("wend") >= F.date_add(F.col("__lo"), 6))
+            & (F.col("wend") <= F.col("__hi"))
+        )
+        .groupBy(F.col("wend").cast("string").alias("window_end"))
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )

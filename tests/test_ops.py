@@ -1486,3 +1486,34 @@ def test_kaplan_meier_hand_case_with_censoring(spark):
     expect3 = math.floor(math.exp(math.log(1 - 2 / 10) + math.log(1 - 1 / 7)) * 1e6)
     assert got[3] == (7, 1, expect3)
     assert set(got) == {1, 3}  # censor-only durations emit no row
+
+
+def test_rolling_wau_hand_case(spark):
+    from datetime import datetime
+
+    from hadoop_fcfs_spark.registry import all_queries  # noqa: F401  (pattern ref)
+
+    # direct mini-replica of the gate shape on controlled data
+    from pyspark.sql import functions as FF
+
+    rows = [
+        (1, datetime(2024, 1, d)) for d in range(1, 11)
+    ] + [(2, datetime(2024, 1, 10))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    ud = ev.select("user_id", FF.to_date("ts").alias("day")).distinct()
+    bounds = ud.agg(FF.min("day").alias("__lo"), FF.max("day").alias("__hi"))
+    win = ud.select(
+        "user_id",
+        FF.explode(FF.array(*[FF.date_add(FF.col("day"), 6 - o) for o in range(7)])).alias("wend"),
+    )
+    got = {
+        str(r["window_end"]): r["wau"]
+        for r in (
+            win.crossJoin(FF.broadcast(bounds))
+            .filter((FF.col("wend") >= FF.date_add(FF.col("__lo"), 6)) & (FF.col("wend") <= FF.col("__hi")))
+            .groupBy(FF.col("wend").cast("string").alias("window_end"))
+            .agg(FF.countDistinct("user_id").cast("long").alias("wau"))
+        ).collect()
+    }
+    # windows ending Jan 7..9 see only user 1; Jan 10's window sees both
+    assert got == {"2024-01-07": 1, "2024-01-08": 1, "2024-01-09": 1, "2024-01-10": 2}
