@@ -1346,3 +1346,57 @@ def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("wend").cast("string").alias("window_end"))
         .agg(F.countDistinct("user_id").cast("long").alias("wau"))
     )
+
+
+@register(
+    "benford_price_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS tn FROM c)
+    SELECT digit, n,
+           CAST(FLOOR(ln(1 + 1.0 / digit) / ln(10.0) * 1000000) AS BIGINT)
+             AS benford_e6,
+           CAST(FLOOR(n / tn * 1000000) AS BIGINT) AS observed_e6,
+           CAST(FLOOR((n / tn - ln(1 + 1.0 / digit) / ln(10.0))
+                 * (n / tn - ln(1 + 1.0 / digit) / ln(10.0))
+                 / (ln(1 + 1.0 / digit) / ln(10.0)) * tn * 1000000) AS BIGINT)
+             AS chi2_contrib_e6
+    FROM c CROSS JOIN tot
+    """,
+    doc="Benford's-law first-digit audit of order values — the "
+    "classic forensic/data-quality screen for fabricated or truncated "
+    "numeric columns: observed first-digit shares vs log10(1+1/d), "
+    "with per-digit chi-squared contributions. First digit extracted "
+    "through integer-string truncation (identical in both engines — "
+    "no float log tricks); one count aggregation + a 9-row compare. "
+    "Division-only float, floor-micro.",
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    orders = t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    c = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = c.agg(F.sum("n").cast("double").alias("__tn"))
+    p_obs = F.col("n") / F.col("__tn")
+    p_ben = F.log(1 + 1.0 / F.col("digit")) / F.lit(math.log(10.0))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.floor(p_ben * 1_000_000).cast("long").alias("benford_e6"),
+        F.floor(p_obs * 1_000_000).cast("long").alias("observed_e6"),
+        F.floor(
+            (p_obs - p_ben) * (p_obs - p_ben) / p_ben * F.col("__tn") * 1_000_000
+        ).cast("long").alias("chi2_contrib_e6"),
+    )
