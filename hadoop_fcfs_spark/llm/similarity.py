@@ -651,3 +651,67 @@ def knn_classify(
         .filter(F.col("__rk") == 1)
         .select("query_id", "true_label", F.col("__nb_label").alias("pred_label"))
     )
+
+
+def kcenter_greedy(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1000,
+) -> list[tuple[int, object, int]]:
+    """Greedy k-center coreset selection (Gonzalez 1985; the facility-
+    location diversity heuristic behind coreset-based training-data
+    selection): start from the smallest id, then repeatedly pick the
+    point FARTHEST from everything chosen so far (max min-distance,
+    2-approximation of the optimal cover radius).
+
+    Determinism design: vectors are floor-quantized to integers and
+    distance is EXACT integer squared-L2, so the per-iteration argmax
+    is a discrete choice over BIGINT keys with an id tiebreak — no
+    float rank anywhere, any engine replays the identical selection.
+
+    Scale shape: the corpus stays distributed; each iteration is ONE
+    narrow column update (min of previous mindist and distance to the
+    newly chosen center, whose 64 quantized coordinates ship as
+    literals — no join, no shuffle) + a TakeOrdered(1) argmax. Driver
+    state is k rows (the k-means-centroid precedent);
+    localCheckpoint per iteration keeps the k actions from re-running
+    the whole history.
+
+    Returns [(rank, chosen_id, mindist_when_chosen)] with rank 1..k;
+    the seed's mindist is 0 by convention."""
+    from hadoop_fcfs_spark.ops.sort import top_k
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x * quant).cast("long")
+        ).alias("__v"),
+    ).localCheckpoint()
+    seed = top_k(q, 1, F.asc("__id")).collect()[0]
+    chosen = [(1, seed["__id"], 0)]
+
+    def dist_to(vec: list) -> F.Column:
+        lit = F.array(*[F.lit(int(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col("__v"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    state = q.withColumn("__md", dist_to(seed["__v"])).localCheckpoint()
+    for rank in range(2, k + 1):
+        far = top_k(
+            state.filter(~F.col("__id").isin([c[1] for c in chosen])),
+            1,
+            F.desc("__md"),
+            F.asc("__id"),
+        ).collect()[0]
+        chosen.append((rank, far["__id"], far["__md"]))
+        state = state.withColumn(
+            "__md", F.least(F.col("__md"), dist_to(far["__v"]))
+        ).localCheckpoint()
+    return chosen

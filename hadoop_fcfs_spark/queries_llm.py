@@ -2321,3 +2321,67 @@ def vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1 - F.col("f1") / F.col("n_tokens").cast("double")) * 1_000_000
         ).cast("long").alias("coverage_e6"),
     )
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy k-center CTE chain mirroring
+    llm.similarity.kcenter_greedy: quantized integer vectors, exact
+    squared-L2, argmax by (mindist desc, id) per step."""
+    parts = [
+        """    WITH q AS (
+      SELECT vec_id AS id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c1 AS (SELECT id, v FROM q ORDER BY id LIMIT 1),
+    m1 AS MATERIALIZED (
+      SELECT p.id, ANY_VALUE(p.v) AS v,
+             SUM((p.v[t.i] - c.v[t.i]) * (p.v[t.i] - c.v[t.i])) AS md
+      FROM q p CROSS JOIN c1 c, UNNEST(range(1, len(p.v) + 1)) AS t(i)
+      GROUP BY p.id
+    )"""
+    ]
+    for j in range(2, k + 1):
+        p = j - 1
+        parts.append(f"""    c{j} AS MATERIALIZED (
+      SELECT id, v, md FROM m{p}
+      WHERE id NOT IN ({" UNION ALL ".join(f"SELECT id FROM c{i}" for i in range(1, j))})
+      ORDER BY md DESC, id LIMIT 1
+    ),
+    m{j} AS MATERIALIZED (
+      SELECT p.id, ANY_VALUE(p.v) AS v,
+             LEAST(ANY_VALUE(p.md),
+                   SUM((p.v[t.i] - c.v[t.i]) * (p.v[t.i] - c.v[t.i]))) AS md
+      FROM m{p} p CROSS JOIN c{j} c, UNNEST(range(1, len(p.v) + 1)) AS t(i)
+      GROUP BY p.id
+    )""")
+    selects = ["SELECT 1 AS rank, id AS vec_id, CAST(0 AS BIGINT) AS mindist FROM c1"]
+    selects += [
+        f"SELECT {j} AS rank, id AS vec_id, CAST(md AS BIGINT) AS mindist FROM c{j}"
+        for j in range(2, k + 1)
+    ]
+    return ",\n".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register(
+    "kcenter_coreset",
+    oracle=_kcenter_oracle(8),
+    doc="Greedy k-center coreset selection over embeddings "
+    "(llm.similarity.kcenter_greedy, k=8; Gonzalez 1985 — the "
+    "facility-location diversity heuristic of coreset-based data "
+    "selection): repeatedly take the point farthest from everything "
+    "chosen. Quantized integer vectors make every distance an EXACT "
+    "BIGINT and every argmax a discrete integer choice with id "
+    "tiebreak — any engine replays the identical selection. Corpus "
+    "stays distributed (literal-center column update + TakeOrdered "
+    "argmax per step); the oracle unrolls the 8 steps as CTEs.",
+)
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import kcenter_greedy
+
+    chosen = kcenter_greedy(t(spark, sf_dir, "embeddings"), k=8)
+    return spark.createDataFrame(
+        [(r, int(i), int(d)) for r, i, d in chosen],
+        "rank int, vec_id long, mindist long",
+    )

@@ -1173,3 +1173,22 @@ def test_tfidf_cosine_pairs_identical_docs_and_pruning(spark):
     assert set(got) == {(1, 2)}
     shared, cos = got[(1, 2)]
     assert shared == 3 and cos in (999_999, 1_000_000)
+
+
+def test_kcenter_greedy_picks_spread_points(spark):
+    from hadoop_fcfs_spark.llm.similarity import kcenter_greedy
+
+    # a tight cluster at origin (ids 0-9), one far point on x (id 50),
+    # one far point on y (id 51): greedy must pick both far points
+    # right after the seed
+    rows = [(i, [0.001 * i, 0.0]) for i in range(10)]
+    rows += [(50, [10.0, 0.0]), (51, [0.0, 8.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    chosen = kcenter_greedy(df, k=3)
+    assert [c[0] for c in chosen] == [1, 2, 3]
+    assert chosen[0][1] == 0          # deterministic seed: min id
+    assert {chosen[1][1], chosen[2][1]} == {50, 51}
+    assert chosen[1][1] == 50         # x-point is farther -> picked first
+    assert chosen[1][2] == 10000 * 10000  # exact integer distance
+    # replay determinism
+    assert kcenter_greedy(df, k=3) == chosen

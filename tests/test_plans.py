@@ -583,6 +583,7 @@ def test_no_unallowed_driver_collects_static_sweep():
         ("bench/tera.py", "teravalidate"),           # one stats row per partition
         ("bench/tera.py", "content_checksum"),       # one scalar
         ("llm/bpe.py", "learn_bpe_merges"),          # 1-row argmax per merge (k-means-centroid precedent)
+        ("llm/similarity.py", "kcenter_greedy"),     # 1 seed + 1 argmax row per step, k rows total
         ("__main__.py", "main"),                     # CLI verify: result display/compare IS the job
     }
     root = pathlib.Path("hadoop_fcfs_spark")
