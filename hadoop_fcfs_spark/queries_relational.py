@@ -2699,3 +2699,139 @@ def concept_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w1").alias("src"), F.col("w2").alias("dst"), F.col("cnt").alias("w")
     )
     return label_propagation(edges, iterations=3).select("node", "community")
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             DATEDIFF('day', CAST(MAX(o_orderdate) AS DATE), DATE '1998-12-31')
+               AS recency,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    th AS (
+      SELECT quantile_cont(recency,   [0.2, 0.4, 0.6, 0.8]) AS rt,
+             quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS ft,
+             quantile_cont(monetary,  [0.2, 0.4, 0.6, 0.8]) AS mt
+      FROM cust
+    ),
+    scored AS (
+      SELECT
+        CAST(1 + (recency > rt[1])::INT + (recency > rt[2])::INT
+               + (recency > rt[3])::INT + (recency > rt[4])::INT AS BIGINT) AS r,
+        CAST(1 + (frequency > ft[1])::INT + (frequency > ft[2])::INT
+               + (frequency > ft[3])::INT + (frequency > ft[4])::INT AS BIGINT) AS f,
+        CAST(1 + (monetary > mt[1])::INT + (monetary > mt[2])::INT
+               + (monetary > mt[3])::INT + (monetary > mt[4])::INT AS BIGINT) AS m,
+        monetary
+      FROM cust CROSS JOIN th
+    )
+    SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS BIGINT) AS monetary_cents
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation (recency / frequency / monetary "
+    "quintiles): the classic CRM rollup, built aggregate-first — ONE "
+    "customer-grain aggregation, ONE scalar row of exact quintile "
+    "thresholds broadcast back, per-row integer threshold-count "
+    "scoring (bucket = 1 + Σ(value > t_i): a discrete choice on "
+    "identical-shape comparisons, no global rank window, no NTILE "
+    "over the customer table). Monetary is integer CENTS from the row "
+    "level up — per-customer float sums would be accumulation-order-"
+    "nondeterministic and could flip threshold comparisons.",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.max(F.to_date("o_orderdate"))
+        ).alias("recency"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("monetary"),
+    )
+    from hadoop_fcfs_spark.caching import waypoint
+
+    cust = waypoint(cust)
+    th = cust.agg(
+        F.percentile("recency", F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])).alias("__rt"),
+        F.percentile("frequency", F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])).alias("__ft"),
+        F.percentile("monetary", F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])).alias("__mt"),
+    )
+
+    def score(col: str, th_col: str):
+        c = F.lit(1).cast("long")
+        for i in range(1, 5):
+            c = c + (F.col(col) > F.element_at(F.col(th_col), i)).cast("long")
+        return c
+
+    scored = cust.crossJoin(F.broadcast(th)).select(
+        score("recency", "__rt").alias("r"),
+        score("frequency", "__ft").alias("f"),
+        score("monetary", "__mt").alias("m"),
+        "monetary",
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("monetary").cast("long").alias("monetary_cents"),
+    )
+
+
+@register(
+    "purchase_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch_ts
+      FROM events
+    )
+    SELECT COALESCE(CASE WHEN epoch_us(ts) - epoch_us(last_touch_ts)
+                              <= 1800000000 THEN last_touch END,
+                    '(none)') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS purchases
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="Last-touch purchase attribution: each purchase credited to "
+    "the user's most recent non-purchase event within 30 minutes "
+    "('(none)' otherwise) — the marketing-attribution kernel. One "
+    "user-bounded window (last ignorenulls over (ts, event_id) total "
+    "order) carries both the touch type and its timestamp; integer "
+    "counts out.",
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonp = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    nonp_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.last(nonp, ignorenulls=True).over(w).alias("__lt"),
+        F.last(nonp_ts, ignorenulls=True).over(w).alias("__lt_ts"),
+    )
+    within = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("__lt_ts"))
+    ) <= 1_800_000_000
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .select(F.coalesce(F.when(within, F.col("__lt")), F.lit("(none)")).alias("channel"))
+        .groupBy("channel")
+        .agg(F.count("*").cast("long").alias("purchases"))
+    )

@@ -1517,3 +1517,40 @@ def test_rolling_wau_hand_case(spark):
     }
     # windows ending Jan 7..9 see only user 1; Jan 10's window sees both
     assert got == {"2024-01-07": 1, "2024-01-08": 1, "2024-01-09": 1, "2024-01-10": 2}
+
+
+def test_purchase_attribution_window_semantics(spark):
+    from datetime import datetime
+
+    from hadoop_fcfs_spark.registry import all_queries  # noqa: F401
+
+    # inline replica of the attribution shape on controlled rows
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    T = lambda m: datetime(2024, 1, 1, 10, m)
+    rows = [
+        (1, T(0), 1, "click"), (1, T(5), 2, "purchase"),     # click credited
+        (1, T(50), 3, "purchase"),                            # >30min -> none
+        (2, T(0), 4, "purchase"),                             # first event -> none
+        (3, T(0), 5, "view"), (3, T(1), 6, "purchase"),
+        (3, T(2), 7, "purchase"),                             # view still last touch
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int, event_type string")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, -1)
+    nonp = FF.when(FF.col("event_type") != "purchase", FF.col("event_type"))
+    nonp_ts = FF.when(FF.col("event_type") != "purchase", FF.col("ts"))
+    seq = ev.select(
+        "event_type", "ts",
+        FF.last(nonp, ignorenulls=True).over(w).alias("lt"),
+        FF.last(nonp_ts, ignorenulls=True).over(w).alias("lt_ts"),
+    )
+    within = (FF.unix_micros(FF.col("ts")) - FF.unix_micros(FF.col("lt_ts"))) <= 1_800_000_000
+    got = {
+        r["channel"]: r["purchases"]
+        for r in seq.filter(FF.col("event_type") == "purchase")
+        .select(FF.coalesce(FF.when(within, FF.col("lt")), FF.lit("(none)")).alias("channel"))
+        .groupBy("channel").agg(FF.count("*").cast("long").alias("purchases"))
+        .collect()
+    }
+    assert got == {"click": 1, "(none)": 2, "view": 2}
