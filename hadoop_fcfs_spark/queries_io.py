@@ -410,3 +410,36 @@ def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits=8,
         ).alias("zval"),
     )
+
+
+@register(
+    "footer_table_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_orderkey) AS DOUBLE) AS l_orderkey_min,
+           CAST(MAX(l_orderkey) AS DOUBLE) AS l_orderkey_max,
+           CAST(MIN(l_quantity) AS DOUBLE) AS l_quantity_min,
+           CAST(MAX(l_quantity) AS DOUBLE) AS l_quantity_max,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS l_extendedprice_min,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS l_extendedprice_max
+    FROM lineitem
+    """,
+    doc="Scan-less table statistics (io.metadata.table_stats_from_"
+    "footers): COUNT + per-column MIN/MAX answered from parquet FOOTER "
+    "metadata only — footer reads distributed over the file list with "
+    "mapInPandas/pyarrow (100k files = 100k few-KB reads across the "
+    "cluster, zero data pages). The oracle computes the same stats the "
+    "expensive way from the data — footers proven trustworthy is what "
+    "licenses file-skipping at 100 TB. Reference analog: "
+    "FileInputFormat.listStatus split planning.",
+)
+def footer_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hadoop_fcfs_spark.io.metadata import table_stats_from_footers
+
+    return table_stats_from_footers(
+        spark,
+        os.path.join(sf_dir, "lineitem.parquet"),
+        ["l_orderkey", "l_quantity", "l_extendedprice"],
+    )

@@ -437,3 +437,28 @@ def test_read_json_bad_records_policies(spark, tmp_path):
     ) == [1, 3]
     with pytest.raises(TypeError):
         read_json(spark, str(p), schema=123, bad_records="quarantine")
+
+
+def test_parquet_footer_stats_match_data(spark, tmp_path):
+    from hadoop_fcfs_spark.io.metadata import parquet_file_stats, table_stats_from_footers
+
+    d = str(tmp_path / "t")
+    spark.range(0, 1000).selectExpr(
+        "id", "CAST(id % 7 AS DOUBLE) AS v",
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE id END AS n",
+    ).repartition(4).write.parquet(d)
+
+    per_file = parquet_file_stats(spark, d, ["id", "v", "n"]).collect()
+    assert len(per_file) == 4
+    assert sum(r["n_rows"] for r in per_file) == 1000
+    assert sum(r["n_nulls"] for r in per_file) == 100
+
+    tot = table_stats_from_footers(spark, d, ["id", "v"]).collect()[0]
+    assert tot["n_rows"] == 1000
+    assert tot["id_min"] == 0.0 and tot["id_max"] == 999.0
+    assert tot["v_min"] == 0.0 and tot["v_max"] == 6.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        parquet_file_stats(spark, str(tmp_path / "missing"), ["id"])
