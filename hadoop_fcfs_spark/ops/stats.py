@@ -575,3 +575,38 @@ def kaplan_meier(
             F.floor(F.col("__s") * 1_000_000).cast("long").alias("surv_e6"),
         )
     )
+
+
+def spearman_corr(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — the
+    monotone-dependence screen (Pearson's column_corr misses nonlinear
+    but monotone relations; Spearman is Pearson ON AVERAGE RANKS, ties
+    sharing their fractional mean rank).
+
+    Scale shape: ranks are NOT computed with a global row window — each
+    column collapses to its distinct-VALUE grain (count per value), the
+    average rank of a value is (rows before it) + (cnt+1)/2 via a
+    prefix sum over the value-grain summary, and rows join their rank
+    back on the value (two grain-bounded windows + two co-located
+    joins). The final Pearson over rank pairs is one moment
+    aggregation. Output: 1 row (spearman rounded @6, n)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from pyspark.sql import Window
+
+    def avg_ranks(c: str, alias: str) -> DataFrame:
+        grain = df.groupBy(F.col(c).alias("__v")).agg(F.count("*").alias("__c"))
+        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+        # value-grain summary window (distinct values, not rows)
+        return grain.withColumn(
+            alias,
+            F.coalesce(F.sum("__c").over(w), F.lit(0))
+            + (F.col("__c") + 1) / 2.0,
+        ).select(F.col("__v").alias(c), alias)
+    base = waypoint(df.select(col_x, col_y))
+    rx = avg_ranks(col_x, "__rx")
+    ry = avg_ranks(col_y, "__ry")
+    ranked = base.join(rx, col_x).join(ry, col_y)
+    return ranked.agg(
+        F.round(F.corr("__rx", "__ry"), 6).alias("spearman"),
+        F.count("*").cast("long").alias("n"),
+    )

@@ -1400,3 +1400,38 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (p_obs - p_ben) * (p_obs - p_ben) / p_ben * F.col("__tn") * 1_000_000
         ).cast("long").alias("chi2_contrib_e6"),
     )
+
+
+@register(
+    "spearman_qty_price",
+    oracle="""
+    WITH base AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+    gx AS (SELECT x, COUNT(*) AS c FROM base GROUP BY 1),
+    rx AS (
+      SELECT x, COALESCE(SUM(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (c + 1) / 2.0 AS rkx
+      FROM gx
+    ),
+    gy AS (SELECT y, COUNT(*) AS c FROM base GROUP BY 1),
+    ry AS (
+      SELECT y, COALESCE(SUM(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (c + 1) / 2.0 AS rky
+      FROM gy
+    )
+    SELECT ROUND(CORR(rkx, rky), 6) AS spearman,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM base JOIN rx USING (x) JOIN ry USING (y)
+    """,
+    doc="Spearman rank correlation quantity vs price "
+    "(ops.stats.spearman_corr) — the monotone-dependence screen next "
+    "to lineitem_corr's Pearson. Average ranks come from the distinct-"
+    "VALUE grain (prefix sum over value summaries + join back), never "
+    "a global row window; ties share their exact fractional mean "
+    "rank. Rounded @6 like the Pearson gate.",
+)
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import spearman_corr
+
+    return spearman_corr(t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice")

@@ -1554,3 +1554,21 @@ def test_purchase_attribution_window_semantics(spark):
         .collect()
     }
     assert got == {"click": 1, "(none)": 2, "view": 2}
+
+
+def test_spearman_corr_monotone_and_ties(spark):
+    from hadoop_fcfs_spark.ops.stats import spearman_corr
+
+    # perfect monotone (nonlinear) relation -> exactly 1.0
+    df = spark.createDataFrame([(float(i), float(i**3)) for i in range(20)], "x double, y double")
+    r = spearman_corr(df, "x", "y").collect()[0]
+    assert r["spearman"] == 1.0 and r["n"] == 20
+
+    # anti-monotone -> -1; ties get fractional average ranks (scipy-free
+    # hand check: x=[1,1,2], y=[3,2,1] -> ranks x=[1.5,1.5,3], y=[3,2,1],
+    # corr = -0.866025)
+    df2 = spark.createDataFrame(
+        [(1.0, 3.0), (1.0, 2.0), (2.0, 1.0)], "x double, y double"
+    )
+    r2 = spearman_corr(df2, "x", "y").collect()[0]
+    assert r2["spearman"] == -0.866025

@@ -531,6 +531,7 @@ def test_no_unallowed_unpartitioned_windows_static_sweep():
         ("ops/sort.py", "ranked_total_order"),       # offsets over per-partition COUNT summary
         ("ops/stats.py", "pareto_frontier"),         # prefix max over one-row-per-chunk summary
         ("ops/stats.py", "kaplan_meier"),            # risk/product windows over duration-grain summary
+        ("ops/stats.py", "avg_ranks"),               # spearman_corr: prefix sums over distinct-value grain summaries
         ("llm/packing.py", "pack_sequences"),        # offsets over chunk-total summary
         ("queries_relational.py", "topk_orders"),    # TakeOrderedAndProject(limit=k) plan-asserted
         ("queries_relational.py", "shipping_priority"),
