@@ -1972,8 +1972,7 @@ def jaccard_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM stats CROSS JOIN tot
     )
     SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_features,
-           CAST(FLOOR(SUM(cnt * lam) * 1000) AS BIGINT) AS logw_e3,
-           CAST(FLOOR(SUM(cnt * lam) * 1000) AS BIGINT) > 0 AS selected
+           CAST(FLOOR(SUM(cnt * lam) * 1000) AS BIGINT) AS logw_e3
     FROM feats JOIN model USING (bucket)
     GROUP BY doc_id
     """,
@@ -1981,20 +1980,20 @@ def jaccard_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(llm.dsir.dsir_log_weights; Xie et al. 2023): hashed "
     "unigram+bigram bag-of-features (md5-uniform 8192 buckets), add-1 "
     "smoothed target-vs-raw log-ratio model (target = lang='en'), "
-    "per-doc log weight and the selection flag on the floor-milli "
-    "integer (never a raw-float rank — the discrete-choice gotcha). "
-    "One explode, aggregate-of-aggregate model, broadcast scoring "
-    "join.",
+    "per-doc floor-milli log weight (selection itself is downstream — "
+    "corpus_pipeline_v4 takes the top-k on this integer; on this "
+    "shared-vocabulary synthetic corpus ALL weights are negative, so "
+    "a sign threshold would be vacuous). One explode, aggregate-of-"
+    "aggregate model, broadcast scoring join.",
 )
 def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.llm.dsir import dsir_log_weights
 
     docs = t(spark, sf_dir, "documents")
     out = dsir_log_weights(docs, "doc_id", "text", F.col("lang") == "en")
-    logw_e3 = F.floor(F.col("log_weight") * 1000).cast("long")
     return out.select(
-        "doc_id", "n_features", logw_e3.alias("logw_e3"),
-        (logw_e3 > 0).alias("selected"),
+        "doc_id", "n_features",
+        F.floor(F.col("log_weight") * 1000).cast("long").alias("logw_e3"),
     )
 
 
@@ -2384,4 +2383,89 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r, int(i), int(d)) for r, i, d in chosen],
         "rank int, vec_id long, mindist long",
+    )
+
+
+@register(
+    "corpus_pipeline_v4",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, text, lang, source FROM documents
+      WHERE doc_id IN (
+        SELECT MIN(doc_id) FROM documents GROUP BY md5(lower(trim(text)))
+      )
+    ),
+    base AS (
+      SELECT doc_id, source, (lang = 'en') AS is_t,
+             list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+      FROM kept
+    ),
+    uni AS (SELECT doc_id, source, is_t, UNNEST(ws) AS g FROM base),
+    bi AS (
+      SELECT doc_id, source, is_t, ws[i] || ' ' || ws[i+1] AS g
+      FROM (SELECT doc_id, source, is_t, ws,
+                   UNNEST(generate_series(1, len(ws) - 1)) AS i
+            FROM base WHERE len(ws) >= 2)
+    ),
+    feats AS (
+      SELECT doc_id, source, is_t,
+             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 8192 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+      GROUP BY 1, 2, 3, 4
+    ),
+    stats AS (
+      SELECT bucket, SUM(cnt) AS r,
+             SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS tt
+      FROM feats GROUP BY 1
+    ),
+    tot AS (SELECT SUM(r) AS rr, SUM(tt) AS t FROM stats),
+    model AS (
+      SELECT bucket,
+             ln((tt + 1.0) / (t + 8192.0)) - ln((r + 1.0) / (rr + 8192.0)) AS lam
+      FROM stats CROSS JOIN tot
+    ),
+    weights AS (
+      SELECT doc_id, ANY_VALUE(source) AS source,
+             CAST(SUM(cnt) AS BIGINT) AS n_tok,
+             CAST(FLOOR(SUM(cnt * lam) * 1000) AS BIGINT) AS logw_e3
+      FROM feats JOIN model USING (bucket)
+      GROUP BY doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM (SELECT * FROM weights
+          QUALIFY ROW_NUMBER() OVER (ORDER BY logw_e3 DESC, doc_id) <= 100)
+    GROUP BY source
+    """,
+    doc="Composed training-data pipeline v4 (this round's tiers): "
+    "exact dedup on normalized text -> DSIR importance model fit on "
+    "the DEDUPED corpus (llm.dsir, target = lang='en') -> keep the "
+    "top-100 docs by floor-milli log weight (deterministic integer "
+    "rank, doc_id ties) -> per-source doc/token accounting. n_tok counts hashed features (uni+bigrams) — the "
+    "same mass the DSIR model weighs. Spark chains exact_dedup and "
+    "dsir_log_weights; the oracle chains independent SQL shapes.",
+)
+def corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.dedup import exact_dedup
+    from hadoop_fcfs_spark.llm.dsir import dsir_log_weights
+
+    docs = t(spark, sf_dir, "documents")
+    kept = exact_dedup(docs, "doc_id", "text")
+    w = dsir_log_weights(kept, "doc_id", "text", F.col("lang") == "en")
+    from hadoop_fcfs_spark.ops.sort import top_k
+
+    scored = w.select(
+        "doc_id", "n_features",
+        F.floor(F.col("log_weight") * 1000).cast("long").alias("__logw"),
+    )
+    sel = top_k(scored, 100, F.desc("__logw"), F.asc("doc_id"))
+    return (
+        sel.join(kept.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_features").cast("long").alias("n_tokens"),
+        )
     )
