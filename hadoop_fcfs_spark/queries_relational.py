@@ -2835,3 +2835,89 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel")
         .agg(F.count("*").cast("long").alias("purchases"))
     )
+
+
+@register(
+    "trade_degree_assortativity",
+    oracle="""
+    WITH ew AS (
+      SELECT cn.n_name AS s, sn.n_name AS d,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY 1, 2
+    ),
+    e0 AS (
+      SELECT s, d FROM (
+        SELECT s, d, ROW_NUMBER() OVER (PARTITION BY s ORDER BY w DESC, d) AS rk
+        FROM ew
+      ) WHERE rk <= 3
+    ),
+    sym AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+    deg AS (SELECT s AS n, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           ROUND(CORR(a.deg, b.deg), 6) AS assortativity
+    FROM sym JOIN deg a ON a.n = sym.s JOIN deg b ON b.n = sym.d
+    """,
+    doc="Degree assortativity of the top-3-partner sparsified nation "
+    "trade graph (the complete raw graph has constant degree — "
+    "assortativity undefined; sparsify by each nation's top-3 "
+    "integer-cent trade partners, the bfs_trade_reach idiom): "
+    "Pearson correlation of endpoint degrees over the (symmetrized) "
+    "edge list — negative = hub-and-spoke, positive = rich-club; the "
+    "one-scalar topology screen next to triangles/PageRank/BFS/LPA. "
+    "Degrees re-aggregate from the edge table; the corr is one moment "
+    "aggregation over edges, rounded @6 (the column_corr precedent).",
+)
+def trade_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("s"))
+    sn = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("d"))
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cnk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("snk"))
+        .filter(F.col("s") != F.col("d"))
+        .groupBy("s", "d")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            ).alias("__w")
+        )
+    )
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("s").orderBy(F.desc("__w"), F.asc("d"))
+    e0 = (
+        e0.withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= 3)
+        .select("s", "d")
+    )
+    from hadoop_fcfs_spark.caching import waypoint
+
+    sym = waypoint(
+        e0.unionByName(e0.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    )
+    deg = sym.groupBy(F.col("s").alias("n")).agg(F.count("*").cast("long").alias("deg"))
+    da = deg.select(F.col("n").alias("s"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("n").alias("d"), F.col("deg").alias("__db"))
+    return (
+        sym.join(da, "s")
+        .join(db, "d")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.round(F.corr("__da", "__db"), 6).alias("assortativity"),
+        )
+    )
