@@ -2469,3 +2469,40 @@ def corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_features").cast("long").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "term_dictionary",
+    oracle="""
+    WITH c AS (
+      SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY 1
+    )
+    SELECT term, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS term_id
+    FROM c
+    """,
+    doc="Global term dictionary: dense contiguous ids 1..V assigned by "
+    "(frequency desc, lexical) — the embedding-table / feature-"
+    "hashing-free vocabulary prep step. The global ranking runs "
+    "through ops.sort.ranked_total_order (range partition + "
+    "per-partition enumeration + broadcast prefix-sum offsets), NOT a "
+    "single-partition row_number window — the id assignment stays "
+    "distributed at any vocabulary size. Integer counts and ids.",
+)
+def term_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sort import ranked_total_order
+
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    c = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    ranked = ranked_total_order(
+        c, [F.desc("cnt"), F.asc("term")], rank_col="term_id"
+    )
+    return ranked.select("term", "cnt", F.col("term_id").cast("long").alias("term_id"))
