@@ -302,3 +302,56 @@ def negative_pairs(
         .filter(F.col("negative_id") != F.col("anchor_id"))
         .select("anchor_id", "j", "negative_id")
     )
+
+
+def weighted_draws(
+    weights: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n_draws: int,
+    chunk_of,
+) -> DataFrame:
+    """Deterministic weighted categorical sampling WITH replacement —
+    the word2vec negative-table / importance-mixture draw, as relational
+    algebra: build the integer cumulative-weight ranges [lo, hi) per
+    key (inverse CDF), generate ``n_draws`` md5-uniform integer targets
+    in [0, Σw), and route each target to its key with the bucketized
+    interval equi-join. Zero RNG state: draw i always lands on the same
+    key for the same weight table, in any engine.
+
+    ``weights`` must carry positive INTEGER weights (quantize upstream
+    — float weights would make the cumulative ranges engine-dependent)
+    with Σw < 2^31 per table (the u·Σw product must fit 63 bits);
+    ``chunk_of`` maps the key to a monotone chunk for the distributed
+    prefix sum (chunked_running_sum — the cumulative never runs through
+    one window task). Output: one row per draw (draw_id, key_col)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.joins import bucketized_interval_join
+    from hadoop_fcfs_spark.ops.sort import chunked_running_sum
+
+    w = weights.select(
+        F.col(key_col), F.col(weight_col).cast("long").alias("__w")
+    )
+    cum = waypoint(
+        chunked_running_sum(
+            w, [], chunk_of(F.col(key_col)), [key_col], "__w", out_col="__hi"
+        ).withColumn("__lo", F.col("__hi") - F.col("__w"))
+    )
+    total = cum.agg(F.max("__hi").alias("__tot"))
+    draws = (
+        weights.sparkSession.range(n_draws)
+        .select(
+            F.col("id").alias("draw_id"),
+            _sample_key(F.col("id")).alias("__u"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "draw_id",
+            F.expr(f"__u * __tot div {_U32}").alias("__target"),
+        )
+    )
+    width = max(1, 1 << 10)
+    routed = bucketized_interval_join(
+        draws, cum, "__target", lo_col="__lo", hi_col="__hi", bucket_width=width
+    )
+    return routed.select("draw_id", key_col)

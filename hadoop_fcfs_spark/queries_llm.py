@@ -2506,3 +2506,59 @@ def term_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, [F.desc("cnt"), F.asc("term")], rank_col="term_id"
     )
     return ranked.select("term", "cnt", F.col("term_id").cast("long").alias("term_id"))
+
+
+@register(
+    "negative_table_draws",
+    oracle="""
+    WITH c AS (
+      SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY 1
+    ),
+    cum AS (
+      SELECT term, cnt,
+             SUM(cnt) OVER (ORDER BY term
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      FROM c
+    ),
+    l AS (SELECT term, cnt, hi, hi - cnt AS lo FROM cum),
+    tot AS (SELECT MAX(hi) AS tot FROM l),
+    d AS (
+      SELECT i AS draw_id,
+             CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8) AS BIGINT) AS u
+      FROM range(0, 10000) t(i)
+    )
+    SELECT term, CAST(ANY_VALUE(cnt) AS BIGINT) AS weight,
+           CAST(COUNT(*) AS BIGINT) AS n_drawn
+    FROM d CROSS JOIN tot
+    JOIN l ON (u * tot) // 4294967296 >= lo AND (u * tot) // 4294967296 < hi
+    GROUP BY term
+    """,
+    doc="Deterministic weighted categorical sampling "
+    "(ops.sampling.weighted_draws): 10k word2vec-style negative draws "
+    "from the term-frequency table via integer inverse-CDF — "
+    "cumulative [lo,hi) ranges from the chunked distributed prefix "
+    "sum, md5-uniform integer targets, bucketized interval equi-join "
+    "routing. Zero RNG state: any engine replays draw-for-draw (the "
+    "oracle is the naive range join). Pure integer math end to end.",
+)
+def negative_table_draws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sampling import weighted_draws
+
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    c = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    drawn = weighted_draws(
+        c, "term", "cnt", n_draws=10_000,
+        chunk_of=lambda k: F.substring(k, 1, 1),
+    )
+    return drawn.join(c, "term").groupBy("term").agg(
+        F.max("cnt").cast("long").alias("weight"),
+        F.count("*").cast("long").alias("n_drawn"),
+    )

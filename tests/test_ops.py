@@ -1572,3 +1572,22 @@ def test_spearman_corr_monotone_and_ties(spark):
     )
     r2 = spearman_corr(df2, "x", "y").collect()[0]
     assert r2["spearman"] == -0.866025
+
+
+def test_weighted_draws_proportional_and_deterministic(spark):
+    from hadoop_fcfs_spark.ops.sampling import weighted_draws
+
+    w = spark.createDataFrame(
+        [("a", 1), ("b", 10), ("c", 100)], "k string, wt long"
+    )
+    out = weighted_draws(w, "k", "wt", 2000, chunk_of=lambda k: F.lit(0))
+    rows = out.collect()
+    assert len(rows) == 2000                      # every draw routed exactly once
+    got = {k: 0 for k in "abc"}
+    for r in rows:
+        got[r["k"]] += 1
+    # proportionality: c ~ 100/111 of draws, a ~ 1/111
+    assert got["c"] > 1600 and got["a"] < 60 and got["b"] > 100
+    # engine-replayable: identical table -> identical draws
+    again = weighted_draws(w, "k", "wt", 2000, chunk_of=lambda k: F.lit(0))
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
