@@ -587,13 +587,41 @@ def jaccard_prefix_pairs(
         .withColumn("__sz", F.count("*").over(Window.partitionBy("doc")))
     )
     lprefix = F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
-    prefix = ranked.filter(F.col("__rn") <= lprefix).select("doc", "gram")
+    prefix = ranked.filter(F.col("__rn") <= lprefix).select(
+        "doc", "gram", "__rn", "__sz"
+    )
+    pa = prefix.select(
+        F.col("doc").alias("doc_a"), "gram",
+        F.col("__rn").alias("__ra"), F.col("__sz").alias("__za"),
+    )
+    pb = prefix.select(
+        F.col("doc").alias("doc_b"), "gram",
+        F.col("__rn").alias("__rb"), F.col("__sz").alias("__zb"),
+    )
+    # Two more COMPLETE PPJoin filters, both necessary conditions of
+    # J >= t, applied before the expensive array verify:
+    #  - length filter: t·|a| <= |b| when |a| >= |b| (symmetric via
+    #    ceil(t·max) <= min) — J can't reach t across a >1/t size gap;
+    #  - positional filter: a prefix match at positions (ra, rb) bounds
+    #    the intersection by min remaining suffix + 1; J >= t needs
+    #    inter >= ceil(t/(1+t)·(|a|+|b|)).
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("__za") + F.col("__zb"))
+    )
+    ubound = (
+        F.least(F.col("__za") - F.col("__ra"), F.col("__zb") - F.col("__rb")) + 1
+    )
     cand = (
-        prefix.select(F.col("doc").alias("doc_a"), "gram")
-        .join(prefix.select(F.col("doc").alias("doc_b"), "gram"), "gram")
+        pa.join(pb, "gram")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.ceil(F.lit(threshold) * F.greatest("__za", "__zb"))
+            <= F.least("__za", "__zb")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max(ubound).alias("__ub"), F.max(alpha).alias("__alpha"))
+        .filter(F.col("__ub") >= F.col("__alpha"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
     arrays = waypoint(
         grams.groupBy("doc").agg(
