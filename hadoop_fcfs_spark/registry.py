@@ -121,17 +121,42 @@ def all_queries() -> dict[str, QuerySpec]:
         ))
     }
     revalidate = {name: i for i, name in enumerate(_CONFIRMED_R1_ONLY)}
+    # unconfirmed gates from the r4 2026-08-13 sessions: they have
+    # waited a full driver round for a hard row, so they outrank the
+    # (more numerous) later-session additions inside the unconfirmed
+    # bucket — otherwise module registration order could crowd them out
+    # of the ~50-slot sampling window.
+    r4_early = {
+        name: i
+        for i, name in enumerate((
+            "kll_quantile_rollup", "theta_user_overlap", "daily_event_anomaly",
+            "lineitem_corr", "orders_mutual_info", "winsorize_events",
+            "gap_fill_hourly", "volume_trend", "inverted_index",
+            "word_cooccurrence", "cms_heavy_hitters", "merged_user_coverage",
+            "key_skew_report", "mad_event_anomaly", "cms_join_size",
+            "weighted_sample_orders", "duplicate_safe_split",
+            "token_budget_mix_weighted", "bm25_retrieval", "containment_dedup",
+            "corpus_report", "cross_source_duplication", "corpus_pipeline_v3",
+            "centroid_separation", "ann_pq_adc_topk", "ann_ivf_pq_topk",
+            "kn_bigram_model", "contrastive_negatives", "embedding_gram",
+            "jaccard_prefix_dedup", "merge_upsert_customers", "bfs_trade_reach",
+            "snapshot_diff_orders", "event_transitions", "trade_triangles",
+            "prefiltered_revenue", "copurchase_lift",
+        ))
+    }
 
     def bucket(spec: QuerySpec) -> tuple[int, int]:
         if spec.name in priority:
             return (0, priority[spec.name])
         if spec.oracle is None:
-            return (4, 0)  # rows-only: weak check, never worth a sampled slot
+            return (5, 0)  # rows-only: weak check, never worth a sampled slot
         if spec.name not in _DRIVER_CONFIRMED:
-            return (1, 0)  # new this round
+            if spec.name in r4_early:
+                return (1, r4_early[spec.name])  # waited longest
+            return (2, 0)  # new this session
         if spec.name in revalidate:
-            return (2, revalidate[spec.name])
-        return (3, 0)
+            return (3, revalidate[spec.name])
+        return (4, 0)
 
     ordered = sorted(_REGISTRY.values(), key=lambda s: bucket(s))  # stable within buckets
     return {s.name: s for s in ordered}
