@@ -540,8 +540,13 @@ def kaplan_meier(
     Scale shape: one subject-level aggregation to (duration, exits,
     total) GRAIN rows; n_s is total − prefix-sum and S(t) is
     exp(Σ ln(1 − d/n)) — both windows run over the duration-grain
-    summary (days, not subjects). Output rows only at durations with
-    exits: (t, n_risk, d_events, surv_e6)."""
+    summary (days, not subjects). surv_e6 is ROUNDED, not floored: the
+    true survival is a product of small rationals that often lands
+    EXACTLY on a 1e-6 multiple, and the exp/ln reconstruction sits one
+    ulp either side of it per engine — floor would split engines at
+    those values (seen live at sf0.1), round reunites them. Output
+    rows only at durations with exits: (t, n_risk, d_events,
+    surv_e6)."""
     from hadoop_fcfs_spark.caching import waypoint
     from pyspark.sql import Window
 
@@ -572,7 +577,7 @@ def kaplan_meier(
             F.col("t").cast("long").alias("t"),
             "n_risk",
             F.col("__d").cast("long").alias("d_events"),
-            F.floor(F.col("__s") * 1_000_000).cast("long").alias("surv_e6"),
+            F.round(F.col("__s") * 1_000_000).cast("long").alias("surv_e6"),
         )
     )
 

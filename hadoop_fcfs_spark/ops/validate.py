@@ -114,3 +114,36 @@ def profile_table(df: DataFrame, cols: list[str] | None = None, exact: bool = Fa
         ),
         F.col("__n").cast("long").alias("n_rows"),
     ).select("column", "n_rows", "n_nulls", "n_distinct")
+
+
+def schema_diff(old: "DataFrame", new: "DataFrame") -> list[dict]:
+    """Schema-evolution audit between two table versions: one entry per
+    changed column — added / dropped / type_changed / nullability —
+    driver-side metadata only (no job runs). The pre-flight check an
+    ingestion pipeline runs before appending a new batch to an existing
+    dataset (reference analog: the SequenceFile key/value class check,
+    SequenceFile.Reader.getKeyClass — schema agreement was a runtime
+    crash there, a report here).
+
+    Returns a list of dicts sorted by column name:
+    {column, status, old_type, new_type}."""
+    a = {f.name: f for f in old.schema.fields}
+    b = {f.name: f for f in new.schema.fields}
+    out = []
+    for name in sorted(a.keys() | b.keys()):
+        fa, fb = a.get(name), b.get(name)
+        if fa is None:
+            out.append({"column": name, "status": "added",
+                        "old_type": None, "new_type": fb.dataType.simpleString()})
+        elif fb is None:
+            out.append({"column": name, "status": "dropped",
+                        "old_type": fa.dataType.simpleString(), "new_type": None})
+        elif fa.dataType != fb.dataType:
+            out.append({"column": name, "status": "type_changed",
+                        "old_type": fa.dataType.simpleString(),
+                        "new_type": fb.dataType.simpleString()})
+        elif fa.nullable != fb.nullable:
+            out.append({"column": name, "status": "nullability_changed",
+                        "old_type": fa.dataType.simpleString(),
+                        "new_type": fb.dataType.simpleString()})
+    return out

@@ -1265,7 +1265,7 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
            CAST(de AS BIGINT) AS d_events,
-           CAST(FLOOR(s * 1000000) AS BIGINT) AS surv_e6
+           CAST(ROUND(s * 1000000) AS BIGINT) AS surv_e6
     FROM r2 WHERE de > 0
     """,
     doc="Kaplan-Meier time-to-conversion curve "
@@ -1276,7 +1276,8 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "correction naive conversion curves miss. One user-grain "
     "aggregation; risk-set and product windows run over duration-grain "
     "summary rows only. S(t) = exp(Σ ln(1−d/n)) — ln/exp parity, "
-    "floor-micro.",
+    "ROUND-micro (the exact-rational products land ON 1e-6 multiples; "
+    "floor split the engines by one ulp at sf0.1).",
 )
 def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.ops.stats import kaplan_meier

@@ -1591,3 +1591,13 @@ def test_weighted_draws_proportional_and_deterministic(spark):
     # engine-replayable: identical table -> identical draws
     again = weighted_draws(w, "k", "wt", 2000, chunk_of=lambda k: F.lit(0))
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_schema_diff_reports_all_change_kinds(spark):
+    from hadoop_fcfs_spark.ops.validate import schema_diff
+
+    old = spark.createDataFrame([], "a int, b string, c double")
+    new = spark.createDataFrame([], "a long, b string, d string")
+    got = {d["column"]: d["status"] for d in schema_diff(old, new)}
+    assert got == {"a": "type_changed", "c": "dropped", "d": "added"}
+    assert schema_diff(old, old) == []
