@@ -2921,3 +2921,74 @@ def trade_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("__da", "__db"), 6).alias("assortativity"),
         )
     )
+
+
+@register(
+    "gini_order_values",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v FROM orders
+    ),
+    ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS i FROM cents
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cents),
+    agg AS (
+      SELECT nn.n AS n,
+             SUM(CAST(v AS HUGEINT)) AS sv,
+             SUM((2 * CAST(i AS HUGEINT) - nn.n - 1)
+                 * CAST(v AS HUGEINT)) AS num
+      FROM ranked CROSS JOIN nn
+      GROUP BY nn.n
+    )
+    SELECT n,
+           CAST(FLOOR(CAST(num AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)) * 1000000)
+             AS BIGINT) AS gini_e6
+    FROM agg
+    """,
+    doc="Gini coefficient of order values — the revenue-concentration "
+    "/ inequality metric (how much of the business the top orders "
+    "carry): G = Σ(2i−n−1)·x_(i) / (n·Σx) over globally rank-sorted "
+    "integer cents. The global rank comes from "
+    "ops.sort.ranked_total_order (range partition + offset decode — "
+    "never a single-task window); the weighted sum accumulates in "
+    "DECIMAL/HUGEINT so it is EXACT despite the ±n·x magnitude (would "
+    "overflow BIGINT at sf0.1); only the final normalization is "
+    "float, floor-micro.",
+)
+def gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sort import ranked_total_order
+
+    cents = t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    ranked = ranked_total_order(cents, [F.asc("v")], rank_col="i")
+    # the weight needs n — one scalar count broadcast back, then the
+    # exact decimal weighted sum in a single aggregation
+    total = ranked.agg(F.count("*").cast("long").alias("__n"))
+    num = (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            (
+                (2 * F.col("i").cast("decimal(38,0)")
+                 - F.col("__n").cast("decimal(38,0)") - 1)
+                * F.col("v").cast("decimal(38,0)")
+            ).alias("__t"),
+            F.col("__n"),
+        )
+        .groupBy("__n")
+        .agg(F.sum("__t").alias("__num"))
+    )
+    sv = ranked.agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("__sv"))
+    return (
+        num.crossJoin(F.broadcast(sv))
+        .select(
+            F.col("__n").alias("n"),
+            F.floor(
+                F.col("__num").cast("double")
+                / (F.col("__n").cast("double") * F.col("__sv").cast("double"))
+                * 1_000_000
+            ).cast("long").alias("gini_e6"),
+        )
+    )

@@ -1601,3 +1601,30 @@ def test_schema_diff_reports_all_change_kinds(spark):
     got = {d["column"]: d["status"] for d in schema_diff(old, new)}
     assert got == {"a": "type_changed", "c": "dropped", "d": "added"}
     assert schema_diff(old, old) == []
+
+
+def test_gini_hand_cases_via_gate_shape(spark):
+    from hadoop_fcfs_spark.ops.sort import ranked_total_order
+
+    # equal values -> gini 0; one-holder economy of n=4 -> (n-1)/n = 0.75
+    def gini(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        ranked = ranked_total_order(df, [F.asc("v")], rank_col="i")
+        total = ranked.agg(F.count("*").cast("long").alias("n"))
+        row = (
+            ranked.crossJoin(F.broadcast(total))
+            .select(
+                ((2 * F.col("i").cast("decimal(38,0)")
+                  - F.col("n").cast("decimal(38,0)") - 1)
+                 * F.col("v").cast("decimal(38,0)")).alias("t"),
+                "n",
+                F.col("v").cast("decimal(38,0)").alias("vd"),
+            )
+            .groupBy("n")
+            .agg(F.sum("t").alias("num"), F.sum("vd").alias("sv"))
+            .collect()[0]
+        )
+        return float(row["num"]) / (row["n"] * float(row["sv"]))
+
+    assert gini([5, 5, 5, 5]) == 0.0
+    assert gini([0, 0, 0, 100]) == 0.75
