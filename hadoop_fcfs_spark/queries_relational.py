@@ -2992,3 +2992,86 @@ def gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("gini_e6"),
         )
     )
+
+
+@register(
+    "lorenz_deciles",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v FROM orders
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cents),
+    ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS i FROM cents
+    ),
+    dec AS (
+      SELECT CASE WHEN i <= (n % 10) * ((n // 10) + 1)
+                  THEN CAST((i - 1) // ((n // 10) + 1) + 1 AS BIGINT)
+                  ELSE CAST((n % 10)
+                       + (i - (n % 10) * ((n // 10) + 1) - 1) // (n // 10) + 1
+                       AS BIGINT)
+             END AS decile,
+             v
+      FROM ranked CROSS JOIN nn
+    ),
+    per AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(v AS HUGEINT)) AS mass
+      FROM dec GROUP BY 1
+    ),
+    tot AS (SELECT SUM(mass) AS tm FROM per)
+    SELECT decile, n_orders,
+           CAST(FLOOR(CAST(SUM(mass) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(tm AS DOUBLE) * 1000000) AS BIGINT) AS cum_share_e6
+    FROM per CROSS JOIN tot
+    """,
+    doc="Lorenz curve over order values: exact NTILE deciles of the "
+    "globally rank-sorted integer cents (ops.sort.ranked_total_order "
+    "+ ntile_from_rank — remainder front-loaded, no single-task "
+    "window) and each decile's CUMULATIVE share of total revenue — "
+    "gini_order_values' curve form. Decile masses are exact "
+    "DECIMAL/HUGEINT sums; the 10-row cumulative window runs over the "
+    "decile summary. floor-micro shares.",
+)
+def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.ops.sort import ranked_total_order
+
+    cents = t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    ranked = ranked_total_order(cents, [F.asc("v")], rank_col="i")
+    total = ranked.agg(F.count("*").cast("long").alias("__n"))
+    # ntile_from_rank's formula with n as a COLUMN (the helper takes a
+    # Python int): q = n div 10, r = n mod 10, first r buckets q+1 wide
+    n = F.col("__n")
+    q = F.floor(n / 10)
+    r = n % 10
+    cut = (q + 1) * r
+    i = F.col("i")
+    wide = F.floor((i - 1) / (q + 1)) + 1
+    narrow = r + F.floor((i - 1 - cut) / q) + 1
+    dec = ranked.crossJoin(F.broadcast(total)).select(
+        F.when(i <= cut, wide).otherwise(narrow).cast("long").alias("decile"),
+        "v",
+    )
+    per = dec.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("__mass"),
+    )
+    tot = per.agg(F.sum("__mass").alias("__tm"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    # 10-row decile-summary window
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("__cum", F.sum("__mass").over(w))
+        .select(
+            "decile", "n_orders",
+            F.floor(
+                F.col("__cum").cast("double") / F.col("__tm").cast("double")
+                * 1_000_000
+            ).cast("long").alias("cum_share_e6"),
+        )
+    )

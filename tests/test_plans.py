@@ -540,6 +540,8 @@ def test_no_unallowed_unpartitioned_windows_static_sweep():
         # both ranker windows run AFTER top_k(100) TakeOrdered-bounds
         # the input — 100-row windows by construction
         ("queries_llm.py", "hybrid_rank_fusion"),
+        # 10-row decile-summary cumulative window
+        ("queries_relational.py", "lorenz_deciles"),
     }
     root = pathlib.Path("hadoop_fcfs_spark")
     found = set()
