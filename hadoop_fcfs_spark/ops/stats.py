@@ -615,3 +615,38 @@ def spearman_corr(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
         F.round(F.corr("__rx", "__ry"), 6).alias("spearman"),
         F.count("*").cast("long").alias("n"),
     )
+
+
+def weighted_median(
+    df: DataFrame, value_col: str, weight_col: str
+) -> DataFrame:
+    """Weighted (lower) median: the smallest value whose cumulative
+    weight reaches half the total — the price-where-half-the-VOLUME-
+    trades question that the unweighted median gets wrong whenever
+    weight correlates with value.
+
+    Scale shape: collapse to the distinct-VALUE grain (sum of weights
+    per value — the only data-sized pass, map-side combined), prefix-
+    sum the grain summary, keep the first crossing (min value with
+    2·cum ≥ total). Integer weights keep the crossing comparison exact
+    across engines. Output: 1 row (wmedian, total_weight)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from pyspark.sql import Window
+
+    grain = waypoint(
+        df.groupBy(F.col(value_col).alias("__v")).agg(
+            F.sum(F.col(weight_col).cast("long")).alias("__w")
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    total = grain.agg(F.sum("__w").alias("__tot"))
+    # distinct-value grain summary window (values, not rows)
+    cum = grain.withColumn("__cum", F.sum("__w").over(w))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .filter(2 * F.col("__cum") >= F.col("__tot"))
+        .agg(
+            F.min("__v").alias("wmedian"),
+            F.max("__tot").cast("long").alias("total_weight"),
+        )
+    )

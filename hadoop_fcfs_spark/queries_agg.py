@@ -1436,3 +1436,36 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.ops.stats import spearman_corr
 
     return spearman_corr(t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice")
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH g AS (
+      SELECT l_extendedprice AS v,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT v, SUM(w) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM g
+    ),
+    tot AS (SELECT SUM(w) AS t FROM g)
+    SELECT MIN(v) AS wmedian, CAST(MAX(t) AS BIGINT) AS total_weight
+    FROM c CROSS JOIN tot WHERE 2 * cum >= t
+    """,
+    doc="Quantity-weighted median price (ops.stats.weighted_median): "
+    "the price below which half the shipped VOLUME trades — distinct "
+    "from the unweighted median whenever quantity correlates with "
+    "price. Distinct-value grain collapse + prefix sum over the grain "
+    "summary + first-crossing min; integer weights make the crossing "
+    "exact. No value interpolation (lower-median convention, "
+    "documented).",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import weighted_median
+
+    return weighted_median(
+        t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity"
+    )

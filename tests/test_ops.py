@@ -1628,3 +1628,20 @@ def test_gini_hand_cases_via_gate_shape(spark):
 
     assert gini([5, 5, 5, 5]) == 0.0
     assert gini([0, 0, 0, 100]) == 0.75
+
+
+def test_weighted_median_crossing_and_contrast_with_unweighted(spark):
+    from hadoop_fcfs_spark.ops.stats import weighted_median
+
+    # values 1..4; weight is concentrated on 4: weighted median = 4,
+    # unweighted median would be 2.5
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 1), (4.0, 10)], "v double, w long"
+    )
+    r = weighted_median(df, "v", "w").collect()[0]
+    assert r["wmedian"] == 4.0 and r["total_weight"] == 13
+
+    # exact-half crossing: weights 1,1 -> lower median (first value with
+    # 2*cum >= total) = the smaller value
+    df2 = spark.createDataFrame([(10.0, 1), (20.0, 1)], "v double, w long")
+    assert weighted_median(df2, "v", "w").collect()[0]["wmedian"] == 10.0

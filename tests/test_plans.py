@@ -532,6 +532,7 @@ def test_no_unallowed_unpartitioned_windows_static_sweep():
         ("ops/stats.py", "pareto_frontier"),         # prefix max over one-row-per-chunk summary
         ("ops/stats.py", "kaplan_meier"),            # risk/product windows over duration-grain summary
         ("ops/stats.py", "avg_ranks"),               # spearman_corr: prefix sums over distinct-value grain summaries
+        ("ops/stats.py", "weighted_median"),         # prefix sum over distinct-value grain summary
         ("llm/packing.py", "pack_sequences"),        # offsets over chunk-total summary
         ("queries_relational.py", "topk_orders"),    # TakeOrderedAndProject(limit=k) plan-asserted
         ("queries_relational.py", "shipping_priority"),
