@@ -3075,3 +3075,62 @@ def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("cum_share_e6"),
         )
     )
+
+
+@register(
+    "hhi_supplier_concentration",
+    oracle="""
+    WITH s AS (
+      SELECT n_name,
+             l_suppkey,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT n_name, SUM(rev) AS t, COUNT(*) AS n_suppliers FROM s GROUP BY 1)
+    SELECT s.n_name AS nation,
+           CAST(MAX(n_suppliers) AS BIGINT) AS n_suppliers,
+           CAST(FLOOR(SUM((CAST(rev AS DOUBLE) / t) * (CAST(rev AS DOUBLE) / t))
+                 * 1000000) AS BIGINT) AS hhi_e6
+    FROM s JOIN tot USING (n_name)
+    GROUP BY s.n_name
+    """,
+    doc="Herfindahl-Hirschman supplier-concentration index per nation: "
+    "HHI = Σ share² over each nation's supplier revenue shares — the "
+    "antitrust-style concentration scalar next to gini/lorenz "
+    "(1/n_suppliers = perfectly even, 1.0 = monopoly). Revenue in "
+    "integer cents from the row level; shares are single divisions of "
+    "exact integers; the Σ share² is a per-nation bounded sum, "
+    "floor-micro.",
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    s = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum(cents).alias("rev"))
+    )
+    from hadoop_fcfs_spark.caching import waypoint
+
+    s = waypoint(s)
+    tot = s.groupBy("n_name").agg(
+        F.sum("rev").alias("__t"), F.count("*").cast("long").alias("n_suppliers")
+    )
+    share = F.col("rev").cast("double") / F.col("__t")
+    return (
+        s.join(tot, "n_name")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n_suppliers").cast("long").alias("n_suppliers"),
+            F.floor(F.sum(share * share) * 1_000_000).cast("long").alias("hhi_e6"),
+        )
+    )
