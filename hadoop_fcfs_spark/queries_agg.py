@@ -1469,3 +1469,40 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_median(
         t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity"
     )
+
+
+@register(
+    "new_vs_returning_daily",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    firsts AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users
+    FROM ud JOIN firsts USING (user_id)
+    GROUP BY day
+    """,
+    doc="Daily new vs returning actives — the growth-accounting split "
+    "every product dashboard leads with. User-day grain (deduped, one "
+    "data-sized pass), first-day table re-aggregated from it and "
+    "joined back on user_id (co-located shuffle); integer counts.",
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    from hadoop_fcfs_spark.caching import waypoint
+
+    ud = waypoint(ud)
+    firsts = ud.groupBy("user_id").agg(F.min("day").alias("__first"))
+    return (
+        ud.join(firsts, "user_id")
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("__first"), 1).otherwise(0))
+            .cast("long").alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("__first"), 1).otherwise(0))
+            .cast("long").alias("returning_users"),
+        )
+    )
