@@ -3134,3 +3134,46 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum(share * share) * 1_000_000).cast("long").alias("hhi_e6"),
         )
     )
+
+
+@register(
+    "repeat_order_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             DATEDIFF('day',
+               LAG(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+    )
+    SELECT CAST(COUNT(gap) AS BIGINT) AS n_intervals,
+           CAST(MIN(gap) AS BIGINT) AS min_days,
+           CAST(quantile_cont(gap, 0.5) AS DOUBLE) AS p50_days,
+           CAST(quantile_cont(gap, 0.9) AS DOUBLE) AS p90_days,
+           CAST(MAX(gap) AS BIGINT) AS max_days
+    FROM seq WHERE gap IS NOT NULL
+    """,
+    doc="Repeat-purchase interval distribution: days between a "
+    "customer's consecutive orders (lag over the customer-bounded "
+    "(date, orderkey) total order), exact interpolated percentiles "
+    "over the integer gaps — the replenishment-cycle input to CRM "
+    "timing models. One shuffle on the customer key, one global "
+    "percentile aggregation over integer day gaps.",
+)
+def repeat_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+    )
+    seq = orders.select(gap.alias("gap")).filter(F.col("gap").isNotNull())
+    return seq.agg(
+        F.count("gap").cast("long").alias("n_intervals"),
+        F.min("gap").cast("long").alias("min_days"),
+        F.percentile("gap", F.lit(0.5)).cast("double").alias("p50_days"),
+        F.percentile("gap", F.lit(0.9)).cast("double").alias("p90_days"),
+        F.max("gap").cast("long").alias("max_days"),
+    )
