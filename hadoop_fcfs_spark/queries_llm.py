@@ -2562,3 +2562,73 @@ def negative_table_draws(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").cast("long").alias("weight"),
         F.count("*").cast("long").alias("n_drawn"),
     )
+
+
+@register(
+    "dup_family_histogram",
+    oracle="""
+    WITH fam AS (
+      SELECT md5(lower(trim(text))) AS dig, CAST(COUNT(*) AS BIGINT) AS family_size
+      FROM documents GROUP BY 1
+    )
+    SELECT family_size, CAST(COUNT(*) AS BIGINT) AS n_families,
+           CAST(family_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM fam GROUP BY 1
+    """,
+    doc="Duplicate-family size histogram: how many exact-duplicate "
+    "families of each size the corpus holds (the before/after "
+    "diagnostic every dedup run reports — family_size 1 = unique "
+    "docs, the tail = the copy mass). Digest groupBy then a "
+    "frequency-of-frequencies reduce — the vocab_richness shape on "
+    "content digests. Integer counts.",
+)
+def dup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    fam = docs.groupBy(
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("dig")
+    ).agg(F.count("*").cast("long").alias("family_size"))
+    return fam.groupBy("family_size").agg(
+        F.count("*").cast("long").alias("n_families"),
+        (F.col("family_size") * F.count("*")).cast("long").alias("n_docs"),
+    )
+
+
+@register(
+    "embedding_norm_qa",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(nrm), 6) AS mean_norm,
+           ROUND(COALESCE(STDDEV_POP(nrm), 0.0), 6) AS std_norm,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+    doc="Per-label embedding-norm QA: mean/std/min/max L2 norms — the "
+    "sanity screen that catches un-normalized or degenerate vectors "
+    "before they poison cosine ANN (a zero-norm vector NaNs every "
+    "similarity). Per-row norm (same in-order dot-product expression "
+    "shape both engines), one grouped moment aggregation, round@6 "
+    "(the word_stats precedent).",
+)
+def embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    dot = F.aggregate(
+        F.zip_with(vec, vec, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = emb.select("label", F.sqrt(dot).alias("__nrm"))
+    return n.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(F.avg("__nrm"), 6).alias("mean_norm"),
+        F.round(F.coalesce(F.stddev_pop("__nrm"), F.lit(0.0)), 6).alias("std_norm"),
+        F.round(F.min("__nrm"), 6).alias("min_norm"),
+        F.round(F.max("__nrm"), 6).alias("max_norm"),
+    )
