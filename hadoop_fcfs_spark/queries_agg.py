@@ -1506,3 +1506,28 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("returning_users"),
         )
     )
+
+
+@register(
+    "event_seasonality",
+    oracle="""
+    SELECT CAST(isodow(ts) - 1 AS BIGINT) AS weekday,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Hour-of-day x weekday seasonality matrix per event type — the "
+    "load-shape profile capacity planning and anomaly baselines start "
+    "from. Weekday convention pinned explicitly (Spark weekday() "
+    "0=Monday == DuckDB isodow-1; naive dayofweek() would skew by one "
+    "day between engines). One count aggregation, integer out.",
+)
+def event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.weekday("ts").cast("long").alias("weekday"),
+        F.hour("ts").cast("long").alias("hour"),
+        "event_type",
+    ).agg(F.count("*").cast("long").alias("n"))
