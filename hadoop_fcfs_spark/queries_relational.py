@@ -3177,3 +3177,92 @@ def repeat_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap", F.lit(0.9)).cast("double").alias("p90_days"),
         F.max("gap").cast("long").alias("max_days"),
     )
+
+
+@register(
+    "top_nations_with_other",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY 1
+    ),
+    top5 AS (SELECT * FROM rev ORDER BY cents DESC, n_name LIMIT 5)
+    SELECT n_name AS nation, cents FROM top5
+    UNION ALL
+    SELECT 'OTHER', CAST(SUM(cents) AS BIGINT) FROM rev
+    WHERE n_name NOT IN (SELECT n_name FROM top5)
+    """,
+    doc="Top-5 supplier nations by revenue plus an OTHER residual row — "
+    "the bounded-leaderboard reporting shape (every dashboard's 'top "
+    "N + rest'): TakeOrdered top-5, residual = anti-join aggregate, "
+    "union. Integer cents from the row level; the OTHER row keeps the "
+    "total reconcilable.",
+)
+def top_nations_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import top_k
+
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = waypoint(
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    top5 = waypoint(top_k(rev, 5, F.desc("cents"), F.asc("n_name")))
+    other = (
+        rev.join(top5.select("n_name"), "n_name", "left_anti")
+        .agg(F.sum("cents").alias("cents"))
+        .select(F.lit("OTHER").alias("nation"), "cents")
+    )
+    return top5.select(F.col("n_name").alias("nation"), "cents").unionByName(other)
+
+
+@register(
+    "dead_stock_audit",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM part) AS BIGINT) AS n_parts,
+           CAST((SELECT COUNT(*) FROM part
+                 WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem))
+             AS BIGINT) AS never_ordered,
+           CAST(FLOOR((SELECT COUNT(*) FROM part
+                       WHERE p_partkey NOT IN
+                         (SELECT DISTINCT l_partkey FROM lineitem))
+                 * 1000000.0 / (SELECT COUNT(*) FROM part)) AS BIGINT)
+             AS dead_share_e6
+    """,
+    doc="Dead-stock audit: parts that never appear in any lineitem — "
+    "the catalog-vs-sales anti-join every inventory review runs. "
+    "Left-anti join (dimension vs fact key set), scalar report row "
+    "(never hollow even when everything sells). Integer counts, "
+    "floor-micro share.",
+)
+def dead_stock_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    never = part.join(
+        li.select(F.col("l_partkey").alias("p_partkey")).distinct(),
+        "p_partkey",
+        "left_anti",
+    ).agg(F.count("*").cast("long").alias("never_ordered"))
+    tot = part.agg(F.count("*").cast("long").alias("n_parts"))
+    return (
+        tot.crossJoin(F.broadcast(never))
+        .select(
+            "n_parts",
+            "never_ordered",
+            F.floor(
+                F.col("never_ordered") * 1_000_000.0 / F.col("n_parts")
+            ).cast("long").alias("dead_share_e6"),
+        )
+    )
