@@ -2632,3 +2632,48 @@ def embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("__nrm"), 6).alias("min_norm"),
         F.round(F.max("__nrm"), 6).alias("max_norm"),
     )
+
+
+@register(
+    "langid_confusion",
+    oracle=f"""
+    WITH {_TOKS},
+    scores AS (
+      SELECT doc_id,
+        ROUND(SUM(CASE WHEN lower(w) IN ({_DE}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_de,
+        ROUND(SUM(CASE WHEN lower(w) IN ({_EN}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_en,
+        ROUND(SUM(CASE WHEN lower(w) IN ({_ES}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_es,
+        ROUND(SUM(CASE WHEN lower(w) IN ({_FR}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_fr
+      FROM toks GROUP BY doc_id
+    ),
+    pred AS (
+      SELECT doc_id,
+        CASE WHEN GREATEST(score_de, score_en, score_es, score_fr) <= 0 THEN 'und'
+             WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
+             WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
+             WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
+             ELSE 'fr' END AS lang_pred
+      FROM scores
+    )
+    SELECT d.lang AS true_lang, COALESCE(p.lang_pred, 'und') AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents d LEFT JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
+    """,
+    doc="Language-ID confusion matrix: the stopword-heuristic "
+    "prediction (llm.textan.lang_id) against the corpus's lang label "
+    "— the classifier-quality rollup a curation pipeline monitors "
+    "(zh has no stopword list, so it lands in 'und'/mispredictions by "
+    "construction — an honest blind-spot row). Integer counts.",
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import lang_id
+
+    docs = t(spark, sf_dir, "documents")
+    pred = lang_id(docs, "doc_id", "text").select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id", "left")
+        .groupBy("true_lang", F.coalesce("lang_pred", F.lit("und")).alias("pred_lang"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
