@@ -1531,3 +1531,113 @@ def event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("long").alias("hour"),
         "event_type",
     ).agg(F.count("*").cast("long").alias("n"))
+
+
+@register(
+    "qty_price_histogram2d",
+    oracle="""
+    SELECT CAST(FLOOR(l_quantity / 10.0) AS BIGINT) AS qty_band,
+           CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT) AS price_band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM lineitem GROUP BY 1, 2
+    """,
+    doc="2D joint histogram quantity x price (fixed-width bands): the "
+    "joint-distribution profile that 1D histograms (value_histogram) "
+    "can't show — where the volume/value mass actually sits. Pure "
+    "per-row binning + one aggregation; integer counts and "
+    "integer-cent mass.",
+)
+def qty_price_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_quantity") / 10.0).cast("long").alias("qty_band"),
+        F.floor(F.col("l_extendedprice") / 10000.0).cast("long").alias("price_band"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long").alias("cents"),
+    )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    sized AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM firsts GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cohort_week,
+             CAST(FLOOR(DATEDIFF('day', f.cohort_week, CAST(e.ts AS DATE)) / 7.0)
+               AS BIGINT) AS week_offset,
+             SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS cents
+      FROM events e JOIN firsts f USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT CAST(r.cohort_week AS VARCHAR) AS cohort_week,
+           r.week_offset, s.cohort_users,
+           CAST(SUM(r.cents) OVER (PARTITION BY r.cohort_week ORDER BY r.week_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cents,
+           CAST(SUM(r.cents) OVER (PARTITION BY r.cohort_week ORDER BY r.week_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 // s.cohort_users AS BIGINT) AS cum_cents_per_user
+    FROM rev r JOIN sized s USING (cohort_week)
+    """,
+    doc="Cohort LTV curves: cumulative purchase revenue per signup-week "
+    "cohort by week offset, absolute and per-user — the growth-"
+    "accounting companion to cohort_retention. Revenue in integer "
+    "cents from the row level; the cumulative window runs over "
+    "(cohort, offset) SUMMARY rows; per-user = INTEGER division (div "
+    "// — a float division cast to BIGINT truncates in Spark but "
+    "rounds in DuckDB).",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.caching import waypoint
+
+    ev = t(spark, sf_dir, "events")
+    firsts = waypoint(
+        ev.groupBy("user_id").agg(
+            F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+        )
+    )
+    sized = firsts.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("cohort_week")) / 7.0
+            ).cast("long").alias("week_offset"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("__cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("__cents").over(w)
+    return rev.join(sized, "cohort_week").select(
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        "week_offset",
+        "cohort_users",
+        cum.cast("long").alias("cum_cents"),
+        F.expr("NULL").alias("__placeholder"),
+    ).withColumn(
+        "cum_cents_per_user",
+        F.expr("cum_cents div cohort_users"),
+    ).drop("__placeholder")
