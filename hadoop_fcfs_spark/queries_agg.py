@@ -1631,13 +1631,13 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = F.sum("__cents").over(w)
-    return rev.join(sized, "cohort_week").select(
-        F.col("cohort_week").cast("string").alias("cohort_week"),
-        "week_offset",
-        "cohort_users",
-        cum.cast("long").alias("cum_cents"),
-        F.expr("NULL").alias("__placeholder"),
-    ).withColumn(
-        "cum_cents_per_user",
-        F.expr("cum_cents div cohort_users"),
-    ).drop("__placeholder")
+    return (
+        rev.join(sized, "cohort_week")
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            "week_offset",
+            "cohort_users",
+            cum.cast("long").alias("cum_cents"),
+        )
+        .withColumn("cum_cents_per_user", F.expr("cum_cents div cohort_users"))
+    )
