@@ -1641,3 +1641,82 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cum_cents_per_user", F.expr("cum_cents div cohort_users"))
     )
+
+
+@register(
+    "user_behavior_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT user_id, SUM(n) AS t FROM c GROUP BY 1),
+    ent AS (
+      SELECT c.user_id,
+             -SUM((CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t)) AS h
+      FROM c JOIN tot USING (user_id) GROUP BY 1
+    )
+    SELECT CAST(FLOOR(h * 10) AS BIGINT) AS entropy_band,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM ent GROUP BY 1
+    """,
+    doc="Behavioral-diversity segmentation: Shannon entropy of each "
+    "user's event-type mix (0 = single-minded, ln(5) = uniform across "
+    "all types), banded at 0.1-nat width — the engagement-breadth "
+    "segment marketers cut by. Per-user bounded entropy sum over the "
+    "(user, type) count table; identical division/ln shapes; banding "
+    "on the shared float (generic reals — not a quantization-step "
+    "boundary case).",
+)
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("__t"))
+    p = F.col("n").cast("double") / F.col("__t")
+    ent = (
+        c.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg((-F.sum(p * F.log(p))).alias("__h"))
+    )
+    return ent.groupBy(
+        F.floor(F.col("__h") * 10).cast("long").alias("entropy_band")
+    ).agg(F.count("*").cast("long").alias("n_users"))
+
+
+@register(
+    "shipping_lead_time",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority,
+             DATEDIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+               AS lead_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(lead_days) AS BIGINT) AS min_days,
+           CAST(quantile_cont(lead_days, 0.5) AS DOUBLE) AS p50_days,
+           CAST(quantile_cont(lead_days, 0.95) AS DOUBLE) AS p95_days,
+           CAST(MAX(lead_days) AS BIGINT) AS max_days
+    FROM g GROUP BY 1
+    """,
+    doc="Shipping lead-time distribution per order priority: days from "
+    "order to line shipment, exact interpolated percentiles over "
+    "integer day gaps — the SLA view of the order pipeline (does "
+    "1-URGENT actually ship faster?). One join shuffled on the order "
+    "key, grouped exact percentiles.",
+)
+def shipping_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    g = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("lead_days"),
+    )
+    return g.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("lead_days").cast("long").alias("min_days"),
+        F.percentile("lead_days", F.lit(0.5)).cast("double").alias("p50_days"),
+        F.percentile("lead_days", F.lit(0.95)).cast("double").alias("p95_days"),
+        F.max("lead_days").cast("long").alias("max_days"),
+    )
