@@ -214,3 +214,68 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n_raw"))
     k = kept.groupBy("event_type").agg(F.count("*").cast("long").alias("n_kept"))
     return raw.join(k, "event_type")
+
+
+@register(
+    "linear_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT p.p_id, e.event_type AS channel
+      FROM p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type <> 'purchase'
+       AND e.ts <= p.p_ts
+       AND epoch_us(p.p_ts) - epoch_us(e.ts) <= 1800000000
+    ),
+    k AS (SELECT p_id, CAST(COUNT(*) AS BIGINT) AS kk FROM touches GROUP BY 1)
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS touches,
+           CAST(SUM(1000000 // kk) AS BIGINT) AS credit_micro
+    FROM touches JOIN k USING (p_id)
+    GROUP BY channel
+    """,
+    doc="Linear multi-touch attribution: every non-purchase event in "
+    "the 30 minutes before a purchase shares the credit equally "
+    "(1/k each) — the fairness-spread companion to last-touch "
+    "purchase_attribution. Credit is INTEGER micro-units "
+    "(1000000 div k), so the per-channel sums are exact under any "
+    "accumulation order (float 1/k credits would drift at the ulp). "
+    "The touch join is a per-user event-time band join; k "
+    "re-aggregates from the touch table.",
+)
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.caching import waypoint
+
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("channel"), "ts"
+    )
+    touches = waypoint(
+        p.join(e, (F.col("p_user") == F.col("user_id")))
+        .filter(
+            (F.col("ts") <= F.col("p_ts"))
+            & (
+                F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("ts"))
+                <= 1_800_000_000
+            )
+        )
+        .select("p_id", "channel")
+    )
+    k = touches.groupBy("p_id").agg(F.count("*").cast("long").alias("__k"))
+    return (
+        touches.join(k, "p_id")
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("touches"),
+            F.sum(F.expr("1000000 div __k")).cast("long").alias("credit_micro"),
+        )
+    )
