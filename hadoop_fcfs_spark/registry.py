@@ -44,54 +44,105 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-# Gates with a driver-confirmed fully-green CORRECTNESS row (rows+schema+
-# hash) — the union of CORRECTNESS_r01..r03 (109 names, every one green in
-# its latest sampling). The driver verifies a ~50-entry PREFIX of this
-# inventory per round, so all_queries() orders gates that still LACK a hard
-# driver row first — newly added or never-sampled ones — then this
-# confirmed tail (oldest-confirmed first, for re-validation).
-_DRIVER_CONFIRMED: frozenset[str] = frozenset({
-    "agg_descriptors", "ann_cosine_pairs", "ann_cosine_topk", "ann_ivf_topk",
-    "ann_rp_lsh_topk", "approx_quantile_bounds", "asof_join", "bbp_pi",
-    "boilerplate_removal", "char_entropy", "chunk_documents",
-    "cohort_retention", "concurrent_events", "contamination_check",
-    "corpus_drift", "corpus_pipeline", "corpus_pipeline_v2", "cube_agg",
-    "dbcount_pageview", "dedup_clusters", "dedup_exact", "dedup_incremental",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "duplicate_span_stats", "duplicate_spans", "embedding_near_dup",
-    "event_funnel", "event_interval_join", "fieldsel", "fingerprint",
-    "fuzzy_term_join", "grep_count", "grep_top", "grouped_topk",
-    "grouping_sets_agg", "hash_sample_orders", "hll_distinct_rollup",
-    "inactive_rich_customers", "interval_sample", "join_anti",
-    "join_full_outer", "join_inner_agg", "join_multiway", "join_override",
-    "join_semi", "json_extract_agg", "keyfield_sort", "kv_split", "lang_id",
-    "large_volume_customer", "lm_perplexity", "local_supplier_volume",
-    "monte_carlo_pi", "multimodal_pipeline", "nation_value_share",
-    "near_dedup_clustered", "near_dedup_corpus", "nqueens",
-    "order_priority_exists", "pagerank_nations", "per_group_sample_orders",
-    "pii_scrub", "pivot_agg", "pricing_summary", "profile_orders",
-    "quality_score", "quantile_buckets", "quantile_summary", "range_join",
-    "repetition_signals", "returned_items_topk", "rollup_agg",
-    "scd2_user_status", "secondary_sort", "semdedup", "sequence_packing",
-    "session_window", "sessionize", "set_except", "set_intersect",
-    "set_ops_bag", "shipping_priority", "side_data_lookup",
-    "skew_salted_join", "sliding_window", "sorted_group_apply",
-    "stratified_sample_orders", "supplier_part_counts", "text_normalize",
-    "tf_idf", "token_budget_mix", "token_counts", "topk_orders",
-    "train_holdout_split", "tumbling_window", "union_distinct",
-    "uniq_capped", "value_histogram", "vocab_stats", "window_analytics",
-    "window_range_frame", "window_rank_family", "winnow_fingerprint_stats",
-    "word_stats", "wordcount", "xml_records", "zorder_values",
-})
+# Driver-sampling order (rebuilt for round 5, per VERDICT r4 item #1).
+#
+# The driver verifies a ~50-entry PREFIX of all_queries() per round, so the
+# ordering below is the round's evidence budget. State after round 4:
+# 211 registered gates, 159 with a fully-green driver CORRECTNESS row
+# (rows+schema+hash — union of CORRECTNESS_r01..r04, every gate green in its
+# latest sampling), and 52 late-r4 additions that have NEVER received a
+# driver row. Those 52 fill the round-5 window, ordered so the four gates
+# that already missed the r4 window (`event_transitions`, `trade_triangles`,
+# `prefiltered_revenue`, `copurchase_lift`) cannot slip a third round, then
+# oldest-registered-first; ~2 spill to round 6.
 
-# Confirmed gates whose LATEST driver row is oldest (round 1) — when the
-# sampling prefix has slots left after the unconfirmed gates, these are the
-# most valuable re-validations.
-_CONFIRMED_R1_ONLY: tuple[str, ...] = (
-    "agg_descriptors", "asof_join", "cube_agg", "fieldsel", "grep_count",
-    "keyfield_sort", "monte_carlo_pi", "pivot_agg", "set_except",
-    "sorted_group_apply", "union_distinct",
+_NEVER_SAMPLED: tuple[str, ...] = (
+    "event_transitions", "trade_triangles", "prefiltered_revenue",
+    "copurchase_lift", "pareto_orders", "ewma_daily_events",
+    "theil_sen_trend", "chi2_source_lang", "ab_test_conversion",
+    "psi_price_drift", "kaplan_meier_retention", "rolling_wau",
+    "benford_price_audit", "spearman_qty_price", "weighted_median_price",
+    "new_vs_returning_daily", "event_seasonality", "qty_price_histogram2d",
+    "cohort_ltv_curve", "user_behavior_entropy", "shipping_lead_time",
+    "footer_table_stats", "dsir_selection", "bpe_pair_counts",
+    "knn_label_confusion", "hybrid_rank_fusion", "script_profile",
+    "tfidf_cosine_topk", "vocab_richness", "kcenter_coreset",
+    "corpus_pipeline_v4", "term_dictionary", "negative_table_draws",
+    "dup_family_histogram", "embedding_norm_qa", "langid_confusion",
+    "frequent_brand_triples", "lpa_communities", "trending_parts",
+    "concept_communities", "rfm_segments", "purchase_attribution",
+    "trade_degree_assortativity", "gini_order_values", "lorenz_deciles",
+    "hhi_supplier_concentration", "repeat_order_intervals",
+    "top_nations_with_other", "dead_stock_audit", "session_path_topk",
+    "debounce_events", "linear_attribution",
 )
+
+_DRIVER_CONFIRMED_ROUND: dict[str, int] = {
+    # latest driver row: round 1 (11 gates)
+    "agg_descriptors": 1, "asof_join": 1, "cube_agg": 1, "fieldsel": 1,
+    "grep_count": 1, "keyfield_sort": 1, "monte_carlo_pi": 1, "pivot_agg": 1,
+    "set_except": 1, "sorted_group_apply": 1, "union_distinct": 1,
+    # latest driver row: round 2 (48 gates)
+    "ann_cosine_pairs": 2, "ann_cosine_topk": 2, "ann_ivf_topk": 2,
+    "char_entropy": 2, "chunk_documents": 2, "contamination_check": 2,
+    "corpus_pipeline": 2, "dedup_clusters": 2, "dedup_exact": 2,
+    "dedup_minhash_lsh": 2, "dedup_ngram_jaccard": 2,
+    "embedding_near_dup": 2, "fingerprint": 2, "interval_sample": 2,
+    "join_anti": 2, "join_full_outer": 2, "join_inner_agg": 2,
+    "join_multiway": 2, "join_override": 2, "join_semi": 2,
+    "json_extract_agg": 2, "kv_split": 2, "lang_id": 2,
+    "multimodal_pipeline": 2, "near_dedup_clustered": 2,
+    "near_dedup_corpus": 2, "pii_scrub": 2, "pricing_summary": 2,
+    "quality_score": 2, "quantile_summary": 2, "repetition_signals": 2,
+    "rollup_agg": 2, "secondary_sort": 2, "sequence_packing": 2,
+    "set_intersect": 2, "text_normalize": 2, "tf_idf": 2, "token_counts": 2,
+    "topk_orders": 2, "uniq_capped": 2, "value_histogram": 2,
+    "window_analytics": 2, "window_range_frame": 2, "window_rank_family": 2,
+    "winnow_fingerprint_stats": 2, "word_stats": 2, "wordcount": 2,
+    "xml_records": 2,
+    # latest driver row: round 3 (50 gates)
+    "ann_rp_lsh_topk": 3, "approx_quantile_bounds": 3, "bbp_pi": 3,
+    "boilerplate_removal": 3, "cohort_retention": 3, "concurrent_events": 3,
+    "corpus_drift": 3, "corpus_pipeline_v2": 3, "dbcount_pageview": 3,
+    "dedup_incremental": 3, "dedup_simhash": 3, "duplicate_span_stats": 3,
+    "duplicate_spans": 3, "event_funnel": 3, "event_interval_join": 3,
+    "fuzzy_term_join": 3, "grep_top": 3, "grouped_topk": 3,
+    "grouping_sets_agg": 3, "hash_sample_orders": 3,
+    "hll_distinct_rollup": 3, "inactive_rich_customers": 3,
+    "large_volume_customer": 3, "lm_perplexity": 3,
+    "local_supplier_volume": 3, "nation_value_share": 3, "nqueens": 3,
+    "order_priority_exists": 3, "pagerank_nations": 3,
+    "per_group_sample_orders": 3, "profile_orders": 3, "quantile_buckets": 3,
+    "range_join": 3, "returned_items_topk": 3, "scd2_user_status": 3,
+    "semdedup": 3, "session_window": 3, "sessionize": 3, "set_ops_bag": 3,
+    "shipping_priority": 3, "side_data_lookup": 3, "skew_salted_join": 3,
+    "sliding_window": 3, "stratified_sample_orders": 3,
+    "supplier_part_counts": 3, "token_budget_mix": 3,
+    "train_holdout_split": 3, "tumbling_window": 3, "vocab_stats": 3,
+    "zorder_values": 3,
+    # latest driver row: round 4 (50 gates)
+    "ann_ivf_pq_topk": 4, "ann_pq_adc_topk": 4, "bfs_trade_reach": 4,
+    "bm25_retrieval": 4, "centroid_separation": 4, "cms_heavy_hitters": 4,
+    "cms_join_size": 4, "containment_dedup": 4, "contrastive_negatives": 4,
+    "corpus_pipeline_v3": 4, "corpus_report": 4,
+    "cross_source_duplication": 4, "customer_distribution": 4,
+    "daily_event_anomaly": 4, "data_validation": 4,
+    "disjunctive_filter_revenue": 4, "duplicate_safe_split": 4,
+    "embedding_gram": 4, "excess_volume_suppliers": 4, "forecast_revenue": 4,
+    "gap_fill_hourly": 4, "inverted_index": 4, "jaccard_prefix_dedup": 4,
+    "key_skew_report": 4, "kll_quantile_rollup": 4, "kn_bigram_model": 4,
+    "late_lines_priority": 4, "latest_event_per_user": 4, "lineitem_corr": 4,
+    "mad_event_anomaly": 4, "merge_upsert_customers": 4,
+    "merged_user_coverage": 4, "min_acctbal_supplier": 4,
+    "national_market_share": 4, "orders_mutual_info": 4,
+    "product_type_profit": 4, "promo_revenue_ratio": 4, "skew_salted_agg": 4,
+    "small_quantity_revenue": 4, "snapshot_diff_orders": 4,
+    "terasort_validate": 4, "theta_user_overlap": 4,
+    "token_budget_mix_weighted": 4, "top_supplier": 4, "volume_shipping": 4,
+    "volume_trend": 4, "waiting_suppliers": 4, "weighted_sample_orders": 4,
+    "winsorize_events": 4, "word_cooccurrence": 4,
+}
+
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -102,61 +153,22 @@ def all_queries() -> dict[str, QuerySpec]:
     from hadoop_fcfs_spark import queries_relational  # noqa: F401
     from hadoop_fcfs_spark import queries_streaming  # noqa: F401
 
-    # r4 ordering: the 17 gates that have never received a driver
-    # CORRECTNESS row across r01-r03 go first (VERDICT r3 item #1), then
-    # any gate added this round (not in _DRIVER_CONFIRMED), then the 11
-    # confirmed gates whose latest row is from round 1 (re-validation),
-    # then the rest of the confirmed tail. terasort_validate is now
-    # value-oracled (deterministic verdict row) so it earns a prefix slot.
-    priority = {
-        name: i
-        for i, name in enumerate((
-            "promo_revenue_ratio", "disjunctive_filter_revenue",
-            "small_quantity_revenue", "forecast_revenue", "volume_shipping",
-            "national_market_share", "product_type_profit",
-            "late_lines_priority", "customer_distribution", "top_supplier",
-            "waiting_suppliers", "min_acctbal_supplier",
-            "excess_volume_suppliers", "skew_salted_agg",
-            "latest_event_per_user", "data_validation", "terasort_validate",
-        ))
-    }
-    revalidate = {name: i for i, name in enumerate(_CONFIRMED_R1_ONLY)}
-    # unconfirmed gates from the r4 2026-08-13 sessions: they have
-    # waited a full driver round for a hard row, so they outrank the
-    # (more numerous) later-session additions inside the unconfirmed
-    # bucket — otherwise module registration order could crowd them out
-    # of the ~50-slot sampling window.
-    r4_early = {
-        name: i
-        for i, name in enumerate((
-            "kll_quantile_rollup", "theta_user_overlap", "daily_event_anomaly",
-            "lineitem_corr", "orders_mutual_info", "winsorize_events",
-            "gap_fill_hourly", "volume_trend", "inverted_index",
-            "word_cooccurrence", "cms_heavy_hitters", "merged_user_coverage",
-            "key_skew_report", "mad_event_anomaly", "cms_join_size",
-            "weighted_sample_orders", "duplicate_safe_split",
-            "token_budget_mix_weighted", "bm25_retrieval", "containment_dedup",
-            "corpus_report", "cross_source_duplication", "corpus_pipeline_v3",
-            "centroid_separation", "ann_pq_adc_topk", "ann_ivf_pq_topk",
-            "kn_bigram_model", "contrastive_negatives", "embedding_gram",
-            "jaccard_prefix_dedup", "merge_upsert_customers", "bfs_trade_reach",
-            "snapshot_diff_orders", "event_transitions", "trade_triangles",
-            "prefiltered_revenue", "copurchase_lift",
-        ))
-    }
+    # r5 ordering: (0) the 52 gates with no driver row across r01-r04,
+    # explicitly ordered; (1) anything registered after this table was
+    # built (new this round) in registration order; (2) confirmed gates,
+    # oldest-latest-round first (re-validation value), name-tiebroken;
+    # (3) rows-only gates last (weak check, never worth a sampled slot).
+    never_rank = {name: i for i, name in enumerate(_NEVER_SAMPLED)}
+    reg_rank = {name: i for i, name in enumerate(_REGISTRY)}
 
-    def bucket(spec: QuerySpec) -> tuple[int, int]:
-        if spec.name in priority:
-            return (0, priority[spec.name])
+    def bucket(spec: QuerySpec) -> tuple:
         if spec.oracle is None:
-            return (5, 0)  # rows-only: weak check, never worth a sampled slot
-        if spec.name not in _DRIVER_CONFIRMED:
-            if spec.name in r4_early:
-                return (1, r4_early[spec.name])  # waited longest
-            return (2, 0)  # new this session
-        if spec.name in revalidate:
-            return (3, revalidate[spec.name])
-        return (4, 0)
+            return (3, 0, spec.name)
+        if spec.name in never_rank:
+            return (0, never_rank[spec.name], spec.name)
+        if spec.name not in _DRIVER_CONFIRMED_ROUND:
+            return (1, reg_rank[spec.name], spec.name)
+        return (2, _DRIVER_CONFIRMED_ROUND[spec.name], spec.name)
 
-    ordered = sorted(_REGISTRY.values(), key=lambda s: bucket(s))  # stable within buckets
+    ordered = sorted(_REGISTRY.values(), key=bucket)
     return {s.name: s for s in ordered}
