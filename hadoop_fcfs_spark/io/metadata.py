@@ -53,18 +53,24 @@ def parquet_file_stats(
                 for c in columns:
                     mn = mx = None
                     nulls = 0
-                    have = False
+                    have_mm = have_st = False
                     for rg in range(md.num_row_groups):
                         st = md.row_group(rg).column(idx[c]).statistics
-                        if st is None or not st.has_min_max:
+                        if st is None:
                             continue
-                        have = True
+                        # null accounting is independent of min/max: an
+                        # all-null chunk has has_min_max=False but still
+                        # carries a valid null_count
+                        have_st = True
+                        nulls += st.null_count or 0
+                        if not st.has_min_max:
+                            continue
+                        have_mm = True
                         mn = st.min if mn is None else min(mn, st.min)
                         mx = st.max if mx is None else max(mx, st.max)
-                        nulls += st.null_count or 0
-                    rec[f"{c}_min"] = float(mn) if have else None
-                    rec[f"{c}_max"] = float(mx) if have else None
-                    rec[f"{c}_nulls"] = nulls if have else None
+                    rec[f"{c}_min"] = float(mn) if have_mm else None
+                    rec[f"{c}_max"] = float(mx) if have_mm else None
+                    rec[f"{c}_nulls"] = nulls if have_st else None
                 rows.append(rec)
             yield pd.DataFrame(rows)
 

@@ -83,7 +83,18 @@ def learn_bpe_merges(
     runs and partitionings — and the vocab with its rewritten symbol
     arrays. Each iteration localCheckpoints the vocab: the lineage
     would otherwise grow by one fold per merge and re-execute the whole
-    history every count."""
+    history every count.
+
+    Driver-iteration bound: BPE merges are inherently sequential (merge
+    i+1's pair counts depend on merge i's rewrite), so each iteration
+    costs exactly one 1-row argmax collect + one distributed rewrite —
+    wall-clock grows linearly in ``n_merges`` with a per-iteration
+    floor of one Spark job (~100ms scheduling latency). Practical
+    ceiling is n_merges in the low thousands (a 32k-token vocab is a
+    different regime — batch non-overlapping merges or use a
+    single-node trainer on the aggregated word-type table, which is
+    small: vocab size is bounded by distinct word TYPES, not corpus
+    rows)."""
     from hadoop_fcfs_spark.ops.sort import top_k
 
     vocab = word_vocab(df, text_col).localCheckpoint()

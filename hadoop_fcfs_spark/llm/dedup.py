@@ -574,9 +574,22 @@ def jaccard_prefix_pairs(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from fractions import Fraction
+
     from pyspark.sql import Window
 
     from hadoop_fcfs_spark.caching import waypoint
+
+    # All threshold bounds are computed in EXACT integer arithmetic with
+    # the threshold as a decimal rational p/q (Fraction(str(t)) — the
+    # decimal the caller typed, not its binary-float neighbour). Binary
+    # float-multiply-then-ceil silently over-prunes whenever t·n is an
+    # exact integer but the float product rounds up (0.1*30 =
+    # 3.0000000000000004 → ceil 4), breaking the completeness guarantee:
+    # ceil(p·n/q) == (p·n + q − 1) div q, and t·max <= min tested as
+    # p·max <= q·min.
+    frac = Fraction(str(threshold))
+    p, q = frac.numerator, frac.denominator
 
     grams = waypoint(_gram_rows(df, id_col, text_col, n))  # (doc, gram) distinct
     freq = grams.groupBy("gram").agg(F.count("*").alias("__gdf"))
@@ -586,7 +599,11 @@ def jaccard_prefix_pairs(
         .withColumn("__rn", F.row_number().over(wdoc))
         .withColumn("__sz", F.count("*").over(Window.partitionBy("doc")))
     )
-    lprefix = F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    lprefix = (
+        F.col("__sz")
+        - F.expr(f"({p}L * __sz + {q - 1}L) DIV {q}L")
+        + 1
+    )
     prefix = ranked.filter(F.col("__rn") <= lprefix).select(
         "doc", "gram", "__rn", "__sz"
     )
@@ -605,8 +622,9 @@ def jaccard_prefix_pairs(
     #  - positional filter: a prefix match at positions (ra, rb) bounds
     #    the intersection by min remaining suffix + 1; J >= t needs
     #    inter >= ceil(t/(1+t)·(|a|+|b|)).
-    alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("__za") + F.col("__zb"))
+    # t/(1+t) = p/(p+q): alpha = ceil(p·(za+zb)/(p+q)) exactly
+    alpha = F.expr(
+        f"({p}L * (__za + __zb) + {p + q - 1}L) DIV {p + q}L"
     )
     ubound = (
         F.least(F.col("__za") - F.col("__ra"), F.col("__zb") - F.col("__rb")) + 1
@@ -615,8 +633,10 @@ def jaccard_prefix_pairs(
         pa.join(pb, "gram")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
-            F.ceil(F.lit(threshold) * F.greatest("__za", "__zb"))
-            <= F.least("__za", "__zb")
+            # ceil(t·max) <= min  <=>  t·max <= min (min is integral)
+            # <=>  p·max <= q·min — exact cross-multiplication
+            F.lit(p) * F.greatest("__za", "__zb")
+            <= F.lit(q) * F.least("__za", "__zb")
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.max(ubound).alias("__ub"), F.max(alpha).alias("__alpha"))
@@ -636,10 +656,20 @@ def jaccard_prefix_pairs(
         F.col("doc").alias("doc_b"), F.col("__set").alias("__sb"), F.col("__n").alias("__nb")
     )
     inter = F.size(F.array_intersect("__sa", "__sb"))
-    jac = inter / (F.col("__na") + F.col("__nb") - inter)
     return (
         cand.join(aa, "doc_a")
         .join(ab, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "doc_a", "doc_b",
+            inter.cast("long").alias("__i"), "__na", "__nb",
+        )
+        # exact verify: i/(na+nb-i) >= p/q  <=>  q·i >= p·(na+nb-i)
+        .filter(
+            F.lit(q) * F.col("__i")
+            >= F.lit(p) * (F.col("__na") + F.col("__nb") - F.col("__i"))
+        )
+        .select(
+            "doc_a", "doc_b",
+            (F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))).alias("jaccard"),
+        )
     )

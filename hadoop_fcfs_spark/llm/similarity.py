@@ -679,8 +679,10 @@ def kcenter_greedy(
     localCheckpoint per iteration keeps the k actions from re-running
     the whole history.
 
-    Returns [(rank, chosen_id, mindist_when_chosen)] with rank 1..k;
-    the seed's mindist is 0 by convention."""
+    Returns [(rank, chosen_id, mindist_when_chosen)] with rank
+    1..min(k, n_points) — when k exceeds the corpus size the complete
+    cover is returned rather than failing mid-loop; the seed's mindist
+    is 0 by convention. Raises ValueError on an empty corpus."""
     from hadoop_fcfs_spark.ops.sort import top_k
 
     if k < 1:
@@ -691,7 +693,10 @@ def kcenter_greedy(
             F.col(vec_col), lambda x: F.floor(x * quant).cast("long")
         ).alias("__v"),
     ).localCheckpoint()
-    seed = top_k(q, 1, F.asc("__id")).collect()[0]
+    seeds = top_k(q, 1, F.asc("__id")).collect()
+    if not seeds:
+        raise ValueError("kcenter_greedy: empty corpus")
+    seed = seeds[0]
     chosen = [(1, seed["__id"], 0)]
 
     def dist_to(vec: list) -> F.Column:
@@ -704,12 +709,18 @@ def kcenter_greedy(
 
     state = q.withColumn("__md", dist_to(seed["__v"])).localCheckpoint()
     for rank in range(2, k + 1):
-        far = top_k(
+        rows = top_k(
             state.filter(~F.col("__id").isin([c[1] for c in chosen])),
             1,
             F.desc("__md"),
             F.asc("__id"),
-        ).collect()[0]
+        ).collect()
+        if not rows:
+            # k exceeds the number of distinct points: every point is
+            # already a center — return the complete cover (radius 0)
+            # instead of dying on an exhausted argmax mid-loop
+            break
+        far = rows[0]
         chosen.append((rank, far["__id"], far["__md"]))
         state = state.withColumn(
             "__md", F.least(F.col("__md"), dist_to(far["__v"]))

@@ -439,8 +439,8 @@ def two_proportion_ztest(
     One unit-grain aggregation, then a 4-integer scalar reduce; z is
     division-only float over exact integers, NULL when the pooled
     standard error is 0 (degenerate all-converted / none-converted
-    splits). Output: 1 row (n_control, conv_control, n_treat,
-    conv_treat, z_e6)."""
+    splits) or either arm is empty. Output: 1 row (n_control,
+    conv_control, n_treat, conv_treat, z_e6)."""
     units = df.groupBy(F.col(unit_col)).agg(
         F.max(variant_col.cast("int")).alias("__v"),
         success_agg.cast("int").alias("__s"),
@@ -459,9 +459,15 @@ def two_proportion_ztest(
         F.col("n_control") + F.col("n_treat")
     )
     se = F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_control") + 1.0 / F.col("n_treat")))
+    # The empty-arm guard must wrap the se>0 test too: under ANSI Spark,
+    # evaluating p1/p2/se with n==0 throws DIVIDE_BY_ZERO before the
+    # inner WHEN could return NULL. Nested CASE short-circuits.
+    z = F.when(se > 0, F.floor((p2 - p1) / se * 1_000_000).cast("long"))
     return c.select(
         "n_control", "conv_control", "n_treat", "conv_treat",
-        F.when(se > 0, F.floor((p2 - p1) / se * 1_000_000).cast("long")).alias("z_e6"),
+        F.when(
+            (F.col("n_control") > 0) & (F.col("n_treat") > 0), z
+        ).alias("z_e6"),
     )
 
 
@@ -565,11 +571,16 @@ def kaplan_meier(
         .withColumn("__left", F.coalesce(F.sum("__all").over(w_prev), F.lit(0)))
         .withColumn("n_risk", (F.col("__n") - F.col("__left")).cast("long"))
     )
-    surv = F.exp(
-        F.sum(
-            F.log(1.0 - F.col("__d") / F.col("n_risk"))
-        ).over(w_run)
-    )
+    # Exhausted risk set (d == n): the step factor is 0 and S(t) must hit
+    # 0 exactly from that t onward. Under Spark ln(0) is NULL and the
+    # window SUM would silently DROP it, freezing S at the previous value
+    # — emit -inf instead, which the SUM propagates and exp() maps to 0
+    # (IEEE semantics, identical in DuckDB via CAST('-inf' AS DOUBLE)).
+    step = F.when(
+        F.col("__d") < F.col("n_risk"),
+        F.log(1.0 - F.col("__d") / F.col("n_risk")),
+    ).otherwise(F.lit(float("-inf")))
+    surv = F.exp(F.sum(step).over(w_run))
     return (
         at_risk.withColumn("__s", surv)
         .filter(F.col("__d") > 0)

@@ -1259,7 +1259,8 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r2 AS (
       SELECT t, de, n_risk,
-             exp(SUM(ln(1 - de / n_risk)) OVER (ORDER BY t
+             exp(SUM(CASE WHEN de < n_risk THEN ln(1 - de / n_risk)
+                          ELSE CAST('-inf' AS DOUBLE) END) OVER (ORDER BY t
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
       FROM r1
     )

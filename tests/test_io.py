@@ -462,3 +462,19 @@ def test_parquet_footer_stats_match_data(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         parquet_file_stats(spark, str(tmp_path / "missing"), ["id"])
+
+
+def test_parquet_footer_stats_all_null_column(spark, tmp_path):
+    from hadoop_fcfs_spark.io.metadata import parquet_file_stats
+
+    # an all-null column chunk has has_min_max=False but a valid
+    # null_count — null accounting must not be gated on min/max presence
+    d = str(tmp_path / "allnull")
+    spark.range(0, 100).selectExpr(
+        "id", "CAST(NULL AS DOUBLE) AS v"
+    ).coalesce(1).write.parquet(d)
+    r = parquet_file_stats(spark, d, ["id", "v"]).collect()[0]
+    assert r["n_rows"] == 100
+    assert r["v_nulls"] == 100
+    assert r["v_min"] is None and r["v_max"] is None
+    assert r["id_nulls"] == 0 and r["id_min"] == 0.0

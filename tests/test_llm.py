@@ -1192,3 +1192,42 @@ def test_kcenter_greedy_picks_spread_points(spark):
     assert chosen[1][2] == 10000 * 10000  # exact integer distance
     # replay determinism
     assert kcenter_greedy(df, k=3) == chosen
+
+
+def test_jaccard_prefix_pairs_exact_integer_thresholds(spark):
+    from hadoop_fcfs_spark.llm.dedup import jaccard_prefix_pairs
+
+    # Adversarial case for binary-float threshold math: t=0.1, |a|=30,
+    # |b|=3, all 3 of b's words shared, J = 3/30 = 0.1 exactly (>= t).
+    # The shared words have df=2 so they rank LAST in a's rarest-first
+    # prefix order (positions 28-30). float 0.1*30 = 3.0000000000000004
+    # -> ceil 4 over-pruned both a's prefix (27 vs 28) and the length
+    # filter (ceil(t*30)=4 > 3), silently dropping this true pair; the
+    # exact-rational bounds keep it.
+    a_words = " ".join(f"w{i:02d}" for i in range(27)) + " s1 s2 s3"
+    df = spark.createDataFrame(
+        [(1, a_words), (2, "s1 s2 s3")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_prefix_pairs(
+            df, "doc_id", "text", n=1, threshold=0.1
+        ).collect()
+    }
+    assert got == {(1, 2): 0.1}
+
+
+def test_kcenter_greedy_k_exceeding_corpus(spark):
+    from hadoop_fcfs_spark.llm.similarity import kcenter_greedy
+
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    chosen = kcenter_greedy(df, k=10)
+    assert [c[0] for c in chosen] == [1, 2, 3]  # complete cover, no crash
+    assert {c[1] for c in chosen} == {0, 1, 2}
+
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        kcenter_greedy(empty, k=1)

@@ -1645,3 +1645,33 @@ def test_weighted_median_crossing_and_contrast_with_unweighted(spark):
     # 2*cum >= total) = the smaller value
     df2 = spark.createDataFrame([(10.0, 1), (20.0, 1)], "v double, w long")
     assert weighted_median(df2, "v", "w").collect()[0]["wmedian"] == 10.0
+
+
+def test_kaplan_meier_exhausted_risk_set_hits_zero(spark):
+    from hadoop_fcfs_spark.ops.stats import kaplan_meier
+
+    # all longest-duration subjects exit uncensored: d == n_risk at t=3,
+    # so S(3) must be exactly 0 — under the old ln(0)->NULL behavior the
+    # window SUM dropped the term and S froze at the previous value
+    rows = [(1, False)] * 2 + [(3, False)] * 3
+    df = spark.createDataFrame(rows, "dur int, cens boolean")
+    got = {r["t"]: (r["n_risk"], r["d_events"], r["surv_e6"]) for r in
+           kaplan_meier(df, "dur", "cens").collect()}
+    assert got[1] == (5, 2, 600_000)
+    assert got[3] == (3, 3, 0)
+
+
+def test_two_proportion_ztest_empty_arm_returns_null(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.stats import two_proportion_ztest
+
+    # every unit is in the treatment arm: n_control == 0 divided p1/se
+    # under ANSI Spark before the guard — must yield NULL z, not throw
+    rows = [(u, 1, u % 2) for u in range(10)]
+    df = spark.createDataFrame(rows, "user int, v int, s int")
+    out = two_proportion_ztest(
+        df, F.col("v") == 1, F.max("s") == 1, "user"
+    ).collect()[0]
+    assert out["n_control"] == 0 and out["n_treat"] == 10
+    assert out["z_e6"] is None
