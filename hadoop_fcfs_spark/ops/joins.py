@@ -209,6 +209,64 @@ def bucketized_interval_join(
     return pb.join(ib, "__bucket").filter(cond).drop("__bucket")
 
 
+def trailing_band_join(
+    anchors: DataFrame,
+    events: DataFrame,
+    anchor_key: str,
+    event_key: str,
+    anchor_ts: str,
+    event_ts: str,
+    band_us: int,
+) -> DataFrame:
+    """Trailing time-band join made EQUI: pair every anchor row with the
+    same-key event rows whose timestamp lies in the inclusive band
+    [anchor_ts − band_us, anchor_ts] — the attribution-window /
+    lookback-feature kernel.
+
+    A plain key equi-join + band filter materializes P×E rows per key
+    before filtering — a hot user with 10⁴ purchases and 10⁵ events is
+    10⁹ join rows. Here both sides also carry an integer epoch bucket of
+    width ``band_us`` (exact long division of unix_micros — no float
+    anywhere), the anchor side explodes into the 2 buckets its band can
+    span (floor((a−W)/W) == floor(a/W) − 1 exactly for W-wide bands), and
+    the join key becomes (key, bucket): a hot key's fan-out is bounded by
+    its per-band-width activity, not its lifetime totals, and the salt-free
+    shuffle spreads one user across time. The exact band predicate then
+    filters within the bucket — results are identical to the naive join.
+
+    Timestamps must be non-negative epochs (``div`` truncates toward
+    zero; pre-1970 data would mis-bucket). Output: anchor columns +
+    event columns, band matches only (inner).
+    """
+    if band_us <= 0:
+        raise ValueError(f"band_us must be positive, got {band_us}")
+    a = anchors.withColumn(
+        "__abkt",
+        F.explode(
+            F.array(
+                F.expr(f"unix_micros({anchor_ts}) div {band_us}") - 1,
+                F.expr(f"unix_micros({anchor_ts}) div {band_us}"),
+            )
+        ),
+    )
+    e = events.withColumn(
+        "__ebkt", F.expr(f"unix_micros({event_ts}) div {band_us}")
+    )
+    band = (F.col(event_ts) <= F.col(anchor_ts)) & (
+        F.unix_micros(F.col(anchor_ts)) - F.unix_micros(F.col(event_ts))
+        <= band_us
+    )
+    return (
+        a.join(
+            e,
+            (F.col(anchor_key) == F.col(event_key))
+            & (F.col("__abkt") == F.col("__ebkt")),
+        )
+        .filter(band)
+        .drop("__abkt", "__ebkt")
+    )
+
+
 def hash_prefilter_semi_join(
     big: DataFrame,
     small: DataFrame,

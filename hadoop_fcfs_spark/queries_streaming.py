@@ -244,11 +244,15 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "purchase_attribution. Credit is INTEGER micro-units "
     "(1000000 div k), so the per-channel sums are exact under any "
     "accumulation order (float 1/k credits would drift at the ulp). "
-    "The touch join is a per-user event-time band join; k "
-    "re-aggregates from the touch table.",
+    "The touch join is ops.joins.trailing_band_join: purchases "
+    "explode into the 2 epoch buckets their 30-min band spans and the "
+    "join is EQUI on (user, bucket) — a hot user's fan-out is bounded "
+    "per 30-min window, never lifetime P x E; k re-aggregates from "
+    "the touch table.",
 )
 def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.joins import trailing_band_join
 
     ev = t(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
@@ -260,15 +264,9 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("event_type").alias("channel"), "ts"
     )
     touches = waypoint(
-        p.join(e, (F.col("p_user") == F.col("user_id")))
-        .filter(
-            (F.col("ts") <= F.col("p_ts"))
-            & (
-                F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("ts"))
-                <= 1_800_000_000
-            )
-        )
-        .select("p_id", "channel")
+        trailing_band_join(
+            p, e, "p_user", "user_id", "p_ts", "ts", band_us=1_800_000_000
+        ).select("p_id", "channel")
     )
     k = touches.groupBy("p_id").agg(F.count("*").cast("long").alias("__k"))
     return (

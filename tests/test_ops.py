@@ -1675,3 +1675,57 @@ def test_two_proportion_ztest_empty_arm_returns_null(spark):
     ).collect()[0]
     assert out["n_control"] == 0 and out["n_treat"] == 10
     assert out["z_e6"] is None
+
+
+def test_trailing_band_join_matches_naive_and_is_equi(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.joins import trailing_band_join
+
+    W = 1_800_000_000  # 30 min in micros
+
+    def ts(m, s=0, us=0):
+        return datetime(2024, 1, 1, m // 60, m % 60, s, us)
+
+    anchors = spark.createDataFrame(
+        [(1, 100, ts(60)), (1, 101, ts(90)), (2, 200, ts(45))],
+        "p_user int, p_id int, p_ts timestamp",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, "ad", ts(30)),          # exactly 30 min before p 100: IN (inclusive)
+            (1, "email", ts(29, 59)),   # 30m01s before: OUT for 100
+            (1, "ad", ts(60)),          # equal ts: IN for 100
+            (1, "push", ts(75)),        # between: IN for 101 only
+            (1, "ad", ts(95)),          # after both: OUT
+            (2, "email", ts(20)),       # 25 min before 200: IN
+            (3, "ad", ts(60)),          # other user: OUT
+        ],
+        "user_id int, channel string, ts timestamp",
+    )
+    got = {
+        (r["p_id"], r["channel"], r["ts"])
+        for r in trailing_band_join(
+            anchors, events, "p_user", "user_id", "p_ts", "ts", band_us=W
+        ).collect()
+    }
+    naive = {
+        (r["p_id"], r["channel"], r["ts"])
+        for r in anchors.join(events, F.col("p_user") == F.col("user_id"))
+        .filter(
+            (F.col("ts") <= F.col("p_ts"))
+            & (F.unix_micros("p_ts") - F.unix_micros("ts") <= W)
+        )
+        .collect()
+    }
+    assert got == naive
+    assert (100, "ad", ts(30)) in got and (100, "email", ts(29, 59)) not in got
+
+    # the scale contract: the physical join is EQUI on (key, bucket) —
+    # the bucket column must appear in the join keys, not a post-filter
+    plan = trailing_band_join(
+        anchors, events, "p_user", "user_id", "p_ts", "ts", band_us=W
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "__abkt" in plan and "__ebkt" in plan
