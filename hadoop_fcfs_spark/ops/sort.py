@@ -106,6 +106,65 @@ def ranked_total_order(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    keys: list[Column | str],
+    value_col: str,
+    out_col: str = "running",
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global (ungrouped) running sum of ``value_col`` over the total
+    order given by ``keys`` — WITHOUT the unpartitioned
+    ``sum().over(Window.orderBy(...))`` that drags the whole input
+    through one WindowExec task.
+
+    Same two-level decomposition as ``ranked_total_order``:
+    ``repartitionByRange`` on the keys (range partition ids are ordered
+    by key, and rows with equal keys land in one partition), local
+    prefix sums inside each sorted partition (partition-bounded
+    windows), then per-partition totals prefix-summed — a
+    single-partition window over #partitions SUMMARY rows only — and
+    broadcast-joined back as offsets. ``inclusive=False`` yields the
+    exclusive prefix sum (0 for each partition's first row).
+
+    Keys must form a total order for a deterministic result (ties share
+    no defined order, as with any running sum). The enumerated table is
+    a persist waypoint: its lineage is nondeterministic (range sampling
+    + monotonically_increasing_id) and it feeds both the totals and the
+    final join."""
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.caching import waypoint
+
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    local = waypoint(
+        df.repartitionByRange(int(parts), *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mid", 33))
+    )
+    end = 0 if inclusive else -1
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy("__mid")
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        local.withColumn(
+            "__lsum", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__lsum") + F.col("__off"))
+        .drop("__mid", "__pid", "__lsum", "__off")
+    )
+
+
 def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
     """Exact SQL ``NTILE(k)`` bucket from a 1-based global rank over ``n``
     rows — so the single-task ``NTILE() OVER (ORDER BY ...)`` window can be

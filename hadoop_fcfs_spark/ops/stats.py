@@ -601,22 +601,24 @@ def spearman_corr(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
 
     Scale shape: ranks are NOT computed with a global row window — each
     column collapses to its distinct-VALUE grain (count per value), the
-    average rank of a value is (rows before it) + (cnt+1)/2 via a
-    prefix sum over the value-grain summary, and rows join their rank
-    back on the value (two grain-bounded windows + two co-located
-    joins). The final Pearson over rank pairs is one moment
-    aggregation. Output: 1 row (spearman rounded @6, n)."""
+    average rank of a value is (rows before it) + (cnt+1)/2 via an
+    EXCLUSIVE prefix sum over the grain, and rows join their rank back
+    on the value. The prefix sum runs through
+    ops.sort.global_running_sum (range-partitioned two-level scan), so
+    even a CONTINUOUS column — where the distinct-value grain is
+    data-sized — never collapses into one window task. The final
+    Pearson over rank pairs is one moment aggregation. Output: 1 row
+    (spearman rounded @6, n)."""
     from hadoop_fcfs_spark.caching import waypoint
-    from pyspark.sql import Window
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
 
     def avg_ranks(c: str, alias: str) -> DataFrame:
         grain = df.groupBy(F.col(c).alias("__v")).agg(F.count("*").alias("__c"))
-        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-        # value-grain summary window (distinct values, not rows)
-        return grain.withColumn(
-            alias,
-            F.coalesce(F.sum("__c").over(w), F.lit(0))
-            + (F.col("__c") + 1) / 2.0,
+        before = global_running_sum(
+            grain, ["__v"], "__c", out_col="__before", inclusive=False
+        )
+        return before.withColumn(
+            alias, F.col("__before") + (F.col("__c") + 1) / 2.0
         ).select(F.col("__v").alias(c), alias)
     base = waypoint(df.select(col_x, col_y))
     rx = avg_ranks(col_x, "__rx")
@@ -638,21 +640,22 @@ def weighted_median(
 
     Scale shape: collapse to the distinct-VALUE grain (sum of weights
     per value — the only data-sized pass, map-side combined), prefix-
-    sum the grain summary, keep the first crossing (min value with
-    2·cum ≥ total). Integer weights keep the crossing comparison exact
-    across engines. Output: 1 row (wmedian, total_weight)."""
+    sum the grain through ops.sort.global_running_sum (range-
+    partitioned two-level scan — a continuous value column's grain is
+    data-sized, so the cumulative sum must not be a single-task
+    window), keep the first crossing (min value with 2·cum ≥ total).
+    Integer weights keep the crossing comparison exact across engines.
+    Output: 1 row (wmedian, total_weight)."""
     from hadoop_fcfs_spark.caching import waypoint
-    from pyspark.sql import Window
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
 
     grain = waypoint(
         df.groupBy(F.col(value_col).alias("__v")).agg(
             F.sum(F.col(weight_col).cast("long")).alias("__w")
         )
     )
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     total = grain.agg(F.sum("__w").alias("__tot"))
-    # distinct-value grain summary window (values, not rows)
-    cum = grain.withColumn("__cum", F.sum("__w").over(w))
+    cum = global_running_sum(grain, ["__v"], "__w", out_col="__cum")
     return (
         cum.crossJoin(F.broadcast(total))
         .filter(2 * F.col("__cum") >= F.col("__tot"))

@@ -1729,3 +1729,38 @@ def test_trailing_band_join_matches_naive_and_is_equi(spark):
         anchors, events, "p_user", "user_id", "p_ts", "ts", band_us=W
     )._jdf.queryExecution().executedPlan().toString()
     assert "__abkt" in plan and "__ebkt" in plan
+
+
+def test_global_running_sum_matches_window(spark):
+    from pyspark.sql import Window, functions as F
+
+    from hadoop_fcfs_spark.caching import release_waypoints
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    df = spark.createDataFrame(
+        [(i * 7 % 101, i % 5 + 1) for i in range(101)], "k int, v int"
+    ).repartition(8)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    expect = {
+        (r["k"], r["run"]): True
+        for r in df.withColumn("run", F.sum("v").over(w)).collect()
+    }
+    got_inc = {
+        (r["k"], r["run"]): True
+        for r in global_running_sum(df, ["k"], "v", out_col="run").collect()
+    }
+    assert got_inc == expect
+    # exclusive variant: inclusive minus own value
+    got_exc = {
+        r["k"]: r["run"]
+        for r in global_running_sum(
+            df, ["k"], "v", out_col="run", inclusive=False
+        ).collect()
+    }
+    vals = {r["k"]: r["v"] for r in df.collect()}
+    assert all(got_exc[k] + vals[k] == run for (k, run) in expect)
+    # plan contract: no unpartitioned data-sized window — the only
+    # ORDER-BY-without-PARTITION window runs over per-partition totals
+    plan = global_running_sum(df, ["k"], "v")._jdf.queryExecution().toString()
+    assert "rangepartitioning" in plan.lower()
+    release_waypoints()

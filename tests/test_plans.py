@@ -529,10 +529,9 @@ def test_no_unallowed_unpartitioned_windows_static_sweep():
     ALLOWED = {
         # (file, enclosing function): why it's bounded
         ("ops/sort.py", "ranked_total_order"),       # offsets over per-partition COUNT summary
+        ("ops/sort.py", "global_running_sum"),       # offsets over per-partition TOTAL summary
         ("ops/stats.py", "pareto_frontier"),         # prefix max over one-row-per-chunk summary
         ("ops/stats.py", "kaplan_meier"),            # risk/product windows over duration-grain summary
-        ("ops/stats.py", "avg_ranks"),               # spearman_corr: prefix sums over distinct-value grain summaries
-        ("ops/stats.py", "weighted_median"),         # prefix sum over distinct-value grain summary
         ("llm/packing.py", "pack_sequences"),        # offsets over chunk-total summary
         ("queries_relational.py", "topk_orders"),    # TakeOrderedAndProject(limit=k) plan-asserted
         ("queries_relational.py", "shipping_priority"),
