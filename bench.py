@@ -36,7 +36,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # prefix-filter exact set-similarity join (r4 cont.), and the r4-final
 # DSIR selection + sparse TF-IDF cosine join (hashed-feature scoring
 # and the inverted-index similarity join are distinct shuffle shapes
-# from everything above).
+# from everything above), and the composed LLM-pipeline flagship
+# corpus_pipeline_v4 (dedup -> DSIR top-k -> source accounting, r5).
 HEADLINE = [
     "pricing_summary",
     "join_multiway",
@@ -52,6 +53,7 @@ HEADLINE = [
     "jaccard_prefix_dedup",
     "dsir_selection",
     "tfidf_cosine_topk",
+    "corpus_pipeline_v4",
 ]
 
 
