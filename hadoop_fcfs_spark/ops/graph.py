@@ -155,6 +155,63 @@ def bfs_levels(
     return visited
 
 
+def sssp(
+    edges: DataFrame,
+    sources: list,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_iters: int = 3,
+) -> DataFrame:
+    """Single-source (multi-source) shortest paths over NON-NEGATIVE
+    integer edge weights: bounded Bellman–Ford as DataFrame algebra —
+    the weighted upgrade of ``bfs_levels`` (reference analog: the
+    iterative MR shortest-path pattern, one relax job per round, from
+    Lin & Dyer ch.5 — each round is a join+min-merge here, not a full
+    MR job).
+
+    Per iteration: dist ⋈ edges on the source key → candidate
+    (dst, dist+w) rows → union with current dists → min-merge
+    (groupBy.min — map-side combined). Early-exits when an iteration
+    improves nothing, and since min-merge is monotone, running fewer or
+    extra iterations past convergence never changes distances — a
+    fixed-k unrolled oracle matches whenever k bounds the convergence
+    round. State stays node-shaped; the edge table shuffles on the join
+    key each round (pre-partition edges by ``src`` on a cluster and
+    every round reuses the layout). Integer weights keep min-merge
+    ties exact across engines. Returns (node, dist) for reached nodes.
+    """
+    if max_iters < 0:
+        raise ValueError(f"max_iters must be >= 0, got {max_iters}")
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).alias("__es"), F.col(dst).alias("__ed"),
+        F.col(weight).cast("long").alias("__ew"),
+    )
+    dist = spark.createDataFrame([(s, 0) for s in sources], ["node", "dist"])
+    dist = dist.groupBy("node").agg(F.min("dist").alias("dist"))
+    for _ in range(max_iters):
+        cand = e.join(dist, e.__es == dist.node).select(
+            F.col("__ed").alias("node"),
+            (F.col("dist") + F.col("__ew")).alias("dist"),
+        )
+        merged = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = merged.join(
+            dist.withColumnRenamed("dist", "__old"), "node", "left"
+        ).filter(F.col("__old").isNull() | (F.col("dist") < F.col("__old")))
+        dist = merged
+        if not improved.take(1):
+            break
+    return dist
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst", orient: str = "degree"
 ) -> DataFrame:

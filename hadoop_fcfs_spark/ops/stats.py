@@ -664,3 +664,31 @@ def weighted_median(
             F.max("__tot").cast("long").alias("total_weight"),
         )
     )
+
+
+def wilson_lower_bound(
+    successes: Column, trials: Column, z: float = 1.96
+) -> Column:
+    """Wilson-score lower confidence bound for a binomial proportion —
+    the correct way to RANK conversion/success rates across arms with
+    very different sample sizes (a 2/2 channel must not outrank a
+    480/520 one; the naive rate and the normal-approximation interval
+    both get this wrong at small n).
+
+    Division-only float over exact integer (successes, trials) inputs
+    with a single correctly-rounded sqrt — the expression shape is kept
+    flat so an ANSI-SQL mirror built the same way produces bit-identical
+    doubles. NULL when trials == 0 (guarded BEFORE any division — ANSI
+    division by zero throws)."""
+    s = successes.cast("double")
+    n = trials.cast("double")
+    z2 = z * z
+    p = s / n
+    center = p + z2 / (2 * n)
+    margin = z * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    # clamp: at p=0 the exact bound is 0 but center/margin cancel one
+    # ulp apart, leaving ~-2e-17 which would floor-quantize to -1
+    return F.when(
+        trials > 0,
+        F.greatest(F.lit(0.0), (center - margin) / (1 + z2 / n)),
+    )

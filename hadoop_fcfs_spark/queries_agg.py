@@ -1721,3 +1721,135 @@ def shipping_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("lead_days", F.lit(0.95)).cast("double").alias("p95_days"),
         F.max("lead_days").cast("long").alias("max_days"),
     )
+
+
+@register(
+    "abc_inventory_classes",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS rev_cents
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(rev_cents) AS t FROM pr),
+    c AS (
+      SELECT rev_cents,
+             SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM pr
+    )
+    SELECT CASE WHEN 100 * cum <= 80 * t THEN 'A'
+                WHEN 100 * cum <= 95 * t THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents
+    FROM c CROSS JOIN tot
+    GROUP BY 1
+    """,
+    doc="ABC inventory classification: parts ranked by exact integer-"
+    "cent revenue, cumulative-share classes A (first 80% of revenue), "
+    "B (to 95%), C (tail) — the Pareto stocking-policy report. The "
+    "cumulative sum runs through ops.sort.global_running_sum (range-"
+    "partitioned two-level scan over the part grain — at 10^8 parts a "
+    "single-task ORDER BY window would melt); class membership is an "
+    "exact integer cross-multiplication (100*cum <= 80*total), so no "
+    "float share ever decides a boundary part.",
+)
+def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    pr = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_cents"))
+    tot = pr.agg(F.sum("rev_cents").alias("__t"))
+    cum = global_running_sum(
+        pr, [F.desc("rev_cents"), F.asc("l_partkey")], "rev_cents", out_col="__cum"
+    )
+    cls = (
+        F.when(100 * F.col("__cum") <= 80 * F.col("__t"), "A")
+        .when(100 * F.col("__cum") <= 95 * F.col("__t"), "B")
+        .otherwise("C")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev_cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "wilson_conversion_bounds",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_type AS channel, MIN(ts) AS first_touch
+      FROM events WHERE event_type <> 'purchase'
+      GROUP BY 1, 2
+    ),
+    pu AS (
+      SELECT user_id, MAX(ts) AS last_purchase
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    arms AS (
+      SELECT channel,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (last_purchase > first_touch) AS conv
+      FROM ch LEFT JOIN pu USING (user_id)
+      GROUP BY 1
+    )
+    SELECT channel, CAST(n AS BIGINT) AS n_users,
+           CAST(conv AS BIGINT) AS n_converted,
+           CAST(FLOOR(GREATEST(0.0,
+                (((CAST(conv AS DOUBLE) / CAST(n AS DOUBLE)
+                  + (1.96 * 1.96) / (2 * CAST(n AS DOUBLE)))
+                 - 1.96 * sqrt((CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (1 - CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+                     + (1.96 * 1.96)
+                       / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                / (1 + (1.96 * 1.96) / CAST(n AS DOUBLE)))) * 1000000)
+              AS BIGINT) AS wilson_lb_e6
+    FROM arms
+    """,
+    doc="Per-channel conversion with the Wilson-score 95% lower bound "
+    "(ops.stats.wilson_lower_bound): a user 'converts' on a channel "
+    "when their last purchase is after their first touch of it. The "
+    "honest way to rank channels with unequal exposure - the naive "
+    "rate lets a 2/2 channel beat a 480/520 one. Two user-grain "
+    "aggregations + one channel-grain reduce; the bound is division-"
+    "only float + one sqrt over exact integers with IDENTICAL "
+    "expression shapes both engines (z^2 written as 1.96*1.96 in BOTH "
+    "- a pre-rounded 3.8416 literal parses to a DIFFERENT double than "
+    "the product), FLOOR-micro.",
+)
+def wilson_conversion_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import wilson_lower_bound
+
+    ev = t(spark, sf_dir, "events")
+    ch = ev.filter(F.col("event_type") != "purchase").groupBy(
+        "user_id", F.col("event_type").alias("channel")
+    ).agg(F.min("ts").alias("__ft"))
+    pu = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.max("ts").alias("__lp")
+    )
+    arms = (
+        ch.join(pu, "user_id", "left")
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(
+                F.when(F.col("__lp") > F.col("__ft"), 1).otherwise(0)
+            ).cast("long").alias("n_converted"),
+        )
+    )
+    lb = wilson_lower_bound(F.col("n_converted"), F.col("n_users"))
+    return arms.select(
+        "channel", "n_users", "n_converted",
+        F.floor(lb * 1_000_000).cast("long").alias("wilson_lb_e6"),
+    )

@@ -2211,6 +2211,91 @@ def bfs_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sssp_trade_cost",
+    oracle="""
+    WITH e0 AS MATERIALIZED (
+      SELECT cn.n_name AS src, sn.n_name AS dst,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY 1, 2
+    ),
+    ew AS MATERIALIZED (
+      SELECT src, dst, 1 + 100000000000000 // w AS c FROM e0
+    ),
+    d0 AS MATERIALIZED (SELECT 'NATION_0' AS node, CAST(0 AS BIGINT) AS dist),
+    d1 AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d0
+        UNION ALL
+        SELECT ew.dst AS node, d0.dist + ew.c AS dist
+        FROM d0 JOIN ew ON ew.src = d0.node
+      ) GROUP BY 1
+    ),
+    d2 AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d1
+        UNION ALL
+        SELECT ew.dst AS node, d1.dist + ew.c AS dist
+        FROM d1 JOIN ew ON ew.src = d1.node
+      ) GROUP BY 1
+    ),
+    d3 AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d2
+        UNION ALL
+        SELECT ew.dst AS node, d2.dist + ew.c AS dist
+        FROM d2 JOIN ew ON ew.src = d2.node
+      ) GROUP BY 1
+    )
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
+    """,
+    doc="Weighted single-source shortest paths (ops.graph.sssp, "
+    "bounded Bellman-Ford) over the nation trade graph with inverse-"
+    "volume routing costs: edge cost = 1 + 10^14 div trade_cents "
+    "(heavily-trading pairs are cheap; integer div matches DuckDB // "
+    "exactly, BFS-gate precedent for the exact-cents edge weights), "
+    "source NATION_0, 3 relaxation rounds. Min-merge is monotone, so "
+    "the early-exiting Spark loop and the fixed-k unrolled oracle "
+    "agree whenever k bounds convergence (the 25-node near-complete "
+    "graph converges in 2). The oracle CTEs NEED AS MATERIALIZED - "
+    "DuckDB inlines chained CTEs exponentially (r4 gotcha).",
+)
+def sssp_trade_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.graph import sssp
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("src"))
+    sn = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("dst"))
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cnk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("snk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(cents).alias("w"))
+        .withColumn("c", F.lit(1).cast("long") + F.expr("100000000000000L div w"))
+    )
+    return sssp(edges, ["NATION_0"], weight="c", max_iters=3).select(
+        "node", F.col("dist").cast("long").alias("dist")
+    )
+
+
+@register(
     "snapshot_diff_orders",
     oracle="""
     WITH old AS (

@@ -277,3 +277,68 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("1000000 div __k")).cast("long").alias("credit_micro"),
         )
     )
+
+
+@register(
+    "frequent_subsequences",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id AS u, event_type AS s, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pos AS (
+      SELECT u, s,
+             SUM(is_new) OVER (PARTITION BY u ORDER BY ts, event_id) AS sid,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts, event_id) AS p
+      FROM flagged
+    ),
+    g AS (
+      SELECT u, sid, s, MIN(p) AS fp, MAX(p) AS lp
+      FROM pos GROUP BY 1, 2, 3
+    ),
+    nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+    hits AS (
+      SELECT DISTINCT a.u, a.s AS step_a, b.s AS step_b, c.s AS step_c
+      FROM g a JOIN g b ON a.u = b.u AND a.sid = b.sid
+               JOIN g c ON b.u = c.u AND b.sid = c.sid
+      WHERE EXISTS (SELECT 1 FROM pos pb WHERE pb.u = a.u
+                    AND pb.sid = a.sid AND pb.s = b.s
+                    AND pb.p > a.fp AND pb.p < c.lp)
+    )
+    SELECT step_a, step_b, step_c, CAST(COUNT(*) AS BIGINT) AS support
+    FROM hits CROSS JOIN nu
+    GROUP BY 1, 2, 3, nu.n
+    HAVING 5 * COUNT(*) >= 2 * nu.n
+    ORDER BY support DESC, step_a, step_b, step_c
+    LIMIT 15
+    """,
+    doc="Top-15 frequent 3-step subsequences within 12h sessions "
+    "(ops.seqmine.frequent_subsequences - the PrefixSpan/GSP family; "
+    "session_path_topk counts only CONSECUTIVE runs, this is the "
+    "order-only relaxation funnel mining wants). Containment is "
+    "aggregation-only: (a,b,c) occurs in a session iff some b-position "
+    "lies strictly between first_pos(a) and last_pos(c) - an EXISTS "
+    "over the (user, session, step) type grain, never a positional "
+    "self-join; Apriori prune (answer-invariant by anti-monotonicity) "
+    "bounds candidates to joins of frequent pairs, and the naive-SQL "
+    "oracle proves the prune drops nothing. Support floor is RELATIVE "
+    "(exact cross-multiply, 5*support >= 2*n_users) and the output is "
+    "top-k with a total ordering: probed session supports CONCENTRATE "
+    "with scale (48-66% of users at sf0.01, 53-60% at sf0.1), so any "
+    "fixed percentage sits knife-edge at some SF - ranking stays "
+    "discriminating at all of them.",
+)
+def frequent_subsequences_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.seqmine import frequent_subsequences
+
+    ev = t(spark, sf_dir, "events")
+    out = frequent_subsequences(
+        ev, "user_id", "ts", "event_type", "event_id",
+        min_support_num=2, min_support_den=5, session_gap_minutes=720,
+    )
+    return out.orderBy(
+        F.desc("support"), "step_a", "step_b", "step_c"
+    ).limit(15)

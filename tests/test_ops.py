@@ -1764,3 +1764,100 @@ def test_global_running_sum_matches_window(spark):
     plan = global_running_sum(df, ["k"], "v")._jdf.queryExecution().toString()
     assert "rangepartitioning" in plan.lower()
     release_waypoints()
+
+
+def test_sssp_hand_case_weighted_vs_hops(spark):
+    from hadoop_fcfs_spark.ops.graph import sssp
+
+    # A->B cost 10, A->C cost 1, C->B cost 2: weighted SP to B is 3 via
+    # C (BFS hop-count would say the direct edge); D unreachable from A
+    edges = spark.createDataFrame(
+        [("A", "B", 10), ("A", "C", 1), ("C", "B", 2), ("D", "A", 1)],
+        "src string, dst string, w long",
+    )
+    got = {r["node"]: r["dist"] for r in sssp(edges, ["A"], max_iters=5).collect()}
+    assert got == {"A": 0, "C": 1, "B": 3}
+    # multi-source: min over sources; extra iterations past convergence
+    # change nothing (monotone min-merge)
+    got2 = {r["node"]: r["dist"] for r in sssp(edges, ["A", "D"], max_iters=9).collect()}
+    assert got2 == {"A": 0, "D": 0, "C": 1, "B": 3}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sssp(edges, [], max_iters=3)
+
+
+def test_frequent_subsequences_hand_case(spark):
+    from datetime import datetime
+
+    from hadoop_fcfs_spark.ops.seqmine import frequent_subsequences
+
+    def ts(u, m):
+        return (u, datetime(2024, 1, 1, 10, m))
+
+    # users 1+2 do a->b->c in order; user 3 does c->b->a (reversed);
+    # user 4 has a,a,b (tests the repeated-step pair a<a via two
+    # occurrences feeding (a,a,b))
+    rows = []
+    for u in (1, 2):
+        for i, s in enumerate(["a", "b", "c"]):
+            rows.append((u, datetime(2024, 1, 1, 10, i), i, s))
+    for i, s in enumerate(["c", "b", "a"]):
+        rows.append((3, datetime(2024, 1, 1, 10, i), i, s))
+    for i, s in enumerate(["a", "a", "b"]):
+        rows.append((4, datetime(2024, 1, 1, 10, i), i, s))
+    df = spark.createDataFrame(rows, "u int, ts timestamp, eid int, s string")
+    got = {
+        (r["step_a"], r["step_b"], r["step_c"]): r["support"]
+        for r in frequent_subsequences(
+            df, "u", "ts", "s", "eid", min_support_num=1, min_support_den=2
+        ).collect()
+    }
+    # support >= 2 of 4 users: (a,b,c) by users 1+2 only
+    assert got == {("a", "b", "c"): 2}
+    # session scoping: a 12h gap between b and c for user 1 removes the
+    # in-session containment, dropping (a,b,c) below the threshold
+    rows2 = [r for r in rows if not (r[0] == 1 and r[3] == "c")]
+    rows2.append((1, datetime(2024, 1, 2, 10, 0), 99, "c"))
+    df2 = spark.createDataFrame(rows2, "u int, ts timestamp, eid int, s string")
+    got2 = {
+        (r["step_a"], r["step_b"], r["step_c"]): r["support"]
+        for r in frequent_subsequences(
+            df2, "u", "ts", "s", "eid",
+            min_support_num=1, min_support_den=2, session_gap_minutes=720,
+        ).collect()
+    }
+    assert got2 == {}
+
+
+def test_wilson_lower_bound_hand_values(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.stats import wilson_lower_bound
+
+    df = spark.createDataFrame(
+        [(2, 2), (480, 520), (0, 10), (0, 0)], "s long, n long"
+    )
+    got = {
+        (r["s"], r["n"]): r["lb"]
+        for r in df.select(
+            "s", "n", wilson_lower_bound(F.col("s"), F.col("n")).alias("lb")
+        ).collect()
+    }
+
+    def ref(s, n, z=1.96):
+        p = s / n
+        return (p + z * z / (2 * n) - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) / (
+            1 + z * z / n
+        )
+
+    # the sample-size honesty property: 2/2 must NOT outrank 480/520
+    assert got[(2, 2)] == ref(2, 2) and got[(2, 2)] < got[(480, 520)]
+    assert abs(got[(480, 520)] - ref(480, 520)) < 1e-12
+    # p=0: exact bound is 0; the raw float cancels one ulp negative
+    # (~-2e-17) which the operator clamps so e6-floors never emit -1
+    assert got[(0, 10)] == 0.0
+    assert got[(0, 0)] is None  # empty arm: NULL, no ANSI divide error
