@@ -112,3 +112,63 @@ def dsir_log_weights(
             F.sum(F.col("cnt") * F.col("__lam")).alias("log_weight"),
         )
     )
+
+
+def greedy_max_coverage(
+    postings: DataFrame,
+    k: int,
+    doc_col: str = "doc",
+    item_col: str = "item",
+) -> list[tuple[int, object, int]]:
+    """Greedy maximum-coverage selection (the (1−1/e)-approximation of
+    the NP-hard max-cover objective): repeatedly pick the document
+    covering the most NOT-yet-covered items — the diversity-first
+    data-selection complement to DSIR's distribution matching (DSIR
+    matches a target; max-cover maximizes breadth, e.g. of n-gram
+    shingles, for instruction-tuning variety).
+
+    Scale shape: ``postings`` (doc, item — distinct) stays distributed;
+    each of the k iterations is one anti-join of the postings against
+    the covered-item set (hash join, no window), a per-doc count
+    aggregation (map-side combined), and a TakeOrdered(1) argmax with
+    (gain desc, doc asc) tiebreak — exact integer gains, any engine
+    replays the identical picks. Driver state is k rows + the covered
+    set stays a DataFrame (localCheckpoint per pick, kcenter_greedy
+    precedent; the per-iteration 1-row collect is inherent to the
+    sequential greedy, cost ∝ k).
+
+    Stops early when no remaining document covers a new item. Returns
+    [(pick, doc, gain)] with pick 1..≤k."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.sort import top_k
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    p = postings.select(
+        F.col(doc_col).alias("__doc"), F.col(item_col).alias("__item")
+    ).distinct().localCheckpoint()
+    spark = postings.sparkSession
+    covered = spark.createDataFrame([], p.select("__item").schema)
+    chosen: list[tuple[int, object, int]] = []
+    for pick in range(1, k + 1):
+        remaining = p.join(covered, "__item", "left_anti")
+        if chosen:
+            taken = spark.createDataFrame(
+                [(c[1],) for c in chosen], p.select("__doc").schema
+            )
+            remaining = remaining.join(taken, "__doc", "left_anti")
+        gains = remaining.groupBy("__doc").agg(F.count("*").alias("__gain"))
+        best = top_k(gains, 1, F.desc("__gain"), F.asc("__doc")).collect()
+        if not best:
+            break
+        b = best[0]
+        chosen.append((pick, b["__doc"], b["__gain"]))
+        covered = (
+            covered.unionByName(
+                p.filter(F.col("__doc") == F.lit(b["__doc"])).select("__item")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return chosen

@@ -726,3 +726,28 @@ def kcenter_greedy(
             "__md", F.least(F.col("__md"), dist_to(far["__v"]))
         ).localCheckpoint()
     return chosen
+
+
+def mutual_topk_pairs(topk: DataFrame, rank_col: str = "rank") -> DataFrame:
+    """Reciprocal nearest-neighbor pairs from ANY per-query ranking
+    table shaped (query_id, vec_id, cos, rank) — keep (a, b) iff b is
+    a's rank-1 neighbor AND a is b's rank-1 neighbor. The mutual-NN
+    criterion is the classic high-precision duplicate/translation-pair
+    filter (a one-directional top-1 is often a hub; reciprocity kills
+    hub matches). Composes with exact ``cosine_topk`` or any ANN tier
+    output (IVF/LSH/PQ) — the scale path is whatever produced the
+    ranking; this step is two projections of the rank-1 rows and ONE
+    equi-join on the pair key, emitted once with doc_a < doc_b."""
+    r1 = topk.filter(F.col(rank_col) == 1).select(
+        F.col("query_id").alias("doc_a"),
+        F.col("vec_id").alias("doc_b"),
+        "cos",
+    )
+    rev = r1.select(
+        F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    )
+    return (
+        r1.join(rev, ["doc_a", "doc_b"], "left_semi")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "cos")
+    )

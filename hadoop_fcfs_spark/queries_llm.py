@@ -2677,3 +2677,113 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", F.coalesce("lang_pred", F.lit("und")).alias("pred_lang"))
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+@register(
+    "mutual_nn_pairs",
+    oracle="""
+    WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 100),
+    pairs AS (
+      SELECT a.vec_id AS qa, b.vec_id AS qb,
+             ROUND(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))), 4) + 0.0 AS cos
+      FROM s a JOIN s b ON a.vec_id <> b.vec_id
+    ),
+    r1 AS (
+      SELECT qa, qb, cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qa
+                    ORDER BY cos DESC, qb) AS rn
+        FROM pairs
+      ) WHERE rn = 1
+    )
+    SELECT a.qa AS doc_a, a.qb AS doc_b, a.cos
+    FROM r1 a JOIN r1 b ON a.qa = b.qb AND a.qb = b.qa
+    WHERE a.qa < a.qb
+    """,
+    doc="Reciprocal nearest-neighbor pairs "
+    "(llm.similarity.mutual_topk_pairs over exact cosine_topk, k=1) "
+    "within the vec_id<100 subset: keep (a,b) only when each is the "
+    "other's rank-1 neighbor - the classic high-precision duplicate/"
+    "alignment filter (one-directional top-1 matches hubs; reciprocity "
+    "kills them). Non-empty by construction: the globally most-similar "
+    "pair is always mutual. Composes with any ANN tier's ranking at "
+    "scale; the reciprocity step itself is one pair-key semi-join.",
+)
+def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import cosine_topk, mutual_topk_pairs
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return mutual_topk_pairs(cosine_topk(emb, emb, k=1))
+
+
+@register(
+    "greedy_gram_coverage",
+    oracle="""
+    WITH p AS MATERIALIZED (
+      SELECT DISTINCT doc_id AS doc, array_to_string(ws[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 2)) AS i
+            FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws FROM documents))
+    ),
+    m1 AS MATERIALIZED (
+      SELECT doc, CAST(COUNT(*) AS BIGINT) AS gain FROM p
+      GROUP BY 1 ORDER BY gain DESC, doc LIMIT 1),
+    c1 AS MATERIALIZED (SELECT DISTINCT gram FROM p JOIN m1 USING (doc)),
+    m2 AS MATERIALIZED (
+      SELECT doc, CAST(COUNT(*) AS BIGINT) AS gain FROM p
+      WHERE doc NOT IN (SELECT doc FROM m1)
+        AND gram NOT IN (SELECT gram FROM c1)
+      GROUP BY 1 ORDER BY gain DESC, doc LIMIT 1),
+    c2 AS MATERIALIZED (
+      SELECT gram FROM c1
+      UNION SELECT gram FROM p JOIN m2 USING (doc)),
+    m3 AS MATERIALIZED (
+      SELECT doc, CAST(COUNT(*) AS BIGINT) AS gain FROM p
+      WHERE doc NOT IN (SELECT doc FROM m1 UNION SELECT doc FROM m2)
+        AND gram NOT IN (SELECT gram FROM c2)
+      GROUP BY 1 ORDER BY gain DESC, doc LIMIT 1),
+    c3 AS MATERIALIZED (
+      SELECT gram FROM c2
+      UNION SELECT gram FROM p JOIN m3 USING (doc)),
+    m4 AS MATERIALIZED (
+      SELECT doc, CAST(COUNT(*) AS BIGINT) AS gain FROM p
+      WHERE doc NOT IN (SELECT doc FROM m1 UNION SELECT doc FROM m2
+                        UNION SELECT doc FROM m3)
+        AND gram NOT IN (SELECT gram FROM c3)
+      GROUP BY 1 ORDER BY gain DESC, doc LIMIT 1),
+    c4 AS MATERIALIZED (
+      SELECT gram FROM c3
+      UNION SELECT gram FROM p JOIN m4 USING (doc)),
+    m5 AS MATERIALIZED (
+      SELECT doc, CAST(COUNT(*) AS BIGINT) AS gain FROM p
+      WHERE doc NOT IN (SELECT doc FROM m1 UNION SELECT doc FROM m2
+                        UNION SELECT doc FROM m3 UNION SELECT doc FROM m4)
+        AND gram NOT IN (SELECT gram FROM c4)
+      GROUP BY 1 ORDER BY gain DESC, doc LIMIT 1)
+    SELECT CAST(1 AS INT) AS pick, doc AS doc_id, gain FROM m1
+    UNION ALL SELECT 2, doc, gain FROM m2
+    UNION ALL SELECT 3, doc, gain FROM m3
+    UNION ALL SELECT 4, doc, gain FROM m4
+    UNION ALL SELECT 5, doc, gain FROM m5
+    """,
+    doc="Greedy maximum-coverage data selection "
+    "(llm.dsir.greedy_max_coverage, the (1-1/e) greedy): pick 5 "
+    "documents maximizing newly-covered distinct word-3-gram shingles "
+    "- the diversity-first complement to DSIR's distribution matching. "
+    "Exact integer gains with (gain desc, doc asc) tiebreak make every "
+    "pick engine-replayable; per pick one anti-join + count aggregation "
+    "+ TakeOrdered(1). The unrolled oracle NEEDS AS MATERIALIZED "
+    "(chained-CTE exponential inlining, r4 gotcha).",
+)
+def greedy_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.dedup import _gram_rows
+    from hadoop_fcfs_spark.llm.dsir import greedy_max_coverage
+
+    docs = t(spark, sf_dir, "documents")
+    grams = _gram_rows(docs, "doc_id", "text", 3)
+    picks = greedy_max_coverage(grams, k=5, doc_col="doc", item_col="gram")
+    return spark.createDataFrame(
+        [(p, int(d), int(g)) for p, d, g in picks],
+        "pick int, doc_id long, gain long",
+    )

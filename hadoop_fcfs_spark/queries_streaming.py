@@ -342,3 +342,52 @@ def frequent_subsequences_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.desc("support"), "step_a", "step_b", "step_c"
     ).limit(15)
+
+
+@register(
+    "temporal_split_audit",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts < TIMESTAMP '2024-01-22' AS is_train FROM events
+    ),
+    tr AS (SELECT DISTINCT user_id FROM s WHERE is_train),
+    te AS (SELECT DISTINCT user_id FROM s WHERE NOT is_train)
+    SELECT
+      CAST((SELECT COUNT(*) FROM s WHERE is_train) AS BIGINT)
+        AS n_train_events,
+      CAST((SELECT COUNT(*) FROM s WHERE NOT is_train) AS BIGINT)
+        AS n_test_events,
+      CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_train_users,
+      CAST((SELECT COUNT(*) FROM te) AS BIGINT) AS n_test_users,
+      CAST((SELECT COUNT(*) FROM tr JOIN te USING (user_id)) AS BIGINT)
+        AS n_shared_users
+    """,
+    doc="Temporal train/test split audit: split events at a cutoff "
+    "date and report per-split event/user counts plus the SHARED-user "
+    "count - the point-in-time leakage screen (user-level features "
+    "computed over the whole history leak future signal into train "
+    "rows for every shared user; this quantifies the exposure). One "
+    "scan + two distinct-user aggregations + one semi-join, all "
+    "integer outputs. Complements train_holdout_split (random, "
+    "engine-replayable) with the time-ordered split an events pipeline "
+    "actually deploys.",
+)
+def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-22").cast("timestamp")
+    s = ev.select("user_id", (F.col("ts") < cutoff).alias("is_train"))
+    counts = s.agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0)).cast("long").alias("n_train_events"),
+        F.sum(F.when(~F.col("is_train"), 1).otherwise(0)).cast("long").alias("n_test_events"),
+    )
+    tr = s.filter(F.col("is_train")).select("user_id").distinct()
+    te = s.filter(~F.col("is_train")).select("user_id").distinct()
+    u = (
+        tr.agg(F.count("*").cast("long").alias("n_train_users"))
+        .crossJoin(te.agg(F.count("*").cast("long").alias("n_test_users")))
+        .crossJoin(
+            tr.join(te, "user_id", "left_semi")
+            .agg(F.count("*").cast("long").alias("n_shared_users"))
+        )
+    )
+    return counts.crossJoin(F.broadcast(u))

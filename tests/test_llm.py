@@ -1231,3 +1231,38 @@ def test_kcenter_greedy_k_exceeding_corpus(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError, match="empty corpus"):
         kcenter_greedy(empty, k=1)
+
+
+def test_mutual_topk_pairs_kills_hub_matches(spark):
+    from hadoop_fcfs_spark.llm.similarity import cosine_topk, mutual_topk_pairs
+
+    # 1 and 2 are near-identical (mutual); 3's top-1 is 1 but 1's
+    # top-1 is 2 — the hub match (3->1) must NOT survive reciprocity
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.01]),
+        (3, [0.7, 0.7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["doc_a"], r["doc_b"])
+        for r in mutual_topk_pairs(cosine_topk(df, df, k=1)).collect()
+    ]
+    assert got == [(1, 2)]
+
+
+def test_greedy_max_coverage_hand_case(spark):
+    from hadoop_fcfs_spark.llm.dsir import greedy_max_coverage
+
+    # doc 10 covers {a,b,c}; doc 20 covers {c,d}; doc 30 covers {a,b}
+    # greedy: pick 10 (gain 3), then 20 (gain 1: only d is new — 30's
+    # residual gain is 0 so it is never picked); k=5 stops early at 2
+    rows = [(10, g) for g in "abc"] + [(20, g) for g in "cd"] + [(30, g) for g in "ab"]
+    df = spark.createDataFrame(rows, "doc long, item string")
+    got = greedy_max_coverage(df, k=5)
+    assert got == [(1, 10, 3), (2, 20, 1)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        greedy_max_coverage(df, k=0)

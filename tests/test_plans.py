@@ -587,6 +587,7 @@ def test_no_unallowed_driver_collects_static_sweep():
         ("bench/tera.py", "content_checksum"),       # one scalar
         ("llm/bpe.py", "learn_bpe_merges"),          # 1-row argmax per merge (k-means-centroid precedent)
         ("llm/similarity.py", "kcenter_greedy"),     # 1 seed + 1 argmax row per step, k rows total
+        ("llm/dsir.py", "greedy_max_coverage"),      # 1 argmax row per pick, k rows total (kcenter precedent)
         ("__main__.py", "main"),                     # CLI verify: result display/compare IS the job
     }
     root = pathlib.Path("hadoop_fcfs_spark")
