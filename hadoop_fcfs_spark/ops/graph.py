@@ -212,6 +212,53 @@ def sssp(
     return dist
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman's degeneracy
+    peel — the community-density filter and the standard preprocessing
+    step before expensive graph kernels): repeatedly delete every node
+    whose UNDIRECTED degree is below k until none remains; survivors
+    plus their within-core degrees are the k-core.
+
+    Per round: one degree aggregation (map-side combined) over the live
+    edge table, one weak-node filter, two anti-joins to drop edges
+    touching weak nodes — edge-shaped state, no windows, localCheckpoint
+    per round (bounded lineage). Peeling is MONOTONE (nodes only ever
+    leave), so running extra rounds past the fixpoint changes nothing —
+    a fixed-R unrolled oracle matches whenever R bounds convergence.
+    Returns (node, degree) for k-core members; empty if the core is
+    empty."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .unionByName(
+            edges.select(F.col(dst).alias("x"), F.col(src).alias("y"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = und.groupBy("x").agg(F.count("*").alias("__deg"))
+        weak = deg.filter(F.col("__deg") < k).select("x")
+        if not weak.take(1):
+            break
+        und = (
+            und.join(weak, "x", "left_anti")
+            .join(weak.withColumnRenamed("x", "y"), "y", "left_anti")
+            .select("x", "y")
+            .localCheckpoint(eager=True)
+        )
+    return und.groupBy(F.col("x").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst", orient: str = "degree"
 ) -> DataFrame:

@@ -617,6 +617,149 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_zscore_daily",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, day, n,
+             SUM(n) OVER w AS s1, SUM(n * n) OVER w AS s2,
+             COUNT(*) OVER w AS m
+      FROM g
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, n,
+           CASE WHEN m > 1 AND (CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+                  / (CAST(m AS DOUBLE) - 1) > 0
+                THEN CAST(FLOOR((CAST(n AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+                     / sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+                       / (CAST(m AS DOUBLE) - 1)) * 1000000) AS BIGINT)
+           END AS z_e6
+    FROM r
+    """,
+    doc="Rolling 7-day z-score of daily event counts per type - the "
+    "trailing-window anomaly monitor (daily_event_anomaly scores "
+    "against the GLOBAL mean; this scores against the local regime, "
+    "catching level shifts the global z misses). The day grain "
+    "aggregates first (the only event-sized pass); the rolling window "
+    "is key-bounded ROWS 6 PRECEDING. Mean/variance come from EXACT "
+    "integer window sums (S1, S2, m) - never an engine stddev_samp, "
+    "whose accumulation internals differ - so both engines evaluate "
+    "the identical division/sqrt shape; NULL when the window variance "
+    "is 0 or m=1. FLOOR-micro.",
+)
+def rolling_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    r = g.select(
+        "event_type", "day", "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count("*").over(w).alias("m"),
+    )
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    m = F.col("m").cast("double")
+    var = (s2 - s1 * s1 / m) / (m - 1)
+    z = (F.col("n").cast("double") - s1 / m) / F.sqrt(var)
+    return r.select(
+        "event_type", "day", "n",
+        F.when(
+            (F.col("m") > 1) & (var > 0),
+            F.floor(z * 1_000_000).cast("long"),
+        ).alias("z_e6"),
+    )
+
+
+@register(
+    "interpolated_hourly_value",
+    oracle="""
+    WITH aggd AS (
+      SELECT event_type, date_trunc('hour', ts) AS grid_ts,
+             CAST(FLOOR(AVG(value) * 1000000) AS BIGINT) AS avg_e6
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT k.event_type, g.grid_ts
+      FROM (SELECT DISTINCT event_type FROM events) k
+      CROSS JOIN bounds
+      CROSS JOIN LATERAL UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g(grid_ts)
+    ),
+    j AS (
+      SELECT s.event_type, s.grid_ts, a.avg_e6,
+             epoch(s.grid_ts) AS tss,
+             LAST_VALUE(a.avg_e6 IGNORE NULLS) OVER wb AS pv,
+             LAST_VALUE(CASE WHEN a.avg_e6 IS NOT NULL
+                             THEN epoch(s.grid_ts) END IGNORE NULLS)
+               OVER wb AS pt,
+             FIRST_VALUE(a.avg_e6 IGNORE NULLS) OVER wf AS nv,
+             FIRST_VALUE(CASE WHEN a.avg_e6 IS NOT NULL
+                              THEN epoch(s.grid_ts) END IGNORE NULLS)
+               OVER wf AS nt
+      FROM spine s LEFT JOIN aggd a USING (event_type, grid_ts)
+      WINDOW wb AS (PARTITION BY s.event_type ORDER BY s.grid_ts
+                    ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY s.event_type ORDER BY s.grid_ts
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, CAST(grid_ts AS VARCHAR) AS grid_hour,
+           CAST(FLOOR(CASE WHEN avg_e6 IS NOT NULL THEN avg_e6
+                           WHEN pv IS NULL THEN nv
+                           WHEN nv IS NULL THEN pv
+                           ELSE pv + (nv - pv) * ((tss - pt) / (nt - pt))
+                      END) AS BIGINT) AS avg_e6_interp
+    FROM j
+    """,
+    doc="Linear time-weighted interpolation over the hourly per-type "
+    "grid (ops.timeseries.gap_fill fill_linear): hours with no events "
+    "get pv + (nv-pv)*(t-pt)/(nt-pt) between the surrounding known "
+    "means, nearest-value at the edges — the gap-filling convention "
+    "feature pipelines use where forward-fill would bias trends. Two "
+    "key-bounded grid windows per column; the interpolation arithmetic "
+    "keeps IDENTICAL expression shape both engines (integer pv/nv, one "
+    "division, same order) so the doubles agree bit-for-bit and FLOOR "
+    "can't split.",
+)
+def interpolated_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.timeseries import gap_fill
+
+    ev = t(spark, sf_dir, "events")
+    out = gap_fill(
+        ev,
+        ["event_type"],
+        "ts",
+        "1 hour",
+        [(F.floor(F.avg("value") * 1_000_000).cast("long"), "avg_e6")],
+        fill_linear=["avg_e6"],
+    )
+    return out.select(
+        "event_type",
+        F.col("grid_ts").cast("string").alias("grid_hour"),
+        F.floor(F.col("avg_e6")).cast("long").alias("avg_e6_interp"),
+    )
+
+
+@register(
     "volume_trend",
     oracle="""
     WITH daily AS (

@@ -1861,3 +1861,23 @@ def test_wilson_lower_bound_hand_values(spark):
     # (~-2e-17) which the operator clamps so e6-floors never emit -1
     assert got[(0, 10)] == 0.0
     assert got[(0, 0)] is None  # empty arm: NULL, no ANSI divide error
+
+
+def test_kcore_hand_case(spark):
+    from hadoop_fcfs_spark.ops.graph import kcore
+
+    # triangle A-B-C (2-core) with a pendant chain C-D-E: peeling
+    # removes E (deg 1), then D (deg 1 after E) — cascades need >1 round
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("A", "C"), ("C", "D"), ("D", "E")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["degree"] for r in kcore(edges, k=2).collect()}
+    assert got == {"A": 2, "B": 2, "C": 2}
+    # 3-core of a triangle is empty
+    assert kcore(edges, k=3).collect() == []
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kcore(edges, k=0)
