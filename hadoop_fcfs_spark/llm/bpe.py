@@ -115,3 +115,74 @@ def learn_bpe_merges(
             "symbols", _merge_once(F.col("symbols"), b["left"], b["right"])
         ).localCheckpoint()
     return merges, vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    id_col: str | None = None,
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Apply a learned merge list to a corpus — the inference half of
+    the trainer (``learn_bpe_merges`` builds the merges; this encodes
+    arbitrary text with them). Semantics match the trainer exactly:
+    each word becomes chars + '</w>' and the merges are applied IN
+    LEARNED ORDER, each pass rewriting all adjacent occurrences greedy
+    left-to-right (the same fold ``_merge_once`` applies during
+    training — encode(train_corpus) reproduces the trainer's final
+    vocab symbol arrays, pytest-locked).
+
+    Scale shape: one ``mapInPandas`` over the documents — the merge
+    list ships in the task closure (a tokenizer is ≤ ~32k pairs, KBs),
+    encoding is pure per-row Python at the Arrow batch boundary (the
+    documented slow-path exception: a symbol-level iterative rewrite
+    has no Column-expression form at arbitrary merge depth; the
+    expression fold used in training is per-MERGE, not per-corpus).
+    Output: (id?, tokens array<string>, n_tokens)."""
+    import pandas as pd
+
+    pairs = [(str(a), str(b)) for a, b in merges]
+    cols = ([id_col] if id_col else []) + [text_col]
+    src = df.select(*cols)
+    schema = (
+        (f"`{id_col}` {dict(src.dtypes)[id_col]}, " if id_col else "")
+        + f"{out_col} array<string>, n_tokens long"
+    )
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word) + [END]
+        for left, right in pairs:
+            if len(syms) < 2:
+                break
+            out, i, changed = [], 0, False
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if changed:
+                syms = out
+        return syms
+
+    def run(batches):
+        for pdf in batches:
+            toks = [
+                [s for w in str(txt).split() if w for s in encode_word(w)]
+                for txt in pdf[text_col]
+            ]
+            out = {}
+            if id_col:
+                out[id_col] = pdf[id_col]
+            out[out_col] = toks
+            out["n_tokens"] = [len(ts) for ts in toks]
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema)

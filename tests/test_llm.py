@@ -1266,3 +1266,30 @@ def test_greedy_max_coverage_hand_case(spark):
 
     with _pytest.raises(ValueError):
         greedy_max_coverage(df, k=0)
+
+
+def test_bpe_encode_reproduces_trainer_vocab(spark):
+    from hadoop_fcfs_spark.llm.bpe import bpe_encode, learn_bpe_merges
+
+    texts = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new wider wide"),
+        (3, "low new wide wider lowest"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    merges, vocab = learn_bpe_merges(df, "text", n_merges=8)
+    assert len(merges) == 8
+
+    # the trainer's final symbol arrays ARE the encode of each word
+    # type — encoding the corpus must reproduce them word-for-word
+    expect = {r["word"]: list(r["symbols"]) for r in vocab.collect()}
+    pairs = [(l, r) for l, r, _ in merges]
+    enc = bpe_encode(df, "text", pairs, id_col="doc_id")
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tokens"]) for r in enc.collect()}
+    for doc_id, text, *_ in [(a, b) for a, b, in texts]:
+        flat = [s for w in text.split() for s in expect[w]]
+        assert got[doc_id][0] == flat and got[doc_id][1] == len(flat)
+
+    # zero merges = plain char + </w> split
+    got0 = bpe_encode(df.limit(1), "text", [], id_col="doc_id").collect()[0]
+    assert got0["tokens"][:4] == ["l", "o", "w", "</w>"]
