@@ -355,3 +355,53 @@ def weighted_draws(
         draws, cum, "__target", lo_col="__lo", hi_col="__hi", bucket_width=width
     )
     return routed.select("draw_id", key_col)
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    budget_num: int,
+    budget_den: int,
+) -> DataFrame:
+    """Temperature-weighted group mixing with exponent α = 0.5 — the
+    multilingual-pretraining rebalance (mBERT/XLM exponent-smoothed
+    sampling): group g with n_g rows gets sampling mass w_g ∝ n_g^α, so
+    low-resource groups are UP-sampled relative to their share. Per-row
+    keep probability p_g = min(1, B·w_g/(Σw)·(1/n_g)) with expected
+    total budget B = (budget_num/budget_den)·N rows; a row survives iff
+    its md5-uniform32 id key < floor(p_g·2³²) — fully deterministic,
+    zero RNG state, engine-replayable.
+
+    α is FIXED at 0.5 so the weight is sqrt(n) — IEEE sqrt is correctly
+    rounded and bit-identical across engines, where a general pow(n, α)
+    is not guaranteed to be (the cross-engine value-hash would sit one
+    ulp from a threshold boundary). One tiny group-count aggregate
+    (broadcast back), then a pure per-row filter — no shuffle of the
+    data rows at all."""
+    if budget_num <= 0 or budget_den <= 0:
+        raise ValueError("budget fraction must be positive")
+    c = df.groupBy(F.col(group_col)).agg(F.count("*").alias("__n"))
+    tot = c.agg(
+        F.sum("__n").alias("__nt"),
+        F.sum(F.sqrt(F.col("__n").cast("double"))).alias("__s"),
+    )
+    p = (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "__n",
+            F.least(
+                F.lit(1.0),
+                (F.col("__nt") * budget_num).cast("double") / budget_den
+                * F.sqrt(F.col("__n").cast("double")) / F.col("__s")
+                / F.col("__n").cast("double"),
+            ).alias("__p"),
+        )
+    )
+    thresh = F.floor(F.col("__p") * F.lit(4294967296.0)).cast("long")
+    return (
+        df.join(F.broadcast(p), group_col)
+        .filter(_sample_key(id_col) < thresh)
+        .drop("__n", "__p")
+    )

@@ -2787,3 +2787,130 @@ def greedy_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(p, int(d), int(g)) for p, d, g in picks],
         "pick int, doc_id long, gain long",
     )
+
+
+@register(
+    "temperature_mix_langs",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(n) AS nt, SUM(sqrt(CAST(n AS DOUBLE))) AS s FROM c),
+    p AS (
+      SELECT lang, n,
+             LEAST(1.0, CAST(nt * 2 AS DOUBLE) / 5
+               * sqrt(CAST(n AS DOUBLE)) / s / CAST(n AS DOUBLE)) AS pl
+      FROM c CROSS JOIN tot
+    ),
+    k AS (
+      SELECT d.lang, COUNT(*) AS n_kept
+      FROM documents d JOIN p USING (lang)
+      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            < CAST(FLOOR(pl * 4294967296) AS BIGINT)
+      GROUP BY 1
+    )
+    SELECT p.lang, CAST(p.n AS BIGINT) AS n_docs,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM p LEFT JOIN k USING (lang)
+    """,
+    doc="Temperature-weighted language mixing "
+    "(ops.sampling.temperature_mix, alpha=0.5 - the mBERT/XLM "
+    "exponent-smoothed rebalance): lang g keeps each doc with "
+    "p_g = min(1, B*sqrt(n_g)/(sum sqrt)/n_g), B = 40% of the corpus - "
+    "low-resource langs are UP-sampled relative to their share (the "
+    "synthetic corpus is en-heavy). Selection is the md5-uniform32 key "
+    "against floor(p*2^32) - deterministic, zero RNG. alpha fixed at "
+    "0.5: IEEE sqrt is correctly rounded cross-engine where pow(n, a) "
+    "is not. One tiny group aggregate broadcast back; the corpus is "
+    "never shuffled.",
+)
+def temperature_mix_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sampling import temperature_mix
+
+    docs = t(spark, sf_dir, "documents")
+    kept = temperature_mix(docs, "lang", "doc_id", budget_num=2, budget_den=5)
+    n = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    k = kept.groupBy("lang").agg(F.count("*").cast("long").alias("__k"))
+    return n.join(k, "lang", "left").select(
+        "lang", "n_docs",
+        F.coalesce(F.col("__k"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+@register(
+    "dedup_survivorship",
+    oracle="""
+    WITH base AS (SELECT doc_id, text, n_chars FROM documents),
+    va AS (
+      SELECT doc_id + 1000000 AS doc_id, upper(text) AS text, n_chars
+      FROM base WHERE doc_id < 15
+    ),
+    vb AS (
+      SELECT doc_id + 2000000 AS doc_id,
+             replace(text, ' ', '  ') AS text,
+             LENGTH(replace(text, ' ', '  ')) AS n_chars
+      FROM base WHERE doc_id < 15
+    ),
+    allr AS (
+      SELECT * FROM base UNION ALL SELECT * FROM va UNION ALL SELECT * FROM vb
+    ),
+    keyed AS (
+      SELECT doc_id, n_chars,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS k
+      FROM allr
+    ),
+    r AS (
+      SELECT doc_id, n_chars, k,
+             ROW_NUMBER() OVER (PARTITION BY k
+               ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY k) AS m
+      FROM keyed
+    )
+    SELECT CAST(doc_id AS BIGINT) AS survivor_id,
+           CAST(m AS BIGINT) AS n_members,
+           CAST(n_chars AS BIGINT) AS max_chars
+    FROM r WHERE rn = 1 AND m > 1
+    """,
+    doc="Survivorship dedup (golden record): exact dedup on the "
+    "case/whitespace-NORMALIZED text digest, but the survivor is "
+    "chosen by QUALITY rule (max n_chars, id tiebreak) via "
+    "ops.sort.latest_by_key - not lowest-id (dedup_exact's rule). "
+    "Planted variants prove the rule bites: an uppercased copy "
+    "(+1e6, same length - loses the tie to the original id) and a "
+    "double-spaced copy (+2e6, LONGER - wins the group outright), so "
+    "every planted group's survivor is the +2e6 variant. Digest-keyed "
+    "shuffle only; WindowGroupLimit rank-1 per group.",
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sort import latest_by_key
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", "n_chars")
+    seed = base.filter(F.col("doc_id") < 15)
+    va = seed.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.upper("text").alias("text"),
+        "n_chars",
+    )
+    spaced = F.regexp_replace(F.col("text"), " ", "  ")
+    vb = seed.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        spaced.alias("text"),
+        F.length(spaced).cast("long").alias("n_chars"),
+    )
+    allr = base.unionByName(va).unionByName(vb)
+    keyed = allr.select(
+        "doc_id", "n_chars",
+        F.md5(
+            F.lower(F.regexp_replace("text", r"\s+", " ")).cast("binary")
+        ).alias("k"),
+    )
+    surv = latest_by_key(keyed, ["k"], [F.desc("n_chars"), F.asc("doc_id")])
+    m = keyed.groupBy("k").agg(F.count("*").alias("__m"))
+    return (
+        surv.join(m, "k")
+        .filter(F.col("__m") > 1)
+        .select(
+            F.col("doc_id").cast("long").alias("survivor_id"),
+            F.col("__m").cast("long").alias("n_members"),
+            F.col("n_chars").cast("long").alias("max_chars"),
+        )
+    )

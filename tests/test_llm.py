@@ -1293,3 +1293,26 @@ def test_bpe_encode_reproduces_trainer_vocab(spark):
     # zero merges = plain char + </w> split
     got0 = bpe_encode(df.limit(1), "text", [], id_col="doc_id").collect()[0]
     assert got0["tokens"][:4] == ["l", "o", "w", "</w>"]
+
+
+def test_temperature_mix_upsamples_small_groups(spark):
+    from hadoop_fcfs_spark.ops.sampling import temperature_mix
+
+    # 400 'big' rows vs 25 'small': alpha=0.5 must give the small group
+    # a HIGHER per-row keep probability, and p caps at 1.0
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(25)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    kept = temperature_mix(df, "g", "id", budget_num=1, budget_den=2)
+    counts = {r["g"]: r["n"] for r in kept.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    # expected p: s = 20 + 5 = 25; B = 212.5; p_big = 212.5*20/25/400 = 0.425
+    # p_small = 212.5*5/25/25 = 1.7 -> capped at 1.0: ALL small rows kept
+    assert counts["small"] == 25
+    assert 0.3 * 400 < counts["big"] < 0.55 * 400
+    # deterministic replay
+    k2 = temperature_mix(df, "g", "id", budget_num=1, budget_den=2)
+    assert sorted(r["id"] for r in kept.collect()) == sorted(r["id"] for r in k2.collect())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_mix(df, "g", "id", budget_num=0, budget_den=5)
