@@ -212,6 +212,63 @@ def sssp(
     return dist
 
 
+def markov_stationary(
+    edges: DataFrame,
+    iters: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    scale: int = 10**12,
+) -> DataFrame:
+    """Stationary distribution of the Markov chain defined by integer
+    transition counts — power iteration as relational algebra (the
+    PageRank kernel without teleportation, for chains that are already
+    ergodic; what "where does the user funnel settle" asks of an
+    event-transition matrix).
+
+    Determinism design: π lives in integer ``scale`` units and each
+    matvec term is ``π_i · c_ij div r_i`` — EXACT integer arithmetic
+    end to end, so the per-state sums are order-independent and any
+    engine replays the identical trajectory (a float matvec sums
+    partial products in engine-specific order and drifts at the ulp
+    per iteration). The div floor leaks ≤1 unit per term per round —
+    bounded by states²·iters, invisible at scale=1e12.
+
+    Scale shape: state is one row per node; each iteration is a join
+    on the transition table + a map-side-combined sum (the PageRank
+    loop shape); localCheckpoint per round bounds lineage. Requires
+    every reachable state to have outgoing transitions (r_i > 0).
+    Returns (node, pi) in scale units after ``iters`` rounds from the
+    uniform start."""
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    e = edges.select(
+        F.col(src).alias("__i"), F.col(dst).alias("__j"),
+        F.col(weight).cast("long").alias("__c"),
+    )
+    from hadoop_fcfs_spark.caching import waypoint
+
+    rowsum = e.groupBy("__i").agg(F.sum("__c").alias("__r"))
+    et = waypoint(e.join(rowsum, "__i"))
+    states = et.select(F.col("__i").alias("node")).union(
+        et.select(F.col("__j").alias("node"))
+    ).distinct()
+    n = states.count()  # #states scalar — bounded by the state space
+    pi = states.withColumn("pi", F.lit(scale // max(n, 1)).cast("long"))
+    for _ in range(iters):
+        pi = (
+            et.join(pi, et.__i == pi.node)
+            .select(
+                F.col("__j").alias("node"),
+                F.expr("pi * __c div __r").alias("__t"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__t").cast("long").alias("pi"))
+            .localCheckpoint(eager=True)
+        )
+    return pi
+
+
 def kcore(
     edges: DataFrame,
     k: int,

@@ -391,3 +391,84 @@ def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return counts.crossJoin(F.broadcast(u))
+
+
+def _markov_oracle(iters: int, scale: int) -> str:
+    """Unrolled integer power iteration (AS MATERIALIZED per the r4
+    chained-CTE gotcha). Exact-integer matvec terms (pi*c // r) make
+    every round order-independent — see ops.graph.markov_stationary."""
+    parts = [
+        f"""p0 AS MATERIALIZED (
+      SELECT node,
+             CAST({scale} // (SELECT COUNT(*) FROM states) AS BIGINT) AS pi
+      FROM states
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+      SELECT e.j AS node, CAST(SUM(p.pi * e.c // e.r) AS BIGINT) AS pi
+      FROM p{k - 1} p JOIN e ON e.i = p.node GROUP BY 1
+    )"""
+        )
+    return (
+        """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, SUM(n) AS r FROM pairs GROUP BY 1),
+    e AS MATERIALIZED (
+      SELECT p.event_type AS i, p.next_type AS j, p.n AS c, t.r
+      FROM pairs p JOIN tot t USING (event_type)
+    ),
+    states AS MATERIALIZED (
+      SELECT DISTINCT i AS node FROM e UNION SELECT DISTINCT j FROM e
+    ),
+    """
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node AS event_type, pi AS pi_e12 FROM p{iters}
+    """
+    )
+
+
+@register(
+    "markov_stationary_events",
+    oracle=_markov_oracle(iters=10, scale=10**12),
+    doc="Stationary distribution of the event-type Markov chain "
+    "(ops.graph.markov_stationary - power iteration as relational "
+    "algebra, the PageRank loop without teleportation): where the "
+    "user funnel settles if the observed transition matrix keeps "
+    "running. 10 rounds from uniform; pi lives in INTEGER 1e12 units "
+    "and every matvec term is pi*c div r - exact integer end to end, "
+    "so per-state sums are order-independent and both engines replay "
+    "the identical trajectory (a float matvec drifts at the ulp per "
+    "round in engine-specific sum order). State is one row per event "
+    "type; each round is the transition-table join + map-side sum.",
+)
+def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.ops.graph import markov_stationary
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    out = markov_stationary(
+        pairs, iters=10, src="event_type", dst="next_type", weight="n"
+    )
+    return out.select(
+        F.col("node").alias("event_type"), F.col("pi").alias("pi_e12")
+    )

@@ -1881,3 +1881,23 @@ def test_kcore_hand_case(spark):
 
     with _pytest.raises(ValueError):
         kcore(edges, k=0)
+
+
+def test_markov_stationary_hand_case(spark):
+    from hadoop_fcfs_spark.ops.graph import markov_stationary
+
+    # two-state chain with P = [[0, 1], [1/2, 1/2]]: stationary is
+    # (1/3, 2/3); counts (A->B: 2), (B->A: 1), (B->B: 1)
+    edges = spark.createDataFrame(
+        [("A", "B", 2), ("B", "A", 1), ("B", "B", 1)],
+        "src string, dst string, w long",
+    )
+    got = {r["node"]: r["pi"] for r in markov_stationary(edges, iters=40).collect()}
+    total = sum(got.values())
+    # integer floor-div leaks <= 1 unit per term per round: tolerance
+    assert abs(got["A"] / total - 1 / 3) < 1e-6
+    assert abs(got["B"] / total - 2 / 3) < 1e-6
+    assert total > 10**12 - 10_000  # mass preserved up to div leakage
+    # replay determinism (exact integers end to end)
+    again = {r["node"]: r["pi"] for r in markov_stationary(edges, iters=40).collect()}
+    assert again == got
