@@ -1316,3 +1316,36 @@ def test_temperature_mix_upsamples_small_groups(spark):
 
     with _pytest.raises(ValueError):
         temperature_mix(df, "g", "id", budget_num=0, budget_den=5)
+
+
+def test_jaccard_prefix_pairs_random_corpus_all_thresholds(spark):
+    """Seeded-random brute-force equality across thresholds where t·n
+    hits exact integers (the binary-float ceil trap) and where it
+    doesn't — completeness + exactness of the rational-arithmetic
+    bounds in one sweep."""
+    import random
+
+    from hadoop_fcfs_spark.llm.dedup import jaccard_prefix_pairs, ngram_jaccard_pairs
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(30):
+        k = rng.randint(3, 20)
+        docs.append((i, " ".join(rng.sample(vocab, k))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    brute_all = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=1).collect()
+    }
+    for t in (0.1, 0.25, 0.2, 0.5, 0.75):
+        got = {
+            (r["doc_a"], r["doc_b"]): round(r["jaccard"], 4)
+            for r in jaccard_prefix_pairs(
+                df, "doc_id", "text", n=1, threshold=t
+            ).collect()
+        }
+        # membership must match the brute-force filter at >= t (both
+        # sides pre-rounded @4 by their operators; vocab of 40 makes
+        # every jaccard a coarse rational, far from the 1e-4 grid)
+        assert set(got) == {p for p, v in brute_all.items() if v >= t}, t

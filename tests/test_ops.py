@@ -1901,3 +1901,43 @@ def test_markov_stationary_hand_case(spark):
     # replay determinism (exact integers end to end)
     again = {r["node"]: r["pi"] for r in markov_stationary(edges, iters=40).collect()}
     assert again == got
+
+
+def test_trailing_band_join_random_equivalence(spark):
+    """Seeded-random equivalence vs the naive key-join + band filter,
+    with timestamps landing on and around bucket boundaries."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.joins import trailing_band_join
+
+    rng = random.Random(42)
+    W = 600_000_000  # 10 min band
+    base = datetime(2024, 3, 1)
+
+    def rts():
+        # mix of arbitrary offsets and exact 10-min boundary hits
+        if rng.random() < 0.3:
+            return base + timedelta(minutes=10 * rng.randint(0, 40))
+        return base + timedelta(seconds=rng.randint(0, 24000), microseconds=rng.randint(0, 999999))
+
+    anchors = [(rng.randint(1, 5), i, rts()) for i in range(60)]
+    events = [(rng.randint(1, 5), f"c{rng.randint(0, 3)}", rts()) for _ in range(200)]
+    a = spark.createDataFrame(anchors, "p_user int, p_id int, p_ts timestamp")
+    e = spark.createDataFrame(events, "user_id int, channel string, ts timestamp")
+    got = {
+        (r["p_id"], r["channel"], r["ts"])
+        for r in trailing_band_join(a, e, "p_user", "user_id", "p_ts", "ts", band_us=W).collect()
+    }
+    naive = {
+        (r["p_id"], r["channel"], r["ts"])
+        for r in a.join(e, F.col("p_user") == F.col("user_id"))
+        .filter(
+            (F.col("ts") <= F.col("p_ts"))
+            & (F.unix_micros("p_ts") - F.unix_micros("ts") <= W)
+        )
+        .collect()
+    }
+    assert got == naive and len(got) > 0
