@@ -110,16 +110,24 @@ def frequent_subsequences(
         )
     else:
         sid = F.lit(0)
+    from hadoop_fcfs_spark.caching import waypoint
+
     typed = events.select(
         F.col(user_col).alias("u"),
         sid.alias("sid"),
         F.col(step_col).alias("s"),
         F.row_number().over(w_user).alias("p"),
     )
-    g = typed.groupBy("u", "sid", "s").agg(
-        F.min("p").alias("fp"),
-        F.max("p").alias("lp"),
-        F.sort_array(F.collect_list("p")).alias("pl"),
+    # the type grain feeds SIX consumers (ga/gb/gc/gbl + both pair
+    # sides) — Catalyst re-derives common subplans per consumer, so an
+    # unpersisted grain re-scans (and re-windows) the raw events once
+    # per consumer
+    g = waypoint(
+        typed.groupBy("u", "sid", "s").agg(
+            F.min("p").alias("fp"),
+            F.max("p").alias("lp"),
+            F.sort_array(F.collect_list("p")).alias("pl"),
+        )
     )
     n_users = (
         events.select(F.col(user_col).alias("u"))

@@ -1900,13 +1900,16 @@ def shipping_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     "float share ever decides a boundary part.",
 )
 def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.caching import waypoint
     from hadoop_fcfs_spark.ops.sort import global_running_sum
 
     li = t(spark, sf_dir, "lineitem")
     cents = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
-    pr = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_cents"))
+    # the part grain feeds the total AND the running sum — persist so
+    # the raw table is scanned once
+    pr = waypoint(li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_cents")))
     tot = pr.agg(F.sum("rev_cents").alias("__t"))
     cum = global_running_sum(
         pr, [F.desc("rev_cents"), F.asc("l_partkey")], "rev_cents", out_col="__cum"
