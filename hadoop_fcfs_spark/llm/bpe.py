@@ -139,8 +139,19 @@ def bpe_encode(
     documented slow-path exception: a symbol-level iterative rewrite
     has no Column-expression form at arbitrary merge depth; the
     expression fold used in training is per-MERGE, not per-corpus).
-    Output: (id?, tokens array<string>, n_tokens)."""
+    Output: (id?, tokens array<string>, n_tokens).
+
+    Tokenization matches ``word_vocab`` EXACTLY: NULL text encodes to
+    [] (not the string 'None'), and words split on the same ASCII
+    whitespace class Java's \\s matches — Python's str.split() is
+    Unicode-aware (U+00A0 etc.) and would split words the trainer
+    treated as single types, silently breaking the round-trip."""
+    import re
+
     import pandas as pd
+
+    # Java regex \s = [ \t\n\x0B\f\r] (ASCII only, unlike Python \s)
+    java_ws = re.compile("[ \t\n\x0b\f\r]+")
 
     pairs = [(str(a), str(b)) for a, b in merges]
     cols = ([id_col] if id_col else []) + [text_col]
@@ -175,7 +186,14 @@ def bpe_encode(
     def run(batches):
         for pdf in batches:
             toks = [
-                [s for w in str(txt).split() if w for s in encode_word(w)]
+                []
+                if txt is None
+                else [
+                    s
+                    for w in java_ws.split(str(txt))
+                    if w
+                    for s in encode_word(w)
+                ]
                 for txt in pdf[text_col]
             ]
             out = {}

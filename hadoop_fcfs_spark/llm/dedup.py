@@ -581,14 +581,17 @@ def jaccard_prefix_pairs(
     from hadoop_fcfs_spark.caching import waypoint
 
     # All threshold bounds are computed in EXACT integer arithmetic with
-    # the threshold as a decimal rational p/q (Fraction(str(t)) — the
-    # decimal the caller typed, not its binary-float neighbour). Binary
-    # float-multiply-then-ceil silently over-prunes whenever t·n is an
-    # exact integer but the float product rounds up (0.1*30 =
-    # 3.0000000000000004 → ceil 4), breaking the completeness guarantee:
-    # ceil(p·n/q) == (p·n + q − 1) div q, and t·max <= min tested as
-    # p·max <= q·min.
-    frac = Fraction(str(threshold))
+    # the threshold as a rational p/q. Binary float-multiply-then-ceil
+    # silently over-prunes whenever t·n is an exact integer but the
+    # float product rounds up (0.1*30 = 3.0000000000000004 → ceil 4),
+    # breaking the completeness guarantee: ceil(p·n/q) == (p·n + q − 1)
+    # div q, and t·max <= min tested as p·max <= q·min.
+    # limit_denominator(1e6) keeps p,q ≤ 1e6 so p·(za+zb) cannot
+    # overflow BIGINT under ANSI Spark even for very long documents
+    # (Fraction(str(1/3)) alone would give q = 1e16); it reproduces any
+    # ≤6-decimal threshold exactly AND snaps float artifacts like 1/3
+    # back to the true rational.
+    frac = Fraction(str(threshold)).limit_denominator(10**6)
     p, q = frac.numerator, frac.denominator
 
     grams = waypoint(_gram_rows(df, id_col, text_col, n))  # (doc, gram) distinct

@@ -238,8 +238,14 @@ def markov_stationary(
     on the transition table + a map-side-combined sum (the PageRank
     loop shape); localCheckpoint per round bounds lineage. Requires
     every reachable state to have outgoing transitions (r_i > 0).
-    Returns (node, pi) in scale units after ``iters`` rounds from the
-    uniform start."""
+
+    Overflow bound: the matvec term multiplies BEFORE dividing, so it
+    needs ``max(c_ij) · scale < 2⁶³`` — at the default scale=1e12 that
+    is max transition count < ~9.2e6 (ANSI Spark throws
+    ARITHMETIC_OVERFLOW past it, it does not wrap). For heavier chains
+    pass a smaller ``scale``; precision degrades only in the floor
+    leak, which stays ≤ states²·iters units. Returns (node, pi) in
+    scale units after ``iters`` rounds from the uniform start."""
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
     e = edges.select(

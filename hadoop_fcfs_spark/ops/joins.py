@@ -235,11 +235,21 @@ def trailing_band_join(
     filters within the bucket — results are identical to the naive join.
 
     Timestamps must be non-negative epochs (``div`` truncates toward
-    zero; pre-1970 data would mis-bucket). Output: anchor columns +
-    event columns, band matches only (inner).
+    zero; pre-1970 data would mis-bucket). The two sides must carry
+    DISJOINT column names (the natural self-join shape needs the
+    anchor side pre-renamed, e.g. user_id→p_user) — enforced here with
+    a clear error instead of Spark's late AMBIGUOUS_REFERENCE. Output:
+    anchor columns + event columns, band matches only (inner).
     """
     if band_us <= 0:
         raise ValueError(f"band_us must be positive, got {band_us}")
+    overlap = set(anchors.columns) & set(events.columns)
+    if overlap:
+        raise ValueError(
+            f"anchor/event column names must be disjoint, both have: "
+            f"{sorted(overlap)} — rename the anchor side (e.g. "
+            f"user_id -> p_user) before joining"
+        )
     a = anchors.withColumn(
         "__abkt",
         F.explode(

@@ -376,15 +376,22 @@ def temperature_mix(
     α is FIXED at 0.5 so the weight is sqrt(n) — IEEE sqrt is correctly
     rounded and bit-identical across engines, where a general pow(n, α)
     is not guaranteed to be (the cross-engine value-hash would sit one
-    ulp from a threshold boundary). One tiny group-count aggregate
-    (broadcast back), then a pure per-row filter — no shuffle of the
-    data rows at all."""
+    ulp from a threshold boundary). The NORMALIZER Σ√n is the one place
+    a float SUM would sneak order-dependence back in (non-associative
+    addition summed in engine-specific order), so each √n is floor-
+    quantized to 2⁻²⁰ units and the sum runs in EXACT integers — both
+    engines see the identical denominator. One tiny group-count
+    aggregate (broadcast back), then a pure per-row filter — no shuffle
+    of the data rows at all."""
     if budget_num <= 0 or budget_den <= 0:
         raise ValueError("budget fraction must be positive")
+    q20 = 1_048_576  # 2^20
     c = df.groupBy(F.col(group_col)).agg(F.count("*").alias("__n"))
     tot = c.agg(
         F.sum("__n").alias("__nt"),
-        F.sum(F.sqrt(F.col("__n").cast("double"))).alias("__s"),
+        F.sum(
+            F.floor(F.sqrt(F.col("__n").cast("double")) * q20)
+        ).cast("long").alias("__sq"),
     )
     p = (
         c.crossJoin(F.broadcast(tot))
@@ -394,7 +401,8 @@ def temperature_mix(
             F.least(
                 F.lit(1.0),
                 (F.col("__nt") * budget_num).cast("double") / budget_den
-                * F.sqrt(F.col("__n").cast("double")) / F.col("__s")
+                * F.sqrt(F.col("__n").cast("double")) * q20
+                / F.col("__sq")
                 / F.col("__n").cast("double"),
             ).alias("__p"),
         )

@@ -129,11 +129,10 @@ def frequent_subsequences(
             F.sort_array(F.collect_list("p")).alias("pl"),
         )
     )
-    n_users = (
-        events.select(F.col(user_col).alias("u"))
-        .distinct()
-        .agg(F.count("*").alias("__nu"))
-    )
+    # every user has >= 1 event, so the persisted grain already holds
+    # the exact distinct-user set — counting from it avoids a second
+    # full scan of the raw events table
+    n_users = g.select("u").distinct().agg(F.count("*").alias("__nu"))
     keep = lambda sup: min_support_den * sup >= min_support_num * F.col("__nu")  # noqa: E731
     ga = g.select("u", "sid", F.col("s").alias("a"), F.col("fp").alias("fa"))
     gb = g.select("u", "sid", F.col("s").alias("b"), F.col("lp").alias("lb"))

@@ -2793,11 +2793,17 @@ def greedy_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "temperature_mix_langs",
     oracle="""
     WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
-    tot AS (SELECT SUM(n) AS nt, SUM(sqrt(CAST(n AS DOUBLE))) AS s FROM c),
+    tot AS (
+      SELECT SUM(n) AS nt,
+             CAST(SUM(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1048576)) AS BIGINT)
+               AS sq
+      FROM c
+    ),
     p AS (
       SELECT lang, n,
              LEAST(1.0, CAST(nt * 2 AS DOUBLE) / 5
-               * sqrt(CAST(n AS DOUBLE)) / s / CAST(n AS DOUBLE)) AS pl
+               * sqrt(CAST(n AS DOUBLE)) * 1048576
+               / sq / CAST(n AS DOUBLE)) AS pl
       FROM c CROSS JOIN tot
     ),
     k AS (

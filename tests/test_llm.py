@@ -1349,3 +1349,26 @@ def test_jaccard_prefix_pairs_random_corpus_all_thresholds(spark):
         # sides pre-rounded @4 by their operators; vocab of 40 makes
         # every jaccard a coarse rational, far from the 1e-4 grid)
         assert set(got) == {p for p, v in brute_all.items() if v >= t}, t
+
+
+def test_jaccard_prefix_pairs_long_decimal_threshold_no_overflow(spark):
+    from hadoop_fcfs_spark.llm.dedup import jaccard_prefix_pairs
+
+    # threshold=1/3: str() gives 16 decimal digits; without
+    # limit_denominator the rational bounds carry q=1e16 and
+    # p*(za+zb) overflows BIGINT for documents with thousands of
+    # shingles (ANSI Spark ARITHMETIC_OVERFLOW). limit_denominator
+    # snaps the float artifact back to exactly 1/3 AND keeps the
+    # integer bounds tiny.
+    shared = " ".join(f"s{i}" for i in range(750))
+    a = shared + " " + " ".join(f"a{i}" for i in range(750))
+    b = shared + " " + " ".join(f"b{i}" for i in range(750))
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_prefix_pairs(
+            df, "doc_id", "text", n=1, threshold=1 / 3
+        ).collect()
+    }
+    # J = 750/2250 = 1/3 exactly — the >= boundary must be INCLUDED
+    assert set(got) == {(1, 2)} and abs(got[(1, 2)] - 1 / 3) < 1e-12
