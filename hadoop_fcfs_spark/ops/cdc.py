@@ -21,7 +21,7 @@ shuffle-free (io/writers.write_sorted_bucketed).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -178,3 +178,57 @@ def snapshot_diff(
             *[F.col(f"__n_{c}").alias(c) for c in data_cols],
         )
     )
+
+
+def weighted_partial_agg(
+    rows: DataFrame,
+    keys: list[str],
+    sums: list[tuple[Column, str]],
+    weight: Column,
+    cnt_col: str = "n",
+) -> DataFrame:
+    """Weighted partial aggregate for incremental view maintenance:
+    each row carries weight +1 (insert) or -1 (retraction), and every
+    SUM accumulates ``weight · expr`` while the row count accumulates
+    the weight itself. The output is a mergeable aggregate STATE — the
+    same shape ``merge_agg_delta`` consumes on both sides."""
+    w = weight.cast("long")
+    return rows.groupBy(*keys).agg(
+        *[F.sum(w * e).alias(name) for e, name in sums],
+        F.sum(w).cast("long").alias(cnt_col),
+    )
+
+
+def merge_agg_delta(
+    base_agg: DataFrame,
+    delta_agg: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    cnt_col: str = "n",
+) -> DataFrame:
+    """Incremental aggregate-view maintenance — apply a (possibly
+    retracting) delta to a maintained SUM/COUNT aggregate WITHOUT
+    touching the base data: union the two aggregate states, re-sum per
+    key (map-side combined — the sketch-merge shape: merge = union +
+    groupBy, exactly like the HLL/KLL/CMS tiers), and drop groups whose
+    maintained row count reaches 0 (a fully-retracted group must
+    DISAPPEAR, not linger as a zero row). Derived averages are
+    sum/count at read time, never maintained directly.
+
+    Exactness contract: maintain only linear aggregates over EXACT
+    types (integer cents, counts) — float sums would drift per merge
+    and retraction order. Retracting rows never inserted is caller
+    error and shows up as negative counts; they are kept visible (not
+    clamped) so audits catch them. Cost: delta-sized shuffle, base
+    scanned once — vs a full recompute at every refresh."""
+    cols = [*keys, *sum_cols, cnt_col]
+    merged = (
+        base_agg.select(*cols)
+        .unionByName(delta_agg.select(*cols))
+        .groupBy(*keys)
+        .agg(
+            *[F.sum(c).alias(c) for c in sum_cols],
+            F.sum(cnt_col).cast("long").alias(cnt_col),
+        )
+    )
+    return merged.filter(F.col(cnt_col) != 0)

@@ -3420,3 +3420,125 @@ def dead_stock_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("dead_share_e6"),
         )
     )
+
+
+@register(
+    "ivm_orders_yearly",
+    oracle="""
+    SELECT o_orderstatus, CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1993-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY 1, 2
+    """,
+    doc="Incremental aggregate-view maintenance "
+    "(ops.cdc.weighted_partial_agg + merge_agg_delta): the maintained "
+    "view is per (status, year) order count + integer-cent revenue. "
+    "Base state aggregates orders < 1997-01-01; the delta INSERTS H1 "
+    "1997 (weight +1) and RETRACTS everything before 1993 (weight -1, "
+    "a purge) - merge = union + groupBy re-sum (the sketch-merge "
+    "shape), groups whose count reaches 0 (the 1992 years) DISAPPEAR. "
+    "The oracle is the full recompute over the equivalent final "
+    "predicate - maintained state == recompute, exactly, because every "
+    "maintained column is an exact integer. Cost at scale: delta-sized "
+    "shuffle instead of re-scanning the base.",
+)
+def ivm_orders_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.cdc import merge_agg_delta, weighted_partial_agg
+
+    orders = t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    keys = ["o_orderstatus", "yr"]
+    yr = F.year("o_orderdate").cast("long").alias("yr")
+
+    base_rows = orders.filter(F.col("o_orderdate") < "1997-01-01")
+    base = weighted_partial_agg(
+        base_rows.select("o_orderstatus", yr, cents.alias("__c")),
+        keys, [(F.col("__c"), "sum_cents")], F.lit(1),
+    )
+    inserts = orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01")
+    ).select("o_orderstatus", yr, cents.alias("__c"), F.lit(1).alias("__w"))
+    retractions = orders.filter(F.col("o_orderdate") < "1993-01-01").select(
+        "o_orderstatus", yr, cents.alias("__c"), F.lit(-1).alias("__w")
+    )
+    delta = weighted_partial_agg(
+        inserts.unionByName(retractions),
+        keys, [(F.col("__c"), "sum_cents")], F.col("__w"),
+    )
+    return merge_agg_delta(base, delta, keys, ["sum_cents"]).select(
+        "o_orderstatus", "yr",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@register(
+    "scd2_pit_join",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type AS status, ts,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    dim AS (
+      SELECT user_id, status, ts AS valid_from
+      FROM flagged WHERE prev IS NULL OR status <> prev
+    ),
+    p AS (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase'),
+    pit AS (
+      SELECT p.event_id, d.status,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY d.valid_from DESC) AS rn
+      FROM p LEFT JOIN dim d
+        ON d.user_id = p.user_id AND d.valid_from <= p.ts
+    )
+    SELECT COALESCE(status, '(none)') AS status_asof,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM pit WHERE rn = 1 OR status IS NULL
+    GROUP BY 1
+    """,
+    doc="Point-in-time dimension lookup (SCD2 + as_of_join): every "
+    "purchase joined to the user's status dimension - built from "
+    "NON-purchase changes via ops.cdc.scd2_from_changes semantics - AS "
+    "OF the purchase timestamp. The fact side never sees a range cross "
+    "product: as_of_join unions both streams and carries the last "
+    "change forward in ONE user-key window pass (the scale path for "
+    "PIT correctness in feature pipelines - training-serving skew "
+    "starts with a fact row reading dimension state from its future). "
+    "Purchases before any non-purchase change report '(none)'. The "
+    "oracle is the naive range join + QUALIFY - independent shape. "
+    "(user, ts) collisions probed absent at all SFs, so the as-of tie "
+    "rule never fires.",
+)
+def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.joins import as_of_join
+
+    ev = t(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("status"), "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        changes.withColumn("__prev", F.lag("status").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("status") != F.col("__prev")))
+        .select("user_id", F.col("ts").alias("valid_from"), "status")
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    pit = as_of_join(
+        facts, dim, "user_id", "ts", "valid_from", ["status"]
+    )
+    return (
+        pit.groupBy(
+            F.coalesce(F.col("status_asof"), F.lit("(none)")).alias("status_asof")
+        )
+        .agg(F.count("*").cast("long").alias("n_purchases"))
+    )

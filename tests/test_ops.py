@@ -1941,3 +1941,40 @@ def test_trailing_band_join_random_equivalence(spark):
         .collect()
     }
     assert got == naive and len(got) > 0
+
+
+def test_ivm_merge_agg_delta_retractions(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.cdc import merge_agg_delta, weighted_partial_agg
+
+    rows = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "k string, v int"
+    )
+    base = weighted_partial_agg(
+        rows, ["k"], [(F.col("v"), "s")], F.lit(1)
+    )
+    # retract both 'a' rows, insert one new 'c' row
+    delta_rows = spark.createDataFrame(
+        [("a", 10, -1), ("a", 20, -1), ("c", 7, 1)], "k string, v int, w int"
+    )
+    delta = weighted_partial_agg(
+        delta_rows, ["k"], [(F.col("v"), "s")], F.col("w")
+    )
+    got = {
+        r["k"]: (r["s"], r["n"])
+        for r in merge_agg_delta(base, delta, ["k"], ["s"]).collect()
+    }
+    # fully-retracted group 'a' DISAPPEARS; b untouched; c appears
+    assert got == {"b": (5, 1), "c": (7, 1)}
+
+    # retracting a row never inserted leaves a visible negative count
+    bad = weighted_partial_agg(
+        spark.createDataFrame([("z", 1, -1)], "k string, v int, w int"),
+        ["k"], [(F.col("v"), "s")], F.col("w"),
+    )
+    audit = {
+        r["k"]: r["n"]
+        for r in merge_agg_delta(base, bad, ["k"], ["s"]).collect()
+    }
+    assert audit["z"] == -1
