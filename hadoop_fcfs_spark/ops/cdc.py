@@ -218,9 +218,14 @@ def merge_agg_delta(
     Exactness contract: maintain only linear aggregates over EXACT
     types (integer cents, counts) — float sums would drift per merge
     and retraction order. Retracting rows never inserted is caller
-    error and shows up as negative counts; they are kept visible (not
-    clamped) so audits catch them. Cost: delta-sized shuffle, base
-    scanned once — vs a full recompute at every refresh."""
+    error and stays VISIBLE (not clamped): a group is dropped only
+    when its count AND every maintained sum net to exactly 0 — a
+    count-balancing bad retraction (n=0 but a sum residue left) would
+    otherwise vanish along with its audit signal. Cost: delta-sized
+    shuffle, base scanned once — vs a full recompute at every
+    refresh."""
+    from functools import reduce
+
     cols = [*keys, *sum_cols, cnt_col]
     merged = (
         base_agg.select(*cols)
@@ -231,4 +236,9 @@ def merge_agg_delta(
             F.sum(cnt_col).cast("long").alias(cnt_col),
         )
     )
-    return merged.filter(F.col(cnt_col) != 0)
+    nonzero = reduce(
+        lambda a, b: a | b,
+        [F.col(c) != 0 for c in sum_cols],
+        F.col(cnt_col) != 0,
+    )
+    return merged.filter(nonzero)

@@ -3459,16 +3459,20 @@ def ivm_orders_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_rows.select("o_orderstatus", yr, cents.alias("__c")),
         keys, [(F.col("__c"), "sum_cents")], F.lit(1),
     )
-    inserts = orders.filter(
-        (F.col("o_orderdate") >= "1997-01-01")
-        & (F.col("o_orderdate") < "1997-07-01")
-    ).select("o_orderstatus", yr, cents.alias("__c"), F.lit(1).alias("__w"))
-    retractions = orders.filter(F.col("o_orderdate") < "1993-01-01").select(
-        "o_orderstatus", yr, cents.alias("__c"), F.lit(-1).alias("__w")
+    # one scan builds the whole delta: inserts weight +1, purge -1
+    delta_rows = orders.filter(
+        (F.col("o_orderdate") < "1993-01-01")
+        | (
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-07-01")
+        )
+    ).select(
+        "o_orderstatus", yr, cents.alias("__c"),
+        F.when(F.col("o_orderdate") >= "1997-01-01", 1)
+        .otherwise(-1).alias("__w"),
     )
     delta = weighted_partial_agg(
-        inserts.unionByName(retractions),
-        keys, [(F.col("__c"), "sum_cents")], F.col("__w"),
+        delta_rows, keys, [(F.col("__c"), "sum_cents")], F.col("__w")
     )
     return merge_agg_delta(base, delta, keys, ["sum_cents"]).select(
         "o_orderstatus", "yr",
@@ -3518,18 +3522,16 @@ def ivm_orders_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rule never fires.",
 )
 def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.cdc import scd2_from_changes
     from hadoop_fcfs_spark.ops.joins import as_of_join
 
     ev = t(spark, sf_dir, "events")
     changes = ev.filter(F.col("event_type") != "purchase").select(
         "user_id", F.col("event_type").alias("status"), "ts", "event_id"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dim = (
-        changes.withColumn("__prev", F.lag("status").over(w))
-        .filter(F.col("__prev").isNull() | (F.col("status") != F.col("__prev")))
-        .select("user_id", F.col("ts").alias("valid_from"), "status")
-    )
+    dim = scd2_from_changes(
+        changes, "user_id", "ts", "status", tiebreak="event_id"
+    ).select("user_id", "valid_from", "status")
     facts = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id"
     )

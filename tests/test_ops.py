@@ -1978,3 +1978,28 @@ def test_ivm_merge_agg_delta_retractions(spark):
         for r in merge_agg_delta(base, bad, ["k"], ["s"]).collect()
     }
     assert audit["z"] == -1
+
+
+def test_ivm_count_balancing_bad_retraction_stays_visible(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.cdc import merge_agg_delta, weighted_partial_agg
+
+    base = weighted_partial_agg(
+        spark.createDataFrame([("k", 10)], "k string, v int"),
+        ["k"], [(F.col("v"), "s")], F.lit(1),
+    )
+    # retract a DIFFERENT value than was inserted: count nets to 0 but
+    # the sum leaves a -10 residue — the audit row must NOT vanish
+    bad = weighted_partial_agg(
+        spark.createDataFrame([("k", 20, -1)], "k string, v int, w int"),
+        ["k"], [(F.col("v"), "s")], F.col("w"),
+    )
+    got = {r["k"]: (r["s"], r["n"]) for r in merge_agg_delta(base, bad, ["k"], ["s"]).collect()}
+    assert got == {"k": (-10, 0)}
+    # a clean full retraction (count AND sums all zero) does disappear
+    clean = weighted_partial_agg(
+        spark.createDataFrame([("k", 10, -1)], "k string, v int, w int"),
+        ["k"], [(F.col("v"), "s")], F.col("w"),
+    )
+    assert merge_agg_delta(base, clean, ["k"], ["s"]).collect() == []
