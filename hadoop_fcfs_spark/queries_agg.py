@@ -1999,3 +1999,72 @@ def wilson_conversion_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel", "n_users", "n_converted",
         F.floor(lb * 1_000_000).cast("long").alias("wilson_lb_e6"),
     )
+
+
+@register(
+    "ols_qty_price_by_brand",
+    oracle="""
+    WITH j AS (
+      SELECT p_brand,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    m AS (
+      SELECT p_brand, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM j GROUP BY 1
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+           END AS slope_e6,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN CAST(FLOOR((CAST(sy AS DOUBLE)
+                       - (CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) * 100) AS BIGINT)
+           END AS intercept_cents
+    FROM m
+    """,
+    doc="Per-brand OLS regression of line price (integer cents) on "
+    "quantity - the classical least-squares complement to "
+    "theil_sen_trend's robust slope, grouped-model fitting as pure "
+    "moment aggregation (never a per-group solver UDF): slope = "
+    "(n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) over EXACT BIGINT moments (x "
+    "integer quantity, y floor-cents; products bounded ~2^50 at sf0.1 "
+    "- no overflow, no float accumulation anywhere before the final "
+    "division), intercept from the fitted slope. NULL slope on "
+    "zero-variance groups (the ANSI corr() gotcha, guarded). One "
+    "map-side-combined moment pass; FLOOR-quantized outputs with "
+    "identical division shapes both engines.",
+)
+def ols_qty_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    m = j.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = num.cast("double") / det.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        F.when(det > 0, F.floor(slope * 1_000_000).cast("long")).alias("slope_e6"),
+        F.when(det > 0, F.floor(intercept * 100).cast("long")).alias("intercept_cents"),
+    )
