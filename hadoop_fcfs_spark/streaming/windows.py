@@ -364,3 +364,70 @@ def stream_upsert_sink(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_maintained_agg(
+    stream_df: DataFrame,
+    keys: list[str],
+    sums: list[tuple[str, str]],
+    weight_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    cnt_col: str = "n",
+):
+    """Streaming incremental view maintenance: each micro-batch carries
+    ±1-weighted rows (inserts and RETRACTIONS — the CDC feed shape) and
+    the maintained SUM/COUNT aggregate is refreshed by
+    ops.cdc.merge_agg_delta inside foreachBatch: read current state →
+    merge the batch's weighted partial aggregate → overwrite state.
+    Exactly the sketch-merge discipline, applied continuously: merge =
+    union + groupBy, groups disappear only when count AND sums all net
+    to 0, bad retractions stay visible.
+
+    State is the aggregate table itself (|keys| rows of integers — KBs
+    to GBs, never raw history), epoch-versioned under ``state_dir`` so
+    a replayed epoch overwrites its own output instead of
+    double-applying (the digest-store idempotency pattern above); the
+    current state is the highest committed epoch. Returns the started
+    StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.cdc import merge_agg_delta, weighted_partial_agg
+
+    sum_cols = [name for _, name in sums]
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(state_dir)
+        fs = path.getFileSystem(conf)
+        prior = []
+        if fs.exists(path):
+            it = fs.listStatus(path)
+            prior = sorted(
+                int(st.getPath().getName().split("=")[1])
+                for st in it
+                if st.getPath().getName().startswith("epoch=")
+                and int(st.getPath().getName().split("=")[1]) < epoch_id
+            )
+        delta = weighted_partial_agg(
+            batch_df,
+            keys,
+            [(F.col(c), name) for c, name in sums],
+            F.col(weight_col),
+            cnt_col=cnt_col,
+        )
+        base = (
+            spark.read.parquet(f"{state_dir}/epoch={prior[-1]}")
+            if prior
+            else delta.limit(0)  # empty state, same schema/merge path
+        )
+        merged = merge_agg_delta(base, delta, keys, sum_cols, cnt_col)
+        merged.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -605,3 +605,52 @@ def test_stream_interval_join_left_outer_emits_unmatched_after_watermark(spark, 
 
     with _pytest.raises(ValueError):
         stream_interval_join(left, right, "user_id", "p_ts", "c_ts", how="full")
+
+
+def test_stream_maintained_agg_with_retractions(spark, tmp_path):
+    """Three micro-batches of ±1-weighted CDC rows maintain a keyed
+    SUM/COUNT view via merge_agg_delta in foreachBatch: inserts, a
+    partial retraction, then a full retraction that must make its
+    group DISAPPEAR — final state equals the batch recompute of the
+    net surviving rows."""
+    import glob
+
+    import pandas as pd
+
+    from hadoop_fcfs_spark.streaming.windows import stream_maintained_agg
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    pd.DataFrame(
+        {"k": ["a", "a", "b"], "v": [10, 20, 5], "w": [1, 1, 1]}
+    ).to_parquet(src / "b1.parquet")
+    stream = spark.readStream.schema("k string, v long, w long").parquet(str(src))
+    q = stream_maintained_agg(
+        stream, ["k"], [("v", "s")], "w", state, ckpt
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: retract one 'a' row, add 'c'
+        pd.DataFrame(
+            {"k": ["a", "c"], "v": [10, 7], "w": [-1, 1]}
+        ).to_parquet(src / "b2.parquet")
+        q.processAllAvailable()
+        # batch 3: fully retract 'b'
+        pd.DataFrame({"k": ["b"], "v": [5], "w": [-1]}).to_parquet(src / "b3.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    epochs = sorted(
+        int(p.rsplit("=", 1)[1]) for p in glob.glob(f"{state}/epoch=*")
+    )
+    final = spark.read.parquet(f"{state}/epoch={epochs[-1]}")
+    got = {r["k"]: (r["s"], r["n"]) for r in final.collect()}
+    # net rows: a:(20,1), c:(7,1); b fully retracted -> gone
+    assert got == {"a": (20, 1), "c": (7, 1)}
+    # intermediate epoch after batch 2 still carried b
+    mid = spark.read.parquet(f"{state}/epoch={epochs[-2]}")
+    got_mid = {r["k"]: (r["s"], r["n"]) for r in mid.collect()}
+    assert got_mid == {"a": (20, 1), "b": (5, 1), "c": (7, 1)}
