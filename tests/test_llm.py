@@ -1372,3 +1372,22 @@ def test_jaccard_prefix_pairs_long_decimal_threshold_no_overflow(spark):
     }
     # J = 750/2250 = 1/3 exactly — the >= boundary must be INCLUDED
     assert set(got) == {(1, 2)} and abs(got[(1, 2)] - 1 / 3) < 1e-12
+
+
+def test_bpe_encode_null_and_unicode_whitespace(spark):
+    from hadoop_fcfs_spark.llm.bpe import bpe_encode, learn_bpe_merges
+
+    # NBSP inside 'a\xa0b': Java \s+ (trainer) does NOT split it — the
+    # encoder must treat it as ONE word type exactly like the trainer;
+    # Python str.split() would have split it and broken the round-trip
+    df = spark.createDataFrame(
+        [(1, "a\xa0b a\xa0b cd"), (2, None)], "doc_id long, text string"
+    )
+    merges, vocab = learn_bpe_merges(df, "text", n_merges=3)
+    expect = {r["word"]: list(r["symbols"]) for r in vocab.collect()}
+    assert "a\xa0b" in expect  # the trainer saw one NBSP-joined type
+    enc = bpe_encode(df, "text", [(l, r) for l, r, _ in merges], id_col="doc_id")
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tokens"]) for r in enc.collect()}
+    flat1 = [s for w in ["a\xa0b", "a\xa0b", "cd"] for s in expect[w]]
+    assert got[1] == (flat1, len(flat1))
+    assert got[2] == ([], 0)  # NULL text -> empty, never the word 'None'

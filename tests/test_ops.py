@@ -2003,3 +2003,58 @@ def test_ivm_count_balancing_bad_retraction_stays_visible(spark):
         ["k"], [(F.col("v"), "s")], F.col("w"),
     )
     assert merge_agg_delta(base, clean, ["k"], ["s"]).collect() == []
+
+
+def test_frequent_subsequences_random_vs_bruteforce(spark):
+    """Seeded-random equivalence of the type-grain containment test
+    (some b-position strictly between first_pos(a) and last_pos(c))
+    against literal brute-force subsequence search per session —
+    covers repeated types, singleton sessions, a==b==c and boundary
+    positions the hand case can't."""
+    import random
+    from datetime import datetime, timedelta
+    from itertools import product
+
+    from hadoop_fcfs_spark.ops.seqmine import frequent_subsequences
+
+    rng = random.Random(7)
+    types = ["x", "y", "z"]
+    rows, truth = [], {}
+    base = datetime(2024, 5, 1)
+    for u in range(25):
+        # 1-3 sessions, separated by > the 720-min gap
+        sessions = []
+        eid = 0
+        for s in range(rng.randint(1, 3)):
+            seq = [rng.choice(types) for _ in range(rng.randint(1, 7))]
+            sessions.append(seq)
+            t0 = base + timedelta(days=2 * s)
+            for i, st in enumerate(seq):
+                rows.append((u, t0 + timedelta(minutes=i), eid, st))
+                eid += 1
+        # brute force: (a,b,c) contained iff indices i<j<k exist in ONE session
+        contained = set()
+        for a, b, c in product(types, repeat=3):
+            for seq in sessions:
+                ok = any(
+                    seq[i] == a and seq[j] == b and seq[k] == c
+                    for i in range(len(seq))
+                    for j in range(i + 1, len(seq))
+                    for k in range(j + 1, len(seq))
+                )
+                if ok:
+                    contained.add((a, b, c))
+                    break
+        for trip in contained:
+            truth[trip] = truth.get(trip, 0) + 1
+
+    df = spark.createDataFrame(rows, "u int, ts timestamp, eid int, s string")
+    got = {
+        (r["step_a"], r["step_b"], r["step_c"]): r["support"]
+        for r in frequent_subsequences(
+            df, "u", "ts", "s", "eid",
+            min_support_num=1, min_support_den=1000,  # keep everything
+            session_gap_minutes=720,
+        ).collect()
+    }
+    assert got == truth
