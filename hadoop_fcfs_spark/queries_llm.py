@@ -2920,3 +2920,105 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("long").alias("max_chars"),
         )
     )
+
+
+@register(
+    "corpus_pipeline_v5",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, text, lang, n_chars,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             w -> w <> '')) AS ntok
+      FROM documents
+      WHERE n_chars >= 100
+    ),
+    qq AS (SELECT * FROM q WHERE ntok >= 10),
+    keyed AS (
+      SELECT doc_id, lang, n_chars, ntok,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS k
+      FROM qq
+    ),
+    surv AS (
+      SELECT doc_id, lang, ntok FROM (
+        SELECT doc_id, lang, ntok,
+               ROW_NUMBER() OVER (PARTITION BY k
+                 ORDER BY n_chars DESC, doc_id) AS rn
+        FROM keyed
+      ) WHERE rn = 1
+    ),
+    c AS (SELECT lang, COUNT(*) AS n FROM surv GROUP BY 1),
+    tot AS (
+      SELECT SUM(n) AS nt,
+             CAST(SUM(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1048576)) AS BIGINT)
+               AS sq
+      FROM c
+    ),
+    p AS (
+      SELECT lang, n,
+             LEAST(1.0, CAST(nt * 1 AS DOUBLE) / 2
+               * sqrt(CAST(n AS DOUBLE)) * 1048576
+               / sq / CAST(n AS DOUBLE)) AS pl
+      FROM c CROSS JOIN tot
+    ),
+    mixed AS (
+      SELECT s.lang, s.ntok
+      FROM surv s JOIN p USING (lang)
+      WHERE CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            < CAST(FLOOR(pl * 4294967296) AS BIGINT)
+    )
+    SELECT p.lang,
+           CAST(p.n AS BIGINT) AS n_dedup,
+           CAST(COALESCE(m.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(m.tok_kept, 0) AS BIGINT) AS tokens_kept
+    FROM p LEFT JOIN (
+      SELECT lang, COUNT(*) AS n_kept, SUM(ntok) AS tok_kept
+      FROM mixed GROUP BY 1
+    ) m USING (lang)
+    """,
+    doc="Composed training-data pipeline v5, assembled entirely from "
+    "audited pieces: (1) quality floor (n_chars >= 100 AND >= 10 ws "
+    "tokens); (2) SURVIVORSHIP exact dedup on the case/whitespace-"
+    "normalized digest keeping the longest variant "
+    "(ops.sort.latest_by_key, dedup_survivorship's rule - not "
+    "lowest-id); (3) temperature-weighted language rebalance at "
+    "alpha=0.5 with a 50% budget (ops.sampling.temperature_mix, "
+    "exact-integer normalizer, md5-uniform selection); (4) per-lang "
+    "accounting of deduped vs kept docs and kept ws-token mass. "
+    "Waypoints keep each stage's output single-scan; every stage "
+    "shuffles on digests/ids, never raw text twice. The v4 sibling is "
+    "distribution-MATCHING (DSIR); v5 is distribution-SHAPING "
+    "(diversity rebalance) - together they bracket the selection "
+    "design space.",
+)
+def corpus_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sampling import temperature_mix
+    from hadoop_fcfs_spark.ops.sort import latest_by_key
+
+    docs = t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    q = docs.filter(F.col("n_chars") >= 100).withColumn(
+        "ntok", F.size(ws).cast("long")
+    ).filter(F.col("ntok") >= 10)
+    keyed = q.select(
+        "doc_id", "lang", "n_chars", "ntok",
+        F.md5(
+            F.lower(F.regexp_replace("text", r"\s+", " ")).cast("binary")
+        ).alias("k"),
+    )
+    surv = waypoint(
+        latest_by_key(
+            keyed, ["k"], [F.desc("n_chars"), F.asc("doc_id")]
+        ).select("doc_id", "lang", "ntok")
+    )
+    mixed = temperature_mix(surv, "lang", "doc_id", budget_num=1, budget_den=2)
+    n = surv.groupBy("lang").agg(F.count("*").cast("long").alias("n_dedup"))
+    m = mixed.groupBy("lang").agg(
+        F.count("*").cast("long").alias("__k"),
+        F.sum("ntok").cast("long").alias("__t"),
+    )
+    return n.join(m, "lang", "left").select(
+        "lang", "n_dedup",
+        F.coalesce(F.col("__k"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("__t"), F.lit(0)).cast("long").alias("tokens_kept"),
+    )
