@@ -54,6 +54,7 @@ HEADLINE = [
     "dsir_selection",
     "tfidf_cosine_topk",
     "corpus_pipeline_v4",
+    "corpus_pipeline_v5",
 ]
 
 
