@@ -2017,14 +2017,22 @@ def wilson_conversion_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM j GROUP BY 1
     )
     SELECT p_brand, CAST(n AS BIGINT) AS n,
-           CASE WHEN n * sxx - sx * sx > 0
-                THEN CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * 1000000) AS BIGINT)
            END AS slope_e6,
-           CASE WHEN n * sxx - sx * sx > 0
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
                 THEN CAST(FLOOR((CAST(sy AS DOUBLE)
-                       - (CAST(n * sxy - sx * sy AS DOUBLE)
-                          / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                       - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                         * CAST(sx AS DOUBLE))
                      / CAST(n AS DOUBLE) * 100) AS BIGINT)
            END AS intercept_cents
     FROM m
@@ -2033,13 +2041,16 @@ def wilson_conversion_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantity - the classical least-squares complement to "
     "theil_sen_trend's robust slope, grouped-model fitting as pure "
     "moment aggregation (never a per-group solver UDF): slope = "
-    "(n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) over EXACT BIGINT moments (x "
-    "integer quantity, y floor-cents; products bounded ~2^50 at sf0.1 "
-    "- no overflow, no float accumulation anywhere before the final "
-    "division), intercept from the fitted slope. NULL slope on "
+    "(n*Sxy - Sx*Sy)/(n*Sxx - Sx^2). The SUMS stay exact BIGINT (Sxy "
+    "< 2^63 up to ~sf10000 for TPC-H's 25 fixed brands); the n*Sxy "
+    "PRODUCTS are computed in double on BOTH sides - DuckDB would "
+    "promote them to HUGEINT while Spark's long silently wraps around "
+    "sf1 (rows-per-brand, not brand count, is the overflow axis), so "
+    "cast-then-multiply keeps the engines on the identical IEEE "
+    "value at every scale. Intercept from the fitted slope; NULL on "
     "zero-variance groups (the ANSI corr() gotcha, guarded). One "
     "map-side-combined moment pass; FLOOR-quantized outputs with "
-    "identical division shapes both engines.",
+    "identical expression shapes both engines.",
 )
 def ols_qty_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
@@ -2056,12 +2067,14 @@ def ols_qty_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    slope = num.cast("double") / det.cast("double")
-    intercept = (
-        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
-    ) / F.col("n").cast("double")
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    # products in double: long n*sxy would silently wrap around sf1
+    det = nd * F.col("sxx").cast("double") - sxd * sxd
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    slope = num / det
+    intercept = (syd - slope * sxd) / nd
     return m.select(
         "p_brand",
         F.col("n").cast("long").alias("n"),

@@ -385,11 +385,15 @@ def stream_maintained_agg(
     to 0, bad retractions stay visible.
 
     State is the aggregate table itself (|keys| rows of integers — KBs
-    to GBs, never raw history), epoch-versioned under ``state_dir`` so
-    a replayed epoch overwrites its own output instead of
-    double-applying (the digest-store idempotency pattern above); the
-    current state is the highest committed epoch. Returns the started
-    StreamingQuery."""
+    to GBs, never raw history). Commit discipline mirrors
+    ``stream_upsert_sink``: the state snapshot writes under
+    ``epoch=N``, THEN the ``_LATEST`` marker flips to it — readers
+    (and replays) follow the marker, never the highest-numbered dir,
+    so a crash mid-overwrite can't expose torn state and a replayed
+    committed epoch rebuilds from its predecessor. Epochs older than
+    the replay predecessor are PRUNED after each commit, so on-disk
+    state stays ≤ 2 snapshots regardless of stream lifetime. Returns
+    the started StreamingQuery."""
     from pyspark.sql import functions as F
 
     from hadoop_fcfs_spark.ops.cdc import merge_agg_delta, weighted_partial_agg
@@ -400,17 +404,19 @@ def stream_maintained_agg(
         spark = batch_df.sparkSession
         jvm = spark.sparkContext._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(state_dir)
-        fs = path.getFileSystem(conf)
-        prior = []
-        if fs.exists(path):
-            it = fs.listStatus(path)
-            prior = sorted(
-                int(st.getPath().getName().split("=")[1])
-                for st in it
-                if st.getPath().getName().startswith("epoch=")
-                and int(st.getPath().getName().split("=")[1]) < epoch_id
-            )
+        marker = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/_LATEST")
+        fs = marker.getFileSystem(conf)
+        prev = None
+        if fs.exists(marker):
+            stream = fs.open(marker)
+            try:
+                prev = stream.readUTF()
+            finally:
+                stream.close()
+        if prev is not None and prev == f"epoch={epoch_id}":
+            # replay of the committed epoch: rebuild from the one before
+            prior = int(prev.split("=")[1]) - 1
+            prev = f"epoch={prior}" if prior >= 0 else None
         delta = weighted_partial_agg(
             batch_df,
             keys,
@@ -419,12 +425,25 @@ def stream_maintained_agg(
             cnt_col=cnt_col,
         )
         base = (
-            spark.read.parquet(f"{state_dir}/epoch={prior[-1]}")
-            if prior
+            spark.read.parquet(f"{state_dir}/{prev}")
+            if prev is not None
             else delta.limit(0)  # empty state, same schema/merge path
         )
         merged = merge_agg_delta(base, delta, keys, sum_cols, cnt_col)
         merged.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+        out = fs.create(marker, True)
+        try:
+            out.writeUTF(f"epoch={epoch_id}")
+        finally:
+            out.close()
+        # prune: a replay of the just-committed epoch needs only its
+        # predecessor — everything older is dead weight
+        keep = {f"epoch={epoch_id}", prev}
+        root = jvm.org.apache.hadoop.fs.Path(state_dir)
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("epoch=") and name not in keep:
+                fs.delete(st.getPath(), True)
 
     return (
         stream_df.writeStream.foreachBatch(process)

@@ -643,14 +643,19 @@ def test_stream_maintained_agg_with_retractions(spark, tmp_path):
     finally:
         q.stop()
 
+    import os
+
     epochs = sorted(
         int(p.rsplit("=", 1)[1]) for p in glob.glob(f"{state}/epoch=*")
     )
+    # commit marker written last; old epochs pruned to <= 2 snapshots
+    assert os.path.exists(f"{state}/_LATEST")
+    assert len(epochs) <= 2
     final = spark.read.parquet(f"{state}/epoch={epochs[-1]}")
     got = {r["k"]: (r["s"], r["n"]) for r in final.collect()}
     # net rows: a:(20,1), c:(7,1); b fully retracted -> gone
     assert got == {"a": (20, 1), "c": (7, 1)}
-    # intermediate epoch after batch 2 still carried b
+    # the kept predecessor (replay base) still carried b
     mid = spark.read.parquet(f"{state}/epoch={epochs[-2]}")
     got_mid = {r["k"]: (r["s"], r["n"]) for r in mid.collect()}
     assert got_mid == {"a": (20, 1), "b": (5, 1), "c": (7, 1)}
