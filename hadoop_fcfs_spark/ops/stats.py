@@ -692,3 +692,191 @@ def wilson_lower_bound(
         trials > 0,
         F.greatest(F.lit(0.0), (center - margin) / (1 + z2 / n)),
     )
+
+
+def ks_two_sample(
+    df: DataFrame, value_col: str, group_col: str, group_a: str, group_b: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D statistic: the maximum vertical
+    gap between the empirical CDFs of ``value_col`` in groups A and B —
+    the standard nonparametric screen for "did this distribution shift"
+    (drift monitoring between cohorts/snapshots), sensitive to location,
+    scale AND shape changes where PSI needs binning choices.
+
+    Scale shape (reference parity: distribution audits that classic
+    MapReduce jobs ran as sorted-reduce scans): collapse to the
+    distinct-VALUE grain with per-group counts (one data-sized pass,
+    map-side combined), cumulative counts via TWO passes of
+    ops.sort.global_running_sum over the grain (range-partitioned
+    two-level prefix sum — a continuous column's grain is data-sized,
+    so no single-task window), then D = max over grain rows of
+    |cumA/nA - cumB/nB|. Every per-row double is built from exact
+    BIGINT counts with one division each (correctly rounded, identical
+    cross-engine), and max() is order-independent — so the floor-micro
+    output is deterministic. Output: 1 row (d_e6, n_a, n_b)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    grain = waypoint(
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
+            .cast("long")
+            .alias("__ca"),
+            F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
+            .cast("long")
+            .alias("__cb"),
+        )
+    )
+    cum = global_running_sum(grain, ["__v"], "__ca", out_col="__cuma")
+    cum = global_running_sum(cum, ["__v"], "__cb", out_col="__cumb")
+    totals = grain.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    gap = F.abs(
+        F.col("__cuma").cast("double") / F.col("__na").cast("double")
+        - F.col("__cumb").cast("double") / F.col("__nb").cast("double")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.floor(F.max(gap) * 1_000_000).cast("long").alias("d_e6"),
+            F.max("__na").cast("long").alias("n_a"),
+            F.max("__nb").cast("long").alias("n_b"),
+        )
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame, value_col: str, group_col: str, group_a: str, group_b: str
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: does group A's
+    distribution stochastically dominate group B's — the nonparametric
+    two-sample location test (Welch's t assumes near-normal means; this
+    ranks instead, robust to outliers and skew).
+
+    Scale shape mirrors spearman_corr: collapse to the distinct-VALUE
+    grain with per-group counts, EXCLUSIVE prefix sum of combined
+    counts through ops.sort.global_running_sum gives each value's
+    rank block, and the rank-sum uses average ranks for ties — all in
+    exact BIGINT by carrying 2x quantities: 2*R_A = sum over values of
+    ca*(2*before + c + 1). Output u2 = 2*U_A exactly; z uses the
+    normal approximation WITH tie correction, built from exact integer
+    aggregates (sum of c^3 - c over tie groups).
+
+    Integer bounds (documented, ANSI throws on overflow rather than
+    corrupting): 2*R_A <= n_a*(2N+1) needs N < ~2.1e9 rows in the two
+    groups combined; the tie term needs the largest tie group < ~2.1e6
+    rows. Beyond that, pre-quantize values to a coarser grain. NULL z
+    when either arm is empty or the tie-corrected variance is 0 (all
+    values identical)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    grain = waypoint(
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
+            .cast("long")
+            .alias("__ca"),
+            F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
+            .cast("long")
+            .alias("__cb"),
+        )
+        .withColumn("__c", F.col("__ca") + F.col("__cb"))
+    )
+    before = global_running_sum(
+        grain, ["__v"], "__c", out_col="__before", inclusive=False
+    )
+    agg = before.agg(
+        F.sum(F.col("__ca") * (2 * F.col("__before") + F.col("__c") + 1))
+        .alias("__r2a"),
+        F.sum("__ca").alias("__na"),
+        F.sum("__cb").alias("__nb"),
+        F.sum(
+            F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")
+        ).alias("__ties"),
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    n = na + nb
+    u2 = F.col("__r2a") - na * (na + 1)  # = 2 * U_A, exact BIGINT
+    nad, nbd, nd = (
+        na.cast("double"),
+        nb.cast("double"),
+        n.cast("double"),
+    )
+    # Var(U) with tie correction: na*nb/12 * ((N+1) - sum(c^3-c)/(N(N-1)))
+    var_u = (
+        nad * nbd / 12.0
+        * ((nd + 1.0) - F.col("__ties").cast("double") / (nd * (nd - 1.0)))
+    )
+    # z on the 2x scale: (2U - na*nb) / (2*sd)
+    z = (u2.cast("double") - nad * nbd) / (2.0 * F.sqrt(var_u))
+    return agg.select(
+        u2.cast("long").alias("u2"),
+        F.when(
+            (na > 0) & (nb > 0) & (var_u > 0),
+            F.floor(z * 1_000_000).cast("long"),
+        ).alias("z_e6"),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups' means, with
+    the Welch-Satterthwaite degrees of freedom — the default two-sample
+    mean comparison (pooled-variance Student's t silently assumes equal
+    variances; Welch does not).
+
+    Values are floor-quantized to 1/``scale`` units (cents by default)
+    so each arm's moments (n, S1, S2) accumulate as EXACT BIGINTs in
+    one map-side-combined pass — never float sums, whose accumulation
+    order differs across engines. t is scale-invariant under the shared
+    quantization, so the statistic equals the plain Welch t of the
+    quantized values; mean/variance/t/df are then a flat, identical
+    division+sqrt shape over those integers in both engines. NULL t/df
+    when either arm has n < 2 or both variances are 0. Output: 1 row
+    (t_e6, df_e3, n_a, n_b)."""
+    q = F.floor(F.col(value_col) * scale).cast("long")
+    tagged = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("__g"), q.alias("__q")
+    )
+
+    def arm(g: str, sfx: str) -> Column:
+        flag = F.when(F.col("__g") == g, F.col("__q"))
+        return [
+            F.count(flag).cast("long").alias(f"__n{sfx}"),
+            F.coalesce(F.sum(flag), F.lit(0)).cast("long").alias(f"__s1{sfx}"),
+            F.coalesce(F.sum(flag * flag), F.lit(0))
+            .cast("long")
+            .alias(f"__s2{sfx}"),
+        ]
+
+    m = tagged.agg(*arm(group_a, "a"), *arm(group_b, "b"))
+    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    s1a, s2a = F.col("__s1a").cast("double"), F.col("__s2a").cast("double")
+    s1b, s2b = F.col("__s1b").cast("double"), F.col("__s2b").cast("double")
+    va = (s2a - s1a * s1a / na) / (na - 1.0)
+    vb = (s2b - s1b * s1b / nb) / (nb - 1.0)
+    sea, seb = va / na, vb / nb
+    t_stat = (s1a / na - s1b / nb) / F.sqrt(sea + seb)
+    df_ws = (sea + seb) * (sea + seb) / (
+        sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)
+    )
+    ok = (F.col("__na") > 1) & (F.col("__nb") > 1) & (sea + seb > 0)
+    return m.select(
+        F.when(ok, F.floor(t_stat * 1_000_000).cast("long")).alias("t_e6"),
+        F.when(ok, F.floor(df_ws * 1_000).cast("long")).alias("df_e3"),
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+    )

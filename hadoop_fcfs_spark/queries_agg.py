@@ -2081,3 +2081,157 @@ def ols_qty_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(det > 0, F.floor(slope * 1_000_000).cast("long")).alias("slope_e6"),
         F.when(det > 0, F.floor(intercept * 100).cast("long")).alias("intercept_cents"),
     )
+
+
+@register(
+    "ks_price_returnflag",
+    oracle="""
+    WITH g AS (
+      SELECT l_extendedprice AS v,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS cb
+      FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+    ),
+    c AS (
+      SELECT SUM(ca) OVER (ORDER BY v) AS cuma,
+             SUM(cb) OVER (ORDER BY v) AS cumb
+      FROM g
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM g)
+    SELECT CAST(FLOOR(MAX(ABS(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+                 - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) * 1000000)
+           AS BIGINT) AS d_e6,
+           CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b
+    FROM c CROSS JOIN tot
+    """,
+    doc="Two-sample Kolmogorov-Smirnov D between returned ('R') and "
+    "in-transit ('N') line price distributions "
+    "(ops.stats.ks_two_sample) - the binning-free drift screen next "
+    "to psi_price_drift. Value-grain collapse + two "
+    "global_running_sum passes for the ECDFs; per-row gap doubles are "
+    "one division each from exact BIGINTs and max() is "
+    "order-independent, so floor-micro is deterministic cross-engine.",
+)
+def ks_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import ks_two_sample
+
+    return ks_two_sample(
+        t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_returnflag", "R", "N"
+    )
+
+
+@register(
+    "mwu_priority_price",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS v,
+             SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS cb
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW') GROUP BY 1
+    ),
+    r AS (
+      SELECT ca, cb, ca + cb AS c,
+             COALESCE(SUM(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+      FROM g
+    ),
+    m AS (
+      SELECT SUM(ca * (2 * bef + c + 1)) AS r2a,
+             SUM(ca) AS na, SUM(cb) AS nb,
+             SUM(c * c * c - c) AS ties
+      FROM r
+    )
+    SELECT CAST(r2a - na * (na + 1) AS BIGINT) AS u2,
+           CASE WHEN na > 0 AND nb > 0
+                 AND CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                     * ((CAST(na + nb AS DOUBLE) + 1.0)
+                        - CAST(ties AS DOUBLE)
+                          / (CAST(na + nb AS DOUBLE)
+                             * (CAST(na + nb AS DOUBLE) - 1.0))) > 0
+           THEN CAST(FLOOR(
+                 (CAST(r2a - na * (na + 1) AS DOUBLE)
+                  - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                 / (2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                     * ((CAST(na + nb AS DOUBLE) + 1.0)
+                        - CAST(ties AS DOUBLE)
+                          / (CAST(na + nb AS DOUBLE)
+                             * (CAST(na + nb AS DOUBLE) - 1.0)))))
+                 * 1000000) AS BIGINT)
+           END AS z_e6,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+    FROM m
+    """,
+    doc="Mann-Whitney U (rank-sum) test: do URGENT orders carry "
+    "stochastically larger totals than LOW-priority ones "
+    "(ops.stats.mann_whitney_u) - the rank-based complement to the "
+    "Welch mean test, robust to the price skew. Exact 2x-scaled "
+    "BIGINT rank sums over the value grain (exclusive prefix via "
+    "global_running_sum, average ranks for ties), tie-corrected "
+    "normal z floored to micros.",
+)
+def mwu_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import mann_whitney_u
+
+    return mann_whitney_u(
+        t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority",
+        "1-URGENT", "5-LOW",
+    )
+
+
+@register(
+    "welch_acctbal_segments",
+    oracle="""
+    WITH q AS (
+      SELECT c_mktsegment AS g,
+             CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v
+      FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    m AS (
+      SELECT
+        SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS na,
+        COALESCE(SUM(CASE WHEN g = 'BUILDING' THEN v END), 0) AS s1a,
+        COALESCE(SUM(CASE WHEN g = 'BUILDING' THEN v * v END), 0) AS s2a,
+        SUM(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS nb,
+        COALESCE(SUM(CASE WHEN g = 'MACHINERY' THEN v END), 0) AS s1b,
+        COALESCE(SUM(CASE WHEN g = 'MACHINERY' THEN v * v END), 0) AS s2b
+      FROM q
+    ),
+    d AS (
+      SELECT na, nb,
+        (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)
+           / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)
+          / CAST(na AS DOUBLE) AS sea,
+        (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)
+           / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)
+          / CAST(nb AS DOUBLE) AS seb,
+        CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE) AS mb
+      FROM m
+    )
+    SELECT
+      CASE WHEN na > 1 AND nb > 1 AND sea + seb > 0
+           THEN CAST(FLOOR((ma - mb) / sqrt(sea + seb) * 1000000) AS BIGINT)
+      END AS t_e6,
+      CASE WHEN na > 1 AND nb > 1 AND sea + seb > 0
+           THEN CAST(FLOOR((sea + seb) * (sea + seb)
+                / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
+                   + seb * seb / (CAST(nb AS DOUBLE) - 1.0)) * 1000) AS BIGINT)
+      END AS df_e3,
+      CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+    FROM d
+    """,
+    doc="Welch's unequal-variance t-test on account balances between "
+    "the BUILDING and MACHINERY market segments "
+    "(ops.stats.welch_ttest) - the parametric mean comparison beside "
+    "ab_test_conversion's proportion z-test. Cent-quantized values "
+    "make each arm's (n, S1, S2) exact BIGINTs in one map-side "
+    "combined pass; t and the Welch-Satterthwaite df are a flat "
+    "division+sqrt shape over those integers, identical cross-engine.",
+)
+def welch_acctbal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import welch_ttest
+
+    return welch_ttest(
+        t(spark, sf_dir, "customer"), "c_acctbal", "c_mktsegment",
+        "BUILDING", "MACHINERY",
+    )

@@ -2058,3 +2058,71 @@ def test_frequent_subsequences_random_vs_bruteforce(spark):
         ).collect()
     }
     assert got == truth
+
+
+def test_ks_two_sample_hand_values(spark):
+    from hadoop_fcfs_spark.ops.stats import ks_two_sample
+
+    rows = [("a", float(v)) for v in (1, 2, 3)] + [("b", float(v)) for v in (2, 3, 4)]
+    # an extra group that must be ignored
+    rows += [("c", 99.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    # ECDF gaps over {1,2,3,4}: 1/3, 1/3, 1/3, 0 -> D = 1/3
+    assert r["d_e6"] == 333333 and r["n_a"] == 3 and r["n_b"] == 3
+
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    assert ks_two_sample(same, "v", "g", "a", "b").collect()[0]["d_e6"] == 0
+
+
+def test_mann_whitney_u_separation_and_ties(spark):
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import mann_whitney_u
+
+    # complete separation: every a < every b -> U_A = 0
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)],
+        "g string, v double",
+    )
+    r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert r["u2"] == 0 and r["n_a"] == 3 and r["n_b"] == 3
+    var_u = 9.0 / 12.0 * 7.0  # no ties
+    z = (0.0 - 9.0) / (2.0 * math.sqrt(var_u))
+    assert r["z_e6"] == math.floor(z * 1_000_000)
+
+    # all-tied input: U_A = na*nb/2 exactly, variance 0 -> z NULL
+    tied = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)], "g string, v double"
+    )
+    r2 = mann_whitney_u(tied, "v", "g", "a", "b").collect()[0]
+    assert r2["u2"] == 4 and r2["z_e6"] is None
+
+
+def test_welch_ttest_hand_values_and_degenerate(spark):
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import welch_ttest
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 12.0), ("a", 14.0), ("b", 10.0), ("b", 11.0), ("b", 12.0)],
+        "g string, v double",
+    )
+    r = welch_ttest(df, "v", "g", "a", "b").collect()[0]
+    # cent units: a = 1000,1200,1400; b = 1000,1100,1200
+    va, vb = 40000.0, 10000.0
+    sea, seb = va / 3.0, vb / 3.0
+    t = (1200.0 - 1100.0) / math.sqrt(sea + seb)
+    dfree = (sea + seb) ** 2 / (sea**2 / 2.0 + seb**2 / 2.0)
+    assert r["t_e6"] == math.floor(t * 1_000_000)
+    assert r["df_e3"] == math.floor(dfree * 1_000)
+    assert r["n_a"] == 3 and r["n_b"] == 3
+
+    # both arms constant -> zero variance -> NULL t and df
+    const = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)], "g string, v double"
+    )
+    r2 = welch_ttest(const, "v", "g", "a", "b").collect()[0]
+    assert r2["t_e6"] is None and r2["df_e3"] is None
