@@ -2235,3 +2235,76 @@ def welch_acctbal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "customer"), "c_acctbal", "c_mktsegment",
         "BUILDING", "MACHINERY",
     )
+
+
+@register(
+    "acf_daily_events",
+    oracle="""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS i,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT l.lag, ROUND(CORR(x.n, y.n), 6) AS acf,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM (VALUES (1), (2), (7)) AS l(lag)
+    JOIN d x ON TRUE
+    JOIN d y ON y.i = x.i + l.lag
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Daily event-count autocorrelation at lags 1, 2, 7 "
+    "(ops.timeseries.acf_lags) - the seasonality fingerprint beside "
+    "event_seasonality's weekday profile (that names the cycle; this "
+    "measures its strength). Day grain aggregates first; all lags "
+    "share ONE self-equi-join of the tiny grain (lag list exploded on "
+    "the left); per-lag Pearson via engine corr rounded @6 - the "
+    "lineitem_corr convention.",
+)
+def acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.timeseries import acf_lags
+
+    ev = t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("i")
+    ).agg(F.count("*").cast("long").alias("n"))
+    return acf_lags(d, "i", "n", [1, 2, 7])
+
+
+@register(
+    "cusum_split_events",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT dy, SUM(n) OVER (ORDER BY dy) AS s,
+             ROW_NUMBER() OVER (ORDER BY dy) AS ti
+      FROM d
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, SUM(n) AS sn FROM d)
+    SELECT dy AS split_at,
+           CAST(ABS(nn * s - ti * sn) AS BIGINT) AS g_max,
+           CAST(FLOOR(CAST(ABS(nn * s - ti * sn) AS DOUBLE) * 1000000
+                / (CAST(nn AS DOUBLE) * CAST(sn AS DOUBLE))) AS BIGINT)
+             AS ratio_e6
+    FROM p CROSS JOIN tot
+    ORDER BY ABS(nn * s - ti * sn) DESC, dy LIMIT 1
+    """,
+    doc="CUSUM changepoint split of the daily event-count series "
+    "(ops.timeseries.cusum_split): the day maximizing |n*S_t - t*S_n| "
+    "- locates the single most likely level-shift boundary that "
+    "rolling_zscore_daily/ewma flag only pointwise. Day grain "
+    "collapses first; prefix sum and step index via "
+    "global_running_sum; the statistic is exact BIGINT and the argmax "
+    "a sort-limit(1) with min-day tiebreak.",
+)
+def cusum_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.timeseries import cusum_split
+
+    ev = t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.to_date("ts").cast("string").alias("dy")
+    ).agg(F.count("*").cast("long").alias("n"))
+    return cusum_split(d, "dy", "n")

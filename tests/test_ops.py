@@ -2126,3 +2126,31 @@ def test_welch_ttest_hand_values_and_degenerate(spark):
     )
     r2 = welch_ttest(const, "v", "g", "a", "b").collect()[0]
     assert r2["t_e6"] is None and r2["df_e3"] is None
+
+
+def test_acf_lags_perfect_alternation(spark):
+    from hadoop_fcfs_spark.ops.timeseries import acf_lags
+
+    # period-2 series: lag-1 ACF = -1, lag-2 ACF = +1; a gap at i=10
+    # removes pairs instead of zero-filling
+    rows = [(i, float(1 if i % 2 == 0 else 5)) for i in range(12) if i != 10]
+    df = spark.createDataFrame(rows, "i long, v double")
+    out = {r["lag"]: r for r in acf_lags(df, "i", "v", [1, 2]).collect()}
+    assert out[1]["acf"] == -1.0 and out[2]["acf"] == 1.0
+    # 11 points (0..9, 11); lag-1 keeps (0,1)..(8,9) -> 9 pairs; lag-2
+    # keeps (0,2)..(7,9) plus (9,11) -> 9 pairs
+    assert out[1]["n_pairs"] == 9 and out[2]["n_pairs"] == 9
+
+
+def test_cusum_split_locates_level_shift(spark):
+    from hadoop_fcfs_spark.ops.timeseries import cusum_split
+
+    # level 10 for t=1..5, level 100 for t=6..10: split at the last
+    # low-regime step
+    rows = [(f"t{i:02d}", 10 if i <= 5 else 100) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "o string, n long")
+    r = cusum_split(df, "o", "n").collect()[0]
+    assert r["split_at"] == "t05"
+    # S_5 = 50, S_n = 550, n = 10 -> |10*50 - 5*550| = 2250
+    assert r["g_max"] == 2250
+    assert r["ratio_e6"] == int(2250 * 1_000_000 / (10 * 550))
