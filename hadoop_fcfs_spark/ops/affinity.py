@@ -149,3 +149,54 @@ def frequent_triples(
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= min_support)
     )
+
+
+def resource_allocation_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Resource-Allocation link-prediction score over item pairs that
+    share baskets: RA(a,b) = Σ over shared baskets of 1/|basket| (Zhou,
+    Lü & Zhang 2009) — the common-neighbor weighting where a HUGE
+    shared hub contributes almost nothing and a small exclusive basket
+    contributes a lot. The ranking complement to basket_lift (lift
+    normalizes by item popularity; RA discounts hub promiscuity), and
+    the exactly-computable stand-in for Adamic-Adar (whose 1/log(d)
+    weight needs a transcendental that is not correctly rounded
+    cross-engine; 1/d is an exact rational).
+
+    Per-basket weight is quantized to BIGINT micro-units with integer
+    division (1_000_000 div d — floor division exact in any engine), so
+    pair scores are EXACT integer sums, order-independent. Pair
+    generation happens INSIDE each basket's sorted distinct array (one
+    explode, never a basket self-join); quadratic bounded by
+    max_basket². Output: (item_a < item_b, ra_e6, n_shared)."""
+    baskets = df.select(basket_col, item_col).distinct().groupBy(basket_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("__items")
+    )
+    if max_basket is not None:
+        baskets = baskets.filter(F.size("__items") <= max_basket)
+    baskets = baskets.withColumn(
+        "__w", F.expr("1000000 div size(__items)").cast("long")
+    )
+    arr = F.col("__items")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"), "__w")
+        .select("p.item_a", "p.item_b", "__w")
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.sum("__w").cast("long").alias("ra_e6"),
+            F.count("*").cast("long").alias("n_shared"),
+        )
+    )

@@ -3544,3 +3544,132 @@ def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_purchases"))
     )
+
+
+@register(
+    "ra_link_parts",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (SELECT l_orderkey, COUNT(*) AS d FROM op GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             SUM(1000000 // g.d) AS ra_e6, COUNT(*) AS n_shared
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN deg g ON g.l_orderkey = a.l_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, CAST(ra_e6 AS BIGINT) AS ra_e6,
+           CAST(n_shared AS BIGINT) AS n_shared
+    FROM pairs
+    ORDER BY ra_e6 DESC, item_a, item_b LIMIT 20
+    """,
+    doc="Resource-Allocation link prediction over co-purchased parts "
+    "(ops.affinity.resource_allocation_pairs, Zhou-Lu-Zhang 2009): "
+    "RA(a,b) = sum over shared orders of 1/|order| - the "
+    "hub-discounting common-neighbor score, exactly computable where "
+    "Adamic-Adar's 1/log(d) is not (transcendental, not correctly "
+    "rounded cross-engine). Per-basket weight 1000000 div d is exact "
+    "integer floor division, pair scores exact BIGINT sums; pairs "
+    "generated inside each order's sorted array (no basket self-join; "
+    "the oracle uses the naive self-join - same pairs, independent "
+    "shape). Top-20, lexical ties.",
+)
+def ra_link_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.affinity import resource_allocation_pairs
+
+    li = t(spark, sf_dir, "lineitem")
+    out = resource_allocation_pairs(li, "l_orderkey", "l_partkey")
+    return out.orderBy(
+        F.desc("ra_e6"), F.asc("item_a"), F.asc("item_b")
+    ).limit(20)
+
+
+def _hits_oracle(iterations: int) -> str:
+    """Unrolled HITS oracle: iteration i derives auth from hub_{i-1}
+    and hub_i from auth_i, each max-normalized back to micro-units with
+    the identical double-ratio floor the Spark op uses."""
+    ctes = ["""
+    e AS MATERIALIZED (
+      SELECT cn.n_name AS src, sn.n_name AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2
+    ),
+    nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS m FROM nodes)"""]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""
+    a{i}r AS MATERIALIZED (
+      SELECT n.node,
+             CAST(COALESCE(SUM(h.m * e.w), 0) AS BIGINT) AS raw
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN h{i - 1} h ON h.node = e.src
+      GROUP BY 1
+    ),
+    a{i} AS MATERIALIZED (
+      SELECT node, CAST(FLOOR(CAST(raw AS DOUBLE)
+               / (SELECT CAST(MAX(raw) AS DOUBLE) FROM a{i}r)
+               * 1000000) AS BIGINT) AS m
+      FROM a{i}r
+    ),
+    h{i}r AS MATERIALIZED (
+      SELECT n.node,
+             CAST(COALESCE(SUM(a.m * e.w), 0) AS BIGINT) AS raw
+      FROM nodes n
+      LEFT JOIN e ON e.src = n.node
+      LEFT JOIN a{i} a ON a.node = e.dst
+      GROUP BY 1
+    ),
+    h{i} AS MATERIALIZED (
+      SELECT node, CAST(FLOOR(CAST(raw AS DOUBLE)
+               / (SELECT CAST(MAX(raw) AS DOUBLE) FROM h{i}r)
+               * 1000000) AS BIGINT) AS m
+      FROM h{i}r
+    )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+    SELECT h.node, h.m AS hub_e6, a.m AS auth_e6
+    FROM h{iterations} h JOIN a{iterations} a USING (node)"""
+    )
+
+
+@register(
+    "hits_trade_roles",
+    oracle=_hits_oracle(4),
+    doc="HITS hub/authority scores (ops.graph.hits, Kleinberg) over the "
+    "nation trade graph (customer nation -> supplier nation, "
+    "line-count weights), 4 alternating power iterations: hub = "
+    "buyer-side weight, authority = supplier-side weight - the "
+    "directed two-role complement to pagerank_nations' single score. "
+    "Scores are BIGINT micro-units: edge-weighted sums are exact "
+    "integer aggregations and each max-normalization floors the "
+    "double ratio raw/max - identical shape in the unrolled oracle "
+    "CTEs, deterministic cross-engine.",
+)
+def hits_trade_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.graph import hits
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("src"))
+    sn = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cnk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("snk"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    return hits(edges, "src", "dst", weight="w", iterations=4)

@@ -2154,3 +2154,41 @@ def test_cusum_split_locates_level_shift(spark):
     # S_5 = 50, S_n = 550, n = 10 -> |10*50 - 5*550| = 2250
     assert r["g_max"] == 2250
     assert r["ratio_e6"] == int(2250 * 1_000_000 / (10 * 550))
+
+
+def test_resource_allocation_pairs_hand_values(spark):
+    from hadoop_fcfs_spark.ops.affinity import resource_allocation_pairs
+
+    # basket 1 = {a,b} (d=2), basket 2 = {a,b,c} (d=3), basket 3 = {a,c} (d=2)
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "c"), (3, "a"), (3, "c")]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = {(r["item_a"], r["item_b"]): r for r in
+           resource_allocation_pairs(df, "bk", "it").collect()}
+    # RA(a,b) = 1/2 + 1/3 -> 500000 + 333333; RA(a,c) = 1/3 + 1/2; RA(b,c) = 1/3
+    assert out[("a", "b")]["ra_e6"] == 833333 and out[("a", "b")]["n_shared"] == 2
+    assert out[("a", "c")]["ra_e6"] == 833333
+    assert out[("b", "c")]["ra_e6"] == 333333 and out[("b", "c")]["n_shared"] == 1
+    # duplicate (basket,item) rows must not double-count
+    dup = df.unionByName(df)
+    out2 = {(r["item_a"], r["item_b"]): r["ra_e6"] for r in
+            resource_allocation_pairs(dup, "bk", "it").collect()}
+    assert out2[("a", "b")] == 833333
+
+
+def test_hits_star_graph_roles(spark):
+    from hadoop_fcfs_spark.ops.graph import hits
+
+    # star: h -> {x, y, z}; plus y -> x so y is also (weakly) a hub.
+    edges = spark.createDataFrame(
+        [("h", "x"), ("h", "y"), ("h", "z"), ("y", "x")], "src string, dst string"
+    )
+    out = {r["node"]: r for r in hits(edges, iterations=4).collect()}
+    # h points at every authority -> max hub; x has two hub in-links -> max auth
+    assert out["h"]["hub_e6"] == 1_000_000
+    assert out["x"]["auth_e6"] == 1_000_000
+    # pure sinks have hub 0; pure sources have auth 0
+    assert out["x"]["hub_e6"] == 0 and out["z"]["hub_e6"] == 0
+    assert out["h"]["auth_e6"] == 0
+    # y: in-link from the best hub only -> positive auth below x's
+    assert 0 < out["y"]["auth_e6"] < 1_000_000
+    assert 0 < out["y"]["hub_e6"] < 1_000_000
