@@ -745,3 +745,66 @@ def tfidf_cosine_pairs(
             F.floor(cos * 1_000_000).cast("long").alias("cos_e6"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    buckets: int = 10,
+) -> DataFrame:
+    """N-gram novelty curve over the corpus in ``id_col`` order: for
+    each id-decile bucket, what fraction of its documents' distinct
+    n-grams appear here FIRST (min doc id over the whole corpus falls
+    in this doc)? The memorization/repetition-pressure signal a
+    training-data pipeline tracks — a healthy stream keeps a fat
+    novelty tail; a collapsing curve says later data is recombinations
+    of earlier data (dedup finds copies; this quantifies the softer
+    n-gram-level exhaustion).
+
+    Scale shape: (doc, gram) distinct postings once (the only
+    corpus-sized explode, shared shape with dedup's _gram_rows);
+    first-occurrence = min(doc) per gram (map-side combined); one join
+    back on gram; per-doc and per-bucket rollups are aggregation-only.
+    All counters exact BIGINT; novelty_e6 by integer floor division.
+    Docs with fewer than n tokens carry no grams and are excluded from
+    the curve (documented denominator). Bucket = id·buckets div
+    (max_id+1) — id·buckets must stay under 2^63."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.llm.dedup import _gram_rows
+
+    grams = waypoint(_gram_rows(df, id_col, text_col, n))
+    first = grams.groupBy("gram").agg(F.min("doc").alias("__first"))
+    per_doc = (
+        grams.join(first, "gram")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("__ng"),
+            F.sum(
+                F.when(F.col("doc") == F.col("__first"), 1).otherwise(0)
+            ).cast("long").alias("__nv"),
+        )
+    )
+    mx = df.agg(F.max(F.col(id_col)).alias("__mx"))
+    return (
+        per_doc.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "bucket",
+            F.least(
+                F.lit(buckets - 1),
+                F.expr(f"doc * {int(buckets)} div (__mx + 1)"),
+            ).cast("long"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__ng").cast("long").alias("n_grams"),
+            F.sum("__nv").cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_e6",
+            F.expr("(1000000 * n_novel) div n_grams").cast("long"),
+        )
+        .orderBy("bucket")
+    )

@@ -3022,3 +3022,48 @@ def corpus_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("__k"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("__t"), F.lit(0)).cast("long").alias("tokens_kept"),
     )
+
+
+@register(
+    "ngram_novelty_curve",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+      FROM toks, LATERAL UNNEST(generate_series(1, len(a) - 2)) AS u(i)
+      WHERE len(a) >= 3
+    ),
+    firsts AS (SELECT g, MIN(doc_id) AS fd FROM grams GROUP BY 1),
+    pd AS (
+      SELECT doc_id, COUNT(*) AS ng,
+             SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS nv
+      FROM grams JOIN firsts USING (g) GROUP BY 1
+    ),
+    mx AS (SELECT MAX(doc_id) AS m FROM documents)
+    SELECT LEAST(9, doc_id * 10 // (m + 1)) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ng) AS BIGINT) AS n_grams,
+           CAST(SUM(nv) AS BIGINT) AS n_novel,
+           (1000000 * CAST(SUM(nv) AS BIGINT)) // CAST(SUM(ng) AS BIGINT)
+             AS novelty_e6
+    FROM pd CROSS JOIN mx
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Word-trigram novelty curve over doc-id deciles "
+    "(llm.textan.ngram_novelty): fraction of each bucket's distinct "
+    "3-grams whose corpus-wide first occurrence lands in that bucket "
+    "- the n-gram-exhaustion / memorization-pressure monitor next to "
+    "the dedup tier (copies vs soft recombination). One posting "
+    "explode (shared _gram_rows shape), min-doc first-occurrence, one "
+    "gram join back; exact BIGINT counters, integer-div novelty. "
+    "Sub-3-token docs carry no grams (documented denominator).",
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import ngram_novelty
+
+    return ngram_novelty(t(spark, sf_dir, "documents"), "doc_id", "text")

@@ -1391,3 +1391,28 @@ def test_bpe_encode_null_and_unicode_whitespace(spark):
     flat1 = [s for w in ["a\xa0b", "a\xa0b", "cd"] for s in expect[w]]
     assert got[1] == (flat1, len(flat1))
     assert got[2] == ([], 0)  # NULL text -> empty, never the word 'None'
+
+
+def test_ngram_novelty_hand_corpus(spark):
+    from hadoop_fcfs_spark.llm.textan import ngram_novelty
+
+    # doc 0: 4 tokens -> grams {a b c, b c d} (both first here)
+    # doc 5: repeats doc 0's text -> 2 grams, 0 novel
+    # doc 9: one shared gram (a b c), one new (c d e... actually b c e)
+    # doc 3: too short (2 tokens) -> excluded from the curve
+    rows = [
+        (0, "a b c d"),
+        (3, "x y"),
+        (5, "a b c d"),
+        (9, "a b c e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bucket"]: r for r in
+           ngram_novelty(df, "doc_id", "text", n=3, buckets=10).collect()}
+    # buckets: doc*10 div 10 = doc id itself
+    assert 3 not in out
+    assert out[0]["n_grams"] == 2 and out[0]["n_novel"] == 2
+    assert out[0]["novelty_e6"] == 1_000_000
+    assert out[5]["n_grams"] == 2 and out[5]["n_novel"] == 0
+    assert out[9]["n_grams"] == 2 and out[9]["n_novel"] == 1
+    assert out[9]["novelty_e6"] == 500_000
