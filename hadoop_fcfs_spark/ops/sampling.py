@@ -413,3 +413,98 @@ def temperature_mix(
         .filter(_sample_key(id_col) < thresh)
         .drop("__n", "__p")
     )
+
+
+# Poisson(1) CDF thresholds on the uniform32 scale: t[k] = floor(2^32 ·
+# P(X <= k)). Precomputed CONSTANTS (the only transcendental, e^-1, is
+# folded at authoring time), so both engines compare the md5-uniform key
+# against identical integer literals — no runtime exp() anywhere. Weight
+# caps at 8 (P(X > 7) ≈ 1.0e-5, identical truncation both sides).
+POISSON1_T32 = (
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777, 4294923276,
+)
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    replicates: int = 100,
+    scale: int = 100,
+    lo_rank: int = 3,
+    hi_rank: int = 3,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap CI for the mean of ``value_col``:
+    each (row, replicate) pair draws a Poisson(1) resample weight from
+    the md5-uniform32 of "key:replicate" against the precomputed
+    POISSON1_T32 thresholds — the single-pass, RNG-state-free bootstrap
+    (Poisson bootstrap ≈ multinomial resampling for large n; the
+    engine-replayable md5 tier's answer to "how uncertain is this
+    mean", Chamandy et al.'s formulation for exactly this
+    embarrassingly-parallel setting).
+
+    Scale shape: the replicate ids explode ONCE per row (×R map-side
+    compute, the honest price of bootstrap — choose R accordingly);
+    per-replicate Σw·v and Σw accumulate as exact BIGINTs over
+    ``scale``-quantized values with map-side combine, so the shuffle
+    carries R×partitions summary rows only. Replicate means are one
+    correctly-rounded division each; the CI bounds are the lo_rank-th
+    smallest / hi_rank-th largest replicate means via two
+    TakeOrdered-bounded selections (never a global window). With
+    R=100, lo_rank=hi_rank=3 brackets ≈95% coverage. Output: 1 row
+    (n_rows, mean_e4, boot_lo_e4, boot_hi_e4)."""
+    from hadoop_fcfs_spark.caching import waypoint
+
+    q = F.floor(F.col(value_col) * scale).cast("long")
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(key_col).cast("string"),
+                    F.lit(":"),
+                    F.col("__r").cast("string"),
+                ).cast("binary")
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    w = F.lit(8)
+    for k in range(len(POISSON1_T32) - 1, -1, -1):
+        w = F.when(F.col("__u") < POISSON1_T32[k], k).otherwise(w)
+    rep = (
+        df.select(F.col(key_col), q.alias("__q"))
+        .withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(int(replicates) - 1)))
+        )
+        .withColumn("__u", u)
+        .withColumn("__w", w.cast("long"))
+        .groupBy("__r")
+        .agg(
+            F.sum(F.col("__w") * F.col("__q")).alias("__swq"),
+            F.sum("__w").alias("__sw"),
+        )
+        .filter(F.col("__sw") > 0)
+        .select(
+            F.floor(
+                F.col("__swq").cast("double") / F.col("__sw").cast("double")
+                / scale * 10_000.0
+            ).cast("long").alias("__m4")
+        )
+    )
+    rep = waypoint(rep)
+    lo = rep.orderBy(F.asc("__m4")).limit(lo_rank).agg(
+        F.max("__m4").alias("boot_lo_e4")
+    )
+    hi = rep.orderBy(F.desc("__m4")).limit(hi_rank).agg(
+        F.min("__m4").alias("boot_hi_e4")
+    )
+    overall = df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.floor(
+            F.sum(q).cast("double") / F.count("*").cast("double")
+            / scale * 10_000.0
+        ).cast("long").alias("mean_e4"),
+    )
+    return overall.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))

@@ -2308,3 +2308,69 @@ def cusum_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").cast("string").alias("dy")
     ).agg(F.count("*").cast("long").alias("n"))
     return cusum_split(d, "dy", "n")
+
+
+def _poisson_boot_oracle() -> str:
+    from hadoop_fcfs_spark.ops.sampling import POISSON1_T32
+
+    whens = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(POISSON1_T32)
+    )
+    return f"""
+    WITH rows_q AS (
+      SELECT o_orderkey AS k,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS q
+      FROM orders
+    ),
+    drawn AS (
+      SELECT r,
+             CASE {whens} ELSE 8 END AS w,
+             q
+      FROM (
+        SELECT q,
+               CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
+                    || CAST(r.r AS VARCHAR)), 1, 8) AS BIGINT) AS u,
+               r.r AS r
+        FROM rows_q CROSS JOIN LATERAL UNNEST(generate_series(0, 99)) AS r(r)
+      )
+    ),
+    rep AS (
+      SELECT CAST(FLOOR(CAST(SUM(w * q) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+                  / 100 * 10000.0) AS BIGINT) AS m4
+      FROM drawn
+      GROUP BY r HAVING SUM(w) > 0
+    ),
+    lo AS (SELECT MAX(m4) AS boot_lo_e4
+           FROM (SELECT m4 FROM rep ORDER BY m4 ASC LIMIT 3)),
+    hi AS (SELECT MIN(m4) AS boot_hi_e4
+           FROM (SELECT m4 FROM rep ORDER BY m4 DESC LIMIT 3))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(FLOOR(CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100 * 10000.0)
+             AS BIGINT) AS mean_e4,
+           lo.boot_lo_e4, hi.boot_hi_e4
+    FROM orders CROSS JOIN lo CROSS JOIN hi
+    GROUP BY lo.boot_lo_e4, hi.boot_hi_e4
+    """
+
+
+@register(
+    "bootstrap_mean_totalprice",
+    oracle=_poisson_boot_oracle(),
+    doc="Deterministic Poisson-bootstrap 95% CI for the mean order "
+    "total (ops.sampling.poisson_bootstrap_mean, Chamandy et al.'s "
+    "single-pass formulation): each (order, replicate) draws a "
+    "Poisson(1) weight from md5-uniform32('key:rep') against "
+    "PRECOMPUTED integer CDF thresholds (no runtime exp; weight cap 8 "
+    "at P ~ 1e-5, identical both engines). 100 replicates explode "
+    "map-side; per-replicate sums are exact BIGINTs over cent-"
+    "quantized values; CI = 3rd-smallest / 3rd-largest replicate mean "
+    "via TakeOrdered selections, no global window.",
+)
+def bootstrap_mean_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sampling import poisson_bootstrap_mean
+
+    return poisson_bootstrap_mean(
+        t(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice",
+        replicates=100,
+    )

@@ -2192,3 +2192,26 @@ def test_hits_star_graph_roles(spark):
     # y: in-link from the best hub only -> positive auth below x's
     assert 0 < out["y"]["auth_e6"] < 1_000_000
     assert 0 < out["y"]["hub_e6"] < 1_000_000
+
+
+def test_poisson_bootstrap_mean_properties(spark):
+    from hadoop_fcfs_spark.ops.sampling import (
+        POISSON1_T32,
+        poisson_bootstrap_mean,
+    )
+
+    # thresholds are a valid CDF ladder on the 2^32 scale
+    assert list(POISSON1_T32) == sorted(POISSON1_T32)
+    assert POISSON1_T32[-1] < 2**32
+
+    df = spark.createDataFrame(
+        [(i, 100.0 + (i % 7)) for i in range(400)], "k long, v double"
+    )
+    r = poisson_bootstrap_mean(df, "k", "v", replicates=50).collect()[0]
+    assert r["n_rows"] == 400
+    # CI brackets the point estimate; width is sane for values in [100,106]
+    assert r["boot_lo_e4"] <= r["mean_e4"] <= r["boot_hi_e4"]
+    assert 100 * 10_000 <= r["boot_lo_e4"] and r["boot_hi_e4"] <= 107 * 10_000
+    # fully deterministic: identical input -> identical CI
+    r2 = poisson_bootstrap_mean(df, "k", "v", replicates=50).collect()[0]
+    assert r == r2
