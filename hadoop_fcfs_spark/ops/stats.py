@@ -880,3 +880,161 @@ def welch_ttest(
         F.col("__na").alias("n_a"),
         F.col("__nb").alias("n_b"),
     )
+
+
+def nelson_aalen(
+    durations: DataFrame,
+    duration_col: str,
+    censored_col: str,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator over integer durations:
+    H(t) = Σ_{s≤t} d_s/n_s — the additive twin of kaplan_meier's
+    product (S ≈ exp(−H)), preferred when hazards themselves are the
+    quantity monitored (failure intensity, churn pressure) and when
+    comparing groups by hazard ratio. Right-censored subjects leave
+    the risk set without counting as exits, exactly as in KM.
+
+    Determinism without transcendentals (unlike KM's ln/exp
+    reconstruction): each step d/n floor-quantizes to nano units
+    (one correctly-rounded division+multiply+floor per grain row), and
+    the cumulative sum is EXACT BIGINT — order-independent, no ulp
+    coupling between engines; accumulated quantization error is
+    < #event-times·1e-9. Scale shape: subject-level aggregation to the
+    duration grain once; risk set and the running hazard both via
+    ops.sort.global_running_sum (no unpartitioned windows at any grain
+    size). Output rows at durations with exits: (t, n_risk, d_events,
+    hazard_e9 with hazard = Σ floor(1e9·d/n))."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    grain = waypoint(
+        durations.groupBy(F.col(duration_col).alias("t")).agg(
+            F.sum(F.when(~F.col(censored_col), 1).otherwise(0))
+            .cast("long")
+            .alias("__d"),
+            F.count("*").cast("long").alias("__all"),
+        )
+    )
+    total = grain.agg(F.sum("__all").alias("__n"))
+    before = global_running_sum(
+        grain, ["t"], "__all", out_col="__left", inclusive=False
+    )
+    stepped = waypoint(
+        before.crossJoin(F.broadcast(total))
+        .withColumn("n_risk", (F.col("__n") - F.col("__left")).cast("long"))
+        .withColumn(
+            "__step_e9",
+            F.floor(
+                F.col("__d").cast("double") / F.col("n_risk").cast("double")
+                * 1_000_000_000.0
+            ).cast("long"),
+        )
+    )
+    cum = global_running_sum(stepped, ["t"], "__step_e9", out_col="hazard_e9")
+    return cum.filter(F.col("__d") > 0).select(
+        F.col("t").cast("long").alias("t"),
+        "n_risk",
+        F.col("__d").alias("d_events"),
+        F.col("hazard_e9").cast("long").alias("hazard_e9"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame, value_col: str, group_col: str, scale: int = 100
+) -> DataFrame:
+    """One-way ANOVA F-test: do k group means differ more than
+    within-group noise predicts — the k-arm generalization of
+    welch_ttest (classic equal-variance F; use Welch pairwise for
+    heteroscedastic follow-ups). F = (SSB/(k−1)) / (SSW/(n−k)).
+
+    Values floor-quantize to 1/``scale`` units so every group's
+    (n, S1, S2) is an EXACT BIGINT triple from one map-side-combined
+    pass; SSB/SSW come from those integers in doubles with an
+    identical flat expression shape cross-engine (F is scale-invariant
+    under shared quantization). NULL F when n ≤ k, k < 2, or SSW = 0.
+    Output: 1 row (k_groups, n_rows, f_e6, df_between, df_within)."""
+    q = F.floor(F.col(value_col) * scale).cast("long")
+    g = df.select(F.col(group_col).alias("__g"), q.alias("__q")).groupBy(
+        "__g"
+    ).agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__q").cast("long").alias("__s1"),
+        F.sum(F.col("__q") * F.col("__q")).cast("long").alias("__s2"),
+    )
+    m = g.agg(
+        F.count("*").cast("long").alias("__k"),
+        F.sum("__n").cast("long").alias("__nn"),
+        F.sum("__s1").cast("long").alias("__ts1"),
+        F.sum("__s2").cast("long").alias("__ts2"),
+        F.sum(
+            F.col("__s1").cast("double") * F.col("__s1").cast("double")
+            / F.col("__n").cast("double")
+        ).alias("__sgm"),  # Σ S1_g²/n_g — one division per GROUP row
+    )
+    nn, k = F.col("__nn").cast("double"), F.col("__k").cast("double")
+    ts1, ts2 = F.col("__ts1").cast("double"), F.col("__ts2").cast("double")
+    ssb = F.col("__sgm") - ts1 * ts1 / nn
+    ssw = ts2 - F.col("__sgm")
+    f_stat = (ssb / (k - 1.0)) / (ssw / (nn - k))
+    ok = (F.col("__k") > 1) & (F.col("__nn") > F.col("__k")) & (ssw > 0)
+    return m.select(
+        F.col("__k").alias("k_groups"),
+        F.col("__nn").alias("n_rows"),
+        F.when(ok, F.floor(f_stat * 1_000_000).cast("long")).alias("f_e6"),
+        (F.col("__k") - 1).alias("df_between"),
+        (F.col("__nn") - F.col("__k")).alias("df_within"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame, value_col: str, trim_permille: int = 50, scale: int = 100
+) -> DataFrame:
+    """Symmetric trimmed mean: drop the k = floor(n·trim/1000) smallest
+    and k largest observations and average the rest — the robust
+    location estimate between the mean (trim 0) and the median (trim
+    500); the outlier-resistant complement to winsorize (which CLAMPS
+    the tails instead of dropping them).
+
+    Entirely exact integer arithmetic: values floor-quantize to
+    1/``scale`` units and collapse to the distinct-value grain; the
+    cumulative count per grain row comes from ops.sort.
+    global_running_sum; each grain row contributes
+    max(0, min(cum, n−k) − max(before, k)) copies to the kept window —
+    tie groups straddling a cut contribute PARTIALLY, which rank-
+    filter formulations get wrong. One division at the end. Output:
+    1 row (n_rows, n_kept, trimmed_mean_e4)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    q = F.floor(F.col(value_col) * scale).cast("long")
+    grain = waypoint(
+        df.select(q.alias("__q")).groupBy("__q").agg(
+            F.count("*").cast("long").alias("__c")
+        )
+    )
+    total = grain.agg(F.sum("__c").alias("__n"))
+    cum = global_running_sum(grain, ["__q"], "__c", out_col="__cum")
+    with_k = cum.crossJoin(F.broadcast(total)).withColumn(
+        "__k", F.expr(f"__n * {int(trim_permille)} div 1000").cast("long")
+    )
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("__cum"), F.col("__n") - F.col("__k"))
+        - F.greatest(F.col("__cum") - F.col("__c"), F.col("__k")),
+    )
+    agg = with_k.agg(
+        F.max("__n").alias("__nn"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(kept * F.col("__q")).cast("long").alias("__sq"),
+    )
+    return agg.select(
+        F.col("__nn").cast("long").alias("n_rows"),
+        "n_kept",
+        F.when(
+            F.col("n_kept") > 0,
+            F.floor(
+                F.col("__sq").cast("double") / F.col("n_kept").cast("double")
+                / scale * 10_000.0
+            ).cast("long"),
+        ).alias("trimmed_mean_e4"),
+    )

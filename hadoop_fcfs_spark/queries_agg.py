@@ -2374,3 +2374,158 @@ def bootstrap_mean_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice",
         replicates=100,
     )
+
+
+@register(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l,
+             MIN(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN CAST(ts AS DATE) END) AS conv
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT CASE WHEN conv IS NOT NULL THEN DATEDIFF('day', f, conv)
+                  ELSE DATEDIFF('day', f, l) END AS t,
+             (conv IS NULL) AS cens
+      FROM u
+    ),
+    g AS (
+      SELECT t, SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS de, COUNT(*) AS a
+      FROM d GROUP BY 1
+    ),
+    tot AS (SELECT SUM(a) AS n FROM g),
+    r1 AS (
+      SELECT t, de, a,
+             n - COALESCE(SUM(a) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM g CROSS JOIN tot
+    ),
+    r2 AS (
+      SELECT t, de, n_risk,
+             SUM(CAST(FLOOR(CAST(de AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                   * 1000000000) AS BIGINT)) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h9
+      FROM r1
+    )
+    SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(de AS BIGINT) AS d_events, CAST(h9 AS BIGINT) AS hazard_e9
+    FROM r2 WHERE de > 0
+    """,
+    doc="Nelson-Aalen cumulative conversion hazard "
+    "(ops.stats.nelson_aalen) over the same durations as "
+    "kaplan_meier_retention (first event -> first high-value "
+    "purchase, never-converters right-censored): H(t) = sum d/n - "
+    "the additive hazard twin of KM's product (S ~ exp(-H)), and the "
+    "transcendental-free one: each step floor-quantizes to nanos and "
+    "the running hazard is an EXACT BIGINT sum (no ln/exp ulp "
+    "coupling). Risk set and cumulative sum via global_running_sum - "
+    "no unpartitioned window at any grain size.",
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import nelson_aalen
+
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("__f"),
+        F.max(F.to_date("ts")).alias("__l"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                F.to_date("ts"),
+            )
+        ).alias("__conv"),
+    )
+    durations = u.select(
+        F.when(
+            F.col("__conv").isNotNull(), F.datediff("__conv", "__f")
+        ).otherwise(F.datediff("__l", "__f")).alias("dur"),
+        F.col("__conv").isNull().alias("cens"),
+    )
+    return nelson_aalen(durations, "dur", "cens")
+
+
+@register(
+    "anova_acctbal_segments",
+    oracle="""
+    WITH q AS (
+      SELECT c_mktsegment AS g,
+             CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v
+      FROM customer
+    ),
+    pg AS (
+      SELECT g, COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2 FROM q GROUP BY 1
+    ),
+    m AS (
+      SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s1) AS ts1, SUM(s2) AS ts2,
+             SUM(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               AS sgm
+      FROM pg
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n_rows,
+           CASE WHEN k > 1 AND nn > k
+                 AND CAST(ts2 AS DOUBLE) - sgm > 0
+           THEN CAST(FLOOR(
+                ((sgm - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
+                    / CAST(nn AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+                / ((CAST(ts2 AS DOUBLE) - sgm)
+                   / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+                * 1000000) AS BIGINT)
+           END AS f_e6,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(nn - k AS BIGINT) AS df_within
+    FROM m
+    """,
+    doc="One-way ANOVA F across the five market segments on account "
+    "balance (ops.stats.anova_oneway) - the k-arm generalization of "
+    "welch_acctbal_segments. Per-group (n, S1, S2) exact BIGINT from "
+    "cent-quantized values in one map-side pass; SSB/SSW in an "
+    "identical flat double shape (the only engine-ordered sum is the "
+    "k=5-element sum of S1_g^2/n_g - the pagerank-precedent risk "
+    "class). Floor-micro F plus both dfs.",
+)
+def anova_acctbal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import anova_oneway
+
+    return anova_oneway(t(spark, sf_dir, "customer"), "c_acctbal", "c_mktsegment")
+
+
+@register(
+    "trimmed_mean_price",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS q,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT q, c, SUM(c) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+      FROM g
+    ),
+    tot AS (SELECT SUM(c) AS n, SUM(c) * 50 // 1000 AS k FROM g),
+    kept AS (
+      SELECT q,
+             GREATEST(0, LEAST(cm, n - k) - GREATEST(cm - c, k)) AS kc
+      FROM cum CROSS JOIN tot
+    )
+    SELECT CAST(MAX(tot.n) AS BIGINT) AS n_rows,
+           CAST(SUM(kc) AS BIGINT) AS n_kept,
+           CAST(FLOOR(CAST(SUM(kc * q) AS DOUBLE) / CAST(SUM(kc) AS DOUBLE)
+                / 100 * 10000.0) AS BIGINT) AS trimmed_mean_e4
+    FROM kept CROSS JOIN tot
+    """,
+    doc="5%-symmetric trimmed mean of line prices "
+    "(ops.stats.trimmed_mean) - the robust location estimate between "
+    "mean and median, complementing winsorize_events (drop vs clamp). "
+    "Exact integers end-to-end: cent-quantized value grain, "
+    "cumulative counts via global_running_sum, and each grain row "
+    "contributes max(0, min(cum, n-k) - max(before, k)) copies - tie "
+    "groups straddling a cut contribute PARTIALLY, which rank-filter "
+    "formulations get wrong. One division at the end (floor-e4).",
+)
+def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import trimmed_mean
+
+    return trimmed_mean(t(spark, sf_dir, "lineitem"), "l_extendedprice")

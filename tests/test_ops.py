@@ -2215,3 +2215,59 @@ def test_poisson_bootstrap_mean_properties(spark):
     # fully deterministic: identical input -> identical CI
     r2 = poisson_bootstrap_mean(df, "k", "v", replicates=50).collect()[0]
     assert r == r2
+
+
+def test_nelson_aalen_hand_values_and_exhaustion(spark):
+    from hadoop_fcfs_spark.ops.stats import nelson_aalen
+
+    # t=1: 2 exits of 5 at risk; t=2: 1 censored (no row emitted);
+    # t=3: 2 exits of 2 at risk (exhausted -> step exactly 1)
+    rows = [(1, False), (1, False), (2, True), (3, False), (3, False)]
+    df = spark.createDataFrame(rows, "dur int, cens boolean")
+    out = {r["t"]: r for r in nelson_aalen(df, "dur", "cens").collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["n_risk"] == 5 and out[1]["d_events"] == 2
+    assert out[1]["hazard_e9"] == 400_000_000  # 2/5
+    assert out[3]["n_risk"] == 2 and out[3]["d_events"] == 2
+    # H(3) = 2/5 + 2/2 = 1.4 exactly
+    assert out[3]["hazard_e9"] == 1_400_000_000
+
+
+def test_anova_oneway_hand_values(spark):
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import anova_oneway
+
+    # groups (cent units): a = {0, 200}, b = {400, 600}, c = {800, 1000}
+    rows = [("a", 0.0), ("a", 2.0), ("b", 4.0), ("b", 6.0), ("c", 8.0), ("c", 10.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "v", "g").collect()[0]
+    assert r["k_groups"] == 3 and r["n_rows"] == 6
+    assert r["df_between"] == 2 and r["df_within"] == 3
+    # SSB = 2*((100-500)^2 + 0 + (900-500)^2) = 640000; SSW = 3*2*100^2... no:
+    # each group has var contribution (q - mean_g)^2 summed = 2*100^2 per group
+    ssb, ssw = 640_000.0, 60_000.0
+    f = (ssb / 2.0) / (ssw / 3.0)
+    assert r["f_e6"] == math.floor(f * 1_000_000)
+
+    # single group -> NULL F
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    assert anova_oneway(one, "v", "g").collect()[0]["f_e6"] is None
+
+
+def test_trimmed_mean_partial_tie_groups(spark):
+    from hadoop_fcfs_spark.ops.stats import trimmed_mean
+
+    # 10 rows, trim 10% each side (k=1): values 0, 1..8, 100 -> drop one 0
+    # and one 100 -> mean of 1..8 = 4.5
+    rows = [(0.0,)] + [(float(i),) for i in range(1, 9)] + [(100.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    r = trimmed_mean(df, "v", trim_permille=100).collect()[0]
+    assert r["n_rows"] == 10 and r["n_kept"] == 8
+    assert r["trimmed_mean_e4"] == 45_000
+
+    # tie group straddles the cut: values [5,5,5,5], k=1 -> keep 2 of the
+    # SAME value (partial contribution), mean stays 5
+    ties = spark.createDataFrame([(5.0,)] * 4, "v double")
+    r2 = trimmed_mean(ties, "v", trim_permille=250).collect()[0]
+    assert r2["n_kept"] == 2 and r2["trimmed_mean_e4"] == 50_000
