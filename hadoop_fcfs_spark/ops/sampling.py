@@ -473,8 +473,15 @@ def poisson_bootstrap_mean(
     w = F.lit(8)
     for k in range(len(POISSON1_T32) - 1, -1, -1):
         w = F.when(F.col("__u") < POISSON1_T32[k], k).otherwise(w)
+    # the explode multiplies per-row COMPUTE by R (md5 per replicate):
+    # spread the input rows across the cluster FIRST, or the whole ×R
+    # cost lands on however few partitions the scan produced
+    parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     rep = (
         df.select(F.col(key_col), q.alias("__q"))
+        .repartition(parts)
         .withColumn(
             "__r", F.explode(F.sequence(F.lit(0), F.lit(int(replicates) - 1)))
         )
