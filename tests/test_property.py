@@ -394,3 +394,65 @@ def test_snapshot_diff_apply_roundtrip_randomized(spark):
             ), f"diff row for unchanged key {k}"
         applied = sorted(map(tuple, apply_changeset(old, d, "k").collect()))
         assert applied == sorted(map(tuple, new.collect()))
+
+
+# ---------------------------------------------------------------------------
+# two-sample / robust statistics vs pure-Python references
+# ---------------------------------------------------------------------------
+
+
+def test_ks_and_mwu_random_match_python_reference(spark):
+    import math
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import ks_two_sample, mann_whitney_u
+
+    rng = random.Random(7)
+    for trial in range(3):
+        a = [rng.randint(0, 12) * 0.5 for _ in range(rng.randint(5, 40))]
+        b = [rng.randint(0, 12) * 0.5 + trial for _ in range(rng.randint(5, 40))]
+        rows = [("a", v) for v in a] + [("b", v) for v in b]
+        df = spark.createDataFrame(rows, "g string, v double")
+
+        # KS reference: max ECDF gap over the merged support
+        support = sorted(set(a) | set(b))
+        d_ref = max(
+            abs(
+                sum(1 for x in a if x <= s) / len(a)
+                - sum(1 for x in b if x <= s) / len(b)
+            )
+            for s in support
+        )
+        r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+        assert r["d_e6"] == math.floor(d_ref * 1_000_000)
+
+        # MWU reference: average ranks over the pooled sample
+        pooled = sorted(a + b)
+        def avg_rank(v):
+            lo = pooled.index(v) + 1
+            hi = lo + pooled.count(v) - 1
+            return (lo + hi) / 2.0
+        r_a = sum(avg_rank(v) for v in a)
+        u_a = r_a - len(a) * (len(a) + 1) / 2.0
+        m = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+        assert m["u2"] == int(round(2 * u_a))
+
+
+def test_trimmed_mean_random_matches_python_reference(spark):
+    import math
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import trimmed_mean
+
+    rng = random.Random(13)
+    for _ in range(3):
+        vals = [rng.randint(-500, 500) / 100.0 for _ in range(rng.randint(4, 60))]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        trim = rng.choice([50, 100, 250])
+        cents = sorted(math.floor(v * 100) for v in vals)
+        k = len(cents) * trim // 1000
+        kept = cents[k: len(cents) - k]
+        ref = math.floor(sum(kept) / len(kept) / 100 * 10_000.0)
+        r = trimmed_mean(df, "v", trim_permille=trim).collect()[0]
+        assert r["n_kept"] == len(kept)
+        assert r["trimmed_mean_e4"] == ref
