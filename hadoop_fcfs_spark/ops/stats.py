@@ -1038,3 +1038,90 @@ def trimmed_mean(
             ).cast("long"),
         ).alias("trimmed_mean_e4"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame, value_col: str, group_col: str, scale: int = 100
+) -> DataFrame:
+    """Quantile normalization: map every group's value distribution
+    onto the GLOBAL distribution — each value is replaced by the global
+    value at the same (midpoint) rank fraction. The cross-batch /
+    cross-source feature equalizer (classic in expression-array
+    pipelines; in a training-data pipeline it aligns per-source score
+    distributions so one source's grader drift doesn't starve the
+    others at a global threshold).
+
+    Scale shape, exact at the grain level: values floor-quantize to
+    1/``scale`` units; per-group cumulative counts run through
+    ops.sort.chunked_running_sum (value-bucket chunks — no per-group
+    window task even when one group is corpus-sized) and the global
+    cumulative through global_running_sum. Each side's rank fraction
+    p = (2·cum − c)/(2n) is ONE division over exact BIGINTs; the
+    group→global mapping is ops.joins.global_as_of_join on p (greatest
+    global p' ≤ p, the lower-quantile convention; groups below the
+    global minimum fraction fall back to the global minimum value).
+    Output: one row per group — (group, n_rows, mean_norm_e4,
+    mean_raw_e4) with exact-integer weighted sums and one final
+    division each."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.joins import global_as_of_join
+    from hadoop_fcfs_spark.ops.sort import chunked_running_sum, global_running_sum
+
+    q = F.floor(F.col(value_col) * scale).cast("long")
+    gg = waypoint(
+        df.select(F.col(group_col).alias("__g"), q.alias("__q"))
+        .groupBy("__g", "__q")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    ng = gg.groupBy("__g").agg(F.sum("__c").alias("__ng"))
+    gcum = chunked_running_sum(
+        gg, ["__g"], F.shiftright("__q", 20), ["__q"], "__c", out_col="__cum"
+    )
+    lp = (
+        gcum.join(ng, "__g")
+        .withColumn(
+            "__p",
+            (2 * F.col("__cum") - F.col("__c")).cast("double")
+            / (2 * F.col("__ng")).cast("double"),
+        )
+    )
+    glob = waypoint(
+        gg.groupBy("__q").agg(F.sum("__c").alias("__cc"))
+    )
+    nn = glob.agg(F.sum("__cc").alias("__nn"))
+    gmin = glob.agg(F.min("__q").alias("__qmin"))
+    rp = (
+        global_running_sum(glob, ["__q"], "__cc", out_col="__gcm")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("__q").alias("__gq"),
+            ((2 * F.col("__gcm") - F.col("__cc")).cast("double")
+             / (2 * F.col("__nn")).cast("double")).alias("__gp"),
+        )
+    )
+    mapped = global_as_of_join(
+        lp.select("__g", "__q", "__c", "__ng", "__p"),
+        rp, "__p", "__gp", ["__gq"],
+    )
+    return (
+        mapped.crossJoin(F.broadcast(gmin))
+        .withColumn("__norm", F.coalesce(F.col("__gq_asof"), F.col("__qmin")))
+        .groupBy("__g")
+        .agg(
+            F.max("__ng").alias("__n"),
+            F.sum(F.col("__c") * F.col("__norm")).alias("__sn"),
+            F.sum(F.col("__c") * F.col("__q")).alias("__sr"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.floor(
+                F.col("__sn").cast("double") / F.col("__n").cast("double")
+                / scale * 10_000.0
+            ).cast("long").alias("mean_norm_e4"),
+            F.floor(
+                F.col("__sr").cast("double") / F.col("__n").cast("double")
+                / scale * 10_000.0
+            ).cast("long").alias("mean_raw_e4"),
+        )
+    )

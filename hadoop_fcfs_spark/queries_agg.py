@@ -2529,3 +2529,61 @@ def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.ops.stats import trimmed_mean
 
     return trimmed_mean(t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+@register(
+    "quantile_normalize_segments",
+    oracle="""
+    WITH q AS (
+      SELECT c_mktsegment AS g, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v
+      FROM customer
+    ),
+    gg AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM q GROUP BY 1, 2),
+    ng AS (SELECT g, SUM(c) AS n FROM gg GROUP BY 1),
+    lp AS (
+      SELECT gg.g, v, c, n,
+             CAST(2 * SUM(c) OVER (PARTITION BY gg.g ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+                  AS DOUBLE) / CAST(2 * n AS DOUBLE) AS p
+      FROM gg JOIN ng ON ng.g = gg.g
+    ),
+    gv AS (SELECT v, SUM(c) AS cc FROM gg GROUP BY 1),
+    nn AS (SELECT SUM(cc) AS t FROM gv),
+    rp AS (
+      SELECT v AS gq,
+             CAST(2 * SUM(cc) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cc
+                  AS DOUBLE) / CAST(2 * t AS DOUBLE) AS gp
+      FROM gv CROSS JOIN nn
+    ),
+    m AS (
+      SELECT l.g, l.c, l.v,
+             COALESCE(r.gq, (SELECT MIN(v) FROM gv)) AS nv
+      FROM lp l ASOF LEFT JOIN rp r ON r.gp <= l.p
+    )
+    SELECT g AS c_mktsegment,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(FLOOR(CAST(SUM(c * nv) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                / 100 * 10000.0) AS BIGINT) AS mean_norm_e4,
+           CAST(FLOOR(CAST(SUM(c * v) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                / 100 * 10000.0) AS BIGINT) AS mean_raw_e4
+    FROM m GROUP BY 1
+    """,
+    doc="Quantile normalization of account balances across market "
+    "segments (ops.stats.quantile_normalize): each segment's values "
+    "map to the GLOBAL distribution at the same midpoint-rank "
+    "fraction - the cross-source score equalizer. Per-group "
+    "cumulatives via chunked_running_sum (value-bucket chunks), "
+    "global via global_running_sum, and the group-to-global mapping "
+    "via ops.joins.global_as_of_join - the partition-free as-of "
+    "decomposed like a two-level prefix scan (the oracle uses "
+    "DuckDB's native ASOF LEFT JOIN - same semantics, independent "
+    "shape). Exact BIGINT weighted sums; one floor-e4 division per "
+    "output cell.",
+)
+def quantile_normalize_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import quantile_normalize
+
+    return quantile_normalize(
+        t(spark, sf_dir, "customer"), "c_acctbal", "c_mktsegment"
+    )

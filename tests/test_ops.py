@@ -2271,3 +2271,47 @@ def test_trimmed_mean_partial_tie_groups(spark):
     ties = spark.createDataFrame([(5.0,)] * 4, "v double")
     r2 = trimmed_mean(ties, "v", trim_permille=250).collect()[0]
     assert r2["n_kept"] == 2 and r2["trimmed_mean_e4"] == 50_000
+
+
+def test_global_as_of_join_matches_partitioned_asof(spark):
+    from hadoop_fcfs_spark.ops.joins import global_as_of_join
+
+    right = spark.createDataFrame(
+        [(10, "a"), (20, "b"), (30, "c")], "k long, tagv string"
+    )
+    left = spark.createDataFrame(
+        [(5,), (10,), (15,), (25,), (40,)], "k long"
+    )
+    out = {r["k"]: r["tagv_asof"] for r in
+           global_as_of_join(left, right, "k", "k", ["tagv"]).collect()}
+    # 5 -> no right key <= 5 -> NULL; 10 -> exact tie matches; 15 -> a@10
+    assert out == {5: None, 10: "a", 15: "a", 25: "b", 40: "c"}
+    # few-partition stress: carry-in must cross range-partition borders
+    big_right = spark.createDataFrame(
+        [(i * 10, f"v{i}") for i in range(50)], "k long, tagv string"
+    )
+    big_left = spark.createDataFrame(
+        [(i,) for i in range(0, 500, 7)], "k long"
+    )
+    got = {r["k"]: r["tagv_asof"] for r in
+           global_as_of_join(big_left, big_right, "k", "k", ["tagv"],
+                             num_partitions=8).collect()}
+    for k, v in got.items():
+        assert v == f"v{k // 10}"
+
+
+def test_quantile_normalize_aligns_group_means(spark):
+    from hadoop_fcfs_spark.ops.stats import quantile_normalize
+
+    # group a = {1..4}, group b = {101..104}: same shape, shifted.
+    # Global distribution = union; after normalization both groups map
+    # rank-for-rank onto the SAME global values, so their normalized
+    # means agree while raw means differ by 100.
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] + [
+        ("b", float(v)) for v in (101, 102, 103, 104)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in quantile_normalize(df, "v", "g").collect()}
+    assert out["a"]["n_rows"] == 4 and out["b"]["n_rows"] == 4
+    assert out["a"]["mean_norm_e4"] == out["b"]["mean_norm_e4"]
+    assert out["b"]["mean_raw_e4"] - out["a"]["mean_raw_e4"] == 100 * 10_000
