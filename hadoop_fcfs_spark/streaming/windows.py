@@ -366,6 +366,48 @@ def stream_upsert_sink(
     )
 
 
+def _epoch_state_fs(spark, state_dir: str):
+    """(jvm, fs, marker Path) for the epoch-versioned state commit
+    discipline shared by the stream_maintained_* sinks."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/_LATEST")
+    return jvm, marker.getFileSystem(conf), marker
+
+
+def _epoch_read_prev(fs, marker, epoch_id: int) -> str | None:
+    """Committed predecessor epoch dir name (or None). A replay of the
+    epoch already named by the marker rebuilds from ITS predecessor —
+    applying the same delta twice would double-count."""
+    prev = None
+    if fs.exists(marker):
+        stream = fs.open(marker)
+        try:
+            prev = stream.readUTF()
+        finally:
+            stream.close()
+    if prev is not None and prev == f"epoch={epoch_id}":
+        prior = int(prev.split("=")[1]) - 1
+        prev = f"epoch={prior}" if prior >= 0 else None
+    return prev
+
+
+def _epoch_commit(jvm, fs, marker, state_dir: str, epoch_id: int, prev) -> None:
+    """Flip the marker to the freshly-written epoch, then prune every
+    snapshot except {new, predecessor} — replay needs only those two."""
+    out = fs.create(marker, True)
+    try:
+        out.writeUTF(f"epoch={epoch_id}")
+    finally:
+        out.close()
+    keep = {f"epoch={epoch_id}", prev}
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("epoch=") and name not in keep:
+            fs.delete(st.getPath(), True)
+
+
 def stream_maintained_agg(
     stream_df: DataFrame,
     keys: list[str],
@@ -402,21 +444,8 @@ def stream_maintained_agg(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        marker = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/_LATEST")
-        fs = marker.getFileSystem(conf)
-        prev = None
-        if fs.exists(marker):
-            stream = fs.open(marker)
-            try:
-                prev = stream.readUTF()
-            finally:
-                stream.close()
-        if prev is not None and prev == f"epoch={epoch_id}":
-            # replay of the committed epoch: rebuild from the one before
-            prior = int(prev.split("=")[1]) - 1
-            prev = f"epoch={prior}" if prior >= 0 else None
+        jvm, fs, marker = _epoch_state_fs(spark, state_dir)
+        prev = _epoch_read_prev(fs, marker, epoch_id)
         delta = weighted_partial_agg(
             batch_df,
             keys,
@@ -431,19 +460,72 @@ def stream_maintained_agg(
         )
         merged = merge_agg_delta(base, delta, keys, sum_cols, cnt_col)
         merged.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
-        out = fs.create(marker, True)
-        try:
-            out.writeUTF(f"epoch={epoch_id}")
-        finally:
-            out.close()
-        # prune: a replay of the just-committed epoch needs only its
-        # predecessor — everything older is dead weight
-        keep = {f"epoch={epoch_id}", prev}
-        root = jvm.org.apache.hadoop.fs.Path(state_dir)
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if name.startswith("epoch=") and name not in keep:
-                fs.delete(st.getPath(), True)
+        _epoch_commit(jvm, fs, marker, state_dir, epoch_id, prev)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def stream_maintained_sketch(
+    stream_df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = 200,
+):
+    """Streaming KLL quantile-sketch maintenance: each micro-batch folds
+    into a per-key KLL sketch table, so any quantile of the
+    stream-so-far is answerable from KB-sized state at any moment —
+    the streaming face of the agg/sketches materialize-once contract
+    (and the quantile complement of stream_maintained_agg's exact
+    sums; sketches are insert-only — retractions are not representable
+    in KLL, use the weighted-agg path for retractable measures).
+
+    Per batch inside foreachBatch: one map-side-combined
+    kll_sketch_agg_double over the batch (raw rows never persist),
+    union with the current state sketches, merge per key with the
+    bounded fold from agg.sketches.kll_quantile_rollup (fan-in = 2
+    here: state + delta). Same epoch-versioned marker+prune commit
+    discipline as stream_maintained_agg: crash-safe, replay rebuilds
+    from the predecessor, on-disk state ≤ 2 snapshots. Returns the
+    started StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm, fs, marker = _epoch_state_fs(spark, state_dir)
+        prev = _epoch_read_prev(fs, marker, epoch_id)
+        delta = batch_df.groupBy(*keys).agg(
+            F.kll_sketch_agg_double(
+                F.col(value_col).cast("double"), F.lit(k)
+            ).alias("kll_sketch")
+        )
+        base = (
+            spark.read.parquet(f"{state_dir}/{prev}")
+            if prev is not None
+            else delta.limit(0)
+        )
+        lists = (
+            base.unionByName(delta)
+            .groupBy(*keys)
+            .agg(F.collect_list("kll_sketch").alias("__sks"))
+        )
+        merged = lists.select(
+            *keys,
+            F.aggregate(
+                F.slice(
+                    F.col("__sks"), 2, F.greatest(F.size("__sks") - 1, F.lit(0))
+                ),
+                F.element_at("__sks", 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ).alias("kll_sketch"),
+        )
+        merged.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+        _epoch_commit(jvm, fs, marker, state_dir, epoch_id, prev)
 
     return (
         stream_df.writeStream.foreachBatch(process)

@@ -659,3 +659,52 @@ def test_stream_maintained_agg_with_retractions(spark, tmp_path):
     mid = spark.read.parquet(f"{state}/epoch={epochs[-2]}")
     got_mid = {r["k"]: (r["s"], r["n"]) for r in mid.collect()}
     assert got_mid == {"a": (20, 1), "b": (5, 1), "c": (7, 1)}
+
+
+def test_stream_maintained_sketch_quantiles(spark, tmp_path):
+    """Three micro-batches fold into per-key KLL sketch state; the
+    maintained sketch's median matches the exact median of ALL rows
+    seen so far (k=200 is exact at these sizes), state follows the
+    marker+prune discipline (<= 2 snapshots)."""
+    import glob
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.streaming.windows import stream_maintained_sketch
+
+    src = tmp_path / "vals"
+    src.mkdir()
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    pd.DataFrame(
+        {"k": ["a"] * 5 + ["b"] * 3, "v": [1.0, 2, 3, 4, 5, 10, 20, 30]}
+    ).to_parquet(src / "b1.parquet")
+    stream = spark.readStream.schema("k string, v double").parquet(str(src))
+    q = stream_maintained_sketch(stream, ["k"], "v", state, ckpt)
+    try:
+        q.processAllAvailable()
+        pd.DataFrame({"k": ["a"] * 4, "v": [6.0, 7, 8, 9]}).to_parquet(
+            src / "b2.parquet"
+        )
+        q.processAllAvailable()
+        pd.DataFrame({"k": ["b"] * 2, "v": [40.0, 50]}).to_parquet(
+            src / "b3.parquet"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    epochs = sorted(int(p.rsplit("=", 1)[1]) for p in glob.glob(f"{state}/epoch=*"))
+    assert os.path.exists(f"{state}/_LATEST") and len(epochs) <= 2
+    final = spark.read.parquet(f"{state}/epoch={epochs[-1]}")
+    med = {
+        r["k"]: r["m"]
+        for r in final.select(
+            "k",
+            F.kll_sketch_get_quantile_double(F.col("kll_sketch"), F.lit(0.5)).alias("m"),
+        ).collect()
+    }
+    # a saw 1..9 -> median 5; b saw 10,20,30,40,50 -> median 30
+    assert med == {"a": 5.0, "b": 30.0}
