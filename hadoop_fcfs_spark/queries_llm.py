@@ -3067,3 +3067,105 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.llm.textan import ngram_novelty
 
     return ngram_novelty(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "ann_ivf_recall",
+    oracle="""
+    WITH corpus AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 10),
+    pairs AS (
+      SELECT query_id, e.vec_id,
+             ROUND(list_dot_product(qv, e.v) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(e.v, e.v))), 4) + 0.0 AS cos
+      FROM q CROSS JOIN corpus e WHERE query_id <> e.vec_id
+    ),
+    exact AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS rank
+        FROM pairs) WHERE rank <= 10
+    ),
+    cents AS MATERIALIZED (
+      SELECT vec_id AS cid, v AS cv FROM corpus WHERE vec_id < 16
+    ),
+    assign AS MATERIALIZED (
+      SELECT vec_id, v, cid AS cell FROM (
+        SELECT c.vec_id, c.v, ct.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                  ORDER BY list_distance(c.v, ct.cv), ct.cid) AS rn
+        FROM corpus c CROSS JOIN cents ct) WHERE rn = 1
+    ),
+    probes AS MATERIALIZED (
+      SELECT query_id, qv, cid AS cell FROM (
+        SELECT qq.query_id, qq.qv, ct.cid,
+               ROW_NUMBER() OVER (PARTITION BY qq.query_id
+                                  ORDER BY list_distance(qq.qv, ct.cv), ct.cid) AS rn
+        FROM q qq CROSS JOIN cents ct) WHERE rn <= 4
+    ),
+    ipairs AS (
+      SELECT p.query_id, a.vec_id,
+             ROUND(list_dot_product(p.qv, a.v) /
+                   (sqrt(list_dot_product(p.qv, p.qv)) *
+                    sqrt(list_dot_product(a.v, a.v))), 4) + 0.0 AS cos
+      FROM probes p JOIN assign a USING (cell)
+      WHERE p.query_id <> a.vec_id
+    ),
+    ivf AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS rank
+        FROM ipairs) WHERE rank <= 10
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+           (1000000 * CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0
+                                    END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+             AS recall_e6
+    FROM exact e LEFT JOIN ivf i
+      ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+    GROUP BY 1
+    """,
+    doc="IVF index-quality audit: per-query recall@10 of the n_probe=4 "
+    "IVF search against the exact brute-force cosine ranking - the "
+    "standing monitor an ANN deployment runs on a benchmark query set "
+    "every index rebuild (llm.similarity.ivf_topk vs cosine_topk, "
+    "composed; left-semi hit join on (query, neighbor)). Both "
+    "rankings share the @4-rounded cosine and vec_id tiebreak, so "
+    "recall is deterministic; integer-division recall_e6. Fixed "
+    "16-centroid quantizer as in ann_ivf_topk.",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    exact = cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+    approx = ivf_topk(
+        emb, queries, k=10, n_probe=4, centroids=cents
+    ).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    n_hits = hits.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("__h")
+    )
+    return (
+        n_exact.join(n_hits, "query_id", "left")
+        .withColumn("n_hits", F.coalesce(F.col("__h"), F.lit(0)).cast("long"))
+        .select(
+            "query_id", "n_exact", "n_hits",
+            F.expr("(1000000 * n_hits) div n_exact").cast("long")
+            .alias("recall_e6"),
+        )
+    )
