@@ -580,6 +580,7 @@ def test_no_unallowed_driver_collects_static_sweep():
     ALLOWED = {
         ("llm/similarity.py", "kmeans_centroids"),  # k seed rows / k centroid rows
         ("queries_llm.py", "ann_ivf_topk"),          # 16 fixture quantizer vectors
+        ("queries_llm.py", "ann_ivf_recall"),        # 16 fixture quantizer vectors
         ("queries_llm.py", "ann_pq_adc_topk"),       # 8 codebook vectors
         ("queries_llm.py", "ann_ivf_pq_topk"),       # 16 cents + 8 codebook vectors
         ("queries_llm.py", "ann_rp_lsh_topk"),       # 16 fixture query vectors
