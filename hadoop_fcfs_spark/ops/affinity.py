@@ -200,3 +200,38 @@ def resource_allocation_pairs(
             F.count("*").cast("long").alias("n_shared"),
         )
     )
+
+
+def basket_partners(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """DIRECTED co-occurrence counts: (item_a, item_b≠item_a,
+    pair_count) — both directions of every co-present pair, the shape
+    item-centric recommenders rank ("customers who bought A also
+    bought …" needs A's partners, not unordered pairs). Same in-array
+    generation as basket_pairs (one explode, quadratic bounded by
+    max_basket²), each basket counting a partner pair at most once."""
+    baskets = df.select(basket_col, item_col).distinct().groupBy(basket_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("__items")
+    )
+    if max_basket is not None:
+        baskets = baskets.filter(F.size("__items") <= max_basket)
+    arr = F.col("__items")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x: F.transform(
+                F.filter(arr, lambda y: y != x),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("pair_count"))
+    )

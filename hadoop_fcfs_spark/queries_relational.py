@@ -3673,3 +3673,104 @@ def hits_trade_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("w"))
     )
     return hits(edges, "src", "dst", weight="w", iterations=4)
+
+
+@register(
+    "copurchase_eval_topk",
+    oracle="""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey, o_orderdate
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    tr AS (SELECT l_orderkey, l_partkey FROM op
+           WHERE o_orderdate < DATE '1998-05-01'),
+    te AS (SELECT l_orderkey, l_partkey FROM op
+           WHERE o_orderdate >= DATE '1998-05-01'),
+    trp AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS c
+      FROM tr a JOIN tr b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    rec AS (
+      SELECT pa, pb, rk FROM (
+        SELECT pa, pb,
+               ROW_NUMBER() OVER (PARTITION BY pa
+                                  ORDER BY c DESC, pb) AS rk
+        FROM trp) WHERE rk <= 3
+    ),
+    tep AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM te a JOIN te b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    )
+    SELECT CAST(rk AS INT) AS rank,
+           CAST(COUNT(*) AS BIGINT) AS n_recs,
+           CAST(SUM(CASE WHEN tep.pb IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+           (1000000 * CAST(SUM(CASE WHEN tep.pb IS NOT NULL THEN 1 ELSE 0
+                                    END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+             AS precision_e6
+    FROM rec LEFT JOIN tep USING (pa, pb)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Temporal-split recommender evaluation: train directed "
+    "co-purchase counts on orders before 1998-05-01 "
+    "(ops.affinity.basket_partners - in-array generation, no basket "
+    "self-join; the oracle uses the naive self-join), rank each "
+    "part's top-3 partners (count desc, id ties), score "
+    "precision-by-rank against co-occurrences in the HELD-OUT later "
+    "orders - the leakage-free eval loop every affinity model needs "
+    "(temporal_split_audit checks the split; this closes it into "
+    "train->recommend->score). Per-item rank window is key-bounded; "
+    "hit check is one distinct semi-shaped left join; "
+    "integer-division precision.",
+)
+def copurchase_eval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.affinity import basket_partners
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    op = waypoint(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_partkey", "o_orderdate")
+        .distinct()
+    )
+    split = F.lit("1998-05-01").cast("date")
+    train = op.filter(F.col("o_orderdate") < split)
+    test = op.filter(F.col("o_orderdate") >= split)
+    trp = basket_partners(train, "l_orderkey", "l_partkey")
+    w = Window.partitionBy("item_a").orderBy(
+        F.desc("pair_count"), F.asc("item_b")
+    )
+    rec = (
+        trp.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("item_a").alias("pa"), F.col("item_b").alias("pb"), "rank"
+        )
+    )
+    tep = (
+        basket_partners(test, "l_orderkey", "l_partkey")
+        .select(
+            F.col("item_a").alias("pa"), F.col("item_b").alias("pb"),
+            F.lit(1).alias("__hit"),
+        )
+    )
+    return (
+        rec.join(tep, ["pa", "pb"], "left")
+        .groupBy(F.col("rank").cast("int").alias("rank"))
+        .agg(
+            F.count("*").cast("long").alias("n_recs"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long")
+            .alias("n_hits"),
+        )
+        .withColumn(
+            "precision_e6",
+            F.expr("(1000000 * n_hits) div n_recs").cast("long"),
+        )
+        .orderBy("rank")
+    )

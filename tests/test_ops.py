@@ -2315,3 +2315,17 @@ def test_quantile_normalize_aligns_group_means(spark):
     assert out["a"]["n_rows"] == 4 and out["b"]["n_rows"] == 4
     assert out["a"]["mean_norm_e4"] == out["b"]["mean_norm_e4"]
     assert out["b"]["mean_raw_e4"] - out["a"]["mean_raw_e4"] == 100 * 10_000
+
+
+def test_basket_partners_directed_counts(spark):
+    from hadoop_fcfs_spark.ops.affinity import basket_partners
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (2, "b")]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = {(r["item_a"], r["item_b"]): r["pair_count"] for r in
+           basket_partners(df, "bk", "it").collect()}
+    # directed: both orientations; basket 2's duplicate b counts once
+    assert out[("a", "b")] == 2 and out[("b", "a")] == 2
+    assert out[("a", "c")] == 1 and out[("c", "a")] == 1
+    assert out[("b", "c")] == 1 and out[("c", "b")] == 1
+    assert len(out) == 6
