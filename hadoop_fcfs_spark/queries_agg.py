@@ -2587,3 +2587,78 @@ def quantile_normalize_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_normalize(
         t(spark, sf_dir, "customer"), "c_acctbal", "c_mktsegment"
     )
+
+
+@register(
+    "cms_heavy_change",
+    oracle="""
+    WITH a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt_a
+               FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+    b AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt_b
+          FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+    j AS (
+      SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+             COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+      FROM a FULL JOIN b ON a.user_id = b.user_id
+    )
+    SELECT user_id, cnt_a, cnt_b,
+           CAST(cnt_b - cnt_a AS BIGINT) AS change, TRUE AS cms_ok
+    FROM j ORDER BY ABS(cnt_b - cnt_a) DESC, user_id LIMIT 20
+    """,
+    doc="CMS heavy-change detection (Cormode-Muthukrishnan deltas): "
+    "which users' event rates shifted most between the first and "
+    "second half of the stream, answered from TWO per-window Count-Min "
+    "DataFrames (agg.sketches.cms_partial x2 + cms_estimate x2) - the "
+    "sketch-delta monitor that runs without re-scanning either window "
+    "once the sketches are materialized. Exact top-20 |change| "
+    "candidates carry the oracle values; cms_ok asserts the one-sided "
+    "contract PER WINDOW (est >= true, overshoot <= ceil(3eN/width)), "
+    "so sketch degradation fails the value hash. Deterministic "
+    "xxhash64 row hashes; |change| ties broken by user_id.",
+)
+def cms_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from hadoop_fcfs_spark.agg.sketches import cms_estimate, cms_partial
+    from hadoop_fcfs_spark.caching import waypoint
+
+    ev = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    first = ev.filter(F.col("ts") < cut)
+    second = ev.filter(F.col("ts") >= cut)
+    exact = waypoint(
+        ev.groupBy("user_id").agg(
+            F.sum(F.when(F.col("ts") < cut, 1).otherwise(0))
+            .cast("long").alias("cnt_a"),
+            F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0))
+            .cast("long").alias("cnt_b"),
+        )
+    )
+    top = exact.orderBy(
+        F.abs(F.col("cnt_b") - F.col("cnt_a")).desc(), F.asc("user_id")
+    ).limit(20)
+    ska = cms_partial(first, "user_id", depth=4, width=2048)
+    skb = cms_partial(second, "user_id", depth=4, width=2048)
+    est_a = cms_estimate(ska, top.select("user_id"), "user_id", width=2048)
+    est_b = cms_estimate(skb, top.select("user_id"), "user_id", width=2048)
+    na = first.agg(F.count("*").alias("__na"))
+    nb = second.agg(F.count("*").alias("__nb"))
+    slack_a = F.ceil(F.lit(3.0 * math.e / 2048) * F.col("__na"))
+    slack_b = F.ceil(F.lit(3.0 * math.e / 2048) * F.col("__nb"))
+    return (
+        top.join(est_a.withColumnRenamed("est", "__ea"), "user_id")
+        .join(est_b.withColumnRenamed("est", "__eb"), "user_id")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "user_id", "cnt_a", "cnt_b",
+            (F.col("cnt_b") - F.col("cnt_a")).cast("long").alias("change"),
+            (
+                (F.col("__ea") >= F.col("cnt_a"))
+                & (F.col("__ea") <= F.col("cnt_a") + slack_a)
+                & (F.col("__eb") >= F.col("cnt_b"))
+                & (F.col("__eb") <= F.col("cnt_b") + slack_b)
+            ).alias("cms_ok"),
+        )
+        .orderBy(F.abs("change").desc(), F.asc("user_id"))
+    )
