@@ -3774,3 +3774,91 @@ def copurchase_eval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@register(
+    "markov_next_event_eval",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER w AS next_type,
+             LEAD(ts) OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pairs AS (SELECT * FROM seq WHERE next_type IS NOT NULL),
+    train AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs WHERE next_ts < TIMESTAMP '2024-01-16' GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT event_type, next_type AS predicted FROM (
+        SELECT event_type, next_type,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, next_type) AS rn
+        FROM train) WHERE rn = 1
+    ),
+    test AS (
+      SELECT event_type, next_type FROM pairs
+      WHERE next_ts >= TIMESTAMP '2024-01-16'
+    )
+    SELECT t.event_type, p.predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.next_type = p.predicted THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           (1000000 * CAST(SUM(CASE WHEN t.next_type = p.predicted
+                                    THEN 1 ELSE 0 END) AS BIGINT))
+             // CAST(COUNT(*) AS BIGINT) AS accuracy_e6
+    FROM test t JOIN pred p USING (event_type)
+    GROUP BY 1, 2
+    """,
+    doc="Markov next-event prediction eval: train the first-order "
+    "transition argmax (count desc, type ties) on transitions "
+    "COMPLETING before the split instant, score per-state accuracy on "
+    "the held-out later transitions - the train/predict/score loop "
+    "over event_transitions' matrix (a transition belongs to test iff "
+    "its SECOND event is post-split, so no test information leaks "
+    "into training). One user-key window pass shared by both halves; "
+    "B-row broadcast-sized model; integer-division accuracy.",
+)
+def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.caching import waypoint
+
+    ev = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = waypoint(
+        ev.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+            F.lead("ts").over(w).alias("next_ts"),
+        ).filter(F.col("next_type").isNotNull())
+    )
+    train = (
+        pairs.filter(F.col("next_ts") < cut)
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wp = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("next_type")
+    )
+    pred = (
+        train.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", F.col("next_type").alias("predicted"))
+    )
+    test = pairs.filter(F.col("next_ts") >= cut)
+    return (
+        test.join(F.broadcast(pred), "event_type")
+        .groupBy("event_type", "predicted")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("next_type") == F.col("predicted"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy_e6",
+            F.expr("(1000000 * n_correct) div n_test").cast("long"),
+        )
+    )
