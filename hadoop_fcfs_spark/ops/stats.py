@@ -1125,3 +1125,87 @@ def quantile_normalize(
             ).cast("long").alias("mean_raw_e4"),
         )
     )
+
+
+def logrank_test(
+    durations: DataFrame,
+    duration_col: str,
+    censored_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-group log-rank test: do the groups share a survival curve —
+    the standard significance companion to kaplan_meier/nelson_aalen
+    (eyeballing two KM curves is not a test). At each pooled event
+    time: O accumulates group-1's observed events, E its expected
+    events d·n1/n under the null, V the hypergeometric variance
+    d·(n1/n)·(1−n1/n)·(n−d)/(n−1); z = (O−E)/√V.
+
+    Determinism like nelson_aalen: per-step E and V terms are each a
+    flat division chain over exact BIGINT risk-set counts,
+    floor-quantized to nano units, and SUMMED AS BIGINTs —
+    order-independent, no float accumulation; z is then one
+    subtraction + sqrt over the integer totals. Risk sets per group
+    via exclusive global_running_sum passes over the pooled duration
+    grain (no unpartitioned windows at any grain size). Group 1/2 =
+    rows where ``group_col`` equals ``group_a``/``group_b`` (other rows
+    ignored, like the rest of the two-sample tier). Output: 1 row
+    (n_1, n_2, o_1, e1_e9, v_e9, z_e6 — NULL z when V = 0)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    g1 = F.col(group_col) == F.lit(group_a)
+    grain = waypoint(
+        durations.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(duration_col).alias("t")).agg(
+            F.sum(F.when(g1 & ~F.col(censored_col), 1).otherwise(0))
+            .cast("long").alias("__d1"),
+            F.sum(F.when(~g1 & ~F.col(censored_col), 1).otherwise(0))
+            .cast("long").alias("__d2"),
+            F.sum(F.when(g1, 1).otherwise(0)).cast("long").alias("__a1"),
+            F.sum(F.when(~g1, 1).otherwise(0)).cast("long").alias("__a2"),
+        )
+    )
+    tot = grain.agg(
+        F.sum("__a1").alias("__n1t"), F.sum("__a2").alias("__n2t")
+    )
+    cum = global_running_sum(grain, ["t"], "__a1", out_col="__b1", inclusive=False)
+    cum = global_running_sum(cum, ["t"], "__a2", out_col="__b2", inclusive=False)
+    r = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("__r1", F.col("__n1t") - F.col("__b1"))
+        .withColumn("__r2", F.col("__n2t") - F.col("__b2"))
+        .withColumn("__n", F.col("__r1") + F.col("__r2"))
+        .withColumn("__d", F.col("__d1") + F.col("__d2"))
+        .filter(F.col("__d") > 0)
+    )
+    d, n, r1 = (
+        F.col("__d").cast("double"),
+        F.col("__n").cast("double"),
+        F.col("__r1").cast("double"),
+    )
+    e_term = F.floor(d * r1 / n * 1_000_000_000.0).cast("long")
+    v_term = F.when(
+        F.col("__n") > 1,
+        F.floor(
+            d * (r1 / n) * (1.0 - r1 / n) * ((n - d) / (n - 1.0))
+            * 1_000_000_000.0
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    agg = r.agg(
+        F.sum("__d1").cast("long").alias("o_1"),
+        F.sum(e_term).cast("long").alias("e1_e9"),
+        F.sum(v_term).cast("long").alias("v_e9"),
+        F.max("__n1t").cast("long").alias("n_1"),
+        F.max("__n2t").cast("long").alias("n_2"),
+    )
+    o9 = F.col("o_1") * F.lit(1_000_000_000)
+    z = (o9 - F.col("e1_e9")).cast("double") / F.sqrt(
+        F.lit(1_000_000_000.0) * F.col("v_e9").cast("double")
+    )
+    return agg.select(
+        "n_1", "n_2", "o_1", "e1_e9", "v_e9",
+        F.when(F.col("v_e9") > 0, F.floor(z * 1_000_000).cast("long"))
+        .alias("z_e6"),
+    )

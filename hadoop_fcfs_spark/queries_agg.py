@@ -2662,3 +2662,99 @@ def cms_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.abs("change").desc(), F.asc("user_id"))
     )
+
+
+@register(
+    "logrank_cohorts",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS coh,
+             MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l,
+             MIN(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN CAST(ts AS DATE) END) AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT coh,
+             CASE WHEN conv IS NOT NULL THEN DATEDIFF('day', f, conv)
+                  ELSE DATEDIFF('day', f, l) END AS t,
+             (conv IS NULL) AS cens
+      FROM u
+    ),
+    g AS (
+      SELECT t,
+             SUM(CASE WHEN coh = 0 AND NOT cens THEN 1 ELSE 0 END) AS d1,
+             SUM(CASE WHEN coh = 1 AND NOT cens THEN 1 ELSE 0 END) AS d2,
+             SUM(CASE WHEN coh = 0 THEN 1 ELSE 0 END) AS a1,
+             SUM(CASE WHEN coh = 1 THEN 1 ELSE 0 END) AS a2
+      FROM d GROUP BY 1
+    ),
+    tot AS (SELECT SUM(a1) AS n1t, SUM(a2) AS n2t FROM g),
+    r AS (
+      SELECT t, d1, d2,
+             n1t - COALESCE(SUM(a1) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r1,
+             n2t - COALESCE(SUM(a2) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r2
+      FROM g CROSS JOIN tot
+    ),
+    s AS (
+      SELECT d1, d1 + d2 AS d, r1, r1 + r2 AS n FROM r WHERE d1 + d2 > 0
+    ),
+    m AS (
+      SELECT SUM(d1) AS o1,
+             SUM(CAST(FLOOR(CAST(d AS DOUBLE) * CAST(r1 AS DOUBLE)
+                   / CAST(n AS DOUBLE) * 1000000000) AS BIGINT)) AS e9,
+             SUM(CASE WHEN n > 1 THEN
+                 CAST(FLOOR(CAST(d AS DOUBLE)
+                      * (CAST(r1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(r1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * ((CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+                         / (CAST(n AS DOUBLE) - 1.0))
+                      * 1000000000) AS BIGINT) ELSE 0 END) AS v9
+      FROM s
+    )
+    SELECT CAST(tot.n1t AS BIGINT) AS n_1, CAST(tot.n2t AS BIGINT) AS n_2,
+           CAST(m.o1 AS BIGINT) AS o_1, CAST(m.e9 AS BIGINT) AS e1_e9,
+           CAST(m.v9 AS BIGINT) AS v_e9,
+           CASE WHEN m.v9 > 0 THEN
+             CAST(FLOOR(CAST(m.o1 * 1000000000 - m.e9 AS DOUBLE)
+                  / sqrt(1000000000.0 * CAST(m.v9 AS DOUBLE))
+                  * 1000000) AS BIGINT)
+           END AS z_e6
+    FROM m CROSS JOIN tot
+    """,
+    doc="Two-cohort log-rank test on time-to-conversion "
+    "(ops.stats.logrank_test) over the kaplan_meier_retention "
+    "durations, cohorts = user_id parity (the deterministic A/B "
+    "assignment stand-in): O-E accumulation with hypergeometric "
+    "variance at each pooled event time - the significance companion "
+    "the KM/Nelson-Aalen curves need. Per-step E and V terms "
+    "floor-quantize to nanos and SUM AS BIGINTs (nelson_aalen "
+    "discipline); per-group risk sets via exclusive "
+    "global_running_sum; z = one subtraction + sqrt at the end.",
+)
+def logrank_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import logrank_test
+
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("coh")
+    ).agg(
+        F.min(F.to_date("ts")).alias("__f"),
+        F.max(F.to_date("ts")).alias("__l"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                F.to_date("ts"),
+            )
+        ).alias("__conv"),
+    )
+    durations = u.select(
+        "coh",
+        F.when(
+            F.col("__conv").isNotNull(), F.datediff("__conv", "__f")
+        ).otherwise(F.datediff("__l", "__f")).alias("dur"),
+        F.col("__conv").isNull().alias("cens"),
+    )
+    return logrank_test(durations, "dur", "cens", "coh", 0, 1)

@@ -2329,3 +2329,30 @@ def test_basket_partners_directed_counts(spark):
     assert out[("a", "c")] == 1 and out[("c", "a")] == 1
     assert out[("b", "c")] == 1 and out[("c", "b")] == 1
     assert len(out) == 6
+
+
+def test_logrank_hand_values_and_null_variance(spark):
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import logrank_test
+
+    # group a exits early (t=1,2), group b late (t=3,4); no censoring.
+    rows = [("a", 1, False), ("a", 2, False), ("b", 3, False), ("b", 4, False)]
+    df = spark.createDataFrame(rows, "g string, dur int, cens boolean")
+    r = logrank_test(df, "dur", "cens", "g", "a", "b").collect()[0]
+    assert r["n_1"] == 2 and r["n_2"] == 2 and r["o_1"] == 2
+    # E = 2/4 + 1/3 + 0 + 0 = 5/6; V = (2/4)(2/4)(3/3) + (1/3)(2/3)(2/2)
+    e = 0.5 + 1.0 / 3.0
+    v = 0.25 + 2.0 / 9.0
+    e9 = math.floor(0.5 * 1e9) + math.floor(1e9 / 3)
+    v9 = math.floor(0.25 * 1e9) + math.floor(2e9 / 9)
+    assert r["e1_e9"] == e9 and r["v_e9"] == v9
+    z = (2 * 10**9 - e9) / math.sqrt(1e9 * v9)
+    assert r["z_e6"] == math.floor(z * 1_000_000)
+    assert abs(z - (2 - e) / math.sqrt(v)) < 1e-6
+
+    # one subject per arm at the same t: n=2, d=2 -> V term 0 -> NULL z
+    deg = spark.createDataFrame(
+        [("a", 5, False), ("b", 5, False)], "g string, dur int, cens boolean"
+    )
+    assert logrank_test(deg, "dur", "cens", "g", "a", "b").collect()[0]["z_e6"] is None
