@@ -1209,3 +1209,53 @@ def logrank_test(
         F.when(F.col("v_e9") > 0, F.floor(z * 1_000_000).cast("long"))
         .alias("z_e6"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    permilles: list[int],
+) -> DataFrame:
+    """Weighted quantile ladder: for each requested permille p, the
+    smallest value whose cumulative weight reaches p/1000 of the total
+    — weighted_median generalized to a whole report row of cut points
+    (p25/p50/p75/p95…), and the EXACT complement to the KLL sketch
+    tier (KLL is approximate and unweighted; this is exact and
+    weighted, at the cost of a grain shuffle).
+
+    One value-grain collapse (integer weight sums, map-side combined),
+    ONE global_running_sum pass shared by every quantile, then each
+    permille keeps its first crossing via exact integer
+    cross-multiplication (cum·1000 ≥ p·total — no float fraction
+    anywhere; lower-quantile convention, no interpolation, matching
+    weighted_median at p=500 up to its 2·cum ≥ t tie rule). The
+    permille list broadcasts across grain rows (|grain|×|P| filter,
+    P tiny). Output: one row per permille (p_permille, value,
+    total_weight), ordered by p."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    if not permilles or any(p < 1 or p > 1000 for p in permilles):
+        raise ValueError(f"permilles must be within [1, 1000], got {permilles}")
+    grain = waypoint(
+        df.groupBy(F.col(value_col).alias("__v")).agg(
+            F.sum(F.col(weight_col).cast("long")).alias("__w")
+        )
+    )
+    total = grain.agg(F.sum("__w").alias("__tot"))
+    cum = global_running_sum(grain, ["__v"], "__w", out_col="__cum")
+    ps = F.explode(
+        F.array(*[F.lit(int(p)) for p in sorted(set(permilles))])
+    ).alias("p_permille")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select("__v", "__cum", "__tot", ps)
+        .filter(1000 * F.col("__cum") >= F.col("p_permille") * F.col("__tot"))
+        .groupBy("p_permille")
+        .agg(
+            F.min("__v").alias("value"),
+            F.max("__tot").cast("long").alias("total_weight"),
+        )
+        .orderBy("p_permille")
+    )

@@ -2758,3 +2758,41 @@ def logrank_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__conv").isNull().alias("cens"),
     )
     return logrank_test(durations, "dur", "cens", "coh", 0, 1)
+
+
+@register(
+    "weighted_quantile_ladder",
+    oracle="""
+    WITH g AS (
+      SELECT l_extendedprice AS v,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT v, SUM(w) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM g
+    ),
+    tot AS (SELECT SUM(w) AS t FROM g)
+    SELECT p.p AS p_permille, MIN(v) AS value,
+           CAST(MAX(t) AS BIGINT) AS total_weight
+    FROM c CROSS JOIN tot
+    JOIN (VALUES (250), (500), (750), (950)) AS p(p)
+      ON 1000 * cum >= p.p * t
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Quantity-weighted price quantile ladder p25/p50/p75/p95 "
+    "(ops.stats.weighted_quantiles) - weighted_median generalized to "
+    "a report row of cut points, the EXACT weighted complement to the "
+    "approximate unweighted KLL tier. One grain collapse + ONE "
+    "global_running_sum shared by all quantiles; each crossing by "
+    "integer cross-multiplication (1000*cum >= p*total), "
+    "lower-quantile convention, no interpolation.",
+)
+def weighted_quantile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import weighted_quantiles
+
+    return weighted_quantiles(
+        t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity",
+        [250, 500, 750, 950],
+    )

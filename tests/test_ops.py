@@ -2356,3 +2356,21 @@ def test_logrank_hand_values_and_null_variance(spark):
         [("a", 5, False), ("b", 5, False)], "g string, dur int, cens boolean"
     )
     assert logrank_test(deg, "dur", "cens", "g", "a", "b").collect()[0]["z_e6"] is None
+
+
+def test_weighted_quantiles_hand_values(spark):
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.ops.stats import weighted_quantiles
+
+    # values 1..4 with weights 1,1,1,7 (total 10): cum = 1,2,3,10
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 1), (4.0, 7)], "v double, w long"
+    )
+    out = {r["p_permille"]: r["value"] for r in
+           weighted_quantiles(df, "v", "w", [100, 300, 301, 1000]).collect()}
+    # p10: cum 1 >= 1 -> v=1; p30: cum 3 >= 3 -> v=3; p30.1: needs cum>3 -> v=4
+    assert out == {100: 1.0, 300: 3.0, 301: 4.0, 1000: 4.0}
+
+    with _pytest.raises(ValueError):
+        weighted_quantiles(df, "v", "w", [0])
