@@ -147,3 +147,50 @@ def schema_diff(old: "DataFrame", new: "DataFrame") -> list[dict]:
                         "old_type": fa.dataType.simpleString(),
                         "new_type": fb.dataType.simpleString()})
     return out
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Privacy audit before a data release: k-anonymity and l-diversity
+    over the quasi-identifier combination (Sweeney; Machanavajjhala et
+    al.) — the check a training-data pipeline runs before shipping
+    user-adjacent tables. k-anonymity = the SMALLEST equivalence class
+    (rows sharing all quasi-identifier values): any class below k
+    re-identifies its members by linkage. l-diversity = the smallest
+    number of distinct sensitive values within a class: a class can be
+    large yet leak the sensitive attribute if it's homogeneous.
+
+    One aggregation to the equivalence-class grain (quasi-cols →
+    count + distinct sensitive count, map-side combined), then one
+    scalar aggregation over class rows. All exact BIGINTs; at-risk
+    share by integer division. Output: 1 row (n_rows, n_classes,
+    k_anonymity, l_diversity, classes_below_k, rows_below_k,
+    rows_below_k_share_e6)."""
+    from hadoop_fcfs_spark.caching import waypoint
+
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    classes = waypoint(
+        df.groupBy(*quasi_cols).agg(
+            F.count("*").cast("long").alias("__c"),
+            F.countDistinct(sensitive_col).cast("long").alias("__l"),
+        )
+    )
+    return classes.agg(
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("__c").cast("long").alias("k_anonymity"),
+        F.min("__l").cast("long").alias("l_diversity"),
+        F.sum(F.when(F.col("__c") < k, 1).otherwise(0)).cast("long")
+        .alias("classes_below_k"),
+        F.sum(F.when(F.col("__c") < k, F.col("__c")).otherwise(0)).cast("long")
+        .alias("rows_below_k"),
+    ).select(
+        "*",
+        F.expr("(1000000 * rows_below_k) div n_rows").cast("long")
+        .alias("rows_below_k_share_e6"),
+    )

@@ -2796,3 +2796,45 @@ def weighted_quantile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity",
         [250, 500, 750, 950],
     )
+
+
+@register(
+    "k_anonymity_customers",
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+               AS BIGINT) AS l
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(c) AS BIGINT) AS k_anonymity,
+           CAST(MIN(l) AS BIGINT) AS l_diversity,
+           CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_k,
+           CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+             AS rows_below_k,
+           (1000000 * CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT))
+             // CAST(SUM(c) AS BIGINT) AS rows_below_k_share_e6
+    FROM cls
+    """,
+    doc="k-anonymity / l-diversity privacy audit on customers "
+    "(ops.validate.k_anonymity_audit, Sweeney; Machanavajjhala): "
+    "quasi-identifiers (nation, segment), sensitive attribute = "
+    "account-balance $1000 bucket. Smallest equivalence class and "
+    "smallest within-class sensitive diversity, plus the below-k "
+    "exposure share - the pre-release linkage-risk check a "
+    "user-adjacent training table needs. One class-grain aggregation "
+    "+ one scalar rollup, exact BIGINTs, integer-division share.",
+)
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.validate import k_anonymity_audit
+
+    cust = t(spark, sf_dir, "customer").withColumn(
+        "__sens", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "__sens", k=5
+    )

@@ -2374,3 +2374,20 @@ def test_weighted_quantiles_hand_values(spark):
 
     with _pytest.raises(ValueError):
         weighted_quantiles(df, "v", "w", [0])
+
+
+def test_k_anonymity_audit_hand_values(spark):
+    from hadoop_fcfs_spark.ops.validate import k_anonymity_audit
+
+    # classes: (A,x): 3 rows sens {1,2}; (A,y): 1 row sens {9}; (B,x): 5 rows sens {1}
+    rows = (
+        [("A", "x", 1), ("A", "x", 1), ("A", "x", 2), ("A", "y", 9)]
+        + [("B", "x", 1)] * 5
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 string, s long")
+    r = k_anonymity_audit(df, ["q1", "q2"], "s", k=5).collect()[0]
+    assert r["n_rows"] == 9 and r["n_classes"] == 3
+    assert r["k_anonymity"] == 1          # the (A,y) singleton
+    assert r["l_diversity"] == 1          # (A,y) and (B,x) are homogeneous
+    assert r["classes_below_k"] == 2 and r["rows_below_k"] == 4
+    assert r["rows_below_k_share_e6"] == 1_000_000 * 4 // 9
