@@ -734,9 +734,13 @@ def ks_two_sample(
     totals = grain.agg(
         F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
     )
+    # nullif denominators: an EMPTY arm must yield NULL D, not an ANSI
+    # divide-by-zero (the two_proportion_ztest lesson from ADVICE r4)
     gap = F.abs(
-        F.col("__cuma").cast("double") / F.col("__na").cast("double")
-        - F.col("__cumb").cast("double") / F.col("__nb").cast("double")
+        F.col("__cuma").cast("double")
+        / F.nullif(F.col("__na"), F.lit(0)).cast("double")
+        - F.col("__cumb").cast("double")
+        / F.nullif(F.col("__nb"), F.lit(0)).cast("double")
     )
     return (
         cum.crossJoin(F.broadcast(totals))
@@ -808,9 +812,15 @@ def mann_whitney_u(
         n.cast("double"),
     )
     # Var(U) with tie correction: na*nb/12 * ((N+1) - sum(c^3-c)/(N(N-1)))
+    # nullif the N(N-1) denominator: with fewer than 2 pooled rows the
+    # tie correction is undefined and z must be NULL, not an ANSI error
     var_u = (
         nad * nbd / 12.0
-        * ((nd + 1.0) - F.col("__ties").cast("double") / (nd * (nd - 1.0)))
+        * (
+            (nd + 1.0)
+            - F.col("__ties").cast("double")
+            / F.nullif(nd * (nd - 1.0), F.lit(0.0))
+        )
     )
     # z on the 2x scale: (2U - na*nb) / (2*sd)
     z = (u2.cast("double") - nad * nbd) / (2.0 * F.sqrt(var_u))
@@ -866,12 +876,22 @@ def welch_ttest(
     na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
     s1a, s2a = F.col("__s1a").cast("double"), F.col("__s2a").cast("double")
     s1b, s2b = F.col("__s1b").cast("double"), F.col("__s2b").cast("double")
-    va = (s2a - s1a * s1a / na) / (na - 1.0)
-    vb = (s2b - s1b * s1b / nb) / (nb - 1.0)
+    # nullif denominators: an arm with n < 2 makes t/df NULL through the
+    # ok-guard instead of throwing on the eagerly-evaluated condition
+    va = (s2a - s1a * s1a / F.nullif(na, F.lit(0.0))) / F.nullif(
+        na - 1.0, F.lit(0.0)
+    )
+    vb = (s2b - s1b * s1b / F.nullif(nb, F.lit(0.0))) / F.nullif(
+        nb - 1.0, F.lit(0.0)
+    )
     sea, seb = va / na, vb / nb
-    t_stat = (s1a / na - s1b / nb) / F.sqrt(sea + seb)
-    df_ws = (sea + seb) * (sea + seb) / (
-        sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)
+    t_stat = (
+        s1a / F.nullif(na, F.lit(0.0)) - s1b / F.nullif(nb, F.lit(0.0))
+    ) / F.sqrt(sea + seb)
+    df_ws = (sea + seb) * (sea + seb) / F.nullif(
+        sea * sea / F.nullif(na - 1.0, F.lit(0.0))
+        + seb * seb / F.nullif(nb - 1.0, F.lit(0.0)),
+        F.lit(0.0),
     )
     ok = (F.col("__na") > 1) & (F.col("__nb") > 1) & (sea + seb > 0)
     return m.select(
@@ -975,7 +995,9 @@ def anova_oneway(
     ts1, ts2 = F.col("__ts1").cast("double"), F.col("__ts2").cast("double")
     ssb = F.col("__sgm") - ts1 * ts1 / nn
     ssw = ts2 - F.col("__sgm")
-    f_stat = (ssb / (k - 1.0)) / (ssw / (nn - k))
+    f_stat = (ssb / F.nullif(k - 1.0, F.lit(0.0))) / F.nullif(
+        ssw / F.nullif(nn - k, F.lit(0.0)), F.lit(0.0)
+    )
     ok = (F.col("__k") > 1) & (F.col("__nn") > F.col("__k")) & (ssw > 0)
     return m.select(
         F.col("__k").alias("k_groups"),

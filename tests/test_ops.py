@@ -2391,3 +2391,34 @@ def test_k_anonymity_audit_hand_values(spark):
     assert r["l_diversity"] == 1          # (A,y) and (B,x) are homogeneous
     assert r["classes_below_k"] == 2 and r["rows_below_k"] == 4
     assert r["rows_below_k_share_e6"] == 1_000_000 * 4 // 9
+
+
+def test_two_sample_ops_survive_empty_and_tiny_arms(spark):
+    """ANSI division-by-zero hardening: an empty or single-row arm must
+    yield NULL statistics, never throw (the two_proportion_ztest lesson
+    from ADVICE r4, applied to the whole two-sample tier)."""
+    from hadoop_fcfs_spark.ops.stats import (
+        anova_oneway,
+        ks_two_sample,
+        mann_whitney_u,
+        welch_ttest,
+    )
+
+    only_a = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    r = ks_two_sample(only_a, "v", "g", "a", "b").collect()[0]
+    assert r["d_e6"] is None and r["n_b"] == 0
+    r = mann_whitney_u(only_a, "v", "g", "a", "b").collect()[0]
+    assert r["z_e6"] is None
+    r = welch_ttest(only_a, "v", "g", "a", "b").collect()[0]
+    assert r["t_e6"] is None and r["df_e3"] is None
+
+    tiny = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    r = welch_ttest(tiny, "v", "g", "a", "b").collect()[0]
+    assert r["t_e6"] is None  # n=1 arms: variance undefined
+
+    one_group = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    assert anova_oneway(one_group, "v", "g").collect()[0]["f_e6"] is None
