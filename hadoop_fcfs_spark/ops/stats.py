@@ -1281,3 +1281,72 @@ def weighted_quantiles(
         )
         .orderBy("p_permille")
     )
+
+
+def ks_group_drift(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Per-group distribution drift: for EVERY group at once, the
+    Kolmogorov–Smirnov D between the group's ECDF and the GLOBAL ECDF
+    — the "which source drifted" report (ks_two_sample answers one
+    pairwise question; monitors want the whole fleet scored per run).
+
+    Exactness subtlety: the sup gap can occur at a value the group
+    never takes (its ECDF flat, the global one rising), so evaluating
+    only at the group's own points UNDERSTATES D. The dense evaluation
+    grid is the full (group × global-value-grain) cross — |grain|·G
+    rows, G = #groups (small by contract: sources, cohorts); group
+    cumulatives run over that dense table via
+    ops.sort.chunked_running_sum (value-bucket chunks, no per-group
+    window task), the global cumulative via global_running_sum joined
+    back by value. Per-row gap = one division per side over exact
+    BIGINTs; max() order-independent. Output: one row per group
+    (group, n_g, n_total, d_e6), d vs the global distribution including the group
+    itself (self-inclusive convention, documented)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import chunked_running_sum, global_running_sum
+
+    gg = waypoint(
+        df.select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v"))
+        .groupBy("__g", "__v")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    groups = gg.groupBy("__g").agg(F.sum("__c").alias("__ng"))
+    gv = waypoint(gg.groupBy("__v").agg(F.sum("__c").alias("__cc")))
+    nn = gv.agg(F.sum("__cc").alias("__nn"))
+    gcum = global_running_sum(gv, ["__v"], "__cc", out_col="__gcm").select(
+        "__v", "__gcm"
+    )
+    dense = (
+        gv.select("__v")
+        .crossJoin(F.broadcast(groups))
+        .join(gg, ["__g", "__v"], "left")
+        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)))
+    )
+    # chunk = truncation-monotone value bucket (cast-to-long truncation
+    # and arithmetic shiftright are both non-decreasing in __v), so the
+    # per-(group, chunk) windows stay bounded even for a corpus-sized
+    # group — never a whole-group window task
+    dcum = chunked_running_sum(
+        dense,
+        ["__g"],
+        F.shiftright(F.col("__v").cast("long"), 8),
+        ["__v"],
+        "__c",
+        out_col="__cum",
+    )
+    gap = F.abs(
+        F.col("__cum").cast("double") / F.col("__ng").cast("double")
+        - F.col("__gcm").cast("double") / F.col("__nn").cast("double")
+    )
+    return (
+        dcum.join(gcum, "__v")
+        .crossJoin(F.broadcast(nn))
+        .groupBy(F.col("__g").alias(group_col))
+        .agg(
+            F.max("__ng").cast("long").alias("n_g"),
+            F.max("__nn").cast("long").alias("n_total"),
+            F.floor(F.max(gap) * 1_000_000).cast("long").alias("d_e6"),
+        )
+        .orderBy(group_col)
+    )

@@ -3169,3 +3169,55 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_e6"),
         )
     )
+
+
+@register(
+    "ks_source_drift",
+    oracle="""
+    WITH gg AS (
+      SELECT source AS g, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    grp AS (SELECT g, SUM(c) AS ng FROM gg GROUP BY 1),
+    gv AS (SELECT v, SUM(c) AS cc FROM gg GROUP BY 1),
+    nn AS (SELECT SUM(cc) AS t FROM gv),
+    gcum AS (
+      SELECT v, SUM(cc) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcm
+      FROM gv
+    ),
+    dense AS (
+      SELECT grp.g, gv.v, grp.ng, COALESCE(gg.c, 0) AS c
+      FROM gv CROSS JOIN grp
+      LEFT JOIN gg ON gg.g = grp.g AND gg.v = gv.v
+    ),
+    dcum AS (
+      SELECT g, v, ng,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM dense
+    )
+    SELECT g AS source, CAST(MAX(ng) AS BIGINT) AS n_g,
+           CAST(MAX(t) AS BIGINT) AS n_total,
+           CAST(FLOOR(MAX(ABS(CAST(cum AS DOUBLE) / CAST(ng AS DOUBLE)
+                - CAST(gcm AS DOUBLE) / CAST(t AS DOUBLE))) * 1000000)
+             AS BIGINT) AS d_e6
+    FROM dcum JOIN gcum USING (v) CROSS JOIN nn
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Per-source document-length drift vs the whole corpus "
+    "(ops.stats.ks_group_drift on documents.n_chars by source): every "
+    "source's KS D against the global ECDF in ONE pass - the "
+    "which-source-drifted fleet report beside corpus_drift's "
+    "token-divergence. The gap is evaluated on the DENSE "
+    "(source x global-value-grain) grid - a group's ECDF is flat "
+    "where it has no mass and the sup can land exactly there; "
+    "group-own-points-only evaluation understates D. Dense per-group "
+    "cumulatives via chunked_running_sum, global via "
+    "global_running_sum; exact BIGINT counters, one division per "
+    "side, order-independent max.",
+)
+def ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import ks_group_drift
+
+    return ks_group_drift(t(spark, sf_dir, "documents"), "n_chars", "source")

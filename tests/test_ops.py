@@ -2422,3 +2422,21 @@ def test_two_sample_ops_survive_empty_and_tiny_arms(spark):
 
     one_group = spark.createDataFrame([("a", 1.0)], "g string, v double")
     assert anova_oneway(one_group, "v", "g").collect()[0]["f_e6"] is None
+
+
+def test_ks_group_drift_dense_grid_matters(spark):
+    from hadoop_fcfs_spark.ops.stats import ks_group_drift
+
+    # group a = {1, 10}; group b = {2,...,9} (8 values). a's ECDF is
+    # flat at 0.5 across (1, 10); the global ECDF climbs there, so a's
+    # sup gap lands at v=9 (global 9/10, a still 1/2): D_a = 0.4 -- a
+    # group-own-points evaluation would see only v=1 (|.5-.1|=.4 too)
+    # and v=10 (0); the dense grid catches the interior max robustly.
+    rows = [("a", 1.0), ("a", 10.0)] + [("b", float(v)) for v in range(2, 10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in ks_group_drift(df, "v", "g").collect()}
+    assert out["a"]["n_g"] == 2 and out["a"]["n_total"] == 10
+    assert out["a"]["d_e6"] == 400_000
+    # b's max gap: at v=9 its ECDF is 1.0, global 9/10 -> 0.1; at v=1
+    # global .1, b 0 -> .1; interior |(k/8) - (k+1)/10| peaks at .1
+    assert out["b"]["d_e6"] == 100_000
