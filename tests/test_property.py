@@ -456,3 +456,86 @@ def test_trimmed_mean_random_matches_python_reference(spark):
         r = trimmed_mean(df, "v", trim_permille=trim).collect()[0]
         assert r["n_kept"] == len(kept)
         assert r["trimmed_mean_e4"] == ref
+
+
+def test_hits_random_matches_python_reference(spark):
+    import math
+    import random
+
+    from hadoop_fcfs_spark.ops.graph import hits
+
+    rng = random.Random(42)
+    nodes = [f"n{i}" for i in range(8)]
+    edges = []
+    seen = set()
+    for _ in range(20):
+        a, b = rng.sample(nodes, 2)
+        if (a, b) not in seen:
+            seen.add((a, b))
+            edges.append((a, b, rng.randint(1, 5)))
+
+    # pure-Python mirror of the integer micro-unit iteration
+    def ref(iters):
+        hub = {n: 1_000_000 for n in nodes}
+        auth = {n: 0 for n in nodes}
+        for _ in range(iters):
+            raw = {n: 0 for n in nodes}
+            for a, b, w in edges:
+                raw[b] += hub[a] * w
+            mx = max(raw.values())
+            auth = {n: math.floor(raw[n] / mx * 1_000_000.0) for n in nodes}
+            raw = {n: 0 for n in nodes}
+            for a, b, w in edges:
+                raw[a] += auth[b] * w
+            mx = max(raw.values())
+            hub = {n: math.floor(raw[n] / mx * 1_000_000.0) for n in nodes}
+        return hub, auth
+
+    hub_ref, auth_ref = ref(4)
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r["node"]: r for r in hits(df, weight="w", iterations=4).collect()}
+    for n in nodes:
+        assert got[n]["hub_e6"] == hub_ref[n], n
+        assert got[n]["auth_e6"] == auth_ref[n], n
+
+
+def test_quantile_normalize_random_matches_python_reference(spark):
+    import math
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import quantile_normalize
+
+    rng = random.Random(5)
+    rows = [
+        (rng.choice("abc"), rng.randint(-200, 200) / 10.0) for _ in range(120)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    cents = sorted(math.floor(v * 100) for _, v in rows)
+    n = len(cents)
+    # global midpoint fractions per distinct value
+    from collections import Counter
+    cnt = Counter(cents)
+    vals = sorted(cnt)
+    gp, cum = {}, 0
+    for v in vals:
+        gp[v] = (2 * (cum + cnt[v]) - cnt[v]) / (2 * n)
+        cum += cnt[v]
+
+    def norm_group(g):
+        gv = sorted(math.floor(v * 100) for gg, v in rows if gg == g)
+        ng = len(gv)
+        gcnt = Counter(gv)
+        out, c = [], 0
+        for v in sorted(gcnt):
+            c += gcnt[v]
+            p = (2 * c - gcnt[v]) / (2 * ng)
+            cand = [u for u in vals if gp[u] <= p]
+            mapped = max(cand) if cand else vals[0]
+            out.extend([mapped] * gcnt[v])
+        return math.floor(sum(out) / ng / 100 * 10_000.0)
+
+    got = {r["g"]: r["mean_norm_e4"] for r in
+           quantile_normalize(df, "v", "g").collect()}
+    for g in "abc":
+        assert got[g] == norm_group(g), g
