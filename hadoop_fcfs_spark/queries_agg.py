@@ -2838,3 +2838,81 @@ def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_audit(
         cust, ["c_nationkey", "c_mktsegment"], "__sens", k=5
     )
+
+
+@register(
+    "binseg_daily_events",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS o,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    c AS MATERIALIZED (
+      SELECT o, n,
+             SUM(n) OVER (ORDER BY o
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+             ROW_NUMBER() OVER (ORDER BY o) AS t
+      FROM d
+    ),
+    tot AS (SELECT COUNT(*) AS ns, SUM(n) AS shi FROM c),
+    r1 AS (
+      SELECT o, t, CASE WHEN t < ns THEN ABS(ns * s - t * shi) END AS g
+      FROM c CROSS JOIN tot
+    ),
+    m1 AS (SELECT MAX(g) AS gm FROM r1),
+    sp1 AS MATERIALIZED (
+      SELECT MIN(t) AS st, MAX(gm) AS gmax
+      FROM r1 JOIN m1 ON g = gm WHERE gm > 0
+    ),
+    o1 AS (
+      SELECT CAST(1 AS INT) AS level, CAST(0 AS BIGINT) AS segment,
+             c.o AS split_at, CAST(sp1.gmax AS BIGINT) AS g_max
+      FROM sp1 JOIN c ON c.t = sp1.st
+    ),
+    s2 AS MATERIALIZED (
+      SELECT c.*, CASE WHEN sp1.st IS NOT NULL AND c.t > sp1.st
+                       THEN 1 ELSE 0 END AS seg
+      FROM c LEFT JOIN sp1 ON TRUE
+    ),
+    st2 AS (
+      SELECT seg, MIN(t) AS tlo, CAST(COUNT(*) AS BIGINT) AS ns,
+             MIN_BY(s - n, t) AS slo, MAX(s) AS shi
+      FROM s2 GROUP BY 1
+    ),
+    r2 AS (
+      SELECT s2.seg, s2.o, s2.t,
+             CASE WHEN (s2.t - tlo + 1) < ns
+                  THEN ABS(ns * (s2.s - slo) - (s2.t - tlo + 1) * (shi - slo))
+             END AS g
+      FROM s2 JOIN st2 USING (seg)
+    ),
+    m2 AS (SELECT seg, MAX(g) AS gm FROM r2 GROUP BY 1),
+    sp2 AS (
+      SELECT r2.seg, MIN(r2.t) AS st, MAX(m2.gm) AS gmax
+      FROM r2 JOIN m2 ON r2.seg = m2.seg AND r2.g = m2.gm
+      WHERE m2.gm > 0 GROUP BY 1
+    ),
+    o2 AS (
+      SELECT CAST(2 AS INT) AS level, CAST(sp2.seg AS BIGINT) AS segment,
+             c.o AS split_at, CAST(sp2.gmax AS BIGINT) AS g_max
+      FROM sp2 JOIN c ON c.t = sp2.st
+    )
+    SELECT * FROM o1 UNION ALL SELECT * FROM o2 ORDER BY level, segment
+    """,
+    doc="Binary-segmentation changepoints on daily event counts, depth "
+    "2 (ops.timeseries.binseg_splits): cusum_split recursed into each "
+    "side - up to 3 level-shift boundaries where the single-split "
+    "gate stops at one. Fully in-plan recursion (the Python loop only "
+    "builds the plan: per-segment stats by min_by/max aggregation, "
+    "exact BIGINT statistic, max-then-min-order argmax; flat segments "
+    "emit no split). Oracle unrolls both levels as MATERIALIZED CTEs.",
+)
+def binseg_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.timeseries import binseg_splits
+
+    ev = t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.to_date("ts").cast("string").alias("o")
+    ).agg(F.count("*").cast("long").alias("n"))
+    return binseg_splits(d, "o", "n", depth=2)

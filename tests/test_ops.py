@@ -2440,3 +2440,28 @@ def test_ks_group_drift_dense_grid_matters(spark):
     # b's max gap: at v=9 its ECDF is 1.0, global 9/10 -> 0.1; at v=1
     # global .1, b 0 -> .1; interior |(k/8) - (k+1)/10| peaks at .1
     assert out["b"]["d_e6"] == 100_000
+
+
+def test_binseg_splits_two_level_staircase(spark):
+    from hadoop_fcfs_spark.ops.timeseries import binseg_splits
+
+    # staircase 10,10,10, 50,50,50, 100,100,100: level 1 splits at the
+    # biggest jump boundary; level 2 finds the other step inside one side
+    rows = [(f"t{i:02d}", v) for i, v in enumerate(
+        [10, 10, 10, 50, 50, 50, 100, 100, 100], start=1)]
+    df = spark.createDataFrame(rows, "o string, n long")
+    out = [(r["level"], r["segment"], r["split_at"]) for r in
+           binseg_splits(df, "o", "n", depth=2).collect()]
+    levels = {lv for lv, _, _ in out}
+    assert levels == {1, 2}
+    l1 = [s for lv, _, s in out if lv == 1]
+    # level-1 argmax: S=480, n=9; g(t)=|9*S_t-480t| peaks at t=6 (g=450)
+    assert l1 == ["t06"]
+    # level 2 must find the 10->50 step inside the left segment
+    assert (2, 0, "t03") in out
+    # right segment [7..9] is constant -> NO split emitted for it
+    assert all(not (lv == 2 and seg == 1) for lv, seg, _ in out)
+
+    # constant series: no splits at all
+    const = spark.createDataFrame([(f"t{i}", 5) for i in range(1, 6)], "o string, n long")
+    assert binseg_splits(const, "o", "n", depth=2).count() == 0
