@@ -47,3 +47,36 @@ def reciprocal_rank_fusion(
     return joined.select(
         F.col(id_col), in_lists.alias("in_lists"), rrf.alias("rrf")
     )
+
+
+def diversified_topk(
+    df: DataFrame,
+    order_cols: list,
+    k: int,
+    group_col: str,
+    per_group_cap: int,
+) -> DataFrame:
+    """Global top-k with a per-group diversity cap: at most
+    ``per_group_cap`` rows from any one ``group_col`` value may occupy
+    the top-k — the result-diversification rule every search/feed
+    ranking applies (a plain top-k lets one hot customer/domain flood
+    the list). Equivalent to: rank within group, drop rows past the
+    cap, then take the global top-k of the survivors.
+
+    Scale shape: one key-bounded per-group window (row_number, cap
+    filter prunes to ≤cap rows per group) followed by a global
+    sort-limit — TakeOrderedAndProject, never a global window. Order
+    columns must give a total order (include a unique id) for a
+    deterministic result."""
+    from pyspark.sql import Window
+
+    if k < 1 or per_group_cap < 1:
+        raise ValueError(f"k and per_group_cap must be >= 1, got {k}/{per_group_cap}")
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("__gr", F.row_number().over(w))
+        .filter(F.col("__gr") <= per_group_cap)
+        .drop("__gr")
+        .orderBy(*order_cols)
+        .limit(k)
+    )

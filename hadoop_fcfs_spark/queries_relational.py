@@ -3862,3 +3862,40 @@ def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_correct) div n_test").cast("long"),
         )
     )
+
+
+@register(
+    "diversified_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS gr
+      FROM orders
+    ) WHERE gr <= 2
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    doc="Diversified top-k (ops.ranking.diversified_topk): the 20 "
+    "highest-value orders with AT MOST 2 per customer - the "
+    "result-diversification rule a plain top-k misses (one whale "
+    "customer floods the list). One key-bounded per-customer "
+    "row_number + cap filter, then a global TakeOrderedAndProject; "
+    "never a global window. Total order via (price desc, orderkey).",
+)
+def diversified_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.ranking import diversified_topk
+
+    orders = t(spark, sf_dir, "orders")
+    out = diversified_topk(
+        orders,
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=20,
+        group_col="o_custkey",
+        per_group_cap=2,
+    )
+    return out.select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )

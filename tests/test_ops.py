@@ -2465,3 +2465,26 @@ def test_binseg_splits_two_level_staircase(spark):
     # constant series: no splits at all
     const = spark.createDataFrame([(f"t{i}", 5) for i in range(1, 6)], "o string, n long")
     assert binseg_splits(const, "o", "n", depth=2).count() == 0
+
+
+def test_diversified_topk_caps_hot_group(spark):
+    from hadoop_fcfs_spark.ops.ranking import diversified_topk
+
+    # group g1 holds the 4 best scores; cap 2 forces g2/g3 rows in
+    rows = [
+        ("g1", 100, 1), ("g1", 99, 2), ("g1", 98, 3), ("g1", 97, 4),
+        ("g2", 50, 5), ("g2", 49, 6), ("g3", 10, 7),
+    ]
+    df = spark.createDataFrame(rows, "g string, score long, id long")
+    got = [
+        (r["g"], r["score"]) for r in diversified_topk(
+            df, [F.desc("score"), F.asc("id")], k=4, group_col="g",
+            per_group_cap=2,
+        ).collect()
+    ]
+    assert got == [("g1", 100), ("g1", 99), ("g2", 50), ("g2", 49)]
+    # plan: global stage is TakeOrdered, not a global window
+    plan = diversified_topk(
+        df, [F.desc("score"), F.asc("id")], k=4, group_col="g", per_group_cap=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
