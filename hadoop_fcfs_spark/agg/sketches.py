@@ -21,7 +21,7 @@ its contract fails the value-hash gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -63,6 +63,19 @@ def kll_partial(
     )
 
 
+def kll_merge_fold(list_col: Column) -> Column:
+    """Merge an ARRAY of KLL sketch binaries into one sketch: fold the
+    tail onto the head with the 2-arg scalar merge (Spark exposes no
+    KLL merge-AGGREGATE, so callers collect_list a BOUNDED fan-in —
+    days per type, state+delta — and fold here). Empty arrays yield
+    NULL; single-element arrays pass through."""
+    return F.aggregate(
+        F.slice(list_col, 2, F.greatest(F.size(list_col) - 1, F.lit(0))),
+        F.element_at(list_col, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+
+
 def kll_quantile_rollup(
     partial: DataFrame,
     group_cols: list[str],
@@ -80,12 +93,7 @@ def kll_quantile_rollup(
         F.collect_list(sketch_col).alias("__sks")
     )
     merged = lists.select(
-        *group_cols,
-        F.aggregate(
-            F.slice(F.col("__sks"), 2, F.greatest(F.size("__sks") - 1, F.lit(0))),
-            F.element_at("__sks", 1),
-            lambda acc, x: F.kll_sketch_merge_double(acc, x),
-        ).alias("__m"),
+        *group_cols, kll_merge_fold(F.col("__sks")).alias("__m")
     )
     return merged.select(
         *group_cols,

@@ -22,6 +22,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _baskets(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int | None,
+) -> DataFrame:
+    """Shared basket collapse: one sorted distinct item array per basket
+    (map-side combined), oversized baskets dropped. Every pair/triple
+    generator in this module starts here — keep the collapse in ONE
+    place so the dedup/cap semantics can't drift between them."""
+    baskets = df.select(basket_col, item_col).distinct().groupBy(basket_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("__items")
+    )
+    if max_basket is not None:
+        baskets = baskets.filter(F.size("__items") <= max_basket)
+    return baskets
+
+
+def _ordered_pairs(arr):
+    """(item_a < item_b) pair structs generated INSIDE the sorted array
+    — the one subtle slice/index expression, defined once."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+
+
+
 def basket_pairs(
     df: DataFrame,
     basket_col: str,
@@ -31,23 +64,9 @@ def basket_pairs(
     """Unordered item pairs co-present in a basket → (item_a, item_b,
     pair_count) with item_a < item_b; each basket contributes each pair
     at most once (distinct items per basket)."""
-    baskets = df.groupBy(basket_col).agg(
-        F.sort_array(F.collect_set(item_col)).alias("__items")
-    )
-    if max_basket is not None:
-        baskets = baskets.filter(F.size("__items") <= max_basket)
-    arr = F.col("__items")
-    pairs = F.flatten(
-        F.transform(
-            arr,
-            lambda x, i: F.transform(
-                F.slice(arr, i + F.lit(2), F.size(arr)),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
-        )
-    )
+    baskets = _baskets(df, basket_col, item_col, max_basket)
     return (
-        baskets.select(F.explode(pairs).alias("p"))
+        baskets.select(F.explode(_ordered_pairs(F.col("__items"))).alias("p"))
         .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("pair_count"))
@@ -173,26 +192,13 @@ def resource_allocation_pairs(
     generation happens INSIDE each basket's sorted distinct array (one
     explode, never a basket self-join); quadratic bounded by
     max_basket². Output: (item_a < item_b, ra_e6, n_shared)."""
-    baskets = df.select(basket_col, item_col).distinct().groupBy(basket_col).agg(
-        F.sort_array(F.collect_set(item_col)).alias("__items")
-    )
-    if max_basket is not None:
-        baskets = baskets.filter(F.size("__items") <= max_basket)
-    baskets = baskets.withColumn(
+    baskets = _baskets(df, basket_col, item_col, max_basket).withColumn(
         "__w", F.expr("1000000 div size(__items)").cast("long")
     )
-    arr = F.col("__items")
-    pairs = F.flatten(
-        F.transform(
-            arr,
-            lambda x, i: F.transform(
-                F.slice(arr, i + F.lit(2), F.size(arr)),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
-        )
-    )
     return (
-        baskets.select(F.explode(pairs).alias("p"), "__w")
+        baskets.select(
+            F.explode(_ordered_pairs(F.col("__items"))).alias("p"), "__w"
+        )
         .select("p.item_a", "p.item_b", "__w")
         .groupBy("item_a", "item_b")
         .agg(
@@ -214,11 +220,7 @@ def basket_partners(
     bought …" needs A's partners, not unordered pairs). Same in-array
     generation as basket_pairs (one explode, quadratic bounded by
     max_basket²), each basket counting a partner pair at most once."""
-    baskets = df.select(basket_col, item_col).distinct().groupBy(basket_col).agg(
-        F.sort_array(F.collect_set(item_col)).alias("__items")
-    )
-    if max_basket is not None:
-        baskets = baskets.filter(F.size("__items") <= max_basket)
+    baskets = _baskets(df, basket_col, item_col, max_basket)
     arr = F.col("__items")
     pairs = F.flatten(
         F.transform(

@@ -482,7 +482,13 @@ def hits(
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
-    ew = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+    # zero/NULL-weight edges carry no mass AND would let max(raw) reach 0,
+    # turning the normalization into an ANSI 0/0 — drop them up front
+    # (an all-degenerate edge list then yields an empty result, not a
+    # throw)
+    ew = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    ).filter(F.col("w") > 0)
     nodes = (
         ew.select(F.col("src").alias("node"))
         .unionByName(ew.select(F.col("dst").alias("node")))

@@ -457,19 +457,14 @@ def poisson_bootstrap_mean(
     from hadoop_fcfs_spark.caching import waypoint
 
     q = F.floor(F.col(value_col) * scale).cast("long")
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col(key_col).cast("string"),
-                    F.lit(":"),
-                    F.col("__r").cast("string"),
-                ).cast("binary")
-            ),
-            1, 8,
-        ),
-        16, 10,
-    ).cast("long")
+    # the module's one engine-parity-critical hash recipe, not a copy
+    u = _sample_key(
+        F.concat(
+            F.col(key_col).cast("string"),
+            F.lit(":"),
+            F.col("__r").cast("string"),
+        )
+    )
     w = F.lit(8)
     for k in range(len(POISSON1_T32) - 1, -1, -1):
         w = F.when(F.col("__u") < POISSON1_T32[k], k).otherwise(w)

@@ -109,8 +109,8 @@ def ranked_total_order(
 def global_running_sum(
     df: DataFrame,
     keys: list[Column | str],
-    value_col: str,
-    out_col: str = "running",
+    value_col: str | list[str],
+    out_col: str | list[str] = "running",
     inclusive: bool = True,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -128,6 +128,11 @@ def global_running_sum(
     broadcast-joined back as offsets. ``inclusive=False`` yields the
     exclusive prefix sum (0 for each partition's first row).
 
+    ``value_col``/``out_col`` accept parallel LISTS to carry several
+    running sums through ONE range shuffle + one offsets broadcast —
+    two-column consumers (KS ECDFs, log-rank risk sets) must not pay
+    the scan twice.
+
     Keys must form a total order for a deterministic result (ties share
     no defined order, as with any running sum). The enumerated table is
     a persist waypoint: its lineage is nondeterministic (range sampling
@@ -137,6 +142,12 @@ def global_running_sum(
 
     from hadoop_fcfs_spark.caching import waypoint
 
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vcols) != len(ocols):
+        raise ValueError(
+            f"value_col/out_col length mismatch: {vcols} vs {ocols}"
+        )
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     local = waypoint(
         df.repartitionByRange(int(parts), *keys)
@@ -150,18 +161,31 @@ def global_running_sum(
         .orderBy("__mid")
         .rowsBetween(Window.unboundedPreceding, end)
     )
-    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    totals = local.groupBy("__pid").agg(
+        *[F.sum(v).alias(f"__tot_{i}") for i, v in enumerate(vcols)]
+    )
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
-    ).select("__pid", "__off")
-    return (
-        local.withColumn(
-            "__lsum", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+    offsets = totals.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__tot_{i}").over(w_off), F.lit(0)).alias(
+                f"__off_{i}"
+            )
+            for i in range(len(vcols))
+        ],
+    )
+    out = local
+    for i, v in enumerate(vcols):
+        out = out.withColumn(
+            f"__lsum_{i}", F.coalesce(F.sum(v).over(w_local), F.lit(0))
         )
-        .join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, F.col("__lsum") + F.col("__off"))
-        .drop("__mid", "__pid", "__lsum", "__off")
+    out = out.join(F.broadcast(offsets), "__pid")
+    for i, o in enumerate(ocols):
+        out = out.withColumn(o, F.col(f"__lsum_{i}") + F.col(f"__off_{i}"))
+    return out.drop(
+        "__mid", "__pid",
+        *[f"__lsum_{i}" for i in range(len(vcols))],
+        *[f"__off_{i}" for i in range(len(vcols))],
     )
 
 

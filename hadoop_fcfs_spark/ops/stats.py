@@ -717,8 +717,14 @@ def ks_two_sample(
     from hadoop_fcfs_spark.caching import waypoint
     from hadoop_fcfs_spark.ops.sort import global_running_sum
 
+    # NULL values have no place on an ECDF axis (and NULL grain keys
+    # sort differently across engines) — excluded, like every
+    # distribution op in this tier
     grain = waypoint(
-        df.filter(F.col(group_col).isin([group_a, group_b]))
+        df.filter(
+            F.col(group_col).isin([group_a, group_b])
+            & F.col(value_col).isNotNull()
+        )
         .groupBy(F.col(value_col).alias("__v"))
         .agg(
             F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
@@ -729,8 +735,9 @@ def ks_two_sample(
             .alias("__cb"),
         )
     )
-    cum = global_running_sum(grain, ["__v"], "__ca", out_col="__cuma")
-    cum = global_running_sum(cum, ["__v"], "__cb", out_col="__cumb")
+    cum = global_running_sum(
+        grain, ["__v"], ["__ca", "__cb"], out_col=["__cuma", "__cumb"]
+    )
     totals = grain.agg(
         F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
     )
@@ -779,7 +786,10 @@ def mann_whitney_u(
     from hadoop_fcfs_spark.ops.sort import global_running_sum
 
     grain = waypoint(
-        df.filter(F.col(group_col).isin([group_a, group_b]))
+        df.filter(
+            F.col(group_col).isin([group_a, group_b])
+            & F.col(value_col).isNotNull()
+        )
         .groupBy(F.col(value_col).alias("__v"))
         .agg(
             F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
@@ -858,9 +868,10 @@ def welch_ttest(
     when either arm has n < 2 or both variances are 0. Output: 1 row
     (t_e6, df_e3, n_a, n_b)."""
     q = F.floor(F.col(value_col) * scale).cast("long")
-    tagged = df.filter(F.col(group_col).isin([group_a, group_b])).select(
-        F.col(group_col).alias("__g"), q.alias("__q")
-    )
+    tagged = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), q.alias("__q"))
 
     def arm(g: str, sfx: str) -> Column:
         flag = F.when(F.col("__g") == g, F.col("__q"))
@@ -928,7 +939,8 @@ def nelson_aalen(
     from hadoop_fcfs_spark.ops.sort import global_running_sum
 
     grain = waypoint(
-        durations.groupBy(F.col(duration_col).alias("t")).agg(
+        durations.filter(F.col(duration_col).isNotNull())
+        .groupBy(F.col(duration_col).alias("t")).agg(
             F.sum(F.when(~F.col(censored_col), 1).otherwise(0))
             .cast("long")
             .alias("__d"),
@@ -974,9 +986,12 @@ def anova_oneway(
     under shared quantization). NULL F when n ≤ k, k < 2, or SSW = 0.
     Output: 1 row (k_groups, n_rows, f_e6, df_between, df_within)."""
     q = F.floor(F.col(value_col) * scale).cast("long")
-    g = df.select(F.col(group_col).alias("__g"), q.alias("__q")).groupBy(
-        "__g"
-    ).agg(
+    # NULL values excluded BEFORE the count so n counts exactly the rows
+    # the moments accumulate (count(*) over unfiltered rows would diverge
+    # from S1/S2, which skip NULLs)
+    g = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), q.alias("__q")
+    ).groupBy("__g").agg(
         F.count("*").cast("long").alias("__n"),
         F.sum("__q").cast("long").alias("__s1"),
         F.sum(F.col("__q") * F.col("__q")).cast("long").alias("__s2"),
@@ -1030,7 +1045,8 @@ def trimmed_mean(
 
     q = F.floor(F.col(value_col) * scale).cast("long")
     grain = waypoint(
-        df.select(q.alias("__q")).groupBy("__q").agg(
+        df.filter(F.col(value_col).isNotNull())
+        .select(q.alias("__q")).groupBy("__q").agg(
             F.count("*").cast("long").alias("__c")
         )
     )
@@ -1091,7 +1107,8 @@ def quantile_normalize(
 
     q = F.floor(F.col(value_col) * scale).cast("long")
     gg = waypoint(
-        df.select(F.col(group_col).alias("__g"), q.alias("__q"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), q.alias("__q"))
         .groupBy("__g", "__q")
         .agg(F.count("*").cast("long").alias("__c"))
     )
@@ -1179,7 +1196,10 @@ def logrank_test(
 
     g1 = F.col(group_col) == F.lit(group_a)
     grain = waypoint(
-        durations.filter(F.col(group_col).isin([group_a, group_b]))
+        durations.filter(
+            F.col(group_col).isin([group_a, group_b])
+            & F.col(duration_col).isNotNull()
+        )
         .groupBy(F.col(duration_col).alias("t")).agg(
             F.sum(F.when(g1 & ~F.col(censored_col), 1).otherwise(0))
             .cast("long").alias("__d1"),
@@ -1192,8 +1212,10 @@ def logrank_test(
     tot = grain.agg(
         F.sum("__a1").alias("__n1t"), F.sum("__a2").alias("__n2t")
     )
-    cum = global_running_sum(grain, ["t"], "__a1", out_col="__b1", inclusive=False)
-    cum = global_running_sum(cum, ["t"], "__a2", out_col="__b2", inclusive=False)
+    cum = global_running_sum(
+        grain, ["t"], ["__a1", "__a2"], out_col=["__b1", "__b2"],
+        inclusive=False,
+    )
     r = (
         cum.crossJoin(F.broadcast(tot))
         .withColumn("__r1", F.col("__n1t") - F.col("__b1"))
@@ -1261,7 +1283,10 @@ def weighted_quantiles(
     if not permilles or any(p < 1 or p > 1000 for p in permilles):
         raise ValueError(f"permilles must be within [1, 1000], got {permilles}")
     grain = waypoint(
-        df.groupBy(F.col(value_col).alias("__v")).agg(
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+        )
+        .groupBy(F.col(value_col).alias("__v")).agg(
             F.sum(F.col(weight_col).cast("long")).alias("__w")
         )
     )
@@ -1307,7 +1332,8 @@ def ks_group_drift(
     from hadoop_fcfs_spark.ops.sort import chunked_running_sum, global_running_sum
 
     gg = waypoint(
-        df.select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v"))
         .groupBy("__g", "__v")
         .agg(F.count("*").cast("long").alias("__c"))
     )

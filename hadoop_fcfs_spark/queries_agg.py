@@ -2184,7 +2184,9 @@ def mwu_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT c_mktsegment AS g,
              CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v
-      FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        AND c_acctbal IS NOT NULL
     ),
     m AS (
       SELECT
@@ -2452,7 +2454,7 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT c_mktsegment AS g,
              CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v
-      FROM customer
+      FROM customer WHERE c_acctbal IS NOT NULL
     ),
     pg AS (
       SELECT g, COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2 FROM q GROUP BY 1

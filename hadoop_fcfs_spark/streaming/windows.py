@@ -509,20 +509,15 @@ def stream_maintained_sketch(
             if prev is not None
             else delta.limit(0)
         )
+        from hadoop_fcfs_spark.agg.sketches import kll_merge_fold
+
         lists = (
             base.unionByName(delta)
             .groupBy(*keys)
             .agg(F.collect_list("kll_sketch").alias("__sks"))
         )
         merged = lists.select(
-            *keys,
-            F.aggregate(
-                F.slice(
-                    F.col("__sks"), 2, F.greatest(F.size("__sks") - 1, F.lit(0))
-                ),
-                F.element_at("__sks", 1),
-                lambda acc, x: F.kll_sketch_merge_double(acc, x),
-            ).alias("kll_sketch"),
+            *keys, kll_merge_fold(F.col("__sks")).alias("kll_sketch")
         )
         merged.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
         _epoch_commit(jvm, fs, marker, state_dir, epoch_id, prev)
