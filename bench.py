@@ -55,6 +55,10 @@ HEADLINE = [
     "tfidf_cosine_topk",
     "corpus_pipeline_v4",
     "corpus_pipeline_v5",
+    # r5 continuation: temporal-split train/predict/score loop — the
+    # model-eval shuffle shape (shared user-key window feeding both
+    # halves + broadcast model) none of the entries above exercises
+    "markov_next_event_eval",
 ]
 
 
