@@ -649,3 +649,19 @@ def test_trending_parts_rank_is_window_group_limit(spark):
     df = all_queries()["trending_parts"].spark_fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_r5_ranking_gates_bounded_window_state(spark):
+    """The round-5 ranking gates must keep per-key window state bounded:
+    the recommender's per-item top-3 and the diversified top-k's
+    per-group cap both compile to WindowGroupLimit (a hot item/customer
+    at 100x scale would otherwise sort its whole candidate list in one
+    task), and the diversified gate's global stage is TakeOrdered."""
+    rec = _plan(Q["copurchase_eval_topk"].spark_fn(spark, SF_ORACLE))
+    assert "WindowGroupLimit" in rec
+    div = _plan(Q["diversified_top_orders"].spark_fn(spark, SF_ORACLE))
+    assert "WindowGroupLimit" in div
+    assert "TakeOrderedAndProject" in div
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()
