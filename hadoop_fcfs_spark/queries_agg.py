@@ -2918,3 +2918,47 @@ def binseg_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").cast("string").alias("o")
     ).agg(F.count("*").cast("long").alias("n"))
     return binseg_splits(d, "o", "n", depth=2)
+
+
+@register(
+    "pacf_daily_events",
+    oracle="""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS i,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    a AS (
+      SELECT l.lag, ROUND(CORR(x.n, y.n), 6) AS acf
+      FROM (VALUES (1), (2)) AS l(lag)
+      JOIN d x ON TRUE
+      JOIN d y ON y.i = x.i + l.lag
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+             MAX(CASE WHEN lag = 2 THEN acf END) AS r2
+      FROM a
+    )
+    SELECT r1, r2,
+           CASE WHEN ABS(1.0 - r1 * r1) > 0
+                THEN CAST(FLOOR((r2 - r1 * r1) / (1.0 - r1 * r1) * 1000000)
+                     AS BIGINT)
+           END AS pacf2_e6
+    FROM p
+    """,
+    doc="Partial autocorrelation at lag 2 of daily event counts "
+    "(ops.timeseries.pacf_lag2, Durbin-Levinson closed form): is the "
+    "lag-2 dependence real or lag-1 echoed twice - the AR-order "
+    "picker on top of acf_daily_events. Built from the ROUNDED-@6 ACF "
+    "values so both engines feed identical doubles into the flat "
+    "(r2 - r1^2)/(1 - r1^2); floor-micro, NULL on r1^2 = 1.",
+)
+def pacf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.timeseries import pacf_lag2
+
+    ev = t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("i")
+    ).agg(F.count("*").cast("long").alias("n"))
+    return pacf_lag2(d, "i", "n")

@@ -393,7 +393,7 @@ def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(F.broadcast(u))
 
 
-def _markov_oracle(iters: int, scale: int) -> str:
+def _markov_oracle(iters: int, scale: int, select: str | None = None) -> str:
     """Unrolled integer power iteration (AS MATERIALIZED per the r4
     chained-CTE gotcha). Exact-integer matvec terms (pi*c // r) make
     every round order-independent — see ops.graph.markov_stationary."""
@@ -411,6 +411,9 @@ def _markov_oracle(iters: int, scale: int) -> str:
       FROM p{k - 1} p JOIN e ON e.i = p.node GROUP BY 1
     )"""
         )
+    tail = select or f"""
+    SELECT node AS event_type, pi AS pi_e12 FROM p{iters}
+    """
     return (
         """
     WITH seq AS (
@@ -433,9 +436,7 @@ def _markov_oracle(iters: int, scale: int) -> str:
     ),
     """
         + ",\n    ".join(parts)
-        + f"""
-    SELECT node AS event_type, pi AS pi_e12 FROM p{iters}
-    """
+        + tail
     )
 
 
@@ -471,4 +472,62 @@ def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         F.col("node").alias("event_type"), F.col("pi").alias("pi_e12")
+    )
+
+
+_ENTROPY_TAIL = """
+    SELECT ROUND(-SUM(
+             (CAST(p.pi AS DOUBLE) / 1000000000000.0)
+             * (CAST(e.c AS DOUBLE) / CAST(e.r AS DOUBLE))
+             * log2(CAST(e.c AS DOUBLE) / CAST(e.r AS DOUBLE))
+           ), 6) AS entropy_rate_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM e JOIN p10 p ON p.node = e.i
+    """
+
+
+@register(
+    "markov_entropy_rate",
+    oracle=_markov_oracle(iters=10, scale=10**12, select=_ENTROPY_TAIL),
+    doc="Entropy rate of the event-type Markov chain: H = -sum_i pi_i "
+    "sum_j p_ij log2 p_ij over the observed transition matrix, pi "
+    "from the SAME exact-integer 10-round power iteration as "
+    "markov_stationary_events - bits of genuine surprise per step "
+    "once lag-1 structure is accounted for (user_behavior_entropy's "
+    "iid entropy minus this gap IS the behavioral predictability). "
+    "Every input to the float expression is an exact integer "
+    "(pi_e12, c, r), so both engines evaluate identical doubles; "
+    "states^2-bounded term sum, round @6 (char_entropy convention).",
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.ops.graph import markov_stationary
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    from hadoop_fcfs_spark.caching import waypoint
+
+    pairs = waypoint(pairs)
+    tot = pairs.groupBy("event_type").agg(F.sum("n").alias("__r"))
+    pi = markov_stationary(
+        pairs, iters=10, src="event_type", dst="next_type", weight="n"
+    )
+    p = F.col("n").cast("double") / F.col("__r").cast("double")
+    term = (
+        (F.col("pi").cast("double") / F.lit(1e12)) * p * F.log2(p)
+    )
+    return (
+        pairs.join(tot, "event_type")
+        .join(pi.withColumnRenamed("node", "event_type"), "event_type")
+        .agg(
+            F.round(-F.sum(term), 6).alias("entropy_rate_bits"),
+            F.count("*").cast("long").alias("n_transitions"),
+        )
     )
