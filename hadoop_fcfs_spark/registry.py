@@ -44,6 +44,15 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+# ROUND-6 REBUILD PROCEDURE (do this FIRST next round, before adding
+# gates): fold CORRECTNESS_r05's green names into _DRIVER_CONFIRMED_ROUND
+# with value 5, move any _NEVER_SAMPLED entries that got r5 rows out of
+# that tuple, and promote the still-unsampled remainder plus every gate
+# registered during round 5 (bucket 1 today — they sort after the 52 and
+# will mostly miss the r5 window) to the head of the new ordering. The
+# r4 lesson: an unrebuilt prefix re-samples already-confirmed gates and
+# the new ones never get hard driver evidence.
+#
 # Driver-sampling order (rebuilt for round 5, per VERDICT r4 item #1).
 #
 # The driver verifies a ~50-entry PREFIX of all_queries() per round, so the
