@@ -3221,3 +3221,138 @@ def ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.ops.stats import ks_group_drift
 
     return ks_group_drift(t(spark, sf_dir, "documents"), "n_chars", "source")
+
+
+@register(
+    "corpus_qa_panel",
+    oracle="""
+    WITH gg AS (
+      SELECT source AS g, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    grp AS (SELECT g, SUM(c) AS ng FROM gg GROUP BY 1),
+    gv AS (SELECT v, SUM(c) AS cc FROM gg GROUP BY 1),
+    nn AS (SELECT SUM(cc) AS t FROM gv),
+    gcum AS (
+      SELECT v, SUM(cc) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcm
+      FROM gv
+    ),
+    dense AS (
+      SELECT grp.g, gv.v, grp.ng, COALESCE(gg.c, 0) AS c
+      FROM gv CROSS JOIN grp
+      LEFT JOIN gg ON gg.g = grp.g AND gg.v = gv.v
+    ),
+    dcum AS (
+      SELECT g, v, ng,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM dense
+    ),
+    drift AS (
+      SELECT 'ks_drift_e6' AS metric, g AS dim,
+             CAST(FLOOR(MAX(ABS(CAST(cum AS DOUBLE) / CAST(ng AS DOUBLE)
+                  - CAST(gcm AS DOUBLE) / CAST(t AS DOUBLE))) * 1000000)
+               AS BIGINT) AS value
+      FROM dcum JOIN gcum USING (v) CROSS JOIN nn
+      GROUP BY 2
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS gr
+      FROM toks, LATERAL UNNEST(generate_series(1, len(a) - 2)) AS u(i)
+      WHERE len(a) >= 3
+    ),
+    firsts AS (SELECT gr, MIN(doc_id) AS fd FROM grams GROUP BY 1),
+    pd AS (
+      SELECT doc_id, COUNT(*) AS ngr,
+             SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS nv
+      FROM grams JOIN firsts USING (gr) GROUP BY 1
+    ),
+    mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    novelty AS (
+      SELECT 'novelty_e6' AS metric,
+             CAST(LEAST(9, doc_id * 10 // (m + 1)) AS VARCHAR) AS dim,
+             (1000000 * CAST(SUM(nv) AS BIGINT)) // CAST(SUM(ngr) AS BIGINT)
+               AS value
+      FROM pd CROSS JOIN mx GROUP BY 2
+    ),
+    cls AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COUNT(DISTINCT n_chars // 1000) AS BIGINT) AS l
+      FROM documents GROUP BY 1, 2
+    ),
+    priv AS (
+      SELECT 'k_anonymity' AS metric, 'corpus' AS dim,
+             CAST(MIN(c) AS BIGINT) AS value FROM cls
+      UNION ALL
+      SELECT 'l_diversity', 'corpus', CAST(MIN(l) AS BIGINT) FROM cls
+      UNION ALL
+      SELECT 'rows_below_k_share_e6', 'corpus',
+             (1000000 * CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END)
+                AS BIGINT)) // CAST(SUM(c) AS BIGINT)
+      FROM cls
+    )
+    SELECT * FROM drift
+    UNION ALL SELECT * FROM novelty
+    UNION ALL SELECT * FROM priv
+    ORDER BY metric, dim
+    """,
+    doc="Composed corpus QA panel - the one-query release dashboard: "
+    "per-source length drift (ops.stats.ks_group_drift), trigram "
+    "novelty decay by doc-id decile (llm.textan.ngram_novelty), and "
+    "the (lang, source) k-anonymity / l-diversity / below-k exposure "
+    "audit (ops.validate.k_anonymity_audit), reshaped to (metric, "
+    "dim, value) rows and unioned. Each leg is the already-audited "
+    "operator; composition adds zero new shuffle shapes. The panel a "
+    "training-data release gate actually reads.",
+)
+def corpus_qa_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import ngram_novelty
+    from hadoop_fcfs_spark.ops.stats import ks_group_drift
+    from hadoop_fcfs_spark.ops.validate import k_anonymity_audit
+
+    docs = t(spark, sf_dir, "documents")
+    drift = ks_group_drift(docs, "n_chars", "source").select(
+        F.lit("ks_drift_e6").alias("metric"),
+        F.col("source").alias("dim"),
+        F.col("d_e6").alias("value"),
+    )
+    nov = ngram_novelty(docs, "doc_id", "text").select(
+        F.lit("novelty_e6").alias("metric"),
+        F.col("bucket").cast("string").alias("dim"),
+        F.col("novelty_e6").alias("value"),
+    )
+    audit = k_anonymity_audit(
+        docs.withColumn("__sens", F.expr("n_chars div 1000")),
+        ["lang", "source"],
+        "__sens",
+        k=5,
+    )
+    priv = audit.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("k_anonymity").alias("metric"),
+                    F.lit("corpus").alias("dim"),
+                    F.col("k_anonymity").alias("value"),
+                ),
+                F.struct(
+                    F.lit("l_diversity").alias("metric"),
+                    F.lit("corpus").alias("dim"),
+                    F.col("l_diversity").alias("value"),
+                ),
+                F.struct(
+                    F.lit("rows_below_k_share_e6").alias("metric"),
+                    F.lit("corpus").alias("dim"),
+                    F.col("rows_below_k_share_e6").alias("value"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.metric", "r.dim", "r.value")
+    return drift.unionByName(nov).unionByName(priv).orderBy("metric", "dim")
