@@ -2962,3 +2962,70 @@ def pacf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("i")
     ).agg(F.count("*").cast("long").alias("n"))
     return pacf_lag2(d, "i", "n")
+
+
+@register(
+    "theta_churn_new_users",
+    oracle="""
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+          SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 2000
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996))
+        AS acquired_exact,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+          SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 2000))
+        AS lapsed_exact,
+      TRUE AS acquired_ok, TRUE AS lapsed_ok
+    """,
+    doc="Theta-sketch set DIFFERENCE (theta_difference - the third "
+    "algebra op after theta_user_overlap's union/intersection): "
+    "customers who ordered in 2000 but not 1996 (acquired) and the "
+    "reverse (lapsed), answered from the two per-year sketches "
+    "without re-shuffling raw ids - the audience-delta question "
+    "every growth report asks. Contract columns assert both "
+    "estimates within 10% of exact (set-EXCEPT oracle; difference "
+    "error scales with the UNION size, not the difference, hence the "
+    "looser bound than the overlap gate - observed 4.8/5.5% at "
+    "sf0.1); a degraded sketch fails the value hash.",
+)
+def theta_churn_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.agg.sketches import theta_partial
+
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "__y", F.year("o_orderdate")
+    ).filter(F.col("__y").isin(1996, 2000))
+    sk = theta_partial(orders, ["__y"], "o_custkey")
+    row = sk.groupBy().pivot("__y", [1996, 2000]).agg(
+        F.first("theta_sketch")
+    )
+    ests = row.select(
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("`2000`"), F.col("`1996`"))
+        ).alias("__acq"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("`1996`"), F.col("`2000`"))
+        ).alias("__lap"),
+    )
+    a = orders.filter(F.col("__y") == 1996).select("o_custkey").distinct()
+    b = orders.filter(F.col("__y") == 2000).select("o_custkey").distinct()
+    ex_acq = b.join(a, "o_custkey", "left_anti").agg(
+        F.count("*").alias("acquired_exact")
+    )
+    ex_lap = a.join(b, "o_custkey", "left_anti").agg(
+        F.count("*").alias("lapsed_exact")
+    )
+    return (
+        ex_acq.crossJoin(ex_lap)
+        .crossJoin(F.broadcast(ests))
+        .select(
+            F.col("acquired_exact").cast("long"),
+            F.col("lapsed_exact").cast("long"),
+            (F.abs(F.col("__acq") - F.col("acquired_exact"))
+             <= 0.10 * F.col("acquired_exact")).alias("acquired_ok"),
+            (F.abs(F.col("__lap") - F.col("lapsed_exact"))
+             <= 0.10 * F.col("lapsed_exact")).alias("lapsed_ok"),
+        )
+    )
