@@ -3356,3 +3356,45 @@ def corpus_qa_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.metric", "r.dim", "r.value")
     return drift.unionByName(nov).unionByName(priv).orderBy("metric", "dim")
+
+
+@register(
+    "doc_keywords",
+    oracle=f"""
+    WITH {_TOKS},
+    tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+    nn AS (SELECT COUNT(DISTINCT doc_id) AS N FROM documents),
+    wts AS (
+      SELECT doc_id, term,
+             CAST(FLOOR(tf * (ln((N + 1) / (doc_freq + 1)) + 1) * 1000000)
+               AS BIGINT) AS tfidf_e6
+      FROM tf JOIN dfq USING (term) CROSS JOIN nn
+    )
+    SELECT doc_id, term, tfidf_e6, CAST(rk AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_e6 DESC, term) AS rk
+      FROM wts) WHERE rk <= 3
+    """,
+    doc="Per-document keyword extraction: top-3 terms by smoothed "
+    "TF-IDF weight (llm.textan.tf_idf + a per-doc rank) - the "
+    "document-tagging / index-enrichment step retrieval pipelines "
+    "run at ingest. Weights are the tf_idf gate's floor-micro "
+    "integers, so ranking ties (weight, then term) are deterministic "
+    "cross-engine; the per-doc window is WindowGroupLimit-bounded "
+    "(O(3) state per doc at any corpus size).",
+)
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.llm.textan import tf_idf
+
+    wts = tf_idf(t(spark, sf_dir, "documents"), "doc_id", "text")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_e6"), F.asc("term")
+    )
+    return (
+        wts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf_e6", F.col("rank").cast("int").alias("rank"))
+    )
