@@ -659,6 +659,8 @@ def test_r5_ranking_gates_bounded_window_state(spark):
     task), and the diversified gate's global stage is TakeOrdered."""
     rec = _plan(Q["copurchase_eval_topk"].spark_fn(spark, SF_ORACLE))
     assert "WindowGroupLimit" in rec
+    kw = _plan(Q["doc_keywords"].spark_fn(spark, SF_ORACLE))
+    assert "WindowGroupLimit" in kw
     div = _plan(Q["diversified_top_orders"].spark_fn(spark, SF_ORACLE))
     assert "WindowGroupLimit" in div
     assert "TakeOrderedAndProject" in div
