@@ -3029,3 +3029,71 @@ def theta_churn_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
              <= 0.10 * F.col("lapsed_exact")).alias("lapsed_ok"),
         )
     )
+
+
+@register(
+    "gini_by_nation",
+    oracle="""
+    WITH spend AS (
+      SELECT n.n_name AS nation, c.c_custkey AS cust,
+             SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS q
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT nation, q,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY q, cust) AS rk
+      FROM spend
+    ),
+    a AS (
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS total_q,
+             CAST(SUM(rk * q) AS BIGINT) AS srx
+      FROM r GROUP BY 1
+    )
+    SELECT nation, n, total_q,
+           CASE WHEN n * total_q <> 0
+                THEN CAST(FLOOR(CAST(2 * srx - (n + 1) * total_q AS DOUBLE)
+                     / CAST(n * total_q AS DOUBLE) * 1000000) AS BIGINT)
+           END AS gini_e6
+    FROM a
+    """,
+    doc="Per-nation Gini of customer spend (ops.stats.gini_by_group): "
+    "WITHIN-group inequality - which nation's revenue is "
+    "whale-dominated, the slice gini_order_values/lorenz_deciles "
+    "(global) cannot answer. Cent-quantized spend per customer, "
+    "per-group ranks via chunked_running_sum over (value, id) "
+    "order (value-bucket chunks - a corpus-sized group never funnels "
+    "through one window task; the oracle uses the plain per-group "
+    "window, independent shape); exact BIGINT rank-value sums, one "
+    "floor-micro division per group.",
+)
+def gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import gini_by_group
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("cnk"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .groupBy("nation", F.col("c_custkey").alias("cust"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long")
+            .alias("spend_cents")
+        )
+    )
+    # cents stay integers end to end (scale=1): a /100-then-requantize
+    # round-trip can floor one cent low on non-representable doubles
+    return gini_by_group(spend, "nation", "spend_cents", "cust", scale=1)

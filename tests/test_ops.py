@@ -2488,3 +2488,22 @@ def test_diversified_topk_caps_hot_group(spark):
         df, [F.desc("score"), F.asc("id")], k=4, group_col="g", per_group_cap=2
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_gini_by_group_hand_values(spark):
+    from hadoop_fcfs_spark.ops.stats import gini_by_group
+
+    # group a: perfectly equal -> G = 0; group b: one holder -> G = (n-1)/n
+    rows = [("a", i, 5.0) for i in range(4)] + [
+        ("b", 10, 0.0), ("b", 11, 0.0), ("b", 12, 0.0), ("b", 13, 100.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = {r["g"]: r for r in gini_by_group(df, "g", "v", "id").collect()}
+    assert out["a"]["gini_e6"] == 0
+    # b: ranks of (0,0,0,100) -> srx = 4*10000; G = (2*40000 - 5*10000)/(4*10000)
+    assert out["b"]["gini_e6"] == 750_000
+    assert out["a"]["n"] == 4 and out["b"]["total_q"] == 10_000
+
+    # all-zero group -> NULL G
+    z = spark.createDataFrame([("z", 1, 0.0), ("z", 2, 0.0)], "g string, id long, v double")
+    assert gini_by_group(z, "g", "v", "id").collect()[0]["gini_e6"] is None
