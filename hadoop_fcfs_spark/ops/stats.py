@@ -1384,6 +1384,7 @@ def gini_by_group(
     value_col: str,
     id_col: str,
     scale: int = 100,
+    chunk_shift: int = 16,
 ) -> DataFrame:
     """Per-group Gini coefficient: G = (2·Σ rᵢxᵢ − (n+1)·Σx)/(n·Σx)
     over each group's values sorted ascending — WITHIN-group
@@ -1399,9 +1400,20 @@ def gini_by_group(
     consecutive ranks by id — the same G as fractional tie-ranks
     because Σrx over a tie block is invariant under within-block
     permutation totals. NULL values excluded; NULL G for groups with
-    n·Σx = 0 (all-zero or empty). Integer bound (ANSI-guarded):
-    per-group n·max|x|·scale < 2^63 — for cent values that is ~9e16
-    rank·value mass per group; pre-scale coarser for bigger groups.
+    n·Σx = 0 (all-zero or empty).
+
+    Bounds, honestly: the only 64-bit integer accumulation is
+    Σ rᵢ·qᵢ, bounded by n·Σq per group — keep that under 2^63
+    (pre-scale coarser when a group's n·total approaches 9e18); the
+    G arithmetic itself runs in doubles (exact while 2·Σrq < 2^53,
+    then ~1e-16 relative — invisible at e6 flooring) so n·total never
+    overflows an ANSI long. ``chunk_shift`` sets the value-bucket
+    width for the grouped prefix scan: any FIXED width trades the
+    two window levels against each other (too narrow → many
+    chunk-summary rows per group in the level-2 task; too wide → a
+    dense value region concentrates a chunk's rows in one level-1
+    task) — the default 2^16 units is a practical middle for
+    money-like domains; tune toward ~sqrt(group size) chunks.
     Output: (group, n, total_q, gini_e6)."""
     from hadoop_fcfs_spark.caching import waypoint
     from hadoop_fcfs_spark.ops.sort import chunked_running_sum
@@ -1417,7 +1429,7 @@ def gini_by_group(
     ranked = chunked_running_sum(
         base,
         ["__g"],
-        F.shiftright(F.col("__q"), 10),
+        F.shiftright(F.col("__q"), int(chunk_shift)),
         ["__q", "__id"],
         "__one",
         out_col="__r",
@@ -1427,16 +1439,18 @@ def gini_by_group(
         F.sum("__q").cast("long").alias("total_q"),
         F.sum(F.col("__r") * F.col("__q")).cast("long").alias("__srx"),
     )
-    num = (2 * F.col("__srx") - (F.col("n") + 1) * F.col("total_q")).cast(
-        "double"
-    )
-    den = (F.col("n") * F.col("total_q")).cast("double")
+    # G arithmetic in doubles: n*total_q as a LONG product overflows at
+    # ~sf100 group sizes under ANSI even when every input fits — the
+    # double product merely rounds (identical shape in the oracle)
+    nd = F.col("n").cast("double")
+    td = F.col("total_q").cast("double")
+    num = 2.0 * F.col("__srx").cast("double") - (nd + 1.0) * td
     return agg.select(
         F.col("__g").alias(group_col),
         "n",
         "total_q",
         F.when(
-            F.col("n") * F.col("total_q") != 0,
-            F.floor(num / den * 1_000_000).cast("long"),
+            nd * td != 0.0,
+            F.floor(num / (nd * td) * 1_000_000).cast("long"),
         ).alias("gini_e6"),
     )

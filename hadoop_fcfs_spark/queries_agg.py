@@ -3055,9 +3055,11 @@ def theta_churn_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r GROUP BY 1
     )
     SELECT nation, n, total_q,
-           CASE WHEN n * total_q <> 0
-                THEN CAST(FLOOR(CAST(2 * srx - (n + 1) * total_q AS DOUBLE)
-                     / CAST(n * total_q AS DOUBLE) * 1000000) AS BIGINT)
+           CASE WHEN CAST(n AS DOUBLE) * CAST(total_q AS DOUBLE) <> 0
+                THEN CAST(FLOOR((2.0 * CAST(srx AS DOUBLE)
+                       - (CAST(n AS DOUBLE) + 1.0) * CAST(total_q AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(total_q AS DOUBLE))
+                     * 1000000) AS BIGINT)
            END AS gini_e6
     FROM a
     """,

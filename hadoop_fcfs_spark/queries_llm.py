@@ -3024,32 +3024,62 @@ def corpus_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ngram_novelty_curve",
-    oracle="""
-    WITH toks AS (
+# Shared oracle CTE fragments (used by their own gates AND composed into
+# corpus_qa_panel — a fix to the audited fragment must reach the panel
+# automatically, not by hand-copy).
+_KS_DRIFT_CTES = """gg AS (
+      SELECT source AS g, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    grp AS (SELECT g, SUM(c) AS ng FROM gg GROUP BY 1),
+    gv AS (SELECT v, SUM(c) AS cc FROM gg GROUP BY 1),
+    nn AS (SELECT SUM(cc) AS t FROM gv),
+    gcum AS (
+      SELECT v, SUM(cc) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcm
+      FROM gv
+    ),
+    dense AS (
+      SELECT grp.g, gv.v, grp.ng, COALESCE(gg.c, 0) AS c
+      FROM gv CROSS JOIN grp
+      LEFT JOIN gg ON gg.g = grp.g AND gg.v = gv.v
+    ),
+    dcum AS (
+      SELECT g, v, ng,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM dense
+    )"""
+
+_NOVELTY_CTES = """toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(text, '\\s+'),
                          x -> x <> '') AS a
       FROM documents
     ),
     grams AS (
-      SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+      SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS gr
       FROM toks, LATERAL UNNEST(generate_series(1, len(a) - 2)) AS u(i)
       WHERE len(a) >= 3
     ),
-    firsts AS (SELECT g, MIN(doc_id) AS fd FROM grams GROUP BY 1),
+    firsts AS (SELECT gr, MIN(doc_id) AS fd FROM grams GROUP BY 1),
     pd AS (
-      SELECT doc_id, COUNT(*) AS ng,
+      SELECT doc_id, COUNT(*) AS ngr,
              SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS nv
-      FROM grams JOIN firsts USING (g) GROUP BY 1
+      FROM grams JOIN firsts USING (gr) GROUP BY 1
     ),
-    mx AS (SELECT MAX(doc_id) AS m FROM documents)
+    mx AS (SELECT MAX(doc_id) AS m FROM documents)"""
+
+
+@register(
+    "ngram_novelty_curve",
+    oracle=f"""
+    WITH {_NOVELTY_CTES}
     SELECT LEAST(9, doc_id * 10 // (m + 1)) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(ng) AS BIGINT) AS n_grams,
+           CAST(SUM(ngr) AS BIGINT) AS n_grams,
            CAST(SUM(nv) AS BIGINT) AS n_novel,
-           (1000000 * CAST(SUM(nv) AS BIGINT)) // CAST(SUM(ng) AS BIGINT)
+           (1000000 * CAST(SUM(nv) AS BIGINT)) // CAST(SUM(ngr) AS BIGINT)
              AS novelty_e6
     FROM pd CROSS JOIN mx
     GROUP BY 1 ORDER BY 1
@@ -3173,30 +3203,8 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ks_source_drift",
-    oracle="""
-    WITH gg AS (
-      SELECT source AS g, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
-      FROM documents GROUP BY 1, 2
-    ),
-    grp AS (SELECT g, SUM(c) AS ng FROM gg GROUP BY 1),
-    gv AS (SELECT v, SUM(c) AS cc FROM gg GROUP BY 1),
-    nn AS (SELECT SUM(cc) AS t FROM gv),
-    gcum AS (
-      SELECT v, SUM(cc) OVER (ORDER BY v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcm
-      FROM gv
-    ),
-    dense AS (
-      SELECT grp.g, gv.v, grp.ng, COALESCE(gg.c, 0) AS c
-      FROM gv CROSS JOIN grp
-      LEFT JOIN gg ON gg.g = grp.g AND gg.v = gv.v
-    ),
-    dcum AS (
-      SELECT g, v, ng,
-             SUM(c) OVER (PARTITION BY g ORDER BY v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      FROM dense
-    )
+    oracle=f"""
+    WITH {_KS_DRIFT_CTES}
     SELECT g AS source, CAST(MAX(ng) AS BIGINT) AS n_g,
            CAST(MAX(t) AS BIGINT) AS n_total,
            CAST(FLOOR(MAX(ABS(CAST(cum AS DOUBLE) / CAST(ng AS DOUBLE)
@@ -3225,30 +3233,8 @@ def ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_qa_panel",
-    oracle="""
-    WITH gg AS (
-      SELECT source AS g, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
-      FROM documents GROUP BY 1, 2
-    ),
-    grp AS (SELECT g, SUM(c) AS ng FROM gg GROUP BY 1),
-    gv AS (SELECT v, SUM(c) AS cc FROM gg GROUP BY 1),
-    nn AS (SELECT SUM(cc) AS t FROM gv),
-    gcum AS (
-      SELECT v, SUM(cc) OVER (ORDER BY v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcm
-      FROM gv
-    ),
-    dense AS (
-      SELECT grp.g, gv.v, grp.ng, COALESCE(gg.c, 0) AS c
-      FROM gv CROSS JOIN grp
-      LEFT JOIN gg ON gg.g = grp.g AND gg.v = gv.v
-    ),
-    dcum AS (
-      SELECT g, v, ng,
-             SUM(c) OVER (PARTITION BY g ORDER BY v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      FROM dense
-    ),
+    oracle=f"""
+    WITH {_KS_DRIFT_CTES},
     drift AS (
       SELECT 'ks_drift_e6' AS metric, g AS dim,
              CAST(FLOOR(MAX(ABS(CAST(cum AS DOUBLE) / CAST(ng AS DOUBLE)
@@ -3257,24 +3243,7 @@ def ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dcum JOIN gcum USING (v) CROSS JOIN nn
       GROUP BY 2
     ),
-    toks AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\\s+'),
-                         x -> x <> '') AS a
-      FROM documents
-    ),
-    grams AS (
-      SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS gr
-      FROM toks, LATERAL UNNEST(generate_series(1, len(a) - 2)) AS u(i)
-      WHERE len(a) >= 3
-    ),
-    firsts AS (SELECT gr, MIN(doc_id) AS fd FROM grams GROUP BY 1),
-    pd AS (
-      SELECT doc_id, COUNT(*) AS ngr,
-             SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS nv
-      FROM grams JOIN firsts USING (gr) GROUP BY 1
-    ),
-    mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    {_NOVELTY_CTES},
     novelty AS (
       SELECT 'novelty_e6' AS metric,
              CAST(LEAST(9, doc_id * 10 // (m + 1)) AS VARCHAR) AS dim,
@@ -3309,7 +3278,9 @@ def ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the (lang, source) k-anonymity / l-diversity / below-k exposure "
     "audit (ops.validate.k_anonymity_audit), reshaped to (metric, "
     "dim, value) rows and unioned. Each leg is the already-audited "
-    "operator; composition adds zero new shuffle shapes. The panel a "
+    "operator; the ORACLE composes the same shared CTE fragments the "
+    "leg gates use (_KS_DRIFT_CTES / _NOVELTY_CTES), so a fix to an "
+    "audited fragment reaches the panel automatically. The panel a "
     "training-data release gate actually reads.",
 )
 def corpus_qa_panel(spark: SparkSession, sf_dir: str) -> DataFrame:

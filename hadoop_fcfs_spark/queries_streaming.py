@@ -475,20 +475,23 @@ def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ENTROPY_TAIL = """
+def _entropy_tail(iters: int) -> str:
+    """Tail parameterized on iters so it can never silently join a
+    stale p{k} CTE when the iteration count at the call site moves."""
+    return f"""
     SELECT ROUND(-SUM(
              (CAST(p.pi AS DOUBLE) / 1000000000000.0)
              * (CAST(e.c AS DOUBLE) / CAST(e.r AS DOUBLE))
              * log2(CAST(e.c AS DOUBLE) / CAST(e.r AS DOUBLE))
            ), 6) AS entropy_rate_bits,
            CAST(COUNT(*) AS BIGINT) AS n_transitions
-    FROM e JOIN p10 p ON p.node = e.i
+    FROM e JOIN p{iters} p ON p.node = e.i
     """
 
 
 @register(
     "markov_entropy_rate",
-    oracle=_markov_oracle(iters=10, scale=10**12, select=_ENTROPY_TAIL),
+    oracle=_markov_oracle(iters=10, scale=10**12, select=_entropy_tail(10)),
     doc="Entropy rate of the event-type Markov chain: H = -sum_i pi_i "
     "sum_j p_ij log2 p_ij over the observed transition matrix, pi "
     "from the SAME exact-integer 10-round power iteration as "

@@ -2507,3 +2507,38 @@ def test_gini_by_group_hand_values(spark):
     # all-zero group -> NULL G
     z = spark.createDataFrame([("z", 1, 0.0), ("z", 2, 0.0)], "g string, id long, v double")
     assert gini_by_group(z, "g", "v", "id").collect()[0]["gini_e6"] is None
+
+
+def test_pacf_lag2_matches_python_closed_form(spark):
+    import math
+
+    # AR(1)-ish ramp with noise-free structure: x_t = t^2 gives strong
+    # lag-1 AND lag-2 correlation; the closed form must match a pure-
+    # python mirror computed from the SAME rounded-@6 ACF inputs
+    from hadoop_fcfs_spark.ops.timeseries import pacf_lag2
+
+    xs = [(i, float(i * i % 17)) for i in range(30)]
+    df = spark.createDataFrame(xs, "i long, v double")
+
+    def corr(pairs):
+        n = len(pairs)
+        mx = sum(a for a, _ in pairs) / n
+        my = sum(b for _, b in pairs) / n
+        cov = sum((a - mx) * (b - my) for a, b in pairs)
+        sx = math.sqrt(sum((a - mx) ** 2 for a, _ in pairs))
+        sy = math.sqrt(sum((b - my) ** 2 for _, b in pairs))
+        return round(cov / (sx * sy), 6)
+
+    vals = dict(xs)
+    r1 = corr([(vals[i], vals[i + 1]) for i in range(29)])
+    r2 = corr([(vals[i], vals[i + 2]) for i in range(28)])
+    ref = math.floor((r2 - r1 * r1) / (1.0 - r1 * r1) * 1_000_000)
+    r = pacf_lag2(df, "i", "v").collect()[0]
+    assert r["r1"] == r1 and r["r2"] == r2
+    assert r["pacf2_e6"] == ref
+
+    # perfectly alternating series: r1 = -1, denominator 0 -> NULL
+    alt = spark.createDataFrame(
+        [(i, float(i % 2)) for i in range(10)], "i long, v double"
+    )
+    assert pacf_lag2(alt, "i", "v").collect()[0]["pacf2_e6"] is None
