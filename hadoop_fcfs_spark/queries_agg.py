@@ -3099,3 +3099,101 @@ def gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cents stay integers end to end (scale=1): a /100-then-requantize
     # round-trip can floor one cent low on non-representable doubles
     return gini_by_group(spend, "nation", "spend_cents", "cust", scale=1)
+
+
+@register(
+    "weekday_adjusted_anomaly",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dy,
+             dayofweek(CAST(ts AS DATE)) AS wd,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT wd, CAST(COUNT(*) AS BIGINT) AS cw,
+             CAST(SUM(n) AS BIGINT) AS sw
+      FROM d GROUP BY 1
+    ),
+    r AS (
+      SELECT dy, n,
+             CAST(FLOOR(CAST(n * cw - sw AS DOUBLE) / CAST(cw AS DOUBLE)
+                  * 1000) AS BIGINT) AS res_milli
+      FROM d JOIN w USING (wd)
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS mm,
+             CAST(SUM(res_milli) AS BIGINT) AS s1,
+             CAST(SUM(res_milli * res_milli) AS BIGINT) AS s2
+      FROM r
+    )
+    SELECT dy, n, res_milli,
+           CASE WHEN mm > 1 AND (CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / CAST(mm AS DOUBLE)) / (CAST(mm AS DOUBLE) - 1.0) > 0
+                THEN CAST(FLOOR((CAST(res_milli AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) / CAST(mm AS DOUBLE))
+                     / sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(mm AS DOUBLE))
+                       / (CAST(mm AS DOUBLE) - 1.0)) * 1000000) AS BIGINT)
+           END AS z_e6
+    FROM r CROSS JOIN m
+    ORDER BY dy
+    """,
+    doc="Weekday-profile-adjusted daily anomaly: each day's event count "
+    "minus ITS WEEKDAY's mean, z-scored against the residual "
+    "population - catches the Tuesday that behaves like a Saturday, "
+    "which the raw daily z (daily_event_anomaly) buries under the "
+    "weekly cycle and the rolling z only sees as local drift. Exact "
+    "arithmetic: residual numerator n*cw - sw is BIGINT, ONE "
+    "correctly-rounded division to milli units per day, then the "
+    "rolling_zscore-style exact-moment z (never engine stddev). "
+    "Weekday labels differ across engines (Sunday = 1 vs 0) but act "
+    "only as grouping keys - the day partition is identical.",
+)
+def weekday_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.caching import waypoint
+
+    ev = t(spark, sf_dir, "events")
+    d = waypoint(
+        ev.groupBy(
+            F.to_date("ts").cast("string").alias("dy"),
+            F.dayofweek(F.to_date("ts")).alias("wd"),
+        ).agg(F.count("*").cast("long").alias("n"))
+    )
+    w = d.groupBy("wd").agg(
+        F.count("*").cast("long").alias("cw"),
+        F.sum("n").cast("long").alias("sw"),
+    )
+    r = waypoint(
+        d.join(w, "wd").select(
+            "dy", "n",
+            F.floor(
+                (F.col("n") * F.col("cw") - F.col("sw")).cast("double")
+                / F.col("cw").cast("double") * 1000
+            ).cast("long").alias("res_milli"),
+        )
+    )
+    m = r.agg(
+        F.count("*").cast("long").alias("mm"),
+        F.sum("res_milli").cast("long").alias("s1"),
+        F.sum(F.col("res_milli") * F.col("res_milli")).cast("long")
+        .alias("s2"),
+    )
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mm = F.col("mm").cast("double")
+    var = (s2 - s1 * s1 / mm) / (mm - 1.0)
+    z = (F.col("res_milli").cast("double") - s1 / mm) / F.sqrt(var)
+    return (
+        r.crossJoin(F.broadcast(m))
+        .select(
+            "dy", "n", "res_milli",
+            F.when(
+                (F.col("mm") > 1) & (var > 0),
+                F.floor(z * 1_000_000).cast("long"),
+            ).alias("z_e6"),
+        )
+        .orderBy("dy")
+    )
