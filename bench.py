@@ -106,6 +106,11 @@ WARMUP_SF = "/root/testdata/sf0.001"
 
 
 def main() -> None:
+    # Load sentinel (VERDICT r5 #3): two consecutive rounds of +13-14%
+    # driver-bench drift were manually triaged as machine load — record
+    # 1/5/15-min loadavg before and after so the artifact itself carries
+    # the evidence next time.
+    load_before = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark("bench")
     queries = {name: spec.spark_fn for name, spec in all_queries().items()}
 
@@ -161,6 +166,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_before": load_before,
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(result))
 

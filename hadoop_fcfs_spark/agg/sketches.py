@@ -68,10 +68,11 @@ def kll_merge_fold(list_col: Column) -> Column:
     tail onto the head with the 2-arg scalar merge (Spark exposes no
     KLL merge-AGGREGATE, so callers collect_list a BOUNDED fan-in —
     days per type, state+delta — and fold here). Empty arrays yield
-    NULL; single-element arrays pass through."""
+    NULL (try_element_at seed — plain element_at(arr, 1) THROWS on an
+    empty array under ANSI); single-element arrays pass through."""
     return F.aggregate(
         F.slice(list_col, 2, F.greatest(F.size(list_col) - 1, F.lit(0))),
-        F.element_at(list_col, 1),
+        F.try_element_at(list_col, F.lit(1)),
         lambda acc, x: F.kll_sketch_merge_double(acc, x),
     )
 

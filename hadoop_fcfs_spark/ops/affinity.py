@@ -31,8 +31,13 @@ def _baskets(
     """Shared basket collapse: one sorted distinct item array per basket
     (map-side combined), oversized baskets dropped. Every pair/triple
     generator in this module starts here — keep the collapse in ONE
-    place so the dedup/cap semantics can't drift between them."""
-    baskets = df.select(basket_col, item_col).distinct().groupBy(basket_col).agg(
+    place so the dedup/cap semantics can't drift between them.
+
+    No pre-``distinct()``: collect_set already deduplicates per basket,
+    and a distinct here would add a SECOND full shuffle (distinct
+    exchange + groupBy exchange) on every pair/triple/RA path. Cap
+    semantics are unchanged — sizes are measured on the deduped array."""
+    baskets = df.select(basket_col, item_col).groupBy(basket_col).agg(
         F.sort_array(F.collect_set(item_col)).alias("__items")
     )
     if max_basket is not None:

@@ -294,6 +294,12 @@ def kcore(
     per round (bounded lineage). Peeling is MONOTONE (nodes only ever
     leave), so running extra rounds past the fixpoint changes nothing —
     a fixed-R unrolled oracle matches whenever R bounds convergence.
+    NOTE: the OPERATOR's bound is ``max_rounds`` (default 20, early-exit
+    on fixpoint); the `copurchase_kcore` GATE's oracle is unrolled at a
+    fixed 8 rounds — that 8 is a property of the gate, not of this
+    operator (convergence probed <=5 rounds at sf0.001/0.01/0.1; a data
+    change needing >8 peels would fail the GATE while the engine stays
+    right — an intentional tripwire).
     Returns (node, degree) for k-core members; empty if the core is
     empty."""
     if k < 1:

@@ -234,8 +234,10 @@ def trailing_band_join(
     shuffle spreads one user across time. The exact band predicate then
     filters within the bucket — results are identical to the naive join.
 
-    Timestamps must be non-negative epochs (``div`` truncates toward
-    zero; pre-1970 data would mis-bucket). The two sides must carry
+    Bucketing is exact FLOOR division (x − pmod(x, W)) div W — integer
+    ``div`` alone truncates toward zero, which mis-buckets pre-1970
+    (negative-epoch) timestamps and would silently drop true band
+    matches. The two sides must carry
     DISJOINT column names (the natural self-join shape needs the
     anchor side pre-renamed, e.g. user_id→p_user) — enforced here with
     a clear error instead of Spark's late AMBIGUOUS_REFERENCE. Output:
@@ -250,18 +252,23 @@ def trailing_band_join(
             f"{sorted(overlap)} — rename the anchor side (e.g. "
             f"user_id -> p_user) before joining"
         )
+    def _floor_bucket(ts_col: str) -> str:
+        # exact integer floor-div: pmod makes the remainder non-negative,
+        # so the subtraction is exactly divisible and div == floor for
+        # EITHER sign of epoch (plain div truncates toward zero).
+        x = f"unix_micros({ts_col})"
+        return f"(({x} - pmod({x}, {band_us})) div {band_us})"
+
     a = anchors.withColumn(
         "__abkt",
         F.explode(
             F.array(
-                F.expr(f"unix_micros({anchor_ts}) div {band_us}") - 1,
-                F.expr(f"unix_micros({anchor_ts}) div {band_us}"),
+                F.expr(_floor_bucket(anchor_ts)) - 1,
+                F.expr(_floor_bucket(anchor_ts)),
             )
         ),
     )
-    e = events.withColumn(
-        "__ebkt", F.expr(f"unix_micros({event_ts}) div {band_us}")
-    )
+    e = events.withColumn("__ebkt", F.expr(_floor_bucket(event_ts)))
     band = (F.col(event_ts) <= F.col(anchor_ts)) & (
         F.unix_micros(F.col(anchor_ts)) - F.unix_micros(F.col(event_ts))
         <= band_us

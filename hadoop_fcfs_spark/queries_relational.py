@@ -2607,7 +2607,10 @@ def _kcore_oracle(rounds: int, k: int) -> str:
     "aggregation + two anti-joins per round; peeling is monotone so "
     "the early-exiting Spark loop and the fixed-8-round unrolled "
     "oracle agree (probed convergence <= 5 rounds at all three SFs; "
-    "survivors non-empty at each). The degeneracy filter that "
+    "survivors non-empty at each). The 8-round bound is a property of "
+    "THIS GATE, not of ops.graph.kcore (max_rounds=20 early-exit): a "
+    "data change needing >8 peels fails the gate while the engine "
+    "stays right — an intentional tripwire. The degeneracy filter that "
     "preprocesses community detection at scale.",
 )
 def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,46 +44,48 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-# ROUND-6 REBUILD PROCEDURE (do this FIRST next round, before adding
-# gates): fold CORRECTNESS_r05's green names into _DRIVER_CONFIRMED_ROUND
-# with value 5, move any _NEVER_SAMPLED entries that got r5 rows out of
+# ROUND-7 REBUILD PROCEDURE (do this FIRST next round, before adding
+# gates): fold CORRECTNESS_r06's green names into _DRIVER_CONFIRMED_ROUND
+# with value 6, move any _NEVER_SAMPLED entries that got r6 rows out of
 # that tuple, and promote the still-unsampled remainder plus every gate
-# registered during round 5 (bucket 1 today — they sort after the 52 and
-# will mostly miss the r5 window) to the head of the new ordering. The
-# r4 lesson: an unrebuilt prefix re-samples already-confirmed gates and
-# the new ones never get hard driver evidence.
+# registered during round 6 (bucket 1 today) to the head of the new
+# ordering. The r4 lesson: an unrebuilt prefix re-samples
+# already-confirmed gates and the new ones never get hard driver
+# evidence.
 #
-# Driver-sampling order (rebuilt for round 5, per VERDICT r4 item #1).
+# Driver-sampling order (rebuilt for round 6, per VERDICT r5 item #1).
 #
 # The driver verifies a ~50-entry PREFIX of all_queries() per round, so the
-# ordering below is the round's evidence budget. State after round 4:
-# 211 registered gates, 159 with a fully-green driver CORRECTNESS row
-# (rows+schema+hash — union of CORRECTNESS_r01..r04, every gate green in its
-# latest sampling), and 52 late-r4 additions that have NEVER received a
-# driver row. Those 52 fill the round-5 window, ordered so the four gates
-# that already missed the r4 window (`event_transitions`, `trade_triangles`,
-# `prefiltered_revenue`, `copurchase_lift`) cannot slip a third round, then
-# oldest-registered-first; ~2 spill to round 6.
+# ordering below is the round's evidence budget. State after round 5:
+# 258 registered gates, 209 with a fully-green driver CORRECTNESS row
+# (rows+schema+hash — union of CORRECTNESS_r01..r05, every gate green in
+# its latest sampling, zero mismatches in five rounds), and 49 gates that
+# have NEVER received a driver row (the 47 r5 additions plus the two
+# twice-spilled r4 gates). Those 49 fill the round-6 window, ordered so
+# `debounce_events` and `linear_attribution` (which missed the r4 AND r5
+# windows) sit at positions 0-1 and cannot slip a third round, then
+# registration order. 49 <= the ~50-slot window: round 6 should close
+# driver coverage to 258/258.
 
 _NEVER_SAMPLED: tuple[str, ...] = (
-    "event_transitions", "trade_triangles", "prefiltered_revenue",
-    "copurchase_lift", "pareto_orders", "ewma_daily_events",
-    "theil_sen_trend", "chi2_source_lang", "ab_test_conversion",
-    "psi_price_drift", "kaplan_meier_retention", "rolling_wau",
-    "benford_price_audit", "spearman_qty_price", "weighted_median_price",
-    "new_vs_returning_daily", "event_seasonality", "qty_price_histogram2d",
-    "cohort_ltv_curve", "user_behavior_entropy", "shipping_lead_time",
-    "footer_table_stats", "dsir_selection", "bpe_pair_counts",
-    "knn_label_confusion", "hybrid_rank_fusion", "script_profile",
-    "tfidf_cosine_topk", "vocab_richness", "kcenter_coreset",
-    "corpus_pipeline_v4", "term_dictionary", "negative_table_draws",
-    "dup_family_histogram", "embedding_norm_qa", "langid_confusion",
-    "frequent_brand_triples", "lpa_communities", "trending_parts",
-    "concept_communities", "rfm_segments", "purchase_attribution",
-    "trade_degree_assortativity", "gini_order_values", "lorenz_deciles",
-    "hhi_supplier_concentration", "repeat_order_intervals",
-    "top_nations_with_other", "dead_stock_audit", "session_path_topk",
-    "debounce_events", "linear_attribution",
+    "debounce_events", "linear_attribution", "rolling_zscore_daily",
+    "interpolated_hourly_value", "abc_inventory_classes",
+    "wilson_conversion_bounds", "ols_qty_price_by_brand",
+    "ks_price_returnflag", "mwu_priority_price", "welch_acctbal_segments",
+    "acf_daily_events", "cusum_split_events", "bootstrap_mean_totalprice",
+    "nelson_aalen_hazard", "anova_acctbal_segments", "trimmed_mean_price",
+    "quantile_normalize_segments", "cms_heavy_change", "logrank_cohorts",
+    "weighted_quantile_ladder", "k_anonymity_customers",
+    "binseg_daily_events", "pacf_daily_events", "theta_churn_new_users",
+    "gini_by_nation", "weekday_adjusted_anomaly", "mutual_nn_pairs",
+    "greedy_gram_coverage", "temperature_mix_langs", "dedup_survivorship",
+    "corpus_pipeline_v5", "ngram_novelty_curve", "ann_ivf_recall",
+    "ks_source_drift", "corpus_qa_panel", "doc_keywords", "sssp_trade_cost",
+    "copurchase_kcore", "ivm_orders_yearly", "scd2_pit_join",
+    "ra_link_parts", "hits_trade_roles", "copurchase_eval_topk",
+    "markov_next_event_eval", "diversified_top_orders",
+    "frequent_subsequences", "temporal_split_audit",
+    "markov_stationary_events", "markov_entropy_rate",
 )
 
 _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
@@ -150,6 +152,27 @@ _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
     "token_budget_mix_weighted": 4, "top_supplier": 4, "volume_shipping": 4,
     "volume_trend": 4, "waiting_suppliers": 4, "weighted_sample_orders": 4,
     "winsorize_events": 4, "word_cooccurrence": 4,
+    # latest driver row: round 5 (50 gates)
+    "ab_test_conversion": 5, "benford_price_audit": 5, "bpe_pair_counts": 5,
+    "chi2_source_lang": 5, "cohort_ltv_curve": 5, "concept_communities": 5,
+    "copurchase_lift": 5, "corpus_pipeline_v4": 5, "dead_stock_audit": 5,
+    "dsir_selection": 5, "dup_family_histogram": 5, "embedding_norm_qa": 5,
+    "event_seasonality": 5, "event_transitions": 5, "ewma_daily_events": 5,
+    "footer_table_stats": 5, "frequent_brand_triples": 5,
+    "gini_order_values": 5, "hhi_supplier_concentration": 5,
+    "hybrid_rank_fusion": 5, "kaplan_meier_retention": 5,
+    "kcenter_coreset": 5, "knn_label_confusion": 5, "langid_confusion": 5,
+    "lorenz_deciles": 5, "lpa_communities": 5, "negative_table_draws": 5,
+    "new_vs_returning_daily": 5, "pareto_orders": 5,
+    "prefiltered_revenue": 5, "psi_price_drift": 5,
+    "purchase_attribution": 5, "qty_price_histogram2d": 5,
+    "repeat_order_intervals": 5, "rfm_segments": 5, "rolling_wau": 5,
+    "script_profile": 5, "session_path_topk": 5, "shipping_lead_time": 5,
+    "spearman_qty_price": 5, "term_dictionary": 5, "tfidf_cosine_topk": 5,
+    "theil_sen_trend": 5, "top_nations_with_other": 5,
+    "trade_degree_assortativity": 5, "trade_triangles": 5,
+    "trending_parts": 5, "user_behavior_entropy": 5, "vocab_richness": 5,
+    "weighted_median_price": 5,
 }
 
 

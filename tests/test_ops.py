@@ -1943,6 +1943,68 @@ def test_trailing_band_join_random_equivalence(spark):
     assert got == naive and len(got) > 0
 
 
+def test_trailing_band_join_negative_epochs(spark):
+    """Pre-1970 timestamps: bucketing must be FLOOR division, not
+    trunc-toward-zero — a trunc-div puts t=-1us and t=+1us in the SAME
+    bucket 0 and silently drops true band matches whose floor-buckets
+    differ (r5 ADVICE regression)."""
+    from datetime import datetime
+
+    from hadoop_fcfs_spark.ops.joins import trailing_band_join
+
+    W = 600_000_000  # 10 min
+    # anchor just after epoch 0, event just before: in-band (59s apart),
+    # but trunc-div buckets both to 0 while floor puts the event at -1 —
+    # under the OLD trunc code both land in bucket 0 and this pair is
+    # found by luck; the killer case is anchor in floor-bucket -1 whose
+    # explode {-2,-1} must cover an event in floor-bucket -2.
+    a = spark.createDataFrame(
+        [(1, 10, datetime(1969, 12, 31, 23, 51, 0))],  # floor-bucket -1
+        "p_user int, p_id int, p_ts timestamp",
+    )
+    e = spark.createDataFrame(
+        [
+            (1, "in", datetime(1969, 12, 31, 23, 42, 0)),  # 9min before, bucket -2
+            (1, "out", datetime(1969, 12, 31, 23, 40, 0)),  # 11min before
+        ],
+        "user_id int, channel string, ts timestamp",
+    )
+    got = {
+        r["channel"]
+        for r in trailing_band_join(
+            a, e, "p_user", "user_id", "p_ts", "ts", band_us=W
+        ).collect()
+    }
+    assert got == {"in"}
+
+
+def test_kll_merge_fold_empty_array_yields_null(spark):
+    """kll_merge_fold's contract: empty array -> NULL sketch (not an
+    ANSI INVALID_ARRAY_INDEX throw — r5 ADVICE regression)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.agg.sketches import kll_merge_fold, kll_partial
+
+    part = kll_partial(
+        spark.range(100).select((F.col("id") % 7).alias("g"), F.col("id").alias("v")),
+        ["g"],
+        "v",
+    )
+    rows = (
+        part.groupBy()
+        .agg(F.collect_list("kll_sketch").alias("sk"))
+        .select(
+            kll_merge_fold(F.col("sk")).alias("merged"),
+            kll_merge_fold(F.array().cast("array<binary>")).alias("empty"),
+            kll_merge_fold(F.slice(F.col("sk"), 1, 1)).alias("single"),
+        )
+        .collect()[0]
+    )
+    assert rows["merged"] is not None
+    assert rows["empty"] is None
+    assert rows["single"] is not None
+
+
 def test_ivm_merge_agg_delta_retractions(spark):
     from pyspark.sql import functions as F
 
