@@ -667,3 +667,87 @@ def test_r5_ranking_gates_bounded_window_state(spark):
     from hadoop_fcfs_spark.caching import release_waypoints
 
     release_waypoints()
+
+
+def _distinct_exchange_ids(plan: str, kind: str) -> set:
+    """Distinct plan_ids of Exchange nodes of the given partitioning
+    kind — the printed tree repeats a REUSED subtree at every consumer,
+    so counting raw occurrences over-counts; plan_id identity doesn't."""
+    import re
+
+    return {
+        m.group(1)
+        for m in re.finditer(
+            rf"Exchange {kind}[^\n]*\[plan_id=(\d+)\]", plan
+        )
+    }
+
+
+def test_global_as_of_join_single_range_exchange(spark):
+    """global_as_of_join's contract (r5): ONE range shuffle of the
+    tagged union does all the data movement; the per-partition carry-in
+    joins back as a BROADCAST of #partitions summary rows; and the
+    data-sized window is partition-bounded (__pid, __mid) — never a
+    global ORDER BY window over the data."""
+    from datetime import datetime, timedelta
+
+    from hadoop_fcfs_spark.caching import release_waypoints
+    from hadoop_fcfs_spark.ops.joins import global_as_of_join
+
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(base + timedelta(hours=i), i) for i in range(50)], "ts timestamp, x int"
+    )
+    right = spark.createDataFrame(
+        [(base + timedelta(hours=3 * i), i * 10) for i in range(15)],
+        "rts timestamp, v int",
+    )
+    df = global_as_of_join(left, right, "ts", "rts", ["v"])
+    plan = _plan(df)
+    # exactly one range-partitioning exchange (the tagged-union shuffle)
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
+    # carry-in comes back via broadcast joins, never a second data shuffle
+    assert "BroadcastHashJoin" in plan
+    # every data-sized window is partition-bounded on __pid
+    for line in plan.split("\n"):
+        if "windowspecdefinition(__pid" in line and "__mid" in line:
+            break
+    else:
+        raise AssertionError(f"no __pid-bounded window found:\n{plan}")
+    release_waypoints()
+
+
+def test_ks_two_sample_one_range_pass(spark):
+    """ks_two_sample (r5 hardening): BOTH cumulative columns ride ONE
+    global_running_sum range shuffle over the value grain (the naive
+    formulation pays two), and the grain collapse is a map-side-combined
+    aggregate BEFORE the range shuffle — the shuffle carries the
+    distinct-value grain, not raw rows."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    plan = _plan(Q["ks_price_returnflag"].spark_fn(spark, SF_ORACLE))
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, (
+        "KS must make exactly one range pass carrying both CDF columns"
+    )
+    # grain collapse with partial (map-side) aggregation feeds the pass
+    assert "partial_sum" in plan
+    release_waypoints()
+
+
+def test_poisson_bootstrap_repartition_before_explode(spark):
+    """poisson_bootstrap_mean: the xR replicate explode multiplies
+    per-row COMPUTE, so the input must be spread round-robin BEFORE the
+    Generate (one parquet file = one task would otherwise eat the whole
+    xR cost — the exact r5 gotcha, 16.9 -> 8.4 s cold); CI bounds are
+    TakeOrdered-bounded selections, never a global sort/window."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    plan = _plan(Q["bootstrap_mean_totalprice"].spark_fn(spark, SF_ORACLE))
+    gen = plan.index("Generate explode")
+    rr = plan.index("Exchange RoundRobinPartitioning", gen)
+    assert gen < rr, "explode must sit ABOVE (consume) the round-robin spread"
+    assert "TakeOrderedAndProject(limit=3" in plan
+    # replicate aggregation is map-side combined: the post-explode
+    # shuffle carries R x partitions summary rows only
+    assert "partial_sum((__w" in plan
+    release_waypoints()
