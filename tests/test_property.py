@@ -539,3 +539,152 @@ def test_quantile_normalize_random_matches_python_reference(spark):
            quantile_normalize(df, "v", "g").collect()}
     for g in "abc":
         assert got[g] == norm_group(g), g
+
+
+def test_welch_and_anova_random_match_python_reference(spark):
+    """Welch t and one-way ANOVA vs a pure-Python reference that
+    replays the EXACT expression shape (cent quantization, identical
+    IEEE operation order). Welch's per-arm moments are order-free so
+    the floor is exact; ANOVA's k-element Σ S1²/n is an engine-ordered
+    float sum (documented pagerank-precedent risk class) so f_e6 gets
+    a ±1 ulp-flip allowance."""
+    import math
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import anova_oneway, welch_ttest
+
+    rng = random.Random(17)
+    for trial in range(3):
+        groups = {
+            g: [rng.randint(-400, 900) / 100.0 + i for _ in range(rng.randint(3, 30))]
+            for i, g in enumerate("abcd"[: rng.randint(2, 4)])
+        }
+        rows = [(g, v) for g, vs in groups.items() for v in vs]
+        df = spark.createDataFrame(rows, "g string, v double")
+
+        def moments(vs):
+            q = [math.floor(v * 100) for v in vs]
+            return len(q), sum(q), sum(x * x for x in q)
+
+        # Welch reference on arms a/b, replaying the operator's shape
+        na, s1a, s2a = moments(groups["a"])
+        nb, s1b, s2b = moments(groups["b"])
+        va = (s2a - s1a * s1a / na) / (na - 1)
+        vb = (s2b - s1b * s1b / nb) / (nb - 1)
+        sea, seb = va / na, vb / nb
+        t = (s1a / na - s1b / nb) / math.sqrt(sea + seb)
+        dfw = (sea + seb) * (sea + seb) / (
+            sea * sea / (na - 1) + seb * seb / (nb - 1)
+        )
+        r = welch_ttest(df, "v", "g", "a", "b").collect()[0]
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert r["t_e6"] == math.floor(t * 1_000_000)
+        assert r["df_e3"] == math.floor(dfw * 1_000)
+
+        # ANOVA reference over all groups
+        ms = [moments(vs) for vs in groups.values()]
+        k = len(ms)
+        nn = sum(m[0] for m in ms)
+        ts1 = sum(m[1] for m in ms)
+        ts2 = sum(m[2] for m in ms)
+        sgm = sum(m[1] * m[1] / m[0] for m in ms)
+        ssb = sgm - ts1 * ts1 / nn
+        ssw = ts2 - sgm
+        f = (ssb / (k - 1)) / (ssw / (nn - k))
+        a = anova_oneway(df, "v", "g").collect()[0]
+        assert (a["k_groups"], a["n_rows"]) == (k, nn)
+        assert abs(a["f_e6"] - math.floor(f * 1_000_000)) <= 1
+        assert (a["df_between"], a["df_within"]) == (k - 1, nn - k)
+
+
+def test_nelson_aalen_and_logrank_random_match_python_reference(spark):
+    """Survival pair vs pure-Python references: Nelson-Aalen's
+    cumulative hazard (nano-floored steps summed as ints — exact) and
+    the log-rank O/E/V/z on random censored two-group data."""
+    import math
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import logrank_test, nelson_aalen
+
+    rng = random.Random(29)
+    for _ in range(3):
+        subj = [
+            (rng.choice(["x", "y"]), rng.randint(1, 12), rng.random() < 0.3)
+            for _ in range(rng.randint(12, 80))
+        ]
+        df = spark.createDataFrame(subj, "g string, t int, censored boolean")
+
+        # Nelson-Aalen reference (pooled, both groups)
+        times = sorted({t for _, t, _ in subj})
+        total = len(subj)
+        cum, ref = 0, {}
+        for t in times:
+            n_risk = total - sum(1 for _, tt, _ in subj if tt < t)
+            d = sum(1 for _, tt, c in subj if tt == t and not c)
+            cum += math.floor(d / n_risk * 1_000_000_000)
+            if d > 0:
+                ref[t] = (n_risk, d, cum)
+        got = {
+            r["t"]: (r["n_risk"], r["d_events"], r["hazard_e9"])
+            for r in nelson_aalen(df, "t", "censored").collect()
+        }
+        assert got == ref
+
+        # log-rank reference
+        n1t = sum(1 for g, _, _ in subj if g == "x")
+        n2t = total - n1t
+        o1 = e9 = v9 = 0
+        for t in times:
+            r1 = n1t - sum(1 for g, tt, _ in subj if g == "x" and tt < t)
+            r2 = n2t - sum(1 for g, tt, _ in subj if g == "y" and tt < t)
+            n = r1 + r2
+            d1 = sum(1 for g, tt, c in subj if g == "x" and tt == t and not c)
+            d2 = sum(1 for g, tt, c in subj if g == "y" and tt == t and not c)
+            d = d1 + d2
+            if d == 0:
+                continue
+            o1 += d1
+            e9 += math.floor(d * r1 / n * 1_000_000_000.0)
+            if n > 1:
+                v9 += math.floor(
+                    d * (r1 / n) * (1.0 - r1 / n) * ((n - d) / (n - 1.0))
+                    * 1_000_000_000.0
+                )
+        lr = logrank_test(df, "t", "censored", "g", "x", "y").collect()[0]
+        assert (lr["n_1"], lr["n_2"], lr["o_1"]) == (n1t, n2t, o1)
+        assert (lr["e1_e9"], lr["v_e9"]) == (e9, v9)
+        if v9 > 0:
+            z = (o1 * 1_000_000_000 - e9) / math.sqrt(1_000_000_000.0 * v9)
+            assert lr["z_e6"] == math.floor(z * 1_000_000)
+
+
+def test_gini_by_group_random_matches_python_reference(spark):
+    """Per-group Gini vs the classical sorted-rank formula
+    G = (2*Σ r·x − (n+1)*Σx)/(n*Σx) computed in pure Python on cent
+    values — consecutive tie ranks by id match fractional-rank G by
+    the tie-block invariance the docstring claims."""
+    import math
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import gini_by_group
+
+    rng = random.Random(31)
+    rows = [
+        (rng.choice(["p", "q", "r"]), i, rng.randint(0, 40000) / 100.0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    got = {
+        r["g"]: (r["n"], r["total_q"], r["gini_e6"])
+        for r in gini_by_group(df, "g", "v", "id").collect()
+    }
+    for g in "pqr":
+        vals = sorted(
+            (math.floor(v * 100), i) for gg, i, v in rows if gg == g
+        )
+        n = len(vals)
+        tot = sum(q for q, _ in vals)
+        srx = sum((r + 1) * q for r, (q, _) in enumerate(vals))
+        ref = math.floor((2.0 * srx - (n + 1.0) * tot) / (n * 1.0 * tot) * 1_000_000)
+        assert got[g][:2] == (n, tot)
+        assert got[g][2] == ref
