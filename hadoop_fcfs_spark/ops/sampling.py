@@ -510,3 +510,30 @@ def poisson_bootstrap_mean(
         ).cast("long").alias("mean_e4"),
     )
     return overall.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+
+
+def shard_assignment(
+    df: DataFrame, id_col: str, n_shards: int
+) -> DataFrame:
+    """Deterministic globally-shuffled training-shard assignment:
+    shard = floor(uniform32(md5(id)) · n_shards / 2³²) — the export
+    "last mile" of a training-data pipeline (reference parity: the
+    TotalOrderPartitioner/hash-Partitioner job that fanned a corpus
+    into reducer output files; here the md5 tier makes the shuffle
+    REPLAYABLE — rebuilding any one shard never touches the others).
+
+    Hashing the id (not taking rows in storage order) is the point:
+    source/time locality in the input layout decorrelates, so every
+    shard is an i.i.d. sample of the corpus and per-shard statistics
+    concentrate (n_docs CV ≈ 1/√(N/S)). Pure per-row expression — no
+    shuffle, no RNG state, stable under repartitioning; the integer
+    product (u32 < 2³² times n_shards) stays well inside BIGINT for
+    any practical shard count (< 2³¹). Writers partitionBy the shard
+    column; ``training_shard_manifest`` is the accounting twin."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    # u32·n is positive, so shiftright-32 IS floor(u32·n/2³²) — exact
+    # integer arithmetic, never a double division
+    return df.withColumn(
+        "shard", F.shiftright(_sample_key(id_col) * n_shards, 32).cast("long")
+    )

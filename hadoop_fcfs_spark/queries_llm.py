@@ -3369,3 +3369,43 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf_e6", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "training_shard_manifest",
+    oracle="""
+    SELECT (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            * 8) // 4294967296 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY 1
+    """,
+    doc="Training-shard export manifest: deterministic md5-shuffled "
+    "shard assignment (ops.sampling.shard_assignment — shard = "
+    "floor(uniform32(md5(doc_id)) * 8 / 2^32), exact shiftright "
+    "arithmetic) + per-shard accounting (doc count, char budget, "
+    "source/lang mixing audit). The export last-mile of a training "
+    "pipeline: hashing the id decorrelates source/time locality so "
+    "every shard is an i.i.d. corpus sample (writers partitionBy "
+    "the shard column; this manifest is the audit twin). One "
+    "map-side-combined groupBy over n_shards keys — the distinct "
+    "counts are per-shard-bounded. Reference parity: the "
+    "hash-Partitioner fan-out into reducer output files, made "
+    "replayable (rebuilding one shard never touches the others).",
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sampling import shard_assignment
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        shard_assignment(docs, "doc_id", 8)
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )

@@ -2604,3 +2604,31 @@ def test_pacf_lag2_matches_python_closed_form(spark):
         [(i, float(i % 2)) for i in range(10)], "i long, v double"
     )
     assert pacf_lag2(alt, "i", "v").collect()[0]["pacf2_e6"] is None
+
+
+def test_shard_assignment_deterministic_partition_invariant_balanced(spark):
+    """shard_assignment: total function into [0, n_shards), identical
+    under repartitioning (pure per-row md5 expression — the replayable
+    property that lets one shard rebuild without touching others), and
+    statistically balanced; n_shards=1 degenerates to all-zero."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.sampling import shard_assignment
+
+    import pytest
+
+    df = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["shard"] for r in shard_assignment(df, "doc_id", 16).collect()}
+    b = {
+        r["doc_id"]: r["shard"]
+        for r in shard_assignment(df.repartition(13), "doc_id", 16).collect()
+    }
+    assert a == b and len(a) == 4000
+    assert set(a.values()) == set(range(16))
+    sizes = [sum(1 for s in a.values() if s == i) for i in range(16)]
+    # i.i.d. balance: each shard ~250, allow 5 sigma (~79)
+    assert all(abs(s - 250) < 80 for s in sizes), sizes
+    one = shard_assignment(df, "doc_id", 1).agg(F.max("shard"), F.min("shard")).collect()[0]
+    assert one == (0, 0)
+    with pytest.raises(ValueError):
+        shard_assignment(df, "doc_id", 0)
