@@ -751,3 +751,36 @@ def test_poisson_bootstrap_repartition_before_explode(spark):
     # shuffle carries R x partitions summary rows only
     assert "partial_sum((__w" in plan
     release_waypoints()
+
+
+def test_basket_pairs_two_shuffles_no_predistinct(spark):
+    """basket_pairs pays exactly TWO hash exchanges (basket collapse,
+    pair count) — the r5-advice pre-distinct added a third full shuffle
+    on every pair/triple/RA path; collect_set dedups already."""
+    from hadoop_fcfs_spark.ops.affinity import basket_pairs
+
+    df = spark.createDataFrame(
+        [(i % 7, f"it{i % 5}") for i in range(100)], "b int, it string"
+    )
+    plan = _plan(basket_pairs(df, "b", "it"))
+    assert len(_distinct_exchange_ids(plan, "hashpartitioning")) == 2, plan
+
+
+def test_temperature_mix_data_never_shuffles(spark):
+    """temperature_mix's scale claim: the DATA rows never shuffle —
+    the group-count summary aggregates (its own small exchanges) and
+    rejoins as a BROADCAST; the keep/drop decision is a pure per-row
+    md5 filter. A hash exchange carrying the id column would mean the
+    corpus itself moved."""
+    from hadoop_fcfs_spark.ops.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(f"l{i % 5}", i) for i in range(500)], "lang string, doc_id int"
+    )
+    plan = _plan(temperature_mix(df, "lang", "doc_id", 1, 2))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # no data-carrying shuffle: every hash exchange in the plan is over
+    # the group summary (count column), never over the id rows
+    for line in plan.split("\n"):
+        if "Exchange hashpartitioning" in line:
+            assert "doc_id" not in line, line
