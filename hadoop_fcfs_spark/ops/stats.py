@@ -1454,3 +1454,60 @@ def gini_by_group(
             F.floor(num / (nd * td) * 1_000_000).cast("long"),
         ).alias("gini_e6"),
     )
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa: chance-corrected agreement between two
+    categorical labelings of the same rows — the labeling-QA scalar
+    (rater-vs-rater, model-vs-truth) where raw accuracy flatters any
+    skewed label distribution. κ = (p_o − p_e)/(1 − p_e) with p_e from
+    the raters' marginals.
+
+    Exact-integer path: with n rows, observed agreement a = Σ[A=B] and
+    expected-agreement numerator e = Σ_label cnt_A(l)·cnt_B(l), kappa
+    is the exact rational (n·a − e)/(n² − e) — computed as one double
+    division at the end, floored to e6 (n·a and n² stay inside BIGINT
+    to n ~3e9 rows). Scale shape: one count pass (map-side combined),
+    two marginal aggregates over #labels keys joined label-to-label
+    (broadcast-sized by contract: label vocabularies are small), no
+    data shuffle beyond the marginal aggregates. Rows with a NULL on
+    either side are excluded (no labeling to agree about). NULL kappa
+    when n² = e (both raters constant — chance agreement is total and
+    κ is undefined). Output: 1 row (n, n_agree, pe_num, kappa_e6)."""
+    pairs = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+    base = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    ca = pairs.groupBy(F.col("__a").alias("__l")).agg(
+        F.count("*").cast("long").alias("__ca")
+    )
+    cb = pairs.groupBy(F.col("__b").alias("__l")).agg(
+        F.count("*").cast("long").alias("__cb")
+    )
+    pe = (
+        ca.join(cb, "__l")
+        .agg(
+            F.coalesce(F.sum(F.col("__ca") * F.col("__cb")), F.lit(0))
+            .cast("long")
+            .alias("pe_num")
+        )
+    )
+    n, a, e = (
+        F.col("n").cast("double"),
+        F.col("n_agree").cast("double"),
+        F.col("pe_num").cast("double"),
+    )
+    return base.crossJoin(F.broadcast(pe)).select(
+        "n",
+        "n_agree",
+        "pe_num",
+        F.when(
+            F.col("n") * F.col("n") != F.col("pe_num"),
+            F.floor((n * a - e) / (n * n - e) * 1_000_000).cast("long"),
+        ).alias("kappa_e6"),
+    )

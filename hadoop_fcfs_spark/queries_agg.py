@@ -3197,3 +3197,92 @@ def weekday_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dy")
     )
+
+
+@register(
+    "loo_priority_price",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS cat,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sq
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN n > 1 THEN
+             CAST(FLOOR(CAST(sq - CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                             AS DOUBLE)
+                        / CAST(n - 1 AS DOUBLE) / 100 * 10000) AS BIGINT)
+           END AS loo_e4
+    FROM orders JOIN s ON o_orderpriority = s.cat
+    """,
+    doc="Leave-one-out target encoding of order price by priority "
+    "(ops.encode.loo_target_encode): each order's feature is the mean "
+    "totalprice of the OTHER orders in its priority class - the "
+    "leakage-safe mean encoding a feature pipeline materializes "
+    "before training (plain per-class means leak each row's own "
+    "label). Exact BIGINT (n, S) per class from one map-side-combined "
+    "pass, summary BROADCAST back, per-row encode = one subtraction + "
+    "one division (floored e4) - the data rows never shuffle. "
+    "Reference parity: the two-job aggregate-then-mapside-join "
+    "DataJoin idiom collapsed to one broadcast.",
+)
+def loo_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.encode import loo_target_encode
+
+    o = t(spark, sf_dir, "orders")
+    return loo_target_encode(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_orderpriority",
+        "o_totalprice",
+    ).select("o_orderkey", "o_orderpriority", "loo_e4")
+
+
+@register(
+    "woe_price_returns",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS bin,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS n_bad
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_good) AS BIGINT) AS tg,
+             CAST(SUM(n_bad) AS BIGINT) AS tb
+      FROM per
+    )
+    SELECT bin, n_good, n_bad,
+           CASE WHEN n_good > 0 AND n_bad > 0 THEN
+             CAST(FLOOR(ln((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE))
+                           / (CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE)))
+                        * 1000000) AS BIGINT)
+           END AS woe_e6,
+           CASE WHEN n_good > 0 AND n_bad > 0 THEN
+             CAST(FLOOR((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE)
+                         - CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE))
+                        * ln((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE))
+                             / (CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE)))
+                        * 1000000000000) AS BIGINT)
+           END AS iv_term_e12
+    FROM per CROSS JOIN tot
+    """,
+    doc="Weight-of-evidence binning of line price vs returned-flag "
+    "(ops.encode.woe_iv, fixed 10k-wide price bins): per-bin "
+    "WOE = ln((g/G)/(b/B)) floored e6 plus e12-floored IV terms whose "
+    "BIGINT sum is the feature's information value - the classical "
+    "credit-scoring feature screen, exact counts + one ln per bin "
+    "(tf_idf ln-parity precedent). Bins empty in either class emit "
+    "NULL (visible for audit, never silently smoothed). One "
+    "map-side-combined aggregate over #bins keys + a broadcast "
+    "totals row.",
+)
+def woe_price_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.encode import woe_iv
+
+    li = t(spark, sf_dir, "lineitem")
+    return woe_iv(
+        li,
+        F.floor(F.col("l_extendedprice") / 10000).cast("long"),
+        F.col("l_returnflag") == "R",
+    )

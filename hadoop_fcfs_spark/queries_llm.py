@@ -45,6 +45,29 @@ _TOKS = """
     )
 """
 
+# Shared language-ID prediction CTE chain (the SQL replay of
+# llm.textan.lang_id) — composed by BOTH langid gates
+# (`langid_confusion`, `langid_kappa`) so the replay can't drift
+# between them (the corpus_qa_panel shared-fragment precedent).
+_LANGID_PRED_CTES = f"""{_TOKS},
+    scores AS (
+      SELECT doc_id,
+        ROUND(SUM(CASE WHEN lower(w) IN ({_DE}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_de,
+        ROUND(SUM(CASE WHEN lower(w) IN ({_EN}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_en,
+        ROUND(SUM(CASE WHEN lower(w) IN ({_ES}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_es,
+        ROUND(SUM(CASE WHEN lower(w) IN ({_FR}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_fr
+      FROM toks GROUP BY doc_id
+    ),
+    pred AS (
+      SELECT doc_id,
+        CASE WHEN GREATEST(score_de, score_en, score_es, score_fr) <= 0 THEN 'und'
+             WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
+             WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
+             WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
+             ELSE 'fr' END AS lang_pred
+      FROM scores
+    )"""
+
 
 @register(
     "dedup_exact",
@@ -2637,24 +2660,7 @@ def embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "langid_confusion",
     oracle=f"""
-    WITH {_TOKS},
-    scores AS (
-      SELECT doc_id,
-        ROUND(SUM(CASE WHEN lower(w) IN ({_DE}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_de,
-        ROUND(SUM(CASE WHEN lower(w) IN ({_EN}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_en,
-        ROUND(SUM(CASE WHEN lower(w) IN ({_ES}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_es,
-        ROUND(SUM(CASE WHEN lower(w) IN ({_FR}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_fr
-      FROM toks GROUP BY doc_id
-    ),
-    pred AS (
-      SELECT doc_id,
-        CASE WHEN GREATEST(score_de, score_en, score_es, score_fr) <= 0 THEN 'und'
-             WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
-             WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
-             WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
-             ELSE 'fr' END AS lang_pred
-      FROM scores
-    )
+    WITH {_LANGID_PRED_CTES}
     SELECT d.lang AS true_lang, COALESCE(p.lang_pred, 'und') AS pred_lang,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM documents d LEFT JOIN pred p USING (doc_id)
@@ -3409,3 +3415,57 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").cast("long").alias("n_langs"),
         )
     )
+
+
+@register(
+    "langid_kappa",
+    oracle=f"""
+    WITH {_LANGID_PRED_CTES},
+    pairs AS (
+      SELECT d.lang AS a, COALESCE(p.lang_pred, 'und') AS b
+      FROM documents d LEFT JOIN pred p USING (doc_id)
+    ),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      FROM pairs
+    ),
+    ca AS (SELECT a AS l, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY 1),
+    cb AS (SELECT b AS l, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY 1),
+    pe AS (
+      SELECT CAST(COALESCE(SUM(ca.c * cb.c), 0) AS BIGINT) AS pe_num
+      FROM ca JOIN cb USING (l)
+    )
+    SELECT n, n_agree, pe_num,
+           CASE WHEN n * n <> pe_num THEN
+             CAST(FLOOR((CAST(n AS DOUBLE) * CAST(n_agree AS DOUBLE)
+                         - CAST(pe_num AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                           - CAST(pe_num AS DOUBLE)) * 1000000) AS BIGINT)
+           END AS kappa_e6
+    FROM base CROSS JOIN pe
+    """,
+    doc="Cohen's kappa between the stopword-heuristic language "
+    "prediction and the corpus lang label (ops.stats.cohens_kappa "
+    "over the langid_confusion pairing) - the chance-corrected "
+    "labeling-QA scalar raw accuracy can't give on a skewed lang "
+    "mix. Exact-integer numerators (n*agree, marginal product sum), "
+    "one double division floored to e6; the oracle composes the "
+    "SHARED _LANGID_PRED_CTES fragment so the prediction replay "
+    "cannot drift from the confusion gate's.",
+)
+def langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import cohens_kappa
+
+    from hadoop_fcfs_spark.llm.textan import lang_id
+
+    docs = t(spark, sf_dir, "documents")
+    pred = lang_id(docs, "doc_id", "text").select("doc_id", "lang_pred")
+    pairs = (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id", "left")
+        .select(
+            "lang", F.coalesce("lang_pred", F.lit("und")).alias("lang_pred")
+        )
+    )
+    return cohens_kappa(pairs, "lang", "lang_pred")

@@ -534,3 +534,53 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_transitions"),
         )
     )
+
+
+@register(
+    "rolling_origin_folds_events",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    mx AS (SELECT MAX(d) AS m FROM g),
+    folds AS (SELECT * FROM (VALUES (1), (2), (3), (4)) f(fold)),
+    lab AS (
+      SELECT fold,
+             m - (fold - 1) * 14 AS test_end,
+             m - (fold * 14 - 1) AS test_start,
+             m - fold * 14 AS train_end
+      FROM folds CROSS JOIN mx
+    )
+    SELECT CAST(fold AS INT) AS fold,
+           CAST(train_end AS VARCHAR) AS train_end_day,
+           CAST(test_start AS VARCHAR) AS test_start_day,
+           CAST(test_end AS VARCHAR) AS test_end_day,
+           CAST(SUM(CASE WHEN d <= train_end THEN c ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN d >= test_start AND d <= test_end THEN c ELSE 0 END) AS BIGINT) AS n_test
+    FROM lab CROSS JOIN g
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="Rolling-origin backtest folds over the event stream "
+    "(ops.timeseries.rolling_origin_folds, 4 folds x 14 test days): "
+    "fold i tests on the 14-day window ending i windows before the "
+    "series end and trains on everything strictly before it - the "
+    "expanding-window CV scheme that never lets a fold see its own "
+    "future (the multi-fold generalization of temporal_split_audit). "
+    "One day-grain aggregate over the raw rows, then a folds x days "
+    "summary cross join re-aggregated - raw data touched once, fold "
+    "table broadcast.",
+)
+def rolling_origin_folds_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.timeseries import rolling_origin_folds
+
+    ev = t(spark, sf_dir, "events")
+    out = rolling_origin_folds(ev, "ts", n_folds=4, test_days=14)
+    return out.select(
+        "fold",
+        F.col("train_end_day").cast("string").alias("train_end_day"),
+        F.col("test_start_day").cast("string").alias("test_start_day"),
+        F.col("test_end_day").cast("string").alias("test_end_day"),
+        "n_train",
+        "n_test",
+    )

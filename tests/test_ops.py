@@ -2632,3 +2632,113 @@ def test_shard_assignment_deterministic_partition_invariant_balanced(spark):
     assert one == (0, 0)
     with pytest.raises(ValueError):
         shard_assignment(df, "doc_id", 0)
+
+
+def test_loo_target_encode_hand_values(spark):
+    """LOO encode on a tiny hand-computed frame: each row gets the mean
+    of the OTHERS in its category; singletons and NULL targets NULL."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.encode import loo_target_encode
+
+    rows = [
+        ("a", 1, 10.0),
+        ("a", 2, 20.0),
+        ("a", 3, 30.0),
+        ("b", 4, 5.0),     # singleton -> NULL
+        ("c", 5, 7.0),
+        ("c", 6, None),    # NULL target -> NULL encode, excluded from S
+        ("c", 7, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "cat string, id int, y double")
+    got = {
+        r["id"]: r["loo_e4"]
+        for r in loo_target_encode(df, "cat", "y").collect()
+    }
+    assert got[1] == 250_000      # mean(20,30)=25 -> 25e4
+    assert got[2] == 200_000
+    assert got[3] == 150_000
+    assert got[4] is None
+    assert got[5] == 90_000       # mean(9)=9 (NULL row excluded from n,S)
+    assert got[6] is None
+    assert got[7] == 70_000
+
+
+def test_woe_iv_hand_values_and_empty_class_bins(spark):
+    """WOE/IV on a hand frame: known ln ratios; a bin missing one class
+    emits NULL woe/iv (audit-visible, not smoothed); IV terms sum to
+    the textbook IV."""
+    import math
+
+    from hadoop_fcfs_spark.ops.encode import woe_iv
+
+    # bin 0: 2 good 1 bad; bin 1: 1 good 3 bad; bin 2: 1 good 0 bad
+    rows = [(0, True), (0, True), (0, False),
+            (1, True), (1, False), (1, False), (1, False),
+            (2, True)]
+    df = spark.createDataFrame(rows, "bin int, flag boolean")
+    got = {r["bin"]: r for r in woe_iv(df, "bin", "flag").collect()}
+    G, B = 4, 4
+    for b, (g, bad) in {0: (2, 1), 1: (1, 3)}.items():
+        woe = math.log((g / G) / (bad / B))
+        assert got[b]["woe_e6"] == math.floor(woe * 1e6)
+        assert got[b]["iv_term_e12"] == math.floor(
+            (g / G - bad / B) * woe * 1e12
+        )
+    assert got[2]["woe_e6"] is None and got[2]["iv_term_e12"] is None
+    assert (got[0]["n_good"], got[0]["n_bad"]) == (2, 1)
+
+
+def test_cohens_kappa_hand_and_degenerate(spark):
+    """Kappa against the textbook 2x2 worked example; perfect agreement
+    = 1.0; constant raters (pe = n^2) -> NULL."""
+    from hadoop_fcfs_spark.ops.stats import cohens_kappa
+
+    # classic: n=50, a: 25/25, b: 30/20, agree=20+15=35
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    n, agree, pe = 50, 35, 25 * 30 + 25 * 20
+    assert (r["n"], r["n_agree"], r["pe_num"]) == (n, agree, pe)
+    import math
+
+    assert r["kappa_e6"] == math.floor(
+        (n * agree - pe) / (n * n - pe) * 1_000_000
+    )
+    perfect = spark.createDataFrame([("x", "x"), ("z", "z")], "a string, b string")
+    assert cohens_kappa(perfect, "a", "b").collect()[0]["kappa_e6"] == 1_000_000
+    const = spark.createDataFrame([("x", "x"), ("x", "x")], "a string, b string")
+    assert cohens_kappa(const, "a", "b").collect()[0]["kappa_e6"] is None
+
+
+def test_rolling_origin_folds_hand_values(spark):
+    """Folds on a 10-day synthetic stream, 3 folds x 2 test days: train
+    never overlaps test, test windows tile backwards from the max day,
+    counts match a hand partition; an empty-train fold still emits."""
+    from datetime import datetime
+
+    from hadoop_fcfs_spark.ops.timeseries import rolling_origin_folds
+
+    import pytest
+
+    rows = [
+        (datetime(2024, 5, d, 12, 0, 0),) for d in range(1, 11) for _ in range(d)
+    ]  # day d has d events, days 1..10
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = {r["fold"]: r for r in rolling_origin_folds(df, "ts", 3, 2).collect()}
+    assert len(got) == 3
+    # fold 1: test {9,10}=19, train 1..8 = 36
+    assert (got[1]["n_test"], got[1]["n_train"]) == (19, 36)
+    assert (got[1]["test_start_day"].isoformat(), got[1]["test_end_day"].isoformat()) == ("2024-05-09", "2024-05-10")
+    assert got[1]["train_end_day"].isoformat() == "2024-05-08"
+    # fold 2: test {7,8}=15, train 1..6 = 21; fold 3: test {5,6}=11, train 1..4 = 10
+    assert (got[2]["n_test"], got[2]["n_train"]) == (15, 21)
+    assert (got[3]["n_test"], got[3]["n_train"]) == (11, 10)
+    # 5 folds x 2 days: fold 5 tests {1,2}, train side empty but emitted
+    got5 = {r["fold"]: r for r in rolling_origin_folds(df, "ts", 5, 2).collect()}
+    assert (got5[5]["n_test"], got5[5]["n_train"]) == (3, 0)
+    with pytest.raises(ValueError):
+        rolling_origin_folds(df, "ts", 0, 2)
