@@ -784,3 +784,29 @@ def test_temperature_mix_data_never_shuffles(spark):
     for line in plan.split("\n"):
         if "Exchange hashpartitioning" in line:
             assert "doc_id" not in line, line
+
+
+def test_encode_ops_data_never_shuffles(spark):
+    """loo_target_encode / woe_iv scale claims: the only aggregates
+    are category/bin-keyed summaries that BROADCAST back — the data
+    rows themselves never ride a hash exchange (same contract as
+    temperature_mix)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.encode import loo_target_encode, woe_iv
+
+    df = spark.createDataFrame(
+        [("c%d" % (i % 4), i, float(i % 50), i % 3 == 0) for i in range(300)],
+        "cat string, rid int, y double, flag boolean",
+    )
+    loo = _plan(loo_target_encode(df, "cat", "y"))
+    assert "BroadcastHashJoin" in loo
+    for line in loo.split("\n"):
+        if "Exchange hashpartitioning" in line:
+            assert "rid" not in line, line
+    woe = _plan(woe_iv(df, F.col("cat"), F.col("flag")))
+    # per-bin + totals aggregates only; the rejoin is a broadcast
+    assert "BroadcastNestedLoopJoin" in woe or "BroadcastHashJoin" in woe
+    for line in woe.split("\n"):
+        if "Exchange hashpartitioning" in line:
+            assert "rid" not in line, line
