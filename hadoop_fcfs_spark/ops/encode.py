@@ -112,3 +112,92 @@ def woe_iv(
             ).alias("iv_term_e12"),
         )
     )
+
+
+def grouped_quartiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Exact per-group quartiles (q1, median, q3) in 1/``scale`` units,
+    lower-quantile convention: the smallest value whose cumulative count
+    crosses p·n (integer cross-multiplied — never a float percentile).
+
+    Scale shape: collapse to the per-group VALUE GRAIN once (map-side
+    combined), cumulative counts via ops.sort.chunked_running_sum
+    (value-bucket chunks — a corpus-sized group never funnels through
+    one window task), then the three crossings fall out of ONE
+    aggregation over grain rows. Output: one row per group
+    (group, n, q1_q, med_q, q3_q) — quantized integers."""
+    from hadoop_fcfs_spark.ops.sort import chunked_running_sum
+
+    q = F.floor(F.col(value_col) * scale).cast("long")
+    grain = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"), q.alias("__q"))
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    cum = chunked_running_sum(
+        grain, ["__g"], F.shiftright(F.col("__q"), 16), ["__q"], "__c",
+        out_col="__cum",
+    )
+    n = grain.groupBy("__g").agg(F.sum("__c").cast("long").alias("__n"))
+    return (
+        cum.join(n, "__g")
+        .groupBy("__g")
+        .agg(
+            F.max("__n").alias("n"),
+            F.min(F.when(4 * F.col("__cum") >= F.col("__n"), F.col("__q")))
+            .alias("q1_q"),
+            F.min(F.when(2 * F.col("__cum") >= F.col("__n"), F.col("__q")))
+            .alias("med_q"),
+            F.min(F.when(4 * F.col("__cum") >= 3 * F.col("__n"), F.col("__q")))
+            .alias("q3_q"),
+        )
+        .select(F.col("__g").alias(group_col), "n", "q1_q", "med_q", "q3_q")
+    )
+
+
+def robust_scale(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+    out_col: str = "robust_e6",
+) -> DataFrame:
+    """Per-group robust scaling (x − median)/IQR — the outlier-immune
+    normalization feature pipelines prefer over z-scores when the raw
+    column is heavy-tailed (a whale order moves a mean and stddev; it
+    moves a median and IQR not at all). Completes the encode tier:
+    mean-encode (loo_target_encode), evidence-encode (woe_iv),
+    scale-normalize (this).
+
+    Determinism: median/IQR are EXACT quantized integers from
+    ``grouped_quartiles`` (lower-crossing convention, integer
+    cross-multiplies); the per-row scale is then one subtraction and
+    one correctly-rounded division, floored to e6. The #groups-row
+    quartile summary broadcasts back — the data rows never shuffle.
+    NULL when the group's IQR is 0 (constant-bodied group: scaling is
+    undefined, left visible rather than forced to 0) or the value is
+    NULL."""
+    qcol = F.floor(F.col(value_col) * scale).cast("long")
+    quarts = grouped_quartiles(df, group_col, value_col, scale).select(
+        F.col(group_col).alias("__qg"), "q1_q", "med_q", "q3_q"
+    )
+    scaled = (
+        (qcol - F.col("med_q")).cast("double")
+        / (F.col("q3_q") - F.col("q1_q")).cast("double")
+    )
+    return (
+        df.join(F.broadcast(quarts), F.col(group_col) == F.col("__qg"), "left")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col(value_col).isNotNull()
+                & (F.col("q3_q") > F.col("q1_q")),
+                F.floor(scaled * 1_000_000).cast("long"),
+            ),
+        )
+        .drop("__qg", "q1_q", "med_q", "q3_q")
+    )

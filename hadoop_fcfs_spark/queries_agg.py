@@ -3286,3 +3286,54 @@ def woe_price_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") / 10000).cast("long"),
         F.col("l_returnflag") == "R",
     )
+
+
+@register(
+    "robust_scale_price",
+    oracle="""
+    WITH grain AS (
+      SELECT l_returnflag AS g,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, q, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY q) AS cumc,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM grain
+    ),
+    quarts AS (
+      SELECT g,
+             MIN(CASE WHEN 4 * cumc >= n THEN q END) AS q1,
+             MIN(CASE WHEN 2 * cumc >= n THEN q END) AS med,
+             MIN(CASE WHEN 4 * cumc >= 3 * n THEN q END) AS q3
+      FROM cum GROUP BY 1
+    )
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CASE WHEN q3 > q1 THEN
+             CAST(FLOOR(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                             - med AS DOUBLE)
+                        / CAST(q3 - q1 AS DOUBLE) * 1000000) AS BIGINT)
+           END AS robust_e6
+    FROM lineitem JOIN quarts ON l_returnflag = g
+    """,
+    doc="Per-returnflag robust scaling of line price "
+    "(ops.encode.robust_scale): (x - median)/IQR with EXACT "
+    "integer quartiles from grouped_quartiles (per-group value grain "
+    "+ chunked_running_sum cumulatives, lower-crossing convention via "
+    "integer cross-multiply) - the outlier-immune normalization of "
+    "the encode tier. The #groups quartile summary broadcasts back; "
+    "data rows never shuffle; one division per row floored e6. The "
+    "oracle replays the crossings through DuckDB windows (small group "
+    "count - the engine path stays chunked for corpus-sized groups).",
+)
+def robust_scale_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.encode import robust_scale
+
+    li = t(spark, sf_dir, "lineitem")
+    return robust_scale(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+        "l_returnflag",
+        "l_extendedprice",
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "robust_e6")

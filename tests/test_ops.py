@@ -2742,3 +2742,27 @@ def test_rolling_origin_folds_hand_values(spark):
     assert (got5[5]["n_test"], got5[5]["n_train"]) == (3, 0)
     with pytest.raises(ValueError):
         rolling_origin_folds(df, "ts", 0, 2)
+
+
+def test_grouped_quartiles_and_robust_scale_hand_values(spark):
+    """Exact lower-crossing quartiles on a hand frame; robust scale
+    replays (x-med)/IQR; constant group -> NULL (IQR 0)."""
+    from hadoop_fcfs_spark.ops.encode import grouped_quartiles, robust_scale
+
+    rows = [("a", i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8])]
+    rows += [("c", 100 + i, 5.0) for i in range(4)]  # constant group
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    qs = {r["g"]: r for r in grouped_quartiles(df, "g", "v").collect()}
+    # n=8: q1 at 4*cum>=8 -> cum>=2 -> v=2; med cum>=4 -> v=4; q3 cum>=6 -> v=6
+    assert (qs["a"]["q1_q"], qs["a"]["med_q"], qs["a"]["q3_q"]) == (200, 400, 600)
+    assert (qs["c"]["q1_q"], qs["c"]["med_q"], qs["c"]["q3_q"]) == (500, 500, 500)
+    got = {
+        r["id"]: r["robust_e6"] for r in robust_scale(df, "g", "v").collect()
+    }
+    # (v*100 - 400)/400 floored e6
+    import math
+
+    for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8]):
+        assert got[i] == math.floor((v * 100 - 400) / 400 * 1_000_000)
+    for i in range(4):
+        assert got[100 + i] is None
