@@ -2928,10 +2928,11 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "corpus_pipeline_v5",
-    oracle="""
-    WITH q AS (
+# Shared v5-pipeline oracle CTE chain (quality floor -> survivorship
+# dedup -> temperature mix): composed by corpus_pipeline_v5 AND the v6
+# shard-export flagship so the pipeline replay cannot drift between
+# them (the corpus_qa_panel shared-fragment precedent).
+_V5_PIPE_CTES = """q AS (
       SELECT doc_id, text, lang, n_chars,
              len(list_filter(regexp_split_to_array(text, '\\s+'),
                              w -> w <> '')) AS ntok
@@ -2967,11 +2968,48 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c CROSS JOIN tot
     ),
     mixed AS (
-      SELECT s.lang, s.ntok
+      SELECT s.doc_id, s.lang, s.ntok
       FROM surv s JOIN p USING (lang)
       WHERE CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
             < CAST(FLOOR(pl * 4294967296) AS BIGINT)
+    )"""
+
+
+def _v5_stages(spark: SparkSession, sf_dir: str):
+    """Shared Spark stages of the v5 pipeline (quality floor ->
+    survivorship dedup -> temperature mix), the engine twin of
+    ``_V5_PIPE_CTES``. Returns ``(surv, mixed)`` — the deduped corpus
+    and its temperature-rebalanced selection — so corpus_pipeline_v5
+    (per-lang accounting) and corpus_pipeline_v6 (shard-export
+    manifest) replay the IDENTICAL pipeline by construction."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sampling import temperature_mix
+    from hadoop_fcfs_spark.ops.sort import latest_by_key
+
+    docs = t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    q = docs.filter(F.col("n_chars") >= 100).withColumn(
+        "ntok", F.size(ws).cast("long")
+    ).filter(F.col("ntok") >= 10)
+    keyed = q.select(
+        "doc_id", "lang", "n_chars", "ntok",
+        F.md5(
+            F.lower(F.regexp_replace("text", r"\s+", " ")).cast("binary")
+        ).alias("k"),
     )
+    surv = waypoint(
+        latest_by_key(
+            keyed, ["k"], [F.desc("n_chars"), F.asc("doc_id")]
+        ).select("doc_id", "lang", "ntok")
+    )
+    mixed = temperature_mix(surv, "lang", "doc_id", budget_num=1, budget_den=2)
+    return surv, mixed
+
+
+@register(
+    "corpus_pipeline_v5",
+    oracle=f"""
+    WITH {_V5_PIPE_CTES}
     SELECT p.lang,
            CAST(p.n AS BIGINT) AS n_dedup,
            CAST(COALESCE(m.n_kept, 0) AS BIGINT) AS n_kept,
@@ -2997,27 +3035,7 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     "design space.",
 )
 def corpus_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hadoop_fcfs_spark.caching import waypoint
-    from hadoop_fcfs_spark.ops.sampling import temperature_mix
-    from hadoop_fcfs_spark.ops.sort import latest_by_key
-
-    docs = t(spark, sf_dir, "documents")
-    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
-    q = docs.filter(F.col("n_chars") >= 100).withColumn(
-        "ntok", F.size(ws).cast("long")
-    ).filter(F.col("ntok") >= 10)
-    keyed = q.select(
-        "doc_id", "lang", "n_chars", "ntok",
-        F.md5(
-            F.lower(F.regexp_replace("text", r"\s+", " ")).cast("binary")
-        ).alias("k"),
-    )
-    surv = waypoint(
-        latest_by_key(
-            keyed, ["k"], [F.desc("n_chars"), F.asc("doc_id")]
-        ).select("doc_id", "lang", "ntok")
-    )
-    mixed = temperature_mix(surv, "lang", "doc_id", budget_num=1, budget_den=2)
+    surv, mixed = _v5_stages(spark, sf_dir)
     n = surv.groupBy("lang").agg(F.count("*").cast("long").alias("n_dedup"))
     m = mixed.groupBy("lang").agg(
         F.count("*").cast("long").alias("__k"),
@@ -3027,6 +3045,50 @@ def corpus_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n_dedup",
         F.coalesce(F.col("__k"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("__t"), F.lit(0)).cast("long").alias("tokens_kept"),
+    )
+
+
+@register(
+    "corpus_pipeline_v6",
+    oracle=f"""
+    WITH {_V5_PIPE_CTES}
+    SELECT (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            * 4) // 4294967296 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM mixed GROUP BY 1
+    """,
+    doc="Composed training-data pipeline v6 — v5's full chain (quality "
+    "floor -> survivorship dedup -> temperature-weighted language "
+    "rebalance) finished with the EXPORT LAST MILE: deterministic "
+    "md5-shuffled assignment of the selected docs into 4 training "
+    "shards (ops.sampling.shard_assignment) plus the per-shard "
+    "manifest (doc count, ws-token budget, language-mixing audit). "
+    "Both the pipeline replay and its oracle are COMPOSED from the "
+    "audited v5 pieces (_v5_stages / _V5_PIPE_CTES shared fragments — "
+    "a fix to either leg reaches v5 and v6 together, never by "
+    "hand-copy). The shard key hashes doc_id, so selection "
+    "(md5 prefix-8) and sharding (same u32, scaled) reuse ONE "
+    "uniform key yet stay independent of storage order: every shard "
+    "is an i.i.d. sample of the mixed corpus. Manifest = one "
+    "map-side-combined groupBy over n_shards keys on top of the "
+    "pipeline — the writer twin would partitionBy('shard') with zero "
+    "extra shuffle. Reference parity: the hash-Partitioner reducer "
+    "fan-out closing a MapReduce pipeline, made replayable.",
+)
+def corpus_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sampling import shard_assignment
+
+    _, mixed = _v5_stages(spark, sf_dir)
+    return (
+        shard_assignment(mixed, "doc_id", 4)
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
     )
 
 
