@@ -1511,3 +1511,132 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             F.floor((n * a - e) / (n * n - e) * 1_000_000).cast("long"),
         ).alias("kappa_e6"),
     )
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col: Column | str) -> DataFrame:
+    """Exact ROC-AUC of a continuous score against a binary label —
+    the discrimination half of a model-eval loop (its calibration twin
+    is :func:`calibration_bins`). AUC is the probability a random
+    positive outscores a random negative, ties counting half — i.e.
+    the Mann-Whitney statistic rescaled: AUC = U_pos / (n_pos·n_neg).
+
+    Rather than sorting rows, collapse to the distinct-SCORE grain
+    with per-class counts and take an EXCLUSIVE prefix sum of the
+    combined counts through ops.sort.global_running_sum — the same
+    scale shape as mann_whitney_u (one small shuffle on the value
+    grain + the range-partitioned prefix; no unpartitioned window,
+    no per-row rank). Carrying 2x quantities keeps everything exact
+    BIGINT: 2·R_pos = Σ ca·(2·before + c + 1) with average ranks for
+    ties, u2 = 2·U_pos = 2·R_pos − n_pos·(n_pos+1), and
+    auc_micro = floor(u2·10⁶ / (2·n_pos·n_neg)) — one integer
+    division, zero float sums, so the value is bit-identical across
+    engines and partitionings.
+
+    Integer bound (ANSI throws rather than corrupting): u2·10⁶ < 2⁶³
+    needs n_pos·(2N+1) < ~9.2e12 — e.g. n_pos ~ 1e6 against N ~ 4.6e6
+    rows. Beyond that, pre-aggregate scores to a coarser grain or
+    evaluate on a sampled eval split (the normal practice at corpus
+    scale). NULL auc when either class is empty.
+
+    Reference parity: the reference has no model-eval surface; this is
+    the exact-arithmetic AUC a MapReduce job would compute as
+    sort-by-score + a single reducer rank scan
+    (hadoop-mapreduce-examples SecondarySort shape), done without the
+    global sort."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    grain = waypoint(
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(F.col(score_col).alias("__v"))
+        .agg(
+            F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("__ca"),
+            F.sum(F.when(lab, 0).otherwise(1)).cast("long").alias("__cb"),
+        )
+        .withColumn("__c", F.col("__ca") + F.col("__cb"))
+    )
+    before = global_running_sum(
+        grain, ["__v"], "__c", out_col="__before", inclusive=False
+    )
+    agg = before.agg(
+        F.sum(F.col("__ca") * (2 * F.col("__before") + F.col("__c") + 1))
+        .alias("__r2a"),
+        F.sum("__ca").alias("__na"),
+        F.sum("__cb").alias("__nb"),
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    u2 = F.col("__r2a") - na * (na + 1)
+    # SQL `div` = exact BIGINT division (double / would round above
+    # 2^53 and drift from the oracle's integer //)
+    return agg.select(
+        na.cast("long").alias("n_pos"),
+        nb.cast("long").alias("n_neg"),
+        u2.cast("long").alias("__u2"),
+    ).selectExpr(
+        "n_pos", "n_neg",
+        "CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+        "CAST((__u2 * 1000000) div (2 * n_pos * n_neg) AS BIGINT) "
+        "END AS auc_micro",
+    )
+
+
+def calibration_bins(
+    df: DataFrame, score_col: str, label_col: Column | str, n_bins: int = 10
+) -> DataFrame:
+    """Reliability-diagram table: rank-bin the score into ``n_bins``
+    quantile bins and report each bin's size, positive count, and
+    observed positive rate — the calibration half of a model-eval
+    loop (discrimination half: :func:`roc_auc`). A well-calibrated
+    score has the observed rate rise monotonically across bins and
+    track the mean score within each.
+
+    Binning is on the EXCLUSIVE prefix count of the distinct-score
+    grain (global_running_sum again — no global sort, no NTILE over
+    an unpartitioned window): bin = floor(before·n_bins / N). Tied
+    scores share one grain row and therefore always land in ONE bin —
+    deterministic under any partitioning, unlike row-level NTILE
+    where ties straddle bins in engine order. Bins are near-equal
+    COUNT weighted by tie blocks, which is the honest choice when the
+    score is discrete-ish. All outputs are exact integers plus one
+    flooring division for the rate, so the table is bit-identical
+    cross-engine.
+
+    Scale shape: one shuffle to the score grain, the range-partitioned
+    prefix, then a groupBy over n_bins keys — map-side combinable,
+    output is n_bins rows regardless of input size."""
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    grain = (
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(F.col(score_col).alias("__v"))
+        .agg(
+            F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("__ca"),
+            F.count("*").cast("long").alias("__c"),
+        )
+    )
+    before = global_running_sum(
+        grain, ["__v"], "__c", out_col="__before", inclusive=False
+    )
+    # N is not known per-row; broadcast the scalar total, then exact
+    # BIGINT div (not double /) keeps bins and rates bit-identical.
+    tot = grain.agg(F.sum("__c").cast("long").alias("__n"))
+    binned = before.crossJoin(F.broadcast(tot)).withColumn(
+        "bin", F.expr(f"CAST(__before * {int(n_bins)} div __n AS BIGINT)")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("__c").cast("long").alias("n"),
+            F.sum("__ca").cast("long").alias("n_pos"),
+            F.min("__v").alias("score_lo"),
+            F.max("__v").alias("score_hi"),
+        )
+        .withColumn(
+            "rate_micro",
+            F.expr("CAST(n_pos * 1000000 div n AS BIGINT)"),
+        )
+    )

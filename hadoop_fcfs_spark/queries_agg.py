@@ -3337,3 +3337,95 @@ def robust_scale_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_extendedprice",
     ).select("l_orderkey", "l_linenumber", "l_returnflag", "robust_e6")
+
+
+@register(
+    "roc_auc_orderstatus",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS v,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS cb
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT ca, cb, ca + cb AS c,
+             COALESCE(SUM(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+      FROM g
+    ),
+    m AS (
+      SELECT SUM(ca * (2 * bef + c + 1)) AS r2a,
+             SUM(ca) AS na, SUM(cb) AS nb
+      FROM r
+    )
+    SELECT CAST(na AS BIGINT) AS n_pos, CAST(nb AS BIGINT) AS n_neg,
+           CASE WHEN na > 0 AND nb > 0 THEN
+             CAST(((r2a - na * (na + 1)) * 1000000) // (2 * na * nb)
+                  AS BIGINT)
+           END AS auc_micro
+    FROM m
+    """,
+    doc="Exact ROC-AUC (ops.stats.roc_auc): does order total "
+    "discriminate FINISHED orders from the rest - the "
+    "model-discrimination metric of the eval tier (kappa = agreement, "
+    "P@k = ranking, AUC = scoring). AUC = U/(n_pos*n_neg) via the "
+    "mann_whitney_u rank machinery: distinct-score grain, exclusive "
+    "prefix through global_running_sum, 2x-scaled exact BIGINT rank "
+    "sums with average-rank ties, ONE integer division to micros "
+    "(SQL div, never double /) - bit-identical across engines and "
+    "partitionings. Documented bound n_pos*(2N+1) < ~9.2e12.",
+)
+def roc_auc_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import roc_auc
+
+    return roc_auc(
+        t(spark, sf_dir, "orders"), "o_totalprice",
+        F.col("o_orderstatus") == "F",
+    )
+
+
+@register(
+    "calibration_orderstatus",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS v,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ca,
+             COUNT(*) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT v, ca, c,
+             COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+             SUM(c) OVER () AS n_tot
+      FROM g
+    )
+    SELECT CAST(bef * 10 // n_tot AS BIGINT) AS bin,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(ca) AS BIGINT) AS n_pos,
+           MIN(v) AS score_lo, MAX(v) AS score_hi,
+           CAST((SUM(ca) * 1000000) // SUM(c) AS BIGINT) AS rate_micro
+    FROM r GROUP BY 1
+    """,
+    doc="Reliability-diagram table (ops.stats.calibration_bins): "
+    "decile-bin order totals and report each bin's observed "
+    "FINISHED rate - the calibration twin of roc_auc_orderstatus. "
+    "Bins come from the EXCLUSIVE prefix count of the distinct-score "
+    "grain (bin = before*10 div N), so tied scores always share one "
+    "bin and the table is deterministic under any partitioning - "
+    "unlike row-level NTILE, where ties straddle bins in engine "
+    "order. Exact integers + flooring div only; n_bins rows out "
+    "regardless of input size.",
+)
+def calibration_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import calibration_bins
+
+    return calibration_bins(
+        t(spark, sf_dir, "orders"), "o_totalprice",
+        F.col("o_orderstatus") == "F", n_bins=10,
+    )

@@ -2766,3 +2766,95 @@ def test_grouped_quartiles_and_robust_scale_hand_values(spark):
         assert got[i] == math.floor((v * 100 - 400) / 400 * 1_000_000)
     for i in range(4):
         assert got[100 + i] is None
+
+
+def test_roc_auc_hand_values(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.stats import roc_auc
+
+    # perfect separation: every positive outscores every negative -> AUC 1
+    df = spark.createDataFrame(
+        [(1.0, False), (2.0, False), (3.0, True), (4.0, True)],
+        "s double, y boolean",
+    )
+    r = roc_auc(df, "s", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc_micro"]) == (2, 2, 1_000_000)
+
+    # anti-separation -> AUC 0
+    r = roc_auc(df, "s", ~F.col("y")).collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc_micro"]) == (2, 2, 0)
+
+    # all scores tied -> AUC exactly 1/2 (ties count half)
+    tied = spark.createDataFrame(
+        [(5.0, True), (5.0, True), (5.0, False), (5.0, False)],
+        "s double, y boolean",
+    )
+    assert roc_auc(tied, "s", "y").collect()[0]["auc_micro"] == 500_000
+
+    # hand case with a straddling tie: pos={1,3}, neg={2,3}
+    # pairs: (1,2) lose, (1,3) lose, (3,2) win, (3,3) half -> U=1.5/4
+    mix = spark.createDataFrame(
+        [(1.0, True), (3.0, True), (2.0, False), (3.0, False)],
+        "s double, y boolean",
+    )
+    assert roc_auc(mix, "s", "y").collect()[0]["auc_micro"] == 375_000
+
+    # one class empty -> NULL auc
+    pos_only = spark.createDataFrame([(1.0, True)], "s double, y boolean")
+    r = roc_auc(pos_only, "s", "y").collect()[0]
+    assert r["auc_micro"] is None and r["n_neg"] == 0
+
+
+def test_roc_auc_random_matches_python_reference(spark):
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import roc_auc
+
+    rng = random.Random(20260814)
+    rows = [
+        (float(rng.randint(0, 12)), rng.random() < 0.4) for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    got = roc_auc(df, "s", "y").collect()[0]
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    u2 = sum(2 for p in pos for q in neg if p > q) + sum(
+        1 for p in pos for q in neg if p == q
+    )
+    want = (u2 * 1_000_000) // (2 * len(pos) * len(neg))
+    assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
+    assert got["auc_micro"] == want
+
+
+def test_calibration_bins_hand_values(spark):
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.ops.stats import calibration_bins
+
+    # 8 rows, 4 bins -> 2 rows per bin; positives concentrated high
+    rows = [(float(i), i >= 5) for i in range(8)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = {
+        r["bin"]: r for r in calibration_bins(df, "s", "y", n_bins=4).collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3]
+    assert all(out[b]["n"] == 2 for b in out)
+    assert [out[b]["n_pos"] for b in (0, 1, 2, 3)] == [0, 0, 1, 2]
+    assert out[2]["rate_micro"] == 500_000
+    assert out[3]["score_lo"] == 6.0 and out[3]["score_hi"] == 7.0
+
+    # a tie block bigger than a bin stays in ONE bin (block start rules)
+    tied = spark.createDataFrame(
+        [(1.0, False)] * 6 + [(2.0, True)] * 2, "s double, y boolean"
+    )
+    out = {
+        r["bin"]: r
+        for r in calibration_bins(tied, "s", "y", n_bins=4).collect()
+    }
+    assert sorted(out) == [0, 3]  # 6-row tie block at bin 0, rest at bin 3
+    assert out[0]["n"] == 6 and out[0]["n_pos"] == 0
+    assert out[3]["n"] == 2 and out[3]["rate_micro"] == 1_000_000
+
+    with _pytest.raises(ValueError):
+        calibration_bins(df, "s", "y", n_bins=0)
