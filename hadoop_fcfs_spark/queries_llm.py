@@ -3531,3 +3531,112 @@ def langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cohens_kappa(pairs, "lang", "lang_pred")
+
+
+@register(
+    "bradley_terry_suppliers",
+    oracle="""
+    WITH rk AS MATERIALIZED (
+      SELECT l_orderkey AS o, l_suppkey AS s,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rw,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+               ORDER BY l_extendedprice ASC, l_linenumber DESC) AS rl,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS cnt
+      FROM lineitem
+    ),
+    pref AS MATERIALIZED (
+      SELECT w.s AS a, l.s AS b
+      FROM (SELECT o, s FROM rk WHERE rw = 1 AND cnt >= 2) w
+      JOIN (SELECT o, s FROM rk WHERE rl = 1) l USING (o)
+      WHERE w.s <> l.s
+    ),
+    dirc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM pref GROUP BY 1, 2),
+    e AS MATERIALIZED (
+      SELECT i, j, CAST(SUM(g) AS BIGINT) AS g, CAST(SUM(w) AS BIGINT) AS w
+      FROM (
+        SELECT a AS i, b AS j, n AS g, n AS w FROM dirc
+        UNION ALL
+        SELECT b AS i, a AS j, n AS g, 0 AS w FROM dirc
+      ) GROUP BY 1, 2
+    ),
+    wn AS MATERIALIZED (
+      SELECT i AS node, CAST(SUM(w) AS BIGINT) AS wins,
+             CAST(SUM(g) AS BIGINT) AS games
+      FROM e GROUP BY 1
+    ),
+    p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS p FROM wn),
+    d1 AS (SELECT e.i AS node,
+                  SUM(e.g * 1000000000000 // (pi.p + pj.p)) AS d
+           FROM e JOIN p0 pi ON e.i = pi.node JOIN p0 pj ON e.j = pj.node
+           GROUP BY 1),
+    r1 AS (SELECT wn.node, (wn.wins * 1000000000000) // d1.d AS praw
+           FROM wn JOIN d1 USING (node)),
+    p1 AS MATERIALIZED (
+      SELECT node, GREATEST(CAST(1 AS BIGINT),
+        CAST(FLOOR(CAST(praw AS DOUBLE)
+          / CAST((SELECT MAX(praw) FROM r1) AS DOUBLE) * 1000000)
+          AS BIGINT)) AS p
+      FROM r1),
+    d2 AS (SELECT e.i AS node,
+                  SUM(e.g * 1000000000000 // (pi.p + pj.p)) AS d
+           FROM e JOIN p1 pi ON e.i = pi.node JOIN p1 pj ON e.j = pj.node
+           GROUP BY 1),
+    r2 AS (SELECT wn.node, (wn.wins * 1000000000000) // d2.d AS praw
+           FROM wn JOIN d2 USING (node)),
+    p2 AS MATERIALIZED (
+      SELECT node, GREATEST(CAST(1 AS BIGINT),
+        CAST(FLOOR(CAST(praw AS DOUBLE)
+          / CAST((SELECT MAX(praw) FROM r2) AS DOUBLE) * 1000000)
+          AS BIGINT)) AS p
+      FROM r2),
+    d3 AS (SELECT e.i AS node,
+                  SUM(e.g * 1000000000000 // (pi.p + pj.p)) AS d
+           FROM e JOIN p2 pi ON e.i = pi.node JOIN p2 pj ON e.j = pj.node
+           GROUP BY 1),
+    r3 AS (SELECT wn.node, (wn.wins * 1000000000000) // d3.d AS praw
+           FROM wn JOIN d3 USING (node)),
+    p3 AS (
+      SELECT node, GREATEST(CAST(1 AS BIGINT),
+        CAST(FLOOR(CAST(praw AS DOUBLE)
+          / CAST((SELECT MAX(praw) FROM r3) AS DOUBLE) * 1000000)
+          AS BIGINT)) AS p
+      FROM r3)
+    SELECT p3.node AS supplier, p3.p AS strength_e6, wn.wins, wn.games
+    FROM p3 JOIN wn USING (node)
+    """,
+    doc="Bradley-Terry preference-strength fitting "
+    "(ops.ranking.bradley_terry, 3 MM iterations): the aggregation "
+    "that turns pairwise preference judgments into per-item strengths "
+    "- the RLHF comparison-data reduction, run here on a synthetic "
+    "preference log (within each multi-lineitem order, the supplier "
+    "of the priciest lineitem 'beats' the cheapest's; deterministic "
+    "linenumber tiebreaks; self-matches dropped). Batch MM is the "
+    "order-independent alternative to sequential Elo, so it "
+    "distributes: comparison log collapses to the symmetric match-up "
+    "grain once, then each iteration is two node-state joins + one "
+    "node aggregation with exact per-edge floor(g*1e12/(p_i+p_j)) "
+    "BIGINT terms and double-ratio max-normalization (the hits "
+    "discipline). The GATE pins 3 iterations to match the unrolled "
+    "MATERIALIZED oracle (kcore precedent: the gate, not the "
+    "operator, carries the bound; engine default is 5).",
+)
+def bradley_terry_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.ranking import bradley_terry
+
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(
+        F.expr(
+            "max_by(l_suppkey, struct(l_extendedprice, -l_linenumber))"
+        ).alias("winner"),
+        F.expr(
+            "min_by(l_suppkey, struct(l_extendedprice, -l_linenumber))"
+        ).alias("loser"),
+        F.count("*").alias("__cnt"),
+    )
+    prefs = agg.filter(
+        (F.col("__cnt") >= 2) & (F.col("winner") != F.col("loser"))
+    )
+    return bradley_terry(prefs, "winner", "loser", iterations=3).select(
+        F.col("node").alias("supplier"), "strength_e6", "wins", "games"
+    )

@@ -2858,3 +2858,72 @@ def test_calibration_bins_hand_values(spark):
 
     with _pytest.raises(ValueError):
         calibration_bins(df, "s", "y", n_bins=0)
+
+
+def test_bradley_terry_hand_ordering_and_floor(spark):
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.ops.ranking import bradley_terry
+
+    # a beats b 3x, b beats a 1x, b beats c 2x, c never wins
+    rows = (
+        [("a", "b")] * 3 + [("b", "a")] + [("b", "c")] * 2
+    )
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    out = {r["node"]: r for r in bradley_terry(df, "winner", "loser").collect()}
+    assert sorted(out) == ["a", "b", "c"]
+    assert out["a"]["wins"] == 3 and out["a"]["games"] == 4
+    assert out["b"]["wins"] == 3 and out["b"]["games"] == 6
+    assert out["c"]["wins"] == 0 and out["c"]["games"] == 2
+    # strengths order: a > b > c; never-winner sits at the 1-micro floor
+    assert out["a"]["strength_e6"] > out["b"]["strength_e6"]
+    assert out["b"]["strength_e6"] > out["c"]["strength_e6"]
+    assert out["c"]["strength_e6"] == 1
+    # max-normalized: the strongest item is exactly 1.0
+    assert out["a"]["strength_e6"] == 1_000_000
+
+    with _pytest.raises(ValueError):
+        bradley_terry(df, "winner", "loser", iterations=0)
+
+
+def test_bradley_terry_random_matches_python_reference(spark):
+    import math
+    import random
+
+    from hadoop_fcfs_spark.ops.ranking import bradley_terry
+
+    rng = random.Random(20260814)
+    items = list("abcdefgh")
+    true = {x: 2.0 ** i for i, x in enumerate(items)}
+    rows = []
+    for _ in range(400):
+        i, j = rng.sample(items, 2)
+        w = i if rng.random() < true[i] / (true[i] + true[j]) else j
+        rows.append((w, i if w == j else j))
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    got = {
+        r["node"]: r["strength_e6"]
+        for r in bradley_terry(df, "winner", "loser", iterations=4).collect()
+    }
+
+    # pure-Python replica of the exact integer MM schedule
+    g: dict[tuple, int] = {}
+    w: dict[tuple, int] = {}
+    for win, lose in rows:
+        g[(win, lose)] = g.get((win, lose), 0) + 1
+        g[(lose, win)] = g.get((lose, win), 0) + 1
+        w[(win, lose)] = w.get((win, lose), 0) + 1
+    wins = {x: 0 for x in items}
+    for (a, _), n in w.items():
+        wins[a] += n
+    p = {x: 1_000_000 for x in items}
+    for _ in range(4):
+        d = {x: 0 for x in items}
+        for (a, b), n in g.items():
+            d[a] += n * 10**12 // (p[a] + p[b])
+        raw = {x: (wins[x] * 10**12) // d[x] for x in items}
+        mx = max(raw.values())
+        p = {
+            x: max(1, math.floor(raw[x] / mx * 1_000_000)) for x in items
+        }
+    assert got == p
