@@ -810,3 +810,84 @@ def test_encode_ops_data_never_shuffles(spark):
     for line in woe.split("\n"):
         if "Exchange hashpartitioning" in line:
             assert "rid" not in line, line
+
+
+def test_roc_auc_one_range_pass(spark):
+    """roc_auc (r6): the AUC rank pass is ONE global_running_sum range
+    shuffle over the distinct-SCORE grain — the grain collapse is a
+    map-side-combined aggregate BEFORE it (the shuffle never carries raw
+    rows), and the final (n_pos, n_neg, u2) reduction is a scalar
+    aggregate, not a window or sort."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    plan = _plan(Q["roc_auc_orderstatus"].spark_fn(spark, SF_ORACLE))
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
+    assert "partial_sum" in plan
+    # the scan collapses to the grain FIRST: the range shuffle's input is
+    # the aggregated grain relation, and no global sort/top-k appears
+    assert "TakeOrderedAndProject" not in plan
+    assert len(_distinct_exchange_ids(plan, "hashpartitioning")) == 3, (
+        "grain collapse + the two grs-internal __pid passes only "
+        "(both over grain/summary rows, never raw orders)"
+    )
+    release_waypoints()
+
+
+def test_calibration_bins_broadcast_total_one_range_pass(spark):
+    """calibration_bins (r6): one range pass over the score grain; the
+    scalar row-count total joins back as a BROADCAST nested-loop (one
+    summary row), never a second data shuffle; the per-bin rollup is
+    map-side combined over n_bins keys."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    plan = _plan(Q["calibration_orderstatus"].spark_fn(spark, SF_ORACLE))
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_sum" in plan
+    release_waypoints()
+
+
+def test_bradley_terry_node_shaped_iterations(spark):
+    """bradley_terry (r6): the comparison log collapses to the match-up
+    grain ONCE behind an eager localCheckpoint (iterations re-scan the
+    checkpoint, never the log), per-iteration normalization is a
+    broadcast scalar max (BroadcastNestedLoopJoin over one summary row),
+    and every aggregation is map-side combined."""
+    from hadoop_fcfs_spark.ops.ranking import bradley_terry
+
+    df = spark.createDataFrame(
+        [("a", "b")] * 3 + [("b", "c"), ("c", "a")],
+        "winner string, loser string",
+    )
+    out = bradley_terry(df, "winner", "loser", iterations=2)
+    plan = _plan(out)
+    # checkpointed edge/win state: iterations consume ExistingRDD scans,
+    # and the raw comparison log appears in NO scan of this plan
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_shard_assignment_is_pure_projection(spark):
+    """shard_assignment (r6): the export shard key is a per-row
+    expression — NO exchange of any kind; corpus_pipeline_v6 therefore
+    pays exactly one aggregation exchange beyond the v5 stages it
+    composes (the n_shards-key manifest rollup)."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+    from hadoop_fcfs_spark.ops.sampling import shard_assignment
+    from hadoop_fcfs_spark.tables import t
+
+    docs = t(spark, SF_ORACLE, "documents")
+    plan = _plan(shard_assignment(docs, "doc_id", 8))
+    assert "Exchange" not in plan, plan
+
+    v5 = _plan(Q["corpus_pipeline_v5"].spark_fn(spark, SF_ORACLE))
+    release_waypoints()
+    v6 = _plan(Q["corpus_pipeline_v6"].spark_fn(spark, SF_ORACLE))
+    release_waypoints()
+    v5_shared = len(_distinct_exchange_ids(v5, "hashpartitioning"))
+    v6_total = len(_distinct_exchange_ids(v6, "hashpartitioning"))
+    # v5 ends in two per-lang rollups + a lang join over the shared
+    # stages; v6 replaces them with ONE shard rollup — composing the
+    # export last mile must not add data shuffles beyond it
+    assert v6_total <= v5_shared, (v5_shared, v6_total)
