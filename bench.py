@@ -59,6 +59,11 @@ HEADLINE = [
     # model-eval shuffle shape (shared user-key window feeding both
     # halves + broadcast model) none of the entries above exercises
     "markov_next_event_eval",
+    # r6: the pipeline flagship grown an export last mile — v5's chain
+    # (quality -> survivorship dedup -> temperature mix) + md5-shuffled
+    # shard assignment and per-shard manifest; replaces nothing, v5
+    # stays for the stage-level comparison (v6 ≈ v5 + one rollup)
+    "corpus_pipeline_v6",
 ]
 
 

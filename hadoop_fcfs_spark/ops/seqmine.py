@@ -182,3 +182,89 @@ def frequent_subsequences(
             "support",
         )
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+    within_us: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel conversion: for a step sequence [s1, s2, ...],
+    a user reaches step i when an s_i event exists STRICTLY AFTER the
+    moment they reached step i-1 (earliest-first semantics: t1 =
+    min ts of s1, t_i = min ts of s_i with ts > t_{i-1}), optionally
+    within ``within_us`` microseconds of it (the per-step conversion
+    window every product funnel carries — without one, any long event
+    log converts everybody eventually). Returns one row per step:
+    (step, step_name, n_users, conversion_micro) with conversion
+    measured against the step-1 population.
+
+    All time arithmetic happens in unix MICROSECONDS as BIGINTs —
+    matching the nanos→micros truncation tables.t applies to the
+    events scan, so engine and oracle compare identical integers (a
+    raw nanos ORDER BY would tie-break differently than Spark's
+    truncated timestamps).
+
+    Scale shape: stage i is one user-key aggregation of the s_i slice
+    joined to the (user, t_{i-1}) frontier — the frontier is user-grain
+    (shrinking monotonically), every join and groupBy shares the user
+    key, and the per-step counts are scalar aggregates over frontier
+    rows. The event log is scanned once per step but each scan prunes
+    to one event_type (predicate reaches the parquet scan); no window
+    functions, no per-user event materialization. Reference parity:
+    the chained secondary-sort jobs a MapReduce funnel takes — one
+    job per step, reducer keeps min qualifying ts per user.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"need >= 2 funnel steps, got {len(steps)}")
+    from functools import reduce
+
+    from hadoop_fcfs_spark.caching import waypoint
+
+    base = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+    )
+    frontier = waypoint(
+        base.filter(F.col("__t") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__us").alias("__prev"))
+    )
+    counts = [
+        frontier.agg(
+            F.lit(1).cast("int").alias("step"),
+            F.lit(steps[0]).alias("step_name"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        qual = F.col("__us") > F.col("__prev")
+        if within_us is not None:
+            qual = qual & (F.col("__us") <= F.col("__prev") + int(within_us))
+        frontier = waypoint(
+            base.filter(F.col("__t") == s)
+            .join(frontier, "__u")
+            .filter(qual)
+            .groupBy("__u")
+            .agg(F.min("__us").alias("__prev"))
+        )
+        counts.append(
+            frontier.agg(
+                F.lit(i).cast("int").alias("step"),
+                F.lit(s).alias("step_name"),
+                F.count("*").cast("long").alias("n_users"),
+            )
+        )
+    funnel = reduce(lambda a, b: a.unionByName(b), counts)
+    first = funnel.filter(F.col("step") == 1).select(
+        F.col("n_users").alias("__n1")
+    )
+    return funnel.crossJoin(F.broadcast(first)).selectExpr(
+        "step", "step_name", "n_users",
+        "CASE WHEN __n1 > 0 THEN "
+        "CAST((n_users * 1000000) div __n1 AS BIGINT) END AS conversion_micro",
+    )

@@ -2927,3 +2927,66 @@ def test_bradley_terry_random_matches_python_reference(spark):
             x: max(1, math.floor(raw[x] / mx * 1_000_000)) for x in items
         }
     assert got == p
+
+
+def test_funnel_steps_strict_ordering_semantics(spark):
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.caching import release_waypoints
+    from hadoop_fcfs_spark.ops.seqmine import funnel_steps
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # u1 converts fully in order
+        (1, "a", ts(0)), (1, "b", ts(1)), (1, "c", ts(2)),
+        # u2 does b BEFORE a: must count for step 1 only (no b after a)
+        (2, "b", ts(0)), (2, "a", ts(1)),
+        # u3 reaches b via its SECOND b (first precedes a), then c
+        (3, "b", ts(0)), (3, "a", ts(1)), (3, "b", ts(2)), (3, "c", ts(3)),
+        # u4 ties: b at the SAME micro as a does NOT qualify (strict >)
+        (4, "a", ts(5)), (4, "b", ts(5)),
+        # u5 never does step 1
+        (5, "b", ts(0)), (5, "c", ts(1)),
+    ]
+    df = spark.createDataFrame(rows, "u int, t string, ts timestamp")
+    out = {
+        r["step"]: r
+        for r in funnel_steps(df, "u", "t", "ts", ["a", "b", "c"]).collect()
+    }
+    release_waypoints()
+    assert [out[s]["n_users"] for s in (1, 2, 3)] == [4, 2, 2]
+    assert out[1]["conversion_micro"] == 1_000_000
+    assert out[2]["conversion_micro"] == 500_000
+    assert out[2]["step_name"] == "b"
+
+    with _pytest.raises(ValueError):
+        funnel_steps(df, "u", "t", "ts", ["a"])
+
+
+def test_funnel_steps_within_window(spark):
+    from datetime import datetime
+
+    from hadoop_fcfs_spark.caching import release_waypoints
+    from hadoop_fcfs_spark.ops.seqmine import funnel_steps
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        (1, "a", ts(0)), (1, "b", ts(5)),        # inside the 10-min window
+        (2, "a", ts(0)), (2, "b", ts(10)),       # exactly AT the bound: counts
+        (3, "a", ts(0)), (3, "b", ts(11)),       # outside: step 1 only
+    ]
+    df = spark.createDataFrame(rows, "u int, t string, ts timestamp")
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(
+            df, "u", "t", "ts", ["a", "b"], within_us=600_000_000
+        ).collect()
+    }
+    release_waypoints()
+    assert out == {1: 3, 2: 2}
