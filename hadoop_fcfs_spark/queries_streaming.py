@@ -649,3 +649,41 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["signup", "view", "click", "purchase"],
         within_us=86_400_000_000,
     )
+
+
+@register(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH b AS (
+      SELECT user_id AS u, epoch_us(ts) // 604800000000 AS p FROM events
+    ),
+    f AS (SELECT u, MIN(p) AS cw FROM b GROUP BY 1),
+    s AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS n0 FROM f GROUP BY 1),
+    a AS (
+      SELECT DISTINCT b.u, f.cw, b.p - f.cw AS off
+      FROM b JOIN f USING (u)
+    ),
+    m AS (
+      SELECT cw, off, CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM a GROUP BY 1, 2
+    )
+    SELECT m.cw AS cohort_period, m.off AS period_offset, m.n_active,
+           s.n0 AS cohort_size,
+           CAST((m.n_active * 1000000) // s.n0 AS BIGINT) AS retention_micro
+    FROM m JOIN s USING (cw)
+    """,
+    doc="Weekly cohort retention matrix over the event log "
+    "(ops.timeseries.cohort_retention): users cohorted by the week of "
+    "their first event (exact epoch//week integer buckets - no WEEK() "
+    "whose week-start convention differs across engines), per "
+    "(cohort, offset) active counts and retained fraction in floored "
+    "micros. The retention-triangle matrix view of what "
+    "kaplan_meier_retention summarizes as a curve. One user-grain "
+    "first-touch agg + one (user, week) DISTINCT collapse sharing the "
+    "user key; matrix rollup is calendar-bounded; cohort sizes "
+    "broadcast back.",
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.timeseries import cohort_retention
+
+    return cohort_retention(t(spark, sf_dir, "events"), "user_id", "ts")

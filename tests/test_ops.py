@@ -2990,3 +2990,37 @@ def test_funnel_steps_within_window(spark):
     }
     release_waypoints()
     assert out == {1: 3, 2: 2}
+
+
+def test_cohort_retention_hand_values(spark):
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.ops.timeseries import cohort_retention
+
+    day = 86_400_000_000
+    rows = [
+        # cohort day 0: users 1,2 — u1 returns day 1 and 2, u2 only day 2
+        (1, datetime(2024, 1, 1)), (1, datetime(2024, 1, 2)),
+        (1, datetime(2024, 1, 3)), (1, datetime(2024, 1, 3, 6)),
+        (2, datetime(2024, 1, 1)), (2, datetime(2024, 1, 3)),
+        # cohort day 1: user 3, never returns
+        (3, datetime(2024, 1, 2)),
+    ]
+    df = spark.createDataFrame(rows, "u int, ts timestamp")
+    out = {
+        (r["cohort_period"] % 100000, r["period_offset"]): r
+        for r in cohort_retention(df, "u", "ts", period_us=day).collect()
+    }
+    c0 = min(k[0] for k in out)
+    assert out[(c0, 0)]["n_active"] == 2 and out[(c0, 0)]["retention_micro"] == 1_000_000
+    assert out[(c0, 1)]["n_active"] == 1 and out[(c0, 1)]["retention_micro"] == 500_000
+    # day-2 activity of BOTH cohort-0 users, counted once despite u1's
+    # two same-day events
+    assert out[(c0, 2)]["n_active"] == 2
+    assert out[(c0 + 1, 0)]["n_active"] == 1 and out[(c0 + 1, 0)]["cohort_size"] == 1
+    assert len(out) == 4
+
+    with _pytest.raises(ValueError):
+        cohort_retention(df, "u", "ts", period_us=0)
