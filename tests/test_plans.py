@@ -891,3 +891,26 @@ def test_shard_assignment_is_pure_projection(spark):
     # stages; v6 replaces them with ONE shard rollup — composing the
     # export last mile must not add data shuffles beyond it
     assert v6_total <= v5_shared, (v5_shared, v6_total)
+
+
+def test_funnel_conversion_type_pruned_scans(spark):
+    """funnel_conversion (r6): each step's event slice prunes by
+    event_type AT THE SCAN (PushedFilters carries EqualTo(event_type,*)),
+    and the whole funnel works in unix-micro integers — no window
+    functions anywhere in the plan."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    df = Q["funnel_conversion"].spark_fn(spark, SF_ORACLE)
+    full = _optimized(df)
+    assert "EqualTo(event_type," in full, "type filter must reach the scan"
+    assert "Window" not in _plan(df)
+    release_waypoints()
+
+
+def test_cohort_retention_broadcast_sizes(spark):
+    """cohort_retention_matrix (r6): cohort sizes join back as a
+    BROADCAST (cohort-grain rows, never a data-sized shuffle side) and
+    the matrix rollup is map-side combined."""
+    plan = _plan(Q["cohort_retention_matrix"].spark_fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
