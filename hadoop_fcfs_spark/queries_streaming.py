@@ -687,3 +687,86 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.ops.timeseries import cohort_retention
 
     return cohort_retention(t(spark, sf_dir, "events"), "user_id", "ts")
+
+
+@register(
+    "position_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT p.p_id, e.event_type AS channel,
+             epoch_us(e.ts) AS us, e.event_id AS tid
+      FROM p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type <> 'purchase'
+       AND e.ts <= p.p_ts
+       AND epoch_us(p.p_ts) - epoch_us(e.ts) <= 1800000000
+    ),
+    r AS (
+      SELECT p_id, channel,
+             ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY us, tid) AS pos,
+             CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS kk
+      FROM touches
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS touches,
+           CAST(SUM(CASE WHEN kk = 1 THEN 1000000
+                         WHEN kk = 2 THEN 500000
+                         WHEN pos = 1 OR pos = kk THEN 400000
+                         ELSE 200000 // (kk - 2) END) AS BIGINT)
+             AS credit_micro
+    FROM r GROUP BY channel
+    """,
+    doc="Position-based (U-shaped) multi-touch attribution: the first "
+    "and last touch in the 30-min pre-purchase band get 40% credit "
+    "each, middles share the remaining 20% - the "
+    "discovery-and-closer-weighted alternative to linear_attribution "
+    "(k=1 takes all, k=2 splits 50/50). Same trailing_band_join touch "
+    "table (epoch-bucket EQUI join, hot-user fan-out bounded per "
+    "band); positions come from a p_id-BOUNDED window ordered by "
+    "(ts, event_id) - a purchase's touch list is band-bounded, never "
+    "corpus-sized. Credits are exact micro-integers (the middle share "
+    "floors via 200000 div (k-2)), so per-channel sums are "
+    "order-independent; float 0.4/0.2/k credits would drift at the "
+    "ulp.",
+)
+def position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.joins import trailing_band_join
+
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("channel"),
+        F.col("event_id").alias("tid"), "ts",
+    )
+    touches = waypoint(
+        trailing_band_join(
+            p, e, "p_user", "user_id", "p_ts", "ts", band_us=1_800_000_000
+        ).select("p_id", "channel", F.unix_micros("ts").alias("us"), "tid")
+    )
+    w = Window.partitionBy("p_id")
+    r = touches.select(
+        "p_id", "channel",
+        F.row_number().over(w.orderBy("us", "tid")).alias("pos"),
+        F.count("*").over(w).cast("long").alias("kk"),
+    )
+    return r.groupBy("channel").agg(
+        F.count("*").cast("long").alias("touches"),
+        F.sum(
+            F.expr(
+                "CASE WHEN kk = 1 THEN 1000000 WHEN kk = 2 THEN 500000 "
+                "WHEN pos = 1 OR pos = kk THEN 400000 "
+                "ELSE 200000 div (kk - 2) END"
+            )
+        ).cast("long").alias("credit_micro"),
+    )

@@ -3024,3 +3024,65 @@ def test_cohort_retention_hand_values(spark):
 
     with _pytest.raises(ValueError):
         cohort_retention(df, "u", "ts", period_us=0)
+
+
+def test_position_attribution_credit_rules(spark):
+    """U-shaped credit arithmetic on a constructed log driven through
+    the registered gate's exact expressions (k=1 full, k=2 halves,
+    k>=3 40/40/20-split with flooring middles)."""
+    from datetime import datetime
+
+    from pyspark.sql import Window
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    # p1: 1 touch (a); p2: 2 touches (a,b); p3: 4 touches (a,b,b,c)
+    rows = [
+        (1, 1, "a", ts(0)), (1, 100, "purchase", ts(1)),
+        (2, 2, "a", ts(0)), (2, 3, "b", ts(1)), (2, 101, "purchase", ts(2)),
+        (3, 4, "a", ts(0)), (3, 5, "b", ts(1)), (3, 6, "b", ts(2)),
+        (3, 7, "c", ts(3)), (3, 102, "purchase", ts(4)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, event_id int, event_type string, ts timestamp"
+    )
+    from hadoop_fcfs_spark.caching import release_waypoints
+    from hadoop_fcfs_spark.ops.joins import trailing_band_join
+
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("channel"),
+        F.col("event_id").alias("tid"), "ts",
+    )
+    touches = trailing_band_join(
+        p, e, "p_user", "user_id", "p_ts", "ts", band_us=1_800_000_000
+    ).select("p_id", "channel", F.unix_micros("ts").alias("us"), "tid")
+    w = Window.partitionBy("p_id")
+    r = touches.select(
+        "p_id", "channel",
+        F.row_number().over(w.orderBy("us", "tid")).alias("pos"),
+        F.count("*").over(w).cast("long").alias("kk"),
+    )
+    out = {
+        x["channel"]: x["credit"]
+        for x in r.groupBy("channel").agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN kk = 1 THEN 1000000 WHEN kk = 2 THEN 500000 "
+                    "WHEN pos = 1 OR pos = kk THEN 400000 "
+                    "ELSE 200000 div (kk - 2) END"
+                )
+            ).alias("credit")
+        ).collect()
+    }
+    release_waypoints()
+    # a: p1 full (1e6) + p2 first-of-two (5e5) + p3 first-of-4 (4e5)
+    assert out["a"] == 1_000_000 + 500_000 + 400_000
+    # b: p2 last-of-two (5e5) + p3 two middles (100_000 each)
+    assert out["b"] == 500_000 + 100_000 + 100_000
+    # c: p3 last-of-4 (4e5)
+    assert out["c"] == 400_000
