@@ -635,7 +635,11 @@ def rolling_origin_folds_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "funnel that naive per-type MIN comparisons get wrong when steps "
     "happen out of order (and that converts everybody without a "
     "window: probed 1500->550->192->73 at sf0.1 vs 1500->1500->... "
-    "unwindowed). All comparisons in unix MICROS as BIGINTs "
+    "unwindowed - the r2 gate event_funnel is exactly that unwindowed "
+    "3-step shape and its equal counts are the vacuity proof; this "
+    "gate adds the window + conversion accounting the PRODUCT funnel "
+    "needs, via the generic ops.seqmine.funnel_steps). "
+    "All comparisons in unix MICROS as BIGINTs "
     "(matching tables.t's nanos truncation, so engine and oracle "
     "compare identical integers). Per step: one type-pruned scan "
     "joined to the shrinking user-grain frontier on the shared user "
