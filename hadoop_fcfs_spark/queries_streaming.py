@@ -681,11 +681,13 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "their first event (exact epoch//week integer buckets - no WEEK() "
     "whose week-start convention differs across engines), per "
     "(cohort, offset) active counts and retained fraction in floored "
-    "micros. The retention-triangle matrix view of what "
-    "kaplan_meier_retention summarizes as a curve. One user-grain "
-    "first-touch agg + one (user, week) DISTINCT collapse sharing the "
-    "user key; matrix rollup is calendar-bounded; cohort sizes "
-    "broadcast back.",
+    "micros. Extends the r2 day-grain cohort_retention gate (active "
+    "counts only, offsets capped 0..7) with cohort sizes, retained "
+    "FRACTIONS, uncapped offsets, and the reusable operator; the "
+    "retention-triangle matrix view of what kaplan_meier_retention "
+    "summarizes as a curve. One user-grain first-touch agg + one "
+    "(user, week) DISTINCT collapse sharing the user key; matrix "
+    "rollup is calendar-bounded; cohort sizes broadcast back.",
 )
 def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.ops.timeseries import cohort_retention
