@@ -1607,10 +1607,14 @@ def calibration_bins(
     output is n_bins rows regardless of input size."""
     from hadoop_fcfs_spark.ops.sort import global_running_sum
 
+    from hadoop_fcfs_spark.caching import waypoint
+
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     lab = F.col(label_col) if isinstance(label_col, str) else label_col
-    grain = (
+    # waypoint: the grain feeds BOTH the prefix pass and the scalar
+    # total — without it the scan + collapse would run twice
+    grain = waypoint(
         df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
         .groupBy(F.col(score_col).alias("__v"))
         .agg(

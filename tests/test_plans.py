@@ -820,6 +820,7 @@ def test_roc_auc_one_range_pass(spark):
     aggregate, not a window or sort."""
     from hadoop_fcfs_spark.caching import release_waypoints
 
+    release_waypoints()  # hermetic: a prior parity run may hold the grain
     plan = _plan(Q["roc_auc_orderstatus"].spark_fn(spark, SF_ORACLE))
     assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
     assert "partial_sum" in plan
@@ -840,6 +841,7 @@ def test_calibration_bins_broadcast_total_one_range_pass(spark):
     map-side combined over n_bins keys."""
     from hadoop_fcfs_spark.caching import release_waypoints
 
+    release_waypoints()  # hermetic: a prior parity run may hold the grain
     plan = _plan(Q["calibration_orderstatus"].spark_fn(spark, SF_ORACLE))
     assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
     assert "BroadcastNestedLoopJoin" in plan
