@@ -688,3 +688,102 @@ def test_gini_by_group_random_matches_python_reference(spark):
         ref = math.floor((2.0 * srx - (n + 1.0) * tot) / (n * 1.0 * tot) * 1_000_000)
         assert got[g][:2] == (n, tot)
         assert got[g][2] == ref
+
+
+def test_calibration_bins_random_matches_python_reference(spark):
+    import random
+
+    from hadoop_fcfs_spark.caching import release_waypoints
+    from hadoop_fcfs_spark.ops.stats import calibration_bins
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        n = rng.randint(20, 120)
+        rows = [
+            (float(rng.randint(0, 15)), rng.random() < 0.5) for _ in range(n)
+        ]
+        df = spark.createDataFrame(rows, "s double, y boolean")
+        n_bins = rng.choice([4, 7, 10])
+        got = {
+            r["bin"]: (r["n"], r["n_pos"], r["rate_micro"],
+                       r["score_lo"], r["score_hi"])
+            for r in calibration_bins(df, "s", "y", n_bins=n_bins).collect()
+        }
+        release_waypoints()
+
+        # reference: grain in score order, exclusive prefix, block bins
+        from collections import defaultdict
+
+        grain = defaultdict(lambda: [0, 0])
+        for s, y in rows:
+            grain[s][0] += 1
+            grain[s][1] += y
+        want = defaultdict(lambda: [0, 0, None, None])
+        before, total = 0, n
+        for s in sorted(grain):
+            c, ca = grain[s]
+            b = before * n_bins // total
+            want[b][0] += c
+            want[b][1] += ca
+            if want[b][2] is None:
+                want[b][2] = s
+            want[b][3] = s
+            before += c
+        ref = {
+            b: (v[0], v[1], v[1] * 1_000_000 // v[0], v[2], v[3])
+            for b, v in want.items()
+        }
+        assert got == ref, (trial, got, ref)
+
+
+def test_funnel_steps_random_matches_python_reference(spark):
+    import random
+    from datetime import datetime, timedelta
+
+    from hadoop_fcfs_spark.caching import release_waypoints
+    from hadoop_fcfs_spark.ops.seqmine import funnel_steps
+
+    rng = random.Random(99)
+    base = datetime(2024, 1, 1)
+    steps = ["s1", "s2", "s3"]
+    win = 45 * 60 * 1_000_000  # 45 min in micros
+    rows = []
+    for u in range(40):
+        for _ in range(rng.randint(1, 12)):
+            rows.append(
+                (
+                    u,
+                    rng.choice(steps),
+                    base + timedelta(minutes=rng.randint(0, 300)),
+                )
+            )
+    df = spark.createDataFrame(rows, "u int, t string, ts timestamp")
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(
+            df, "u", "t", "ts", steps, within_us=win
+        ).collect()
+    }
+    release_waypoints()
+
+    # pure-Python replica of the strict-after windowed frontier walk
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, ttype, ts in rows:
+        by_user[u].append((ttype, int(ts.timestamp() * 1_000_000)))
+    counts = {i: 0 for i in range(1, len(steps) + 1)}
+    for u, evs in by_user.items():
+        prev = None
+        for i, s in enumerate(steps, start=1):
+            cand = [
+                us
+                for ttype, us in evs
+                if ttype == s
+                and (i == 1 or (us > prev and us <= prev + win))
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[i] += 1
+    assert got == counts, (got, counts)
