@@ -48,10 +48,16 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # gates): fold CORRECTNESS_r06's green names into _DRIVER_CONFIRMED_ROUND
 # with value 6, move any _NEVER_SAMPLED entries that got r6 rows out of
 # that tuple, and promote the still-unsampled remainder plus every gate
-# registered during round 6 (bucket 1 today) to the head of the new
-# ordering. The r4 lesson: an unrebuilt prefix re-samples
-# already-confirmed gates and the new ones never get hard driver
-# evidence.
+# registered during round 6 (bucket 1 today — explicitly:
+# loo_priority_price, woe_price_returns, robust_scale_price,
+# roc_auc_orderstatus, calibration_orderstatus, corpus_pipeline_v6,
+# training_shard_manifest, langid_kappa, bradley_terry_suppliers,
+# rolling_origin_folds_events, funnel_conversion,
+# cohort_retention_matrix, position_attribution — expect ~1 of these,
+# likely loo_priority_price, to land in the r6 window after the 49)
+# to the head of the new ordering. The r4 lesson: an unrebuilt prefix
+# re-samples already-confirmed gates and the new ones never get hard
+# driver evidence.
 #
 # Driver-sampling order (rebuilt for round 6, per VERDICT r5 item #1).
 #
