@@ -916,3 +916,25 @@ def test_cohort_retention_broadcast_sizes(spark):
     plan = _plan(Q["cohort_retention_matrix"].spark_fn(spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_registry_sampling_tables_consistent():
+    """The driver-sampling bookkeeping must reference real gates: a
+    typo in _NEVER_SAMPLED or _DRIVER_CONFIRMED_ROUND silently demotes
+    a gate out of its evidence bucket (it would sample in the wrong
+    order and the round's ~50-slot window would be misspent)."""
+    from hadoop_fcfs_spark.registry import (
+        _DRIVER_CONFIRMED_ROUND,
+        _NEVER_SAMPLED,
+        all_queries,
+    )
+
+    names = set(all_queries())
+    assert not set(_NEVER_SAMPLED) - names, "stale _NEVER_SAMPLED entries"
+    assert not set(_DRIVER_CONFIRMED_ROUND) - names, (
+        "stale _DRIVER_CONFIRMED_ROUND entries"
+    )
+    assert not set(_NEVER_SAMPLED) & set(_DRIVER_CONFIRMED_ROUND), (
+        "a gate cannot be both never-sampled and confirmed"
+    )
+    assert len(_NEVER_SAMPLED) == len(set(_NEVER_SAMPLED))
