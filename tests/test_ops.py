@@ -3086,3 +3086,34 @@ def test_position_attribution_credit_rules(spark):
     assert out["b"] == 500_000 + 100_000 + 100_000
     # c: p3 last-of-4 (4e5)
     assert out["c"] == 400_000
+
+
+def test_r6_ops_empty_input_contracts(spark):
+    """Degenerate-input contracts for the r6 tier under ANSI mode:
+    empty inputs must yield empty/NULL results, never throw (the ANSI
+    traps are max-over-empty normalizers, scalar divisions, and
+    element_at-style seeds)."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+    from hadoop_fcfs_spark.ops.ranking import bradley_terry
+    from hadoop_fcfs_spark.ops.seqmine import funnel_steps
+    from hadoop_fcfs_spark.ops.stats import calibration_bins, roc_auc
+    from hadoop_fcfs_spark.ops.timeseries import cohort_retention
+
+    empty_sy = spark.createDataFrame([], "s double, y boolean")
+    r = roc_auc(empty_sy, "s", "y").collect()
+    assert len(r) == 1 and r[0]["auc_micro"] is None
+
+    assert calibration_bins(empty_sy, "s", "y").collect() == []
+
+    empty_wl = spark.createDataFrame([], "winner string, loser string")
+    assert bradley_terry(empty_wl, "winner", "loser").collect() == []
+
+    empty_ev = spark.createDataFrame([], "u int, t string, ts timestamp")
+    rows = funnel_steps(empty_ev, "u", "t", "ts", ["a", "b"]).collect()
+    # steps still report, with zero users and NULL conversion (0-denominator)
+    assert [(x["step"], x["n_users"], x["conversion_micro"]) for x in rows] == [
+        (1, 0, None), (2, 0, None)
+    ]
+
+    assert cohort_retention(empty_ev, "u", "ts").collect() == []
+    release_waypoints()
