@@ -537,3 +537,84 @@ def shard_assignment(
     return df.withColumn(
         "shard", F.shiftright(_sample_key(id_col) * n_shards, 32).cast("long")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: Column | str,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """Neyman-allocation stratified sampling: split a sampling budget
+    across strata proportionally to N_h·σ_h — the variance-OPTIMAL
+    design for estimating the population mean (proportional allocation
+    wastes budget on homogeneous strata; equal allocation on small
+    ones). This is the DESIGN step `stratified_sample` does not do:
+    there the caller supplies fractions, here they come from the data.
+
+    ``value_col`` must already be an integer-quantized measure (e.g.
+    floor(price) dollars): per-stratum (n, S1, S2) stay exact BIGINTs,
+    and N_h·σ_h = sqrt(n·S2 − S1²) is computed as a DOUBLE from those
+    exact integers (multiplies and sqrt are correctly rounded — the
+    same double on any engine) then FLOOR-quantized, so the allocation
+    weights sum exactly and n_h = budget·w_h div Σw is one integer
+    division. Selection reuses the md5-uniform32 tier: stratum h keeps
+    ids with u32 < floor(n_h·2³²/N_h) — deterministic, replayable, no
+    RNG state; thresholds ≥ 2³² (allocation above a stratum's size)
+    keep the whole stratum.
+
+    Integer bound (ANSI throws rather than corrupting): Σ v² per
+    stratum < 2⁶³ — quantize coarser when N_h·max(v)² approaches 9.2e18
+    (the welch_ttest discipline). Scale shape: ONE map-side-combined
+    pass for the moments (#strata rows out), the design arithmetic on
+    those rows, thresholds broadcast back, selection a pure per-row
+    expression. Returns per-stratum (stratum, n, weight_q, allocated,
+    n_selected).
+
+    Reference parity: InputSampler's per-split frequency design
+    (mapreduce/lib/partition/InputSampler.java) picked splits by size
+    alone; Neyman is the variance-aware version of the same budget
+    split."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    m = (
+        df.filter(v.isNotNull())
+        .groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(v.cast("long")).alias("__s1"),
+            F.sum(v.cast("long") * v.cast("long")).alias("__s2"),
+        )
+    )
+    w = m.select(
+        "stratum", "n",
+        F.floor(
+            F.sqrt(
+                F.col("n").cast("double") * F.col("__s2").cast("double")
+                - F.col("__s1").cast("double") * F.col("__s1").cast("double")
+            )
+        ).cast("long").alias("weight_q"),
+    )
+    tot = w.agg(F.sum("weight_q").alias("__tw"))
+    alloc = w.crossJoin(F.broadcast(tot)).selectExpr(
+        "stratum", "n", "weight_q",
+        "CASE WHEN __tw > 0 THEN "
+        f"CAST(({int(budget)} * weight_q) div __tw AS BIGINT) "
+        "ELSE 0 END AS allocated",
+    )
+    keyed = df.select(
+        F.col(stratum_col).alias("stratum"),
+        _sample_key(id_col).alias("__u32"),
+    )
+    sel = (
+        keyed.join(F.broadcast(alloc), "stratum")
+        .filter(F.expr("__u32 < (allocated * 4294967296) div n"))
+        .groupBy("stratum")
+        .agg(F.count("*").cast("long").alias("__nsel"))
+    )
+    return alloc.join(sel, "stratum", "left").select(
+        "stratum", "n", "weight_q", "allocated",
+        F.coalesce(F.col("__nsel"), F.lit(0)).cast("long").alias("n_selected"),
+    )

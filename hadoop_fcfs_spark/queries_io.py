@@ -443,3 +443,64 @@ def footer_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "lineitem.parquet"),
         ["l_orderkey", "l_quantity", "l_extendedprice"],
     )
+
+
+@register(
+    "neyman_allocation_orders",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)
+                      * CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS s2
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ),
+    w AS (
+      SELECT stratum, n,
+             CAST(FLOOR(sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+                  AS BIGINT) AS weight_q
+      FROM m
+    ),
+    tot AS (SELECT CAST(SUM(weight_q) AS BIGINT) AS tw FROM w),
+    a AS (
+      SELECT stratum, n, weight_q,
+             CASE WHEN tw > 0
+                  THEN CAST((10000 * weight_q) // tw AS BIGINT)
+                  ELSE 0 END AS allocated
+      FROM w CROSS JOIN tot
+    ),
+    sel AS (
+      SELECT o.o_orderpriority AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS nsel
+      FROM orders o JOIN a ON a.stratum = o.o_orderpriority
+      WHERE {_SKEY.format(id="o.o_orderkey")}
+            < (a.allocated * 4294967296) // a.n
+      GROUP BY 1
+    )
+    SELECT a.stratum, a.n, a.weight_q, a.allocated,
+           CAST(COALESCE(sel.nsel, 0) AS BIGINT) AS n_selected
+    FROM a LEFT JOIN sel USING (stratum)
+    """,
+    doc="Neyman-allocation stratified sampling design "
+    "(ops.sampling.neyman_allocation): split a 10k-row budget across "
+    "order priorities proportionally to N_h*sigma_h of the dollar "
+    "total - the variance-OPTIMAL allocation for estimating the mean "
+    "(stratified_sample_orders takes fractions as GIVEN; this gate "
+    "computes them from the data). Exact BIGINT per-stratum moments "
+    "on floor-dollar values; N_h*sigma_h = sqrt(n*S2 - S1^2) as a "
+    "correctly-rounded double from exact ints, floor-quantized so the "
+    "budget split is ONE integer division; selection reuses the "
+    "md5-uniform32 tier with per-stratum thresholds broadcast back. "
+    "One moments pass + a per-row selection expression.",
+)
+def neyman_allocation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sampling import neyman_allocation
+
+    o = t(spark, sf_dir, "orders")
+    return neyman_allocation(
+        o, "o_orderpriority",
+        F.floor(F.col("o_totalprice")).cast("long"),
+        "o_orderkey", budget=10_000,
+    )

@@ -3117,3 +3117,38 @@ def test_r6_ops_empty_input_contracts(spark):
 
     assert cohort_retention(empty_ev, "u", "ts").collect() == []
     release_waypoints()
+
+
+def test_neyman_allocation_hand_values(spark):
+    import math
+
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.ops.sampling import neyman_allocation
+
+    # stratum a: constant values (sigma 0 -> weight 0, nothing allocated);
+    # stratum b: spread values -> takes the whole budget
+    rows = [("a", 10, i) for i in range(50)] + [
+        ("b", 10 * (i % 5), 100 + i) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    out = {
+        r["stratum"]: r
+        for r in neyman_allocation(df, "g", "v", "id", budget=20).collect()
+    }
+    assert out["a"]["weight_q"] == 0 and out["a"]["allocated"] == 0
+    assert out["a"]["n_selected"] == 0
+    # b: n*S2 - S1^2 with v in {0,10,20,30,40} x10 each
+    s1 = sum(10 * (i % 5) for i in range(50))
+    s2 = sum((10 * (i % 5)) ** 2 for i in range(50))
+    assert out["b"]["weight_q"] == math.floor(math.sqrt(50 * s2 - s1 * s1))
+    assert out["b"]["allocated"] == 20  # whole budget
+    assert 0 < out["b"]["n_selected"] <= 50
+
+    # allocation above a stratum's size keeps the whole stratum
+    big = neyman_allocation(df, "g", "v", "id", budget=1000).collect()
+    b = next(r for r in big if r["stratum"] == "b")
+    assert b["allocated"] == 1000 and b["n_selected"] == 50
+
+    with _pytest.raises(ValueError):
+        neyman_allocation(df, "g", "v", "id", budget=-1)
