@@ -53,8 +53,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # roc_auc_orderstatus, calibration_orderstatus, corpus_pipeline_v6,
 # training_shard_manifest, langid_kappa, bradley_terry_suppliers,
 # rolling_origin_folds_events, funnel_conversion,
-# cohort_retention_matrix, position_attribution — expect ~1 of these,
-# likely loo_priority_price, to land in the r6 window after the 49)
+# cohort_retention_matrix, position_attribution,
+# neyman_allocation_orders — expect ~1 of these, likely
+# loo_priority_price, to land in the r6 window after the 49)
 # to the head of the new ordering. The r4 lesson: an unrebuilt prefix
 # re-samples already-confirmed gates and the new ones never get hard
 # driver evidence.
