@@ -54,7 +54,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # training_shard_manifest, langid_kappa, bradley_terry_suppliers,
 # rolling_origin_folds_events, funnel_conversion,
 # cohort_retention_matrix, position_attribution,
-# neyman_allocation_orders — expect ~1 of these, likely
+# neyman_allocation_orders, knn_ndcg_labels — expect ~1 of these, likely
 # loo_priority_price, to land in the r6 window after the 49)
 # to the head of the new ordering. The r4 lesson: an unrebuilt prefix
 # re-samples already-confirmed gates and the new ones never get hard

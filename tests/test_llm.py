@@ -1416,3 +1416,35 @@ def test_ngram_novelty_hand_corpus(spark):
     assert out[5]["n_grams"] == 2 and out[5]["n_novel"] == 0
     assert out[9]["n_grams"] == 2 and out[9]["n_novel"] == 1
     assert out[9]["novelty_e6"] == 500_000
+
+
+def test_knn_ndcg_hand_values(spark, tmp_path):
+    """NDCG@10 literal-table arithmetic on a constructed 2-D embedding
+    set with forced distinct cosines: for query 0, relevant hits at
+    ranks 1 and 3 give DCG = D1+D3 and R=2 gives IDCG = CUM[2]."""
+    import pyspark.sql.functions as F
+
+    from hadoop_fcfs_spark.queries_llm import _NDCG_CUM, _NDCG_D, knn_ndcg_labels
+
+    rows = [
+        (0, [1.0, 0.0], 1),     # query
+        (1, [1.0, 0.1], 1),     # cos ~.995  rank 1, relevant
+        (2, [1.0, 0.3], 0),     # cos ~.958  rank 2, not
+        (3, [0.0, 1.0], 1),     # cos 0      rank 3, relevant
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    out = {r["query_id"]: r for r in knn_ndcg_labels(spark, sf).collect()}
+    q0 = out[0]
+    assert q0["n_rel_top10"] == 2 and q0["r_total"] == 2
+    want = (_NDCG_D[0] + _NDCG_D[2]) * 1_000_000 // _NDCG_CUM[1]
+    assert q0["ndcg_micro"] == want
+    # query 2's label-0 class has no other member: r_total = 0 -> the
+    # query drops from the report (no relevant docs, NDCG undefined)
+    assert 2 not in out and {0, 1, 3} <= set(out)
+    # perfect retrieval: query 1 ranks its two same-label vectors 1-2?
+    # v0 cos(v1,v0)~.995 rank1 rel, v2 cos~.985 rank2 not... just assert
+    # every reported ndcg is a valid micro value
+    assert all(0 <= r["ndcg_micro"] <= 1_000_000 for r in out.values())
