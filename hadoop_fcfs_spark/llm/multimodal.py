@@ -29,10 +29,49 @@ MEDIA_META_SCHEMA = "size_bytes bigint, digest string, format string"
 _MAGIC = {
     b"\x89PNG": "png",
     b"\xff\xd8\xff": "jpeg",
+    b"BM": "bmp",
     b"RIFF": "wav",
     b"ID3": "mp3",
     b"\x1a\x45\xdf\xa3": "webm",
 }
+
+
+def _decode_bmp(blob: bytes):
+    """REAL pure-numpy decoder for uncompressed 24-bit BMP
+    (BITMAPINFOHEADER): returns an (h, w) float64 luma array ((r+g+b)/3).
+    BMP is byte-exact without any codec library — the one mainstream
+    raster format this container CAN truly decode — so the image path's
+    honest stub boundary shrinks to the compressed formats (PNG/JPEG
+    still need Pillow). Raises ValueError on non-BMP or unsupported
+    variants (compressed, non-24bpp)."""
+    import numpy as np
+
+    if len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(blob[10:14], "little")
+    hdr = int.from_bytes(blob[14:18], "little")
+    w = int.from_bytes(blob[18:22], "little", signed=True)
+    h = int.from_bytes(blob[22:26], "little", signed=True)
+    bpp = int.from_bytes(blob[28:30], "little")
+    comp = int.from_bytes(blob[30:34], "little")
+    if hdr < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError(
+            f"unsupported BMP variant (hdr={hdr}, bpp={bpp}, comp={comp})"
+        )
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    need = off + stride * h
+    if len(blob) < need:
+        raise ValueError(f"truncated BMP: {len(blob)} < {need} bytes")
+    px = (
+        np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=off)
+        .reshape(h, stride)[:, : w * 3]
+        .reshape(h, w, 3)
+    )
+    if flip:
+        px = px[::-1]
+    return px.astype(np.float64).mean(axis=2)  # BGR mean == RGB mean
 
 
 def attach_media_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
@@ -62,13 +101,15 @@ def decode_images(
 ) -> DataFrame:
     """Decode image blobs → (id, width, height, mean_luma).
 
-    Real decode needs an image codec (not in this container) — STUB:
-    with fake=True a deterministic pseudo-decode derives dimensions and
-    luma from the blob bytes (stable plumbing test); fake=False raises
-    NotImplementedError where Pillow would be called.
+    24-bit uncompressed BMP payloads decode FOR REAL (``_decode_bmp``,
+    pure numpy — no codec library needed), regardless of ``fake``.
+    Compressed formats (PNG/JPEG) still need a codec the container
+    lacks: with fake=True they get the deterministic pseudo-decode
+    (dimensions/luma derived from blob bytes — stable plumbing test);
+    fake=False raises NotImplementedError where Pillow would slot in.
 
     mapInPandas: Arrow-batched, one pandas frame per input batch —
-    the real decoder slots into the same loop unchanged.
+    a full codec slots into the same loop unchanged.
     """
 
     out_schema = f"{id_col} long, width int, height int, mean_luma double"
@@ -77,15 +118,31 @@ def decode_images(
         import hashlib
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires an image codec (e.g. Pillow); "
-                    "not available in this container — run with fake=True "
-                    "or install a codec on the cluster"
-                )
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
-                d = hashlib.md5(bytes(blob)).digest()
+                blob = bytes(blob)
+                if blob[:2] == b"BM":
+                    luma = _decode_bmp(blob)
+                    rows.append(
+                        {
+                            id_col: mid,
+                            "width": int(luma.shape[1]),
+                            "height": int(luma.shape[0]),
+                            # floor-to-micro for a stable comparable value
+                            "mean_luma": (float(luma.mean()) / 255.0 * 1e6)
+                            // 1
+                            / 1e6,
+                        }
+                    )
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "compressed image decode requires a codec (e.g. "
+                        "Pillow), not available in this container — only "
+                        "BMP decodes natively; run with fake=True or "
+                        "install a codec on the cluster"
+                    )
+                d = hashlib.md5(blob).digest()
                 rows.append(
                     {
                         id_col: mid,
@@ -224,37 +281,57 @@ def image_ahash(
     """Perceptual average-hash per image: downsample to an 8x8 luma grid,
     hash = 64 bits of (cell > mean). Output (id, ahash long).
 
-    The decode step shares decode_images' honest stub boundary: with
-    fake=True an 8x8 grid is derived deterministically from the blob
-    bytes (chunk means over the payload — stable, content-sensitive, so
-    identical blobs hash identically and differing blobs differ); with
-    fake=False this raises where Pillow's resize((8,8)) would slot in.
-    The Spark-side shape — Arrow-batched mapInPandas, one long per image
-    — is the real pipeline.
+    BMP payloads take the REAL aHash path: `_decode_bmp` → true 8x8
+    average-pooled luma grid → threshold bits, so near-identical BMPs
+    (small pixel noise) genuinely collide and different pictures
+    genuinely differ. Compressed formats share decode_images' honest
+    stub boundary: with fake=True an 8x8 grid is derived
+    deterministically from the blob bytes (chunk means — stable,
+    content-sensitive); with fake=False this raises where Pillow's
+    resize((8,8)) would slot in. The Spark-side shape — Arrow-batched
+    mapInPandas, one long per image — is the real pipeline.
     """
     out_schema = f"{id_col} long, ahash long"
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError(
-                "real image decode needs an image codec (Pillow); "
-                "this container ships none — fake=True exercises the plumbing"
-            )
         import numpy as np
+
+        def bits_to_long(bits) -> int:
+            h = np.uint64(0)
+            for bit in bits:
+                h = np.uint64(h << np.uint64(1)) | np.uint64(bit)
+            return int(np.int64(h.astype(np.int64)))
 
         for pdf in batches:
             ids, hashes = [], []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
-                b = np.frombuffer(bytes(blob), dtype=np.uint8)
-                # deterministic 64-cell "downsample": mean of 64 byte chunks
-                cells = np.array_split(b, 64) if len(b) >= 64 else [b] * 64
-                grid = np.array([float(c.mean()) if len(c) else 0.0 for c in cells])
+                blob = bytes(blob)
+                if blob[:2] == b"BM":
+                    luma = _decode_bmp(blob)
+                    # true 8x8 average pool (array_split handles any size)
+                    grid = np.array(
+                        [
+                            float(cell.mean())
+                            for rowband in np.array_split(luma, 8, axis=0)
+                            for cell in np.array_split(rowband, 8, axis=1)
+                        ]
+                    )
+                elif not fake:
+                    raise NotImplementedError(
+                        "real decode of compressed images needs a codec "
+                        "(Pillow); only BMP hashes natively — fake=True "
+                        "exercises the plumbing for other formats"
+                    )
+                else:
+                    b = np.frombuffer(blob, dtype=np.uint8)
+                    # deterministic 64-cell "downsample": 64 byte-chunk means
+                    cells = np.array_split(b, 64) if len(b) >= 64 else [b] * 64
+                    grid = np.array(
+                        [float(c.mean()) if len(c) else 0.0 for c in cells]
+                    )
                 bits = (grid > grid.mean()).astype(np.uint64)
-                h = np.uint64(0)
-                for bit in bits:
-                    h = np.uint64(h << np.uint64(1)) | bit
                 ids.append(mid)
-                hashes.append(np.int64(h.astype(np.int64)))
+                hashes.append(bits_to_long(bits))
             yield pd.DataFrame({id_col: ids, "ahash": hashes})
 
     return df.mapInPandas(hash_batch, out_schema)

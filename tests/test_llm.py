@@ -1448,3 +1448,98 @@ def test_knn_ndcg_hand_values(spark, tmp_path):
     # v0 cos(v1,v0)~.995 rank1 rel, v2 cos~.985 rank2 not... just assert
     # every reported ndcg is a valid micro value
     assert all(0 <= r["ndcg_micro"] <= 1_000_000 for r in out.values())
+
+
+def _make_bmp(pixels):
+    """Minimal 24-bit uncompressed BMP writer (rows top-to-bottom in;
+    stored bottom-up per the format). pixels: list of rows of (r,g,b)."""
+    h = len(pixels)
+    w = len(pixels[0])
+    stride = ((w * 3 + 3) // 4) * 4
+    body = bytearray()
+    for row in reversed(pixels):  # bottom-up
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))  # BGR
+        line += b"\x00" * (stride - len(line))
+        body += line
+    off = 14 + 40
+    size = off + len(body)
+    hdr = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(hdr + body)
+
+
+def test_bmp_decode_is_real(spark):
+    """BMP payloads decode FOR REAL (pure numpy): exact dimensions and
+    luma from known pixels, fake=False works for BMP and still raises
+    for compressed formats."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import (
+        attach_media_meta,
+        decode_images,
+        image_ahash,
+    )
+
+    white = [(255, 255, 255)] * 4
+    black = [(0, 0, 0)] * 4
+    half = [
+        [(0, 0, 0), (0, 0, 0), (255, 255, 255), (255, 255, 255)],
+        [(0, 0, 0), (0, 0, 0), (255, 255, 255), (255, 255, 255)],
+    ]
+    rows = [
+        (1, _make_bmp([white, white])),          # 4x2 all-white
+        (2, _make_bmp(half)),                    # half black / half white
+        (3, _make_bmp([black, black, black])),   # 4x3 all-black
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = {r["media_id"]: r["media_meta"]["format"]
+            for r in attach_media_meta(df).collect()}
+    assert meta == {1: "bmp", 2: "bmp", 3: "bmp"}
+
+    out = {r["media_id"]: r for r in decode_images(df, fake=False).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (4, 2)
+    assert out[1]["mean_luma"] == 1.0
+    assert out[2]["mean_luma"] == 0.5
+    assert (out[3]["width"], out[3]["height"], out[3]["mean_luma"]) == (4, 3, 0.0)
+
+    # compressed formats keep the honest boundary under fake=False
+    png = spark.createDataFrame(
+        [(9, b"\x89PNG\r\n\x1a\nxxxx")], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="codec|Pillow|NotImplemented"):
+        decode_images(png, fake=False).collect()
+
+    # REAL aHash: a noise-perturbed copy collides, an inverted image differs
+    import random
+
+    rng = random.Random(3)
+    grad = [
+        [(16 * c, 16 * c, 16 * c) for c in range(16)] for _ in range(16)
+    ]
+    noisy = [
+        [tuple(min(255, max(0, v + rng.randint(-2, 2))) for v in px) for px in row]
+        for row in grad
+    ]
+    inv = [[tuple(255 - v for v in px) for px in row] for row in grad]
+    hdf = spark.createDataFrame(
+        [(1, _make_bmp(grad)), (2, _make_bmp(noisy)), (3, _make_bmp(inv))],
+        "media_id long, payload binary",
+    )
+    hashes = {r["media_id"]: r["ahash"]
+              for r in image_ahash(hdf, fake=False).collect()}
+    assert hashes[1] == hashes[2], "near-identical BMPs must collide"
+    assert hashes[1] != hashes[3], "inverted image must differ"
