@@ -205,26 +205,76 @@ def resize_images(
 ) -> DataFrame:
     """Resize plumbing: binary in → binary out (+ recorded dims), the
     blob-transform shape (payload column is REPLACED, metadata updated
-    downstream by re-running attach_media_meta). STUB: with fake=True
-    the 'resized' payload is a deterministic digest-expansion of the
-    original sized ∝ target area; real Pillow resize slots into the
-    same loop. Output schema: (id, payload, width, height)."""
+    downstream by re-running attach_media_meta). BMP payloads resize
+    FOR REAL — pure-numpy nearest-neighbor on the decoded pixel grid,
+    re-encoded as a valid 24-bit BMP (round-trips through _decode_bmp /
+    attach_media_meta). Compressed formats keep the stub: with
+    fake=True a deterministic digest-expansion sized ∝ target area;
+    fake=False raises where Pillow would slot in. Output schema:
+    (id, payload, width, height)."""
 
     out_schema = f"{id_col} long, {binary_col} binary, width int, height int"
+    if target_w < 1 or target_h < 1:
+        raise ValueError(f"target dims must be >= 1, got {target_w}x{target_h}")
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
+        def bmp_resize(blob: bytes) -> bytes:
+            off = int.from_bytes(blob[10:14], "little")
+            w = int.from_bytes(blob[18:22], "little", signed=True)
+            h0 = int.from_bytes(blob[22:26], "little", signed=True)
+            flip = h0 > 0
+            h = abs(h0)
+            stride = ((w * 3 + 3) // 4) * 4
+            px = (
+                np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=off)
+                .reshape(h, stride)[:, : w * 3]
+                .reshape(h, w, 3)
+            )
+            if flip:
+                px = px[::-1]
+            yi = (np.arange(target_h) * h) // target_h
+            xi = (np.arange(target_w) * w) // target_w
+            out = px[yi][:, xi]  # nearest-neighbor
+            ostride = ((target_w * 3 + 3) // 4) * 4
+            body = np.zeros((target_h, ostride), dtype=np.uint8)
+            body[:, : target_w * 3] = out[::-1].reshape(target_h, target_w * 3)
+            ooff = 54
+            hdr = (
+                b"BM"
+                + (ooff + body.size).to_bytes(4, "little")
+                + b"\x00\x00\x00\x00"
+                + ooff.to_bytes(4, "little")
+                + (40).to_bytes(4, "little")
+                + target_w.to_bytes(4, "little", signed=True)
+                + target_h.to_bytes(4, "little", signed=True)
+                + (1).to_bytes(2, "little")
+                + (24).to_bytes(2, "little")
+                + (0).to_bytes(4, "little")
+                + int(body.size).to_bytes(4, "little")
+                + b"\x00" * 16
+            )
+            return hdr + body.tobytes()
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires an image codec (e.g. Pillow)"
-                )
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
-                seed = hashlib.md5(bytes(blob)).digest()
-                need = max(target_w * target_h // 8, 16)
-                buf = (seed * (need // len(seed) + 1))[:need]
+                blob = bytes(blob)
+                if blob[:2] == b"BM":
+                    _decode_bmp(blob)  # validate variant up front
+                    buf = bmp_resize(blob)
+                elif not fake:
+                    raise NotImplementedError(
+                        "resize of compressed images requires a codec "
+                        "(e.g. Pillow); only BMP resizes natively"
+                    )
+                else:
+                    seed = hashlib.md5(blob).digest()
+                    need = max(target_w * target_h // 8, 16)
+                    buf = (seed * (need // len(seed) + 1))[:need]
                 rows.append(
                     {id_col: mid, binary_col: buf, "width": target_w, "height": target_h}
                 )

@@ -1543,3 +1543,26 @@ def test_bmp_decode_is_real(spark):
               for r in image_ahash(hdf, fake=False).collect()}
     assert hashes[1] == hashes[2], "near-identical BMPs must collide"
     assert hashes[1] != hashes[3], "inverted image must differ"
+
+
+def test_bmp_resize_real_roundtrip(spark):
+    """BMP resize is real: nearest-neighbor downsample of a known
+    quadrant image re-encodes as a valid BMP whose decoded pixels are
+    the expected quadrant colors."""
+    from hadoop_fcfs_spark.llm.multimodal import decode_images, resize_images
+
+    # 8x8: top-left black, top-right white, bottom-left white, bottom-right black
+    def quad(r, c):
+        return (255, 255, 255) if (r < 4) != (c < 4) else (0, 0, 0)
+
+    img = [[quad(r, c) for c in range(8)] for r in range(8)]
+    df = spark.createDataFrame(
+        [(1, _make_bmp(img))], "media_id long, payload binary"
+    )
+    small = resize_images(df, 2, 2, fake=False)
+    out = small.collect()[0]
+    assert (out["width"], out["height"]) == (2, 2)
+    # decode the resized payload: mean luma of the 2x2 quadrant image = 0.5
+    dec = decode_images(small, fake=False).collect()[0]
+    assert (dec["width"], dec["height"]) == (2, 2)
+    assert dec["mean_luma"] == 0.5
