@@ -1,13 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The container has no image codecs, so IMAGE/VIDEO decode is stubbed
-(deterministic fake or NotImplementedError) — but everything Spark-side
-is real and tested: schema contract, Arrow batch shape, mapInPandas
-signatures, partition sizing. Swapping the stub for Pillow/ffmpeg is a
-one-function change on a real cluster. WAV AUDIO decode and resampling
-are REAL (``decode_wav`` / ``resample_wav``) via the stdlib wave/audioop
-codec — no stub.
+The container ships no codec libraries, so each modality decodes its
+one RAW format for real and stubs the compressed ones honestly:
+- IMAGE: 24-bit uncompressed BMP decodes/resizes/aHashes FOR REAL
+  (pure numpy, ``_decode_bmp``); PNG/JPEG stay stubbed (need Pillow).
+- VIDEO: Y4M (yuv4mpeg2) frame extraction is REAL (text header + raw
+  YUV planes); webm/mp4 stay stubbed (need ffmpeg).
+- AUDIO: WAV decode and resampling are REAL (stdlib wave/audioop).
+The stubs are deterministic fakes (fake=True) or NotImplementedError
+(fake=False), and everything Spark-side is real and tested either way:
+schema contract, Arrow batch shape, mapInPandas signatures, partition
+sizing. Swapping a stub for Pillow/ffmpeg is a one-function change on
+a real cluster.
 
 Scale notes: binary payloads ride in the row (parquet BYTE_ARRAY);
 keep `spark.sql.files.maxPartitionBytes` moderate so a partition of
@@ -30,6 +35,7 @@ _MAGIC = {
     b"\x89PNG": "png",
     b"\xff\xd8\xff": "jpeg",
     b"BM": "bmp",
+    b"YUV4MPEG2": "y4m",
     b"RIFF": "wav",
     b"ID3": "mp3",
     b"\x1a\x45\xdf\xa3": "webm",
@@ -166,21 +172,71 @@ def sample_frames(
     fake: bool = True,
 ) -> DataFrame:
     """Frame-sampling plumbing for video blobs: emits one row per
-    sampled frame (UDTF shape — rows out ≥ rows in). STUB decode: with
-    fake=True frames are byte-window digests; real frame extraction
-    (ffmpeg) slots into the same iterator."""
+    sampled frame (UDTF shape — rows out ≥ rows in). Y4M (yuv4mpeg2 —
+    text header + raw YUV frames, the one container decodable without
+    any codec) extracts REAL frames: one row per FRAME marker with the
+    md5 of the frame's Y plane as the digest, regardless of ``fake``.
+    Other containers keep the stub: with fake=True frames are
+    byte-window digests; real extraction (ffmpeg) slots into the same
+    iterator."""
 
     out_schema = f"{id_col} long, frame_idx int, frame_digest string"
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        def y4m_frames(raw: bytes):
+            nl = raw.index(b"\n")
+            w = h = None
+            c = "420"
+            for tok in raw[9:nl].split(b" "):
+                if tok[:1] == b"W":
+                    w = int(tok[1:])
+                elif tok[:1] == b"H":
+                    h = int(tok[1:])
+                elif tok[:1] == b"C":
+                    c = tok[1:].decode("ascii", "replace")
+            if not w or not h:
+                raise ValueError("Y4M header missing W/H")
+            ysize = w * h
+            if c.startswith("420"):
+                fsize = ysize + ysize // 2
+            elif c.startswith("422"):
+                fsize = ysize * 2
+            elif c.startswith("444"):
+                fsize = ysize * 3
+            else:
+                raise ValueError(f"unsupported Y4M chroma {c!r}")
+            pos = nl + 1
+            while pos < len(raw):
+                fnl = raw.index(b"\n", pos)
+                if raw[pos : pos + 5] != b"FRAME":
+                    raise ValueError("malformed Y4M: FRAME marker expected")
+                start = fnl + 1
+                if start + fsize > len(raw):
+                    raise ValueError("truncated Y4M frame")
+                yield raw[start : start + ysize]  # Y plane
+                pos = start + fsize
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("video frame extraction requires ffmpeg")
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
                 raw = bytes(blob)
+                if raw[:9] == b"YUV4MPEG2":
+                    for i, yplane in enumerate(y4m_frames(raw)):
+                        rows.append(
+                            {
+                                id_col: mid,
+                                "frame_idx": i,
+                                "frame_digest": hashlib.md5(yplane).hexdigest(),
+                            }
+                        )
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "frame extraction from compressed video requires "
+                        "ffmpeg; only Y4M decodes natively"
+                    )
                 for i, off in enumerate(range(0, max(len(raw), 1), every_n_bytes)):
                     window = raw[off : off + every_n_bytes]
                     rows.append(

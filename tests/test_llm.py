@@ -1566,3 +1566,43 @@ def test_bmp_resize_real_roundtrip(spark):
     dec = decode_images(small, fake=False).collect()[0]
     assert (dec["width"], dec["height"]) == (2, 2)
     assert dec["mean_luma"] == 0.5
+
+
+def test_y4m_frame_sampling_is_real(spark):
+    """Y4M video frames extract FOR REAL: frame count matches the
+    container, identical frames share a digest, a changed frame
+    differs, and compressed containers still raise under fake=False."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import attach_media_meta, sample_frames
+
+    w, h = 4, 2
+    ysize, csize = w * h, (w * h) // 2
+    ya = bytes([10] * ysize)
+    yb = bytes([200] * ysize)
+    chroma = bytes([128] * csize)
+    y4m = (
+        b"YUV4MPEG2 W4 H2 F25:1 Ip A0:0 C420jpeg\n"
+        + b"FRAME\n" + ya + chroma
+        + b"FRAME\n" + ya + chroma
+        + b"FRAME\n" + yb + chroma
+    )
+    df = spark.createDataFrame([(1, y4m)], "media_id long, payload binary")
+    assert (
+        attach_media_meta(df).collect()[0]["media_meta"]["format"] == "y4m"
+    )
+    rows = sorted(
+        (r["frame_idx"], r["frame_digest"])
+        for r in sample_frames(df, fake=False).collect()
+    )
+    assert len(rows) == 3
+    assert rows[0][1] == rows[1][1] == hashlib.md5(ya).hexdigest()
+    assert rows[2][1] == hashlib.md5(yb).hexdigest()
+
+    webm = spark.createDataFrame(
+        [(2, b"\x1a\x45\xdf\xa3rest")], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        sample_frames(webm, fake=False).collect()
