@@ -220,6 +220,10 @@ def funnel_steps(
     """
     if len(steps) < 2:
         raise ValueError(f"need >= 2 funnel steps, got {len(steps)}")
+    if within_us is not None and within_us < 1:
+        # a zero/negative window can never qualify a step — loud beats a
+        # silently-empty funnel
+        raise ValueError(f"within_us must be >= 1, got {within_us}")
     from functools import reduce
 
     from hadoop_fcfs_spark.caching import waypoint

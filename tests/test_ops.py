@@ -2965,6 +2965,8 @@ def test_funnel_steps_strict_ordering_semantics(spark):
 
     with _pytest.raises(ValueError):
         funnel_steps(df, "u", "t", "ts", ["a"])
+    with _pytest.raises(ValueError):
+        funnel_steps(df, "u", "t", "ts", ["a", "b"], within_us=0)
 
 
 def test_funnel_steps_within_window(spark):
