@@ -64,6 +64,11 @@ HEADLINE = [
     # shard assignment and per-shard manifest; replaces nothing, v5
     # stays for the stage-level comparison (v6 ≈ v5 + one rollup)
     "corpus_pipeline_v6",
+    # r6: the rank-grain eval shape (grain collapse -> ONE
+    # global_running_sum range pass -> scalar reduce) — the shuffle
+    # pattern under the whole two-sample/AUC stats tier, previously
+    # unrepresented in the perf record
+    "roc_auc_orderstatus",
 ]
 
 
