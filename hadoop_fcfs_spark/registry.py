@@ -44,55 +44,36 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-# ROUND-7 REBUILD PROCEDURE (do this FIRST next round, before adding
-# gates): fold CORRECTNESS_r06's green names into _DRIVER_CONFIRMED_ROUND
-# with value 6, move any _NEVER_SAMPLED entries that got r6 rows out of
-# that tuple, and promote the still-unsampled remainder plus every gate
-# registered during round 6 (bucket 1 today — explicitly:
-# loo_priority_price, woe_price_returns, robust_scale_price,
-# roc_auc_orderstatus, calibration_orderstatus, corpus_pipeline_v6,
-# training_shard_manifest, langid_kappa, bradley_terry_suppliers,
-# rolling_origin_folds_events, funnel_conversion,
-# cohort_retention_matrix, position_attribution,
-# neyman_allocation_orders, knn_ndcg_labels — expect ~1 of these, likely
-# loo_priority_price, to land in the r6 window after the 49)
-# to the head of the new ordering. The r4 lesson: an unrebuilt prefix
-# re-samples already-confirmed gates and the new ones never get hard
-# driver evidence.
+# STANDING DRIVER-CONFIRMATION ROTATION POLICY (rounds 8+): the driver
+# verifies a ~50-entry PREFIX of all_queries() per round — that prefix is
+# the round's evidence budget. At the start of each round, fold the
+# previous round's green CORRECTNESS names into _DRIVER_CONFIRMED_ROUND
+# (value = that round number), remove them from _NEVER_SAMPLED, and put
+# any still-never-sampled gates plus everything registered during the
+# previous round at the head (bucket 0/1). Whatever slots remain go to
+# the confirmed tail, OLDEST-latest-round first (bucket 2) — so with
+# ~273 gates and ~50 slots/round the whole registry re-confirms on a
+# ~5-6 round rotation even when no new gates land. Gates registered
+# mid-round need no table edit: bucket 1 picks them up automatically in
+# registration order. The r4 lesson stands: an unrebuilt prefix
+# re-samples already-confirmed gates and new ones never get hard driver
+# evidence.
 #
-# Driver-sampling order (rebuilt for round 6, per VERDICT r5 item #1).
-#
-# The driver verifies a ~50-entry PREFIX of all_queries() per round, so the
-# ordering below is the round's evidence budget. State after round 5:
-# 258 registered gates, 209 with a fully-green driver CORRECTNESS row
-# (rows+schema+hash — union of CORRECTNESS_r01..r05, every gate green in
-# its latest sampling, zero mismatches in five rounds), and 49 gates that
-# have NEVER received a driver row (the 47 r5 additions plus the two
-# twice-spilled r4 gates). Those 49 fill the round-6 window, ordered so
-# `debounce_events` and `linear_attribution` (which missed the r4 AND r5
-# windows) sit at positions 0-1 and cannot slip a third round, then
-# registration order. 49 <= the ~50-slot window: round 6 should close
-# driver coverage to 258/258.
+# State after round 6 (rebuilt for round 7): 273 registered gates,
+# CORRECTNESS_r06 50/50 green (the 49 previously-never-sampled + the
+# loo_priority_price spillover), driver-checked union r01-r06 =
+# 259/273, zero mismatches ever. The 14 below are the round-6 additions
+# that have never received a driver row — they head the round-7 window,
+# which closes driver coverage to 273/273 with ~36 slots left for the
+# oldest confirmed tail (the 11 r1 gates + ~25 of the r2 gates).
 
 _NEVER_SAMPLED: tuple[str, ...] = (
-    "debounce_events", "linear_attribution", "rolling_zscore_daily",
-    "interpolated_hourly_value", "abc_inventory_classes",
-    "wilson_conversion_bounds", "ols_qty_price_by_brand",
-    "ks_price_returnflag", "mwu_priority_price", "welch_acctbal_segments",
-    "acf_daily_events", "cusum_split_events", "bootstrap_mean_totalprice",
-    "nelson_aalen_hazard", "anova_acctbal_segments", "trimmed_mean_price",
-    "quantile_normalize_segments", "cms_heavy_change", "logrank_cohorts",
-    "weighted_quantile_ladder", "k_anonymity_customers",
-    "binseg_daily_events", "pacf_daily_events", "theta_churn_new_users",
-    "gini_by_nation", "weekday_adjusted_anomaly", "mutual_nn_pairs",
-    "greedy_gram_coverage", "temperature_mix_langs", "dedup_survivorship",
-    "corpus_pipeline_v5", "ngram_novelty_curve", "ann_ivf_recall",
-    "ks_source_drift", "corpus_qa_panel", "doc_keywords", "sssp_trade_cost",
-    "copurchase_kcore", "ivm_orders_yearly", "scd2_pit_join",
-    "ra_link_parts", "hits_trade_roles", "copurchase_eval_topk",
-    "markov_next_event_eval", "diversified_top_orders",
-    "frequent_subsequences", "temporal_split_audit",
-    "markov_stationary_events", "markov_entropy_rate",
+    "woe_price_returns", "robust_scale_price", "roc_auc_orderstatus",
+    "calibration_orderstatus", "corpus_pipeline_v6",
+    "training_shard_manifest", "langid_kappa", "bradley_terry_suppliers",
+    "rolling_origin_folds_events", "funnel_conversion",
+    "cohort_retention_matrix", "position_attribution",
+    "neyman_allocation_orders", "knn_ndcg_labels",
 )
 
 _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
@@ -180,6 +161,31 @@ _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
     "trade_degree_assortativity": 5, "trade_triangles": 5,
     "trending_parts": 5, "user_behavior_entropy": 5, "vocab_richness": 5,
     "weighted_median_price": 5,
+    # latest driver row: round 6 (50 gates — the 49 previously
+    # never-sampled r4/r5 additions + the loo_priority_price spillover)
+    "abc_inventory_classes": 6, "acf_daily_events": 6,
+    "ann_ivf_recall": 6, "anova_acctbal_segments": 6,
+    "binseg_daily_events": 6, "bootstrap_mean_totalprice": 6,
+    "cms_heavy_change": 6, "copurchase_eval_topk": 6,
+    "copurchase_kcore": 6, "corpus_pipeline_v5": 6, "corpus_qa_panel": 6,
+    "cusum_split_events": 6, "debounce_events": 6, "dedup_survivorship": 6,
+    "diversified_top_orders": 6, "doc_keywords": 6,
+    "frequent_subsequences": 6, "gini_by_nation": 6,
+    "greedy_gram_coverage": 6, "hits_trade_roles": 6,
+    "interpolated_hourly_value": 6, "ivm_orders_yearly": 6,
+    "k_anonymity_customers": 6, "ks_price_returnflag": 6,
+    "ks_source_drift": 6, "linear_attribution": 6, "logrank_cohorts": 6,
+    "loo_priority_price": 6, "markov_entropy_rate": 6,
+    "markov_next_event_eval": 6, "markov_stationary_events": 6,
+    "mutual_nn_pairs": 6, "mwu_priority_price": 6,
+    "nelson_aalen_hazard": 6, "ngram_novelty_curve": 6,
+    "ols_qty_price_by_brand": 6, "pacf_daily_events": 6,
+    "quantile_normalize_segments": 6, "ra_link_parts": 6,
+    "rolling_zscore_daily": 6, "scd2_pit_join": 6, "sssp_trade_cost": 6,
+    "temperature_mix_langs": 6, "temporal_split_audit": 6,
+    "theta_churn_new_users": 6, "trimmed_mean_price": 6,
+    "weekday_adjusted_anomaly": 6, "weighted_quantile_ladder": 6,
+    "welch_acctbal_segments": 6, "wilson_conversion_bounds": 6,
 }
 
 
@@ -192,11 +198,12 @@ def all_queries() -> dict[str, QuerySpec]:
     from hadoop_fcfs_spark import queries_relational  # noqa: F401
     from hadoop_fcfs_spark import queries_streaming  # noqa: F401
 
-    # r5 ordering: (0) the 52 gates with no driver row across r01-r04,
-    # explicitly ordered; (1) anything registered after this table was
-    # built (new this round) in registration order; (2) confirmed gates,
-    # oldest-latest-round first (re-validation value), name-tiebroken;
-    # (3) rows-only gates last (weak check, never worth a sampled slot).
+    # Standing ordering (see rotation policy above): (0) never-sampled
+    # gates, explicitly ordered; (1) anything registered after the table
+    # was built (new this round) in registration order; (2) confirmed
+    # gates, oldest-latest-round first (re-validation rotation),
+    # name-tiebroken; (3) rows-only gates last (weak check, never worth
+    # a sampled slot).
     never_rank = {name: i for i, name in enumerate(_NEVER_SAMPLED)}
     reg_rank = {name: i for i, name in enumerate(_REGISTRY)}
 
