@@ -127,8 +127,19 @@ def decode_images(
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
                 blob = bytes(blob)
+                luma = None
                 if blob[:2] == b"BM":
-                    luma = _decode_bmp(blob)
+                    try:
+                        luma = _decode_bmp(blob)
+                    except ValueError:
+                        # fake=True stays TOTAL: an arbitrary blob that
+                        # happens to start with 'BM' (or an unsupported
+                        # BMP variant) takes the deterministic fake path
+                        # instead of crashing the task; fake=False keeps
+                        # the real decoder's strictness
+                        if not fake:
+                            raise
+                if luma is not None:
                     rows.append(
                         {
                             id_col: mid,
@@ -186,7 +197,9 @@ def sample_frames(
         import hashlib
 
         def y4m_frames(raw: bytes):
-            nl = raw.index(b"\n")
+            nl = raw.find(b"\n")
+            if nl < 0:
+                raise ValueError("malformed Y4M: unterminated stream header")
             w = h = None
             c = "420"
             for tok in raw[9:nl].split(b" "):
@@ -209,9 +222,15 @@ def sample_frames(
                 raise ValueError(f"unsupported Y4M chroma {c!r}")
             pos = nl + 1
             while pos < len(raw):
-                fnl = raw.index(b"\n", pos)
+                # check the marker BEFORE looking for its newline — and
+                # use find, not index, so trailing garbage with no
+                # newline gets the explicit malformed-Y4M error instead
+                # of a bare 'substring not found'
                 if raw[pos : pos + 5] != b"FRAME":
                     raise ValueError("malformed Y4M: FRAME marker expected")
+                fnl = raw.find(b"\n", pos)
+                if fnl < 0:
+                    raise ValueError("malformed Y4M: unterminated FRAME header")
                 start = fnl + 1
                 if start + fsize > len(raw):
                     raise ValueError("truncated Y4M frame")
@@ -319,15 +338,21 @@ def resize_images(
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
                 blob = bytes(blob)
+                buf = None
                 if blob[:2] == b"BM":
-                    _decode_bmp(blob)  # validate variant up front
-                    buf = bmp_resize(blob)
-                elif not fake:
-                    raise NotImplementedError(
-                        "resize of compressed images requires a codec "
-                        "(e.g. Pillow); only BMP resizes natively"
-                    )
-                else:
+                    try:
+                        _decode_bmp(blob)  # validate variant up front
+                        buf = bmp_resize(blob)
+                    except ValueError:
+                        # keep fake=True total (see decode_images)
+                        if not fake:
+                            raise
+                if buf is None:
+                    if not fake:
+                        raise NotImplementedError(
+                            "resize of compressed images requires a codec "
+                            "(e.g. Pillow); only BMP resizes natively"
+                        )
                     seed = hashlib.md5(blob).digest()
                     need = max(target_w * target_h // 8, 16)
                     buf = (seed * (need // len(seed) + 1))[:need]
@@ -412,23 +437,30 @@ def image_ahash(
             ids, hashes = [], []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
                 blob = bytes(blob)
+                grid = None
                 if blob[:2] == b"BM":
-                    luma = _decode_bmp(blob)
-                    # true 8x8 average pool (array_split handles any size)
-                    grid = np.array(
-                        [
-                            float(cell.mean())
-                            for rowband in np.array_split(luma, 8, axis=0)
-                            for cell in np.array_split(rowband, 8, axis=1)
-                        ]
-                    )
-                elif not fake:
-                    raise NotImplementedError(
-                        "real decode of compressed images needs a codec "
-                        "(Pillow); only BMP hashes natively — fake=True "
-                        "exercises the plumbing for other formats"
-                    )
-                else:
+                    try:
+                        luma = _decode_bmp(blob)
+                    except ValueError:
+                        # keep fake=True total (see decode_images)
+                        if not fake:
+                            raise
+                    else:
+                        # true 8x8 average pool (array_split: any size)
+                        grid = np.array(
+                            [
+                                float(cell.mean())
+                                for rowband in np.array_split(luma, 8, axis=0)
+                                for cell in np.array_split(rowband, 8, axis=1)
+                            ]
+                        )
+                if grid is None:
+                    if not fake:
+                        raise NotImplementedError(
+                            "real decode of compressed images needs a codec "
+                            "(Pillow); only BMP hashes natively — fake=True "
+                            "exercises the plumbing for other formats"
+                        )
                     b = np.frombuffer(blob, dtype=np.uint8)
                     # deterministic 64-cell "downsample": 64 byte-chunk means
                     cells = np.array_split(b, 64) if len(b) >= 64 else [b] * 64

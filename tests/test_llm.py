@@ -1606,3 +1606,61 @@ def test_y4m_frame_sampling_is_real(spark):
     )
     with _pytest.raises(Exception, match="ffmpeg|NotImplemented"):
         sample_frames(webm, fake=False).collect()
+
+
+def test_fake_mode_is_total_on_bm_prefixed_garbage(spark):
+    """fake=True must be TOTAL (r6 advice): an arbitrary blob that
+    happens to start with 'BM' (or an unsupported BMP variant) takes
+    the deterministic fake path instead of crashing the executor task;
+    fake=False keeps raising on the same payloads."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import (
+        decode_images,
+        image_ahash,
+        resize_images,
+    )
+
+    rows = [
+        (1, b"BMnot really a bitmap at all, just prefixed"),  # garbage
+        (2, _make_bmp([[(9, 9, 9)] * 4]) [:40]),              # truncated BMP
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    assert len(decode_images(df, fake=True).collect()) == 2
+    assert len(image_ahash(df, fake=True).collect()) == 2
+    assert len(resize_images(df, 4, 4, fake=True).collect()) == 2
+
+    for op in (
+        lambda d: decode_images(d, fake=False),
+        lambda d: image_ahash(d, fake=False),
+        lambda d: resize_images(d, 4, 4, fake=False),
+    ):
+        with _pytest.raises(Exception, match="BMP|truncated|unsupported"):
+            op(df).collect()
+
+
+def test_y4m_malformed_errors_are_explicit(spark):
+    """Malformed Y4M payloads raise the explicit malformed/truncated
+    message (r6 advice), never a bare str.index 'substring not found'
+    — including trailing bytes with no newline after a valid frame."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import sample_frames
+
+    w, h = 4, 2
+    ysize, csize = w * h, (w * h) // 2
+    frame = b"FRAME\n" + bytes([10] * ysize) + bytes([128] * csize)
+    good_hdr = b"YUV4MPEG2 W4 H2 F25:1 Ip A0:0 C420jpeg\n"
+    cases = [
+        b"YUV4MPEG2 W4 H2 no newline at all",       # unterminated header
+        good_hdr + frame + b"FRAMEXX-no-newline",    # marker, no newline
+        good_hdr + frame + b"trailing garbage",      # no FRAME marker
+    ]
+    for i, payload in enumerate(cases):
+        df = spark.createDataFrame(
+            [(i, payload)], "media_id long, payload binary"
+        )
+        for fk in (True, False):
+            with _pytest.raises(Exception, match="malformed Y4M|unterminated"):
+                sample_frames(df, fake=fk).collect()

@@ -3028,6 +3028,33 @@ def test_cohort_retention_hand_values(spark):
         cohort_retention(df, "u", "ts", period_us=0)
 
 
+def test_cohort_retention_negative_epochs(spark):
+    """Pre-1970 timestamps must FLOOR-bucket (the trailing_band_join
+    pmod idiom), not truncate toward zero — a 1969-12-31 event is
+    cohort period -1 at day grain, and a user whose first touch is
+    pre-epoch with a return just after epoch spans offset 1, not 0."""
+    from datetime import datetime
+
+    from hadoop_fcfs_spark.ops.timeseries import cohort_retention
+
+    day = 86_400_000_000
+    rows = [
+        # u1 first touch 1969-12-31 18:00 (epoch -6h → floor day -1),
+        # returns 1970-01-01 06:00 (day 0) → offsets 0 and 1
+        (1, datetime(1969, 12, 31, 18)), (1, datetime(1970, 1, 1, 6)),
+        # u2 only pre-epoch → cohort -1, offset 0
+        (2, datetime(1969, 12, 31, 2)),
+    ]
+    df = spark.createDataFrame(rows, "u int, ts timestamp")
+    out = {
+        (r["cohort_period"], r["period_offset"]): r["n_active"]
+        for r in cohort_retention(df, "u", "ts", period_us=day).collect()
+    }
+    # truncation toward zero would put both 1969-12-31 events in day 0
+    # and collapse u1's return to offset 0
+    assert out == {(-1, 0): 2, (-1, 1): 1}
+
+
 def test_position_attribution_credit_rules(spark):
     """U-shaped credit arithmetic on a constructed log driven through
     the registered gate's exact expressions (k=1 full, k=2 halves,
