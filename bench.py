@@ -69,6 +69,12 @@ HEADLINE = [
     # pattern under the whole two-sample/AUC stats tier, previously
     # unrepresented in the perf record
     "roc_auc_orderstatus",
+    # r7: the iterative node-state join shape (per-round join + agg +
+    # localCheckpoint cadence) — the one flagship shuffle pattern with
+    # no perf record until now, and the shape most sensitive to
+    # lineage/caching regressions. bradley_terry collapses the
+    # comparison log ONCE then iterates on supplier-grain state.
+    "bradley_terry_suppliers",
 ]
 
 

@@ -82,6 +82,61 @@ def diversified_topk(
     )
 
 
+def _edge_collapse(
+    pairs: DataFrame, winner_col: str, loser_col: str
+) -> DataFrame:
+    """Collapse the raw comparison log to the symmetric match-up grain
+    (i, j, g=games, w=wins-of-i) in ONE map-side-combined exchange: the
+    log is unioned in both directions FIRST, then a single groupBy sums
+    — no directed-pair collapse feeding a second symmetric one.
+    Separate from bradley_terry so the plan test can pin the
+    single-shuffle contract (the checkpoint hides it downstream)."""
+    flt = pairs.filter(
+        F.col(winner_col).isNotNull() & F.col(loser_col).isNotNull()
+    )
+    one = F.lit(1).cast("long")
+    return (
+        flt.select(
+            F.col(winner_col).alias("i"), F.col(loser_col).alias("j"),
+            one.alias("__g"), one.alias("__w"),
+        )
+        .unionByName(
+            flt.select(
+                F.col(loser_col).alias("i"), F.col(winner_col).alias("j"),
+                one.alias("__g"), F.lit(0).cast("long").alias("__w"),
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("__g").alias("g"), F.sum("__w").alias("w"))
+    )
+
+
+def _mm_denominator(edges: DataFrame, p: DataFrame) -> DataFrame:
+    """One MM step's denominator D_i = Σ_j g_ij·10¹²/(p_i+p_j) (exact
+    integer per-edge terms): two SHUFFLE_HASH joins of node-state onto
+    the edge list (never broadcast — node counts are unbounded; hash,
+    not sort-merge, so the edge list is never re-sorted per iteration)
+    + one map-side-combined node-grain aggregation."""
+    return (
+        edges.join(
+            p.select(F.col("node").alias("i"), F.col("p").alias("__pi"))
+            .hint("SHUFFLE_HASH"),
+            "i",
+        )
+        .join(
+            p.select(F.col("node").alias("j"), F.col("p").alias("__pj"))
+            .hint("SHUFFLE_HASH"),
+            "j",
+        )
+        .groupBy(F.col("i").alias("node"))
+        .agg(
+            F.sum(
+                F.expr("g * 1000000000000 div (__pi + __pj)")
+            ).alias("__d")
+        )
+    )
+
+
 def bradley_terry(
     pairs: DataFrame,
     winner_col: str,
@@ -106,11 +161,16 @@ def bradley_terry(
     only played each other can never make p_i+p_j = 0. Items that
     never win converge to the 1-micro floor — the MLE boundary.
 
-    Scale shape: one groupBy collapses the comparison log to the
-    symmetric match-up grain (i, j, games, wins-of-i); per iteration
-    two hash joins of node-state onto that edge list + one node-grain
-    aggregation + a broadcast scalar max — state stays node-shaped,
-    the comparison log is never rescanned. Integer bounds (ANSI throws
+    Scale shape: ONE groupBy collapses the comparison log to the
+    symmetric match-up grain (i, j, games, wins-of-i) — the raw log is
+    unioned in both directions first, so there is a single
+    map-side-combined exchange, not a directed-pair collapse followed
+    by a symmetric one; per iteration two SHUFFLE_HASH joins of
+    node-state onto that edge list + one node-grain aggregation + a
+    broadcast scalar max — state stays node-shaped (never broadcast:
+    item counts are unbounded in RLHF logs), the comparison log is
+    never rescanned, and hash joins skip the per-iteration edge-list
+    sorts a sort-merge plan would pay. Integer bounds (ANSI throws
     rather than corrupting): per-edge g < ~9.2e6 games, per-node
     W_i < ~9.2e6 wins; beyond that drop the scale to 10⁹ (milli).
 
@@ -119,29 +179,8 @@ def bradley_terry(
     style driver loops re-running a join+reduce job per step)."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    dirc = (
-        pairs.filter(
-            F.col(winner_col).isNotNull() & F.col(loser_col).isNotNull()
-        )
-        .groupBy(
-            F.col(winner_col).alias("__a"), F.col(loser_col).alias("__b")
-        )
-        .agg(F.count("*").cast("long").alias("__n"))
-    )
-    edges = (
-        dirc.select(
-            F.col("__a").alias("i"), F.col("__b").alias("j"),
-            F.col("__n").alias("__g"), F.col("__n").alias("__w"),
-        )
-        .unionByName(
-            dirc.select(
-                F.col("__b").alias("i"), F.col("__a").alias("j"),
-                F.col("__n").alias("__g"), F.lit(0).cast("long").alias("__w"),
-            )
-        )
-        .groupBy("i", "j")
-        .agg(F.sum("__g").alias("g"), F.sum("__w").alias("w"))
-        .localCheckpoint(eager=True)
+    edges = _edge_collapse(pairs, winner_col, loser_col).localCheckpoint(
+        eager=True
     )
     wins = edges.groupBy(F.col("i").alias("node")).agg(
         F.sum("w").cast("long").alias("wins"),
@@ -149,24 +188,19 @@ def bradley_terry(
     ).localCheckpoint(eager=True)
     p = wins.select("node", F.lit(1_000_000).cast("long").alias("p"))
     for it in range(iterations):
-        d = (
-            edges.join(
-                p.select(F.col("node").alias("i"), F.col("p").alias("__pi")),
-                "i",
+        d = _mm_denominator(edges, p)
+        # materialize the node-grain __raw once per iteration: it feeds
+        # BOTH the broadcast scalar max and the normalized projection
+        # (unmaterialized, the iteration's join tree evaluates twice),
+        # and the eager checkpoint keeps lineage bounded at any
+        # iteration count (node-shaped state only — never the edges)
+        raw = (
+            wins.join(d, "node")
+            .selectExpr(
+                "node",
+                "CAST((wins * 1000000000000) div __d AS BIGINT) AS __raw",
             )
-            .join(
-                p.select(F.col("node").alias("j"), F.col("p").alias("__pj")),
-                "j",
-            )
-            .groupBy(F.col("i").alias("node"))
-            .agg(
-                F.sum(
-                    F.expr("g * 1000000000000 div (__pi + __pj)")
-                ).alias("__d")
-            )
-        )
-        raw = wins.join(d, "node").selectExpr(
-            "node", "CAST((wins * 1000000000000) div __d AS BIGINT) AS __raw"
+            .localCheckpoint(eager=True)
         )
         mx = raw.agg(F.max("__raw").alias("__mx"))
         p = raw.crossJoin(F.broadcast(mx)).select(
@@ -179,8 +213,6 @@ def bradley_terry(
                 ).cast("long"),
             ).alias("p"),
         )
-        if (it + 1) % 2 == 0 and it + 1 < iterations:
-            p = p.localCheckpoint(eager=True)
     return p.join(wins, "node").select(
         "node", F.col("p").alias("strength_e6"), "wins", "games"
     )

@@ -43,6 +43,20 @@ def get_spark(app_name: str = "hadoop_fcfs_spark", master: str | None = None) ->
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Silence `WARN WindowExec: No Partition Defined` (r6 verdict #5):
+    # every unpartitioned window in this codebase is a summary-grain
+    # window (partition totals, post-TakeOrdered ≤100-row ranks) and the
+    # static allowlist sweep in tests/test_plans.py is the real guard —
+    # the per-task warning volume only buries a FUTURE genuine
+    # data-grain regression in noise.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # log4j2 API absent/renamed: cosmetic only, never fail startup
     return spark
 
 

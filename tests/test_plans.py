@@ -850,24 +850,49 @@ def test_calibration_bins_broadcast_total_one_range_pass(spark):
 
 
 def test_bradley_terry_node_shaped_iterations(spark):
-    """bradley_terry (r6): the comparison log collapses to the match-up
-    grain ONCE behind an eager localCheckpoint (iterations re-scan the
-    checkpoint, never the log), per-iteration normalization is a
-    broadcast scalar max (BroadcastNestedLoopJoin over one summary row),
-    and every aggregation is map-side combined."""
-    from hadoop_fcfs_spark.ops.ranking import bradley_terry
+    """bradley_terry (r6, reshaped r7): the comparison log collapses to
+    the match-up grain in ONE map-side-combined exchange behind an eager
+    localCheckpoint (iterations re-scan the checkpoint, never the log),
+    each MM step is two SHUFFLE_HASH node-state joins (no per-iteration
+    edge sort, no broadcast of unbounded node state) + a map-side
+    combined node aggregation, per-iteration __raw is materialized
+    node-grain (feeds the scalar max AND the projection once), and
+    normalization is a broadcast scalar max."""
+    from hadoop_fcfs_spark.ops.ranking import (
+        _edge_collapse,
+        _mm_denominator,
+        bradley_terry,
+    )
 
     df = spark.createDataFrame(
         [("a", "b")] * 3 + [("b", "c"), ("c", "a")],
         "winner string, loser string",
     )
+    # stage 1: the log collapse is a SINGLE hash exchange, combined
+    col_plan = _plan(_edge_collapse(df, "winner", "loser"))
+    assert len(_distinct_exchange_ids(col_plan, "hashpartitioning")) == 1
+    assert "partial_sum" in col_plan
+    # stage 2: one MM step over checkpointed state — hash joins, not
+    # sort-merge, not broadcast; node agg map-side combined
+    edges = _edge_collapse(df, "winner", "loser").localCheckpoint(eager=True)
+    from pyspark.sql import functions as F
+
+    p0 = edges.select(F.col("i").alias("node")).distinct().select(
+        "node", F.lit(1_000_000).cast("long").alias("p")
+    )
+    d_plan = _plan(_mm_denominator(edges, p0))
+    assert d_plan.count("ShuffledHashJoin") == 2, d_plan
+    assert "SortMergeJoin" not in d_plan
+    assert "BroadcastHashJoin" not in d_plan
+    assert "partial_sum" in d_plan
+    # stage 3: the composed operator's final plan reads ONLY
+    # checkpointed node-grain state (raw log in no scan) and the
+    # normalization is the broadcast scalar max
     out = bradley_terry(df, "winner", "loser", iterations=2)
     plan = _plan(out)
-    # checkpointed edge/win state: iterations consume ExistingRDD scans,
-    # and the raw comparison log appears in NO scan of this plan
     assert "Scan ExistingRDD" in plan
     assert "BroadcastNestedLoopJoin" in plan
-    assert "partial_sum" in plan
+    assert "LocalTableScan" not in plan, "raw log must not be rescanned"
 
 
 def test_shard_assignment_is_pure_projection(spark):
