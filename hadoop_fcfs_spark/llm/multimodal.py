@@ -3,8 +3,11 @@ columns with typed metadata.
 
 The container ships no codec libraries, so each modality decodes its
 one RAW format for real and stubs the compressed ones honestly:
-- IMAGE: 24-bit uncompressed BMP decodes/resizes/aHashes FOR REAL
-  (pure numpy, ``_decode_bmp``); PNG/JPEG stay stubbed (need Pillow).
+- IMAGE: 24-bit uncompressed BMP (pure numpy, ``_decode_bmp``) AND
+  8-bit non-interlaced PNG (stdlib zlib inflate + numpy unfiltering,
+  ``_decode_png`` — PNG's only entropy layer is DEFLATE, which the
+  stdlib ships) decode/resize/aHash FOR REAL; JPEG stays stubbed
+  (needs Pillow).
 - VIDEO: Y4M (yuv4mpeg2) frame extraction is REAL (text header + raw
   YUV planes); webm/mp4 stay stubbed (need ffmpeg).
 - AUDIO: WAV decode and resampling are REAL (stdlib wave/audioop).
@@ -80,6 +83,150 @@ def _decode_bmp(blob: bytes):
     return px.astype(np.float64).mean(axis=2)  # BGR mean == RGB mean
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(blob: bytes):
+    """REAL pure-stdlib+numpy decoder for 8-bit non-interlaced PNG
+    (gray / gray+alpha / truecolor / truecolor+alpha): inflate the
+    concatenated IDAT stream with zlib, undo scanline filters 0-4
+    (None/Sub/Up/Average/Paeth), return an (h, w, channels) uint8
+    array. PNG's only entropy layer is DEFLATE, which the stdlib
+    ships, so — like BMP — the format is decodable without any codec
+    library; the honest stub boundary shrinks to JPEG/webm.
+    Raises ValueError on non-PNG or unsupported variants (16-bit,
+    palette, interlaced)."""
+    import zlib
+
+    import numpy as np
+
+    if len(blob) < 8 or blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(blob):
+        ln = int.from_bytes(blob[pos : pos + 4], "big")
+        typ = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + payload + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bitd, color, comp, filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if (
+        bitd != 8 or channels is None or comp != 0 or filt != 0
+        or interlace != 0 or w < 1 or h < 1
+    ):
+        raise ValueError(
+            f"unsupported PNG variant (depth={bitd}, color={color}, "
+            f"interlace={interlace})"
+        )
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    rows = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        f = int(rows[y, 0])
+        rec = rows[y, 1:].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: left neighbor — sequential along x
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 2:  # Up: vectorized against the prior scanline
+            rec = (rec + prior) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"malformed PNG: unknown scanline filter {f}")
+        out[y] = rec & 0xFF
+    return out.reshape(h, w, channels)
+
+
+def _png_luma(px) -> "object":
+    """(h, w, c) uint8 → (h, w) float64 luma: color-channel mean
+    ((r+g+b)/3, alpha ignored; gray passes through) — the same luma
+    contract _decode_bmp returns, so aHash/decode share one path."""
+    c = px.shape[2]
+    color = px[:, :, :1] if c <= 2 else px[:, :, :3]
+    return color.astype("float64").mean(axis=2)
+
+
+def _encode_png(px) -> bytes:
+    """Minimal valid truecolor 8-bit PNG writer (filter 0 scanlines,
+    one zlib IDAT) for resize re-encode; round-trips through
+    _decode_png byte-exactly."""
+    import zlib
+
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError(f"encoder writes truecolor only, got {c} channels")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _try_luma(blob: bytes, fake: bool):
+    """One real-decode attempt for the raster formats this container
+    CAN decode (BMP, PNG): returns the (h, w) float64 luma array, or
+    None meaning 'take the deterministic fake path'. Under fake=True
+    the fake path stays TOTAL — magic-prefixed garbage or unsupported
+    variants fall through instead of crashing the executor task;
+    fake=False keeps the real decoders' strictness."""
+    try:
+        if blob[:2] == b"BM":
+            return _decode_bmp(blob)
+        if blob[:8] == _PNG_SIG:
+            return _png_luma(_decode_png(blob))
+    except ValueError:
+        if not fake:
+            raise
+    return None
+
+
 def attach_media_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
     """Typed metadata from the blob itself — pure expressions, no
     Python: size, md5 digest, container format sniffed from magic
@@ -107,12 +254,13 @@ def decode_images(
 ) -> DataFrame:
     """Decode image blobs → (id, width, height, mean_luma).
 
-    24-bit uncompressed BMP payloads decode FOR REAL (``_decode_bmp``,
-    pure numpy — no codec library needed), regardless of ``fake``.
-    Compressed formats (PNG/JPEG) still need a codec the container
-    lacks: with fake=True they get the deterministic pseudo-decode
-    (dimensions/luma derived from blob bytes — stable plumbing test);
-    fake=False raises NotImplementedError where Pillow would slot in.
+    24-bit uncompressed BMP (``_decode_bmp``, pure numpy) and 8-bit
+    non-interlaced PNG (``_decode_png``, stdlib zlib + numpy) decode
+    FOR REAL, regardless of ``fake``. JPEG still needs a codec the
+    container lacks: with fake=True it gets the deterministic
+    pseudo-decode (dimensions/luma derived from blob bytes — stable
+    plumbing test); fake=False raises NotImplementedError where Pillow
+    would slot in.
 
     mapInPandas: Arrow-batched, one pandas frame per input batch —
     a full codec slots into the same loop unchanged.
@@ -127,18 +275,7 @@ def decode_images(
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
                 blob = bytes(blob)
-                luma = None
-                if blob[:2] == b"BM":
-                    try:
-                        luma = _decode_bmp(blob)
-                    except ValueError:
-                        # fake=True stays TOTAL: an arbitrary blob that
-                        # happens to start with 'BM' (or an unsupported
-                        # BMP variant) takes the deterministic fake path
-                        # instead of crashing the task; fake=False keeps
-                        # the real decoder's strictness
-                        if not fake:
-                            raise
+                luma = _try_luma(blob, fake)
                 if luma is not None:
                     rows.append(
                         {
@@ -154,10 +291,10 @@ def decode_images(
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "compressed image decode requires a codec (e.g. "
-                        "Pillow), not available in this container — only "
-                        "BMP decodes natively; run with fake=True or "
-                        "install a codec on the cluster"
+                        "JPEG decode requires a codec (e.g. Pillow), not "
+                        "available in this container — only BMP and PNG "
+                        "decode natively; run with fake=True or install "
+                        "a codec on the cluster"
                     )
                 d = hashlib.md5(blob).digest()
                 rows.append(
@@ -280,12 +417,14 @@ def resize_images(
 ) -> DataFrame:
     """Resize plumbing: binary in → binary out (+ recorded dims), the
     blob-transform shape (payload column is REPLACED, metadata updated
-    downstream by re-running attach_media_meta). BMP payloads resize
-    FOR REAL — pure-numpy nearest-neighbor on the decoded pixel grid,
-    re-encoded as a valid 24-bit BMP (round-trips through _decode_bmp /
-    attach_media_meta). Compressed formats keep the stub: with
-    fake=True a deterministic digest-expansion sized ∝ target area;
-    fake=False raises where Pillow would slot in. Output schema:
+    downstream by re-running attach_media_meta). BMP and PNG payloads
+    resize FOR REAL — pure-numpy nearest-neighbor on the decoded pixel
+    grid, re-encoded as a valid 24-bit BMP / truecolor PNG in kind
+    (round-trips through _decode_bmp / _decode_png /
+    attach_media_meta; PNG gray/alpha inputs re-encode truecolor,
+    alpha dropped). JPEG keeps the stub: with fake=True a
+    deterministic digest-expansion sized ∝ target area; fake=False
+    raises where Pillow would slot in. Output schema:
     (id, payload, width, height)."""
 
     out_schema = f"{id_col} long, {binary_col} binary, width int, height int"
@@ -334,24 +473,39 @@ def resize_images(
             )
             return hdr + body.tobytes()
 
+        def png_resize(blob: bytes) -> bytes:
+            px = _decode_png(blob)
+            c = px.shape[2]
+            rgb = (
+                np.ascontiguousarray(px[:, :, :3])
+                if c >= 3
+                else np.repeat(px[:, :, :1], 3, axis=2)
+            )
+            h, w = rgb.shape[:2]
+            yi = (np.arange(target_h) * h) // target_h
+            xi = (np.arange(target_w) * w) // target_w
+            return _encode_png(np.ascontiguousarray(rgb[yi][:, xi]))
+
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
                 blob = bytes(blob)
                 buf = None
-                if blob[:2] == b"BM":
-                    try:
+                try:
+                    if blob[:2] == b"BM":
                         _decode_bmp(blob)  # validate variant up front
                         buf = bmp_resize(blob)
-                    except ValueError:
-                        # keep fake=True total (see decode_images)
-                        if not fake:
-                            raise
+                    elif blob[:8] == _PNG_SIG:
+                        buf = png_resize(blob)
+                except ValueError:
+                    # keep fake=True total (see _try_luma)
+                    if not fake:
+                        raise
                 if buf is None:
                     if not fake:
                         raise NotImplementedError(
-                            "resize of compressed images requires a codec "
-                            "(e.g. Pillow); only BMP resizes natively"
+                            "resize of JPEG requires a codec (e.g. "
+                            "Pillow); BMP and PNG resize natively"
                         )
                     seed = hashlib.md5(blob).digest()
                     need = max(target_w * target_h // 8, 16)
@@ -412,11 +566,13 @@ def image_ahash(
     """Perceptual average-hash per image: downsample to an 8x8 luma grid,
     hash = 64 bits of (cell > mean). Output (id, ahash long).
 
-    BMP payloads take the REAL aHash path: `_decode_bmp` → true 8x8
-    average-pooled luma grid → threshold bits, so near-identical BMPs
-    (small pixel noise) genuinely collide and different pictures
-    genuinely differ. Compressed formats share decode_images' honest
-    stub boundary: with fake=True an 8x8 grid is derived
+    BMP and PNG payloads take the REAL aHash path: `_decode_bmp` /
+    `_decode_png` → true 8x8 average-pooled luma grid → threshold
+    bits, so near-identical images (small pixel noise) genuinely
+    collide and different pictures genuinely differ — across the two
+    container formats too, since the hash is over decoded pixels.
+    JPEG shares decode_images' honest stub boundary: with fake=True
+    an 8x8 grid is derived
     deterministically from the blob bytes (chunk means — stable,
     content-sensitive); with fake=False this raises where Pillow's
     resize((8,8)) would slot in. The Spark-side shape — Arrow-batched
@@ -437,28 +593,21 @@ def image_ahash(
             ids, hashes = [], []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
                 blob = bytes(blob)
-                grid = None
-                if blob[:2] == b"BM":
-                    try:
-                        luma = _decode_bmp(blob)
-                    except ValueError:
-                        # keep fake=True total (see decode_images)
-                        if not fake:
-                            raise
-                    else:
-                        # true 8x8 average pool (array_split: any size)
-                        grid = np.array(
-                            [
-                                float(cell.mean())
-                                for rowband in np.array_split(luma, 8, axis=0)
-                                for cell in np.array_split(rowband, 8, axis=1)
-                            ]
-                        )
-                if grid is None:
+                luma = _try_luma(blob, fake)
+                if luma is not None:
+                    # true 8x8 average pool (array_split: any size)
+                    grid = np.array(
+                        [
+                            float(cell.mean())
+                            for rowband in np.array_split(luma, 8, axis=0)
+                            for cell in np.array_split(rowband, 8, axis=1)
+                        ]
+                    )
+                else:
                     if not fake:
                         raise NotImplementedError(
-                            "real decode of compressed images needs a codec "
-                            "(Pillow); only BMP hashes natively — fake=True "
+                            "real decode of JPEG needs a codec (Pillow); "
+                            "BMP and PNG hash natively — fake=True "
                             "exercises the plumbing for other formats"
                         )
                     b = np.frombuffer(blob, dtype=np.uint8)

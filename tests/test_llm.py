@@ -1516,12 +1516,13 @@ def test_bmp_decode_is_real(spark):
     assert out[2]["mean_luma"] == 0.5
     assert (out[3]["width"], out[3]["height"], out[3]["mean_luma"]) == (4, 3, 0.0)
 
-    # compressed formats keep the honest boundary under fake=False
-    png = spark.createDataFrame(
-        [(9, b"\x89PNG\r\n\x1a\nxxxx")], "media_id long, payload binary"
+    # JPEG keeps the honest boundary under fake=False (PNG decodes for
+    # real since r7 — its boundary test lives in test_png_decode_is_real)
+    jpeg = spark.createDataFrame(
+        [(9, b"\xff\xd8\xff\xe0xxxx")], "media_id long, payload binary"
     )
     with _pytest.raises(Exception, match="codec|Pillow|NotImplemented"):
-        decode_images(png, fake=False).collect()
+        decode_images(jpeg, fake=False).collect()
 
     # REAL aHash: a noise-perturbed copy collides, an inverted image differs
     import random
@@ -1606,6 +1607,204 @@ def test_y4m_frame_sampling_is_real(spark):
     )
     with _pytest.raises(Exception, match="ffmpeg|NotImplemented"):
         sample_frames(webm, fake=False).collect()
+
+
+def _make_png(pixels, filters=None, color_type=2, split_idat=False):
+    """Hand-rolled PNG writer independent of the engine's encoder:
+    per-scanline filter TYPES are chosen by the caller and the filter
+    arithmetic (Sub/Up/Average/Paeth deltas) is computed here with the
+    spec formulas, so decoding exercises real unfiltering — not a
+    round-trip through the code under test. pixels: rows of (r,g,b)
+    tuples (color_type=2) or ints (color_type=0)."""
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0])
+    ch = 3 if color_type == 2 else 1
+    bpp = ch
+    filters = filters or [0] * h
+    flat = []
+    for row in pixels:
+        line = []
+        for px in row:
+            line.extend(px if isinstance(px, tuple) else (px,))
+        flat.append(line)
+    raw = bytearray()
+    prior = [0] * (w * ch)
+    for y, f in enumerate(filters):
+        cur = flat[y]
+        raw.append(f)
+        for x in range(w * ch):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if f == 0:
+                enc = cur[x]
+            elif f == 1:
+                enc = (cur[x] - a) & 0xFF
+            elif f == 2:
+                enc = (cur[x] - b) & 0xFF
+            elif f == 3:
+                enc = (cur[x] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = (cur[x] - pr) & 0xFF
+            else:
+                raise ValueError(f)
+            raw.append(enc)
+        prior = cur
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    comp = zlib.compress(bytes(raw))
+    if split_idat:
+        mid = len(comp) // 2
+        idat = chunk(b"IDAT", comp[:mid]) + chunk(b"IDAT", comp[mid:])
+    else:
+        idat = chunk(b"IDAT", comp)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + idat
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_is_real(spark):
+    """PNG decodes FOR REAL (stdlib zlib + numpy): known pixels come
+    back exactly through EVERY scanline filter type (0-4), IDAT may be
+    split across chunks, grayscale works, and unsupported variants /
+    JPEG keep the honest boundary under fake=False."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import (
+        attach_media_meta,
+        decode_images,
+    )
+
+    white = [(255, 255, 255)] * 4
+    black = [(0, 0, 0)] * 4
+    half = [
+        [(0, 0, 0), (0, 0, 0), (255, 255, 255), (255, 255, 255)],
+        [(0, 0, 0), (0, 0, 0), (255, 255, 255), (255, 255, 255)],
+    ]
+    # a 5-row gradient so every filter type sees non-trivial deltas
+    grad = [
+        [(10 * r + 5 * c, 20 * r, 3 * c) for c in range(6)] for r in range(5)
+    ]
+    rows = [
+        (1, _make_png([white, white])),                       # 4x2 white
+        (2, _make_png(half, filters=[2, 4], split_idat=True)),  # Up+Paeth
+        (3, _make_png([black] * 3, filters=[1, 3, 4])),       # Sub/Avg/Paeth
+        (4, _make_png(grad, filters=[0, 1, 2, 3, 4])),        # all five
+        (5, _make_png([[0, 128, 255], [255, 128, 0]], color_type=0)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = {r["media_id"]: r["media_meta"]["format"]
+            for r in attach_media_meta(df).collect()}
+    assert set(meta.values()) == {"png"}
+
+    out = {r["media_id"]: r for r in decode_images(df, fake=False).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["mean_luma"]) == (4, 2, 1.0)
+    assert out[2]["mean_luma"] == 0.5
+    assert (out[3]["width"], out[3]["height"], out[3]["mean_luma"]) == (4, 3, 0.0)
+    # gradient luma: exact mean of (r+g+b)/3 over the 5x6 grid
+    exp = sum(
+        (10 * r + 5 * c + 20 * r + 3 * c) / 3.0
+        for r in range(5) for c in range(6)
+    ) / 30.0 / 255.0
+    assert abs(out[4]["mean_luma"] - (exp * 1e6 // 1 / 1e6)) < 1e-9
+    assert (out[5]["width"], out[5]["height"], out[5]["mean_luma"]) == (
+        3, 2, (127.66666666666667 / 255.0 * 1e6) // 1 / 1e6,
+    )
+
+    jpeg = spark.createDataFrame(
+        [(9, b"\xff\xd8\xff\xe0rest-of-jpeg")], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="codec|Pillow|NotImplemented"):
+        decode_images(jpeg, fake=False).collect()
+
+
+def test_png_ahash_and_resize_real(spark):
+    """The PNG path shares the decoded-pixel aHash: a noise-perturbed
+    copy collides, an inversion differs, and a BMP and PNG of the SAME
+    image hash identically (the hash is over pixels, not containers).
+    Resize re-encodes a valid truecolor PNG whose decoded quadrants
+    match."""
+    import random
+
+    from hadoop_fcfs_spark.llm.multimodal import (
+        decode_images,
+        image_ahash,
+        resize_images,
+    )
+
+    rng = random.Random(7)
+    grad = [[(16 * c, 16 * c, 16 * c) for c in range(16)] for _ in range(16)]
+    noisy = [
+        [tuple(min(255, max(0, v + rng.randint(-2, 2))) for v in px) for px in row]
+        for row in grad
+    ]
+    inv = [[tuple(255 - v for v in px) for px in row] for row in grad]
+    hdf = spark.createDataFrame(
+        [
+            (1, _make_png(grad, filters=[1, 2, 3, 4] * 4)),
+            (2, _make_png(noisy)),
+            (3, _make_png(inv)),
+            (4, _make_bmp(grad)),
+        ],
+        "media_id long, payload binary",
+    )
+    hashes = {r["media_id"]: r["ahash"]
+              for r in image_ahash(hdf, fake=False).collect()}
+    assert hashes[1] == hashes[2], "near-identical PNGs must collide"
+    assert hashes[1] != hashes[3], "inverted image must differ"
+    assert hashes[1] == hashes[4], "same pixels, BMP vs PNG: same hash"
+
+    def quad(r, c):
+        return (255, 255, 255) if (r < 4) != (c < 4) else (0, 0, 0)
+
+    img = [[quad(r, c) for c in range(8)] for r in range(8)]
+    df = spark.createDataFrame(
+        [(1, _make_png(img, filters=[4] * 8))], "media_id long, payload binary"
+    )
+    small = resize_images(df, 2, 2, fake=False)
+    out = small.collect()[0]
+    assert bytes(out["payload"])[:8] == b"\x89PNG\r\n\x1a\n"
+    dec = decode_images(small, fake=False).collect()[0]
+    assert (dec["width"], dec["height"], dec["mean_luma"]) == (2, 2, 0.5)
+
+
+def test_fake_mode_is_total_on_png_prefixed_garbage(spark):
+    """fake=True stays TOTAL for the PNG path too: signature-prefixed
+    garbage and unsupported variants (16-bit, interlaced) take the
+    deterministic fake path; fake=False raises."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import decode_images, image_ahash
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    good = _make_png([[(1, 2, 3)]])
+    interlaced = bytearray(good)
+    interlaced[8 + 8 + 12] = 1  # IHDR interlace byte → Adam7
+    rows = [
+        (1, sig + b"garbage after the signature"),
+        (2, bytes(interlaced)),
+        (3, good[:20]),  # truncated mid-IHDR
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    assert len(decode_images(df, fake=True).collect()) == 3
+    assert len(image_ahash(df, fake=True).collect()) == 3
+    with _pytest.raises(Exception, match="PNG|unsupported|malformed"):
+        decode_images(df, fake=False).collect()
 
 
 def test_fake_mode_is_total_on_bm_prefixed_garbage(spark):
