@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Empirical scale ladder for the flagship shapes (r6 verdict #4):
+measure wall-time vs input size at sf0.1 ×1 / ×4 / ×8 synthetic
+blowups and report the scaling exponent alpha (t ~ N^alpha) per query.
+
+Blowup construction (distribution-preserving, no new testdata):
+- documents: K disjoint copies; copy k>0 rotates the alphabet by k
+  (`translate`), so every copy's internal near-dup/shingle structure
+  is ISOMORPHIC to the original while copies share ~no shingles —
+  the similarity graph scales as K disjoint copies of the real one.
+  Naive content-salted copies would instead make every doc a near-dup
+  of its K-1 clones and measure a different (quadratic-cluster)
+  workload.
+- orders: K copies with key offsets and +0.01*k on o_totalprice so the
+  distinct-score grain (what the AUC rank pass shuffles) scales too.
+
+Run: python scripts/scale_ladder.py  (prints one JSON line per rung,
+then the exponent table; ~5 min on local[32]).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from hadoop_fcfs_spark.caching import release_waypoints  # noqa: E402
+from hadoop_fcfs_spark.registry import all_queries  # noqa: E402
+from hadoop_fcfs_spark.session import get_spark  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARMUP_SF = "/root/testdata/sf0.001"
+QUERIES = [
+    "corpus_pipeline_v6",
+    "jaccard_prefix_dedup",
+    "dedup_minhash_lsh",
+    "roc_auc_orderstatus",
+]
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+RUNGS = (1, 4, 8)
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def build_rung(k_copies: int, out_dir: str) -> None:
+    con = duckdb.connect()
+    for name in TABLES:
+        src = os.path.join(BASE, f"{name}.parquet")
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if name not in ("documents", "orders") or k_copies == 1:
+            os.symlink(src, dst)
+            continue
+        if name == "documents":
+            parts = []
+            for k in range(k_copies):
+                rot = ALPHA[k % 26:] + ALPHA[: k % 26]
+                text = (
+                    "text" if k == 0
+                    else f"translate(text, '{ALPHA}', '{rot}')"
+                )
+                parts.append(
+                    f"SELECT doc_id + {k * 10_000_000} AS doc_id, "
+                    f"{text} AS text, lang, source, n_chars "
+                    f"FROM read_parquet('{src}')"
+                )
+            q = " UNION ALL ".join(parts)
+        else:  # orders
+            parts = []
+            for k in range(k_copies):
+                parts.append(
+                    f"SELECT o_orderkey + {k * 1_000_000_000} AS o_orderkey, "
+                    f"o_custkey, o_orderstatus, "
+                    f"o_totalprice + {k} * 0.01 AS o_totalprice, "
+                    f"o_orderdate, o_orderpriority "
+                    f"FROM read_parquet('{src}')"
+                )
+            q = " UNION ALL ".join(parts)
+        con.execute(f"COPY ({q}) TO '{dst}' (FORMAT PARQUET)")
+    con.close()
+
+
+def main() -> None:
+    spark = get_spark("scale_ladder")
+    q = {name: all_queries()[name].spark_fn for name in QUERIES}
+    for name in QUERIES:  # JIT warmup outside timed region
+        q[name](spark, WARMUP_SF).write.format("noop").mode("overwrite").save()
+        release_waypoints()
+
+    results: dict[str, dict[int, float]] = {n: {} for n in QUERIES}
+    root = tempfile.mkdtemp(prefix="ladder_")
+    try:
+        for rung in RUNGS:
+            d = os.path.join(root, f"x{rung}")
+            os.makedirs(d)
+            build_rung(rung, d)
+            for name in QUERIES:
+                best = None
+                for _ in range(2):
+                    release_waypoints()
+                    spark.catalog.clearCache()
+                    s = time.perf_counter()
+                    q[name](spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    e = time.perf_counter() - s
+                    best = e if best is None else min(best, e)
+                results[name][rung] = round(best, 3)
+            print(json.dumps({"rung": rung, **{n: results[n][rung] for n in QUERIES}}))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    print("\nquery, t_x1, t_x4, t_x8, alpha(1->8), alpha(4->8)")
+    for name in QUERIES:
+        t1, t4, t8 = (results[name][r] for r in RUNGS)
+        a18 = math.log(t8 / t1) / math.log(8)
+        a48 = math.log(t8 / t4) / math.log(2)
+        print(f"{name}, {t1}, {t4}, {t8}, {a18:.2f}, {a48:.2f}")
+
+
+if __name__ == "__main__":
+    main()
