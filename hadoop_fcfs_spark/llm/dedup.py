@@ -676,3 +676,67 @@ def jaccard_prefix_pairs(
             (F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))).alias("jaccard"),
         )
     )
+
+
+def mingram_blocking_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocking-scheme QA: pair completeness and reduction ratio of
+    SINGLE-MIN-SHINGLE blocking, audited against the exact n-gram
+    Jaccard truth set at ``threshold`` — the entity-resolution QA loop
+    (Christen's PC/RR) that decides whether a cheap 1-key-per-doc
+    blocking scheme is safe before running it at corpus scale:
+      PC = |candidates ∩ truth| / |truth|   (candidate-stage recall)
+      RR = 1 − |candidates| / (n_docs·(n_docs−1)/2)
+    The scheme blocks each doc on its lexicographically SMALLEST
+    n-gram (winnowing's degenerate 1-fingerprint case): deterministic,
+    vocabulary-free, engine-replayable — unlike MinHash banding, whose
+    xxhash64 candidates an ANSI oracle cannot replay (its recall is
+    separately corpus-pinned by dedup_minhash_lsh). The audit-side
+    exact truth join is the expensive piece — this is a QA AUDIT you
+    run on a sample or at validation scale, exactly like
+    llm.similarity's IVF recall gate runs exact kNN.
+
+    Output: one row (n_docs, n_truth, n_cand, n_hit, pc_micro,
+    rr_micro) — exact BIGINT counts, two flooring micro divisions;
+    pc NULL when the truth set is empty. Scale shape: min-key
+    extraction rides the existing posting-list collapse; the candidate
+    join is equi on one key per doc; scalars are 1-row aggregations
+    cross-joined (broadcast)."""
+    grams = _gram_rows(df, id_col, text_col, n)
+    keys = grams.groupBy("doc").agg(F.min("gram").alias("__k"))
+    cand = (
+        keys.select(F.col("doc").alias("doc_a"), "__k")
+        .join(keys.select(F.col("doc").alias("doc_b"), "__k"), "__k")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    truth = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    s_docs = df.agg(F.count("*").cast("long").alias("__nd"))
+    s_cand = cand.agg(F.count("*").cast("long").alias("__nc"))
+    s_truth = truth.agg(F.count("*").cast("long").alias("__nt"))
+    s_hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count("*").cast("long").alias("__nh")
+    )
+    return (
+        s_docs.crossJoin(F.broadcast(s_cand))
+        .crossJoin(F.broadcast(s_truth))
+        .crossJoin(F.broadcast(s_hit))
+        .selectExpr(
+            "__nd AS n_docs",
+            "__nt AS n_truth",
+            "__nc AS n_cand",
+            "__nh AS n_hit",
+            "CASE WHEN __nt > 0 THEN CAST(__nh * 1000000 div __nt AS BIGINT)"
+            " END AS pc_micro",
+            "CASE WHEN __nd >= 2 THEN CAST((__nd * (__nd - 1) div 2 - __nc)"
+            " * 1000000 div (__nd * (__nd - 1) div 2) AS BIGINT)"
+            " END AS rr_micro",
+        )
+    )

@@ -201,3 +201,57 @@ def robust_scale(
         )
         .drop("__qg", "q1_q", "med_q", "q3_q")
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_features: int = 1024,
+) -> DataFrame:
+    """Hashing-trick text vectorization (Weinberger et al.): each token
+    maps to feat_idx = md5_uniform32(token) mod D with a ±1 sign from
+    an independent md5 nibble, and a document's feature value is the
+    signed occurrence sum — the fixed-width, vocabulary-free
+    featurizer a training pipeline uses when a learned vocabulary is
+    too big or not yet available (no dictionary to build, broadcast,
+    or version). The sign debiases collisions: E[colliding
+    contribution] = 0, the standard signed hashing trick.
+
+    Output: (id, feat_idx, val) for nonzero features only (signed
+    counts can cancel to 0 — those are dropped, as a sparse vector
+    would).
+
+    Determinism at any scale: the md5-tier idiom shared with
+    ops.sampling._sample_key — index and sign are pure per-token
+    expressions, engine-replayable (DuckDB: CAST('0x'||substr(md5(w),
+    1,8) AS BIGINT)), no vocabulary state, no RNG. Scale shape: the
+    tokenize+explode is a projection; ONE shuffle to the (id,
+    feat_idx) grain — map-side combinable since signs sum
+    associatively. Collisions are a modeling tradeoff (D trades
+    memory for collision rate), not a correctness issue."""
+    if n_features < 1:
+        raise ValueError(f"n_features must be >= 1, got {n_features}")
+    toks = df.select(
+        F.col(id_col).alias("__i"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("__w"),
+    ).filter(F.col("__w") != "")
+    key = F.conv(
+        F.substring(F.md5(F.col("__w").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    sign_nibble = F.conv(
+        F.substring(F.md5(F.col("__w").cast("binary")), 9, 1), 16, 10
+    ).cast("long")
+    return (
+        toks.select(
+            "__i",
+            (key % F.lit(int(n_features))).alias("feat_idx"),
+            F.when(sign_nibble % 2 == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("__s"),
+        )
+        .groupBy(F.col("__i").alias(id_col), "feat_idx")
+        .agg(F.sum("__s").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )

@@ -1644,3 +1644,355 @@ def calibration_bins(
             F.expr("CAST(n_pos * 1000000 div n AS BIGINT)"),
         )
     )
+
+
+def brier_decomposition(
+    df: DataFrame, score_col: str, label_col: Column | str, n_bins: int = 10
+) -> DataFrame:
+    """Murphy decomposition of the Brier score for a score used as a
+    probability forecast: BS = RELIABILITY − RESOLUTION + UNCERTAINTY.
+    Reliability penalizes bins whose mean forecast drifts from the
+    observed rate (what :func:`calibration_bins` tabulates), resolution
+    rewards bins whose observed rates spread away from the base rate,
+    uncertainty is the label's own variance floor ō(1−ō). The one-row
+    scalar complement of the calibration table — a drift monitor can
+    alert on reliability alone.
+
+    The forecast is the score's EXCLUSIVE-prefix percentile
+    floor(before·10⁶/N) on the distinct-score grain — calibration_bins'
+    machinery verbatim (one grain shuffle + one global_running_sum
+    range pass + broadcast scalar total; ties share a grain row, so
+    forecast and bin are deterministic under any partitioning). Per-bin
+    sums (n_b, positives_b, Σforecast_micro) stay exact BIGINT
+    (bound: Σ c·f_micro ≤ N·10⁶ < 2⁶³ needs N < ~9.2e12); the three
+    components are then k=n_bins-element double sums — the anova
+    precedent: the only engine-ordered float arithmetic is over the
+    fixed bin count, never over data rows — rounded to 6 decimals.
+
+    The 3-term identity BS = REL − RES + UNC is exact when forecasts
+    are constant within bins (pytest pins it on such data); with
+    varying within-bin forecasts the within-bin variance/covariance
+    terms (Stephenson's generalized decomposition) are folded into
+    reliability, the standard binned-forecast convention.
+
+    Reference parity: no model-eval surface in the reference; this is
+    the single-reducer pass a MapReduce scorer would do after
+    sort-by-score (SecondarySort shape), minus the global sort."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    grain = waypoint(
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(F.col(score_col).alias("__v"))
+        .agg(
+            F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("__ca"),
+            F.count("*").cast("long").alias("__c"),
+        )
+    )
+    before = global_running_sum(
+        grain, ["__v"], "__c", out_col="__before", inclusive=False
+    )
+    tot = grain.agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.sum("__ca").cast("long").alias("__na"),
+    )
+    binned = (
+        before.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "__ca", "__c",
+            f"CAST(__before * {int(n_bins)} div __n AS BIGINT) AS bin",
+            "CAST(__before * 1000000 div __n AS BIGINT) AS __f",
+        )
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("__c").cast("long").alias("__nb"),
+        F.sum("__ca").cast("long").alias("__cab"),
+        F.sum(F.col("__c") * F.col("__f")).cast("long").alias("__sb"),
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("__n").alias("n"),
+            F.max("__na").alias("n_pos"),
+            # Σ_b (mean forecast − observed rate)² · n_b / N
+            F.sum(
+                F.pow(
+                    F.col("__sb").cast("double") / 1e6
+                    - F.col("__cab").cast("double"),
+                    F.lit(2.0),
+                )
+                / F.col("__nb").cast("double")
+            ).alias("__rel_num"),
+            # Σ_b n_b (o_b − ō)² / N
+            F.sum(
+                F.col("__nb").cast("double")
+                * F.pow(
+                    F.col("__cab").cast("double")
+                    / F.col("__nb").cast("double")
+                    - F.col("__na").cast("double") / F.col("__n").cast("double"),
+                    F.lit(2.0),
+                )
+            ).alias("__res_num"),
+        )
+        .selectExpr(
+            "n", "n_pos",
+            "ROUND(__rel_num / n, 6) AS reliability_r6",
+            "ROUND(__res_num / n, 6) AS resolution_r6",
+            "ROUND(CAST(n_pos AS DOUBLE) / n"
+            " * (1.0 - CAST(n_pos AS DOUBLE) / n), 6) AS uncertainty_r6",
+            "ROUND(__rel_num / n - __res_num / n"
+            " + CAST(n_pos AS DOUBLE) / n"
+            " * (1.0 - CAST(n_pos AS DOUBLE) / n), 6) AS brier_r6",
+        )
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame, id_col: str, rater_cols: list[str]
+) -> DataFrame:
+    """Fleiss' kappa: chance-corrected agreement among r ≥ 2 raters
+    assigning one categorical label per item — the multi-rater
+    generalization of :func:`cohens_kappa`, the standard
+    inter-annotator-agreement scalar for labeling/RLHF-judgment QA
+    (can these r judges even be aggregated?).
+
+    Exact-integer reduction: unpivot the r rater columns to (item,
+    label) rows, count n_ij per (item, label), then
+    A = Σ_i Σ_j n_ij² (one groupBy item) and S2 = Σ_j c_j² over the
+    category totals. P̄ = (A − Nr)/(Nr(r−1)), P̄ₑ = S2/(Nr)², κ =
+    (P̄ − P̄ₑ)/(1 − P̄ₑ) — evaluated as flat scalar double arithmetic
+    over the exact BIGINTs (welch precedent; an all-BIGINT κ ratio
+    would need N³ products and overflow at ~2e6 items), floored to
+    micro like cohens_kappa. NULL when P̄ₑ = 1 (all raters one
+    category) or no items.
+
+    Scale shape: the unpivot is a projection (r× rows, no shuffle);
+    one groupBy (item, label) → one groupBy item, plus the tiny
+    category rollup — all map-side combinable; output is one row.
+    NULL rater labels are kept as a real category ('absent' must
+    lower agreement, not silently shrink r)."""
+    if len(rater_cols) < 2:
+        raise ValueError(f"need >= 2 raters, got {len(rater_cols)}")
+    r = len(rater_cols)
+    votes = df.select(
+        F.col(id_col).alias("__i"),
+        F.explode(
+            F.array(*[
+                F.coalesce(F.col(c).cast("string"), F.lit("__null__"))
+                for c in rater_cols
+            ])
+        ).alias("__l"),
+    )
+    nij = votes.groupBy("__i", "__l").agg(F.count("*").alias("__nij"))
+    a = nij.groupBy("__i").agg(
+        F.sum(F.col("__nij") * F.col("__nij")).alias("__ai")
+    ).agg(
+        F.sum("__ai").cast("long").alias("__a"),
+        F.count("*").cast("long").alias("__n_items"),
+    )
+    s2 = nij.groupBy("__l").agg(F.sum("__nij").alias("__cj")).agg(
+        F.sum(F.col("__cj") * F.col("__cj")).cast("long").alias("__s2")
+    )
+    return (
+        a.crossJoin(F.broadcast(s2))
+        .selectExpr(
+            "__n_items AS n_items",
+            f"CAST({r} AS BIGINT) AS n_raters",
+            f"CAST(__a AS DOUBLE) AS __ad",
+            f"CAST(__n_items AS DOUBLE) * {r} AS __nr",
+            "CAST(__s2 AS DOUBLE) AS __s2d",
+        )
+        .selectExpr(
+            "n_items", "n_raters",
+            f"(__ad - __nr) / (__nr * {r - 1}) AS __pbar",
+            "__s2d / (__nr * __nr) AS __pe",
+        )
+        .selectExpr(
+            "n_items", "n_raters",
+            "CASE WHEN n_items > 0 AND __pe <> 1.0 THEN "
+            "CAST(FLOOR((__pbar - __pe) / (1.0 - __pe) * 1000000) AS BIGINT) "
+            "END AS kappa_e6",
+        )
+    )
+
+
+def js_divergence_binned(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bin_width: int = 64,
+) -> DataFrame:
+    """Per-group Jensen–Shannon divergence (bits) between the group's
+    distribution of a bucketed integer value and the GLOBAL
+    distribution — the bounded, symmetric, always-finite drift scalar
+    (KL blows up on empty bins; JSD ∈ [0,1] never does), the
+    distributional complement of ks_group_drift's max-gap statistic.
+
+    Evaluation is on the DENSE (group × global-bucket) grid — the
+    ks_source_drift lesson: own-points-only evaluation understates
+    divergence because buckets the group MISSES entirely are exactly
+    where it diverges (p=0, q>0 contributes 0.5·q bits). Buckets are
+    exact integer floor-divisions (non-negative values; one bucket per
+    ``bin_width`` units). Counts stay exact BIGINT; the per-bucket
+    p·log2(p/m) terms are double arithmetic summed over the bounded
+    bucket grid (the MI/perplexity precedent: engine-ordered float
+    sums over a BOUNDED category grid, never over data rows), rounded
+    to 6 decimals.
+
+    Scale shape: one (group, bucket) aggregation + two tiny rollups
+    (bucket totals, group totals), dense grid by broadcast crossJoin of
+    the two small sides, one bounded-key groupBy back. Output: one row
+    per group."""
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.expr(f"CAST({value_col} div {int(bin_width)} AS BIGINT)").alias(
+            "__b"
+        ),
+    )
+    gb = base.groupBy("__g", "__b").agg(F.count("*").cast("long").alias("__c"))
+    buckets = gb.groupBy("__b").agg(F.sum("__c").cast("long").alias("__gc"))
+    groups = gb.groupBy("__g").agg(F.sum("__c").cast("long").alias("__ns"))
+    tot = buckets.agg(F.sum("__gc").cast("long").alias("__n"))
+    grid = (
+        groups.crossJoin(F.broadcast(buckets))
+        .crossJoin(F.broadcast(tot))
+        .join(gb, ["__g", "__b"], "left")
+        .fillna({"__c": 0})
+    )
+    p = F.col("__c").cast("double") / F.col("__ns").cast("double")
+    q = F.col("__gc").cast("double") / F.col("__n").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(F.col("__c") > 0, p * F.log2(p / m) / F.lit(2.0)).otherwise(
+            F.lit(0.0)
+        )
+        + q * F.log2(q / m) / F.lit(2.0)
+    )
+    return (
+        grid.groupBy(F.col("__g").alias(group_col))
+        .agg(
+            F.max("__ns").alias("n_group"),
+            F.round(F.sum(term), 6).alias("jsd_r6"),
+        )
+    )
+
+
+def ab_power_required_n(
+    df: DataFrame,
+    group_col: str,
+    success_col: Column | str,
+    rel_lift: float = 0.1,
+) -> DataFrame:
+    """A/B-test power analysis from observed baselines: for each
+    group, the per-arm sample size needed to detect a ``rel_lift``
+    relative improvement of the group's observed success rate at
+    alpha = 0.05 (two-sided) and power = 0.80 — the design-stage
+    complement of ops.stats.two_proportion_ztest (which judges a
+    finished experiment; this sizes the next one):
+
+      n = ceil[ (z_a·sqrt(2·p̄q̄) + z_b·sqrt(p1·q1 + p2·q2))² / (p2−p1)² ]
+
+    with p2 = min(p1·(1+lift), 1), p̄ the arm average, and the normal
+    quantiles FROZEN as double literals (z_0.975 = 1.959964,
+    z_0.80 = 0.841621 — the NDCG frozen-constant discipline:
+    no quantile function runs at query time on either engine).
+    Counts are exact BIGINT; the formula is flat per-group scalar
+    double arithmetic (welch precedent) — no float sums over data.
+    required_n is NULL when the group is empty, p1 = 0 (nothing to
+    lift), or p2 = p1 (degenerate effect at p1 = 1).
+
+    Output: (group, n_obs, successes, required_n_per_arm)."""
+    if rel_lift <= 0:
+        raise ValueError(f"rel_lift must be > 0, got {rel_lift}")
+    suc = F.col(success_col) if isinstance(success_col, str) else success_col
+    agg = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias(group_col))
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.sum(F.when(suc, 1).otherwise(0)).cast("long").alias("successes"),
+        )
+    )
+    lift = float(rel_lift)
+    return agg.selectExpr(
+        group_col, "n_obs", "successes",
+        "CAST(successes AS DOUBLE) / n_obs AS __p1",
+    ).selectExpr(
+        group_col, "n_obs", "successes",
+        "__p1",
+        f"LEAST(__p1 * (1.0 + {lift!r}), 1.0) AS __p2",
+    ).selectExpr(
+        group_col, "n_obs", "successes",
+        "CASE WHEN n_obs > 0 AND __p1 > 0 AND __p2 <> __p1 THEN "
+        "CAST(CEIL(POWER(1.959964 * SQRT(2.0 * ((__p1 + __p2) / 2.0)"
+        " * (1.0 - (__p1 + __p2) / 2.0))"
+        " + 0.841621 * SQRT(__p1 * (1.0 - __p1) + __p2 * (1.0 - __p2)), 2)"
+        " / POWER(__p2 - __p1, 2)) AS BIGINT) "
+        "END AS required_n_per_arm",
+    )
+
+
+def smd_balance(
+    df: DataFrame,
+    stratum_col: str,
+    arm_col: Column | str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Standardized mean difference of ``value_col`` between two arms
+    within each stratum — the covariate-balance diagnostic of
+    observational comparisons (|SMD| < 0.1 is the usual 'balanced'
+    bar): SMD = (m₁ − m₀) / sqrt((s₁² + s₀²)/2).
+
+    Moments are exact: values quantize to 1/``scale`` units (the
+    welch_ttest cent discipline) and each arm carries exact BIGINT
+    (n, Σv, Σv²) through ONE map-side-combined aggregation per
+    (stratum, arm) — overflow bound Σv² < 2⁶³ documented at welch.
+    The SMD itself is flat per-stratum scalar double arithmetic
+    (sample variances with the n−1 divisor), rounded to 6 decimals;
+    NULL when either arm has < 2 rows or both variances are 0.
+
+    Output: (stratum, n_treat, n_ctrl, mean_diff_r6, smd_r6)."""
+    arm = F.col(arm_col) if isinstance(arm_col, str) else arm_col
+    q = F.round(F.col(value_col) * scale).cast("long")
+    agg = (
+        df.filter(
+            F.col(stratum_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(stratum_col).alias(stratum_col))
+        .agg(
+            F.sum(F.when(arm, 1).otherwise(0)).cast("long").alias("n_treat"),
+            F.sum(F.when(arm, q).otherwise(0)).cast("long").alias("__s1t"),
+            F.sum(F.when(arm, q * q).otherwise(0)).cast("long").alias("__s2t"),
+            F.sum(F.when(arm, 0).otherwise(1)).cast("long").alias("n_ctrl"),
+            F.sum(F.when(arm, 0).otherwise(q)).cast("long").alias("__s1c"),
+            F.sum(F.when(arm, 0).otherwise(q * q)).cast("long").alias("__s2c"),
+        )
+    )
+    sc = float(scale)
+    return agg.selectExpr(
+        stratum_col, "n_treat", "n_ctrl",
+        f"CAST(__s1t AS DOUBLE) / {sc!r} AS __sum_t",
+        f"CAST(__s1c AS DOUBLE) / {sc!r} AS __sum_c",
+        f"CAST(__s2t AS DOUBLE) / {sc!r} / {sc!r} AS __sq_t",
+        f"CAST(__s2c AS DOUBLE) / {sc!r} / {sc!r} AS __sq_c",
+    ).selectExpr(
+        stratum_col, "n_treat", "n_ctrl",
+        "CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN "
+        "ROUND(__sum_t / n_treat - __sum_c / n_ctrl, 6) END AS mean_diff_r6",
+        "CASE WHEN n_treat >= 2 AND n_ctrl >= 2 AND "
+        "((__sq_t - __sum_t * __sum_t / n_treat) / (n_treat - 1)"
+        " + (__sq_c - __sum_c * __sum_c / n_ctrl) / (n_ctrl - 1)) > 0 THEN "
+        "ROUND((__sum_t / n_treat - __sum_c / n_ctrl)"
+        " / SQRT(((__sq_t - __sum_t * __sum_t / n_treat) / (n_treat - 1)"
+        "         + (__sq_c - __sum_c * __sum_c / n_ctrl) / (n_ctrl - 1))"
+        "        / 2.0), 6) "
+        "END AS smd_r6",
+    )

@@ -3429,3 +3429,175 @@ def calibration_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders"), "o_totalprice",
         F.col("o_orderstatus") == "F", n_bins=10,
     )
+
+
+@register(
+    "brier_orderstatus",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS v,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ca,
+             COUNT(*) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT v, ca, c,
+             COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+             SUM(c) OVER () AS n_tot, SUM(ca) OVER () AS na_tot
+      FROM g
+    ),
+    pb AS (
+      SELECT CAST(bef * 10 // n_tot AS BIGINT) AS bin,
+             CAST(SUM(c) AS BIGINT) AS nb,
+             CAST(SUM(ca) AS BIGINT) AS cab,
+             CAST(SUM(c * (bef * 1000000 // n_tot)) AS BIGINT) AS sb,
+             MAX(n_tot) AS n, MAX(na_tot) AS na
+      FROM r GROUP BY 1
+    ),
+    fin AS (
+      SELECT MAX(n) AS n, MAX(na) AS na,
+             SUM(POWER(CAST(sb AS DOUBLE) / 1e6 - CAST(cab AS DOUBLE), 2)
+                 / CAST(nb AS DOUBLE)) AS rel_num,
+             SUM(CAST(nb AS DOUBLE)
+                 * POWER(CAST(cab AS DOUBLE) / CAST(nb AS DOUBLE)
+                         - CAST(na AS DOUBLE) / CAST(n AS DOUBLE), 2))
+               AS res_num
+      FROM pb
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(na AS BIGINT) AS n_pos,
+           ROUND(rel_num / n, 6) AS reliability_r6,
+           ROUND(res_num / n, 6) AS resolution_r6,
+           ROUND(CAST(na AS DOUBLE) / n
+                 * (1.0 - CAST(na AS DOUBLE) / n), 6) AS uncertainty_r6,
+           ROUND(rel_num / n - res_num / n
+                 + CAST(na AS DOUBLE) / n
+                 * (1.0 - CAST(na AS DOUBLE) / n), 6) AS brier_r6
+    FROM fin
+    """,
+    doc="Murphy decomposition of the Brier score "
+    "(ops.stats.brier_decomposition): the price-percentile forecast "
+    "of FINISHED status decomposed into reliability - resolution + "
+    "uncertainty over 10 calibration bins - the one-row scalar "
+    "complement of calibration_orderstatus (same grain, same "
+    "exclusive-prefix machinery, one extra per-bin BIGINT forecast "
+    "sum). Per-bin sums exact BIGINT; the three components are "
+    "k=10-element double sums (anova precedent - no engine-ordered "
+    "float arithmetic over data rows), rounded to 6 decimals.",
+)
+def brier_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import brier_decomposition
+
+    return brier_decomposition(
+        t(spark, sf_dir, "orders"), "o_totalprice",
+        F.col("o_orderstatus") == "F", n_bins=10,
+    )
+
+
+@register(
+    "ab_power_priorities",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS successes
+      FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
+    ),
+    b AS (
+      SELECT *, CAST(successes AS DOUBLE) / n_obs AS p1 FROM a
+    ),
+    c AS (
+      SELECT *, LEAST(p1 * (1.0 + 0.1), 1.0) AS p2 FROM b
+    )
+    SELECT o_orderpriority, n_obs, successes,
+           CASE WHEN n_obs > 0 AND p1 > 0 AND p2 <> p1 THEN
+             CAST(CEIL(POWER(1.959964
+                 * SQRT(2.0 * ((p1 + p2) / 2.0)
+                        * (1.0 - (p1 + p2) / 2.0))
+                 + 0.841621 * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2)
+               / POWER(p2 - p1, 2)) AS BIGINT)
+           END AS required_n_per_arm
+    FROM c
+    """,
+    doc="A/B-test power analysis (ops.stats.ab_power_required_n): for "
+    "each order priority, the per-arm sample size needed to detect a "
+    "10 percent relative lift of its observed FINISHED rate at "
+    "alpha=0.05 / power=0.80 - the design-stage complement of "
+    "ab_test_conversion's two_proportion_ztest (that judges a "
+    "finished experiment; this sizes the next one). Normal quantiles "
+    "FROZEN as double literals (z=1.959964, 0.841621 - the NDCG "
+    "frozen-constant discipline; no quantile function runs at query "
+    "time on either engine); exact BIGINT counts, flat per-group "
+    "double arithmetic (welch precedent).",
+)
+def ab_power_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import ab_power_required_n
+
+    return ab_power_required_n(
+        t(spark, sf_dir, "orders"), "o_orderpriority",
+        F.col("o_orderstatus") == "F", rel_lift=0.1,
+    )
+
+
+@register(
+    "smd_balance_nations",
+    oracle="""
+    WITH a AS (
+      SELECT c_nationkey,
+             CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+             CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                  THEN CAST(ROUND(c_acctbal * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s1t,
+             CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                  THEN CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                       * CAST(ROUND(c_acctbal * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s2t,
+             CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END) AS BIGINT) AS n_ctrl,
+             CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 0
+                  ELSE CAST(ROUND(c_acctbal * 100) AS BIGINT) END) AS BIGINT) AS s1c,
+             CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 0
+                  ELSE CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                       * CAST(ROUND(c_acctbal * 100) AS BIGINT) END) AS BIGINT) AS s2c
+      FROM customer
+      WHERE c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL
+      GROUP BY 1
+    ),
+    d AS (
+      SELECT c_nationkey, n_treat, n_ctrl,
+             CAST(s1t AS DOUBLE) / 100.0 AS sum_t,
+             CAST(s1c AS DOUBLE) / 100.0 AS sum_c,
+             CAST(s2t AS DOUBLE) / 100.0 / 100.0 AS sq_t,
+             CAST(s2c AS DOUBLE) / 100.0 / 100.0 AS sq_c
+      FROM a
+    )
+    SELECT c_nationkey, n_treat, n_ctrl,
+           CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+             ROUND(sum_t / n_treat - sum_c / n_ctrl, 6) END AS mean_diff_r6,
+           CASE WHEN n_treat >= 2 AND n_ctrl >= 2 AND
+             ((sq_t - sum_t * sum_t / n_treat) / (n_treat - 1)
+              + (sq_c - sum_c * sum_c / n_ctrl) / (n_ctrl - 1)) > 0 THEN
+             ROUND((sum_t / n_treat - sum_c / n_ctrl)
+               / SQRT(((sq_t - sum_t * sum_t / n_treat) / (n_treat - 1)
+                       + (sq_c - sum_c * sum_c / n_ctrl) / (n_ctrl - 1))
+                      / 2.0), 6)
+           END AS smd_r6
+    FROM d
+    """,
+    doc="Standardized mean difference (ops.stats.smd_balance) of "
+    "account balance between BUILDING-segment and other customers "
+    "within each nation stratum - the covariate-balance diagnostic "
+    "of observational comparisons (|SMD| < 0.1 = balanced), the "
+    "design-matrix QA step before any causal read of segment "
+    "differences. Cent-quantized exact BIGINT (n, S1, S2) per "
+    "(stratum, arm) in ONE map-side-combined aggregation (welch "
+    "discipline incl. its overflow bound); SMD is flat per-stratum "
+    "double arithmetic with n-1 variances, rounded to 6.",
+)
+def smd_balance_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import smd_balance
+
+    return smd_balance(
+        t(spark, sf_dir, "customer"), "c_nationkey",
+        F.col("c_mktsegment") == "BUILDING", "c_acctbal", scale=100,
+    )

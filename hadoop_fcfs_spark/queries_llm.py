@@ -3534,6 +3534,241 @@ def langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "js_drift_sources",
+    oracle="""
+    WITH base AS (
+      SELECT source AS g, n_chars // 64 AS b FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    gb AS (SELECT g, b, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+    buckets AS (SELECT b, CAST(SUM(c) AS BIGINT) AS gc FROM gb GROUP BY 1),
+    groups AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ns FROM gb GROUP BY 1),
+    tot AS (SELECT CAST(SUM(gc) AS BIGINT) AS n FROM buckets),
+    grid AS (
+      SELECT groups.g, groups.ns, buckets.b, buckets.gc, tot.n,
+             COALESCE(gb.c, 0) AS c
+      FROM groups CROSS JOIN buckets CROSS JOIN tot
+      LEFT JOIN gb ON gb.g = groups.g AND gb.b = buckets.b
+    )
+    SELECT g AS source, CAST(MAX(ns) AS BIGINT) AS n_group,
+           ROUND(SUM(
+             CASE WHEN c > 0 THEN
+               (CAST(c AS DOUBLE) / ns)
+               * log2((CAST(c AS DOUBLE) / ns)
+                      / ((CAST(c AS DOUBLE) / ns
+                          + CAST(gc AS DOUBLE) / n) / 2.0)) / 2.0
+             ELSE 0.0 END
+             + (CAST(gc AS DOUBLE) / n)
+               * log2((CAST(gc AS DOUBLE) / n)
+                      / ((CAST(c AS DOUBLE) / ns
+                          + CAST(gc AS DOUBLE) / n) / 2.0)) / 2.0
+           ), 6) AS jsd_r6
+    FROM grid GROUP BY 1
+    """,
+    doc="Per-source Jensen-Shannon divergence "
+    "(ops.stats.js_divergence_binned) between each source's doc-length "
+    "distribution (n_chars in 64-char buckets) and the corpus-wide "
+    "one - the bounded, symmetric, always-finite drift scalar "
+    "complementing ks_source_drift's max-gap statistic (KL blows up "
+    "on empty bins; JSD in [0,1] bits never does). Dense "
+    "(source x global-bucket) grid - the ks_source_drift lesson: "
+    "buckets a source MISSES are exactly where it diverges. Exact "
+    "BIGINT counts; double p*log2 terms summed over the bounded "
+    "bucket grid only (MI precedent), rounded to 6.",
+)
+def js_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import js_divergence_binned
+
+    docs = t(spark, sf_dir, "documents")
+    return js_divergence_binned(docs, "source", "n_chars", bin_width=64)
+
+
+@register(
+    "blocking_quality_mingram",
+    oracle="WITH " + _EXACT_PAIRS.format(src="documents", thr=0.5) + """,
+    keys AS (SELECT doc, MIN(gram) AS k FROM grams GROUP BY doc),
+    cand AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b
+      FROM keys a JOIN keys b ON a.k = b.k WHERE a.doc < b.doc
+    ),
+    scal AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS nd,
+             (SELECT COUNT(*) FROM cand) AS nc,
+             (SELECT COUNT(*) FROM pairs) AS nt,
+             (SELECT COUNT(*) FROM pairs p JOIN cand c
+                ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b) AS nh
+    )
+    SELECT CAST(nd AS BIGINT) AS n_docs, CAST(nt AS BIGINT) AS n_truth,
+           CAST(nc AS BIGINT) AS n_cand, CAST(nh AS BIGINT) AS n_hit,
+           CASE WHEN nt > 0
+                THEN CAST(nh * 1000000 // nt AS BIGINT) END AS pc_micro,
+           CASE WHEN nd >= 2
+                THEN CAST((nd * (nd - 1) // 2 - nc) * 1000000
+                          // (nd * (nd - 1) // 2) AS BIGINT)
+           END AS rr_micro
+    FROM scal
+    """,
+    doc="Blocking-scheme QA (llm.dedup.mingram_blocking_quality): pair "
+    "completeness and reduction ratio (Christen's PC/RR) of "
+    "single-min-shingle blocking vs the exact 3-gram Jaccard >= 0.5 "
+    "truth set - the entity-resolution audit that decides whether a "
+    "cheap 1-key-per-doc blocking scheme is safe before running it "
+    "at corpus scale (the dedup twin of ann_ivf_recall's exact-kNN "
+    "audit). Min-shingle blocking is deterministic and "
+    "vocabulary-free, so the ORACLE replays the full candidate set - "
+    "unlike MinHash banding, whose xxhash64 candidates ANSI SQL "
+    "cannot replay. PROBED: PC is 964285 micro at sf0.001 (1 of 28 "
+    "true pairs missed) and 1000000 at sf0.01 - data-dependent, not "
+    "vacuously 1. Exact BIGINT counts, two flooring micro divisions.",
+)
+def blocking_quality_mingram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.dedup import mingram_blocking_quality
+
+    docs = t(spark, sf_dir, "documents")
+    return mingram_blocking_quality(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register(
+    "feature_hash_profile",
+    oracle=f"""
+    WITH {_TOKS},
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64 AS feat_idx,
+             CASE WHEN CAST('0x' || substr(md5(w), 9, 1) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM toks
+    ),
+    v AS (
+      SELECT doc_id, feat_idx, CAST(SUM(s) AS BIGINT) AS val
+      FROM h GROUP BY 1, 2
+    )
+    SELECT feat_idx,
+           CAST(COUNT(*) AS BIGINT) AS nnz_docs,
+           CAST(SUM(val) AS BIGINT) AS total_val,
+           CAST(SUM(ABS(val)) AS BIGINT) AS l1_val
+    FROM v WHERE val <> 0 GROUP BY 1
+    """,
+    doc="Hashing-trick vectorization profile (ops.encode.feature_hash, "
+    "D=64): per-feature nonzero-document count and signed/L1 mass "
+    "over the whole corpus - pins index assignment, sign debiasing, "
+    "per-doc signed sums AND zero-cancellation dropping in one "
+    "compact D-row table. feat_idx = md5_uniform32(token) mod D with "
+    "a +-1 sign from an independent md5 nibble (the _sample_key "
+    "md5-tier idiom - vocabulary-free, RNG-free, engine-replayable). "
+    "ONE shuffle to the (doc, feat) grain + the D-key rollup, both "
+    "map-side combined.",
+)
+def feature_hash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.encode import feature_hash
+
+    docs = t(spark, sf_dir, "documents")
+    vec = feature_hash(docs, "doc_id", "text", n_features=64)
+    return vec.groupBy("feat_idx").agg(
+        F.count("*").cast("long").alias("nnz_docs"),
+        F.sum("val").cast("long").alias("total_val"),
+        F.sum(F.abs("val")).cast("long").alias("l1_val"),
+    )
+
+
+@register(
+    "fleiss_langid",
+    oracle=f"""
+    WITH {_LANGID_PRED_CTES},
+    pred2 AS (
+      SELECT doc_id,
+        CASE WHEN score_en >= 0.05 THEN 'en'
+             WHEN score_de >= 0.05 THEN 'de'
+             WHEN score_es >= 0.05 THEN 'es'
+             WHEN score_fr >= 0.05 THEN 'fr'
+             ELSE 'und' END AS lang_pred2
+      FROM scores
+    ),
+    votes AS (
+      SELECT doc_id, COALESCE(lang, 'und') AS l FROM documents
+      UNION ALL
+      SELECT d.doc_id, COALESCE(p.lang_pred, 'und')
+      FROM documents d LEFT JOIN pred p USING (doc_id)
+      UNION ALL
+      SELECT d.doc_id, COALESCE(p2.lang_pred2, 'und')
+      FROM documents d LEFT JOIN pred2 p2 USING (doc_id)
+    ),
+    nij AS (SELECT doc_id, l, COUNT(*) AS c FROM votes GROUP BY 1, 2),
+    aa AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS a,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_items
+      FROM nij
+    ),
+    ss AS (
+      SELECT CAST(SUM(cj * cj) AS BIGINT) AS s2
+      FROM (SELECT l, SUM(c) AS cj FROM nij GROUP BY 1)
+    )
+    SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+           CASE WHEN n_items > 0
+                 AND CAST(s2 AS DOUBLE)
+                     / (CAST(n_items AS DOUBLE) * 3
+                        * CAST(n_items AS DOUBLE) * 3) <> 1.0 THEN
+             CAST(FLOOR(
+               ((CAST(a AS DOUBLE) - CAST(n_items AS DOUBLE) * 3)
+                  / (CAST(n_items AS DOUBLE) * 3 * 2)
+                - CAST(s2 AS DOUBLE)
+                  / (CAST(n_items AS DOUBLE) * 3
+                     * CAST(n_items AS DOUBLE) * 3))
+               / (1.0 - CAST(s2 AS DOUBLE)
+                        / (CAST(n_items AS DOUBLE) * 3
+                           * CAST(n_items AS DOUBLE) * 3))
+               * 1000000) AS BIGINT)
+           END AS kappa_e6
+    FROM aa CROSS JOIN ss
+    """,
+    doc="Fleiss' kappa (ops.stats.fleiss_kappa) among THREE raters of "
+    "each document's language: the corpus label, the argmax stopword "
+    "heuristic (shared _LANGID_PRED_CTES replay - the langid_kappa "
+    "pairing), and a threshold-priority heuristic derived from the "
+    "SAME shared scores CTE (en>=0.05 first, then de/es/fr) - the "
+    "multi-rater inter-annotator-agreement scalar that decides "
+    "whether labeling judgments can be aggregated at all. Exact "
+    "BIGINT A = Sum n_ij^2 and category-total square sum; kappa is "
+    "flat scalar double arithmetic floored to micro (an all-BIGINT "
+    "ratio needs N^3 products - overflows at ~2e6 items).",
+)
+def fleiss_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import fleiss_kappa
+
+    docs = t(spark, sf_dir, "documents")
+    li = lang_id(docs, "doc_id", "text")
+
+    def s(lng: str):
+        return F.col(f"score_{lng}")
+
+    pred2 = (
+        F.when(s("en") >= 0.05, "en")
+        .when(s("de") >= 0.05, "de")
+        .when(s("es") >= 0.05, "es")
+        .when(s("fr") >= 0.05, "fr")
+        .otherwise("und")
+    )
+    trip = (
+        docs.select("doc_id", F.coalesce("lang", F.lit("und")).alias("r_truth"))
+        .join(
+            li.select(
+                "doc_id",
+                F.col("lang_pred").alias("r_argmax"),
+                pred2.alias("r_thresh"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", "r_truth",
+            F.coalesce("r_argmax", F.lit("und")).alias("r_argmax"),
+            F.coalesce("r_thresh", F.lit("und")).alias("r_thresh"),
+        )
+    )
+    return fleiss_kappa(trip, "doc_id", ["r_truth", "r_argmax", "r_thresh"])
+
+
+@register(
     "bradley_terry_suppliers",
     oracle="""
     WITH rk AS MATERIALIZED (

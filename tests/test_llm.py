@@ -1863,3 +1863,26 @@ def test_y4m_malformed_errors_are_explicit(spark):
         for fk in (True, False):
             with _pytest.raises(Exception, match="malformed Y4M|unterminated"):
                 sample_frames(df, fake=fk).collect()
+
+
+def test_mingram_blocking_quality_planted_miss(spark):
+    """Constructed corpus where min-shingle blocking provably hits one
+    true pair and misses another: docs 1/2 share their minimum 3-gram
+    ('a b c'), docs 3/4 are J=0.6 near-dups whose minimum grams differ
+    ('w v t' vs 'w v u') — PC = 1/2, RR = 1 - 1/6."""
+    from hadoop_fcfs_spark.llm.dedup import mingram_blocking_quality
+
+    docs = [
+        (1, "a b c d e f"),
+        (2, "a b c d e g"),
+        (3, "z y x w v u"),
+        (4, "z y x w v t"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = mingram_blocking_quality(df, "doc_id", "text", n=3, threshold=0.5).collect()[0]
+    assert out["n_docs"] == 4
+    assert out["n_truth"] == 2      # (1,2) and (3,4), both J = 3/5
+    assert out["n_cand"] == 1       # only (1,2) share a min-gram
+    assert out["n_hit"] == 1
+    assert out["pc_micro"] == 500_000
+    assert out["rr_micro"] == 833_333  # floor((6-1)/6 * 1e6)

@@ -3181,3 +3181,206 @@ def test_neyman_allocation_hand_values(spark):
 
     with _pytest.raises(ValueError):
         neyman_allocation(df, "g", "v", "id", budget=-1)
+
+
+def test_brier_decomposition_identity_and_hand_values(spark):
+    """When forecasts are constant per bin the Murphy 3-term identity
+    is EXACT: BS = REL - RES + UNC. Constructed so each bin holds one
+    distinct score: score 1 -> forecast 0, score 2 -> forecast 0.5
+    (exclusive-prefix percentiles), REL = RES = 0.0625, UNC = 0.25,
+    direct Brier = 2/8 = 0.25 = 0.0625 - 0.0625 + 0.25."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.caching import release_waypoints
+    from hadoop_fcfs_spark.ops.stats import brier_decomposition
+
+    rows = [(1.0, i < 1) for i in range(4)] + [(2.0, i < 3) for i in range(4)]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    out = brier_decomposition(df, "score", "y", n_bins=2).collect()[0]
+    release_waypoints()
+    assert out["n"] == 8 and out["n_pos"] == 4
+    assert out["reliability_r6"] == 0.0625
+    assert out["resolution_r6"] == 0.0625
+    assert out["uncertainty_r6"] == 0.25
+    assert out["brier_r6"] == 0.25
+
+    with _pytest.raises(ValueError):
+        brier_decomposition(df, "score", "y", n_bins=0)
+
+
+def test_fleiss_kappa_hand_values(spark):
+    """Textbook arithmetic: items (a,a,b) and (a,b,b) give
+    P-bar = 1/3, P-e = 1/2, kappa = -1/3 -> floor(-333333.33..) =
+    -333334; unanimous raters over >1 category give kappa = 1; a
+    single category everywhere is the degenerate NULL."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.ops.stats import fleiss_kappa
+
+    df = spark.createDataFrame(
+        [(1, "a", "a", "b"), (2, "a", "b", "b")],
+        "i int, r1 string, r2 string, r3 string",
+    )
+    out = fleiss_kappa(df, "i", ["r1", "r2", "r3"]).collect()[0]
+    assert (out["n_items"], out["n_raters"]) == (2, 3)
+    assert out["kappa_e6"] == -333334
+
+    perfect = spark.createDataFrame(
+        [(1, "a", "a", "a"), (2, "b", "b", "b")],
+        "i int, r1 string, r2 string, r3 string",
+    )
+    assert fleiss_kappa(perfect, "i", ["r1", "r2", "r3"]).collect()[0][
+        "kappa_e6"
+    ] == 1_000_000
+
+    degenerate = spark.createDataFrame(
+        [(1, "a", "a", "a"), (2, "a", "a", "a")],
+        "i int, r1 string, r2 string, r3 string",
+    )
+    assert (
+        fleiss_kappa(degenerate, "i", ["r1", "r2", "r3"]).collect()[0][
+            "kappa_e6"
+        ]
+        is None
+    )
+
+    with _pytest.raises(ValueError):
+        fleiss_kappa(df, "i", ["r1"])
+
+
+def test_feature_hash_exact_python_replica(spark):
+    """The signed hashing trick replayed token-by-token in pure Python
+    (hashlib md5, same index/sign derivation) must reproduce the
+    operator's sparse vectors exactly — including zero-cancellation
+    dropping."""
+    import hashlib
+    from collections import defaultdict
+
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.ops.encode import feature_hash
+
+    docs = [
+        (1, "alpha beta gamma alpha"),
+        (2, "beta beta   delta"),
+        (3, ""),
+        (4, "epsilon"),
+    ]
+    D = 16
+
+    def ref(text):
+        acc = defaultdict(int)
+        for w in text.split():
+            h = hashlib.md5(w.encode()).hexdigest()
+            idx = int(h[:8], 16) % D
+            s = 1 if int(h[8], 16) % 2 == 0 else -1
+            acc[idx] += s
+        return {k: v for k, v in acc.items() if v != 0}
+
+    expected = {
+        (i, k): v for i, txt in docs for k, v in ref(txt).items()
+    }
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r["doc_id"], r["feat_idx"]): r["val"]
+        for r in feature_hash(df, "doc_id", "text", D).collect()
+    }
+    assert got == expected
+
+    with _pytest.raises(ValueError):
+        feature_hash(df, "doc_id", "text", 0)
+
+
+def test_js_divergence_hand_values(spark):
+    """Identical group and global distributions give JSD 0; two
+    disjoint single-bucket groups against their uniform mixture give
+    the closed-form 0.5·log2(4/3) + 0.25·log2(2/3) + 0.25 =
+    0.311278 bits each."""
+    import math
+
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.ops.stats import js_divergence_binned
+
+    same = spark.createDataFrame(
+        [("g1", 10), ("g1", 70), ("g2", 10), ("g2", 70)], "g string, v long"
+    )
+    out = {r["g"]: r["jsd_r6"] for r in
+           js_divergence_binned(same, "g", "v", bin_width=64).collect()}
+    assert out == {"g1": 0.0, "g2": 0.0}
+
+    disjoint = spark.createDataFrame(
+        [("g1", 10), ("g2", 70)], "g string, v long"
+    )
+    exp = round(
+        0.5 * (1.0 * math.log2(1.0 / 0.75))
+        + 0.5 * (0.5 * math.log2(0.5 / 0.75) + 0.5 * math.log2(0.5 / 0.25)),
+        6,
+    )
+    out = {r["g"]: r["jsd_r6"] for r in
+           js_divergence_binned(disjoint, "g", "v", bin_width=64).collect()}
+    assert out == {"g1": exp, "g2": exp}
+
+    with _pytest.raises(ValueError):
+        js_divergence_binned(same, "g", "v", bin_width=0)
+
+
+def test_ab_power_closed_form_and_guards(spark):
+    """The frozen-z sample-size formula replayed in pure Python must
+    match; p1 = 0 (nothing to lift) and p1 = 1 (degenerate effect)
+    give NULL."""
+    import math
+
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.ops.stats import ab_power_required_n
+
+    rows = (
+        [("a", True)] * 3 + [("a", False)] * 7
+        + [("z", False)] * 4
+        + [("o", True)] * 4
+    )
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    out = {r["g"]: r for r in
+           ab_power_required_n(df, "g", "s", rel_lift=0.1).collect()}
+
+    p1 = 0.3
+    p2 = min(p1 * (1.0 + 0.1), 1.0)
+    pb = (p1 + p2) / 2.0
+    exp = math.ceil(
+        (1.959964 * math.sqrt(2.0 * pb * (1.0 - pb))
+         + 0.841621 * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))) ** 2
+        / (p2 - p1) ** 2
+    )
+    assert out["a"]["required_n_per_arm"] == exp
+    assert out["z"]["required_n_per_arm"] is None  # p1 = 0
+    assert out["o"]["required_n_per_arm"] is None  # p1 = 1 -> p2 = p1
+
+    with _pytest.raises(ValueError):
+        ab_power_required_n(df, "g", "s", rel_lift=0.0)
+
+
+def test_smd_balance_hand_values(spark):
+    """Equal arms give SMD 0; a constructed stratum matches the
+    n-1-variance closed form; a 1-row arm gives NULL smd but a real
+    mean_diff."""
+    from hadoop_fcfs_spark.ops.stats import smd_balance
+
+    rows = [
+        # stratum s0: treat {1,3}, ctrl {1,3} -> identical arms, SMD 0
+        ("s0", True, 1.0), ("s0", True, 3.0),
+        ("s0", False, 1.0), ("s0", False, 3.0),
+        # stratum s1: treat {2,4} (m=3, v=2), ctrl {1,1} (m=1, v=0)
+        # SMD = 2 / sqrt(1) = 2
+        ("s1", True, 2.0), ("s1", True, 4.0),
+        ("s1", False, 1.0), ("s1", False, 1.0),
+        # stratum s2: single treat row -> NULL smd
+        ("s2", True, 5.0), ("s2", False, 1.0), ("s2", False, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "st string, arm boolean, v double")
+    out = {r["st"]: r for r in
+           smd_balance(df, "st", "arm", "v", scale=100).collect()}
+    assert out["s0"]["smd_r6"] == 0.0 and out["s0"]["mean_diff_r6"] == 0.0
+    assert out["s1"]["smd_r6"] == 2.0 and out["s1"]["mean_diff_r6"] == 2.0
+    assert out["s2"]["smd_r6"] is None
+    assert out["s2"]["mean_diff_r6"] == 3.5

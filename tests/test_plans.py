@@ -849,6 +849,75 @@ def test_calibration_bins_broadcast_total_one_range_pass(spark):
     release_waypoints()
 
 
+def test_brier_one_range_pass(spark):
+    """brier_decomposition (r7): rides calibration_bins' machinery —
+    ONE global_running_sum range pass over the distinct-score grain
+    (map-side-combined collapse before it), broadcast scalar totals,
+    and a bin-count-bounded final reduce; no sort, no window, no top-k
+    over data rows."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()
+    plan = _plan(Q["brier_orderstatus"].spark_fn(spark, SF_ORACLE))
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
+    assert "partial_sum" in plan
+    assert "TakeOrderedAndProject" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the scalar-total joins
+    release_waypoints()
+
+
+def test_feature_hash_single_data_shuffle(spark):
+    """feature_hash (r7): the tokenize+explode is a projection; the ONLY
+    data shuffle is the (doc, feat_idx) grain collapse (map-side
+    combined). The profile gate adds exactly one more: the D-key
+    rollup."""
+    from hadoop_fcfs_spark.ops.encode import feature_hash
+    from hadoop_fcfs_spark.tables import t
+
+    docs = t(spark, SF_ORACLE, "documents")
+    vec_plan = _plan(feature_hash(docs, "doc_id", "text", 64))
+    assert len(_distinct_exchange_ids(vec_plan, "hashpartitioning")) == 1
+    assert "partial_sum" in vec_plan
+    gate_plan = _plan(Q["feature_hash_profile"].spark_fn(spark, SF_ORACLE))
+    assert len(_distinct_exchange_ids(gate_plan, "hashpartitioning")) == 2
+    assert "Window" not in gate_plan
+
+
+def test_js_divergence_bounded_grid(spark):
+    """js_divergence_binned (r7): one (group, bucket) data aggregation;
+    the dense grid is built from BROADCAST small sides (no sort-merge
+    join anywhere, no window); the JSD reduce runs over the bounded
+    grid only."""
+    plan = _plan(Q["js_drift_sources"].spark_fn(spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_scalar_stats_single_exchange(spark):
+    """ab_power_required_n / smd_balance / fleiss_kappa (r7): the
+    group-moment tier stays one (or for fleiss: two chained)
+    map-side-combined aggregation(s) — no window, no sort, no join of
+    data rows."""
+    for name in ("ab_power_priorities", "smd_balance_nations"):
+        plan = _plan(Q[name].spark_fn(spark, SF_ORACLE))
+        assert len(_distinct_exchange_ids(plan, "hashpartitioning")) == 1, name
+        assert "Window" not in plan and "SortMergeJoin" not in plan, name
+    fl = _plan(Q["fleiss_langid"].spark_fn(spark, SF_ORACLE))
+    assert "Window" not in fl
+    assert "partial_sum" in fl
+
+
+def test_blocking_quality_equi_candidates(spark):
+    """mingram_blocking_quality (r7): the candidate stage is an EQUI
+    join on one min-shingle key per doc (never a cartesian product);
+    scalar counts come back as broadcast 1-row joins."""
+    plan = _plan(Q["blocking_quality_mingram"].spark_fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar joins
+
+
 def test_bradley_terry_node_shaped_iterations(spark):
     """bradley_terry (r6, reshaped r7): the comparison log collapses to
     the match-up grain in ONE map-side-combined exchange behind an eager
