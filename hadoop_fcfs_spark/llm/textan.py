@@ -808,3 +808,50 @@ def ngram_novelty(
         )
         .orderBy("bucket")
     )
+
+
+def readability_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Flesch reading-ease per document, from three deterministic
+    counts: words (whitespace tokens), sentences (runs of [.!?],
+    floored at 1), and syllables approximated as vowel GROUPS
+    ([aeiouy]+ runs in the lowercased text — the standard
+    codec-free heuristic). FRE = 206.835 − 1.015·(W/S) − 84.6·(Y/W),
+    coefficients frozen literals.
+
+    Every count is a pure length-difference expression
+    (len(regexp_replace(x, pat, '#')) − len(regexp_replace(x, pat,
+    ''))) so the oracle replays it with the same two regexes; the
+    per-doc score is flat scalar double arithmetic floor-quantized to
+    milli (the quality_score discipline — round() half-tails disagree
+    across engines; floor of the identical double does not). Rollups
+    over documents then stay exact BIGINT sums.
+
+    Output: (id, n_words, n_sentences, n_vowel_groups, flesch_e3)."""
+
+    def runs(pat: str) -> Column:
+        lowered = F.lower(F.col(text_col))
+        return (
+            F.length(F.regexp_replace(lowered, pat, "#"))
+            - F.length(F.regexp_replace(lowered, pat, ""))
+        ).cast("long")
+
+    words = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    ).cast("long")
+    sents = F.greatest(runs("[.!?]+"), F.lit(1).cast("long"))
+    vg = runs("[aeiouy]+")
+    w = F.greatest(words, F.lit(1).cast("long")).cast("double")
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / sents.cast("double"))
+        - F.lit(84.6) * (vg.cast("double") / w)
+    )
+    return df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        vg.alias("n_vowel_groups"),
+        F.floor(fre * 1000).cast("long").alias("flesch_e3"),
+    )

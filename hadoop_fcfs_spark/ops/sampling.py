@@ -618,3 +618,45 @@ def neyman_allocation(
         "stratum", "n", "weight_q", "allocated",
         F.coalesce(F.col("__nsel"), F.lit(0)).cast("long").alias("n_selected"),
     )
+
+
+def pps_effective_sample_size(
+    df: DataFrame, group_col: str, weight_col: str, scale: int = 100
+) -> DataFrame:
+    """Kish effective sample size of a probability-proportional-to-size
+    design per group: ESS = (Σw)²/Σw² — the design-QA scalar for any
+    weighted draw (pps_sample, temperature_mix, DSIR selection): how
+    many EQUAL-weight samples the weighted design is actually worth.
+    ESS/n near 1 means weights are flat (PPS is buying nothing); a tiny
+    ratio means a few heavy units dominate and the design's variance
+    is that of far fewer draws.
+
+    Weights quantize to 1/``scale`` units and each group carries exact
+    BIGINT (n, Σw, Σw²) through ONE map-side-combined aggregation (the
+    welch moment discipline, bound Σw² < 2⁶³); the ESS itself is flat
+    per-group scalar double arithmetic, rounded to 6. Non-positive
+    weights are excluded (they are not a sampling design).
+
+    Output: (group, n, ess_r6, ess_ratio_r6)."""
+    q = F.round(F.col(weight_col) * scale).cast("long")
+    agg = (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
+        .groupBy(F.col(group_col).alias(group_col))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(q).cast("long").alias("__s1"),
+            F.sum(q * q).cast("long").alias("__s2"),
+        )
+    )
+    return agg.selectExpr(
+        group_col, "n",
+        "CASE WHEN __s2 > 0 THEN ROUND(CAST(__s1 AS DOUBLE)"
+        " * CAST(__s1 AS DOUBLE) / CAST(__s2 AS DOUBLE), 6) END AS ess_r6",
+        "CASE WHEN __s2 > 0 AND n > 0 THEN ROUND(CAST(__s1 AS DOUBLE)"
+        " * CAST(__s1 AS DOUBLE) / CAST(__s2 AS DOUBLE) / n, 6)"
+        " END AS ess_ratio_r6",
+    )

@@ -1996,3 +1996,151 @@ def smd_balance(
         "        / 2.0), 6) "
         "END AS smd_r6",
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    alpha_permille: int = 100,
+    chunk_width: int = 1000,
+) -> DataFrame:
+    """Split-conformal calibration threshold per group: the
+    ⌈(n+1)(1−α)⌉-th smallest calibration score — the finite-sample
+    quantile that makes "predict, then flag anything above the
+    threshold" a coverage-guaranteed (1−α) procedure (Vovk;
+    Angelopoulos & Bates). The (n+1) adjustment is the whole point:
+    a plain 90th percentile undercovers in finite samples, which is
+    why this is its own operator and not weighted_quantiles at p=900.
+
+    Exact order statistic, scale-safely: one (group, value)-grain
+    collapse, a chunked_running_sum per-group cumulative (value-bucket
+    chunks of ``chunk_width`` units — corpus-sized groups never ride
+    one window task), per-group totals joined back (AQE broadcasts the
+    group-grain side), then the first grain row whose inclusive count
+    crosses idx = ⌈(n+1)·(1000−α)/1000⌉ via exact integer arithmetic
+    (idx = ((n+1)·(1000−α) + 999) div 1000 — no float fraction).
+    threshold is NULL when idx > n (group too small to conformalize at
+    this α — the honest answer, not the max).
+
+    Output: (group, n, q_index, threshold)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import chunked_running_sum
+
+    if not 1 <= alpha_permille <= 999:
+        raise ValueError(
+            f"alpha_permille must be in [1, 999], got {alpha_permille}"
+        )
+    grain = waypoint(
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("__g"), F.col(value_col).alias("__v"))
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    cum = chunked_running_sum(
+        grain,
+        ["__g"],
+        F.floor(F.col("__v") / F.lit(float(chunk_width))).cast("long"),
+        ["__v"],
+        "__c",
+        out_col="__cum",
+    )
+    totals = grain.groupBy("__g").agg(F.sum("__c").cast("long").alias("__n"))
+    keep = int(1000 - alpha_permille)
+    joined = cum.join(totals, "__g").withColumn(
+        "__idx", F.expr(f"((__n + 1) * {keep} + 999) div 1000")
+    )
+    return (
+        joined.groupBy(F.col("__g").alias(group_col))
+        .agg(
+            F.max("__n").alias("n"),
+            F.max("__idx").alias("q_index"),
+            F.min(F.when(F.col("__cum") >= F.col("__idx"), F.col("__v"))).alias(
+                "threshold"
+            ),
+        )
+    )
+
+
+def info_gain(
+    df: DataFrame, feature_cols: list[str], label_col: str
+) -> DataFrame:
+    """Information-gain ranking of categorical features against a
+    categorical label: IG(f) = H(y) − H(y|f) — the filter-style
+    feature-selection scalar (which columns are worth encoding at
+    all), mutual_information generalized to a ranked REPORT over many
+    candidate features in one pass.
+
+    All features melt into (feature, value, label) count rows via one
+    posexplode projection — ONE data shuffle to that grain no matter
+    how many features are audited, then bounded per-feature rollups.
+    Counts are exact BIGINT; entropies are double Σ p·log2 p over the
+    bounded category grids only (MI/perplexity precedent), rounded to
+    6. NULL feature values are kept as a real category ('absent'
+    carries information); NULL labels are dropped.
+
+    Output: (feature, n, h_label_r6, h_cond_r6, info_gain_r6),
+    one row per audited feature."""
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    melted = (
+        df.filter(F.col(label_col).isNotNull())
+        .select(
+            F.col(label_col).cast("string").alias("__y"),
+            F.posexplode(
+                F.array(*[
+                    F.coalesce(F.col(c).cast("string"), F.lit("__null__"))
+                    for c in feature_cols
+                ])
+            ).alias("__fi", "__x"),
+        )
+    )
+    names = F.array(*[F.lit(c) for c in feature_cols])
+    counts = melted.groupBy("__fi", "__x", "__y").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    xtot = counts.groupBy("__fi", "__x").agg(
+        F.sum("__c").cast("long").alias("__nx")
+    )
+    # conditional entropy: Σ_x (n_x/N) Σ_y −(c/n_x)log2(c/n_x)
+    # = (1/N)·Σ_{x,y} −c·log2(c/n_x)
+    cond = (
+        counts.join(xtot, ["__fi", "__x"])
+        .groupBy("__fi")
+        .agg(
+            F.sum(
+                -F.col("__c").cast("double")
+                * F.log2(
+                    F.col("__c").cast("double") / F.col("__nx").cast("double")
+                )
+            ).alias("__hc_num"),
+            F.sum("__c").cast("long").alias("__n"),
+        )
+    )
+    # label marginal entropy (identical for every feature; broadcast)
+    ymarg = (
+        df.filter(F.col(label_col).isNotNull())
+        .groupBy(F.col(label_col).cast("string").alias("__y"))
+        .agg(F.count("*").cast("long").alias("__cy"))
+    )
+    hy = ymarg.agg(
+        F.sum("__cy").cast("long").alias("__ny"),
+        F.sum(-F.col("__cy").cast("double") * F.log2(F.col("__cy"))).alias(
+            "__hy_part"
+        ),
+    ).selectExpr(
+        "__hy_part / __ny + log2(CAST(__ny AS DOUBLE)) AS __hy"
+    )
+    return (
+        cond.crossJoin(F.broadcast(hy))
+        .select(
+            F.element_at(names, F.col("__fi") + 1).alias("feature"),
+            F.col("__n").alias("n"),
+            F.round(F.col("__hy"), 6).alias("h_label_r6"),
+            F.round(F.col("__hc_num") / F.col("__n"), 6).alias("h_cond_r6"),
+            F.round(
+                F.col("__hy") - F.col("__hc_num") / F.col("__n"), 6
+            ).alias("info_gain_r6"),
+        )
+    )

@@ -3543,6 +3543,220 @@ def ab_power_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "conformal_threshold_prices",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM g GROUP BY 1),
+    cum AS (
+      SELECT grp, v,
+             SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cm
+      FROM g
+    ),
+    sel AS (
+      SELECT cum.grp, MIN(v) AS threshold
+      FROM cum JOIN tot USING (grp)
+      WHERE cm >= ((n + 1) * 900 + 999) // 1000
+      GROUP BY 1
+    )
+    SELECT tot.grp AS o_orderpriority, n,
+           CAST(((n + 1) * 900 + 999) // 1000 AS BIGINT) AS q_index,
+           sel.threshold
+    FROM tot LEFT JOIN sel ON sel.grp = tot.grp
+    """,
+    doc="Split-conformal calibration threshold "
+    "(ops.stats.conformal_threshold) per order priority at alpha=0.1: "
+    "the ceil((n+1)*0.9)-th smallest total price - the finite-sample "
+    "quantile that makes 'flag anything above it' a coverage-"
+    "guaranteed 90 percent procedure (plain p90 undercovers; the n+1 "
+    "adjustment is the operator's whole point). Exact order statistic "
+    "via the (group, value) grain + chunked_running_sum per-group "
+    "cumulative (corpus-sized groups never ride one window task) and "
+    "an integer cross-multiplied index - no float fractions; NULL "
+    "when a group is too small to conformalize.",
+)
+def conformal_threshold_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import conformal_threshold
+
+    return conformal_threshold(
+        t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice",
+        alpha_permille=100, chunk_width=1000,
+    )
+
+
+@register(
+    "t_closeness_customers",
+    oracle="""
+    WITH base AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS s
+      FROM customer
+      WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        AND c_acctbal IS NOT NULL
+    ),
+    cb AS (
+      SELECT c_nationkey, c_mktsegment, s, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2, 3
+    ),
+    buckets AS (SELECT s, CAST(SUM(c) AS BIGINT) AS g FROM cb GROUP BY 1),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS nc
+      FROM cb GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS m
+      FROM buckets
+    ),
+    grid AS (
+      SELECT classes.c_nationkey, classes.c_mktsegment, classes.nc,
+             buckets.s, buckets.g, tot.n, tot.m, COALESCE(cb.c, 0) AS c
+      FROM classes CROSS JOIN buckets CROSS JOIN tot
+      LEFT JOIN cb ON cb.c_nationkey = classes.c_nationkey
+                  AND cb.c_mktsegment = classes.c_mktsegment
+                  AND cb.s = buckets.s
+    ),
+    dev AS (
+      SELECT c_nationkey, c_mktsegment, nc, m, n,
+             SUM(c * n - g * nc) OVER (
+               PARTITION BY c_nationkey, c_mktsegment ORDER BY s) AS cum
+      FROM grid
+    )
+    SELECT c_nationkey, c_mktsegment, CAST(MAX(nc) AS BIGINT) AS n_class,
+           CASE WHEN MAX(m) > 1 THEN
+             ROUND(SUM(ABS(CAST(cum AS DOUBLE)))
+               / MAX(CAST(nc AS DOUBLE) * CAST(n AS DOUBLE))
+               / (MAX(m) - 1), 6)
+           ELSE 0.0 END AS t_emd_r6
+    FROM dev GROUP BY 1, 2
+    """,
+    doc="t-closeness release audit (ops.validate.t_closeness_audit; "
+    "Li/Li/Venkatasubramanian) on the k_anonymity_customers scheme - "
+    "QI (nation, segment), ordered sensitive attribute = $1000 "
+    "acctbal bucket: per equivalence class the ordered Earth-Mover "
+    "Distance to the global sensitive distribution, the escalation "
+    "l-diversity cannot see (a class can be l-diverse yet leak by "
+    "skewing far from the population). Dense class x bucket grid, "
+    "exact integer cross-multiplied deviations c*N - g*n_c, "
+    "class-key-bounded cumulative over GRID rows; only the final "
+    "|.| sum over the bounded bucket grid is double (MI precedent), "
+    "rounded to 6.",
+)
+def t_closeness_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.validate import t_closeness_audit
+
+    cust = t(spark, sf_dir, "customer").withColumn(
+        "__sens", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    return t_closeness_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "__sens"
+    )
+
+
+@register(
+    "info_gain_orders",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(o_orderstatus AS VARCHAR) AS y, 0 AS fi,
+             COALESCE(CAST(o_orderpriority AS VARCHAR), '__null__') AS x
+      FROM orders WHERE o_orderstatus IS NOT NULL
+      UNION ALL
+      SELECT CAST(o_orderstatus AS VARCHAR), 1,
+             COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR),
+                      '__null__')
+      FROM orders WHERE o_orderstatus IS NOT NULL
+    ),
+    counts AS (
+      SELECT fi, x, y, CAST(COUNT(*) AS BIGINT) AS c FROM m GROUP BY 1, 2, 3
+    ),
+    xtot AS (SELECT fi, x, CAST(SUM(c) AS BIGINT) AS nx FROM counts GROUP BY 1, 2),
+    cond AS (
+      SELECT fi,
+             SUM(-CAST(c AS DOUBLE)
+                 * log2(CAST(c AS DOUBLE) / CAST(nx AS DOUBLE))) AS hc_num,
+             CAST(SUM(c) AS BIGINT) AS n
+      FROM counts JOIN xtot USING (fi, x) GROUP BY 1
+    ),
+    ym AS (
+      SELECT CAST(o_orderstatus AS VARCHAR) AS y, CAST(COUNT(*) AS BIGINT) AS cy
+      FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1
+    ),
+    hy AS (
+      SELECT SUM(-CAST(cy AS DOUBLE) * log2(CAST(cy AS DOUBLE))) / SUM(cy)
+             + log2(CAST(SUM(cy) AS DOUBLE)) AS hyv
+      FROM ym
+    )
+    SELECT CASE fi WHEN 0 THEN 'o_orderpriority' ELSE 'o_year' END AS feature,
+           n, ROUND(hyv, 6) AS h_label_r6,
+           ROUND(hc_num / n, 6) AS h_cond_r6,
+           ROUND(hyv - hc_num / n, 6) AS info_gain_r6
+    FROM cond CROSS JOIN hy
+    """,
+    doc="Information-gain feature ranking (ops.stats.info_gain): "
+    "IG(f) = H(status) - H(status|f) for order priority and order "
+    "year against order status - the filter-style feature-selection "
+    "report (which candidate columns are worth encoding at all), "
+    "mutual_information generalized to MANY features in one melt: "
+    "a posexplode projection puts every feature through ONE data "
+    "shuffle to the (feature, value, label) grain regardless of how "
+    "many are audited. Exact BIGINT counts; double p*log2 sums over "
+    "the bounded category grids only (MI precedent), rounded to 6.",
+)
+def info_gain_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import info_gain
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    return info_gain(
+        orders, ["o_orderpriority", "o_year"], "o_orderstatus"
+    )
+
+
+@register(
+    "pps_ess_priorities",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CASE WHEN SUM(w * w) > 0 THEN
+             ROUND(CAST(SUM(w) AS DOUBLE) * CAST(SUM(w) AS DOUBLE)
+                   / CAST(SUM(w * w) AS DOUBLE), 6) END AS ess_r6,
+           CASE WHEN SUM(w * w) > 0 AND COUNT(*) > 0 THEN
+             ROUND(CAST(SUM(w) AS DOUBLE) * CAST(SUM(w) AS DOUBLE)
+                   / CAST(SUM(w * w) AS DOUBLE) / COUNT(*), 6)
+           END AS ess_ratio_r6
+    FROM (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS w
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        AND o_totalprice > 0
+    ) GROUP BY 1
+    """,
+    doc="Kish effective sample size "
+    "(ops.sampling.pps_effective_sample_size) of a price-proportional "
+    "(PPS) design per order priority: ESS = (Sum w)^2 / Sum w^2 - the "
+    "design-QA scalar for every weighted draw in the tier "
+    "(pps_sample, temperature_mix, DSIR top-k): how many equal-weight "
+    "samples the weighted design is actually worth. Cent-quantized "
+    "exact BIGINT (n, S1, S2) in one map-side-combined pass (welch "
+    "moment discipline); flat per-group double ratio, rounded to 6.",
+)
+def pps_ess_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sampling import pps_effective_sample_size
+
+    return pps_effective_sample_size(
+        t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice",
+        scale=100,
+    )
+
+
+@register(
     "smd_balance_nations",
     oracle="""
     WITH a AS (

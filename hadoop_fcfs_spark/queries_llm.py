@@ -3534,6 +3534,60 @@ def langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "readability_sources",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  w -> w <> '')) AS BIGINT) AS nw,
+             GREATEST(CAST(length(regexp_replace(lower(text), '[.!?]+', '#', 'g'))
+               - length(regexp_replace(lower(text), '[.!?]+', '', 'g'))
+               AS BIGINT), 1) AS ns,
+             CAST(length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+               - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+               AS BIGINT) AS vg
+      FROM documents
+    ),
+    scored AS (
+      SELECT source, nw, ns, vg,
+             CAST(FLOOR((206.835
+               - 1.015 * (CAST(GREATEST(nw, 1) AS DOUBLE) / ns)
+               - 84.6 * (CAST(vg AS DOUBLE) / GREATEST(nw, 1)))
+               * 1000) AS BIGINT) AS fe3
+      FROM per_doc
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nw) AS BIGINT) AS sum_words,
+           CAST(SUM(fe3) // COUNT(*) AS BIGINT) AS avg_flesch_e3
+    FROM scored GROUP BY 1
+    """,
+    doc="Flesch reading-ease per source (llm.textan.readability_scores "
+    "rolled up): words/sentences/vowel-group counts as pure "
+    "length-difference regexp expressions (syllables ~= [aeiouy]+ "
+    "runs, the codec-free heuristic; sentence runs of [.!?] floored "
+    "at 1), frozen-coefficient FRE per doc floor-quantized to milli "
+    "(quality_score discipline - round() half-tails disagree across "
+    "engines, floor of the identical double does not), then EXACT "
+    "BIGINT sums and one flooring division per source - no float "
+    "aggregation over documents.",
+)
+def readability_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import readability_scores
+
+    docs = t(spark, sf_dir, "documents")
+    scored = readability_scores(docs, "doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        F.expr("CAST(SUM(flesch_e3) div COUNT(*) AS BIGINT)").alias(
+            "avg_flesch_e3"
+        ),
+    )
+
+
+@register(
     "js_drift_sources",
     oracle="""
     WITH base AS (
@@ -3887,13 +3941,15 @@ _NDCG_D = (1000000, 630929, 500000, 430676, 386852,
 _NDCG_CUM = (1000000, 1630929, 2130929, 2561605, 2948457,
              3304664, 3637997, 3953461, 4254490, 4543554)
 
-
-@register(
-    "knn_ndcg_labels",
-    oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, label AS qlab,
-                      embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < 10),
+# Shared retrieval-ranking CTE chain (exact cosine ranking of the
+# first 10 query vectors with the ann_cosine_topk determinism
+# discipline: ROUND(cos,4), vec_id tiebreak) — composed by BOTH
+# ranking-eval gates (`knn_ndcg_labels`, `knn_mrr_labels`) so the
+# replay cannot drift between them (_LANGID_PRED_CTES precedent).
+_KNN_RANKED_CTES = """
+    q AS (SELECT vec_id AS query_id, label AS qlab,
+                 embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 10),
     pairs AS (
       SELECT query_id, qlab, e.vec_id, e.label,
              ROUND(list_dot_product(qv, e.embedding::DOUBLE[]) /
@@ -3909,7 +3965,65 @@ _NDCG_CUM = (1000000, 1630929, 2130929, 2561605, 2948457,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY cos DESC, vec_id) AS INT) AS rank
       FROM pairs
-    ),
+    )"""
+
+
+@register(
+    "knn_mrr_labels",
+    oracle=f"""
+    WITH {_KNN_RANKED_CTES},
+    firsts AS (
+      SELECT query_id, CAST(MIN(rank) AS BIGINT) AS first_rel_rank
+      FROM ranked WHERE rank <= 10 AND label = qlab GROUP BY 1
+    )
+    SELECT q.query_id, f.first_rel_rank,
+           CAST(COALESCE(1000000 // f.first_rel_rank, 0) AS BIGINT)
+             AS rr_micro
+    FROM q LEFT JOIN firsts f USING (query_id)
+    """,
+    doc="Reciprocal rank of the first same-label hit in the cosine "
+    "top-10 per query (MRR's per-query table) - the "
+    "first-useful-result eval completing the retrieval tier "
+    "(recall@10 = set overlap, NDCG = graded depth, RR = how fast the "
+    "first hit arrives). rr_micro = 1000000 div first_rank is ONE "
+    "exact integer division - no transcendental anywhere; 0 (not "
+    "NULL) when no relevant doc makes the top-10, so the mean over "
+    "queries is the standard MRR. The oracle composes the SHARED "
+    "_KNN_RANKED_CTES fragment with knn_ndcg_labels so the two "
+    "ranking replays cannot drift.",
+)
+def knn_mrr_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    top = cosine_topk(emb, queries, k=10)
+    labs = emb.select("vec_id", "label")
+    qlabs = labs.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "qlab"
+    )
+    firsts = (
+        top.join(labs, "vec_id")
+        .join(F.broadcast(qlabs), "query_id")
+        .filter(F.col("label") == F.col("qlab"))
+        .groupBy("query_id")
+        .agg(F.min("rank").cast("long").alias("first_rel_rank"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(firsts, "query_id", "left")
+        .selectExpr(
+            "query_id", "first_rel_rank",
+            "CAST(COALESCE(1000000 div first_rel_rank, 0) AS BIGINT)"
+            " AS rr_micro",
+        )
+    )
+
+
+@register(
+    "knn_ndcg_labels",
+    oracle=f"""
+    WITH {_KNN_RANKED_CTES},
     dcg AS (
       SELECT query_id, qlab,
              CAST(SUM(CASE WHEN label = qlab THEN

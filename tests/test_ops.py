@@ -3384,3 +3384,113 @@ def test_smd_balance_hand_values(spark):
     assert out["s1"]["smd_r6"] == 2.0 and out["s1"]["mean_diff_r6"] == 2.0
     assert out["s2"]["smd_r6"] is None
     assert out["s2"]["mean_diff_r6"] == 3.5
+
+
+def test_conformal_threshold_hand_values(spark):
+    """Hand order statistics: n=9 at alpha=0.1 gives idx=ceil(10*0.9)=9
+    -> the 9th smallest; n=3 gives idx=ceil(4*0.9)=4 > n -> NULL (too
+    small to conformalize); ties share a grain row and still cross at
+    the right index."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.caching import release_waypoints
+    from hadoop_fcfs_spark.ops.stats import conformal_threshold
+
+    rows = [("a", float(v)) for v in [5, 1, 9, 3, 7, 2, 8, 4, 6]] + [
+        ("b", 1.0), ("b", 2.0), ("b", 3.0),
+        ("t", 1.0), ("t", 5.0), ("t", 5.0), ("t", 5.0),
+        ("t", 5.0), ("t", 5.0), ("t", 5.0), ("t", 5.0), ("t", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in
+           conformal_threshold(df, "g", "v", alpha_permille=100).collect()}
+    release_waypoints()
+    assert (out["a"]["n"], out["a"]["q_index"], out["a"]["threshold"]) == (9, 9, 9.0)
+    assert out["b"]["threshold"] is None and out["b"]["q_index"] == 4
+    # n=9, idx=9: values sorted 1,5x7,9 -> 9th smallest = 9.0; the tie
+    # block at 5 (cum=8) must not satisfy the crossing
+    assert out["t"]["threshold"] == 9.0
+
+    with _pytest.raises(ValueError):
+        conformal_threshold(df, "g", "v", alpha_permille=0)
+
+
+def test_info_gain_hand_values(spark):
+    """A feature that perfectly splits the label carries IG = H(y); an
+    uninformative constant feature carries IG = 0."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.ops.stats import info_gain
+
+    rows = [
+        ("x1", "c", "yes"), ("x1", "c", "yes"),
+        ("x2", "c", "no"), ("x2", "c", "no"),
+    ]
+    df = spark.createDataFrame(rows, "perfect string, const string, y string")
+    out = {r["feature"]: r for r in
+           info_gain(df, ["perfect", "const"], "y").collect()}
+    assert out["perfect"]["h_label_r6"] == 1.0  # balanced binary label
+    assert out["perfect"]["h_cond_r6"] == 0.0
+    assert out["perfect"]["info_gain_r6"] == 1.0
+    assert out["const"]["h_cond_r6"] == 1.0
+    assert out["const"]["info_gain_r6"] == 0.0
+
+    with _pytest.raises(ValueError):
+        info_gain(df, [], "y")
+
+
+def test_t_closeness_hand_values(spark):
+    """Constructed classes: one mirroring the global distribution
+    exactly (t = 0) and one concentrated in a single bucket. With
+    global = uniform over buckets {0,1} and class B all in bucket 0:
+    cum deviation after bucket 0 is |n_B*N/2|, EMD = 1/2."""
+    from hadoop_fcfs_spark.ops.validate import t_closeness_audit
+
+    rows = (
+        [("A", "s", 0), ("A", "s", 1)] * 2       # class A: 2/2 split
+        + [("B", "s", 0)] * 4                     # class B: all bucket 0
+        + [("C", "s", 1)] * 4                     # class C: all bucket 1
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 string, sens int")
+    out = {r["q1"]: r for r in
+           t_closeness_audit(df, ["q1", "q2"], "sens").collect()}
+    # global: bucket0 = 6, bucket1 = 6 -> uniform
+    assert out["A"]["t_emd_r6"] == 0.0
+    assert out["B"]["t_emd_r6"] == 0.5
+    assert out["C"]["t_emd_r6"] == 0.5
+    assert out["B"]["n_class"] == 4
+
+
+def test_pps_ess_hand_values(spark):
+    """Equal weights give ESS = n (ratio 1); one dominant weight
+    collapses ESS toward 1: weights (1,1,1,97) -> ESS = 100^2/9412."""
+    from hadoop_fcfs_spark.ops.sampling import pps_effective_sample_size
+
+    rows = [("eq", 2.0)] * 4 + [
+        ("skew", 1.0), ("skew", 1.0), ("skew", 1.0), ("skew", 97.0),
+        ("neg", -1.0), ("neg", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, w double")
+    out = {r["g"]: r for r in
+           pps_effective_sample_size(df, "g", "w").collect()}
+    assert out["eq"]["ess_r6"] == 4.0 and out["eq"]["ess_ratio_r6"] == 1.0
+    assert out["skew"]["ess_r6"] == round(100.0 ** 2 / 9412.0, 6)
+    assert out["neg"]["n"] == 1  # non-positive weights excluded
+
+
+def test_readability_scores_hand_values(spark):
+    """Known text: 'the cat sat. it ran!' -> 5 words, 2 sentence runs,
+    5 vowel groups; FRE = 206.835 - 1.015*(5/2) - 84.6*(5/5);
+    empty text floors at 1 word / 1 sentence."""
+    from hadoop_fcfs_spark.llm.textan import readability_scores
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat. it ran!"), (2, "")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           readability_scores(df, "doc_id", "text").collect()}
+    assert (out[1]["n_words"], out[1]["n_sentences"], out[1]["n_vowel_groups"]) == (5, 2, 5)
+    import math
+    exp = math.floor((206.835 - 1.015 * 2.5 - 84.6 * 1.0) * 1000)
+    assert out[1]["flesch_e3"] == exp
+    assert out[2]["n_words"] == 0 and out[2]["n_sentences"] == 1

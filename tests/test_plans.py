@@ -918,6 +918,64 @@ def test_blocking_quality_equi_candidates(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar joins
 
 
+def test_conformal_threshold_chunked_windows(spark):
+    """conformal_threshold (r7): the per-group cumulative rides
+    chunked_running_sum — every Window in the plan is partition-keyed
+    (no unpartitioned data-grain window), and the crossing is a plain
+    aggregation, not a sort or top-k."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    import re
+
+    release_waypoints()
+    plan = _plan(Q["conformal_threshold_prices"].spark_fn(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" not in plan
+    # every window is keyed by the group (level 1 adds the chunk key):
+    # no unpartitioned data-grain window anywhere
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "chunked_running_sum windows must appear"
+    for spec in specs:
+        assert "__g" in spec, f"unkeyed window in plan: {spec}"
+    assert "partial_sum" in plan
+    release_waypoints()
+
+
+def test_info_gain_single_melt_shuffle(spark):
+    """info_gain (r7): auditing K features costs ONE data shuffle (the
+    melted (feature, value, label) grain) + bounded rollups — never one
+    pass per feature; label marginal comes back broadcast."""
+    plan = _plan(Q["info_gain_orders"].spark_fn(spark, SF_ORACLE))
+    assert "Generate posexplode" in plan or "posexplode" in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row H(y) join
+
+
+def test_t_closeness_grid_windows_are_class_keyed(spark):
+    """t_closeness_audit (r7): the EMD cumulative runs over the dense
+    class x bucket GRID with class-keyed windows (bounded by the
+    global bucket count), never over data rows; small sides broadcast
+    into the grid."""
+    plan = _plan(Q["t_closeness_customers"].spark_fn(spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "c_nationkey" in spec, f"unkeyed window in plan: {spec}"
+
+
+def test_mrr_composes_bounded_topk(spark):
+    """knn_mrr_labels (r7): rides cosine_topk's bounded ranking (10
+    queries x top-10) — per-query-key windows only, broadcast query
+    side, no corpus-wide sort."""
+    plan = _plan(Q["knn_mrr_labels"].spark_fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "query_id" in m.group(1), "window must be query-keyed"
+
+
 def test_bradley_terry_node_shaped_iterations(spark):
     """bradley_terry (r6, reshaped r7): the comparison log collapses to
     the match-up grain in ONE map-side-combined exchange behind an eager
