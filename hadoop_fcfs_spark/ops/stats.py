@@ -2144,3 +2144,289 @@ def info_gain(
             ).alias("info_gain_r6"),
         )
     )
+
+
+def mann_kendall_trend(
+    df: DataFrame, index_col: str, value_col: str
+) -> DataFrame:
+    """Mann–Kendall trend test on a regular series: S = Σ_{i<j}
+    sign(x_j − x_i) with the tie-corrected variance and the
+    ±1-continuity z statistic — the nonparametric IS-there-a-trend
+    test that pairs with :func:`theil_sen_trend` (that estimates the
+    slope; this one says whether the monotone drift is significant at
+    all, robust to outliers and any monotone transform of the metric).
+    Kendall's tau-b (tie-corrected effect size) rides along.
+
+    ``df`` must already be the aggregated series grain (one row per
+    integer ``index_col`` step — the acf_lags contract): the pair set
+    is a bounded quadratic over GRAIN rows (a broadcast
+    nested-loop self-join on i < j — ~n²/2 pairs of a day-grain
+    series, never data rows), which is the honest way to get the
+    exact tie-aware S. Everything integer stays exact BIGINT:
+    S, the 18·Var(S) numerator n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5),
+    the concordance denominators D = n(n−1)/2 and tie total
+    T_v = Σ t_g(t_g−1)/2. Only the final z and tau-b divisions are
+    doubles (flat, single-sqrt — the wilson discipline), rounded @6;
+    both NULL when the variance (resp. denominator) degenerates to 0
+    (constant series), which is the honest answer.
+
+    Output: 1 row (n, s_stat, var18_num, z_r6, tau_b_r6)."""
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(index_col).cast("long").alias("__i"),
+        F.col(value_col).alias("__x"),
+    )
+    a = base.select(F.col("__i").alias("__ia"), F.col("__x").alias("__xa"))
+    b = base.select(F.col("__i").alias("__ib"), F.col("__x").alias("__xb"))
+    s = (
+        a.join(F.broadcast(b), F.col("__ia") < F.col("__ib"))
+        .agg(
+            F.sum(
+                F.signum(
+                    F.col("__xb").cast("double") - F.col("__xa").cast("double")
+                ).cast("long")
+            ).alias("__s")
+        )
+    )
+    ties = base.groupBy("__x").agg(F.count("*").cast("long").alias("__t"))
+    scalars = ties.agg(
+        F.sum("__t").cast("long").alias("__n"),
+        F.sum(
+            F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+        ).cast("long").alias("__tv18"),
+        F.sum(F.col("__t") * (F.col("__t") - 1)).cast("long").alias("__tv2"),
+    )
+    return (
+        s.crossJoin(F.broadcast(scalars))
+        .selectExpr(
+            "__n AS n",
+            "CAST(COALESCE(__s, 0) AS BIGINT) AS s_stat",
+            "CAST(__n * (__n - 1) * (2 * __n + 5) - __tv18 AS BIGINT)"
+            " AS var18_num",
+            # z with the standard ±1 continuity correction; NULL on a
+            # degenerate (constant / too-short) series
+            "CASE WHEN __n * (__n - 1) * (2 * __n + 5) - __tv18 > 0 THEN"
+            " ROUND((CAST(COALESCE(__s, 0) AS DOUBLE)"
+            "   - CAST(SIGN(COALESCE(__s, 0)) AS DOUBLE))"
+            "  / SQRT((CAST(__n AS DOUBLE) * (__n - 1) * (2 * __n + 5)"
+            "          - __tv18) / 18.0), 6) END AS z_r6",
+            # tau-b: S / sqrt(D·(D − T_v)); time axis has no ties so the
+            # second correction factor is D itself
+            "CASE WHEN __n >= 2 AND (__n * (__n - 1)) div 2 - __tv2 div 2 > 0"
+            " THEN ROUND(CAST(COALESCE(__s, 0) AS DOUBLE)"
+            "  / SQRT(CAST((__n * (__n - 1)) div 2 AS DOUBLE)"
+            "         * CAST((__n * (__n - 1)) div 2 - __tv2 div 2"
+            "                AS DOUBLE)), 6) END AS tau_b_r6",
+        )
+    )
+
+
+def mcnemar_test(
+    df: DataFrame, correct_a_col: Column | str, correct_b_col: Column | str
+) -> DataFrame:
+    """McNemar paired-classifier test: given per-item correctness of
+    two models evaluated on the SAME items, the continuity-corrected
+    χ² = (|b − c| − 1)²/(b + c) over the discordant counts b (A right,
+    B wrong) and c (A wrong, B right) — the right significance test
+    for "is model A actually better than model B" on a shared eval
+    set (two independent-sample accuracy intervals ignore the pairing
+    and overstate the needed evidence). The concordant counts never
+    enter the statistic; they're reported for the audit trail.
+
+    One map-side-combined Boolean-pair count pass — four exact BIGINT
+    cells of the 2×2 discordance table, then flat scalar double
+    arithmetic (anova precedent), rounded @6. χ² is NULL when
+    b + c = 0 (the models never disagree — no evidence either way,
+    not χ²=0). Rows where either correctness is NULL are dropped
+    (item not scored by both models — not a pair).
+
+    Output: 1 row (n, both_right, both_wrong, a_only, b_only,
+    chi2_cc_r6)."""
+    ca = (
+        F.col(correct_a_col) if isinstance(correct_a_col, str)
+        else correct_a_col
+    )
+    cb = (
+        F.col(correct_b_col) if isinstance(correct_b_col, str)
+        else correct_b_col
+    )
+    cells = df.filter(ca.isNotNull() & cb.isNotNull()).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(ca & cb, 1).otherwise(0)).cast("long")
+        .alias("both_right"),
+        F.sum(F.when(~ca & ~cb, 1).otherwise(0)).cast("long")
+        .alias("both_wrong"),
+        F.sum(F.when(ca & ~cb, 1).otherwise(0)).cast("long").alias("a_only"),
+        F.sum(F.when(~ca & cb, 1).otherwise(0)).cast("long").alias("b_only"),
+    )
+    return cells.selectExpr(
+        "n", "both_right", "both_wrong", "a_only", "b_only",
+        "CASE WHEN a_only + b_only > 0 THEN"
+        " ROUND((ABS(CAST(a_only AS DOUBLE) - b_only) - 1)"
+        "  * (ABS(CAST(a_only AS DOUBLE) - b_only) - 1)"
+        "  / (CAST(a_only AS DOUBLE) + b_only), 6) END AS chi2_cc_r6",
+    )
+
+
+def cumulative_gains(
+    df: DataFrame, score_col: str, label_col: Column | str, n_bins: int = 10
+) -> DataFrame:
+    """Cumulative-gains / lift table: rank-bin the score DESCENDING
+    into ``n_bins`` near-equal bins and report, per bin, how much of
+    the total positive mass the top bins have captured and the
+    cumulative lift over random targeting — the
+    how-deep-do-I-have-to-score operational view that completes the
+    model-eval block (roc_auc: discrimination; calibration_bins:
+    probability quality; this: yield per unit of targeting budget).
+
+    Machinery is :func:`calibration_bins` verbatim on the NEGATED
+    score (negation is exact for any numeric, and turns the
+    exclusive-prefix ascending grain pass into a descending binning —
+    ties still share one grain row, so bin assignment stays
+    deterministic under any partitioning): one shuffle to the score
+    grain, one global_running_sum range pass, broadcast scalar
+    totals. The cumulative across bins is a triangular self-join of
+    the ≤``n_bins``-row bin table (broadcast, bounded — never a
+    window over data rows). capture_micro = cum_pos·10⁶ div total_pos
+    stays exact BIGINT (bound total_pos < ~9.2e12 — the roc_auc
+    contract); cum_lift_r6 is one flat double ratio over exact
+    integers, rounded @6, NULL when the denominators degenerate
+    (no positives / empty bin prefix).
+
+    Output: (bin, n, n_pos, score_lo, score_hi, cum_n, cum_pos,
+    capture_micro, cum_lift_r6) — bin 0 = highest scores."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    grain = waypoint(
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy((-F.col(score_col)).alias("__v"))
+        .agg(
+            F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("__ca"),
+            F.count("*").cast("long").alias("__c"),
+        )
+    )
+    before = global_running_sum(
+        grain, ["__v"], "__c", out_col="__before", inclusive=False
+    )
+    tot = grain.agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.sum("__ca").cast("long").alias("__na"),
+    )
+    binned = before.crossJoin(F.broadcast(tot)).withColumn(
+        "bin", F.expr(f"CAST(__before * {int(n_bins)} div __n AS BIGINT)")
+    )
+    per_bin = waypoint(
+        binned.groupBy("bin").agg(
+            F.sum("__c").cast("long").alias("n"),
+            F.sum("__ca").cast("long").alias("n_pos"),
+            F.min(-F.col("__v")).alias("score_lo"),
+            F.max(-F.col("__v")).alias("score_hi"),
+        )
+    )
+    prior = per_bin.select(
+        F.col("bin").alias("__b2"),
+        F.col("n").alias("__n2"),
+        F.col("n_pos").alias("__p2"),
+    )
+    cum = (
+        per_bin.join(F.broadcast(prior), F.col("__b2") <= F.col("bin"))
+        .groupBy("bin")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("n_pos").alias("n_pos"),
+            F.max("score_lo").alias("score_lo"),
+            F.max("score_hi").alias("score_hi"),
+            F.sum("__n2").cast("long").alias("cum_n"),
+            F.sum("__p2").cast("long").alias("cum_pos"),
+        )
+    )
+    return cum.crossJoin(F.broadcast(tot)).selectExpr(
+        "bin", "n", "n_pos", "score_lo", "score_hi", "cum_n", "cum_pos",
+        "CASE WHEN __na > 0 THEN CAST(cum_pos * 1000000 div __na AS BIGINT)"
+        " END AS capture_micro",
+        "CASE WHEN __na > 0 AND cum_n > 0 THEN"
+        " ROUND(CAST(cum_pos AS DOUBLE) * __n"
+        "  / (CAST(cum_n AS DOUBLE) * __na), 6) END AS cum_lift_r6",
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame, score_col: str, label_col: Column | str, n_bins: int = 10
+) -> DataFrame:
+    """Expected / maximum calibration error: the one-row scalar rollup
+    of the reliability diagram — ECE = Σ_b (n_b/N)·|acc_b − conf_b|,
+    MCE = max_b |acc_b − conf_b| — the alert-threshold companion to
+    :func:`calibration_bins` (that's the diagnostic table; this is the
+    number a drift monitor pages on) and the binned-forecast sibling
+    of :func:`brier_decomposition`'s reliability term (same bins; L1
+    instead of squared, so it's readable as 'average probability
+    miscalibration').
+
+    Forecast and bins are brier_decomposition's machinery verbatim:
+    exclusive-prefix percentile forecast floor(before·10⁶/N) on the
+    distinct-score grain (one grain shuffle + one global_running_sum
+    range pass + broadcast scalar total; ties never straddle bins).
+    Per-bin (n_b, positives_b, Σc·f_micro) stay exact BIGINT (bound
+    N·10⁶ < 2⁶³); the final |acc − conf| folds are doubles over the
+    fixed ≤``n_bins`` bin rows only (anova precedent), rounded @6.
+
+    Output: 1 row (n, n_bins_used, ece_r6, mce_r6)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    grain = waypoint(
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(F.col(score_col).alias("__v"))
+        .agg(
+            F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("__ca"),
+            F.count("*").cast("long").alias("__c"),
+        )
+    )
+    before = global_running_sum(
+        grain, ["__v"], "__c", out_col="__before", inclusive=False
+    )
+    tot = grain.agg(F.sum("__c").cast("long").alias("__n"))
+    binned = before.crossJoin(F.broadcast(tot)).selectExpr(
+        "__ca", "__c",
+        f"CAST(__before * {int(n_bins)} div __n AS BIGINT) AS bin",
+        "CAST(__before * 1000000 div __n AS BIGINT) AS __f",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("__c").cast("long").alias("__nb"),
+        F.sum("__ca").cast("long").alias("__cab"),
+        F.sum(F.col("__c") * F.col("__f")).cast("long").alias("__sb"),
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("__n").alias("n"),
+            F.count("*").cast("long").alias("n_bins_used"),
+            F.round(
+                F.sum(
+                    F.col("__nb").cast("double") / F.col("__n")
+                    * F.abs(
+                        F.col("__cab").cast("double") / F.col("__nb")
+                        - F.col("__sb").cast("double")
+                        / (F.col("__nb").cast("double") * 1000000.0)
+                    )
+                ),
+                6,
+            ).alias("ece_r6"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("__cab").cast("double") / F.col("__nb")
+                        - F.col("__sb").cast("double")
+                        / (F.col("__nb").cast("double") * 1000000.0)
+                    )
+                ),
+                6,
+            ).alias("mce_r6"),
+        )
+    )

@@ -3815,3 +3815,178 @@ def smd_balance_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "customer"), "c_nationkey",
         F.col("c_mktsegment") == "BUILDING", "c_acctbal", scale=100,
     )
+
+
+@register(
+    "mann_kendall_daily_events",
+    oracle="""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS i,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(SIGN(b.x - a.x)) AS BIGINT) AS s_stat
+      FROM d a JOIN d b ON a.i < b.i
+    ),
+    ties AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM d GROUP BY x),
+    sc AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tv18,
+             CAST(SUM(t * (t - 1)) AS BIGINT) AS tv2
+      FROM ties
+    )
+    SELECT n, CAST(COALESCE(s_stat, 0) AS BIGINT) AS s_stat,
+           CAST(n * (n - 1) * (2 * n + 5) - tv18 AS BIGINT) AS var18_num,
+           CASE WHEN n * (n - 1) * (2 * n + 5) - tv18 > 0 THEN
+             ROUND((CAST(COALESCE(s_stat, 0) AS DOUBLE)
+                    - CAST(SIGN(COALESCE(s_stat, 0)) AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                       - tv18) / 18.0), 6) END AS z_r6,
+           CASE WHEN n >= 2 AND (n * (n - 1)) // 2 - tv2 // 2 > 0 THEN
+             ROUND(CAST(COALESCE(s_stat, 0) AS DOUBLE)
+               / SQRT(CAST((n * (n - 1)) // 2 AS DOUBLE)
+                      * CAST((n * (n - 1)) // 2 - tv2 // 2
+                             AS DOUBLE)), 6) END AS tau_b_r6
+    FROM sc CROSS JOIN s
+    """,
+    doc="Mann-Kendall trend test (ops.stats.mann_kendall_trend) on "
+    "daily event counts: exact S = sum of sign(x_j - x_i) over i<j "
+    "day pairs, tie-corrected variance and the +-1-continuity z, "
+    "plus Kendall tau-b as effect size - the nonparametric "
+    "is-the-drift-real companion to theil_sen_trend's slope (robust "
+    "to outliers and any monotone metric transform). Day grain "
+    "aggregates first; the pair set is a bounded quadratic over "
+    "GRAIN rows only (broadcast nested-loop i<j self-join); S and "
+    "both variance numerators stay exact BIGINT, with only the "
+    "final flat single-sqrt divisions double (wilson discipline), "
+    "rounded @6.",
+)
+def mann_kendall_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import mann_kendall_trend
+
+    ev = t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("i")
+    ).agg(F.count("*").cast("long").alias("x"))
+    return mann_kendall_trend(d, "i", "x")
+
+
+@register(
+    "gains_orderstatus",
+    oracle="""
+    WITH g AS (
+      SELECT -o_totalprice AS v,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ca,
+             COUNT(*) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT v, ca, c,
+             COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+             SUM(c) OVER () AS n_tot, SUM(ca) OVER () AS na_tot
+      FROM g
+    ),
+    pb AS (
+      SELECT CAST(bef * 10 // n_tot AS BIGINT) AS bin,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(ca) AS BIGINT) AS n_pos,
+             MIN(-v) AS score_lo, MAX(-v) AS score_hi,
+             MAX(n_tot) AS nt, MAX(na_tot) AS na
+      FROM r GROUP BY 1
+    ),
+    cum AS (
+      SELECT a.bin, MAX(a.n) AS n, MAX(a.n_pos) AS n_pos,
+             MAX(a.score_lo) AS score_lo, MAX(a.score_hi) AS score_hi,
+             CAST(SUM(b.n) AS BIGINT) AS cum_n,
+             CAST(SUM(b.n_pos) AS BIGINT) AS cum_pos,
+             MAX(a.nt) AS nt, MAX(a.na) AS na
+      FROM pb a JOIN pb b ON b.bin <= a.bin
+      GROUP BY 1
+    )
+    SELECT bin, n, n_pos, score_lo, score_hi, cum_n, cum_pos,
+           CASE WHEN na > 0 THEN CAST(cum_pos * 1000000 // na AS BIGINT)
+           END AS capture_micro,
+           CASE WHEN na > 0 AND cum_n > 0 THEN
+             ROUND(CAST(cum_pos AS DOUBLE) * nt
+               / (CAST(cum_n AS DOUBLE) * na), 6) END AS cum_lift_r6
+    FROM cum
+    """,
+    doc="Cumulative-gains / lift table (ops.stats.cumulative_gains): "
+    "order totals binned DESCENDING into deciles (bin 0 = priciest), "
+    "per bin the cumulative share of FINISHED orders captured and "
+    "the cumulative lift over random targeting - the "
+    "how-deep-to-score operational view completing the model-eval "
+    "block (roc_auc: discrimination, calibration: probability "
+    "quality, gains: yield per targeting budget). calibration_bins "
+    "machinery on the NEGATED score (exact), triangular self-join of "
+    "the 10-row bin table for cumulatives (broadcast, bounded - "
+    "never a data-row window); capture_micro exact BIGINT, one flat "
+    "double lift ratio rounded @6.",
+)
+def gains_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import cumulative_gains
+
+    return cumulative_gains(
+        t(spark, sf_dir, "orders"), "o_totalprice",
+        F.col("o_orderstatus") == "F", n_bins=10,
+    )
+
+
+@register(
+    "ece_orderstatus",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS v,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ca,
+             COUNT(*) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT v, ca, c,
+             COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+             SUM(c) OVER () AS n_tot
+      FROM g
+    ),
+    pb AS (
+      SELECT CAST(bef * 10 // n_tot AS BIGINT) AS bin,
+             CAST(SUM(c) AS BIGINT) AS nb,
+             CAST(SUM(ca) AS BIGINT) AS cab,
+             CAST(SUM(c * (bef * 1000000 // n_tot)) AS BIGINT) AS sb,
+             MAX(n_tot) AS n
+      FROM r GROUP BY 1
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+           ROUND(SUM(CAST(nb AS DOUBLE) / n
+             * ABS(CAST(cab AS DOUBLE) / nb
+                   - CAST(sb AS DOUBLE) / (CAST(nb AS DOUBLE) * 1000000.0))),
+             6) AS ece_r6,
+           ROUND(MAX(ABS(CAST(cab AS DOUBLE) / nb
+                   - CAST(sb AS DOUBLE) / (CAST(nb AS DOUBLE) * 1000000.0))),
+             6) AS mce_r6
+    FROM pb
+    """,
+    doc="Expected / maximum calibration error "
+    "(ops.stats.expected_calibration_error): the one-row scalar "
+    "rollup of calibration_orderstatus's reliability diagram - "
+    "ECE = sum n_b/N * |acc_b - conf_b|, MCE = max - the number a "
+    "drift monitor pages on (the table is the diagnostic; this is "
+    "the alert). brier_orderstatus's exclusive-prefix percentile "
+    "forecast and bins verbatim; exact BIGINT per-bin sums, double "
+    "L1 folds over the fixed 10 bin rows only (anova precedent), "
+    "rounded @6.",
+)
+def ece_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import expected_calibration_error
+
+    return expected_calibration_error(
+        t(spark, sf_dir, "orders"), "o_totalprice",
+        F.col("o_orderstatus") == "F", n_bins=10,
+    )

@@ -45,28 +45,40 @@ _TOKS = """
     )
 """
 
-# Shared language-ID prediction CTE chain (the SQL replay of
-# llm.textan.lang_id) — composed by BOTH langid gates
-# (`langid_confusion`, `langid_kappa`) so the replay can't drift
-# between them (the corpus_qa_panel shared-fragment precedent).
-_LANGID_PRED_CTES = f"""{_TOKS},
-    scores AS (
+# Shared language-ID prediction CTE chain builder (the SQL replay of
+# llm.textan.lang_id over an arbitrary text expression). The suffixless
+# instance below is composed by the langid gates (`langid_confusion`,
+# `langid_kappa`, `fleiss_langid`) so the replay can't drift between
+# them (the corpus_qa_panel shared-fragment precedent); suffixed
+# instances let a PAIRED-model gate (`mcnemar_langid`) replay two
+# predictor variants from the one template.
+def _langid_chain(text_expr: str, sfx: str = "") -> str:
+    return f"""
+    toks{sfx} AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, UNNEST(regexp_split_to_array({text_expr}, '\\s+')) AS w FROM documents)
+      WHERE w <> ''
+    ),
+    scores{sfx} AS (
       SELECT doc_id,
         ROUND(SUM(CASE WHEN lower(w) IN ({_DE}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_de,
         ROUND(SUM(CASE WHEN lower(w) IN ({_EN}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_en,
         ROUND(SUM(CASE WHEN lower(w) IN ({_ES}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_es,
         ROUND(SUM(CASE WHEN lower(w) IN ({_FR}) THEN 1 ELSE 0 END) * 1.0 / GREATEST(COUNT(*), 1), 4) AS score_fr
-      FROM toks GROUP BY doc_id
+      FROM toks{sfx} GROUP BY doc_id
     ),
-    pred AS (
+    pred{sfx} AS (
       SELECT doc_id,
         CASE WHEN GREATEST(score_de, score_en, score_es, score_fr) <= 0 THEN 'und'
              WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
              WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
              WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
              ELSE 'fr' END AS lang_pred
-      FROM scores
+      FROM scores{sfx}
     )"""
+
+
+_LANGID_PRED_CTES = _langid_chain("text")
 
 
 @register(
@@ -3531,6 +3543,78 @@ def langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cohens_kappa(pairs, "lang", "lang_pred")
+
+
+@register(
+    "mcnemar_langid",
+    oracle=f"""
+    WITH {_langid_chain("text")},{_langid_chain("substring(text, 1, 120)", "_t")},
+    pairs AS (
+      SELECT d.lang = COALESCE(p.lang_pred, 'und') AS ca,
+             d.lang = COALESCE(pt.lang_pred, 'und') AS cb
+      FROM documents d
+      LEFT JOIN pred p USING (doc_id)
+      LEFT JOIN pred_t pt USING (doc_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+             AS both_right,
+           CAST(SUM(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT)
+             AS both_wrong,
+           CAST(SUM(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT)
+             AS a_only,
+           CAST(SUM(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+             AS b_only,
+           CASE WHEN SUM(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END)
+                     + SUM(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) > 0 THEN
+             ROUND((ABS(CAST(SUM(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END)
+                             AS DOUBLE)
+                        - SUM(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END)) - 1)
+               * (ABS(CAST(SUM(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END)
+                           AS DOUBLE)
+                      - SUM(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END)) - 1)
+               / (CAST(SUM(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END)
+                       AS DOUBLE)
+                  + SUM(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END)), 6)
+           END AS chi2_cc_r6
+    FROM pairs
+    """,
+    doc="McNemar paired-classifier test (ops.stats.mcnemar_test): "
+    "full-text language-ID vs a cheap 120-char-prefix variant of the "
+    "SAME heuristic, scored against the corpus lang label on the "
+    "same documents - the right significance test for 'is the "
+    "cheaper model actually worse' because it tests only the "
+    "DISCORDANT pairs (independent accuracy intervals ignore the "
+    "pairing and overstate the evidence needed). Both predictors "
+    "replay through the shared _langid_chain template (suffixed "
+    "instance for the truncated variant) so neither can drift; "
+    "exact BIGINT 2x2 discordance cells, one flat continuity-"
+    "corrected double ratio rounded @6, NULL when the models never "
+    "disagree.",
+)
+def mcnemar_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import mcnemar_test
+
+    from hadoop_fcfs_spark.llm.textan import lang_id
+
+    docs = t(spark, sf_dir, "documents")
+    pa = lang_id(docs, "doc_id", "text").select(
+        "doc_id", F.col("lang_pred").alias("__pa")
+    )
+    pb = lang_id(
+        docs.select("doc_id", F.substring("text", 1, 120).alias("text")),
+        "doc_id", "text",
+    ).select("doc_id", F.col("lang_pred").alias("__pb"))
+    pairs = (
+        docs.select("doc_id", "lang")
+        .join(pa, "doc_id", "left")
+        .join(pb, "doc_id", "left")
+        .select(
+            (F.col("lang") == F.coalesce("__pa", F.lit("und"))).alias("ca"),
+            (F.col("lang") == F.coalesce("__pb", F.lit("und"))).alias("cb"),
+        )
+    )
+    return mcnemar_test(pairs, "ca", "cb")
 
 
 @register(

@@ -3494,3 +3494,109 @@ def test_readability_scores_hand_values(spark):
     exp = math.floor((206.835 - 1.015 * 2.5 - 84.6 * 1.0) * 1000)
     assert out[1]["flesch_e3"] == exp
     assert out[2]["n_words"] == 0 and out[2]["n_sentences"] == 1
+
+
+def test_mann_kendall_hand_values(spark):
+    """Strictly increasing series of n=4: S = 6 (all pairs concordant),
+    no ties -> var18_num = 4*3*13 = 156, z = (6-1)/sqrt(156/18),
+    tau_b = 6/6 = 1. Constant series: S = 0, var 0 -> z/tau NULL."""
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import mann_kendall_trend
+
+    up = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0)], "i int, x double"
+    )
+    r = mann_kendall_trend(up, "i", "x").collect()[0]
+    assert (r["n"], r["s_stat"], r["var18_num"]) == (4, 6, 156)
+    assert r["z_r6"] == round(5.0 / math.sqrt(156 / 18.0), 6)
+    assert r["tau_b_r6"] == 1.0
+    flat = spark.createDataFrame(
+        [(0, 7.0), (1, 7.0), (2, 7.0)], "i int, x double"
+    )
+    rf = mann_kendall_trend(flat, "i", "x").collect()[0]
+    assert rf["s_stat"] == 0 and rf["var18_num"] == 0
+    assert rf["z_r6"] is None and rf["tau_b_r6"] is None
+
+
+def test_mann_kendall_tie_correction(spark):
+    """Series (1,2,2,3): S = 5; one tie group t=2 subtracts
+    2*1*9 = 18 from 4*3*13 = 156 -> var18_num = 138; tau_b uses
+    D = 6, T_v = 1 -> 5/sqrt(6*5)."""
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import mann_kendall_trend
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 2.0), (3, 3.0)], "i int, x double"
+    )
+    r = mann_kendall_trend(df, "i", "x").collect()[0]
+    assert (r["s_stat"], r["var18_num"]) == (5, 138)
+    assert r["z_r6"] == round(4.0 / math.sqrt(138 / 18.0), 6)
+    assert r["tau_b_r6"] == round(5.0 / math.sqrt(30.0), 6)
+
+
+def test_mcnemar_hand_values(spark):
+    """Cells: both-right 3, both-wrong 1, a-only 4, b-only 1 ->
+    chi2_cc = (|4-1|-1)^2/5 = 0.8; a NULL correctness row is dropped;
+    never-disagree data reports NULL chi2 (no evidence, not 0)."""
+    from hadoop_fcfs_spark.ops.stats import mcnemar_test
+
+    rows = (
+        [(True, True)] * 3 + [(False, False)] + [(True, False)] * 4
+        + [(False, True)] + [(None, True)]
+    )
+    df = spark.createDataFrame(rows, "ca boolean, cb boolean")
+    r = mcnemar_test(df, "ca", "cb").collect()[0]
+    assert (r["n"], r["both_right"], r["both_wrong"]) == (9, 3, 1)
+    assert (r["a_only"], r["b_only"]) == (4, 1)
+    assert r["chi2_cc_r6"] == 0.8
+    agree = spark.createDataFrame(
+        [(True, True), (False, False)], "ca boolean, cb boolean"
+    )
+    assert mcnemar_test(agree, "ca", "cb").collect()[0]["chi2_cc_r6"] is None
+
+
+def test_cumulative_gains_hand_values(spark):
+    """20 rows, scores 20..1, positives = the top 4 scores; 4 bins of
+    5 rows: bin 0 captures 4/4 -> capture 1e6, lift = (4/4)/(5/20) = 4;
+    bins 1-3 add no positives so capture stays 1e6 and lift decays
+    20/10, 20/15, 20/20."""
+    from hadoop_fcfs_spark.ops.stats import cumulative_gains
+
+    rows = [(float(s), s > 16) for s in range(1, 21)]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    out = {r["bin"]: r for r in
+           cumulative_gains(df, "score", "y", n_bins=4).collect()}
+    assert [out[b]["n"] for b in range(4)] == [5] * 4
+    assert [out[b]["n_pos"] for b in range(4)] == [4, 0, 0, 0]
+    assert out[0]["score_hi"] == 20.0 and out[0]["score_lo"] == 16.0
+    assert [out[b]["capture_micro"] for b in range(4)] == [1000000] * 4
+    assert [out[b]["cum_lift_r6"] for b in range(4)] == [
+        4.0, 2.0, round(4.0 / 3, 6), 1.0]
+
+
+def test_cumulative_gains_no_positives_null(spark):
+    from hadoop_fcfs_spark.ops.stats import cumulative_gains
+
+    df = spark.createDataFrame(
+        [(1.0, False), (2.0, False)], "score double, y boolean"
+    )
+    r = cumulative_gains(df, "score", "y", n_bins=1).collect()[0]
+    assert r["capture_micro"] is None and r["cum_lift_r6"] is None
+
+
+def test_ece_hand_values(spark):
+    """Distinct scores 1..4, labels (F,F,T,T): forecasts are exclusive
+    prefix percentiles (0, .25, .5, .75); 2 bins of 2 rows:
+    bin0 acc 0 conf .125 -> |ce| .125; bin1 acc 1 conf .625 -> .375;
+    ECE = .5*.125 + .5*.375 = .25, MCE = .375."""
+    from hadoop_fcfs_spark.ops.stats import expected_calibration_error
+
+    df = spark.createDataFrame(
+        [(1.0, False), (2.0, False), (3.0, True), (4.0, True)],
+        "score double, y boolean",
+    )
+    r = expected_calibration_error(df, "score", "y", n_bins=2).collect()[0]
+    assert (r["n"], r["n_bins_used"]) == (4, 2)
+    assert r["ece_r6"] == 0.25 and r["mce_r6"] == 0.375

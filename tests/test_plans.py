@@ -1090,3 +1090,42 @@ def test_registry_sampling_tables_consistent():
         "a gate cannot be both never-sampled and confirmed"
     )
     assert len(_NEVER_SAMPLED) == len(set(_NEVER_SAMPLED))
+
+
+def test_mann_kendall_pairs_are_broadcast_grain(spark):
+    """mann_kendall_daily_events (r7): the i<j pair set is a broadcast
+    nested-loop self-join of the DAY GRAIN only — the raw event scan
+    aggregates to days first (partial_count before the grain exchange)
+    and no sort-merge/cartesian product ever touches data rows."""
+    plan = _plan(Q["mann_kendall_daily_events"].spark_fn(spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan, "day grain must be map-side combined"
+
+
+def test_gains_one_range_pass_bounded_cum(spark):
+    """gains_orderstatus (r7): calibration machinery on the negated
+    score — exactly one distinct range exchange (the grain prefix
+    pass), the cross-bin cumulative is a broadcast triangular join of
+    the 10-row bin table, and no sort-merge join appears anywhere."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()  # hermetic: a prior parity run may hold the grain
+    plan = _plan(Q["gains_orderstatus"].spark_fn(spark, SF_ORACLE))
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    release_waypoints()
+
+
+def test_ece_one_range_pass(spark):
+    """ece_orderstatus (r7): brier machinery — one grain shuffle, one
+    distinct range pass, scalar reduce; no shuffled join anywhere."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()  # hermetic: a prior parity run may hold the grain
+    plan = _plan(Q["ece_orderstatus"].spark_fn(spark, SF_ORACLE))
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    release_waypoints()
