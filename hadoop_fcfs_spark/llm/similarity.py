@@ -751,3 +751,80 @@ def mutual_topk_pairs(topk: DataFrame, rank_col: str = "rank") -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "cos")
     )
+
+
+def gram_power_iteration(
+    df: DataFrame,
+    vec_col: str,
+    iterations: int = 3,
+    quantize: int = 1000,
+    scale_div: int = 1000,
+) -> DataFrame:
+    """Top principal direction of the embedding corpus by power
+    iteration on the quantized Gram matrix — the PCA/whitening first
+    step (and the dominant-direction drift probe: anisotropic
+    embedding corpora concentrate along one direction; comparing this
+    vector across snapshots is the cheap detector). Returns the
+    e6-quantized max-normalized eigenvector estimate after
+    ``iterations`` matvec steps from the all-ones start.
+
+    Scale shape: the ONLY corpus-sized pass is :func:`gram_matrix`
+    (blocked matmul, d²-bounded shuffle) — materialized once behind an
+    eager localCheckpoint; every iteration after it is a d²-edge ×
+    d-node join (Spark broadcasts the node side) + one map-side-
+    combined node aggregation, with the node state localCheckpointed
+    per step so the plan stays O(1) across iterations — the
+    bradley_terry node-shaped-state discipline, nothing data-sized
+    ever recomputes. Exact arithmetic: Gram entries are exact BIGINT,
+    down-scaled by TRUNCATING integer division (Spark ``div`` —
+    which is what DuckDB's integer ``//`` does too, measured on
+    negatives: −5//2 = −2; do NOT use the pmod floor idiom here, it
+    would diverge on negative Gram entries); each matvec is an
+    exact BIGINT Σ g·p with documented bound d·max|g|·10⁶ < 2⁶³
+    (raise ``scale_div`` when the corpus grows past it — it throws,
+    not corrupts, beyond); normalization is ONE double division of
+    exact integers + floor (bit-identical cross-engine, the BT
+    normalization contract).
+
+    Output: (dim, component_e6), d rows, 1-based dims."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    g = gram_matrix(df, vec_col, quantize=quantize)
+    up = g.selectExpr(
+        "i", "j", f"CAST(dot div {int(scale_div)} AS BIGINT) AS g"
+    )
+    # localCheckpoint, not persist: the per-iteration loop below must
+    # start each step from a lineage-truncated plan or the nested
+    # join/agg tree grows per iteration until planning itself OOMs
+    # (the bradley_terry/hits/kcore iterative-state contract).
+    edges = (
+        up.filter("i < j")
+        .selectExpr("j AS i", "i AS j", "g")
+        .unionByName(up)
+        .localCheckpoint(eager=True)
+    )
+    v = (
+        edges.select("i").distinct()
+        .select(F.col("i").alias("node"), F.lit(1000000).cast("long").alias("p"))
+    )
+    for _ in range(iterations):
+        u = (
+            edges.join(
+                v.select(F.col("node").alias("j"), F.col("p").alias("__pj")),
+                "j",
+            )
+            .groupBy(F.col("i").alias("node"))
+            .agg(F.sum(F.col("g") * F.col("__pj")).cast("long").alias("__u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("__u"))).alias("__m"))
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .selectExpr(
+                "node",
+                "CASE WHEN __m > 0 THEN CAST(FLOOR(CAST(__u AS DOUBLE)"
+                " / CAST(__m AS DOUBLE) * 1000000) AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END AS p",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.selectExpr("node AS dim", "p AS component_e6")

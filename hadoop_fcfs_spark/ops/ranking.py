@@ -216,3 +216,59 @@ def bradley_terry(
     return p.join(wins, "node").select(
         "node", F.col("p").alias("strength_e6"), "wins", "games"
     )
+
+
+def pairwise_winrates(
+    df: DataFrame, winner_col: str, loser_col: str, z: float = 1.96
+) -> DataFrame:
+    """Per-match-up win rates with Wilson-score bounds: collapse a
+    pairwise preference log to the canonical (a = smaller id,
+    b = larger id) match-up grain and report a's wins, the game
+    count, the exact win rate, and the Wilson 95% interval on it —
+    the head-to-head QA table UNDER :func:`bradley_terry` (BT gives
+    one global strength per item; this shows which specific match-ups
+    carry the evidence and which are too thin to trust — a 2-0 pair
+    must not read as stronger than a 48-52 one, which is exactly what
+    the Wilson bound encodes at the pair grain).
+
+    One map-side-combined aggregation of the comparison log to the
+    match-up grain (edge-shaped state, the BT collapse discipline) —
+    wins and games exact BIGINT, winrate_micro one exact flooring
+    division, and both bounds division-only float + one sqrt in the
+    flat shape the SQL mirror reproduces bit-identically (the
+    wilson_conversion_bounds contract), floored to e6 with the lower
+    bound clamped at 0 and the upper at 1.
+
+    Output: (a, b, wins_a, games, winrate_micro, wilson_lo_e6,
+    wilson_hi_e6)."""
+    w, l = F.col(winner_col), F.col(loser_col)
+    pairs = (
+        df.filter(w.isNotNull() & l.isNotNull() & (w != l))
+        .select(
+            F.least(w, l).alias("a"),
+            F.greatest(w, l).alias("b"),
+            F.when(w < l, 1).otherwise(0).alias("__wa"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.sum("__wa").cast("long").alias("wins_a"),
+            F.count("*").cast("long").alias("games"),
+        )
+    )
+    z2 = f"({z} * {z})"
+    s, n = "CAST(wins_a AS DOUBLE)", "CAST(games AS DOUBLE)"
+    p = f"({s} / {n})"
+    center = f"({p} + {z2} / (2 * {n}))"
+    margin = (
+        f"({z} * sqrt({p} * (1 - {p}) / {n}"
+        f" + {z2} / (4 * {n} * {n})))"
+    )
+    denom = f"(1 + {z2} / {n})"
+    return pairs.selectExpr(
+        "a", "b", "wins_a", "games",
+        "CAST(wins_a * 1000000 div games AS BIGINT) AS winrate_micro",
+        f"CAST(FLOOR(GREATEST(0.0, ({center} - {margin}) / {denom})"
+        " * 1000000) AS BIGINT) AS wilson_lo_e6",
+        f"CAST(FLOOR(LEAST(1.0, ({center} + {margin}) / {denom})"
+        " * 1000000) AS BIGINT) AS wilson_hi_e6",
+    )

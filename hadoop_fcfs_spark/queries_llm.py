@@ -1934,6 +1934,78 @@ def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_top_pc",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, UNNEST(v) AS val, UNNEST(range(1, len(v) + 1)) AS pos FROM q
+    ),
+    gm AS MATERIALIZED (
+      SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.val * b.val) AS BIGINT) AS dot
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+      GROUP BY 1, 2
+    ),
+    gs AS MATERIALIZED (
+      SELECT i, j, dot // 1000 AS g FROM gm
+      UNION ALL
+      SELECT j AS i, i AS j, dot // 1000 AS g FROM gm WHERE i < j
+    ),
+    p0 AS (SELECT DISTINCT i AS node, CAST(1000000 AS BIGINT) AS p FROM gs),
+    u1 AS (SELECT gs.i AS node, CAST(SUM(gs.g * p0.p) AS BIGINT) AS u
+           FROM gs JOIN p0 ON gs.j = p0.node GROUP BY 1),
+    m1 AS (SELECT MAX(ABS(u)) AS m FROM u1),
+    p1 AS MATERIALIZED (
+      SELECT node, CASE WHEN m > 0 THEN
+        CAST(FLOOR(CAST(u AS DOUBLE) / CAST(m AS DOUBLE) * 1000000) AS BIGINT)
+        ELSE CAST(0 AS BIGINT) END AS p
+      FROM u1 CROSS JOIN m1),
+    u2 AS (SELECT gs.i AS node, CAST(SUM(gs.g * p1.p) AS BIGINT) AS u
+           FROM gs JOIN p1 ON gs.j = p1.node GROUP BY 1),
+    m2 AS (SELECT MAX(ABS(u)) AS m FROM u2),
+    p2 AS MATERIALIZED (
+      SELECT node, CASE WHEN m > 0 THEN
+        CAST(FLOOR(CAST(u AS DOUBLE) / CAST(m AS DOUBLE) * 1000000) AS BIGINT)
+        ELSE CAST(0 AS BIGINT) END AS p
+      FROM u2 CROSS JOIN m2),
+    u3 AS (SELECT gs.i AS node, CAST(SUM(gs.g * p2.p) AS BIGINT) AS u
+           FROM gs JOIN p2 ON gs.j = p2.node GROUP BY 1),
+    m3 AS (SELECT MAX(ABS(u)) AS m FROM u3),
+    p3 AS (
+      SELECT node, CASE WHEN m > 0 THEN
+        CAST(FLOOR(CAST(u AS DOUBLE) / CAST(m AS DOUBLE) * 1000000) AS BIGINT)
+        ELSE CAST(0 AS BIGINT) END AS p
+      FROM u3 CROSS JOIN m3)
+    SELECT node AS dim, p AS component_e6 FROM p3
+    """,
+    doc="Top principal direction of the embedding corpus "
+    "(llm.similarity.gram_power_iteration, 3 power-iteration steps "
+    "on the milli-quantized Gram): the PCA first step and the "
+    "anisotropy/drift probe - embedding corpora concentrate along a "
+    "dominant direction and comparing it across snapshots is the "
+    "cheap detector. The only corpus-sized pass is the blocked-"
+    "matmul Gram (d^2-bounded shuffle, persisted once); iterations "
+    "are d^2-edge x d-node joins with exact BIGINT matvecs "
+    "(truncate-scaled Gram: Spark div and DuckDB integer // both "
+    "truncate toward zero on negatives - measured; bound "
+    "d*max|g|*1e6 < 2^63) and ONE double-divide+floor max-"
+    "normalization per step (the bradley_terry contract). The GATE "
+    "pins 3 iterations to match the unrolled MATERIALIZED oracle.",
+)
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import gram_power_iteration
+
+    emb = t(spark, sf_dir, "embeddings")
+    return gram_power_iteration(
+        emb, "embedding", iterations=3, quantize=1000, scale_div=1000
+    )
+
+
+@register(
     "jaccard_prefix_dedup",
     oracle="""
     WITH grams AS (
@@ -3906,10 +3978,14 @@ def fleiss_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(trip, "doc_id", ["r_truth", "r_argmax", "r_thresh"])
 
 
-@register(
-    "bradley_terry_suppliers",
-    oracle="""
-    WITH rk AS MATERIALIZED (
+# Shared supplier-preference CTE prefix (winner = supplier of the
+# priciest lineitem in a multi-line order, loser = the cheapest's;
+# deterministic linenumber tiebreaks, self-matches dropped) — composed
+# by BOTH preference gates (`bradley_terry_suppliers`,
+# `supplier_winrate_bounds`) so the comparison-log replay cannot
+# drift between them (_KNN_RANKED_CTES precedent).
+_SUPPLIER_PREF_CTES = """
+    rk AS MATERIALIZED (
       SELECT l_orderkey AS o, l_suppkey AS s,
              ROW_NUMBER() OVER (PARTITION BY l_orderkey
                ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rw,
@@ -3923,7 +3999,13 @@ def fleiss_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT o, s FROM rk WHERE rw = 1 AND cnt >= 2) w
       JOIN (SELECT o, s FROM rk WHERE rl = 1) l USING (o)
       WHERE w.s <> l.s
-    ),
+    )"""
+
+
+@register(
+    "bradley_terry_suppliers",
+    oracle=f"""
+    WITH {_SUPPLIER_PREF_CTES},
     dirc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM pref GROUP BY 1, 2),
     e AS MATERIALIZED (
       SELECT i, j, CAST(SUM(g) AS BIGINT) AS g, CAST(SUM(w) AS BIGINT) AS w
@@ -4013,6 +4095,71 @@ def bradley_terry_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bradley_terry(prefs, "winner", "loser", iterations=3).select(
         F.col("node").alias("supplier"), "strength_e6", "wins", "games"
     )
+
+
+@register(
+    "supplier_winrate_bounds",
+    oracle=f"""
+    WITH {_SUPPLIER_PREF_CTES},
+    mu AS (
+      SELECT LEAST(a, b) AS pa, GREATEST(a, b) AS pb,
+             CAST(SUM(CASE WHEN a < b THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+             CAST(COUNT(*) AS BIGINT) AS games
+      FROM pref GROUP BY 1, 2
+    )
+    SELECT pa AS a, pb AS b, wins_a, games,
+           CAST(wins_a * 1000000 // games AS BIGINT) AS winrate_micro,
+           CAST(FLOOR(GREATEST(0.0,
+             ((CAST(wins_a AS DOUBLE) / CAST(games AS DOUBLE))
+              + (1.96 * 1.96) / (2 * CAST(games AS DOUBLE))
+              - (1.96 * sqrt((CAST(wins_a AS DOUBLE) / CAST(games AS DOUBLE))
+                  * (1 - (CAST(wins_a AS DOUBLE) / CAST(games AS DOUBLE)))
+                  / CAST(games AS DOUBLE)
+                  + (1.96 * 1.96)
+                    / (4 * CAST(games AS DOUBLE) * CAST(games AS DOUBLE)))))
+             / (1 + (1.96 * 1.96) / CAST(games AS DOUBLE)))
+             * 1000000) AS BIGINT) AS wilson_lo_e6,
+           CAST(FLOOR(LEAST(1.0,
+             ((CAST(wins_a AS DOUBLE) / CAST(games AS DOUBLE))
+              + (1.96 * 1.96) / (2 * CAST(games AS DOUBLE))
+              + (1.96 * sqrt((CAST(wins_a AS DOUBLE) / CAST(games AS DOUBLE))
+                  * (1 - (CAST(wins_a AS DOUBLE) / CAST(games AS DOUBLE)))
+                  / CAST(games AS DOUBLE)
+                  + (1.96 * 1.96)
+                    / (4 * CAST(games AS DOUBLE) * CAST(games AS DOUBLE)))))
+             / (1 + (1.96 * 1.96) / CAST(games AS DOUBLE)))
+             * 1000000) AS BIGINT) AS wilson_hi_e6
+    FROM mu
+    """,
+    doc="Head-to-head supplier win rates with Wilson 95% bounds "
+    "(ops.ranking.pairwise_winrates) on the bradley_terry_suppliers "
+    "comparison log (shared _SUPPLIER_PREF_CTES replay - the two "
+    "preference gates cannot drift): BT gives one global strength "
+    "per supplier; this is the match-up-grain evidence table under "
+    "it, where the Wilson interval keeps a 2-0 pair from reading "
+    "stronger than a 48-52 one. One map-side-combined collapse to "
+    "the canonical (min id, max id) pair grain; exact BIGINT "
+    "wins/games, one flooring winrate division, division-only-float-"
+    "plus-one-sqrt bounds in the identical flat shape both engines "
+    "(wilson_conversion_bounds contract), floored to e6.",
+)
+def supplier_winrate_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.ranking import pairwise_winrates
+
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(
+        F.expr(
+            "max_by(l_suppkey, struct(l_extendedprice, -l_linenumber))"
+        ).alias("winner"),
+        F.expr(
+            "min_by(l_suppkey, struct(l_extendedprice, -l_linenumber))"
+        ).alias("loser"),
+        F.count("*").alias("__cnt"),
+    )
+    prefs = agg.filter(
+        (F.col("__cnt") >= 2) & (F.col("winner") != F.col("loser"))
+    )
+    return pairwise_winrates(prefs, "winner", "loser", z=1.96)
 
 
 # NDCG@10 discount table: floor(1e6/log2(i+1)) for rank i = 1..10, and

@@ -3600,3 +3600,72 @@ def test_ece_hand_values(spark):
     r = expected_calibration_error(df, "score", "y", n_bins=2).collect()[0]
     assert (r["n"], r["n_bins_used"]) == (4, 2)
     assert r["ece_r6"] == 0.25 and r["mce_r6"] == 0.375
+
+
+def test_pairwise_winrates_hand_values(spark):
+    """Log: 3 wins for 1 over 2, 1 win for 2 over 1, 1 win for 3 over
+    1 -> pair (1,2): wins_a 3, games 4, winrate 750000; pair (1,3):
+    wins_a 0, games 1. Wilson bounds replicate the exact formula."""
+    import math
+
+    from hadoop_fcfs_spark.ops.ranking import pairwise_winrates
+
+    logs = [(1, 2)] * 3 + [(2, 1), (3, 1)]
+    df = spark.createDataFrame(logs, "winner int, loser int")
+    out = {(r["a"], r["b"]): r for r in
+           pairwise_winrates(df, "winner", "loser").collect()}
+    assert out[(1, 2)]["wins_a"] == 3 and out[(1, 2)]["games"] == 4
+    assert out[(1, 2)]["winrate_micro"] == 750000
+    assert out[(1, 3)]["wins_a"] == 0 and out[(1, 3)]["games"] == 1
+
+    def wilson(s, n, sign):
+        z, p = 1.96, s / n
+        center = p + z * z / (2 * n)
+        margin = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        v = (center + sign * margin) / (1 + z * z / n)
+        v = max(0.0, v) if sign < 0 else min(1.0, v)
+        return math.floor(v * 1000000)
+
+    assert out[(1, 2)]["wilson_lo_e6"] == wilson(3, 4, -1)
+    assert out[(1, 2)]["wilson_hi_e6"] == wilson(3, 4, +1)
+    assert out[(1, 3)]["wilson_lo_e6"] == 0
+
+
+def test_gram_power_iteration_exact_replica_and_direction(spark):
+    """The engine output equals a pure-Python integer replica of the
+    same algorithm (quantize -> Gram -> truncate-scale -> 3 exact
+    matvec+normalize steps), and with enough iterations the direction
+    aligns with numpy's dominant eigenvector (|cos| > 0.999)."""
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.similarity import gram_power_iteration
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(4)
+    vecs = base[None, :] * rng.randn(40)[:, None] + 0.05 * rng.randn(40, 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    out = {r["dim"]: r["component_e6"] for r in
+           gram_power_iteration(df, "embedding", iterations=3,
+                                quantize=1000, scale_div=10).collect()}
+
+    q = np.floor(vecs * 1000).astype(np.int64)
+    G = (q.T @ q)
+    Gs = np.trunc(G / 10).astype(np.int64)  # truncating div
+    p = np.full(4, 1000000, dtype=np.int64)
+    for _ in range(3):
+        u = Gs @ p
+        m = np.abs(u).max()
+        p = np.floor(u.astype(float) / float(m) * 1000000).astype(np.int64)
+    assert [out[i + 1] for i in range(4)] == list(p)
+
+    many = {r["dim"]: r["component_e6"] for r in
+            gram_power_iteration(df, "embedding", iterations=8,
+                                 quantize=1000, scale_div=10).collect()}
+    v = np.array([many[i + 1] for i in range(4)], dtype=float)
+    w, vecs_e = np.linalg.eigh(G.astype(float))
+    top = vecs_e[:, np.argmax(w)]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999

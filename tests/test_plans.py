@@ -1129,3 +1129,38 @@ def test_ece_one_range_pass(spark):
     assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     release_waypoints()
+
+
+def test_pairwise_winrates_single_exchange(spark):
+    """supplier_winrate_bounds (r7): the preference log collapses to the
+    canonical (min id, max id) match-up grain in ONE map-side-combined
+    hash exchange (the bradley_terry collapse discipline), and the
+    Wilson-bound projection rides it — no join, no second shuffle."""
+    from hadoop_fcfs_spark.ops.ranking import pairwise_winrates
+
+    df = spark.createDataFrame(
+        [(1, 2)] * 3 + [(2, 1), (3, 1)], "winner int, loser int"
+    )
+    plan = _plan(pairwise_winrates(df, "winner", "loser"))
+    assert len(_distinct_exchange_ids(plan, "hashpartitioning")) == 1, plan
+    assert "partial_sum" in plan, "pair grain must be map-side combined"
+    assert "Join" not in plan
+
+
+def test_gram_power_iteration_checkpointed_node_state(spark):
+    """embedding_top_pc (r7): per-iteration node state is eagerly
+    localCheckpointed, so the RETURNED plan is a projection over a
+    materialized RDD scan — constant size in the iteration count (no
+    exchange, no join in the final plan). Removing either checkpoint
+    regrows a nested join tree per step until planning itself OOMs —
+    the failure mode this tripwire pins."""
+    from hadoop_fcfs_spark.llm.similarity import gram_power_iteration
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0]) for i in range(12)],
+        "vec_id int, embedding array<double>",
+    )
+    out = gram_power_iteration(df, "embedding", iterations=4)
+    plan = _plan(out)
+    assert "ExistingRDD" in plan, plan
+    assert "Exchange" not in plan and "Join" not in plan, plan
