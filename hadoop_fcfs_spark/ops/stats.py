@@ -2430,3 +2430,165 @@ def expected_calibration_error(
             ).alias("mce_r6"),
         )
     )
+
+
+def kruskal_wallis(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Kruskal-Wallis H test: do k groups share one location, judged on
+    ranks — the k-arm generalization of :func:`mann_whitney_u` and the
+    nonparametric sibling of :func:`anova_oneway` (which assumes
+    near-normal within-group noise; this ranks instead, robust to skew
+    and outliers — the right omnibus screen before pairwise MWU
+    follow-ups).
+
+    Scale shape extends the MWU grain trick one level: ONE
+    map-side-combined pass collapses data to the (group, value) grain;
+    the value grain and its exclusive prefix (via
+    ops.sort.global_running_sum — no unpartitioned window) derive from
+    that without touching data again; a grain-sized equi-join hands
+    each (group, value) cell its rank block. Exact arithmetic all the
+    way to one double conversion: per-group 2x rank sums
+    2R_g = Σ cg·(2·before + c + 1) are exact BIGINT; the H numerator
+    Σ R_g²/n_g routes through DECIMAL(38,0) multiply + truncating
+    integer division (Spark `div` = DuckDB `//` on the 2x scale:
+    Σ (2R_g)² div (4·n_g), per-group truncation error < 1 — beneath
+    the e6 floor at any n), summed as BIGINT; ties Σ(c³−c) exact
+    BIGINT. H, the tie-corrected H_c = H/(1 − ties/(N³−N)) and the
+    ε² = (H − k + 1)/(N − k) effect size are flat double expressions
+    of those integers (division-only, identical shape cross-engine).
+
+    Integer bounds (ANSI throws rather than corrupts): Σ(2R_g)² div
+    (4n_g) ≤ N(2N+1)²/4 < 2⁶³ needs N < ~6.5e5 per strict bound —
+    in practice Σ R_g²/n_g ≈ N·R̄² stays far below it unless one
+    group holds nearly everything; the tie term needs the largest tie
+    group < ~2.1e6 (the MWU bound). NULL statistics when k < 2 or
+    N ≤ k; NULL H_c when every value ties (correction hits 0).
+
+    Output: 1 row (k_groups, n_rows, h_e6, hc_e6, eps2_e6)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    gvg = waypoint(
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+        )
+        .agg(F.count("*").cast("long").alias("__cg"))
+    )
+    vg = waypoint(
+        gvg.groupBy("__v").agg(F.sum("__cg").cast("long").alias("__c"))
+    )
+    before = global_running_sum(
+        vg, ["__v"], "__c", out_col="__before", inclusive=False
+    )
+    per_g = (
+        gvg.join(before, "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum(
+                F.col("__cg") * (2 * F.col("__before") + F.col("__c") + 1)
+            ).cast("long").alias("__r2g"),
+            F.sum("__cg").cast("long").alias("__ng"),
+        )
+    )
+    m = per_g.selectExpr(
+        "__ng",
+        "CAST((CAST(__r2g AS DECIMAL(38,0)) * __r2g)"
+        " div (4 * __ng) AS BIGINT) AS __term",
+    ).agg(
+        F.count("*").cast("long").alias("__k"),
+        F.sum("__ng").cast("long").alias("__nn"),
+        F.sum("__term").cast("long").alias("__srr"),
+    )
+    ties = vg.agg(
+        F.sum(
+            F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")
+        ).cast("long").alias("__ties")
+    )
+    return m.crossJoin(F.broadcast(ties)).selectExpr(
+        "__k AS k_groups",
+        "__nn AS n_rows",
+        "CASE WHEN __k > 1 AND __nn > __k THEN CAST(FLOOR("
+        "(12.0 * CAST(__srr AS DOUBLE)"
+        " / (CAST(__nn AS DOUBLE) * (CAST(__nn AS DOUBLE) + 1.0))"
+        " - 3.0 * (CAST(__nn AS DOUBLE) + 1.0)) * 1000000) AS BIGINT)"
+        " END AS h_e6",
+        "CASE WHEN __k > 1 AND __nn > __k AND"
+        " (1.0 - CAST(__ties AS DOUBLE)"
+        " / (CAST(__nn AS DOUBLE) * CAST(__nn AS DOUBLE)"
+        " * CAST(__nn AS DOUBLE) - CAST(__nn AS DOUBLE))) > 0"
+        " THEN CAST(FLOOR("
+        "(12.0 * CAST(__srr AS DOUBLE)"
+        " / (CAST(__nn AS DOUBLE) * (CAST(__nn AS DOUBLE) + 1.0))"
+        " - 3.0 * (CAST(__nn AS DOUBLE) + 1.0))"
+        " / (1.0 - CAST(__ties AS DOUBLE)"
+        " / (CAST(__nn AS DOUBLE) * CAST(__nn AS DOUBLE)"
+        " * CAST(__nn AS DOUBLE) - CAST(__nn AS DOUBLE)))"
+        " * 1000000) AS BIGINT) END AS hc_e6",
+        "CASE WHEN __k > 1 AND __nn > __k THEN CAST(FLOOR("
+        "((12.0 * CAST(__srr AS DOUBLE)"
+        " / (CAST(__nn AS DOUBLE) * (CAST(__nn AS DOUBLE) + 1.0))"
+        " - 3.0 * (CAST(__nn AS DOUBLE) + 1.0))"
+        " - CAST(__k AS DOUBLE) + 1.0)"
+        " / (CAST(__nn AS DOUBLE) - CAST(__k AS DOUBLE))"
+        " * 1000000) AS BIGINT) END AS eps2_e6",
+    )
+
+
+def roc_auc_by_group(
+    df: DataFrame, score_col: str, label_col: Column | str, group_col: str
+) -> DataFrame:
+    """Per-group exact ROC-AUC — :func:`roc_auc` sliced by a segment
+    column, the "is the model equally discriminative across cohorts"
+    fairness/QA table (a global AUC hides a segment where the score
+    inverts; this surfaces it).
+
+    Same exact 2x rank machinery as roc_auc, with the grain keyed by
+    (group, score) and the exclusive prefix via a window PARTITIONED
+    by group over that grain — partitioned and grain-sized, so no
+    single task ever sees more than one group's distinct scores (the
+    grouped-running-sum shape, allowlisted by design; groups at this
+    grain are segment-sized, and AQE skew-splits a dominant one).
+    auc_micro = floor(u2·10⁶ div (2·n_pos·n_neg)) — exact BIGINT, one
+    integer division per group, bit-identical cross-engine. Same
+    integer bound as roc_auc, per group. Groups where either class is
+    empty return NULL auc (present in the output — their absence
+    would silently hide a degenerate segment).
+
+    Output: 1 row per group (group, n_pos, n_neg, auc_micro)."""
+    from pyspark.sql import Window
+
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    grain = (
+        df.filter(
+            F.col(score_col).isNotNull()
+            & lab.isNotNull()
+            & F.col(group_col).isNotNull()
+        )
+        .groupBy(
+            F.col(group_col).alias("group"), F.col(score_col).alias("__v")
+        )
+        .agg(
+            F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("__ca"),
+            F.sum(F.when(lab, 0).otherwise(1)).cast("long").alias("__cb"),
+        )
+        .withColumn("__c", F.col("__ca") + F.col("__cb"))
+    )
+    w = Window.partitionBy("group").orderBy("__v")
+    before = grain.withColumn(
+        "__before", F.sum("__c").over(w) - F.col("__c")
+    )
+    agg = before.groupBy("group").agg(
+        F.sum(F.col("__ca") * (2 * F.col("__before") + F.col("__c") + 1))
+        .cast("long")
+        .alias("__r2a"),
+        F.sum("__ca").cast("long").alias("n_pos"),
+        F.sum("__cb").cast("long").alias("n_neg"),
+    )
+    return agg.selectExpr(
+        "group", "n_pos", "n_neg",
+        "CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+        "CAST(((__r2a - n_pos * (n_pos + 1)) * 1000000)"
+        " div (2 * n_pos * n_neg) AS BIGINT) END AS auc_micro",
+    )

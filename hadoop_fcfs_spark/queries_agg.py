@@ -3990,3 +3990,136 @@ def ece_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders"), "o_totalprice",
         F.col("o_orderstatus") == "F", n_bins=10,
     )
+
+
+@register(
+    "kruskal_priority_price",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    ),
+    gvg AS (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cg FROM base GROUP BY 1, 2
+    ),
+    vg AS (SELECT v, CAST(SUM(cg) AS BIGINT) AS c FROM gvg GROUP BY 1),
+    pre AS (
+      SELECT v, c, COALESCE(SUM(c) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+      FROM vg
+    ),
+    pg AS (
+      SELECT g, CAST(SUM(cg * (2 * bef + c + 1)) AS BIGINT) AS r2g,
+             CAST(SUM(cg) AS BIGINT) AS ng
+      FROM gvg JOIN pre USING (v) GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS nn,
+             CAST(SUM(CAST((CAST(r2g AS HUGEINT) * r2g) // (4 * ng)
+                           AS BIGINT)) AS BIGINT) AS srr
+      FROM pg
+    ),
+    tt AS (SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS ties FROM vg)
+    SELECT k AS k_groups, nn AS n_rows,
+      CASE WHEN k > 1 AND nn > k THEN CAST(FLOOR(
+        (12.0 * CAST(srr AS DOUBLE)
+         / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+         - 3.0 * (CAST(nn AS DOUBLE) + 1.0)) * 1000000) AS BIGINT)
+      END AS h_e6,
+      CASE WHEN k > 1 AND nn > k AND
+        (1.0 - CAST(ties AS DOUBLE)
+         / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+            - CAST(nn AS DOUBLE))) > 0
+      THEN CAST(FLOOR(
+        (12.0 * CAST(srr AS DOUBLE)
+         / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+         - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+        / (1.0 - CAST(ties AS DOUBLE)
+           / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+              - CAST(nn AS DOUBLE)))
+        * 1000000) AS BIGINT) END AS hc_e6,
+      CASE WHEN k > 1 AND nn > k THEN CAST(FLOOR(
+        ((12.0 * CAST(srr AS DOUBLE)
+          / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+          - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+         - CAST(k AS DOUBLE) + 1.0)
+        / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)) * 1000000) AS BIGINT)
+      END AS eps2_e6
+    FROM m CROSS JOIN tt
+    """,
+    doc="Kruskal-Wallis H across the 5 order priorities on order total "
+    "(ops.stats.kruskal_wallis): the k-arm nonparametric omnibus that "
+    "completes the hypothesis-test family (MWU = 2 arms on ranks, "
+    "ANOVA = k arms on means, this = k arms on ranks) - run it first, "
+    "then pairwise mwu_priority_price follow-ups on the arms it "
+    "flags. One (group,value)-grain pass; exclusive prefix via "
+    "global_running_sum; per-group 2x rank sums exact BIGINT; the "
+    "rank-sum-squared numerator routes through DECIMAL(38,0) multiply "
+    "+ truncating div (Spark div = DuckDB // on nonnegatives, parity "
+    "probed) so H/H_c/eps-squared are flat double expressions of "
+    "exact integers. Tie-corrected H_c and epsilon-squared effect "
+    "size included.",
+)
+def kruskal_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import kruskal_wallis
+
+    return kruskal_wallis(
+        t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority"
+    )
+
+
+@register(
+    "auc_by_segment",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS grp, o.o_totalprice AS v,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_totalprice IS NOT NULL AND o.o_orderstatus IS NOT NULL
+        AND c.c_mktsegment IS NOT NULL
+    ),
+    g AS (
+      SELECT grp, v, CAST(SUM(pos) AS BIGINT) AS ca,
+             CAST(SUM(1 - pos) AS BIGINT) AS cb
+      FROM base GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT grp, ca, cb, ca + cb AS c,
+             COALESCE(SUM(ca + cb) OVER (PARTITION BY grp ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+      FROM g
+    ),
+    m AS (
+      SELECT grp, CAST(SUM(ca * (2 * bef + c + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM r GROUP BY 1
+    )
+    SELECT grp AS "group", na AS n_pos, nb AS n_neg,
+           CASE WHEN na > 0 AND nb > 0 THEN
+             CAST(((r2a - na * (na + 1)) * 1000000) // (2 * na * nb)
+                  AS BIGINT)
+           END AS auc_micro
+    FROM m
+    """,
+    doc="Per-market-segment exact ROC-AUC of order total vs FINISHED "
+    "status (ops.stats.roc_auc_by_group): the fairness/QA slice of "
+    "roc_auc_orderstatus - a global AUC hides a segment where the "
+    "score inverts; this surfaces all 5. Same 2x-scaled exact-BIGINT "
+    "rank machinery, with the exclusive prefix PARTITIONED by segment "
+    "over the (segment, score) grain (grouped-running-sum shape - "
+    "partitioned, grain-sized, AQE skew-splits a dominant segment) "
+    "and one integer div to micros per group.",
+)
+def auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import roc_auc_by_group
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == cust["c_custkey"],
+    )
+    return roc_auc_by_group(
+        joined, "o_totalprice", F.col("o_orderstatus") == "F",
+        "c_mktsegment",
+    )

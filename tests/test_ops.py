@@ -3669,3 +3669,96 @@ def test_gram_power_iteration_exact_replica_and_direction(spark):
     top = vecs_e[:, np.argmax(w)]
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos > 0.999
+
+
+def test_kruskal_wallis_hand_values(spark):
+    """3 groups with cross-group ties -> H matches a pure-Python
+    midrank replica (and the tie-corrected H_c and epsilon-squared
+    follow the standard formulas)."""
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import kruskal_wallis
+
+    data = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 2.0), ("b", 3.0), ("b", 4.0),
+            ("c", 5.0), ("c", 5.0), ("c", 6.0)]
+    df = spark.createDataFrame(data, "g string, v double")
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+    assert (r["k_groups"], r["n_rows"]) == (3, 9)
+
+    # pure-Python midrank replica
+    vals = sorted(v for _, v in data)
+    rank = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        rank[vals[i]] = (i + 1 + j) / 2.0
+        i = j
+    n = len(data)
+    groups = {}
+    for g, v in data:
+        groups.setdefault(g, []).append(rank[v])
+    h = 12.0 / (n * (n + 1)) * sum(
+        sum(rs) ** 2 / len(rs) for rs in groups.values()
+    ) - 3 * (n + 1)
+    from collections import Counter
+
+    ties = sum(c ** 3 - c for c in Counter(vals).values())
+    hc = h / (1 - ties / (n ** 3 - n))
+    k = len(groups)
+    eps2 = (h - k + 1) / (n - k)
+    # engine truncates Σ(2R_g)² div (4n_g) per group (error < 1 rank
+    # unit before the 12/(N(N+1)) scale); allow that slack vs the
+    # rational replica
+    assert abs(r["h_e6"] - math.floor(h * 1e6)) <= math.ceil(
+        12.0 / (n * (n + 1)) * k * 1e6
+    )
+    assert abs(r["hc_e6"] - math.floor(hc * 1e6)) <= math.ceil(
+        12.0 / (n * (n + 1)) * k / (1 - ties / (n ** 3 - n)) * 1e6
+    )
+    assert r["eps2_e6"] is not None and abs(
+        r["eps2_e6"] - math.floor(eps2 * 1e6)
+    ) <= math.ceil(12.0 / (n * (n + 1)) * k / (n - k) * 1e6)
+
+
+def test_kruskal_wallis_null_guards(spark):
+    """k < 2 -> NULL statistics; single shared value everywhere ->
+    tie correction hits 0 -> NULL hc."""
+    from hadoop_fcfs_spark.ops.stats import kruskal_wallis
+
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    r = kruskal_wallis(one, "v", "g").collect()[0]
+    assert r["k_groups"] == 1 and r["h_e6"] is None and r["hc_e6"] is None
+
+    tied = spark.createDataFrame(
+        [("a", 7.0), ("a", 7.0), ("b", 7.0)], "g string, v double"
+    )
+    r = kruskal_wallis(tied, "v", "g").collect()[0]
+    assert r["h_e6"] is not None and r["hc_e6"] is None
+
+
+def test_roc_auc_by_group_hand_values(spark):
+    """Group X: perfect separation -> AUC 1.0; group Y: perfect
+    inversion -> AUC 0.0; group Z: one class only -> NULL (row still
+    present). Matches global roc_auc run per slice."""
+    from hadoop_fcfs_spark.ops.stats import roc_auc, roc_auc_by_group
+
+    rows = [("X", 1.0, 0), ("X", 2.0, 0), ("X", 3.0, 1), ("X", 4.0, 1),
+            ("Y", 1.0, 1), ("Y", 2.0, 1), ("Y", 3.0, 0),
+            ("Z", 1.0, 1), ("Z", 2.0, 1)]
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    from pyspark.sql import functions as F
+
+    out = {r["group"]: r for r in
+           roc_auc_by_group(df, "s", F.col("y") == 1, "g").collect()}
+    assert set(out) == {"X", "Y", "Z"}
+    assert out["X"]["auc_micro"] == 1000000
+    assert out["Y"]["auc_micro"] == 0
+    assert out["Z"]["auc_micro"] is None and out["Z"]["n_neg"] == 0
+    for g in ("X", "Y"):
+        glob = roc_auc(
+            df.filter(F.col("g") == g), "s", F.col("y") == 1
+        ).collect()[0]
+        assert glob["auc_micro"] == out[g]["auc_micro"]

@@ -1164,3 +1164,29 @@ def test_gram_power_iteration_checkpointed_node_state(spark):
     plan = _plan(out)
     assert "ExistingRDD" in plan, plan
     assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_kruskal_one_range_pass_grain_join(spark):
+    """kruskal_priority_price (r7): MWU machinery at k arms — exactly
+    one distinct range exchange (the value-grain exclusive prefix),
+    the (group,value)-grain collapse map-side combined, and the only
+    join is grain-sized (never a data-row join)."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()  # hermetic: a prior parity run may hold the grain
+    plan = _plan(Q["kruskal_priority_price"].spark_fn(spark, SF_ORACLE))
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
+    assert "partial_count" in plan, "grain collapse must map-side combine"
+    release_waypoints()
+
+
+def test_auc_by_segment_partitioned_window_no_global_sort(spark):
+    """auc_by_segment (r7): the per-group prefix is a window
+    PARTITIONED by segment over the (segment, score) grain — no global
+    range exchange anywhere (the global AUC's one range pass is
+    replaced by the partitioned shape), and the customer side rides a
+    broadcast join."""
+    plan = _plan(Q["auc_by_segment"].spark_fn(spark, SF_ORACLE))
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 0, plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
