@@ -2592,3 +2592,116 @@ def roc_auc_by_group(
         "CAST(((__r2a - n_pos * (n_pos + 1)) * 1000000)"
         " div (2 * n_pos * n_neg) AS BIGINT) END AS auc_micro",
     )
+
+
+def cochran_q(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Cochran's Q test: do k paired binary treatments (classifiers
+    judged right/wrong on the SAME subjects) share one success rate —
+    the k-arm generalization of :func:`mcnemar_test` (k = 2 reduces to
+    McNemar without continuity correction) and the binary sibling of
+    Fleiss' kappa (kappa asks "do raters agree"; Q asks "is any rater
+    actually better").
+
+    ``cols`` are boolean columns, one row per subject; NULL counts as
+    failure (the mcnemar gate's COALESCE convention — a classifier
+    that abstained did not get it right). ONE map-side-combined pass
+    accumulates exact BIGINTs: per-treatment success totals C_j, the
+    grand total T, and Σ R_i² of per-subject success counts;
+    Q = (k−1)(k·ΣC_j² − T²)/(k·T − ΣR_i²) is one double division of
+    exact integers, floored to e6. Integer bound (ANSI throws, never
+    corrupts): k·ΣC_j² ≤ k²n² < 2⁶³ needs k·n < ~3e9 subjects×arms.
+    NULL Q when the denominator is 0 (every subject all-right or
+    all-wrong — no discordance to test) or k < 2.
+
+    Output: 1 row (n_subjects, k_treatments, t_total, q_e6)."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError(f"cochran_q needs >= 2 treatment columns, got {k}")
+    ind = [
+        F.when(F.col(c), F.lit(1)).otherwise(F.lit(0)).cast("long")
+        for c in cols
+    ]
+    r = sum(ind[1:], ind[0])
+    agg = df.select(
+        r.alias("__r"), *[ix.alias(f"__i{j}") for j, ix in enumerate(ind)]
+    ).agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__r").cast("long").alias("__t"),
+        F.sum(F.col("__r") * F.col("__r")).cast("long").alias("__sr2"),
+        *[F.sum(f"__i{j}").cast("long").alias(f"__c{j}") for j in range(k)],
+    )
+    sc2 = " + ".join(f"(__c{j} * __c{j})" for j in range(k))
+    return agg.selectExpr(
+        "__n AS n_subjects",
+        f"CAST({k} AS BIGINT) AS k_treatments",
+        "__t AS t_total",
+        f"CASE WHEN ({k} * __t - __sr2) > 0 THEN CAST(FLOOR("
+        f"CAST(({k} - 1) * ({k} * ({sc2}) - __t * __t) AS DOUBLE)"
+        f" / CAST({k} * __t - __sr2 AS DOUBLE) * 1000000) AS BIGINT)"
+        " END AS q_e6",
+    )
+
+
+def cramers_v(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Cramér's V: the [0,1] effect size of a chi-squared independence
+    test, V = sqrt(X² / (N·min(|X|−1, |Y|−1))) — the "how strongly are
+    these categoricals associated" number (chi2 alone grows with N, so
+    it can't compare tables; V can — the categorical analogue of
+    orders_mutual_info's normalized MI).
+
+    Same observed-cells-only contingency shape as
+    :func:`chi_squared_independence` (one (x,y) count pass, marginals
+    re-aggregated from the table, X² = Σ_obs((o−e)²/e − e) + N). V is
+    computed FROM the already-floored chi2_e6, so the one sqrt sees
+    bit-identical inputs cross-engine (IEEE sqrt is correctly rounded
+    — the wilson bound contract). NULL V when either cardinality is 1
+    (min margin 0) or N = 0. Output: 1 row (chi2_e6, dof, n, v_e6)."""
+    from hadoop_fcfs_spark.caching import waypoint
+
+    joint = waypoint(
+        df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+        .groupBy(F.col(col_x).alias("__x"), F.col(col_y).alias("__y"))
+        .agg(F.count("*").alias("__nxy"))
+    )
+    mx = joint.groupBy("__x").agg(F.sum("__nxy").alias("__nx"))
+    my = joint.groupBy("__y").agg(F.sum("__nxy").alias("__ny"))
+    total = joint.agg(F.sum("__nxy").cast("double").alias("__n"))
+    exp = F.col("__nx") * F.col("__ny") / F.col("__n")
+    terms = (
+        joint.join(mx, "__x")
+        .join(my, "__y")
+        .crossJoin(F.broadcast(total))
+        .select(
+            (
+                (F.col("__nxy") - exp) * (F.col("__nxy") - exp) / exp - exp
+            ).alias("__t")
+        )
+    )
+    card = joint.agg(
+        F.countDistinct("__x").alias("__cx"),
+        F.countDistinct("__y").alias("__cy"),
+        F.sum("__nxy").cast("long").alias("n"),
+    )
+    return (
+        terms.agg(F.sum("__t").alias("__s"))
+        .crossJoin(F.broadcast(card))
+        .select(
+            F.floor((F.col("__s") + F.col("n")) * 1_000_000)
+            .cast("long")
+            .alias("chi2_e6"),
+            ((F.col("__cx") - 1) * (F.col("__cy") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.col("n"),
+            F.least(F.col("__cx") - 1, F.col("__cy") - 1)
+            .cast("long")
+            .alias("__minm"),
+        )
+        .selectExpr(
+            "chi2_e6", "dof", "n",
+            "CASE WHEN __minm > 0 AND n > 0 THEN CAST(FLOOR(SQRT("
+            "(CAST(chi2_e6 AS DOUBLE) / 1000000.0)"
+            " / (CAST(n AS DOUBLE) * CAST(__minm AS DOUBLE)))"
+            " * 1000000) AS BIGINT) END AS v_e6",
+        )
+    )

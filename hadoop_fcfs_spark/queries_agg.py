@@ -4123,3 +4123,58 @@ def auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined, "o_totalprice", F.col("o_orderstatus") == "F",
         "c_mktsegment",
     )
+
+
+@register(
+    "cramers_v_segment_priority",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS x, o.o_orderpriority AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IS NOT NULL AND o.o_orderpriority IS NOT NULL
+    ),
+    j AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS nxy FROM base GROUP BY 1, 2),
+    mx AS (SELECT x, SUM(nxy) AS nx FROM j GROUP BY 1),
+    my AS (SELECT y, SUM(nxy) AS ny FROM j GROUP BY 1),
+    tot AS (SELECT CAST(SUM(nxy) AS DOUBLE) AS n,
+                   CAST(SUM(nxy) AS BIGINT) AS nb FROM j),
+    card AS (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS cx,
+                    CAST(COUNT(DISTINCT y) AS BIGINT) AS cy FROM j),
+    s AS (
+      SELECT SUM((nxy - nx * ny / n) * (nxy - nx * ny / n) / (nx * ny / n)
+                 - nx * ny / n) AS t
+      FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    ),
+    c2 AS (
+      SELECT CAST(FLOOR((t + nb) * 1000000) AS BIGINT) AS chi2_e6,
+             (cx - 1) * (cy - 1) AS dof, nb AS n,
+             LEAST(cx - 1, cy - 1) AS minm
+      FROM s CROSS JOIN tot CROSS JOIN card
+    )
+    SELECT chi2_e6, dof, n,
+           CASE WHEN minm > 0 AND n > 0 THEN CAST(FLOOR(SQRT(
+             (CAST(chi2_e6 AS DOUBLE) / 1000000.0)
+             / (CAST(n AS DOUBLE) * CAST(minm AS DOUBLE))) * 1000000)
+             AS BIGINT) END AS v_e6
+    FROM c2
+    """,
+    doc="Cramér's V effect size for market segment x order priority "
+    "(ops.stats.cramers_v): chi2 grows with N so it cannot compare "
+    "tables - V = sqrt(chi2/(N*min(r-1,c-1))) is the [0,1] "
+    "association strength (the categorical analogue of "
+    "orders_mutual_info's normalized MI; here ~0: segment does not "
+    "predict priority - the null-association fixture). Same "
+    "observed-cells-only contingency shape as chi2_source_lang; V "
+    "computed FROM the floored chi2_e6 so the one IEEE sqrt sees "
+    "bit-identical inputs cross-engine. Broadcast customer dim.",
+)
+def cramers_v_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import cramers_v
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == cust["c_custkey"],
+    )
+    return cramers_v(joined, "c_mktsegment", "o_orderpriority")

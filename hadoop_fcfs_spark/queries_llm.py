@@ -4343,3 +4343,74 @@ def knn_ndcg_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(__num div __idcg AS BIGINT) AS ndcg_micro",
         )
     )
+
+
+@register(
+    "cochran_langid",
+    oracle=f"""
+    WITH {_langid_chain("text")},{_langid_chain("substring(text, 1, 120)", "_t")},{_langid_chain("substring(text, 1, 60)", "_s")},
+    trip AS (
+      SELECT
+        CASE WHEN d.lang = COALESCE(p.lang_pred, 'und') THEN 1 ELSE 0 END AS ia,
+        CASE WHEN d.lang = COALESCE(pt.lang_pred, 'und') THEN 1 ELSE 0 END AS ib,
+        CASE WHEN d.lang = COALESCE(ps.lang_pred, 'und') THEN 1 ELSE 0 END AS ic
+      FROM documents d
+      LEFT JOIN pred p USING (doc_id)
+      LEFT JOIN pred_t pt USING (doc_id)
+      LEFT JOIN pred_s ps USING (doc_id)
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ia + ib + ic) AS BIGINT) AS t,
+             CAST(SUM((ia + ib + ic) * (ia + ib + ic)) AS BIGINT) AS sr2,
+             CAST(SUM(ia) AS BIGINT) AS c0, CAST(SUM(ib) AS BIGINT) AS c1,
+             CAST(SUM(ic) AS BIGINT) AS c2
+      FROM trip
+    )
+    SELECT n AS n_subjects, CAST(3 AS BIGINT) AS k_treatments,
+           t AS t_total,
+           CASE WHEN (3 * t - sr2) > 0 THEN CAST(FLOOR(
+             CAST(2 * (3 * (c0 * c0 + c1 * c1 + c2 * c2) - t * t) AS DOUBLE)
+             / CAST(3 * t - sr2 AS DOUBLE) * 1000000) AS BIGINT)
+           END AS q_e6
+    FROM m
+    """,
+    doc="Cochran's Q across THREE language-ID variants (full text, "
+    "first 120 chars, first 60 chars - the mcnemar_langid pair plus a "
+    "harsher truncation) on shared _langid_chain replays: the k-arm "
+    "paired-classifier omnibus (ops.stats.cochran_q) that mcnemar "
+    "generalizes to - run Q first, pairwise McNemar follow-ups on the "
+    "arms it flags (the kruskal->MWU discipline for binary paired "
+    "data). Doc-grain correctness triples in ONE map-side-combined "
+    "pass; exact BIGINT C_j/T/sum-R-squared; Q = one double division, "
+    "floor e6; NULL on zero discordance. NULL predictions count as "
+    "wrong (COALESCE 'und', the mcnemar convention).",
+)
+def cochran_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import lang_id
+    from hadoop_fcfs_spark.ops.stats import cochran_q
+
+    docs = t(spark, sf_dir, "documents")
+    pa = lang_id(docs, "doc_id", "text").select(
+        "doc_id", F.col("lang_pred").alias("__pa")
+    )
+    pb = lang_id(
+        docs.select("doc_id", F.substring("text", 1, 120).alias("text")),
+        "doc_id", "text",
+    ).select("doc_id", F.col("lang_pred").alias("__pb"))
+    pc = lang_id(
+        docs.select("doc_id", F.substring("text", 1, 60).alias("text")),
+        "doc_id", "text",
+    ).select("doc_id", F.col("lang_pred").alias("__pc"))
+    trip = (
+        docs.select("doc_id", "lang")
+        .join(pa, "doc_id", "left")
+        .join(pb, "doc_id", "left")
+        .join(pc, "doc_id", "left")
+        .select(
+            (F.col("lang") == F.coalesce("__pa", F.lit("und"))).alias("ca"),
+            (F.col("lang") == F.coalesce("__pb", F.lit("und"))).alias("cb"),
+            (F.col("lang") == F.coalesce("__pc", F.lit("und"))).alias("cc"),
+        )
+    )
+    return cochran_q(trip, ["ca", "cb", "cc"])

@@ -3762,3 +3762,84 @@ def test_roc_auc_by_group_hand_values(spark):
             df.filter(F.col("g") == g), "s", F.col("y") == 1
         ).collect()[0]
         assert glob["auc_micro"] == out[g]["auc_micro"]
+
+
+def test_cochran_q_hand_values(spark):
+    """Classic 3-treatment example: Q matches the textbook formula
+    computed by hand; all-concordant rows -> NULL Q; k=2 equals the
+    McNemar chi2 WITHOUT continuity correction."""
+    from hadoop_fcfs_spark.ops.stats import cochran_q
+
+    # 6 subjects x 3 treatments
+    rows = [(True, True, False), (True, False, False),
+            (True, True, True), (False, True, False),
+            (True, True, False), (False, False, False)]
+    df = spark.createDataFrame(rows, "a boolean, b boolean, c boolean")
+    r = cochran_q(df, ["a", "b", "c"]).collect()[0]
+    assert (r["n_subjects"], r["k_treatments"]) == (6, 3)
+    cj = [4, 4, 1]
+    ri = [2, 1, 3, 1, 2, 0]
+    t_ = sum(ri)
+    q = 2 * (3 * sum(c * c for c in cj) - t_ * t_) / (3 * t_ - sum(x * x for x in ri))
+    import math
+
+    assert r["t_total"] == t_ and r["q_e6"] == math.floor(q * 1e6)
+
+    conc = spark.createDataFrame(
+        [(True, True), (False, False)], "a boolean, b boolean"
+    )
+    assert cochran_q(conc, ["a", "b"]).collect()[0]["q_e6"] is None
+
+    # k=2: Q = (b-c)^2/(b+c) (discordant counts), McNemar sans cc
+    two = spark.createDataFrame(
+        [(True, False)] * 5 + [(False, True)] * 2 + [(True, True)] * 3,
+        "a boolean, b boolean",
+    )
+    r2 = cochran_q(two, ["a", "b"]).collect()[0]
+    assert r2["q_e6"] == math.floor((5 - 2) ** 2 / (5 + 2) * 1e6)
+
+
+def test_cochran_q_null_is_failure_and_arity_guard(spark):
+    import pytest
+
+    from hadoop_fcfs_spark.ops.stats import cochran_q
+
+    df = spark.createDataFrame(
+        [(True, None), (True, True)], "a boolean, b boolean"
+    )
+    r = cochran_q(df, ["a", "b"]).collect()[0]
+    assert r["t_total"] == 3  # the NULL counted as 0, not skipped
+    with pytest.raises(ValueError):
+        cochran_q(df, ["a"])
+
+
+def test_cramers_v_hand_values(spark):
+    """Perfect association (x == y) -> V = 1; independent uniform
+    2x2 -> V = 0; V replicates sqrt(chi2/(n*minm)) from the floored
+    chi2."""
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import cramers_v
+
+    perfect = spark.createDataFrame(
+        [("a", "x")] * 3 + [("b", "y")] * 5, "u string, v string"
+    )
+    r = cramers_v(perfect, "u", "v").collect()[0]
+    assert r["v_e6"] == 1000000 and r["dof"] == 1
+
+    indep = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")] * 2,
+        "u string, v string",
+    )
+    r0 = cramers_v(indep, "u", "v").collect()[0]
+    assert r0["chi2_e6"] == 0 and r0["v_e6"] == 0
+
+    skew = spark.createDataFrame(
+        [("a", "x")] * 4 + [("a", "y")] * 1 + [("b", "x")] * 2
+        + [("b", "y")] * 3,
+        "u string, v string",
+    )
+    rs = cramers_v(skew, "u", "v").collect()[0]
+    assert rs["v_e6"] == math.floor(
+        math.sqrt((rs["chi2_e6"] / 1e6) / (rs["n"] * 1)) * 1e6
+    )
