@@ -828,3 +828,107 @@ def gram_power_iteration(
             .localCheckpoint(eager=True)
         )
     return v.selectExpr("node AS dim", "p AS component_e6")
+
+
+def kmeans_lloyd_exact(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1000,
+) -> DataFrame:
+    """Lloyd's k-means with every number exact — the value-oracled
+    twin of :func:`kmeans_centroids` (which averages in floats and is
+    therefore only reachable through downstream gates like semdedup).
+    Vectors floor-quantize to 1/``quantize`` units (BIGINT); init
+    centroids are the ``k`` lowest-id vectors (reproducible without
+    hashing — the oracle replays it as a ROW_NUMBER over id); each of
+    ``iterations`` Lloyd steps assigns by exact integer squared-L2
+    argmin (ties → lowest cell index) and recomputes centroids as
+    TRUNCATING integer division of exact dimension sums (toward zero,
+    matching DuckDB ``//`` — Python ``//`` floors and would drift on
+    negative sums, measured); an emptied cell keeps its previous
+    centroid. Output: one final assignment pass under the last
+    centroids → (cell, n, inertia) per non-empty cell, inertia the
+    exact BIGINT sum of member squared distances.
+
+    Scale shape (the kmeans_centroids contract, kept): per iteration
+    ONE data pass — centroid literals compile into codegen (broadcast-
+    by-literal, the _assign_to_centroid array-argmin form), the
+    per-(cell, dim) update is a map-side-combined groupBy producing
+    k·dim integers, and the driver holds only k·dim ints per round
+    (bounded round trips ∝ iterations, the BPE-merges discipline).
+    Nothing data-sized shuffles; no window anywhere. Integer bounds
+    (ANSI throws): per-row distance d·(2·q·max|x|)² < 2⁶³ and
+    dimension sums n·q·max|x| < 2⁶³ — comfortable at any corpus that
+    fits an engine.
+
+    Reference parity: the reference's iterative-driver idiom (chained
+    MapReduce jobs reusing DistributedCache for model state, e.g.
+    hadoop-mapreduce-examples' iterative pi/pentomino drivers) is this
+    loop's ancestor; centroid literals play the DistributedCache
+    role."""
+    if k < 1 or iterations < 0:
+        raise ValueError(f"need k >= 1, iterations >= 0; got {k}, {iterations}")
+    q = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * quantize).cast("long"),
+        ).alias("__q"),
+    ).localCheckpoint(eager=True)  # quantized corpus reused every pass
+
+    seeds = q.orderBy("__id").limit(k).collect()
+    cents: list[list[int]] = [list(r["__q"]) for r in seeds]
+    if not cents:
+        return q.sparkSession.createDataFrame(
+            [], "cell int, n long, inertia long"
+        )
+    dim = len(cents[0])
+
+    def _sqdist(c: list[int]):
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("__q"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def _assign(frame):
+        dist_arr = F.array(*[_sqdist(c) for c in cents])
+        return frame.withColumn(
+            "__cell",
+            (F.array_position(dist_arr, F.array_min(dist_arr)) - 1).cast("int"),
+        ).withColumn("__d", F.array_min(dist_arr))
+
+    def _tdiv(a: int, b: int) -> int:
+        # truncate toward zero (DuckDB //, Spark div); Python // floors
+        return abs(a) // b if a >= 0 else -(abs(a) // b)
+
+    for _ in range(iterations):
+        assigned = _assign(q)
+        sums = [
+            F.sum(F.col("__q")[d]).cast("long").alias(f"s{d}")
+            for d in range(dim)
+        ]
+        rows = (
+            assigned.groupBy("__cell")
+            .agg(F.count("*").cast("long").alias("cnt"), *sums)
+            .collect()
+        )
+        new = list(cents)
+        for r in rows:
+            new[r["__cell"]] = [
+                _tdiv(r[f"s{d}"], r["cnt"]) for d in range(dim)
+            ]
+        cents = new
+
+    return (
+        _assign(q)
+        .groupBy(F.col("__cell").alias("cell"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("__d").cast("long").alias("inertia"),
+        )
+    )

@@ -4414,3 +4414,99 @@ def cochran_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cochran_q(trip, ["ca", "cb", "cc"])
+
+
+def _kmeans_oracle(k: int, iterations: int, quantize: int) -> str:
+    """Unrolled MATERIALIZED Lloyd oracle (the bradley_terry /
+    embedding_top_pc iterative-oracle pattern): c0 = k lowest-id
+    quantized vectors; per step assign by exact integer sqdist argmin
+    (ties -> lowest cell) and recompute centroids as truncating //
+    of exact dimension sums, emptied cells keeping their previous
+    centroid; final assignment pass -> (cell, n, inertia)."""
+    parts = [f"""
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {quantize}) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    e AS MATERIALIZED (
+      SELECT vec_id, UNNEST(v) AS val, UNNEST(range(1, len(v) + 1)) AS pos FROM q
+    ),
+    sel AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+      FROM q ORDER BY vec_id LIMIT {k}
+    ),
+    c0 AS MATERIALIZED (
+      SELECT s.cell, e.pos, e.val AS cval FROM e JOIN sel s USING (vec_id)
+    )"""]
+    for i in range(iterations):
+        parts.append(f"""
+    a{i} AS (
+      SELECT e.vec_id, c.cell,
+             CAST(SUM((e.val - c.cval) * (e.val - c.cval)) AS BIGINT) AS d
+      FROM e JOIN c{i} c USING (pos) GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM a{i}) t WHERE rn = 1
+    ),
+    u{i} AS (
+      SELECT b.cell, e.pos, CAST(SUM(e.val) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM e JOIN b{i} b USING (vec_id) GROUP BY 1, 2
+    ),
+    c{i + 1} AS MATERIALIZED (
+      SELECT c.cell, c.pos, COALESCE(u.s // u.cnt, c.cval) AS cval
+      FROM c{i} c LEFT JOIN u{i} u ON u.cell = c.cell AND u.pos = c.pos
+    )""")
+    n = iterations
+    parts.append(f"""
+    af AS (
+      SELECT e.vec_id, c.cell,
+             CAST(SUM((e.val - c.cval) * (e.val - c.cval)) AS BIGINT) AS d
+      FROM e JOIN c{n} c USING (pos) GROUP BY 1, 2
+    ),
+    bf AS (
+      SELECT vec_id, cell, d FROM (
+        SELECT vec_id, cell, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM af) t WHERE rn = 1
+    )""")
+    return (
+        "WITH " + ",".join(parts)
+        + """
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d) AS BIGINT) AS inertia
+    FROM bf GROUP BY 1
+    """
+    )
+
+
+@register(
+    "kmeans_embedding_cells",
+    oracle=_kmeans_oracle(k=8, iterations=2, quantize=1000),
+    doc="Exact-integer Lloyd k-means over the embedding corpus "
+    "(llm.similarity.kmeans_lloyd_exact, k=8, 2 iterations, milli "
+    "quantization): the clustering first step under semdedup / IVF "
+    "curation, finally value-oracled end-to-end (kmeans_centroids "
+    "averages in floats and was only reachable through downstream "
+    "gates). Init = k lowest-id vectors; assignment = exact BIGINT "
+    "squared-L2 argmin with lowest-cell ties; update = TRUNCATING "
+    "integer division of exact dimension sums (DuckDB // truncates "
+    "toward zero, Python // floors - measured, so the driver-side "
+    "update divides via abs; emptied cells keep their centroid). Per "
+    "iteration ONE data pass with centroid literals compiled into "
+    "codegen and a map-side-combined k*dim update; driver holds k*dim "
+    "ints (bounded round trips, the BPE-merges discipline). Output "
+    "(cell, n, inertia) per non-empty cell, inertia exact BIGINT.",
+)
+def kmeans_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import kmeans_lloyd_exact
+
+    emb = t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_exact(
+        emb, k=8, iterations=2, quantize=1000
+    )

@@ -3843,3 +3843,68 @@ def test_cramers_v_hand_values(spark):
     assert rs["v_e6"] == math.floor(
         math.sqrt((rs["chi2_e6"] / 1e6) / (rs["n"] * 1)) * 1e6
     )
+
+
+def test_kmeans_lloyd_exact_replica(spark):
+    """Engine output equals a pure-Python integer replica of the same
+    algorithm: milli quantize -> k lowest-id init -> exact sqdist
+    argmin (lowest cell wins ties) -> truncating-division centroid
+    update with empty-cell carry -> final (cell, n, inertia)."""
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.similarity import kmeans_lloyd_exact
+
+    rng = np.random.RandomState(11)
+    vecs = np.concatenate([
+        rng.randn(15, 5) + 4.0, rng.randn(15, 5) - 4.0, rng.randn(10, 5)
+    ])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    out = {r["cell"]: (r["n"], r["inertia"]) for r in
+           kmeans_lloyd_exact(df, k=3, iterations=2).collect()}
+
+    q = np.floor(vecs * 1000).astype(np.int64)
+    cents = [q[i].copy() for i in range(3)]  # k lowest ids
+
+    def assign(c):
+        d = np.array([((q - ci) ** 2).sum(axis=1) for ci in c])  # k x n
+        return d.argmin(axis=0), d.min(axis=0)  # argmin ties -> lowest
+
+    for _ in range(2):
+        cell, _ = assign(cents)
+        for c in range(3):
+            m = q[cell == c]
+            if len(m):
+                s = m.sum(axis=0)
+                cents[c] = np.where(
+                    s >= 0, np.abs(s) // len(m), -(np.abs(s) // len(m))
+                )
+    cell, d = assign(cents)
+    expect = {c: (int((cell == c).sum()), int(d[cell == c].sum()))
+              for c in range(3) if (cell == c).any()}
+    assert out == expect
+
+
+def test_kmeans_lloyd_exact_empty_cell_carry_and_guards(spark):
+    """A far-away init centroid that captures nothing keeps its
+    coordinates (so k stays k); iterations=0 scores the init
+    assignment; bad args raise."""
+    import pytest
+
+    from hadoop_fcfs_spark.llm.similarity import kmeans_lloyd_exact
+
+    # ids 0,1 are the inits; id 0 sits alone far away -> cell 0 keeps it
+    rows = [(0, [100.0, 100.0]), (1, [0.0, 0.0]), (2, [0.1, 0.1]),
+            (3, [0.2, 0.2])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["cell"]: r["n"] for r in
+           kmeans_lloyd_exact(df, k=2, iterations=3).collect()}
+    assert out == {0: 1, 1: 3}
+
+    r0 = kmeans_lloyd_exact(df, k=2, iterations=0).collect()
+    assert {r["cell"] for r in r0} == {0, 1}
+
+    with pytest.raises(ValueError):
+        kmeans_lloyd_exact(df, k=0)

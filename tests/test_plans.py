@@ -1190,3 +1190,17 @@ def test_auc_by_segment_partitioned_window_no_global_sort(spark):
     assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 0, plan
     assert "BroadcastHashJoin" in plan
     assert "partial_sum" in plan
+
+
+def test_kmeans_lloyd_final_pass_shape(spark):
+    """kmeans_embedding_cells (r7): the returned plan is ONE map-side-
+    combined hash aggregation over the localCheckpointed quantized
+    corpus with centroid literals compiled in — no join, no range
+    exchange, exactly one hash exchange (iteration state lives on the
+    driver as k*dim ints, the kmeans_centroids contract)."""
+    plan = _plan(Q["kmeans_embedding_cells"].spark_fn(spark, SF_ORACLE))
+    assert "ExistingRDD" in plan, plan
+    assert "Join" not in plan
+    assert len(_distinct_exchange_ids(plan, "hashpartitioning")) == 1, plan
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 0, plan
+    assert "partial_count" in plan or "partial_sum" in plan
