@@ -740,3 +740,125 @@ def mingram_blocking_quality(
             " END AS rr_micro",
         )
     )
+
+
+def minhash_estimate_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    min_jaccard_micro: int = 300_000,
+) -> DataFrame:
+    """MinHash estimation-error audit: for every pair with exact
+    shingle Jaccard ≥ ``min_jaccard_micro``/1e6, compare the
+    signature-agreement ESTIMATE (matching components / m — the
+    quantity LSH banding actually thresholds on) against the exact
+    value, and report the pair count with mean and max absolute error
+    — the QA loop for the MinHash dedup tier, exactly as
+    ann_ivf_recall is for the ANN tier (is m wide enough for the
+    corpus, or is banding about to mis-bucket?). E[|err|] ≈
+    sqrt(J(1−J)/m) ≈ 0.08 at m=32, J=0.5 — a drifting mean flags a
+    broken hash family before dedup quality visibly degrades.
+
+    Signatures here use md5-derived permutations (first 15 hex chars
+    → 60-bit ints), NOT the production xxhash64 family — md5 is the
+    one hash both engines share (the sampling-tier convention), which
+    is what makes this audit value-oracled end-to-end; the estimator
+    error statistics are family-independent for any well-mixing
+    family, so the audit's verdict transfers to the xxhash64 path.
+
+    Scale shape: exact pairs come from the ngram posting-list join
+    (doc_a < doc_b on shared grams — the dedup_ngram_jaccard shape);
+    signatures are ONE aggregation over the same (doc, gram) rows; the
+    audit joins signatures only onto the THRESHOLDED pair set. Like
+    ann_ivf_recall, run it on a sampled corpus at scale — the exact
+    side is the audit's ground truth and is quadratic in near-dup
+    density by construction. All outputs exact BIGINT (micro Jaccards
+    via integer div; mean = sum div count). Output: 1 row (n_pairs,
+    m_hashes, mean_abs_err_e6, max_abs_err_e6)."""
+    from hadoop_fcfs_spark.caching import waypoint
+
+    grams = waypoint(_gram_rows(df, id_col, text_col, n))
+    mins = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("gram"), F.lit(str(i))
+                        ).cast("binary")
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = grams.groupBy("doc").agg(*mins).select(
+        "doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+    sizes = grams.groupBy("doc").agg(F.count("*").cast("long").alias("ng"))
+    a = grams.select(F.col("doc").alias("doc_a"), "gram")
+    b = grams.select(F.col("doc").alias("doc_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    pairs = (
+        inter.join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("ng").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("ng").alias("nb")),
+            "doc_b",
+        )
+        .selectExpr(
+            "doc_a", "doc_b",
+            "CAST(common * 1000000 div (na + nb - common) AS BIGINT)"
+            " AS jac_micro",
+        )
+        .filter(F.col("jac_micro") >= min_jaccard_micro)
+    )
+    est = (
+        pairs.join(
+            sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("__sa")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("__sb")),
+            "doc_b",
+        )
+        .withColumn(
+            "__m",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__sa"), F.col("__sb"),
+                    lambda x, y: F.when(x == y, 1).otherwise(0).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .selectExpr(
+            "jac_micro",
+            f"CAST(__m * 1000000 div {num_hashes} AS BIGINT) AS est_micro",
+        )
+    )
+    return est.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.lit(num_hashes).cast("long").alias("m_hashes"),
+        F.sum(F.abs(F.col("est_micro") - F.col("jac_micro"))).alias("__se"),
+        F.max(F.abs(F.col("est_micro") - F.col("jac_micro")))
+        .cast("long")
+        .alias("max_abs_err_e6"),
+    ).selectExpr(
+        "n_pairs", "m_hashes",
+        "CASE WHEN n_pairs > 0 THEN CAST(__se div n_pairs AS BIGINT)"
+        " END AS mean_abs_err_e6",
+        "max_abs_err_e6",
+    )

@@ -4510,3 +4510,74 @@ def kmeans_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd_exact(
         emb, k=8, iterations=2, quantize=1000
     )
+
+
+@register(
+    "minhash_estimate_audit",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id AS doc, array_to_string(ws[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 2)) AS i
+            FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws FROM documents))
+    ),
+    sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS ng FROM grams GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(common * 1000000 // (sa.ng + sb.ng - common) AS BIGINT)
+               AS jac_micro
+      FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE CAST(common * 1000000 // (sa.ng + sb.ng - common) AS BIGINT)
+            >= 300000
+    ),
+    h AS MATERIALIZED (
+      SELECT doc, i,
+             MIN(CAST('0x' || substr(md5(gram || '|' || CAST(i AS VARCHAR)),
+                                     1, 15) AS BIGINT)) AS hv
+      FROM grams CROSS JOIN range(32) t(i)
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT p.doc_a, p.doc_b, p.jac_micro,
+             CAST(SUM(CASE WHEN ha.hv = hb.hv THEN 1 ELSE 0 END)
+                  * 1000000 // 32 AS BIGINT) AS est_micro
+      FROM pairs p
+      JOIN h ha ON ha.doc = p.doc_a
+      JOIN h hb ON hb.doc = p.doc_b AND hb.i = ha.i
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(32 AS BIGINT) AS m_hashes,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST(SUM(ABS(est_micro - jac_micro)) // COUNT(*) AS BIGINT)
+           END AS mean_abs_err_e6,
+           CAST(MAX(ABS(est_micro - jac_micro)) AS BIGINT) AS max_abs_err_e6
+    FROM est
+    """,
+    doc="MinHash estimation-error audit "
+    "(llm.dedup.minhash_estimate_audit, m=32, 3-gram shingles, exact "
+    "Jaccard >= 0.3): per qualifying pair, |signature-agreement "
+    "estimate - exact Jaccard|, rolled up to mean/max - the QA loop "
+    "for the MinHash tier exactly as ann_ivf_recall is for ANN (is m "
+    "wide enough, is banding about to mis-bucket). Signatures use "
+    "md5-derived 60-bit permutations (the sampling-tier cross-engine "
+    "hash) so the audit is value-oracled end-to-end; error stats "
+    "transfer to the production xxhash64 family. Exact posting-list "
+    "pairs (dedup_ngram_jaccard shape), one signature aggregation, "
+    "sig joins only onto the thresholded pair set; all-BIGINT micro "
+    "arithmetic (integer div everywhere).",
+)
+def minhash_estimate_audit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.dedup import minhash_estimate_audit
+
+    docs = t(spark, sf_dir, "documents")
+    return minhash_estimate_audit(
+        docs, "doc_id", "text", n=3, num_hashes=32, min_jaccard_micro=300_000
+    )

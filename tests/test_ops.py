@@ -3908,3 +3908,68 @@ def test_kmeans_lloyd_exact_empty_cell_carry_and_guards(spark):
 
     with pytest.raises(ValueError):
         kmeans_lloyd_exact(df, k=0)
+
+
+def test_minhash_estimate_audit_pure_python_replica(spark):
+    """Tiny corpus with known near-dup pairs: the audit's n_pairs,
+    mean and max errors equal a pure-Python md5 replica of the same
+    estimator (signatures, exact Jaccard, micro integer arithmetic)."""
+    import hashlib
+
+    from hadoop_fcfs_spark.llm.dedup import minhash_estimate_audit
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "a completely different document with no shared shingles"),
+        (4, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    r = minhash_estimate_audit(
+        df, "doc_id", "text", n=3, num_hashes=16, min_jaccard_micro=200_000
+    ).collect()[0]
+
+    def shingles(text):
+        ws = [w for w in text.split() if w]
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    def sig(grams, m=16):
+        out = []
+        for i in range(m):
+            out.append(min(
+                int(hashlib.md5(f"{g}|{i}".encode()).hexdigest()[:15], 16)
+                for g in grams
+            ))
+        return out
+
+    sh = {d: shingles(t_) for d, t_ in docs}
+    sg = {d: sig(g) for d, g in sh.items()}
+    errs = []
+    for a in sh:
+        for b in sh:
+            if a >= b:
+                continue
+            common = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if common == 0:
+                continue
+            jac = common * 1_000_000 // union
+            if jac < 200_000:
+                continue
+            m = sum(1 for x, y in zip(sg[a], sg[b]) if x == y)
+            errs.append(abs(m * 1_000_000 // 16 - jac))
+    assert r["n_pairs"] == len(errs) and len(errs) >= 2
+    assert r["mean_abs_err_e6"] == sum(errs) // len(errs)
+    assert r["max_abs_err_e6"] == max(errs)
+
+
+def test_minhash_estimate_audit_empty_pairset(spark):
+    """No qualifying pair -> n_pairs 0, NULL mean (no ANSI div-zero)."""
+    from hadoop_fcfs_spark.llm.dedup import minhash_estimate_audit
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id int, text string",
+    )
+    r = minhash_estimate_audit(df, "doc_id", "text").collect()[0]
+    assert r["n_pairs"] == 0 and r["mean_abs_err_e6"] is None
