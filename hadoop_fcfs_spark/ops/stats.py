@@ -2705,3 +2705,169 @@ def cramers_v(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
             " * 1000000) AS BIGINT) END AS v_e6",
         )
     )
+
+
+def friedman_test(
+    df: DataFrame, block_col: str, treatment_col: str, value_col: str
+) -> DataFrame:
+    """Friedman test: do k treatments rank the same within every block
+    — the repeated-measures / blocked-design omnibus that completes
+    the rank-test family (:func:`mann_whitney_u` = 2 independent arms,
+    :func:`kruskal_wallis` = k independent arms, this = k MATCHED
+    arms; run pairwise Wilcoxon/MWU follow-ups on what it flags).
+    Classic use here: do shipping modes keep one volume ordering
+    month after month, or does the ranking genuinely shuffle?
+
+    Input is one value per (block, treatment) cell; blocks missing any
+    treatment are EXCLUDED (Friedman needs complete blocks — the count
+    of kept blocks is in the output, so silent attrition is visible).
+    Ranks are within-block midranks carried as exact 2x BIGINTs
+    (2R = 2·before + c + 1 on the (block, value) sub-grain — the MWU
+    idiom, partitioned by block so no global anything); per-treatment
+    rank sums and the tie term Σ(c³−c) are exact BIGINT; the
+    Σ(2R_j)²-style numerator reuses the kruskal DECIMAL(38,0) ·
+    truncating-div route. Q and the tie-corrected
+    Q_c = Q / (1 − Σties/(n·k·(k²−1))) are flat double expressions of
+    exact integers. NULL statistics when k < 2 or no complete block;
+    NULL Q_c when every block is all-ties.
+
+    Scale shape: ONE map-side-combined pass to the (block, treatment)
+    cell grain is the only data-sized step; every window after it is
+    PARTITIONED by block over cell rows (k per block). Output: 1 row
+    (k_treatments, n_blocks, q_e6, qc_e6)."""
+    from pyspark.sql import Window
+
+    # one value per (block, treatment) cell; if the caller left
+    # duplicates, min() is the deterministic pick (document upstream)
+    cells = (
+        df.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(block_col).alias("__b"), F.col(treatment_col).alias("__t")
+        )
+        .agg(F.min(value_col).alias("__v"))
+    )
+    k_df = cells.agg(F.countDistinct("__t").cast("long").alias("__k"))
+    complete = (
+        cells.groupBy("__b")
+        .agg(F.count("*").cast("long").alias("__nt"))
+        .crossJoin(F.broadcast(k_df))
+        .filter(F.col("__nt") == F.col("__k"))
+        .select("__b")
+    )
+    kept = cells.join(complete, "__b")
+    # within-block midranks on the (block, value) sub-grain
+    sub = kept.groupBy("__b", "__v").agg(F.count("*").cast("long").alias("__c"))
+    w = Window.partitionBy("__b").orderBy("__v")
+    sub = sub.withColumn("__before", F.sum("__c").over(w) - F.col("__c"))
+    ranked = kept.join(sub, ["__b", "__v"]).withColumn(
+        "__r2", 2 * F.col("__before") + F.col("__c") + 1
+    )
+    per_t = ranked.groupBy("__t").agg(
+        F.sum("__r2").cast("long").alias("__r2j"),
+        F.count("*").cast("long").alias("__nb"),
+    )
+    m = per_t.selectExpr(
+        "__nb",
+        "CAST((CAST(__r2j AS DECIMAL(38,0)) * __r2j) div 4 AS BIGINT) AS __term",
+    ).agg(
+        F.count("*").cast("long").alias("__k"),
+        F.max("__nb").cast("long").alias("__n"),
+        F.sum("__term").cast("long").alias("__srr"),
+    )
+    ties = sub.agg(
+        F.sum(
+            F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")
+        ).cast("long").alias("__ties")
+    )
+    return m.crossJoin(F.broadcast(ties)).selectExpr(
+        "__k AS k_treatments",
+        "COALESCE(__n, 0) AS n_blocks",
+        "CASE WHEN __k > 1 AND __n > 0 THEN CAST(FLOOR("
+        "(12.0 * CAST(__srr AS DOUBLE)"
+        " / (CAST(__n AS DOUBLE) * CAST(__k AS DOUBLE)"
+        " * (CAST(__k AS DOUBLE) + 1.0))"
+        " - 3.0 * CAST(__n AS DOUBLE) * (CAST(__k AS DOUBLE) + 1.0))"
+        " * 1000000) AS BIGINT) END AS q_e6",
+        "CASE WHEN __k > 1 AND __n > 0 AND"
+        " (1.0 - CAST(__ties AS DOUBLE)"
+        " / (CAST(__n AS DOUBLE) * CAST(__k AS DOUBLE)"
+        " * (CAST(__k AS DOUBLE) * CAST(__k AS DOUBLE) - 1.0))) > 0"
+        " THEN CAST(FLOOR("
+        "(12.0 * CAST(__srr AS DOUBLE)"
+        " / (CAST(__n AS DOUBLE) * CAST(__k AS DOUBLE)"
+        " * (CAST(__k AS DOUBLE) + 1.0))"
+        " - 3.0 * CAST(__n AS DOUBLE) * (CAST(__k AS DOUBLE) + 1.0))"
+        " / (1.0 - CAST(__ties AS DOUBLE)"
+        " / (CAST(__n AS DOUBLE) * CAST(__k AS DOUBLE)"
+        " * (CAST(__k AS DOUBLE) * CAST(__k AS DOUBLE) - 1.0)))"
+        " * 1000000) AS BIGINT) END AS qc_e6",
+    )
+
+
+def isotonic_calibration(
+    df: DataFrame, score_col: str, label_col: Column | str, n_bins: int = 10
+) -> DataFrame:
+    """Isotonic (PAV) calibration over the reliability-bin grain: the
+    monotone-nondecreasing rate curve closest (weighted L2) to the
+    observed per-bin rates — the calibration FIX under
+    :func:`calibration_bins`' diagnosis (a model whose reliability
+    diagram dips gets its scores remapped through this curve; the
+    nonparametric alternative to Platt scaling). Computed via the
+    minimax identity iso(i) = max_{j≤i} min_{l≥j} R(j..l) with R the
+    pooled rate — the closed form of pool-adjacent-violators, which
+    is sequential and would not distribute; the identity does, as
+    bounded triangular joins.
+
+    Everything data-sized happens inside calibration_bins (grain
+    collapse + ONE range pass); this adds only n_bins²-bounded
+    broadcast joins (≤55 pairs at 10 bins — the gains_orderstatus
+    triangular-join precedent). Pooled rates are ONE double division
+    of exact BIGINT pooled sums each; min/max over doubles are
+    order-independent, so the floor-micro curve is deterministic
+    cross-engine (two pooled rates collide in double only past 2⁵³
+    counts). Output: (bin, n, n_pos, rate_micro, iso_micro) — one row
+    per non-empty bin, iso_micro monotone nondecreasing in bin."""
+    from hadoop_fcfs_spark.caching import waypoint
+
+    bins = waypoint(
+        calibration_bins(df, score_col, label_col, n_bins).select(
+            "bin", "n", "n_pos", "rate_micro"
+        )
+    )
+    j = bins.select(F.col("bin").alias("__j"))
+    l = bins.select(F.col("bin").alias("__l"))
+    m = bins.select(F.col("bin").alias("__m"), "n", "n_pos")
+    pooled = (
+        j.crossJoin(F.broadcast(l))
+        .filter(F.col("__j") <= F.col("__l"))
+        .join(
+            F.broadcast(m),
+            (F.col("__m") >= F.col("__j")) & (F.col("__m") <= F.col("__l")),
+        )
+        .groupBy("__j", "__l")
+        .agg(
+            F.sum("n").cast("long").alias("__sn"),
+            F.sum("n_pos").cast("long").alias("__sp"),
+        )
+        .withColumn(
+            "__q", F.col("__sp").cast("double") / F.col("__sn").cast("double")
+        )
+    )
+    m1 = pooled.groupBy("__j").agg(F.min("__q").alias("__mn"))
+    i = bins.select(F.col("bin").alias("__i"))
+    iso = (
+        i.join(F.broadcast(m1), F.col("__j") <= F.col("__i"))
+        .groupBy("__i")
+        .agg(F.max("__mn").alias("__iso"))
+    )
+    return (
+        bins.join(iso, bins["bin"] == iso["__i"])
+        .select(
+            "bin", "n", "n_pos", "rate_micro",
+            F.floor(F.col("__iso") * 1_000_000).cast("long").alias("iso_micro"),
+        )
+    )

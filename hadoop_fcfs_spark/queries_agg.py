@@ -4178,3 +4178,166 @@ def cramers_v_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders["o_custkey"] == cust["c_custkey"],
     )
     return cramers_v(joined, "c_mktsegment", "o_orderpriority")
+
+
+@register(
+    "friedman_priority_volume",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS b,
+             o_orderpriority AS tr, CAST(COUNT(*) AS BIGINT) AS v
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    kk AS (SELECT CAST(COUNT(DISTINCT tr) AS BIGINT) AS k FROM cells),
+    comp AS (
+      SELECT b FROM cells GROUP BY b
+      HAVING COUNT(*) = (SELECT k FROM kk)
+    ),
+    kept AS (SELECT c.* FROM cells c JOIN comp USING (b)),
+    sub0 AS (SELECT b, v, CAST(COUNT(*) AS BIGINT) AS c FROM kept GROUP BY 1, 2),
+    sub AS (
+      SELECT b, v, c,
+             CAST(COALESCE(SUM(c) OVER (PARTITION BY b ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS bef
+      FROM sub0
+    ),
+    rk AS (
+      SELECT k2.tr, 2 * s.bef + s.c + 1 AS r2
+      FROM kept k2 JOIN sub s ON s.b = k2.b AND s.v = k2.v
+    ),
+    pt AS (
+      SELECT tr, CAST(SUM(r2) AS BIGINT) AS r2j,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM rk GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(MAX(nb) AS BIGINT) AS n,
+             CAST(SUM(CAST((CAST(r2j AS HUGEINT) * r2j) // 4 AS BIGINT))
+               AS BIGINT) AS srr
+      FROM pt
+    ),
+    tt AS (SELECT CAST(COALESCE(SUM(c * c * c - c), 0) AS BIGINT) AS ties
+           FROM sub0)
+    SELECT k AS k_treatments, COALESCE(n, 0) AS n_blocks,
+      CASE WHEN k > 1 AND n > 0 THEN CAST(FLOOR(
+        (12.0 * CAST(srr AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+         - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+        * 1000000) AS BIGINT) END AS q_e6,
+      CASE WHEN k > 1 AND n > 0 AND
+        (1.0 - CAST(ties AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+            * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))) > 0
+      THEN CAST(FLOOR(
+        (12.0 * CAST(srr AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+         - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+        / (1.0 - CAST(ties AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+              * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)))
+        * 1000000) AS BIGINT) END AS qc_e6
+    FROM m CROSS JOIN tt
+    """,
+    doc="Friedman test across the 5 order priorities blocked by "
+    "calendar month on order VOLUME (ops.stats.friedman_test): do "
+    "priorities keep one volume ordering month after month, or does "
+    "the ranking genuinely shuffle - the repeated-measures omnibus of "
+    "rank family (MWU 2 independent arms, Kruskal k independent, "
+    "this k MATCHED). One map-side-combined pass to (month, mode) "
+    "counts (exact BIGINT values - no float cell statistic); "
+    "incomplete months excluded with the kept-block count visible; "
+    "within-block 2x midranks on the (block, value) sub-grain; "
+    "kruskal's DECIMAL(38,0)/truncating-div route for the rank-sum "
+    "squares; tie-corrected Q_c included.",
+)
+def friedman_priority_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import friedman_test
+
+    orders = t(spark, sf_dir, "orders")
+    cells = (
+        orders.filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("ym"),
+            "o_orderpriority",
+        )
+        .agg(F.count("*").cast("long").alias("vol"))
+    )
+    return friedman_test(cells, "ym", "o_orderpriority", "vol")
+
+
+@register(
+    "isotonic_orderstatus",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS v,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ca,
+             COUNT(*) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT v, ca, c,
+             COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+             SUM(c) OVER () AS n_tot
+      FROM g
+    ),
+    bins AS MATERIALIZED (
+      SELECT CAST(bef * 10 // n_tot AS BIGINT) AS bin,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(ca) AS BIGINT) AS n_pos,
+             CAST((SUM(ca) * 1000000) // SUM(c) AS BIGINT) AS rate_micro
+      FROM r GROUP BY 1
+    ),
+    pooled AS (
+      SELECT bj.bin AS j, bl.bin AS l,
+             CAST(SUM(bm.n) AS BIGINT) AS sn,
+             CAST(SUM(bm.n_pos) AS BIGINT) AS sp
+      FROM bins bj
+      JOIN bins bl ON bj.bin <= bl.bin
+      JOIN bins bm ON bm.bin >= bj.bin AND bm.bin <= bl.bin
+      GROUP BY 1, 2
+    ),
+    m1 AS (
+      SELECT j, MIN(CAST(sp AS DOUBLE) / CAST(sn AS DOUBLE)) AS mn
+      FROM pooled GROUP BY 1
+    ),
+    iso AS (
+      SELECT bi.bin, MAX(m1.mn) AS v
+      FROM bins bi JOIN m1 ON m1.j <= bi.bin
+      GROUP BY 1
+    )
+    SELECT b.bin, b.n, b.n_pos, b.rate_micro,
+           CAST(FLOOR(iso.v * 1000000) AS BIGINT) AS iso_micro
+    FROM bins b JOIN iso ON iso.bin = b.bin
+    """,
+    doc="Isotonic (PAV) calibration curve over the "
+    "calibration_orderstatus reliability bins "
+    "(ops.stats.isotonic_calibration): the monotone rate curve "
+    "closest in weighted L2 to the observed per-bin FINISHED rates - "
+    "the calibration FIX under the diagnosis (nonparametric Platt "
+    "alternative). PAV is sequential and would not distribute; the "
+    "minimax identity iso(i) = max_{j<=i} min_{l>=j} pooled-rate(j..l) "
+    "is the closed form that does, as n_bins^2-bounded broadcast "
+    "triangular joins (<= 55 pairs) over exact BIGINT pooled sums "
+    "with ONE double division each - min/max order-independent, "
+    "floor-micro deterministic. Bin grain shared verbatim with the "
+    "calibration gate.",
+)
+def isotonic_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import isotonic_calibration
+
+    return isotonic_calibration(
+        t(spark, sf_dir, "orders"), "o_totalprice",
+        F.col("o_orderstatus") == "F", n_bins=10,
+    )

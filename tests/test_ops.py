@@ -3973,3 +3973,123 @@ def test_minhash_estimate_audit_empty_pairset(spark):
     )
     r = minhash_estimate_audit(df, "doc_id", "text").collect()[0]
     assert r["n_pairs"] == 0 and r["mean_abs_err_e6"] is None
+
+
+def test_friedman_hand_values(spark):
+    """Classic 3-treatment x 4-block table with within-block ties ->
+    Q and tie-corrected Q_c match a pure-Python midrank replica;
+    a block missing a treatment is excluded (n_blocks drops)."""
+    import math
+    from collections import Counter
+
+    from hadoop_fcfs_spark.ops.stats import friedman_test
+
+    table = {  # block -> {treatment: value}
+        1: {"a": 10.0, "b": 20.0, "c": 30.0},
+        2: {"a": 15.0, "b": 15.0, "c": 40.0},  # tie inside the block
+        3: {"a": 5.0, "b": 1.0, "c": 9.0},
+        4: {"a": 7.0, "b": 8.0, "c": 6.0},
+    }
+    rows = [(b, t_, v) for b, tv in table.items() for t_, v in tv.items()]
+    df = spark.createDataFrame(rows, "blk int, tr string, v double")
+    r = friedman_test(df, "blk", "tr", "v").collect()[0]
+    assert (r["k_treatments"], r["n_blocks"]) == (3, 4)
+
+    k, n = 3, 4
+    r2sum = {t_: 0 for t_ in "abc"}
+    ties = 0
+    for tv in table.values():
+        vals = sorted(tv.values())
+        cnt = Counter(vals)
+        ties += sum(c ** 3 - c for c in cnt.values())
+        for t_, v in tv.items():
+            before = sum(1 for x in vals if x < v)
+            c = cnt[v]
+            r2sum[t_] += 2 * before + c + 1
+    srr = sum((x * x) // 4 for x in r2sum.values())
+    q = 12.0 * srr / (n * k * (k + 1)) - 3.0 * n * (k + 1)
+    corr = 1.0 - ties / (n * k * (k * k - 1))
+    assert r["q_e6"] == math.floor(q * 1e6)
+    assert r["qc_e6"] == math.floor(q / corr * 1e6)
+
+    # drop treatment 'c' from block 4 -> block excluded entirely
+    rows2 = [x for x in rows if not (x[0] == 4 and x[1] == "c")]
+    df2 = spark.createDataFrame(rows2, "blk int, tr string, v double")
+    r2 = friedman_test(df2, "blk", "tr", "v").collect()[0]
+    assert r2["n_blocks"] == 3
+
+
+def test_friedman_degenerate(spark):
+    """Single treatment -> NULL statistics; all-tied blocks -> NULL
+    tie-corrected Q_c but a defined (negative-zero-free) Q."""
+    from hadoop_fcfs_spark.ops.stats import friedman_test
+
+    one = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0)], "blk int, tr string, v double"
+    )
+    r = friedman_test(one, "blk", "tr", "v").collect()[0]
+    assert r["k_treatments"] == 1 and r["q_e6"] is None
+
+    tied = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "b", 5.0), (2, "a", 7.0), (2, "b", 7.0)],
+        "blk int, tr string, v double",
+    )
+    rt = friedman_test(tied, "blk", "tr", "v").collect()[0]
+    assert rt["qc_e6"] is None and rt["q_e6"] is not None
+
+
+def test_isotonic_calibration_equals_pav(spark):
+    """The minimax curve equals a pure-Python pool-adjacent-violators
+    fit (weights = bin sizes) and is monotone nondecreasing; an
+    already-monotone diagram passes through unchanged."""
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import isotonic_calibration
+
+    # scores 0..79 in 4 bins of 20; positives per bin: 10, 4, 12, 18
+    # -> bins 0 and 1 violate monotonicity and must pool
+    rows = []
+    pos_per_bin = [10, 4, 12, 18]
+    for b in range(4):
+        for i in range(20):
+            rows.append((float(b * 20 + i), i < pos_per_bin[b]))
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = {r["bin"]: r for r in
+           isotonic_calibration(df, "s", "y", n_bins=4).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+
+    # pure-Python PAV on (rate, weight) per bin
+    blocks = [[p, 20] for p in pos_per_bin]  # [pos_sum, n_sum]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] * blocks[i + 1][1] > blocks[i + 1][0] * blocks[i][1]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    fit = []
+    for p, n in blocks:
+        fit += [p / n] * (n // 20)
+    assert [out[b]["iso_micro"] for b in range(4)] == [
+        math.floor(v * 1e6) for v in fit
+    ]
+    isos = [out[b]["iso_micro"] for b in range(4)]
+    assert isos == sorted(isos)
+    # pooled pair (0,1) -> 14/40 = 0.35 on both; untouched bins keep
+    # their observed rates
+    assert isos[0] == isos[1] == 350000
+    assert isos[2] == out[2]["rate_micro"] and isos[3] == out[3]["rate_micro"]
+
+
+def test_isotonic_monotone_input_is_identity(spark):
+    from hadoop_fcfs_spark.ops.stats import isotonic_calibration
+
+    rows = []
+    for b, p in enumerate([2, 8, 14, 19]):
+        for i in range(20):
+            rows.append((float(b * 20 + i), i < p))
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    for r in isotonic_calibration(df, "s", "y", n_bins=4).collect():
+        assert r["iso_micro"] == r["rate_micro"]
