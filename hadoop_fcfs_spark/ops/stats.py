@@ -2871,3 +2871,69 @@ def isotonic_calibration(
             F.floor(F.col("__iso") * 1_000_000).cast("long").alias("iso_micro"),
         )
     )
+
+
+def brown_forsythe(
+    df: DataFrame, value_col: str, group_col: str, scale: int = 100
+) -> DataFrame:
+    """Brown–Forsythe test (the robust Levene variant): do k groups
+    share one SPREAD — the variance-homogeneity screen that decides
+    between :func:`anova_oneway` (assumes equal variances) and Welch
+    pairwise follow-ups. W = the one-way ANOVA F computed on
+    z = |x − median_g| instead of x; using group MEDIANS (not means)
+    is what keeps the test honest under skew, which is the regime
+    where the question matters.
+
+    Two aggregate passes, both map-side combined, data rows never
+    shuffle (the encode-tier contract): per-group exact integer
+    medians from :func:`ops.encode.grouped_quartiles` (lower-crossing
+    convention, #groups-row summary broadcast back), then per-group
+    exact BIGINT (n, Σz, Σz²) of the quantized absolute deviations.
+    The F arithmetic is anova_oneway's identical flat double shape
+    (the only engine-ordered sum is the k-element Σ S1_g²/n_g —
+    anova's documented risk class). NULL W when k < 2, n ≤ k, or the
+    within-group deviation mass is 0 (every group constant). Output:
+    1 row (k_groups, n_rows, w_e6, df_between, df_within)."""
+    from hadoop_fcfs_spark.ops.encode import grouped_quartiles
+
+    meds = grouped_quartiles(df, group_col, value_col, scale).select(
+        F.col(group_col).alias("__mg"), "med_q"
+    )
+    q = F.floor(F.col(value_col) * scale).cast("long")
+    z = F.abs(q - F.col("med_q"))
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .join(F.broadcast(meds), F.col(group_col) == F.col("__mg"))
+        .select(F.col(group_col).alias("__g"), z.alias("__z"))
+        .groupBy("__g")
+        .agg(
+            F.count("*").cast("long").alias("__n"),
+            F.sum("__z").cast("long").alias("__s1"),
+            F.sum(F.col("__z") * F.col("__z")).cast("long").alias("__s2"),
+        )
+    )
+    m = g.agg(
+        F.count("*").cast("long").alias("__k"),
+        F.sum("__n").cast("long").alias("__nn"),
+        F.sum("__s1").cast("long").alias("__ts1"),
+        F.sum("__s2").cast("long").alias("__ts2"),
+        F.sum(
+            F.col("__s1").cast("double") * F.col("__s1").cast("double")
+            / F.col("__n").cast("double")
+        ).alias("__sgm"),
+    )
+    nn, k = F.col("__nn").cast("double"), F.col("__k").cast("double")
+    ts1, ts2 = F.col("__ts1").cast("double"), F.col("__ts2").cast("double")
+    ssb = F.col("__sgm") - ts1 * ts1 / nn
+    ssw = ts2 - F.col("__sgm")
+    w_stat = (ssb / F.nullif(k - 1.0, F.lit(0.0))) / F.nullif(
+        ssw / F.nullif(nn - k, F.lit(0.0)), F.lit(0.0)
+    )
+    ok = (F.col("__k") > 1) & (F.col("__nn") > F.col("__k")) & (ssw > 0)
+    return m.select(
+        F.col("__k").alias("k_groups"),
+        F.col("__nn").alias("n_rows"),
+        F.when(ok, F.floor(w_stat * 1_000_000).cast("long")).alias("w_e6"),
+        (F.col("__k") - 1).alias("df_between"),
+        (F.col("__nn") - F.col("__k")).alias("df_within"),
+    )

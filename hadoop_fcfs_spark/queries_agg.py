@@ -4341,3 +4341,68 @@ def isotonic_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders"), "o_totalprice",
         F.col("o_orderstatus") == "F", n_bins=10,
     )
+
+
+@register(
+    "brown_forsythe_acctbal",
+    oracle="""
+    WITH grain AS (
+      SELECT c_mktsegment AS g,
+             CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, q, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY q) AS cumc,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM grain
+    ),
+    meds AS (
+      SELECT g, MIN(CASE WHEN 2 * cumc >= n THEN q END) AS med
+      FROM cum GROUP BY 1
+    ),
+    zq AS (
+      SELECT c.c_mktsegment AS g,
+             ABS(CAST(FLOOR(c.c_acctbal * 100) AS BIGINT) - m.med) AS z
+      FROM customer c JOIN meds m ON c.c_mktsegment = m.g
+      WHERE c.c_acctbal IS NOT NULL
+    ),
+    pg AS (
+      SELECT g, COUNT(*) AS n, SUM(z) AS s1, SUM(z * z) AS s2 FROM zq GROUP BY 1
+    ),
+    m AS (
+      SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s1) AS ts1, SUM(s2) AS ts2,
+             SUM(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               AS sgm
+      FROM pg
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n_rows,
+           CASE WHEN k > 1 AND nn > k
+                 AND CAST(ts2 AS DOUBLE) - sgm > 0
+           THEN CAST(FLOOR(
+                ((sgm - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
+                    / CAST(nn AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+                / ((CAST(ts2 AS DOUBLE) - sgm)
+                   / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+                * 1000000) AS BIGINT)
+           END AS w_e6,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(nn - k AS BIGINT) AS df_within
+    FROM m
+    """,
+    doc="Brown-Forsythe variance-homogeneity test across the five "
+    "market segments on account balance (ops.stats.brown_forsythe): "
+    "the robust Levene variant - ANOVA's F computed on |x - group "
+    "MEDIAN| - which decides whether anova_acctbal_segments' "
+    "equal-variance assumption holds or Welch follow-ups are needed. "
+    "Exact integer medians from grouped_quartiles broadcast back "
+    "(data rows never shuffle), exact BIGINT deviation moments in one "
+    "map-side pass, anova's identical flat double F shape.",
+)
+def brown_forsythe_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import brown_forsythe
+
+    return brown_forsythe(
+        t(spark, sf_dir, "customer"), "c_acctbal", "c_mktsegment"
+    )

@@ -4093,3 +4093,60 @@ def test_isotonic_monotone_input_is_identity(spark):
     df = spark.createDataFrame(rows, "s double, y boolean")
     for r in isotonic_calibration(df, "s", "y", n_bins=4).collect():
         assert r["iso_micro"] == r["rate_micro"]
+
+
+def test_brown_forsythe_hand_values(spark):
+    """Two equal-spread groups -> W ~ 0-ish exact replica; one group
+    with visibly larger spread -> large W. Replica follows the exact
+    integer median (lower-crossing) + ANOVA-on-|z| arithmetic."""
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import brown_forsythe
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]
+    b = [11.0, 12.0, 13.0, 14.0, 15.0]      # same spread as a
+    c = [0.0, 10.0, 20.0, 30.0, 40.0]       # much wider
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [("c", v) for v in c]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = brown_forsythe(df, "v", "g").collect()[0]
+    assert (r["k_groups"], r["n_rows"]) == (3, 15)
+
+    def med_q(vals):  # lower-crossing on cent-quantized grain
+        q = sorted(math.floor(v * 100) for v in vals)
+        n = len(q)
+        cum = 0
+        seen = {}
+        for x in q:
+            seen[x] = seen.get(x, 0) + 1
+        c_ = 0
+        for x in sorted(seen):
+            c_ += seen[x]
+            if 2 * c_ >= n:
+                return x
+        raise AssertionError
+
+    zs = {}
+    for g, vals in (("a", a), ("b", b), ("c", c)):
+        m = med_q(vals)
+        zs[g] = [abs(math.floor(v * 100) - m) for v in vals]
+    k, nn = 3, 15
+    s1 = {g: sum(z) for g, z in zs.items()}
+    s2 = {g: sum(x * x for x in z) for g, z in zs.items()}
+    sgm = sum(s1[g] ** 2 / len(zs[g]) for g in zs)
+    ts1, ts2 = sum(s1.values()), sum(s2.values())
+    ssb = sgm - ts1 * ts1 / nn
+    ssw = ts2 - sgm
+    w = (ssb / (k - 1)) / (ssw / (nn - k))
+    assert r["w_e6"] == math.floor(w * 1e6)
+    assert r["w_e6"] > 0
+
+
+def test_brown_forsythe_degenerate(spark):
+    """All groups constant -> zero deviation mass -> NULL W."""
+    from hadoop_fcfs_spark.ops.stats import brown_forsythe
+
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 3 + [("b", 9.0)] * 3, "g string, v double"
+    )
+    r = brown_forsythe(df, "v", "g").collect()[0]
+    assert r["w_e6"] is None and r["k_groups"] == 2

@@ -579,6 +579,7 @@ def test_no_unallowed_driver_collects_static_sweep():
 
     ALLOWED = {
         ("llm/similarity.py", "kmeans_centroids"),  # k seed rows / k centroid rows
+        ("llm/similarity.py", "kmeans_lloyd_exact"),  # k seeds + k*(dim sums) per iteration, iterations bounded
         ("queries_llm.py", "ann_ivf_topk"),          # 16 fixture quantizer vectors
         ("queries_llm.py", "ann_ivf_recall"),        # 16 fixture quantizer vectors
         ("queries_llm.py", "ann_pq_adc_topk"),       # 8 codebook vectors
@@ -1204,3 +1205,28 @@ def test_kmeans_lloyd_final_pass_shape(spark):
     assert len(_distinct_exchange_ids(plan, "hashpartitioning")) == 1, plan
     assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 0, plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_friedman_cell_grain_single_data_exchange(spark):
+    """friedman_priority_volume (r7): ONE map-side-combined hash
+    exchange touches data rows (the (month, priority) cell collapse);
+    everything after is cell-grain (~months x 5 rows) — windows
+    PARTITIONED by block, no range exchange anywhere."""
+    plan = _plan(Q["friedman_priority_volume"].spark_fn(spark, SF_ORACLE))
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 0, plan
+    assert "partial_count" in plan, "cell collapse must map-side combine"
+
+
+def test_isotonic_triangular_joins_are_broadcast(spark):
+    """isotonic_orderstatus (r7): the data-sized work is
+    calibration_bins' one range pass; the PAV minimax adds ONLY
+    broadcast joins over the 10-row bin table — no sort-merge or
+    shuffled-hash join anywhere."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()  # hermetic: a prior parity run may hold the grain
+    plan = _plan(Q["isotonic_orderstatus"].spark_fn(spark, SF_ORACLE))
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    release_waypoints()
