@@ -871,6 +871,54 @@ def kmeans_lloyd_exact(
     role."""
     if k < 1 or iterations < 0:
         raise ValueError(f"need k >= 1, iterations >= 0; got {k}, {iterations}")
+    q, cents = _lloyd_quantize_fit(
+        df, k, iterations, id_col, vec_col, quantize
+    )
+    if not cents:
+        return q.sparkSession.createDataFrame(
+            [], "cell int, n long, inertia long"
+        )
+    dist_arr = _sqdist_array(cents)
+    return (
+        q.withColumn(
+            "__cell",
+            (F.array_position(dist_arr, F.array_min(dist_arr)) - 1).cast("int"),
+        )
+        .withColumn("__d", F.array_min(dist_arr))
+        .groupBy(F.col("__cell").alias("cell"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("__d").cast("long").alias("inertia"),
+        )
+    )
+
+
+def _sqdist_array(cents: list[list[int]]) -> Column:
+    """Array of exact-BIGINT squared L2 distances from __q to each
+    centroid literal — the codegen-compiled broadcast-by-literal form
+    (argmin via array_position of array_min, lowest cell wins ties)."""
+    def _sqdist(c: list[int]):
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("__q"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return F.array(*[_sqdist(c) for c in cents])
+
+
+def _lloyd_quantize_fit(
+    df: DataFrame,
+    k: int,
+    iterations: int,
+    id_col: str,
+    vec_col: str,
+    quantize: int,
+):
+    """Shared exact-Lloyd fit (see kmeans_lloyd_exact for semantics):
+    returns the checkpointed quantized corpus and the final integer
+    centroids. k·dim driver ints per iteration, one data pass each."""
     q = df.select(
         F.col(id_col).alias("__id"),
         F.transform(
@@ -882,32 +930,19 @@ def kmeans_lloyd_exact(
     seeds = q.orderBy("__id").limit(k).collect()
     cents: list[list[int]] = [list(r["__q"]) for r in seeds]
     if not cents:
-        return q.sparkSession.createDataFrame(
-            [], "cell int, n long, inertia long"
-        )
+        return q, cents
     dim = len(cents[0])
-
-    def _sqdist(c: list[int]):
-        arr = F.array(*[F.lit(int(x)).cast("long") for x in c])
-        return F.aggregate(
-            F.zip_with(F.col("__q"), arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    def _assign(frame):
-        dist_arr = F.array(*[_sqdist(c) for c in cents])
-        return frame.withColumn(
-            "__cell",
-            (F.array_position(dist_arr, F.array_min(dist_arr)) - 1).cast("int"),
-        ).withColumn("__d", F.array_min(dist_arr))
 
     def _tdiv(a: int, b: int) -> int:
         # truncate toward zero (DuckDB //, Spark div); Python // floors
         return abs(a) // b if a >= 0 else -(abs(a) // b)
 
     for _ in range(iterations):
-        assigned = _assign(q)
+        dist_arr = _sqdist_array(cents)
+        assigned = q.withColumn(
+            "__cell",
+            (F.array_position(dist_arr, F.array_min(dist_arr)) - 1).cast("int"),
+        )
         sums = [
             F.sum(F.col("__q")[d]).cast("long").alias(f"s{d}")
             for d in range(dim)
@@ -923,12 +958,75 @@ def kmeans_lloyd_exact(
                 _tdiv(r[f"s{d}"], r["cnt"]) for d in range(dim)
             ]
         cents = new
+    return q, cents
 
+
+def kmeans_silhouette(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1000,
+) -> DataFrame:
+    """Per-cell simplified silhouette of the exact-Lloyd clustering —
+    the quality loop over :func:`kmeans_lloyd_exact` (inertia says how
+    tight cells are; silhouette says whether points sit closer to
+    their OWN centroid than to the runner-up — the number that says
+    "k is wrong" or "two cells should merge" before a curation step
+    trusts the cells). Simplified silhouette (Hruschka et al. 2004)
+    measures against CENTROIDS, not all points — the O(n·k) variant
+    that scales; this implementation further uses SQUARED distances
+    so every per-point score is exact integer arithmetic:
+    s = (b₂ − a₂)·10⁶ div max(a₂, b₂) with a₂ = own-centroid sqdist
+    (the argmin), b₂ = runner-up sqdist (array_sort[1] — equal-
+    distance ties give s = 0, honestly ambiguous). Cell rollup is
+    Σs div n — exact BIGINT end to end, no double ever aggregated
+    across rows.
+
+    Same scale shape as the fit: ONE extra data pass with centroid
+    literals; rollup map-side combined. Output: (cell, n,
+    mean_sil_micro) per non-empty cell; since assignment IS the
+    argmin, per-point scores live in [0, 10⁶] — values near 0 mean
+    boundary points (the runner-up centroid is about as close), the
+    merge-these-cells signal."""
+    q, cents = _lloyd_quantize_fit(
+        df, k, iterations, id_col, vec_col, quantize
+    )
+    if not cents:
+        return q.sparkSession.createDataFrame(
+            [], "cell int, n long, mean_sil_micro long"
+        )
+    if len(cents) < 2:
+        raise ValueError("silhouette needs k >= 2 cells")
+    dist_arr = _sqdist_array(cents)
+    scored = (
+        q.withColumn("__da", dist_arr)
+        .withColumn(
+            "__cell",
+            (F.array_position(F.col("__da"), F.array_min("__da")) - 1).cast("int"),
+        )
+        .withColumn("__sorted", F.array_sort("__da"))
+        .selectExpr(
+            "__cell",
+            "__sorted[0] AS __a2",
+            "__sorted[1] AS __b2",
+        )
+        .selectExpr(
+            "__cell",
+            "CASE WHEN GREATEST(__a2, __b2) > 0 THEN"
+            " (__b2 - __a2) * 1000000 div GREATEST(__a2, __b2)"
+            " ELSE CAST(0 AS BIGINT) END AS __s",
+        )
+    )
     return (
-        _assign(q)
-        .groupBy(F.col("__cell").alias("cell"))
+        scored.groupBy(F.col("__cell").alias("cell"))
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.sum("__d").cast("long").alias("inertia"),
+            F.sum("__s").cast("long").alias("__ssum"),
+        )
+        .selectExpr(
+            "cell", "n",
+            "CAST(__ssum div n AS BIGINT) AS mean_sil_micro",
         )
     )

@@ -4406,3 +4406,91 @@ def brown_forsythe_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brown_forsythe(
         t(spark, sf_dir, "customer"), "c_acctbal", "c_mktsegment"
     )
+
+
+@register(
+    "auc_delong_orderstatus",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS v,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+               AS BIGINT) AS cb
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT ca, cb,
+             SUM(ca) OVER (ORDER BY v) AS cuma,
+             SUM(cb) OVER (ORDER BY v) AS cumb,
+             SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+      FROM g
+    ),
+    q AS (
+      SELECT ca, cb, na, nb,
+             2 * (cumb - cb) + cb AS qp,
+             2 * (na - cuma) + ca AS qn
+      FROM r
+    ),
+    m AS (
+      SELECT CAST(MAX(na) AS BIGINT) AS n_pos, CAST(MAX(nb) AS BIGINT) AS n_neg,
+             CAST(SUM(ca * qp) AS BIGINT) AS sp1,
+             CAST(SUM(cb * qn) AS BIGINT) AS sn1,
+             SUM(CAST(ca AS HUGEINT) * qp * qp) AS sp2,
+             SUM(CAST(cb AS HUGEINT) * qn * qn) AS sn2
+      FROM q
+    ),
+    s AS (
+      SELECT n_pos, n_neg, sp1,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          CAST((sp1 * 1000000) // (2 * n_pos * n_neg) AS BIGINT)
+        END AS auc_micro,
+        CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+          SQRT(
+            ((CAST(sp2 AS DOUBLE)
+              - CAST(sp1 AS DOUBLE) * CAST(sp1 AS DOUBLE)
+                / CAST(n_pos AS DOUBLE))
+             / (CAST(n_pos AS DOUBLE) - 1.0)
+             / (4.0 * CAST(n_neg AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+            / CAST(n_pos AS DOUBLE)
+            + ((CAST(sn2 AS DOUBLE)
+              - CAST(sn1 AS DOUBLE) * CAST(sn1 AS DOUBLE)
+                / CAST(n_neg AS DOUBLE))
+             / (CAST(n_neg AS DOUBLE) - 1.0)
+             / (4.0 * CAST(n_pos AS DOUBLE) * CAST(n_pos AS DOUBLE)))
+            / CAST(n_neg AS DOUBLE))
+        END AS se
+      FROM m
+    )
+    SELECT n_pos, n_neg, auc_micro,
+      CASE WHEN se IS NOT NULL THEN
+        CAST(FLOOR(se * 1000000000) AS BIGINT) END AS se_e9,
+      CASE WHEN se IS NOT NULL THEN CAST(FLOOR(
+        GREATEST(0.0, CAST(sp1 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE)
+          * CAST(n_neg AS DOUBLE)) - 1.96 * se) * 1000000) AS BIGINT)
+      END AS ci_lo_e6,
+      CASE WHEN se IS NOT NULL THEN CAST(FLOOR(
+        LEAST(1.0, CAST(sp1 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE)
+          * CAST(n_neg AS DOUBLE)) + 1.96 * se) * 1000000) AS BIGINT)
+      END AS ci_hi_e6
+    FROM s
+    """,
+    doc="ROC-AUC with DeLong standard error and 95% CI "
+    "(ops.stats.roc_auc_delong) on the roc_auc_orderstatus fixture: "
+    "a point AUC cannot say whether 0.71 beats 0.69 - DeLong 1988 is "
+    "the standard nonparametric AUC variance, from per-class "
+    "placement values. Same grain collapse + one exclusive-prefix "
+    "range pass; placements carried as exact 2x numerators per grain "
+    "row, Sum(w*q) BIGINT and Sum(w*q^2) through DECIMAL(38,0)/"
+    "HUGEINT (the kruskal route); variance/SE/CI flat double "
+    "expressions with one sqrt (wilson contract), CI clamped [0,1].",
+)
+def auc_delong_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import roc_auc_delong
+
+    return roc_auc_delong(
+        t(spark, sf_dir, "orders"), "o_totalprice",
+        F.col("o_orderstatus") == "F",
+    )

@@ -4416,13 +4416,15 @@ def cochran_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cochran_q(trip, ["ca", "cb", "cc"])
 
 
-def _kmeans_oracle(k: int, iterations: int, quantize: int) -> str:
-    """Unrolled MATERIALIZED Lloyd oracle (the bradley_terry /
-    embedding_top_pc iterative-oracle pattern): c0 = k lowest-id
-    quantized vectors; per step assign by exact integer sqdist argmin
-    (ties -> lowest cell) and recompute centroids as truncating //
-    of exact dimension sums, emptied cells keeping their previous
-    centroid; final assignment pass -> (cell, n, inertia)."""
+def _kmeans_ctes(k: int, iterations: int, quantize: int) -> str:
+    """Unrolled MATERIALIZED Lloyd CTE chain (the bradley_terry /
+    embedding_top_pc iterative-oracle pattern), SHARED by the kmeans
+    gates so the fit replays cannot drift: c0 = k lowest-id quantized
+    vectors; per step assign by exact integer sqdist argmin (ties ->
+    lowest cell) and recompute centroids as truncating // of exact
+    dimension sums, emptied cells keeping their previous centroid;
+    ends at af (all (vec_id, cell, d) under the final centroids) and
+    bf (the rn=1 assigned rows with their d)."""
     parts = [f"""
     q AS (
       SELECT vec_id,
@@ -4475,8 +4477,12 @@ def _kmeans_oracle(k: int, iterations: int, quantize: int) -> str:
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
         FROM af) t WHERE rn = 1
     )""")
+    return "WITH " + ",".join(parts)
+
+
+def _kmeans_oracle(k: int, iterations: int, quantize: int) -> str:
     return (
-        "WITH " + ",".join(parts)
+        _kmeans_ctes(k, iterations, quantize)
         + """
     SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(d) AS BIGINT) AS inertia
@@ -4581,3 +4587,45 @@ def minhash_estimate_audit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_estimate_audit(
         docs, "doc_id", "text", n=3, num_hashes=32, min_jaccard_micro=300_000
     )
+
+
+@register(
+    "kmeans_silhouette_cells",
+    oracle=_kmeans_ctes(k=8, iterations=2, quantize=1000)
+    + """,
+    b2 AS (
+      SELECT a.vec_id, MIN(a.d) AS b2
+      FROM af a JOIN bf ON bf.vec_id = a.vec_id
+      WHERE a.cell <> bf.cell
+      GROUP BY 1
+    ),
+    sil AS (
+      SELECT bf.cell,
+             CASE WHEN GREATEST(bf.d, b2.b2) > 0 THEN
+               (b2.b2 - bf.d) * 1000000 // GREATEST(bf.d, b2.b2)
+             ELSE CAST(0 AS BIGINT) END AS s
+      FROM bf JOIN b2 USING (vec_id)
+    )
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(s) AS BIGINT) // COUNT(*) AS BIGINT)
+             AS mean_sil_micro
+    FROM sil GROUP BY 1
+    """,
+    doc="Per-cell simplified silhouette of the exact-Lloyd clustering "
+    "(llm.similarity.kmeans_silhouette, same k=8 / 2-iteration / "
+    "milli-quantized fit as kmeans_embedding_cells via the SHARED "
+    "_kmeans_ctes replay): inertia says how tight cells are; this "
+    "says whether points sit closer to their own centroid than the "
+    "runner-up - the is-k-wrong / merge-these-cells QA under any "
+    "curation step that trusts the cells (semdedup, IVF). Squared-"
+    "distance simplified silhouette keeps every per-point score "
+    "exact: s = (b2 - a2)*1e6 div max(a2, b2) on BIGINT sqdists "
+    "(argmin own, array_sort runner-up; equal-distance ties give 0), "
+    "cell mean = sum div n - no double ever aggregated across rows. "
+    "One extra data pass over the checkpointed quantized corpus.",
+)
+def kmeans_silhouette_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import kmeans_silhouette
+
+    emb = t(spark, sf_dir, "embeddings")
+    return kmeans_silhouette(emb, k=8, iterations=2, quantize=1000)

@@ -4150,3 +4150,103 @@ def test_brown_forsythe_degenerate(spark):
     )
     r = brown_forsythe(df, "v", "g").collect()[0]
     assert r["w_e6"] is None and r["k_groups"] == 2
+
+
+def test_roc_auc_delong_pure_python_replica(spark):
+    """Random scores with ties: auc, SE, and CI equal a pure-Python
+    DeLong replica (placement values, sample variances); AUC matches
+    roc_auc; degenerate single-member class -> NULL SE but exact AUC."""
+    import math
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import roc_auc, roc_auc_delong
+
+    rng = random.Random(23)
+    rows = [(float(rng.randint(0, 30)), rng.random() < 0.4)
+            for _ in range(200)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    r = roc_auc_delong(df, "s", "y").collect()[0]
+    base = roc_auc(df, "s", "y").collect()[0]
+    assert r["auc_micro"] == base["auc_micro"]
+
+    pos = sorted(s for s, y in rows if y)
+    neg = sorted(s for s, y in rows if not y)
+    npos, nneg = len(pos), len(neg)
+
+    def placements(own, other):
+        out = []
+        for s in own:
+            below = sum(1 for x in other if x < s)
+            ties = sum(1 for x in other if x == s)
+            out.append((2 * below + ties))
+        return out
+
+    qp = placements(pos, neg)     # 2x scale, /(2*nneg) is the value
+    qn = [2 * sum(1 for x in pos if x > s) + sum(1 for x in pos if x == s)
+          for s in neg]
+    sp1, sp2 = sum(qp), sum(x * x for x in qp)
+    sn1, sn2 = sum(qn), sum(x * x for x in qn)
+    s10 = (sp2 - sp1 * sp1 / npos) / (npos - 1) / (4 * nneg * nneg)
+    s01 = (sn2 - sn1 * sn1 / nneg) / (nneg - 1) / (4 * npos * npos)
+    se = math.sqrt(s10 / npos + s01 / nneg)
+    auc = sp1 / (2 * npos * nneg)
+    assert r["se_e9"] == math.floor(se * 1e9)
+    assert r["ci_lo_e6"] == math.floor(max(0.0, auc - 1.96 * se) * 1e6)
+    assert r["ci_hi_e6"] == math.floor(min(1.0, auc + 1.96 * se) * 1e6)
+
+    tiny = spark.createDataFrame(
+        [(1.0, True), (2.0, False), (3.0, False)], "s double, y boolean"
+    )
+    rt = roc_auc_delong(tiny, "s", "y").collect()[0]
+    assert rt["auc_micro"] is not None and rt["se_e9"] is None
+
+
+def test_kmeans_silhouette_replica_and_separation(spark):
+    """Silhouette equals a pure-numpy replica of the same integer
+    algorithm; two well-separated blobs at k=2 score near 1e6, and a
+    single blob split at k=2 scores visibly lower."""
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.similarity import kmeans_silhouette
+
+    rng = np.random.RandomState(3)
+    blobs = np.concatenate([rng.randn(20, 4) + 8.0, rng.randn(20, 4) - 8.0])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(blobs)],
+        "vec_id int, embedding array<double>",
+    )
+    out = {r["cell"]: r for r in
+           kmeans_silhouette(df, k=2, iterations=2).collect()}
+
+    # replica: same quantize -> fit -> squared simplified silhouette
+    q = np.floor(blobs * 1000).astype(np.int64)
+    cents = [q[0].copy(), q[1].copy()]
+    for _ in range(2):
+        d = np.array([((q - c) ** 2).sum(axis=1) for c in cents])
+        cell = d.argmin(axis=0)
+        for c in range(2):
+            m = q[cell == c]
+            if len(m):
+                s = m.sum(axis=0)
+                cents[c] = np.where(
+                    s >= 0, np.abs(s) // len(m), -(np.abs(s) // len(m))
+                )
+    d = np.array([((q - c) ** 2).sum(axis=1) for c in cents])
+    a2 = d.min(axis=0)
+    cell = d.argmin(axis=0)
+    b2 = np.sort(d, axis=0)[1]
+    mx = np.maximum(a2, b2)
+    s = np.where(mx > 0, (b2 - a2) * 1_000_000 // mx, 0)
+    for c in set(cell):
+        members = s[cell == c]
+        assert out[c]["n"] == len(members)
+        assert out[c]["mean_sil_micro"] == int(members.sum()) // len(members)
+    assert all(r["mean_sil_micro"] > 900_000 for r in out.values())
+
+    one_blob = rng.randn(40, 4)
+    df1 = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(one_blob)],
+        "vec_id int, embedding array<double>",
+    )
+    low = kmeans_silhouette(df1, k=2, iterations=2).collect()
+    assert all(r["mean_sil_micro"] < 900_000 for r in low)
