@@ -276,3 +276,50 @@ def t_closeness_audit(
             " ELSE 0.0 END AS t_emd_r6",
         )
     )
+
+
+def fd_violations(
+    df: DataFrame, lhs_cols: list[str], rhs_col: str
+) -> DataFrame:
+    """Functional-dependency audit: how far is the data from
+    satisfying LHS → RHS — the g3-style violation count (minimum rows
+    to delete so every LHS value maps to ONE RHS value:
+    Σ_x (n_x − max_y n_xy)), the profiling check under every "this
+    column should be derivable" assumption (a natural key that isn't,
+    a denormalized dim gone stale, a scraped field that drifted).
+    Complements check_unique (exact-key uniqueness) and
+    check_foreign_key (containment): this measures DETERMINATION.
+
+    One map-side-combined pass to the (LHS, RHS) grain; per-LHS max
+    and sum re-aggregate the grain (never the data); all counts exact
+    BIGINT with one flooring micro division. NULL LHS rows are
+    excluded (no determination claim without a key); NULL RHS counts
+    as a value (a key mapping to both NULL and 'x' IS a violation).
+    Output: 1 row (n_rows, n_keys, n_violating_keys, n_violations,
+    violation_micro)."""
+    if not lhs_cols:
+        raise ValueError("fd_violations needs at least one LHS column")
+    keep = df
+    for c in lhs_cols:
+        keep = keep.filter(F.col(c).isNotNull())
+    grain = keep.groupBy(
+        *[F.col(c) for c in lhs_cols],
+        F.col(rhs_col).alias("__y"),
+    ).agg(F.count("*").cast("long").alias("__nxy"))
+    per_key = grain.groupBy(*[F.col(c) for c in lhs_cols]).agg(
+        F.sum("__nxy").cast("long").alias("__nx"),
+        F.max("__nxy").cast("long").alias("__mx"),
+    )
+    return per_key.agg(
+        F.sum("__nx").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("__nx") > F.col("__mx"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_keys"),
+        F.sum(F.col("__nx") - F.col("__mx")).cast("long").alias("n_violations"),
+    ).selectExpr(
+        "n_rows", "n_keys", "n_violating_keys", "n_violations",
+        "CASE WHEN n_rows > 0 THEN"
+        " CAST(n_violations * 1000000 div n_rows AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS violation_micro",
+    )

@@ -4629,3 +4629,46 @@ def kmeans_silhouette_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return kmeans_silhouette(emb, k=8, iterations=2, quantize=1000)
+
+
+@register(
+    "fd_source_lang",
+    oracle="""
+    WITH grain AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nxy
+      FROM documents WHERE source IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    per_key AS (
+      SELECT source, CAST(SUM(nxy) AS BIGINT) AS nx,
+             CAST(MAX(nxy) AS BIGINT) AS mx
+      FROM grain GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(SUM(nx) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN nx > mx THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_keys,
+             CAST(SUM(nx - mx) AS BIGINT) AS n_violations
+      FROM per_key
+    )
+    SELECT n_rows, n_keys, n_violating_keys, n_violations,
+           CASE WHEN n_rows > 0 THEN
+             CAST(n_violations * 1000000 // n_rows AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS violation_micro
+    FROM m
+    """,
+    doc="Functional-dependency audit source -> lang "
+    "(ops.validate.fd_violations): the g3 violation count - minimum "
+    "rows to delete so every source maps to ONE language (here "
+    "deliberately violated: every source mixes languages, so the gate "
+    "exercises nonzero violations). The profiling check under every "
+    "'this column should be derivable' assumption; complements "
+    "check_unique (uniqueness) and check_foreign_key (containment) "
+    "with DETERMINATION. One (source, lang) grain pass, per-key "
+    "max/sum re-aggregation, exact BIGINT + one micro division.",
+)
+def fd_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.validate import fd_violations
+
+    return fd_violations(t(spark, sf_dir, "documents"), ["source"], "lang")

@@ -4250,3 +4250,29 @@ def test_kmeans_silhouette_replica_and_separation(spark):
     )
     low = kmeans_silhouette(df1, k=2, iterations=2).collect()
     assert all(r["mean_sil_micro"] < 900_000 for r in low)
+
+
+def test_fd_violations_hand_values(spark):
+    """key a: 3x'x' + 1x'y' -> 1 violation; key b: clean -> 0;
+    NULL LHS rows excluded; NULL RHS is a value (violates)."""
+    import pytest
+
+    from hadoop_fcfs_spark.ops.validate import fd_violations
+
+    rows = [("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+            ("b", "z"), ("b", "z"), (None, "q"), ("c", None), ("c", "w")]
+    df = spark.createDataFrame(rows, "k string, v string")
+    r = fd_violations(df, ["k"], "v").collect()[0]
+    assert r["n_rows"] == 8          # the NULL-key row is out
+    assert r["n_keys"] == 3
+    assert r["n_violating_keys"] == 2  # a (x vs y) and c (NULL vs w)
+    assert r["n_violations"] == 2      # drop 1 from a, 1 from c
+    assert r["violation_micro"] == 2 * 1_000_000 // 8
+
+    clean = fd_violations(
+        df.filter("k = 'b'"), ["k"], "v"
+    ).collect()[0]
+    assert clean["n_violations"] == 0 and clean["violation_micro"] == 0
+
+    with pytest.raises(ValueError):
+        fd_violations(df, [], "v")
