@@ -75,8 +75,8 @@ HEADLINE = [
     # lineage/caching regressions. bradley_terry collapses the
     # comparison log ONCE then iterates on supplier-grain state.
     "bradley_terry_suppliers",
-    # r7: the driver-state iterative shape (centroid literals compiled
-    # into codegen + one data pass per round + k*dim driver ints) —
+    # r7: the driver-state iterative shape (broadcast centroid row +
+    # one data pass per round + k*dim driver ints) —
     # complements bradley_terry's node-state-JOIN iteration; this is
     # the broadcast-by-literal iteration every index build (IVF,
     # semdedup quantizers) rides, previously unrepresented.

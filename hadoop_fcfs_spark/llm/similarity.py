@@ -854,11 +854,13 @@ def kmeans_lloyd_exact(
     exact BIGINT sum of member squared distances.
 
     Scale shape (the kmeans_centroids contract, kept): per iteration
-    ONE data pass — centroid literals compile into codegen (broadcast-
-    by-literal, the _assign_to_centroid array-argmin form), the
-    per-(cell, dim) update is a map-side-combined groupBy producing
-    k·dim integers, and the driver holds only k·dim ints per round
-    (bounded round trips ∝ iterations, the BPE-merges discipline).
+    ONE data pass — centroids ride a 1-row broadcast array column
+    (NOT k·dim literals: literal trees re-pay ~seconds of Catalyst
+    planning every iteration, measured; the broadcast keeps the plan
+    text iteration-invariant), the update is a dimension-sharded
+    (cell, dim) aggregation producing k·dim integers, and the driver
+    holds only k·dim ints per round (bounded round trips ∝
+    iterations, the BPE-merges discipline).
     Nothing data-sized shuffles; no window anywhere. Integer bounds
     (ANSI throws): per-row distance d·(2·q·max|x|)² < 2⁶³ and
     dimension sums n·q·max|x| < 2⁶³ — comfortable at any corpus that
@@ -867,8 +869,8 @@ def kmeans_lloyd_exact(
     Reference parity: the reference's iterative-driver idiom (chained
     MapReduce jobs reusing DistributedCache for model state, e.g.
     hadoop-mapreduce-examples' iterative pi/pentomino drivers) is this
-    loop's ancestor; centroid literals play the DistributedCache
-    role."""
+    loop's ancestor; the broadcast centroid row plays the
+    DistributedCache role."""
     if k < 1 or iterations < 0:
         raise ValueError(f"need k >= 1, iterations >= 0; got {k}, {iterations}")
     q, cents = _lloyd_quantize_fit(
@@ -878,13 +880,13 @@ def kmeans_lloyd_exact(
         return q.sparkSession.createDataFrame(
             [], "cell int, n long, inertia long"
         )
-    dist_arr = _sqdist_array(cents)
     return (
-        q.withColumn(
+        _with_dist_array(q, cents)
+        .withColumn(
             "__cell",
-            (F.array_position(dist_arr, F.array_min(dist_arr)) - 1).cast("int"),
+            (F.array_position(F.col("__da"), F.array_min("__da")) - 1).cast("int"),
         )
-        .withColumn("__d", F.array_min(dist_arr))
+        .withColumn("__d", F.array_min("__da"))
         .groupBy(F.col("__cell").alias("cell"))
         .agg(
             F.count("*").cast("long").alias("n"),
@@ -893,19 +895,34 @@ def kmeans_lloyd_exact(
     )
 
 
-def _sqdist_array(cents: list[list[int]]) -> Column:
-    """Array of exact-BIGINT squared L2 distances from __q to each
-    centroid literal — the codegen-compiled broadcast-by-literal form
-    (argmin via array_position of array_min, lowest cell wins ties)."""
-    def _sqdist(c: list[int]):
-        arr = F.array(*[F.lit(int(x)).cast("long") for x in c])
-        return F.aggregate(
-            F.zip_with(F.col("__q"), arr, lambda a, b: (a - b) * (a - b)),
+def _with_dist_array(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Attach __da = array of exact-BIGINT squared L2 distances from
+    __q to each centroid (argmin = array_position of array_min,
+    lowest cell wins ties). Centroids ride a 1-ROW BROADCAST as an
+    array<array<bigint>> column, NOT as literals: with k·dim literal
+    expressions the Catalyst tree is rebuilt and re-codegen'd every
+    iteration (measured: ~2-4 s of pure planning per pass at k=8,
+    dim=64 — data-size-independent but paid per round); with the
+    broadcast the expression is ONE transform lambda whose generated
+    code is identical across iterations, only the broadcast DATA
+    changes. Still zero shuffle of the corpus — the
+    broadcast-nested-loop join moves k·dim ints."""
+    spark = q.sparkSession
+    centrow = spark.createDataFrame(
+        [([list(int(x) for x in c) for c in cents],)],
+        "__cents array<array<bigint>>",
+    )
+    sq = F.transform(
+        F.col("__cents"),
+        lambda c: F.aggregate(
+            F.zip_with(F.col("__q"), c, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
-        )
-
-    return F.array(*[_sqdist(c) for c in cents])
+        ),
+    )
+    return q.crossJoin(F.broadcast(centrow)).withColumn("__da", sq).drop(
+        "__cents"
+    )
 
 
 def _lloyd_quantize_fit(
@@ -931,32 +948,32 @@ def _lloyd_quantize_fit(
     cents: list[list[int]] = [list(r["__q"]) for r in seeds]
     if not cents:
         return q, cents
-    dim = len(cents[0])
 
     def _tdiv(a: int, b: int) -> int:
         # truncate toward zero (DuckDB //, Spark div); Python // floors
         return abs(a) // b if a >= 0 else -(abs(a) // b)
 
     for _ in range(iterations):
-        dist_arr = _sqdist_array(cents)
-        assigned = q.withColumn(
+        assigned = _with_dist_array(q, cents).withColumn(
             "__cell",
-            (F.array_position(dist_arr, F.array_min(dist_arr)) - 1).cast("int"),
+            (F.array_position(F.col("__da"), F.array_min("__da")) - 1).cast("int"),
         )
-        sums = [
-            F.sum(F.col("__q")[d]).cast("long").alias(f"s{d}")
-            for d in range(dim)
-        ]
+        # dimension-sharded update (the label_centroids idiom): k·dim
+        # summary rows instead of a dim-wide aggregate — the plan stays
+        # small and identical across iterations, and no single task
+        # ever reduces more than one (cell, dim) stripe
         rows = (
-            assigned.groupBy("__cell")
-            .agg(F.count("*").cast("long").alias("cnt"), *sums)
+            assigned.select("__cell", F.posexplode("__q").alias("__pos", "__v"))
+            .groupBy("__cell", "__pos")
+            .agg(
+                F.sum("__v").cast("long").alias("__s"),
+                F.count("*").cast("long").alias("__cnt"),
+            )
             .collect()
         )
-        new = list(cents)
+        new = [list(c) for c in cents]
         for r in rows:
-            new[r["__cell"]] = [
-                _tdiv(r[f"s{d}"], r["cnt"]) for d in range(dim)
-            ]
+            new[r["__cell"]][r["__pos"]] = _tdiv(r["__s"], r["__cnt"])
         cents = new
     return q, cents
 
@@ -999,9 +1016,8 @@ def kmeans_silhouette(
         )
     if len(cents) < 2:
         raise ValueError("silhouette needs k >= 2 cells")
-    dist_arr = _sqdist_array(cents)
     scored = (
-        q.withColumn("__da", dist_arr)
+        _with_dist_array(q, cents)
         .withColumn(
             "__cell",
             (F.array_position(F.col("__da"), F.array_min("__da")) - 1).cast("int"),

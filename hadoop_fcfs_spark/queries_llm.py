@@ -4504,8 +4504,8 @@ def _kmeans_oracle(k: int, iterations: int, quantize: int) -> str:
     "integer division of exact dimension sums (DuckDB // truncates "
     "toward zero, Python // floors - measured, so the driver-side "
     "update divides via abs; emptied cells keep their centroid). Per "
-    "iteration ONE data pass with centroid literals compiled into "
-    "codegen and a map-side-combined k*dim update; driver holds k*dim "
+    "iteration ONE data pass with centroids on a 1-row broadcast "
+    "array column and a dimension-sharded (cell,dim) update; driver holds k*dim "
     "ints (bounded round trips, the BPE-merges discipline). Output "
     "(cell, n, inertia) per non-empty cell, inertia exact BIGINT.",
 )

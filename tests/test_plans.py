@@ -1196,12 +1196,16 @@ def test_auc_by_segment_partitioned_window_no_global_sort(spark):
 def test_kmeans_lloyd_final_pass_shape(spark):
     """kmeans_embedding_cells (r7): the returned plan is ONE map-side-
     combined hash aggregation over the localCheckpointed quantized
-    corpus with centroid literals compiled in — no join, no range
-    exchange, exactly one hash exchange (iteration state lives on the
-    driver as k*dim ints, the kmeans_centroids contract)."""
+    corpus, with centroids riding a 1-ROW BroadcastNestedLoopJoin
+    (array-of-arrays column, NOT k*dim literals — literal trees cost
+    ~2-4 s of Catalyst planning per iteration, measured). The corpus
+    itself never shuffles: no shuffled join, no range exchange,
+    exactly one hash exchange (the cell rollup); iteration state lives
+    on the driver as k*dim ints (the kmeans_centroids contract)."""
     plan = _plan(Q["kmeans_embedding_cells"].spark_fn(spark, SF_ORACLE))
     assert "ExistingRDD" in plan, plan
-    assert "Join" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert len(_distinct_exchange_ids(plan, "hashpartitioning")) == 1, plan
     assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 0, plan
     assert "partial_count" in plan or "partial_sum" in plan
