@@ -3039,3 +3039,129 @@ def roc_auc_delong(
         f"LEAST(1.0, __aucd + {z} * __se) * 1000000) AS BIGINT)"
         " END AS ci_hi_e6",
     )
+
+
+def jonckheere_terpstra(
+    df: DataFrame, value_col: str, group_col: str, order: list
+) -> DataFrame:
+    """Jonckheere–Terpstra trend test: do the groups, taken in the
+    GIVEN order, shift stochastically upward — the ordered-alternative
+    sibling of :func:`kruskal_wallis` (KW asks "any difference"; JT
+    asks "a monotone difference", with far more power when the
+    ordering is the hypothesis: does price rise with priority tier,
+    quality with source rank, latency with retry count). JT =
+    Σ_{g<h} U_gh (pairwise Mann–Whitney counts over ordered group
+    pairs), carried as exact 2x BIGINTs (2·#(x_g<x_h) + #ties); z
+    uses the TIE-CORRECTED variance (Hollander–Wolfe 6.19 three-term
+    form) built entirely from exact group-size and tie-group moments.
+
+    Scale shape: one map-side-combined pass to the (group, value)
+    grain; the grain expands ×(k−1) against a broadcast ordered-pair
+    table (k ≤ dozens — this is an ordered-CATEGORY test) so each
+    grain row deposits its count under every HIGHER group; per-h
+    prefix over values runs through ops.sort.chunked_running_sum
+    (floor(v)-bucket chunks — no single-task window even when one
+    pair dominates). Values must be numeric (the chunking key).
+    NULL z when k < 2 or the variance is 0. Output: 1 row
+    (k_groups, n_rows, jt2, z_e6).
+
+    Integer bounds (ANSI throws): jt2 < N² needs N < ~3e9; the
+    variance terms use Σn³ and Σt³ (the MWU tie bound per group /
+    tie block)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import chunked_running_sum
+
+    k = len(order)
+    if k < 2:
+        raise ValueError(f"need >= 2 ordered groups, got {k}")
+    if len(set(order)) != k:
+        raise ValueError("order contains duplicate group labels")
+    spark = df.sparkSession
+    idx = spark.createDataFrame(
+        [(g, i) for i, g in enumerate(order)], ["__glabel", "__gi"]
+    )
+    gvg = waypoint(
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isin(order))
+        .join(F.broadcast(idx), F.col(group_col) == F.col("__glabel"))
+        .groupBy(F.col("__gi"), F.col(value_col).alias("__v"))
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    pairs = spark.createDataFrame(
+        [(g, h) for g in range(k) for h in range(k) if g < h],
+        ["__lo", "__h"],
+    )
+    lower = (
+        gvg.join(F.broadcast(pairs), gvg["__gi"] == F.col("__lo"))
+        .select("__v", "__h", F.col("__c").alias("__lc"),
+                F.lit(0).cast("long").alias("__hc"))
+    )
+    own = gvg.select(
+        "__v", F.col("__gi").alias("__h"),
+        F.lit(0).cast("long").alias("__lc"), F.col("__c").alias("__hc"),
+    )
+    lattice = (
+        lower.unionByName(own)
+        .groupBy("__v", "__h")
+        .agg(
+            F.sum("__lc").cast("long").alias("__L"),
+            F.sum("__hc").cast("long").alias("__C"),
+        )
+    )
+    cum = chunked_running_sum(
+        lattice, ["__h"],
+        F.shiftright(F.floor(F.col("__v")).cast("long"), 8),
+        ["__v"], "__L", out_col="__cumL",
+    )
+    jt = cum.filter(F.col("__C") > 0).agg(
+        F.sum(
+            F.col("__C") * (2 * (F.col("__cumL") - F.col("__L")) + F.col("__L"))
+        ).cast("long").alias("jt2")
+    )
+    sizes = gvg.groupBy("__gi").agg(F.sum("__c").cast("long").alias("__n"))
+    gm = sizes.agg(
+        F.count("*").cast("long").alias("__k"),
+        F.sum("__n").cast("long").alias("__nn"),
+        F.sum(F.col("__n") * (F.col("__n") - 1) * (2 * F.col("__n") + 5))
+        .cast("long").alias("__g1"),
+        F.sum(F.col("__n") * (F.col("__n") - 1) * (F.col("__n") - 2))
+        .cast("long").alias("__g2"),
+        F.sum(F.col("__n") * (F.col("__n") - 1)).cast("long").alias("__g3"),
+    )
+    tv = gvg.groupBy("__v").agg(F.sum("__c").cast("long").alias("__t"))
+    tm = tv.agg(
+        F.sum(F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5))
+        .cast("long").alias("__t1"),
+        F.sum(F.col("__t") * (F.col("__t") - 1) * (F.col("__t") - 2))
+        .cast("long").alias("__t2"),
+        F.sum(F.col("__t") * (F.col("__t") - 1)).cast("long").alias("__t3"),
+    )
+    return (
+        jt.crossJoin(F.broadcast(gm))
+        .crossJoin(F.broadcast(tm))
+        .selectExpr(
+            "__k AS k_groups", "__nn AS n_rows", "jt2",
+            # var from HW 6.19, all moments exact BIGINT, one flat
+            # double shape (Σn² recovered as __g3 + N)
+            """CASE WHEN __k > 1 AND __nn > 2 THEN
+                (CAST(__nn AS DOUBLE) * (CAST(__nn AS DOUBLE) - 1.0)
+                   * (2.0 * CAST(__nn AS DOUBLE) + 5.0)
+                 - CAST(__g1 AS DOUBLE) - CAST(__t1 AS DOUBLE)) / 72.0
+                + CAST(__g2 AS DOUBLE) * CAST(__t2 AS DOUBLE)
+                  / (36.0 * CAST(__nn AS DOUBLE)
+                     * (CAST(__nn AS DOUBLE) - 1.0)
+                     * (CAST(__nn AS DOUBLE) - 2.0))
+                + CAST(__g3 AS DOUBLE) * CAST(__t3 AS DOUBLE)
+                  / (8.0 * CAST(__nn AS DOUBLE)
+                     * (CAST(__nn AS DOUBLE) - 1.0))
+            END AS __var""",
+            "__g3", "__nn AS __nnd",
+        )
+        .selectExpr(
+            "k_groups", "n_rows", "jt2",
+            "CASE WHEN __var IS NOT NULL AND __var > 0 THEN CAST(FLOOR("
+            "(CAST(jt2 AS DOUBLE) / 2.0"
+            " - (CAST(__nnd AS DOUBLE) * CAST(__nnd AS DOUBLE)"
+            "    - (CAST(__g3 AS DOUBLE) + CAST(__nnd AS DOUBLE))) / 4.0)"
+            " / SQRT(__var) * 1000000) AS BIGINT) END AS z_e6",
+        )
+    )

@@ -4494,3 +4494,97 @@ def auc_delong_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders"), "o_totalprice",
         F.col("o_orderstatus") == "F",
     )
+
+
+@register(
+    "jonckheere_priority_price",
+    oracle="""
+    WITH idx(glabel, gi) AS (VALUES
+      ('1-URGENT', 0), ('2-HIGH', 1), ('3-MEDIUM', 2),
+      ('4-NOT SPECIFIED', 3), ('5-LOW', 4)
+    ),
+    gvg AS (
+      SELECT i.gi, o.o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders o JOIN idx i ON o.o_orderpriority = i.glabel
+      WHERE o.o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.gi AS lo, b.gi AS h
+      FROM (SELECT DISTINCT gi FROM idx) a
+      JOIN (SELECT DISTINCT gi FROM idx) b ON a.gi < b.gi
+    ),
+    lattice AS (
+      SELECT v, h, CAST(SUM(lc) AS BIGINT) AS L, CAST(SUM(hc) AS BIGINT) AS C
+      FROM (
+        SELECT g.v, p.h, g.c AS lc, CAST(0 AS BIGINT) AS hc
+        FROM gvg g JOIN pairs p ON g.gi = p.lo
+        UNION ALL
+        SELECT v, gi AS h, CAST(0 AS BIGINT) AS lc, c AS hc FROM gvg
+      ) u GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT v, h, L, C,
+             CAST(SUM(L) OVER (PARTITION BY h ORDER BY v) AS BIGINT) AS cumL
+      FROM lattice
+    ),
+    jt AS (
+      SELECT CAST(SUM(C * (2 * (cumL - L) + L)) AS BIGINT) AS jt2
+      FROM cum WHERE C > 0
+    ),
+    sizes AS (SELECT gi, CAST(SUM(c) AS BIGINT) AS n FROM gvg GROUP BY 1),
+    gm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS g1,
+             CAST(SUM(n * (n - 1) * (n - 2)) AS BIGINT) AS g2,
+             CAST(SUM(n * (n - 1)) AS BIGINT) AS g3
+      FROM sizes
+    ),
+    tv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM gvg GROUP BY 1),
+    tm AS (
+      SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS t1,
+             CAST(SUM(t * (t - 1) * (t - 2)) AS BIGINT) AS t2,
+             CAST(SUM(t * (t - 1)) AS BIGINT) AS t3
+      FROM tv
+    ),
+    vz AS (
+      SELECT k, nn, jt2, g3,
+        CASE WHEN k > 1 AND nn > 2 THEN
+          (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)
+             * (2.0 * CAST(nn AS DOUBLE) + 5.0)
+           - CAST(g1 AS DOUBLE) - CAST(t1 AS DOUBLE)) / 72.0
+          + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+            / (36.0 * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)
+               * (CAST(nn AS DOUBLE) - 2.0))
+          + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+            / (8.0 * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))
+        END AS var
+      FROM jt CROSS JOIN gm CROSS JOIN tm
+    )
+    SELECT k AS k_groups, nn AS n_rows, jt2,
+      CASE WHEN var IS NOT NULL AND var > 0 THEN CAST(FLOOR(
+        (CAST(jt2 AS DOUBLE) / 2.0
+         - (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+            - (CAST(g3 AS DOUBLE) + CAST(nn AS DOUBLE))) / 4.0)
+        / SQRT(var) * 1000000) AS BIGINT) END AS z_e6
+    FROM vz
+    """,
+    doc="Jonckheere-Terpstra ordered-alternative trend across the 5 "
+    "order priorities (URGENT -> LOW) on order total "
+    "(ops.stats.jonckheere_terpstra): KW asks 'any difference', JT "
+    "asks 'a MONOTONE difference' along the given order - far more "
+    "power when the ordering is the hypothesis (here ~null: priority "
+    "does not price orders - the no-trend fixture). JT = sum of "
+    "pairwise MWU counts over ordered group pairs as exact 2x "
+    "BIGINTs; per-h value prefixes through chunked_running_sum (no "
+    "single-task window); z uses the full Hollander-Wolfe "
+    "tie-corrected variance from exact group-size and tie-block "
+    "moments, one flat double shape.",
+)
+def jonckheere_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import jonckheere_terpstra
+
+    return jonckheere_terpstra(
+        t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    )

@@ -4276,3 +4276,69 @@ def test_fd_violations_hand_values(spark):
 
     with pytest.raises(ValueError):
         fd_violations(df, [], "v")
+
+
+def test_jonckheere_terpstra_brute_force_replica(spark):
+    """Small random 3-ordered-group sample with ties: jt2 equals the
+    brute-force cross-pair count and z equals the tie-corrected
+    Hollander-Wolfe formula; strictly increasing groups give a large
+    positive z, the reverse order negates the trend."""
+    import math
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import jonckheere_terpstra
+
+    rng = random.Random(5)
+    data = [("a", float(rng.randint(0, 8))) for _ in range(15)] + \
+           [("b", float(rng.randint(3, 11))) for _ in range(12)] + \
+           [("c", float(rng.randint(6, 14))) for _ in range(18)]
+    df = spark.createDataFrame(data, "g string, v double")
+    r = jonckheere_terpstra(df, "v", "g", ["a", "b", "c"]).collect()[0]
+
+    groups = {g: sorted(v for gg, v in data if gg == g) for g in "abc"}
+    jt2 = 0
+    for lo, hi in (("a", "b"), ("a", "c"), ("b", "c")):
+        for x in groups[lo]:
+            for y in groups[hi]:
+                jt2 += 2 if x < y else (1 if x == y else 0)
+    assert r["jt2"] == jt2
+
+    from collections import Counter
+
+    ns = [len(groups[g]) for g in "abc"]
+    nn = sum(ns)
+    ties = Counter(v for _, v in data)
+    g1 = sum(n * (n - 1) * (2 * n + 5) for n in ns)
+    g2 = sum(n * (n - 1) * (n - 2) for n in ns)
+    g3 = sum(n * (n - 1) for n in ns)
+    t1 = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    t2 = sum(t * (t - 1) * (t - 2) for t in ties.values())
+    t3 = sum(t * (t - 1) for t in ties.values())
+    var = ((nn * (nn - 1) * (2 * nn + 5) - g1 - t1) / 72.0
+           + g2 * t2 / (36.0 * nn * (nn - 1) * (nn - 2))
+           + g3 * t3 / (8.0 * nn * (nn - 1)))
+    mu = (nn * nn - sum(n * n for n in ns)) / 4.0
+    z = (jt2 / 2.0 - mu) / math.sqrt(var)
+    assert r["z_e6"] == math.floor(z * 1e6)
+    assert r["z_e6"] > 3_000_000  # the planted upward trend
+
+    rev = jonckheere_terpstra(df, "v", "g", ["c", "b", "a"]).collect()[0]
+    assert rev["z_e6"] < -3_000_000
+
+
+def test_jonckheere_guards(spark):
+    import pytest
+
+    from hadoop_fcfs_spark.ops.stats import jonckheere_terpstra
+
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        jonckheere_terpstra(df, "v", "g", ["a"])
+    with pytest.raises(ValueError):
+        jonckheere_terpstra(df, "v", "g", ["a", "a"])
+    # all values identical -> variance 0 -> NULL z, jt2 still exact
+    tied = spark.createDataFrame(
+        [("a", 7.0)] * 3 + [("b", 7.0)] * 3, "g string, v double"
+    )
+    r = jonckheere_terpstra(tied, "v", "g", ["a", "b"]).collect()[0]
+    assert r["z_e6"] is None and r["jt2"] == 9  # 3*3 tie pairs, 1 each
