@@ -3165,3 +3165,167 @@ def jonckheere_terpstra(
             " / SQRT(__var) * 1000000) AS BIGINT) END AS z_e6",
         )
     )
+
+
+def effect_sizes_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Two-sample effect sizes: Cliff's delta (rank-based: P(a>b) −
+    P(a<b), the MWU's answer to "HOW different", robust to any
+    distribution shape) and Cohen's d with pooled SD (the
+    mean-difference counterpart) — the numbers a pipeline ACTS on
+    where p-values only gatekeep (a significant z at n=10⁷ can be an
+    operationally irrelevant delta; these say so).
+
+    One pass builds both: the (value)-grain with per-arm counts feeds
+    the MWU exclusive-prefix machinery for the exact 2x rank sum
+    (delta = (u2 − n_a·n_b)·10⁶ div (n_a·n_b) — exact BIGINT, one
+    integer division), and the same grain's quantized moments
+    (Σc·q, Σc·q²) give pooled-SD Cohen's d as a flat double of exact
+    integers (d is scale-invariant under shared quantization, the
+    welch_ttest contract). NULL d when pooled variance is 0 or
+    either arm has < 2; NULL delta when either arm is empty. Output:
+    1 row (n_a, n_b, cliffs_delta_micro, cohens_d_e6)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    q = F.floor(F.col(value_col) * scale).cast("long")
+    grain = waypoint(
+        df.filter(
+            F.col(group_col).isin([group_a, group_b])
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(q.alias("__q"))
+        .agg(
+            F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
+            .cast("long").alias("__ca"),
+            F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
+            .cast("long").alias("__cb"),
+        )
+        .withColumn("__c", F.col("__ca") + F.col("__cb"))
+    )
+    before = global_running_sum(
+        grain, ["__q"], "__c", out_col="__before", inclusive=False
+    )
+    agg = before.agg(
+        F.sum(F.col("__ca") * (2 * F.col("__before") + F.col("__c") + 1))
+        .cast("long").alias("__r2a"),
+        F.sum("__ca").cast("long").alias("__na"),
+        F.sum("__cb").cast("long").alias("__nb"),
+        F.sum(F.col("__ca") * F.col("__q")).cast("long").alias("__sa1"),
+        F.sum(F.col("__ca") * F.col("__q") * F.col("__q"))
+        .cast("long").alias("__sa2"),
+        F.sum(F.col("__cb") * F.col("__q")).cast("long").alias("__sb1"),
+        F.sum(F.col("__cb") * F.col("__q") * F.col("__q"))
+        .cast("long").alias("__sb2"),
+    )
+    return agg.selectExpr(
+        "__na AS n_a", "__nb AS n_b",
+        # u2 = 2*U_A; delta = 2*U/(n_a*n_b) - 1 = (u2 - n_a*n_b)/(n_a*n_b)
+        "CASE WHEN __na > 0 AND __nb > 0 THEN"
+        " CAST(((__r2a - __na * (__na + 1)) - __na * __nb) * 1000000"
+        " div (__na * __nb) AS BIGINT) END AS cliffs_delta_micro",
+        """CASE WHEN __na > 1 AND __nb > 1 AND
+          ((CAST(__sa2 AS DOUBLE) - CAST(__sa1 AS DOUBLE)
+              * CAST(__sa1 AS DOUBLE) / CAST(__na AS DOUBLE))
+           + (CAST(__sb2 AS DOUBLE) - CAST(__sb1 AS DOUBLE)
+              * CAST(__sb1 AS DOUBLE) / CAST(__nb AS DOUBLE))) > 0
+        THEN CAST(FLOOR(
+          (CAST(__sa1 AS DOUBLE) / CAST(__na AS DOUBLE)
+           - CAST(__sb1 AS DOUBLE) / CAST(__nb AS DOUBLE))
+          / SQRT(
+            ((CAST(__sa2 AS DOUBLE) - CAST(__sa1 AS DOUBLE)
+                * CAST(__sa1 AS DOUBLE) / CAST(__na AS DOUBLE))
+             + (CAST(__sb2 AS DOUBLE) - CAST(__sb1 AS DOUBLE)
+                * CAST(__sb1 AS DOUBLE) / CAST(__nb AS DOUBLE)))
+            / (CAST(__na AS DOUBLE) + CAST(__nb AS DOUBLE) - 2.0))
+          * 1000000) AS BIGINT) END AS cohens_d_e6""",
+    )
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    unit_col: str,
+    variant_col: Column,
+    metric_agg: Column,
+    covariate_agg: Column,
+) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Existing Data, Deng et
+    al. WSDM 2013): shrink an A/B metric's variance with a pre-period
+    covariate — θ = cov(x, y)/var(x) fitted on the POOLED units,
+    y′ = y − θ(x − x̄); the adjusted treatment-control difference has
+    its variance cut by the squared x–y correlation, which is why
+    every mature experimentation platform runs it (the same test
+    detects an effect 1/(1−ρ²)× smaller at the same traffic).
+
+    ``metric_agg`` / ``covariate_agg`` are integer-valued AGGREGATES
+    over one unit's rows (counts, sums of integer units — the
+    two_proportion_ztest grain convention: per-UNIT, because rows
+    within a unit are not independent). One unit-grain aggregation,
+    then one scalar reduce of exact BIGINT moments (Σx, Σy, Σxy, Σx²,
+    Σy² — pooled and per arm); θ, the adjusted per-arm means, the
+    adjusted difference, and the variance-reduction ratio
+    ρ² = (nΣxy−ΣxΣy)²/((nΣx²−(Σx)²)(nΣy²−(Σy)²)) are flat double
+    expressions of those integers. NULL adjustment when var(x) = 0
+    (constant covariate — nothing to regress out) or either arm is
+    empty; integer bound Σxy < 2⁶³ (ANSI throws).
+
+    Output: 1 row (n_control, n_treat, theta_e6, raw_diff_e6,
+    adj_diff_e6, var_reduction_micro)."""
+    units = df.groupBy(F.col(unit_col)).agg(
+        F.max(variant_col.cast("int")).alias("__v"),
+        metric_agg.cast("long").alias("__y"),
+        covariate_agg.cast("long").alias("__x"),
+    )
+    m = units.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(F.when(F.col("__v") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_control"),
+        F.sum(F.when(F.col("__v") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_treat"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("__syy"),
+        F.sum(F.when(F.col("__v") == 0, F.col("__x")).otherwise(0))
+        .cast("long").alias("__sxc"),
+        F.sum(F.when(F.col("__v") == 0, F.col("__y")).otherwise(0))
+        .cast("long").alias("__syc"),
+        F.sum(F.when(F.col("__v") == 1, F.col("__x")).otherwise(0))
+        .cast("long").alias("__sxt"),
+        F.sum(F.when(F.col("__v") == 1, F.col("__y")).otherwise(0))
+        .cast("long").alias("__syt"),
+    )
+    nd = "CAST(__n AS DOUBLE)"
+    varx = f"({nd} * CAST(__sxx AS DOUBLE) - CAST(__sx AS DOUBLE) * CAST(__sx AS DOUBLE))"
+    vary = f"({nd} * CAST(__syy AS DOUBLE) - CAST(__sy AS DOUBLE) * CAST(__sy AS DOUBLE))"
+    covxy = f"({nd} * CAST(__sxy AS DOUBLE) - CAST(__sx AS DOUBLE) * CAST(__sy AS DOUBLE))"
+    theta = f"({covxy} / {varx})"
+    raw_diff = (
+        "(CAST(__syt AS DOUBLE) / CAST(n_treat AS DOUBLE)"
+        " - CAST(__syc AS DOUBLE) / CAST(n_control AS DOUBLE))"
+    )
+    adj_diff = (
+        f"({raw_diff} - {theta}"
+        " * (CAST(__sxt AS DOUBLE) / CAST(n_treat AS DOUBLE)"
+        " - CAST(__sxc AS DOUBLE) / CAST(n_control AS DOUBLE)))"
+    )
+    ok = f"n_control > 0 AND n_treat > 0 AND {varx} > 0"
+    return m.selectExpr(
+        "n_control", "n_treat",
+        f"CASE WHEN {ok} THEN"
+        f" CAST(FLOOR({theta} * 1000000) AS BIGINT) END AS theta_e6",
+        "CASE WHEN n_control > 0 AND n_treat > 0 THEN"
+        f" CAST(FLOOR({raw_diff} * 1000000) AS BIGINT) END AS raw_diff_e6",
+        f"CASE WHEN {ok} THEN"
+        f" CAST(FLOOR({adj_diff} * 1000000) AS BIGINT) END AS adj_diff_e6",
+        f"CASE WHEN {ok} AND {vary} > 0 THEN"
+        f" CAST(FLOOR({covxy} * {covxy} / ({varx} * {vary}) * 1000000)"
+        " AS BIGINT) END AS var_reduction_micro",
+    )

@@ -4588,3 +4588,165 @@ def jonckheere_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority",
         ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
     )
+
+
+@register(
+    "effect_sizes_returnflag",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS q,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+      FROM lineitem
+      WHERE l_returnflag IN ('R', 'N') AND l_extendedprice IS NOT NULL
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT q, ca, cb, ca + cb AS c,
+             COALESCE(SUM(ca + cb) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+      FROM g WHERE ca + cb > 0
+    ),
+    m AS (
+      SELECT CAST(SUM(ca * (2 * bef + c + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+             CAST(SUM(ca * q) AS BIGINT) AS sa1,
+             CAST(SUM(ca * q * q) AS BIGINT) AS sa2,
+             CAST(SUM(cb * q) AS BIGINT) AS sb1,
+             CAST(SUM(cb * q * q) AS BIGINT) AS sb2
+      FROM r
+    )
+    SELECT na AS n_a, nb AS n_b,
+      CASE WHEN na > 0 AND nb > 0 THEN
+        CAST(((r2a - na * (na + 1)) - na * nb) * 1000000 // (na * nb)
+          AS BIGINT) END AS cliffs_delta_micro,
+      CASE WHEN na > 1 AND nb > 1 AND
+        ((CAST(sa2 AS DOUBLE) - CAST(sa1 AS DOUBLE) * CAST(sa1 AS DOUBLE)
+            / CAST(na AS DOUBLE))
+         + (CAST(sb2 AS DOUBLE) - CAST(sb1 AS DOUBLE) * CAST(sb1 AS DOUBLE)
+            / CAST(nb AS DOUBLE))) > 0
+      THEN CAST(FLOOR(
+        (CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE)
+         - CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE))
+        / SQRT(
+          ((CAST(sa2 AS DOUBLE) - CAST(sa1 AS DOUBLE) * CAST(sa1 AS DOUBLE)
+              / CAST(na AS DOUBLE))
+           + (CAST(sb2 AS DOUBLE) - CAST(sb1 AS DOUBLE) * CAST(sb1 AS DOUBLE)
+              / CAST(nb AS DOUBLE)))
+          / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0))
+        * 1000000) AS BIGINT) END AS cohens_d_e6
+    FROM m
+    """,
+    doc="Two-sample effect sizes R vs N returnflag on line price "
+    "(ops.stats.effect_sizes_two_sample): Cliff's delta (rank-based "
+    "P(a>b)-P(a<b) from the exact MWU 2x rank sum, one integer "
+    "division) and pooled-SD Cohen's d (cent-quantized exact moments, "
+    "flat double) - the HOW-different numbers a pipeline acts on "
+    "where mwu_priority_price's p-value only gatekeeps (a significant "
+    "z at n=1e7 can be an operationally irrelevant delta). ONE "
+    "quantized-value grain pass feeds both; here ~0, the "
+    "null-effect fixture.",
+)
+def effect_sizes_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import effect_sizes_two_sample
+
+    return effect_sizes_two_sample(
+        t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_returnflag",
+        "R", "N",
+    )
+
+
+@register(
+    "cuped_purchases",
+    oracle="""
+    WITH units AS (
+      SELECT user_id,
+             MAX(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS v,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS y,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_control,
+             CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_treat,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(CASE WHEN v = 0 THEN x ELSE 0 END) AS BIGINT) AS sxc,
+             CAST(SUM(CASE WHEN v = 0 THEN y ELSE 0 END) AS BIGINT) AS syc,
+             CAST(SUM(CASE WHEN v = 1 THEN x ELSE 0 END) AS BIGINT) AS sxt,
+             CAST(SUM(CASE WHEN v = 1 THEN y ELSE 0 END) AS BIGINT) AS syt
+      FROM units
+    )
+    SELECT n_control, n_treat,
+      CASE WHEN n_control > 0 AND n_treat > 0 AND
+        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+      THEN CAST(FLOOR(
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000)
+        AS BIGINT) END AS theta_e6,
+      CASE WHEN n_control > 0 AND n_treat > 0 THEN CAST(FLOOR(
+        (CAST(syt AS DOUBLE) / CAST(n_treat AS DOUBLE)
+         - CAST(syc AS DOUBLE) / CAST(n_control AS DOUBLE)) * 1000000)
+        AS BIGINT) END AS raw_diff_e6,
+      CASE WHEN n_control > 0 AND n_treat > 0 AND
+        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+      THEN CAST(FLOOR(
+        ((CAST(syt AS DOUBLE) / CAST(n_treat AS DOUBLE)
+          - CAST(syc AS DOUBLE) / CAST(n_control AS DOUBLE))
+         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           * (CAST(sxt AS DOUBLE) / CAST(n_treat AS DOUBLE)
+              - CAST(sxc AS DOUBLE) / CAST(n_control AS DOUBLE)))
+        * 1000000) AS BIGINT) END AS adj_diff_e6,
+      CASE WHEN n_control > 0 AND n_treat > 0 AND
+        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0 AND
+        (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+      THEN CAST(FLOOR(
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        * 1000000) AS BIGINT) END AS var_reduction_micro
+    FROM m
+    """,
+    doc="CUPED variance-reduction A/B readout (ops.stats."
+    "cuped_adjustment, Deng et al. WSDM 2013): per-user purchase "
+    "count adjusted by the per-user VIEW count covariate, variants "
+    "split on user_id parity (the ab_test_conversion convention). "
+    "theta = cov(x,y)/var(x) on pooled units, adjusted diff = raw "
+    "diff - theta * covariate diff, variance cut = rho^2 - the reason "
+    "every mature experimentation platform runs CUPED (same test "
+    "detects a 1/(1-rho^2)x smaller effect). One unit-grain pass, one "
+    "scalar reduce of exact BIGINT moments, flat double readouts.",
+)
+def cuped_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import cuped_adjustment
+
+    ev = t(spark, sf_dir, "events")
+    return cuped_adjustment(
+        ev, "user_id",
+        (F.col("user_id") % 2 == 1),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)),
+    )

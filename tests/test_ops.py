@@ -4342,3 +4342,105 @@ def test_jonckheere_guards(spark):
     )
     r = jonckheere_terpstra(tied, "v", "g", ["a", "b"]).collect()[0]
     assert r["z_e6"] is None and r["jt2"] == 9  # 3*3 tie pairs, 1 each
+
+
+def test_effect_sizes_hand_values(spark):
+    """Perfect separation -> delta = +1e6; swap arms -> -1e6; a known
+    small sample replicates both formulas; degenerate arms go NULL."""
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import effect_sizes_two_sample
+
+    sep = spark.createDataFrame(
+        [("a", 10.0)] * 3 + [("b", 1.0)] * 4, "g string, v double"
+    )
+    r = effect_sizes_two_sample(sep, "v", "g", "a", "b").collect()[0]
+    assert r["cliffs_delta_micro"] == 1_000_000
+    rswap = effect_sizes_two_sample(sep, "v", "g", "b", "a").collect()[0]
+    assert rswap["cliffs_delta_micro"] == -1_000_000
+
+    a = [1.0, 2.0, 2.0, 5.0]
+    b = [2.0, 3.0, 4.0]
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b], "g string, v double"
+    )
+    r = effect_sizes_two_sample(df, "v", "g", "a", "b").collect()[0]
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    na, nb = len(a), len(b)
+    delta = (gt - lt) * 1_000_000
+    delta = delta // (na * nb) if delta >= 0 else -((-delta) // (na * nb))
+    assert r["cliffs_delta_micro"] == delta
+
+    qa = [math.floor(v * 100) for v in a]
+    qb = [math.floor(v * 100) for v in b]
+    sa1, sa2 = sum(qa), sum(x * x for x in qa)
+    sb1, sb2 = sum(qb), sum(x * x for x in qb)
+    ssw = (sa2 - sa1 * sa1 / na) + (sb2 - sb1 * sb1 / nb)
+    d = (sa1 / na - sb1 / nb) / math.sqrt(ssw / (na + nb - 2))
+    assert r["cohens_d_e6"] == math.floor(d * 1e6)
+
+    one = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double"
+    )
+    rd = effect_sizes_two_sample(one, "v", "g", "a", "b").collect()[0]
+    assert rd["cohens_d_e6"] is None and rd["cliffs_delta_micro"] is not None
+
+
+def test_cuped_hand_values(spark):
+    """Hand-built units where the covariate explains most variance:
+    theta / raw diff / adjusted diff / rho^2 match a pure-Python
+    replica; constant covariate -> NULL adjustment, raw diff stays."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.stats import cuped_adjustment
+
+    # (unit, variant, x=views, y=purchases); y correlated with x
+    units = [(1, 0, 2, 3), (2, 0, 4, 5), (3, 0, 6, 6),
+             (4, 1, 2, 4), (5, 1, 4, 6), (6, 1, 6, 8)]
+    rows = []
+    for u, v, x, y in units:
+        rows += [(u, v, "view")] * x + [(u, v, "purchase")] * y
+    df = spark.createDataFrame(rows, "unit int, variant int, et string")
+    r = cuped_adjustment(
+        df, "unit", F.col("variant") == 1,
+        F.sum(F.when(F.col("et") == "purchase", 1).otherwise(0)),
+        F.sum(F.when(F.col("et") == "view", 1).otherwise(0)),
+    ).collect()[0]
+    assert (r["n_control"], r["n_treat"]) == (3, 3)
+
+    xs = [x for _, _, x, _ in units]
+    ys = [y for _, _, _, y in units]
+    n = len(units)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    yc = [y for _, v, _, y in units if v == 0]
+    yt = [y for _, v, _, y in units if v == 1]
+    xc = [x for _, v, x, _ in units if v == 0]
+    xt = [x for _, v, x, _ in units if v == 1]
+    raw = sum(yt) / 3 - sum(yc) / 3
+    adj = raw - theta * (sum(xt) / 3 - sum(xc) / 3)
+    rho2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert r["theta_e6"] == math.floor(theta * 1e6)
+    assert r["raw_diff_e6"] == math.floor(raw * 1e6)
+    assert r["adj_diff_e6"] == math.floor(adj * 1e6)
+    assert r["var_reduction_micro"] == math.floor(rho2 * 1e6)
+    # covariate balanced across arms here, so CUPED keeps the lift but
+    # the rho^2 says the variance would shrink a lot
+    assert r["var_reduction_micro"] > 500_000
+
+    const = spark.createDataFrame(
+        [(1, 0, "view"), (1, 0, "purchase"), (2, 1, "view"), (2, 1, "purchase")],
+        "unit int, variant int, et string",
+    )
+    rc = cuped_adjustment(
+        const, "unit", F.col("variant") == 1,
+        F.sum(F.when(F.col("et") == "purchase", 1).otherwise(0)),
+        F.sum(F.when(F.col("et") == "view", 1).otherwise(0)),
+    ).collect()[0]
+    assert rc["theta_e6"] is None and rc["raw_diff_e6"] is not None
