@@ -1046,3 +1046,59 @@ def kmeans_silhouette(
             "CAST(__ssum div n AS BIGINT) AS mean_sil_micro",
         )
     )
+
+
+def pc_projection_outliers(
+    df: DataFrame,
+    k: int = 10,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1000,
+    scale_div: int = 1000,
+) -> DataFrame:
+    """Top-|projection| outliers along the corpus's dominant principal
+    direction — the actionable surface over
+    :func:`gram_power_iteration` (the direction alone is a drift
+    probe; the documents that EXTREMIZE it are what you actually
+    inspect: in an anisotropic embedding corpus they are the
+    cluster-of-everything axis riders — near-duplicates, templated
+    boilerplate, encoder pathologies).
+
+    The direction is fitted by the exact power iteration (same
+    parameters), its d e6-quantized components collected to the
+    driver (d ints — bounded, the kmeans-centroid class of collect),
+    and broadcast back as a 1-row array column (the kmeans planning
+    lesson: data, not literals). Each document's projection is then
+    ONE zip_with/aggregate over its milli-quantized vector — exact
+    BIGINT Σ q_d·p_d, zero shuffle — and the top-k by |projection|
+    (ties → lowest id) is a TakeOrdered. Bound: d·q·max|x|·10⁶ < 2⁶³
+    (comfortable at any embedding dim). Output: k rows
+    (vec_id, projection), projection in milli·e6 units."""
+    pc = gram_power_iteration(
+        df, vec_col, iterations=iterations, quantize=quantize,
+        scale_div=scale_div,
+    ).orderBy("dim").collect()
+    comps = [int(r["component_e6"]) for r in pc]
+    if not comps:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, projection long"
+        )
+    spark = df.sparkSession
+    pcrow = spark.createDataFrame([(comps,)], "__pc array<bigint>")
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * quantize).cast("long"),
+    )
+    proj = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__pc"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.select(F.col(id_col), qv.alias("__qv"))
+        .crossJoin(F.broadcast(pcrow))
+        .select(F.col(id_col), proj.alias("projection"))
+        .orderBy(F.abs(F.col("projection")).desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1933,10 +1933,13 @@ def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_top_pc",
-    oracle="""
-    WITH q AS (
+# Shared 3-step power-iteration CTE chain (ends at p3 = the e6
+# max-normalized top-PC estimate) — composed by BOTH the direction
+# gate (`embedding_top_pc`) and the projection-outlier gate
+# (`embedding_pc_outliers`) so the iteration replay cannot drift
+# (the _kmeans_ctes precedent).
+_TOP_PC_CTES = """
+    q AS (
       SELECT vec_id,
              list_transform(embedding,
                             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
@@ -1979,7 +1982,12 @@ def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT node, CASE WHEN m > 0 THEN
         CAST(FLOOR(CAST(u AS DOUBLE) / CAST(m AS DOUBLE) * 1000000) AS BIGINT)
         ELSE CAST(0 AS BIGINT) END AS p
-      FROM u3 CROSS JOIN m3)
+      FROM u3 CROSS JOIN m3)"""
+
+
+@register(
+    "embedding_top_pc",
+    oracle="WITH " + _TOP_PC_CTES + """
     SELECT node AS dim, p AS component_e6 FROM p3
     """,
     doc="Top principal direction of the embedding corpus "
@@ -4672,3 +4680,37 @@ def fd_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.ops.validate import fd_violations
 
     return fd_violations(t(spark, sf_dir, "documents"), ["source"], "lang")
+
+
+@register(
+    "embedding_pc_outliers",
+    oracle="WITH " + _TOP_PC_CTES + """,
+    pcv AS (SELECT node AS pos, p FROM p3),
+    proj AS (
+      SELECT e.vec_id, CAST(SUM(e.val * pcv.p) AS BIGINT) AS projection
+      FROM e JOIN pcv USING (pos)
+      GROUP BY 1
+    )
+    SELECT vec_id, projection FROM proj
+    ORDER BY ABS(projection) DESC, vec_id ASC
+    LIMIT 10
+    """,
+    doc="Top-10 |projection| outliers along the dominant principal "
+    "direction (llm.similarity.pc_projection_outliers, same 3-step "
+    "exact power iteration as embedding_top_pc via the SHARED "
+    "_TOP_PC_CTES replay): the direction alone is a drift probe - "
+    "the documents that EXTREMIZE it are what you inspect (axis-"
+    "riding near-dups, templated boilerplate, encoder pathologies). "
+    "Direction components collected to the driver (d bounded ints, "
+    "the kmeans-centroid collect class) and broadcast back as a "
+    "1-row array column (data, not literals - the kmeans planning "
+    "lesson); per-doc projection is one exact-BIGINT zip_with fold, "
+    "zero shuffle; TakeOrdered top-10 with lowest-id ties.",
+)
+def embedding_pc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import pc_projection_outliers
+
+    emb = t(spark, sf_dir, "embeddings")
+    return pc_projection_outliers(
+        emb, k=10, iterations=3, quantize=1000, scale_div=1000
+    )

@@ -4444,3 +4444,39 @@ def test_cuped_hand_values(spark):
         F.sum(F.when(F.col("et") == "view", 1).otherwise(0)),
     ).collect()[0]
     assert rc["theta_e6"] is None and rc["raw_diff_e6"] is not None
+
+
+def test_pc_projection_outliers_replica(spark):
+    """Projections equal a pure-numpy integer replica (quantize ->
+    power-iterate -> project -> top-k by |proj| with lowest-id ties),
+    and the planted extreme-axis vector ranks first."""
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.similarity import (
+        gram_power_iteration,
+        pc_projection_outliers,
+    )
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(4)
+    vecs = base[None, :] * rng.randn(30)[:, None] + 0.05 * rng.randn(30, 4)
+    vecs[7] = base * 50.0  # the axis rider
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    out = pc_projection_outliers(
+        df, k=5, iterations=3, quantize=1000, scale_div=10
+    ).collect()
+    assert out[0]["vec_id"] == 7
+
+    pc = {r["dim"]: r["component_e6"] for r in
+          gram_power_iteration(df, "embedding", iterations=3,
+                               quantize=1000, scale_div=10).collect()}
+    p = np.array([pc[i + 1] for i in range(4)], dtype=np.int64)
+    q = np.floor(vecs * 1000).astype(np.int64)
+    proj = q @ p
+    order = sorted(range(30), key=lambda i: (-abs(int(proj[i])), i))[:5]
+    assert [(r["vec_id"], r["projection"]) for r in out] == [
+        (i, int(proj[i])) for i in order
+    ]

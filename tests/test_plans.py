@@ -579,7 +579,8 @@ def test_no_unallowed_driver_collects_static_sweep():
 
     ALLOWED = {
         ("llm/similarity.py", "kmeans_centroids"),  # k seed rows / k centroid rows
-        ("llm/similarity.py", "kmeans_lloyd_exact"),  # k seeds + k*(dim sums) per iteration, iterations bounded
+        ("llm/similarity.py", "_lloyd_quantize_fit"),  # k seeds + k*dim update rows per iteration, iterations bounded
+        ("llm/similarity.py", "pc_projection_outliers"),  # d direction components (kmeans-centroid class)
         ("queries_llm.py", "ann_ivf_topk"),          # 16 fixture quantizer vectors
         ("queries_llm.py", "ann_ivf_recall"),        # 16 fixture quantizer vectors
         ("queries_llm.py", "ann_pq_adc_topk"),       # 8 codebook vectors
