@@ -3329,3 +3329,73 @@ def cuped_adjustment(
         f" CAST(FLOOR({covxy} * {covxy} / ({varx} * {vary}) * 1000000)"
         " AS BIGINT) END AS var_reduction_micro",
     )
+
+
+def kendall_tau_b(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Kendall's τ-b between two numeric columns of a SUMMARY grain —
+    the concordance correlation that completes the dependence family
+    (lineitem_corr = linear, spearman = monotone via ranks, this =
+    pairwise concordance, the most ordinal-honest of the three and
+    the one with the cleanest tie story). Use it where the grain is
+    bounded (daily rollups, per-group summaries — the mann_kendall
+    contract); τ-b IS mann_kendall's effect size with time swapped
+    for a second metric.
+
+    The pair set is a broadcast nested-loop self-join on i < j over
+    GRAIN rows (~n²/2 pairs of a day-grain series, never data rows).
+    Exact BIGINT counts: concordant C, discordant D, tied-in-x n1,
+    tied-in-y n2 (a pair tied in both counts in both), n0 = n(n−1)/2;
+    τ_b = (C−D)/√((n0−n1)(n0−n2)) is one flat double with a single
+    sqrt, rounded @6; NULL when either denominator factor is 0
+    (a constant column). Output: 1 row (n, concordant, discordant,
+    tau_b_r6)."""
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.monotonically_increasing_id().alias("__i"),
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+    )
+    # monotonically_increasing_id is partition-dependent — fine here:
+    # it only needs to be a DISTINCT pair key (i < j visits each
+    # unordered pair once); every counted quantity is symmetric in
+    # the pair, so the statistic is id-assignment-invariant.
+    a = base.select(
+        F.col("__i").alias("__ia"), F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+    )
+    b = base.select(
+        F.col("__i").alias("__ib"), F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("__ia") < F.col("__ib"))
+    agg = pairs.agg(
+        F.sum(
+            F.when(
+                ((F.col("__xa") < F.col("__xb")) & (F.col("__ya") < F.col("__yb")))
+                | ((F.col("__xa") > F.col("__xb")) & (F.col("__ya") > F.col("__yb"))),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("concordant"),
+        F.sum(
+            F.when(
+                ((F.col("__xa") < F.col("__xb")) & (F.col("__ya") > F.col("__yb")))
+                | ((F.col("__xa") > F.col("__xb")) & (F.col("__ya") < F.col("__yb"))),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("discordant"),
+        F.sum(F.when(F.col("__xa") == F.col("__xb"), 1).otherwise(0))
+        .cast("long").alias("__n1"),
+        F.sum(F.when(F.col("__ya") == F.col("__yb"), 1).otherwise(0))
+        .cast("long").alias("__n2"),
+        F.count("*").cast("long").alias("__n0"),
+    )
+    cnt = base.agg(F.count("*").cast("long").alias("n"))
+    return agg.crossJoin(F.broadcast(cnt)).selectExpr(
+        "n", "COALESCE(concordant, 0) AS concordant",
+        "COALESCE(discordant, 0) AS discordant",
+        "CASE WHEN (__n0 - __n1) > 0 AND (__n0 - __n2) > 0 THEN ROUND("
+        "CAST(concordant - discordant AS DOUBLE)"
+        " / SQRT(CAST(__n0 - __n1 AS DOUBLE) * CAST(__n0 - __n2 AS DOUBLE)),"
+        " 6) END AS tau_b_r6",
+    )

@@ -4750,3 +4750,107 @@ def cuped_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)),
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)),
     )
+
+
+@register(
+    "kendall_events_daily",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+      FROM g a JOIN g b ON a.d < b.d
+    ),
+    m AS (
+      SELECT
+        CAST(SUM(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        CAST(SUM(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(COUNT(*) AS BIGINT) AS n0
+      FROM p
+    ),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g)
+    SELECT n, COALESCE(concordant, 0) AS concordant,
+           COALESCE(discordant, 0) AS discordant,
+           CASE WHEN (n0 - n1) > 0 AND (n0 - n2) > 0 THEN ROUND(
+             CAST(concordant - discordant AS DOUBLE)
+             / SQRT(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 6)
+           END AS tau_b_r6
+    FROM m CROSS JOIN c
+    """,
+    doc="Kendall's tau-b between daily event volume and daily active "
+    "users (ops.stats.kendall_tau_b): pairwise concordance on the "
+    "day grain - the ordinal-honest dependence measure completing "
+    "the family (lineitem_corr linear, spearman_qty_price monotone "
+    "ranks, this concordance with the clean tie story). Pair set is "
+    "a broadcast nested-loop self-join over ~90 day-summary rows "
+    "(never data rows, the mann_kendall contract); exact BIGINT "
+    "C/D/tie counts, one flat double + single sqrt rounded @6. "
+    "Expected strongly positive: busier days have more users.",
+)
+def kendall_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import kendall_tau_b
+
+    ev = t(spark, sf_dir, "events")
+    g = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("x"),
+        F.countDistinct("user_id").cast("long").alias("y"),
+    )
+    return kendall_tau_b(g, "x", "y")
+
+
+@register(
+    "seasonal_naive_events",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS i,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT a.v, p.v AS pv
+      FROM g a JOIN g p ON a.i = p.i + 7
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ABS(v - pv)) AS BIGINT) AS sae,
+             CAST(SUM((v - pv) * (v - pv)) AS BIGINT) AS sse,
+             CAST(SUM(CASE WHEN (v + pv) > 0 THEN
+               2 * ABS(v - pv) * 1000000 // (v + pv)
+               ELSE 0 END) AS BIGINT) AS ssm
+      FROM s
+    )
+    SELECT n AS n_scored,
+           CASE WHEN n > 0 THEN CAST(sae * 1000000 // n AS BIGINT)
+           END AS mae_micro,
+           CASE WHEN n > 0 THEN CAST(FLOOR(
+             SQRT(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000)
+             AS BIGINT) END AS rmse_e6,
+           CASE WHEN n > 0 THEN CAST(ssm // n AS BIGINT) END AS smape_micro
+    FROM m
+    """,
+    doc="Seasonal-naive backtest of daily event volume, period 7 "
+    "(ops.timeseries.seasonal_naive_eval): predict each day by the "
+    "same weekday last week and score MAE/RMSE/sMAPE - the baseline "
+    "every forecasting pipeline must publish next to its model "
+    "(forecast_revenue says trend; this says how predictable the "
+    "series even is, and rolling_origin_folds carves the windows it "
+    "runs in). One grain-sized equi-join on day-index minus 7; exact "
+    "BIGINT MAE/sMAPE micro terms with integer division, one sqrt "
+    "for RMSE.",
+)
+def seasonal_naive_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.timeseries import seasonal_naive_eval
+
+    ev = t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("i")
+    ).agg(F.count("*").cast("long").alias("v"))
+    return seasonal_naive_eval(g, "i", "v", period=7)

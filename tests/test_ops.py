@@ -4480,3 +4480,75 @@ def test_pc_projection_outliers_replica(spark):
     assert [(r["vec_id"], r["projection"]) for r in out] == [
         (i, int(proj[i])) for i in order
     ]
+
+
+def test_kendall_tau_b_hand_values(spark):
+    """Known small sample with ties in both columns -> C, D, and tau-b
+    match the brute-force definition; perfect concordance -> 1.0;
+    constant column -> NULL."""
+    from hadoop_fcfs_spark.ops.stats import kendall_tau_b
+
+    pts = [(1.0, 2.0), (2.0, 2.0), (2.0, 5.0), (3.0, 4.0), (4.0, 1.0)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    r = kendall_tau_b(df, "x", "y").collect()[0]
+
+    import math
+
+    c = d = n1 = n2 = n0 = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            (xa, ya), (xb, yb) = pts[i], pts[j]
+            n0 += 1
+            if xa == xb:
+                n1 += 1
+            if ya == yb:
+                n2 += 1
+            if (xa < xb and ya < yb) or (xa > xb and ya > yb):
+                c += 1
+            elif (xa < xb and ya > yb) or (xa > xb and ya < yb):
+                d += 1
+    tau = (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert (r["concordant"], r["discordant"]) == (c, d)
+    assert r["tau_b_r6"] == round(tau, 6)
+
+    perf = spark.createDataFrame(
+        [(float(i), float(2 * i)) for i in range(6)], "x double, y double"
+    )
+    assert kendall_tau_b(perf, "x", "y").collect()[0]["tau_b_r6"] == 1.0
+
+    const = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "x double, y double"
+    )
+    assert kendall_tau_b(const, "x", "y").collect()[0]["tau_b_r6"] is None
+
+
+def test_seasonal_naive_eval_hand_values(spark):
+    """7-step series with period 3: only the last 4 steps score;
+    MAE/RMSE/sMAPE match hand arithmetic; short series -> all NULL;
+    bad period raises."""
+    import math
+
+    import pytest
+
+    from hadoop_fcfs_spark.ops.timeseries import seasonal_naive_eval
+
+    vals = [10, 12, 8, 14, 12, 8, 20]  # i = 0..6, period 3
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, v int"
+    )
+    r = seasonal_naive_eval(df, "i", "v", period=3).collect()[0]
+    pairs = [(vals[i], vals[i - 3]) for i in range(3, 7)]
+    assert r["n_scored"] == 4
+    sae = sum(abs(a - p) for a, p in pairs)
+    sse = sum((a - p) ** 2 for a, p in pairs)
+    ssm = sum(2 * abs(a - p) * 1_000_000 // (a + p) for a, p in pairs)
+    assert r["mae_micro"] == sae * 1_000_000 // 4
+    assert r["rmse_e6"] == math.floor(math.sqrt(sse / 4) * 1e6)
+    assert r["smape_micro"] == ssm // 4
+
+    short = spark.createDataFrame([(0, 5), (1, 6)], "i int, v int")
+    rs = seasonal_naive_eval(short, "i", "v", period=7).collect()[0]
+    assert rs["n_scored"] == 0 and rs["mae_micro"] is None
+
+    with pytest.raises(ValueError):
+        seasonal_naive_eval(df, "i", "v", period=0)
