@@ -3399,3 +3399,67 @@ def kendall_tau_b(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         " / SQRT(CAST(__n0 - __n1 AS DOUBLE) * CAST(__n0 - __n2 AS DOUBLE)),"
         " 6) END AS tau_b_r6",
     )
+
+
+def simpson_reversal(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col: Column,
+    outcome_col: Column,
+) -> DataFrame:
+    """Simpson's-paradox audit: does the exposure→outcome association
+    FLIP sign inside strata relative to the pooled table — the
+    aggregation-bias check every dashboard rate comparison needs
+    before anyone acts on it (the pooled rate difference can carry
+    the opposite sign of every stratum when stratum sizes confound
+    exposure; this op finds exactly those strata).
+
+    Entirely exact integer arithmetic — not even a final float: each
+    stratum's rate difference sign is the cross-multiplied
+    sign(n₁₁·n₀ − n₀₁·n₁) over exposed/unexposed counts, the pooled
+    sign likewise over totals, and `reversed` flags strata whose
+    nonzero sign opposes a nonzero pooled sign. One map-side-combined
+    pass to stratum counts; the pooled row re-aggregates the strata
+    and broadcasts back. NULL-stratum rows are excluded; NULL
+    exposure/outcome count as false (the two_proportion convention).
+    Output: one row per stratum (stratum, n, exposed, exposed_pos,
+    unexposed, unexposed_pos, d_sign, pooled_sign, reversed)."""
+    ex = exposure_col.cast("boolean")
+    oc = outcome_col.cast("boolean")
+    per = (
+        df.filter(F.col(stratum_col).isNotNull())
+        .select(
+            F.col(stratum_col).alias("stratum"),
+            F.coalesce(ex, F.lit(False)).alias("__e"),
+            F.coalesce(oc, F.lit(False)).alias("__o"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("__e"), 1).otherwise(0)).cast("long")
+            .alias("exposed"),
+            F.sum(F.when(F.col("__e") & F.col("__o"), 1).otherwise(0))
+            .cast("long").alias("exposed_pos"),
+            F.sum(F.when(~F.col("__e"), 1).otherwise(0)).cast("long")
+            .alias("unexposed"),
+            F.sum(F.when(~F.col("__e") & F.col("__o"), 1).otherwise(0))
+            .cast("long").alias("unexposed_pos"),
+        )
+    )
+    pooled = per.agg(
+        F.sum("exposed").alias("__te"),
+        F.sum("exposed_pos").alias("__tep"),
+        F.sum("unexposed").alias("__tu"),
+        F.sum("unexposed_pos").alias("__tup"),
+    ).selectExpr(
+        "CAST(SIGN(__tep * __tu - __tup * __te) AS BIGINT) AS pooled_sign"
+    )
+    return per.crossJoin(F.broadcast(pooled)).selectExpr(
+        "stratum", "n", "exposed", "exposed_pos", "unexposed",
+        "unexposed_pos",
+        "CAST(SIGN(exposed_pos * unexposed - unexposed_pos * exposed)"
+        " AS BIGINT) AS d_sign",
+        "pooled_sign",
+        "CAST(SIGN(exposed_pos * unexposed - unexposed_pos * exposed)"
+        " AS BIGINT) * pooled_sign = -1 AS reversed",
+    )

