@@ -272,3 +272,77 @@ def pairwise_winrates(
         f"CAST(FLOOR(LEAST(1.0, ({center} + {margin}) / {denom})"
         " * 1000000) AS BIGINT) AS wilson_hi_e6",
     )
+
+
+def topk_overlap_by_period(
+    df: DataFrame,
+    period_col: str,
+    key_col: str,
+    metric_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k membership stability between ADJACENT periods: per
+    integer period take the k highest-``metric_col`` keys (ties →
+    lowest key, the deterministic top-k convention), then report each
+    consecutive-period pair's retained count and Jaccard overlap —
+    the ranking-drift monitor over any leaderboard-shaped rollup
+    (trending_parts says how individual ranks MOVE; this says whether
+    the SET a consumer caches is even stable — the number that
+    decides cache TTLs and recrawl budgets).
+
+    ``df`` is the (period, key, metric) rollup grain. Per-period
+    top-k is a rank window PARTITIONED by period (WindowGroupLimit
+    pushes the k bound into the sort, the trending_parts plan shape);
+    the adjacency comparison is a self-equi-join on period+1 over the
+    k·#periods surviving rows. Exact integers: common via the join
+    count, jaccard_micro = common·10⁶ div (k_a + k_b − common).
+    Output: one row per adjacent pair with both periods present
+    (period, next_period, k_a, k_b, common, jaccard_micro)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(period_col).orderBy(
+        F.desc(metric_col), F.asc(key_col)
+    )
+    top = (
+        df.filter(
+            F.col(period_col).isNotNull()
+            & F.col(key_col).isNotNull()
+            & F.col(metric_col).isNotNull()
+        )
+        .withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .select(
+            F.col(period_col).cast("long").alias("__p"),
+            F.col(key_col).alias("__k"),
+        )
+    )
+    sizes = top.groupBy("__p").agg(F.count("*").cast("long").alias("__sz"))
+    nxt = top.select((F.col("__p") - 1).alias("__p"), F.col("__k"))
+    common = (
+        top.join(nxt, ["__p", "__k"])
+        .groupBy("__p")
+        .agg(F.count("*").cast("long").alias("__common"))
+    )
+    pairs = (
+        sizes.alias("a")
+        .join(
+            sizes.select(
+                (F.col("__p") - 1).alias("__p"), F.col("__sz").alias("__szb")
+            ).alias("b"),
+            "__p",
+        )
+        .join(common, "__p", "left")
+        .selectExpr(
+            "__p AS period",
+            "__p + 1 AS next_period",
+            "__sz AS k_a",
+            "__szb AS k_b",
+            "COALESCE(__common, 0) AS common",
+            "CAST(COALESCE(__common, 0) * 1000000"
+            " div (__sz + __szb - COALESCE(__common, 0)) AS BIGINT)"
+            " AS jaccard_micro",
+        )
+    )
+    return pairs

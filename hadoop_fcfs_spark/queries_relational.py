@@ -3902,3 +3902,63 @@ def diversified_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey",
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
     )
+
+
+@register(
+    "topk_stability_parts",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS p,
+             l_partkey AS k, CAST(SUM(l_quantity) AS BIGINT) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT p, k FROM (
+        SELECT p, k, ROW_NUMBER() OVER (PARTITION BY p
+          ORDER BY qty DESC, k ASC) AS rnk
+        FROM m) t WHERE rnk <= 10
+    ),
+    sizes AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS sz FROM top GROUP BY 1),
+    com AS (
+      SELECT a.p, CAST(COUNT(*) AS BIGINT) AS common
+      FROM top a JOIN top b ON b.p = a.p + 1 AND b.k = a.k
+      GROUP BY 1
+    )
+    SELECT a.p AS period, a.p + 1 AS next_period,
+           a.sz AS k_a, b.sz AS k_b,
+           COALESCE(c.common, 0) AS common,
+           CAST(COALESCE(c.common, 0) * 1000000
+                // (a.sz + b.sz - COALESCE(c.common, 0)) AS BIGINT)
+             AS jaccard_micro
+    FROM sizes a
+    JOIN sizes b ON b.p = a.p + 1
+    LEFT JOIN com c ON c.p = a.p
+    """,
+    doc="Month-over-month top-10 part leaderboard stability "
+    "(ops.ranking.topk_overlap_by_period): per month the 10 "
+    "highest-quantity parts (lowest-key ties), then each adjacent "
+    "pair's retained count and Jaccard overlap - trending_parts says "
+    "how individual ranks MOVE, this says whether the SET a consumer "
+    "caches is even stable (the number that sets cache TTLs / "
+    "recrawl budgets). Per-period rank window partitioned by month "
+    "(WindowGroupLimit-bounded), adjacency self-join over the "
+    "k*months survivors, exact integer Jaccard micros.",
+)
+def topk_stability_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.ranking import topk_overlap_by_period
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    m = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("p"),
+            "l_partkey",
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    )
+    return topk_overlap_by_period(m, "p", "l_partkey", "qty", k=10)

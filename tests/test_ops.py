@@ -4608,3 +4608,36 @@ def test_simpson_reversal_textbook(spark):
     )
     r = simpson_reversal(nulls, "s", F.col("e"), F.col("o")).collect()[0]
     assert r["n"] == 4 and r["exposed"] == 2 and r["exposed_pos"] == 1
+
+
+def test_topk_overlap_hand_values(spark):
+    """Three periods with known top-2 sets: overlaps and Jaccards by
+    hand; a period gap breaks adjacency (no pair row); disjoint sets
+    give 0; bad k raises."""
+    import pytest
+
+    from hadoop_fcfs_spark.ops.ranking import topk_overlap_by_period
+
+    rows = [
+        # p=1 top2 = {a, b}
+        (1, "a", 10), (1, "b", 8), (1, "c", 1),
+        # p=2 top2 = {b, d}  -> overlap with p1 = {b}: J = 1/3
+        (2, "b", 9), (2, "d", 7), (2, "a", 2),
+        # p=4 (gap at 3) top2 = {x, y}
+        (4, "x", 5), (4, "y", 4),
+    ]
+    df = spark.createDataFrame(rows, "p int, k string, v int")
+    out = {r["period"]: r for r in
+           topk_overlap_by_period(df, "p", "k", "v", k=2).collect()}
+    assert list(out) == [1]  # only (1,2) adjacent; 2->3 and 3->4 absent
+    assert out[1]["common"] == 1 and out[1]["k_a"] == 2 and out[1]["k_b"] == 2
+    assert out[1]["jaccard_micro"] == 1_000_000 // 3
+
+    disj = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 5)], "p int, k string, v int"
+    )
+    r = topk_overlap_by_period(disj, "p", "k", "v", k=2).collect()[0]
+    assert r["common"] == 0 and r["jaccard_micro"] == 0
+
+    with pytest.raises(ValueError):
+        topk_overlap_by_period(df, "p", "k", "v", k=0)
