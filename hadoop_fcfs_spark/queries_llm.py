@@ -4714,3 +4714,66 @@ def embedding_pc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pc_projection_outliers(
         emb, k=10, iterations=3, quantize=1000, scale_div=1000
     )
+
+
+@register(
+    "corpus_pipeline_v7",
+    oracle=f"""
+    WITH {_V5_PIPE_CTES},
+    sharded AS (
+      SELECT (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) * 4) // 4294967296 AS shard,
+             ntok
+      FROM mixed
+    ),
+    gg AS (
+      SELECT shard AS g, ntok AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM sharded GROUP BY 1, 2
+    ),
+    grp AS (SELECT g, SUM(c) AS ng FROM gg GROUP BY 1),
+    gv AS (SELECT v, SUM(c) AS cc FROM gg GROUP BY 1),
+    nnx AS (SELECT SUM(cc) AS t FROM gv),
+    gcum AS (
+      SELECT v, SUM(cc) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcm
+      FROM gv
+    ),
+    dense AS (
+      SELECT grp.g, gv.v, grp.ng, COALESCE(gg.c, 0) AS c
+      FROM gv CROSS JOIN grp
+      LEFT JOIN gg ON gg.g = grp.g AND gg.v = gv.v
+    ),
+    dcum AS (
+      SELECT g, v, ng,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM dense
+    )
+    SELECT g AS shard, CAST(MAX(ng) AS BIGINT) AS n_g,
+           CAST(MAX(t) AS BIGINT) AS n_total,
+           CAST(FLOOR(MAX(ABS(CAST(cum AS DOUBLE) / CAST(ng AS DOUBLE)
+                - CAST(gcm AS DOUBLE) / CAST(t AS DOUBLE))) * 1000000)
+             AS BIGINT) AS d_e6
+    FROM dcum JOIN gcum USING (v) CROSS JOIN nnx
+    GROUP BY 1
+    """,
+    doc="Composed training-data pipeline v7 - the publish QA gate: "
+    "v5's audited chain (quality floor -> survivorship dedup -> "
+    "temperature mix, SHARED _v5_stages / _V5_PIPE_CTES fragments) "
+    "-> v6's md5-shuffled 4-shard assignment -> per-shard "
+    "Kolmogorov-Smirnov D of the token-length distribution vs the "
+    "pooled export (ops.stats.ks_group_drift, dense evaluation grid, "
+    "chunked cumulatives). shard_assignment promises every shard is "
+    "an i.i.d. sample of the corpus; v7 MEASURES that promise before "
+    "anything ships - a skewed shard hash or a locality leak reads "
+    "as one shard's D spiking. Composition adds only the drift "
+    "machinery on the 4-shard grain; the shard key stays a "
+    "zero-exchange projection.",
+)
+def corpus_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sampling import shard_assignment
+    from hadoop_fcfs_spark.ops.stats import ks_group_drift
+
+    _, mixed = _v5_stages(spark, sf_dir)
+    sharded = shard_assignment(mixed, "doc_id", 4)
+    return ks_group_drift(sharded, "ntok", "shard")

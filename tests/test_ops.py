@@ -4641,3 +4641,21 @@ def test_topk_overlap_hand_values(spark):
 
     with pytest.raises(ValueError):
         topk_overlap_by_period(df, "p", "k", "v", k=0)
+
+
+def test_corpus_pipeline_v7_invariants(spark):
+    """v7 scores exactly the v6 export: shard ids within 0..3, n_total
+    equals the v5 mixed count everywhere, per-shard sizes sum to it,
+    and every D is a valid ECDF gap in [0, 1e6]."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+    from hadoop_fcfs_spark.queries_llm import _v5_stages, corpus_pipeline_v7
+
+    sf = "/root/testdata/sf0.01"
+    rows = corpus_pipeline_v7(spark, sf).collect()
+    _, mixed = _v5_stages(spark, sf)
+    n_mixed = mixed.count()
+    release_waypoints()
+    assert {r["shard"] for r in rows} <= {0, 1, 2, 3}
+    assert all(r["n_total"] == n_mixed for r in rows)
+    assert sum(r["n_g"] for r in rows) == n_mixed
+    assert all(0 <= r["d_e6"] <= 1_000_000 for r in rows)
