@@ -346,3 +346,92 @@ def topk_overlap_by_period(
         )
     )
     return pairs
+
+
+# RBO@10 frozen integer weight table (p = 0.9, Webber et al. 2010):
+# t_d = floor((1-p)·p^(d-1)/d · 1e9) is depth d's per-member weight;
+# _RBO_SFX[r] = Σ_{d=r..10} t_d is the total weight a shared member
+# first visible at depth r collects (a member with ranks ra, rb is
+# inside both prefixes from depth max(ra, rb) on). _RBO_FULL is the
+# identical-list total Σ_r SFX[r] — the truncated-RBO_min mass within
+# depth 10 (≈0.6513 of the infinite series; the remainder is the
+# unresolved tail). FROZEN INTEGER LITERALS shared verbatim with the
+# SQL oracles (the knn_ndcg_labels discipline) so the transcendental
+# weights are exact BIGINT arithmetic in both engines.
+_RBO_SFX = (235416394, 135416395, 90416396, 63416397, 45191397,
+            32069398, 22227898, 14635884, 8657173, 3874204)
+_RBO_FULL = 651321536  # sum of _RBO_SFX
+
+
+def rbo_topk_by_period(
+    df: DataFrame,
+    period_col: str,
+    key_col: str,
+    metric_col: str,
+) -> DataFrame:
+    """Rank-biased overlap (RBO@10, p = 0.9) between ADJACENT periods'
+    top-10 leaderboards — the rank-WEIGHTED upgrade of
+    :func:`topk_overlap_by_period` (Jaccard treats rank 1 and rank 10
+    alike; RBO weights agreement geometrically toward the top, which
+    is how consumers actually read a leaderboard). Truncated RBO_min
+    semantics: only the visible 10 ranks score, normalized so
+    identical lists = 10⁹ (rbo10_e9).
+
+    Per-period top-10 with ranks (row_number PARTITIONED by period,
+    lowest-key ties); shared members join on (period+1, key) carrying
+    both ranks; each contributes the FROZEN suffix weight
+    _RBO_SFX[max(ra, rb)] — exact BIGINT throughout, one final
+    integer division by _RBO_FULL. Output: one row per adjacent pair
+    with both periods present (period, next_period, common,
+    rbo10_e9)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(period_col).orderBy(
+        F.desc(metric_col), F.asc(key_col)
+    )
+    top = (
+        df.filter(
+            F.col(period_col).isNotNull()
+            & F.col(key_col).isNotNull()
+            & F.col(metric_col).isNotNull()
+        )
+        .withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= 10)
+        .select(
+            F.col(period_col).cast("long").alias("__p"),
+            F.col(key_col).alias("__k"),
+            F.col("__rnk"),
+        )
+    )
+    periods = top.select("__p").distinct()
+    nxt = top.select(
+        (F.col("__p") - 1).alias("__p"), F.col("__k"),
+        F.col("__rnk").alias("__rnkb"),
+    )
+    sfx = F.array(*[F.lit(int(x)).cast("long") for x in _RBO_SFX])
+    shared = (
+        top.join(nxt, ["__p", "__k"])
+        .withColumn(
+            "__w",
+            F.element_at(sfx, F.greatest("__rnk", "__rnkb").cast("int")),
+        )
+        .groupBy("__p")
+        .agg(
+            F.count("*").cast("long").alias("__common"),
+            F.sum("__w").cast("long").alias("__rbo"),
+        )
+    )
+    pairs = (
+        periods.join(
+            periods.select((F.col("__p") - 1).alias("__p")).alias("b"), "__p"
+        )
+        .join(shared, "__p", "left")
+        .selectExpr(
+            "__p AS period",
+            "__p + 1 AS next_period",
+            "COALESCE(__common, 0) AS common",
+            f"CAST(COALESCE(__rbo, 0) * 1000000000"
+            f" div {_RBO_FULL} AS BIGINT) AS rbo10_e9",
+        )
+    )
+    return pairs

@@ -3962,3 +3962,71 @@ def topk_stability_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
     )
     return topk_overlap_by_period(m, "p", "l_partkey", "qty", k=10)
+
+
+@register(
+    "rbo_stability_parts",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS p,
+             l_partkey AS k, CAST(SUM(l_quantity) AS BIGINT) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT p, k, rnk FROM (
+        SELECT p, k, ROW_NUMBER() OVER (PARTITION BY p
+          ORDER BY qty DESC, k ASC) AS rnk
+        FROM m) t WHERE rnk <= 10
+    ),
+    sfx(r, w) AS (VALUES
+      (1, 235416394), (2, 135416395), (3, 90416396), (4, 63416397),
+      (5, 45191397), (6, 32069398), (7, 22227898), (8, 14635884),
+      (9, 8657173), (10, 3874204)
+    ),
+    shared AS (
+      SELECT a.p, CAST(COUNT(*) AS BIGINT) AS common,
+             CAST(SUM(sfx.w) AS BIGINT) AS rbo
+      FROM top a
+      JOIN top b ON b.p = a.p + 1 AND b.k = a.k
+      JOIN sfx ON sfx.r = GREATEST(a.rnk, b.rnk)
+      GROUP BY 1
+    ),
+    periods AS (SELECT DISTINCT p FROM top)
+    SELECT a.p AS period, a.p + 1 AS next_period,
+           COALESCE(s.common, 0) AS common,
+           CAST(COALESCE(s.rbo, 0) * 1000000000 // 651321536 AS BIGINT)
+             AS rbo10_e9
+    FROM periods a
+    JOIN periods b ON b.p = a.p + 1
+    LEFT JOIN shared s ON s.p = a.p
+    """,
+    doc="Rank-biased overlap (RBO@10, p=0.9, Webber et al. 2010) "
+    "between adjacent months' top-10 part leaderboards "
+    "(ops.ranking.rbo_topk_by_period): the rank-WEIGHTED upgrade of "
+    "topk_stability_parts - Jaccard treats rank 1 and rank 10 alike, "
+    "RBO weights agreement geometrically toward the top, how "
+    "consumers actually read a leaderboard. Truncated RBO_min: the "
+    "transcendental p-power weights are FROZEN integer suffix-sum "
+    "literals shared verbatim with this oracle (the knn_ndcg_labels "
+    "discipline), each shared member contributing SFX[max(ra, rb)] "
+    "exact BIGINT, one final integer division normalizing identical "
+    "lists to 1e9.",
+)
+def rbo_stability_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.ranking import rbo_topk_by_period
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    m = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("p"),
+            "l_partkey",
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    )
+    return rbo_topk_by_period(m, "p", "l_partkey", "qty")

@@ -4659,3 +4659,41 @@ def test_corpus_pipeline_v7_invariants(spark):
     assert all(r["n_total"] == n_mixed for r in rows)
     assert sum(r["n_g"] for r in rows) == n_mixed
     assert all(0 <= r["d_e6"] <= 1_000_000 for r in rows)
+
+
+def test_rbo_topk_hand_values(spark):
+    """Identical adjacent top lists -> rbo10_e9 == 1e9 exactly; a
+    swap of ranks 1 and 2 costs nothing (same members, same max
+    depths... no: max changes) - verify against a pure-Python frozen-
+    table replica; disjoint lists -> 0."""
+    from hadoop_fcfs_spark.ops.ranking import (
+        _RBO_FULL,
+        _RBO_SFX,
+        rbo_topk_by_period,
+    )
+
+    # identical leaderboards
+    rows = [(1, f"k{i}", 100 - i) for i in range(10)]
+    rows += [(2, f"k{i}", 100 - i) for i in range(10)]
+    df = spark.createDataFrame(rows, "p int, k string, v int")
+    r = rbo_topk_by_period(df, "p", "k", "v").collect()[0]
+    assert r["common"] == 10 and r["rbo10_e9"] == 1_000_000_000
+
+    # ranks 1 and 2 swapped in the next period
+    rows = [(1, f"k{i}", 100 - i) for i in range(10)]
+    vals = list(range(100, 90, -1))
+    vals[0], vals[1] = vals[1], vals[0]
+    rows += [(2, f"k{i}", vals[i]) for i in range(10)]
+    df = spark.createDataFrame(rows, "p int, k string, v int")
+    r = rbo_topk_by_period(df, "p", "k", "v").collect()[0]
+    # replica: k0 ranks (1,2) -> SFX[2]; k1 ranks (2,1) -> SFX[2];
+    # k_i>=2 ranks (i+1, i+1) -> SFX[i+1]
+    expect = 2 * _RBO_SFX[1] + sum(_RBO_SFX[i] for i in range(2, 10))
+    assert r["rbo10_e9"] == expect * 1_000_000_000 // _RBO_FULL
+    assert r["rbo10_e9"] < 1_000_000_000  # a top-2 swap IS penalized
+
+    disj = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 5)], "p int, k string, v int"
+    )
+    r = rbo_topk_by_period(disj, "p", "k", "v").collect()[0]
+    assert r["common"] == 0 and r["rbo10_e9"] == 0
