@@ -1102,3 +1102,102 @@ def pc_projection_outliers(
         .orderBy(F.abs(F.col("projection")).desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pq_distortion_audit(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ quantization-distortion audit: for every (query, doc) pair,
+    compare the ADC approximate distance (the number pq_adc_topk
+    ranks by) against the exact squared L2, and roll up mean/max
+    RELATIVE distortion — the measured-error QA loop that completes
+    the approximation tier (ann_ivf_recall audits IVF routing,
+    minhash_estimate_audit audits the signature estimator, this
+    audits the codebook: a distortion creeping up means the codebook
+    no longer fits the corpus and recall will follow it down).
+
+    Queries are few → broadcast (the cosine_pairs shape): the corpus
+    is scanned once against per-query LUTs; the exact distance is the
+    same per-subspace fold ADC uses, evaluated on the raw subvectors
+    instead of codewords — identical accumulation ORDER (j then
+    within-subspace left-to-right), so the two numbers differ only by
+    quantization, never float ordering. Per pair the relative
+    distortion floor(|adc − exact|/exact · 10⁶) is an exact integer
+    (pairs with exact = 0 are excluded — relative error is undefined
+    at zero and those pairs are exact matches anyway); mean = sum div
+    count. Output: 1 row (n_pairs, mean_rel_distortion_micro,
+    max_rel_distortion_micro)."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    docs = corpus.select(
+        F.col(id_col).alias("__did"), F.col(vec_col).alias("__dv")
+    ).join(codes.select(F.col(id_col).alias("__did"), "codes"), "__did")
+
+    qv = F.col(vec_col)
+    lut_terms = []
+    for j in range(m):
+        sub = F.slice(qv, j * dsub + 1, dsub)
+        for c in range(ksub):
+            lut_terms.append(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(float(x)) for x in codebooks[j][c]]),
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+    q = queries.select(
+        F.col(id_col).alias("__qid"),
+        F.array(*lut_terms).alias("__lut"),
+        qv.alias("__qv"),
+    )
+    pairs = docs.crossJoin(F.broadcast(q))
+    adc = None
+    exact = None
+    for j in range(m):
+        a_term = F.element_at(
+            F.col("__lut"),
+            (F.lit(j * ksub) + F.element_at(F.col("codes"), j + 1) + 1)
+            .cast("int"),
+        )
+        e_term = F.aggregate(
+            F.zip_with(
+                F.slice(F.col("__qv"), j * dsub + 1, dsub),
+                F.slice(F.col("__dv"), j * dsub + 1, dsub),
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        adc = a_term if adc is None else adc + a_term
+        exact = e_term if exact is None else exact + e_term
+    scored = pairs.select(
+        adc.alias("__adc"), exact.alias("__exact")
+    ).filter(F.col("__exact") > 0).select(
+        F.floor(
+            F.abs(F.col("__adc") - F.col("__exact"))
+            / F.col("__exact")
+            * 1_000_000
+        ).cast("long").alias("__rd")
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("__rd").alias("__srd"),
+        F.max("__rd").cast("long").alias("max_rel_distortion_micro"),
+    ).selectExpr(
+        "n_pairs",
+        "CASE WHEN n_pairs > 0 THEN CAST(__srd div n_pairs AS BIGINT)"
+        " END AS mean_rel_distortion_micro",
+        "max_rel_distortion_micro",
+    )

@@ -4777,3 +4777,90 @@ def corpus_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, mixed = _v5_stages(spark, sf_dir)
     sharded = shard_assignment(mixed, "doc_id", 4)
     return ks_group_drift(sharded, "ntok", "shard")
+
+
+@register(
+    "pq_distortion_audit",
+    oracle=f"""
+    WITH cb AS (
+      SELECT vec_id - 100 AS c, embedding AS cemb
+      FROM embeddings WHERE vec_id BETWEEN 100 AND 107
+    ),
+    subspaces AS (SELECT UNNEST(generate_series(0, 3)) AS j),
+    enc_d AS (
+      SELECT e.vec_id, s.j, cb.c,
+             {_pq_sql_subdist("e.embedding", "cb.cemb")} AS dist
+      FROM embeddings e CROSS JOIN subspaces s CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        FROM enc_d) WHERE rn = 1
+    ),
+    q_d AS (
+      SELECT qe.vec_id AS query_id, s.j, cb.c,
+             {_pq_sql_subdist("qe.embedding", "cb.cemb")} AS dist
+      FROM embeddings qe CROSS JOIN subspaces s CROSS JOIN cb
+      WHERE qe.vec_id < 5
+    ),
+    adc AS (
+      SELECT q.query_id, co.vec_id,
+             list_sum(list(q.dist ORDER BY q.j)) AS adist
+      FROM codes co JOIN q_d q ON q.j = co.j AND q.c = co.c
+      GROUP BY 1, 2
+    ),
+    ex_d AS (
+      SELECT qe.vec_id AS query_id, e.vec_id, s.j,
+             {_pq_sql_subdist("qe.embedding", "e.embedding")} AS dist
+      FROM embeddings qe CROSS JOIN embeddings e CROSS JOIN subspaces s
+      WHERE qe.vec_id < 5
+    ),
+    exact AS (
+      SELECT query_id, vec_id,
+             list_sum(list(dist ORDER BY j)) AS edist
+      FROM ex_d GROUP BY 1, 2
+    ),
+    rd AS (
+      SELECT CAST(FLOOR(ABS(a.adist - x.edist) / x.edist * 1000000)
+               AS BIGINT) AS r
+      FROM adc a JOIN exact x USING (query_id, vec_id)
+      WHERE x.edist > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST(SUM(r) // COUNT(*) AS BIGINT)
+           END AS mean_rel_distortion_micro,
+           CAST(MAX(r) AS BIGINT) AS max_rel_distortion_micro
+    FROM rd
+    """,
+    doc="PQ quantization-distortion audit "
+    "(llm.similarity.pq_distortion_audit, same 4x16-subspace / "
+    "8-codeword fixture as ann_pq_adc_topk): per (query, doc) pair, "
+    "|ADC approximate - exact squared L2| / exact, rolled up to "
+    "mean/max - the measured-error loop that completes the "
+    "approximation tier (ann_ivf_recall audits IVF routing, "
+    "minhash_estimate_audit the signature estimator, this the "
+    "CODEBOOK: distortion creeping up means the codebook no longer "
+    "fits the corpus and recall follows it down). Exact distance uses "
+    "the SAME per-subspace fold as ADC on raw subvectors - identical "
+    "accumulation order (ordered list_sum over j in the oracle), so "
+    "the two numbers differ only by quantization; per-pair relative "
+    "distortion is an exact floor-micro integer, mean = sum div n.",
+)
+def pq_distortion_audit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import pq_distortion_audit
+
+    emb = t(spark, sf_dir, "embeddings")
+    cb_rows = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") <= 107))
+        .orderBy("vec_id")
+        .collect()
+    )
+    codebooks = [
+        [[float(x) for x in r["embedding"][j * 16 : (j + 1) * 16]]
+         for r in cb_rows]
+        for j in range(4)
+    ]
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_distortion_audit(emb, queries, codebooks)

@@ -4697,3 +4697,53 @@ def test_rbo_topk_hand_values(spark):
     )
     r = rbo_topk_by_period(disj, "p", "k", "v").collect()[0]
     assert r["common"] == 0 and r["rbo10_e9"] == 0
+
+
+def test_pq_distortion_audit_replica(spark):
+    """Distortion stats equal a pure-numpy replica of the same
+    algorithm (encode -> ADC vs exact with matching fold order), and
+    a corpus whose vectors ARE the codewords has zero distortion."""
+    import math
+
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.similarity import pq_distortion_audit
+
+    rng = np.random.RandomState(17)
+    dim, m, dsub, ksub = 8, 2, 4, 3
+    cbs = [[list(map(float, rng.randn(dsub))) for _ in range(ksub)]
+           for _ in range(m)]
+    vecs = rng.randn(12, dim)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    queries = df.filter("vec_id < 2")
+    r = pq_distortion_audit(df, queries, cbs).collect()[0]
+
+    def sub(v, j):
+        return np.asarray(v[j * dsub:(j + 1) * dsub], dtype=float)
+
+    rds = []
+    for qi in range(2):
+        for di in range(12):
+            adc = exact = 0.0
+            for j in range(m):
+                ds = [float(((sub(vecs[di], j) - np.asarray(c)) ** 2).sum())
+                      for c in cbs[j]]
+                code = min(range(ksub), key=lambda c: (ds[c], c))
+                adc += float(((sub(vecs[qi], j)
+                               - np.asarray(cbs[j][code])) ** 2).sum())
+                exact += float(((sub(vecs[qi], j) - sub(vecs[di], j)) ** 2).sum())
+            if exact > 0:
+                rds.append(math.floor(abs(adc - exact) / exact * 1e6))
+    assert r["n_pairs"] == len(rds)
+    assert r["mean_rel_distortion_micro"] == sum(rds) // len(rds)
+    assert r["max_rel_distortion_micro"] == max(rds)
+
+    # corpus = the codewords themselves -> ADC == exact everywhere
+    cw = [(i, [float(x) for x in (cbs[0][i % ksub] + cbs[1][i % ksub])])
+          for i in range(ksub)]
+    dfc = spark.createDataFrame(cw, "vec_id int, embedding array<double>")
+    rz = pq_distortion_audit(dfc, dfc.filter("vec_id = 0"), cbs).collect()[0]
+    assert rz["max_rel_distortion_micro"] == 0

@@ -585,6 +585,7 @@ def test_no_unallowed_driver_collects_static_sweep():
         ("queries_llm.py", "ann_ivf_recall"),        # 16 fixture quantizer vectors
         ("queries_llm.py", "ann_pq_adc_topk"),       # 8 codebook vectors
         ("queries_llm.py", "ann_ivf_pq_topk"),       # 16 cents + 8 codebook vectors
+        ("queries_llm.py", "pq_distortion_audit_gate"),  # 8 codebook vectors
         ("queries_llm.py", "ann_rp_lsh_topk"),       # 16 fixture query vectors
         ("queries_llm.py", "semdedup_gate"),         # 16 fixture quantizer vectors
         ("bench/tera.py", "teravalidate"),           # one stats row per partition
