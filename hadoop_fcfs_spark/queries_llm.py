@@ -4354,6 +4354,91 @@ def knn_ndcg_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_map_labels",
+    oracle=f"""
+    WITH {_KNN_RANKED_CTES},
+    hits AS (
+      SELECT query_id, rank,
+             CASE WHEN label = qlab THEN 1 ELSE 0 END AS rel,
+             CAST(SUM(CASE WHEN label = qlab THEN 1 ELSE 0 END)
+               OVER (PARTITION BY query_id ORDER BY rank) AS BIGINT) AS h
+      FROM ranked WHERE rank <= 10
+    ),
+    ap AS (
+      SELECT query_id,
+             CAST(SUM(CASE WHEN rel = 1
+               THEN (2520 // rank) * h ELSE 0 END) AS BIGINT) AS ap_num,
+             CAST(SUM(rel) AS BIGINT) AS n_rel_top10
+      FROM hits GROUP BY 1
+    ),
+    rel_tot AS (
+      SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS r_total
+      FROM q JOIN embeddings e
+        ON e.label = q.qlab AND e.vec_id <> q.query_id
+      GROUP BY 1
+    )
+    SELECT a.query_id, a.n_rel_top10, r.r_total,
+           CAST((a.ap_num * 1000000) // (2520 * LEAST(r.r_total, 10))
+             AS BIGINT) AS ap_micro
+    FROM ap a JOIN rel_tot r USING (query_id)
+    """,
+    doc="Exact average precision at 10 (AP@10, the per-query table "
+    "under MAP) of the cosine retrieval against label relevance - "
+    "the last standard ranking eval the tier lacked (recall@10 = set "
+    "overlap, MRR = first hit, NDCG = graded depth; AP integrates "
+    "precision over EVERY hit). P@k = hits/k is made exact by "
+    "scaling with 2520 = lcm(1..10): each relevant rank k "
+    "contributes (2520 div k) * hits@k in BIGINT, and ap_micro = "
+    "ap_num * 1e6 div (2520 * min(R, 10)) is ONE integer division - "
+    "no float anywhere. hits@k is a rank-ordered running sum over "
+    "the KEY-BOUNDED top-10 window (10 rows per query, never data-"
+    "grain). Ranking determinism and the R-total broadcast are the "
+    "knn_ndcg_labels machinery verbatim (shared _KNN_RANKED_CTES "
+    "replay); zero-relevant queries drop, the ndcg convention.",
+)
+def knn_map_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.llm.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    top = cosine_topk(emb, queries, k=10)
+    labs = emb.select("vec_id", "label")
+    qlabs = labs.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "qlab"
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    scored = (
+        top.join(labs, "vec_id")
+        .join(F.broadcast(qlabs), "query_id")
+        .withColumn(
+            "__rel", (F.col("label") == F.col("qlab")).cast("long")
+        )
+        .withColumn("__h", F.sum("__rel").over(w))
+    )
+    ap = scored.groupBy("query_id").agg(
+        F.sum(
+            F.expr("CASE WHEN __rel = 1 THEN (2520 div rank) * __h"
+                   " ELSE 0 END")
+        ).cast("long").alias("__num"),
+        F.sum("__rel").cast("long").alias("n_rel_top10"),
+    )
+    rel = (
+        F.broadcast(qlabs)
+        .join(labs, qlabs.qlab == labs.label)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("r_total"))
+    )
+    return ap.join(rel, "query_id").selectExpr(
+        "query_id", "n_rel_top10", "r_total",
+        "CAST((__num * 1000000) div (2520 * LEAST(r_total, 10))"
+        " AS BIGINT) AS ap_micro",
+    )
+
+
+@register(
     "cochran_langid",
     oracle=f"""
     WITH {_langid_chain("text")},{_langid_chain("substring(text, 1, 120)", "_t")},{_langid_chain("substring(text, 1, 60)", "_s")},

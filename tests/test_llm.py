@@ -1450,6 +1450,34 @@ def test_knn_ndcg_hand_values(spark, tmp_path):
     assert all(0 <= r["ndcg_micro"] <= 1_000_000 for r in out.values())
 
 
+def test_knn_map_hand_values(spark, tmp_path):
+    """AP@10 lcm-2520 arithmetic on the ndcg fixture: query 0 has
+    relevant hits at ranks 1 and 3 (hits@1=1, hits@3=2), so
+    ap_num = 2520*1 + (2520//3)*2 = 4200 over denom 2520*min(2,10),
+    i.e. AP = (1 + 2/3)/2 = 5/6."""
+    from hadoop_fcfs_spark.queries_llm import knn_map_labels
+
+    rows = [
+        (0, [1.0, 0.0], 1),     # query
+        (1, [1.0, 0.1], 1),     # rank 1, relevant
+        (2, [1.0, 0.3], 0),     # rank 2, not
+        (3, [0.0, 1.0], 1),     # rank 3, relevant
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    out = {r["query_id"]: r for r in knn_map_labels(spark, sf).collect()}
+    q0 = out[0]
+    assert q0["n_rel_top10"] == 2 and q0["r_total"] == 2
+    assert q0["ap_micro"] == 4200 * 1_000_000 // 5040 == 833_333
+    # zero-relevant query drops (ndcg convention); perfect single-hit
+    # retrieval (query 3: only relevant doc at rank 1 of R=2... just
+    # bound-check every reported value
+    assert 2 not in out and {0, 1, 3} <= set(out)
+    assert all(0 <= r["ap_micro"] <= 1_000_000 for r in out.values())
+
+
 def _make_bmp(pixels):
     """Minimal 24-bit uncompressed BMP writer (rows top-to-bottom in;
     stored bottom-up per the format). pixels: list of rows of (r,g,b)."""
