@@ -2808,6 +2808,92 @@ def friedman_test(
     )
 
 
+def page_trend_test(
+    df: DataFrame, block_col: str, ord_col: str, value_col: str
+) -> DataFrame:
+    """Page's trend test: do k treatments follow one HYPOTHESIZED
+    ordering within every block — the ordered-alternative sibling of
+    :func:`friedman_test` (Friedman asks "do the arms differ at all
+    across matched blocks"; Page asks "do they differ in THIS
+    direction"), and the blocked sibling of the Jonckheere–Terpstra
+    test (JT = ordered alternative over independent groups, this =
+    ordered alternative over matched blocks). More powerful than
+    Friedman whenever a monotone dose/priority/severity order exists.
+
+    ``ord_col`` must hold the hypothesized treatment position as a
+    DENSE integer 1..k (the caller maps labels to positions — e.g.
+    the leading digit of '1-URGENT'..'5-LOW'); the statistic z is
+    NULLed (l2 still reported) if the positions are not dense, since
+    the classic moments assume scores 1..k. Blocks missing any
+    treatment are EXCLUDED (complete-block rule, count visible).
+
+    L = Σ_j j·R_j over within-block midranks; carried as the exact
+    BIGINT 2L = Σ j·(2R) via the 2x-midrank idiom (2R = 2·before +
+    c + 1 on the (block, value) sub-grain). Under H0, E[2L] =
+    n·k·(k+1)²/2 (always an exact integer) and Var[L] =
+    n·k²·(k+1)·(k²−1)/144 — the classic no-ties moments (midranks
+    keep L well-defined under ties; the variance is then the
+    standard conservative approximation). z = (2L − E[2L]) /
+    sqrt(4·Var[L]) is ONE flat double expression of exact integers +
+    one sqrt, floored to e6.
+
+    Scale shape: identical to friedman_test — ONE map-side-combined
+    pass to the (block, treatment) cell grain, block-partitioned
+    windows over k-bounded cells, scalar reduce. Output: 1 row
+    (k_treatments, n_blocks, l2, z_e6)."""
+    from pyspark.sql import Window
+
+    cells = (
+        df.filter(
+            F.col(block_col).isNotNull()
+            & F.col(ord_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(block_col).alias("__b"),
+            F.col(ord_col).cast("long").alias("__j"),
+        )
+        .agg(F.min(value_col).alias("__v"))
+    )
+    k_df = cells.agg(
+        F.countDistinct("__j").cast("long").alias("__k"),
+        F.min("__j").cast("long").alias("__mn"),
+        F.max("__j").cast("long").alias("__mx"),
+    )
+    complete = (
+        cells.groupBy("__b")
+        .agg(F.count("*").cast("long").alias("__nt"))
+        .crossJoin(F.broadcast(k_df))
+        .filter(F.col("__nt") == F.col("__k"))
+        .select("__b")
+    )
+    kept = cells.join(complete, "__b")
+    sub = kept.groupBy("__b", "__v").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    w = Window.partitionBy("__b").orderBy("__v")
+    sub = sub.withColumn("__before", F.sum("__c").over(w) - F.col("__c"))
+    ranked = kept.join(sub, ["__b", "__v"]).withColumn(
+        "__r2", 2 * F.col("__before") + F.col("__c") + 1
+    )
+    m = ranked.agg(
+        F.sum(F.col("__j") * F.col("__r2")).cast("long").alias("__l2"),
+        F.countDistinct("__b").cast("long").alias("__n"),
+    )
+    return m.crossJoin(F.broadcast(k_df)).selectExpr(
+        "__k AS k_treatments",
+        "COALESCE(__n, 0) AS n_blocks",
+        "__l2 AS l2",
+        "CASE WHEN __k > 1 AND __n > 0 AND __mn = 1 AND __mx = __k"
+        " THEN CAST(FLOOR("
+        "CAST(__l2 - (__n * __k * (__k + 1) * (__k + 1)) div 2 AS DOUBLE)"
+        " / sqrt(CAST(__n AS DOUBLE) * CAST(__k AS DOUBLE)"
+        " * CAST(__k AS DOUBLE) * (CAST(__k AS DOUBLE) + 1.0)"
+        " * (CAST(__k AS DOUBLE) * CAST(__k AS DOUBLE) - 1.0) / 36.0)"
+        " * 1000000) AS BIGINT) END AS z_e6",
+    )
+
+
 def isotonic_calibration(
     df: DataFrame, score_col: str, label_col: Column | str, n_bins: int = 10
 ) -> DataFrame:

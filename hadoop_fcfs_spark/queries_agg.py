@@ -4275,6 +4275,81 @@ def friedman_priority_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "page_trend_priority",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS b,
+             CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS j,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    kk AS (SELECT CAST(COUNT(DISTINCT j) AS BIGINT) AS k,
+                  CAST(MIN(j) AS BIGINT) AS mn,
+                  CAST(MAX(j) AS BIGINT) AS mx FROM cells),
+    comp AS (
+      SELECT b FROM cells GROUP BY b
+      HAVING COUNT(*) = (SELECT k FROM kk)
+    ),
+    kept AS (SELECT c.* FROM cells c JOIN comp USING (b)),
+    sub0 AS (SELECT b, v, CAST(COUNT(*) AS BIGINT) AS c FROM kept GROUP BY 1, 2),
+    sub AS (
+      SELECT b, v, c,
+             CAST(COALESCE(SUM(c) OVER (PARTITION BY b ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS bef
+      FROM sub0
+    ),
+    rk AS (
+      SELECT k2.j, 2 * s.bef + s.c + 1 AS r2
+      FROM kept k2 JOIN sub s ON s.b = k2.b AND s.v = k2.v
+    ),
+    m AS (SELECT CAST(SUM(j * r2) AS BIGINT) AS l2 FROM rk),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM comp)
+    SELECT k AS k_treatments, COALESCE(n, 0) AS n_blocks, l2 AS l2,
+      CASE WHEN k > 1 AND n > 0 AND mn = 1 AND mx = k THEN CAST(FLOOR(
+        CAST(l2 - (n * k * (k + 1) * (k + 1)) // 2 AS DOUBLE)
+        / sqrt(CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+               * (CAST(k AS DOUBLE) + 1.0)
+               * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) / 36.0)
+        * 1000000) AS BIGINT) END AS z_e6
+    FROM m CROSS JOIN nb CROSS JOIN kk
+    """,
+    doc="Page's trend test across the 5 order priorities (hypothesized "
+    "order = the priority's leading digit, 1-URGENT..5-LOW) blocked by "
+    "calendar month on order VOLUME (ops.stats.page_trend_test): the "
+    "ordered-alternative completion of the blocked-rank family - "
+    "friedman_priority_volume asks whether the monthly priority "
+    "ranking shuffles AT ALL, this asks whether it tilts in the "
+    "specific urgent-to-low direction (and jonckheere_priority_price "
+    "is the same question without blocks). Identical grain and "
+    "complete-block rule as the Friedman gate (shared cell CTE "
+    "shape), 2x-midrank BIGINT L, classic moments, ONE flat "
+    "double + sqrt floored to e6.",
+)
+def page_trend_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import page_trend_test
+
+    orders = t(spark, sf_dir, "orders")
+    cells = (
+        orders.filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("ym"),
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("pj"),
+        )
+        .agg(F.count("*").cast("long").alias("vol"))
+    )
+    return page_trend_test(cells, "ym", "pj", "vol")
+
+
+@register(
     "isotonic_orderstatus",
     oracle="""
     WITH g AS (

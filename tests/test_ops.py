@@ -4747,3 +4747,31 @@ def test_pq_distortion_audit_replica(spark):
     dfc = spark.createDataFrame(cw, "vec_id int, embedding array<double>")
     rz = pq_distortion_audit(dfc, dfc.filter("vec_id = 0"), cbs).collect()[0]
     assert rz["max_rel_distortion_micro"] == 0
+
+
+def test_page_trend_hand_values(spark):
+    """Perfect monotone trend, k=3 arms x n=2 complete blocks, no
+    ties: within-block ranks are (1,2,3) so L = 2*(1+4+9) = 28 (l2 =
+    56), E[L] = 2*3*16/4 = 24, Var[L] = 2*9*4*8/144 = 4 -> z = 2
+    exactly. An all-tied block contributes midrank 2 to every arm."""
+    from hadoop_fcfs_spark.ops.stats import page_trend_test
+
+    rows = [(b, j, 10 * b + j) for b in (1, 2) for j in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "b int, j int, v int")
+    r = page_trend_test(df, "b", "j", "v").collect()[0]
+    assert r["k_treatments"] == 3 and r["n_blocks"] == 2
+    assert r["l2"] == 56 and r["z_e6"] == 2_000_000
+
+    # incomplete block dropped; all-tied block -> every arm midrank 2
+    rows = [(1, 1, 5), (1, 2, 5), (1, 3, 5), (2, 1, 9)]
+    df = spark.createDataFrame(rows, "b int, j int, v int")
+    r = page_trend_test(df, "b", "j", "v").collect()[0]
+    assert r["n_blocks"] == 1
+    # l2 = sum j * 2R = (1+2+3) * 4 = 24; L = 12 = E[L] -> z = 0
+    assert r["l2"] == 24 and r["z_e6"] == 0
+
+    # non-dense hypothesized positions (2,3,4): l2 reported, z NULLed
+    rows = [(b, j, 10 * b + j) for b in (1, 2) for j in (2, 3, 4)]
+    df = spark.createDataFrame(rows, "b int, j int, v int")
+    r = page_trend_test(df, "b", "j", "v").collect()[0]
+    assert r["z_e6"] is None and r["l2"] == 2 * (2 * 1 + 3 * 2 + 4 * 3) * 2
