@@ -666,6 +666,75 @@ def weighted_median(
     )
 
 
+def hodges_lehmann_shift(
+    df: DataFrame, value_col: str, group_col: str, group_a, group_b
+) -> DataFrame:
+    """Hodges–Lehmann shift estimator: the median of all pairwise
+    differences a_i − b_j between two groups — the EFFECT-SIZE
+    companion to :func:`mann_whitney_u` (MWU says "the distributions
+    differ"; HL says "by this much", robustly — unlike the difference
+    of means it ignores outliers, and unlike the difference of
+    medians it uses every pair). The rank-family counterpart of
+    effect_sizes' Cohen's d.
+
+    Input values must be INTEGERS (counts, cents, micros) so the
+    estimator is exact: the 2x-median idiom reports hl2_shift =
+    lower-median + upper-median of the n_a·n_b differences (divide by
+    2 downstream; for odd pair counts both crossings coincide).
+
+    Scale shape: each group collapses to its distinct-VALUE grain
+    first (map-side combined — the caller should already be passing a
+    bounded grain, e.g. daily counts, since the pair grid is
+    |V_A|·|V_B| — quadratic in the GRAIN, never in the data), then the
+    difference distribution is a cross join of the two grains with
+    weight c_a·c_b, re-collapsed to the difference grain, prefix-
+    summed through ops.sort.global_running_sum (range-partitioned —
+    no single-task window), and the two central order statistics are
+    the first threshold crossings (the weighted_median 2·cum rule).
+    Output: 1 row (n_a, n_b, n_pairs, hl2_shift)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    base = df.filter(F.col(value_col).isNotNull())
+    ga = waypoint(
+        base.filter(F.col(group_col) == group_a)
+        .groupBy(F.col(value_col).cast("long").alias("__va"))
+        .agg(F.count("*").cast("long").alias("__ca"))
+    )
+    gb = waypoint(
+        base.filter(F.col(group_col) == group_b)
+        .groupBy(F.col(value_col).cast("long").alias("__vb"))
+        .agg(F.count("*").cast("long").alias("__cb"))
+    )
+    grain = waypoint(
+        ga.crossJoin(gb)
+        .groupBy((F.col("__va") - F.col("__vb")).alias("__d"))
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).cast("long").alias("__w"))
+    )
+    tot = grain.agg(F.sum("__w").cast("long").alias("__np"))
+    cumt = global_running_sum(grain, ["__d"], "__w", out_col="__cum").crossJoin(
+        F.broadcast(tot)
+    )
+    lo = cumt.filter(2 * F.col("__cum") >= F.col("__np")).agg(
+        F.min("__d").alias("__lo")
+    )
+    hi = cumt.filter(
+        2 * F.col("__cum") >= F.col("__np") + 2 - F.col("__np") % 2
+    ).agg(F.min("__d").alias("__hi"))
+    na = ga.agg(F.sum("__ca").cast("long").alias("n_a"))
+    nb = gb.agg(F.sum("__cb").cast("long").alias("n_b"))
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .selectExpr(
+            "n_a", "n_b", "__np AS n_pairs",
+            "CAST(__lo + __hi AS BIGINT) AS hl2_shift",
+        )
+    )
+
+
 def wilson_lower_bound(
     successes: Column, trials: Column, z: float = 1.96
 ) -> Column:

@@ -4350,6 +4350,61 @@ def page_trend_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hodges_lehmann_daily",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v FROM events
+      WHERE event_type = 'click'
+      GROUP BY CAST(CAST(ts AS DATE) AS VARCHAR)
+    ),
+    b AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY CAST(CAST(ts AS DATE) AS VARCHAR)
+    ),
+    ga AS (SELECT v AS va, CAST(COUNT(*) AS BIGINT) AS ca FROM a GROUP BY 1),
+    gb AS (SELECT v AS vb, CAST(COUNT(*) AS BIGINT) AS cb FROM b GROUP BY 1),
+    grain AS (
+      SELECT va - vb AS d, CAST(SUM(ca * cb) AS BIGINT) AS w
+      FROM ga CROSS JOIN gb GROUP BY 1
+    ),
+    cum AS (SELECT d, CAST(SUM(w) OVER (ORDER BY d) AS BIGINT) AS cum
+            FROM grain),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS np FROM grain),
+    na AS (SELECT CAST(SUM(ca) AS BIGINT) AS n FROM ga),
+    nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS n FROM gb),
+    lo AS (SELECT CAST(MIN(d) AS BIGINT) AS lo
+           FROM cum CROSS JOIN tot WHERE 2 * cum >= np),
+    hi AS (SELECT CAST(MIN(d) AS BIGINT) AS hi
+           FROM cum CROSS JOIN tot WHERE 2 * cum >= np + 2 - (np % 2))
+    SELECT na.n AS n_a, nb.n AS n_b, tot.np AS n_pairs,
+           lo.lo + hi.hi AS hl2_shift
+    FROM na CROSS JOIN nb CROSS JOIN tot CROSS JOIN lo CROSS JOIN hi
+    """,
+    doc="Hodges-Lehmann shift between daily click and purchase volumes "
+    "(ops.stats.hodges_lehmann_shift): the robust how-much-bigger "
+    "estimate that completes the two-sample location story - "
+    "mwu_priority_price detects a shift, effect_sizes_returnflag "
+    "scales it parametrically (Cohen's d) and ordinally (Cliff's "
+    "delta), HL states it in the measurement's own units as the "
+    "median of ALL n_a*n_b pairwise differences. Day-grain collapse "
+    "BEFORE the quadratic pair grid (30x30 days here - the grain, "
+    "never the data, is squared), difference distribution "
+    "re-collapsed and prefix-summed range-partitioned, exact 2x "
+    "central order statistics via the weighted_median 2*cum rule. "
+    "All-BIGINT end to end - zero floats anywhere.",
+)
+def hodges_lehmann_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import hodges_lehmann_shift
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").cast("string").alias("day"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    return hodges_lehmann_shift(daily, "n", "event_type", "click", "purchase")
+
+
+@register(
     "isotonic_orderstatus",
     oracle="""
     WITH g AS (

@@ -4775,3 +4775,30 @@ def test_page_trend_hand_values(spark):
     df = spark.createDataFrame(rows, "b int, j int, v int")
     r = page_trend_test(df, "b", "j", "v").collect()[0]
     assert r["z_e6"] is None and r["l2"] == 2 * (2 * 1 + 3 * 2 + 4 * 3) * 2
+
+
+def test_hodges_lehmann_hand_values(spark):
+    """Even pair count: A={1,2}, B={0} -> diffs {1,2}, medians 1 and 2
+    -> hl2 = 3 (HL = 1.5). Odd: A={5}, B={1,2,4} -> diffs {1,3,4},
+    both crossings at 3 -> hl2 = 6. Duplicate values weight the grid:
+    A={2,2}, B={1} -> one diff cell d=1 with w=2 -> hl2 = 2."""
+    from hadoop_fcfs_spark.ops.stats import hodges_lehmann_shift
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 0)], "g string, v int"
+    )
+    r = hodges_lehmann_shift(df, "v", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_pairs"]) == (2, 1, 2)
+    assert r["hl2_shift"] == 3
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 1), ("b", 2), ("b", 4)], "g string, v int"
+    )
+    r = hodges_lehmann_shift(df, "v", "g", "a", "b").collect()[0]
+    assert r["n_pairs"] == 3 and r["hl2_shift"] == 6
+
+    df = spark.createDataFrame(
+        [("a", 2), ("a", 2), ("b", 1)], "g string, v int"
+    )
+    r = hodges_lehmann_shift(df, "v", "g", "a", "b").collect()[0]
+    assert r["n_pairs"] == 2 and r["hl2_shift"] == 2
