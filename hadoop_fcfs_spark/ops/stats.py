@@ -3486,24 +3486,13 @@ def cuped_adjustment(
     )
 
 
-def kendall_tau_b(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
-    """Kendall's τ-b between two numeric columns of a SUMMARY grain —
-    the concordance correlation that completes the dependence family
-    (lineitem_corr = linear, spearman = monotone via ranks, this =
-    pairwise concordance, the most ordinal-honest of the three and
-    the one with the cleanest tie story). Use it where the grain is
-    bounded (daily rollups, per-group summaries — the mann_kendall
-    contract); τ-b IS mann_kendall's effect size with time swapped
-    for a second metric.
-
-    The pair set is a broadcast nested-loop self-join on i < j over
-    GRAIN rows (~n²/2 pairs of a day-grain series, never data rows).
-    Exact BIGINT counts: concordant C, discordant D, tied-in-x n1,
-    tied-in-y n2 (a pair tied in both counts in both), n0 = n(n−1)/2;
-    τ_b = (C−D)/√((n0−n1)(n0−n2)) is one flat double with a single
-    sqrt, rounded @6; NULL when either denominator factor is 0
-    (a constant column). Output: 1 row (n, concordant, discordant,
-    tau_b_r6)."""
+def _concordance_counts(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Shared pair-census under the concordance statistics: one row
+    (n, concordant, discordant, __n1 tied-in-x, __n2 tied-in-y,
+    __n0 = n(n−1)/2 pairs) over the i < j pair set of a SUMMARY
+    grain. Consumed by :func:`kendall_tau_b` (τ-b) and
+    :func:`ordinal_association` (γ, Somers' D) so the two gates
+    replay identical counts."""
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(
@@ -3546,13 +3535,67 @@ def kendall_tau_b(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.count("*").cast("long").alias("__n0"),
     )
     cnt = base.agg(F.count("*").cast("long").alias("n"))
-    return agg.crossJoin(F.broadcast(cnt)).selectExpr(
+    return agg.crossJoin(F.broadcast(cnt))
+
+
+def kendall_tau_b(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Kendall's τ-b between two numeric columns of a SUMMARY grain —
+    the concordance correlation that completes the dependence family
+    (lineitem_corr = linear, spearman = monotone via ranks, this =
+    pairwise concordance, the most ordinal-honest of the three and
+    the one with the cleanest tie story). Use it where the grain is
+    bounded (daily rollups, per-group summaries — the mann_kendall
+    contract); τ-b IS mann_kendall's effect size with time swapped
+    for a second metric.
+
+    The pair set is a broadcast nested-loop self-join on i < j over
+    GRAIN rows (~n²/2 pairs of a day-grain series, never data rows).
+    Exact BIGINT counts: concordant C, discordant D, tied-in-x n1,
+    tied-in-y n2 (a pair tied in both counts in both), n0 = n(n−1)/2;
+    τ_b = (C−D)/√((n0−n1)(n0−n2)) is one flat double with a single
+    sqrt, rounded @6; NULL when either denominator factor is 0
+    (a constant column). Output: 1 row (n, concordant, discordant,
+    tau_b_r6)."""
+    return _concordance_counts(df, x_col, y_col).selectExpr(
         "n", "COALESCE(concordant, 0) AS concordant",
         "COALESCE(discordant, 0) AS discordant",
         "CASE WHEN (__n0 - __n1) > 0 AND (__n0 - __n2) > 0 THEN ROUND("
         "CAST(concordant - discordant AS DOUBLE)"
         " / SQRT(CAST(__n0 - __n1 AS DOUBLE) * CAST(__n0 - __n2 AS DOUBLE)),"
         " 6) END AS tau_b_r6",
+    )
+
+
+def ordinal_association(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Goodman–Kruskal γ and both Somers' D asymmetries over the SAME
+    pair census as :func:`kendall_tau_b` — the tie-handling spectrum
+    of ordinal association in one pass: γ = (C−D)/(C+D) ignores ties
+    entirely (how consistent are the pairs that DO order), Somers'
+    D_yx = (C−D)/(n0−n1) charges ties in the DEPENDENT variable
+    against y-predicts-from-x (the directional measure under somers'
+    use in AUC/Gini: D = 2·AUC−1), and D_xy is the reverse
+    conditioning. τ-b is their geometric compromise — reporting all
+    three tells you whether an association is weak or just tied.
+
+    Entirely exact: every statistic is a truncating integer division
+    of BIGINT pair counts to micro units (Spark `div` = DuckDB `//`
+    toward zero on both signs) — zero floats. NULL when the
+    respective denominator is 0. Scale contract identical to τ-b
+    (bounded summary grain; pairs are grain², never data²).
+    Output: 1 row (n, concordant, discordant, gamma_e6,
+    somers_d_yx_e6, somers_d_xy_e6)."""
+    return _concordance_counts(df, x_col, y_col).selectExpr(
+        "n", "COALESCE(concordant, 0) AS concordant",
+        "COALESCE(discordant, 0) AS discordant",
+        "CASE WHEN (concordant + discordant) > 0 THEN"
+        " ((concordant - discordant) * 1000000)"
+        " div (concordant + discordant) END AS gamma_e6",
+        "CASE WHEN (__n0 - __n1) > 0 THEN"
+        " ((concordant - discordant) * 1000000)"
+        " div (__n0 - __n1) END AS somers_d_yx_e6",
+        "CASE WHEN (__n0 - __n2) > 0 THEN"
+        " ((concordant - discordant) * 1000000)"
+        " div (__n0 - __n2) END AS somers_d_xy_e6",
     )
 
 

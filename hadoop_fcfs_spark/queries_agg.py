@@ -4937,6 +4937,68 @@ def kendall_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ordinal_assoc_weekday",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+      FROM g a JOIN g b ON a.d < b.d
+    ),
+    m AS (
+      SELECT
+        CAST(SUM(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        CAST(SUM(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(COUNT(*) AS BIGINT) AS n0
+      FROM p
+    ),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g)
+    SELECT n, COALESCE(concordant, 0) AS concordant,
+           COALESCE(discordant, 0) AS discordant,
+           CASE WHEN (concordant + discordant) > 0 THEN
+             ((concordant - discordant) * 1000000)
+             // (concordant + discordant) END AS gamma_e6,
+           CASE WHEN (n0 - n1) > 0 THEN
+             ((concordant - discordant) * 1000000)
+             // (n0 - n1) END AS somers_d_yx_e6,
+           CASE WHEN (n0 - n2) > 0 THEN
+             ((concordant - discordant) * 1000000)
+             // (n0 - n2) END AS somers_d_xy_e6
+    FROM m CROSS JOIN c
+    """,
+    doc="Goodman-Kruskal gamma and both Somers' D between weekday "
+    "position (Monday=0, the pinned Spark weekday == DuckDB isodow-1 "
+    "convention) and daily event volume "
+    "(ops.stats.ordinal_association): does volume climb through the "
+    "week, measured on the tie-handling spectrum - gamma scores only "
+    "the pairs that order (x is 7-valued, so same-weekday tie pairs "
+    "abound), D_yx charges x-ties against predicting volume from "
+    "weekday, D_xy conditions the other way; kendall_events_daily's "
+    "tau-b is their compromise and replays the SAME pair census "
+    "(shared _concordance_counts). Day-grain pairs (never data "
+    "rows); exact BIGINT counts, truncating micro divisions - zero "
+    "floats anywhere.",
+)
+def ordinal_assoc_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import ordinal_association
+
+    ev = t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.to_date("ts").alias("d"),
+        F.weekday(F.to_date("ts")).cast("long").alias("x"),
+    ).agg(F.count("*").cast("long").alias("y"))
+    return ordinal_association(g, "x", "y")
+
+
+@register(
     "seasonal_naive_events",
     oracle="""
     WITH g AS (

@@ -4802,3 +4802,29 @@ def test_hodges_lehmann_hand_values(spark):
     )
     r = hodges_lehmann_shift(df, "v", "g", "a", "b").collect()[0]
     assert r["n_pairs"] == 2 and r["hl2_shift"] == 2
+
+
+def test_ordinal_association_hand_values(spark):
+    """4 rows, x=(1,1,2,2), y=(1,2,2,3): 6 pairs - C=4 (both strict
+    orders agree), D=0, 1 x-tie pair... enumerate: (1,2):x tie;
+    (1,3):C; (1,4):C; (2,3): x<, y tie; (3,4): x tie; (2,4):C.
+    So C=3, D=0, n1(x-ties)=2, n2(y-ties)=1, n0=6. gamma=1,
+    D_yx=3/4, D_xy=3/5; tau_b = 3/sqrt(4*5)."""
+    from hadoop_fcfs_spark.ops.stats import kendall_tau_b, ordinal_association
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2), (2, 3)], "x int, y int"
+    )
+    r = ordinal_association(df, "x", "y").collect()[0]
+    assert (r["concordant"], r["discordant"]) == (3, 0)
+    assert r["gamma_e6"] == 1_000_000
+    assert r["somers_d_yx_e6"] == 750_000
+    assert r["somers_d_xy_e6"] == 600_000
+    k = kendall_tau_b(df, "x", "y").collect()[0]
+    assert abs(k["tau_b_r6"] - 3 / (4 * 5) ** 0.5) < 1e-6
+
+    # constant x: every pair x-tied -> D_yx NULL, gamma NULL (C=D=0)
+    df = spark.createDataFrame([(1, 1), (1, 2)], "x int, y int")
+    r = ordinal_association(df, "x", "y").collect()[0]
+    assert r["gamma_e6"] is None and r["somers_d_yx_e6"] is None
+    assert r["somers_d_xy_e6"] == 0
