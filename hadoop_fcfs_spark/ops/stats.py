@@ -3599,6 +3599,60 @@ def ordinal_association(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     )
 
 
+def lin_ccc(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Lin's concordance correlation coefficient between two
+    INTEGER-valued measurements of the same units — the continuous
+    AGREEMENT measure completing the family (Cohen/Fleiss kappa =
+    nominal raters, this = numeric raters): Pearson's r only scores
+    whether x and y move together; CCC = 2·cov /
+    (var_x + var_y + (μx−μy)²) additionally charges every systematic
+    location or scale shift, so a measure that is always 5% low can
+    have r = 1 yet CCC < 1 — the reproducibility question behind
+    every reimplemented-metric / duplicate-sensor comparison. Both r
+    and CCC are reported so the gap attributes to bias, not noise.
+
+    Exact moments: Σx, Σy in BIGINT; Σx², Σy², Σxy in DECIMAL(38,0)
+    (the kruskal HUGEINT-parity route — cents² sums overflow BIGINT).
+    CCC = num/den with num = 2(nΣxy − ΣxΣy) and den = (nΣxx − Σx²) +
+    (nΣyy − Σy²) + (Σx − Σy)², both EXACT decimals scaled by n² —
+    one double division floored to e6; r is the usual flat double
+    with a single sqrt, rounded @6. NULL when den is 0 (both columns
+    constant) / either variance is 0 for r.
+
+    Scale shape: ONE map-side-combined scalar reduce over unit rows —
+    no shuffle wider than the final single-row combine. Output: 1 row
+    (n, ccc_e6, r_r6)."""
+    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    dec = "decimal(38,0)"
+    m = base.select(
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    ).agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(F.col("__x").cast(dec) * F.col("__x")).cast(dec).alias("__sxx"),
+        F.sum(F.col("__y").cast(dec) * F.col("__y")).cast(dec).alias("__syy"),
+        F.sum(F.col("__x").cast(dec) * F.col("__y")).cast(dec).alias("__sxy"),
+    )
+    nd = "CAST(__n AS DECIMAL(38,0))"
+    num = f"(2 * ({nd} * __sxy - CAST(__sx AS DECIMAL(38,0)) * __sy))"
+    varx = f"({nd} * __sxx - CAST(__sx AS DECIMAL(38,0)) * __sx)"
+    vary = f"({nd} * __syy - CAST(__sy AS DECIMAL(38,0)) * __sy)"
+    shift = ("(CAST(__sx - __sy AS DECIMAL(38,0))"
+             " * CAST(__sx - __sy AS DECIMAL(38,0)))")
+    den = f"({varx} + {vary} + {shift})"
+    return m.selectExpr(
+        "__n AS n",
+        f"CASE WHEN {den} > 0 THEN CAST(FLOOR(CAST({num} AS DOUBLE)"
+        f" / CAST({den} AS DOUBLE) * 1000000) AS BIGINT) END AS ccc_e6",
+        f"CASE WHEN {varx} > 0 AND {vary} > 0 THEN ROUND("
+        f"CAST({num} AS DOUBLE) / 2"
+        f" / SQRT(CAST({varx} AS DOUBLE) * CAST({vary} AS DOUBLE)), 6)"
+        " END AS r_r6",
+    )
+
+
 def simpson_reversal(
     df: DataFrame,
     stratum_col: str,

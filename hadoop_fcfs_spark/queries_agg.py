@@ -4405,6 +4405,79 @@ def hodges_lehmann_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lin_ccc_order_value",
+    oracle="""
+    WITH u AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS x,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS y
+      FROM lineitem GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM u
+    )
+    SELECT n,
+      CASE WHEN ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                 + (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)
+                 + (CAST(sx - sy AS HUGEINT) * CAST(sx - sy AS HUGEINT))) > 0
+      THEN CAST(FLOOR(
+        CAST((2 * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy))
+          AS DOUBLE)
+        / CAST(((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                + (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)
+                + (CAST(sx - sy AS HUGEINT) * CAST(sx - sy AS HUGEINT)))
+          AS DOUBLE)
+        * 1000000) AS BIGINT) END AS ccc_e6,
+      CASE WHEN (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) > 0
+        AND (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy) > 0
+      THEN ROUND(
+        CAST((2 * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy))
+          AS DOUBLE) / 2
+        / SQRT(
+          CAST((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+            AS DOUBLE)
+          * CAST((CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)
+            AS DOUBLE)), 6) END AS r_r6
+    FROM m
+    """,
+    doc="Lin's concordance correlation between an order's gross "
+    "lineitem value and its discounted value, in exact floored cents "
+    "(ops.stats.lin_ccc): the continuous-agreement completion of the "
+    "rater family (langid_kappa/fleiss_langid score nominal "
+    "agreement; this scores numeric reproducibility). The two "
+    "measures rank orders almost identically (Pearson r ~ 1, also "
+    "reported) but the systematic discount haircut costs CCC its "
+    "bias term (mu_x - mu_y)^2 - exactly the r-vs-CCC gap the "
+    "statistic exists to expose. One unit-grain pass, then a scalar "
+    "reduce of exact BIGINT/DECIMAL(38,0) moments (HUGEINT parity "
+    "route - cents-squared sums overflow BIGINT at scale); CCC is "
+    "num/den of two EXACT n^2-scaled decimals, one double division "
+    "floored e6; r adds the single sqrt, rounded @6.",
+)
+def lin_ccc_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import lin_ccc
+
+    li = t(spark, sf_dir, "lineitem")
+    u = li.groupBy("l_orderkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long").alias("x"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).cast("long").alias("y"),
+    )
+    return lin_ccc(u, "x", "y")
+
+
+@register(
     "isotonic_orderstatus",
     oracle="""
     WITH g AS (

@@ -4828,3 +4828,30 @@ def test_ordinal_association_hand_values(spark):
     r = ordinal_association(df, "x", "y").collect()[0]
     assert r["gamma_e6"] is None and r["somers_d_yx_e6"] is None
     assert r["somers_d_xy_e6"] == 0
+
+
+def test_lin_ccc_hand_values(spark):
+    """y = x exactly -> CCC = 1, r = 1. y = x + 5 (pure location
+    bias): r stays 1, CCC = varx/(varx + 25) with n-scaled moments:
+    x=(0,10), varx*n^2 factor = n*sxx - sx^2 = 2*100 - 100 = 100,
+    shift = (sx-sy)^2 = 100 -> CCC = 200/(100+100+100)... num =
+    2*(n*sxy - sx*sy) = 2*(2*150 - 10*20) = 200, den = 100 + 100 +
+    100 = 300 -> 2/3. Constant columns -> NULLs."""
+    from hadoop_fcfs_spark.ops.stats import lin_ccc
+
+    df = spark.createDataFrame([(0, 0), (10, 10)], "x int, y int")
+    r = lin_ccc(df, "x", "y").collect()[0]
+    assert r["n"] == 2 and r["ccc_e6"] == 1_000_000 and r["r_r6"] == 1.0
+
+    df = spark.createDataFrame([(0, 5), (10, 15)], "x int, y int")
+    r = lin_ccc(df, "x", "y").collect()[0]
+    assert r["r_r6"] == 1.0
+    assert r["ccc_e6"] == 666_666  # floor(2/3 * 1e6)
+
+    df = spark.createDataFrame([(7, 3), (7, 3)], "x int, y int")
+    r = lin_ccc(df, "x", "y").collect()[0]
+    # den = shift term only (both variances 0) -> CCC 0, r NULL
+    assert r["ccc_e6"] == 0 and r["r_r6"] is None
+    df = spark.createDataFrame([(7, 7), (7, 7)], "x int, y int")
+    r = lin_ccc(df, "x", "y").collect()[0]
+    assert r["ccc_e6"] is None and r["r_r6"] is None
