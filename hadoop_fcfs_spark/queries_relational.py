@@ -2469,6 +2469,96 @@ def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trade_clustering",
+    oracle="""
+    WITH e0 AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY 1, 2
+    ),
+    top3 AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM e0) WHERE rn <= 3
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM top3
+    ),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM und e1 JOIN und e2 ON e2.u = e1.v
+      WHERE EXISTS (SELECT 1 FROM und e3 WHERE e3.u = e1.u AND e3.v = e2.v)
+    ),
+    tcount AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y AS node FROM tri
+        UNION ALL SELECT z AS node FROM tri
+      ) GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+      ) GROUP BY node
+    )
+    SELECT d.node, d.deg, COALESCE(t.n_triangles, 0) AS n_triangles,
+           (2 * COALESCE(t.n_triangles, 0) * 1000000)
+             // (d.deg * (d.deg - 1)) AS lcc_e6
+    FROM deg d LEFT JOIN tcount t USING (node)
+    WHERE d.deg >= 2
+    """,
+    doc="Local clustering coefficient per nation "
+    "(ops.graph.clustering_coefficient) on the SAME sparsified top-3 "
+    "trade graph as trade_triangles - the normalization that makes "
+    "its raw counts comparable across degrees (2T/(deg(deg-1)), the "
+    "small-world diagnostic; trade_degree_assortativity asks who "
+    "connects to whom, this asks how cliquish each neighborhood is). "
+    "Exact BIGINT degree and triangle counts (skew-safe degree-"
+    "oriented wedge close), one truncating micro division, zero "
+    "floats; deg<2 nodes excluded, triangle-free deg>=2 nodes report "
+    "0 via LEFT join (the interesting low end).",
+)
+def trade_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.graph import clustering_coefficient
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("src"))
+    sn = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("dst"))
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cnk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("snk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(cents).alias("w"))
+    )
+    w3 = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    top3 = (
+        edges.withColumn("__rn", F.row_number().over(w3))
+        .filter(F.col("__rn") <= 3)
+        .select("src", "dst")
+    )
+    return clustering_coefficient(top3)
+
+
+@register(
     "prefiltered_revenue",
     oracle="""
     SELECT l_returnflag,

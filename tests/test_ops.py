@@ -4855,3 +4855,21 @@ def test_lin_ccc_hand_values(spark):
     df = spark.createDataFrame([(7, 7), (7, 7)], "x int, y int")
     r = lin_ccc(df, "x", "y").collect()[0]
     assert r["ccc_e6"] is None and r["r_r6"] is None
+
+
+def test_clustering_coefficient_hand_values(spark):
+    """Triangle 1-2-3 plus pendant 3-4: node 1 has deg 2 in 1 triangle
+    -> lcc = 1; node 3 has deg 3 in 1 triangle -> lcc = 1/3; pendant
+    node 4 (deg 1) is excluded; a deg-2 triangle-free node reports 0."""
+    from hadoop_fcfs_spark.ops.graph import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)],
+        "src int, dst int",
+    )
+    out = {r["node"]: r for r in clustering_coefficient(edges).collect()}
+    assert 4 in out and out[4]["n_triangles"] == 0 and out[4]["lcc_e6"] == 0
+    assert out[1]["lcc_e6"] == 1_000_000 and out[1]["deg"] == 2
+    assert out[3]["lcc_e6"] == 333_333 and out[3]["deg"] == 3
+    assert 6 not in out  # deg 1
+    assert out[5]["lcc_e6"] == 0
