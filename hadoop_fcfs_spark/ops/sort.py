@@ -189,6 +189,60 @@ def global_running_sum(
     )
 
 
+def global_running_max(
+    df: DataFrame,
+    keys: list[Column | str],
+    value_col: str,
+    out_col: str = "running_max",
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running MAX of ``value_col`` over the total order given
+    by ``keys`` — the :func:`global_running_sum` decomposition with
+    max as the combine (max is associative and idempotent, so the
+    same two-level split is exact): range partition on the keys,
+    local prefix max inside each sorted partition, per-partition
+    totals prefix-maxed (single-partition window over #partitions
+    SUMMARY rows only), broadcast-joined back and combined with
+    ``greatest``. The high-water-mark primitive: streaming watermark
+    replay, drawdown analysis, record-to-date scans.
+
+    ``inclusive=False`` gives the strict prefix (max over EARLIER
+    rows only): NULL for the global first row — callers get NULL
+    semantics, not a sentinel. Keys must form a total order."""
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.caching import waypoint
+
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    local = waypoint(
+        df.repartitionByRange(int(parts), *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mid", 33))
+    )
+    end = 0 if inclusive else -1
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy("__mid")
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    totals = local.groupBy("__pid").agg(F.max(value_col).alias("__tot"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.max("__tot").over(w_off).alias("__off")
+    )
+    return (
+        local.withColumn("__lmax", F.max(value_col).over(w_local))
+        .join(F.broadcast(offsets), "__pid")
+        # greatest() ignores NULL sides (NULL only when both are)
+        .withColumn(out_col, F.greatest("__lmax", "__off"))
+        .drop("__mid", "__pid", "__lmax", "__off")
+    )
+
+
 def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
     """Exact SQL ``NTILE(k)`` bucket from a 1-based global rank over ``n``
     rows — so the single-task ``NTILE() OVER (ORDER BY ...)`` window can be

@@ -776,3 +776,45 @@ def position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("credit_micro"),
     )
+
+
+@register(
+    "watermark_late_audit",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             MAX(epoch_us(ts)) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wmax
+      FROM events
+      WHERE event_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (wmax - 1800000000 > us) AS BIGINT)
+             AS n_late,
+           CAST(COALESCE(MAX(CASE WHEN wmax - 1800000000 > us
+             THEN wmax - 1800000000 - us END), 0) AS BIGINT) AS max_late_us
+    FROM g GROUP BY 1
+    """,
+    doc="Watermark drop-rule replay per event type "
+    "(ops.timeseries.watermark_late_audit): with a 30-minute "
+    "withWatermark delay (the sessionize gap convention) and arrival "
+    "order = event_id (the ingestion sequence), which rows would "
+    "Structured Streaming have DROPPED because their event time fell "
+    "below max-event-time-seen minus the delay - the tuning audit "
+    "run before choosing a delay (n_late is the silent data loss; "
+    "max_late_us is how much more delay the worst row needed). The "
+    "high-water mark is a STRICT prefix max in arrival order via "
+    "ops.sort.global_running_max's range-partitioned two-level "
+    "decomposition - never a single-task window over data rows (the "
+    "oracle's unpartitioned window is the oracle's privilege); the "
+    "first arrival has no watermark and cannot be late (NULL "
+    "semantics on both engines).",
+)
+def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.timeseries import watermark_late_audit as wla
+
+    ev = t(spark, sf_dir, "events")
+    return wla(
+        ev, "event_id", "ts", delay_us=1_800_000_000,
+        group_cols=["event_type"],
+    )

@@ -4873,3 +4873,42 @@ def test_clustering_coefficient_hand_values(spark):
     assert out[3]["lcc_e6"] == 333_333 and out[3]["deg"] == 3
     assert 6 not in out  # deg 1
     assert out[5]["lcc_e6"] == 0
+
+
+def test_global_running_max_two_level(spark):
+    from hadoop_fcfs_spark.ops.sort import global_running_max
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 1), (3, 4), (4, 1), (5, 5)], "i int, v int"
+    )
+    got = {
+        r["i"]: r["rm"]
+        for r in global_running_max(
+            df, ["i"], "v", out_col="rm", num_partitions=3
+        ).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 4, 4: 4, 5: 5}
+    got = {
+        r["i"]: r["rm"]
+        for r in global_running_max(
+            df, ["i"], "v", out_col="rm", inclusive=False, num_partitions=3
+        ).collect()
+    }
+    assert got == {1: None, 2: 3, 3: 3, 4: 4, 5: 4}
+
+
+def test_watermark_late_audit_hand_values(spark):
+    """Arrival order 1..5, event times (us) 1000,5000,2000,500,6000,
+    delay 1000: row 3 sees watermark 5000-1000=4000 > 2000 (late by
+    2000), row 4 is late by 3500; first row has no watermark."""
+    from hadoop_fcfs_spark.ops.timeseries import watermark_late_audit
+
+    rows = [(1, 1000), (2, 5000), (3, 2000), (4, 500), (5, 6000)]
+    df = spark.createDataFrame(rows, "arr int, us long").select(
+        "arr", F.expr("timestamp_micros(us)").alias("ts")
+    )
+    r = watermark_late_audit(df, "arr", "ts", delay_us=1000).collect()[0]
+    assert (r["n_events"], r["n_late"], r["max_late_us"]) == (5, 2, 3500)
+    # generous delay: nothing dropped, shortfall 0
+    r = watermark_late_audit(df, "arr", "ts", delay_us=10_000).collect()[0]
+    assert (r["n_late"], r["max_late_us"]) == (0, 0)
