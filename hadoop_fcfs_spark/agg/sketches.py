@@ -213,3 +213,75 @@ def cms_join_size_estimate(
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
     )
     return per_row.agg(F.min("__ip").cast("long").alias("join_size_est"))
+
+
+def ams_f2_audit(df: DataFrame, key_col: str, n_est: int = 16) -> DataFrame:
+    """AMS second-frequency-moment sketch with its estimation-error
+    audit (Alon–Matias–Szegedy, STOC 1996): F₂ = Σ_x f_x² is the
+    self-join size of the key column — the quantity every join-size /
+    skew estimator needs — and the AMS tug-of-war sketch estimates it
+    from ``n_est`` counters Z_i = Σ_x s_i(x)·f_x with ±1 hashes s_i:
+    E[Z_i²] = F₂. This op computes the sketch AND the exact answer in
+    the same pass and reports the relative error — the sketch-tier
+    audit alongside cms_join_size (CMS inner-product route), the way
+    ann_ivf_recall audits IVF and minhash_estimate_audit audits LSH.
+
+    Signs come from md5 parity (the sampling-tier cross-engine hash
+    family — portable to any engine; production would use xxhash64).
+    Everything is exact BIGINT: frequencies from one map-side-combined
+    pass, each Z_i an exact signed sum computed as n_est conditional
+    aggregates in a SECOND single-row reduce over the key grain (no
+    fan-out explode — the estimators ride one pass), Z_i² exact, the
+    mean estimate one truncating div, the median-of-estimators the
+    2x central-pair sum of a sorted 16-literal array. Relative errors
+    in truncating micro units. Output: 1 row (n_keys, f2_exact,
+    est_mean, est_med2x, rel_err_mean_micro, rel_err_med_micro)."""
+    if n_est < 2 or n_est % 2 != 0:
+        raise ValueError(f"n_est must be even and >= 2, got {n_est}")
+    freq = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).cast("string").alias("__x"))
+        .agg(F.count("*").cast("long").alias("__f"))
+    )
+
+    def sign(i: int) -> Column:
+        bit = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws("|", F.col("__x"), F.lit(str(i))).cast(
+                            "binary"
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % 2
+        )
+        return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    m = freq.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(F.col("__f") * F.col("__f")).cast("long").alias("f2_exact"),
+        *[
+            F.sum(sign(i) * F.col("__f")).cast("long").alias(f"__z{i}")
+            for i in range(n_est)
+        ],
+    )
+    ests = ", ".join(f"__z{i} * __z{i}" for i in range(n_est))
+    h = n_est // 2
+    return m.selectExpr(
+        "n_keys", "f2_exact",
+        f"CAST(aggregate(array({ests}), 0L, (a, x) -> a + x)"
+        f" div {n_est} AS BIGINT) AS est_mean",
+        f"CAST(element_at(array_sort(array({ests})), {h})"
+        f" + element_at(array_sort(array({ests})), {h + 1})"
+        " AS BIGINT) AS est_med2x",
+    ).selectExpr(
+        "n_keys", "f2_exact", "est_mean", "est_med2x",
+        "CASE WHEN f2_exact > 0 THEN ABS(est_mean - f2_exact) * 1000000"
+        " div f2_exact END AS rel_err_mean_micro",
+        "CASE WHEN f2_exact > 0 THEN ABS(est_med2x - 2 * f2_exact)"
+        " * 1000000 div (2 * f2_exact) END AS rel_err_med_micro",
+    )

@@ -4477,6 +4477,70 @@ def lin_ccc_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lin_ccc(u, "x", "y")
 
 
+# AMS tug-of-war oracle fragments: one signed-sum column per estimator,
+# sign = md5 parity of (key || '|' || i) — the identical hash text the
+# Spark side computes, so Z_i match exactly.
+_AMS_N = 16
+_AMS_Z = ",\n           ".join(
+    "CAST(SUM(CASE WHEN CAST('0x' || substr(md5(x || '|' || '"
+    f"{i}'), 1, 8) AS BIGINT) % 2 = 1 THEN f ELSE -f END) AS BIGINT)"
+    f" AS z{i}"
+    for i in range(_AMS_N)
+)
+_AMS_ESTS = ", ".join(f"z{i} * z{i}" for i in range(_AMS_N))
+
+
+@register(
+    "ams_f2_custkey",
+    oracle=f"""
+    WITH freq AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS x,
+             CAST(COUNT(*) AS BIGINT) AS f
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+    ),
+    z AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(f * f) AS BIGINT) AS f2_exact,
+           {_AMS_Z}
+      FROM freq
+    ),
+    e AS (
+      SELECT n_keys, f2_exact, [{_AMS_ESTS}] AS ests FROM z
+    )
+    SELECT n_keys, f2_exact,
+           CAST(list_sum(ests) // {_AMS_N} AS BIGINT) AS est_mean,
+           CAST(list_sort(ests)[{_AMS_N // 2}]
+             + list_sort(ests)[{_AMS_N // 2 + 1}] AS BIGINT) AS est_med2x,
+           CASE WHEN f2_exact > 0 THEN ABS(CAST(list_sum(ests)
+             // {_AMS_N} AS BIGINT) - f2_exact) * 1000000 // f2_exact
+           END AS rel_err_mean_micro,
+           CASE WHEN f2_exact > 0 THEN ABS(CAST(list_sort(ests)[{_AMS_N // 2}]
+             + list_sort(ests)[{_AMS_N // 2 + 1}] AS BIGINT)
+             - 2 * f2_exact) * 1000000 // (2 * f2_exact)
+           END AS rel_err_med_micro
+    FROM e
+    """,
+    doc="AMS tug-of-war F2 sketch with exact-answer audit on the "
+    "orders customer key (agg.sketches.ams_f2_audit, n_est=16): F2 = "
+    "sum of squared key frequencies IS the self-join size of orders "
+    "on custkey - the join-size/skew quantity planners estimate - "
+    "and this gate runs the classic +-1-hash sketch and the exact "
+    "computation side by side, reporting mean-of-16 and median-of-16 "
+    "estimates with relative errors (the sketch tier's "
+    "ann_ivf_recall: CMS has its join-size gate, HLL its rollup, "
+    "MinHash its estimator audit, AMS now its variance audit). Signs "
+    "from md5 parity (cross-engine portable; production = xxhash64); "
+    "ONE map-side-combined pass to the key grain, the 16 signed sums "
+    "as conditional aggregates in ONE single-row reduce (no "
+    "fan-out), exact BIGINT squares, truncating integer divisions.",
+)
+def ams_f2_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.agg.sketches import ams_f2_audit
+
+    orders = t(spark, sf_dir, "orders")
+    return ams_f2_audit(orders, "o_custkey", n_est=_AMS_N)
+
+
 @register(
     "isotonic_orderstatus",
     oracle="""

@@ -4912,3 +4912,37 @@ def test_watermark_late_audit_hand_values(spark):
     # generous delay: nothing dropped, shortfall 0
     r = watermark_late_audit(df, "arr", "ts", delay_us=10_000).collect()[0]
     assert (r["n_late"], r["max_late_us"]) == (0, 0)
+
+
+def test_ams_f2_pure_python_replica(spark):
+    """Replicate the md5-parity tug-of-war in pure Python on a small
+    key set and check Z-derived estimates match bit for bit; also the
+    unbiasedness sanity: exact F2 of k distinct singletons is k."""
+    import hashlib
+
+    from hadoop_fcfs_spark.agg.sketches import ams_f2_audit
+
+    rows = [(k,) for k in ["a", "b", "c"] * 4 + ["d"] * 5 + ["e"]]
+    df = spark.createDataFrame(rows, "k string")
+    got = ams_f2_audit(df, "k", n_est=4).collect()[0]
+
+    from collections import Counter
+    freq = Counter(k for (k,) in rows)
+    assert got["n_keys"] == 5
+    f2 = sum(f * f for f in freq.values())
+    assert got["f2_exact"] == f2 == 3 * 16 + 25 + 1
+
+    def sign(x, i):
+        h = hashlib.md5(f"{x}|{i}".encode()).hexdigest()
+        return 1 if int(h[:8], 16) % 2 == 1 else -1
+
+    ests = sorted(
+        sum(sign(x, i) * f for x, f in freq.items()) ** 2 for i in range(4)
+    )
+    assert got["est_mean"] == sum(ests) // 4
+    assert got["est_med2x"] == ests[1] + ests[2]
+    assert got["rel_err_mean_micro"] == abs(sum(ests) // 4 - f2) * 10**6 // f2
+
+    import pytest
+    with pytest.raises(ValueError):
+        ams_f2_audit(df, "k", n_est=3)
