@@ -660,3 +660,77 @@ def pps_effective_sample_size(
         " * CAST(__s1 AS DOUBLE) / CAST(__s2 AS DOUBLE) / n, 6)"
         " END AS ess_ratio_r6",
     )
+
+
+def rake_weights(
+    df: DataFrame, row_col: str, col_col: str, rounds: int = 2
+) -> DataFrame:
+    """Raking / iterative proportional fitting (Deming–Stephan 1940):
+    per-row weights that pull a table's TWO marginal distributions to
+    uniform targets simultaneously — the survey-calibration /
+    training-mix balancer (make the corpus behave as if every source
+    AND every language contributed equally, without dropping rows the
+    way quota sampling would). Each round rescales cell weights to
+    match the row margin, then the column margin; the alternation
+    converges geometrically for strictly positive cells.
+
+    Exactness: weights are integer micro units updated by TRUNCATING
+    division — w' = (w · T_d) div W_d with T_d = (N·1e6) div n_d the
+    uniform target mass and W_d the current weighted margin — so both
+    engines replay the identical integer trajectory (the kmeans
+    truncating-update discipline); the fixed round count is part of
+    the contract (IPF is sequential by nature; rounds are unrolled,
+    never data-dependent). Integer bound: w·T_d < 2^63 — holds to
+    ~10^6 input rows at micro scale; swap to DECIMAL(38,0) beyond.
+
+    Scale shape: ONE data-sized map-side-combined pass to the
+    (row, col) cell grain; every pass after it is margin-sized
+    (groupBy + broadcast join over CELL rows — margins are vocabulary-
+    bounded, never data-bounded). Output: (row_col, col_col, n,
+    w_micro) — rescale any unit row's weight by w_micro/1e6."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    cells = (
+        df.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(F.col(row_col).alias("__r"), F.col(col_col).alias("__c"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    # global totals from the RAW df, not from cells: deriving both
+    # join sides from cells trips Spark 4.1's self-join hidden-output
+    # ambiguity (the Aggregate's child attributes stay name-visible)
+    g = df.filter(
+        F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
+    ).agg(
+        F.count("*").cast("long").alias("__N"),
+        F.countDistinct(row_col).cast("long").alias("__KR"),
+        F.countDistinct(col_col).cast("long").alias("__KC"),
+    )
+    cur = cells.crossJoin(F.broadcast(g)).withColumn(
+        "__w", F.lit(1_000_000).cast("long")
+    )
+    carry = ["__r", "__c", "n", "__N", "__KR", "__KC"]
+    for _ in range(rounds):
+        for dim, nd in (("__r", "__KR"), ("__c", "__KC")):
+            # iterative self-join state: eager localCheckpoint per pass
+            # (the bradley_terry/kmeans discipline) keeps the plan
+            # iteration-invariant AND reduces each pass to the plain
+            # df ⋈ df.groupBy().agg() self-join Spark dedups cleanly —
+            # the cell grain is margin-bounded, so this is cheap
+            cur = cur.localCheckpoint(eager=True)
+            marg = cur.groupBy(F.col(dim).alias("__mk")).agg(
+                F.sum(F.col("n") * F.col("__w")).cast("long").alias("__WM")
+            )
+            cur = (
+                cur.join(F.broadcast(marg), cur[dim] == marg["__mk"])
+                .select(
+                    *carry,
+                    F.expr(
+                        f"CAST((__w * ((__N * 1000000) div {nd})) div __WM"
+                        " AS BIGINT)"
+                    ).alias("__w"),
+                )
+            )
+    return cur.selectExpr(
+        "__r AS " + row_col, "__c AS " + col_col, "n",
+        "__w AS w_micro",
+    )

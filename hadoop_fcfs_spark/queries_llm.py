@@ -4438,6 +4438,59 @@ def knn_map_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rake_pass(prev: str, out: str, part: str, nd: str) -> str:
+    """One unrolled IPF pass: rescale w so the ``part`` margin hits its
+    uniform target mass (N·1e6 div nd), truncating integer division —
+    the same template discipline as the kmeans unrolled oracle."""
+    return f"""
+    {out} AS MATERIALIZED (
+      SELECT source, lang, n, NT, KR, KC,
+             (w * ((NT * 1000000) // {nd}))
+               // (SUM(n * w) OVER (PARTITION BY {part})) AS w
+      FROM {prev}
+    )"""
+
+
+@register(
+    "rake_source_lang",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents
+      WHERE source IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS NT,
+                 CAST(COUNT(DISTINCT source) AS BIGINT) AS KR,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS KC FROM cells),
+    w0 AS (SELECT source, lang, n, CAST(1000000 AS BIGINT) AS w, NT, KR, KC
+           FROM cells CROSS JOIN g),
+    {_rake_pass('w0', 'p1', 'source', 'KR')},
+    {_rake_pass('p1', 'p2', 'lang', 'KC')},
+    {_rake_pass('p2', 'p3', 'source', 'KR')},
+    {_rake_pass('p3', 'p4', 'lang', 'KC')}
+    SELECT source, lang, n, CAST(w AS BIGINT) AS w_micro FROM p4
+    """,
+    doc="Raking / iterative proportional fitting of the corpus "
+    "(source, lang) cell table to UNIFORM source and language margins "
+    "(ops.sampling.rake_weights, Deming-Stephan): the survey-"
+    "calibration reweighting a training mix needs when one source "
+    "floods one language - every source and every language ends up "
+    "contributing equal weighted mass WITHOUT dropping rows "
+    "(temperature_mix_langs rebalances one margin; this balances two "
+    "simultaneously). Two unrolled rounds of row-then-column "
+    "rescaling in TRUNCATING integer micro arithmetic (the kmeans "
+    "unrolled-oracle template - both engines replay the identical "
+    "weight trajectory); one data-sized pass to the 100-cell grain, "
+    "then margin-sized broadcast passes only.",
+)
+def rake_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sampling import rake_weights
+
+    docs = t(spark, sf_dir, "documents")
+    return rake_weights(docs, "source", "lang", rounds=2)
+
+
 @register(
     "cochran_langid",
     oracle=f"""

@@ -4946,3 +4946,48 @@ def test_ams_f2_pure_python_replica(spark):
     import pytest
     with pytest.raises(ValueError):
         ams_f2_audit(df, "k", n_est=3)
+
+
+def test_rake_weights_integer_replica_and_convergence(spark):
+    """2x2 skewed table raked to uniform margins: replicate the exact
+    truncating-integer trajectory in pure Python, and check the
+    weighted margins actually converge toward N/2 per row and column
+    (the point of IPF)."""
+    import pytest
+
+    from hadoop_fcfs_spark.ops.sampling import rake_weights
+
+    rows = (
+        [("r0", "c0")] * 1 + [("r0", "c1")] * 3
+        + [("r1", "c0")] * 2 + [("r1", "c1")] * 2
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    got = {
+        (x["r"], x["c"]): x["w_micro"]
+        for x in rake_weights(df, "r", "c", rounds=2).collect()
+    }
+
+    # pure-python replica of the truncating trajectory
+    n = {("r0", "c0"): 1, ("r0", "c1"): 3, ("r1", "c0"): 2, ("r1", "c1"): 2}
+    w = {k: 1_000_000 for k in n}
+    N, R, C = 8, 2, 2
+    for _ in range(2):
+        for axis, nd in ((0, R), (1, C)):
+            marg = {}
+            for k in n:
+                marg[k[axis]] = marg.get(k[axis], 0) + n[k] * w[k]
+            t_d = (N * 1_000_000) // nd
+            w = {k: (w[k] * t_d) // marg[k[axis]] for k in n}
+    assert got == w
+
+    # convergence: every weighted margin within 1% of N/2 micro-mass
+    target = (N * 1_000_000) // 2
+    for axis in (0, 1):
+        marg = {}
+        for k in n:
+            marg[k[axis]] = marg.get(k[axis], 0) + n[k] * got[k]
+        for v in marg.values():
+            assert abs(v - target) <= target // 100
+
+    with pytest.raises(ValueError):
+        rake_weights(df, "r", "c", rounds=0)
