@@ -895,6 +895,33 @@ def kmeans_lloyd_exact(
     )
 
 
+def kmeans_assignments(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1000,
+) -> DataFrame:
+    """The (id, cell) assignment table under the exact-Lloyd fit —
+    the same :func:`kmeans_lloyd_exact` replay (shared
+    _lloyd_quantize_fit, so the per-cell gates and any
+    assignment-grain consumer cannot drift) exposed at row grain for
+    partition-comparison QA (ARI against labels, cross-run stability)
+    and downstream routing. Output: (id_col, cell)."""
+    q, cents = _lloyd_quantize_fit(df, k, iterations, id_col, vec_col, quantize)
+    if not cents:
+        return q.sparkSession.createDataFrame([], f"{id_col} long, cell int")
+    return (
+        _with_dist_array(q, cents)
+        .withColumn(
+            "__cell",
+            (F.array_position(F.col("__da"), F.array_min("__da")) - 1).cast("int"),
+        )
+        .select(F.col("__id").alias(id_col), F.col("__cell").alias("cell"))
+    )
+
+
 def _with_dist_array(q: DataFrame, cents: list[list[int]]) -> DataFrame:
     """Attach __da = array of exact-BIGINT squared L2 distances from
     __q to each centroid (argmin = array_position of array_min,

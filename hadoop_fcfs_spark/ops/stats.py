@@ -3599,6 +3599,73 @@ def ordinal_association(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     )
 
 
+def adjusted_rand_index(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Adjusted Rand Index between two partitions of the same rows
+    (Hubert & Arabie 1985) — THE chance-corrected clustering-vs-
+    clustering / clustering-vs-labels agreement score (0 ≈ random
+    relabeling, 1 = identical partitions, negative = worse than
+    chance). The partition-comparison QA the clustering tier lacked:
+    silhouette scores geometry, inertia scores tightness, ARI scores
+    whether the cells mean anything against a reference labeling.
+
+    Entirely exact pair-counting — NMI needs logs, ARI does not: with
+    contingency counts n_ij, S = Σ n_ij(n_ij−1), A = Σ a_i(a_i−1),
+    B = Σ b_j(b_j−1), N2 = n(n−1) (all 2x-binomial BIGINTs),
+    ARI = (N2·S − A·B) / (N2·(A+B)/2 − A·B); ari_micro multiplies the
+    numerator through DECIMAL(38,0) (the kruskal HUGEINT-parity
+    route — N2·S·1e6 overflows BIGINT at ~10⁵ rows) and truncates
+    toward zero, matching both engines on either sign. NULL when the
+    denominator is 0 (both partitions all-singletons or all-one-
+    cluster — agreement undefined).
+
+    Scale shape: ONE map-side-combined pass to the contingency grain
+    (|A|·|B| cells, vocabulary-bounded), margin re-aggregations over
+    cell rows, scalar combine. Output: 1 row (n, n_cells_a,
+    n_cells_b, ari_micro)."""
+    base = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+    cont = base.groupBy(
+        F.col(a_col).alias("__pa"), F.col(b_col).alias("__pb")
+    ).agg(F.count("*").cast("long").alias("__cn"))
+    s = cont.agg(
+        F.sum(F.col("__cn") * (F.col("__cn") - 1)).cast("long").alias("__S2")
+    )
+    arow = (
+        cont.groupBy("__pa")
+        .agg(F.sum("__cn").cast("long").alias("__na"))
+        .agg(
+            F.count("*").cast("long").alias("n_cells_a"),
+            F.sum(F.col("__na") * (F.col("__na") - 1)).cast("long")
+            .alias("__A2"),
+            F.sum("__na").cast("long").alias("__n"),
+        )
+    )
+    brow = (
+        cont.groupBy("__pb")
+        .agg(F.sum("__cn").cast("long").alias("__nb"))
+        .agg(
+            F.count("*").cast("long").alias("n_cells_b"),
+            F.sum(F.col("__nb") * (F.col("__nb") - 1)).cast("long")
+            .alias("__B2"),
+        )
+    )
+    return (
+        arow.crossJoin(F.broadcast(brow))
+        .crossJoin(F.broadcast(s))
+        .selectExpr(
+            "__n AS n", "n_cells_a", "n_cells_b",
+            "CASE WHEN (CAST(__n AS DECIMAL(38,0)) * (__n - 1)"
+            " * (__A2 + __B2) div 2"
+            " - CAST(__A2 AS DECIMAL(38,0)) * __B2) <> 0 THEN"
+            " CAST((CAST(__n AS DECIMAL(38,0)) * (__n - 1) * __S2"
+            "       - CAST(__A2 AS DECIMAL(38,0)) * __B2) * 1000000"
+            " div (CAST(__n AS DECIMAL(38,0)) * (__n - 1)"
+            "      * (__A2 + __B2) div 2"
+            "      - CAST(__A2 AS DECIMAL(38,0)) * __B2) AS BIGINT)"
+            " END AS ari_micro",
+        )
+    )
+
+
 def lin_ccc(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """Lin's concordance correlation coefficient between two
     INTEGER-valued measurements of the same units — the continuous

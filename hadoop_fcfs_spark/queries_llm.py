@@ -4665,6 +4665,60 @@ def kmeans_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ari_kmeans_labels",
+    oracle=_kmeans_ctes(k=8, iterations=2, quantize=1000)
+    + """,
+    cont AS (
+      SELECT b.cell AS pa, e2.label AS pb, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM bf b JOIN embeddings e2 ON e2.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    sm AS (SELECT CAST(SUM(cn * (cn - 1)) AS BIGINT) AS s2 FROM cont),
+    ar AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_a,
+                  CAST(SUM(na * (na - 1)) AS BIGINT) AS a2,
+                  CAST(SUM(na) AS BIGINT) AS nn
+           FROM (SELECT pa, CAST(SUM(cn) AS BIGINT) AS na
+                 FROM cont GROUP BY 1)),
+    br AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_b,
+                  CAST(SUM(nb * (nb - 1)) AS BIGINT) AS b2
+           FROM (SELECT pb, CAST(SUM(cn) AS BIGINT) AS nb
+                 FROM cont GROUP BY 1))
+    SELECT nn AS n, n_cells_a, n_cells_b,
+      CASE WHEN (CAST(nn AS HUGEINT) * (nn - 1) * (a2 + b2) // 2
+                 - CAST(a2 AS HUGEINT) * b2) <> 0 THEN
+        CAST((CAST(nn AS HUGEINT) * (nn - 1) * s2
+              - CAST(a2 AS HUGEINT) * b2) * 1000000
+          // (CAST(nn AS HUGEINT) * (nn - 1) * (a2 + b2) // 2
+              - CAST(a2 AS HUGEINT) * b2) AS BIGINT)
+      END AS ari_micro
+    FROM ar CROSS JOIN br CROSS JOIN sm
+    """,
+    doc="Adjusted Rand Index between the exact-Lloyd k-means cells "
+    "and the ground-truth embedding labels "
+    "(ops.stats.adjusted_rand_index over "
+    "llm.similarity.kmeans_assignments - the SAME shared "
+    "_kmeans_ctes/_lloyd_quantize_fit replay as the inertia and "
+    "silhouette gates, so the three clustering QA views cannot "
+    "drift): silhouette scores geometry, inertia scores tightness, "
+    "ARI finally scores whether the cells recover the labeling at "
+    "all, chance-corrected (0 = random relabeling, negative = worse "
+    "than chance). Exact 2x-binomial pair counting end to end - NMI "
+    "needs logs, ARI does not; the micro numerator rides "
+    "DECIMAL(38,0)/HUGEINT and truncates toward zero on either "
+    "sign. One contingency-grain pass (8x|labels| cells), margin "
+    "re-aggregations, scalar combine.",
+)
+def ari_kmeans_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import kmeans_assignments
+    from hadoop_fcfs_spark.ops.stats import adjusted_rand_index
+
+    emb = t(spark, sf_dir, "embeddings")
+    assign = kmeans_assignments(emb, k=8, iterations=2, quantize=1000)
+    joined = assign.join(emb.select("vec_id", "label"), "vec_id")
+    return adjusted_rand_index(joined, "cell", "label")
+
+
+@register(
     "minhash_estimate_audit",
     oracle="""
     WITH grams AS (

@@ -4991,3 +4991,38 @@ def test_rake_weights_integer_replica_and_convergence(spark):
 
     with pytest.raises(ValueError):
         rake_weights(df, "r", "c", rounds=0)
+
+
+def test_adjusted_rand_index_replica(spark):
+    """Identical partitions -> 1e6; one-cluster vs singletons -> 0 (the
+    chance-corrected floor); a known 6-row split checked against a
+    pure-Python pair-counting replica."""
+    from hadoop_fcfs_spark.ops.stats import adjusted_rand_index
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y"), (2, "y")], "a int, b string"
+    )
+    r = adjusted_rand_index(df, "a", "b").collect()[0]
+    assert (r["n"], r["n_cells_a"], r["n_cells_b"]) == (4, 2, 2)
+    assert r["ari_micro"] == 1_000_000
+
+    df = spark.createDataFrame(
+        [(1, i) for i in range(4)], "a int, b int"
+    )
+    r = adjusted_rand_index(df, "a", "b").collect()[0]
+    assert r["ari_micro"] == 0
+
+    rows = [(1, "x"), (1, "x"), (1, "y"), (2, "y"), (2, "y"), (2, "x")]
+    df = spark.createDataFrame(rows, "a int, b string")
+    got = adjusted_rand_index(df, "a", "b").collect()[0]
+
+    from collections import Counter
+    cont = Counter(rows)
+    s2 = sum(c * (c - 1) for c in cont.values())
+    a2 = sum(c * (c - 1) for c in Counter(a for a, _ in rows).values())
+    b2 = sum(c * (c - 1) for c in Counter(b for _, b in rows).values())
+    n = len(rows)
+    num = n * (n - 1) * s2 - a2 * b2
+    den = n * (n - 1) * (a2 + b2) // 2 - a2 * b2
+    want = num * 1_000_000 // den if num >= 0 else -((-num * 1_000_000) // den)
+    assert got["ari_micro"] == want
