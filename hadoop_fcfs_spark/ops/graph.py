@@ -452,6 +452,89 @@ def clustering_coefficient(
     )
 
 
+def partition_modularity(
+    edges: DataFrame,
+    membership: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    comm_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a GIVEN partition over an undirected
+    simple graph, per community — the quality score under every
+    community detector (label_propagation finds communities; this
+    says whether a partition actually concentrates edges inside its
+    parts, chance-corrected by degree): Q = Σ_c [L_c/m −
+    (D_c/2m)²]. Scoring an EXTERNAL partition (regions, org charts,
+    shard maps) against the graph is the same computation — that is
+    the assortativity-as-modularity audit.
+
+    Exact: per community the 4m²-scaled contribution q4m2 = 4m·L_c −
+    D_c² is a BIGINT (positive = denser than the degree-preserving
+    null model), and q_contrib_micro = q4m2·1e6 div 4m² its
+    truncating micro share — Q itself is Σ q4m2 / 4m², reportable
+    without any float. Nodes missing from ``membership`` drop with
+    their edges' intra-count (NULL communities never match); an
+    edge between two communities counts in neither L_c but in both
+    D_c — the standard accounting.
+
+    Scale shape: one dedup pass over edges, two membership joins
+    (community tables are node-grain — broadcastable next to any
+    real edge set), map-side-combined community rollups. Output per
+    community: (community, n_nodes, deg_tot, m_in, q4m2,
+    q_contrib_micro)."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    memb = membership.select(
+        F.col(node_col).alias("__node"), F.col(comm_col).alias("__comm")
+    ).filter(F.col("__node").isNotNull() & F.col("__comm").isNotNull())
+    ma = memb.select(
+        F.col("__node").alias("a"), F.col("__comm").alias("__ca")
+    )
+    mb = memb.select(
+        F.col("__node").alias("b"), F.col("__comm").alias("__cb")
+    )
+    tagged = und.join(F.broadcast(ma), "a").join(F.broadcast(mb), "b")
+    m_df = und.agg(F.count("*").cast("long").alias("__m"))
+    lin = (
+        tagged.filter(F.col("__ca") == F.col("__cb"))
+        .groupBy(F.col("__ca").alias("__comm"))
+        .agg(F.count("*").cast("long").alias("m_in"))
+    )
+    deg = (
+        und.select(F.col("a").alias("__node"))
+        .unionByName(und.select(F.col("b").alias("__node")))
+        .groupBy("__node")
+        .agg(F.count("*").cast("long").alias("__deg"))
+    )
+    dtot = (
+        deg.join(F.broadcast(memb), "__node")
+        .groupBy("__comm")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("__deg").cast("long").alias("deg_tot"),
+        )
+    )
+    return (
+        dtot.join(lin, "__comm", "left")
+        .crossJoin(F.broadcast(m_df))
+        .selectExpr(
+            "__comm AS community", "n_nodes", "deg_tot",
+            "COALESCE(m_in, 0) AS m_in",
+            "4 * __m * COALESCE(m_in, 0) - deg_tot * deg_tot AS q4m2",
+            "CASE WHEN __m > 0 THEN"
+            " (4 * __m * COALESCE(m_in, 0) - deg_tot * deg_tot) * 1000000"
+            " div (4 * __m * __m) END AS q_contrib_micro",
+        )
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

@@ -2559,6 +2559,113 @@ def trade_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "modularity_regions",
+    oracle="""
+    WITH e0 AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY 1, 2
+    ),
+    top3 AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM e0) WHERE rn <= 3
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM top3
+    ),
+    memb AS (
+      SELECT n_name AS node, r_name AS community
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    ),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+    lin AS (
+      SELECT ma.community AS comm, CAST(COUNT(*) AS BIGINT) AS m_in
+      FROM und JOIN memb ma ON ma.node = und.u
+               JOIN memb mb ON mb.node = und.v
+      WHERE ma.community = mb.community
+      GROUP BY 1
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+      ) GROUP BY 1
+    ),
+    dt AS (
+      SELECT m2.community AS comm, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d) AS BIGINT) AS deg_tot
+      FROM deg JOIN memb m2 ON m2.node = deg.node GROUP BY 1
+    )
+    SELECT dt.comm AS community, n_nodes, deg_tot,
+           COALESCE(lin.m_in, 0) AS m_in,
+           4 * mm.m * COALESCE(lin.m_in, 0) - deg_tot * deg_tot AS q4m2,
+           CASE WHEN mm.m > 0 THEN
+             (4 * mm.m * COALESCE(lin.m_in, 0) - deg_tot * deg_tot) * 1000000
+             // (4 * mm.m * mm.m) END AS q_contrib_micro
+    FROM dt LEFT JOIN lin ON lin.comm = dt.comm CROSS JOIN mm
+    """,
+    doc="Newman modularity of the REGION partition over the sparsified "
+    "trade graph (ops.graph.partition_modularity): does top-3 trade "
+    "concentrate inside geographic regions more than the degree-"
+    "preserving null model predicts - the assortativity-as-modularity "
+    "audit (trade_degree_assortativity asks if hubs prefer hubs; this "
+    "asks if an EXTERNAL partition explains the edges), and the "
+    "quality score any detected communities (lpa_communities, "
+    "concept_communities) should beat before anyone trusts them. "
+    "Exact per-region 4m^2-scaled contributions (BIGINT; positive = "
+    "denser than chance) plus truncating micro shares - Q is a sum "
+    "of integers, no float anywhere. Same edge construction as "
+    "trade_triangles/trade_clustering; membership joins are "
+    "broadcast node-grain.",
+)
+def modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.graph import partition_modularity
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    cn = nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("src"))
+    sn = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("dst"))
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cnk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("snk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(cents).alias("w"))
+    )
+    w3 = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    top3 = (
+        edges.withColumn("__rn", F.row_number().over(w3))
+        .filter(F.col("__rn") <= 3)
+        .select("src", "dst")
+    )
+    memb = nation.join(
+        F.broadcast(region),
+        nation.n_regionkey == region.r_regionkey,
+    ).select(
+        F.col("n_name").alias("node"), F.col("r_name").alias("community")
+    )
+    return partition_modularity(top3, memb)
+
+
+@register(
     "prefiltered_revenue",
     oracle="""
     SELECT l_returnflag,

@@ -5026,3 +5026,37 @@ def test_adjusted_rand_index_replica(spark):
     den = n * (n - 1) * (a2 + b2) // 2 - a2 * b2
     want = num * 1_000_000 // den if num >= 0 else -((-num * 1_000_000) // den)
     assert got["ari_micro"] == want
+
+
+def test_partition_modularity_hand_values(spark):
+    """Two triangles joined by one bridge, communities = the triangles:
+    m = 7, each triangle has L_c = 3; degrees (2,2,3)+(2,2,3) so
+    D_c = 7 each; q4m2 = 4*7*3 - 49 = 35 per community (Q = 70/196).
+    Perfectly mixed partition for contrast: every edge crosses ->
+    m_in = 0, q4m2 negative."""
+    from hadoop_fcfs_spark.ops.graph import partition_modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src int, dst int",
+    )
+    memb = spark.createDataFrame(
+        [(n, "t1" if n <= 3 else "t2") for n in range(1, 7)],
+        "node int, community string",
+    )
+    out = {r["community"]: r for r in
+           partition_modularity(edges, memb).collect()}
+    for c in ("t1", "t2"):
+        assert out[c]["n_nodes"] == 3 and out[c]["m_in"] == 3
+        assert out[c]["deg_tot"] == 7
+        assert out[c]["q4m2"] == 4 * 7 * 3 - 49 == 35
+        assert out[c]["q_contrib_micro"] == 35 * 1_000_000 // 196
+    # odd/even split: only the bridge 3-4 is intra... no: 3 odd, 4
+    # even -> bridge crosses too; t1 edges 1-3 intra (both odd). Just
+    # assert totals: sum of m_in < m and q4m2 sums lower than above
+    memb2 = spark.createDataFrame(
+        [(n, "odd" if n % 2 else "even") for n in range(1, 7)],
+        "node int, community string",
+    )
+    out2 = partition_modularity(edges, memb2).collect()
+    assert sum(r["q4m2"] for r in out2) < 70
