@@ -763,6 +763,84 @@ def wilson_lower_bound(
     )
 
 
+def emd_two_sample(
+    df: DataFrame, value_col: str, group_col: str, group_a, group_b
+) -> DataFrame:
+    """Exact 1-D earth mover's distance (Wasserstein-1) between two
+    groups of an INTEGER-valued column: W₁ = ∫|F_A − F_B| dv — the
+    drift measure that completes the family with a magnitude KS lacks
+    (KS = worst vertical ECDF gap, unit-free; PSI/JSD need binning
+    choices; EMD integrates the gap in the MEASUREMENT'S OWN UNITS,
+    so "the price distribution moved by ~$3.20" is readable straight
+    off it). Integer values (cents, counts — caller quantizes) make
+    it exact: over the value grain, W₁·n_A·n_B = Σ (v_next − v) ·
+    |cumA·n_B − cumB·n_A|, every term an exact product, summed in
+    DECIMAL(38,0) (the HUGEINT parity route); emd_value_e6 is one
+    truncating division back to value units × 1e6.
+
+    Scale shape (the ks_two_sample contract): one map-side-combined
+    collapse to the value grain, then ONE global_running_sum pass
+    carrying THREE running columns (cumA, cumB, rank — the multi-
+    column ride, no second scan), and the v_next lookup is a rank
+    equi-join (rank = rank+1) — the range-partitioned LEAD, never a
+    single-task window. The max row has no successor and drops from
+    the sum (its gap is 0 by construction: both CDFs are 1).
+    Output: 1 row (n_a, n_b, emd_value_e6)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    grain = waypoint(
+        df.filter(
+            F.col(value_col).isNotNull()
+            & F.col(group_col).isin([group_a, group_b])
+        )
+        .groupBy(F.col(value_col).cast("long").alias("__v"))
+        .agg(
+            F.sum(
+                F.when(F.col(group_col) == group_a, 1).otherwise(0)
+            ).cast("long").alias("__ca"),
+            F.sum(
+                F.when(F.col(group_col) == group_b, 1).otherwise(0)
+            ).cast("long").alias("__cb"),
+        )
+        .withColumn("__one", F.lit(1).cast("long"))
+    )
+    tot = grain.agg(
+        F.sum("__ca").cast("long").alias("__na"),
+        F.sum("__cb").cast("long").alias("__nb"),
+    )
+    cums = waypoint(
+        global_running_sum(
+            grain, ["__v"], ["__ca", "__cb", "__one"],
+            out_col=["__cua", "__cub", "__rk"],
+        ).select("__v", "__cua", "__cub", "__rk")
+    )
+    nxt = cums.select(
+        (F.col("__rk") - 1).alias("__rk"), F.col("__v").alias("__nv")
+    )
+    terms = (
+        cums.join(nxt, "__rk")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("__nv") - F.col("__v")).cast("decimal(38,0)")
+                * F.abs(
+                    F.col("__cua") * F.col("__nb")
+                    - F.col("__cub") * F.col("__na")
+                )
+            ).alias("__t")
+        )
+        .agg(F.sum("__t").cast("decimal(38,0)").alias("__w1"))
+    )
+    return terms.crossJoin(F.broadcast(tot)).selectExpr(
+        "__na AS n_a", "__nb AS n_b",
+        "CASE WHEN __na > 0 AND __nb > 0 THEN"
+        " CAST((COALESCE(__w1, 0) * 1000000)"
+        " div (CAST(__na AS DECIMAL(38,0)) * __nb) AS BIGINT)"
+        " END AS emd_value_e6",
+    )
+
+
 def ks_two_sample(
     df: DataFrame, value_col: str, group_col: str, group_a: str, group_b: str
 ) -> DataFrame:

@@ -2121,6 +2121,59 @@ def ks_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emd_price_returnflag",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+      FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+    ),
+    c AS (
+      SELECT v, SUM(ca) OVER w AS cua, SUM(cb) OVER w AS cub,
+             LEAD(v) OVER w AS nv
+      FROM g WINDOW w AS (ORDER BY v)
+    ),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb FROM g),
+    s AS (
+      SELECT SUM(CAST(nv - v AS HUGEINT)
+                 * ABS(CAST(cua AS HUGEINT) * nb
+                       - CAST(cub AS HUGEINT) * na)) AS w1
+      FROM c CROSS JOIN tot WHERE nv IS NOT NULL
+    )
+    SELECT tot.na AS n_a, tot.nb AS n_b,
+           CASE WHEN tot.na > 0 AND tot.nb > 0 THEN
+             CAST((CAST(COALESCE(w1, 0) AS HUGEINT) * 1000000)
+               // (CAST(na AS HUGEINT) * nb) AS BIGINT)
+           END AS emd_value_e6
+    FROM s CROSS JOIN tot
+    """,
+    doc="Exact 1-D earth mover's distance between returned ('R') and "
+    "in-transit ('N') line prices in floored cents "
+    "(ops.stats.emd_two_sample): the drift magnitude completing the "
+    "family on the exact ks_price_returnflag slice - KS reports the "
+    "worst ECDF gap (unit-free), PSI/JSD need bins, EMD integrates "
+    "the gap in cents so the shift is readable in money. W1*nA*nB = "
+    "sum over the value grain of (v_next - v)*|cumA*nB - cumB*nA|, "
+    "every term exact, summed in DECIMAL(38,0)/HUGEINT, one "
+    "truncating division to micro value units. One grain collapse + "
+    "ONE multi-column global_running_sum (cumA, cumB, rank ride one "
+    "range shuffle) + a rank equi-join as the range-partitioned "
+    "LEAD.",
+)
+def emd_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import emd_two_sample
+
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "__cents", F.floor(F.col("l_extendedprice") * 100).cast("long")
+    )
+    return emd_two_sample(li, "__cents", "l_returnflag", "R", "N")
+
+
+@register(
     "mwu_priority_price",
     oracle="""
     WITH g AS (

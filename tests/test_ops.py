@@ -5060,3 +5060,30 @@ def test_partition_modularity_hand_values(spark):
     )
     out2 = partition_modularity(edges, memb2).collect()
     assert sum(r["q4m2"] for r in out2) < 70
+
+
+def test_emd_two_sample_hand_values(spark):
+    """A = {0, 2}, B = {1, 3}: every unit of mass moves exactly 1 ->
+    EMD = 1 (1e6 micro). Identical samples -> 0. A shifted by c ->
+    EMD = c exactly (translation property)."""
+    from hadoop_fcfs_spark.ops.stats import emd_two_sample
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 2), ("b", 1), ("b", 3)], "g string, v int"
+    )
+    r = emd_two_sample(df, "v", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["emd_value_e6"] == 1_000_000
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 9), ("b", 5), ("b", 9)], "g string, v int"
+    )
+    r = emd_two_sample(df, "v", "g", "a", "b").collect()[0]
+    assert r["emd_value_e6"] == 0
+
+    df = spark.createDataFrame(
+        [("a", v) for v in (1, 4, 6)] + [("b", v + 7) for v in (1, 4, 6)],
+        "g string, v int",
+    )
+    r = emd_two_sample(df, "v", "g", "a", "b").collect()[0]
+    assert r["emd_value_e6"] == 7_000_000
