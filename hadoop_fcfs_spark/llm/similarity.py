@@ -72,6 +72,107 @@ def cosine_topk(
     )
 
 
+def mmr_rerank(
+    df: DataFrame,
+    query_id,
+    k: int = 5,
+    n_candidates: int = 10,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick ``k`` of the query's ``n_candidates``
+    nearest neighbors maximizing λ·rel(d) − (1−λ)·max_{s∈picked}
+    sim(d, s) — the redundancy-pruning rerank every retrieval stack
+    runs between ANN and the consumer (diversified_topk caps by a
+    CATEGORY; MMR diversifies by actual pairwise similarity, so
+    near-duplicate hits can't fill the page). λ = lam_num/lam_den;
+    the argmax uses the integer-scaled score lam_num·rel −
+    (lam_den−lam_num)·mm — same ordering, and it sidesteps the
+    1−0.7 = 0.30000000000000004 float-literal trap an oracle would
+    otherwise have to reproduce textually.
+
+    Determinism: rel and pairwise sims are the ann_cosine_topk
+    quantized cosines (ROUND 4, +0.0, id tiebreaks); every
+    subsequent op is IEEE arithmetic both engines compute
+    identically. Greedy selection is inherently sequential — the k
+    steps are unrolled as bounded DataFrame ops over the
+    n_candidates-row state (1-row argmax via orderBy-limit, max-sim
+    carry via GREATEST against the picked row), per-step eager
+    localCheckpoint keeping the plan flat (the rake_weights /
+    bradley_terry iterative-state discipline). Nothing data-sized
+    happens after the one cosine_topk scan. Output: (pos 1..k,
+    id_col, rel, maxsim — NULL for pos 1)."""
+    if not 1 <= k <= n_candidates:
+        raise ValueError(f"need 1 <= k <= n_candidates, got {k}/{n_candidates}")
+    if not 0 < lam_num <= lam_den:
+        raise ValueError(f"need 0 < lam_num <= lam_den, got {lam_num}/{lam_den}")
+    q = df.filter(F.col(id_col) == query_id)
+    cand = (
+        cosine_topk(df, q, k=n_candidates, id_col=id_col, vec_col=vec_col)
+        .select(F.col("vec_id").alias("__cid"), F.col("cos").alias("rel"))
+        .join(
+            df.select(
+                F.col(id_col).alias("__cid"), F.col(vec_col).alias("__v")
+            ),
+            "__cid",
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(F.col("__cid").alias("__ai"), F.col("__v").alias("__va"))
+    b = cand.select(F.col("__cid").alias("__bi"), F.col("__v").alias("__vb"))
+    sims = (
+        a.join(F.broadcast(b), F.col("__ai") != F.col("__bi"))
+        .select(
+            "__ai", "__bi",
+            (F.round(cosine(F.col("__va"), F.col("__vb")), 4) + 0.0)
+            .alias("__s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mu = lam_den - lam_num
+    remaining = cand.select(
+        "__cid", "rel", F.lit(None).cast("double").alias("__mm")
+    )
+    res = None
+    for pos in range(1, k + 1):
+        score = F.col("rel") * lam_num - F.coalesce(
+            F.col("__mm") * mu, F.lit(0.0)
+        )
+        sel = (
+            remaining.orderBy(score.desc(), F.col("__cid").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        row = sel.select(
+            F.lit(pos).cast("int").alias("pos"),
+            F.col("__cid").alias(id_col),
+            "rel",
+            F.col("__mm").alias("maxsim"),
+        )
+        res = row if res is None else res.unionByName(row)
+        if pos == k:
+            break
+        picked = sel.select(F.col("__cid").alias("__sid"))
+        remaining = (
+            remaining.join(
+                F.broadcast(picked), F.col("__cid") != F.col("__sid")
+            )
+            .join(
+                sims,
+                (F.col("__ai") == F.col("__cid"))
+                & (F.col("__bi") == F.col("__sid")),
+            )
+            .select(
+                "__cid", "rel", F.greatest("__mm", "__s").alias("__mm")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return res
+
+
 def rp_lsh_buckets(
     df: DataFrame,
     num_planes: int = 12,

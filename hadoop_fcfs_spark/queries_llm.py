@@ -4664,6 +4664,85 @@ def kmeans_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_steps(k: int) -> str:
+    """Unrolled greedy MMR CTE chain (argmax via ORDER BY ... LIMIT 1,
+    max-sim carry via GREATEST against the picked id) — the
+    rake/kmeans unrolled-oracle template for a sequential algorithm."""
+    parts = ["""
+    s1 AS MATERIALIZED (SELECT vec_id, rel FROM base
+                        ORDER BY rel DESC, vec_id LIMIT 1),
+    m1 AS MATERIALIZED (
+      SELECT b.vec_id, b.rel, p.s AS mm
+      FROM base b JOIN ps p ON p.ai = b.vec_id
+        AND p.bi = (SELECT vec_id FROM s1)
+    )"""]
+    for i in range(2, k + 1):
+        parts.append(f"""
+    s{i} AS MATERIALIZED (SELECT vec_id, rel, mm FROM m{i - 1}
+      ORDER BY 7 * rel - 3 * mm DESC, vec_id LIMIT 1)""")
+        if i < k:
+            parts.append(f"""
+    m{i} AS MATERIALIZED (
+      SELECT m.vec_id, m.rel, GREATEST(m.mm, p.s) AS mm
+      FROM m{i - 1} m JOIN ps p ON p.ai = m.vec_id
+        AND p.bi = (SELECT vec_id FROM s{i})
+    )""")
+    tail = ["""
+    SELECT CAST(1 AS INT) AS pos, vec_id, rel,
+           CAST(NULL AS DOUBLE) AS maxsim FROM s1"""]
+    tail += [
+        f"""
+    UNION ALL SELECT CAST({i} AS INT), vec_id, rel, mm FROM s{i}"""
+        for i in range(2, k + 1)
+    ]
+    return ",".join(parts) + "".join(tail)
+
+
+@register(
+    "mmr_rerank_embeddings",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 0),
+    base AS MATERIALIZED (
+      SELECT e.vec_id,
+             ROUND(list_dot_product(qv, e.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 4)
+               + 0.0 AS rel,
+             e.embedding::DOUBLE[] AS v
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id LIMIT 10
+    ),
+    ps AS MATERIALIZED (
+      SELECT a.vec_id AS ai, b.vec_id AS bi,
+             ROUND(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))), 4) + 0.0 AS s
+      FROM base a JOIN base b ON a.vec_id <> b.vec_id
+    ),{_mmr_steps(5)}
+    """,
+    doc="Maximal-marginal-relevance rerank of query vector 0's cosine "
+    "top-10 down to 5 diversified results, lambda = 0.7 "
+    "(llm.similarity.mmr_rerank, Carbonell-Goldstein): the "
+    "redundancy-pruning stage every retrieval stack runs between ANN "
+    "and the consumer - diversified_top_orders caps by category, MMR "
+    "penalizes by ACTUAL pairwise similarity so near-duplicate hits "
+    "cannot fill the page. Greedy argmax over the integer-scaled "
+    "score 7*rel - 3*maxsim (same ordering as 0.7/0.3, sidesteps the "
+    "1-0.7 float-literal trap); rel/sims are the ann_cosine_topk "
+    "quantized cosines with id tiebreaks, so the whole trajectory is "
+    "engine-replayable. Five unrolled steps over 10-row bounded "
+    "state with per-step eager localCheckpoint; nothing data-sized "
+    "after the one cosine scan.",
+)
+def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import mmr_rerank
+
+    emb = t(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, query_id=0, k=5, n_candidates=10)
+
+
 @register(
     "ari_kmeans_labels",
     oracle=_kmeans_ctes(k=8, iterations=2, quantize=1000)

@@ -1914,3 +1914,41 @@ def test_mingram_blocking_quality_planted_miss(spark):
     assert out["n_hit"] == 1
     assert out["pc_micro"] == 500_000
     assert out["rr_micro"] == 833_333  # floor((6-1)/6 * 1e6)
+
+
+def test_mmr_rerank_hand_values(spark, tmp_path):
+    """2-D construction: query along x; candidates at decreasing cos
+    but the two most relevant are near-duplicates of each other - MMR
+    must pick the top one, then SKIP its twin in favor of the
+    orthogonal-ish third vector; a pure-relevance top-2 would take the
+    twin."""
+    import pytest
+
+    from hadoop_fcfs_spark.llm.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0]),        # query
+        (1, [0.94, 0.342]),     # +20 deg, rel ~.94
+        (2, [0.94, 0.342]),     # exact twin of 1 (higher id loses tie)
+        (3, [0.94, -0.342]),    # -20 deg: same rel, sim to 1 = cos40
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = mmr_rerank(emb, query_id=0, k=3, n_candidates=3).collect()
+    order = [r["pos"] for r in out]
+    picks = [r["vec_id"] for r in out]
+    assert order == [1, 2, 3]
+    assert picks[0] == 1          # equal rel, lowest id wins
+    assert picks[1] == 3          # the exact twin is penalized away
+    assert picks[2] == 2
+    assert out[0]["maxsim"] is None
+    # the other-side pick's penalty is cos(40 deg), not the twin's 1.0
+    assert 0.70 < out[1]["maxsim"] < 0.80
+    # the twin's maxsim at selection time is its sim to vec 1 (= 1.0)
+    assert out[2]["maxsim"] == 1.0
+
+    with pytest.raises(ValueError):
+        mmr_rerank(emb, query_id=0, k=5, n_candidates=3)
