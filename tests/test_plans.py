@@ -530,6 +530,7 @@ def test_no_unallowed_unpartitioned_windows_static_sweep():
         # (file, enclosing function): why it's bounded
         ("ops/sort.py", "ranked_total_order"),       # offsets over per-partition COUNT summary
         ("ops/sort.py", "global_running_sum"),       # offsets over per-partition TOTAL summary
+        ("ops/sort.py", "global_running_max"),       # offsets over per-partition MAX summary
         ("ops/joins.py", "global_as_of_join"),       # carry-in over per-partition LAST summary
         ("ops/stats.py", "pareto_frontier"),         # prefix max over one-row-per-chunk summary
         ("ops/stats.py", "kaplan_meier"),            # risk/product windows over duration-grain summary
