@@ -48,6 +48,83 @@ def zvalue(cols: list[Column | str], bits: int = 16) -> Column:
     return z
 
 
+def hilbert_value(
+    df: DataFrame,
+    x_col: Column | str,
+    y_col: Column | str,
+    bits: int = 8,
+    out_col: str = "hval",
+) -> DataFrame:
+    """2-D Hilbert-curve index of (x, y) ∈ [0, 2^bits)² — the
+    better-locality sibling of :func:`zvalue`: Morton order takes a
+    long diagonal jump every power-of-two boundary, the Hilbert curve
+    moves ONE grid cell per step everywhere, so consecutive curve
+    ranges cover tighter rectangles and min/max pruning skips more
+    row groups (the curve modern lakehouse clustering uses where
+    available). Callers normalize into range first (rank_normalize),
+    as with zvalue.
+
+    Pure per-row integer arithmetic, unrolled over the ``bits``
+    levels of the classic xy→d recurrence: per level s = 2^k the
+    quadrant is (3·rx) XOR ry — carried as the identity 3rx + ry −
+    2rx·ry, no bit-XOR needed — and the frame rotates via the
+    full-grid reflection (x', y') = (n−1−y, n−1−x) when rx=1, ry=0 /
+    plain swap when rx=ry=0, which keeps every intermediate
+    NONNEGATIVE (the s-local variant reflects below zero and leans
+    on two's-complement masking — avoided for cross-engine safety).
+    Each level lands in its own projection column so the expression
+    tree stays LINEAR in ``bits`` (inlining the recurrence doubles
+    the tree per level). Validated by the curve's defining property
+    in pytest: consecutive d are grid NEIGHBORS, everywhere."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    n1 = (1 << bits) - 1
+    xc = x_col if isinstance(x_col, Column) else F.col(x_col)
+    yc = y_col if isinstance(y_col, Column) else F.col(y_col)
+    out = df.withColumn("__hx", xc.cast("long")).withColumn(
+        "__hy", yc.cast("long")
+    ).withColumn("__hd", F.lit(0).cast("long"))
+    for k in range(bits - 1, -1, -1):
+        s = 1 << k
+        rx = F.shiftright(F.col("__hx"), k).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("__hy"), k).bitwiseAND(F.lit(1))
+        out = (
+            out.withColumn("__rx", rx)
+            .withColumn("__ry", ry)
+            .withColumn(
+                "__hd",
+                F.col("__hd")
+                + F.lit(s * s)
+                * (
+                    3 * F.col("__rx") + F.col("__ry")
+                    - 2 * F.col("__rx") * F.col("__ry")
+                ),
+            )
+            .withColumn(
+                "__hx2",
+                F.when(F.col("__ry") == 1, F.col("__hx")).otherwise(
+                    F.when(
+                        F.col("__rx") == 1, F.lit(n1) - F.col("__hy")
+                    ).otherwise(F.col("__hy"))
+                ),
+            )
+            .withColumn(
+                "__hy2",
+                F.when(F.col("__ry") == 1, F.col("__hy")).otherwise(
+                    F.when(
+                        F.col("__rx") == 1, F.lit(n1) - F.col("__hx")
+                    ).otherwise(F.col("__hx"))
+                ),
+            )
+            .withColumn("__hx", F.col("__hx2"))
+            .withColumn("__hy", F.col("__hy2"))
+            .drop("__rx", "__ry", "__hx2", "__hy2")
+        )
+    return out.withColumn(out_col, F.col("__hd")).drop(
+        "__hx", "__hy", "__hd"
+    )
+
+
 def rank_normalize(df: DataFrame, col: str, id_col: str, bits: int = 16, out_col: str | None = None) -> DataFrame:
     """Map a column of any type/skew onto [0, 2^bits) by rank, adding
     ``out_col`` (default ``<col>_znorm``). Exact NTILE semantics, but NOT

@@ -412,6 +412,70 @@ def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hilbert_sql(bits: int, x_expr: str, y_expr: str) -> str:
+    """Unrolled xy→d Hilbert CTE chain with UNIQUE per-level column
+    names (x{k}/y{k}/d{k}) — DuckDB binds lateral column aliases in
+    the same SELECT, so reusing 'hx' as both input column and output
+    alias would be ambiguous; distinct names per level sidestep it."""
+    n1 = (1 << bits) - 1
+    parts = [f"""
+    l{bits} AS (
+      SELECT o_orderkey, CAST({x_expr} AS BIGINT) AS x{bits},
+             CAST({y_expr} AS BIGINT) AS y{bits},
+             CAST(0 AS BIGINT) AS d{bits}
+      FROM orders
+    )"""]
+    for k in range(bits - 1, -1, -1):
+        p = k + 1
+        s = 1 << k
+        parts.append(f"""
+    l{k} AS (
+      SELECT o_orderkey,
+        CASE WHEN ((y{p} >> {k}) & 1) = 1 THEN x{p}
+             WHEN ((x{p} >> {k}) & 1) = 1 THEN {n1} - y{p}
+             ELSE y{p} END AS x{k},
+        CASE WHEN ((y{p} >> {k}) & 1) = 1 THEN y{p}
+             WHEN ((x{p} >> {k}) & 1) = 1 THEN {n1} - x{p}
+             ELSE x{p} END AS y{k},
+        d{p} + {s * s} * (3 * ((x{p} >> {k}) & 1) + ((y{p} >> {k}) & 1)
+            - 2 * ((x{p} >> {k}) & 1) * ((y{p} >> {k}) & 1)) AS d{k}
+      FROM l{p}
+    )""")
+    return "WITH " + ",".join(parts)
+
+
+@register(
+    "hilbert_values",
+    oracle=_hilbert_sql(8, "(o_custkey & 255)", "(o_orderkey & 255)")
+    + """
+    SELECT o_orderkey, CAST(d0 AS BIGINT) AS hval FROM l0
+    """,
+    doc="2-D Hilbert-curve index over the low 8 bits of "
+    "(o_custkey, o_orderkey) (ops/layout.hilbert_value): the "
+    "better-locality clustering key next to zorder_values - Morton "
+    "order jumps a long diagonal at every power-of-two boundary, the "
+    "Hilbert curve moves one grid cell per step everywhere, so curve-"
+    "contiguous files cover tighter key rectangles and min/max "
+    "pruning skips more. Pure per-row integer arithmetic: 8 unrolled "
+    "levels of the classic xy->d recurrence, quadrant carried as the "
+    "XOR-free identity 3rx + ry - 2rx*ry, full-grid reflections "
+    "keeping every intermediate nonnegative (no two's-complement "
+    "reliance); each level is its own projection so the expression "
+    "tree stays linear. The defining consecutive-cells-are-neighbors "
+    "property is pinned exhaustively in pytest at bits=4.",
+)
+def hilbert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.layout import hilbert_value
+
+    orders = t(spark, sf_dir, "orders")
+    return hilbert_value(
+        orders.select("o_orderkey", "o_custkey"),
+        F.col("o_custkey").bitwiseAND(F.lit(255)),
+        F.col("o_orderkey").bitwiseAND(F.lit(255)),
+        bits=8,
+    ).select("o_orderkey", "hval")
+
+
 @register(
     "footer_table_stats",
     oracle="""

@@ -5087,3 +5087,39 @@ def test_emd_two_sample_hand_values(spark):
     )
     r = emd_two_sample(df, "v", "g", "a", "b").collect()[0]
     assert r["emd_value_e6"] == 7_000_000
+
+
+def test_hilbert_value_is_a_hilbert_curve(spark):
+    """Exhaustive bits=4 (16x16): the mapping is a bijection onto
+    0..255 AND every pair of consecutive curve positions are GRID
+    NEIGHBORS (Manhattan distance 1) - the defining Hilbert property
+    (Morton/zvalue fails it at every power-of-two boundary). Plus the
+    canonical n=2 quadrant order and the origin anchor."""
+    import pytest
+
+    from hadoop_fcfs_spark.ops.layout import hilbert_value
+
+    cells = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(cells, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["hval"]
+        for r in hilbert_value(df, "x", "y", bits=4).collect()
+    }
+    assert sorted(got.values()) == list(range(256))
+    byd = {d: xy for xy, d in got.items()}
+    for d in range(255):
+        (x1, y1), (x2, y2) = byd[d], byd[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+    assert got[(0, 0)] == 0
+
+    df2 = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 1), (1, 0)], "x int, y int"
+    )
+    g2 = {
+        (r["x"], r["y"]): r["hval"]
+        for r in hilbert_value(df2, "x", "y", bits=1).collect()
+    }
+    assert g2 == {(0, 0): 0, (0, 1): 1, (1, 1): 2, (1, 0): 3}
+
+    with pytest.raises(ValueError):
+        hilbert_value(df2, "x", "y", bits=0)
