@@ -3677,6 +3677,66 @@ def ordinal_association(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     )
 
 
+def cochran_armitage_trend(
+    df: DataFrame, score_col: str, outcome_col: Column | str
+) -> DataFrame:
+    """Cochran–Armitage trend test: does a binary outcome's rate move
+    MONOTONICALLY across ordered groups — the trend completion of the
+    proportion family (chi2 asks "do the rates differ at all" and
+    spends power on every permutation; CA spends it all on the
+    ordered alternative, the usual question for dose/priority/
+    severity levels). The binary-outcome sibling of Jonckheere (for
+    values) and Page (for blocked values).
+
+    ``score_col`` holds the group's integer position/dose; z > 0
+    means the rate RISES with the score. Entirely exact up to the
+    final flat double: with per-group (r_i, a_i) = (trials,
+    successes), S1 = Σs·r, S2 = Σs²·r, T·n = Σs·(a·n − r·A) is an
+    exact BIGINT/DECIMAL numerator, the variance factor A(n−A)(n·S2
+    − S1²) an exact DECIMAL(38,0), and z = Tn / sqrt(factor / n) one
+    division + one sqrt, floored to e6. NULL z when the factor is 0
+    (all-one-group or all/none outcomes).
+
+    Scale shape: one map-side-combined pass to the score grain, one
+    scalar reduce. Output: 1 row (n, n_pos, tn, z_e6)."""
+    oc = (
+        F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
+    ).cast("boolean").cast("int")
+    grain = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(F.col(score_col).cast("long").alias("__s"))
+        .agg(
+            F.count("*").cast("long").alias("__r"),
+            F.sum(F.coalesce(oc, F.lit(0))).cast("long").alias("__a"),
+        )
+    )
+    m = grain.agg(
+        F.sum("__r").cast("long").alias("__n"),
+        F.sum("__a").cast("long").alias("__A"),
+        F.sum(F.col("__s") * F.col("__r")).cast("long").alias("__s1"),
+        F.sum(F.col("__s") * F.col("__s") * F.col("__r")).cast("long")
+        .alias("__s2"),
+        F.sum(F.col("__s") * F.col("__a")).cast("long").alias("__sa"),
+    )
+    # T·n = Σ s·a·n − Σ s·r·A = sa·n − s1·A (linearity — no second pass)
+    return m.selectExpr(
+        "__n AS n", "__A AS n_pos",
+        "CAST(CAST(__sa AS DECIMAL(38,0)) * __n"
+        " - CAST(__s1 AS DECIMAL(38,0)) * __A AS BIGINT) AS tn",
+        "CASE WHEN (CAST(__A AS DECIMAL(38,0)) * (__n - __A)"
+        " * (CAST(__n AS DECIMAL(38,0)) * __s2"
+        "    - CAST(__s1 AS DECIMAL(38,0)) * __s1)) > 0 THEN"
+        " CAST(FLOOR("
+        " CAST(CAST(__sa AS DECIMAL(38,0)) * __n"
+        "      - CAST(__s1 AS DECIMAL(38,0)) * __A AS DOUBLE)"
+        " / sqrt(CAST(CAST(__A AS DECIMAL(38,0)) * (__n - __A)"
+        "   * (CAST(__n AS DECIMAL(38,0)) * __s2"
+        "      - CAST(__s1 AS DECIMAL(38,0)) * __s1) AS DOUBLE)"
+        "   / CAST(__n AS DOUBLE))"
+        " * 1000000) AS BIGINT) END AS z_e6",
+    )
+
+
 def adjusted_rand_index(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     """Adjusted Rand Index between two partitions of the same rows
     (Hubert & Arabie 1985) — THE chance-corrected clustering-vs-

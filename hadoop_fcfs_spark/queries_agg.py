@@ -4403,6 +4403,65 @@ def page_trend_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cochran_armitage_returns",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT)
+               AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS r,
+             CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS a
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderpriority IS NOT NULL
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(SUM(r) AS BIGINT) AS n, CAST(SUM(a) AS BIGINT) AS na,
+             CAST(SUM(s * r) AS BIGINT) AS s1,
+             CAST(SUM(s * s * r) AS BIGINT) AS s2,
+             CAST(SUM(s * a) AS BIGINT) AS sa
+      FROM g
+    )
+    SELECT n, na AS n_pos,
+           CAST(CAST(sa AS HUGEINT) * n - CAST(s1 AS HUGEINT) * na
+             AS BIGINT) AS tn,
+           CASE WHEN (CAST(na AS HUGEINT) * (n - na)
+                * (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)) > 0
+           THEN CAST(FLOOR(
+             CAST(CAST(sa AS HUGEINT) * n - CAST(s1 AS HUGEINT) * na
+               AS DOUBLE)
+             / sqrt(CAST(CAST(na AS HUGEINT) * (n - na)
+                 * (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+                 AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1000000) AS BIGINT) END AS z_e6
+    FROM m
+    """,
+    doc="Cochran-Armitage trend test: does the line return rate move "
+    "monotonically across the 5 order priorities (score = leading "
+    "digit) - the binary-outcome trend completion "
+    "(ops.stats.cochran_armitage_trend): chi2_source_lang-style "
+    "omnibus tests spend power on every permutation, CA spends it "
+    "all on the ordered alternative, the jonckheere/page question "
+    "for a RATE. Exact BIGINT/DECIMAL(38,0) grain moments (T*n via "
+    "the linearity identity sa*n - s1*A - one pass, no rescan), one "
+    "flat double division + single sqrt floored e6; z > 0 means "
+    "returns rise toward low priorities.",
+)
+def cochran_armitage_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import cochran_armitage_trend
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    j = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).filter(F.col("o_orderpriority").isNotNull()).select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("ps"),
+        (F.col("l_returnflag") == "R").alias("ret"),
+    )
+    return cochran_armitage_trend(j, "ps", F.col("ret"))
+
+
+@register(
     "hodges_lehmann_daily",
     oracle="""
     WITH a AS (

@@ -5123,3 +5123,29 @@ def test_hilbert_value_is_a_hilbert_curve(spark):
 
     with pytest.raises(ValueError):
         hilbert_value(df2, "x", "y", bits=0)
+
+
+def test_cochran_armitage_hand_values(spark):
+    """Textbook arithmetic: scores 1,2,3 with rates 1/4, 2/4, 3/4.
+    n=12, A=6, S1=24, S2=56, SA=(1*1+2*2+3*3)=14. Tn = 14*12 - 24*6 =
+    24; factor = 6*6*(12*56 - 576) = 36*96 = 3456; z = 24 /
+    sqrt(3456/12) = 24/16.9706 = 1.41421... (= sqrt(2)). Flat trend
+    -> Tn = 0; degenerate all-positive -> NULL z."""
+    from hadoop_fcfs_spark.ops.stats import cochran_armitage_trend
+
+    rows = []
+    for s, a in ((1, 1), (2, 2), (3, 3)):
+        rows += [(s, 1)] * a + [(s, 0)] * (4 - a)
+    df = spark.createDataFrame(rows, "s int, y int")
+    r = cochran_armitage_trend(df, "s", F.col("y")).collect()[0]
+    assert (r["n"], r["n_pos"], r["tn"]) == (12, 6, 24)
+    assert r["z_e6"] == 1_414_213  # floor(sqrt(2) * 1e6)
+
+    rows = [(s, y) for s in (1, 2, 3) for y in (0, 1)]
+    df = spark.createDataFrame(rows, "s int, y int")
+    r = cochran_armitage_trend(df, "s", F.col("y")).collect()[0]
+    assert r["tn"] == 0 and r["z_e6"] == 0
+
+    df = spark.createDataFrame([(1, 1), (2, 1)], "s int, y int")
+    r = cochran_armitage_trend(df, "s", F.col("y")).collect()[0]
+    assert r["z_e6"] is None  # A = n -> zero variance
