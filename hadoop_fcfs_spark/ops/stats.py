@@ -3677,6 +3677,85 @@ def ordinal_association(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     )
 
 
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col: Column,
+    outcome_col: Column,
+) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio + the CMH chi-square across
+    stratified 2×2 tables — the ESTIMATION half of the Simpson story
+    (:func:`simpson_reversal` diagnoses that pooling naively lies;
+    MH is what to report instead: the confounder-adjusted common
+    odds ratio, weighting each stratum by b·c/n so sparse strata
+    can't dominate). CMH tests that common OR against 1 with one
+    degree of freedom regardless of stratum count.
+
+    Determinism contract: the per-stratum fractional terms (a·d/n,
+    b·c/n, E = r1·c1/n, V = r1·r2·c1·c2/(n²(n−1))) are FLOOR-MICRO
+    quantized before summing — both engines replay identical
+    integers, and the ≤1e-6-per-stratum quantization is documented
+    rather than hidden in float accumulation order (the
+    effect-sizes quantized-moments discipline). V's numerator rides
+    DECIMAL(38,0) (n⁴ scale). chi2_e6 is ONE double multiply +
+    divide of exact integers, floored; or_mh_e6 one truncating
+    division; both NULL when their denominator is 0. NULL exposure/
+    outcome count as false (the two_proportion convention);
+    single-row strata contribute nothing to V (n−1 = 0 guards to 0,
+    the standard convention).
+
+    Scale shape: ONE map-side-combined pass to stratum 2×2 counts,
+    one scalar reduce. Output: 1 row (n_strata, n, or_mh_e6,
+    chi2_e6)."""
+    ex = F.coalesce(exposure_col.cast("boolean"), F.lit(False))
+    oc = F.coalesce(outcome_col.cast("boolean"), F.lit(False))
+    per = (
+        df.filter(F.col(stratum_col).isNotNull())
+        .groupBy(F.col(stratum_col).alias("__st"))
+        .agg(
+            F.sum((ex & oc).cast("long")).alias("__a"),
+            F.sum((ex & ~oc).cast("long")).alias("__b"),
+            F.sum((~ex & oc).cast("long")).alias("__c"),
+            F.sum((~ex & ~oc).cast("long")).alias("__d"),
+        )
+        .selectExpr(
+            "__a", "__b", "__c", "__d",
+            "__a + __b + __c + __d AS __nk",
+        )
+        .filter(F.col("__nk") > 0)
+        .selectExpr(
+            "__nk",
+            "__a",
+            "(__a * __d * 1000000) div __nk AS __tad",
+            "(__b * __c * 1000000) div __nk AS __tbc",
+            "((__a + __b) * (__a + __c) * 1000000) div __nk AS __te",
+            "CASE WHEN __nk > 1 THEN CAST("
+            " (CAST(__a + __b AS DECIMAL(38,0)) * (__c + __d)"
+            "  * (__a + __c) * (__b + __d) * 1000000)"
+            " div (CAST(__nk AS DECIMAL(38,0)) * __nk * (__nk - 1))"
+            " AS BIGINT) ELSE 0 END AS __tv",
+        )
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("__nk").cast("long").alias("n"),
+        F.sum("__tad").cast("long").alias("__sad"),
+        F.sum("__tbc").cast("long").alias("__sbc"),
+        (F.sum(F.col("__a")) * 1_000_000 - F.sum("__te"))
+        .cast("long").alias("__num"),
+        F.sum("__tv").cast("long").alias("__sv"),
+    ).selectExpr(
+        "n_strata", "n",
+        "CASE WHEN __sbc > 0 THEN (__sad * 1000000) div __sbc"
+        " END AS or_mh_e6",
+        # units: num is micro-counts, sv micro-V, so num²/sv = chi2·1e6
+        "CASE WHEN __sv > 0 THEN CAST(FLOOR("
+        " CAST(__num AS DOUBLE) * CAST(__num AS DOUBLE)"
+        " / CAST(__sv AS DOUBLE)) AS BIGINT)"
+        " END AS chi2_e6",
+    )
+
+
 def cochran_armitage_trend(
     df: DataFrame, score_col: str, outcome_col: Column | str
 ) -> DataFrame:

@@ -5298,6 +5298,118 @@ def seasonal_naive_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cmh_segment_status",
+    oracle="""
+    WITH med AS (
+      SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+      SELECT q, SUM(c) OVER (ORDER BY q) AS cumc, SUM(c) OVER () AS nt
+      FROM med
+    ),
+    m AS (SELECT MIN(CASE WHEN 2 * cumc >= nt THEN q END) AS medq FROM cum),
+    base AS (
+      SELECT cu.c_mktsegment AS st,
+             CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) > m.medq AS ex,
+             o.o_orderstatus = 'F' AS oc
+      FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+      CROSS JOIN m
+      WHERE o.o_totalprice IS NOT NULL AND cu.c_mktsegment IS NOT NULL
+    ),
+    per AS (
+      SELECT st,
+        CAST(SUM(CASE WHEN ex AND oc THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN ex AND NOT oc THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN NOT ex AND oc THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+        CAST(SUM(CASE WHEN NOT ex AND NOT oc THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM base GROUP BY 1
+    ),
+    per2 AS (SELECT st, a, b, cx, d, a + b + cx + d AS nk FROM per),
+    terms AS (
+      SELECT nk, a,
+        (a * d * 1000000) // nk AS tad,
+        (b * cx * 1000000) // nk AS tbc,
+        ((a + b) * (a + cx) * 1000000) // nk AS te,
+        CASE WHEN nk > 1 THEN CAST(
+          (CAST(a + b AS HUGEINT) * (cx + d) * (a + cx) * (b + d) * 1000000)
+          // (CAST(nk AS HUGEINT) * nk * (nk - 1)) AS BIGINT)
+        ELSE 0 END AS tv
+      FROM per2 WHERE nk > 0
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+             CAST(SUM(nk) AS BIGINT) AS n,
+             CAST(SUM(tad) AS BIGINT) AS sad,
+             CAST(SUM(tbc) AS BIGINT) AS sbc,
+             CAST(SUM(a) * 1000000 - SUM(te) AS BIGINT) AS num,
+             CAST(SUM(tv) AS BIGINT) AS sv
+      FROM terms
+    )
+    SELECT n_strata, n,
+           CASE WHEN sbc > 0 THEN (sad * 1000000) // sbc END AS or_mh_e6,
+           CASE WHEN sv > 0 THEN CAST(FLOOR(
+             CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+             / CAST(sv AS DOUBLE)) AS BIGINT) END AS chi2_e6
+    FROM s
+    """,
+    doc="Mantel-Haenszel pooled odds ratio + CMH chi-square for "
+    "above-median order value -> fulfilled status, stratified by "
+    "market segment (ops.stats.mantel_haenszel) - the ESTIMATION "
+    "half of the Simpson story on the IDENTICAL variables as "
+    "simpson_segment_status: that gate flags strata whose "
+    "association flips against the pooled table; this reports what "
+    "to quote instead, the confounder-adjusted common OR (b*c/n "
+    "weights keep sparse segments from dominating) and its 1-df "
+    "test. Per-stratum fractional terms floor-micro quantized "
+    "BEFORE summing (documented <=1e-6/stratum, the quantized-"
+    "moments discipline - determinism over hidden float "
+    "accumulation); V's n^4-scale numerator rides DECIMAL(38,0)/"
+    "HUGEINT; one double multiply+divide for chi2, one truncating "
+    "division for the OR. One stratum-grain pass + scalar reduce.",
+)
+def cmh_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+    from hadoop_fcfs_spark.ops.stats import mantel_haenszel
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    q = F.floor(F.col("o_totalprice") * 100).cast("long")
+    grain = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .groupBy(q.alias("__q"))
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    cum = global_running_sum(grain, ["__q"], "__c", out_col="__cum")
+    tot = grain.agg(F.sum("__c").alias("__n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(2 * F.col("__cum") >= F.col("__n"), F.col("__q"))
+            ).alias("__medq")
+        )
+    )
+    joined = (
+        orders.filter(
+            F.col("o_totalprice").isNotNull()
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .filter(F.col("c_mktsegment").isNotNull())
+        .crossJoin(F.broadcast(med))
+    )
+    return mantel_haenszel(
+        joined, "c_mktsegment",
+        q > F.col("__medq"),
+        F.col("o_orderstatus") == "F",
+    )
+
+
+@register(
     "simpson_segment_status",
     oracle="""
     WITH med AS (

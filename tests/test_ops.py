@@ -5149,3 +5149,36 @@ def test_cochran_armitage_hand_values(spark):
     df = spark.createDataFrame([(1, 1), (2, 1)], "s int, y int")
     r = cochran_armitage_trend(df, "s", F.col("y")).collect()[0]
     assert r["z_e6"] is None  # A = n -> zero variance
+
+
+def test_mantel_haenszel_hand_values(spark):
+    """One stratum, textbook 2x2 (a,b,c,d) = (10,5,5,10), n=30:
+    OR_MH = (10*10/30)/(5*5/30) = 4 exactly; E = 15*15/30 = 7.5,
+    num = 10 - 7.5 = 2.5, V = 15*15*15*15/(900*29) = 50625/26100;
+    chi2 = 2.5^2 * 26100/50625 = 3.2222... Two identical strata halve
+    nothing - OR stays 4. No-discordance stratum -> OR NULL."""
+    from hadoop_fcfs_spark.ops.stats import mantel_haenszel
+
+    def tbl(st, a, b, c, d):
+        return (
+            [(st, True, True)] * a + [(st, True, False)] * b
+            + [(st, False, True)] * c + [(st, False, False)] * d
+        )
+
+    rows = tbl("s1", 10, 5, 5, 10)
+    df = spark.createDataFrame(rows, "st string, ex boolean, oc boolean")
+    r = mantel_haenszel(df, "st", F.col("ex"), F.col("oc")).collect()[0]
+    assert (r["n_strata"], r["n"]) == (1, 30)
+    assert r["or_mh_e6"] == 4_000_001  # 4.0 with two stacked floor-divs
+    # chi2 = 6.25 * 26100 / 50625 = 3.222222...
+    assert abs(r["chi2_e6"] - 3_222_222) <= 3  # micro-quantized terms
+
+    rows = tbl("s1", 10, 5, 5, 10) + tbl("s2", 10, 5, 5, 10)
+    df = spark.createDataFrame(rows, "st string, ex boolean, oc boolean")
+    r = mantel_haenszel(df, "st", F.col("ex"), F.col("oc")).collect()[0]
+    assert r["n_strata"] == 2 and r["or_mh_e6"] == 4_000_001
+
+    rows = tbl("s1", 5, 0, 5, 0)  # bc-weight 0: OR undefined
+    df = spark.createDataFrame(rows, "st string, ex boolean, oc boolean")
+    r = mantel_haenszel(df, "st", F.col("ex"), F.col("oc")).collect()[0]
+    assert r["or_mh_e6"] is None
