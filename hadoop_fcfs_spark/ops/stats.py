@@ -3677,6 +3677,68 @@ def ordinal_association(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     )
 
 
+def restricted_mean_survival(
+    durations: DataFrame,
+    duration_col: str,
+    censored_col: str,
+    tau: int,
+) -> DataFrame:
+    """Restricted mean survival time: RMST(τ) = ∫₀^τ S(t) dt, the
+    area under the Kaplan–Meier curve up to horizon τ — the
+    effect-size summary survival analysis reports when median
+    survival is undefined (curve never crosses 0.5) or hazards are
+    non-proportional: "expected days retained within the first τ",
+    in the duration's own units (logrank_cohorts tests WHETHER curves
+    differ; RMST says by how many days). Censoring-aware through the
+    KM risk-set machinery it rides.
+
+    Exact GIVEN the curve: :func:`kaplan_meier`'s round-micro surv_e6
+    is the cross-engine-stable representation of the exact rational
+    products, and the integral of a step function is a finite sum —
+    rmst_micro = min(t₁, τ)·1e6 (S = 1 before the first event) +
+    Σ surv_e6(tᵢ)·(min(tᵢ₊₁, τ) − min(tᵢ, τ)), pure BIGINT. No
+    events at all → RMST = τ exactly.
+
+    Scale shape: everything data-sized is inside kaplan_meier (one
+    subject-level aggregation); the interval walk is a LEAD +
+    scalar reduce over duration-grain summary rows (bounded by the
+    observation span, the kaplan_meier window contract). Output:
+    1 row (tau, n_event_times, rmst_micro)."""
+    from pyspark.sql import Window
+
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    km = kaplan_meier(durations, duration_col, censored_col).select(
+        "t", "surv_e6"
+    )
+    w = Window.orderBy("t")
+    # duration-grain summary window (bounded by the observation span)
+    iv = km.withColumn("__nt", F.lead("t").over(w))
+    body = iv.select(
+        (
+            F.col("surv_e6")
+            * (
+                F.least(F.coalesce(F.col("__nt"), F.lit(tau)), F.lit(tau))
+                - F.least(F.col("t"), F.lit(tau))
+            )
+        ).alias("__c")
+    ).agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("__body"),
+    )
+    head = km.agg(
+        F.count("*").cast("long").alias("n_event_times"),
+        (
+            F.least(F.coalesce(F.min("t"), F.lit(tau)), F.lit(tau))
+            * 1_000_000
+        ).cast("long").alias("__head"),
+    )
+    return head.crossJoin(F.broadcast(body)).selectExpr(
+        f"CAST({tau} AS BIGINT) AS tau",
+        "n_event_times",
+        "__head + __body AS rmst_micro",
+    )
+
+
 def mantel_haenszel(
     df: DataFrame,
     stratum_col: str,

@@ -1447,6 +1447,95 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rmst_retention",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l,
+             MIN(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN CAST(ts AS DATE) END) AS conv
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT CASE WHEN conv IS NOT NULL THEN DATEDIFF('day', f, conv)
+                  ELSE DATEDIFF('day', f, l) END AS t,
+             (conv IS NULL) AS cens
+      FROM u
+    ),
+    g AS (
+      SELECT t, SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS de, COUNT(*) AS a
+      FROM d GROUP BY 1
+    ),
+    tot AS (SELECT SUM(a) AS n FROM g),
+    r1 AS (
+      SELECT t, de, a,
+             n - COALESCE(SUM(a) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM g CROSS JOIN tot
+    ),
+    r2 AS (
+      SELECT t, de, n_risk,
+             exp(SUM(CASE WHEN de < n_risk THEN ln(1 - de / n_risk)
+                          ELSE CAST('-inf' AS DOUBLE) END) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+      FROM r1
+    ),
+    km AS (
+      SELECT CAST(t AS BIGINT) AS t,
+             CAST(ROUND(s * 1000000) AS BIGINT) AS se6
+      FROM r2 WHERE de > 0
+    ),
+    iv AS (SELECT t, se6, LEAD(t) OVER (ORDER BY t) AS nt FROM km),
+    hd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+             CAST(LEAST(COALESCE(MIN(t), 14), 14) * 1000000 AS BIGINT)
+               AS head
+      FROM km
+    ),
+    bd AS (
+      SELECT CAST(COALESCE(SUM(se6 * (LEAST(COALESCE(nt, 14), 14)
+               - LEAST(t, 14))), 0) AS BIGINT) AS body
+      FROM iv
+    )
+    SELECT CAST(14 AS BIGINT) AS tau, n_event_times,
+           head + body AS rmst_micro
+    FROM hd CROSS JOIN bd
+    """,
+    doc="Restricted mean survival time at a 14-day horizon over the "
+    "kaplan_meier_retention curve (ops.stats."
+    "restricted_mean_survival): expected days until first high-value "
+    "conversion within two weeks, censoring-aware - the effect-size "
+    "summary survival analysis quotes when the median is undefined "
+    "or hazards cross (logrank_cohorts tests WHETHER curves differ; "
+    "RMST says by how many days). The IDENTICAL KM replay as the "
+    "curve gate (same CTE chain), then the step-function integral as "
+    "pure BIGINT arithmetic over the round-micro surv_e6 values: "
+    "min(t1, tau)*1e6 head + sum of surv*interval pieces, one LEAD "
+    "over duration-grain summary rows.",
+)
+def rmst_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import restricted_mean_survival
+
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("__f"),
+        F.max(F.to_date("ts")).alias("__l"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                F.to_date("ts"),
+            )
+        ).alias("__conv"),
+    )
+    durations = u.select(
+        F.when(
+            F.col("__conv").isNotNull(), F.datediff("__conv", "__f")
+        ).otherwise(F.datediff("__l", "__f")).alias("dur"),
+        F.col("__conv").isNull().alias("cens"),
+    )
+    return restricted_mean_survival(durations, "dur", "cens", tau=14)
+
+
+@register(
     "rolling_wau",
     oracle="""
     WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

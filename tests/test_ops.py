@@ -5182,3 +5182,36 @@ def test_mantel_haenszel_hand_values(spark):
     df = spark.createDataFrame(rows, "st string, ex boolean, oc boolean")
     r = mantel_haenszel(df, "st", F.col("ex"), F.col("oc")).collect()[0]
     assert r["or_mh_e6"] is None
+
+
+def test_rmst_hand_values(spark):
+    """3 subjects, no censoring, exits at t=1,2,4: S=2/3 on [1,2),
+    1/3 on [2,4), 0 after. RMST(3) = 1 + 2/3 + 1/3 = 2 exactly;
+    RMST(10) = 1 + 2/3 + 2*(1/3) = 2.333...; horizon before the first
+    event -> tau exactly; all-censored -> tau exactly."""
+    import pytest
+
+    from hadoop_fcfs_spark.ops.stats import restricted_mean_survival
+
+    df = spark.createDataFrame(
+        [(1, False), (2, False), (4, False)], "dur int, cens boolean"
+    )
+    r = restricted_mean_survival(df, "dur", "cens", tau=3).collect()[0]
+    assert (r["tau"], r["n_event_times"]) == (3, 3)
+    assert r["rmst_micro"] == 2_000_000  # 1 + 2/3 + 1/3
+    r = restricted_mean_survival(df, "dur", "cens", tau=10).collect()[0]
+    # 1 + (2/3)*1 + (1/3)*2 = 7/3; surv_e6 rounds 2/3 -> 666667
+    assert r["rmst_micro"] == 1_000_000 + 666_667 + 2 * 333_333
+
+    df1 = spark.createDataFrame([(5, False)], "dur int, cens boolean")
+    r = restricted_mean_survival(df1, "dur", "cens", tau=3).collect()[0]
+    assert r["rmst_micro"] == 3_000_000  # event beyond the horizon
+
+    dfc = spark.createDataFrame(
+        [(1, True), (2, True)], "dur int, cens boolean"
+    )
+    r = restricted_mean_survival(dfc, "dur", "cens", tau=7).collect()[0]
+    assert r["n_event_times"] == 0 and r["rmst_micro"] == 7_000_000
+
+    with pytest.raises(ValueError):
+        restricted_mean_survival(df1, "dur", "cens", tau=0)

@@ -534,6 +534,7 @@ def test_no_unallowed_unpartitioned_windows_static_sweep():
         ("ops/joins.py", "global_as_of_join"),       # carry-in over per-partition LAST summary
         ("ops/stats.py", "pareto_frontier"),         # prefix max over one-row-per-chunk summary
         ("ops/stats.py", "kaplan_meier"),            # risk/product windows over duration-grain summary
+        ("ops/stats.py", "restricted_mean_survival"),  # LEAD over the same duration-grain summary
         ("llm/packing.py", "pack_sequences"),        # offsets over chunk-total summary
         ("queries_relational.py", "topk_orders"),    # TakeOrderedAndProject(limit=k) plan-asserted
         ("queries_relational.py", "shipping_priority"),
