@@ -617,6 +617,56 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dispersion_daily_events",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS q
+      FROM g GROUP BY 1
+    )
+    SELECT event_type, n_days,
+           (s * 1000000) // n_days AS mean_e6,
+           CASE WHEN n_days > 1 AND s > 0 THEN
+             ((n_days * q - s * s) * 1000000) // ((n_days - 1) * s)
+           END AS dispersion_e6
+    FROM m
+    """,
+    doc="Variance-to-mean dispersion index of daily event counts per "
+    "type: the Poisson-assumption audit under the whole anomaly tier "
+    "- daily_event_anomaly / mad / rolling-z all threshold daily "
+    "counts, and whether those thresholds are honest depends on "
+    "D = s^2/mean (Poisson => D ~ 1; D >> 1 = bursty/overdispersed "
+    "counts need negative-binomial-style wider bands, D < 1 = "
+    "under-dispersed regular traffic). Entirely exact: day-grain "
+    "counts, D_e6 = (n*Q - S^2)*1e6 div ((n-1)*S) - one truncating "
+    "division of BIGINT moments, zero floats. One map-side-combined "
+    "pass to the day grain, one per-type rollup.",
+)
+def dispersion_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    m = g.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("__s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("__q"),
+    )
+    return m.selectExpr(
+        "event_type", "n_days",
+        "(__s * 1000000) div n_days AS mean_e6",
+        "CASE WHEN n_days > 1 AND __s > 0 THEN"
+        " ((n_days * __q - __s * __s) * 1000000)"
+        " div ((n_days - 1) * __s) END AS dispersion_e6",
+    )
+
+
+@register(
     "rolling_zscore_daily",
     oracle="""
     WITH g AS (

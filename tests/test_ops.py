@@ -5215,3 +5215,37 @@ def test_rmst_hand_values(spark):
 
     with pytest.raises(ValueError):
         restricted_mean_survival(df1, "dur", "cens", tau=0)
+
+
+def test_dispersion_gate_hand_values(spark, tmp_path):
+    """Constant series -> D = 0; a planted burst drives D above 1.
+    Exact arithmetic: counts (2,2,2) -> var 0; (1,1,4): n=3, S=6,
+    Q=18, D = (54-36)/(2*6) = 1.5."""
+    import datetime
+
+    from hadoop_fcfs_spark.queries_agg import dispersion_daily_events
+
+    rows = []
+    day0 = datetime.datetime(2024, 1, 1)
+    for d in range(3):
+        for i in range(2):
+            rows.append((d * 10 + i, day0 + datetime.timedelta(days=d),
+                         1, "steady", 1.0, "{}"))
+    burst = [1, 1, 4]
+    eid = 100
+    for d, k in enumerate(burst):
+        for _ in range(k):
+            rows.append((eid, day0 + datetime.timedelta(days=d),
+                         1, "bursty", 1.0, "{}"))
+            eid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    out = {r["event_type"]: r for r in
+           dispersion_daily_events(spark, sf).collect()}
+    assert out["steady"]["dispersion_e6"] == 0
+    assert out["steady"]["mean_e6"] == 2_000_000
+    assert out["bursty"]["dispersion_e6"] == 1_500_000
