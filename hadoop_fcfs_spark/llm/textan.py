@@ -855,3 +855,66 @@ def readability_scores(
         vg.alias("n_vowel_groups"),
         F.floor(fre * 1000).cast("long").alias("flesch_e3"),
     )
+
+
+def zipf_slope(
+    tf: DataFrame, token_col: str = "w", freq_col: str = "n"
+) -> DataFrame:
+    """Zipf exponent of a token-frequency table: fit ln f = c − s·ln r
+    by least squares over the WHOLE rank–frequency curve and report
+    s — the one-number lexical-health summary under vocab_stats'
+    counts (natural corpora sit near s ≈ 1; template/boilerplate-
+    heavy or deduplicated-to-death corpora drift visibly; a shifted
+    exponent between two snapshots is vocabulary drift the TTR
+    misses).
+
+    Determinism: ln is the ONE blessed libm call (bit-identical JVM/
+    DuckDB, the tf_idf/weighted_sample_k precedent) and both logs are
+    FLOOR-MICRO quantized IMMEDIATELY — the OLS moments over (u, w) =
+    (⌊ln r·1e6⌋, ⌊ln f·1e6⌋) are then exact BIGINT/DECIMAL(38,0)
+    integers, so accumulation order cannot matter. The exponent is
+    reported positive (f ∝ r^−s): num = Σu·Σw − n·Σuw ≥ 0 for any
+    downward-sloping curve, keeping the one truncating division on
+    nonnegative operands (the probed div parity domain); an upward-
+    sloping 'curve' yields NULL, not a sign-truncation hazard.
+
+    Scale shape: ranks come from ops.sort.ranked_total_order (range-
+    partitioned two-level — never a single-task window over the
+    vocabulary), one scalar reduce after. Output: 1 row (vocab_size,
+    n_tokens, zipf_exponent_e6)."""
+    from hadoop_fcfs_spark.ops.sort import ranked_total_order
+
+    ranked = ranked_total_order(
+        tf.select(F.col(token_col).alias("__w"),
+                  F.col(freq_col).cast("long").alias("__n")),
+        [F.col("__n").desc(), F.col("__w").asc()],
+        rank_col="__r",
+    )
+    dec = "decimal(38,0)"
+    q = ranked.select(
+        F.col("__n"),
+        F.floor(F.log(F.col("__r").cast("double")) * 1_000_000)
+        .cast("long").alias("__u"),
+        F.floor(F.log(F.col("__n").cast("double")) * 1_000_000)
+        .cast("long").alias("__lf"),
+    )
+    m = q.agg(
+        F.count("*").cast("long").alias("__k"),
+        F.sum("__n").cast("long").alias("n_tokens"),
+        F.sum("__u").cast("long").alias("__su"),
+        F.sum("__lf").cast("long").alias("__sw"),
+        F.sum(F.col("__u").cast(dec) * F.col("__u")).cast(dec).alias("__suu"),
+        F.sum(F.col("__u").cast(dec) * F.col("__lf")).cast(dec).alias("__suw"),
+    )
+    return m.selectExpr(
+        "__k AS vocab_size", "n_tokens",
+        "CASE WHEN (CAST(__k AS DECIMAL(38,0)) * __suu"
+        " - CAST(__su AS DECIMAL(38,0)) * __su) > 0"
+        " AND (CAST(__su AS DECIMAL(38,0)) * __sw"
+        " - CAST(__k AS DECIMAL(38,0)) * __suw) >= 0 THEN"
+        " CAST(((CAST(__su AS DECIMAL(38,0)) * __sw"
+        " - CAST(__k AS DECIMAL(38,0)) * __suw) * 1000000)"
+        " div (CAST(__k AS DECIMAL(38,0)) * __suu"
+        " - CAST(__su AS DECIMAL(38,0)) * __su) AS BIGINT)"
+        " END AS zipf_exponent_e6",
+    )

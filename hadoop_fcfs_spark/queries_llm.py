@@ -946,6 +946,67 @@ def near_dedup_clustered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zipf_slope_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+      WHERE w <> ''
+    ),
+    tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY w),
+    rk AS (
+      SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS BIGINT) AS r
+      FROM tf
+    ),
+    qz AS (
+      SELECT n,
+             CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS u,
+             CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS lf
+      FROM rk
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(lf) AS BIGINT) AS sw,
+             SUM(CAST(u AS HUGEINT) * u) AS suu,
+             SUM(CAST(u AS HUGEINT) * lf) AS suw
+      FROM qz
+    )
+    SELECT k AS vocab_size, n_tokens,
+      CASE WHEN (CAST(k AS HUGEINT) * suu - CAST(su AS HUGEINT) * su) > 0
+            AND (CAST(su AS HUGEINT) * sw - CAST(k AS HUGEINT) * suw) >= 0
+      THEN CAST(((CAST(su AS HUGEINT) * sw - CAST(k AS HUGEINT) * suw)
+                 * 1000000)
+        // (CAST(k AS HUGEINT) * suu - CAST(su AS HUGEINT) * su) AS BIGINT)
+      END AS zipf_exponent_e6
+    FROM m
+    """,
+    doc="Zipf exponent of the corpus token-frequency curve "
+    "(llm.textan.zipf_slope): least-squares fit of ln f = c - s*ln r "
+    "over the ENTIRE rank-frequency table on the vocab_stats grain - "
+    "the one-number lexical-health summary (natural corpora sit near "
+    "s ~ 1; boilerplate-heavy or over-deduplicated corpora drift "
+    "visibly; a moved exponent between snapshots is vocabulary drift "
+    "TTR misses). ln is the one blessed bit-identical libm call and "
+    "both logs floor-micro quantize IMMEDIATELY, making the OLS "
+    "moments exact BIGINT/DECIMAL(38,0) - accumulation order cannot "
+    "matter; the exponent is reported positive so the single "
+    "truncating division stays on the probed nonnegative domain. "
+    "Ranks via ranked_total_order (range-partitioned; the oracle's "
+    "ROW_NUMBER window is the oracle's privilege).",
+)
+def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import zipf_slope
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = toks.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+    return zipf_slope(tf, "w", "n")
+
+
+@register(
     "vocab_stats",
     oracle="""
     WITH toks AS (

@@ -1952,3 +1952,33 @@ def test_mmr_rerank_hand_values(spark, tmp_path):
 
     with pytest.raises(ValueError):
         mmr_rerank(emb, query_id=0, k=5, n_candidates=3)
+
+
+def test_zipf_slope_hand_values(spark):
+    """Perfect power law f = 64 / r over ranks 1,2,4,8 (ties avoided):
+    ln f = ln 64 - 1 * ln r exactly, so the quantized OLS recovers
+    s = 1 to within the 1e-6 quantization; a flat curve (all freqs
+    equal) has zero u-variance after rank ln only... not zero - slope
+    0 -> exponent 0; an UPWARD curve yields NULL."""
+    from hadoop_fcfs_spark.llm.textan import zipf_slope
+
+    rows = [("a", 64), ("b", 32), ("c", 16), ("d", 8),
+            ("e", 4), ("f", 2), ("g", 1)]
+    # ranks 1..7; f = 64 * r^-1 only at powers of two - use exact
+    # geometric freqs paired with geometric ranks via padding tokens?
+    # simpler: freqs 2^(7-r) give ln f = 7ln2 - r*ln2, which is linear
+    # in r, NOT ln r. Instead pick f_i = 840 // r_i exactly for ranks
+    # 1..4 with distinct freqs: (840, 420, 280, 210) -> s = 1.
+    rows = [("a", 840), ("b", 420), ("c", 280), ("d", 210)]
+    df = spark.createDataFrame(rows, "w string, n int")
+    r = zipf_slope(df, "w", "n").collect()[0]
+    assert r["vocab_size"] == 4 and r["n_tokens"] == 1750
+    assert abs(r["zipf_exponent_e6"] - 1_000_000) <= 5  # quantization
+
+    # upward-sloping (frequency RISES with rank is impossible by
+    # construction - ranks sort by freq desc - so synthesize flat):
+    flat = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 5)], "w string, n int"
+    )
+    r = zipf_slope(flat, "w", "n").collect()[0]
+    assert r["zipf_exponent_e6"] == 0
