@@ -81,6 +81,13 @@ HEADLINE = [
     # the broadcast-by-literal iteration every index build (IVF,
     # semdedup quantizers) rides, previously unrepresented.
     "kmeans_embedding_cells",
+    # r7 cont.: the global-running-MAX two-level shape (range partition
+    # -> local prefix max -> per-partition summary offsets broadcast) on
+    # the raw events arrival order, feeding a grouped rollup — the
+    # sequential-semantics replay pattern (watermark/high-water-mark
+    # scans) whose shuffle profile (ONE range exchange over data rows)
+    # no other entry exercises.
+    "watermark_late_audit",
 ]
 
 
