@@ -617,6 +617,74 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ccf_click_purchase",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS i,
+             CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS x,
+             CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+    ),
+    fan AS (
+      SELECT g.i, g.x, l.lag FROM g
+      CROSS JOIN (SELECT UNNEST(range(-3, 4)) AS lag) l
+    ),
+    p AS (
+      SELECT f.lag, f.x, b.y AS yl
+      FROM fan f JOIN g b ON b.i = f.i + f.lag
+    ),
+    m AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_matched,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yl) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(yl AS HUGEINT) * yl) AS syy,
+             SUM(CAST(x AS HUGEINT) * yl) AS sxy
+      FROM p GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_matched,
+      CASE WHEN (CAST(n_matched AS HUGEINT) * sxx
+                 - CAST(sx AS HUGEINT) * sx) > 0
+            AND (CAST(n_matched AS HUGEINT) * syy
+                 - CAST(sy AS HUGEINT) * sy) > 0
+      THEN ROUND(
+        CAST(CAST(n_matched AS HUGEINT) * sxy
+             - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        / SQRT(CAST(CAST(n_matched AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+               * CAST(CAST(n_matched AS HUGEINT) * syy
+                      - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6)
+      END AS r_r6
+    FROM m
+    """,
+    doc="Cross-correlation function between daily click and purchase "
+    "volumes at lags -3..+3 (ops.timeseries.ccf_lags): the lead/lag "
+    "question acf_daily_events/pacf cannot answer - those are within-"
+    "series; positive r at lag L > 0 means clicks LEAD purchases by "
+    "L days, the does-traffic-predict-conversion diagnostic (lag 0 = "
+    "plain contemporaneous correlation). Exact BIGINT/DECIMAL(38,0) "
+    "co-moments per lag over the day grid (integer counts - nothing "
+    "accumulates in float), Pearson as one flat double + single sqrt "
+    "rounded @6; pairs via a 7-literal lag fan-out and a shifted-"
+    "index equi-join over grid rows only.",
+)
+def ccf_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.timeseries import ccf_lags
+
+    ev = t(spark, sf_dir, "events")
+    g = (
+        ev.filter(F.col("event_type").isin(["click", "purchase"]))
+        .groupBy(F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("i"))
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long"))
+            .cast("long").alias("x"),
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("long").alias("y"),
+        )
+    )
+    return ccf_lags(g, "i", "x", "y", max_lag=3)
+
+
+@register(
     "dispersion_daily_events",
     oracle="""
     WITH g AS (

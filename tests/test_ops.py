@@ -5249,3 +5249,32 @@ def test_dispersion_gate_hand_values(spark, tmp_path):
     assert out["steady"]["dispersion_e6"] == 0
     assert out["steady"]["mean_e6"] == 2_000_000
     assert out["bursty"]["dispersion_e6"] == 1_500_000
+
+
+def test_ccf_lags_hand_values(spark):
+    """y is x shifted forward by exactly 1 step (y_{t+1} = x_t): the
+    CCF must spike to 1.0 at lag +1 and be < 1 elsewhere; constant y
+    -> NULL everywhere (zero variance)."""
+    import pytest
+
+    from hadoop_fcfs_spark.ops.timeseries import ccf_lags
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6]
+    rows = [(i, xs[i], xs[i - 1] if i > 0 else 7) for i in range(8)]
+    df = spark.createDataFrame(rows, "i int, x int, y int")
+    out = {r["lag"]: r for r in ccf_lags(df, "i", "x", "y", 2).collect()}
+    assert set(out) == {-2, -1, 0, 1, 2}
+    assert out[1]["r_r6"] == 1.0 and out[1]["n_matched"] == 7
+    assert all(
+        out[l]["r_r6"] is None or out[l]["r_r6"] < 1.0
+        for l in (-2, -1, 0, 2)
+    )
+
+    const = spark.createDataFrame(
+        [(i, xs[i], 5) for i in range(8)], "i int, x int, y int"
+    )
+    out = ccf_lags(const, "i", "x", "y", 1).collect()
+    assert all(r["r_r6"] is None for r in out)
+
+    with pytest.raises(ValueError):
+        ccf_lags(df, "i", "x", "y", -1)
