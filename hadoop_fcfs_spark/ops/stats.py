@@ -3677,6 +3677,69 @@ def ordinal_association(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     )
 
 
+def theil_indices(df: DataFrame, value_col: str) -> DataFrame:
+    """Theil's T and L (mean log deviation) over a POSITIVE integer
+    value column — the decomposable inequality measures completing
+    the family (gini/lorenz = rank-based, HHI = share-squared; Theil
+    is the information-theoretic one and the ONLY one that splits
+    exactly into within-group + between-group terms, which is why
+    inequality decompositions use it): T = (1/S)·Σ x·ln(x/μ),
+    L = ln μ − (1/n)·Σ ln x.
+
+    Determinism: ln is the one blessed bit-identical libm call and
+    every log floor-micro quantizes IMMEDIATELY (the zipf_slope
+    route), so both indices are sums/divisions of exact integers —
+    T_e6 = Σ c·x·(⌊ln x·1e6⌋ − ⌊ln μ·1e6⌋) div S over the value
+    grain (DECIMAL(38,0) sum), L_e6 = (n·⌊ln μ·1e6⌋ − Σ c·⌊ln x·1e6⌋)
+    div n. μ enters as the IEEE double S/n both engines compute
+    identically. Rows with x ≤ 0 are excluded (ln undefined) with
+    the excluded count visible.
+
+    Scale shape: one map-side-combined collapse to the value grain,
+    one scalar reduce. Output: 1 row (n, n_excluded, theil_t_e6,
+    mld_e6)."""
+    base = df.select(F.col(value_col).cast("long").alias("__v"))
+    excl = base.filter(
+        F.col("__v").isNull() | (F.col("__v") <= 0)
+    ).agg(F.count("*").cast("long").alias("n_excluded"))
+    grain = (
+        base.filter(F.col("__v") > 0)
+        .groupBy("__v")
+        .agg(F.count("*").cast("long").alias("__c"))
+        .withColumn(
+            "__q",
+            F.floor(F.log(F.col("__v").cast("double")) * 1_000_000)
+            .cast("long"),
+        )
+    )
+    dec = "decimal(38,0)"
+    tot = grain.agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.sum(F.col("__c").cast(dec) * F.col("__v")).cast(dec).alias("__s"),
+        F.sum(F.col("__c").cast(dec) * F.col("__q")).cast(dec).alias("__sq"),
+        F.sum(
+            F.col("__c").cast(dec) * F.col("__v") * F.col("__q")
+        ).cast(dec).alias("__svq"),
+    ).withColumn(
+        "__lmu",
+        F.floor(
+            F.log(
+                F.col("__s").cast("double") / F.col("__n").cast("double")
+            )
+            * 1_000_000
+        ).cast("long"),
+    )
+    return tot.crossJoin(F.broadcast(excl)).selectExpr(
+        "__n AS n", "n_excluded",
+        "CASE WHEN __n > 0 AND __s > 0 THEN"
+        " CAST((__svq - __s * __lmu) div __s AS BIGINT)"
+        " END AS theil_t_e6",
+        "CASE WHEN __n > 0 THEN"
+        " CAST((CAST(__n AS DECIMAL(38,0)) * __lmu - __sq)"
+        " div __n AS BIGINT) END AS mld_e6",
+    )
+
+
 def restricted_mean_survival(
     durations: DataFrame,
     duration_col: str,

@@ -617,6 +617,61 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "theil_order_values",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v FROM orders
+    ),
+    excl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_excluded
+             FROM base WHERE v IS NULL OR v <= 0),
+    grain AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(FLOOR(ln(CAST(v AS DOUBLE)) * 1000000) AS BIGINT) AS q
+      FROM base WHERE v > 0 GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             SUM(CAST(c AS HUGEINT) * v) AS s,
+             SUM(CAST(c AS HUGEINT) * q) AS sq,
+             SUM(CAST(c AS HUGEINT) * v * q) AS svq
+      FROM grain
+    ),
+    lm AS (
+      SELECT n, s, sq, svq,
+             CAST(FLOOR(ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000) AS BIGINT) AS lmu
+      FROM tot
+    )
+    SELECT n, e.n_excluded,
+           CASE WHEN n > 0 AND s > 0 THEN
+             CAST((svq - s * lmu) // s AS BIGINT) END AS theil_t_e6,
+           CASE WHEN n > 0 THEN
+             CAST((CAST(n AS HUGEINT) * lmu - sq) // n AS BIGINT)
+           END AS mld_e6
+    FROM lm CROSS JOIN excl e
+    """,
+    doc="Theil T and mean log deviation of order values in cents "
+    "(ops.stats.theil_indices): the information-theoretic inequality "
+    "pair completing the family on the gini_order_values slice - "
+    "gini/lorenz are rank-based, Theil is the one that decomposes "
+    "EXACTLY into within+between group terms (the property revenue-"
+    "concentration breakdowns need). ln floor-micro quantized "
+    "immediately (the zipf_slope route; ln is the one blessed "
+    "bit-identical libm call, and mu enters as the identical IEEE "
+    "double S/n), so both indices are divisions of exact BIGINT/"
+    "DECIMAL(38,0) sums over the value grain - accumulation order "
+    "cannot matter. One grain collapse + scalar reduce.",
+)
+def theil_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import theil_indices
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("vc")
+    )
+    return theil_indices(orders, "vc")
+
+
+@register(
     "ccf_click_purchase",
     oracle="""
     WITH g AS (

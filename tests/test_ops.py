@@ -5278,3 +5278,34 @@ def test_ccf_lags_hand_values(spark):
 
     with pytest.raises(ValueError):
         ccf_lags(df, "i", "x", "y", -1)
+
+
+def test_theil_indices_hand_values(spark):
+    """Perfect equality -> T = L = 0 exactly (every x equals mu, the
+    quantized logs cancel). A 2-value replica checked against the
+    same quantized-integer arithmetic in pure Python; nonpositive
+    rows excluded and counted."""
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import theil_indices
+
+    df = spark.createDataFrame([(7,)] * 5, "v int")
+    r = theil_indices(df, "v").collect()[0]
+    assert (r["n"], r["n_excluded"]) == (5, 0)
+    assert r["theil_t_e6"] == 0 and r["mld_e6"] == 0
+
+    vals = [10] * 3 + [1000]
+    df = spark.createDataFrame([(v,) for v in vals] + [(0,), (-3,)], "v int")
+    r = theil_indices(df, "v").collect()[0]
+    assert r["n_excluded"] == 2 and r["n"] == 4
+    q = {v: math.floor(math.log(v) * 1e6) for v in set(vals)}
+    s = sum(vals)
+    lmu = math.floor(math.log(s / 4) * 1e6)
+    svq = sum(v * q[v] for v in vals)
+    sq = sum(q[v] for v in vals)
+    want_t = (svq - s * lmu) // s if (svq - s * lmu) >= 0 else -((-(svq - s * lmu)) // s)
+    want_l = (4 * lmu - sq) // 4 if (4 * lmu - sq) >= 0 else -((-(4 * lmu - sq)) // 4)
+    assert r["theil_t_e6"] == want_t
+    assert r["mld_e6"] == want_l
+    # sanity: strong concentration -> clearly positive indices
+    assert r["theil_t_e6"] > 500_000 and r["mld_e6"] > 500_000
