@@ -3740,6 +3740,87 @@ def theil_indices(df: DataFrame, value_col: str) -> DataFrame:
     )
 
 
+def theil_decomposition(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Theil-T within/between decomposition — the property
+    :func:`theil_indices` exists for: total inequality splits EXACTLY
+    into inequality BETWEEN group means plus the share-weighted
+    inequality WITHIN groups (is revenue concentration a few rich
+    segments, or whales inside every segment?). Gini cannot do this;
+    Theil's x·ln x form telescopes: x(ln x − ln μ) = x(ln x − ln μ_g)
+    + x(ln μ_g − ln μ), so with the SAME floor-micro quantized logs
+    the identity holds to the last integer BEFORE the final
+    divisions — within_num + between_num = total_num exactly, pinned
+    in pytest.
+
+    Same determinism contract as theil_indices (blessed ln, quantize
+    immediately, group means enter as identical IEEE doubles
+    S_g/n_g). Scale shape: one pass to the (group, value) grain, one
+    group rollup, one scalar reduce. Output: 1 row (n, n_groups,
+    theil_t_e6, within_e6, between_e6)."""
+    grain = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).cast("long").alias("__v"),
+        )
+        .filter(F.col("__g").isNotNull() & (F.col("__v") > 0))
+        .groupBy("__g", "__v")
+        .agg(F.count("*").cast("long").alias("__c"))
+        .withColumn(
+            "__q",
+            F.floor(F.log(F.col("__v").cast("double")) * 1_000_000)
+            .cast("long"),
+        )
+    )
+    dec = "decimal(38,0)"
+    groups = grain.groupBy("__g").agg(
+        F.sum("__c").cast("long").alias("__ng"),
+        F.sum(F.col("__c").cast(dec) * F.col("__v")).cast(dec).alias("__sg"),
+        F.sum(
+            F.col("__c").cast(dec) * F.col("__v") * F.col("__q")
+        ).cast(dec).alias("__svqg"),
+    ).withColumn(
+        "__lmug",
+        F.floor(
+            F.log(
+                F.col("__sg").cast("double") / F.col("__ng").cast("double")
+            )
+            * 1_000_000
+        ).cast("long"),
+    )
+    tot = groups.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("__ng").cast("long").alias("__n"),
+        F.sum("__sg").cast(dec).alias("__s"),
+        F.sum("__svqg").cast(dec).alias("__svq"),
+        # within numerator: Σ_g (svq_g − S_g·lnμ_g)
+        F.sum(F.col("__svqg") - F.col("__sg") * F.col("__lmug"))
+        .cast(dec).alias("__wnum"),
+        # between partial: Σ_g S_g·lnμ_g
+        F.sum(F.col("__sg") * F.col("__lmug")).cast(dec).alias("__sglg"),
+    ).withColumn(
+        "__lmu",
+        F.floor(
+            F.log(
+                F.col("__s").cast("double") / F.col("__n").cast("double")
+            )
+            * 1_000_000
+        ).cast("long"),
+    )
+    return tot.selectExpr(
+        "__n AS n", "n_groups",
+        "CASE WHEN __s > 0 THEN"
+        " CAST((__svq - __s * __lmu) div __s AS BIGINT)"
+        " END AS theil_t_e6",
+        "CASE WHEN __s > 0 THEN"
+        " CAST(__wnum div __s AS BIGINT) END AS within_e6",
+        "CASE WHEN __s > 0 THEN"
+        " CAST((__sglg - __s * __lmu) div __s AS BIGINT)"
+        " END AS between_e6",
+    )
+
+
 def restricted_mean_survival(
     durations: DataFrame,
     duration_col: str,

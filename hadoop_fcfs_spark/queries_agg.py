@@ -672,6 +672,91 @@ def theil_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "theil_decomposition_nations",
+    oracle="""
+    WITH base AS (
+      SELECT cn.n_name AS g,
+             CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS v
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      WHERE o.o_totalprice IS NOT NULL
+    ),
+    grain AS (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(FLOOR(ln(CAST(v AS DOUBLE)) * 1000000) AS BIGINT) AS q
+      FROM base WHERE g IS NOT NULL AND v > 0 GROUP BY 1, 2
+    ),
+    groups AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
+             SUM(CAST(c AS HUGEINT) * v) AS sg,
+             SUM(CAST(c AS HUGEINT) * v * q) AS svqg
+      FROM grain GROUP BY 1
+    ),
+    g2 AS (
+      SELECT g, ng, sg, svqg,
+             CAST(FLOOR(ln(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+               * 1000000) AS BIGINT) AS lmug
+      FROM groups
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             SUM(sg) AS s, SUM(svqg) AS svq,
+             SUM(svqg - sg * lmug) AS wnum,
+             SUM(sg * lmug) AS sglg
+      FROM g2
+    ),
+    t2 AS (
+      SELECT *, CAST(FLOOR(ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * 1000000) AS BIGINT) AS lmu
+      FROM tot
+    )
+    SELECT n, n_groups,
+      CASE WHEN s > 0 THEN CAST((svq - s * lmu) // s AS BIGINT)
+      END AS theil_t_e6,
+      CASE WHEN s > 0 THEN CAST(wnum // s AS BIGINT) END AS within_e6,
+      CASE WHEN s > 0 THEN CAST((sglg - s * lmu) // s AS BIGINT)
+      END AS between_e6
+    FROM t2
+    """,
+    doc="Theil-T within/between decomposition of order values across "
+    "customer nations (ops.stats.theil_decomposition): is revenue "
+    "inequality a few rich NATIONS or whales inside every nation - "
+    "the exact split gini cannot provide, and the reason Theil is in "
+    "the inequality family at all. The x*ln x form telescopes per "
+    "row, so with the SHARED floor-micro quantized logs the three "
+    "numerators satisfy within + between = total EXACTLY before the "
+    "final divisions (pinned in pytest). Same determinism contract "
+    "as theil_order_values (blessed ln, quantize immediately, means "
+    "enter as identical IEEE doubles); one (group, value) grain "
+    "pass, one group rollup, one scalar reduce.",
+)
+def theil_decomposition_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import theil_decomposition
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    base = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("g"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+        )
+    )
+    return theil_decomposition(base, "vc", "g")
+
+
+@register(
     "ccf_click_purchase",
     oracle="""
     WITH g AS (
