@@ -59,21 +59,27 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # re-samples already-confirmed gates and new ones never get hard driver
 # evidence.
 #
-# State after round 6 (rebuilt for round 7): 273 registered gates,
-# CORRECTNESS_r06 50/50 green (the 49 previously-never-sampled + the
-# loo_priority_price spillover), driver-checked union r01-r06 =
-# 259/273, zero mismatches ever. The 14 below are the round-6 additions
-# that have never received a driver row — they head the round-7 window,
-# which closes driver coverage to 273/273 with ~36 slots left for the
-# oldest confirmed tail (the 11 r1 gates + ~25 of the r2 gates).
+# State after round 7 (rebuilt for round 8): 337 registered gates,
+# CORRECTNESS_r07 50/50 green, driver-checked union r01-r07 = 309/337,
+# zero mismatches ever. The 28 below are the round-7 additions that have
+# never received a driver row — they head the round-8 window (the two
+# bench headliners kmeans_embedding_cells and watermark_late_audit lead,
+# so they get rows even if the window shrinks). Confirming all 28 closes
+# driver coverage to 337/337 with ~22 slots left for the oldest confirmed
+# tail (the 11 r1 gates + ~11 of the r2 gates, whose rows are 6-7 rounds
+# old).
 
 _NEVER_SAMPLED: tuple[str, ...] = (
-    "woe_price_returns", "robust_scale_price", "roc_auc_orderstatus",
-    "calibration_orderstatus", "corpus_pipeline_v6",
-    "training_shard_manifest", "langid_kappa", "bradley_terry_suppliers",
-    "rolling_origin_folds_events", "funnel_conversion",
-    "cohort_retention_matrix", "position_attribution",
-    "neyman_allocation_orders", "knn_ndcg_labels",
+    "kmeans_embedding_cells", "watermark_late_audit",
+    "hilbert_values", "zipf_slope_tokens", "embedding_top_pc",
+    "mcnemar_langid", "readability_sources", "js_drift_sources",
+    "blocking_quality_mingram", "feature_hash_profile", "fleiss_langid",
+    "supplier_winrate_bounds", "knn_mrr_labels", "knn_map_labels",
+    "rake_source_lang", "cochran_langid", "mmr_rerank_embeddings",
+    "ari_kmeans_labels", "minhash_estimate_audit",
+    "kmeans_silhouette_cells", "fd_source_lang", "embedding_pc_outliers",
+    "corpus_pipeline_v7", "pq_distortion_audit", "trade_clustering",
+    "modularity_regions", "topk_stability_parts", "rbo_stability_parts",
 )
 
 _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
@@ -186,6 +192,31 @@ _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
     "theta_churn_new_users": 6, "trimmed_mean_price": 6,
     "weekday_adjusted_anomaly": 6, "weighted_quantile_ladder": 6,
     "welch_acctbal_segments": 6, "wilson_conversion_bounds": 6,
+    # latest driver row: round 7 (50 gates)
+    "ab_power_priorities": 7, "ams_f2_custkey": 7, "auc_by_segment": 7,
+    "auc_delong_orderstatus": 7, "bradley_terry_suppliers": 7,
+    "brier_orderstatus": 7, "brown_forsythe_acctbal": 7,
+    "calibration_orderstatus": 7, "ccf_click_purchase": 7,
+    "cmh_segment_status": 7, "cochran_armitage_returns": 7,
+    "cohort_retention_matrix": 7, "conformal_threshold_prices": 7,
+    "corpus_pipeline_v6": 7, "cramers_v_segment_priority": 7,
+    "cuped_purchases": 7, "dispersion_daily_events": 7,
+    "ece_orderstatus": 7, "effect_sizes_returnflag": 7,
+    "emd_price_returnflag": 7, "friedman_priority_volume": 7,
+    "funnel_conversion": 7, "gains_orderstatus": 7,
+    "hodges_lehmann_daily": 7, "info_gain_orders": 7,
+    "isotonic_orderstatus": 7, "jonckheere_priority_price": 7,
+    "kendall_events_daily": 7, "knn_ndcg_labels": 7,
+    "kruskal_priority_price": 7, "langid_kappa": 7,
+    "lin_ccc_order_value": 7, "mann_kendall_daily_events": 7,
+    "neyman_allocation_orders": 7, "ordinal_assoc_weekday": 7,
+    "page_trend_priority": 7, "position_attribution": 7,
+    "pps_ess_priorities": 7, "rmst_retention": 7, "robust_scale_price": 7,
+    "roc_auc_orderstatus": 7, "rolling_origin_folds_events": 7,
+    "seasonal_naive_events": 7, "simpson_segment_status": 7,
+    "smd_balance_nations": 7, "t_closeness_customers": 7,
+    "theil_decomposition_nations": 7, "theil_order_values": 7,
+    "training_shard_manifest": 7, "woe_price_returns": 7,
 }
 
 
