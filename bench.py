@@ -88,6 +88,12 @@ HEADLINE = [
     # scans) whose shuffle profile (ONE range exchange over data rows)
     # no other entry exercises.
     "watermark_late_audit",
+    # r8: the longest composed publish chain (v6's quality -> dedup ->
+    # temperature mix -> shard manifest, plus a per-shard KS
+    # distribution-QA stage before publish) — the deepest shared-CTE
+    # reuse in the repo and the shape most exposed to replay drift;
+    # promoted per VERDICT r7 #7 (precedent: v6 in r6).
+    "corpus_pipeline_v7",
 ]
 
 
@@ -109,7 +115,11 @@ def terasort_bench(spark, sf_dir):
 def run(spark, name, fn, repeats: int = 2) -> float:
     """Steady-state wall clock: min of `repeats` runs (single-run numbers
     swing 2-6× on GC/JIT noise at this small scale; min-of-N is the
-    stable estimator of the plan's actual cost).
+    stable estimator of the plan's actual cost). When the samples
+    disagree by >10% a third tie-break run is taken (VERDICT r7 #3:
+    back-to-back full-bench runs on a quiet box differed by 16% with
+    zero code changes — one extra sample on the noisy entries halves the
+    adjudication burden at ~zero cost on the quiet ones).
 
     The cache is cleared before EACH repeat: operators that persist
     internal waypoints (minhash signature index, corpus_pipeline) would
@@ -119,16 +129,18 @@ def run(spark, name, fn, repeats: int = 2) -> float:
     being measured; cross-run cache hits are not."""
     from hadoop_fcfs_spark.caching import release_waypoints
 
-    best = None
-    for _ in range(repeats):
+    def one_sample() -> float:
         release_waypoints()  # drop tracked operator waypoints explicitly
         spark.catalog.clearCache()
         start = time.perf_counter()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
-        elapsed = time.perf_counter() - start
-        best = elapsed if best is None else min(best, elapsed)
-    return round(best, 3)
+        return time.perf_counter() - start
+
+    samples = [one_sample() for _ in range(repeats)]
+    if max(samples) > 1.10 * min(samples):
+        samples.append(one_sample())
+    return round(min(samples), 3)
 
 
 WARMUP_SF = "/root/testdata/sf0.001"
