@@ -13,9 +13,21 @@ Blowup construction (distribution-preserving, no new testdata):
   workload.
 - orders: K copies with key offsets and +0.01*k on o_totalprice so the
   distinct-score grain (what the AUC rank pass shuffles) scales too.
+- lineitem (r8, for the iterative node-state join shape): K copies
+  with l_orderkey offsets, suppliers untouched — the comparison log
+  the bradley_terry edge collapse consumes scales xK while the node
+  grain (1000 suppliers) stays fixed, exactly the cluster-scale shape
+  (unbounded preference log, bounded item universe).
+- embeddings (r8, for the broadcast-state iterative shape): K copies
+  with vec_id offsets, vectors untouched — copy 0 keeps vec_ids
+  0..N-1 so the k-lowest-id kmeans init is unchanged, and duplicated
+  points leave every truncating-division centroid update bit-identical
+  ((K*s)//(K*n) == s//n), so the fixed-iteration trajectory is
+  invariant and the ladder measures pure per-iteration data cost.
 
-Run: python scripts/scale_ladder.py  (prints one JSON line per rung,
-then the exponent table; ~5 min on local[32]).
+Run: python scripts/scale_ladder.py [query ...]  (defaults to the full
+flagship list; prints one JSON line per rung, then the exponent table;
+~5 min on local[32] for the full list).
 """
 
 from __future__ import annotations
@@ -43,6 +55,11 @@ QUERIES = [
     "jaccard_prefix_dedup",
     "dedup_minhash_lsh",
     "roc_auc_orderstatus",
+    # r8 (VERDICT r7 #6): the two iterative shapes, iteration count
+    # held fixed by their gates (kmeans k=8 x2, bradley_terry x3)
+    # while the data scales x4/x8.
+    "kmeans_embedding_cells",
+    "bradley_terry_suppliers",
 ]
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -58,10 +75,25 @@ def build_rung(k_copies: int, out_dir: str) -> None:
     for name in TABLES:
         src = os.path.join(BASE, f"{name}.parquet")
         dst = os.path.join(out_dir, f"{name}.parquet")
-        if name not in ("documents", "orders") or k_copies == 1:
+        blown = ("documents", "orders", "lineitem", "embeddings")
+        if name not in blown or k_copies == 1:
             os.symlink(src, dst)
             continue
-        if name == "documents":
+        if name == "lineitem":
+            parts = [
+                f"SELECT * REPLACE (l_orderkey + {k * 1_000_000_000} "
+                f"AS l_orderkey) FROM read_parquet('{src}')"
+                for k in range(k_copies)
+            ]
+            q = " UNION ALL ".join(parts)
+        elif name == "embeddings":
+            parts = [
+                f"SELECT * REPLACE (vec_id + {k * 10_000_000} AS vec_id) "
+                f"FROM read_parquet('{src}')"
+                for k in range(k_copies)
+            ]
+            q = " UNION ALL ".join(parts)
+        elif name == "documents":
             parts = []
             for k in range(k_copies):
                 rot = ALPHA[k % 26:] + ALPHA[: k % 26]
@@ -91,20 +123,21 @@ def build_rung(k_copies: int, out_dir: str) -> None:
 
 
 def main() -> None:
+    queries = sys.argv[1:] or QUERIES
     spark = get_spark("scale_ladder")
-    q = {name: all_queries()[name].spark_fn for name in QUERIES}
-    for name in QUERIES:  # JIT warmup outside timed region
+    q = {name: all_queries()[name].spark_fn for name in queries}
+    for name in queries:  # JIT warmup outside timed region
         q[name](spark, WARMUP_SF).write.format("noop").mode("overwrite").save()
         release_waypoints()
 
-    results: dict[str, dict[int, float]] = {n: {} for n in QUERIES}
+    results: dict[str, dict[int, float]] = {n: {} for n in queries}
     root = tempfile.mkdtemp(prefix="ladder_")
     try:
         for rung in RUNGS:
             d = os.path.join(root, f"x{rung}")
             os.makedirs(d)
             build_rung(rung, d)
-            for name in QUERIES:
+            for name in queries:
                 best = None
                 for _ in range(2):
                     release_waypoints()
@@ -116,12 +149,12 @@ def main() -> None:
                     e = time.perf_counter() - s
                     best = e if best is None else min(best, e)
                 results[name][rung] = round(best, 3)
-            print(json.dumps({"rung": rung, **{n: results[n][rung] for n in QUERIES}}))
+            print(json.dumps({"rung": rung, **{n: results[n][rung] for n in queries}}))
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
     print("\nquery, t_x1, t_x4, t_x8, alpha(1->8), alpha(4->8)")
-    for name in QUERIES:
+    for name in queries:
         t1, t4, t8 = (results[name][r] for r in RUNGS)
         a18 = math.log(t8 / t1) / math.log(8)
         a48 = math.log(t8 / t4) / math.log(2)
