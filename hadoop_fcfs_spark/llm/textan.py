@@ -918,3 +918,142 @@ def zipf_slope(
         " - CAST(__su AS DECIMAL(38,0)) * __su) AS BIGINT)"
         " END AS zipf_exponent_e6",
     )
+
+
+def heaps_vocab_growth(
+    df: DataFrame, id_col: str, text_col: str, deciles: int = 10
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-token count vs
+    cumulative token count at ``deciles`` corpus checkpoints in
+    ``id_col`` order — the companion diagnostic to the Zipf exponent
+    (zipf_slope reads the frequency CURVE's shape; this reads how fast
+    NEW vocabulary keeps arriving as the corpus grows). A natural
+    corpus grows V ~ N^β with β≈0.4–0.6; a flattening curve between
+    snapshots means the new data is rehashing the old vocabulary
+    (dedup leakage, source collapse), a steepening one means a domain
+    or language slipped in.
+
+    Exactness: the checkpoint at decile k is the document at global
+    rank k·D div ``deciles`` in id order; cumulative tokens ride the
+    same ONE two-column prefix pass (ops.sort.global_running_sum over
+    the doc grain: rank + running token count); a token's arrival
+    point is the RANK of its first-occurrence doc (min id per token),
+    and vocab-at-checkpoint counts first-ranks <= boundary. Every
+    number is an exact BIGINT.
+
+    Scale shape: one explode + token-grain collapse (wordcount
+    shape), one doc-grain prefix pass, one broadcast of <= ``deciles``
+    checkpoint rows crossed against the token grain. Zero-token docs
+    still advance the document axis (left join, not dropped).
+    Checkpoints with boundary rank 0 (fewer docs than deciles) are
+    omitted. Output: (decile, n_docs, n_tokens, vocab_size)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    if deciles < 1:
+        raise ValueError(f"deciles must be >= 1, got {deciles}")
+    toks = waypoint(
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("__w"),
+        ).filter(F.col("__w") != "")
+    )
+    per_doc = toks.groupBy("__doc").agg(
+        F.count("*").cast("long").alias("__ntok")
+    )
+    docs = (
+        df.select(F.col(id_col).alias("__doc"))
+        .join(per_doc, "__doc", "left")
+        .withColumn("__ntok", F.coalesce(F.col("__ntok"), F.lit(0)))
+        .withColumn("__one", F.lit(1).cast("long"))
+    )
+    ranked = waypoint(
+        global_running_sum(
+            docs, ["__doc"], ["__one", "__ntok"],
+            out_col=["__rank", "__cumtok"], inclusive=True,
+        )
+    )
+    tot = docs.agg(F.count("*").cast("long").alias("__d"))
+    ck = (
+        df.sparkSession.range(1, deciles + 1)
+        .select(F.col("id").cast("long").alias("decile"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__r", F.expr(f"CAST(decile * __d div {int(deciles)} AS BIGINT)")
+        )
+        .filter(F.col("__r") >= 1)
+        .select("decile", "__r")
+    )
+    bounds = ranked.join(
+        F.broadcast(ck), F.col("__rank") == F.col("__r")
+    ).select(
+        "decile",
+        F.col("__r").alias("n_docs"),
+        F.col("__cumtok").cast("long").alias("n_tokens"),
+    )
+    first_rank = (
+        toks.groupBy("__w")
+        .agg(F.min("__doc").alias("__fd"))
+        .join(
+            ranked.select(F.col("__doc").alias("__fd"), "__rank"), "__fd"
+        )
+    )
+    vocab = (
+        first_rank.crossJoin(F.broadcast(ck))
+        .filter(F.col("__rank") <= F.col("__r"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("vocab_size"))
+    )
+    return bounds.join(vocab, "decile", "left").select(
+        "decile", "n_docs", "n_tokens",
+        F.coalesce(F.col("vocab_size"), F.lit(0)).cast("long")
+        .alias("vocab_size"),
+    )
+
+
+def good_turing_mass(
+    tf: DataFrame, term_col: str, count_col: str, max_r: int = 3
+) -> DataFrame:
+    """Simple Good–Turing mass estimates over a term-frequency table:
+    the unseen-probability mass p₀ = N₁/N (the total probability an LM
+    should reserve for types it has never seen — Good 1953) and the
+    adjusted counts r* = (r+1)·N_{r+1}/N_r for small r, where N_r is
+    the count-of-counts (how many types occur exactly r times). The
+    smoothing statistic beneath Katz backoff and the sanity check on
+    kn_bigram's absolute discounts: r − r* IS the empirical discount,
+    and a corpus whose N₁/N drifts between snapshots is gaining or
+    losing long-tail diversity (the same failure heaps_vocab_growth
+    sees, summarized to one number).
+
+    Exactness: counts-of-counts are exact BIGINT conditional sums over
+    the term grain; p₀ and each r* quantize by ONE flooring integer
+    division to micros (r* is a count, so rstar_r_e6 sits in
+    [0, (r+1)·10⁶]·N_{r+1}/N_r units); NULL where N_r = 0. Output is
+    ONE row. Scale shape: one map-side-combinable aggregation over the
+    term-frequency grain — no shuffle beyond the final scalar."""
+    if max_r < 1:
+        raise ValueError(f"max_r must be >= 1, got {max_r}")
+    cnt = F.col(count_col)
+    aggs = [
+        F.sum(cnt).cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+    ]
+    for r in range(1, max_r + 2):
+        aggs.append(
+            F.sum(F.when(cnt == r, 1).otherwise(0)).cast("long")
+            .alias(f"n{r}")
+        )
+    out = tf.agg(*aggs)
+    exprs = ["n_tokens", "vocab_size"]
+    exprs += [f"n{r}" for r in range(1, max_r + 2)]
+    exprs.append(
+        "CASE WHEN n_tokens > 0 THEN "
+        "CAST(n1 * 1000000 div n_tokens AS BIGINT) END AS p0_unseen_e6"
+    )
+    for r in range(1, max_r + 1):
+        exprs.append(
+            f"CASE WHEN n{r} > 0 THEN "
+            f"CAST({r + 1} * n{r + 1} * 1000000 div n{r} AS BIGINT) "
+            f"END AS rstar{r}_e6"
+        )
+    return out.selectExpr(*exprs)

@@ -1,0 +1,141 @@
+"""Probabilistic record linkage: Fellegi–Sunter m/u parameter
+estimation over blocked candidate pairs.
+
+The entity-resolution layer a multi-source training-data pipeline
+needs above fuzzy joins (ops/joins.fuzzy_term_join finds candidate
+pairs; cross_source_duplication counts shared content): given two
+views of the same population with a labeled subset (a golden-key
+sample, a clerically reviewed batch), estimate per-comparison-field
+
+  m_f = P(field f agrees | records are the same entity)
+  u_f = P(field f agrees | records are different entities)
+
+whose ratio m/u is the field's match weight — the evidence each
+agreement contributes under the Fellegi–Sunter (1969) decision model.
+
+Scale shape — the whole point of this implementation: u requires
+agreement rates over NON-match pairs, which is quadratic if pairs are
+materialized. They never are. Within a block, the number of A×B pairs
+agreeing on field f is Σ_v cntA(block,v)·cntB(block,v) — a value-grain
+product — so u comes from two grain aggregations and one grain join,
+and m from the single equi-join on the ground-truth key. No pair
+table exists at any point; the shuffles carry (block, value) count
+rows. This is the only shape that survives a 100 TB corpus: blocking
+bounds the pair universe, and counting by value-grain products avoids
+enumerating it.
+
+Reference parity: the reference has no record-linkage surface; the
+nearest shape is the DataJoin tagged-join contrib
+(hadoop-tools/hadoop-datajoin/src/main/java/org/apache/hadoop/contrib/
+utils/join/DataJoinReducerBase.java:1) which materializes the
+per-key cross product this operator exists to avoid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fellegi_sunter_mu(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    block_col: str,
+    fields: list[str],
+) -> DataFrame:
+    """Estimate Fellegi–Sunter m/u probabilities per comparison field.
+
+    ``a`` and ``b`` are the two record views sharing ``key_col`` (the
+    ground-truth entity key: pairs with equal keys are matches),
+    ``block_col`` (the candidate-blocking key — only within-block
+    pairs are candidates, the standard blocking discipline), and the
+    comparison ``fields``. Matches are assumed within-block (the
+    ground truth key implies the block, true whenever blocking uses a
+    stable attribute). Agreement is strict equality: a NULL field
+    value never agrees, on either the m or the u side (the value-grain
+    product join drops NULL keys, and the match-side comparison
+    mirrors that — the two estimates must count the same event).
+
+    Output, one row per field: field, n_matches, n_nonmatch_pairs,
+    m_e6 and u_e6 (flooring-micro agreement rates; NULL when the
+    respective pair set is empty), and lr_e6 = m/u in micros (NULL
+    when u = 0 — a perfect discriminator — or m undefined). Everything
+    is exact BIGINT arithmetic; the only divisions are flooring
+    integer divs, bit-identical across engines and partitionings."""
+    if not fields:
+        raise ValueError("fields must be a non-empty list")
+    av = a.select(
+        F.col(key_col).alias("__k"), F.col(block_col).alias("__blk"),
+        *[F.col(f).alias(f"__a_{f}") for f in fields],
+    )
+    bv = b.select(
+        F.col(key_col).alias("__k"), F.col(block_col).alias("__blk"),
+        *[F.col(f).alias(f"__b_{f}") for f in fields],
+    )
+    # m: ONE equi-join on the truth key (linear), exact agreement counts
+    matched = av.join(bv.drop("__blk"), "__k")
+    m_agg = matched.agg(
+        F.count("*").cast("long").alias("__nm"),
+        *[
+            F.sum(
+                F.when(F.col(f"__a_{f}") == F.col(f"__b_{f}"), 1)
+                .otherwise(0)
+            ).cast("long").alias(f"__ma_{f}")
+            for f in fields
+        ],
+    )
+    # block pair universe: Σ_block nA·nB, from two block-grain counts
+    blk = (
+        av.groupBy("__blk").agg(F.count("*").cast("long").alias("__na"))
+        .join(
+            bv.groupBy("__blk").agg(
+                F.count("*").cast("long").alias("__nb")
+            ),
+            "__blk",
+        )
+        .agg(F.sum(F.col("__na") * F.col("__nb")).cast("long").alias("__tp"))
+    )
+    # per-field within-block agreeing pairs: value-grain count products
+    # (never a pair table) — Σ_{block,v} cntA·cntB
+    vp_aggs = []
+    for f in fields:
+        ga = av.groupBy("__blk", F.col(f"__a_{f}").alias("__v")).agg(
+            F.count("*").cast("long").alias("__ca")
+        )
+        gb = bv.groupBy("__blk", F.col(f"__b_{f}").alias("__v")).agg(
+            F.count("*").cast("long").alias("__cb")
+        )
+        vp = ga.join(gb, ["__blk", "__v"]).agg(
+            F.coalesce(F.sum(F.col("__ca") * F.col("__cb")), F.lit(0))
+            .cast("long").alias("__vp")
+        )
+        vp_aggs.append(vp.withColumn("field", F.lit(f)))
+    vps = vp_aggs[0]
+    for extra in vp_aggs[1:]:
+        vps = vps.unionByName(extra)
+    wide = vps.crossJoin(F.broadcast(m_agg)).crossJoin(F.broadcast(blk))
+    m_agree = F.lit(None).cast("long")
+    for f in fields:
+        m_agree = F.when(
+            F.col("field") == f, F.col(f"__ma_{f}")
+        ).otherwise(m_agree)
+    out = wide.withColumn("__magree", m_agree).select(
+        "field",
+        F.col("__nm").alias("n_matches"),
+        (F.col("__tp") - F.col("__nm")).alias("n_nonmatch_pairs"),
+        F.col("__magree").alias("__ma"),
+        (F.col("__vp") - F.col("__magree")).alias("__ua"),
+    )
+    return out.selectExpr(
+        "field", "n_matches", "n_nonmatch_pairs",
+        "CASE WHEN n_matches > 0 THEN "
+        "CAST(__ma * 1000000 div n_matches AS BIGINT) END AS m_e6",
+        "CASE WHEN n_nonmatch_pairs > 0 THEN "
+        "CAST(__ua * 1000000 div n_nonmatch_pairs AS BIGINT) END AS u_e6",
+        "CASE WHEN n_matches > 0 AND n_nonmatch_pairs > 0 "
+        "AND __ua * 1000000 div n_nonmatch_pairs > 0 THEN "
+        "CAST((__ma * 1000000 div n_matches) * 1000000 "
+        "div (__ua * 1000000 div n_nonmatch_pairs) AS BIGINT) "
+        "END AS lr_e6",
+    )

@@ -4205,3 +4205,204 @@ def simpson_reversal(
         "CAST(SIGN(exposed_pos * unexposed - unexposed_pos * exposed)"
         " AS BIGINT) * pooled_sign = -1 AS reversed",
     )
+
+
+def pr_curve_interp(
+    df: DataFrame,
+    score_col: str,
+    label_col: Column | str,
+    points: int = 10,
+) -> DataFrame:
+    """Interpolated precision-recall curve (the classic 11-point IR
+    form): at each recall checkpoint r/points, the INTERPOLATED
+    precision max_{thresholds with recall >= r/points} precision(t) —
+    the ranking-quality summary for imbalanced labels where ROC-AUC
+    flatters (its negatives-dominated FPR axis barely moves when the
+    positive class is rare; PR answers "at the depth that recovers
+    X% of positives, how much of what I took is junk" — THE question
+    for a filtering/retrieval stage).
+
+    Exactness: thresholds live on the distinct-score grain; at the
+    threshold that admits every score >= v, kept = N − count_below(v)
+    and tp = P − pos_below(v) via ONE two-column exclusive prefix
+    (ops.sort.global_running_sum). precision quantizes IMMEDIATELY to
+    prec_micro = tp·10⁶ div kept (exact BIGINT), and because flooring
+    is monotone, MAX(prec_micro) == floor-micro(MAX(tp/kept)) — the
+    interpolated max needs no float comparison anywhere. The recall
+    qualifier is cross-multiplied (tp·points >= r·P), also exact.
+
+    Scale shape: grain collapse + the range-partitioned prefix + one
+    broadcast of (points+1) checkpoint rows; output is points+1 rows.
+    NULL precision at every checkpoint when P == 0 (no positives —
+    precision-at-recall is undefined, not zero)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    if points < 1:
+        raise ValueError(f"points must be >= 1, got {points}")
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    grain = waypoint(
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(F.col(score_col).alias("__v"))
+        .agg(
+            F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("__ca"),
+            F.count("*").cast("long").alias("__c"),
+        )
+    )
+    before = global_running_sum(
+        grain, ["__v"], ["__c", "__ca"],
+        out_col=["__before", "__cabef"], inclusive=False,
+    )
+    tot = grain.agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.sum("__ca").cast("long").alias("__p"),
+    )
+    thr = (
+        before.crossJoin(F.broadcast(tot))
+        .withColumn("__kept", F.col("__n") - F.col("__before"))
+        .withColumn("__tp", F.col("__p") - F.col("__cabef"))
+        .withColumn(
+            "__prec", F.expr("CAST(__tp * 1000000 div __kept AS BIGINT)")
+        )
+    )
+    spark = df.sparkSession
+    ck = spark.range(points + 1).select(
+        F.col("id").cast("long").alias("recall_pt")
+    )
+    return (
+        thr.join(
+            F.broadcast(ck),
+            F.col("__tp") * points >= F.col("recall_pt") * F.col("__p"),
+        )
+        .groupBy("recall_pt")
+        .agg(
+            F.max(
+                F.when(F.col("__p") > 0, F.col("__prec"))
+            ).alias("prec_interp_micro"),
+        )
+    )
+
+
+def aalen_johansen(
+    durations: DataFrame,
+    duration_col: str,
+    cause_col: str,
+    causes: list[str],
+) -> DataFrame:
+    """Aalen–Johansen cumulative incidence functions under competing
+    risks: subjects exit by exactly one of several causes (or are
+    right-censored, ``cause_col`` NULL), and CIF_k(t) = Σ_{s<=t}
+    S(s−)·d_k(s)/n(s) estimates P(exit by cause k by time t). The
+    honest replacement for running Kaplan–Meier once per cause —
+    1−KM_k treats competing exits as censoring and OVERSTATES every
+    cause's incidence (the Fine–Gray critique); AJ's incidences plus
+    overall survival partition to 1 at every t when follow-up is
+    complete.
+
+    Arithmetic (kaplan_meier conventions throughout): one subject-grain
+    aggregation to (t, d_cause..., total) duration-grain rows; risk set
+    via the exclusive prefix; overall S via exp(Σ ln(1−d/n)) with the
+    −inf exhausted-risk-set guard; S(t−) is the same sum over the
+    STRICT prefix. The CIF prefix sums run over ordered duration-grain
+    windows (sequential, engine-order-identical) and quantize ROUND-
+    micro (the KM lesson: exact rationals land ON 1e-6 multiples and
+    floor splits engines by one ulp). Output rows at durations with
+    any exit: t, n_risk, then d_<cause> and cif_<cause>_e6 per cause.
+
+    Scale shape: all windows span the duration-grain summary (days of
+    observation span), never subjects; one broadcast scalar total."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from pyspark.sql import Window
+
+    if not causes:
+        raise ValueError("causes must be a non-empty list")
+    cc = F.col(cause_col)
+    grain = waypoint(
+        durations.groupBy(F.col(duration_col).alias("t")).agg(
+            F.count("*").alias("__all"),
+            F.sum(F.when(cc.isNotNull(), 1).otherwise(0)).alias("__d"),
+            *[
+                F.sum(F.when(cc == k, 1).otherwise(0)).alias(f"__d_{i}")
+                for i, k in enumerate(causes)
+            ],
+        )
+    )
+    total = grain.agg(F.sum("__all").alias("__n"))
+    # duration-grain summary windows (kaplan_meier precedent): bounded
+    # by the observation span in days, never subject-sized
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = (
+        grain.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__left", F.coalesce(F.sum("__all").over(w_prev), F.lit(0))
+        )
+        .withColumn("n_risk", (F.col("__n") - F.col("__left")).cast("long"))
+    )
+    step = F.when(
+        F.col("__d") < F.col("n_risk"),
+        F.log(1.0 - F.col("__d") / F.col("n_risk")),
+    ).otherwise(F.lit(float("-inf")))
+    s_prev = F.exp(F.coalesce(F.sum(step).over(w_prev), F.lit(0.0)))
+    out = at_risk.withColumn("__sprev", s_prev)
+    cols = [F.col("t").cast("long").alias("t"), F.col("n_risk")]
+    for i, k in enumerate(causes):
+        cif = F.sum(
+            F.col("__sprev") * F.col(f"__d_{i}") / F.col("n_risk")
+        ).over(w_run)
+        out = out.withColumn(
+            f"cif_{k}_e6", F.round(cif * 1_000_000).cast("long")
+        )
+        cols.append(F.col(f"__d_{i}").cast("long").alias(f"d_{k}"))
+        cols.append(F.col(f"cif_{k}_e6"))
+    return out.filter(F.col("__d") > 0).select(*cols)
+
+
+def p_chart(
+    df: DataFrame,
+    group_col: Column | str,
+    defect_cond: Column,
+    group_alias: str = "grain",
+    sigmas: float = 3.0,
+) -> DataFrame:
+    """Attribute (p) control chart over a grain: per grain cell the
+    defect rate, plus Shewhart control limits p̄ ± L·sqrt(p̄(1−p̄)/n)
+    from the POOLED rate — the SPC monitor a per-day/per-shard
+    publish loop runs before shipping (a point outside its limits is
+    a special cause worth a human; inside is common-cause noise the
+    binseg/cusum changepoint tier would overfit). Variable per-cell n
+    gives each cell its own limit width — the textbook p-chart, not
+    the constant-n approximation.
+
+    Arithmetic: counts and rate_e6 are exact BIGINTs (flooring div).
+    The limits need one sqrt, so they run in doubles built from
+    single-rounded IEEE ops on exact integer inputs (divide, subtract,
+    multiply, sqrt — each correctly rounded, so cross-engine
+    bit-identical; the wilson-bounds precedent) and floor-quantize to
+    micros. lcl clamps at 0. out_of_control compares the exact
+    integer rate against the float limits — deterministic.
+
+    Scale shape: one grain aggregation + one broadcast scalar; output
+    is grain-sized."""
+    gc = F.col(group_col) if isinstance(group_col, str) else group_col
+    grain = df.groupBy(gc.alias(group_alias)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(defect_cond, 1).otherwise(0)).cast("long").alias("x"),
+    )
+    pooled = grain.agg(
+        F.sum("n").cast("long").alias("__tn"),
+        F.sum("x").cast("long").alias("__tx"),
+    )
+    out = grain.crossJoin(F.broadcast(pooled))
+    pbar = F.col("__tx").cast("double") / F.col("__tn").cast("double")
+    sig = F.sqrt(pbar * (F.lit(1.0) - pbar) / F.col("n").cast("double"))
+    ucl = pbar + F.lit(float(sigmas)) * sig
+    lcl = F.greatest(F.lit(0.0), pbar - F.lit(float(sigmas)) * sig)
+    rate = F.col("x").cast("double") / F.col("n").cast("double")
+    return out.select(
+        group_alias, "n", "x",
+        F.expr("CAST(x * 1000000 div n AS BIGINT)").alias("rate_e6"),
+        F.floor(F.lit(1_000_000) * ucl).cast("long").alias("ucl_e6"),
+        F.floor(F.lit(1_000_000) * lcl).cast("long").alias("lcl_e6"),
+        ((rate > ucl) | (rate < lcl)).alias("out_of_control"),
+    )

@@ -5849,3 +5849,222 @@ def simpson_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         q > F.col("__medq"),
         F.col("o_orderstatus") == "F",
     )
+
+
+@register(
+    "pr_curve_orderstatus",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS v,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ca,
+             COUNT(*) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT v, ca, c,
+             COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+             COALESCE(SUM(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cabef,
+             SUM(c) OVER () AS n, SUM(ca) OVER () AS p
+      FROM g
+    ),
+    thr AS (
+      SELECT (n - bef) AS kept, (p - cabef) AS tp, p,
+             (p - cabef) * 1000000 // (n - bef) AS prec
+      FROM r
+    ),
+    ck AS (SELECT UNNEST(generate_series(0, 10)) AS rp)
+    SELECT CAST(rp AS BIGINT) AS recall_pt,
+           CAST(MAX(CASE WHEN p > 0 THEN prec END) AS BIGINT)
+             AS prec_interp_micro
+    FROM ck JOIN thr ON tp * 10 >= rp * p
+    GROUP BY 1
+    """,
+    doc="11-point interpolated precision-recall curve "
+    "(ops.stats.pr_curve_interp): does order total discriminate "
+    "FINISHED orders when judged the PR way - the imbalance-honest "
+    "companion to roc_auc_orderstatus (same score, same label, same "
+    "distinct-score grain and exclusive global_running_sum prefix; "
+    "ROC asks how rarely a negative outscores a positive, PR asks "
+    "what fraction of everything above the cut is actually positive "
+    "at each recall depth - THE question for a selection/filtering "
+    "stage). Exact: precision floor-quantizes to micros BEFORE the "
+    "max and flooring is monotone, so max(floor) = floor(max); the "
+    "recall qualifier cross-multiplies (tp*10 >= r*P). Zero float "
+    "comparisons anywhere; 11 rows out.",
+)
+def pr_curve_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import pr_curve_interp
+
+    return pr_curve_interp(
+        t(spark, sf_dir, "orders"), "o_totalprice",
+        F.col("o_orderstatus") == "F", points=10,
+    )
+
+
+@register(
+    "aalen_johansen_cif",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l,
+             MIN(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN CAST(ts AS DATE) END) AS ca,
+             MIN(CASE WHEN event_type = 'error'
+                      THEN CAST(ts AS DATE) END) AS cb
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT CASE
+               WHEN ca IS NOT NULL AND (cb IS NULL OR ca <= cb)
+                 THEN DATEDIFF('day', f, ca)
+               WHEN cb IS NOT NULL THEN DATEDIFF('day', f, cb)
+               ELSE DATEDIFF('day', f, l) END AS t,
+             CASE
+               WHEN ca IS NOT NULL AND (cb IS NULL OR ca <= cb) THEN 'conv'
+               WHEN cb IS NOT NULL THEN 'err' END AS cause
+      FROM u
+    ),
+    g AS (
+      SELECT t,
+             SUM(CASE WHEN cause = 'conv' THEN 1 ELSE 0 END) AS d1,
+             SUM(CASE WHEN cause = 'err' THEN 1 ELSE 0 END) AS d2,
+             COUNT(*) AS a
+      FROM d GROUP BY 1
+    ),
+    tot AS (SELECT SUM(a) AS n FROM g),
+    r1 AS (
+      SELECT t, d1, d2, a,
+             n - COALESCE(SUM(a) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM g CROSS JOIN tot
+    ),
+    r2 AS (
+      SELECT t, d1, d2, n_risk,
+             exp(COALESCE(SUM(CASE WHEN d1 + d2 < n_risk
+                   THEN ln(1 - (d1 + d2) / n_risk)
+                   ELSE CAST('-inf' AS DOUBLE) END) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               AS sprev
+      FROM r1
+    ),
+    r3 AS (
+      SELECT t, d1, d2, n_risk,
+             SUM(sprev * d1 / n_risk) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             SUM(sprev * d2 / n_risk) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+      FROM r2
+    )
+    SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d1 AS BIGINT) AS d_conv,
+           CAST(ROUND(c1 * 1000000) AS BIGINT) AS cif_conv_e6,
+           CAST(d2 AS BIGINT) AS d_err,
+           CAST(ROUND(c2 * 1000000) AS BIGINT) AS cif_err_e6
+    FROM r3 WHERE d1 + d2 > 0
+    """,
+    doc="Aalen-Johansen cumulative incidence under competing risks "
+    "(ops.stats.aalen_johansen): from each user's first event, does "
+    "a high-value conversion (purchase > 150) or an error come FIRST "
+    "- the two-exit refinement of kaplan_meier_retention (1-KM per "
+    "cause treats the competing exit as censoring and OVERSTATES "
+    "both incidences; AJ's CIFs + overall survival partition to 1). "
+    "Ties conv-first (documented priority); never-exiting users "
+    "censor at their last observed day. Same duration-grain shape as "
+    "the KM gate: one user-grain aggregation, exclusive-prefix risk "
+    "set, S(t-) = exp of the STRICT-prefix ln sum with the -inf "
+    "exhausted-risk guard, CIF = ordered prefix sum of "
+    "S(t-)*d_k/n (sequential windowed sum, engine-order identical), "
+    "ROUND-micro per the KM one-ulp lesson.",
+)
+def aalen_johansen_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import aalen_johansen
+
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("__f"),
+        F.max(F.to_date("ts")).alias("__l"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                F.to_date("ts"),
+            )
+        ).alias("__ca"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.to_date("ts"))
+        ).alias("__cb"),
+    )
+    conv_first = F.col("__ca").isNotNull() & (
+        F.col("__cb").isNull() | (F.col("__ca") <= F.col("__cb"))
+    )
+    durations = u.select(
+        F.when(conv_first, F.datediff("__ca", "__f"))
+        .when(F.col("__cb").isNotNull(), F.datediff("__cb", "__f"))
+        .otherwise(F.datediff("__l", "__f")).alias("dur"),
+        F.when(conv_first, F.lit("conv"))
+        .when(F.col("__cb").isNotNull(), F.lit("err")).alias("cause"),
+    )
+    return aalen_johansen(durations, "dur", "cause", causes=["conv", "err"])
+
+
+@register(
+    "p_chart_daily_returns",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS grain,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS tn, SUM(x) AS tx FROM g)
+    SELECT grain, n, x,
+           x * 1000000 // n AS rate_e6,
+           CAST(FLOOR(1000000 * ((CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+             + 3.0 * sqrt((CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+               * (1.0 - CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+               / CAST(n AS DOUBLE)))) AS BIGINT) AS ucl_e6,
+           CAST(FLOOR(1000000 * GREATEST(0.0,
+             (CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+             - 3.0 * sqrt((CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+               * (1.0 - CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+               / CAST(n AS DOUBLE)))) AS BIGINT) AS lcl_e6,
+           (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+              > (CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+                + 3.0 * sqrt((CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+                  * (1.0 - CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+                  / CAST(n AS DOUBLE)))
+           OR (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+              < GREATEST(0.0, (CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+                - 3.0 * sqrt((CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+                  * (1.0 - CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+                  / CAST(n AS DOUBLE)))) AS out_of_control
+    FROM g CROSS JOIN tot
+    """,
+    doc="Shewhart p-chart on the daily line-return rate "
+    "(ops.stats.p_chart): per ship-day defect fraction (returnflag = "
+    "'R') against pooled-rate 3-sigma binomial control limits with "
+    "per-day widths (variable-n textbook form) - the SPC monitor a "
+    "publish loop runs per batch (out-of-limits = special cause for "
+    "a human; inside = common-cause noise the changepoint tier would "
+    "overfit). Counts and rate_e6 exact BIGINT; limits are doubles "
+    "built from single-rounded IEEE ops on exact integers (divide / "
+    "subtract / multiply / sqrt - the wilson-bounds precedent), "
+    "floor-quantized; the flag compares the exact rate against the "
+    "float limits identically on both engines. Day-grain output.",
+)
+def p_chart_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import p_chart
+
+    li = t(spark, sf_dir, "lineitem")
+    return p_chart(
+        li,
+        F.to_date("l_shipdate").cast("string"),
+        F.col("l_returnflag") == "R",
+        group_alias="grain",
+        sigmas=3.0,
+    )

@@ -5196,3 +5196,277 @@ def pq_distortion_audit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     queries = emb.filter(F.col("vec_id") < 5)
     return pq_distortion_audit(emb, queries, codebooks)
+
+
+@register(
+    "heaps_vocab_growth",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    pd AS (
+      SELECT d.doc_id, COALESCE(c.n, 0) AS ntok
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY 1) c
+        USING (doc_id)
+    ),
+    rk AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS r,
+             SUM(ntok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumtok
+      FROM pd
+    ),
+    tot AS (SELECT COUNT(*) AS d FROM pd),
+    cb AS (
+      SELECT decile, (decile * d) // 10 AS r
+      FROM (SELECT UNNEST(generate_series(1, 10)) AS decile) CROSS JOIN tot
+      WHERE (decile * d) // 10 >= 1
+    ),
+    fr AS (
+      SELECT fd.w, rk.r
+      FROM (SELECT w, MIN(doc_id) AS fdoc FROM dt GROUP BY 1) fd
+      JOIN rk ON rk.doc_id = fd.fdoc
+    ),
+    vc AS (
+      SELECT cb.decile, CAST(COUNT(fr.w) AS BIGINT) AS vocab_size
+      FROM cb LEFT JOIN fr ON fr.r <= cb.r GROUP BY 1
+    )
+    SELECT CAST(cb.decile AS BIGINT) AS decile,
+           CAST(cb.r AS BIGINT) AS n_docs,
+           CAST(rk.cumtok AS BIGINT) AS n_tokens,
+           vc.vocab_size
+    FROM cb JOIN rk ON rk.r = cb.r JOIN vc USING (decile)
+    """,
+    doc="Heaps'-law vocabulary growth curve at corpus deciles "
+    "(llm.textan.heaps_vocab_growth): distinct-token count vs "
+    "cumulative token count at each 10%-of-docs checkpoint in doc_id "
+    "order - how fast NEW vocabulary keeps arriving as the corpus "
+    "grows, the growth-side companion to zipf_slope_tokens' "
+    "frequency-curve shape (a flattening curve between snapshots "
+    "means the new data rehashes the old vocabulary - dedup leakage, "
+    "source collapse; a steepening one means a domain or language "
+    "slipped in). Exact BIGINTs end-to-end: ONE two-column "
+    "global_running_sum prefix over the doc grain gives rank + "
+    "running tokens, a token's arrival point is its min-doc rank, "
+    "vocab-at-checkpoint counts first-ranks <= boundary against <= "
+    "10 broadcast checkpoint rows (the oracle's ROW_NUMBER window is "
+    "the oracle's privilege). Zero-token docs still advance the doc "
+    "axis.",
+)
+def heaps_vocab_growth_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import heaps_vocab_growth
+
+    return heaps_vocab_growth(
+        t(spark, sf_dir, "documents"), "doc_id", "text", deciles=10
+    )
+
+
+@register(
+    "good_turing_tokens",
+    oracle="""
+    WITH base AS (
+      SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    tf AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (
+        SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        FROM (SELECT ws, UNNEST(generate_series(1, len(ws) - 2)) AS i
+              FROM base WHERE len(ws) >= 3)
+      ) GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN n = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM tf
+    )
+    SELECT n_tokens, vocab_size, n1, n2, n3, n4,
+           CASE WHEN n_tokens > 0 THEN
+             CAST(n1 * 1000000 // n_tokens AS BIGINT) END AS p0_unseen_e6,
+           CASE WHEN n1 > 0 THEN
+             CAST(2 * n2 * 1000000 // n1 AS BIGINT) END AS rstar1_e6,
+           CASE WHEN n2 > 0 THEN
+             CAST(3 * n3 * 1000000 // n2 AS BIGINT) END AS rstar2_e6,
+           CASE WHEN n3 > 0 THEN
+             CAST(4 * n4 * 1000000 // n3 AS BIGINT) END AS rstar3_e6
+    FROM m
+    """,
+    doc="Simple Good-Turing mass estimates over the corpus word-"
+    "TRIGRAM frequencies (llm.textan.good_turing_mass): unseen-"
+    "probability mass p0 = N1/N and adjusted counts r* = "
+    "(r+1)N_{r+1}/N_r for r = 1..3 from the count-of-counts table - "
+    "the smoothing statistic beneath Katz backoff, the empirical "
+    "check on kn_bigram_model's absolute discounts (r - r* IS the "
+    "discount), and a one-number long-tail-diversity drift monitor "
+    "(N1/N moving between snapshots = the tail is growing or "
+    "collapsing). Trigram grain because the synthetic unigram (31 "
+    "types) and bigram (916) vocabularies saturate - every type "
+    "repeats and all N_r vanish; trigrams keep a real singleton tail "
+    "(9.4k of 16k types at sf0.01). One gram explode + one map-side-"
+    "combinable aggregation; exact BIGINT conditional sums, flooring "
+    "micro divisions, NULL where N_r = 0. ONE row out.",
+)
+def good_turing_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import good_turing_mass
+
+    docs = t(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    base = docs.select(ws.alias("__t")).filter(F.size("__t") >= 3)
+    grams = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - 3),
+                lambda i: F.concat_ws(
+                    " ", F.col("__t")[i], F.col("__t")[i + 1],
+                    F.col("__t")[i + 2],
+                ),
+            )
+        ).alias("g")
+    )
+    tf = grams.groupBy("g").agg(F.count("*").cast("long").alias("n"))
+    return good_turing_mass(tf, "g", "n", max_r=3)
+
+
+# Perturbed second view of customers for the record-linkage gate:
+# deterministic md5-parity corruptions (the sampling-tier cross-engine
+# hash) - ~25% of segments get a '*' suffix (never agree), ~25% of
+# balance buckets shift by one; names stay intact (a u=0 perfect
+# discriminator by construction, since names are unique per custkey).
+_FS_B_VIEW = """
+      SELECT c_custkey, c_nationkey,
+             c_name AS name,
+             CASE WHEN CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                    || ':seg'), 1, 8) AS BIGINT) < 1073741824
+                  THEN c_mktsegment || '*' ELSE c_mktsegment END AS seg,
+             CAST(FLOOR(c_acctbal / 100) AS BIGINT)
+               + CASE WHEN CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                    || ':bal'), 1, 8) AS BIGINT) < 1073741824
+                      THEN 1 ELSE 0 END AS bal
+      FROM customer"""
+
+
+@register(
+    "fellegi_sunter_customers",
+    oracle=f"""
+    WITH a AS (
+      SELECT c_custkey, c_nationkey, c_name AS name, c_mktsegment AS seg,
+             CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS bal
+      FROM customer
+    ),
+    b AS ({_FS_B_VIEW}
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nm,
+             CAST(SUM(CASE WHEN a.name = b.name THEN 1 ELSE 0 END)
+               AS BIGINT) AS ma_name,
+             CAST(SUM(CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END)
+               AS BIGINT) AS ma_seg,
+             CAST(SUM(CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END)
+               AS BIGINT) AS ma_bal
+      FROM a JOIN b USING (c_custkey)
+    ),
+    tp AS (
+      SELECT CAST(SUM(na * nb) AS BIGINT) AS tp FROM
+        (SELECT c_nationkey, COUNT(*) AS na FROM a GROUP BY 1) ba
+        JOIN (SELECT c_nationkey, COUNT(*) AS nb FROM b GROUP BY 1) bb
+        USING (c_nationkey)
+    ),
+    vp AS (
+      SELECT 'name' AS field, CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS vp
+      FROM (SELECT c_nationkey, name AS v, COUNT(*) AS ca FROM a GROUP BY 1, 2) ga
+      JOIN (SELECT c_nationkey, name AS v, COUNT(*) AS cb FROM b GROUP BY 1, 2) gb
+        USING (c_nationkey, v)
+      UNION ALL
+      SELECT 'seg', CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT)
+      FROM (SELECT c_nationkey, seg AS v, COUNT(*) AS ca FROM a GROUP BY 1, 2) ga
+      JOIN (SELECT c_nationkey, seg AS v, COUNT(*) AS cb FROM b GROUP BY 1, 2) gb
+        USING (c_nationkey, v)
+      UNION ALL
+      SELECT 'bal', CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT)
+      FROM (SELECT c_nationkey, bal AS v, COUNT(*) AS ca FROM a GROUP BY 1, 2) ga
+      JOIN (SELECT c_nationkey, bal AS v, COUNT(*) AS cb FROM b GROUP BY 1, 2) gb
+        USING (c_nationkey, v)
+    )
+    SELECT field, nm AS n_matches, tp - nm AS n_nonmatch_pairs,
+           CASE WHEN nm > 0 THEN CAST(
+             (CASE field WHEN 'name' THEN ma_name WHEN 'seg' THEN ma_seg
+                         ELSE ma_bal END) * 1000000 // nm AS BIGINT)
+           END AS m_e6,
+           CASE WHEN tp - nm > 0 THEN CAST(
+             (vp - CASE field WHEN 'name' THEN ma_name WHEN 'seg'
+                    THEN ma_seg ELSE ma_bal END) * 1000000 // (tp - nm)
+             AS BIGINT)
+           END AS u_e6,
+           CASE WHEN nm > 0 AND tp - nm > 0 AND
+             (vp - CASE field WHEN 'name' THEN ma_name WHEN 'seg'
+                    THEN ma_seg ELSE ma_bal END) * 1000000 // (tp - nm) > 0
+           THEN CAST(
+             ((CASE field WHEN 'name' THEN ma_name WHEN 'seg' THEN ma_seg
+                          ELSE ma_bal END) * 1000000 // nm) * 1000000
+             // ((vp - CASE field WHEN 'name' THEN ma_name WHEN 'seg'
+                        THEN ma_seg ELSE ma_bal END) * 1000000 // (tp - nm))
+             AS BIGINT)
+           END AS lr_e6
+    FROM vp CROSS JOIN m CROSS JOIN tp
+    """,
+    doc="Fellegi-Sunter record-linkage m/u estimation "
+    "(ops.linkage.fellegi_sunter_mu): two views of the customer "
+    "population - the table itself and a deterministically corrupted "
+    "copy (md5-parity ~25% segment corruption, ~25% balance-bucket "
+    "shift; names intact) - blocked on nation, ground truth = "
+    "custkey equality. Estimates per-field P(agree|match) and "
+    "P(agree|non-match) and their likelihood ratio, the evidence "
+    "weights of the 1969 decision model and the scoring layer above "
+    "the fuzzy/containment join tier. THE scale point: u needs "
+    "agreement rates over the quadratic non-match pair set, computed "
+    "here WITHOUT materializing any pair - within-block agreeing "
+    "pairs = sum over (block, value) of cntA*cntB, two grain "
+    "aggregations and a grain join; m is the single truth-key "
+    "equi-join. Names are unique per key so u(name) = 0 - reported "
+    "as NULL lr (a perfect discriminator), by construction. All "
+    "exact BIGINTs, flooring micro divisions.",
+)
+def fellegi_sunter_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.linkage import fellegi_sunter_mu
+
+    cust = t(spark, sf_dir, "customer")
+    u32 = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(F.col("c_custkey").cast("string"), F.lit(salt))
+                .cast("binary")
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    a = cust.select(
+        "c_custkey", "c_nationkey",
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal"),
+    )
+    b = cust.select(
+        "c_custkey", "c_nationkey",
+        F.col("c_name").alias("name"),
+        F.when(
+            u32(":seg") < 1073741824,
+            F.concat(F.col("c_mktsegment"), F.lit("*")),
+        ).otherwise(F.col("c_mktsegment")).alias("seg"),
+        (
+            F.floor(F.col("c_acctbal") / 100).cast("long")
+            + F.when(u32(":bal") < 1073741824, 1).otherwise(0)
+        ).cast("long").alias("bal"),
+    )
+    return fellegi_sunter_mu(
+        a, b, "c_custkey", "c_nationkey", ["name", "seg", "bal"]
+    )

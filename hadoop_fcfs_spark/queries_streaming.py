@@ -818,3 +818,67 @@ def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_id", "ts", delay_us=1_800_000_000,
         group_cols=["event_type"],
     )
+
+
+@register(
+    "dedup_watermark_audit",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, user_id, event_id, epoch_us(ts) AS us,
+             MAX(epoch_us(ts)) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wmax
+      FROM events
+      WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        AND user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    c AS (
+      SELECT *, COALESCE(wmax - 1800000000 > us, FALSE) AS late FROM g
+    ),
+    s AS (
+      SELECT event_type, us, wmax,
+             LAG(us) OVER (PARTITION BY user_id, event_type
+               ORDER BY event_id) AS pus
+      FROM c WHERE NOT late
+    ),
+    la AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(*) FILTER (late) AS BIGINT) AS n_late
+      FROM c GROUP BY 1
+    ),
+    du AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (pus IS NOT NULL
+               AND COALESCE(wmax - 1800000000 <= pus + 1800000000, TRUE))
+               AS BIGINT) AS n_dup
+      FROM s GROUP BY 1
+    )
+    SELECT event_type, n_events, n_late, n_dup,
+           n_events - n_late - n_dup AS n_emitted
+    FROM la JOIN du USING (event_type)
+    """,
+    doc="dropDuplicatesWithinWatermark replay per event type "
+    "(ops.timeseries.dedup_watermark_audit): with key = (user_id, "
+    "event_type), a 30-minute delay, and arrival order = event_id, "
+    "how many rows would streaming dedup have dropped as duplicates "
+    "(previous surviving occurrence's state still alive: watermark "
+    "<= prev_ts + delay) and how many the watermark would have "
+    "discarded as LATE before dedup saw them - the state-sizing and "
+    "loss audit run before picking the dedup delay, completing the "
+    "streaming drop-rule pair with watermark_late_audit (that gate "
+    "audits the lateness rule alone; this one composes it with the "
+    "dedup state-expiry rule on the same high-water mark). The "
+    "watermark is the SAME strict prefix max via "
+    "ops.sort.global_running_max (ONE range exchange over data "
+    "rows); the predecessor lookup is a per-key lag window (keys "
+    "are data-grain, distributed); dropped duplicates do not extend "
+    "state lifetime (documented anchor choice). The oracle's "
+    "unpartitioned window is the oracle's privilege.",
+)
+def dedup_watermark_audit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.timeseries import dedup_watermark_audit
+
+    ev = t(spark, sf_dir, "events")
+    return dedup_watermark_audit(
+        ev, "event_id", "ts", ["user_id", "event_type"],
+        delay_us=1_800_000_000, group_cols=["event_type"],
+    )

@@ -1982,3 +1982,61 @@ def test_zipf_slope_hand_values(spark):
     )
     r = zipf_slope(flat, "w", "n").collect()[0]
     assert r["zipf_exponent_e6"] == 0
+
+
+def test_heaps_vocab_growth_brute_force(spark):
+    """Literal replica: docs in id order, checkpoints at k*D//10, vocab
+    = distinct tokens seen in the first r docs, tokens = their total
+    count. Includes a zero-token doc (must advance the doc axis)."""
+    docs = [
+        (1, "a b a"), (2, ""), (3, "b c"), (4, "c d d"), (5, "e"),
+    ]
+    from hadoop_fcfs_spark.llm.textan import heaps_vocab_growth
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["decile"]: r
+        for r in heaps_vocab_growth(df, "doc_id", "text", deciles=10).collect()
+    }
+    d = len(docs)
+    toks = {i: [w for w in s.split() if w] for i, s in docs}
+    ids = sorted(toks)
+    for k in range(1, 11):
+        r = k * d // 10
+        if r < 1:
+            assert k not in out
+            continue
+        seen = [w for i in ids[:r] for w in toks[i]]
+        assert out[k]["n_docs"] == r
+        assert out[k]["n_tokens"] == len(seen)
+        assert out[k]["vocab_size"] == len(set(seen))
+    # the full-corpus checkpoint always exists
+    assert out[10]["n_docs"] == d
+    import pytest
+
+    with pytest.raises(ValueError):
+        heaps_vocab_growth(df, "doc_id", "text", deciles=0)
+
+
+def test_good_turing_hand_values(spark):
+    """Count-of-counts on a fixed tf table: N1=3 singletons, N2=2
+    doubletons, N3=1, N4=1 -> exact p0 and r* ratios; NULL r* where
+    N_r = 0."""
+    from hadoop_fcfs_spark.llm.textan import good_turing_mass
+
+    counts = [1, 1, 1, 2, 2, 3, 4, 9]
+    tf = spark.createDataFrame(
+        [(f"w{i}", c) for i, c in enumerate(counts)], "w string, n long"
+    )
+    r = good_turing_mass(tf, "w", "n", max_r=3).collect()[0]
+    n = sum(counts)
+    assert r["n_tokens"] == n and r["vocab_size"] == len(counts)
+    assert (r["n1"], r["n2"], r["n3"], r["n4"]) == (3, 2, 1, 1)
+    assert r["p0_unseen_e6"] == 3 * 1_000_000 // n
+    assert r["rstar1_e6"] == 2 * 2 * 1_000_000 // 3
+    assert r["rstar2_e6"] == 3 * 1 * 1_000_000 // 2
+    assert r["rstar3_e6"] == 4 * 1 * 1_000_000 // 1
+    # N_r = 0 -> NULL r*
+    tf2 = spark.createDataFrame([("w", 5)], "w string, n long")
+    r2 = good_turing_mass(tf2, "w", "n", max_r=3).collect()[0]
+    assert r2["rstar1_e6"] is None and r2["p0_unseen_e6"] == 0

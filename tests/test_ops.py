@@ -5309,3 +5309,195 @@ def test_theil_indices_hand_values(spark):
     assert r["mld_e6"] == want_l
     # sanity: strong concentration -> clearly positive indices
     assert r["theil_t_e6"] > 500_000 and r["mld_e6"] > 500_000
+
+
+def test_pr_curve_interp_hand_values(spark):
+    """Brute-force replica: enumerate every threshold on the distinct
+    scores, compute floor-micro precision, take the interpolated max
+    per recall checkpoint — must equal the operator exactly. Scores:
+    4 positives at {10, 9, 7, 3}, 4 negatives at {9, 8, 3, 1}
+    (ties across classes at 9 and 3)."""
+    from hadoop_fcfs_spark.ops.stats import pr_curve_interp
+
+    rows = [(10, 1), (9, 1), (9, 0), (8, 0), (7, 1), (3, 1), (3, 0), (1, 0)]
+    df = spark.createDataFrame(rows, "s int, y int")
+    out = {
+        r["recall_pt"]: r["prec_interp_micro"]
+        for r in pr_curve_interp(df, "s", F.col("y") == 1, points=10).collect()
+    }
+    scores = sorted({s for s, _ in rows})
+    n, p = len(rows), sum(y for _, y in rows)
+    want = {}
+    for rp in range(11):
+        best = None
+        for v in scores:
+            kept = sum(1 for s, _ in rows if s >= v)
+            tp = sum(y for s, y in rows if s >= v)
+            if tp * 10 >= rp * p:
+                prec = tp * 1_000_000 // kept
+                best = prec if best is None else max(best, prec)
+        want[rp] = best
+    assert out == want
+    assert out[0] == 1_000_000  # the top score is a lone positive
+    assert len(out) == 11
+
+    with pytest.raises(ValueError):
+        pr_curve_interp(df, "s", F.col("y") == 1, points=0)
+
+
+def test_aalen_johansen_hand_values(spark):
+    """Pure-Python AJ replica on a hand survival table with two causes
+    and censoring; plus the partition identity: with NO censoring,
+    CIF_a(t_max) + CIF_b(t_max) == 1 exactly (round-micro)."""
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import aalen_johansen
+
+    # (duration, cause): censored rows carry None
+    data = [(1, "a"), (1, None), (2, "b"), (2, "a"), (3, None), (4, "b")]
+    df = spark.createDataFrame(data, "dur int, cause string")
+    out = {
+        r["t"]: r for r in aalen_johansen(df, "dur", "cause", ["a", "b"]).collect()
+    }
+    # replica
+    n = len(data)
+    grain = {}
+    for t_, c in data:
+        g = grain.setdefault(t_, {"a": 0, "b": 0, "all": 0})
+        g["all"] += 1
+        if c:
+            g[c] += 1
+    at_risk, s, cif = n, 1.0, {"a": 0.0, "b": 0.0}
+    want = {}
+    for t_ in sorted(grain):
+        g = grain[t_]
+        d = g["a"] + g["b"]
+        for k in ("a", "b"):
+            cif[k] += s * g[k] / at_risk
+        if d > 0:
+            want[t_] = (
+                at_risk, g["a"], round(cif["a"] * 1e6),
+                g["b"], round(cif["b"] * 1e6),
+            )
+        s *= 1.0 - d / at_risk
+        at_risk -= g["all"]
+    assert set(out) == set(want)
+    for t_, (nr, da, ca, db, cb) in want.items():
+        r = out[t_]
+        assert r["n_risk"] == nr and r["d_a"] == da and r["d_b"] == db
+        assert abs(r["cif_a_e6"] - ca) <= 1 and abs(r["cif_b_e6"] - cb) <= 1
+    # no-censoring partition identity
+    full = [(1, "a"), (2, "b"), (2, "a"), (5, "b")]
+    df2 = spark.createDataFrame(full, "dur int, cause string")
+    rows = aalen_johansen(df2, "dur", "cause", ["a", "b"]).collect()
+    last = max(rows, key=lambda r: r["t"])
+    assert last["cif_a_e6"] + last["cif_b_e6"] == 1_000_000
+    with pytest.raises(ValueError):
+        aalen_johansen(df2, "dur", "cause", [])
+
+
+def test_p_chart_hand_values(spark):
+    """Python-replica limits (same single-rounded IEEE ops) on a tiny
+    grain; an engineered special-cause cell must flag."""
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import p_chart
+
+    # cell 'c' is wildly out of control (9/10 defective vs pooled ~13%)
+    cells = {"a": (40, 3), "b": (50, 4), "c": (10, 9)}
+    rows = []
+    for g, (n_, x_) in cells.items():
+        rows += [(g, 1)] * x_ + [(g, 0)] * (n_ - x_)
+    df = spark.createDataFrame(rows, "g string, d int")
+    out = {r["grain"]: r for r in p_chart(df, "g", F.col("d") == 1).collect()}
+    tn = sum(n_ for n_, _ in cells.values())
+    tx = sum(x_ for _, x_ in cells.values())
+    pbar = tx / tn
+    for g, (n_, x_) in cells.items():
+        sig = math.sqrt(pbar * (1.0 - pbar) / n_)
+        assert out[g]["n"] == n_ and out[g]["x"] == x_
+        assert out[g]["rate_e6"] == x_ * 1_000_000 // n_
+        assert out[g]["ucl_e6"] == math.floor(1e6 * (pbar + 3 * sig))
+        assert out[g]["lcl_e6"] == math.floor(1e6 * max(0.0, pbar - 3 * sig))
+    assert out["c"]["out_of_control"]
+    assert not out["a"]["out_of_control"] and not out["b"]["out_of_control"]
+
+
+def test_fellegi_sunter_brute_force(spark):
+    """The value-grain product identity vs literal pair enumeration:
+    materialize every within-block A×B pair in Python, count
+    agreements among matches (same key) and non-matches, and compare
+    with the operator's no-pair-table estimates."""
+    from hadoop_fcfs_spark.ops.linkage import fellegi_sunter_mu
+
+    a_rows = [  # (key, block, f1, f2)
+        (1, "x", "p", 10), (2, "x", "q", 20), (3, "x", "p", 30),
+        (4, "y", "r", 10), (5, "y", "p", 10),
+    ]
+    b_rows = [
+        (1, "x", "p", 10), (2, "x", "p", 25), (3, "x", "p", 30),
+        (4, "y", "r", 15), (5, "y", "q", 10), (6, "y", "p", 10),
+    ]
+    a = spark.createDataFrame(a_rows, "k int, blk string, f1 string, f2 int")
+    b = spark.createDataFrame(b_rows, "k int, blk string, f1 string, f2 int")
+    out = {
+        r["field"]: r
+        for r in fellegi_sunter_mu(a, b, "k", "blk", ["f1", "f2"]).collect()
+    }
+    pairs = [
+        (ra, rb) for ra in a_rows for rb in b_rows if ra[1] == rb[1]
+    ]
+    matches = [(ra, rb) for ra, rb in pairs if ra[0] == rb[0]]
+    nonm = [(ra, rb) for ra, rb in pairs if ra[0] != rb[0]]
+    for i, f in ((2, "f1"), (3, "f2")):
+        ma = sum(1 for ra, rb in matches if ra[i] == rb[i])
+        ua = sum(1 for ra, rb in nonm if ra[i] == rb[i])
+        r = out[f]
+        assert r["n_matches"] == len(matches)
+        assert r["n_nonmatch_pairs"] == len(nonm)
+        assert r["m_e6"] == ma * 1_000_000 // len(matches)
+        assert r["u_e6"] == ua * 1_000_000 // len(nonm)
+        if r["u_e6"]:
+            assert r["lr_e6"] == r["m_e6"] * 1_000_000 // r["u_e6"]
+        else:
+            assert r["lr_e6"] is None
+    with pytest.raises(ValueError):
+        fellegi_sunter_mu(a, b, "k", "blk", [])
+
+
+def test_dedup_watermark_audit_hand_values(spark):
+    """Hand arrival sequence exercising all three verdicts. Delay = 10.
+    Arrival order (arr, key, ts):
+      1: (k1, 100)  first           -> emitted  (no watermark yet)
+      2: (k1, 105)  wm=90,  prev=100, 90 <= 110 -> DUP
+      3: (k2, 200)  wm=95            -> emitted  (advances max to 200)
+      4: (k1, 150)  wm=190 > 150     -> LATE (never reaches dedup)
+      5: (k1, 250)  wm=190, prev(surviving)=105, 190 > 115 -> emitted
+      6: (k1, 252)  wm=240, prev=250, 240 <= 260 -> DUP"""
+    from hadoop_fcfs_spark.ops.timeseries import dedup_watermark_audit
+
+    rows = [
+        (1, "k1", 100), (2, "k1", 105), (3, "k2", 200),
+        (4, "k1", 150), (5, "k1", 250), (6, "k1", 252),
+    ]
+    df = spark.createDataFrame(rows, "arr int, k string, us long").select(
+        "arr", "k", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    out = dedup_watermark_audit(
+        df, "arr", "ts", ["k"], delay_us=10
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"] == 6
+    assert r["n_late"] == 1
+    assert r["n_dup"] == 2
+    assert r["n_emitted"] == 3
+    # grouped variant splits by key
+    by_key = {
+        x["k"]: x
+        for x in dedup_watermark_audit(
+            df, "arr", "ts", ["k"], delay_us=10, group_cols=["k"]
+        ).collect()
+    }
+    assert by_key["k1"]["n_dup"] == 2 and by_key["k1"]["n_late"] == 1
+    assert by_key["k2"]["n_dup"] == 0 and by_key["k2"]["n_emitted"] == 1

@@ -535,6 +535,7 @@ def test_no_unallowed_unpartitioned_windows_static_sweep():
         ("ops/stats.py", "pareto_frontier"),         # prefix max over one-row-per-chunk summary
         ("ops/stats.py", "kaplan_meier"),            # risk/product windows over duration-grain summary
         ("ops/stats.py", "restricted_mean_survival"),  # LEAD over the same duration-grain summary
+        ("ops/stats.py", "aalen_johansen"),          # same duration-grain summary windows (KM family)
         ("llm/packing.py", "pack_sequences"),        # offsets over chunk-total summary
         ("queries_relational.py", "topk_orders"),    # TakeOrderedAndProject(limit=k) plan-asserted
         ("queries_relational.py", "shipping_priority"),
@@ -1237,4 +1238,36 @@ def test_isotonic_triangular_joins_are_broadcast(spark):
     assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    release_waypoints()
+
+
+def test_dedup_watermark_audit_one_range_pass(spark):
+    """The streaming dedup replay (r8): the high-water mark rides ONE
+    range-partitioning exchange over the arrival order (the
+    global_running_max two-level shape — the same single data-sized
+    shuffle watermark_late_audit pays); the per-key predecessor lag is
+    a hash-partitioned window (keyed, never single-task)."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    plan = _plan(Q["dedup_watermark_audit"].spark_fn(spark, SF_ORACLE))
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
+    # the predecessor window is partitioned on the dedup key
+    assert "windowspecdefinition(user_id" in plan, plan
+    release_waypoints()
+
+
+def test_fellegi_sunter_no_pair_materialization(spark):
+    """The record-linkage gate (r8): u comes from value-grain count
+    products, never a pair table — the plan must contain NO cartesian
+    product and no non-broadcast nested-loop join; the only
+    nested-loop joins are the two 1-row scalar broadcasts (m-aggregate
+    and pair-universe total)."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    plan = _plan(Q["fellegi_sunter_customers"].spark_fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan, plan
+    # scalar broadcasts only: every BNLJ line must be a cross of the
+    # two 1-row aggregates (one per field branch of the union)
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj <= 6, f"unexpected nested-loop joins ({n_bnlj}):\n{plan}"
     release_waypoints()
