@@ -63,15 +63,24 @@ def fellegi_sunter_mu(
     when u = 0 — a perfect discriminator — or m undefined). Everything
     is exact BIGINT arithmetic; the only divisions are flooring
     integer divs, bit-identical across engines and partitionings."""
+    from hadoop_fcfs_spark.caching import waypoint
+
     if not fields:
         raise ValueError("fields must be a non-empty list")
-    av = a.select(
-        F.col(key_col).alias("__k"), F.col(block_col).alias("__blk"),
-        *[F.col(f).alias(f"__a_{f}") for f in fields],
+    # waypoints: each view feeds 2 + len(fields) consumers (match join,
+    # block counts, one value-grain collapse per field) — without them
+    # Catalyst re-derives the scan per consumer
+    av = waypoint(
+        a.select(
+            F.col(key_col).alias("__k"), F.col(block_col).alias("__blk"),
+            *[F.col(f).alias(f"__a_{f}") for f in fields],
+        )
     )
-    bv = b.select(
-        F.col(key_col).alias("__k"), F.col(block_col).alias("__blk"),
-        *[F.col(f).alias(f"__b_{f}") for f in fields],
+    bv = waypoint(
+        b.select(
+            F.col(key_col).alias("__k"), F.col(block_col).alias("__blk"),
+            *[F.col(f).alias(f"__b_{f}") for f in fields],
+        )
     )
     # m: ONE equi-join on the truth key (linear), exact agreement counts
     matched = av.join(bv.drop("__blk"), "__k")
