@@ -787,3 +787,102 @@ def test_funnel_steps_random_matches_python_reference(spark):
             prev = min(cand)
             counts[i] += 1
     assert got == counts, (got, counts)
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup replay vs a sequential Python simulator
+# ---------------------------------------------------------------------------
+
+
+def _py_dedup_replay(rows, delay):
+    """Sequential reference: process (arr, key, ts) in arrival order,
+    tracking the running max event time (watermark = max_prev - delay)
+    and per-key last SURVIVING timestamp — the documented replay rule
+    of ops.timeseries.dedup_watermark_audit."""
+    out = {"late": 0, "dup": 0, "emit": 0}
+    max_prev = None
+    last = {}
+    for _, k, ts in sorted(rows):
+        wm = None if max_prev is None else max_prev - delay
+        if wm is not None and wm > ts:
+            out["late"] += 1
+        else:
+            p = last.get(k)
+            if p is not None and (wm is None or wm <= p + delay):
+                out["dup"] += 1
+            else:
+                out["emit"] += 1
+            last[k] = ts
+        max_prev = ts if max_prev is None else max(max_prev, ts)
+    return out
+
+
+def test_dedup_watermark_audit_matches_sequential_simulator(spark):
+    """Random arrival streams (jittered timestamps, few keys so
+    duplicates and lateness both occur) through the distributed
+    replay vs the sequential simulator — counts must match exactly."""
+    import random
+
+    from hadoop_fcfs_spark.ops.timeseries import dedup_watermark_audit
+
+    rng = random.Random(7)
+    for trial in range(5):
+        n = 120
+        rows = []
+        tbase = 1_000_000
+        for i in range(1, n + 1):
+            key = f"k{rng.randint(1, 4)}"
+            # event time drifts forward with heavy jitter so some rows
+            # fall behind the running max by more than the delay
+            ts = tbase + i * 50 + rng.randint(-300, 300)
+            rows.append((i, key, ts))
+        delay = 100
+        want = _py_dedup_replay(rows, delay)
+        df = spark.createDataFrame(rows, "arr int, k string, us long").select(
+            "arr", "k", F.timestamp_micros(F.col("us")).alias("ts")
+        )
+        got = dedup_watermark_audit(df, "arr", "ts", ["k"], delay_us=delay).collect()[0]
+        assert got["n_events"] == n, trial
+        assert got["n_late"] == want["late"], trial
+        assert got["n_dup"] == want["dup"], trial
+        assert got["n_emitted"] == want["emit"], trial
+        # a useful stream exercises every verdict
+        assert want["late"] > 0 and want["dup"] > 0 and want["emit"] > 0
+
+
+def test_pr_curve_matches_brute_force_random(spark):
+    """Random score/label tables vs literal threshold enumeration —
+    the interpolated curve must match the brute force exactly
+    (including all-negative and heavy-tie inputs)."""
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import pr_curve_interp
+
+    rng = random.Random(13)
+    cases = []
+    for trial in range(4):
+        n = rng.randint(5, 60)
+        rows = [
+            (rng.randint(0, 12), rng.randint(0, 1)) for _ in range(n)
+        ]
+        cases.append(rows)
+    cases.append([(5, 0), (3, 0), (1, 0)])  # no positives -> NULL curve
+    for rows in cases:
+        df = spark.createDataFrame(rows, "s int, y int")
+        out = {
+            r["recall_pt"]: r["prec_interp_micro"]
+            for r in pr_curve_interp(df, "s", F.col("y") == 1).collect()
+        }
+        p = sum(y for _, y in rows)
+        want = {}
+        for rp in range(11):
+            best = None
+            for v in sorted({s for s, _ in rows}):
+                kept = sum(1 for s, _ in rows if s >= v)
+                tp = sum(y for s, y in rows if s >= v)
+                if tp * 10 >= rp * p:
+                    prec = tp * 1_000_000 // kept
+                    if p > 0:
+                        best = prec if best is None else max(best, prec)
+            want[rp] = best
+        assert out == want, rows
