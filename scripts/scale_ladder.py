@@ -24,6 +24,12 @@ Blowup construction (distribution-preserving, no new testdata):
   points leave every truncating-division centroid update bit-identical
   ((K*s)//(K*n) == s//n), so the fixed-iteration trajectory is
   invariant and the ladder measures pure per-iteration data cost.
+- events (r8, for the global-running-max replay shape): K copies with
+  event_id offsets AND ts shifted by k*31 days (the table spans 30),
+  so arrival order stays a total order and event time stays monotone
+  across copies — the high-water-mark structure (and the audit's
+  late/dup profile) is copy-invariant while the one range exchange
+  carries xK rows.
 
 Run: python scripts/scale_ladder.py [query ...]  (defaults to the full
 flagship list; prints one JSON line per rung, then the exponent table;
@@ -60,6 +66,10 @@ QUERIES = [
     # while the data scales x4/x8.
     "kmeans_embedding_cells",
     "bradley_terry_suppliers",
+    # r8 cont.: the sequential-replay shape (ONE range exchange over
+    # arrival order + summary-row offsets) — the headline entry whose
+    # cost is dominated by that single data-sized shuffle.
+    "watermark_late_audit",
 ]
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -75,11 +85,20 @@ def build_rung(k_copies: int, out_dir: str) -> None:
     for name in TABLES:
         src = os.path.join(BASE, f"{name}.parquet")
         dst = os.path.join(out_dir, f"{name}.parquet")
-        blown = ("documents", "orders", "lineitem", "embeddings")
+        blown = ("documents", "orders", "lineitem", "embeddings", "events")
         if name not in blown or k_copies == 1:
             os.symlink(src, dst)
             continue
-        if name == "lineitem":
+        if name == "events":
+            parts = [
+                f"SELECT event_id + {k * 10_000_000} AS event_id, "
+                f"ts + {k * 31} * INTERVAL 1 DAY AS ts, "
+                f"user_id, event_type, value, props "
+                f"FROM read_parquet('{src}')"
+                for k in range(k_copies)
+            ]
+            q = " UNION ALL ".join(parts)
+        elif name == "lineitem":
             parts = [
                 f"SELECT * REPLACE (l_orderkey + {k * 1_000_000_000} "
                 f"AS l_orderkey) FROM read_parquet('{src}')"
