@@ -5501,3 +5501,23 @@ def test_dedup_watermark_audit_hand_values(spark):
     }
     assert by_key["k1"]["n_dup"] == 2 and by_key["k1"]["n_late"] == 1
     assert by_key["k2"]["n_dup"] == 0 and by_key["k2"]["n_emitted"] == 1
+
+
+def test_fellegi_sunter_degenerate_blocks(spark):
+    """Singleton blocks with matched keys: the non-match pair set is
+    EMPTY -> u and lr are NULL, m still estimated; and a field absent
+    from matches agrees never (m = 0)."""
+    from hadoop_fcfs_spark.ops.linkage import fellegi_sunter_mu
+
+    a = spark.createDataFrame(
+        [(1, "b1", "x"), (2, "b2", "y")], "k int, blk string, f1 string"
+    )
+    b = spark.createDataFrame(
+        [(1, "b1", "x"), (2, "b2", "z")], "k int, blk string, f1 string"
+    )
+    out = fellegi_sunter_mu(a, b, "k", "blk", ["f1"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_matches"] == 2 and r["n_nonmatch_pairs"] == 0
+    assert r["m_e6"] == 500_000  # one of two matches agrees
+    assert r["u_e6"] is None and r["lr_e6"] is None

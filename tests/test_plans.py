@@ -1271,3 +1271,26 @@ def test_fellegi_sunter_no_pair_materialization(spark):
     n_bnlj = plan.count("BroadcastNestedLoopJoin")
     assert n_bnlj <= 6, f"unexpected nested-loop joins ({n_bnlj}):\n{plan}"
     release_waypoints()
+
+
+def test_pr_curve_one_range_pass(spark):
+    """pr_curve_interp rides the roc_auc machinery: ONE range exchange
+    carries the exclusive prefix (both columns), the checkpoint join is
+    a broadcast of 11 rows — never a second data-sized shuffle."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    plan = _plan(Q["pr_curve_orderstatus"].spark_fn(spark, SF_ORACLE))
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
+    assert "CartesianProduct" not in plan
+    release_waypoints()
+
+
+def test_heaps_growth_one_prefix_pass(spark):
+    """heaps_vocab_growth: rank + cumulative tokens share ONE
+    range-partitioned prefix pass over the doc grain (two-column
+    global_running_sum); checkpoints come back as broadcasts."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    plan = _plan(Q["heaps_vocab_growth"].spark_fn(spark, SF_ORACLE))
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
+    release_waypoints()
