@@ -3,11 +3,12 @@ columns with typed metadata.
 
 The container ships no codec libraries, so each modality decodes its
 one RAW format for real and stubs the compressed ones honestly:
-- IMAGE: 24-bit uncompressed BMP (pure numpy, ``_decode_bmp``) AND
+- IMAGE: 24-bit uncompressed BMP (pure numpy, ``_decode_bmp``),
   8-bit non-interlaced PNG (stdlib zlib inflate + numpy unfiltering,
   ``_decode_png`` — PNG's only entropy layer is DEFLATE, which the
-  stdlib ships) decode/resize/aHash FOR REAL; JPEG stays stubbed
-  (needs Pillow).
+  stdlib ships), AND GIF87a/89a (pure-Python LZW + palette mapping,
+  ``_decode_gif``, incl. interlace) decode/resize/aHash FOR REAL;
+  JPEG stays stubbed (needs Pillow).
 - VIDEO: Y4M (yuv4mpeg2) frame extraction is REAL (text header + raw
   YUV planes); webm/mp4 stay stubbed (need ffmpeg).
 - AUDIO: WAV decode and resampling are REAL (stdlib wave/audioop).
@@ -36,6 +37,7 @@ MEDIA_META_SCHEMA = "size_bytes bigint, digest string, format string"
 
 _MAGIC = {
     b"\x89PNG": "png",
+    b"GIF8": "gif",
     b"\xff\xd8\xff": "jpeg",
     b"BM": "bmp",
     b"YUV4MPEG2": "y4m",
@@ -209,9 +211,241 @@ def _encode_png(px) -> bytes:
     )
 
 
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """GIF-variant LZW decode of a concatenated image data stream →
+    list of palette indices. Codes are read LSB-first; the code width
+    starts at min_code_size+1 and bumps whenever the next free
+    dictionary slot reaches 2**width (capped at 12 bits, the GIF
+    maximum); the clear code resets the table. Pure stdlib — LZW has
+    no entropy layer beyond the variable-width codes themselves."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal width, nxt
+        table.clear()
+        table.extend(bytes([i]) for i in range(clear))
+        table.append(b"")  # clear slot
+        table.append(b"")  # end slot
+        width = min_code_size + 1
+        nxt = end + 1
+
+    width = nxt = 0
+    reset()
+    acc = bits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while bits < width:
+            if pos >= len(data):
+                return out  # missing end code: tolerate, like decoders do
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            if code >= clear:
+                raise ValueError("corrupt GIF LZW: first code not literal")
+            entry = table[code]
+        elif code < nxt:
+            entry = table[code]
+        elif code == nxt:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW: code beyond table")
+        if prev is not None and nxt < 4096:
+            table.append(prev + entry[:1])
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        if len(out) >= n_pixels:
+            return out
+        prev = entry
+
+
+def _decode_gif(blob: bytes):
+    """REAL pure-stdlib+numpy decoder for GIF87a/89a (first frame):
+    parse the logical screen + color tables, skip extension blocks,
+    LZW-decode the first image's index stream (``_gif_lzw_decode``),
+    de-interlace if flagged, map through the palette to an (h, w, 3)
+    uint8 array. GIF's only compression is LZW over palette indices —
+    no codec library needed, so the image tier's honest stub boundary
+    shrinks to JPEG alone. Raises ValueError on non-GIF or malformed
+    streams; animated GIFs decode their FIRST frame (documented)."""
+    import numpy as np
+
+    if len(blob) < 13 or blob[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    packed = blob[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = blob[pos : pos + n]
+        if len(gct) < n:
+            raise ValueError("truncated GIF global color table")
+        pos += n
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks until terminator
+            pos += 2
+            while pos < len(blob) and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 10 > len(blob):
+                raise ValueError("truncated GIF image descriptor")
+            w = int.from_bytes(blob[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(blob[pos + 7 : pos + 9], "little")
+            ipk = blob[pos + 9]
+            pos += 10
+            pal = gct
+            if ipk & 0x80:
+                n = 3 * (2 << (ipk & 0x07))
+                pal = blob[pos : pos + n]
+                if len(pal) < n:
+                    raise ValueError("truncated GIF local color table")
+                pos += n
+            if pal is None:
+                raise ValueError("GIF image without any color table")
+            if w < 1 or h < 1:
+                raise ValueError("empty GIF image")
+            min_code = blob[pos]
+            pos += 1
+            if not 2 <= min_code <= 8:
+                raise ValueError(f"bad GIF LZW min code size {min_code}")
+            data = bytearray()
+            while pos < len(blob) and blob[pos] != 0:
+                ln = blob[pos]
+                data += blob[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            arr = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if ipk & 0x40:  # interlaced: 4-pass row shuffle
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                deinter = np.empty_like(arr)
+                deinter[order] = arr
+                arr = deinter
+            palette = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+            if int(arr.max()) >= palette.shape[0]:
+                raise ValueError("GIF index beyond color table")
+            return palette[arr]  # (h, w, 3) uint8
+        elif b0 == 0x3B:  # trailer before any image
+            break
+        else:
+            raise ValueError(f"malformed GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _encode_gif(indices, palette) -> bytes:
+    """Minimal valid non-interlaced GIF87a writer (global color table,
+    one frame, REAL LZW with the same width-bump rule the decoder
+    mirrors) — exists for round-trip tests and palette re-encode, the
+    _encode_png precedent. ``indices`` is an (h, w) integer array,
+    ``palette`` an (n, 3) uint8 array (n a power of two, 4..256)."""
+    import numpy as np
+
+    idx = np.asarray(indices)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    n = pal.shape[0]
+    size_field = max(1, (n - 1).bit_length() - 1)  # 2**(f+1) == n
+    if n != (2 << size_field) or n < 4:
+        raise ValueError(f"palette size must be a power of two >= 4, got {n}")
+    min_code = max(2, (n - 1).bit_length())
+    clear = 1 << min_code
+    end = clear + 1
+
+    out_bits = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    # width-bump discipline (the classic GIF LZW off-by-one): the
+    # decoder adds its entry one code LATER than the encoder, so the
+    # encoder must let a width increase take effect only at the emit
+    # AFTER the add that filled the width — emit, THEN check the bump
+    # pending from earlier adds, THEN add (the Heckbert compress()
+    # output/check/add order the decoder below mirrors exactly).
+    width = min_code + 1
+    nxt = end + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(n)}
+
+    def bump_if_pending():
+        nonlocal width
+        if nxt > (1 << width) - 1 and width < 12:
+            width += 1
+
+    emit(clear, width)
+    prev = b""
+    for k in idx.reshape(-1).tolist():
+        cur = prev + bytes([int(k)])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        bump_if_pending()
+        if nxt < 4096:
+            table[cur] = nxt
+            nxt += 1
+        else:  # table full: reset (keeps the stream simple and valid)
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(n)}
+            width = min_code + 1
+            nxt = end + 1
+        prev = bytes([int(k)])
+    if prev:
+        emit(table[prev], width)
+        bump_if_pending()
+    emit(end, width)
+    if bits:
+        out_bits.append(acc & 0xFF)
+    data = bytes(out_bits)
+    sub = b"".join(
+        bytes([min(255, len(data) - i)]) + data[i : i + 255]
+        for i in range(0, len(data), 255)
+    ) + b"\x00"
+    return (
+        b"GIF87a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | size_field, 0, 0])
+        + pal.tobytes()
+        + b"\x2c" + b"\x00" * 4
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + b"\x00"
+        + bytes([min_code]) + sub
+        + b"\x3b"
+    )
+
+
 def _try_luma(blob: bytes, fake: bool):
     """One real-decode attempt for the raster formats this container
-    CAN decode (BMP, PNG): returns the (h, w) float64 luma array, or
+    CAN decode (BMP, PNG, GIF): returns the (h, w) float64 luma array, or
     None meaning 'take the deterministic fake path'. Under fake=True
     the fake path stays TOTAL — magic-prefixed garbage or unsupported
     variants fall through instead of crashing the executor task;
@@ -221,6 +455,8 @@ def _try_luma(blob: bytes, fake: bool):
             return _decode_bmp(blob)
         if blob[:8] == _PNG_SIG:
             return _png_luma(_decode_png(blob))
+        if blob[:6] in _GIF_SIGS:
+            return _png_luma(_decode_gif(blob))
     except ValueError:
         if not fake:
             raise
@@ -254,13 +490,13 @@ def decode_images(
 ) -> DataFrame:
     """Decode image blobs → (id, width, height, mean_luma).
 
-    24-bit uncompressed BMP (``_decode_bmp``, pure numpy) and 8-bit
-    non-interlaced PNG (``_decode_png``, stdlib zlib + numpy) decode
-    FOR REAL, regardless of ``fake``. JPEG still needs a codec the
-    container lacks: with fake=True it gets the deterministic
-    pseudo-decode (dimensions/luma derived from blob bytes — stable
-    plumbing test); fake=False raises NotImplementedError where Pillow
-    would slot in.
+    24-bit uncompressed BMP (``_decode_bmp``, pure numpy), 8-bit
+    non-interlaced PNG (``_decode_png``, stdlib zlib + numpy), and
+    GIF87a/89a (``_decode_gif``, pure-Python LZW) decode FOR REAL,
+    regardless of ``fake``. JPEG still needs a codec the container
+    lacks: with fake=True it gets the deterministic pseudo-decode
+    (dimensions/luma derived from blob bytes — stable plumbing test);
+    fake=False raises NotImplementedError where Pillow would slot in.
 
     mapInPandas: Arrow-batched, one pandas frame per input batch —
     a full codec slots into the same loop unchanged.
@@ -292,9 +528,9 @@ def decode_images(
                 if not fake:
                     raise NotImplementedError(
                         "JPEG decode requires a codec (e.g. Pillow), not "
-                        "available in this container — only BMP and PNG "
-                        "decode natively; run with fake=True or install "
-                        "a codec on the cluster"
+                        "available in this container — only BMP, PNG and "
+                        "GIF decode natively; run with fake=True or "
+                        "install a codec on the cluster"
                     )
                 d = hashlib.md5(blob).digest()
                 rows.append(

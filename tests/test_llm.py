@@ -2040,3 +2040,132 @@ def test_good_turing_hand_values(spark):
     tf2 = spark.createDataFrame([("w", 5)], "w string, n long")
     r2 = good_turing_mass(tf2, "w", "n", max_r=3).collect()[0]
     assert r2["rstar1_e6"] is None and r2["p0_unseen_e6"] == 0
+
+
+def test_gif_decode_is_real():
+    """GIF decodes FOR REAL (pure-Python LZW): a HAND-PACKED bitstream
+    (built without the encoder: codes (4,1,1,2)@3 bits then (2,5)@4
+    bits, LSB-first -> bytes 4c 24 05) comes back as the exact pixels,
+    pinning the width-bump position independently of _encode_gif."""
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.multimodal import _decode_gif
+
+    palette = bytes(
+        [0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255]  # K R G B
+    )
+    blob = (
+        b"GIF87a"
+        + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + bytes([0x81, 0, 0])          # GCT present, 4 entries
+        + palette
+        + b"\x2c" + b"\x00" * 4
+        + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + b"\x00"
+        + bytes([2])                   # LZW min code size
+        + bytes([3]) + b"\x4c\x24\x05" + b"\x00"
+        + b"\x3b"
+    )
+    px = _decode_gif(blob)
+    want = np.array(
+        [[[255, 0, 0], [255, 0, 0]], [[0, 255, 0], [0, 255, 0]]],
+        dtype=np.uint8,
+    )
+    assert px.shape == (2, 2, 3)
+    assert (px == want).all()
+
+
+def test_gif_roundtrip_random_images():
+    """encode->decode round-trips exactly for random palette images
+    across palette sizes and dimensions that push the LZW code width
+    through multiple bumps (and past a table reset on the big one)."""
+    import random
+
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.multimodal import _decode_gif, _encode_gif
+
+    rng = random.Random(11)
+    cases = [
+        (4, 3, 5), (4, 17, 9), (8, 16, 16), (16, 23, 7),
+        (256, 40, 40),   # deep dictionary growth
+        (4, 200, 120),   # 24k pixels on a 4-color palette: many bumps
+    ]
+    for n, w, h in cases:
+        pal = np.array(
+            [[rng.randrange(256) for _ in range(3)] for _ in range(n)],
+            dtype=np.uint8,
+        )
+        idx = np.array(
+            [[rng.randrange(n) for _ in range(w)] for _ in range(h)],
+            dtype=np.int32,
+        )
+        blob = _encode_gif(idx, pal)
+        px = _decode_gif(blob)
+        assert px.shape == (h, w, 3), (n, w, h)
+        assert (px == pal[idx]).all(), (n, w, h)
+    # runs compress well and exercise long dictionary entries
+    idx = np.zeros((64, 64), dtype=np.int32)
+    idx[::2] = 1
+    pal = np.array([[0, 0, 0], [255, 255, 255], [1, 2, 3], [4, 5, 6]],
+                   dtype=np.uint8)
+    blob = _encode_gif(idx, pal)
+    assert (_decode_gif(blob) == pal[idx]).all()
+    assert len(blob) < idx.size  # actually compressed
+
+
+def test_gif_interlace_extensions_and_boundary(spark):
+    """Interlaced images de-interlace (rows permuted per the 4-pass
+    scheme must come back in order); extension blocks are skipped and
+    an animated GIF decodes its FIRST frame; fake-mode totality holds
+    for GIF-garbage and fake=False keeps the strict boundary."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import (
+        _decode_gif,
+        _encode_gif,
+        decode_images,
+    )
+
+    # build a plain GIF, then hand-rewrite it as interlaced: set the
+    # interlace bit and store rows in pass order
+    h, w = 13, 5
+    pal = np.array([[i, i, i] for i in (0, 85, 170, 255)], dtype=np.uint8)
+    idx = np.arange(h * w, dtype=np.int32).reshape(h, w) % 4
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    blob = _encode_gif(idx[order], pal)
+    pos = 13 + 12                      # header + 4-entry GCT
+    assert blob[pos] == 0x2C
+    inter = bytearray(blob)
+    inter[pos + 9] |= 0x40            # interlace flag
+    px = _decode_gif(bytes(inter))
+    assert (px == pal[idx]).all(), "interlaced rows must come back ordered"
+
+    # extension block before the image + a second frame: first wins
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, then terminator
+    base = _encode_gif(idx, pal)
+    frame = base[13 + 12 : -1]         # image descriptor..data, no trailer
+    animated = base[: 13 + 12] + ext + frame + frame + b"\x3b"
+    assert (_decode_gif(animated) == pal[idx]).all()
+
+    # fake-mode totality: GIF magic + garbage falls through, strict raises
+    garbage = spark.createDataFrame(
+        [(1, b"GIF87a\x00\x00")], "media_id long, payload binary"
+    )
+    rows = decode_images(garbage, fake=True).collect()
+    assert len(rows) == 1              # deterministic fake, no crash
+    with _pytest.raises(Exception, match="ValueError|truncated|not a GIF|malformed"):
+        decode_images(garbage, fake=False).collect()
+
+    # real decode through the Arrow path end-to-end
+    real = spark.createDataFrame(
+        [(7, bytes(_encode_gif(idx, pal)))], "media_id long, payload binary"
+    )
+    r = decode_images(real, fake=False).collect()[0]
+    assert (r["width"], r["height"]) == (w, h)
+    want = float(pal[idx].astype("float64").mean()) / 255.0
+    assert abs(r["mean_luma"] - want) < 2e-6
