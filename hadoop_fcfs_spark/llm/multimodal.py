@@ -285,6 +285,14 @@ def _decode_gif(blob: bytes):
     no codec library needed, so the image tier's honest stub boundary
     shrinks to JPEG alone. Raises ValueError on non-GIF or malformed
     streams; animated GIFs decode their FIRST frame (documented)."""
+    arr, palette = _decode_gif_indexed(blob)
+    return palette[arr]  # (h, w, 3) uint8
+
+
+def _decode_gif_indexed(blob: bytes):
+    """GIF decode to the native (index grid, palette) pair — the form
+    palette-space transforms (resize-in-kind) consume; `_decode_gif`
+    maps it to RGB."""
     import numpy as np
 
     if len(blob) < 13 or blob[:6] not in _GIF_SIGS:
@@ -347,7 +355,7 @@ def _decode_gif(blob: bytes):
             palette = np.frombuffer(pal, np.uint8).reshape(-1, 3)
             if int(arr.max()) >= palette.shape[0]:
                 raise ValueError("GIF index beyond color table")
-            return palette[arr]  # (h, w, 3) uint8
+            return arr, palette
         elif b0 == 0x3B:  # trailer before any image
             break
         else:
@@ -653,12 +661,14 @@ def resize_images(
 ) -> DataFrame:
     """Resize plumbing: binary in → binary out (+ recorded dims), the
     blob-transform shape (payload column is REPLACED, metadata updated
-    downstream by re-running attach_media_meta). BMP and PNG payloads
-    resize FOR REAL — pure-numpy nearest-neighbor on the decoded pixel
-    grid, re-encoded as a valid 24-bit BMP / truecolor PNG in kind
-    (round-trips through _decode_bmp / _decode_png /
-    attach_media_meta; PNG gray/alpha inputs re-encode truecolor,
-    alpha dropped). JPEG keeps the stub: with fake=True a
+    downstream by re-running attach_media_meta). BMP, PNG and GIF
+    payloads resize FOR REAL — pure-numpy nearest-neighbor on the
+    decoded grid, re-encoded in kind as a valid 24-bit BMP / truecolor
+    PNG / palette GIF (GIF resamples the INDEX grid and keeps its
+    color table — no quantization step; round-trips through the
+    matching decoder + attach_media_meta; PNG gray/alpha inputs
+    re-encode truecolor, alpha dropped). JPEG keeps the stub: with
+    fake=True a
     deterministic digest-expansion sized ∝ target area; fake=False
     raises where Pillow would slot in. Output schema:
     (id, payload, width, height)."""
@@ -722,6 +732,22 @@ def resize_images(
             xi = (np.arange(target_w) * w) // target_w
             return _encode_png(np.ascontiguousarray(rgb[yi][:, xi]))
 
+        def gif_resize(blob: bytes) -> bytes:
+            # nearest-neighbor in PALETTE space: resample the index
+            # grid, keep the color table — resize-in-kind without any
+            # quantization step (the palette is already the palette)
+            idx, pal = _decode_gif_indexed(blob)
+            h, w = idx.shape
+            yi = (np.arange(target_h) * h) // target_h
+            xi = (np.arange(target_w) * w) // target_w
+            n = pal.shape[0]
+            if n < 4 or n & (n - 1):  # encoder wants a power of two >= 4
+                padded = np.zeros((max(4, 1 << (n - 1).bit_length()), 3),
+                                  np.uint8)
+                padded[:n] = pal
+                pal = padded
+            return _encode_gif(idx[yi][:, xi], pal)
+
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
@@ -733,6 +759,8 @@ def resize_images(
                         buf = bmp_resize(blob)
                     elif blob[:8] == _PNG_SIG:
                         buf = png_resize(blob)
+                    elif blob[:6] in _GIF_SIGS:
+                        buf = gif_resize(blob)
                 except ValueError:
                     # keep fake=True total (see _try_luma)
                     if not fake:
@@ -741,7 +769,7 @@ def resize_images(
                     if not fake:
                         raise NotImplementedError(
                             "resize of JPEG requires a codec (e.g. "
-                            "Pillow); BMP and PNG resize natively"
+                            "Pillow); BMP, PNG and GIF resize natively"
                         )
                     seed = hashlib.md5(blob).digest()
                     need = max(target_w * target_h // 8, 16)

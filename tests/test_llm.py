@@ -2169,3 +2169,41 @@ def test_gif_interlace_extensions_and_boundary(spark):
     assert (r["width"], r["height"]) == (w, h)
     want = float(pal[idx].astype("float64").mean()) / 255.0
     assert abs(r["mean_luma"] - want) < 2e-6
+
+
+def test_gif_resize_real_in_palette_space(spark):
+    """GIF resize is real and in-kind: nearest-neighbor on the INDEX
+    grid, same palette, output re-decodes as a GIF with the expected
+    quadrant colors; media_meta sniffs the output as gif."""
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.multimodal import (
+        _decode_gif,
+        _encode_gif,
+        attach_media_meta,
+        resize_images,
+    )
+
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]],
+        dtype=np.uint8,
+    )
+    # 4 solid quadrants of a 16x16 image
+    idx = np.zeros((16, 16), dtype=np.int32)
+    idx[:8, 8:] = 1
+    idx[8:, :8] = 2
+    idx[8:, 8:] = 3
+    df = spark.createDataFrame(
+        [(1, bytes(_encode_gif(idx, pal)))], "media_id long, payload binary"
+    )
+    out = resize_images(df, 4, 4, fake=False).collect()[0]
+    assert (out["width"], out["height"]) == (4, 4)
+    small = _decode_gif(bytes(out["payload"]))
+    want = pal[np.array([[0, 0, 1, 1], [0, 0, 1, 1], [2, 2, 3, 3], [2, 2, 3, 3]])]
+    assert (small == want).all()
+    meta = attach_media_meta(
+        spark.createDataFrame(
+            [(1, bytes(out["payload"]))], "media_id long, payload binary"
+        )
+    ).collect()[0]["media_meta"]
+    assert meta["format"] == "gif"
