@@ -632,12 +632,19 @@ def pps_effective_sample_size(
     is that of far fewer draws.
 
     Weights quantize to 1/``scale`` units and each group carries exact
-    BIGINT (n, Σw, Σw²) through ONE map-side-combined aggregation (the
-    welch moment discipline, bound Σw² < 2⁶³); the ESS itself is flat
-    per-group scalar double arithmetic, rounded to 6. Non-positive
-    weights are excluded (they are not a sampling design).
+    (n, Σw, Σw²) through ONE map-side-combined aggregation (the welch
+    moment discipline). Σw² accumulates as DECIMAL(38,0): cent-squared
+    terms reach ~3e15 per row, so a 3k-row group already sits at
+    ~1e19 — past 2⁶³ — and ANSI mode correctly THREW at sf0.1 until
+    this took the kruskal/lin_ccc HUGEINT-parity route (DuckDB's
+    SUM(BIGINT) auto-promotes to HUGEINT, so the oracle never
+    overflowed — found by the full-registry sf0.1 scale pass, r8).
+    The ESS itself is flat per-group scalar double arithmetic,
+    rounded to 6. Non-positive weights are excluded (they are not a
+    sampling design).
 
     Output: (group, n, ess_r6, ess_ratio_r6)."""
+    dec = "decimal(38,0)"
     q = F.round(F.col(weight_col) * scale).cast("long")
     agg = (
         df.filter(
@@ -648,8 +655,8 @@ def pps_effective_sample_size(
         .groupBy(F.col(group_col).alias(group_col))
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.sum(q).cast("long").alias("__s1"),
-            F.sum(q * q).cast("long").alias("__s2"),
+            F.sum(q.cast(dec)).cast(dec).alias("__s1"),
+            F.sum(q.cast(dec) * q).cast(dec).alias("__s2"),
         )
     )
     return agg.selectExpr(

@@ -5521,3 +5521,24 @@ def test_fellegi_sunter_degenerate_blocks(spark):
     assert r["n_matches"] == 2 and r["n_nonmatch_pairs"] == 0
     assert r["m_e6"] == 500_000  # one of two matches agrees
     assert r["u_e6"] is None and r["lr_e6"] is None
+
+
+def test_pps_ess_survives_bigint_overflow_weights(spark):
+    """Σw² past 2^63 must NOT throw under ANSI (found by the r8 sf0.1
+    scale pass: cent-squared weights overflow a 3k-row group; DuckDB
+    auto-promotes to HUGEINT, Spark needs the DECIMAL(38,0) route).
+    Three equal weights of 4e9 -> Σw² = 4.8e19 > 2^63; equal weights
+    mean ESS == n exactly."""
+    from hadoop_fcfs_spark.ops.sampling import pps_effective_sample_size
+
+    w = 4.0e9
+    df = spark.createDataFrame(
+        [("g", w)] * 3 + [("h", 1.0), ("h", 1.0)], "grp string, wt double"
+    )
+    out = {
+        r["grp"]: r
+        for r in pps_effective_sample_size(df, "grp", "wt", scale=100).collect()
+    }
+    assert out["g"]["n"] == 3 and out["g"]["ess_r6"] == 3.0
+    assert out["g"]["ess_ratio_r6"] == 1.0
+    assert out["h"]["ess_r6"] == 2.0
