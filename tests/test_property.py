@@ -886,3 +886,50 @@ def test_pr_curve_matches_brute_force_random(spark):
                         best = prec if best is None else max(best, prec)
             want[rp] = best
         assert out == want, rows
+
+
+def test_aalen_johansen_matches_python_replica_random(spark):
+    """Random competing-risks tables (two causes + censoring, heavy
+    duration ties) vs a sequential Python AJ replica — CIFs must agree
+    to the micro rounding on every event duration."""
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import aalen_johansen
+
+    rng = random.Random(99)
+    for trial in range(4):
+        n = rng.randint(10, 80)
+        data = [
+            (
+                rng.randint(0, 9),
+                rng.choice(["a", "b", None, "a", "b"]),
+            )
+            for _ in range(n)
+        ]
+        df = spark.createDataFrame(data, "dur int, cause string")
+        got = {
+            r["t"]: r
+            for r in aalen_johansen(df, "dur", "cause", ["a", "b"]).collect()
+        }
+        grain: dict[int, dict] = {}
+        for t_, c in data:
+            g = grain.setdefault(t_, {"a": 0, "b": 0, "all": 0})
+            g["all"] += 1
+            if c:
+                g[c] += 1
+        at_risk, s = n, 1.0
+        cif = {"a": 0.0, "b": 0.0}
+        for t_ in sorted(grain):
+            g = grain[t_]
+            d = g["a"] + g["b"]
+            for k in ("a", "b"):
+                cif[k] += s * g[k] / at_risk
+            if d > 0:
+                r = got[t_]
+                assert r["n_risk"] == at_risk, (trial, t_)
+                assert r["d_a"] == g["a"] and r["d_b"] == g["b"], (trial, t_)
+                assert abs(r["cif_a_e6"] - round(cif["a"] * 1e6)) <= 1, (trial, t_)
+                assert abs(r["cif_b_e6"] - round(cif["b"] * 1e6)) <= 1, (trial, t_)
+            s *= 1.0 - d / at_risk if d < at_risk else 0.0
+            at_risk -= g["all"]
+        assert set(got) == {t_ for t_, g in grain.items() if g["a"] + g["b"] > 0}
