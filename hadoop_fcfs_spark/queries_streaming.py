@@ -870,9 +870,12 @@ def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "watermark is the SAME strict prefix max via "
     "ops.sort.global_running_max (ONE range exchange over data "
     "rows); the predecessor lookup is a per-key lag window (keys "
-    "are data-grain, distributed); dropped duplicates do not extend "
-    "state lifetime (documented anchor choice). The oracle's "
-    "unpartitioned window is the oracle's privilege.",
+    "are data-grain, distributed); each surviving occurrence "
+    "re-anchors the horizon, so a dropped duplicate REFRESHES state "
+    "lifetime - the duplicates-within-delay-of-EACH-OTHER reading, "
+    "the conservative (upper) n_dup for sizing (documented at the "
+    "op). The oracle's unpartitioned window is the oracle's "
+    "privilege.",
 )
 def dedup_watermark_audit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.ops.timeseries import dedup_watermark_audit
