@@ -933,3 +933,70 @@ def test_aalen_johansen_matches_python_replica_random(spark):
             s *= 1.0 - d / at_risk if d < at_risk else 0.0
             at_risk -= g["all"]
         assert set(got) == {t_ for t_, g in grain.items() if g["a"] + g["b"] > 0}
+
+
+def test_fellegi_sunter_matches_brute_force_random(spark):
+    """Random two-view populations (random blocks, field corruption,
+    extra unmatched records on both sides) vs literal within-block
+    pair enumeration — the value-grain product identity must hold on
+    every draw."""
+    import random
+
+    from hadoop_fcfs_spark.ops.linkage import fellegi_sunter_mu
+
+    rng = random.Random(21)
+    for trial in range(3):
+        n = rng.randint(8, 30)
+        blocks = ["b%d" % i for i in range(rng.randint(1, 4))]
+        a_rows, b_rows = [], []
+        for k in range(n):
+            blk = rng.choice(blocks)
+            f1 = rng.choice("pqr")
+            f2 = rng.randint(0, 3)
+            a_rows.append((k, blk, f1, f2))
+            # corrupted second view of the same entity
+            b_rows.append((
+                k, blk,
+                f1 if rng.random() < 0.7 else rng.choice("pqrs"),
+                f2 + (1 if rng.random() < 0.3 else 0),
+            ))
+        for k in range(n, n + rng.randint(0, 4)):  # unmatched extras
+            (a_rows if rng.random() < 0.5 else b_rows).append(
+                (k, rng.choice(blocks), rng.choice("pqr"), rng.randint(0, 3))
+            )
+        a = spark.createDataFrame(a_rows, "k int, blk string, f1 string, f2 int")
+        b = spark.createDataFrame(b_rows, "k int, blk string, f1 string, f2 int")
+        out = {
+            r["field"]: r
+            for r in fellegi_sunter_mu(a, b, "k", "blk", ["f1", "f2"]).collect()
+        }
+        pairs = [(ra, rb) for ra in a_rows for rb in b_rows if ra[1] == rb[1]]
+        matches = [(ra, rb) for ra, rb in pairs if ra[0] == rb[0]]
+        nonm = [(ra, rb) for ra, rb in pairs if ra[0] != rb[0]]
+        for i, f in ((2, "f1"), (3, "f2")):
+            r = out[f]
+            assert r["n_matches"] == len(matches), trial
+            assert r["n_nonmatch_pairs"] == len(nonm), trial
+            ma = sum(1 for ra, rb in matches if ra[i] == rb[i])
+            ua = sum(1 for ra, rb in nonm if ra[i] == rb[i])
+            assert r["m_e6"] == (ma * 1_000_000 // len(matches) if matches else None), trial
+            assert r["u_e6"] == (ua * 1_000_000 // len(nonm) if nonm else None), trial
+
+
+def test_p_chart_degenerate_pooled_rates(spark):
+    """pbar in {0, 1} collapses sigma to 0: limits equal the pooled
+    rate exactly and no cell can flag (every rate equals pbar)."""
+    from hadoop_fcfs_spark.ops.stats import p_chart
+
+    all_good = spark.createDataFrame(
+        [("a", 0)] * 5 + [("b", 0)] * 3, "g string, d int"
+    )
+    rows = p_chart(all_good, "g", F.col("d") == 1).collect()
+    for r in rows:
+        assert r["rate_e6"] == 0 and r["ucl_e6"] == 0 and r["lcl_e6"] == 0
+        assert not r["out_of_control"]
+    all_bad = spark.createDataFrame([("a", 1)] * 4, "g string, d int")
+    r = p_chart(all_bad, "g", F.col("d") == 1).collect()[0]
+    assert r["rate_e6"] == 1_000_000
+    assert r["ucl_e6"] == 1_000_000 and r["lcl_e6"] == 1_000_000
+    assert not r["out_of_control"]
