@@ -871,10 +871,11 @@ def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ops.sort.global_running_max (ONE range exchange over data "
     "rows); the predecessor lookup is a per-key lag window (keys "
     "are data-grain, distributed); each surviving occurrence "
-    "re-anchors the horizon, so a dropped duplicate REFRESHES state "
-    "lifetime - the duplicates-within-delay-of-EACH-OTHER reading, "
-    "the conservative (upper) n_dup for sizing (documented at the "
-    "op). The oracle's unpartitioned window is the oracle's "
+    "re-anchors the horizon (refresh-anchored replay). The ENGINE is "
+    "measured FIRST-anchored on Spark 4.1 (probe test pins it), so "
+    "audit n_dup >= engine drops, equal whenever dups fall within "
+    "their first occurrence's horizon - direction documented at the "
+    "op. The oracle's unpartitioned window is the oracle's "
     "privilege.",
 )
 def dedup_watermark_audit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

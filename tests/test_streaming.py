@@ -708,3 +708,137 @@ def test_stream_maintained_sketch_quantiles(spark, tmp_path):
     }
     # a saw 1..9 -> median 5; b saw 10,20,30,40,50 -> median 30
     assert med == {"a": 5.0, "b": 30.0}
+
+
+def test_watermark_late_drop_engine_vs_batch_audit(spark, tmp_path):
+    """Bridge test: Structured Streaming's ACTUAL late-row drop under
+    withWatermark vs the batch replay's prediction. Two controlled
+    microbatches (one file each, processAllAvailable between): batch 1
+    establishes the watermark (max 2000s − 10s = 1990s), batch 2
+    carries one late row (1000s < 1990s) and two survivors. The
+    arrival order is constructed so the per-row strict-prefix
+    watermark of ops.timeseries.watermark_late_audit coincides with
+    the engine's per-batch watermark — the two must then agree
+    exactly on which rows are late."""
+    from hadoop_fcfs_spark.ops.timeseries import watermark_late_audit
+
+    src = str(tmp_path / "wm_src")
+    schema = "event_id long, ts timestamp"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "event_id long, us long").select(
+            "event_id", F.timestamp_micros(F.col("us")).alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    s = 1_000_000  # seconds -> micros
+    write_file("b1", [(1, 1000 * s), (2, 2000 * s)])
+    stream = spark.readStream.schema(schema).parquet(src)
+    # unique keys => dropDuplicatesWithinWatermark's only effect is the
+    # watermark late filter, making the engine's drop set observable
+    out = stream.withWatermark("ts", "10 seconds").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_bridge")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: no watermark yet, both emit
+        write_file("b2", [(3, 1000 * s), (4, 1995 * s), (5, 2100 * s)])
+        q.processAllAvailable()  # batch 2: watermark = 1990s
+        emitted = {
+            r["event_id"]
+            for r in spark.sql("SELECT event_id FROM wm_bridge").collect()
+        }
+    finally:
+        q.stop()
+    assert emitted == {1, 2, 4, 5}, f"engine drop set changed: {emitted}"
+
+    # the batch replay predicts the same single late row
+    batch = spark.createDataFrame(
+        [(1, 1000 * s), (2, 2000 * s), (3, 1000 * s), (4, 1995 * s),
+         (5, 2100 * s)],
+        "event_id long, us long",
+    ).select("event_id", F.timestamp_micros(F.col("us")).alias("ts"))
+    audit = watermark_late_audit(
+        batch, "event_id", "ts", delay_us=10 * s
+    ).collect()[0]
+    assert audit["n_events"] == 5
+    assert audit["n_late"] == 1
+    assert audit["max_late_us"] == (1990 - 1000) * s
+
+
+def test_stream_dedup_state_is_first_anchored(spark, tmp_path):
+    """Pin Spark's dropDuplicatesWithinWatermark state semantics (the
+    anchor question the batch replay documents): one event per
+    microbatch, delay 10 s —
+      b1: k@1000 emits (state expiry tied to 1000+10),
+      b2: k@1008 drops as dup (within 10 of FIRST); IF it refreshed
+          state, expiry would move to 1018,
+      b3: z@1025 advances the watermark to 1015 — past 1010, not 1018,
+      b4: k@1016 is the discriminator: emitted => FIRST-anchored
+          (dropped dups do not extend state), dropped => refresh.
+    Spark 4.1 measured: EMITTED. The batch replay
+    (ops.timeseries.dedup_watermark_audit) is refresh-anchored, so on
+    this chain it counts one MORE dup than the engine (asserted) —
+    the documented divergence direction; on chains where every dup
+    sits within the first occurrence's horizon the two agree."""
+    from hadoop_fcfs_spark.ops.timeseries import dedup_watermark_audit
+
+    src = str(tmp_path / "dedup_anchor")
+    schema = "event_id long, k string, ts timestamp"
+    s = 1_000_000
+
+    def write(rows):
+        spark.createDataFrame(rows, "event_id long, k string, us long").select(
+            "event_id", "k", F.timestamp_micros(F.col("us")).alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write([(1, "k", 1000 * s)])
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream.withWatermark("ts", "10 seconds").dropDuplicatesWithinWatermark(["k"])
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_anchor")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for rows in ([(2, "k", 1008 * s)], [(3, "z", 1025 * s)], [(4, "k", 1016 * s)]):
+            write(rows)
+            q.processAllAvailable()
+        emitted = sorted(
+            r["event_id"]
+            for r in spark.sql("SELECT event_id FROM dedup_anchor").collect()
+        )
+    finally:
+        q.stop()
+    assert emitted == [1, 3, 4], f"engine anchor semantics changed: {emitted}"
+
+    # the refresh-anchored batch replay counts event 4 as a dup: one
+    # more drop than the engine, the documented divergence direction
+    batch = spark.createDataFrame(
+        [(1, "k", 1000 * s), (2, "k", 1008 * s), (3, "z", 1025 * s),
+         (4, "k", 1016 * s)],
+        "event_id long, k string, us long",
+    ).select("event_id", "k", F.timestamp_micros(F.col("us")).alias("ts"))
+    audit = dedup_watermark_audit(
+        batch, "event_id", "ts", ["k"], delay_us=10 * s
+    ).collect()[0]
+    assert audit["n_late"] == 0
+    assert audit["n_dup"] == 2          # engine dropped only 1 (event 2)
+    assert audit["n_emitted"] == 2      # engine emitted 3
+
+    # common regime (every dup within the FIRST's horizon): exact match
+    batch2 = spark.createDataFrame(
+        [(1, "k", 1000 * s), (2, "k", 1005 * s), (3, "k", 1008 * s),
+         (4, "z", 1012 * s)],
+        "event_id long, k string, us long",
+    ).select("event_id", "k", F.timestamp_micros(F.col("us")).alias("ts"))
+    a2 = dedup_watermark_audit(
+        batch2, "event_id", "ts", ["k"], delay_us=10 * s
+    ).collect()[0]
+    assert a2["n_dup"] == 2 and a2["n_emitted"] == 2
