@@ -842,3 +842,85 @@ def test_stream_dedup_state_is_first_anchored(spark, tmp_path):
         batch2, "event_id", "ts", ["k"], delay_us=10 * s
     ).collect()[0]
     assert a2["n_dup"] == 2 and a2["n_emitted"] == 2
+
+
+def test_dedup_audit_engine_exact_variant(spark):
+    """The engine-exact (first-anchored) audit: matches the ENGINE's
+    verdicts on the discriminating chain where the refresh-anchored
+    sibling over-counts (n_dup 1 vs 2), agrees with the sibling in the
+    common regime, and matches a first-anchored sequential simulator
+    on random jittered streams (with n_dup <= sibling's everywhere)."""
+    import random
+
+    from hadoop_fcfs_spark.ops.timeseries import (
+        dedup_watermark_audit,
+        dedup_watermark_audit_engine,
+    )
+
+    s = 1_000_000
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, k string, us long"
+        ).select("event_id", "k", F.timestamp_micros(F.col("us")).alias("ts"))
+
+    # the probe chain: engine emitted [1, 3, 4] (see the anchor test)
+    chain = frame(
+        [(1, "k", 1000 * s), (2, "k", 1008 * s), (3, "z", 1025 * s),
+         (4, "k", 1016 * s)]
+    )
+    ex = dedup_watermark_audit_engine(
+        chain, "event_id", "ts", ["k"], delay_us=10 * s
+    ).collect()[0]
+    assert (ex["n_late"], ex["n_dup"], ex["n_emitted"]) == (0, 1, 3)
+
+    # grouped output
+    by_k = {
+        r["k"]: r
+        for r in dedup_watermark_audit_engine(
+            chain, "event_id", "ts", ["k"], delay_us=10 * s, group_cols=["k"]
+        ).collect()
+    }
+    assert by_k["k"]["n_dup"] == 1 and by_k["z"]["n_emitted"] == 1
+
+    # random streams: first-anchored python simulator + upper bound
+    def py_first_anchored(rows, delay):
+        out = {"late": 0, "dup": 0, "emit": 0}
+        max_prev = None
+        anchor: dict = {}
+        for _, k, ts in sorted(rows):
+            wm = None if max_prev is None else max_prev - delay
+            if wm is not None and wm > ts:
+                out["late"] += 1
+            else:
+                a = anchor.get(k)
+                if a is not None and (wm is None or wm <= a + delay):
+                    out["dup"] += 1           # no refresh
+                else:
+                    out["emit"] += 1
+                    anchor[k] = ts
+            max_prev = ts if max_prev is None else max(max_prev, ts)
+        return out
+
+    rng = random.Random(31)
+    for trial in range(3):
+        rows = []
+        for i in range(1, 100):
+            rows.append(
+                (i, f"k{rng.randint(1, 3)}",
+                 (1000 + i * 3 + rng.randint(-20, 20)) * s)
+            )
+        delay = 25 * s
+        want = py_first_anchored([(a, k, u) for a, k, u in rows], delay)
+        df = frame(rows)
+        got = dedup_watermark_audit_engine(
+            df, "event_id", "ts", ["k"], delay_us=delay
+        ).collect()[0]
+        assert got["n_late"] == want["late"], trial
+        assert got["n_dup"] == want["dup"], trial
+        assert got["n_emitted"] == want["emit"], trial
+        sib = dedup_watermark_audit(
+            df, "event_id", "ts", ["k"], delay_us=delay
+        ).collect()[0]
+        assert got["n_dup"] <= sib["n_dup"], trial
+        assert got["n_late"] == sib["n_late"], trial
