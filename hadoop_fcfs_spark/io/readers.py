@@ -271,3 +271,37 @@ def read_json(
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same pushdown/pruning behavior as parquet."""
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-file ingestion via the core ``binaryFile`` source — the
+    multimodal front door: a directory of image/audio/video files
+    becomes (path, modificationTime, length, content binary) rows that
+    feed llm.multimodal.attach_media_meta / decode_images directly
+    (reference parity: WholeFileRecordReader in the distributed-cache
+    examples — one record per file, content as bytes).
+
+    ``glob`` filters filenames at the SOURCE (pathGlobFilter — the
+    PathFilter analog: listing-time pruning, no content read);
+    ``max_bytes`` pushes `length <= N` down as a data filter so
+    oversized blobs never reach the executor's row buffer — the
+    binaryFile source prunes on its length column BEFORE loading
+    content (the one pushdown this source supports; verify with
+    .explain when it matters).
+
+    Scale notes: one row per FILE — fine for media corpora (files are
+    the natural unit), wrong for millions of tiny text files (use
+    read_text / archives). `spark.sql.files.maxPartitionBytes` governs
+    packing; a partition holds whole files only."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= int(max_bytes))
+    return df

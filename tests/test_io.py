@@ -478,3 +478,58 @@ def test_parquet_footer_stats_all_null_column(spark, tmp_path):
     assert r["v_nulls"] == 100
     assert r["v_min"] is None and r["v_max"] is None
     assert r["id_nulls"] == 0 and r["id_min"] == 0.0
+
+
+def test_read_binary_files_feeds_multimodal(spark, tmp_path):
+    """binaryFile source end-to-end: a dir of real GIF/PNG/BMP files ->
+    (path, length, content) rows -> attach_media_meta sniffs formats ->
+    decode_images decodes pixels; pathGlobFilter prunes at listing
+    time and max_bytes prunes by length."""
+    import numpy as np
+
+    from hadoop_fcfs_spark.io.readers import read_binary_files
+    from hadoop_fcfs_spark.llm.multimodal import (
+        _encode_gif,
+        _encode_png,
+        attach_media_meta,
+        decode_images,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    pal = np.array([[0, 0, 0], [255, 255, 255], [9, 9, 9], [7, 7, 7]],
+                   dtype=np.uint8)
+    gif = _encode_gif(np.ones((4, 6), dtype=np.int32), pal)
+    png = _encode_png(np.full((3, 5, 3), 200, dtype=np.uint8))
+    (d / "a.gif").write_bytes(gif)
+    (d / "b.png").write_bytes(png)
+    (d / "notes.txt").write_bytes(b"not media")
+
+    df = read_binary_files(spark, str(d))
+    assert df.count() == 3
+    media = read_binary_files(spark, str(d), glob="*.{gif,png}")
+    assert media.count() == 2
+
+    meta = attach_media_meta(media, binary_col="content").select(
+        "path", "media_meta.format"
+    )
+    fmts = {r["path"].rsplit("/", 1)[-1]: r["format"] for r in meta.collect()}
+    assert fmts == {"a.gif": "gif", "b.png": "png"}
+
+    withid = media.select(
+        F.monotonically_increasing_id().alias("media_id"),
+        F.col("content").alias("payload"),
+        "path",
+    )
+    decoded = {
+        (r["width"], r["height"])
+        for r in decode_images(withid, fake=False).collect()
+    }
+    assert decoded == {(6, 4), (5, 3)}
+
+    small = read_binary_files(spark, str(d), glob="*.{gif,png}",
+                              max_bytes=len(png))
+    kept = [r["path"].rsplit("/", 1)[-1] for r in small.collect()]
+    assert (len(gif) > len(png) and kept == ["b.png"]) or set(kept) == {
+        "a.gif", "b.png"
+    }
