@@ -148,3 +148,94 @@ def fellegi_sunter_mu(
         "div (__ua * 1000000 div n_nonmatch_pairs) AS BIGINT) "
         "END AS lr_e6",
     )
+
+
+def fs_score_pairs(
+    pairs: DataFrame,
+    mu: DataFrame,
+    fields: list[str],
+    lo_e6: int = 200_000,
+    hi_e6: int = 50_000_000,
+) -> DataFrame:
+    """Fellegi–Sunter DECISION layer: score candidate pairs with the
+    m/u parameters :func:`fellegi_sunter_mu` estimated and classify
+    link / possible / non-link by likelihood-ratio thresholds.
+
+    ``pairs`` carries one row per CANDIDATE pair with ``<f>_a`` and
+    ``<f>_b`` columns per comparison field — candidates come from a
+    blocking/LSH tier (fuzzy_term_join, minhash bands, block keys),
+    never a cross product; this operator deliberately has no way to
+    enumerate pairs itself. ``mu`` is fellegi_sunter_mu's output.
+
+    Per field a pair contributes the agreement ratio m/u when the
+    field agrees, or the disagreement ratio (1−m)/(1−u) when it does
+    not; the pair score is the PRODUCT of contributions accumulated in
+    micro units — DECIMAL(38,0) multiply + one flooring div-1e6
+    rescale per field, so the value is engine- and partitioning-exact
+    (documented micro quantization; FS thresholds are order-of-
+    magnitude objects). Degenerate parameters keep total semantics:
+    NULL m/u → the field is uninformative (neutral 1e6); agreement on
+    a u = 0 perfect discriminator → decisive link (flagged, score
+    unchanged by that field); m = 1e6 with disagreement → contribution
+    0, i.e. score 0 → non-link (a field that always agrees on matches
+    just disagreed). decision: decisive_link OR score >= ``hi_e6`` →
+    'link'; score <= ``lo_e6`` → 'non-link'; else 'possible'.
+
+    Scale shape: ONE broadcast of the pivoted field-grain mu table
+    (|fields| columns wide, 1 row) + per-pair expressions — cost is
+    O(candidate pairs), which the blocking tier already bounded."""
+    if not fields:
+        raise ValueError("fields must be a non-empty list")
+    if not lo_e6 < hi_e6:
+        raise ValueError(f"need lo_e6 < hi_e6, got {lo_e6} >= {hi_e6}")
+    wide = (
+        mu.groupBy()
+        .pivot("field", fields)
+        .agg(F.first("m_e6").alias("m"), F.first("u_e6").alias("u"))
+    )
+    out = pairs.crossJoin(F.broadcast(wide))
+    score_expr = "CAST(1000000 AS DECIMAL(38,0))"
+    n_agree = F.lit(0)
+    dec_link = F.lit(False)
+    for f in fields:
+        agree_sql = f"(`{f}_a` IS NOT NULL AND `{f}_a` = `{f}_b`)"
+        neutral = f"(`{f}_m` IS NULL OR `{f}_u` IS NULL)"
+        contrib = (
+            f"CASE WHEN {neutral} THEN CAST(1000000 AS DECIMAL(38,0)) "
+            f"WHEN {agree_sql} THEN "
+            f"  CASE WHEN `{f}_u` = 0 THEN CAST(1000000 AS DECIMAL(38,0)) "
+            f"       ELSE CAST(CAST(`{f}_m` AS DECIMAL(38,0)) * 1000000 "
+            f"            div `{f}_u` AS DECIMAL(38,0)) END "
+            f"ELSE "
+            f"  CASE WHEN `{f}_u` = 1000000 THEN "
+            f"         CAST(1000000 AS DECIMAL(38,0)) "
+            f"       ELSE CAST(CAST(1000000 - `{f}_m` AS DECIMAL(38,0)) "
+            f"            * 1000000 div (1000000 - `{f}_u`) "
+            f"            AS DECIMAL(38,0)) END "
+            f"END"
+        )
+        score_expr = (
+            f"CAST(({score_expr}) * ({contrib}) div 1000000 "
+            f"AS DECIMAL(38,0))"
+        )
+        agree_col = F.expr(agree_sql)
+        n_agree = n_agree + F.when(agree_col, 1).otherwise(0)
+        dec_link = dec_link | (
+            agree_col
+            & F.col(f"{f}_u").isNotNull() & (F.col(f"{f}_u") == 0)
+            & F.col(f"{f}_m").isNotNull()
+        )
+    scored = out.withColumn(
+        "score_e6", F.expr(score_expr).cast("long")
+    ).withColumn("n_agree", n_agree.cast("int")).withColumn(
+        "decisive_link", dec_link
+    )
+    decision = (
+        F.when(
+            F.col("decisive_link") | (F.col("score_e6") >= hi_e6), "link"
+        )
+        .when(F.col("score_e6") <= lo_e6, "non-link")
+        .otherwise("possible")
+    )
+    drop = [c for f in fields for c in (f"{f}_m", f"{f}_u")]
+    return scored.withColumn("decision", decision).drop(*drop)

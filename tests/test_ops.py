@@ -5542,3 +5542,71 @@ def test_pps_ess_survives_bigint_overflow_weights(spark):
     assert out["g"]["n"] == 3 and out["g"]["ess_r6"] == 3.0
     assert out["g"]["ess_ratio_r6"] == 1.0
     assert out["h"]["ess_r6"] == 2.0
+
+
+def test_fs_score_pairs_decision_layer(spark):
+    """End-to-end FS: estimate m/u on a labeled population, score
+    BLOCKED candidate pairs, and check the scores against a pure
+    Python replica of the micro-ratio product (same flooring order)
+    and the decisions against the thresholds. Covers a decisive
+    perfect-discriminator agreement (u = 0), a decisive m = 1e6
+    disagreement (score 0), and the neutral NULL-parameter field."""
+    from hadoop_fcfs_spark.ops.linkage import fellegi_sunter_mu, fs_score_pairs
+
+    a_rows = [
+        (1, "x", "n1", "p"), (2, "x", "n2", "q"), (3, "x", "n3", "p"),
+        (4, "y", "n4", "q"), (5, "y", "n5", "p"),
+    ]
+    b_rows = [
+        (1, "x", "n1", "p"), (2, "x", "n2", "p"), (3, "x", "n3", "p"),
+        (4, "y", "n4", "q"), (5, "y", "n5", "q"),
+    ]
+    a = spark.createDataFrame(a_rows, "k int, blk string, name string, seg string")
+    b = spark.createDataFrame(b_rows, "k int, blk string, name string, seg string")
+    mu = fellegi_sunter_mu(a, b, "k", "blk", ["name", "seg"])
+    params = {r["field"]: (r["m_e6"], r["u_e6"]) for r in mu.collect()}
+    assert params["name"][1] == 0  # names unique -> perfect discriminator
+
+    pairs = spark.createDataFrame(
+        [
+            # same name (decisive link via u=0), seg agrees
+            (101, "n1", "n1", "p", "p"),
+            # different name, seg agrees -> score from both ratios
+            (102, "n1", "n2", "p", "p"),
+            # different name, seg disagrees
+            (103, "n1", "n2", "p", "q"),
+        ],
+        "pair_id int, name_a string, name_b string, seg_a string, seg_b string",
+    )
+    out = {r["pair_id"]: r for r in fs_score_pairs(pairs, mu, ["name", "seg"]).collect()}
+
+    def replica(agrees):  # same flooring order as the operator
+        score = 1_000_000
+        for f, ag in agrees:
+            m, u = params[f]
+            if m is None or u is None:
+                c = 1_000_000
+            elif ag:
+                c = 1_000_000 if u == 0 else m * 1_000_000 // u
+            else:
+                c = (
+                    1_000_000 if u == 1_000_000
+                    else (1_000_000 - m) * 1_000_000 // (1_000_000 - u)
+                )
+            score = score * c // 1_000_000
+        return score
+
+    assert out[101]["decisive_link"] and out[101]["decision"] == "link"
+    assert out[101]["score_e6"] == replica([("name", True), ("seg", True)])
+    assert out[102]["score_e6"] == replica([("name", False), ("seg", True)])
+    assert not out[102]["decisive_link"]
+    assert out[103]["score_e6"] == replica([("name", False), ("seg", False)])
+    # name m = 1e6 and disagreement drives the name contribution to 0
+    assert params["name"][0] == 1_000_000
+    assert out[102]["score_e6"] == 0 and out[102]["decision"] == "non-link"
+    assert out[103]["decision"] == "non-link"
+
+    with pytest.raises(ValueError):
+        fs_score_pairs(pairs, mu, [])
+    with pytest.raises(ValueError):
+        fs_score_pairs(pairs, mu, ["name"], lo_e6=5, hi_e6=5)
