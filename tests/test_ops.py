@@ -5610,3 +5610,67 @@ def test_fs_score_pairs_decision_layer(spark):
         fs_score_pairs(pairs, mu, [])
     with pytest.raises(ValueError):
         fs_score_pairs(pairs, mu, ["name"], lo_e6=5, hi_e6=5)
+
+
+def test_fs_linkage_end_to_end_quality(spark):
+    """The composed linkage flow on a corrupted twin population:
+    estimate m/u from a labeled slice, generate blocked candidates,
+    score + classify — same-entity pairs must dominate the 'link'
+    class and decisions must separate ground truth cleanly (the
+    linkage analog of the retrieval-eval gates). Candidates here are
+    the within-block join (tiny test scale); production feeds LSH /
+    fuzzy-join candidates into the same scorer."""
+    import random
+
+    from hadoop_fcfs_spark.ops.linkage import fellegi_sunter_mu, fs_score_pairs
+
+    rng = random.Random(5)
+    segs = ["s1", "s2", "s3", "s4"]
+    a_rows, b_rows = [], []
+    for k in range(120):
+        blk = f"b{k % 4}"
+        name = f"name{k}"
+        seg = rng.choice(segs)
+        bal = rng.randint(0, 5)
+        a_rows.append((k, blk, name, seg, bal))
+        b_rows.append((
+            k, blk,
+            name if rng.random() < 0.9 else f"name{k}x",
+            seg if rng.random() < 0.8 else rng.choice(segs),
+            bal + (1 if rng.random() < 0.25 else 0),
+        ))
+    a = spark.createDataFrame(
+        a_rows, "k int, blk string, name string, seg string, bal int"
+    )
+    b = spark.createDataFrame(
+        b_rows, "k int, blk string, name string, seg string, bal int"
+    )
+    fields = ["name", "seg", "bal"]
+    mu = fellegi_sunter_mu(a, b, "k", "blk", fields)
+
+    av = a.select(
+        F.col("k").alias("ka"), "blk",
+        *[F.col(f).alias(f"{f}_a") for f in fields],
+    )
+    bv = b.select(
+        F.col("k").alias("kb"), F.col("blk").alias("blkb"),
+        *[F.col(f).alias(f"{f}_b") for f in fields],
+    )
+    cands = av.join(bv, F.col("blk") == F.col("blkb"))
+    scored = fs_score_pairs(cands, mu, fields).withColumn(
+        "is_match", F.col("ka") == F.col("kb")
+    )
+    agg = {
+        (r["is_match"], r["decision"]): r["n"]
+        for r in scored.groupBy("is_match", "decision")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    links_true = agg.get((True, "link"), 0)
+    links_false = agg.get((False, "link"), 0)
+    nonlinks_true = agg.get((True, "non-link"), 0)
+    n_match = sum(v for (m, _), v in agg.items() if m)
+    assert n_match == 120
+    # recall: most true pairs classify as link; precision: links are clean
+    assert links_true >= 0.7 * n_match, agg
+    assert links_false <= 0.02 * (links_false + agg.get((False, "non-link"), 0) + agg.get((False, "possible"), 0)), agg
+    assert nonlinks_true <= 0.1 * n_match, agg
