@@ -1294,3 +1294,42 @@ def test_heaps_growth_one_prefix_pass(spark):
     plan = _plan(Q["heaps_vocab_growth"].spark_fn(spark, SF_ORACLE))
     assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
     release_waypoints()
+
+
+def test_aqe_skew_join_split_fires_at_runtime(spark):
+    """The session claims AQE skew-join as the runtime half of the
+    skew story (ops/skew.py salting is the planned half) — prove the
+    claim: a join with one hot key (95% of 200k padded rows) under
+    lowered skew thresholds must show `SortMergeJoin(skew=true)` and a
+    skewed AQEShuffleRead in the FINAL adaptive plan. collect() drives
+    THIS Dataset's QueryExecution (count()/noop writes build new ones
+    whose final plans are not inspectable from here)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        pad = "x" * 200
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 20 < 19, 0)
+            .otherwise(F.col("id") % 101).alias("k"),
+            F.concat(F.lit(pad), F.col("id").cast("string")).alias("v"),
+        )
+        right = spark.range(101).select(
+            F.col("id").alias("k"), F.lit("r").alias("w")
+        )
+        j = left.join(right, "k").select(F.substring("v", 1, 1).alias("c"))
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "AQEShuffleRead coalesced and skewed" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
