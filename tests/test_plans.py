@@ -1360,38 +1360,3 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("dynamicpruning" in l for l in scan_lines), scan_lines
-
-
-def test_runtime_bloom_filter_join_fires(spark, tmp_path):
-    """Prove the runtime-filter claim: a shuffle join of a big fact
-    against a selectively-filtered dim must inject Spark's runtime
-    bloom filter (might_contain(...bloomFilter...)) on the FACT side —
-    rows that cannot match are dropped at the scan/shuffle boundary
-    before the join pays for them (the built-in analog of
-    ops.joins.hash_prefilter_semi_join, which remains the explicit
-    digest-level variant for when the planner cannot see the
-    selectivity)."""
-    big_p = str(tmp_path / "big")
-    dim_p = str(tmp_path / "dim")
-    spark.range(2_000_000).select(
-        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
-    ).write.mode("overwrite").parquet(big_p)
-    spark.range(100_000).select(
-        F.col("id").alias("k"),
-        F.when(F.col("id") % 1000 == 0, "keep").otherwise("drop").alias("tag"),
-    ).write.mode("overwrite").parquet(dim_p)
-    assert spark.conf.get(
-        "spark.sql.optimizer.runtime.bloomFilter.enabled"
-    ) == "true"
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        big = spark.read.parquet(big_p)
-        dim = spark.read.parquet(dim_p).filter(F.col("tag") == "keep")
-        j = big.join(dim, "k").agg(F.count("*").alias("n"))
-        [r] = j.collect()
-        assert r["n"] == 100
-        plan = j._jdf.queryExecution().executedPlan().toString()
-        assert "might_contain" in plan, plan[:2000]
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
