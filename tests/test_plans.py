@@ -1360,3 +1360,38 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("dynamicpruning" in l for l in scan_lines), scan_lines
+
+
+def test_aqe_runtime_join_demotion_to_broadcast(spark, tmp_path):
+    """AQE's runtime re-plan: a shuffle join whose build side STATIC
+    size estimate exceeds the broadcast threshold, but whose filtered
+    runtime size is tiny, must demote SortMergeJoin → BroadcastHashJoin
+    at runtime (Initial Plan shows SMJ, Final Plan shows BHJ) — the
+    100 TB lever that turns a planned fact-fact shuffle into a map-side
+    join whenever a filter collapses one side, without anyone
+    re-writing the query."""
+    big_p, dim_p = str(tmp_path / "big"), str(tmp_path / "dim")
+    spark.range(500_000).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    ).write.parquet(big_p)
+    spark.range(300_000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("x" * 60), F.col("id").cast("string")).alias("pad"),
+        F.when(F.col("id") % 3000 == 0, "keep").otherwise("drop")
+        .alias("tag"),
+    ).write.parquet(dim_p)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "524288")
+    try:
+        big = spark.read.parquet(big_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("tag") == "keep")
+        j = big.join(dim, "k").select("k", "v")
+        assert len(j.collect()) == 100
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "== Initial Plan ==" in plan, plan[:1500]
+        final, initial = plan.split("== Initial Plan ==")
+        assert "SortMergeJoin" in initial, initial[:1500]
+        assert "BroadcastHashJoin" in final, final[:1500]
+        assert "SortMergeJoin" not in final, final[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
