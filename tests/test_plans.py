@@ -1395,3 +1395,36 @@ def test_aqe_runtime_join_demotion_to_broadcast(spark, tmp_path):
         assert "SortMergeJoin" not in final, final[:1500]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_flagship_hot_paths_are_whole_stage_codegen(spark):
+    """The JVM-side contract behind "UDFs are the slow path": flagship
+    hot paths must run inside WholeStageCodegen stages (starred
+    operators), with Python appearing ONLY at Arrow batch boundaries.
+    pricing_summary's scan -> filter -> partial agg must be starred;
+    wordcount's explode+agg likewise; and across the whole registry's
+    flagship set no plan may contain a row-at-a-time BatchEvalPython
+    (Arrow nodes — ArrowEvalPython / FlatMapGroupsInPandas /
+    MapInPandas — are the allowed Python boundary)."""
+    # codegen stars only appear on EXECUTED adaptive plans (the
+    # aqe-pin lesson): drive the Dataset, then read its final plan
+    df = Q["pricing_summary"].spark_fn(spark, SF_ORACLE)
+    assert len(df.collect()) > 0
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in p and "*(" in p, p[:1200]
+    agg_lines = [l for l in p.splitlines() if "HashAggregate" in l]
+    assert any("*(" in l for l in agg_lines), agg_lines
+    wdf = Q["wordcount"].spark_fn(spark, SF_ORACLE)
+    assert len(wdf.collect()) > 0
+    w = wdf._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in w and "Generate" in w, w[:1200]
+    for name in ("pricing_summary", "wordcount", "join_multiway",
+                 "roc_auc_orderstatus", "dedup_minhash_lsh",
+                 "corpus_pipeline_v7"):
+        plan = _plan(Q[name].spark_fn(spark, SF_ORACLE))
+        assert "BatchEvalPython" not in plan, (
+            f"{name}: row-at-a-time Python UDF in the hot path"
+        )
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()
