@@ -59,66 +59,46 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # re-samples already-confirmed gates and new ones never get hard driver
 # evidence.
 #
-# State after round 7 (rebuilt for round 8): 337 registered gates,
-# CORRECTNESS_r07 50/50 green, driver-checked union r01-r07 = 309/337,
-# zero mismatches ever. The 28 below are the round-7 additions that have
-# never received a driver row — they head the round-8 window (the two
-# bench headliners kmeans_embedding_cells and watermark_late_audit lead,
-# so they get rows even if the window shrinks). Confirming all 28 closes
-# driver coverage to 337/337 with ~22 slots left for the oldest confirmed
-# tail (the 11 r1 gates + ~11 of the r2 gates, whose rows are 6-7 rounds
-# old).
+# State after round 8 (rebuilt for round 9): 344 registered gates,
+# CORRECTNESS_r08 50/50 green, driver-checked union r01-r08 = 344/344,
+# zero mismatches ever. Coverage is COMPLETE: _NEVER_SAMPLED is empty,
+# so the round-9 window = any gates registered this round (bucket 1, in
+# registration order) + the oldest confirmed tail (bucket 2: the 44 r2
+# gates whose rows are 7 rounds old, then the oldest r3 gates). Keep
+# net-new <= ~35 so the window still re-validates >= 15 tail gates.
 
-_NEVER_SAMPLED: tuple[str, ...] = (
-    "kmeans_embedding_cells", "watermark_late_audit",
-    "hilbert_values", "zipf_slope_tokens", "embedding_top_pc",
-    "mcnemar_langid", "readability_sources", "js_drift_sources",
-    "blocking_quality_mingram", "feature_hash_profile", "fleiss_langid",
-    "supplier_winrate_bounds", "knn_mrr_labels", "knn_map_labels",
-    "rake_source_lang", "cochran_langid", "mmr_rerank_embeddings",
-    "ari_kmeans_labels", "minhash_estimate_audit",
-    "kmeans_silhouette_cells", "fd_source_lang", "embedding_pc_outliers",
-    "corpus_pipeline_v7", "pq_distortion_audit", "trade_clustering",
-    "modularity_regions", "topk_stability_parts", "rbo_stability_parts",
-)
+_NEVER_SAMPLED: tuple[str, ...] = ()
 
 _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
-    # latest driver row: round 1 (11 gates)
-    "agg_descriptors": 1, "asof_join": 1, "cube_agg": 1, "fieldsel": 1,
-    "grep_count": 1, "keyfield_sort": 1, "monte_carlo_pi": 1, "pivot_agg": 1,
-    "set_except": 1, "sorted_group_apply": 1, "union_distinct": 1,
-    # latest driver row: round 2 (48 gates)
-    "ann_cosine_pairs": 2, "ann_cosine_topk": 2, "ann_ivf_topk": 2,
-    "char_entropy": 2, "chunk_documents": 2, "contamination_check": 2,
-    "corpus_pipeline": 2, "dedup_clusters": 2, "dedup_exact": 2,
-    "dedup_minhash_lsh": 2, "dedup_ngram_jaccard": 2,
-    "embedding_near_dup": 2, "fingerprint": 2, "interval_sample": 2,
-    "join_anti": 2, "join_full_outer": 2, "join_inner_agg": 2,
-    "join_multiway": 2, "join_override": 2, "join_semi": 2,
-    "json_extract_agg": 2, "kv_split": 2, "lang_id": 2,
+    # latest driver row: round 2 (44 gates)
+    "chunk_documents": 2, "contamination_check": 2, "corpus_pipeline": 2,
+    "dedup_clusters": 2, "dedup_exact": 2, "dedup_minhash_lsh": 2,
+    "dedup_ngram_jaccard": 2, "embedding_near_dup": 2, "fingerprint": 2,
+    "interval_sample": 2, "join_anti": 2, "join_full_outer": 2,
+    "join_inner_agg": 2, "join_multiway": 2, "join_override": 2,
+    "join_semi": 2, "json_extract_agg": 2, "kv_split": 2, "lang_id": 2,
     "multimodal_pipeline": 2, "near_dedup_clustered": 2,
     "near_dedup_corpus": 2, "pii_scrub": 2, "pricing_summary": 2,
     "quality_score": 2, "quantile_summary": 2, "repetition_signals": 2,
     "rollup_agg": 2, "secondary_sort": 2, "sequence_packing": 2,
-    "set_intersect": 2, "text_normalize": 2, "tf_idf": 2, "token_counts": 2,
-    "topk_orders": 2, "uniq_capped": 2, "value_histogram": 2,
-    "window_analytics": 2, "window_range_frame": 2, "window_rank_family": 2,
-    "winnow_fingerprint_stats": 2, "word_stats": 2, "wordcount": 2,
+    "set_intersect": 2, "text_normalize": 2, "tf_idf": 2, "token_counts":
+    2, "topk_orders": 2, "uniq_capped": 2, "value_histogram": 2,
+    "window_analytics": 2, "window_range_frame": 2, "window_rank_family":
+    2, "winnow_fingerprint_stats": 2, "word_stats": 2, "wordcount": 2,
     "xml_records": 2,
     # latest driver row: round 3 (50 gates)
     "ann_rp_lsh_topk": 3, "approx_quantile_bounds": 3, "bbp_pi": 3,
-    "boilerplate_removal": 3, "cohort_retention": 3, "concurrent_events": 3,
-    "corpus_drift": 3, "corpus_pipeline_v2": 3, "dbcount_pageview": 3,
+    "boilerplate_removal": 3, "cohort_retention": 3, "concurrent_events":
+    3, "corpus_drift": 3, "corpus_pipeline_v2": 3, "dbcount_pageview": 3,
     "dedup_incremental": 3, "dedup_simhash": 3, "duplicate_span_stats": 3,
     "duplicate_spans": 3, "event_funnel": 3, "event_interval_join": 3,
     "fuzzy_term_join": 3, "grep_top": 3, "grouped_topk": 3,
-    "grouping_sets_agg": 3, "hash_sample_orders": 3,
-    "hll_distinct_rollup": 3, "inactive_rich_customers": 3,
-    "large_volume_customer": 3, "lm_perplexity": 3,
-    "local_supplier_volume": 3, "nation_value_share": 3, "nqueens": 3,
-    "order_priority_exists": 3, "pagerank_nations": 3,
-    "per_group_sample_orders": 3, "profile_orders": 3, "quantile_buckets": 3,
-    "range_join": 3, "returned_items_topk": 3, "scd2_user_status": 3,
+    "grouping_sets_agg": 3, "hash_sample_orders": 3, "hll_distinct_rollup":
+    3, "inactive_rich_customers": 3, "large_volume_customer": 3,
+    "lm_perplexity": 3, "local_supplier_volume": 3, "nation_value_share":
+    3, "nqueens": 3, "order_priority_exists": 3, "pagerank_nations": 3,
+    "per_group_sample_orders": 3, "profile_orders": 3, "quantile_buckets":
+    3, "range_join": 3, "returned_items_topk": 3, "scd2_user_status": 3,
     "semdedup": 3, "session_window": 3, "sessionize": 3, "set_ops_bag": 3,
     "shipping_priority": 3, "side_data_lookup": 3, "skew_salted_join": 3,
     "sliding_window": 3, "stratified_sample_orders": 3,
@@ -133,65 +113,62 @@ _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
     "cross_source_duplication": 4, "customer_distribution": 4,
     "daily_event_anomaly": 4, "data_validation": 4,
     "disjunctive_filter_revenue": 4, "duplicate_safe_split": 4,
-    "embedding_gram": 4, "excess_volume_suppliers": 4, "forecast_revenue": 4,
-    "gap_fill_hourly": 4, "inverted_index": 4, "jaccard_prefix_dedup": 4,
-    "key_skew_report": 4, "kll_quantile_rollup": 4, "kn_bigram_model": 4,
-    "late_lines_priority": 4, "latest_event_per_user": 4, "lineitem_corr": 4,
-    "mad_event_anomaly": 4, "merge_upsert_customers": 4,
-    "merged_user_coverage": 4, "min_acctbal_supplier": 4,
+    "embedding_gram": 4, "excess_volume_suppliers": 4, "forecast_revenue":
+    4, "gap_fill_hourly": 4, "inverted_index": 4, "jaccard_prefix_dedup":
+    4, "key_skew_report": 4, "kll_quantile_rollup": 4, "kn_bigram_model":
+    4, "late_lines_priority": 4, "latest_event_per_user": 4,
+    "lineitem_corr": 4, "mad_event_anomaly": 4, "merge_upsert_customers":
+    4, "merged_user_coverage": 4, "min_acctbal_supplier": 4,
     "national_market_share": 4, "orders_mutual_info": 4,
-    "product_type_profit": 4, "promo_revenue_ratio": 4, "skew_salted_agg": 4,
-    "small_quantity_revenue": 4, "snapshot_diff_orders": 4,
+    "product_type_profit": 4, "promo_revenue_ratio": 4, "skew_salted_agg":
+    4, "small_quantity_revenue": 4, "snapshot_diff_orders": 4,
     "terasort_validate": 4, "theta_user_overlap": 4,
-    "token_budget_mix_weighted": 4, "top_supplier": 4, "volume_shipping": 4,
-    "volume_trend": 4, "waiting_suppliers": 4, "weighted_sample_orders": 4,
-    "winsorize_events": 4, "word_cooccurrence": 4,
+    "token_budget_mix_weighted": 4, "top_supplier": 4, "volume_shipping":
+    4, "volume_trend": 4, "waiting_suppliers": 4, "weighted_sample_orders":
+    4, "winsorize_events": 4, "word_cooccurrence": 4,
     # latest driver row: round 5 (50 gates)
-    "ab_test_conversion": 5, "benford_price_audit": 5, "bpe_pair_counts": 5,
-    "chi2_source_lang": 5, "cohort_ltv_curve": 5, "concept_communities": 5,
-    "copurchase_lift": 5, "corpus_pipeline_v4": 5, "dead_stock_audit": 5,
-    "dsir_selection": 5, "dup_family_histogram": 5, "embedding_norm_qa": 5,
-    "event_seasonality": 5, "event_transitions": 5, "ewma_daily_events": 5,
-    "footer_table_stats": 5, "frequent_brand_triples": 5,
+    "ab_test_conversion": 5, "benford_price_audit": 5, "bpe_pair_counts":
+    5, "chi2_source_lang": 5, "cohort_ltv_curve": 5, "concept_communities":
+    5, "copurchase_lift": 5, "corpus_pipeline_v4": 5, "dead_stock_audit":
+    5, "dsir_selection": 5, "dup_family_histogram": 5, "embedding_norm_qa":
+    5, "event_seasonality": 5, "event_transitions": 5, "ewma_daily_events":
+    5, "footer_table_stats": 5, "frequent_brand_triples": 5,
     "gini_order_values": 5, "hhi_supplier_concentration": 5,
     "hybrid_rank_fusion": 5, "kaplan_meier_retention": 5,
     "kcenter_coreset": 5, "knn_label_confusion": 5, "langid_confusion": 5,
     "lorenz_deciles": 5, "lpa_communities": 5, "negative_table_draws": 5,
-    "new_vs_returning_daily": 5, "pareto_orders": 5,
-    "prefiltered_revenue": 5, "psi_price_drift": 5,
-    "purchase_attribution": 5, "qty_price_histogram2d": 5,
-    "repeat_order_intervals": 5, "rfm_segments": 5, "rolling_wau": 5,
-    "script_profile": 5, "session_path_topk": 5, "shipping_lead_time": 5,
-    "spearman_qty_price": 5, "term_dictionary": 5, "tfidf_cosine_topk": 5,
-    "theil_sen_trend": 5, "top_nations_with_other": 5,
-    "trade_degree_assortativity": 5, "trade_triangles": 5,
-    "trending_parts": 5, "user_behavior_entropy": 5, "vocab_richness": 5,
-    "weighted_median_price": 5,
-    # latest driver row: round 6 (50 gates — the 49 previously
-    # never-sampled r4/r5 additions + the loo_priority_price spillover)
-    "abc_inventory_classes": 6, "acf_daily_events": 6,
-    "ann_ivf_recall": 6, "anova_acctbal_segments": 6,
-    "binseg_daily_events": 6, "bootstrap_mean_totalprice": 6,
-    "cms_heavy_change": 6, "copurchase_eval_topk": 6,
-    "copurchase_kcore": 6, "corpus_pipeline_v5": 6, "corpus_qa_panel": 6,
-    "cusum_split_events": 6, "debounce_events": 6, "dedup_survivorship": 6,
-    "diversified_top_orders": 6, "doc_keywords": 6,
-    "frequent_subsequences": 6, "gini_by_nation": 6,
+    "new_vs_returning_daily": 5, "pareto_orders": 5, "prefiltered_revenue":
+    5, "psi_price_drift": 5, "purchase_attribution": 5,
+    "qty_price_histogram2d": 5, "repeat_order_intervals": 5,
+    "rfm_segments": 5, "rolling_wau": 5, "script_profile": 5,
+    "session_path_topk": 5, "shipping_lead_time": 5, "spearman_qty_price":
+    5, "term_dictionary": 5, "tfidf_cosine_topk": 5, "theil_sen_trend": 5,
+    "top_nations_with_other": 5, "trade_degree_assortativity": 5,
+    "trade_triangles": 5, "trending_parts": 5, "user_behavior_entropy": 5,
+    "vocab_richness": 5, "weighted_median_price": 5,
+    # latest driver row: round 6 (50 gates)
+    "abc_inventory_classes": 6, "acf_daily_events": 6, "ann_ivf_recall": 6,
+    "anova_acctbal_segments": 6, "binseg_daily_events": 6,
+    "bootstrap_mean_totalprice": 6, "cms_heavy_change": 6,
+    "copurchase_eval_topk": 6, "copurchase_kcore": 6, "corpus_pipeline_v5":
+    6, "corpus_qa_panel": 6, "cusum_split_events": 6, "debounce_events": 6,
+    "dedup_survivorship": 6, "diversified_top_orders": 6, "doc_keywords":
+    6, "frequent_subsequences": 6, "gini_by_nation": 6,
     "greedy_gram_coverage": 6, "hits_trade_roles": 6,
     "interpolated_hourly_value": 6, "ivm_orders_yearly": 6,
     "k_anonymity_customers": 6, "ks_price_returnflag": 6,
     "ks_source_drift": 6, "linear_attribution": 6, "logrank_cohorts": 6,
     "loo_priority_price": 6, "markov_entropy_rate": 6,
     "markov_next_event_eval": 6, "markov_stationary_events": 6,
-    "mutual_nn_pairs": 6, "mwu_priority_price": 6,
-    "nelson_aalen_hazard": 6, "ngram_novelty_curve": 6,
-    "ols_qty_price_by_brand": 6, "pacf_daily_events": 6,
-    "quantile_normalize_segments": 6, "ra_link_parts": 6,
-    "rolling_zscore_daily": 6, "scd2_pit_join": 6, "sssp_trade_cost": 6,
-    "temperature_mix_langs": 6, "temporal_split_audit": 6,
-    "theta_churn_new_users": 6, "trimmed_mean_price": 6,
-    "weekday_adjusted_anomaly": 6, "weighted_quantile_ladder": 6,
-    "welch_acctbal_segments": 6, "wilson_conversion_bounds": 6,
+    "mutual_nn_pairs": 6, "mwu_priority_price": 6, "nelson_aalen_hazard":
+    6, "ngram_novelty_curve": 6, "ols_qty_price_by_brand": 6,
+    "pacf_daily_events": 6, "quantile_normalize_segments": 6,
+    "ra_link_parts": 6, "rolling_zscore_daily": 6, "scd2_pit_join": 6,
+    "sssp_trade_cost": 6, "temperature_mix_langs": 6,
+    "temporal_split_audit": 6, "theta_churn_new_users": 6,
+    "trimmed_mean_price": 6, "weekday_adjusted_anomaly": 6,
+    "weighted_quantile_ladder": 6, "welch_acctbal_segments": 6,
+    "wilson_conversion_bounds": 6,
     # latest driver row: round 7 (50 gates)
     "ab_power_priorities": 7, "ams_f2_custkey": 7, "auc_by_segment": 7,
     "auc_delong_orderstatus": 7, "bradley_terry_suppliers": 7,
@@ -200,23 +177,41 @@ _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
     "cmh_segment_status": 7, "cochran_armitage_returns": 7,
     "cohort_retention_matrix": 7, "conformal_threshold_prices": 7,
     "corpus_pipeline_v6": 7, "cramers_v_segment_priority": 7,
-    "cuped_purchases": 7, "dispersion_daily_events": 7,
-    "ece_orderstatus": 7, "effect_sizes_returnflag": 7,
-    "emd_price_returnflag": 7, "friedman_priority_volume": 7,
-    "funnel_conversion": 7, "gains_orderstatus": 7,
-    "hodges_lehmann_daily": 7, "info_gain_orders": 7,
-    "isotonic_orderstatus": 7, "jonckheere_priority_price": 7,
+    "cuped_purchases": 7, "dispersion_daily_events": 7, "ece_orderstatus":
+    7, "effect_sizes_returnflag": 7, "emd_price_returnflag": 7,
+    "friedman_priority_volume": 7, "funnel_conversion": 7,
+    "gains_orderstatus": 7, "hodges_lehmann_daily": 7, "info_gain_orders":
+    7, "isotonic_orderstatus": 7, "jonckheere_priority_price": 7,
     "kendall_events_daily": 7, "knn_ndcg_labels": 7,
-    "kruskal_priority_price": 7, "langid_kappa": 7,
-    "lin_ccc_order_value": 7, "mann_kendall_daily_events": 7,
-    "neyman_allocation_orders": 7, "ordinal_assoc_weekday": 7,
-    "page_trend_priority": 7, "position_attribution": 7,
-    "pps_ess_priorities": 7, "rmst_retention": 7, "robust_scale_price": 7,
-    "roc_auc_orderstatus": 7, "rolling_origin_folds_events": 7,
-    "seasonal_naive_events": 7, "simpson_segment_status": 7,
-    "smd_balance_nations": 7, "t_closeness_customers": 7,
-    "theil_decomposition_nations": 7, "theil_order_values": 7,
-    "training_shard_manifest": 7, "woe_price_returns": 7,
+    "kruskal_priority_price": 7, "langid_kappa": 7, "lin_ccc_order_value":
+    7, "mann_kendall_daily_events": 7, "neyman_allocation_orders": 7,
+    "ordinal_assoc_weekday": 7, "page_trend_priority": 7,
+    "position_attribution": 7, "pps_ess_priorities": 7, "rmst_retention":
+    7, "robust_scale_price": 7, "roc_auc_orderstatus": 7,
+    "rolling_origin_folds_events": 7, "seasonal_naive_events": 7,
+    "simpson_segment_status": 7, "smd_balance_nations": 7,
+    "t_closeness_customers": 7, "theil_decomposition_nations": 7,
+    "theil_order_values": 7, "training_shard_manifest": 7,
+    "woe_price_returns": 7,
+    # latest driver row: round 8 (50 gates)
+    "aalen_johansen_cif": 8, "agg_descriptors": 8, "ann_cosine_pairs": 8,
+    "ann_cosine_topk": 8, "ann_ivf_topk": 8, "ari_kmeans_labels": 8,
+    "asof_join": 8, "blocking_quality_mingram": 8, "char_entropy": 8,
+    "cochran_langid": 8, "corpus_pipeline_v7": 8, "cube_agg": 8,
+    "dedup_watermark_audit": 8, "embedding_pc_outliers": 8,
+    "embedding_top_pc": 8, "fd_source_lang": 8, "feature_hash_profile": 8,
+    "fellegi_sunter_customers": 8, "fieldsel": 8, "fleiss_langid": 8,
+    "good_turing_tokens": 8, "grep_count": 8, "heaps_vocab_growth": 8,
+    "hilbert_values": 8, "js_drift_sources": 8, "keyfield_sort": 8,
+    "kmeans_embedding_cells": 8, "kmeans_silhouette_cells": 8,
+    "knn_map_labels": 8, "knn_mrr_labels": 8, "mcnemar_langid": 8,
+    "minhash_estimate_audit": 8, "mmr_rerank_embeddings": 8,
+    "modularity_regions": 8, "monte_carlo_pi": 8, "p_chart_daily_returns":
+    8, "pivot_agg": 8, "pq_distortion_audit": 8, "pr_curve_orderstatus": 8,
+    "rake_source_lang": 8, "rbo_stability_parts": 8, "readability_sources":
+    8, "set_except": 8, "sorted_group_apply": 8, "supplier_winrate_bounds":
+    8, "topk_stability_parts": 8, "trade_clustering": 8, "union_distinct":
+    8, "watermark_late_audit": 8, "zipf_slope_tokens": 8,
 }
 
 
