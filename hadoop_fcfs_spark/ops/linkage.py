@@ -36,6 +36,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# fs_score_pairs saturating score ceiling (micros). Each per-field
+# contribution can reach 1e12 micros (m_e6=1e6 over u_e6=1) while the
+# running product rescales by only 1e6 per field, so 3+ strong fields
+# would blow past BIGINT (and 4+ past DECIMAL(38,0) mid-multiply)
+# exactly on the strongest-link pairs — which under ANSI mode is a
+# runtime throw, not a wrong number. Decisions are order-of-magnitude
+# objects, so a ceiling far above any sane hi_e6 preserves semantics;
+# clamping after EVERY field also bounds the intermediate product at
+# cap * 1e12 = 1e27, comfortably inside DECIMAL(38,0).
+_SCORE_CAP_E6 = 10**15
+
 
 def fellegi_sunter_mu(
     a: DataFrame,
@@ -50,9 +61,13 @@ def fellegi_sunter_mu(
     ground-truth entity key: pairs with equal keys are matches),
     ``block_col`` (the candidate-blocking key — only within-block
     pairs are candidates, the standard blocking discipline), and the
-    comparison ``fields``. Matches are assumed within-block (the
-    ground truth key implies the block, true whenever blocking uses a
-    stable attribute). Agreement is strict equality: a NULL field
+    comparison ``fields``. Matches are counted WITHIN-BLOCK — the
+    truth-key join also equates the block, so a matched pair whose two
+    views landed in different blocks (a corrupted blocking attribute)
+    is excluded from m exactly as it is excluded from the block-pair
+    universe that defines u; this keeps n_nonmatch_pairs and the
+    non-match agreement counts non-negative by construction instead of
+    by assumption. Agreement is strict equality: a NULL field
     value never agrees, on either the m or the u side (the value-grain
     product join drops NULL keys, and the match-side comparison
     mirrors that — the two estimates must count the same event).
@@ -82,8 +97,9 @@ def fellegi_sunter_mu(
             *[F.col(f).alias(f"__b_{f}") for f in fields],
         )
     )
-    # m: ONE equi-join on the truth key (linear), exact agreement counts
-    matched = av.join(bv.drop("__blk"), "__k")
+    # m: ONE equi-join on (truth key, block) — linear, exact agreement
+    # counts, and aligned with the block-pair universe (see docstring)
+    matched = av.join(bv, ["__k", "__blk"])
     m_agg = matched.agg(
         F.count("*").cast("long").alias("__nm"),
         *[
@@ -173,7 +189,12 @@ def fs_score_pairs(
     micro units — DECIMAL(38,0) multiply + one flooring div-1e6
     rescale per field, so the value is engine- and partitioning-exact
     (documented micro quantization; FS thresholds are order-of-
-    magnitude objects). Degenerate parameters keep total semantics:
+    magnitude objects). The score SATURATES at ``_SCORE_CAP_E6``
+    (1e15 micros, clamped after every field): per-field contributions
+    reach 1e12, so an unclamped 3-strong-field product would overflow
+    BIGINT on exactly the strongest links; any saturated pair is
+    already far past ``hi_e6`` → 'link', so the ceiling never changes
+    a decision. Degenerate parameters keep total semantics:
     NULL m/u → the field is uninformative (neutral 1e6); agreement on
     a u = 0 perfect discriminator → decisive link (flagged, score
     unchanged by that field); m = 1e6 with disagreement → contribution
@@ -188,6 +209,11 @@ def fs_score_pairs(
         raise ValueError("fields must be a non-empty list")
     if not lo_e6 < hi_e6:
         raise ValueError(f"need lo_e6 < hi_e6, got {lo_e6} >= {hi_e6}")
+    if not hi_e6 < _SCORE_CAP_E6:
+        raise ValueError(
+            f"hi_e6 {hi_e6} must be below the score ceiling "
+            f"{_SCORE_CAP_E6} or 'link' becomes unreachable"
+        )
     wide = (
         mu.groupBy()
         .pivot("field", fields)
@@ -215,8 +241,8 @@ def fs_score_pairs(
             f"END"
         )
         score_expr = (
-            f"CAST(({score_expr}) * ({contrib}) div 1000000 "
-            f"AS DECIMAL(38,0))"
+            f"LEAST(CAST(({score_expr}) * ({contrib}) div 1000000 "
+            f"AS DECIMAL(38,0)), CAST({_SCORE_CAP_E6} AS DECIMAL(38,0)))"
         )
         agree_col = F.expr(agree_sql)
         n_agree = n_agree + F.when(agree_col, 1).otherwise(0)

@@ -5372,7 +5372,7 @@ _FS_B_VIEW = """
                AS BIGINT) AS ma_seg,
              CAST(SUM(CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END)
                AS BIGINT) AS ma_bal
-      FROM a JOIN b USING (c_custkey)
+      FROM a JOIN b USING (c_custkey, c_nationkey)
     ),
     tp AS (
       SELECT CAST(SUM(na * nb) AS BIGINT) AS tp FROM

@@ -852,9 +852,9 @@ def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS n_dup
       FROM s GROUP BY 1
     )
-    SELECT event_type, n_events, n_late, n_dup,
-           n_events - n_late - n_dup AS n_emitted
-    FROM la JOIN du USING (event_type)
+    SELECT event_type, n_events, n_late, COALESCE(n_dup, 0) AS n_dup,
+           n_events - n_late - COALESCE(n_dup, 0) AS n_emitted
+    FROM la LEFT JOIN du USING (event_type)
     """,
     doc="dropDuplicatesWithinWatermark replay per event type "
     "(ops.timeseries.dedup_watermark_audit): with key = (user_id, "

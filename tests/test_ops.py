@@ -5503,6 +5503,32 @@ def test_dedup_watermark_audit_hand_values(spark):
     assert by_key["k2"]["n_dup"] == 0 and by_key["k2"]["n_emitted"] == 1
 
 
+def test_dedup_watermark_audit_all_late_group_reported(spark):
+    """ADVICE r8: a group whose rows are ALL late has no survivors and
+    hence no row in the dup aggregate — the old inner join silently
+    dropped the group instead of reporting n_late=n_events, n_dup=0."""
+    from hadoop_fcfs_spark.ops.timeseries import dedup_watermark_audit
+
+    rows = [
+        (1, "g1", "k1", 1000),   # first arrival: emitted, wm -> 990
+        (2, "g2", "k2", 100),    # wm 990 > 100 -> LATE
+        (3, "g2", "k2", 105),    # wm 990 > 105 -> LATE
+    ]
+    df = spark.createDataFrame(
+        rows, "arr int, g string, k string, us long"
+    ).select("arr", "g", "k", F.timestamp_micros(F.col("us")).alias("ts"))
+    out = {
+        r["g"]: r
+        for r in dedup_watermark_audit(
+            df, "arr", "ts", ["k"], delay_us=10, group_cols=["g"]
+        ).collect()
+    }
+    assert set(out) == {"g1", "g2"}
+    assert out["g2"]["n_events"] == 2 and out["g2"]["n_late"] == 2
+    assert out["g2"]["n_dup"] == 0 and out["g2"]["n_emitted"] == 0
+    assert out["g1"]["n_emitted"] == 1
+
+
 def test_fellegi_sunter_degenerate_blocks(spark):
     """Singleton blocks with matched keys: the non-match pair set is
     EMPTY -> u and lr are NULL, m still estimated; and a field absent
@@ -5674,3 +5700,51 @@ def test_fs_linkage_end_to_end_quality(spark):
     assert links_true >= 0.7 * n_match, agg
     assert links_false <= 0.02 * (links_false + agg.get((False, "non-link"), 0) + agg.get((False, "possible"), 0)), agg
     assert nonlinks_true <= 0.1 * n_match, agg
+
+
+def test_fs_score_pairs_saturates_instead_of_overflowing(spark):
+    """ADVICE r8: per-field contributions reach 1e12 micros (m=1e6
+    over u=1) while the running product rescales by only 1e6/field, so
+    an unclamped 4-strong-field agreement is 1e30 — past BIGINT (ANSI
+    throw) on exactly the strongest-link pairs. The score must
+    saturate at the 1e15 ceiling and still decide 'link'."""
+    from hadoop_fcfs_spark.ops.linkage import _SCORE_CAP_E6, fs_score_pairs
+
+    fields = ["f1", "f2", "f3", "f4"]
+    mu = spark.createDataFrame(
+        [(f, 1_000_000, 1) for f in fields],
+        "field string, m_e6 long, u_e6 long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, "v", "v", "v", "v", "v", "v", "v", "v")],
+        "pair_id int, f1_a string, f1_b string, f2_a string, f2_b string,"
+        " f3_a string, f3_b string, f4_a string, f4_b string",
+    )
+    r = fs_score_pairs(pairs, mu, fields).collect()[0]
+    assert r["score_e6"] == _SCORE_CAP_E6
+    assert r["decision"] == "link" and not r["decisive_link"]
+    with pytest.raises(ValueError):
+        fs_score_pairs(pairs, mu, fields, hi_e6=_SCORE_CAP_E6)
+
+
+def test_fellegi_sunter_cross_block_match_excluded(spark):
+    """ADVICE r8: a matched pair whose two views land in DIFFERENT
+    blocks (corrupted blocking attribute) is outside the within-block
+    pair universe and must count as neither match nor non-match — the
+    old key-only match join counted its agreements into __magree and
+    pushed __ua to -1 here."""
+    from hadoop_fcfs_spark.ops.linkage import fellegi_sunter_mu
+
+    a = spark.createDataFrame(
+        [(1, "b1", "x"), (2, "b1", "y")], "k int, blk string, f1 string"
+    )
+    b = spark.createDataFrame(
+        [(1, "b2", "x"), (2, "b1", "y")], "k int, blk string, f1 string"
+    )
+    r = fellegi_sunter_mu(a, b, "k", "blk", ["f1"]).collect()[0]
+    # pair universe = block b1: {a1,a2} x {b-key2} -> 1 match + 1 nonmatch
+    assert r["n_matches"] == 1
+    assert r["n_nonmatch_pairs"] == 1
+    assert r["m_e6"] == 1_000_000  # key 2 agrees on f1
+    assert r["u_e6"] == 0          # (a1, b-key2) disagrees; never negative
+    assert r["lr_e6"] is None

@@ -954,9 +954,13 @@ def test_fellegi_sunter_matches_brute_force_random(spark):
             f1 = rng.choice("pqr")
             f2 = rng.randint(0, 3)
             a_rows.append((k, blk, f1, f2))
-            # corrupted second view of the same entity
+            # corrupted second view of the same entity — including the
+            # BLOCKING attribute: a cross-block matched pair must count
+            # as neither match nor non-match (it is outside the
+            # within-block pair universe), which the literal enumeration
+            # below encodes for free by filtering pairs on the block
             b_rows.append((
-                k, blk,
+                k, blk if rng.random() < 0.85 else rng.choice(blocks),
                 f1 if rng.random() < 0.7 else rng.choice("pqrs"),
                 f2 + (1 if rng.random() < 0.3 else 0),
             ))
