@@ -53,8 +53,10 @@ HEADLINE = [
     "jaccard_prefix_dedup",
     "dsir_selection",
     "tfidf_cosine_topk",
-    "corpus_pipeline_v4",
-    "corpus_pipeline_v5",
+    # r9: corpus_pipeline_v4/v5 RETIRED from the headline set (gates
+    # remain registered and driver-sampled) — v6/v7 compose the same
+    # stage fragments (_v5_stages), so five pipeline generations was
+    # ~3.6 s/run of redundant signal; BASELINE.md records the trim.
     # r5 continuation: temporal-split train/predict/score loop — the
     # model-eval shuffle shape (shared user-key window feeding both
     # halves + broadcast model) none of the entries above exercises
