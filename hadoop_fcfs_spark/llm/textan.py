@@ -1057,3 +1057,57 @@ def good_turing_mass(
             f"END AS rstar{r}_e6"
         )
     return out.selectExpr(*exprs)
+
+
+def heaps_exponent(
+    df: DataFrame, id_col: str, text_col: str, deciles: int = 10
+) -> DataFrame:
+    """Heaps'-law exponent: fit ln V = ln K + β·ln N by least squares
+    over the :func:`heaps_vocab_growth` decile curve and report β —
+    the growth curve summarized to the one number the literature
+    quotes (natural corpora sit at β ≈ 0.4–0.6; β drifting DOWN
+    between snapshots says the incoming data rehashes the old
+    vocabulary, UP says a new domain/language slipped in). The
+    growth-side twin of :func:`zipf_slope`'s frequency-side exponent,
+    and the same determinism trick: both logs FLOOR-MICRO quantize
+    IMMEDIATELY (ln is the one blessed libm call), so the OLS moments
+    over (u, w) = (⌊ln N·1e6⌋, ⌊ln V·1e6⌋) are exact
+    BIGINT/DECIMAL(38,0) integers and accumulation order cannot
+    matter. β = (k·Σuw − Σu·Σw)/(k·Σuu − (Σu)²) ≥ 0 for any growing
+    curve, keeping the one truncating division on nonnegative
+    operands (the probed div parity domain); a non-increasing
+    'growth' curve yields NULL rather than a sign-truncation hazard.
+
+    Scale shape: heaps_vocab_growth's passes (one explode + token
+    collapse, ONE doc-grain prefix) feed a <= ``deciles``-row OLS —
+    the fit itself is driver-free and broadcast-grain. Output: 1 row
+    (n_points, heaps_beta_e6)."""
+    curve = heaps_vocab_growth(df, id_col, text_col, deciles=deciles)
+    dec = "decimal(38,0)"
+    q = curve.filter(
+        (F.col("n_tokens") > 0) & (F.col("vocab_size") > 0)
+    ).select(
+        F.floor(F.log(F.col("n_tokens").cast("double")) * 1_000_000)
+        .cast("long").alias("__u"),
+        F.floor(F.log(F.col("vocab_size").cast("double")) * 1_000_000)
+        .cast("long").alias("__w"),
+    )
+    m = q.agg(
+        F.count("*").cast("long").alias("__k"),
+        F.sum("__u").cast("long").alias("__su"),
+        F.sum("__w").cast("long").alias("__sw"),
+        F.sum(F.col("__u").cast(dec) * F.col("__u")).cast(dec).alias("__suu"),
+        F.sum(F.col("__u").cast(dec) * F.col("__w")).cast(dec).alias("__suw"),
+    )
+    return m.selectExpr(
+        "__k AS n_points",
+        "CASE WHEN (CAST(__k AS DECIMAL(38,0)) * __suu"
+        " - CAST(__su AS DECIMAL(38,0)) * __su) > 0"
+        " AND (CAST(__k AS DECIMAL(38,0)) * __suw"
+        " - CAST(__su AS DECIMAL(38,0)) * __sw) >= 0 THEN"
+        " CAST(((CAST(__k AS DECIMAL(38,0)) * __suw"
+        " - CAST(__su AS DECIMAL(38,0)) * __sw) * 1000000)"
+        " div (CAST(__k AS DECIMAL(38,0)) * __suu"
+        " - CAST(__su AS DECIMAL(38,0)) * __su) AS BIGINT)"
+        " END AS heaps_beta_e6",
+    )

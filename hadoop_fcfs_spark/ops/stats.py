@@ -4406,3 +4406,354 @@ def p_chart(
         F.floor(F.lit(1_000_000) * lcl).cast("long").alias("lcl_e6"),
         ((rate > ucl) | (rate < lcl)).alias("out_of_control"),
     )
+
+
+def cusum_chart(
+    df: DataFrame,
+    group_col: Column | str,
+    defect_cond: Column,
+    group_alias: str = "grain",
+    slack_e6: int = 0,
+    h_e6: int = 5_000_000,
+) -> DataFrame:
+    """Tabular (two-sided) CUSUM chart for proportions over an ordered
+    grain — the sequential-drift twin of :func:`p_chart`: Shewhart
+    flags one big excursion, CUSUM accumulates many small ones (the
+    classic detection split: p-chart for special causes, CUSUM for a
+    sustained shift a publish loop would otherwise ship for weeks).
+    Upper side monitors rate increases against reference p̄ +
+    ``slack_e6``; lower side decreases against p̄ − ``slack_e6``
+    (slack = the half-shift allowance k of the textbook scheme).
+
+    The recursion C_t = max(0, C_{t-1} + s_t) is NOT computed
+    sequentially: with S_t the inclusive prefix sum of the slacks it
+    has the exact closed form C_t = S_t − min(0, min_{j<=t} S_j), so
+    both sides run as range-partitioned prefix passes
+    (ops.sort.global_running_sum + global_running_max on the negated
+    sum) — no per-row loop, no unpartitioned window. All slack
+    arithmetic is exact BIGINT micro-counts: s_up = x·1e6 −
+    n·(p̄_e6 + slack), s_dn = n·(p̄_e6 − slack) − x·1e6 with p̄_e6 the
+    flooring pooled rate, so every engine agrees to the last micro.
+    alarm_* fires when the cusum exceeds ``h_e6`` (the decision
+    interval, in micro-defect units).
+
+    Scale shape: one grain aggregation, one broadcast scalar, two
+    prefix passes over GRAIN rows (days/shards — bounded), zero
+    data-sized windows. Output per grain cell, in order: grain, n, x,
+    cusum_up_e6, cusum_dn_e6, alarm_up, alarm_dn."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_max, global_running_sum
+
+    if slack_e6 < 0:
+        raise ValueError(f"slack_e6 must be >= 0, got {slack_e6}")
+    if h_e6 <= 0:
+        raise ValueError(f"h_e6 must be > 0, got {h_e6}")
+    gc = F.col(group_col) if isinstance(group_col, str) else group_col
+    grain = df.groupBy(gc.alias(group_alias)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(defect_cond, 1).otherwise(0)).cast("long").alias("x"),
+    )
+    pooled = grain.agg(
+        F.sum("n").cast("long").alias("__tn"),
+        F.sum("x").cast("long").alias("__tx"),
+    )
+    slacked = waypoint(
+        grain.crossJoin(F.broadcast(pooled))
+        .withColumn("__pbar", F.expr("CAST(__tx * 1000000 div __tn AS BIGINT)"))
+        .withColumn(
+            "__sup",
+            F.col("x") * F.lit(1_000_000)
+            - F.col("n") * (F.col("__pbar") + F.lit(int(slack_e6))),
+        )
+        .withColumn(
+            "__sdn",
+            F.col("n") * (F.col("__pbar") - F.lit(int(slack_e6)))
+            - F.col("x") * F.lit(1_000_000),
+        )
+        .select(group_alias, "n", "x", "__sup", "__sdn")
+    )
+    s = global_running_sum(
+        slacked, [group_alias], ["__sup", "__sdn"],
+        out_col=["__Su", "__Sd"], inclusive=True,
+    ).withColumn("__nSu", -F.col("__Su")).withColumn(
+        "__nSd", -F.col("__Sd")
+    )
+    m = global_running_max(
+        global_running_max(
+            s, [group_alias], "__nSu", out_col="__Mu", inclusive=True
+        ),
+        [group_alias], "__nSd", out_col="__Md", inclusive=True,
+    )
+    up = F.col("__Su") + F.greatest(F.lit(0).cast("long"), F.col("__Mu"))
+    dn = F.col("__Sd") + F.greatest(F.lit(0).cast("long"), F.col("__Md"))
+    return m.select(
+        group_alias, "n", "x",
+        up.cast("long").alias("cusum_up_e6"),
+        dn.cast("long").alias("cusum_dn_e6"),
+        (up > F.lit(int(h_e6))).alias("alarm_up"),
+        (dn > F.lit(int(h_e6))).alias("alarm_dn"),
+    )
+
+
+def pr_auc(
+    df: DataFrame, score_col: str, label_col: Column | str
+) -> DataFrame:
+    """Average-precision scalar (step-function PR-AUC): Σ_t
+    precision(t)·Δrecall(t) over the distinct-score threshold grain —
+    the one-number companion to :func:`pr_curve_interp` exactly as
+    roc_auc_orderstatus is to the gains/calibration tier (the curve is
+    the diagnostic, the scalar is what a pipeline gate thresholds on).
+    Ties contribute at their threshold's pooled precision, the
+    standard grouped-ties AP formulation.
+
+    Exactness: same substrate as pr_curve_interp — score-grain
+    collapse, ONE two-column exclusive prefix
+    (ops.sort.global_running_sum) giving kept = N − below and tp = P −
+    pos_below at each threshold. Each term tp·d_pos·1e6 div (kept·P)
+    quantizes to micros INDEPENDENTLY (DECIMAL(38,0) products — at
+    1e11 rows tp·d_pos·1e6 passes BIGINT long before any driver
+    scale) and the terms SUM AS BIGINTs, so accumulation order cannot
+    matter; per-term flooring beats a common-denominator rescale
+    because kept varies per row (denominators are unbounded, unlike
+    the 11-point curve's fixed checkpoint count). ap_e6 is NULL when
+    P = 0 — undefined, not zero.
+
+    Scale shape: grain collapse + one range-partitioned prefix + one
+    scalar reduce; output is ONE row (n, n_pos, ap_e6)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    grain = waypoint(
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(F.col(score_col).alias("__v"))
+        .agg(
+            F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("__ca"),
+            F.count("*").cast("long").alias("__c"),
+        )
+    )
+    before = global_running_sum(
+        grain, ["__v"], ["__c", "__ca"],
+        out_col=["__before", "__cabef"], inclusive=False,
+    )
+    tot = grain.agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.sum("__ca").cast("long").alias("__p"),
+    )
+    terms = (
+        before.crossJoin(F.broadcast(tot))
+        .withColumn("__kept", F.col("__n") - F.col("__before"))
+        .withColumn("__tp", F.col("__p") - F.col("__cabef"))
+        .withColumn(
+            "__term",
+            F.expr(
+                "CASE WHEN __ca > 0 AND __p > 0 THEN CAST("
+                "CAST(__tp AS DECIMAL(38,0)) * __ca * 1000000"
+                " div (CAST(__kept AS DECIMAL(38,0)) * __p) AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+    )
+    return terms.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max("__p").cast("long").alias("n_pos"),
+        F.when(
+            F.max("__p") > 0, F.sum("__term").cast("long")
+        ).alias("ap_e6"),
+    )
+
+
+def gray_test(
+    durations: DataFrame,
+    duration_col: str,
+    cause_col: str,
+    target_cause,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Gray's test (1988, rho = 0) for equality of two groups'
+    cumulative incidence of ``target_cause`` under competing risks —
+    the significance companion to :func:`aalen_johansen` exactly as
+    :func:`logrank_test` is to kaplan_meier, and the test log-rank
+    CANNOT replace here: log-rank on the cause-specific hazard treats
+    competing exits as censoring, so a group that merely exits FASTER
+    by the competing cause looks protected from the target cause.
+    Gray compares the SUBDISTRIBUTION hazard: a subject who exited by
+    a competing cause stays in the target cause's risk set forever
+    (they remain forever "able to not yet have" the target event).
+
+    COMPLETE-FOLLOW-UP form: this implementation assumes no
+    right-censoring (rows with NULL cause = observed never to exit —
+    they too stay at risk forever), under which Gray's rho=0 statistic
+    is EXACTLY the log-rank score computed on the subdistribution risk
+    set Y*_g(t) = n_g − (target-cause exits of g before t):
+    U = Σ_t (d_A(t) − Y*_A·d(t)/Y*), hypergeometric
+    V = Σ_t d·(Y*_A/Y*)(1−Y*_A/Y*)(Y*−d)/(Y*−1), z = U/√V. With
+    censoring, Gray's IPCW weights would be needed — out of scope,
+    documented (the driver tables have complete follow-up by
+    construction).
+
+    Determinism (logrank_test conventions): per-step E and V terms
+    are flat division chains over exact BIGINT risk counts,
+    floor-quantized to NANO units and summed as BIGINTs; z is one
+    subtraction + sqrt at the end. Risk sets via ONE exclusive
+    two-column global_running_sum pass over the pooled duration
+    grain. Output: 1 row (n_1, n_2, o_1, e1_e9, v_e9, z_e6 — NULL z
+    when V = 0)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    g1 = F.col(group_col) == F.lit(group_a)
+    tgt = F.col(cause_col) == F.lit(target_cause)
+    grain = waypoint(
+        durations.filter(
+            F.col(group_col).isin([group_a, group_b])
+            & F.col(duration_col).isNotNull()
+        )
+        .groupBy(F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(F.when(g1 & tgt, 1).otherwise(0)).cast("long")
+            .alias("__d1"),
+            F.sum(F.when(~g1 & tgt, 1).otherwise(0)).cast("long")
+            .alias("__d2"),
+        )
+    )
+    tot = durations.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(duration_col).isNotNull()
+    ).agg(
+        F.sum(F.when(g1, 1).otherwise(0)).cast("long").alias("__n1t"),
+        F.sum(F.when(~g1, 1).otherwise(0)).cast("long").alias("__n2t"),
+    )
+    # subdistribution risk sets: subtract ONLY prior target-cause exits
+    cum = global_running_sum(
+        grain, ["t"], ["__d1", "__d2"], out_col=["__b1", "__b2"],
+        inclusive=False,
+    )
+    r = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("__r1", F.col("__n1t") - F.col("__b1"))
+        .withColumn("__r2", F.col("__n2t") - F.col("__b2"))
+        .withColumn("__y", F.col("__r1") + F.col("__r2"))
+        .withColumn("__d", F.col("__d1") + F.col("__d2"))
+        .filter(F.col("__d") > 0)
+    )
+    d, y, r1 = (
+        F.col("__d").cast("double"),
+        F.col("__y").cast("double"),
+        F.col("__r1").cast("double"),
+    )
+    e_term = F.floor(d * r1 / y * 1_000_000_000.0).cast("long")
+    v_term = F.when(
+        F.col("__y") > 1,
+        F.floor(
+            d * (r1 / y) * (1.0 - r1 / y) * ((y - d) / (y - 1.0))
+            * 1_000_000_000.0
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    # totals come from tot, not a max over r: with zero target-cause
+    # exits r is EMPTY and a max would erase the group sizes
+    agg = r.agg(
+        F.sum("__d1").cast("long").alias("o_1"),
+        F.sum(e_term).cast("long").alias("e1_e9"),
+        F.sum(v_term).cast("long").alias("v_e9"),
+    ).crossJoin(F.broadcast(tot))
+    o9 = F.col("o_1") * F.lit(1_000_000_000)
+    z = (o9 - F.col("e1_e9")).cast("double") / F.sqrt(
+        F.lit(1_000_000_000.0) * F.col("v_e9").cast("double")
+    )
+    return agg.select(
+        F.col("__n1t").cast("long").alias("n_1"),
+        F.col("__n2t").cast("long").alias("n_2"),
+        "o_1", "e1_e9", "v_e9",
+        F.when(F.col("v_e9") > 0, F.floor(z * 1_000_000).cast("long"))
+        .alias("z_e6"),
+    )
+
+
+def mondrian_conformal_audit(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    calib_cond: Column,
+    alpha_permille: int = 100,
+    chunk_width: int = 1000,
+) -> DataFrame:
+    """Mondrian (group-conditional) vs marginal split-conformal, with
+    the coverage audit that motivates the distinction: calibrate on
+    the ``calib_cond`` slice, evaluate on the rest, and report each
+    group's EMPIRICAL coverage under (a) its own Mondrian threshold
+    and (b) the one global marginal threshold. Marginal conformal
+    guarantees only AGGREGATE 1−α coverage — a heterogeneous group
+    (higher score scale) silently undercovers while easy groups
+    overcover, which is exactly what this audit makes visible;
+    Mondrian calibrates per group and restores the guarantee
+    group-by-group (Vovk's taxonomy-conditional validity).
+
+    Arithmetic: thresholds are :func:`conformal_threshold`'s exact
+    ⌈(n+1)(1−α)⌉-th order statistics (per group, and once with a
+    constant group for the marginal); coverage counts value <=
+    threshold on the test slice, flooring-micro rates. A group too
+    small to conformalize (threshold NULL) reports NULL Mondrian
+    coverage — undefined, not 0. The split condition is the CALLER's
+    deterministic expression (md5-parity in the gates — replayable,
+    RNG-state-free, the sampling-tier discipline).
+
+    Scale shape: two conformal_threshold passes on the calib slice
+    (group-grain + chunked prefix, never one window task), one
+    test-slice group aggregation against the BROADCAST group-grain
+    threshold table. Output per group: group, n_calib, n_test,
+    thr_mondrian, thr_marginal, cov_mondrian_e6, cov_marginal_e6."""
+    from hadoop_fcfs_spark.caching import waypoint
+
+    base = waypoint(
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        ).select(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).alias("__v"),
+            calib_cond.alias("__calib"),
+        )
+    )
+    calib = base.filter(F.col("__calib"))
+    mond = conformal_threshold(
+        calib, "__g", "__v", alpha_permille=alpha_permille,
+        chunk_width=chunk_width,
+    ).select(
+        F.col("__g"),
+        F.col("n").alias("n_calib"),
+        F.col("threshold").alias("thr_mondrian"),
+    )
+    marg = conformal_threshold(
+        calib.withColumn("__one", F.lit(1)), "__one", "__v",
+        alpha_permille=alpha_permille, chunk_width=chunk_width,
+    ).select(F.col("threshold").alias("thr_marginal"))
+    test = (
+        base.filter(~F.col("__calib"))
+        .join(F.broadcast(mond), "__g", "left")
+        .crossJoin(F.broadcast(marg))
+    )
+    out = test.groupBy(F.col("__g").alias(group_col)).agg(
+        F.max("n_calib").cast("long").alias("n_calib"),
+        F.count("*").cast("long").alias("n_test"),
+        F.max("thr_mondrian").alias("thr_mondrian"),
+        F.max("thr_marginal").alias("thr_marginal"),
+        F.sum(
+            F.when(F.col("__v") <= F.col("thr_mondrian"), 1).otherwise(0)
+        ).cast("long").alias("__cm"),
+        F.sum(
+            F.when(F.col("__v") <= F.col("thr_marginal"), 1).otherwise(0)
+        ).cast("long").alias("__cg"),
+    )
+    return out.select(
+        group_col, "n_calib", "n_test", "thr_mondrian", "thr_marginal",
+        F.when(
+            F.col("thr_mondrian").isNotNull(),
+            F.expr("CAST(__cm * 1000000 div n_test AS BIGINT)"),
+        ).alias("cov_mondrian_e6"),
+        F.when(
+            F.col("thr_marginal").isNotNull(),
+            F.expr("CAST(__cg * 1000000 div n_test AS BIGINT)"),
+        ).alias("cov_marginal_e6"),
+    )

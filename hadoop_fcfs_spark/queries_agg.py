@@ -6068,3 +6068,335 @@ def p_chart_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_alias="grain",
         sigmas=3.0,
     )
+
+
+@register(
+    "cusum_chart_daily_returns",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS grain,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS tn, SUM(x) AS tx FROM g),
+    s AS (
+      SELECT grain, n, x,
+             x * 1000000 - n * ((tx * 1000000 // tn) + 5000) AS sup,
+             n * ((tx * 1000000 // tn) - 5000) - x * 1000000 AS sdn
+      FROM g CROSS JOIN tot
+    ),
+    ps AS (
+      SELECT grain, n, x,
+             SUM(sup) OVER (ORDER BY grain
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS su,
+             SUM(sdn) OVER (ORDER BY grain
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sd
+      FROM s
+    ),
+    pm AS (
+      SELECT grain, n, x, su, sd,
+             MIN(su) OVER (ORDER BY grain
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mu,
+             MIN(sd) OVER (ORDER BY grain
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS md
+      FROM ps
+    )
+    SELECT grain, n, x,
+           CAST(su - LEAST(0, mu) AS BIGINT) AS cusum_up_e6,
+           CAST(sd - LEAST(0, md) AS BIGINT) AS cusum_dn_e6,
+           su - LEAST(0, mu) > 5000000 AS alarm_up,
+           sd - LEAST(0, md) > 5000000 AS alarm_dn
+    FROM pm
+    """,
+    doc="Two-sided binomial CUSUM over the daily return-rate series "
+    "(ops.stats.cusum_chart), slack 0.5 percent, decision interval "
+    "5e6 micro-defects - the sequential-drift twin of "
+    "p_chart_daily_returns (Shewhart flags one big excursion; CUSUM "
+    "accumulates a sustained small shift). The max(0, C+s) recursion "
+    "is computed via its exact closed form C_t = S_t - min(0, min "
+    "prefix S) - two range-partitioned prefix passes "
+    "(global_running_sum + global_running_max on the negated sum), "
+    "never a sequential loop or unpartitioned window; all slack "
+    "arithmetic exact BIGINT micro-counts off the flooring pooled "
+    "rate. The oracle's windows are the oracle's privilege.",
+)
+def cusum_chart_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import cusum_chart
+
+    li = t(spark, sf_dir, "lineitem")
+    return cusum_chart(
+        li,
+        F.to_date("l_shipdate").cast("string"),
+        F.col("l_returnflag") == "R",
+        group_alias="grain",
+        slack_e6=5000,
+        h_e6=5_000_000,
+    )
+
+
+@register(
+    "pr_auc_orderstatus",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS v,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT ca, c,
+             COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+             COALESCE(SUM(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cabef
+      FROM g
+    ),
+    tot AS (SELECT SUM(c) AS n, SUM(ca) AS p FROM g),
+    terms AS (
+      SELECT n, p,
+             CASE WHEN ca > 0 AND p > 0 THEN
+               (p - cabef) * ca * 1000000 // ((n - bef) * p)
+             ELSE 0 END AS term
+      FROM r CROSS JOIN tot
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(p) AS BIGINT) AS n_pos,
+           CASE WHEN MAX(p) > 0 THEN CAST(SUM(term) AS BIGINT) END AS ap_e6
+    FROM terms
+    """,
+    doc="Average-precision scalar / step-function PR-AUC "
+    "(ops.stats.pr_auc): does order total discriminate FINISHED "
+    "orders, summarized on the precision-recall axis where ROC-AUC "
+    "flatters rare positives - the one-number companion to "
+    "pr_curve_orderstatus exactly as roc_auc is to the calibration "
+    "tier. Same substrate: distinct-score grain + ONE two-column "
+    "exclusive global_running_sum prefix; each threshold's term "
+    "tp*d_pos*1e6 div (kept*P) floor-quantizes to micros "
+    "INDEPENDENTLY (DECIMAL(38,0) products - per-term flooring "
+    "because kept varies per row, unlike the 11-point curve's fixed "
+    "checkpoints) and the terms sum as BIGINTs - accumulation order "
+    "cannot matter on either engine.",
+)
+def pr_auc_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import pr_auc
+
+    return pr_auc(
+        t(spark, sf_dir, "orders"), "o_totalprice",
+        F.col("o_orderstatus") == "F",
+    )
+
+
+@register(
+    "gray_test_cohorts",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS coh,
+             MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l,
+             MIN(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN CAST(ts AS DATE) END) AS ca,
+             MIN(CASE WHEN event_type = 'error'
+                      THEN CAST(ts AS DATE) END) AS cb
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT coh,
+             CASE
+               WHEN ca IS NOT NULL AND (cb IS NULL OR ca <= cb)
+                 THEN DATEDIFF('day', f, ca)
+               WHEN cb IS NOT NULL THEN DATEDIFF('day', f, cb)
+               ELSE DATEDIFF('day', f, l) END AS t,
+             CASE
+               WHEN ca IS NOT NULL AND (cb IS NULL OR ca <= cb) THEN 'conv'
+               WHEN cb IS NOT NULL THEN 'err' END AS cause
+      FROM u
+    ),
+    g AS (
+      SELECT t,
+             SUM(CASE WHEN coh = 0 AND cause = 'conv' THEN 1 ELSE 0 END) AS d1,
+             SUM(CASE WHEN coh = 1 AND cause = 'conv' THEN 1 ELSE 0 END) AS d2
+      FROM d GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(CASE WHEN coh = 0 THEN 1 ELSE 0 END) AS n1t,
+             SUM(CASE WHEN coh = 1 THEN 1 ELSE 0 END) AS n2t
+      FROM d
+    ),
+    r AS (
+      SELECT t, d1, d2,
+             n1t - COALESCE(SUM(d1) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r1,
+             n2t - COALESCE(SUM(d2) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r2
+      FROM g CROSS JOIN tot
+    ),
+    s AS (
+      SELECT d1, d1 + d2 AS d, r1, r1 + r2 AS y FROM r WHERE d1 + d2 > 0
+    ),
+    m AS (
+      SELECT SUM(d1) AS o1,
+             SUM(CAST(FLOOR(CAST(d AS DOUBLE) * CAST(r1 AS DOUBLE)
+                   / CAST(y AS DOUBLE) * 1000000000) AS BIGINT)) AS e9,
+             SUM(CASE WHEN y > 1 THEN
+                 CAST(FLOOR(CAST(d AS DOUBLE)
+                      * (CAST(r1 AS DOUBLE) / CAST(y AS DOUBLE))
+                      * (1.0 - CAST(r1 AS DOUBLE) / CAST(y AS DOUBLE))
+                      * ((CAST(y AS DOUBLE) - CAST(d AS DOUBLE))
+                         / (CAST(y AS DOUBLE) - 1.0))
+                      * 1000000000) AS BIGINT) ELSE 0 END) AS v9
+      FROM s
+    )
+    SELECT CAST(tot.n1t AS BIGINT) AS n_1, CAST(tot.n2t AS BIGINT) AS n_2,
+           CAST(m.o1 AS BIGINT) AS o_1, CAST(m.e9 AS BIGINT) AS e1_e9,
+           CAST(m.v9 AS BIGINT) AS v_e9,
+           CASE WHEN m.v9 > 0 THEN
+             CAST(FLOOR(CAST(m.o1 * 1000000000 - m.e9 AS DOUBLE)
+                  / sqrt(1000000000.0 * CAST(m.v9 AS DOUBLE))
+                  * 1000000) AS BIGINT)
+           END AS z_e6
+    FROM m CROSS JOIN tot
+    """,
+    doc="Gray's test (rho=0, complete follow-up) for equality of the "
+    "two parity cohorts' cumulative incidence of CONVERSION under "
+    "the competing error exit (ops.stats.gray_test) - the "
+    "significance companion to aalen_johansen_cif exactly as "
+    "logrank_cohorts is to the KM curve, and the test log-rank "
+    "cannot replace: log-rank on the cause-specific hazard treats "
+    "competing exits as censoring, so a cohort that merely errors "
+    "FASTER looks protected from conversion. Same duration grain as "
+    "the AJ gate; subdistribution risk sets subtract only prior "
+    "TARGET-cause exits (competing exits stay at risk forever); "
+    "per-step E/V floor-quantize to nanos and sum as BIGINTs "
+    "(logrank discipline); z = one subtraction + sqrt at the end.",
+)
+def gray_test_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import gray_test
+
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("__f"),
+        F.max(F.to_date("ts")).alias("__l"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                F.to_date("ts"),
+            )
+        ).alias("__ca"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.to_date("ts"))
+        ).alias("__cb"),
+    )
+    d = u.select(
+        (F.col("user_id") % 2).alias("coh"),
+        F.when(
+            F.col("__ca").isNotNull()
+            & (F.col("__cb").isNull() | (F.col("__ca") <= F.col("__cb"))),
+            F.datediff(F.col("__ca"), F.col("__f")),
+        )
+        .when(
+            F.col("__cb").isNotNull(),
+            F.datediff(F.col("__cb"), F.col("__f")),
+        )
+        .otherwise(F.datediff(F.col("__l"), F.col("__f")))
+        .alias("t"),
+        F.when(
+            F.col("__ca").isNotNull()
+            & (F.col("__cb").isNull() | (F.col("__ca") <= F.col("__cb"))),
+            F.lit("conv"),
+        )
+        .when(F.col("__cb").isNotNull(), F.lit("err"))
+        .alias("cause"),
+    )
+    return gray_test(d, "t", "cause", "conv", "coh", 0, 1)
+
+
+@register(
+    "mondrian_conformal_prices",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS g, o_totalprice AS v,
+             CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+               || ':conf'), 1, 8) AS BIGINT) < 2147483648 AS calib
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    cg AS (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base WHERE calib GROUP BY 1, 2
+    ),
+    ct AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cg GROUP BY 1),
+    cc AS (
+      SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cm FROM cg
+    ),
+    thr_m AS (
+      SELECT cc.g, MIN(v) AS thr
+      FROM cc JOIN ct USING (g)
+      WHERE cm >= ((n + 1) * 900 + 999) // 1000
+      GROUP BY 1
+    ),
+    mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base WHERE calib),
+    mc AS (
+      SELECT v, SUM(c) OVER (ORDER BY v) AS cm
+      FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM base WHERE calib GROUP BY 1)
+    ),
+    thr_g AS (
+      SELECT MIN(v) AS thr FROM mc CROSS JOIN mt
+      WHERE cm >= ((n + 1) * 900 + 999) // 1000
+    )
+    SELECT base.g AS o_orderpriority,
+           CAST(MAX(ct.n) AS BIGINT) AS n_calib,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           MAX(thr_m.thr) AS thr_mondrian,
+           MAX(thr_g.thr) AS thr_marginal,
+           CASE WHEN MAX(thr_m.thr) IS NOT NULL THEN
+             CAST(SUM(CASE WHEN v <= thr_m.thr THEN 1 ELSE 0 END)
+               * 1000000 // COUNT(*) AS BIGINT) END AS cov_mondrian_e6,
+           CASE WHEN MAX(thr_g.thr) IS NOT NULL THEN
+             CAST(SUM(CASE WHEN v <= thr_g.thr THEN 1 ELSE 0 END)
+               * 1000000 // COUNT(*) AS BIGINT) END AS cov_marginal_e6
+    FROM base
+    LEFT JOIN ct ON ct.g = base.g
+    LEFT JOIN thr_m ON thr_m.g = base.g
+    CROSS JOIN thr_g
+    WHERE NOT calib
+    GROUP BY 1
+    """,
+    doc="Mondrian vs marginal split-conformal coverage audit at "
+    "alpha=0.1 (ops.stats.mondrian_conformal_audit): calibrate on "
+    "the md5-parity half of orders (replayable RNG-state-free split, "
+    "sampling-tier discipline), evaluate per-priority coverage of "
+    "(a) each priority's own ceil((n+1)*0.9)-th order-statistic "
+    "threshold and (b) the single marginal threshold - the audit "
+    "that motivates Mondrian conformal: marginal guarantees only "
+    "AGGREGATE 1-alpha coverage, so a price-heavy priority silently "
+    "undercovers while easy ones overcover; per-group calibration "
+    "restores the guarantee group-by-group (Vovk's "
+    "taxonomy-conditional validity). Exact order statistics via the "
+    "conformal_threshold machinery; flooring-micro coverage rates.",
+)
+def mondrian_conformal_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import mondrian_conformal_audit
+
+    o = t(spark, sf_dir, "orders")
+    calib = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"), F.lit(":conf")
+                    ).cast("binary")
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        < 2147483648
+    )
+    return mondrian_conformal_audit(
+        o, "o_orderpriority", "o_totalprice", calib,
+        alpha_permille=100, chunk_width=1000,
+    )

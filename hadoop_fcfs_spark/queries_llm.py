@@ -5470,3 +5470,91 @@ def fellegi_sunter_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fellegi_sunter_mu(
         a, b, "c_custkey", "c_nationkey", ["name", "seg", "bal"]
     )
+
+
+@register(
+    "heaps_exponent_docs",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    pd AS (
+      SELECT d.doc_id, COALESCE(c.n, 0) AS ntok
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY 1) c
+        USING (doc_id)
+    ),
+    rk AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS r,
+             SUM(ntok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumtok
+      FROM pd
+    ),
+    tot AS (SELECT COUNT(*) AS d FROM pd),
+    cb AS (
+      SELECT decile, (decile * d) // 10 AS r
+      FROM (SELECT UNNEST(generate_series(1, 10)) AS decile) CROSS JOIN tot
+      WHERE (decile * d) // 10 >= 1
+    ),
+    fr AS (
+      SELECT fd.w, rk.r
+      FROM (SELECT w, MIN(doc_id) AS fdoc FROM dt GROUP BY 1) fd
+      JOIN rk ON rk.doc_id = fd.fdoc
+    ),
+    vc AS (
+      SELECT cb.decile, CAST(COUNT(fr.w) AS BIGINT) AS vocab_size
+      FROM cb LEFT JOIN fr ON fr.r <= cb.r GROUP BY 1
+    ),
+    curve AS (
+      SELECT rk.cumtok AS n_tokens, vc.vocab_size
+      FROM cb JOIN rk ON rk.r = cb.r JOIN vc USING (decile)
+      WHERE rk.cumtok > 0 AND vc.vocab_size > 0
+    ),
+    q AS (
+      SELECT CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+               AS u,
+             CAST(FLOOR(ln(CAST(vocab_size AS DOUBLE)) * 1000000) AS BIGINT)
+               AS w
+      FROM curve
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(w) AS BIGINT) AS sw,
+             SUM(CAST(u AS HUGEINT) * u) AS suu,
+             SUM(CAST(u AS HUGEINT) * w) AS suw
+      FROM q
+    )
+    SELECT k AS n_points,
+           CASE WHEN (CAST(k AS HUGEINT) * suu
+                  - CAST(su AS HUGEINT) * su) > 0
+                 AND (CAST(k AS HUGEINT) * suw
+                  - CAST(su AS HUGEINT) * sw) >= 0 THEN
+             CAST(((CAST(k AS HUGEINT) * suw - CAST(su AS HUGEINT) * sw)
+                   * 1000000)
+                  // (CAST(k AS HUGEINT) * suu - CAST(su AS HUGEINT) * su)
+                  AS BIGINT)
+           END AS heaps_beta_e6
+    FROM m
+    """,
+    doc="Heaps'-law exponent over the decile growth curve "
+    "(llm.textan.heaps_exponent): least-squares fit of ln V = ln K + "
+    "beta*ln N over heaps_vocab_growth's checkpoints, reporting beta "
+    "- the growth curve summarized to the one number the literature "
+    "quotes (natural corpora ~0.4-0.6; beta drifting down between "
+    "snapshots = the new data rehashes the old vocabulary, up = a "
+    "domain/language slipped in), the growth-side twin of "
+    "zipf_slope_tokens and the same determinism trick: both logs "
+    "floor-micro quantize IMMEDIATELY so the OLS moments are exact "
+    "BIGINT/DECIMAL integers and accumulation order cannot matter; "
+    "the slope division runs on nonnegative operands only (upward "
+    "curve), NULL otherwise.",
+)
+def heaps_exponent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import heaps_exponent
+
+    return heaps_exponent(
+        t(spark, sf_dir, "documents"), "doc_id", "text", deciles=10
+    )

@@ -5748,3 +5748,191 @@ def test_fellegi_sunter_cross_block_match_excluded(spark):
     assert r["m_e6"] == 1_000_000  # key 2 agrees on f1
     assert r["u_e6"] == 0          # (a1, b-key2) disagrees; never negative
     assert r["lr_e6"] is None
+
+
+def test_cusum_chart_matches_sequential_recursion(spark):
+    """The closed form C_t = S_t - min(0, min prefix S) vs the literal
+    textbook recursion C_t = max(0, C_{t-1} + s_t), replayed in Python
+    on a random daily series (both sides, exact integer slacks)."""
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import cusum_chart
+
+    rng = random.Random(9)
+    rows = []
+    for day in range(40):
+        n = rng.randint(5, 40)
+        x = rng.randint(0, n)
+        rows += [("d%03d" % day, i < x) for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, bad boolean")
+    out = {
+        r["grain"]: r
+        for r in cusum_chart(
+            df, "g", F.col("bad"), slack_e6=20_000, h_e6=2_000_000
+        ).collect()
+    }
+    per_day = {}
+    for g, bad in rows:
+        n, x = per_day.get(g, (0, 0))
+        per_day[g] = (n + 1, x + (1 if bad else 0))
+    tn = sum(n for n, _ in per_day.values())
+    tx = sum(x for _, x in per_day.values())
+    pbar = tx * 1_000_000 // tn
+    cu = cd = 0
+    for g in sorted(per_day):
+        n, x = per_day[g]
+        cu = max(0, cu + x * 1_000_000 - n * (pbar + 20_000))
+        cd = max(0, cd + n * (pbar - 20_000) - x * 1_000_000)
+        r = out[g]
+        assert r["cusum_up_e6"] == cu, g
+        assert r["cusum_dn_e6"] == cd, g
+        assert r["alarm_up"] == (cu > 2_000_000), g
+        assert r["alarm_dn"] == (cd > 2_000_000), g
+    with pytest.raises(ValueError):
+        cusum_chart(df, "g", F.col("bad"), slack_e6=-1)
+    with pytest.raises(ValueError):
+        cusum_chart(df, "g", F.col("bad"), h_e6=0)
+
+
+def test_pr_auc_matches_literal_enumeration(spark):
+    """pr_auc vs literal threshold enumeration with per-term flooring
+    (grouped-ties AP), plus the all-negative input -> NULL ap."""
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import pr_auc
+
+    rng = random.Random(17)
+    rows = [
+        (rng.choice([1.0, 2.0, 3.5, 4.0, 7.25]), rng.random() < 0.3)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    r = pr_auc(df, "s", F.col("y")).collect()[0]
+    n = len(rows)
+    p = sum(1 for _, y in rows if y)
+    expect = 0
+    for v in sorted({s for s, _ in rows}):
+        kept = sum(1 for s, _ in rows if s >= v)
+        tp = sum(1 for s, y in rows if s >= v and y)
+        d_ca = sum(1 for s, y in rows if s == v and y)
+        if d_ca > 0 and p > 0:
+            expect += tp * d_ca * 1_000_000 // (kept * p)
+    assert r["n"] == n and r["n_pos"] == p and r["ap_e6"] == expect
+    # a perfect ranking's AP is exactly 1 (every term at precision 1)
+    perf = spark.createDataFrame(
+        [(2.0, True)] * 5 + [(1.0, False)] * 5, "s double, y boolean"
+    )
+    assert pr_auc(perf, "s", F.col("y")).collect()[0]["ap_e6"] == 1_000_000
+    none = spark.createDataFrame([(1.0, False), (2.0, False)], "s double, y boolean")
+    assert pr_auc(none, "s", F.col("y")).collect()[0]["ap_e6"] is None
+
+
+def test_gray_test_subdistribution_risk_sets(spark):
+    """gray_test vs a literal Python replica on hand competing-risks
+    data, including the discriminating property log-rank lacks: a
+    competing-cause exit does NOT leave the target cause's risk set
+    (its subject stays in Y* at every later time)."""
+    from hadoop_fcfs_spark.ops.stats import gray_test
+
+    rows = [  # (grp, t, cause)
+        ("a", 1, "conv"), ("a", 2, "err"), ("a", 4, "conv"), ("a", 5, None),
+        ("b", 1, "err"), ("b", 3, "conv"), ("b", 4, "err"), ("b", 6, None),
+        ("b", 2, "conv"),
+    ]
+    df = spark.createDataFrame(rows, "grp string, t int, cause string")
+    r = gray_test(df, "t", "cause", "conv", "grp", "a", "b").collect()[0]
+    n1 = sum(1 for g, _, _ in rows if g == "a")
+    n2 = sum(1 for g, _, _ in rows if g == "b")
+    times = sorted({t for _, t, c in rows if c == "conv"})
+    o1 = e9 = v9 = 0
+    import math
+    for t_ in times:
+        d1 = sum(1 for g, t, c in rows if g == "a" and t == t_ and c == "conv")
+        d2 = sum(1 for g, t, c in rows if g == "b" and t == t_ and c == "conv")
+        # subdistribution risk set: everyone except PRIOR conv exits
+        r1 = n1 - sum(1 for g, t, c in rows if g == "a" and t < t_ and c == "conv")
+        r2 = n2 - sum(1 for g, t, c in rows if g == "b" and t < t_ and c == "conv")
+        d, y = d1 + d2, r1 + r2
+        o1 += d1
+        e9 += math.floor(d * r1 / y * 1e9)
+        if y > 1:
+            v9 += math.floor(d * (r1 / y) * (1 - r1 / y) * ((y - d) / (y - 1)) * 1e9)
+    assert (r["n_1"], r["n_2"], r["o_1"]) == (n1, n2, o1)
+    assert r["e1_e9"] == e9 and r["v_e9"] == v9
+    assert r["z_e6"] == math.floor((o1 * 10**9 - e9) / math.sqrt(1e9 * v9) * 1e6)
+    # zero target-cause exits: totals still reported, z NULL
+    noconv = spark.createDataFrame(
+        [("a", 1, "err"), ("b", 2, None)], "grp string, t int, cause string"
+    )
+    r0 = gray_test(noconv, "t", "cause", "conv", "grp", "a", "b").collect()[0]
+    assert (r0["n_1"], r0["n_2"]) == (1, 1)
+    assert r0["z_e6"] is None
+
+
+def test_mondrian_conformal_audit_hand(spark):
+    """Hand split: per-group (Mondrian) thresholds vs the marginal one
+    on the calib slice, coverage counted on the test slice; a group
+    too small to conformalize reports NULL Mondrian coverage."""
+    from hadoop_fcfs_spark.ops.stats import mondrian_conformal_audit
+
+    rows = []
+    # group g: calib values 1..19 -> idx = ceil(20*0.9) = 18
+    rows += [("g", float(v), True) for v in range(1, 20)]
+    rows += [("g", float(v), False) for v in (5.0, 18.5, 100.0)]
+    # group h: huge values, same structure -> its own threshold 1800
+    rows += [("h", float(v * 100), True) for v in range(1, 20)]
+    rows += [("h", 500.0, False), ("h", 1850.0, False)]
+    # group s: 2 calib rows only -> idx 3 > n -> NULL threshold
+    rows += [("s", 1.0, True), ("s", 2.0, True), ("s", 1.5, False)]
+    df = spark.createDataFrame(rows, "g string, v double, calib boolean")
+    out = {
+        r["g"]: r
+        for r in mondrian_conformal_audit(
+            df, "g", "v", F.col("calib"), alpha_permille=100
+        ).collect()
+    }
+    assert out["g"]["thr_mondrian"] == 18.0
+    assert out["h"]["thr_mondrian"] == 1800.0
+    assert out["s"]["thr_mondrian"] is None
+    # marginal: 40 calib values -> idx ceil(41*0.9) = 37
+    allv = sorted(v for _, v, c in rows if c)
+    thr_g = allv[36]
+    for g in ("g", "h", "s"):
+        assert out[g]["thr_marginal"] == thr_g
+    # g test values (5.0, 18.5, 100.0) vs thr 18.0 -> only 5.0 covered
+    assert out["g"]["cov_mondrian_e6"] == 1_000_000 // 3
+    assert out["g"]["cov_marginal_e6"] == 1_000_000  # marginal overcovers g
+    assert out["h"]["cov_mondrian_e6"] == 500_000
+    assert out["h"]["cov_marginal_e6"] == 500_000
+    assert out["s"]["cov_mondrian_e6"] is None
+    assert out["s"]["cov_marginal_e6"] == 1_000_000
+
+
+def test_heaps_exponent_matches_integer_ols(spark):
+    """heaps_exponent vs the integer OLS replica over the
+    heaps_vocab_growth curve it summarizes."""
+    import math
+
+    from hadoop_fcfs_spark.llm.textan import heaps_exponent, heaps_vocab_growth
+
+    rows = [
+        (i, " ".join("w%d" % (j * (i + 1) % 97) for j in range(5 + i % 7)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    curve = heaps_vocab_growth(df, "doc_id", "text", deciles=10).collect()
+    pts = [
+        (math.floor(math.log(r["n_tokens"]) * 1e6),
+         math.floor(math.log(r["vocab_size"]) * 1e6))
+        for r in curve if r["n_tokens"] > 0 and r["vocab_size"] > 0
+    ]
+    k = len(pts)
+    su = sum(u for u, _ in pts)
+    sw = sum(w for _, w in pts)
+    suu = sum(u * u for u, _ in pts)
+    suw = sum(u * w for u, w in pts)
+    num, den = k * suw - su * sw, k * suu - su * su
+    r = heaps_exponent(df, "doc_id", "text", deciles=10).collect()[0]
+    assert r["n_points"] == k
+    assert r["heaps_beta_e6"] == (num * 1_000_000) // den
+    assert 0 < r["heaps_beta_e6"] < 1_000_000  # sublinear growth
