@@ -75,7 +75,7 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
-RUNGS = (1, 4, 8)
+RUNGS = (1, 4, 8)  # override with --rungs 1,4,8,16 (r8 verdict #4)
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
@@ -142,7 +142,13 @@ def build_rung(k_copies: int, out_dir: str) -> None:
 
 
 def main() -> None:
-    queries = sys.argv[1:] or QUERIES
+    args = sys.argv[1:]
+    rungs = list(RUNGS)
+    if "--rungs" in args:
+        i = args.index("--rungs")
+        rungs = [int(x) for x in args[i + 1].split(",")]
+        del args[i:i + 2]
+    queries = args or QUERIES
     spark = get_spark("scale_ladder")
     q = {name: all_queries()[name].spark_fn for name in queries}
     for name in queries:  # JIT warmup outside timed region
@@ -152,7 +158,7 @@ def main() -> None:
     results: dict[str, dict[int, float]] = {n: {} for n in queries}
     root = tempfile.mkdtemp(prefix="ladder_")
     try:
-        for rung in RUNGS:
+        for rung in rungs:
             d = os.path.join(root, f"x{rung}")
             os.makedirs(d)
             build_rung(rung, d)
@@ -172,12 +178,18 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
-    print("\nquery, t_x1, t_x4, t_x8, alpha(1->8), alpha(4->8)")
+    lo, hi, prev = rungs[0], rungs[-1], rungs[-2] if len(rungs) > 1 else rungs[0]
+    header = ", ".join(f"t_x{r}" for r in rungs)
+    print(f"\nquery, {header}, alpha({lo}->{hi}), alpha({prev}->{hi})")
     for name in queries:
-        t1, t4, t8 = (results[name][r] for r in RUNGS)
-        a18 = math.log(t8 / t1) / math.log(8)
-        a48 = math.log(t8 / t4) / math.log(2)
-        print(f"{name}, {t1}, {t4}, {t8}, {a18:.2f}, {a48:.2f}")
+        ts = [results[name][r] for r in rungs]
+        a_full = math.log(ts[-1] / ts[0]) / math.log(hi / lo)
+        a_last = (
+            math.log(ts[-1] / ts[-2]) / math.log(hi / prev)
+            if len(rungs) > 1 else float("nan")
+        )
+        tcols = ", ".join(str(t) for t in ts)
+        print(f"{name}, {tcols}, {a_full:.2f}, {a_last:.2f}")
 
 
 if __name__ == "__main__":
