@@ -924,3 +924,196 @@ def test_dedup_audit_engine_exact_variant(spark):
         ).collect()[0]
         assert got["n_dup"] <= sib["n_dup"], trial
         assert got["n_late"] == sib["n_late"], trial
+
+
+def test_stream_session_window_merge_and_late_drop_semantics(spark, tmp_path):
+    """Bridge test for session_window_agg's ENGINE semantics beyond
+    the single-batch equality check: a 4-batch discriminating chain
+    (gap 10 s, watermark 10 s, append mode) probes (a) cross-batch
+    session EXTENSION, (b) a bridging event MERGING two open sessions,
+    and (c) the watermark late-drop divergence from the batch twin.
+      b1: u@1000, u@1030   -> two open sessions; wm -> 1020
+      b2: u@1005 (LATE: < 1020, engine drops; the batch twin would
+          merge it into session 1), u@1036, u@1044 -> wm 1034 closes
+          session [1000,1010)
+      b3: u@1050 extends the open session to [1030,1060); u@1070 opens
+          a third; wm -> 1060
+      b4: u@1065 BRIDGES into [1070,1080) giving [1065,1080); z@2000
+          flushes everything closed.
+    The engine's final sessions must equal the batch twin run on the
+    events MINUS the late row (exact agreement), and the batch twin
+    run on ALL events must differ exactly by the first session's
+    merge — the documented divergence direction (engine drops late
+    rows the replay still sees)."""
+    src = str(tmp_path / "sess_bridge")
+    schema = "event_id long, u string, ts timestamp, value double"
+    s = 1_000_000
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "event_id long, u string, us long, value double"
+        ).select(
+            "event_id", "u", F.timestamp_micros(F.col("us")).alias("ts"),
+            "value",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def rows_of(df):
+        return sorted(
+            (r["u"], r["sess_start"].timestamp(), r["sess_end"].timestamp(),
+             r["n_events"], r["sum_value"])
+            for r in df.collect()
+        )
+
+    write([(1, "u", 1000 * s, 1.0), (2, "u", 1030 * s, 1.0)])
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = session_window_agg(
+        stream.withWatermark("ts", "10 seconds"), "ts", "10 seconds", "u"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_bridge")
+        .start()
+    )
+    batches = [
+        [(3, "u", 1005 * s, 1.0), (4, "u", 1036 * s, 1.0),
+         (5, "u", 1044 * s, 1.0)],
+        [(6, "u", 1050 * s, 1.0), (7, "u", 1070 * s, 1.0)],
+        [(8, "u", 1065 * s, 1.0), (9, "z", 2000 * s, 1.0)],
+    ]
+    try:
+        q.processAllAvailable()
+        for rows in batches:
+            write(rows)
+            q.processAllAvailable()
+        got = rows_of(spark.sql("SELECT * FROM sess_bridge"))
+    finally:
+        q.stop()
+    expected_engine = [
+        ("u", 1000.0, 1010.0, 1, 1.0),
+        ("u", 1030.0, 1060.0, 4, 4.0),   # 1030+1036+1044 extended by 1050
+        ("u", 1065.0, 1080.0, 2, 2.0),   # 1065 bridged into 1070's session
+    ]
+    assert got == expected_engine, f"engine session semantics changed: {got}"
+
+    all_rows = [(1, "u", 1000 * s, 1.0), (2, "u", 1030 * s, 1.0)] + [
+        r for b in batches for r in b
+    ]
+    surviving = [r for r in all_rows if r[0] != 3 and r[1] == "u"]
+    batch_df = spark.createDataFrame(
+        surviving, "event_id long, u string, us long, value double"
+    ).select("event_id", "u", F.timestamp_micros(F.col("us")).alias("ts"), "value")
+    twin = rows_of(session_window_agg(batch_df, "ts", "10 seconds", "u"))
+    assert twin == expected_engine  # exact agreement minus the late row
+
+    # divergence pin: the replay on ALL rows merges the late event into
+    # session 1 ([1000,1015) x2) - the engine saw strictly fewer rows
+    full_df = spark.createDataFrame(
+        [r for r in all_rows if r[1] == "u"],
+        "event_id long, u string, us long, value double",
+    ).select("event_id", "u", F.timestamp_micros(F.col("us")).alias("ts"), "value")
+    twin_full = rows_of(session_window_agg(full_df, "ts", "10 seconds", "u"))
+    assert twin_full[0] == ("u", 1000.0, 1015.0, 2, 2.0)
+    assert twin_full[1:] == expected_engine[1:]
+
+
+def test_stream_interval_join_watermark_batching_semantics(spark, tmp_path):
+    """Bridge test for the stream-stream interval join's state/late
+    semantics: the SAME event set either produces or loses a pair
+    depending on microbatch placement, because the watermark advances
+    at batch END. Condition: same user, click within 30 s before the
+    purchase; both sides watermarked 10 s.
+      SPLIT chain:    b1 click c1@1000(u1); b2 click@1100(u2) +
+                      purchase@1100(u2) advance the global watermark
+                      to 1090; b3 purchase p1@1025(u1) arrives BELOW
+                      the watermark -> dropped late, pair (p1,c1)
+                      never forms.
+      TOGETHER chain: p1@1025 rides IN the same batch as the 1100
+                      advancers -> the watermark is still pre-advance
+                      (batch-start value), c1 is in state, pair forms.
+    The batch twin contains the pair either way: engine pairs are a
+    SUBSET of the twin's, equal when every pair arrives within the
+    watermark bound — the documented divergence direction."""
+    schema = "event_id long, u long, typ string, ts timestamp"
+    s = 1_000_000
+
+    def write(src, rows):
+        spark.createDataFrame(
+            rows, "event_id long, u long, typ string, us long"
+        ).select(
+            "event_id", "u", "typ",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def joined_pairs(src, name):
+        stream = spark.readStream.schema(schema).parquet(src)
+        p = stream.filter(F.col("typ") == "p").select(
+            F.col("u").alias("p_u"), F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+        ).withWatermark("p_ts", "10 seconds")
+        c = stream.filter(F.col("typ") == "c").select(
+            F.col("u").alias("c_u"), F.col("event_id").alias("c_id"),
+            F.col("ts").alias("c_ts"),
+        ).withWatermark("c_ts", "10 seconds")
+        cond = F.expr(
+            "p_u = c_u AND c_ts >= p_ts - INTERVAL 30 SECONDS"
+            " AND c_ts <= p_ts"
+        )
+        return p.join(c, cond), name
+
+    b1 = [(1, 1, "c", 1000 * s)]
+    advancers = [(2, 2, "c", 1100 * s), (3, 2, "p", 1100 * s)]
+    straggler = [(4, 1, "p", 1025 * s)]
+
+    def run(chain, qname):
+        src = str(tmp_path / qname)
+        write(src, b1)
+        j, _ = joined_pairs(src, qname)
+        q = (
+            j.writeStream.outputMode("append").format("memory")
+            .queryName(qname).start()
+        )
+        try:
+            q.processAllAvailable()
+            for rows in chain:
+                write(src, rows)
+                q.processAllAvailable()
+            return sorted(
+                (r["p_id"], r["c_id"])
+                for r in spark.sql(f"SELECT * FROM {qname}").collect()
+            )
+        finally:
+            q.stop()
+
+    split = run([advancers, straggler], "ssj_split")
+    together = run([advancers + straggler], "ssj_together")
+    assert split == [(3, 2)], f"late-drop semantics changed: {split}"
+    assert together == [(3, 2), (4, 1)], (
+        f"batch-start watermark semantics changed: {together}"
+    )
+
+    # batch twin: the pair exists regardless of arrival placement
+    all_rows = b1 + advancers + straggler
+    df = spark.createDataFrame(
+        all_rows, "event_id long, u long, typ string, us long"
+    ).select("event_id", "u", "typ", F.timestamp_micros(F.col("us")).alias("ts"))
+    p = df.filter(F.col("typ") == "p").select(
+        F.col("u").alias("p_u"), F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = df.filter(F.col("typ") == "c").select(
+        F.col("u").alias("c_u"), F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    twin = sorted(
+        (r["p_id"], r["c_id"])
+        for r in p.join(
+            c,
+            F.expr(
+                "p_u = c_u AND c_ts >= p_ts - INTERVAL 30 SECONDS"
+                " AND c_ts <= p_ts"
+            ),
+        ).collect()
+    )
+    assert twin == [(3, 2), (4, 1)]
+    assert set(split) <= set(twin) and set(together) == set(twin)
