@@ -1428,3 +1428,65 @@ def test_flagship_hot_paths_are_whole_stage_codegen(spark):
     from hadoop_fcfs_spark.caching import release_waypoints
 
     release_waypoints()
+
+
+def test_pr_auc_one_range_pass_scalar_reduce(spark):
+    """pr_auc_orderstatus (r9): the roc_auc/gains substrate — ONE
+    distinct range exchange (the two-column grain prefix), broadcast
+    scalar totals, no shuffled join, scalar output."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()  # hermetic: a prior parity run may hold the grain
+    plan = _plan(Q["pr_auc_orderstatus"].spark_fn(spark, SF_ORACLE))
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    release_waypoints()
+
+
+def test_cusum_chart_grain_prefix_passes_only(spark):
+    """cusum_chart_daily_returns (r9): the day grain is map-side
+    combined BEFORE any exchange (partial aggregation on the raw
+    scan), and every range exchange that follows carries GRAIN rows
+    only (the closed-form prefix passes); no shuffled or cartesian
+    join anywhere — the raw lineitem scan shuffles nothing but the
+    2.5k-day summary."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()
+    plan = _plan(Q["cusum_chart_daily_returns"].spark_fn(spark, SF_ORACLE))
+    assert "partial_count" in plan or "partial_sum" in plan, (
+        "day grain must be map-side combined"
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    release_waypoints()
+
+
+def test_gray_test_single_prefix_no_subject_window(spark):
+    """gray_test_cohorts (r9): subdistribution risk sets ride ONE
+    exclusive two-column range prefix over the pooled duration grain
+    (logrank discipline); totals are a broadcast 1-row cross; no
+    sort-merge join and no unpartitioned window over subject rows."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()
+    plan = _plan(Q["gray_test_cohorts"].spark_fn(spark, SF_ORACLE))
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals cross
+    release_waypoints()
+
+
+def test_mondrian_conformal_broadcast_thresholds(spark):
+    """mondrian_conformal_prices (r9): both threshold tables join the
+    test slice as BROADCASTS (group-grain and 1-row marginal) — the
+    data-sized side never shuffles for a join; the only hash
+    exchanges are the conformal grain collapses."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()
+    plan = _plan(Q["mondrian_conformal_prices"].spark_fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    release_waypoints()
