@@ -1111,3 +1111,35 @@ def heaps_exponent(
         " - CAST(__su AS DECIMAL(38,0)) * __su) AS BIGINT)"
         " END AS heaps_beta_e6",
     )
+
+
+def yule_k(tf: DataFrame, term_col: str, count_col: str) -> DataFrame:
+    """Yule's characteristic K over a term-frequency table:
+    K = 10⁴·(Σ f² − N)/N² — the classic repeat-rate summary of lexical
+    concentration (Yule 1944; natural prose sits ~60–200, formulaic/
+    boilerplate text reads far higher). The third leg of the lexical-
+    statistics tripod: zipf_slope reads the frequency CURVE's shape,
+    good_turing_mass the unseen tail, K the repeat concentration — and
+    unlike TTR-family ratios K is (asymptotically) length-invariant,
+    which is why the stylometry literature quotes it.
+
+    Exactness: Σ f² and N are exact BIGINT sums off the term grain;
+    K_e3 = (Σf² − N)·10⁷ div N² in one flooring DECIMAL(38,0)
+    division (10⁷ = 10⁴ scale × 10³ milli-quantization) — engine- and
+    order-exact. Scale shape: ONE map-side-combinable aggregation over
+    the term-frequency grain; output is 1 row (vocab_size, n_tokens,
+    yule_k_e3)."""
+    cnt = F.col(count_col)
+    dec = "decimal(38,0)"
+    m = tf.agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum(cnt).cast("long").alias("n_tokens"),
+        F.sum(cnt.cast(dec) * cnt).cast(dec).alias("__s2"),
+    )
+    return m.selectExpr(
+        "vocab_size", "n_tokens",
+        "CASE WHEN n_tokens > 0 THEN "
+        "CAST((__s2 - n_tokens) * 10000000 "
+        "div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT) "
+        "END AS yule_k_e3",
+    )

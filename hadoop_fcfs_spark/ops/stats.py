@@ -4757,3 +4757,265 @@ def mondrian_conformal_audit(
             F.expr("CAST(__cg * 1000000 div n_test AS BIGINT)"),
         ).alias("cov_marginal_e6"),
     )
+
+
+def pinball_loss(
+    df: DataFrame,
+    actual_col: str,
+    pred_col: str,
+    q_permille: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Pinball (quantile) loss of a per-row quantile prediction:
+    L_q(a, p) = q·(a−p) when a ≥ p else (1−q)·(p−a) — the proper
+    scoring rule for quantile forecasts (a q-quantile prediction
+    minimizes expected pinball loss at exactly q), the eval-tier
+    companion the quantile ladder/conformal operators need: conformal
+    guarantees COVERAGE, pinball measures SHARPNESS, and a predictor
+    can win one while losing the other.
+
+    Exactness: inputs are expected integer-scaled (cents); each row's
+    loss is an exact BIGINT in milli-value units (permille × value),
+    summed as DECIMAL(38,0) — total_milli is reported as BIGINT
+    (documented bound: ~9e8 rows at 1e10 milli/row before BIGINT
+    saturates; mean_milli is always safe), mean_milli = total div n.
+    NULL actual/pred rows are dropped.
+
+    Scale shape: one projection + one (optionally grouped) map-side-
+    combinable aggregation; no shuffle beyond the group grain."""
+    if not 1 <= q_permille <= 999:
+        raise ValueError(f"q_permille must be in [1, 999], got {q_permille}")
+    a, p = F.col(actual_col), F.col(pred_col)
+    q = F.lit(int(q_permille)).cast("long")
+    loss = F.when(
+        a >= p, q * (a.cast("long") - p.cast("long"))
+    ).otherwise((F.lit(1000) - q) * (p.cast("long") - a.cast("long")))
+    base = df.filter(a.isNotNull() & p.isNotNull()).withColumn(
+        "__loss", loss.cast("decimal(38,0)")
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("__loss").cast("decimal(38,0)").alias("__tot"),
+    ]
+    g = base.groupBy(group_col).agg(*aggs) if group_col else base.agg(*aggs)
+    cols = [group_col] if group_col else []
+    return g.select(
+        *cols, "n",
+        F.expr("CAST(__tot AS BIGINT)").alias("pinball_total_milli"),
+        F.expr("CAST(__tot div n AS BIGINT)").alias("pinball_mean_milli"),
+    )
+
+
+def sprt_audit(
+    df: DataFrame,
+    group_col: Column | str,
+    success_cond: Column,
+    p0_e6: int,
+    p1_e6: int,
+    a_e6: int,
+    b_e6: int,
+    group_alias: str = "grain",
+) -> DataFrame:
+    """Wald sequential probability ratio test over an ordered grain:
+    accumulate the Bernoulli log-likelihood ratio ln(P₁/P₀) cell by
+    cell and report WHERE the random walk first crossed the accept-H₁
+    bound ``a_e6`` (> 0) or the accept-H₀ bound ``b_e6`` (< 0) — the
+    third leg of the SPC tier (Shewhart flags a point, CUSUM a
+    sustained shift, SPRT answers the A/B question "can we stop
+    monitoring yet" with guaranteed error rates; Wald 1945:
+    a = ln((1−β)/α), b = ln(β/(1−α))).
+
+    Determinism: the two per-observation log-ratios quantize to
+    FLOOR-MICRO once (ln on a single-rounded double ratio of the
+    exact e6 rates — the one blessed libm call), so every cell
+    contribution x·l1 + (n−x)·l0 and every prefix value is an exact
+    BIGINT; crossings are integer comparisons. The prefix rides
+    ops.sort.global_running_sum (range-partitioned, grain rows only).
+
+    Output: ONE row — n_cells, llr_end_e6, first_h1 / first_h0 (the
+    first grain cell whose INCLUSIVE prefix crosses each bound; NULL
+    if never) and decision ('accept_h1' / 'accept_h0' / 'continue',
+    earliest crossing wins; the walk keeps accumulating past the
+    first crossing only for llr_end reporting)."""
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    if not (0 < p0_e6 < 1_000_000 and 0 < p1_e6 < 1_000_000):
+        raise ValueError("p0_e6/p1_e6 must be in (0, 1e6)")
+    if p0_e6 == p1_e6:
+        raise ValueError("p0 and p1 must differ")
+    if not (b_e6 < 0 < a_e6):
+        raise ValueError(f"need b_e6 < 0 < a_e6, got {b_e6}, {a_e6}")
+    gc = F.col(group_col) if isinstance(group_col, str) else group_col
+    grain = df.groupBy(gc.alias(group_alias)).agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(F.when(success_cond, 1).otherwise(0)).cast("long").alias("__x"),
+    )
+    l1 = F.floor(
+        F.log(F.lit(float(p1_e6)) / F.lit(float(p0_e6))) * 1_000_000
+    ).cast("long")
+    l0 = F.floor(
+        F.log(
+            F.lit(float(1_000_000 - p1_e6)) / F.lit(float(1_000_000 - p0_e6))
+        )
+        * 1_000_000
+    ).cast("long")
+    cells = grain.withColumn(
+        "__s", F.col("__x") * l1 + (F.col("__n") - F.col("__x")) * l0
+    )
+    # NB: Spark column resolution is case-insensitive by default, so
+    # the prefix output must not differ from "__s" only by case
+    s = global_running_sum(
+        cells, [group_alias], ["__s"], out_col=["__cum"], inclusive=True
+    )
+    agg = s.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("__s").cast("long").alias("llr_end_e6"),
+        F.min(
+            F.when(F.col("__cum") >= F.lit(int(a_e6)), F.col(group_alias))
+        ).alias("first_h1"),
+        F.min(
+            F.when(F.col("__cum") <= F.lit(int(b_e6)), F.col(group_alias))
+        ).alias("first_h0"),
+    )
+    decision = (
+        F.when(
+            F.col("first_h1").isNotNull()
+            & (
+                F.col("first_h0").isNull()
+                | (F.col("first_h1") <= F.col("first_h0"))
+            ),
+            "accept_h1",
+        )
+        .when(F.col("first_h0").isNotNull(), "accept_h0")
+        .otherwise("continue")
+    )
+    return agg.withColumn("decision", decision)
+
+
+def bh_fdr(
+    df: DataFrame,
+    unit_col: str,
+    p_col_e6: str,
+    alpha_e6: int = 50_000,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a battery of p-values: sort
+    ascending, find the largest rank k with p_(k) ≤ k·α/m, reject
+    ranks 1..k — the multiple-comparisons layer every per-cell test in
+    the repo (p-chart flags, per-day drift z's, per-group KS) needs
+    before a human reads m=2500 'significant' cells at α=0.05 and 125
+    of them are noise.
+
+    Exactness: the step-up condition cross-multiplies to
+    p_e6·m ≤ rank·α_e6 — pure BIGINT comparisons, no division
+    anywhere; ranks come from ops.sort.ranked_total_order on
+    (p_e6, unit) (deterministic tiebreak). Rejection is rank ≤ k_max
+    — the STEP-UP rule rejects everything below the last crossing,
+    including cells that individually fail the line (textbook BH, the
+    part naive per-cell thresholding gets wrong).
+
+    Scale shape: one range-partitioned rank pass over the UNIT grain
+    (bounded battery — days/groups, not data rows), one broadcast
+    scalar k_max joined back. Output per unit: (unit, p_e6, rank,
+    rejected)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import ranked_total_order
+
+    if not 1 <= alpha_e6 <= 1_000_000:
+        raise ValueError(f"alpha_e6 must be in [1, 1e6], got {alpha_e6}")
+    base = waypoint(
+        df.filter(F.col(p_col_e6).isNotNull()).select(
+            F.col(unit_col).alias("__u"), F.col(p_col_e6).alias("__p")
+        )
+    )
+    ranked = waypoint(
+        ranked_total_order(
+            base, [F.col("__p").asc(), F.col("__u").asc()], rank_col="__r"
+        )
+    )
+    tot = ranked.agg(F.count("*").cast("long").alias("__m"))
+    kmax = (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("__p") * F.col("__m")
+                    <= F.col("__r") * F.lit(int(alpha_e6)),
+                    F.col("__r"),
+                )
+            ).alias("__k")
+        )
+    )
+    return ranked.crossJoin(F.broadcast(kmax)).select(
+        F.col("__u").alias(unit_col),
+        F.col("__p").alias(p_col_e6),
+        F.col("__r").cast("long").alias("rank"),
+        F.coalesce(F.col("__r") <= F.col("__k"), F.lit(False))
+        .alias("rejected"),
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame, unit_col: str, rating_col: str
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) from LONG-format ratings (one
+    row per (unit, rating), raters anonymous and MISSING ratings
+    simply absent) — the agreement coefficient that handles exactly
+    what Fleiss' kappa cannot: variable raters per unit and missing
+    judgments, the normal state of a crowdsourced labeling table.
+    α = 1 − D_o/D_e over the coincidence matrix; units with fewer
+    than 2 ratings are unpairable and excluded (standard).
+
+    Arithmetic: per-unit observed-disagreement numerators
+    (m_u² − Σ_c n_uc²)·10⁶/(m_u − 1) floor-quantize to micros
+    INDEPENDENTLY and sum as BIGINTs (varying denominators — the
+    pr_auc/logrank per-term discipline); expected disagreement
+    n² − Σ_c n_c² is one exact DECIMAL(38,0) number; α_e6 = 10⁶ −
+    doN·(n−1) div deD. NULL when nothing is pairable or the ratings
+    are constant (D_e = 0 — agreement is undefined, not perfect).
+
+    Scale shape: one (unit, category) grain collapse, a unit-grain
+    rollup, a category-grain rollup, three broadcast scalars — no
+    data-sized join or window. Output: 1 row (n_units_pairable,
+    n_pairable, alpha_e6)."""
+    from hadoop_fcfs_spark.caching import waypoint
+
+    dec = "decimal(38,0)"
+    nuc = waypoint(
+        df.filter(
+            F.col(unit_col).isNotNull() & F.col(rating_col).isNotNull()
+        )
+        .groupBy(F.col(unit_col).alias("__u"), F.col(rating_col).alias("__c"))
+        .agg(F.count("*").cast("long").alias("__k"))
+    )
+    per_unit = nuc.groupBy("__u").agg(
+        F.sum("__k").cast("long").alias("__m"),
+        F.sum(F.col("__k").cast(dec) * F.col("__k")).cast(dec).alias("__s2"),
+    ).filter(F.col("__m") >= 2)
+    do_n = per_unit.agg(
+        F.count("*").cast("long").alias("n_units_pairable"),
+        F.sum("__m").cast("long").alias("__n"),
+        F.sum(
+            F.expr(
+                "CAST((CAST(__m AS DECIMAL(38,0)) * __m - __s2) * 1000000"
+                " div (__m - 1) AS BIGINT)"
+            )
+        ).cast("long").alias("__don"),
+    )
+    # category totals over PAIRABLE units only
+    nc = (
+        nuc.join(per_unit.select("__u"), "__u")
+        .groupBy("__c")
+        .agg(F.sum("__k").cast("long").alias("__nc"))
+    )
+    de_d = nc.agg(
+        F.sum(F.col("__nc").cast(dec) * F.col("__nc")).cast(dec).alias("__sc2")
+    )
+    out = do_n.crossJoin(F.broadcast(de_d))
+    return out.selectExpr(
+        "n_units_pairable",
+        "__n AS n_pairable",
+        "CASE WHEN __n > 1 AND (CAST(__n AS DECIMAL(38,0)) * __n - __sc2) > 0"
+        " THEN CAST(1000000 - CAST(__don AS DECIMAL(38,0)) * (__n - 1)"
+        " div (CAST(__n AS DECIMAL(38,0)) * __n - __sc2) AS BIGINT)"
+        " END AS alpha_e6",
+    )

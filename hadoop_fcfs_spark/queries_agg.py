@@ -6400,3 +6400,209 @@ def mondrian_conformal_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, "o_orderpriority", "o_totalprice", calib,
         alpha_permille=100, chunk_width=1000,
     )
+
+
+@register(
+    "pinball_loss_priorities",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS g,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS a
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    cg AS (SELECT g, a, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+    tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cg GROUP BY 1),
+    cum AS (
+      SELECT g, a, SUM(c) OVER (PARTITION BY g ORDER BY a) AS cm FROM cg
+    ),
+    thr AS (
+      SELECT cum.g, MIN(a) AS p
+      FROM cum JOIN tot USING (g)
+      WHERE cm >= ((n + 1) * 500 + 999) // 1000
+      GROUP BY 1
+    )
+    SELECT v.g AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN a >= p THEN 500 * (a - p)
+                         ELSE 500 * (p - a) END) AS BIGINT)
+             AS pinball_total_milli,
+           CAST(SUM(CASE WHEN a >= p THEN 500 * (a - p)
+                         ELSE 500 * (p - a) END) // COUNT(*) AS BIGINT)
+             AS pinball_mean_milli
+    FROM v JOIN thr ON thr.g = v.g
+    GROUP BY 1
+    """,
+    doc="Pinball (quantile) loss of each priority's own conformal "
+    "median price predictor (ops.stats.pinball_loss at q=500 against "
+    "ops.stats.conformal_threshold at alpha=500) - the SHARPNESS "
+    "metric the conformal tier needs next to its coverage guarantee "
+    "(a quantile predictor can cover while being uselessly wide; "
+    "pinball is the proper scoring rule a q-quantile minimizes). "
+    "Exact BIGINT milli-cent losses per row (floor-cents inputs), "
+    "DECIMAL(38,0) sums, flooring mean; the predictor join "
+    "broadcasts the 5-row threshold table.",
+)
+def pinball_loss_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import conformal_threshold, pinball_loss
+
+    o = t(spark, sf_dir, "orders")
+    v = o.filter(
+        F.col("o_orderpriority").isNotNull() & F.col("o_totalprice").isNotNull()
+    ).select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("a"),
+    )
+    thr = (
+        conformal_threshold(v, "g", "a", alpha_permille=500)
+        .filter(F.col("threshold").isNotNull())
+        .select("g", F.col("threshold").alias("p"))
+    )
+    joined = v.join(F.broadcast(thr), "g")
+    return pinball_loss(joined, "a", "p", 500, group_col="g").select(
+        F.col("g").alias("o_orderpriority"), "n",
+        "pinball_total_milli", "pinball_mean_milli",
+    )
+
+
+@register(
+    "sprt_daily_returns",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS grain,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+      FROM lineitem GROUP BY 1
+    ),
+    s AS (
+      SELECT grain,
+             x * CAST(FLOOR(ln(260000.0 / 240000.0) * 1000000) AS BIGINT)
+             + (n - x)
+               * CAST(FLOOR(ln(740000.0 / 760000.0) * 1000000) AS BIGINT)
+               AS sc
+      FROM g
+    ),
+    ps AS (
+      SELECT grain, sc,
+             SUM(sc) OVER (ORDER BY grain
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+      FROM s
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(sc) AS BIGINT) AS llr_end_e6,
+             MIN(CASE WHEN cs >= 2944439 THEN grain END) AS first_h1,
+             MIN(CASE WHEN cs <= -2944439 THEN grain END) AS first_h0
+      FROM ps
+    )
+    SELECT n_cells, llr_end_e6, first_h1, first_h0,
+           CASE WHEN first_h1 IS NOT NULL AND (first_h0 IS NULL
+                  OR first_h1 <= first_h0) THEN 'accept_h1'
+                WHEN first_h0 IS NOT NULL THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM m
+    """,
+    doc="Wald SPRT over the daily return-rate series "
+    "(ops.stats.sprt_audit): H0 p=0.24 vs H1 p=0.26 at "
+    "alpha=beta=0.05 (bounds +-ln 19 = +-2944439 micros) - the third "
+    "leg of the SPC tier: Shewhart flags a point, CUSUM a sustained "
+    "shift, SPRT answers 'can we stop monitoring yet' with "
+    "guaranteed error rates. Per-observation log-ratios floor-micro "
+    "quantize ONCE (single-rounded double ratio of the exact e6 "
+    "rates through the one blessed ln), every cell contribution and "
+    "prefix is exact BIGINT, crossings are integer comparisons on "
+    "the global_running_sum prefix. The oracle's window is the "
+    "oracle's privilege.",
+)
+def sprt_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import sprt_audit
+
+    li = t(spark, sf_dir, "lineitem")
+    return sprt_audit(
+        li,
+        F.to_date("l_shipdate").cast("string"),
+        F.col("l_returnflag") == "R",
+        p0_e6=240_000, p1_e6=260_000,
+        a_e6=2_944_439, b_e6=-2_944_439,
+        group_alias="grain",
+    )
+
+
+@register(
+    "bh_fdr_daily_returns",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS grain,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                   CAST(SUM(x) AS BIGINT) AS tx FROM g),
+    pv AS (
+      SELECT grain,
+             CASE WHEN x * tn - n * tx = 0 THEN CAST(1000000 AS BIGINT)
+                  ELSE LEAST(CAST(1000000 AS BIGINT), CAST(
+                    CAST(n AS HUGEINT) * tx * (tn - tx) * 1000000
+                    // (CAST(x * tn - n * tx AS HUGEINT)
+                        * (x * tn - n * tx)) AS BIGINT))
+             END AS p_e6
+      FROM g CROSS JOIN tot
+    ),
+    r AS (
+      SELECT grain, p_e6,
+             ROW_NUMBER() OVER (ORDER BY p_e6, grain) AS rk
+      FROM pv
+    ),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM r),
+    k AS (
+      SELECT MAX(CASE WHEN p_e6 * m <= rk * 50000 THEN rk END) AS kmax
+      FROM r CROSS JOIN mm
+    )
+    SELECT grain, p_e6, CAST(rk AS BIGINT) AS rank,
+           COALESCE(rk <= kmax, FALSE) AS rejected
+    FROM r CROSS JOIN k
+    """,
+    doc="Benjamini-Hochberg FDR control (ops.stats.bh_fdr at "
+    "alpha=0.05) over a per-day battery of Chebyshev-conservative "
+    "p-values on the daily return rate (p = min(1, 1/z^2) with z^2 = "
+    "(x*tn - n*tx)^2 / (n*tx*(tn-tx)) - EXACT integer moments, so "
+    "the whole battery is cross-engine bit-identical without "
+    "touching erf) - the multiple-comparisons layer every per-cell "
+    "monitor in the repo needs before a human reads 2500 "
+    "'significant' days at alpha=0.05. Step-up condition "
+    "cross-multiplied to p_e6*m <= rank*alpha_e6 (no division); "
+    "ranks via ranked_total_order with deterministic tiebreak; "
+    "rejection is rank <= k_max, the step-up rule naive per-cell "
+    "thresholding gets wrong. Production plugs any upstream exact-p "
+    "column into the same op.",
+)
+def bh_fdr_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import bh_fdr
+
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.to_date("l_shipdate").cast("string").alias("grain")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long").alias("x"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("x").cast("long").alias("tx"),
+    )
+    pv = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("__d", F.col("x") * F.col("tn") - F.col("n") * F.col("tx"))
+        .selectExpr(
+            "grain",
+            "CASE WHEN __d = 0 THEN CAST(1000000 AS BIGINT)"
+            " ELSE LEAST(CAST(1000000 AS BIGINT), CAST("
+            "CAST(n AS DECIMAL(38,0)) * tx * (tn - tx) * 1000000"
+            " div (CAST(__d AS DECIMAL(38,0)) * __d) AS BIGINT))"
+            " END AS p_e6",
+        )
+    )
+    return bh_fdr(pv, "grain", "p_e6", alpha_e6=50_000)

