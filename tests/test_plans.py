@@ -1490,3 +1490,56 @@ def test_mondrian_conformal_broadcast_thresholds(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     release_waypoints()
+
+
+def test_sprt_grain_prefix_only(spark):
+    """sprt_daily_returns (r9): day grain map-side combined, ONE range
+    prefix pass over grain rows, scalar reduce; no shuffled join."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()
+    plan = _plan(Q["sprt_daily_returns"].spark_fn(spark, SF_ORACLE))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    release_waypoints()
+
+
+def test_bh_fdr_rank_pass_and_broadcast_kmax(spark):
+    """bh_fdr_daily_returns (r9): one range rank pass over the unit
+    grain, k_max joins back as a broadcast scalar — never a shuffled
+    join of the battery against itself."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()
+    plan = _plan(Q["bh_fdr_daily_returns"].spark_fn(spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row kmax/total crosses
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    release_waypoints()
+
+
+def test_pinball_broadcast_predictor_join(spark):
+    """pinball_loss_priorities (r9): the 5-row conformal threshold
+    table joins the order rows as a BROADCAST; the data side shuffles
+    only for its own grain aggregations."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()
+    plan = _plan(Q["pinball_loss_priorities"].spark_fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    release_waypoints()
+
+
+def test_krippendorff_grain_rollups_only(spark):
+    """krippendorff_langid (r9): (unit, category) grain collapse +
+    unit/category rollups + broadcast scalars; the rater union never
+    joins shuffled against itself at data grain (the pairable-unit
+    filter join is grain-sized)."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()
+    plan = _plan(Q["krippendorff_langid"].spark_fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    release_waypoints()
