@@ -363,21 +363,14 @@ def _decode_gif_indexed(blob: bytes):
     raise ValueError("GIF contains no image data")
 
 
-def _encode_gif(indices, palette) -> bytes:
-    """Minimal valid non-interlaced GIF87a writer (global color table,
-    one frame, REAL LZW with the same width-bump rule the decoder
-    mirrors) — exists for round-trip tests and palette re-encode, the
-    _encode_png precedent. ``indices`` is an (h, w) integer array,
-    ``palette`` an (n, 3) uint8 array (n a power of two, 4..256)."""
-    import numpy as np
-
-    idx = np.asarray(indices)
-    pal = np.asarray(palette, dtype=np.uint8)
-    h, w = idx.shape
-    n = pal.shape[0]
-    size_field = max(1, (n - 1).bit_length() - 1)  # 2**(f+1) == n
-    if n != (2 << size_field) or n < 4:
-        raise ValueError(f"palette size must be a power of two >= 4, got {n}")
+def _gif_lzw_encode(flat, n: int) -> tuple[int, bytes]:
+    """REAL GIF LZW encode of a flat index sequence over an n-color
+    table → (min_code_size, sub-blocked data incl. terminator), with
+    the width-bump discipline the decoder mirrors: the decoder adds
+    its entry one code LATER than the encoder, so a width increase
+    takes effect only at the emit AFTER the add that filled the width
+    — emit, THEN check the pending bump, THEN add (the Heckbert
+    compress() output/check/add order)."""
     min_code = max(2, (n - 1).bit_length())
     clear = 1 << min_code
     end = clear + 1
@@ -394,12 +387,6 @@ def _encode_gif(indices, palette) -> bytes:
             acc >>= 8
             bits -= 8
 
-    # width-bump discipline (the classic GIF LZW off-by-one): the
-    # decoder adds its entry one code LATER than the encoder, so the
-    # encoder must let a width increase take effect only at the emit
-    # AFTER the add that filled the width — emit, THEN check the bump
-    # pending from earlier adds, THEN add (the Heckbert compress()
-    # output/check/add order the decoder below mirrors exactly).
     width = min_code + 1
     nxt = end + 1
     table: dict[bytes, int] = {bytes([i]): i for i in range(n)}
@@ -411,7 +398,7 @@ def _encode_gif(indices, palette) -> bytes:
 
     emit(clear, width)
     prev = b""
-    for k in idx.reshape(-1).tolist():
+    for k in flat:
         cur = prev + bytes([int(k)])
         if cur in table:
             prev = cur
@@ -438,6 +425,161 @@ def _encode_gif(indices, palette) -> bytes:
         bytes([min(255, len(data) - i)]) + data[i : i + 255]
         for i in range(0, len(data), 255)
     ) + b"\x00"
+    return min_code, sub
+
+
+def _gif_palette_field(palette):
+    """Validate a GIF color table and return (pal_uint8, size_field)."""
+    import numpy as np
+
+    pal = np.asarray(palette, dtype=np.uint8)
+    n = pal.shape[0]
+    size_field = max(1, (n - 1).bit_length() - 1)  # 2**(f+1) == n
+    if n != (2 << size_field) or n < 4:
+        raise ValueError(f"palette size must be a power of two >= 4, got {n}")
+    return pal, size_field
+
+
+def _decode_gif_frames(blob: bytes):
+    """FULL animated-GIF decode: composite every frame onto the
+    logical-screen canvas honoring the Graphic Control Extension —
+    per-frame delay (centiseconds), disposal method (1 leave /
+    2 restore-background / 3 restore-previous) and transparency
+    (transparent-index pixels leave the canvas unchanged) plus frame
+    placement rects and per-frame interlacing. Returns a list of
+    ((H, W, 3) uint8 RGB canvas snapshot, delay_cs) — what a
+    frame-sampling pipeline stage consumes. The first-frame decoders
+    (`_decode_gif`) read only the first image's own rect; this is the
+    real animation semantics on the same pure-Python LZW substrate.
+    Raises ValueError on malformed streams."""
+    import numpy as np
+
+    if len(blob) < 13 or blob[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    W = int.from_bytes(blob[6:8], "little")
+    H = int.from_bytes(blob[8:10], "little")
+    if W < 1 or H < 1:
+        raise ValueError("empty GIF logical screen")
+    packed = blob[10]
+    bg = blob[11]
+    pos = 13
+    gpal = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = blob[pos : pos + n]
+        if len(gct) < n:
+            raise ValueError("truncated GIF global color table")
+        gpal = np.frombuffer(gct, np.uint8).reshape(-1, 3)
+        pos += n
+    canvas = np.zeros((H, W, 3), np.uint8)
+    bg_rgb = None
+    if gpal is not None and bg < gpal.shape[0]:
+        bg_rgb = gpal[bg]
+        canvas[:] = bg_rgb
+    frames = []
+    delay, disposal, trans = 0, 0, None
+    prev = None
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x21:  # extension
+            label = blob[pos + 1] if pos + 1 < len(blob) else 0
+            if (
+                label == 0xF9
+                and pos + 7 < len(blob)
+                and blob[pos + 2] == 4
+            ):  # Graphic Control Extension
+                flags = blob[pos + 3]
+                delay = int.from_bytes(blob[pos + 4 : pos + 6], "little")
+                disposal = (flags >> 2) & 0x07
+                trans = blob[pos + 6] if flags & 0x01 else None
+            pos += 2
+            while pos < len(blob) and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 10 > len(blob):
+                raise ValueError("truncated GIF image descriptor")
+            left = int.from_bytes(blob[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(blob[pos + 3 : pos + 5], "little")
+            w = int.from_bytes(blob[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(blob[pos + 7 : pos + 9], "little")
+            ipk = blob[pos + 9]
+            pos += 10
+            pal = gpal
+            if ipk & 0x80:
+                n = 3 * (2 << (ipk & 0x07))
+                lct = blob[pos : pos + n]
+                if len(lct) < n:
+                    raise ValueError("truncated GIF local color table")
+                pal = np.frombuffer(lct, np.uint8).reshape(-1, 3)
+                pos += n
+            if pal is None:
+                raise ValueError("GIF image without any color table")
+            if w < 1 or h < 1:
+                raise ValueError("empty GIF image")
+            if left + w > W or top + h > H:
+                raise ValueError("GIF frame exceeds the logical screen")
+            min_code = blob[pos]
+            pos += 1
+            if not 2 <= min_code <= 8:
+                raise ValueError(f"bad GIF LZW min code size {min_code}")
+            data = bytearray()
+            while pos < len(blob) and blob[pos] != 0:
+                ln = blob[pos]
+                data += blob[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # data terminator
+            idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            arr = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if ipk & 0x40:  # interlaced
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                deinter = np.empty_like(arr)
+                deinter[order] = arr
+                arr = deinter
+            opaque = arr != trans if trans is not None else np.ones(
+                arr.shape, bool
+            )
+            if opaque.any() and int(arr[opaque].max()) >= pal.shape[0]:
+                raise ValueError("GIF index beyond color table")
+            if disposal == 3:
+                prev = canvas.copy()
+            region = canvas[top : top + h, left : left + w]
+            safe = np.where(opaque, arr, 0)
+            region[opaque] = pal[safe][opaque]
+            frames.append((canvas.copy(), delay))
+            if disposal == 2:
+                canvas[top : top + h, left : left + w] = (
+                    bg_rgb if bg_rgb is not None else 0
+                )
+            elif disposal == 3 and prev is not None:
+                canvas = prev
+            delay, disposal, trans = 0, 0, None
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"malformed GIF block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def _encode_gif(indices, palette) -> bytes:
+    """Minimal valid non-interlaced GIF87a writer (global color table,
+    one frame, REAL LZW via ``_gif_lzw_encode``) — exists for
+    round-trip tests and palette re-encode, the _encode_png precedent.
+    ``indices`` is an (h, w) integer array, ``palette`` an (n, 3)
+    uint8 array (n a power of two, 4..256)."""
+    import numpy as np
+
+    idx = np.asarray(indices)
+    pal, size_field = _gif_palette_field(palette)
+    h, w = idx.shape
+    min_code, sub = _gif_lzw_encode(idx.reshape(-1).tolist(), pal.shape[0])
     return (
         b"GIF87a"
         + w.to_bytes(2, "little") + h.to_bytes(2, "little")
@@ -449,6 +591,68 @@ def _encode_gif(indices, palette) -> bytes:
         + bytes([min_code]) + sub
         + b"\x3b"
     )
+
+
+def _encode_gif_anim(
+    frames,
+    palette,
+    screen_wh: tuple[int, int],
+    delays_cs=None,
+    disposals=None,
+    transparents=None,
+    background: int = 0,
+) -> bytes:
+    """Animated GIF89a writer: per-frame (indices, left, top) placed on
+    a (W, H) logical screen, one Graphic Control Extension per frame
+    carrying delay (centiseconds), disposal method (0 none / 1 leave /
+    2 restore-background / 3 restore-previous) and optional
+    transparent index. The multi-frame sibling of :func:`_encode_gif`
+    — exists so the frame compositor has an encoder-independent
+    round-trip partner (fixtures stay hand-buildable, the
+    hand-packed-bitstream test discipline)."""
+    pal, size_field = _gif_palette_field(palette)
+    W, H = screen_wh
+    nf = len(frames)
+    delays_cs = list(delays_cs or [0] * nf)
+    disposals = list(disposals or [0] * nf)
+    transparents = list(transparents if transparents is not None else [None] * nf)
+    if not (len(delays_cs) == len(disposals) == len(transparents) == nf):
+        raise ValueError("per-frame metadata lists must match frame count")
+    out = bytearray(
+        b"GIF89a"
+        + W.to_bytes(2, "little") + H.to_bytes(2, "little")
+        + bytes([0x80 | size_field, background & 0xFF, 0])
+        + pal.tobytes()
+    )
+    import numpy as np
+
+    for (idx, left, top), delay, disp, trans in zip(
+        frames, delays_cs, disposals, transparents
+    ):
+        idx = np.asarray(idx)
+        h, w = idx.shape
+        if left + w > W or top + h > H:
+            raise ValueError("frame exceeds the logical screen")
+        flags = ((disp & 7) << 2) | (1 if trans is not None else 0)
+        out += (
+            b"\x21\xf9\x04"
+            + bytes([flags])
+            + int(delay).to_bytes(2, "little")
+            + bytes([trans if trans is not None else 0])
+            + b"\x00"
+        )
+        min_code, sub = _gif_lzw_encode(
+            idx.reshape(-1).tolist(), pal.shape[0]
+        )
+        out += (
+            b"\x2c"
+            + int(left).to_bytes(2, "little") + int(top).to_bytes(2, "little")
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + b"\x00"
+            + bytes([min_code]) + sub
+        )
+    out += b"\x3b"
+    return bytes(out)
 
 
 def _try_luma(blob: bytes, fake: bool):
@@ -568,8 +772,14 @@ def sample_frames(
     text header + raw YUV frames, the one container decodable without
     any codec) extracts REAL frames: one row per FRAME marker with the
     md5 of the frame's Y plane as the digest, regardless of ``fake``.
-    Other containers keep the stub: with fake=True frames are
-    byte-window digests; real extraction (ffmpeg) slots into the same
+    Animated GIF (r9) also extracts REAL frames — the full compositor
+    (``_decode_gif_frames``: disposal methods, transparency, frame
+    rects, per-frame delays) yields one row per composed canvas with
+    the md5 of its RGB bytes; under fake=True a malformed GIF falls
+    through to the byte-window stub (the _try_luma totality
+    discipline), fake=False keeps decoder strictness. Other
+    containers keep the stub: with fake=True frames are byte-window
+    digests; real extraction (ffmpeg) slots into the same
     iterator."""
 
     out_schema = f"{id_col} long, frame_idx int, frame_digest string"
@@ -632,6 +842,25 @@ def sample_frames(
                             }
                         )
                     continue
+                if raw[:6] in _GIF_SIGS:
+                    try:
+                        gif_frames = _decode_gif_frames(raw)
+                    except ValueError:
+                        if not fake:
+                            raise
+                        gif_frames = None
+                    if gif_frames is not None:
+                        for i, (frame, _delay) in enumerate(gif_frames):
+                            rows.append(
+                                {
+                                    id_col: mid,
+                                    "frame_idx": i,
+                                    "frame_digest": hashlib.md5(
+                                        frame.tobytes()
+                                    ).hexdigest(),
+                                }
+                            )
+                        continue
                 if not fake:
                     raise NotImplementedError(
                         "frame extraction from compressed video requires "

@@ -2207,3 +2207,157 @@ def test_gif_resize_real_in_palette_space(spark):
         )
     ).collect()[0]["media_meta"]
     assert meta["format"] == "gif"
+
+
+def test_gif_animation_compositor_vs_python_replica():
+    """Full animated decode (r9): random multi-frame animations
+    (frame rects, disposal 1/2/3, transparency) written by
+    _encode_gif_anim must composite EXACTLY like a literal numpy
+    replay of the GIF89a disposal rules."""
+    import random
+
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.multimodal import (
+        _decode_gif_frames,
+        _encode_gif_anim,
+    )
+
+    rng = random.Random(23)
+    for trial in range(4):
+        W, H = rng.randint(8, 20), rng.randint(8, 20)
+        n = rng.choice([4, 8, 16])
+        pal = np.array(
+            [[rng.randrange(256) for _ in range(3)] for _ in range(n)],
+            dtype=np.uint8,
+        )
+        bg = rng.randrange(n)
+        frames, delays, disposals, transparents = [], [], [], []
+        for _ in range(rng.randint(2, 5)):
+            w = rng.randint(1, W)
+            h = rng.randint(1, H)
+            left = rng.randint(0, W - w)
+            top = rng.randint(0, H - h)
+            idx = np.array(
+                [[rng.randrange(n) for _ in range(w)] for _ in range(h)],
+                dtype=np.int32,
+            )
+            frames.append((idx, left, top))
+            delays.append(rng.randrange(500))
+            disposals.append(rng.choice([0, 1, 2, 3]))
+            transparents.append(
+                rng.randrange(n) if rng.random() < 0.5 else None
+            )
+        blob = _encode_gif_anim(
+            frames, pal, (W, H), delays, disposals, transparents,
+            background=bg,
+        )
+        got = _decode_gif_frames(blob)
+        assert len(got) == len(frames), trial
+
+        # literal replay of the disposal rules
+        canvas = np.zeros((H, W, 3), np.uint8)
+        canvas[:] = pal[bg]
+        for i, ((idx, left, top), disp, trans) in enumerate(
+            zip(frames, disposals, transparents)
+        ):
+            prev = canvas.copy() if disp == 3 else None
+            h, w = idx.shape
+            for r in range(h):
+                for c in range(w):
+                    if trans is None or idx[r, c] != trans:
+                        canvas[top + r, left + c] = pal[idx[r, c]]
+            frame, delay = got[i]
+            assert delay == delays[i], (trial, i)
+            assert (frame == canvas).all(), (trial, i, disp, trans)
+            if disp == 2:
+                canvas[top : top + h, left : left + w] = pal[bg]
+            elif disp == 3:
+                canvas = prev
+
+
+def test_gif_animation_disposal_hand_chain():
+    """Hand 3-frame chain pinning each disposal mode: frame 1 paints a
+    2x2 patch (restore-background wipes it), frame 2 paints with
+    restore-previous (its paint vanishes after display), frame 3's
+    transparent pixels leave the restored canvas visible."""
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.multimodal import (
+        _decode_gif_frames,
+        _encode_gif_anim,
+    )
+
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    f1 = (np.full((2, 2), 1, np.int32), 0, 0)   # red patch at origin
+    f2 = (np.full((2, 2), 2, np.int32), 2, 2)   # green patch at (2,2)
+    f3 = (np.array([[3, 0], [0, 3]], np.int32), 0, 0)  # blue diag, 0 transparent
+    blob = _encode_gif_anim(
+        [f1, f2, f3], pal, (4, 4),
+        delays_cs=[10, 20, 30],
+        disposals=[2, 3, 0],
+        transparents=[None, None, 0],
+        background=0,
+    )
+    frames = _decode_gif_frames(blob)
+    assert [d for _, d in frames] == [10, 20, 30]
+    c1, c2, c3 = (f for f, _ in frames)
+    assert (c1[0:2, 0:2] == [255, 0, 0]).all()          # red visible
+    assert (c2[0:2, 0:2] == [0, 0, 0]).all()            # wiped to background
+    assert (c2[2:4, 2:4] == [0, 255, 0]).all()          # green visible
+    assert (c3[2:4, 2:4] == [0, 0, 0]).all()            # previous restored
+    assert (c3[0, 0] == [0, 0, 255]).all()              # blue paints
+    assert (c3[0, 1] == [0, 0, 0]).all()                # transparent: bg shows
+    # validation: frame exceeding the screen, mismatched metadata
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _encode_gif_anim([(np.zeros((5, 5), np.int32), 0, 0)], pal, (4, 4))
+    with _pytest.raises(ValueError):
+        _encode_gif_anim([f1], pal, (4, 4), delays_cs=[1, 2])
+
+
+def test_sample_frames_extracts_real_gif_frames(spark):
+    """sample_frames (r9): animated GIFs yield one row per COMPOSED
+    frame with the md5 of the canvas RGB bytes — checked against a
+    direct _decode_gif_frames pass; malformed GIFs fall to the
+    byte-window stub under fake=True and raise under fake=False."""
+    import hashlib
+
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.multimodal import (
+        _decode_gif_frames,
+        _encode_gif_anim,
+        sample_frames,
+    )
+
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    frames = [
+        (np.full((3, 3), 1, np.int32), 0, 0),
+        (np.full((2, 2), 2, np.int32), 1, 1),
+        (np.full((1, 4), 3, np.int32), 0, 3),
+    ]
+    blob = _encode_gif_anim(frames, pal, (4, 4), delays_cs=[5, 5, 5])
+    expected = [
+        hashlib.md5(f.tobytes()).hexdigest()
+        for f, _ in _decode_gif_frames(blob)
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"GIF89a" + b"\x00" * 4))],
+        "media_id long, payload binary",
+    )
+    out = sample_frames(df, fake=True).collect()
+    got = sorted(
+        (r["media_id"], r["frame_idx"], r["frame_digest"]) for r in out
+    )
+    real = [(m, i, d) for m, i, d in got if m == 1]
+    assert [d for _, _, d in real] == expected
+    assert any(m == 2 for m, _, _ in got)  # stub path still total
+    with pytest.raises(Exception):
+        sample_frames(
+            df.filter(F.col("media_id") == 2), fake=False
+        ).collect()
