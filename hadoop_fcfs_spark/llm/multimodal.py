@@ -6,9 +6,11 @@ one RAW format for real and stubs the compressed ones honestly:
 - IMAGE: 24-bit uncompressed BMP (pure numpy, ``_decode_bmp``),
   8-bit non-interlaced PNG (stdlib zlib inflate + numpy unfiltering,
   ``_decode_png`` — PNG's only entropy layer is DEFLATE, which the
-  stdlib ships), AND GIF87a/89a (pure-Python LZW + palette mapping,
-  ``_decode_gif``, incl. interlace) decode/resize/aHash FOR REAL;
-  JPEG stays stubbed (needs Pillow).
+  stdlib ships), GIF87a/89a (pure-Python LZW + palette mapping,
+  ``_decode_gif``, incl. interlace), AND baseline JPEG (pure
+  Python+numpy Huffman + IDCT, ``llm.jpeg``) decode/resize/aHash FOR
+  REAL — the image tier has NO stubs left (progressive JPEG raises
+  honestly).
 - VIDEO: Y4M (yuv4mpeg2) frame extraction is REAL (text header + raw
   YUV planes); webm/mp4 stay stubbed (need ffmpeg).
 - AUDIO: WAV decode and resampling are REAL (stdlib wave/audioop).
@@ -52,8 +54,8 @@ def _decode_bmp(blob: bytes):
     (BITMAPINFOHEADER): returns an (h, w) float64 luma array ((r+g+b)/3).
     BMP is byte-exact without any codec library — the one mainstream
     raster format this container CAN truly decode — so the image path's
-    honest stub boundary shrinks to the compressed formats (PNG/JPEG
-    still need Pillow). Raises ValueError on non-BMP or unsupported
+    honest stub boundary shrank format by format until (r9) no image
+    stub remains. Raises ValueError on non-BMP or unsupported
     variants (compressed, non-24bpp)."""
     import numpy as np
 
@@ -95,7 +97,7 @@ def _decode_png(blob: bytes):
     (None/Sub/Up/Average/Paeth), return an (h, w, channels) uint8
     array. PNG's only entropy layer is DEFLATE, which the stdlib
     ships, so — like BMP — the format is decodable without any codec
-    library; the honest stub boundary shrinks to JPEG/webm.
+    library; with llm.jpeg (r9) the image tier has no stub left.
     Raises ValueError on non-PNG or unsupported variants (16-bit,
     palette, interlaced)."""
     import zlib
@@ -212,6 +214,7 @@ def _encode_png(px) -> bytes:
 
 
 _GIF_SIGS = (b"GIF87a", b"GIF89a")
+_JPEG_SIG = b"\xff\xd8\xff"
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
@@ -282,8 +285,8 @@ def _decode_gif(blob: bytes):
     LZW-decode the first image's index stream (``_gif_lzw_decode``),
     de-interlace if flagged, map through the palette to an (h, w, 3)
     uint8 array. GIF's only compression is LZW over palette indices —
-    no codec library needed, so the image tier's honest stub boundary
-    shrinks to JPEG alone. Raises ValueError on non-GIF or malformed
+    no codec library needed; with llm.jpeg (r9) the image tier's
+    honest stub boundary is gone. Raises ValueError on non-GIF or malformed
     streams; animated GIFs decode their FIRST frame (documented)."""
     arr, palette = _decode_gif_indexed(blob)
     return palette[arr]  # (h, w, 3) uint8
@@ -657,11 +660,12 @@ def _encode_gif_anim(
 
 def _try_luma(blob: bytes, fake: bool):
     """One real-decode attempt for the raster formats this container
-    CAN decode (BMP, PNG, GIF): returns the (h, w) float64 luma array, or
-    None meaning 'take the deterministic fake path'. Under fake=True
-    the fake path stays TOTAL — magic-prefixed garbage or unsupported
-    variants fall through instead of crashing the executor task;
-    fake=False keeps the real decoders' strictness."""
+    CAN decode (BMP, PNG, GIF, baseline JPEG): returns the (h, w)
+    float64 luma array, or None meaning 'take the deterministic fake
+    path'. Under fake=True the fake path stays TOTAL — magic-prefixed
+    garbage or unsupported variants (progressive JPEG, 16-bit PNG)
+    fall through instead of crashing the executor task; fake=False
+    keeps the real decoders' strictness."""
     try:
         if blob[:2] == b"BM":
             return _decode_bmp(blob)
@@ -669,6 +673,10 @@ def _try_luma(blob: bytes, fake: bool):
             return _png_luma(_decode_png(blob))
         if blob[:6] in _GIF_SIGS:
             return _png_luma(_decode_gif(blob))
+        if blob[:3] == _JPEG_SIG:
+            from hadoop_fcfs_spark.llm.jpeg import decode_jpeg
+
+            return _png_luma(decode_jpeg(blob))
     except ValueError:
         if not fake:
             raise
@@ -703,12 +711,14 @@ def decode_images(
     """Decode image blobs → (id, width, height, mean_luma).
 
     24-bit uncompressed BMP (``_decode_bmp``, pure numpy), 8-bit
-    non-interlaced PNG (``_decode_png``, stdlib zlib + numpy), and
-    GIF87a/89a (``_decode_gif``, pure-Python LZW) decode FOR REAL,
-    regardless of ``fake``. JPEG still needs a codec the container
-    lacks: with fake=True it gets the deterministic pseudo-decode
-    (dimensions/luma derived from blob bytes — stable plumbing test);
-    fake=False raises NotImplementedError where Pillow would slot in.
+    non-interlaced PNG (``_decode_png``, stdlib zlib + numpy),
+    GIF87a/89a (``_decode_gif``, pure-Python LZW), and baseline JPEG
+    (``llm.jpeg.decode_jpeg``, pure Python+numpy Huffman/IDCT — r9)
+    decode FOR REAL, regardless of ``fake``. Formats with no native
+    decoder left (none in the image tier; unknown blobs): fake=True
+    gets the deterministic pseudo-decode (dimensions/luma derived from
+    blob bytes — stable plumbing test); fake=False raises
+    NotImplementedError.
 
     mapInPandas: Arrow-batched, one pandas frame per input batch —
     a full codec slots into the same loop unchanged.
@@ -739,10 +749,9 @@ def decode_images(
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "JPEG decode requires a codec (e.g. Pillow), not "
-                        "available in this container — only BMP, PNG and "
-                        "GIF decode natively; run with fake=True or "
-                        "install a codec on the cluster"
+                        "no native decoder for this image format — BMP, "
+                        "PNG, GIF and baseline JPEG decode natively; run "
+                        "with fake=True or install a codec on the cluster"
                     )
                 d = hashlib.md5(blob).digest()
                 rows.append(
@@ -896,11 +905,11 @@ def resize_images(
     PNG / palette GIF (GIF resamples the INDEX grid and keeps its
     color table — no quantization step; round-trips through the
     matching decoder + attach_media_meta; PNG gray/alpha inputs
-    re-encode truecolor, alpha dropped). JPEG keeps the stub: with
-    fake=True a
-    deterministic digest-expansion sized ∝ target area; fake=False
-    raises where Pillow would slot in. Output schema:
-    (id, payload, width, height)."""
+    re-encode truecolor, alpha dropped; JPEG re-encodes baseline 4:4:4
+    q=90 via llm.jpeg — one recompression generation, like any
+    thumbnailer). Unknown formats: with fake=True a deterministic
+    digest-expansion sized ∝ target area; fake=False raises. Output
+    schema: (id, payload, width, height)."""
 
     out_schema = f"{id_col} long, {binary_col} binary, width int, height int"
     if target_w < 1 or target_h < 1:
@@ -961,6 +970,18 @@ def resize_images(
             xi = (np.arange(target_w) * w) // target_w
             return _encode_png(np.ascontiguousarray(rgb[yi][:, xi]))
 
+        def jpeg_resize(blob: bytes) -> bytes:
+            # resize-in-kind: decode -> nearest-neighbor -> re-encode
+            # baseline 4:4:4 (one recompression generation, like any
+            # JPEG thumbnailer)
+            from hadoop_fcfs_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+            rgb = decode_jpeg(blob)
+            h, w = rgb.shape[:2]
+            yi = (np.arange(target_h) * h) // target_h
+            xi = (np.arange(target_w) * w) // target_w
+            return encode_jpeg(rgb[yi][:, xi], quality=90)
+
         def gif_resize(blob: bytes) -> bytes:
             # nearest-neighbor in PALETTE space: resample the index
             # grid, keep the color table — resize-in-kind without any
@@ -990,6 +1011,8 @@ def resize_images(
                         buf = png_resize(blob)
                     elif blob[:6] in _GIF_SIGS:
                         buf = gif_resize(blob)
+                    elif blob[:3] == _JPEG_SIG:
+                        buf = jpeg_resize(blob)
                 except ValueError:
                     # keep fake=True total (see _try_luma)
                     if not fake:
@@ -997,8 +1020,9 @@ def resize_images(
                 if buf is None:
                     if not fake:
                         raise NotImplementedError(
-                            "resize of JPEG requires a codec (e.g. "
-                            "Pillow); BMP, PNG and GIF resize natively"
+                            "no native resize for this image format — "
+                            "BMP, PNG, GIF and baseline JPEG resize "
+                            "natively"
                         )
                     seed = hashlib.md5(blob).digest()
                     need = max(target_w * target_h // 8, 16)
@@ -1059,17 +1083,16 @@ def image_ahash(
     """Perceptual average-hash per image: downsample to an 8x8 luma grid,
     hash = 64 bits of (cell > mean). Output (id, ahash long).
 
-    BMP and PNG payloads take the REAL aHash path: `_decode_bmp` /
-    `_decode_png` → true 8x8 average-pooled luma grid → threshold
+    BMP, PNG, GIF and baseline JPEG payloads take the REAL aHash path:
+    native decode → true 8x8 average-pooled luma grid → threshold
     bits, so near-identical images (small pixel noise) genuinely
-    collide and different pictures genuinely differ — across the two
-    container formats too, since the hash is over decoded pixels.
-    JPEG shares decode_images' honest stub boundary: with fake=True
-    an 8x8 grid is derived
-    deterministically from the blob bytes (chunk means — stable,
-    content-sensitive); with fake=False this raises where Pillow's
-    resize((8,8)) would slot in. The Spark-side shape — Arrow-batched
-    mapInPandas, one long per image — is the real pipeline.
+    collide and different pictures genuinely differ — across container
+    formats too, since the hash is over decoded pixels. Unknown
+    formats share decode_images' honest boundary: with fake=True an
+    8x8 grid is derived deterministically from the blob bytes (chunk
+    means — stable, content-sensitive); with fake=False this raises.
+    The Spark-side shape — Arrow-batched mapInPandas, one long per
+    image — is the real pipeline.
     """
     out_schema = f"{id_col} long, ahash long"
 
@@ -1099,9 +1122,10 @@ def image_ahash(
                 else:
                     if not fake:
                         raise NotImplementedError(
-                            "real decode of JPEG needs a codec (Pillow); "
-                            "BMP and PNG hash natively — fake=True "
-                            "exercises the plumbing for other formats"
+                            "no native decoder for this image format — "
+                            "BMP, PNG, GIF and baseline JPEG hash "
+                            "natively; fake=True exercises the plumbing "
+                            "for other formats"
                         )
                     b = np.frombuffer(blob, dtype=np.uint8)
                     # deterministic 64-cell "downsample": 64 byte-chunk means

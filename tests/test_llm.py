@@ -1544,12 +1544,12 @@ def test_bmp_decode_is_real(spark):
     assert out[2]["mean_luma"] == 0.5
     assert (out[3]["width"], out[3]["height"], out[3]["mean_luma"]) == (4, 3, 0.0)
 
-    # JPEG keeps the honest boundary under fake=False (PNG decodes for
-    # real since r7 — its boundary test lives in test_png_decode_is_real)
+    # malformed JPEG keeps the strict boundary under fake=False (JPEG
+    # decodes for real since r9 — see test_jpeg_decode_is_real)
     jpeg = spark.createDataFrame(
         [(9, b"\xff\xd8\xff\xe0xxxx")], "media_id long, payload binary"
     )
-    with _pytest.raises(Exception, match="codec|Pillow|NotImplemented"):
+    with _pytest.raises(Exception, match="truncated JPEG|malformed JPEG"):
         decode_images(jpeg, fake=False).collect()
 
     # REAL aHash: a noise-perturbed copy collides, an inverted image differs
@@ -1710,7 +1710,7 @@ def test_png_decode_is_real(spark):
     """PNG decodes FOR REAL (stdlib zlib + numpy): known pixels come
     back exactly through EVERY scanline filter type (0-4), IDAT may be
     split across chunks, grayscale works, and unsupported variants /
-    JPEG keep the honest boundary under fake=False."""
+    malformed JPEG keep the strict boundary under fake=False."""
     import pytest as _pytest
 
     from hadoop_fcfs_spark.llm.multimodal import (
@@ -1757,7 +1757,7 @@ def test_png_decode_is_real(spark):
     jpeg = spark.createDataFrame(
         [(9, b"\xff\xd8\xff\xe0rest-of-jpeg")], "media_id long, payload binary"
     )
-    with _pytest.raises(Exception, match="codec|Pillow|NotImplemented"):
+    with _pytest.raises(Exception, match="truncated JPEG|malformed JPEG"):
         decode_images(jpeg, fake=False).collect()
 
 
@@ -2361,3 +2361,149 @@ def test_sample_frames_extracts_real_gif_frames(spark):
         sample_frames(
             df.filter(F.col("media_id") == 2), fake=False
         ).collect()
+
+
+def test_jpeg_decode_hand_packed_bitstream():
+    """ENCODER-INDEPENDENT JPEG pin: a single-MCU grayscale file built
+    byte-by-byte BY HAND (flat quant table of 4s, one-code Huffman
+    tables, DC category 3 value +4, immediate EOB) must decode to a
+    constant 8x8 block: DC coefficient 4 * qt 4 = 16, IDCT of a
+    DC-only block = 16/8 = 2.0 everywhere, +128 level shift -> 130.
+    Bitstream: DC code '0' + magnitude '100', AC EOB '0' -> 01000
+    padded with 1s = 0x47."""
+    from hadoop_fcfs_spark.llm.jpeg import decode_jpeg
+
+    def seg(m, p):
+        return bytes((0xFF, m)) + (len(p) + 2).to_bytes(2, "big") + p
+
+    qt = bytes([4] * 64)
+    dht_dc = bytes((0x00,)) + bytes((1,) + (0,) * 15) + bytes((3,))
+    dht_ac = bytes((0x10,)) + bytes((1,) + (0,) * 15) + bytes((0x00,))
+    sof = (
+        bytes((8,)) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes((1, 1, 0x11, 0))
+    )
+    sos = bytes((1, 1, 0x00)) + b"\x00\x3f\x00"
+    blob = (
+        b"\xff\xd8" + seg(0xDB, b"\x00" + qt) + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac) + seg(0xC0, sof) + seg(0xDA, sos)
+        + bytes([0b01000111]) + b"\xff\xd9"
+    )
+    img = decode_jpeg(blob)
+    assert img.shape == (8, 8, 3)
+    assert (img == 130).all()
+
+
+def test_jpeg_roundtrip_444_420_gray_restart():
+    """Round-trips through the in-repo encoder: constant colors come
+    back exactly (quantization cannot move a constant block), a smooth
+    gradient at q=95 stays within a small bound in 4:4:4 AND through
+    the restart-marker resync path, 4:2:0 recovers 16x16-constant
+    blocks exactly (the chroma box average is the block value), and
+    grayscale decodes via the 1-component path."""
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rgb = np.full((16, 24, 3), (90, 160, 40), np.uint8)
+    for sub in (False, True):
+        dec = decode_jpeg(encode_jpeg(rgb, quality=95, subsample=sub))
+        assert dec.shape == (16, 24, 3)
+        assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 2
+
+    yy, xx = np.mgrid[0:21, 0:37]
+    grad = np.stack(
+        [(yy * 3 + 20) % 256, (xx * 2 + 50) % 256, ((yy + xx) * 2) % 256], -1
+    ).astype(np.uint8)
+    for ri in (0, 2):
+        dec = decode_jpeg(encode_jpeg(grad, quality=95, restart_interval=ri))
+        assert dec.shape == grad.shape
+        assert np.abs(dec.astype(int) - grad.astype(int)).max() <= 12
+
+    g = (yy * 7 % 256).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dec.shape == (21, 37, 3)
+    assert (dec[:, :, 0] == dec[:, :, 1]).all()  # gray replicated
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 14
+
+    blocks = np.kron(
+        np.arange(4).reshape(2, 2) * 60 + 30, np.ones((16, 16))
+    ).astype(np.uint8)
+    rgb420 = np.stack([blocks, 255 - blocks, blocks // 2], -1)
+    dec = decode_jpeg(encode_jpeg(rgb420, quality=95, subsample=True))
+    assert np.abs(dec.astype(int) - rgb420.astype(int)).max() <= 2
+
+
+def test_jpeg_strict_boundaries():
+    """Honest error surface: non-JPEG, truncated streams, progressive
+    (SOF2) and arithmetic-coded (SOF9) processes all raise ValueError
+    with a tellable message."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    def seg(m, p):
+        return bytes((0xFF, m)) + (len(p) + 2).to_bytes(2, "big") + p
+
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    good = encode_jpeg(np.zeros((8, 8, 3), np.uint8))
+    with _pytest.raises(ValueError, match="truncated|marker"):
+        decode_jpeg(good[:40])
+    sof = (
+        bytes((8,)) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes((1, 1, 0x11, 0))
+    )
+    for marker in (0xC2, 0xC9):  # progressive / arithmetic sequential
+        with _pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(b"\xff\xd8" + seg(marker, sof))
+
+
+def test_jpeg_decode_is_real(spark):
+    """decode_images / image_ahash / resize_images run the REAL JPEG
+    path under fake=False: real dimensions and luma from the decoded
+    pixels, the aHash of the SAME picture collides across BMP and JPEG
+    containers (the hash is over pixels), and resize re-encodes a
+    valid baseline JPEG that decodes at the target size."""
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.jpeg import decode_jpeg, encode_jpeg
+    from hadoop_fcfs_spark.llm.multimodal import (
+        attach_media_meta,
+        decode_images,
+        image_ahash,
+        resize_images,
+    )
+
+    grad = np.stack(
+        [np.tile(np.arange(16) * 16, (16, 1))] * 3, axis=-1
+    ).astype(np.uint8)
+    jblob = encode_jpeg(grad, quality=95)
+    bblob = _make_bmp(
+        [[tuple(int(v) for v in grad[y, x]) for x in range(16)]
+         for y in range(16)]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(jblob)), (2, bytearray(bblob))],
+        "media_id long, payload binary",
+    )
+    meta = {r["media_id"]: r["media_meta"]["format"]
+            for r in attach_media_meta(df).collect()}
+    assert meta == {1: "jpeg", 2: "bmp"}
+
+    out = {r["media_id"]: r for r in decode_images(df, fake=False).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (16, 16)
+    # lossy but tight at q=95: decoded mean within 1/255 of the source
+    assert abs(out[1]["mean_luma"] - out[2]["mean_luma"]) < 1.5 / 255
+
+    hashes = {r["media_id"]: r["ahash"]
+              for r in image_ahash(df, fake=False).collect()}
+    assert hashes[1] == hashes[2], "same picture must hash alike across formats"
+
+    rez = resize_images(df, target_w=8, target_h=8, fake=False).collect()
+    jout = next(bytes(r["payload"]) for r in rez if r["media_id"] == 1)
+    dec = decode_jpeg(jout)
+    assert dec.shape == (8, 8, 3)
+    # nearest-neighbor of a horizontal gradient keeps monotone columns
+    assert (np.diff(dec[:, :, 0].astype(int), axis=1) >= -12).all()
