@@ -13,7 +13,9 @@ one RAW format for real and stubs the compressed ones honestly:
   honestly).
 - VIDEO: Y4M (yuv4mpeg2) frame extraction is REAL (text header + raw
   YUV planes); webm/mp4 stay stubbed (need ffmpeg).
-- AUDIO: WAV decode and resampling are REAL (stdlib wave/audioop).
+- AUDIO: WAV decode, resampling AND spectral feature extraction are
+  REAL (stdlib wave/audioop + numpy rFFT filterbank); mp3/ogg stay
+  stubbed (need a codec).
 The stubs are deterministic fakes (fake=True) or NotImplementedError
 (fake=False), and everything Spark-side is real and tested either way:
 schema contract, Arrow batch shape, mapInPandas signatures, partition
@@ -1045,32 +1047,75 @@ def extract_audio_features(
     """Audio feature extraction: blob → fixed-width float feature vector
     (`array<float>`), the column shape the similarity-search tier
     consumes (llm.similarity.cosine_topk / rp_lsh_topk run on the output
-    unchanged). STUB: deterministic digest-derived pseudo-MFCCs; real
-    librosa/torchaudio extraction slots into the same iterator.
+    unchanged). WAV payloads (r9) extract REAL features, no codec
+    library needed: the PCM samples (stdlib ``wave``, channel 0, 8/16
+    bit) go through a numpy rFFT power spectrum, split into
+    ``n_features`` log-spaced frequency bands (a coarse filterbank —
+    the front half of an MFCC pipeline before the DCT), feature i =
+    log10(1 + mean band power); duration is the real header value.
+    Compressed audio (mp3/ogg) keeps the honest boundary: fake=True
+    yields deterministic digest-derived pseudo-features, fake=False
+    raises where librosa/torchaudio would slot in.
     Output: (id, duration_s, features array<float>)."""
 
     out_schema = f"{id_col} long, duration_s double, features array<float>"
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import io
+        import wave
+
+        import numpy as np
+
+        def wav_features(raw: bytes):
+            with wave.open(io.BytesIO(raw)) as w:
+                nch, sw, sr = w.getnchannels(), w.getsampwidth(), w.getframerate()
+                nf = w.getnframes()
+                frames = w.readframes(nf)
+            if sw == 2:
+                x = np.frombuffer(frames, "<i2").astype(np.float64)
+            elif sw == 1:
+                x = np.frombuffer(frames, np.uint8).astype(np.float64) - 128.0
+            else:
+                raise ValueError(f"unsupported WAV sample width {sw}")
+            x = x[::nch] if nch > 1 else x  # channel 0 of interleaved frames
+            if len(x) < 4 * n_features or sr <= 0:
+                raise ValueError("too short to extract spectral features")
+            power = np.abs(np.fft.rfft(x)) ** 2 / len(x)
+            # log-spaced band edges over the positive-frequency bins
+            # (DC excluded) — a coarse mel-like filterbank
+            edges = np.unique(
+                np.geomspace(1, len(power) - 1, n_features + 1).astype(int)
+            )
+            while len(edges) < n_features + 1:  # tiny clips: pad linearly
+                edges = np.unique(np.append(edges, edges[-1] + 1))
+            feats = [
+                round(float(np.log10(1.0 + power[lo:hi].mean())), 6)
+                for lo, hi in zip(edges[:-1], edges[1:])
+            ]
+            return round(nf / sr, 6), feats
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio feature extraction requires an audio codec "
-                    "(e.g. librosa) — not available in this container"
-                )
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
                 raw = bytes(blob)
-                d = hashlib.md5(raw).digest()
-                feats = [round((d[i] - 128) / 128.0, 6) for i in range(n_features)]
+                try:
+                    dur, feats = wav_features(raw)
+                except (wave.Error, EOFError, ValueError):
+                    if not fake:
+                        raise NotImplementedError(
+                            "feature extraction for compressed audio "
+                            "requires a codec (e.g. librosa) — WAV "
+                            "extracts natively"
+                        )
+                    d = hashlib.md5(raw).digest()
+                    dur = round(len(raw) / 16000.0, 6)
+                    feats = [
+                        round((d[i] - 128) / 128.0, 6)
+                        for i in range(n_features)
+                    ]
                 rows.append(
-                    {
-                        id_col: mid,
-                        "duration_s": round(len(raw) / 16000.0, 6),
-                        "features": feats,
-                    }
+                    {id_col: mid, "duration_s": dur, "features": feats}
                 )
             yield pd.DataFrame(rows, columns=[id_col, "duration_s", "features"])
 

@@ -2507,3 +2507,57 @@ def test_jpeg_decode_is_real(spark):
     assert dec.shape == (8, 8, 3)
     # nearest-neighbor of a horizontal gradient keeps monotone columns
     assert (np.diff(dec[:, :, 0].astype(int), axis=1) >= -12).all()
+
+
+def test_audio_features_real_spectral(spark):
+    """extract_audio_features (r9): WAV payloads get REAL log-spaced
+    band energies from an rFFT power spectrum — a pure low tone
+    concentrates its energy in a LOWER band than a pure high tone, two
+    different tones produce different vectors, the same tone is
+    deterministic, duration comes from the header exactly, and
+    compressed/garbage audio keeps the digest path under fake=True and
+    raises under fake=False."""
+    import io
+    import math
+    import struct
+    import wave
+
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import extract_audio_features
+
+    def tone_wav(freq, rate=8000, n=8000, amp=12000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            samples = [
+                int(amp * math.sin(2 * math.pi * freq * i / rate))
+                for i in range(n)
+            ]
+            w.writeframes(struct.pack(f"<{n}h", *samples))
+        return buf.getvalue()
+
+    rows = [
+        (0, tone_wav(50)),      # low tone
+        (1, tone_wav(3000)),    # high tone (near Nyquist 4000)
+        (2, b"ID3\x03mp3-ish garbage payload"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+
+    assert abs(got[0]["duration_s"] - 1.0) < 1e-9
+    lo, hi = got[0]["features"], got[1]["features"]
+    assert len(lo) == len(hi) == 8
+    # the dominant band moves up with frequency
+    assert lo.index(max(lo)) < hi.index(max(hi))
+    assert lo != hi
+    # deterministic across runs
+    again = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert again[0]["features"] == lo
+    # garbage: digest pseudo-features under fake=True, raise under fake=False
+    assert len(got[2]["features"]) == 8
+    bad = df.filter(F.col("media_id") == 2)
+    with _pytest.raises(Exception, match="codec|librosa|NotImplemented"):
+        extract_audio_features(bad, fake=False).collect()
