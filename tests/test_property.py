@@ -1004,3 +1004,31 @@ def test_p_chart_degenerate_pooled_rates(spark):
     assert r["rate_e6"] == 1_000_000
     assert r["ucl_e6"] == 1_000_000 and r["lcl_e6"] == 1_000_000
     assert not r["out_of_control"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_jpeg_q100_roundtrip_property(data):
+    """PROPERTY: at quality 100 every quant divisor is 1, so the only
+    loss left is FDCT->IDCT float rounding — ANY random image must
+    round-trip through the baseline codec within a +-2 pixel bound, in
+    both 4:4:4 and grayscale, at arbitrary (non-multiple-of-8) sizes.
+    A wrong zigzag, Huffman width, byte-stuffing or level-shift bug
+    shifts whole blocks and fails this immediately."""
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    h = data.draw(st.integers(1, 20))
+    w = data.draw(st.integers(1, 20))
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(rgb, quality=100))
+    assert dec.shape == (h, w, 3)
+    # YCbCr->RGB matrix round-trip + DCT rounding: tight but not exact
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 2
+
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    gdec = decode_jpeg(encode_jpeg(gray, quality=100))
+    assert np.abs(gdec[:, :, 0].astype(int) - gray.astype(int)).max() <= 1
