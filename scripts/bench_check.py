@@ -29,7 +29,7 @@ BANDS: dict[str, tuple[float, float]] = {
     "join_multiway": (0.7, 2.0),
     "wordcount": (0.15, 0.6),
     "window_analytics": (0.4, 1.1),
-    "dedup_minhash_lsh": (1.6, 3.2),
+    "dedup_minhash_lsh": (1.3, 3.2),
     "ann_cosine_topk": (0.4, 1.2),
     "value_histogram": (0.15, 0.6),
     "corpus_pipeline": (2.0, 4.2),
@@ -49,7 +49,7 @@ BANDS: dict[str, tuple[float, float]] = {
     "watermark_late_audit": (0.6, 1.8),
     "corpus_pipeline_v7": (2.5, 4.5),
     "total_order_sort": (0.7, 1.7),
-    "terasort_2m": (0.7, 1.6),
+    "terasort_2m": (0.6, 1.6),
     "dfsio_write": (1.1, 2.4),
     "dfsio_read": (0.2, 0.7),
     "mrbench_small_job_mean": (0.1, 0.3),
