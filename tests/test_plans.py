@@ -1543,3 +1543,36 @@ def test_krippendorff_grain_rollups_only(spark):
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
     release_waypoints()
+
+
+def test_blob_column_pruned_for_metadata_only_reads(spark, tmp_path):
+    """The multimodal scale contract (llm/multimodal.py module doc):
+    metadata-only transforms must let the scan prune the binary payload
+    column away entirely. Pinned at BOTH blob sources: (a) a parquet
+    media table read through a size/format projection keeps `payload`
+    out of ReadSchema; (b) the binaryFile source with only path/length
+    selected keeps `content` out of ReadSchema — at 100 TB of blobs
+    that's the difference between listing files and reading them."""
+    import numpy as np
+
+    from hadoop_fcfs_spark.io.readers import read_binary_files
+    from hadoop_fcfs_spark.llm.multimodal import _encode_png
+
+    tbl = str(tmp_path / "media_parquet")
+    spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0blob-bytes", "jpeg"), (2, b"BMother", "bmp")],
+        "media_id long, payload binary, fmt string",
+    ).write.parquet(tbl)
+    meta_only = spark.read.parquet(tbl).select("media_id", "fmt")
+    plan = _plan(meta_only)
+    scan = plan[plan.index("ReadSchema"):]
+    assert "media_id" in scan and "fmt" in scan
+    assert "payload" not in scan, "metadata projection must prune the blob"
+
+    d = tmp_path / "files"
+    d.mkdir()
+    (d / "a.png").write_bytes(_encode_png(np.zeros((2, 2, 3), np.uint8)))
+    listing = read_binary_files(spark, str(d)).select("path", "length")
+    lplan = _plan(listing)
+    lscan = lplan[lplan.index("ReadSchema"):]
+    assert "content" not in lscan, "listing-only read must not scan bytes"
