@@ -1,16 +1,24 @@
-"""Baseline JPEG codec, pure Python + numpy (no Pillow, no libjpeg).
+"""JPEG codec, pure Python + numpy (no Pillow, no libjpeg): baseline
+sequential AND progressive Huffman processes of ITU-T T.81.
 
-Implements the baseline sequential DCT process of ITU-T T.81 (the JPEG
-standard): marker parsing (SOI/APPn/COM/DQT/DHT/SOF0/SOF1/DRI/SOS/EOI),
-canonical Huffman entropy decode with byte unstuffing and restart
-markers, dequantization + zigzag + orthonormal-matrix IDCT, sampling-
-factor block layout with chroma upsampling, and JFIF full-range
-YCbCr -> RGB. The companion encoder writes interchange-format baseline
-JPEG with the Annex K example quantization/Huffman tables (scaled by
-the libjpeg quality formula), optional 4:2:0 subsampling and optional
-restart intervals — it exists so the decoder has an in-repo round-trip
-partner and so `resize_images` can re-encode in kind, the
-`_encode_png`/`_encode_gif` precedent.
+Decode: marker parsing (SOI/APPn/COM/DQT/DHT/SOF0/SOF1/SOF2/DRI/SOS/
+EOI), canonical Huffman entropy decode with byte unstuffing and
+restart markers, and a single coefficient-accumulation core that
+treats baseline as one full-band scan and progressive (Annex G) as a
+sequence of DC/AC spectral-selection and successive-approximation
+scans (EOBn end-of-band runs, +-1<<Al newly-nonzero insertion,
+correction-bit refinement); then one dequantization + zigzag +
+orthonormal-matrix IDCT pass, sampling-factor block layout with
+chroma upsampling, and JFIF full-range YCbCr -> RGB. The companion
+encoders write interchange-format baseline (Annex K example tables
+scaled by the libjpeg quality formula, optional 4:2:0 and restart
+intervals) and spectral-selection progressive (DC scan + per-component
+AC scans with real EOBn runs) — they exist so the decoder has in-repo
+round-trip partners and so `resize_images` can re-encode in kind, the
+`_encode_png`/`_encode_gif` precedent. Both encoders quantize
+identically, so progressive and baseline encodings of the same image
+must decode bit-for-bit equal — the strongest oracle the test suite
+asserts.
 
 Everything here is public knowledge (ITU-T T.81 / ISO 10918-1, JFIF
 spec); the reference repo has no image codec at all — its binary-blob
@@ -19,9 +27,9 @@ hadoop-mapreduce-client-core/src/main/java/org/apache/hadoop/mapreduce/
 lib/input/SequenceFileInputFormat.java:1), which is exactly why this
 engine carries its own decode tier for the multimodal columns.
 
-Progressive (SOF2), arithmetic coding, 12-bit precision and lossless
-modes raise ValueError — baseline covers the overwhelmingly common
-interchange files and keeps the error boundary honest.
+Arithmetic coding, 12-bit precision, hierarchical and lossless modes
+raise ValueError — baseline + progressive Huffman cover essentially
+all interchange files in the wild; the rest keep an honest boundary.
 """
 
 from __future__ import annotations
@@ -199,35 +207,160 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
 
 
-def _decode_block(reader, dc_tab, ac_tab, pred: int):
-    """One 8x8 block of quantized coefficients in zigzag order."""
-    coefs = [0] * 64
+def _decode_dc_first(reader, dc_tab, blk, pred: int, al: int) -> int:
+    """First (or only) DC pass: Huffman diff + EXTEND, stored << Al
+    (T.81 F.2.2.1 / G.1.2.1)."""
     t = reader.decode(dc_tab)
     if t > 11:
         raise ValueError("bad JPEG DC category")
     pred += _extend(reader.read(t), t)
-    coefs[0] = pred
-    k = 1
-    while k < 64:
+    blk[0] = pred << al
+    return pred
+
+
+def _decode_ac_first(reader, ac_tab, blk, ss, se, al, eobrun) -> int:
+    """First AC pass over band [ss, se], values stored << Al. Baseline
+    AC decoding is the ss=1, se=63, al=0 case (an EOB code is an EOB
+    run of exactly 1 there). Returns the remaining end-of-band run
+    (blocks to skip entirely)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
         rs = reader.decode(ac_tab)
         r, s = rs >> 4, rs & 0x0F
         if s == 0:
             if r == 15:  # ZRL
                 k += 16
                 continue
-            break  # EOB
+            eobrun = (1 << r) - 1  # EOBn: current block ends now
+            if r:
+                eobrun += reader.read(r)
+            break
         k += r
-        if k > 63:
-            raise ValueError("JPEG AC run past end of block")
-        coefs[k] = _extend(reader.read(s), s)
+        if k > se:
+            raise ValueError("JPEG AC run past end of band")
+        blk[k] = _extend(reader.read(s), s) << al
         k += 1
-    return coefs, pred
+    return eobrun
+
+
+def _decode_ac_refine(reader, ac_tab, blk, ss, se, al, eobrun) -> int:
+    """AC successive-approximation refinement (T.81 G.1.2.3): newly
+    nonzero coefficients arrive as +-1 << Al; every coefficient with
+    prior history gets a correction bit appended at bit position Al.
+    Python's & on negatives is two's-complement like C, so the
+    history-bit test matches the reference semantics directly."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                val = 0  # ZRL: pass over 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("bad JPEG refinement magnitude")
+                val = p1 if reader.read(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # drain correction bits for the whole band
+            if blk[k] != 0:
+                if reader.read(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _scan_pass(blob, pos, scomps, ss, se, ah, al, ri, mcux, mcuy) -> int:
+    """Decode one entropy-coded scan into the components' coefficient
+    arrays (zigzag order). Interleaved scans walk the MCU grid;
+    single-component scans walk that component's true block grid
+    (T.81 A.2). Returns the byte position after the scan data."""
+    reader = _BitReader(blob, pos)
+    preds = [0] * len(scomps)
+    eobrun = 0
+    nrst = 0
+    interleaved = len(scomps) > 1
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        units = scomps[0]["bw_t"] * scomps[0]["bh_t"]
+    for seen in range(units):
+        if ri and seen and seen % ri == 0:
+            reader.restart(nrst)
+            nrst = (nrst + 1) & 7
+            preds = [0] * len(scomps)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(seen, mcux)
+            for ci, c in enumerate(scomps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = c["coef"][my * c["v"] + by][mx * c["h"] + bx]
+                        if ah == 0:
+                            preds[ci] = _decode_dc_first(
+                                reader, c["dc"], blk, preds[ci], al
+                            )
+                        else:
+                            blk[0] |= reader.read(1) << al
+                        if se > 0:  # baseline/sequential full band
+                            eobrun = _decode_ac_first(
+                                reader, c["ac"], blk, 1, se, al, eobrun
+                            )
+        else:
+            c = scomps[0]
+            by, bx = divmod(seen, c["bw_t"])
+            blk = c["coef"][by][bx]
+            if ss == 0:
+                if ah == 0:
+                    preds[0] = _decode_dc_first(
+                        reader, c["dc"], blk, preds[0], al
+                    )
+                else:
+                    blk[0] |= reader.read(1) << al
+                if se > 0:
+                    eobrun = _decode_ac_first(
+                        reader, c["ac"], blk, 1, se, al, eobrun
+                    )
+            elif ah == 0:
+                eobrun = _decode_ac_first(
+                    reader, c["ac"], blk, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _decode_ac_refine(
+                    reader, c["ac"], blk, ss, se, al, eobrun
+                )
+    return reader.pos
 
 
 def decode_jpeg(blob: bytes):
-    """Decode a baseline JPEG -> (h, w, 3) uint8 RGB (grayscale files
-    are replicated to 3 channels). Raises ValueError on non-JPEG,
-    truncated streams and non-baseline processes."""
+    """Decode a baseline OR progressive (Huffman) JPEG -> (h, w, 3)
+    uint8 RGB (grayscale files are replicated to 3 channels). Both
+    processes run through one coefficient-accumulation core: baseline
+    is a single full-band scan, progressive (SOF2) accumulates
+    DC/AC spectral-selection and successive-approximation scans
+    (T.81 Annex G) into the same per-component arrays, with one
+    dequant + IDCT at the end. Raises ValueError on non-JPEG,
+    truncated streams, and the arithmetic/lossless/12-bit processes."""
     import numpy as np
 
     if len(blob) < 4 or blob[:3] != _JPEG_SIG:
@@ -235,10 +368,15 @@ def decode_jpeg(blob: bytes):
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    comps = None
+    hmax = vmax = mcux = mcuy = 0
+    nscans = 0
     restart_interval = 0
     pos = 2
     while True:
         if pos + 2 > len(blob):
+            if nscans:  # data ended after a complete scan, EOI missing
+                break
             raise ValueError("truncated JPEG: no SOS marker")
         if blob[pos] != 0xFF:
             raise ValueError(f"malformed JPEG marker at {pos}")
@@ -246,6 +384,8 @@ def decode_jpeg(blob: bytes):
         pos += 2
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # SOI / TEM / stray RST: no payload
+        if marker == 0xD9:  # EOI: no payload
+            break
         if pos + 2 > len(blob):
             raise ValueError("truncated JPEG segment header")
         ln = int.from_bytes(blob[pos : pos + 2], "big")
@@ -282,7 +422,9 @@ def decode_jpeg(blob: bytes):
                     raise ValueError("truncated JPEG DHT")
                 htables[(tc, th)] = _build_huffman(counts, symbols)
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
+            if frame is not None:
+                raise ValueError("multiple JPEG frames not supported")
             if len(seg) < 6:
                 raise ValueError("truncated JPEG SOF")
             prec = seg[0]
@@ -299,12 +441,30 @@ def decode_jpeg(blob: bytes):
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax < 1 or vmax < 1 or any(
+                c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]
+                for c in comps
+            ):
+                raise ValueError("unsupported JPEG sampling factors")
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                # padded (MCU) grid; true grid for non-interleaved scans
+                c["coef"] = np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), np.int32
+                )
+                cols = -(-(w * c["h"]) // hmax)
+                rows = -(-(h * c["v"]) // vmax)
+                c["bw_t"] = -(-cols // 8)
+                c["bh_t"] = -(-rows // 8)
+            frame = (h, w)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "unsupported JPEG process (progressive/arithmetic/"
-                "lossless) — baseline sequential only"
+                "unsupported JPEG process (arithmetic/lossless/"
+                "differential) — baseline and progressive Huffman only"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
@@ -312,77 +472,73 @@ def decode_jpeg(blob: bytes):
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            scan = []
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("truncated JPEG SOS")
+            byid = {c["id"]: c for c in comps}
+            scomps = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
-                scan.append((cs, tdta >> 4, tdta & 0x0F))
-            pos += ln
-            break
+                if cs not in byid:
+                    raise ValueError("JPEG scan references unknown component")
+                sc = byid[cs]
+                sc["dc"] = htables.get((0, tdta >> 4))
+                sc["ac"] = htables.get((1, tdta & 0x0F))
+                scomps.append(sc)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not (0 <= ss <= se <= 63):
+                raise ValueError("bad JPEG spectral band")
+            if ns > 1 and ss != 0:
+                raise ValueError("interleaved JPEG AC scan is invalid")
+            for sc in scomps:
+                if ss == 0 and ah == 0 and sc["dc"] is None:
+                    raise ValueError("JPEG scan references missing DC table")
+                if se > 0 and ah == 0 and sc["ac"] is None:
+                    raise ValueError("JPEG scan references missing AC table")
+                if ss > 0 and ah > 0 and sc["ac"] is None:
+                    raise ValueError("JPEG scan references missing AC table")
+            pos = _scan_pass(
+                blob, pos + ln, scomps, ss, se, ah, al,
+                restart_interval, mcux, mcuy,
+            )
+            nscans += 1
+            # resync to the next marker (skip pad bits / fill FFs)
+            while pos + 1 < len(blob):
+                if blob[pos] == 0xFF and blob[pos + 1] != 0x00:
+                    if blob[pos + 1] == 0xFF:
+                        pos += 1
+                        continue
+                    break
+                pos += 1
+            continue
         pos += ln
 
-    h, w, comps = frame
-    byid = {c["id"]: c for c in comps}
-    order = []
-    for cs, td, ta in scan:
-        if cs not in byid:
-            raise ValueError("JPEG scan references unknown component")
-        c = dict(byid[cs])
-        c["dc"] = htables.get((0, td))
-        c["ac"] = htables.get((1, ta))
-        c["qt"] = qtables.get(c["tq"])
-        if c["dc"] is None or c["ac"] is None or c["qt"] is None:
-            raise ValueError("JPEG scan references missing table")
-        order.append(c)
-    if len(order) != len(comps):
-        raise ValueError("multi-scan JPEG not supported (baseline only)")
-
-    hmax = max(c["h"] for c in order)
-    vmax = max(c["v"] for c in order)
-    if hmax < 1 or vmax < 1 or any(
-        c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]
-        for c in order
-    ):
-        raise ValueError("unsupported JPEG sampling factors")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    if frame is None or nscans == 0:
+        raise ValueError("truncated JPEG: no SOS marker")
+    h, w = frame
     M = _dct_mat()
-    planes = []
-    for c in order:
-        planes.append(
-            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
-        )
-        c["qvec"] = np.array(c["qt"], np.float64)
-
-    reader = _BitReader(blob, pos)
-    preds = [0] * len(order)
     zz = np.array(_ZIGZAG)
-    nrst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            imcu = my * mcux + mx
-            if restart_interval and imcu and imcu % restart_interval == 0:
-                reader.restart(nrst)
-                nrst = (nrst + 1) & 7
-                preds = [0] * len(order)
-            for ci, c in enumerate(order):
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coefs, preds[ci] = _decode_block(
-                            reader, c["dc"], c["ac"], preds[ci]
-                        )
-                        deq = np.asarray(coefs, np.float64) * c["qvec"]
-                        blk = np.zeros(64, np.float64)
-                        blk[zz] = deq
-                        px = M.T @ blk.reshape(8, 8) @ M + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-
     full = []
-    for ci, c in enumerate(order):
-        p = planes[ci]
-        p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
-        full.append(p[:h, :w])
+    for c in comps:
+        qt = qtables.get(c["tq"])
+        if qt is None:
+            raise ValueError("JPEG component references missing DQT")
+        deq = c["coef"].reshape(-1, 64).astype(np.float64) * np.asarray(
+            qt, np.float64
+        )
+        nat = np.zeros_like(deq)
+        nat[:, zz] = deq  # zigzag -> natural positions
+        blocks = nat.reshape(-1, 8, 8)
+        px = np.einsum("ij,njk,kl->nil", M.T, blocks, M) + 128.0
+        bh, bw = c["coef"].shape[:2]
+        plane = (
+            px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], 0), hmax // c["h"], 1
+        )
+        full.append(plane[:h, :w])
     if len(full) == 1:
         g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
@@ -433,44 +589,11 @@ def _encode_value_bits(v: int) -> tuple[int, int]:
     return s, (v if v >= 0 else v + (1 << s) - 1)
 
 
-def _encode_block(writer, blk_q, dc_codes, ac_codes, pred: int) -> int:
-    zz = [int(blk_q[_ZIGZAG[i] >> 3][_ZIGZAG[i] & 7]) for i in range(64)]
-    s, bits = _encode_value_bits(zz[0] - pred)
-    code, ln = dc_codes[s]
-    writer.write(code, ln)
-    if s:
-        writer.write(bits, s)
-    run = 0
-    for k in range(1, 64):
-        if zz[k] == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, ln = ac_codes[0xF0]  # ZRL
-            writer.write(code, ln)
-            run -= 16
-        s, bits = _encode_value_bits(zz[k])
-        code, ln = ac_codes[(run << 4) | s]
-        writer.write(code, ln)
-        writer.write(bits, s)
-        run = 0
-    if run:
-        code, ln = ac_codes[0x00]  # EOB
-        writer.write(code, ln)
-    return zz[0]
-
-
-def encode_jpeg(
-    rgb,
-    quality: int = 90,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an (h, w, 3) or (h, w) uint8 array as baseline JFIF JPEG
-    with the Annex K tables. ``subsample=True`` writes 4:2:0 (2x2 box-
-    averaged chroma), else 4:4:4. ``restart_interval`` > 0 emits DRI +
-    RSTn markers every that many MCUs (exercises the decoder's resync
-    path)."""
+def _plan_quantized(rgb, quality: int, subsample: bool):
+    """Shared encoder front half: color transform, sampling prep, FDCT
+    and quantization. Returns (h, w, samp, qsel, qlum, qchrom, blocks)
+    where blocks[ci] is an int64 array (bh_pad, bw_pad, 64) of
+    quantized coefficients in ZIGZAG order over the padded MCU grid."""
     import numpy as np
 
     arr = np.asarray(rgb, np.float64)
@@ -491,10 +614,7 @@ def encode_jpeg(
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        if subsample:
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            samp = [(1, 1), (1, 1), (1, 1)]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
         planes = [y, cb, cr]
         qsel = [0, 1, 1]
     hmax = max(s[0] for s in samp)
@@ -502,8 +622,15 @@ def encode_jpeg(
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
-    prepped = []
-    for (sh, sv), plane in zip(samp, planes):
+    M = _dct_mat()
+    # the Annex K base tables are natural row-major 8x8 matrices
+    qmats = [
+        np.asarray(qlum, np.float64).reshape(8, 8),
+        np.asarray(qchrom, np.float64).reshape(8, 8),
+    ]
+    zz = np.array(_ZIGZAG)
+    blocks = []
+    for ci, ((sh, sv), plane) in enumerate(zip(samp, planes)):
         if (sh, sv) != (hmax, vmax):
             fy, fx = vmax // sv, hmax // sh
             ph = -(-plane.shape[0] // fy) * fy
@@ -519,20 +646,99 @@ def encode_jpeg(
             ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
             mode="edge",
         )
-        prepped.append(plane)
+        bh, bw = th // 8, tw // 8
+        blk = (
+            plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        f = np.einsum("ij,nbjk,kl->nbil", M, blk, M.T)
+        q = np.round(f / qmats[qsel[ci]]).astype(np.int64)
+        blocks.append(q.reshape(bh, bw, 64)[:, :, zz])  # natural -> zigzag
+    return h, w, samp, qsel, qlum, qchrom, blocks
 
-    M = _dct_mat()
-    # the Annex K base tables are natural row-major 8x8 matrices
-    qmats = [
-        np.asarray(qlum, np.float64).reshape(8, 8),
-        np.asarray(qchrom, np.float64).reshape(8, 8),
-    ]
 
+def _encode_block_zz(writer, zvec, dc_codes, ac_codes, pred: int) -> int:
+    """Baseline block coding from a zigzag-order coefficient vector."""
+    dc = int(zvec[0])
+    s, bits = _encode_value_bits(dc - pred)
+    code, ln = dc_codes[s]
+    writer.write(code, ln)
+    if s:
+        writer.write(bits, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zvec[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        s, bits = _encode_value_bits(v)
+        code, ln = ac_codes[(run << 4) | s]
+        writer.write(code, ln)
+        writer.write(bits, s)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        writer.write(code, ln)
+    return dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes((0xFF, marker)) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _emit_headers(
+    h, w, samp, qsel, qlum, qchrom, sof_marker: int, dhts, restart_interval
+) -> bytearray:
+    """SOI + JFIF APP0 + DQT(s) + SOF + DHT(s) + optional DRI."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+
+    def zzq(base) -> bytes:
+        # DQT payloads are serialized in zigzag order (T.81 B.2.4.1)
+        return bytes(base[_ZIGZAG[i]] for i in range(64))
+
+    out += _seg(0xDB, b"\x00" + zzq(qlum))
+    ncomp = len(samp)
+    if ncomp == 3:
+        out += _seg(0xDB, b"\x01" + zzq(qchrom))
+    sof = bytes((8,)) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        (ncomp,)
+    )
+    for ci in range(ncomp):
+        sof += bytes((ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]))
+    out += _seg(sof_marker, sof)
+    for tcth, table in dhts:
+        out += _seg(0xC4, bytes((tcth,)) + table[0] + table[1])
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    return out
+
+
+def encode_jpeg(
+    rgb,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w, 3) or (h, w) uint8 array as baseline JFIF JPEG
+    with the Annex K tables. ``subsample=True`` writes 4:2:0 (2x2 box-
+    averaged chroma), else 4:4:4. ``restart_interval`` > 0 emits DRI +
+    RSTn markers every that many MCUs (exercises the decoder's resync
+    path)."""
+    h, w, samp, qsel, qlum, qchrom, blocks = _plan_quantized(
+        rgb, quality, subsample
+    )
+    ncomp = len(samp)
+    mcuy = blocks[0].shape[0] // samp[0][1]
+    mcux = blocks[0].shape[1] // samp[0][0]
     dc_codes = [_huffman_codes(*_HT_DC_LUM), _huffman_codes(*_HT_DC_CHROM)]
     ac_codes = [_huffman_codes(*_HT_AC_LUM), _huffman_codes(*_HT_AC_CHROM)]
 
     writer = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * ncomp
     nrst = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -541,52 +747,150 @@ def encode_jpeg(
                 writer.align()
                 writer.out += bytes((0xFF, 0xD0 + nrst))
                 nrst = (nrst + 1) & 7
-                preds = [0] * len(planes)
-            for ci, ((sh, sv), plane) in enumerate(zip(samp, prepped)):
+                preds = [0] * ncomp
+            for ci, (sh, sv) in enumerate(samp):
                 t = qsel[ci]
                 for by in range(sv):
                     for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        blk = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        f = M @ blk @ M.T
-                        q = np.round(f / qmats[t]).astype(np.int64)
-                        preds[ci] = _encode_block(
-                            writer, q, dc_codes[t], ac_codes[t], preds[ci]
+                        preds[ci] = _encode_block_zz(
+                            writer,
+                            blocks[ci][my * sv + by, mx * sh + bx],
+                            dc_codes[t], ac_codes[t], preds[ci],
                         )
     writer.align()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes((0xFF, marker)) + (len(payload) + 2).to_bytes(2, "big") + payload
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    def zzq(base) -> bytes:
-        # DQT payloads are serialized in zigzag order (T.81 B.2.4.1)
-        return bytes(base[_ZIGZAG[i]] for i in range(64))
-    out += seg(0xDB, b"\x00" + zzq(qlum))
-    ncomp = len(planes)
+    dhts = [(0x00, _HT_DC_LUM), (0x10, _HT_AC_LUM)]
     if ncomp == 3:
-        out += seg(0xDB, b"\x01" + zzq(qchrom))
-    sof = bytes((8,)) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
-        (ncomp,)
+        dhts += [(0x01, _HT_DC_CHROM), (0x11, _HT_AC_CHROM)]
+    out = _emit_headers(
+        h, w, samp, qsel, qlum, qchrom, 0xC0, dhts, restart_interval
     )
-    for ci in range(ncomp):
-        sof += bytes((ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]))
-    out += seg(0xC0, sof)
-    out += seg(0xC4, b"\x00" + _HT_DC_LUM[0] + _HT_DC_LUM[1])
-    out += seg(0xC4, b"\x10" + _HT_AC_LUM[0] + _HT_AC_LUM[1])
-    if ncomp == 3:
-        out += seg(0xC4, b"\x01" + _HT_DC_CHROM[0] + _HT_DC_CHROM[1])
-        out += seg(0xC4, b"\x11" + _HT_AC_CHROM[0] + _HT_AC_CHROM[1])
-    if restart_interval:
-        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes((ncomp,))
     for ci in range(ncomp):
         t = qsel[ci]
         sos += bytes((ci + 1, (t << 4) | t))
     sos += b"\x00\x3f\x00"
-    out += seg(0xDA, sos)
+    out += _seg(0xDA, sos)
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# flat 256-symbol AC table for progressive scans: the Annex K AC tables
+# lack the EOBn symbols (0x10..0xE0) progressive end-of-band runs need,
+# so the progressive encoder ships its own canonical table — 255 8-bit
+# codes + one 9-bit code, every (run, size) symbol representable and
+# the all-ones padding code never valid (T.81 C.2's BITS constraint).
+_HT_AC_FLAT = (
+    bytes((0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0)),
+    bytes(range(255)) + bytes((255,)),
+)
+
+
+def encode_jpeg_progressive(
+    rgb, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """Encode as PROGRESSIVE (SOF2) JFIF JPEG via spectral selection:
+    one interleaved DC scan (Ss=Se=0) followed by one full-band AC scan
+    per component (Ss=1, Se=63), both at Ah=Al=0, with real end-of-band
+    runs (EOBn) across empty blocks. The quantized coefficients are
+    IDENTICAL to :func:`encode_jpeg` at the same quality/subsampling —
+    the decoder must reconstruct the two encodings bit-for-bit equal,
+    which is exactly what the round-trip test asserts."""
+    h, w, samp, qsel, qlum, qchrom, blocks = _plan_quantized(
+        rgb, quality, subsample
+    )
+    ncomp = len(samp)
+    mcuy = blocks[0].shape[0] // samp[0][1]
+    mcux = blocks[0].shape[1] // samp[0][0]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    dc_codes = [_huffman_codes(*_HT_DC_LUM), _huffman_codes(*_HT_DC_CHROM)]
+    ac_flat = _huffman_codes(*_HT_AC_FLAT)
+
+    dhts = [(0x00, _HT_DC_LUM), (0x10, _HT_AC_FLAT)]
+    if ncomp == 3:
+        dhts.append((0x01, _HT_DC_CHROM))
+    out = _emit_headers(h, w, samp, qsel, qlum, qchrom, 0xC2, dhts, 0)
+
+    # scan 1: interleaved DC, Ss=Se=0, Ah=Al=0
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(blocks[ci][my * sv + by, mx * sh + bx][0])
+                        s, bits = _encode_value_bits(dc - preds[ci])
+                        code, ln = dc_codes[qsel[ci]][s]
+                        writer.write(code, ln)
+                        if s:
+                            writer.write(bits, s)
+                        preds[ci] = dc
+    writer.align()
+    sos = bytes((ncomp,))
+    for ci in range(ncomp):
+        sos += bytes((ci + 1, qsel[ci] << 4))
+    sos += b"\x00\x00\x00"  # Ss=0 Se=0 AhAl=0
+    out += _seg(0xDA, sos)
+    out += writer.out
+
+    # one AC scan per component over its TRUE block grid, with EOBn runs
+    for ci, (sh, sv) in enumerate(samp):
+        cols = -(-(w * sh) // hmax)
+        rows = -(-(h * sv) // vmax)
+        bw_t = -(-cols // 8)
+        bh_t = -(-rows // 8)
+        writer = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun == 0:
+                return
+            r = eobrun.bit_length() - 1
+            code, ln = ac_flat[r << 4]
+            writer.write(code, ln)
+            if r:
+                writer.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+        for by in range(bh_t):
+            for bx in range(bw_t):
+                zvec = blocks[ci][by, bx]
+                last = 0
+                for k in range(63, 0, -1):
+                    if zvec[k] != 0:
+                        last = k
+                        break
+                if last == 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(1, last + 1):
+                    v = int(zvec[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_flat[0xF0]
+                        writer.write(code, ln)
+                        run -= 16
+                    s, bits = _encode_value_bits(v)
+                    code, ln = ac_flat[(run << 4) | s]
+                    writer.write(code, ln)
+                    writer.write(bits, s)
+                    run = 0
+                if last < 63:
+                    eobrun = 1
+        flush_eob()
+        writer.align()
+        out += _seg(0xDA, bytes((1, ci + 1, 0x00)) + b"\x01\x3f\x00")
+        out += writer.out
+
     out += b"\xff\xd9"
     return bytes(out)

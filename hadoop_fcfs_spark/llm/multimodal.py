@@ -7,10 +7,10 @@ one RAW format for real and stubs the compressed ones honestly:
   8-bit non-interlaced PNG (stdlib zlib inflate + numpy unfiltering,
   ``_decode_png`` — PNG's only entropy layer is DEFLATE, which the
   stdlib ships), GIF87a/89a (pure-Python LZW + palette mapping,
-  ``_decode_gif``, incl. interlace), AND baseline JPEG (pure
-  Python+numpy Huffman + IDCT, ``llm.jpeg``) decode/resize/aHash FOR
-  REAL — the image tier has NO stubs left (progressive JPEG raises
-  honestly).
+  ``_decode_gif``, incl. interlace), AND JPEG — baseline and
+  progressive Huffman both (pure Python+numpy, ``llm.jpeg``) —
+  decode/resize/aHash FOR REAL; the image tier has NO stubs left
+  (arithmetic-coded/lossless JPEG raises honestly).
 - VIDEO: Y4M (yuv4mpeg2) frame extraction is REAL (text header + raw
   YUV planes); webm/mp4 stay stubbed (need ffmpeg).
 - AUDIO: WAV decode, resampling AND spectral feature extraction are
@@ -665,7 +665,7 @@ def _try_luma(blob: bytes, fake: bool):
     CAN decode (BMP, PNG, GIF, baseline JPEG): returns the (h, w)
     float64 luma array, or None meaning 'take the deterministic fake
     path'. Under fake=True the fake path stays TOTAL — magic-prefixed
-    garbage or unsupported variants (progressive JPEG, 16-bit PNG)
+    garbage or unsupported variants (arithmetic-coded JPEG, 16-bit PNG)
     fall through instead of crashing the executor task; fake=False
     keeps the real decoders' strictness."""
     try:
@@ -714,9 +714,9 @@ def decode_images(
 
     24-bit uncompressed BMP (``_decode_bmp``, pure numpy), 8-bit
     non-interlaced PNG (``_decode_png``, stdlib zlib + numpy),
-    GIF87a/89a (``_decode_gif``, pure-Python LZW), and baseline JPEG
-    (``llm.jpeg.decode_jpeg``, pure Python+numpy Huffman/IDCT — r9)
-    decode FOR REAL, regardless of ``fake``. Formats with no native
+    GIF87a/89a (``_decode_gif``, pure-Python LZW), and JPEG — baseline
+    AND progressive (``llm.jpeg.decode_jpeg``, pure Python+numpy
+    Huffman/IDCT — r9) — decode FOR REAL, regardless of ``fake``. Formats with no native
     decoder left (none in the image tier; unknown blobs): fake=True
     gets the deterministic pseudo-decode (dimensions/luma derived from
     blob bytes — stable plumbing test); fake=False raises

@@ -2435,9 +2435,10 @@ def test_jpeg_roundtrip_444_420_gray_restart():
 
 
 def test_jpeg_strict_boundaries():
-    """Honest error surface: non-JPEG, truncated streams, progressive
-    (SOF2) and arithmetic-coded (SOF9) processes all raise ValueError
-    with a tellable message."""
+    """Honest error surface: non-JPEG, truncated streams, and the
+    arithmetic-coded / lossless processes raise ValueError with a
+    tellable message; a progressive SOF with no scan data is
+    truncated, not 'unsupported' (progressive decodes for real)."""
     import numpy as np
     import pytest as _pytest
 
@@ -2455,9 +2456,11 @@ def test_jpeg_strict_boundaries():
         bytes((8,)) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
         + bytes((1, 1, 0x11, 0))
     )
-    for marker in (0xC2, 0xC9):  # progressive / arithmetic sequential
-        with _pytest.raises(ValueError, match="baseline"):
+    for marker in (0xC9, 0xC3):  # arithmetic sequential / lossless
+        with _pytest.raises(ValueError, match="arithmetic|lossless"):
             decode_jpeg(b"\xff\xd8" + seg(marker, sof))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(b"\xff\xd8" + seg(0xC2, sof))  # progressive, no scan
 
 
 def test_jpeg_decode_is_real(spark):
@@ -2561,3 +2564,112 @@ def test_audio_features_real_spectral(spark):
     bad = df.filter(F.col("media_id") == 2)
     with _pytest.raises(Exception, match="codec|librosa|NotImplemented"):
         extract_audio_features(bad, fake=False).collect()
+
+
+def test_jpeg_progressive_equals_baseline_bit_exact():
+    """THE progressive oracle: spectral-selection progressive encoding
+    produces IDENTICAL quantized coefficients to baseline, so
+    decode(encode_jpeg_progressive(X)) must equal
+    decode(encode_jpeg(X)) bit-for-bit — across gray / 4:4:4 / 4:2:0,
+    quality tiers, an all-empty-AC image (the pure EOBRUN path), and
+    non-multiple-of-8 sizes. Any error in scan accumulation, EOBn
+    decode, non-interleaved block geometry or the flat Huffman table
+    breaks exactness immediately."""
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:40, 0:56]
+    smooth = np.stack(
+        [(yy * 2) % 256, (xx * 3) % 256, (yy + xx) % 256], -1
+    ).astype(np.uint8)
+    cases = [
+        (rng.integers(0, 256, (21, 37), np.uint8), False),
+        (rng.integers(0, 256, (16, 24, 3), np.uint8), False),
+        (rng.integers(0, 256, (19, 33, 3), np.uint8), True),
+        (np.full((8, 8, 3), 128, np.uint8), False),  # EOBRUN-only scans
+        (smooth, True),
+    ]
+    for img, sub in cases:
+        for q in (50, 90, 100):
+            base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, quality=q, subsample=sub)
+            )
+            assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_successive_approximation_hand_packed():
+    """ENCODER-INDEPENDENT successive-approximation pin: a 4-scan
+    progressive file built byte-by-byte BY HAND — DC first at Al=1
+    (diff +3 -> coef 6), DC refinement bit 1 (-> 7), AC first at Al=1
+    (zigzag-1 coefficient +1 -> 2), AC refinement (correction bit
+    lifts it to 3 AND a newly-nonzero -1 lands at zigzag-2, then an
+    EOB run covers the band tail). Expected pixels computed with an
+    independent cosine-sum IDCT, not the codec's matrix."""
+    import math
+
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.jpeg import decode_jpeg
+
+    def seg(m, p):
+        return bytes((0xFF, m)) + (len(p) + 2).to_bytes(2, "big") + p
+
+    qt = bytes([1] * 64)
+    dht_dc = bytes((0x00,)) + bytes((1,) + (0,) * 15) + bytes((2,))
+    dht_ac = bytes((0x10,)) + bytes((1, 1) + (0,) * 14) + bytes((0x01, 0x00))
+    sof2 = (
+        bytes((8,)) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes((1, 1, 0x11, 0))
+    )
+    blob = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + qt)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + seg(0xC2, sof2)
+        # scan A: DC first, Al=1: code '0' (cat 2) + bits '11' -> pred 3, stored 6
+        + seg(0xDA, bytes((1, 1, 0x00)) + bytes((0, 0, 0x01)))
+        + bytes((0b01111111,))
+        # scan B: DC refine (Ah=1, Al=0): bit '1' -> 6|1 = 7 (0xFF needs stuffing)
+        + seg(0xDA, bytes((1, 1, 0x00)) + bytes((0, 0, 0x10)))
+        + b"\xff\x00"
+        # scan C: AC first Al=1: '0'(rs 0x01) '1'(+1 -> stored 2) '10'(EOB)
+        + seg(0xDA, bytes((1, 1, 0x00)) + bytes((1, 63, 0x01)))
+        + bytes((0b01101111,))
+        # scan D: AC refine Al=0: '0'(rs 0x01) '0'(sign -> -1) '1'(correction
+        # on zigzag-1: 2 -> 3) place -1 at zigzag-2, '10'(EOB run drains tail)
+        + seg(0xDA, bytes((1, 1, 0x00)) + bytes((1, 63, 0x10)))
+        + bytes((0b00110111,))
+        + b"\xff\xd9"
+    )
+    img = decode_jpeg(blob)
+
+    F = np.zeros((8, 8))
+    F[0, 0], F[0, 1], F[1, 0] = 7.0, 3.0, -1.0  # zigzag 0,1,2 -> natural
+
+    def c(u):
+        return math.sqrt(0.5) if u == 0 else 1.0
+
+    exp = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    s += (
+                        c(u) * c(v) / 4.0 * F[v, u]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            exp[y, x] = s + 128.0
+    expected = np.clip(np.round(exp), 0, 255).astype(np.uint8)
+    assert img.shape == (8, 8, 3)
+    assert (img[:, :, 0] == expected).all()
+    assert (img[:, :, 1] == expected).all()
