@@ -2673,3 +2673,48 @@ def test_jpeg_progressive_successive_approximation_hand_packed():
     assert img.shape == (8, 8, 3)
     assert (img[:, :, 0] == expected).all()
     assert (img[:, :, 1] == expected).all()
+
+
+def test_jpeg_progressive_restart_markers_hand_packed():
+    """Restart resync inside a progressive scan (hand-packed): a 16x8
+    grayscale frame = 2 blocks, DRI=1, one DC-first scan whose two
+    MCUs are split by an RST0 marker — the decoder must byte-align,
+    consume the marker, and RESET the DC predictor, so the identical
+    per-MCU bits '0'+'11' give BOTH blocks DC 3 (not 3 then 6)."""
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.jpeg import decode_jpeg
+
+    def seg(m, p):
+        return bytes((0xFF, m)) + (len(p) + 2).to_bytes(2, "big") + p
+
+    qt = bytes([1] * 64)
+    dht_dc = bytes((0x00,)) + bytes((1,) + (0,) * 15) + bytes((2,))
+    dht_ac = bytes((0x10,)) + bytes((1,) + (0,) * 15) + bytes((0x00,))
+    sof2 = (
+        bytes((8,)) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big")
+        + bytes((1, 1, 0x11, 0))
+    )
+    blob = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + qt)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + seg(0xDD, (1).to_bytes(2, "big"))  # DRI = 1 MCU
+        + seg(0xC2, sof2)
+        + seg(0xDA, bytes((1, 1, 0x00)) + bytes((0, 0, 0x00)))
+        + bytes((0b01111111,))       # MCU0: cat-2 code '0' + '11' -> DC 3
+        + b"\xff\xd0"                # RST0: predictor resets
+        + bytes((0b01111111,))       # MCU1: same bits -> DC 3 again
+        # AC scan (DRI still active -> RST0 between its two blocks too,
+        # with its own restart numbering starting back at 0)
+        + seg(0xDA, bytes((1, 1, 0x00)) + bytes((1, 63, 0x00)))
+        + bytes((0b01111111,))       # block 0: EOB0 ('0') + pad
+        + b"\xff\xd0"
+        + bytes((0b01111111,))       # block 1: EOB0 ('0') + pad
+        + b"\xff\xd9"
+    )
+    img = decode_jpeg(blob)
+    assert img.shape == (8, 16, 3)
+    # DC 3 -> 3/8 + 128 = 128.375 -> 128 everywhere, both blocks equal
+    assert (img == 128).all()
