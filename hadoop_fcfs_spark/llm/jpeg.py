@@ -38,6 +38,14 @@ from functools import lru_cache
 
 _JPEG_SIG = b"\xff\xd8\xff"
 
+# decompression-bomb guard: a ~100-byte blob whose SOF claims
+# 65535x65535 would otherwise allocate tens of GB of coefficient
+# storage BEFORE any data-length check can fire. 16.7 MP is far past
+# what the pure-Python entropy loop can decode in reasonable task time
+# anyway; at 100 TB of untrusted blobs the cap turns an executor OOM
+# into a quarantinable ValueError.
+_MAX_PIXELS = 1 << 24
+
 # zigzag scan position -> natural (row-major) index, T.81 Figure 5
 _ZIGZAG = (
     0, 1, 8, 16, 9, 2, 3, 10,
@@ -435,6 +443,11 @@ def decode_jpeg(blob: bytes):
                 raise ValueError(f"unsupported JPEG precision {prec}")
             if h < 1 or w < 1 or ncomp not in (1, 3):
                 raise ValueError("unsupported JPEG frame geometry")
+            if h * w > _MAX_PIXELS:
+                raise ValueError(
+                    f"JPEG dimensions {w}x{h} exceed the pure-Python "
+                    f"decoder cap ({_MAX_PIXELS} px)"
+                )
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]

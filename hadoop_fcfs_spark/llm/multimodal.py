@@ -39,6 +39,13 @@ from pyspark.sql import functions as F
 # media struct contract: every multimodal table carries these columns
 MEDIA_META_SCHEMA = "size_bytes bigint, digest string, format string"
 
+# decompression-bomb guard shared by the compressed-raster decoders
+# (PNG inflate, GIF LZW/canvas, JPEG has its own copy): a ~100-byte
+# header claiming 65535x65535 must become a quarantinable ValueError,
+# not a multi-GB allocation that OOMs the executor task — at 100 TB of
+# untrusted blobs some WILL be hostile, not just malformed.
+_MAX_PIXELS = 1 << 24
+
 _MAGIC = {
     b"\x89PNG": "png",
     b"GIF8": "gif",
@@ -136,12 +143,17 @@ def _decode_png(blob: bytes):
             f"unsupported PNG variant (depth={bitd}, color={color}, "
             f"interlace={interlace})"
         )
+    if w * h > _MAX_PIXELS:
+        raise ValueError(f"PNG dimensions {w}x{h} exceed the decoder cap")
+    stride = w * channels
+    need = h * (stride + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: a zlib bomb in IDAT can expand far past the
+        # declared geometry — never inflate more than the scanlines need
+        raw = zlib.decompressobj().decompress(bytes(idat), need)
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
+    if len(raw) < need:
         raise ValueError("truncated PNG pixel data")
     rows = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(
         h, stride + 1
@@ -336,6 +348,12 @@ def _decode_gif_indexed(blob: bytes):
                 raise ValueError("GIF image without any color table")
             if w < 1 or h < 1:
                 raise ValueError("empty GIF image")
+            if w * h > _MAX_PIXELS:
+                raise ValueError(
+                    f"GIF dimensions {w}x{h} exceed the decoder cap"
+                )
+            if pos >= len(blob):
+                raise ValueError("truncated GIF image data")
             min_code = blob[pos]
             pos += 1
             if not 2 <= min_code <= 8:
@@ -445,18 +463,21 @@ def _gif_palette_field(palette):
     return pal, size_field
 
 
-def _decode_gif_frames(blob: bytes):
-    """FULL animated-GIF decode: composite every frame onto the
-    logical-screen canvas honoring the Graphic Control Extension —
-    per-frame delay (centiseconds), disposal method (1 leave /
-    2 restore-background / 3 restore-previous) and transparency
-    (transparent-index pixels leave the canvas unchanged) plus frame
-    placement rects and per-frame interlacing. Returns a list of
-    ((H, W, 3) uint8 RGB canvas snapshot, delay_cs) — what a
-    frame-sampling pipeline stage consumes. The first-frame decoders
-    (`_decode_gif`) read only the first image's own rect; this is the
-    real animation semantics on the same pure-Python LZW substrate.
-    Raises ValueError on malformed streams."""
+def _iter_gif_frames(blob: bytes):
+    """FULL animated-GIF decode, GENERATOR form: composite every frame
+    onto the logical-screen canvas honoring the Graphic Control
+    Extension — per-frame delay (centiseconds), disposal method
+    (1 leave / 2 restore-background / 3 restore-previous) and
+    transparency (transparent-index pixels leave the canvas unchanged)
+    plus frame placement rects and per-frame interlacing. Yields
+    ((H, W, 3) uint8 RGB canvas snapshot, delay_cs) one frame at a
+    time so a digest-only consumer (sample_frames) holds ONE canvas +
+    one snapshot regardless of frame count — a million-frame GIF is
+    CPU-proportional, never memory-proportional. The first-frame
+    decoders (`_decode_gif`) read only the first image's own rect;
+    this is the real animation semantics on the same pure-Python LZW
+    substrate. Raises ValueError on malformed streams (lazily, during
+    iteration — wrap the LOOP, not just the call)."""
     import numpy as np
 
     if len(blob) < 13 or blob[:6] not in _GIF_SIGS:
@@ -465,6 +486,8 @@ def _decode_gif_frames(blob: bytes):
     H = int.from_bytes(blob[8:10], "little")
     if W < 1 or H < 1:
         raise ValueError("empty GIF logical screen")
+    if W * H > _MAX_PIXELS:
+        raise ValueError(f"GIF screen {W}x{H} exceeds the decoder cap")
     packed = blob[10]
     bg = blob[11]
     pos = 13
@@ -481,7 +504,7 @@ def _decode_gif_frames(blob: bytes):
     if gpal is not None and bg < gpal.shape[0]:
         bg_rgb = gpal[bg]
         canvas[:] = bg_rgb
-    frames = []
+    yielded = False
     delay, disposal, trans = 0, 0, None
     prev = None
     while pos < len(blob):
@@ -524,6 +547,8 @@ def _decode_gif_frames(blob: bytes):
                 raise ValueError("empty GIF image")
             if left + w > W or top + h > H:
                 raise ValueError("GIF frame exceeds the logical screen")
+            if pos >= len(blob):
+                raise ValueError("truncated GIF image data")
             min_code = blob[pos]
             pos += 1
             if not 2 <= min_code <= 8:
@@ -556,7 +581,8 @@ def _decode_gif_frames(blob: bytes):
             region = canvas[top : top + h, left : left + w]
             safe = np.where(opaque, arr, 0)
             region[opaque] = pal[safe][opaque]
-            frames.append((canvas.copy(), delay))
+            yield canvas.copy(), delay
+            yielded = True
             if disposal == 2:
                 canvas[top : top + h, left : left + w] = (
                     bg_rgb if bg_rgb is not None else 0
@@ -568,9 +594,14 @@ def _decode_gif_frames(blob: bytes):
             break
         else:
             raise ValueError(f"malformed GIF block 0x{b0:02x}")
-    if not frames:
+    if not yielded:
         raise ValueError("GIF contains no image data")
-    return frames
+
+
+def _decode_gif_frames(blob: bytes):
+    """Eager list form of :func:`_iter_gif_frames` — for tests and
+    small fixtures where holding every composed canvas is fine."""
+    return list(_iter_gif_frames(blob))
 
 
 def _encode_gif(indices, palette) -> bytes:
@@ -854,15 +885,16 @@ def sample_frames(
                         )
                     continue
                 if raw[:6] in _GIF_SIGS:
+                    # stream the compositor: digest each canvas as it is
+                    # yielded and drop it — peak memory is one canvas +
+                    # one snapshot no matter how many frames. Errors are
+                    # LAZY (generator), so the loop is what's guarded.
+                    gif_rows = []
                     try:
-                        gif_frames = _decode_gif_frames(raw)
-                    except ValueError:
-                        if not fake:
-                            raise
-                        gif_frames = None
-                    if gif_frames is not None:
-                        for i, (frame, _delay) in enumerate(gif_frames):
-                            rows.append(
+                        for i, (frame, _delay) in enumerate(
+                            _iter_gif_frames(raw)
+                        ):
+                            gif_rows.append(
                                 {
                                     id_col: mid,
                                     "frame_idx": i,
@@ -871,6 +903,12 @@ def sample_frames(
                                     ).hexdigest(),
                                 }
                             )
+                    except ValueError:
+                        if not fake:
+                            raise
+                        gif_rows = None
+                    if gif_rows is not None:
+                        rows.extend(gif_rows)
                         continue
                 if not fake:
                     raise NotImplementedError(

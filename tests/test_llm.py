@@ -2718,3 +2718,93 @@ def test_jpeg_progressive_restart_markers_hand_packed():
     assert img.shape == (8, 16, 3)
     # DC 3 -> 3/8 + 128 = 128.375 -> 128 everywhere, both blocks equal
     assert (img == 128).all()
+
+
+def test_image_decoder_fuzz_and_bomb_contract():
+    """The 100-TB hostile-blob contract, pinned two ways. (1) FUZZ:
+    random byte mutations + truncations of valid JPEG (baseline, 4:2:0,
+    progressive) / PNG / GIF / animated-GIF / BMP fixtures either
+    decode or raise ValueError — NEVER IndexError/struct.error/etc.,
+    because _try_luma's fake=True totality (and therefore executor-task
+    survival) catches ValueError only. (2) BOMBS: a ~100-byte blob
+    whose header claims 40000x40000 fails the _MAX_PIXELS guard BEFORE
+    allocating — JPEG coefficient arrays, PNG's bounded
+    decompressobj inflate, and the GIF canvas each stay at ~zero bytes
+    instead of multi-GB (a real 6.4 GB allocation pre-fix)."""
+    import tracemalloc
+
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm import jpeg
+    from hadoop_fcfs_spark.llm.multimodal import (
+        _decode_gif,
+        _decode_gif_frames,
+        _decode_png,
+        _encode_gif,
+        _encode_gif_anim,
+        _encode_png,
+    )
+
+    rng = np.random.default_rng(123)
+    img = rng.integers(0, 256, (12, 18, 3), dtype=np.uint8)
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+    )
+    fixtures = [
+        (jpeg.encode_jpeg(img, 85), jpeg.decode_jpeg),
+        (jpeg.encode_jpeg(img, 85, subsample=True), jpeg.decode_jpeg),
+        (jpeg.encode_jpeg_progressive(img, 85), jpeg.decode_jpeg),
+        (_encode_png(img), _decode_png),
+        (_encode_gif(rng.integers(0, 4, (10, 14)), pal), _decode_gif),
+        (
+            _encode_gif_anim(
+                [(np.ones((4, 4), int), 0, 0), (np.ones((2, 2), int), 1, 1)],
+                pal, (4, 4),
+            ),
+            _decode_gif_frames,
+        ),
+    ]
+    for blob, dec in fixtures:
+        for _ in range(250):
+            b = bytearray(blob)
+            for _ in range(int(rng.integers(1, 8))):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            if rng.random() < 0.3:
+                b = bytes(b[: int(rng.integers(1, len(b)))])
+            try:
+                dec(bytes(b))
+            except ValueError:
+                pass  # the ONLY acceptable failure type
+
+    def seg(m, p):
+        return bytes((0xFF, m)) + (len(p) + 2).to_bytes(2, "big") + p
+
+    big = (40000).to_bytes(2, "big")
+    bigl = (40000).to_bytes(2, "little")
+    sof = bytes((8,)) + big + big + bytes((1, 1, 0x11, 0))
+    bombs = [
+        (
+            b"\xff\xd8" + seg(0xDB, b"\x00" + bytes([1] * 64))
+            + seg(0xC0, sof),
+            jpeg.decode_jpeg,
+        ),
+        (
+            b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + (40000).to_bytes(4, "big") + (40000).to_bytes(4, "big")
+            + bytes((8, 2, 0, 0, 0)) + b"\x00" * 4
+            + (10).to_bytes(4, "big") + b"IDAT" + b"\x00" * 14,
+            _decode_png,
+        ),
+        (
+            b"GIF89a" + bigl + bigl + bytes((0x80, 0, 0)) + b"\x00" * 6
+            + b"\x2c" + b"\x00" * 4 + bigl + bigl + b"\x00\x02\x00\x3b",
+            _decode_gif,
+        ),
+    ]
+    for blob, dec in bombs:
+        tracemalloc.start()
+        with pytest.raises(ValueError, match="cap|exceed"):
+            dec(blob)
+        peak = tracemalloc.get_traced_memory()[1]
+        tracemalloc.stop()
+        assert peak < 50_000_000, f"bomb allocated {peak} bytes"
