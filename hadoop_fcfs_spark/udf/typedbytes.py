@@ -60,6 +60,8 @@ def encode(obj: Any) -> bytes:
 
 
 def _exact(stream: BinaryIO, n: int) -> bytes:
+    if n < 0:  # a corrupt length prefix must not silently read nothing
+        raise ValueError(f"corrupt typedbytes length prefix {n}")
     buf = b""
     while len(buf) < n:
         chunk = stream.read(n - len(buf))
@@ -88,6 +90,8 @@ def _read_value(stream: BinaryIO, code: int) -> Any:
         return _exact(stream, struct.unpack(">i", _exact(stream, 4))[0]).decode("utf-8")
     if code == VECTOR:
         n = struct.unpack(">i", _exact(stream, 4))[0]
+        if n < 0:
+            raise ValueError(f"corrupt typedbytes vector count {n}")
         return [_read_value(stream, _exact(stream, 1)[0]) for _ in range(n)]
     if code == LIST:
         out = []
@@ -98,10 +102,17 @@ def _read_value(stream: BinaryIO, code: int) -> Any:
             out.append(_read_value(stream, c))
     if code == MAP:
         n = struct.unpack(">i", _exact(stream, 4))[0]
-        return {
-            _read_value(stream, _exact(stream, 1)[0]): _read_value(stream, _exact(stream, 1)[0])
-            for _ in range(n)
-        }
+        if n < 0:
+            raise ValueError(f"corrupt typedbytes map count {n}")
+        try:
+            return {
+                _read_value(stream, _exact(stream, 1)[0]): _read_value(
+                    stream, _exact(stream, 1)[0]
+                )
+                for _ in range(n)
+            }
+        except TypeError as exc:  # unhashable key from a corrupt stream
+            raise ValueError(f"corrupt typedbytes map key: {exc}") from exc
     raise ValueError(f"unknown typedbytes type code {code}")
 
 
