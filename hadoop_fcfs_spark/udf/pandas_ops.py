@@ -111,3 +111,70 @@ def broadcast_lookup(
         return keys.map(lambda k: m.get(k, default))
 
     return df.withColumn(out_col, probe(F.col(key_col)))
+
+
+def map_records_skipping(
+    df: DataFrame,
+    fn: Callable[[dict[str, Any]], Iterator[dict[str, Any]]],
+    output_schema: str,
+    max_skip_records: int | None = None,
+    error_col: str = "__skip_error",
+    setup: Callable[[], Any] | None = None,
+    cleanup: Callable[[Any], None] | None = None,
+) -> DataFrame:
+    """SkipBadRecords parity: ``map_records`` whose per-record crashes
+    QUARANTINE instead of killing the task (reference
+    ``mapred/SkipBadRecords.java:62`` — skipping mode narrows in on the
+    bad record, skips it, and writes it to the skip output path with
+    counters). Spark-first shape: good records emit fn's outputs with
+    ``error_col`` NULL; a record whose fn raises emits ONE row of NULL
+    output columns carrying "ExcType: msg | record=<truncated repr>" in
+    ``error_col`` — the skip-output-path audit trail as a side column,
+    so the skipped-record counter is just a FILTER + COUNT (counters
+    are derivable aggregations here, not a side channel).
+    ``max_skip_records`` caps skips PER TASK like
+    ``mapreduce.map.skip.maxrecords``: exceeding the budget re-raises
+    the original error and fails the task; None = unlimited skipping.
+    Only Exception subclasses are caught — KeyboardInterrupt etc.
+    still kill the task, and so does exhausting the budget."""
+
+    out_with_err = f"{output_schema}, {error_col} string"
+    out_cols = [
+        c.strip().split(" ")[0].strip("`")
+        for c in output_schema.split(",")
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state = setup() if setup else None
+        skipped = 0
+        try:
+            for pdf in batches:
+                out = []
+                for rec in pdf.to_dict("records"):
+                    try:
+                        for produced in fn(rec):
+                            row = dict(produced)
+                            row[error_col] = None
+                            out.append(row)
+                    except Exception as exc:
+                        skipped += 1
+                        if (
+                            max_skip_records is not None
+                            and skipped > max_skip_records
+                        ):
+                            raise
+                        row = {c: None for c in out_cols}
+                        row[error_col] = (
+                            f"{type(exc).__name__}: {exc} | "
+                            f"record={repr(rec)[:200]}"
+                        )
+                        out.append(row)
+                if out:
+                    yield pd.DataFrame(
+                        out, columns=[*out_cols, error_col]
+                    )
+        finally:
+            if cleanup:
+                cleanup(state)
+
+    return df.mapInPandas(run, schema=out_with_err)

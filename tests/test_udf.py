@@ -38,3 +38,43 @@ def test_typedbytes_corrupt_stream_contract():
     neg_vec = struct.pack(">Bi", tb.VECTOR, -3)
     with _pytest.raises(ValueError, match="vector count"):
         list(tb.decode_stream(io.BytesIO(neg_vec)))
+
+
+def test_map_records_skipping_quarantines_and_budgets(spark):
+    """SkipBadRecords parity (`map_records_skipping`): records whose fn
+    raises become quarantine rows (NULL outputs + 'ExcType: msg |
+    record=...' audit trail) instead of task deaths; the skipped-record
+    counter is a plain filter+count; and a finite max_skip_records
+    budget fails the task once exceeded, like
+    mapreduce.map.skip.maxrecords."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.udf.pandas_ops import map_records_skipping
+
+    df = spark.range(20).toDF("v")
+
+    def explode_unless_multiple_of_7(rec):
+        if rec["v"] % 7 == 0:
+            raise RuntimeError(f"bad record {rec['v']}")
+        yield {"v": rec["v"], "doubled": rec["v"] * 2}
+
+    out = map_records_skipping(
+        df, explode_unless_multiple_of_7, "v long, doubled long"
+    )
+    rows = out.collect()
+    good = [r for r in rows if r["__skip_error"] is None]
+    skipped = [r for r in rows if r["__skip_error"] is not None]
+    assert len(good) == 17 and len(skipped) == 3  # 0, 7, 14
+    assert all(r["doubled"] == r["v"] * 2 for r in good)
+    assert all(r["v"] is None and r["doubled"] is None for r in skipped)
+    assert all("bad record" in r["__skip_error"] for r in skipped)
+    assert all("record={" in r["__skip_error"] for r in skipped)
+    # counters are derivable aggregations, not side channels
+    assert out.filter("__skip_error is not null").count() == 3
+
+    # budget: 3 bad records in ONE task with max 1 -> the task fails
+    with _pytest.raises(Exception, match="bad record"):
+        map_records_skipping(
+            df.repartition(1), explode_unless_multiple_of_7,
+            "v long, doubled long", max_skip_records=1,
+        ).collect()
