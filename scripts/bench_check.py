@@ -47,7 +47,7 @@ BANDS: dict[str, tuple[float, float]] = {
     "bradley_terry_suppliers": (2.2, 4.5),
     "kmeans_embedding_cells": (1.6, 4.0),
     "watermark_late_audit": (0.6, 1.8),
-    "corpus_pipeline_v7": (2.5, 4.5),
+    "corpus_pipeline_v7": (2.3, 4.5),
     "total_order_sort": (0.7, 1.7),
     "terasort_2m": (0.6, 1.6),
     "dfsio_write": (1.1, 2.4),
