@@ -59,32 +59,20 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # re-samples already-confirmed gates and new ones never get hard driver
 # evidence.
 #
-# State after round 8 (rebuilt for round 9): 344 registered gates,
-# CORRECTNESS_r08 50/50 green, driver-checked union r01-r08 = 344/344,
-# zero mismatches ever. Coverage is COMPLETE: _NEVER_SAMPLED is empty,
-# so the round-9 window = any gates registered this round (bucket 1, in
-# registration order) + the oldest confirmed tail (bucket 2: the 44 r2
-# gates whose rows are 7 rounds old, then the oldest r3 gates). Keep
-# net-new <= ~35 so the window still re-validates >= 15 tail gates.
+# State after round 9 (rebuilt for round 10): 354 registered gates,
+# CORRECTNESS_r09 50/50 green, driver-checked union r01-r09 = 354/354,
+# zero mismatches ever. _NEVER_SAMPLED stays empty, so the round-10
+# window = gates registered this round (bucket 1, in registration
+# order) + the oldest confirmed tail (bucket 2: the 4 deferred r2 gates
+# whose rows are 8 rounds old, then the 50 r3 gates). Keep net-new <= 6
+# so the window clears the whole r2 tail plus >= 40 of the r3 tail,
+# leaving only a handful of r3 stragglers for round 11.
 
 _NEVER_SAMPLED: tuple[str, ...] = ()
 
 _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
-    # latest driver row: round 2 (44 gates)
-    "chunk_documents": 2, "contamination_check": 2, "corpus_pipeline": 2,
-    "dedup_clusters": 2, "dedup_exact": 2, "dedup_minhash_lsh": 2,
-    "dedup_ngram_jaccard": 2, "embedding_near_dup": 2, "fingerprint": 2,
-    "interval_sample": 2, "join_anti": 2, "join_full_outer": 2,
-    "join_inner_agg": 2, "join_multiway": 2, "join_override": 2,
-    "join_semi": 2, "json_extract_agg": 2, "kv_split": 2, "lang_id": 2,
-    "multimodal_pipeline": 2, "near_dedup_clustered": 2,
-    "near_dedup_corpus": 2, "pii_scrub": 2, "pricing_summary": 2,
-    "quality_score": 2, "quantile_summary": 2, "repetition_signals": 2,
-    "rollup_agg": 2, "secondary_sort": 2, "sequence_packing": 2,
-    "set_intersect": 2, "text_normalize": 2, "tf_idf": 2, "token_counts":
-    2, "topk_orders": 2, "uniq_capped": 2, "value_histogram": 2,
-    "window_analytics": 2, "window_range_frame": 2, "window_rank_family":
-    2, "winnow_fingerprint_stats": 2, "word_stats": 2, "wordcount": 2,
+    # latest driver row: round 2 (4 gates)
+    "winnow_fingerprint_stats": 2, "word_stats": 2, "wordcount": 2,
     "xml_records": 2,
     # latest driver row: round 3 (50 gates)
     "ann_rp_lsh_topk": 3, "approx_quantile_bounds": 3, "bbp_pi": 3,
@@ -93,10 +81,11 @@ _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
     "dedup_incremental": 3, "dedup_simhash": 3, "duplicate_span_stats": 3,
     "duplicate_spans": 3, "event_funnel": 3, "event_interval_join": 3,
     "fuzzy_term_join": 3, "grep_top": 3, "grouped_topk": 3,
-    "grouping_sets_agg": 3, "hash_sample_orders": 3, "hll_distinct_rollup":
-    3, "inactive_rich_customers": 3, "large_volume_customer": 3,
-    "lm_perplexity": 3, "local_supplier_volume": 3, "nation_value_share":
-    3, "nqueens": 3, "order_priority_exists": 3, "pagerank_nations": 3,
+    "grouping_sets_agg": 3, "hash_sample_orders": 3,
+    "hll_distinct_rollup": 3, "inactive_rich_customers": 3,
+    "large_volume_customer": 3, "lm_perplexity": 3,
+    "local_supplier_volume": 3, "nation_value_share": 3, "nqueens": 3,
+    "order_priority_exists": 3, "pagerank_nations": 3,
     "per_group_sample_orders": 3, "profile_orders": 3, "quantile_buckets":
     3, "range_join": 3, "returned_items_topk": 3, "scd2_user_status": 3,
     "semdedup": 3, "session_window": 3, "sessionize": 3, "set_ops_bag": 3,
@@ -108,8 +97,8 @@ _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
     # latest driver row: round 4 (50 gates)
     "ann_ivf_pq_topk": 4, "ann_pq_adc_topk": 4, "bfs_trade_reach": 4,
     "bm25_retrieval": 4, "centroid_separation": 4, "cms_heavy_hitters": 4,
-    "cms_join_size": 4, "containment_dedup": 4, "contrastive_negatives": 4,
-    "corpus_pipeline_v3": 4, "corpus_report": 4,
+    "cms_join_size": 4, "containment_dedup": 4, "contrastive_negatives":
+    4, "corpus_pipeline_v3": 4, "corpus_report": 4,
     "cross_source_duplication": 4, "customer_distribution": 4,
     "daily_event_anomaly": 4, "data_validation": 4,
     "disjunctive_filter_revenue": 4, "duplicate_safe_split": 4,
@@ -124,36 +113,40 @@ _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
     4, "small_quantity_revenue": 4, "snapshot_diff_orders": 4,
     "terasort_validate": 4, "theta_user_overlap": 4,
     "token_budget_mix_weighted": 4, "top_supplier": 4, "volume_shipping":
-    4, "volume_trend": 4, "waiting_suppliers": 4, "weighted_sample_orders":
-    4, "winsorize_events": 4, "word_cooccurrence": 4,
+    4, "volume_trend": 4, "waiting_suppliers": 4,
+    "weighted_sample_orders": 4, "winsorize_events": 4,
+    "word_cooccurrence": 4,
     # latest driver row: round 5 (50 gates)
     "ab_test_conversion": 5, "benford_price_audit": 5, "bpe_pair_counts":
-    5, "chi2_source_lang": 5, "cohort_ltv_curve": 5, "concept_communities":
-    5, "copurchase_lift": 5, "corpus_pipeline_v4": 5, "dead_stock_audit":
-    5, "dsir_selection": 5, "dup_family_histogram": 5, "embedding_norm_qa":
-    5, "event_seasonality": 5, "event_transitions": 5, "ewma_daily_events":
-    5, "footer_table_stats": 5, "frequent_brand_triples": 5,
-    "gini_order_values": 5, "hhi_supplier_concentration": 5,
-    "hybrid_rank_fusion": 5, "kaplan_meier_retention": 5,
-    "kcenter_coreset": 5, "knn_label_confusion": 5, "langid_confusion": 5,
-    "lorenz_deciles": 5, "lpa_communities": 5, "negative_table_draws": 5,
-    "new_vs_returning_daily": 5, "pareto_orders": 5, "prefiltered_revenue":
-    5, "psi_price_drift": 5, "purchase_attribution": 5,
-    "qty_price_histogram2d": 5, "repeat_order_intervals": 5,
-    "rfm_segments": 5, "rolling_wau": 5, "script_profile": 5,
-    "session_path_topk": 5, "shipping_lead_time": 5, "spearman_qty_price":
-    5, "term_dictionary": 5, "tfidf_cosine_topk": 5, "theil_sen_trend": 5,
-    "top_nations_with_other": 5, "trade_degree_assortativity": 5,
-    "trade_triangles": 5, "trending_parts": 5, "user_behavior_entropy": 5,
-    "vocab_richness": 5, "weighted_median_price": 5,
+    5, "chi2_source_lang": 5, "cohort_ltv_curve": 5,
+    "concept_communities": 5, "copurchase_lift": 5, "corpus_pipeline_v4":
+    5, "dead_stock_audit": 5, "dsir_selection": 5, "dup_family_histogram":
+    5, "embedding_norm_qa": 5, "event_seasonality": 5,
+    "event_transitions": 5, "ewma_daily_events": 5, "footer_table_stats":
+    5, "frequent_brand_triples": 5, "gini_order_values": 5,
+    "hhi_supplier_concentration": 5, "hybrid_rank_fusion": 5,
+    "kaplan_meier_retention": 5, "kcenter_coreset": 5,
+    "knn_label_confusion": 5, "langid_confusion": 5, "lorenz_deciles": 5,
+    "lpa_communities": 5, "negative_table_draws": 5,
+    "new_vs_returning_daily": 5, "pareto_orders": 5,
+    "prefiltered_revenue": 5, "psi_price_drift": 5,
+    "purchase_attribution": 5, "qty_price_histogram2d": 5,
+    "repeat_order_intervals": 5, "rfm_segments": 5, "rolling_wau": 5,
+    "script_profile": 5, "session_path_topk": 5, "shipping_lead_time": 5,
+    "spearman_qty_price": 5, "term_dictionary": 5, "tfidf_cosine_topk": 5,
+    "theil_sen_trend": 5, "top_nations_with_other": 5,
+    "trade_degree_assortativity": 5, "trade_triangles": 5,
+    "trending_parts": 5, "user_behavior_entropy": 5, "vocab_richness": 5,
+    "weighted_median_price": 5,
     # latest driver row: round 6 (50 gates)
-    "abc_inventory_classes": 6, "acf_daily_events": 6, "ann_ivf_recall": 6,
-    "anova_acctbal_segments": 6, "binseg_daily_events": 6,
+    "abc_inventory_classes": 6, "acf_daily_events": 6, "ann_ivf_recall":
+    6, "anova_acctbal_segments": 6, "binseg_daily_events": 6,
     "bootstrap_mean_totalprice": 6, "cms_heavy_change": 6,
-    "copurchase_eval_topk": 6, "copurchase_kcore": 6, "corpus_pipeline_v5":
-    6, "corpus_qa_panel": 6, "cusum_split_events": 6, "debounce_events": 6,
-    "dedup_survivorship": 6, "diversified_top_orders": 6, "doc_keywords":
-    6, "frequent_subsequences": 6, "gini_by_nation": 6,
+    "copurchase_eval_topk": 6, "copurchase_kcore": 6,
+    "corpus_pipeline_v5": 6, "corpus_qa_panel": 6, "cusum_split_events":
+    6, "debounce_events": 6, "dedup_survivorship": 6,
+    "diversified_top_orders": 6, "doc_keywords": 6,
+    "frequent_subsequences": 6, "gini_by_nation": 6,
     "greedy_gram_coverage": 6, "hits_trade_roles": 6,
     "interpolated_hourly_value": 6, "ivm_orders_yearly": 6,
     "k_anonymity_customers": 6, "ks_price_returnflag": 6,
@@ -207,11 +200,31 @@ _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
     "knn_map_labels": 8, "knn_mrr_labels": 8, "mcnemar_langid": 8,
     "minhash_estimate_audit": 8, "mmr_rerank_embeddings": 8,
     "modularity_regions": 8, "monte_carlo_pi": 8, "p_chart_daily_returns":
-    8, "pivot_agg": 8, "pq_distortion_audit": 8, "pr_curve_orderstatus": 8,
-    "rake_source_lang": 8, "rbo_stability_parts": 8, "readability_sources":
-    8, "set_except": 8, "sorted_group_apply": 8, "supplier_winrate_bounds":
-    8, "topk_stability_parts": 8, "trade_clustering": 8, "union_distinct":
-    8, "watermark_late_audit": 8, "zipf_slope_tokens": 8,
+    8, "pivot_agg": 8, "pq_distortion_audit": 8, "pr_curve_orderstatus":
+    8, "rake_source_lang": 8, "rbo_stability_parts": 8,
+    "readability_sources": 8, "set_except": 8, "sorted_group_apply": 8,
+    "supplier_winrate_bounds": 8, "topk_stability_parts": 8,
+    "trade_clustering": 8, "union_distinct": 8, "watermark_late_audit": 8,
+    "zipf_slope_tokens": 8,
+    # latest driver row: round 9 (50 gates)
+    "bh_fdr_daily_returns": 9, "chunk_documents": 9,
+    "contamination_check": 9, "corpus_pipeline": 9,
+    "cusum_chart_daily_returns": 9, "dedup_clusters": 9, "dedup_exact": 9,
+    "dedup_minhash_lsh": 9, "dedup_ngram_jaccard": 9,
+    "embedding_near_dup": 9, "fingerprint": 9, "gray_test_cohorts": 9,
+    "heaps_exponent_docs": 9, "interval_sample": 9, "join_anti": 9,
+    "join_full_outer": 9, "join_inner_agg": 9, "join_multiway": 9,
+    "join_override": 9, "join_semi": 9, "json_extract_agg": 9,
+    "krippendorff_langid": 9, "kv_split": 9, "lang_id": 9,
+    "mondrian_conformal_prices": 9, "multimodal_pipeline": 9,
+    "near_dedup_clustered": 9, "near_dedup_corpus": 9, "pii_scrub": 9,
+    "pinball_loss_priorities": 9, "pr_auc_orderstatus": 9,
+    "pricing_summary": 9, "quality_score": 9, "quantile_summary": 9,
+    "repetition_signals": 9, "rollup_agg": 9, "secondary_sort": 9,
+    "sequence_packing": 9, "set_intersect": 9, "sprt_daily_returns": 9,
+    "text_normalize": 9, "tf_idf": 9, "token_counts": 9, "topk_orders": 9,
+    "uniq_capped": 9, "value_histogram": 9, "window_analytics": 9,
+    "window_range_frame": 9, "window_rank_family": 9, "yule_k_tokens": 9,
 }
 
 
