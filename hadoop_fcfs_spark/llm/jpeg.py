@@ -388,6 +388,12 @@ def decode_jpeg(blob: bytes):
             raise ValueError("truncated JPEG: no SOS marker")
         if blob[pos] != 0xFF:
             raise ValueError(f"malformed JPEG marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+        # marker code — skip them (the post-SOS resync path already does)
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(blob):
+            raise ValueError("truncated JPEG: fill bytes run to EOF")
         marker = blob[pos + 1]
         pos += 2
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:

@@ -4554,9 +4554,12 @@ def pr_auc(
             ),
         )
     )
+    # empty slice (no non-null score/label rows): max over the empty agg
+    # is NULL — coalesce so the row reads (0, 0, NULL) like the other
+    # scalar gates' empty-input contract
     return terms.agg(
-        F.max("__n").cast("long").alias("n"),
-        F.max("__p").cast("long").alias("n_pos"),
+        F.coalesce(F.max("__n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.max("__p"), F.lit(0)).cast("long").alias("n_pos"),
         F.when(
             F.max("__p") > 0, F.sum("__term").cast("long")
         ).alias("ap_e6"),

@@ -113,6 +113,29 @@ def broadcast_lookup(
     return df.withColumn(out_col, probe(F.col(key_col)))
 
 
+def _split_top_level_fields(schema: str) -> list[str]:
+    """Split a DDL schema string on top-level commas only.
+
+    ``"a decimal(10,2), b map<string,int>"`` has commas INSIDE the type
+    parameters; a naive ``split(",")`` would derive bogus column names
+    and every yielded frame would mismatch the declared schema. Track
+    ``<>``/``()`` bracket depth and split only at depth 0.
+    """
+    fields: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(schema):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields.append(schema[start:i])
+            start = i + 1
+    fields.append(schema[start:])
+    return [f for f in fields if f.strip()]
+
+
 def map_records_skipping(
     df: DataFrame,
     fn: Callable[[dict[str, Any]], Iterator[dict[str, Any]]],
@@ -140,8 +163,8 @@ def map_records_skipping(
 
     out_with_err = f"{output_schema}, {error_col} string"
     out_cols = [
-        c.strip().split(" ")[0].strip("`")
-        for c in output_schema.split(",")
+        f.strip().split(" ")[0].strip("`")
+        for f in _split_top_level_fields(output_schema)
     ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -183,7 +183,11 @@ def main() -> None:
     print(f"\nquery, {header}, alpha({lo}->{hi}), alpha({prev}->{hi})")
     for name in queries:
         ts = [results[name][r] for r in rungs]
-        a_full = math.log(ts[-1] / ts[0]) / math.log(hi / lo)
+        # single rung: hi == lo, log(1) == 0 — no exponent computable
+        a_full = (
+            math.log(ts[-1] / ts[0]) / math.log(hi / lo)
+            if hi != lo else float("nan")
+        )
         a_last = (
             math.log(ts[-1] / ts[-2]) / math.log(hi / prev)
             if len(rungs) > 1 else float("nan")

@@ -2434,6 +2434,31 @@ def test_jpeg_roundtrip_444_420_gray_restart():
     assert np.abs(dec.astype(int) - rgb420.astype(int)).max() <= 2
 
 
+def test_jpeg_fill_bytes_between_segments_decode():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    code between header segments — spec-valid padded files must decode
+    identically to the unpadded stream (the post-SOS resync path
+    already skipped them; the header loop must too)."""
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rgb = np.full((16, 24, 3), (90, 160, 40), np.uint8)
+    blob = encode_jpeg(rgb, quality=95)
+    # insert fill bytes after SOI (before the first header segment) and
+    # again just before the SOS marker
+    sos = blob.index(b"\xff\xda")
+    padded = (
+        blob[:2] + b"\xff" * 3 + blob[2:sos] + b"\xff" * 2 + blob[sos:]
+    )
+    assert (decode_jpeg(padded) == decode_jpeg(blob)).all()
+    # fill bytes running to EOF are still truncation, not a hang
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated|fill"):
+        decode_jpeg(blob[:2] + b"\xff" * 6)
+
+
 def test_jpeg_strict_boundaries():
     """Honest error surface: non-JPEG, truncated streams, and the
     arithmetic-coded / lossless processes raise ValueError with a

@@ -5825,6 +5825,12 @@ def test_pr_auc_matches_literal_enumeration(spark):
     assert pr_auc(perf, "s", F.col("y")).collect()[0]["ap_e6"] == 1_000_000
     none = spark.createDataFrame([(1.0, False), (2.0, False)], "s double, y boolean")
     assert pr_auc(none, "s", F.col("y")).collect()[0]["ap_e6"] is None
+    # empty slice (no non-null score/label rows): (0, 0, NULL), not NULLs
+    empty = spark.createDataFrame(
+        [(None, True), (1.0, None)], "s double, y boolean"
+    )
+    er = pr_auc(empty, "s", F.col("y")).collect()[0]
+    assert (er["n"], er["n_pos"], er["ap_e6"]) == (0, 0, None)
 
 
 def test_gray_test_subdistribution_risk_sets(spark):

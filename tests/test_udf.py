@@ -78,3 +78,38 @@ def test_map_records_skipping_quarantines_and_budgets(spark):
             df.repartition(1), explode_unless_multiple_of_7,
             "v long, doubled long", max_skip_records=1,
         ).collect()
+
+
+def test_map_records_skipping_comma_bearing_types(spark):
+    """Output schemas whose TYPES contain commas — decimal(10,2),
+    map<string,int> — must still derive the right column names for the
+    quarantine NULL rows (a naive split(',') yields bogus names and the
+    yielded frames mismatch the declared schema even with zero bad
+    records)."""
+    from decimal import Decimal
+
+    from hadoop_fcfs_spark.udf.pandas_ops import map_records_skipping
+
+    df = spark.range(6).toDF("v")
+
+    def emit(rec):
+        if rec["v"] == 3:
+            raise ValueError("boom")
+        yield {
+            "v": rec["v"],
+            "price": Decimal(rec["v"]) / 4,
+            "tags": {"n": rec["v"]},
+        }
+
+    out = map_records_skipping(
+        df, emit, "v long, price decimal(10,2), tags map<string,int>"
+    )
+    assert [f.name for f in out.schema.fields] == [
+        "v", "price", "tags", "__skip_error",
+    ]
+    rows = out.collect()
+    good = {r["v"]: r for r in rows if r["__skip_error"] is None}
+    bad = [r for r in rows if r["__skip_error"] is not None]
+    assert sorted(good) == [0, 1, 2, 4, 5] and len(bad) == 1
+    assert good[2]["price"] == Decimal("0.50") and good[2]["tags"] == {"n": 2}
+    assert bad[0]["v"] is None and bad[0]["price"] is None and bad[0]["tags"] is None
