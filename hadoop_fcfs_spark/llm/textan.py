@@ -1113,6 +1113,76 @@ def heaps_exponent(
     )
 
 
+def simpson_diversity(
+    tf: DataFrame, term_col: str, count_col: str
+) -> DataFrame:
+    """Simpson's diversity index D over a term-frequency table:
+    D = Σ f(f−1) / (N(N−1)) — the unbiased repeat-rate, i.e. the
+    probability two tokens drawn WITHOUT replacement are the same type
+    (Simpson 1949). The finite-sample partner of Yule's K (K ≈ 10⁴·D
+    asymptotically — K uses Σf²/N², D the hypergeometric correction),
+    quoted directly by the lexical-diversity literature because it is
+    length-unbiased where TTR is not. Low D = diverse prose; high D =
+    formulaic/boilerplate repetition.
+
+    Exactness: Σ f(f−1) and N are exact BIGINT/DECIMAL(38,0) sums off
+    the term grain; d_e9 = Σf(f−1)·10⁹ div (N(N−1)) in one flooring
+    division on nonnegative operands — engine- and order-exact. NULL
+    when N ≤ 1 (undefined, not zero). Scale shape: ONE
+    map-side-combinable aggregation over the term-frequency grain;
+    output is 1 row (vocab_size, n_tokens, simpson_d_e9)."""
+    cnt = F.col(count_col)
+    dec = "decimal(38,0)"
+    m = tf.agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum(cnt).cast("long").alias("n_tokens"),
+        F.sum(cnt.cast(dec) * (cnt - 1)).cast(dec).alias("__ff1"),
+    )
+    return m.selectExpr(
+        "vocab_size", "n_tokens",
+        "CASE WHEN n_tokens > 1 THEN "
+        "CAST(__ff1 * 1000000000 "
+        "div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)) AS BIGINT) "
+        "END AS simpson_d_e9",
+    )
+
+
+def herdan_c(tf: DataFrame, term_col: str, count_col: str) -> DataFrame:
+    """Herdan's C (log-TTR) over a term-frequency table:
+    C = ln V / ln N — the log-scale type-token ratio (Herdan 1960),
+    the vocabulary-richness constant that stays comparable across
+    document lengths where raw TTR collapses (under Heaps' law
+    V ≈ K·N^β, C → β as N grows, so C is the single-corpus reading of
+    the :func:`heaps_exponent` fit). Natural prose sits ~0.85–0.95;
+    low C = repetitive vocabulary, C near 1 = near-unique tokens
+    (IDs/hashes masquerading as text).
+
+    Exactness: the same determinism trick as heaps_exponent/zipf_slope
+    — both logs FLOOR-MICRO quantize IMMEDIATELY (ln is the one
+    blessed libm call), then c_e6 = ⌊ln V·1e6⌋·1e6 div ⌊ln N·1e6⌋ is
+    one flooring BIGINT division on nonnegative operands. NULL when
+    N ≤ 1 (ln N = 0 — undefined). Scale shape: ONE map-side-combinable
+    aggregation over the term-frequency grain; output is 1 row
+    (vocab_size, n_tokens, herdan_c_e6)."""
+    cnt = F.col(count_col)
+    m = tf.agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum(cnt).cast("long").alias("n_tokens"),
+    )
+    q = m.select(
+        "vocab_size", "n_tokens",
+        F.floor(F.log(F.col("vocab_size").cast("double")) * 1_000_000)
+        .cast("long").alias("__lv"),
+        F.floor(F.log(F.col("n_tokens").cast("double")) * 1_000_000)
+        .cast("long").alias("__ln"),
+    )
+    return q.selectExpr(
+        "vocab_size", "n_tokens",
+        "CASE WHEN n_tokens > 1 AND vocab_size >= 1 THEN "
+        "CAST(__lv * 1000000 div __ln AS BIGINT) END AS herdan_c_e6",
+    )
+
+
 def yule_k(tf: DataFrame, term_col: str, count_col: str) -> DataFrame:
     """Yule's characteristic K over a term-frequency table:
     K = 10⁴·(Σ f² − N)/N² — the classic repeat-rate summary of lexical

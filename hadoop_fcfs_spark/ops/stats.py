@@ -4495,6 +4495,104 @@ def cusum_chart(
     )
 
 
+def ewma_chart(
+    df: DataFrame,
+    idx_col: Column | str,
+    defect_cond: Column,
+    idx_alias: str = "n_idx",
+    window: int = 20,
+    h_e6: int = 100_000,
+) -> DataFrame:
+    """EWMA control chart for proportions over an integer time grid —
+    the slow-drift leg of the SPC trio (Roberts 1959 / Lucas–Saccucci):
+    Shewhart (:func:`p_chart`) flags one big excursion, CUSUM
+    (:func:`cusum_chart`) a sustained shift, EWMA a slow drift the
+    other two smear out. Z_t = λ·r_t + (1−λ)·Z_{t−1} with λ fixed at
+    1/2 and Z_0 = the pooled rate p̄; alarm when Z_t leaves
+    p̄ ± ``h_e6`` (the decision band in micro-rate units — fold the
+    textbook L·σ_Z into it, exactly as cusum_chart folds k and h).
+
+    The recursion is NOT computed sequentially: at λ = 1/2 it has the
+    closed form Z_t = Σ_{k≥0} 2^{−(k+1)} r_{t−k}, truncated at
+    ``window`` CALENDAR steps (tail weight ≤ 2^−window) with the
+    truncated + any gap-day mass assigned to p̄ — so silent days shrink
+    history toward center instead of stretching it, the
+    :func:`~hadoop_fcfs_spark.ops.timeseries.ewma_decay` discipline.
+    All arithmetic is exact BIGINT: daily rates floor to micro-units
+    r = x·1e6 div n, weights are the integers 2^(window−1−k), and
+    ewma_e6 = (Σ r_j·2^(window−1−(t−j)) + (2^window − Σw)·p̄) div
+    2^window — engine- and order-exact, no float anywhere.
+
+    Scale shape: one map-side-combinable grain aggregation, one
+    broadcast pooled scalar, and the kernel j ∈ (t−window, t] as the
+    EQUI chunked band self-join over GRAIN rows (ewma_decay's
+    bucketized pattern — each history row fans into its chunk and the
+    next; never a per-grid quadratic). Output per grid cell:
+    idx_alias, n, x, rate_e6, ewma_e6, alarm_up, alarm_dn."""
+    from hadoop_fcfs_spark.caching import waypoint
+
+    if window < 1 or window > 40:
+        raise ValueError(f"window must be in [1, 40], got {window}")
+    if h_e6 <= 0:
+        raise ValueError(f"h_e6 must be > 0, got {h_e6}")
+    idx = F.col(idx_col) if isinstance(idx_col, str) else idx_col
+    full = 1 << window
+    grain = df.groupBy(idx.cast("long").alias("__n")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(defect_cond, 1).otherwise(0)).cast("long").alias("x"),
+    )
+    pooled = grain.agg(
+        F.sum("n").cast("long").alias("__tn"),
+        F.sum("x").cast("long").alias("__tx"),
+    )
+    rates = waypoint(
+        grain.crossJoin(F.broadcast(pooled))
+        .withColumn(
+            "__pbar", F.expr("CAST(__tx * 1000000 div __tn AS BIGINT)")
+        )
+        .withColumn("__r", F.expr("CAST(x * 1000000 div n AS BIGINT)"))
+        .select("__n", "n", "x", "__pbar", "__r")
+    )
+    left = rates.withColumn(
+        "__chunk", (F.col("__n") / window).cast("long")
+    )
+    right = rates.select(
+        F.col("__n").alias("__j"),
+        F.col("__r").alias("__rj"),
+        F.explode(
+            F.array(
+                (F.col("__n") / window).cast("long"),
+                (F.col("__n") / window).cast("long") + 1,
+            )
+        ).alias("__chunk"),
+    )
+    band = left.join(right, ["__chunk"]).filter(
+        (F.col("__j") <= F.col("__n"))
+        & (F.col("__j") > F.col("__n") - F.lit(window))
+    )
+    w = F.pow(
+        F.lit(2.0), (F.lit(window - 1) - (F.col("__n") - F.col("__j")))
+        .cast("double")
+    ).cast("long")
+    kerneled = band.groupBy("__n").agg(
+        F.max("n").alias("n"),
+        F.max("x").alias("x"),
+        F.max("__pbar").alias("__pbar"),
+        F.max("__r").alias("rate_e6"),
+        F.sum(F.col("__rj") * w).cast("long").alias("__wsum"),
+        F.sum(w).cast("long").alias("__wtot"),
+    )
+    ewma = F.expr(
+        f"CAST((__wsum + ({full} - __wtot) * __pbar) div {full} AS BIGINT)"
+    )
+    return kerneled.select(
+        F.col("__n").alias(idx_alias), "n", "x", "rate_e6",
+        ewma.alias("ewma_e6"),
+        (ewma > F.col("__pbar") + F.lit(int(h_e6))).alias("alarm_up"),
+        (ewma < F.col("__pbar") - F.lit(int(h_e6))).alias("alarm_dn"),
+    )
+
+
 def pr_auc(
     df: DataFrame, score_col: str, label_col: Column | str
 ) -> DataFrame:

@@ -6137,6 +6137,78 @@ def cusum_chart_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ewma_chart_daily_returns",
+    oracle="""
+    WITH g AS (
+      SELECT DATEDIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS nd,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS tn, SUM(x) AS tx FROM g),
+    r AS (
+      SELECT nd, n, x,
+             x * 1000000 // n AS rate,
+             tx * 1000000 // tn AS pbar
+      FROM g CROSS JOIN tot
+    ),
+    band AS (
+      SELECT a.nd, a.n, a.x, a.rate, a.pbar,
+             SUM(b.rate * CAST(power(2, 19 - (a.nd - b.nd)) AS BIGINT))
+               AS wsum,
+             SUM(CAST(power(2, 19 - (a.nd - b.nd)) AS BIGINT)) AS wtot
+      FROM r a JOIN r b ON b.nd <= a.nd AND b.nd > a.nd - 20
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT
+      CAST(CAST(DATE '1970-01-01' + INTERVAL (nd) DAY AS DATE) AS VARCHAR)
+        AS grain,
+      n, x, rate AS rate_e6,
+      CAST((wsum + (1048576 - wtot) * pbar) // 1048576 AS BIGINT)
+        AS ewma_e6,
+      (wsum + (1048576 - wtot) * pbar) // 1048576 > pbar + 100000
+        AS alarm_up,
+      (wsum + (1048576 - wtot) * pbar) // 1048576 < pbar - 100000
+        AS alarm_dn
+    FROM band
+    """,
+    doc="EWMA control chart over the daily return-rate series "
+    "(ops.stats.ewma_chart, lambda = 1/2, 20-day calendar kernel, "
+    "decision band 0.1 micro-rate) - the slow-drift leg completing "
+    "the SPC trio on this grain: p_chart_daily_returns flags one big "
+    "excursion, cusum_chart_daily_returns a sustained shift, EWMA a "
+    "slow drift the other two smear out. The Z_t = lambda x_t + "
+    "(1-lambda) Z_{t-1} recursion runs as its closed form - a "
+    "20-step dyadic kernel over the day grain via the EQUI chunked "
+    "band self-join (never a sequential loop or per-grid quadratic), "
+    "truncated-tail + gap-day mass assigned to the pooled center so "
+    "silent days shrink history toward p-bar; daily rates floor to "
+    "micro-units and the weights are the integers 2^(19-k), so every "
+    "cell is exact BIGINT arithmetic - no float anywhere.",
+)
+def ewma_chart_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import ewma_chart
+
+    li = t(spark, sf_dir, "lineitem")
+    out = ewma_chart(
+        li,
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date")),
+        F.col("l_returnflag") == "R",
+        idx_alias="__nd",
+        window=20,
+        h_e6=100_000,
+    )
+    return out.select(
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("__nd").cast("int"))
+        .cast("string")
+        .alias("grain"),
+        "n", "x", "rate_e6", "ewma_e6", "alarm_up", "alarm_dn",
+    )
+
+
+@register(
     "pr_auc_orderstatus",
     oracle="""
     WITH g AS (

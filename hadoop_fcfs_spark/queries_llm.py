@@ -5605,6 +5605,99 @@ def yule_k_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simpson_d_tokens",
+    oracle="""
+    WITH tf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             SUM(CAST(n AS HUGEINT) * (n - 1)) AS ff1
+      FROM tf
+    )
+    SELECT vocab_size, n_tokens,
+           CASE WHEN n_tokens > 1 THEN
+             CAST(ff1 * 1000000000
+                  // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT)
+           END AS simpson_d_e9
+    FROM m
+    """,
+    doc="Simpson's diversity index over the corpus token-frequency "
+    "table (llm.textan.simpson_diversity): D = Sum f(f-1) / (N(N-1)), "
+    "the unbiased repeat-rate - the probability two tokens drawn "
+    "without replacement are the same type (Simpson 1949), the "
+    "finite-sample partner of yule_k_tokens (K ~ 1e4*D "
+    "asymptotically; D carries the hypergeometric correction) and "
+    "length-unbiased where raw TTR is not. Exact BIGINT/DECIMAL "
+    "moments off the wordcount grain, one flooring division to "
+    "nano-units; one map-side-combinable aggregation.",
+)
+def simpson_d_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import simpson_diversity
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = toks.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+    return simpson_diversity(tf, "w", "n")
+
+
+@register(
+    "herdan_c_tokens",
+    oracle="""
+    WITH tf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             CAST(SUM(n) AS BIGINT) AS n_tokens
+      FROM tf
+    ),
+    q AS (
+      SELECT vocab_size, n_tokens,
+             CAST(FLOOR(ln(CAST(vocab_size AS DOUBLE)) * 1000000)
+               AS BIGINT) AS lv,
+             CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE)) * 1000000)
+               AS BIGINT) AS lnn
+      FROM m
+    )
+    SELECT vocab_size, n_tokens,
+           CASE WHEN n_tokens > 1 AND vocab_size >= 1 THEN
+             CAST(lv * 1000000 // lnn AS BIGINT)
+           END AS herdan_c_e6
+    FROM q
+    """,
+    doc="Herdan's C (log-TTR) over the corpus token-frequency table "
+    "(llm.textan.herdan_c): C = ln V / ln N, the vocabulary-richness "
+    "constant that stays comparable across lengths where raw TTR "
+    "collapses (under Heaps' law C converges on the "
+    "heaps_exponent_docs beta - this is its single-corpus reading; "
+    "natural prose ~0.85-0.95, C near 1 = near-unique tokens "
+    "masquerading as text). Same determinism trick as the heaps fit: "
+    "both logs floor-micro quantize immediately, then one flooring "
+    "BIGINT division on nonnegative operands; one "
+    "map-side-combinable aggregation over the wordcount grain.",
+)
+def herdan_c_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import herdan_c
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = toks.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+    return herdan_c(tf, "w", "n")
+
+
+@register(
     "krippendorff_langid",
     oracle=f"""
     WITH {_LANGID_PRED_CTES},

@@ -5794,6 +5794,69 @@ def test_cusum_chart_matches_sequential_recursion(spark):
         cusum_chart(df, "g", F.col("bad"), h_e6=0)
 
 
+def test_ewma_chart_matches_python_kernel_and_recursion(spark):
+    """ewma_chart vs an independent Python replay of the documented
+    closed form (20-step dyadic kernel, truncated-tail + gap-day mass
+    to the pooled center), on a series WITH calendar gaps; and on the
+    dense tail the chart stays within the truncation bound of the
+    literal textbook recursion Z_t = (r_t + Z_{t-1}) / 2 seeded at
+    p-bar (tail weight 2^-20 of the micro-rate range)."""
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import ewma_chart
+
+    rng = random.Random(10)
+    days = sorted(rng.sample(range(100, 200), 70))  # gappy calendar
+    rows = []
+    for d in days:
+        n = rng.randint(5, 40)
+        x = rng.randint(0, n)
+        rows += [(d, i < x) for i in range(n)]
+    df = spark.createDataFrame(rows, "d int, bad boolean")
+    W, H = 20, 50_000
+    out = {
+        r["n_idx"]: r
+        for r in ewma_chart(
+            df, "d", F.col("bad"), idx_alias="n_idx", window=W, h_e6=H
+        ).collect()
+    }
+    per_day = {}
+    for d, bad in rows:
+        n, x = per_day.get(d, (0, 0))
+        per_day[d] = (n + 1, x + (1 if bad else 0))
+    tn = sum(n for n, _ in per_day.values())
+    tx = sum(x for _, x in per_day.values())
+    pbar = tx * 1_000_000 // tn
+    rate = {d: x * 1_000_000 // n for d, (n, x) in per_day.items()}
+    z_seq = {}  # literal recursion over the calendar, gaps decay to pbar
+    z = pbar
+    for d in range(min(days), max(days) + 1):
+        z = (rate.get(d, pbar) + z) / 2  # gap days pull toward center
+        z_seq[d] = z
+    for d in sorted(per_day):
+        wsum = wtot = 0
+        for k in range(W):
+            j = d - k
+            if j in rate:
+                w = 1 << (W - 1 - k)
+                wsum += rate[j] * w
+                wtot += w
+        expect = (wsum + ((1 << W) - wtot) * pbar) // (1 << W)
+        r = out[d]
+        assert r["ewma_e6"] == expect, d
+        assert r["rate_e6"] == rate[d] and (r["n"], r["x"]) == per_day[d]
+        assert r["alarm_up"] == (expect > pbar + H), d
+        assert r["alarm_dn"] == (expect < pbar - H), d
+        # vs the literal recursion: truncation + flooring bound only
+        # (the recursion decays gaps toward pbar too, so they agree
+        # up to the 2^-W tail of the micro-rate range plus 1 floor)
+        assert abs(expect - z_seq[d]) <= 1_000_000 / (1 << W) + 1, d
+    with pytest.raises(ValueError):
+        ewma_chart(df, "d", F.col("bad"), window=0)
+    with pytest.raises(ValueError):
+        ewma_chart(df, "d", F.col("bad"), h_e6=0)
+
+
 def test_pr_auc_matches_literal_enumeration(spark):
     """pr_auc vs literal threshold enumeration with per-term flooring
     (grouped-ties AP), plus the all-negative input -> NULL ap."""
@@ -6087,3 +6150,55 @@ def test_yule_k_hand_values(spark):
         [("w%d" % i, 1) for i in range(5)], "w string, n long"
     )
     assert yule_k(hapax, "w", "n").collect()[0]["yule_k_e3"] == 0
+
+
+def test_simpson_diversity_hand_values(spark):
+    """D = Sum f(f-1) / (N(N-1)) against a hand frequency table, the
+    all-hapax floor (D = 0), the N <= 1 NULL contract, and the
+    asymptotic tie to Yule's K (K ~ 1e4*D) on the same table."""
+    from hadoop_fcfs_spark.llm.textan import simpson_diversity, yule_k
+
+    tf = spark.createDataFrame(
+        [("a", 4), ("b", 2), ("c", 1), ("d", 1)], "w string, n long"
+    )
+    r = simpson_diversity(tf, "w", "n").collect()[0]
+    # N=8, Sum f(f-1)=12+2+0+0=14 -> d_e9 = 14*1e9 // 56 = 250_000_000
+    assert r["vocab_size"] == 4 and r["n_tokens"] == 8
+    assert r["simpson_d_e9"] == 250_000_000
+    hapax = spark.createDataFrame(
+        [("w%d" % i, 1) for i in range(5)], "w string, n long"
+    )
+    assert simpson_diversity(hapax, "w", "n").collect()[0]["simpson_d_e9"] == 0
+    single = spark.createDataFrame([("a", 1)], "w string, n long")
+    assert simpson_diversity(single, "w", "n").collect()[0]["simpson_d_e9"] is None
+    # K = 1e4*(Sum f^2 - N)/N^2 and D = Sum f(f-1)/(N(N-1)) share the
+    # numerator Sum f(f-1), so K_e3*100 = D_e9*(N-1)/N up to flooring
+    k = yule_k(tf, "w", "n").collect()[0]["yule_k_e3"]  # (22-8)*1e7//64
+    d = r["simpson_d_e9"]
+    assert abs(k * 100 - d) <= d // 8 + 1_000  # gap is exactly D_e9/N
+
+
+def test_herdan_c_hand_values(spark):
+    """C = ln V / ln N with floor-micro quantized logs against an
+    independent Python replay; the all-hapax ceiling (V = N -> C
+    exactly 1e6); and the N <= 1 NULL contract."""
+    import math
+
+    from hadoop_fcfs_spark.llm.textan import herdan_c
+
+    tf = spark.createDataFrame(
+        [("a", 40), ("b", 20), ("c", 3), ("d", 1)], "w string, n long"
+    )
+    r = herdan_c(tf, "w", "n").collect()[0]
+    v, n = 4, 64
+    expect = math.floor(math.log(v) * 1e6) * 1_000_000 // math.floor(
+        math.log(n) * 1e6
+    )
+    assert (r["vocab_size"], r["n_tokens"]) == (v, n)
+    assert r["herdan_c_e6"] == expect
+    hapax = spark.createDataFrame(
+        [("w%d" % i, 1) for i in range(7)], "w string, n long"
+    )
+    assert herdan_c(hapax, "w", "n").collect()[0]["herdan_c_e6"] == 1_000_000
+    single = spark.createDataFrame([("a", 1)], "w string, n long")
+    assert herdan_c(single, "w", "n").collect()[0]["herdan_c_e6"] is None

@@ -1545,6 +1545,39 @@ def test_krippendorff_grain_rollups_only(spark):
     release_waypoints()
 
 
+def test_ewma_chart_grain_band_broadcast(spark):
+    """ewma_chart_daily_returns (r10): the day grain is map-side
+    combined before any exchange, the 20-day dyadic kernel rides the
+    EQUI chunked band self-join of GRAIN rows as a BROADCAST (never a
+    shuffled or cartesian join), and the pooled center is a 1-row
+    broadcast cross — the raw lineitem scan shuffles nothing but the
+    2.5k-day summary."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()
+    plan = _plan(Q["ewma_chart_daily_returns"].spark_fn(spark, SF_ORACLE))
+    assert "partial_count" in plan or "partial_sum" in plan, (
+        "day grain must be map-side combined"
+    )
+    assert "BroadcastHashJoin" in plan  # grain-sized band self-join
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    release_waypoints()
+
+
+def test_lexical_scalars_single_agg_no_join(spark):
+    """simpson_d_tokens / herdan_c_tokens (r10): like yule_k_tokens,
+    each is ONE map-side-combinable aggregation over the wordcount
+    grain collapsing to a 1-row scalar — no join operator of any kind
+    may appear in the plan."""
+    for name in ("simpson_d_tokens", "herdan_c_tokens"):
+        plan = _plan(Q[name].spark_fn(spark, SF_ORACLE))
+        assert "partial_sum" in plan, name
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                  "BroadcastNestedLoopJoin", "CartesianProduct"):
+            assert j not in plan, (name, j)
+
+
 def test_blob_column_pruned_for_metadata_only_reads(spark, tmp_path):
     """The multimodal scale contract (llm/multimodal.py module doc):
     metadata-only transforms must let the scan prune the binary payload
