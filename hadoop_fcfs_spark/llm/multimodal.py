@@ -691,6 +691,57 @@ def _encode_gif_anim(
     return bytes(out)
 
 
+_PIL_IMAGE = False  # False = not probed yet; None = probed, absent
+
+
+def _pillow():
+    """PIL.Image when Pillow is installed, else None (probed once per
+    interpreter). Pillow is the PRODUCTION fast path: at 100 TB you
+    swap libjpeg-turbo/zlib-backed decoding in by installing it on the
+    cluster — no code change. The pure-Python codecs below stay as the
+    always-available fallback AND the equality oracle
+    (tests/test_llm.py::test_pillow_fast_path_matches_pure_codecs,
+    skipped while the container lacks Pillow)."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE is False:
+        try:
+            from PIL import Image as _img
+
+            _PIL_IMAGE = _img
+        except Exception:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
+def _pillow_rgb(blob: bytes):
+    """Fast-path decode → (h, w, 3) uint8 RGB, or None meaning 'use the
+    pure-Python codecs'. Only the four natively-decoded raster magics
+    are attempted, so unknown formats keep the documented fake/stub
+    contract (oracled gates feed non-raster blobs through the
+    DETERMINISTIC pseudo-decode — Pillow must never intercept those);
+    any Pillow failure falls back so the pure decoders' error contract
+    (ValueError-or-decode, pinned by the fuzz tests) still governs."""
+    mod = _pillow()
+    if mod is None:
+        return None
+    if not (
+        blob[:2] == b"BM"
+        or blob[:8] == _PNG_SIG
+        or blob[:6] in _GIF_SIGS
+        or blob[:3] == _JPEG_SIG
+    ):
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        with mod.open(io.BytesIO(blob)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except Exception:
+        return None
+
+
 def _try_luma(blob: bytes, fake: bool):
     """One real-decode attempt for the raster formats this container
     CAN decode (BMP, PNG, GIF, baseline JPEG): returns the (h, w)
@@ -698,7 +749,13 @@ def _try_luma(blob: bytes, fake: bool):
     path'. Under fake=True the fake path stays TOTAL — magic-prefixed
     garbage or unsupported variants (arithmetic-coded JPEG, 16-bit PNG)
     fall through instead of crashing the executor task; fake=False
-    keeps the real decoders' strictness."""
+    keeps the real decoders' strictness. When Pillow is installed the
+    decode routes through it first (production fast path; identical
+    pixels for the lossless formats, bounded-delta luma for JPEG —
+    different IDCTs); the pure path remains the fallback."""
+    px = _pillow_rgb(blob)
+    if px is not None:
+        return _png_luma(px)
     try:
         if blob[:2] == b"BM":
             return _decode_bmp(blob)
@@ -1013,10 +1070,14 @@ def resize_images(
         def jpeg_resize(blob: bytes) -> bytes:
             # resize-in-kind: decode -> nearest-neighbor -> re-encode
             # baseline 4:4:4 (one recompression generation, like any
-            # JPEG thumbnailer)
+            # JPEG thumbnailer). Decode takes the Pillow fast path when
+            # installed (the expensive leg); re-encode stays the pure
+            # encoder so output bytes are deterministic either way.
             from hadoop_fcfs_spark.llm.jpeg import decode_jpeg, encode_jpeg
 
-            rgb = decode_jpeg(blob)
+            rgb = _pillow_rgb(blob)
+            if rgb is None:
+                rgb = decode_jpeg(blob)
             h, w = rgb.shape[:2]
             yi = (np.arange(target_h) * h) // target_h
             xi = (np.arange(target_w) * w) // target_w

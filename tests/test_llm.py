@@ -2434,6 +2434,72 @@ def test_jpeg_roundtrip_444_420_gray_restart():
     assert np.abs(dec.astype(int) - rgb420.astype(int)).max() <= 2
 
 
+def test_pillow_gate_absent_and_magic_guard():
+    """The Pillow fast-path plumbing that runs REGARDLESS of whether
+    Pillow is installed: non-raster magics must return None from
+    _pillow_rgb (oracled gates feed RIFF/unknown blobs through the
+    deterministic pseudo-decode — the fast path must never intercept
+    them), and when Pillow is absent every call returns None so the
+    pure codecs govern."""
+    from hadoop_fcfs_spark.llm.multimodal import _pillow, _pillow_rgb
+
+    assert _pillow_rgb(b"RIFF" + b"px0" * 100) is None
+    assert _pillow_rgb(b"\x00\x01garbage") is None
+    if _pillow() is None:
+        assert _pillow_rgb(b"BM" + b"\x00" * 60) is None
+
+
+def test_pillow_fast_path_matches_pure_codecs():
+    """Production fast path vs the pure-Python oracle (VERDICT r9 #5):
+    when Pillow is installed, _pillow_rgb must decode the lossless
+    containers (BMP, truecolor PNG, palette GIF) PIXEL-EQUAL to the
+    pure decoders, and JPEG within a small per-pixel delta (different
+    IDCT implementations). Skipped while the container lacks Pillow —
+    the day the env grows it, this test is the contract."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.jpeg import decode_jpeg, encode_jpeg
+    from hadoop_fcfs_spark.llm.multimodal import (
+        _decode_gif,
+        _decode_png,
+        _encode_gif,
+        _encode_png,
+        _pillow,
+        _pillow_rgb,
+        _png_luma,
+    )
+
+    if _pillow() is None:
+        _pytest.skip("Pillow not installed — pure codecs are the only path")
+
+    yy, xx = np.mgrid[0:17, 0:23]
+    rgb = np.stack(
+        [(yy * 9 + 3) % 256, (xx * 7 + 50) % 256, ((yy + xx) * 5) % 256], -1
+    ).astype(np.uint8)
+
+    png = _encode_png(rgb)
+    assert (_pillow_rgb(png) == _decode_png(png)[:, :, :3]).all()
+
+    bmp = _make_bmp([[tuple(int(c) for c in rgb[y, x])
+                      for x in range(rgb.shape[1])]
+                     for y in range(rgb.shape[0])])
+    from hadoop_fcfs_spark.llm.multimodal import _decode_bmp
+
+    assert np.allclose(_png_luma(_pillow_rgb(bmp)), _decode_bmp(bmp))
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   np.uint8)
+    idx = ((yy + xx) % 4).astype(np.uint8)
+    gif = _encode_gif(idx, pal)
+    assert np.allclose(_png_luma(_pillow_rgb(gif)), _decode_gif(gif))
+
+    jblob = encode_jpeg(rgb, quality=95)
+    fast, pure = _pillow_rgb(jblob), decode_jpeg(jblob)
+    assert fast.shape == pure.shape
+    assert np.abs(fast.astype(int) - pure.astype(int)).max() <= 4
+
+
 def test_jpeg_fill_bytes_between_segments_decode():
     """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
     code between header segments — spec-valid padded files must decode
