@@ -691,6 +691,155 @@ def _encode_gif_anim(
     return bytes(out)
 
 
+def _gif_structure(blob: bytes) -> dict:
+    """Container-structure walk of a GIF87a/89a stream WITHOUT decoding
+    pixels: frame boundaries, per-frame GCE delays (centiseconds) and
+    the NETSCAPE2.0 loop extension are read from the block headers
+    while every LZW data block is SKIPPED via its sub-block length
+    bytes — O(len(blob)) byte scan, zero decode CPU, zero canvas
+    memory. Returns ``{width, height, n_frames, delays, loop_count}``
+    (``loop_count`` None when the NETSCAPE extension is absent; 0 means
+    loop forever per the spec). Raises ValueError on non-GIF or
+    malformed/truncated streams — same error contract as the real
+    decoders, so the quarantine routing is shared."""
+    if len(blob) < 13 or blob[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    width = int.from_bytes(blob[6:8], "little")
+    height = int.from_bytes(blob[8:10], "little")
+    flags = blob[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 7))  # global color table
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(blob):
+                raise ValueError("truncated GIF sub-blocks")
+            ln = blob[p]
+            p += 1
+            if ln == 0:
+                return p
+            p += ln
+
+    n_frames = 0
+    delays: list[int] = []
+    loop_count = None
+    pending_delay = 0  # most recent GCE delay, consumed by the next frame
+    while True:
+        if pos >= len(blob):
+            raise ValueError("truncated GIF: missing trailer")
+        block = blob[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(blob):
+                raise ValueError("truncated GIF extension")
+            label = blob[pos]
+            pos += 1
+            if label == 0xF9 and pos + 5 <= len(blob) and blob[pos] == 4:
+                pending_delay = int.from_bytes(
+                    blob[pos + 2 : pos + 4], "little"
+                )
+            elif (
+                label == 0xFF
+                and pos + 12 <= len(blob)
+                and blob[pos] == 11
+                and blob[pos + 1 : pos + 12] == b"NETSCAPE2.0"
+            ):
+                p2 = pos + 12
+                if p2 + 4 <= len(blob) and blob[p2] == 3 and blob[p2 + 1] == 1:
+                    loop_count = int.from_bytes(
+                        blob[p2 + 2 : p2 + 4], "little"
+                    )
+            pos = skip_subblocks(pos)
+        elif block == 0x2C:  # image descriptor
+            if pos + 9 > len(blob):
+                raise ValueError("truncated GIF image descriptor")
+            lflags = blob[pos + 8]
+            pos += 9
+            if lflags & 0x80:
+                pos += 3 * (2 << (lflags & 7))  # local color table
+            if pos >= len(blob):
+                raise ValueError("truncated GIF image data")
+            pos += 1  # LZW minimum code size
+            pos = skip_subblocks(pos)
+            n_frames += 1
+            delays.append(pending_delay)
+            pending_delay = 0
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    if n_frames == 0:
+        raise ValueError("GIF with no image data")
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "delays": delays,
+        "loop_count": loop_count,
+    }
+
+
+def gif_frame_audit(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Animation audit per GIF blob → (id, n_frames, width, height,
+    total_delay_cs, min_delay_cs, max_delay_cs, loop_count) — the
+    "how long/heavy is this animation" QA pass a media-corpus pipeline
+    runs before deciding what to decode. HEADER WALK ONLY
+    (:func:`_gif_structure`): pixel data is skipped via sub-block
+    lengths, so the audit costs one byte scan per blob — at 100 TB the
+    difference between listing animation metadata and decoding every
+    frame. Non-GIF or malformed blobs: fake=True quarantines to a
+    NULL-metrics row (the WAV-tier contract — executor tasks never
+    die on hostile bytes); fake=False raises.
+
+    NOT oracle-expressible (binary container walk, no SQL equivalent)
+    — pytest-locked instead, per the repo's non-SQL-gate policy:
+    the walk is cross-checked frame-by-frame against the full
+    compositor (`_iter_gif_frames` must agree on n_frames and every
+    delay) and against hand-built NETSCAPE/disposal fixtures."""
+    out_schema = (
+        f"{id_col} long, n_frames int, width int, height int, "
+        "total_delay_cs long, min_delay_cs int, max_delay_cs int, "
+        "loop_count int"
+    )
+    cols = [
+        id_col, "n_frames", "width", "height",
+        "total_delay_cs", "min_delay_cs", "max_delay_cs", "loop_count",
+    ]
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                blob = bytes(blob)
+                try:
+                    s = _gif_structure(blob)
+                except ValueError:
+                    if not fake:
+                        raise
+                    rows.append({c: None for c in cols} | {id_col: mid})
+                    continue
+                d = s["delays"]
+                rows.append({
+                    id_col: mid,
+                    "n_frames": s["n_frames"],
+                    "width": s["width"],
+                    "height": s["height"],
+                    "total_delay_cs": sum(d),
+                    "min_delay_cs": min(d),
+                    "max_delay_cs": max(d),
+                    "loop_count": s["loop_count"],
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, binary_col).mapInPandas(audit, schema=out_schema)
+
+
 _PIL_IMAGE = False  # False = not probed yet; None = probed, absent
 
 

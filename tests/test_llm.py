@@ -2276,6 +2276,69 @@ def test_gif_animation_compositor_vs_python_replica():
                 canvas = prev
 
 
+def test_gif_frame_audit_header_walk(spark):
+    """gif_frame_audit (r10, pytest-locked — binary container walk has
+    no SQL oracle): the header-only walk must agree with the FULL
+    compositor on frame count and every delay; NETSCAPE loop counts
+    are read; the logical-screen dims come from the header not the
+    frames; non-GIF and truncated blobs quarantine to NULL rows under
+    fake=True and raise under fake=False."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import (
+        _decode_gif_frames,
+        _encode_gif,
+        _encode_gif_anim,
+        _gif_structure,
+        gif_frame_audit,
+    )
+
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    f1 = (np.full((3, 5), 1, np.int32), 0, 0)
+    f2 = (np.full((2, 2), 2, np.int32), 3, 1)
+    f3 = (np.full((1, 6), 3, np.int32), 0, 4)
+    anim = _encode_gif_anim(
+        [f1, f2, f3], pal, (6, 5),
+        delays_cs=[10, 0, 25], disposals=[1, 2, 0],
+    )
+    # splice a NETSCAPE2.0 loop extension (loop=7) before the frames:
+    # header 13 bytes + 4-entry GCT (12 bytes) = offset 25
+    netscape = b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x07\x00\x00"
+    looped = anim[:25] + netscape + anim[25:]
+
+    s = _gif_structure(looped)
+    assert (s["width"], s["height"]) == (6, 5)
+    assert s["n_frames"] == 3 and s["delays"] == [10, 0, 25]
+    assert s["loop_count"] == 7
+    assert _gif_structure(anim)["loop_count"] is None
+    # header walk vs the full compositor: frame count + every delay
+    frames = _decode_gif_frames(looped)
+    assert len(frames) == s["n_frames"]
+    assert [d for _, d in frames] == s["delays"]
+
+    single = _encode_gif(np.zeros((2, 3), np.uint8), pal)
+    df = spark.createDataFrame(
+        [(1, bytearray(looped)), (2, bytearray(single)),
+         (3, bytearray(b"RIFF" + b"x" * 40)),
+         (4, bytearray(looped[:30]))],  # truncated mid-extension
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in gif_frame_audit(df).collect()}
+    assert rows[1]["n_frames"] == 3 and rows[1]["total_delay_cs"] == 35
+    assert rows[1]["min_delay_cs"] == 0 and rows[1]["max_delay_cs"] == 25
+    assert rows[1]["loop_count"] == 7
+    assert (rows[1]["width"], rows[1]["height"]) == (6, 5)
+    assert rows[2]["n_frames"] == 1 and rows[2]["total_delay_cs"] == 0
+    assert rows[2]["loop_count"] is None
+    assert rows[3]["n_frames"] is None  # non-GIF quarantined
+    assert rows[4]["n_frames"] is None  # truncated quarantined
+    with _pytest.raises(Exception, match="not a GIF|truncated"):
+        gif_frame_audit(df, fake=False).collect()
+
+
 def test_gif_animation_disposal_hand_chain():
     """Hand 3-frame chain pinning each disposal mode: frame 1 paints a
     2x2 patch (restore-background wipes it), frame 2 paints with
