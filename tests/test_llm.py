@@ -2338,6 +2338,30 @@ def test_gif_frame_audit_header_walk(spark):
     with _pytest.raises(Exception, match="not a GIF|truncated"):
         gif_frame_audit(df, fake=False).collect()
 
+    # hostile-blob contract (the image-tier fuzz discipline): the walk
+    # must return a dict or raise ValueError — never IndexError etc.,
+    # because fake=True quarantine catches ValueError only
+    import random
+
+    rng = random.Random(42)
+    for _ in range(1500):
+        b = bytearray(looped)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:
+            b = b[: rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes(
+                rng.randrange(256) for _ in range(rng.randint(1, 8))
+            ) + b[i:]
+        try:
+            _gif_structure(bytes(b))
+        except ValueError:
+            pass
+
 
 def test_gif_animation_disposal_hand_chain():
     """Hand 3-frame chain pinning each disposal mode: frame 1 paints a
