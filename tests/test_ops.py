@@ -5851,6 +5851,33 @@ def test_ewma_chart_matches_python_kernel_and_recursion(spark):
         # (the recursion decays gaps toward pbar too, so they agree
         # up to the 2^-W tail of the micro-rate range plus 1 floor)
         assert abs(expect - z_seq[d]) <= 1_000_000 / (1 << W) + 1, d
+    # negative grid indices (pre-1970 days): the truncating-cast chunk
+    # cell around zero is WIDER than the window, so the band self-join
+    # still crosses at most one chunk boundary — values must match the
+    # same Python kernel
+    neg_days = [-31, -30, -27, -22, -21, -20, -19, -3, -1, 0, 1, 5]
+    nrows = [(d, i < (abs(d) % 4)) for d in neg_days for i in range(4)]
+    ndf = spark.createDataFrame(nrows, "d int, bad boolean")
+    nout = {
+        r["n_idx"]: r["ewma_e6"]
+        for r in ewma_chart(
+            ndf, "d", F.col("bad"), idx_alias="n_idx", window=W, h_e6=H
+        ).collect()
+    }
+    nper = {d: (4, abs(d) % 4) for d in neg_days}
+    ntn = sum(n for n, _ in nper.values())
+    ntx = sum(x for _, x in nper.values())
+    npbar = ntx * 1_000_000 // ntn
+    nrate = {d: x * 1_000_000 // n for d, (n, x) in nper.items()}
+    for d in neg_days:
+        wsum = wtot = 0
+        for k in range(W):
+            if d - k in nrate:
+                w = 1 << (W - 1 - k)
+                wsum += nrate[d - k] * w
+                wtot += w
+        assert nout[d] == (wsum + ((1 << W) - wtot) * npbar) // (1 << W), d
+
     with pytest.raises(ValueError):
         ewma_chart(df, "d", F.col("bad"), window=0)
     with pytest.raises(ValueError):
