@@ -62,6 +62,54 @@ def stream_running_stats(
     )
 
 
+def stream_debounce(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    quiet_ms: int,
+):
+    """Streaming debounce (burst-starter filter): per-key state carries
+    the LAST SEEN event time across micro-batches; an event is emitted
+    iff its gap from its per-key predecessor exceeds ``quiet_ms`` —
+    exactly the lag semantics of the batch twin
+    (``ops.timeseries.debounce``) whenever events ARRIVE in per-key
+    event-time order across micro-batches (the replay regime the
+    bridge test pins; cross-batch time-disordered arrival diverges —
+    the same documented caveat as the dedup-anchoring bridge). Rows
+    are sorted by event time WITHIN each micro-batch, so intra-batch
+    disorder is absorbed; the load-bearing case is a burst SPLIT
+    ACROSS micro-batches, which a stateless per-batch debounce would
+    wrongly re-emit (asserted by the bridge test).
+
+    State is ONE long per key — fixed width, this module's scale
+    contract. Emits starter rows (key, ts_us epoch micros); write with
+    outputMode('append')."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        last = state.get[0] if state.exists else None
+        batch_us: list[int] = []
+        for pdf in pdfs:
+            us = pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000
+            batch_us.extend(int(v) for v in us)
+        starters = []
+        for us in sorted(batch_us):
+            if last is None or us - last > quiet_ms * 1000:
+                starters.append(us)
+            last = us
+        if batch_us:
+            state.update((last,))
+        if starters:
+            yield pd.DataFrame({key_col: key[0], "ts_us": starters})
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, ts_us long",
+        stateStructType="last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_inactivity_sessions(
     stream_df: DataFrame,
     key_col: str,

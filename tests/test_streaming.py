@@ -844,6 +844,79 @@ def test_stream_dedup_state_is_first_anchored(spark, tmp_path):
     assert a2["n_dup"] == 2 and a2["n_emitted"] == 2
 
 
+def test_stream_debounce_state_spans_microbatches(spark, tmp_path):
+    """stream_debounce bridge (r10, the third live-engine bridge after
+    late-drop and dedup-anchoring): a burst SPLIT ACROSS micro-batches
+    must NOT re-emit — per-key state carries the last event time, so
+    the continuation row's 60 ms gap is seen even though its
+    predecessor arrived in the previous batch. Asserted three ways:
+    (a) the streaming starters equal the batch twin's
+    (ops.timeseries.debounce) exactly on the in-order replay, (b) a
+    stateless per-batch debounce WOULD emit the continuation (state is
+    load-bearing, not decorative), (c) a second key and a genuine new
+    burst still emit."""
+    from hadoop_fcfs_spark.ops.timeseries import debounce
+    from hadoop_fcfs_spark.streaming.stateful import stream_debounce
+
+    src = str(tmp_path / "debounce_src")
+    schema = "event_id long, k string, ts timestamp"
+
+    def write(rows):
+        spark.createDataFrame(rows, "event_id long, k string, us long").select(
+            "event_id", "k", F.timestamp_micros(F.col("us")).alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # quiet = 200 ms. Batch 1: a k-burst (gaps 50/70 ms). Batch 2: the
+    # burst CONTINUES (60 ms gap across the batch boundary), then a new
+    # k-burst after 320 ms, and key j's first event.
+    b1 = [(1, "k", 1_000_000_000), (2, "k", 1_000_050_000),
+          (3, "k", 1_000_120_000)]
+    b2 = [(4, "k", 1_000_180_000), (5, "k", 1_000_500_000),
+          (6, "j", 2_000_000_000)]
+    write(b1)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_debounce(stream, "k", "ts", quiet_ms=200)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("debounce_bridge")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(b2)
+        q.processAllAvailable()
+        got = {
+            (r["k"], r["ts_us"])
+            for r in spark.sql("SELECT * FROM debounce_bridge").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(
+        b1 + b2, "event_id long, k string, us long"
+    ).select("event_id", "k", F.timestamp_micros(F.col("us")).alias("ts"))
+    expected = {
+        (r["k"], r["us"])
+        for r in debounce(batch, ["k"], "ts", "event_id", quiet_ms=200)
+        .select("k", F.unix_micros("ts").alias("us")).collect()
+    }
+    assert got == expected  # (a) exact agreement with the batch twin
+    assert got == {("k", 1_000_000_000), ("k", 1_000_500_000),
+                   ("j", 2_000_000_000)}
+    # (b) stateless per-batch debounce re-emits the continuation row
+    batch2_only = spark.createDataFrame(
+        b2, "event_id long, k string, us long"
+    ).select("event_id", "k", F.timestamp_micros(F.col("us")).alias("ts"))
+    stateless = {
+        (r["k"], r["us"])
+        for r in debounce(batch2_only, ["k"], "ts", "event_id", quiet_ms=200)
+        .select("k", F.unix_micros("ts").alias("us")).collect()
+    }
+    assert ("k", 1_000_180_000) in stateless
+    assert ("k", 1_000_180_000) not in got
+
+
 def test_dedup_audit_engine_exact_variant(spark):
     """The engine-exact (first-anchored) audit: matches the ENGINE's
     verdicts on the discriminating chain where the refresh-anchored
