@@ -1183,6 +1183,53 @@ def herdan_c(tf: DataFrame, term_col: str, count_col: str) -> DataFrame:
     )
 
 
+def token_entropy(tf: DataFrame, term_col: str, count_col: str) -> DataFrame:
+    """Shannon entropy of the token distribution (nats) plus its
+    normalized form ("efficiency", H / ln V ∈ [0, 1]) over a
+    term-frequency table: H = ln N − (Σ f·ln f)/N. The fourth leg of
+    the lexical tripod-turned-quadripod — zipf_slope reads the curve
+    shape, good_turing the unseen tail, yule_k/simpson_d the repeat
+    rate, H the whole-distribution uncertainty (the unigram
+    cross-entropy floor a tokenizer/LM can be sanity-checked against;
+    efficiency near 1 = uniform vocabulary use, near 0 = a few tokens
+    dominate).
+
+    Exactness: the heaps/herdan determinism trick at per-TERM grain —
+    each term's ln f floor-micro quantizes IMMEDIATELY, so
+    Σ f·⌊ln f·1e6⌋ is an exact DECIMAL(38,0) sum (order cannot
+    matter), and H_e6 = ⌊ln N·1e6⌋ − (Σ f·⌊ln f·1e6⌋) div N with one
+    flooring division on nonnegative operands. eff_e6 = H_e6·1e6 div
+    ⌊ln V·1e6⌋ (NULL when V = 1 — zero denominator; H is then exactly
+    0). Scale shape: ONE map-side-combinable aggregation over the
+    term-frequency grain; output is 1 row (vocab_size, n_tokens,
+    entropy_e6, efficiency_e6)."""
+    cnt = F.col(count_col)
+    dec = "decimal(38,0)"
+    m = tf.agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum(cnt).cast("long").alias("n_tokens"),
+        F.sum(
+            cnt.cast(dec)
+            * F.floor(F.log(cnt.cast("double")) * 1_000_000).cast("long")
+        ).cast(dec).alias("__sfl"),
+    )
+    q = m.select(
+        "vocab_size", "n_tokens", "__sfl",
+        F.floor(F.log(F.col("n_tokens").cast("double")) * 1_000_000)
+        .cast("long").alias("__ln"),
+        F.floor(F.log(F.col("vocab_size").cast("double")) * 1_000_000)
+        .cast("long").alias("__lv"),
+    )
+    return q.selectExpr(
+        "vocab_size", "n_tokens",
+        "CASE WHEN n_tokens > 0 THEN "
+        "CAST(__ln - __sfl div n_tokens AS BIGINT) END AS entropy_e6",
+        "CASE WHEN n_tokens > 0 AND vocab_size > 1 THEN "
+        "CAST((__ln - __sfl div n_tokens) * 1000000 div __lv AS BIGINT) "
+        "END AS efficiency_e6",
+    )
+
+
 def yule_k(tf: DataFrame, term_col: str, count_col: str) -> DataFrame:
     """Yule's characteristic K over a term-frequency table:
     K = 10⁴·(Σ f² − N)/N² — the classic repeat-rate summary of lexical

@@ -4593,6 +4593,84 @@ def ewma_chart(
     )
 
 
+def run_rules(
+    df: DataFrame,
+    group_col: Column | str,
+    defect_cond: Column,
+    group_alias: str = "grain",
+    min_run: int = 9,
+) -> DataFrame:
+    """Western Electric run rule over an ordered proportion grain: flag
+    every point sitting in a run of ≥ ``min_run`` consecutive points on
+    the SAME side of the center line (rule 2 of the classic WE set,
+    min_run = 9 in the modern Nelson formulation) — the pattern leg of
+    the SPC suite: p_chart catches one 3σ excursion, CUSUM/EWMA a
+    small sustained/slow shift, the run rule the textbook "process has
+    moved but never far enough to alarm" signature QA dashboards quote
+    directly. Points exactly ON the center line take side 0 and break
+    runs (and are never flagged).
+
+    Exactness: center = the flooring pooled rate p̄_e6, daily rates
+    floor to micros, side = sign(rate − p̄) on exact BIGINTs. Runs are
+    gaps-and-islands: global row number (ONE range-partitioned prefix,
+    ops.sort.global_running_sum) minus the per-side row number gives
+    the island id; island length is a count over (side, island). The
+    per-side windows partition GRAIN rows (days — bounded; the
+    duration-grain-windows-only discipline), never events.
+
+    Scale shape: one map-side-combinable grain aggregation, one
+    broadcast pooled scalar, one range prefix + two grain-bounded
+    windows. Output per grain cell: grain, n, x, rate_e6, side,
+    run_len, rule2."""
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    if min_run < 2:
+        raise ValueError(f"min_run must be >= 2, got {min_run}")
+    gc = F.col(group_col) if isinstance(group_col, str) else group_col
+    grain = df.groupBy(gc.alias(group_alias)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(defect_cond, 1).otherwise(0)).cast("long").alias("x"),
+    )
+    pooled = grain.agg(
+        F.sum("n").cast("long").alias("__tn"),
+        F.sum("x").cast("long").alias("__tx"),
+    )
+    sided = waypoint(
+        grain.crossJoin(F.broadcast(pooled))
+        .withColumn(
+            "__pbar", F.expr("CAST(__tx * 1000000 div __tn AS BIGINT)")
+        )
+        .withColumn("rate_e6", F.expr("CAST(x * 1000000 div n AS BIGINT)"))
+        .withColumn(
+            "side",
+            F.when(F.col("rate_e6") > F.col("__pbar"), 1)
+            .when(F.col("rate_e6") < F.col("__pbar"), -1)
+            .otherwise(0).cast("int"),
+        )
+        .select(group_alias, "n", "x", "rate_e6", "side")
+    )
+    rn = global_running_sum(
+        sided.withColumn("__one", F.lit(1).cast("long")),
+        [group_alias], ["__one"], out_col=["__rn"], inclusive=True,
+    )
+    w_side = Window.partitionBy("side").orderBy(group_alias)
+    islands = rn.withColumn(
+        "__island", F.col("__rn") - F.row_number().over(w_side)
+    )
+    w_island = Window.partitionBy("side", "__island")
+    return islands.withColumn(
+        "run_len", F.count("*").over(w_island).cast("long")
+    ).select(
+        group_alias, "n", "x", "rate_e6", "side", "run_len",
+        (
+            (F.col("side") != 0) & (F.col("run_len") >= F.lit(int(min_run)))
+        ).alias("rule2"),
+    )
+
+
 def pr_auc(
     df: DataFrame, score_col: str, label_col: Column | str
 ) -> DataFrame:
@@ -4661,6 +4739,78 @@ def pr_auc(
         F.when(
             F.max("__p") > 0, F.sum("__term").cast("long")
         ).alias("ap_e6"),
+    )
+
+
+def youden_j(
+    df: DataFrame, score_col: str, label_col: Column | str
+) -> DataFrame:
+    """Youden's J statistic and its optimal cutpoint: J(t) = TPR(t) −
+    FPR(t) maximized over all thresholds — the standard
+    threshold-PICKER companion to :func:`roc_auc` (AUC says whether the
+    score discriminates; J says where to CUT it: the point farthest
+    above the chance diagonal, equivalently max balanced
+    sensitivity+specificity−1). Ties on J break to the SMALLEST
+    threshold (deterministic; the most-sensitive of the equally-good
+    cuts).
+
+    Exactness: the roc/pr substrate — distinct-score grain, ONE
+    two-column exclusive prefix (global_running_sum) giving tp = P −
+    pos_below and fp = Nneg − neg_below per threshold; TPR/FPR floor
+    to micros INDEPENDENTLY (div on nonnegative BIGINTs) so J_e6 is an
+    exact integer per threshold and the max is order-free. The scalar
+    max joins back as a broadcast 1-row cross (never a shuffled
+    self-join). NULL J/threshold when either class is empty; empty
+    slice reads (0, 0, NULL, NULL).
+
+    Scale shape: grain collapse + one range-partitioned prefix + two
+    broadcast scalar crosses; output is ONE row (n, n_pos, j_e6,
+    threshold)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    grain = waypoint(
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(F.col(score_col).alias("__v"))
+        .agg(
+            F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("__ca"),
+            F.count("*").cast("long").alias("__c"),
+        )
+    )
+    before = global_running_sum(
+        grain, ["__v"], ["__c", "__ca"],
+        out_col=["__bef", "__cabef"], inclusive=False,
+    )
+    tot = grain.agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.sum("__ca").cast("long").alias("__p"),
+    )
+    j = waypoint(
+        before.crossJoin(F.broadcast(tot))
+        .withColumn("__tp", F.col("__p") - F.col("__cabef"))
+        .withColumn(
+            "__fp",
+            (F.col("__n") - F.col("__p"))
+            - (F.col("__bef") - F.col("__cabef")),
+        )
+        .withColumn(
+            "__j",
+            F.expr(
+                "CASE WHEN __p > 0 AND __n > __p THEN "
+                "CAST(__tp * 1000000 div __p AS BIGINT)"
+                " - CAST(__fp * 1000000 div (__n - __p) AS BIGINT) END"
+            ),
+        )
+        .select("__v", "__n", "__p", "__j")
+    )
+    best = j.agg(F.max("__j").alias("__mj"))
+    return j.crossJoin(F.broadcast(best)).agg(
+        F.coalesce(F.max("__n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.max("__p"), F.lit(0)).cast("long").alias("n_pos"),
+        F.max("__mj").cast("long").alias("j_e6"),
+        F.min(F.when(F.col("__j") == F.col("__mj"), F.col("__v")))
+        .alias("threshold"),
     )
 
 

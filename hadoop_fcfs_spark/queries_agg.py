@@ -6209,6 +6209,117 @@ def ewma_chart_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "run_rules_daily_returns",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS grain,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS tn, SUM(x) AS tx FROM g),
+    s AS (
+      SELECT grain, n, x,
+             x * 1000000 // n AS rate_e6,
+             CASE WHEN x * 1000000 // n > tx * 1000000 // tn THEN 1
+                  WHEN x * 1000000 // n < tx * 1000000 // tn THEN -1
+                  ELSE 0 END AS side
+      FROM g CROSS JOIN tot
+    ),
+    isl AS (
+      SELECT grain, n, x, rate_e6, side,
+             ROW_NUMBER() OVER (ORDER BY grain)
+               - ROW_NUMBER() OVER (PARTITION BY side ORDER BY grain)
+               AS island
+      FROM s
+    )
+    SELECT grain, n, x, rate_e6, CAST(side AS INT) AS side,
+           CAST(COUNT(*) OVER (PARTITION BY side, island) AS BIGINT)
+             AS run_len,
+           side <> 0
+             AND COUNT(*) OVER (PARTITION BY side, island) >= 9 AS rule2
+    FROM isl
+    """,
+    doc="Western Electric run rule 2 (9 consecutive points one side of "
+    "center) over the daily return-rate series (ops.stats.run_rules) "
+    "- the pattern leg completing the SPC suite on this grain: "
+    "p_chart one 3-sigma excursion, CUSUM sustained shift, EWMA slow "
+    "drift, the run rule the 'moved but never far enough to alarm' "
+    "signature. Gaps-and-islands: ONE range prefix for the global row "
+    "number, per-side row numbers and island counts as GRAIN-bounded "
+    "windows (days, never events); center and rates are exact "
+    "flooring BIGINT micro-rates, so side assignment is "
+    "engine-exact.",
+)
+def run_rules_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import run_rules
+
+    li = t(spark, sf_dir, "lineitem")
+    return run_rules(
+        li,
+        F.to_date("l_shipdate").cast("string"),
+        F.col("l_returnflag") == "R",
+        group_alias="grain",
+        min_run=9,
+    )
+
+
+@register(
+    "youden_j_orderstatus",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS v,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT v, ca, c,
+             COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+             COALESCE(SUM(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cabef
+      FROM g
+    ),
+    tot AS (SELECT SUM(c) AS n, SUM(ca) AS p FROM g),
+    j AS (
+      SELECT v, n, p,
+             CASE WHEN p > 0 AND n > p THEN
+               (p - cabef) * 1000000 // p
+               - ((n - p) - (bef - cabef)) * 1000000 // (n - p)
+             END AS jv
+      FROM r CROSS JOIN tot
+    ),
+    best AS (SELECT MAX(jv) AS mj FROM j)
+    SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) AS n,
+           CAST(COALESCE(MAX(p), 0) AS BIGINT) AS n_pos,
+           CAST(MAX(mj) AS BIGINT) AS j_e6,
+           MIN(CASE WHEN jv = mj THEN v END) AS threshold
+    FROM j CROSS JOIN best
+    """,
+    doc="Youden's J and its optimal cutpoint over the order-total / "
+    "FINISHED-status score (ops.stats.youden_j): max over thresholds "
+    "of TPR - FPR, the threshold-PICKER companion to "
+    "roc_auc_orderstatus (AUC says whether the score discriminates, J "
+    "says where to cut it; ties break to the smallest threshold). "
+    "Same substrate as pr_auc: distinct-score grain + ONE two-column "
+    "exclusive prefix; TPR/FPR floor to micros independently so J is "
+    "an exact integer per threshold and the max is order-free; the "
+    "scalar max rejoins as a broadcast 1-row cross, never a shuffled "
+    "self-join.",
+)
+def youden_j_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import youden_j
+
+    orders = t(spark, sf_dir, "orders")
+    return youden_j(orders, "o_totalprice", F.col("o_orderstatus") == "F")
+
+
+@register(
     "pr_auc_orderstatus",
     oracle="""
     WITH g AS (

@@ -5698,6 +5698,62 @@ def herdan_c_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_entropy",
+    oracle="""
+    WITH tf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             SUM(CAST(n AS HUGEINT)
+                 * CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT))
+               AS sfl
+      FROM tf
+    ),
+    q AS (
+      SELECT vocab_size, n_tokens, sfl,
+             CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE)) * 1000000)
+               AS BIGINT) AS lnn,
+             CAST(FLOOR(ln(CAST(vocab_size AS DOUBLE)) * 1000000)
+               AS BIGINT) AS lv
+      FROM m
+    )
+    SELECT vocab_size, n_tokens,
+           CASE WHEN n_tokens > 0 THEN
+             CAST(lnn - sfl // n_tokens AS BIGINT) END AS entropy_e6,
+           CASE WHEN n_tokens > 0 AND vocab_size > 1 THEN
+             CAST((lnn - sfl // n_tokens) * 1000000 // lv AS BIGINT)
+           END AS efficiency_e6
+    FROM q
+    """,
+    doc="Shannon entropy (nats) + normalized efficiency of the corpus "
+    "token distribution (llm.textan.token_entropy): H = ln N - "
+    "(Sum f ln f)/N, the whole-distribution uncertainty completing "
+    "the lexical quadripod (zipf_slope_tokens curve shape, "
+    "good_turing_tokens unseen tail, yule_k/simpson_d repeat rate) - "
+    "the unigram cross-entropy floor an LM/tokenizer sanity-checks "
+    "against; efficiency = H/ln V near 1 = uniform vocabulary use. "
+    "Per-term ln floor-micro quantizes immediately so the moment sum "
+    "is exact DECIMAL/HUGEINT and order-free; one flooring division "
+    "each; one map-side-combinable aggregation over the wordcount "
+    "grain.",
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import token_entropy as _te
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = toks.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+    return _te(tf, "w", "n")
+
+
+@register(
     "krippendorff_langid",
     oracle=f"""
     WITH {_LANGID_PRED_CTES},

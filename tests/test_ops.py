@@ -6179,6 +6179,137 @@ def test_yule_k_hand_values(spark):
     assert yule_k(hapax, "w", "n").collect()[0]["yule_k_e3"] == 0
 
 
+def test_youden_j_matches_literal_enumeration(spark):
+    """youden_j vs literal threshold enumeration (exact floored
+    TPR/FPR micros, min-threshold tie-break), the perfect-separation
+    J = 1 case, and the one-class / empty NULL contracts."""
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import youden_j
+
+    rng = random.Random(23)
+    rows = [
+        (rng.choice([1.0, 2.0, 3.5, 4.0, 7.25, 9.5]), rng.random() < 0.4)
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    r = youden_j(df, "s", F.col("y")).collect()[0]
+    n = len(rows)
+    p = sum(1 for _, y in rows if y)
+    best = None
+    best_v = None
+    for v in sorted({s for s, _ in rows}):
+        tp = sum(1 for s, y in rows if s >= v and y)
+        fp = sum(1 for s, y in rows if s >= v and not y)
+        jv = tp * 1_000_000 // p - fp * 1_000_000 // (n - p)
+        if best is None or jv > best:
+            best, best_v = jv, v
+    assert (r["n"], r["n_pos"]) == (n, p)
+    assert r["j_e6"] == best and r["threshold"] == best_v
+    # perfect separation: J = 1 exactly at the positive class's min
+    perf = spark.createDataFrame(
+        [(5.0, True)] * 4 + [(1.0, False)] * 6, "s double, y boolean"
+    )
+    pr = youden_j(perf, "s", F.col("y")).collect()[0]
+    assert pr["j_e6"] == 1_000_000 and pr["threshold"] == 5.0
+    # one class only -> NULL J and threshold, counts still real
+    onec = spark.createDataFrame(
+        [(1.0, True), (2.0, True)], "s double, y boolean"
+    )
+    oc = youden_j(onec, "s", F.col("y")).collect()[0]
+    assert (oc["n"], oc["n_pos"], oc["j_e6"], oc["threshold"]) == (
+        2, 2, None, None,
+    )
+    empty = spark.createDataFrame(
+        [(None, True), (1.0, None)], "s double, y boolean"
+    )
+    er = youden_j(empty, "s", F.col("y")).collect()[0]
+    assert (er["n"], er["n_pos"], er["j_e6"], er["threshold"]) == (
+        0, 0, None, None,
+    )
+
+
+def test_run_rules_matches_sequential_replay(spark):
+    """run_rules vs a literal Python replay of the gaps-and-islands
+    semantics (side of the flooring pooled center, consecutive-run
+    lengths, rule-2 flags) on a series engineered to contain an
+    above-center run of exactly 9, a broken run, and center-line
+    points (side 0 — run breakers, never flagged)."""
+    from hadoop_fcfs_spark.ops.stats import run_rules
+
+    # n=4 per day, 20 days, Σx = 40 → pooled center EXACTLY 500000:
+    # 3/4 days sit above (+1), 1/4 below (−1), 2/4 ON center (side 0)
+    xs = [3] * 9 + [1, 2, 1, 1, 1, 1, 1, 2, 1, 1, 1]
+    rows = [
+        ("d%03d" % i, j < x) for i, x in enumerate(xs) for j in range(4)
+    ]
+    df = spark.createDataFrame(rows, "g string, bad boolean")
+    got = {
+        r["grain"]: r
+        for r in run_rules(df, "g", F.col("bad"), min_run=9).collect()
+    }
+    tn, tx = 4 * len(xs), sum(xs)
+    pbar = tx * 1_000_000 // tn
+    sides = []
+    for x in xs:
+        rate = x * 1_000_000 // 4
+        sides.append(0 if rate == pbar else (1 if rate > pbar else -1))
+    # literal island replay
+    runs = []
+    i = 0
+    while i < len(sides):
+        j = i
+        while j < len(sides) and sides[j] == sides[i]:
+            j += 1
+        runs.append((i, j, sides[i]))
+        i = j
+    for (a, b, side) in runs:
+        for k in range(a, b):
+            g = "d%03d" % k
+            assert got[g]["side"] == side, g
+            assert got[g]["run_len"] == b - a, g
+            assert got[g]["rule2"] == (side != 0 and b - a >= 9), g
+    # the engineered 9-run is flagged, the 2/4 days are side-0 breakers
+    assert got["d000"]["rule2"] and got["d008"]["rule2"]
+    assert not got["d009"]["rule2"]
+    assert got["d010"]["side"] == 0 and not got["d010"]["rule2"]
+    assert got["d016"]["side"] == 0 and not got["d016"]["rule2"]
+    with pytest.raises(ValueError):
+        run_rules(df, "g", F.col("bad"), min_run=1)
+
+
+def test_token_entropy_hand_values(spark):
+    """H = ln N − (Σ f·ln f)/N with floor-micro per-term logs against
+    an independent Python replay; the uniform ceiling (every term
+    equal count → efficiency exactly 1e6); the single-type floor
+    (H = 0, efficiency NULL)."""
+    import math
+
+    from hadoop_fcfs_spark.llm.textan import token_entropy
+
+    tf = spark.createDataFrame(
+        [("a", 40), ("b", 20), ("c", 3), ("d", 1)], "w string, n long"
+    )
+    r = token_entropy(tf, "w", "n").collect()[0]
+    n = 64
+    sfl = sum(f * math.floor(math.log(f) * 1e6) for f in (40, 20, 3, 1))
+    h = math.floor(math.log(n) * 1e6) - sfl // n
+    eff = h * 1_000_000 // math.floor(math.log(4) * 1e6)
+    assert (r["vocab_size"], r["n_tokens"]) == (4, n)
+    assert r["entropy_e6"] == h and r["efficiency_e6"] == eff
+    uniform = spark.createDataFrame(
+        [("w%d" % i, 8) for i in range(16)], "w string, n long"
+    )
+    u = token_entropy(uniform, "w", "n").collect()[0]
+    # ln(128) - ln(8) = ln(16): quantization of both sides cancels to
+    # within 1 micro; efficiency is exactly 1e6 minus at most 2 micros
+    assert abs(u["entropy_e6"] - math.log(16) * 1e6) <= 2
+    assert 999_998 <= u["efficiency_e6"] <= 1_000_000
+    single = spark.createDataFrame([("a", 9)], "w string, n long")
+    s = token_entropy(single, "w", "n").collect()[0]
+    assert s["entropy_e6"] == 0 and s["efficiency_e6"] is None
+
+
 def test_simpson_diversity_hand_values(spark):
     """D = Sum f(f-1) / (N(N-1)) against a hand frequency table, the
     all-hapax floor (D = 0), the N <= 1 NULL contract, and the

@@ -1565,12 +1565,43 @@ def test_ewma_chart_grain_band_broadcast(spark):
     release_waypoints()
 
 
+def test_youden_j_one_range_pass_broadcast_max(spark):
+    """youden_j_orderstatus (r10): the roc/pr substrate — ONE distinct
+    range exchange (the exclusive prefix over the distinct-score
+    grain); totals and the scalar max join back as broadcast 1-row
+    crosses, never a shuffled self-join."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()
+    plan = _plan(Q["youden_j_orderstatus"].spark_fn(spark, SF_ORACLE))
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals/max crosses
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    release_waypoints()
+
+
+def test_run_rules_grain_islands_only(spark):
+    """run_rules_daily_returns (r10): day grain map-side combined, ONE
+    distinct range exchange (the global row-number prefix), the
+    per-side/island windows ride GRAIN-row hash exchanges (days, never
+    events); no shuffled or cartesian join."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()
+    plan = _plan(Q["run_rules_daily_returns"].spark_fn(spark, SF_ORACLE))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    release_waypoints()
+
+
 def test_lexical_scalars_single_agg_no_join(spark):
-    """simpson_d_tokens / herdan_c_tokens (r10): like yule_k_tokens,
-    each is ONE map-side-combinable aggregation over the wordcount
-    grain collapsing to a 1-row scalar — no join operator of any kind
-    may appear in the plan."""
-    for name in ("simpson_d_tokens", "herdan_c_tokens"):
+    """simpson_d_tokens / herdan_c_tokens / token_entropy (r10): like
+    yule_k_tokens, each is ONE map-side-combinable aggregation over the
+    wordcount grain collapsing to a 1-row scalar — no join operator of
+    any kind may appear in the plan."""
+    for name in ("simpson_d_tokens", "herdan_c_tokens", "token_entropy"):
         plan = _plan(Q[name].spark_fn(spark, SF_ORACLE))
         assert "partial_sum" in plan, name
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
