@@ -55,6 +55,8 @@ _MAGIC = {
     b"RIFF": "wav",
     b"ID3": "mp3",
     b"\x1a\x45\xdf\xa3": "webm",
+    b"II*\x00": "tiff",
+    b"MM\x00*": "tiff",
 }
 
 
@@ -840,6 +842,230 @@ def gif_frame_audit(
     return df.select(id_col, binary_col).mapInPandas(audit, schema=out_schema)
 
 
+def _webp_structure(blob: bytes) -> dict:
+    """Header-only walk of a WebP (RIFF) container — the
+    :func:`_gif_structure` sibling for the other mainstream animation
+    format (public spec: RFC 9649 / VP8 RFC 6386 §9.1 / VP8L header).
+    Compressed payloads are SKIPPED via chunk sizes; dims come from
+    the VP8 keyframe header (14-bit fields), the VP8L 28-bit packed
+    dims, or the VP8X canvas; ANMF frames are counted with their
+    24-bit durations and ANIM carries the loop count. Returns
+    ``{variant, width, height, n_frames, total_duration_ms,
+    loop_count, has_alpha}``; raises ValueError on non-WebP or
+    malformed/truncated streams."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    variant = None
+    width = height = None
+    n_frames = 0
+    total_ms = 0
+    loop_count = None
+    has_alpha = False
+    while pos + 8 <= len(blob):
+        fourcc = blob[pos : pos + 4]
+        size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if body + size > len(blob):
+            raise ValueError("truncated WebP chunk")
+        if fourcc == b"VP8 " and variant is None:
+            # keyframe: 3-byte frame tag, 3-byte start code, 14-bit dims
+            if size < 10:
+                raise ValueError("truncated VP8 bitstream header")
+            if blob[body + 3 : body + 6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 keyframe start code")
+            variant = "lossy"
+            width = int.from_bytes(blob[body + 6 : body + 8], "little") & 0x3FFF
+            height = int.from_bytes(blob[body + 8 : body + 10], "little") & 0x3FFF
+        elif fourcc == b"VP8L" and variant is None:
+            if size < 5 or blob[body] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            bits = int.from_bytes(blob[body + 1 : body + 5], "little")
+            variant = "lossless"
+            width = (bits & 0x3FFF) + 1
+            height = ((bits >> 14) & 0x3FFF) + 1
+            has_alpha = has_alpha or bool((bits >> 28) & 1)
+        elif fourcc == b"VP8X":
+            if size < 10:
+                raise ValueError("truncated VP8X header")
+            variant = "extended"
+            flags = blob[body]
+            has_alpha = has_alpha or bool(flags & 0x10)
+            width = int.from_bytes(blob[body + 4 : body + 7], "little") + 1
+            height = int.from_bytes(blob[body + 7 : body + 10], "little") + 1
+        elif fourcc == b"ANIM":
+            if size < 6:
+                raise ValueError("truncated ANIM chunk")
+            loop_count = int.from_bytes(blob[body + 4 : body + 6], "little")
+        elif fourcc == b"ANMF":
+            if size < 16:
+                raise ValueError("truncated ANMF header")
+            n_frames += 1
+            total_ms += int.from_bytes(blob[body + 12 : body + 15], "little")
+        elif fourcc == b"ALPH":
+            has_alpha = True
+        pos = body + size + (size & 1)  # chunks pad to even
+    if variant is None:
+        raise ValueError("WebP with no image chunk")
+    if n_frames == 0:
+        n_frames = 1
+    return {
+        "variant": variant,
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "total_duration_ms": total_ms,
+        "loop_count": loop_count,
+        "has_alpha": has_alpha,
+    }
+
+
+def _tiff_structure(blob: bytes, max_pages: int = 65_535) -> dict:
+    """Header-only walk of a TIFF container (public spec: TIFF 6.0):
+    endianness from the II/MM magic, the IFD chain counted for
+    ``n_pages`` (cycle-guarded — a hostile next-IFD loop raises
+    instead of spinning), and ImageWidth(256) / ImageLength(257) /
+    Compression(259) read from the FIRST IFD's inline SHORT/LONG
+    values. Strip/tile data is never touched. Returns ``{byte_order,
+    width, height, n_pages, compression}``; raises ValueError on
+    non-TIFF or malformed streams."""
+    if len(blob) < 8:
+        raise ValueError("not a TIFF payload")
+    if blob[:2] == b"II":
+        bo = "little"
+    elif blob[:2] == b"MM":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF payload")
+    if int.from_bytes(blob[2:4], bo) != 42:
+        raise ValueError("bad TIFF version")
+
+    def read(off, n):
+        if off + n > len(blob):
+            raise ValueError("truncated TIFF")
+        return int.from_bytes(blob[off : off + n], bo)
+
+    width = height = compression = None
+    n_pages = 0
+    seen = set()
+    off = read(4, 4)
+    while off:
+        if off in seen or len(seen) >= max_pages:
+            raise ValueError("cyclic or oversized TIFF IFD chain")
+        seen.add(off)
+        n_entries = read(off, 2)
+        first = n_pages == 0
+        for i in range(n_entries):
+            e = off + 2 + 12 * i
+            tag = read(e, 2)
+            typ = read(e + 2, 2)
+            cnt = read(e + 4, 4)
+            if not first or cnt != 1 or tag not in (256, 257, 259):
+                continue
+            if typ == 3:  # SHORT, inline
+                val = read(e + 8, 2)
+            elif typ == 4:  # LONG, inline
+                val = read(e + 8, 4)
+            else:
+                continue
+            if tag == 256:
+                width = val
+            elif tag == 257:
+                height = val
+            else:
+                compression = val
+        n_pages += 1
+        off = read(off + 2 + 12 * n_entries, 4)
+    if n_pages == 0:
+        raise ValueError("TIFF with no IFD")
+    return {
+        "byte_order": blob[:2].decode("ascii"),
+        "width": width,
+        "height": height,
+        "n_pages": n_pages,
+        "compression": compression,
+    }
+
+
+def webp_audit(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = True,
+) -> DataFrame:
+    """WebP sibling of :func:`gif_frame_audit`: per-blob (variant,
+    width, height, n_frames, total_duration_ms, loop_count, has_alpha)
+    from the container structure only — compressed VP8/VP8L payloads
+    are skipped via chunk sizes, so the audit is O(bytes) with zero
+    decode CPU (this container has NO WebP pixel decoder — the audit
+    is exactly the honest boundary: everything the headers declare,
+    nothing the bitstream hides). Non-WebP/malformed blobs quarantine
+    to NULL rows under fake=True, raise under fake=False. Pytest-locked
+    (binary walk, not SQL-expressible) against hand-built
+    lossy/lossless/extended/animated fixtures + a mutation fuzz."""
+    out_schema = (
+        f"{id_col} long, variant string, width int, height int, "
+        "n_frames int, total_duration_ms long, loop_count int, "
+        "has_alpha boolean"
+    )
+    cols = [
+        id_col, "variant", "width", "height",
+        "n_frames", "total_duration_ms", "loop_count", "has_alpha",
+    ]
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    s = _webp_structure(bytes(blob))
+                except ValueError:
+                    if not fake:
+                        raise
+                    rows.append({c: None for c in cols} | {id_col: mid})
+                    continue
+                rows.append({id_col: mid} | s)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, binary_col).mapInPandas(audit, schema=out_schema)
+
+
+def tiff_audit(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = True,
+) -> DataFrame:
+    """TIFF sibling of :func:`gif_frame_audit`: per-blob (byte_order,
+    width, height, n_pages, compression) from the IFD chain only —
+    strip/tile data never touched, hostile cyclic IFD chains raise
+    instead of spinning. Same quarantine contract (NULL rows under
+    fake=True, raise under fake=False); pytest-locked against
+    hand-built II/MM single- and multi-page fixtures + a mutation
+    fuzz."""
+    out_schema = (
+        f"{id_col} long, byte_order string, width int, height int, "
+        "n_pages int, compression int"
+    )
+    cols = [id_col, "byte_order", "width", "height", "n_pages", "compression"]
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    s = _tiff_structure(bytes(blob))
+                except ValueError:
+                    if not fake:
+                        raise
+                    rows.append({c: None for c in cols} | {id_col: mid})
+                    continue
+                rows.append({id_col: mid} | s)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, binary_col).mapInPandas(audit, schema=out_schema)
+
+
 _PIL_IMAGE = False  # False = not probed yet; None = probed, absent
 
 
@@ -934,6 +1160,13 @@ def attach_media_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
         fmt = F.when(F.hex(F.substring(b, 1, len(magic))) == hexpref.upper(), F.lit(name)).otherwise(
             fmt
         )
+    # RIFF is a container family: 'WEBP' at offset 8 refines it (plain
+    # RIFF stays 'wav' — the oracled pseudo-decode gates depend on it)
+    fmt = F.when(
+        (F.hex(F.substring(b, 1, 4)) == b"RIFF".hex().upper())
+        & (F.hex(F.substring(b, 9, 4)) == b"WEBP".hex().upper()),
+        F.lit("webp"),
+    ).otherwise(fmt)
     return df.withColumn(
         "media_meta",
         F.struct(

@@ -2363,6 +2363,203 @@ def test_gif_frame_audit_header_walk(spark):
             pass
 
 
+def _webp_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    return fourcc + len(payload).to_bytes(4, "little") + payload + (
+        b"\x00" if len(payload) & 1 else b""
+    )
+
+
+def _webp_container(*chunks: bytes) -> bytes:
+    body = b"WEBP" + b"".join(chunks)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_webp_audit_header_walk(spark):
+    """webp_audit (r10, pytest-locked — binary container walk): hand
+    fixtures for all three variants. Lossy VP8 dims come from the
+    14-bit keyframe fields, lossless VP8L from the 28-bit packed
+    header (alpha bit honored), extended VP8X from the 24-bit canvas
+    with ANIM loop count and per-ANMF 24-bit durations summed.
+    Non-WebP (incl. plain RIFF/WAV) and truncated chunks quarantine
+    under fake=True, raise under fake=False."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import _webp_structure, webp_audit
+
+    lossy = _webp_container(_webp_chunk(
+        b"VP8 ",
+        b"\x30\x00\x00" + b"\x9d\x01\x2a"
+        + (160).to_bytes(2, "little") + (90).to_bytes(2, "little")
+        + b"\x00" * 8,
+    ))
+    s = _webp_structure(lossy)
+    assert s == {"variant": "lossy", "width": 160, "height": 90,
+                 "n_frames": 1, "total_duration_ms": 0,
+                 "loop_count": None, "has_alpha": False}
+
+    bits = (33 - 1) | ((17 - 1) << 14) | (1 << 28)
+    lossless = _webp_container(_webp_chunk(
+        b"VP8L", b"\x2f" + bits.to_bytes(4, "little") + b"\x00" * 5
+    ))
+    s = _webp_structure(lossless)
+    assert (s["variant"], s["width"], s["height"], s["has_alpha"]) == (
+        "lossless", 33, 17, True,
+    )
+
+    def anmf(dur_ms: int) -> bytes:
+        return _webp_chunk(
+            b"ANMF",
+            b"\x00" * 12 + dur_ms.to_bytes(3, "little") + b"\x00"
+            + b"\x00" * 6,
+        )
+
+    anim = _webp_container(
+        _webp_chunk(
+            b"VP8X",
+            bytes([0x12]) + b"\x00" * 3
+            + (320 - 1).to_bytes(3, "little") + (240 - 1).to_bytes(3, "little"),
+        ),
+        _webp_chunk(b"ANIM", b"\x00" * 4 + (3).to_bytes(2, "little")),
+        anmf(100), anmf(250),
+    )
+    s = _webp_structure(anim)
+    assert s == {"variant": "extended", "width": 320, "height": 240,
+                 "n_frames": 2, "total_duration_ms": 350,
+                 "loop_count": 3, "has_alpha": True}
+
+    df = spark.createDataFrame(
+        [(1, bytearray(anim)), (2, bytearray(lossy)),
+         (3, bytearray(b"RIFF" + b"\x08\x00\x00\x00" + b"WAVEfmt ")),
+         (4, bytearray(anim[:20]))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in webp_audit(df).collect()}
+    assert rows[1]["n_frames"] == 2 and rows[1]["total_duration_ms"] == 350
+    assert rows[2]["variant"] == "lossy" and rows[2]["width"] == 160
+    assert rows[3]["variant"] is None  # WAV is not WebP
+    assert rows[4]["variant"] is None  # truncated chunk
+    with _pytest.raises(Exception, match="not a WebP|truncated"):
+        webp_audit(df, fake=False).collect()
+
+    # contract fuzz: dict or ValueError, never IndexError
+    import random
+
+    rng = random.Random(7)
+    for _ in range(1200):
+        b = bytearray(anim)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:
+            b = b[: rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes(
+                rng.randrange(256) for _ in range(rng.randint(1, 8))
+            ) + b[i:]
+        try:
+            _webp_structure(bytes(b))
+        except ValueError:
+            pass
+
+
+def _tiff_ifd(bo: str, entries: list[tuple[int, int]], next_off: int) -> bytes:
+    out = len(entries).to_bytes(2, bo)
+    for tag, val in entries:
+        # SHORT(3), count 1, value left-justified in the 4-byte field
+        out += tag.to_bytes(2, bo) + (3).to_bytes(2, bo)
+        out += (1).to_bytes(4, bo) + val.to_bytes(2, bo) + b"\x00\x00"
+    return out + next_off.to_bytes(4, bo)
+
+
+def test_tiff_audit_ifd_walk(spark):
+    """tiff_audit (r10, pytest-locked): II and MM fixtures (inline
+    SHORT values are LEFT-justified in the value field — the
+    endianness trap the MM case pins), multi-page IFD chains counted,
+    a CYCLIC next-IFD chain raises instead of spinning, and non-TIFF
+    quarantines under fake=True / raises under fake=False."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import _tiff_structure, tiff_audit
+
+    ii = (b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
+          + _tiff_ifd("little", [(256, 640), (257, 480), (259, 1)], 0))
+    s = _tiff_structure(ii)
+    assert s == {"byte_order": "II", "width": 640, "height": 480,
+                 "n_pages": 1, "compression": 1}
+
+    ifd1 = _tiff_ifd("big", [(256, 64), (257, 32), (259, 5)], 0)
+    ifd0_len = 2 + 3 * 12 + 4
+    mm = (b"MM" + (42).to_bytes(2, "big") + (8).to_bytes(4, "big")
+          + _tiff_ifd("big", [(256, 800), (257, 600), (259, 1)],
+                      8 + ifd0_len)
+          + ifd1)
+    s = _tiff_structure(mm)
+    assert s == {"byte_order": "MM", "width": 800, "height": 600,
+                 "n_pages": 2, "compression": 1}  # dims from FIRST IFD
+
+    cyclic = (b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
+              + _tiff_ifd("little", [(256, 1)], 8))  # next IFD -> itself
+    with _pytest.raises(ValueError, match="cyclic"):
+        _tiff_structure(cyclic)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(ii)), (2, bytearray(mm)),
+         (3, bytearray(b"BM" + b"\x00" * 30)), (4, bytearray(cyclic))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in tiff_audit(df).collect()}
+    assert (rows[1]["width"], rows[1]["n_pages"]) == (640, 1)
+    assert (rows[2]["byte_order"], rows[2]["n_pages"]) == ("MM", 2)
+    assert rows[3]["byte_order"] is None
+    assert rows[4]["byte_order"] is None  # cyclic chain quarantined
+    with _pytest.raises(Exception, match="TIFF"):
+        tiff_audit(df, fake=False).collect()
+
+    # contract fuzz
+    import random
+
+    rng = random.Random(11)
+    for _ in range(1200):
+        b = bytearray(mm)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:
+            b = b[: rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes(
+                rng.randrange(256) for _ in range(rng.randint(1, 8))
+            ) + b[i:]
+        try:
+            _tiff_structure(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_media_meta_sniffs_webp_and_tiff(spark):
+    """attach_media_meta: 'WEBP' at offset 8 refines the RIFF family to
+    'webp' while plain RIFF stays 'wav' (the oracled pseudo-decode
+    gates depend on that), and the II*/MM* magics sniff 'tiff'."""
+    from hadoop_fcfs_spark.llm.multimodal import attach_media_meta
+
+    webp = _webp_container(_webp_chunk(b"VP8L", b"\x2f" + b"\x00" * 4))
+    tiff = b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
+    df = spark.createDataFrame(
+        [(1, bytearray(webp)), (2, bytearray(b"RIFF1234WAVEfmt ")),
+         (3, bytearray(tiff)), (4, bytearray(b"MM\x00*" + b"\x00" * 8))],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: r["media_meta"]["format"]
+        for r in attach_media_meta(df).collect()
+    }
+    assert got == {1: "webp", 2: "wav", 3: "tiff", 4: "tiff"}
+
+
 def test_gif_animation_disposal_hand_chain():
     """Hand 3-frame chain pinning each disposal mode: frame 1 paints a
     2x2 patch (restore-background wipes it), frame 2 paints with
