@@ -1032,3 +1032,90 @@ def test_jpeg_q100_roundtrip_property(data):
     gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
     gdec = decode_jpeg(encode_jpeg(gray, quality=100))
     assert np.abs(gdec[:, :, 0].astype(int) - gray.astype(int)).max() <= 1
+
+
+@given(
+    st.lists(st.integers(1, 500), min_size=1, max_size=25),
+)
+@settings(max_examples=8, deadline=None)
+def test_lexical_scalars_match_python_replay_property(spark, counts):
+    """The four lexical scalars (yule_k, simpson_diversity, herdan_c,
+    token_entropy) vs independent Python replays of their exact
+    integer formulas on arbitrary frequency tables, plus the analytic
+    range bounds: D ∈ [0, 1e9], C ∈ [0, 1e6], H ∈ [0, ⌊ln V·1e6⌋+1],
+    efficiency ∈ [0, 1e6]."""
+    import math
+
+    from hadoop_fcfs_spark.llm.textan import (
+        herdan_c,
+        simpson_diversity,
+        token_entropy,
+        yule_k,
+    )
+
+    tf = spark.createDataFrame(
+        [("w%d" % i, c) for i, c in enumerate(counts)], "w string, n long"
+    )
+    v = len(counts)
+    n = sum(counts)
+    k = yule_k(tf, "w", "n").collect()[0]
+    d = simpson_diversity(tf, "w", "n").collect()[0]
+    c = herdan_c(tf, "w", "n").collect()[0]
+    h = token_entropy(tf, "w", "n").collect()[0]
+    for r in (k, d, c, h):
+        assert (r["vocab_size"], r["n_tokens"]) == (v, n)
+    s2 = sum(f * f for f in counts)
+    assert k["yule_k_e3"] == (s2 - n) * 10_000_000 // (n * n)
+    if n > 1:
+        want_d = sum(f * (f - 1) for f in counts) * 1_000_000_000 // (
+            n * (n - 1)
+        )
+        assert d["simpson_d_e9"] == want_d and 0 <= want_d <= 1_000_000_000
+        want_c = math.floor(math.log(v) * 1e6) * 1_000_000 // math.floor(
+            math.log(n) * 1e6
+        )
+        assert c["herdan_c_e6"] == want_c and 0 <= want_c <= 1_000_000
+    else:
+        assert d["simpson_d_e9"] is None and c["herdan_c_e6"] is None
+    sfl = sum(f * math.floor(math.log(f) * 1e6) for f in counts)
+    want_h = math.floor(math.log(n) * 1e6) - sfl // n
+    assert h["entropy_e6"] == want_h
+    assert 0 <= want_h <= math.floor(math.log(v) * 1e6) + 1
+    if v > 1:
+        want_eff = want_h * 1_000_000 // math.floor(math.log(v) * 1e6)
+        assert h["efficiency_e6"] == want_eff
+        assert 0 <= want_eff <= 1_000_001  # +1 micro from H's ceiling slack
+    else:
+        assert h["efficiency_e6"] is None
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.booleans()), min_size=1, max_size=80
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_youden_j_property_matches_enumeration(spark, pairs):
+    """youden_j == literal threshold enumeration (floored micro
+    TPR/FPR, min-threshold tie-break) for arbitrary score/label
+    multisets, J ∈ [−1e6, 1e6], and the one-class NULL contract."""
+    from hadoop_fcfs_spark.ops.stats import youden_j
+
+    rows = [(float(s), y) for s, y in pairs]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    r = youden_j(df, "s", F.col("y")).collect()[0]
+    n = len(rows)
+    p = sum(1 for _, y in rows if y)
+    assert (r["n"], r["n_pos"]) == (n, p)
+    if p == 0 or p == n:
+        assert r["j_e6"] is None and r["threshold"] is None
+        return
+    best, best_v = None, None
+    for v in sorted({s for s, _ in rows}):
+        tp = sum(1 for s, y in rows if s >= v and y)
+        fp = sum(1 for s, y in rows if s >= v and not y)
+        jv = tp * 1_000_000 // p - fp * 1_000_000 // (n - p)
+        if best is None or jv > best:
+            best, best_v = jv, v
+    assert r["j_e6"] == best and r["threshold"] == best_v
+    assert -1_000_000 <= best <= 1_000_000
