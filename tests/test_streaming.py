@@ -52,6 +52,33 @@ def test_streaming_tumbling_equals_batch(spark, events_dir):
     assert got == expected
 
 
+def test_streaming_sliding_equals_batch(spark, events_dir):
+    """Sliding windows (2h/1h — each event in two windows) under the
+    live engine equal the batch twin exactly: the one window family
+    that had no live bridge yet (tumbling/session/interval-join were
+    bridged r1–r9)."""
+    from hadoop_fcfs_spark.streaming.windows import sliding_agg
+
+    batch = t(spark, SF_SMOKE, "events")
+    expected = {
+        r["win_start"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in sliding_agg(batch, "ts", "2 hours", "1 hour").collect()
+    }
+    stream = stream_from_dir(spark, events_dir, _events_schema(spark, events_dir))
+    agg = sliding_agg(
+        stream.withWatermark("ts", "1 hour"), "ts", "2 hours", "1 hour"
+    )
+    q = run_to_memory(agg, "sliding_out", output_mode="complete")
+    try:
+        got = {
+            r["win_start"]: (r["n_events"], round(r["sum_value"], 6))
+            for r in spark.sql("SELECT * FROM sliding_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+
 def test_streaming_session_window_equals_batch(spark, events_dir):
     batch = t(spark, SF_SMOKE, "events")
     expected = sorted(
