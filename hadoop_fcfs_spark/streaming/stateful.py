@@ -110,6 +110,74 @@ def stream_debounce(
     )
 
 
+def stream_ewma_monitor(
+    stream_df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    rate_col: str,
+    center_e6: int,
+    h_e6: int = 100_000,
+):
+    """Live EWMA control monitor (λ = 1/2): per-key state carries
+    (last grid index, Z); each arriving grain row advances Z by the
+    textbook recursion Z ← (r + Z)/2, with GAP days first decaying Z
+    toward the center one step per missing index — the same
+    silent-days-shrink-history semantics as the batch chart
+    (``ops.stats.ewma_chart``). The center is a PARAMETER (classic
+    SPC: fixed from a reference period), where the batch chart pools
+    it from the audited window — so on an in-order day-grain replay
+    fed the batch pooled rate, the live Z tracks the batch ``ewma_e6``
+    within the kernel-truncation bound 1e6·2^−window + 1 (the batch
+    side cuts the kernel at ``window`` steps and assigns the tail to
+    center; the recursion carries full history). The bridge test pins
+    exactly that bound.
+
+    State is (long, double) per key — fixed width. Input rows must be
+    the GRAIN (one row per key per index, e.g. day → micro-rate), in
+    per-key index order across micro-batches; rows are sorted by index
+    within each batch. Emits (key, idx, ewma_e6 double, alarm_up,
+    alarm_dn); write with outputMode('append')."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        last, z = state.get if state.exists else (None, float(center_e6))
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(i), float(r))
+                for i, r in zip(pdf[idx_col], pdf[rate_col])
+            )
+        out_idx, out_z = [], []
+        for i, r in sorted(rows):
+            if last is not None:
+                for _ in range(max(0, i - last - 1)):
+                    z = (float(center_e6) + z) / 2  # gap day
+            z = (r + z) / 2
+            last = i
+            out_idx.append(i)
+            out_z.append(z)
+        if rows:
+            state.update((last, z))
+        if out_idx:
+            yield pd.DataFrame({
+                key_col: key[0],
+                idx_col: out_idx,
+                "ewma_e6": out_z,
+                "alarm_up": [v > center_e6 + h_e6 for v in out_z],
+                "alarm_dn": [v < center_e6 - h_e6 for v in out_z],
+            })
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} string, {idx_col} long, ewma_e6 double, "
+            "alarm_up boolean, alarm_dn boolean"
+        ),
+        stateStructType="last_idx long, z double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_inactivity_sessions(
     stream_df: DataFrame,
     key_col: str,

@@ -944,6 +944,87 @@ def test_stream_debounce_state_spans_microbatches(spark, tmp_path):
     assert ("k", 1_000_180_000) not in got
 
 
+def test_stream_ewma_monitor_tracks_batch_chart(spark, tmp_path):
+    """stream_ewma_monitor bridge (r10, fourth live bridge): on an
+    in-order day-grain replay fed the batch pooled center, the live
+    recursion Z ← (r + Z)/2 (gaps decaying toward center) must track
+    ewma_chart's closed-form ewma_e6 within the kernel-truncation
+    bound 1e6·2^−20 + 1 on EVERY day — across a micro-batch split
+    placed mid-series, so the (last_idx, Z) state is load-bearing.
+    Alarm verdicts must agree wherever |Z − chart| clears the band
+    edge by the bound."""
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import ewma_chart
+    from hadoop_fcfs_spark.streaming.stateful import stream_ewma_monitor
+
+    rng = random.Random(31)
+    days = sorted(rng.sample(range(200, 280), 50))
+    raw = []
+    for d in days:
+        n = rng.randint(8, 30)
+        x = rng.randint(0, n)
+        raw += [(d, i < x) for i in range(n)]
+    batch = spark.createDataFrame(raw, "d int, bad boolean")
+    W, H = 20, 60_000
+    chart = {
+        r["n_idx"]: r
+        for r in ewma_chart(
+            batch, "d", F.col("bad"), idx_alias="n_idx", window=W, h_e6=H
+        ).collect()
+    }
+    per_day = {}
+    for d, bad in raw:
+        n, x = per_day.get(d, (0, 0))
+        per_day[d] = (n + 1, x + (1 if bad else 0))
+    tn = sum(n for n, _ in per_day.values())
+    tx = sum(x for _, x in per_day.values())
+    pbar = tx * 1_000_000 // tn
+
+    src = str(tmp_path / "ewma_src")
+    grain_rows = [
+        ("s", d, per_day[d][1] * 1_000_000 // per_day[d][0]) for d in days
+    ]
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "k string, d long, rate long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    split = len(grain_rows) // 2
+    write(grain_rows[:split])
+    stream = spark.readStream.schema("k string, d long, rate long").parquet(src)
+    mon = stream_ewma_monitor(stream, "k", "d", "rate", center_e6=pbar, h_e6=H)
+    q = (
+        mon.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_mon")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(grain_rows[split:])
+        q.processAllAvailable()
+        live = {
+            r["d"]: r for r in spark.sql("SELECT * FROM ewma_mon").collect()
+        }
+    finally:
+        q.stop()
+
+    bound = 1_000_000 / (1 << W) + 1
+    assert sorted(live) == days
+    for d in days:
+        z = live[d]["ewma_e6"]
+        e = chart[d]["ewma_e6"]
+        assert abs(z - e) <= bound, (d, z, e)
+        # alarm agreement wherever the chart value clears the band edge
+        # by more than the tracking bound
+        if abs(e - (pbar + H)) > bound:
+            assert live[d]["alarm_up"] == chart[d]["alarm_up"], d
+        if abs(e - (pbar - H)) > bound:
+            assert live[d]["alarm_dn"] == chart[d]["alarm_dn"], d
+
+
 def test_dedup_audit_engine_exact_variant(spark):
     """The engine-exact (first-anchored) audit: matches the ENGINE's
     verdicts on the discriminating chain where the refresh-anchored
