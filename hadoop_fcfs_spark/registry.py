@@ -59,6 +59,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # re-samples already-confirmed gates and new ones never get hard driver
 # evidence.
 #
+# The fold is automated: `python scripts/rotate_registry.py
+# CORRECTNESS_rN.json N` rewrites this table (refusing non-green rows);
+# a pytest keeps the script and the table format in lockstep. Update
+# the paragraph below by hand each round.
+#
 # State after round 9 (rebuilt for round 10): 354 registered gates,
 # CORRECTNESS_r09 50/50 green, driver-checked union r01-r09 = 354/354,
 # zero mismatches ever. _NEVER_SAMPLED stays empty, so the round-10
