@@ -987,6 +987,150 @@ def _tiff_structure(blob: bytes, max_pages: int = 65_535) -> dict:
     }
 
 
+def _mp4_structure(blob: bytes) -> dict:
+    """Header-only walk of an ISO-BMFF (MP4/MOV) container (public
+    spec: ISO/IEC 14496-12): the box tree is traversed with an explicit
+    stack — `ftyp` gives the major brand, `mvhd` the movie timescale +
+    duration (version 0 and 1 layouts), each `trak`'s `tkhd` the
+    16.16-fixed presentation dims and `hdlr` whether it is video
+    (`vide`) or audio (`soun`). Media data (`mdat`) and codec sample
+    payloads are never touched — this is the video-tier twin of the
+    GIF/WebP audits: the CONTAINER is fully readable even though the
+    codec bitstream stays behind the documented decode stub. Returns
+    ``{brand, timescale, duration_ms, n_tracks, has_video, has_audio,
+    width, height}``; raises ValueError on non-BMFF or malformed
+    streams."""
+    if len(blob) < 8:
+        raise ValueError("not an ISO-BMFF payload")
+    # first box must parse, and conventionally be ftyp for MP4 files
+    first_type = blob[4:8]
+    if first_type != b"ftyp" and first_type != b"moov":
+        raise ValueError("not an ISO-BMFF payload")
+    brand = None
+    timescale = None
+    duration_ms = None
+    n_tracks = 0
+    has_video = has_audio = False
+    width = height = None
+    containers = {b"moov", b"trak", b"mdia"}
+    # stack of (pos, end) ranges to scan for sibling boxes
+    stack = [(0, len(blob))]
+    hops = 0
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            hops += 1
+            if hops > 100_000:
+                raise ValueError("oversized ISO-BMFF box tree")
+            size = int.from_bytes(blob[pos : pos + 4], "big")
+            btype = blob[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > end:
+                    raise ValueError("truncated ISO-BMFF largesize")
+                size = int.from_bytes(blob[pos + 8 : pos + 16], "big")
+                body = pos + 16
+                if size < 16:
+                    raise ValueError("bad ISO-BMFF largesize")
+            elif size == 0:  # box extends to end of enclosing range
+                size = end - pos
+            elif size < 8:
+                raise ValueError("bad ISO-BMFF box size")
+            if pos + size > end:
+                raise ValueError("ISO-BMFF box overruns its parent")
+            if btype == b"ftyp" and brand is None:
+                if size < 16:
+                    raise ValueError("truncated ftyp")
+                brand = blob[body : body + 4].decode("latin-1")
+            elif btype == b"mvhd":
+                if body + 4 > end:
+                    raise ValueError("truncated mvhd")
+                ver = blob[body]
+                if ver == 1:
+                    if body + 32 > end:
+                        raise ValueError("truncated mvhd v1")
+                    timescale = int.from_bytes(blob[body + 20 : body + 24], "big")
+                    dur = int.from_bytes(blob[body + 24 : body + 32], "big")
+                else:
+                    if body + 20 > end:
+                        raise ValueError("truncated mvhd v0")
+                    timescale = int.from_bytes(blob[body + 12 : body + 16], "big")
+                    dur = int.from_bytes(blob[body + 16 : body + 20], "big")
+                if timescale:
+                    duration_ms = dur * 1000 // timescale
+            elif btype == b"tkhd" and width is None:
+                # dims are the LAST 8 bytes of the box: 16.16 fixed
+                if size >= 24:
+                    w = int.from_bytes(blob[pos + size - 8 : pos + size - 4], "big")
+                    h = int.from_bytes(blob[pos + size - 4 : pos + size], "big")
+                    if w and h:
+                        width, height = w >> 16, h >> 16
+            elif btype == b"hdlr":
+                if body + 12 <= end:
+                    handler = blob[body + 8 : body + 12]
+                    has_video = has_video or handler == b"vide"
+                    has_audio = has_audio or handler == b"soun"
+            elif btype == b"trak":
+                n_tracks += 1
+            if btype in containers:
+                stack.append((body, pos + size))
+            pos += size
+    if brand is None and timescale is None:
+        raise ValueError("ISO-BMFF with neither ftyp nor moov content")
+    return {
+        "brand": brand,
+        "timescale": timescale,
+        "duration_ms": duration_ms,
+        "n_tracks": n_tracks,
+        "has_video": has_video,
+        "has_audio": has_audio,
+        "width": width,
+        "height": height,
+    }
+
+
+def mp4_audit(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Video-tier sibling of :func:`gif_frame_audit`/:func:`webp_audit`:
+    per-blob (brand, timescale, duration_ms, n_tracks, has_video,
+    has_audio, width, height) from the ISO-BMFF box tree only — `mdat`
+    and codec payloads skipped, so "how long/what shape is this video"
+    QA costs one byte scan per blob while the actual H.264/AV1 decode
+    stays behind the documented codec stub (the container boundary the
+    100 TB corpus sweep needs is now real). NULL-row quarantine under
+    fake=True, raise under fake=False; pytest-locked against
+    hand-built box trees + a mutation fuzz."""
+    out_schema = (
+        f"{id_col} long, brand string, timescale long, duration_ms long, "
+        "n_tracks int, has_video boolean, has_audio boolean, "
+        "width int, height int"
+    )
+    cols = [
+        id_col, "brand", "timescale", "duration_ms", "n_tracks",
+        "has_video", "has_audio", "width", "height",
+    ]
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    s = _mp4_structure(bytes(blob))
+                except ValueError:
+                    if not fake:
+                        raise
+                    rows.append({c: None for c in cols} | {id_col: mid})
+                    continue
+                rows.append({id_col: mid} | s)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, binary_col).mapInPandas(audit, schema=out_schema)
+
+
 def webp_audit(
     df: DataFrame,
     binary_col: str = "payload",
@@ -1166,6 +1310,10 @@ def attach_media_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
         (F.hex(F.substring(b, 1, 4)) == b"RIFF".hex().upper())
         & (F.hex(F.substring(b, 9, 4)) == b"WEBP".hex().upper()),
         F.lit("webp"),
+    ).otherwise(fmt)
+    # ISO-BMFF's magic sits at offset 4 ('ftyp'), outside the prefix table
+    fmt = F.when(
+        F.hex(F.substring(b, 5, 4)) == b"ftyp".hex().upper(), F.lit("mp4")
     ).otherwise(fmt)
     return df.withColumn(
         "media_meta",

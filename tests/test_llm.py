@@ -2464,6 +2464,112 @@ def test_webp_audit_header_walk(spark):
             pass
 
 
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def test_mp4_audit_box_walk(spark):
+    """mp4_audit (r10, pytest-locked): hand-built ISO-BMFF box trees —
+    ftyp brand, mvhd v0 AND v1 timescale/duration, per-trak tkhd
+    16.16 dims + hdlr vide/soun classification, mdat payload skipped;
+    64-bit largesize honored; truncated/overrunning boxes and non-BMFF
+    quarantine under fake=True, raise under fake=False."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import _mp4_structure, mp4_audit
+
+    def tkhd(w, h):
+        return _box(
+            b"tkhd",
+            b"\x00" + b"\x00" * 3 + b"\x00" * 72
+            + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big"),
+        )
+
+    def hdlr(kind):
+        return _box(b"hdlr", b"\x00" * 4 + b"\x00" * 4 + kind + b"\x00" * 12)
+
+    def mvhd_v0(timescale, duration):
+        return _box(
+            b"mvhd",
+            b"\x00" + b"\x00" * 3 + b"\x00" * 8
+            + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+            + b"\x00" * 80,
+        )
+
+    def mvhd_v1(timescale, duration):
+        return _box(
+            b"mvhd",
+            b"\x01" + b"\x00" * 3 + b"\x00" * 16
+            + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big")
+            + b"\x00" * 80,
+        )
+
+    vtrak = _box(b"trak", tkhd(640, 360) + _box(b"mdia", hdlr(b"vide")))
+    atrak = _box(b"trak", tkhd(0, 0) + _box(b"mdia", hdlr(b"soun")))
+    mp4 = (
+        _box(b"ftyp", b"isom" + b"\x00\x00\x02\x00" + b"mp41")
+        + _box(b"moov", mvhd_v0(1000, 5500) + vtrak + atrak)
+        + _box(b"mdat", b"\xde\xad\xbe\xef" * 16)
+    )
+    s = _mp4_structure(mp4)
+    assert s == {"brand": "isom", "timescale": 1000, "duration_ms": 5500,
+                 "n_tracks": 2, "has_video": True, "has_audio": True,
+                 "width": 640, "height": 360}
+
+    v1 = (_box(b"ftyp", b"mp42" + b"\x00" * 8)
+          + _box(b"moov", mvhd_v1(90_000, 90_000 * 7 + 45_000) + atrak))
+    s = _mp4_structure(v1)
+    assert (s["brand"], s["timescale"], s["duration_ms"]) == (
+        "mp42", 90_000, 7500,
+    )
+    assert s["n_tracks"] == 1 and s["has_audio"] and not s["has_video"]
+    assert s["width"] is None  # zero-dim tkhd never sets presentation size
+
+    # 64-bit largesize box wrapping the same moov content
+    inner = mvhd_v0(600, 1200)
+    large = (b"\x00\x00\x00\x01" + b"moov"
+             + (16 + len(inner)).to_bytes(8, "big") + inner)
+    s = _mp4_structure(_box(b"ftyp", b"isom" + b"\x00" * 8) + large)
+    assert s["duration_ms"] == 2000
+
+    df = spark.createDataFrame(
+        [(1, bytearray(mp4)), (2, bytearray(v1)),
+         (3, bytearray(b"RIFF" + b"\x00" * 20)),
+         (4, bytearray(mp4[:30]))],  # truncated inside ftyp/moov
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in mp4_audit(df).collect()}
+    assert rows[1]["duration_ms"] == 5500 and rows[1]["has_video"]
+    assert (rows[1]["width"], rows[1]["height"]) == (640, 360)
+    assert rows[2]["brand"] == "mp42" and rows[2]["duration_ms"] == 7500
+    assert rows[3]["brand"] is None
+    assert rows[4]["brand"] is None
+    with _pytest.raises(Exception, match="ISO-BMFF|truncated|overruns"):
+        mp4_audit(df, fake=False).collect()
+
+    # contract fuzz: dict or ValueError, never IndexError/overflow
+    import random
+
+    rng = random.Random(13)
+    for _ in range(1500):
+        b = bytearray(mp4)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:
+            b = b[: rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes(
+                rng.randrange(256) for _ in range(rng.randint(1, 12))
+            ) + b[i:]
+        try:
+            _mp4_structure(bytes(b))
+        except ValueError:
+            pass
+
+
 def _tiff_ifd(bo: str, entries: list[tuple[int, int]], next_off: int) -> bytes:
     out = len(entries).to_bytes(2, bo)
     for tag, val in entries:
@@ -2558,6 +2664,12 @@ def test_media_meta_sniffs_webp_and_tiff(spark):
         for r in attach_media_meta(df).collect()
     }
     assert got == {1: "webp", 2: "wav", 3: "tiff", 4: "tiff"}
+    # ISO-BMFF: 'ftyp' at offset 4
+    mp4 = (20).to_bytes(4, "big") + b"ftyp" + b"isom" + b"\x00" * 8
+    df2 = spark.createDataFrame(
+        [(9, bytearray(mp4))], "media_id long, payload binary"
+    )
+    assert attach_media_meta(df2).collect()[0]["media_meta"]["format"] == "mp4"
 
 
 def test_gif_animation_disposal_hand_chain():
