@@ -1131,6 +1131,156 @@ def mp4_audit(
     return df.select(id_col, binary_col).mapInPandas(audit, schema=out_schema)
 
 
+def _ebml_vint(blob: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """Parse one EBML variable-length integer at ``pos`` → (value,
+    length). IDs keep the length-marker bit (the spec's raw-ID form);
+    sizes strip it. Raises ValueError on truncation or a zero lead
+    byte (reserved)."""
+    if pos >= len(blob):
+        raise ValueError("truncated EBML vint")
+    b0 = blob[pos]
+    if b0 == 0:
+        raise ValueError("bad EBML vint lead byte")
+    length = 9 - b0.bit_length()
+    if pos + length > len(blob):
+        raise ValueError("truncated EBML vint")
+    val = b0 if keep_marker else b0 & ((1 << (8 - length)) - 1)
+    for i in range(1, length):
+        val = (val << 8) | blob[pos + i]
+    return val, length
+
+
+def _mkv_structure(blob: bytes) -> dict:
+    """Header-only walk of a Matroska/WebM (EBML) container (public
+    specs: RFC 8794 EBML + the Matroska element registry): DocType
+    from the EBML header, then inside Segment the Info element's
+    TimecodeScale (default 1e6 ns) + float Duration, and each
+    TrackEntry's TrackType (1 = video, 2 = audio) with the Video
+    element's PixelWidth/PixelHeight. Cluster/Block payloads are
+    SKIPPED via their declared sizes — the webm decode stub keeps the
+    codec boundary, but the container is fully readable. Unknown-size
+    elements (live streams) extend to their parent's end, the spec
+    semantics. Returns ``{doctype, timescale_ns, duration_ms,
+    n_tracks, has_video, has_audio, width, height}``; raises
+    ValueError on non-EBML or malformed streams."""
+    import struct
+
+    if len(blob) < 4 or blob[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("not an EBML/Matroska payload")
+    doctype = None
+    timescale = 1_000_000
+    duration_ticks = None
+    n_tracks = 0
+    has_video = has_audio = False
+    width = height = None
+    CONTAINERS = {0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0, 0xE1}
+    stack = [(0, len(blob), 0)]  # (pos, end, depth marker unused)
+    hops = 0
+    while stack:
+        pos, end, _ = stack.pop()
+        while pos < end:
+            hops += 1
+            if hops > 100_000:
+                raise ValueError("oversized EBML tree")
+            eid, idlen = _ebml_vint(blob, pos, keep_marker=True)
+            size, szlen = _ebml_vint(blob, pos + idlen, keep_marker=False)
+            data = pos + idlen + szlen
+            if size == (1 << (7 * szlen)) - 1:  # unknown size
+                size = end - data
+            if data + size > end:
+                raise ValueError("EBML element overruns its parent")
+            body = blob[data : data + size]
+            if eid == 0x1A45DFA3:  # EBML header: scan for DocType
+                stack.append((data, data + size, 0))
+            elif eid == 0x4282:
+                doctype = body.split(b"\x00")[0].decode("latin-1")
+            elif eid == 0x2AD7B1:
+                timescale = int.from_bytes(body, "big") or 1_000_000
+            elif eid == 0x4489:
+                if len(body) == 4:
+                    duration_ticks = struct.unpack(">f", body)[0]
+                elif len(body) == 8:
+                    duration_ticks = struct.unpack(">d", body)[0]
+                else:
+                    raise ValueError("bad Matroska Duration width")
+            elif eid == 0x83:
+                n_tracks += 1
+                t = int.from_bytes(body, "big")
+                has_video = has_video or t == 1
+                has_audio = has_audio or t == 2
+            elif eid == 0xB0:
+                width = int.from_bytes(body, "big")
+            elif eid == 0xBA:
+                height = int.from_bytes(body, "big")
+            elif eid in CONTAINERS:
+                stack.append((data, data + size, 0))
+            pos = data + size
+    if doctype is None and duration_ticks is None and n_tracks == 0:
+        raise ValueError("EBML stream with no Matroska content")
+    duration_ms = None
+    if duration_ticks is not None:
+        import math
+
+        ms = duration_ticks * timescale / 1_000_000
+        # hostile bytes can decode to inf/nan/negative floats — int()
+        # on inf raises OverflowError, which would leak past the
+        # ValueError quarantine contract (found by the mutation fuzz)
+        if not math.isfinite(ms) or ms < 0 or ms > 1e15:
+            raise ValueError("implausible Matroska Duration")
+        duration_ms = int(ms)
+    return {
+        "doctype": doctype,
+        "timescale_ns": timescale,
+        "duration_ms": duration_ms,
+        "n_tracks": n_tracks,
+        "has_video": has_video,
+        "has_audio": has_audio,
+        "width": width,
+        "height": height,
+    }
+
+
+def mkv_audit(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = True,
+) -> DataFrame:
+    """WebM/Matroska sibling of :func:`mp4_audit`: per-blob (doctype,
+    timescale_ns, duration_ms, n_tracks, has_video, has_audio, width,
+    height) from the EBML element tree only — Cluster/Block payloads
+    skipped, so the r9-documented webm stub keeps only the CODEC
+    bitstream behind it while "how long/what shape is this stream" QA
+    is a byte scan. NULL-row quarantine under fake=True, raise under
+    fake=False; pytest-locked against hand-built EBML trees (incl. an
+    unknown-size live-stream Segment) + a mutation fuzz."""
+    out_schema = (
+        f"{id_col} long, doctype string, timescale_ns long, "
+        "duration_ms long, n_tracks int, has_video boolean, "
+        "has_audio boolean, width int, height int"
+    )
+    cols = [
+        id_col, "doctype", "timescale_ns", "duration_ms", "n_tracks",
+        "has_video", "has_audio", "width", "height",
+    ]
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    s = _mkv_structure(bytes(blob))
+                except ValueError:
+                    if not fake:
+                        raise
+                    rows.append({c: None for c in cols} | {id_col: mid})
+                    continue
+                rows.append({id_col: mid} | s)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, binary_col).mapInPandas(audit, schema=out_schema)
+
+
 def webp_audit(
     df: DataFrame,
     binary_col: str = "payload",

@@ -2570,6 +2570,100 @@ def test_mp4_audit_box_walk(spark):
             pass
 
 
+def _ebml(eid: bytes, payload: bytes) -> bytes:
+    n = len(payload)
+    size = bytes([0x80 | n]) if n < 127 else bytes([0x40 | (n >> 8), n & 0xFF])
+    return eid + size + payload
+
+
+def test_mkv_audit_ebml_walk(spark):
+    """mkv_audit (r10, pytest-locked): hand-built EBML trees — DocType,
+    TimecodeScale + float64 Duration → duration_ms, TrackEntry
+    TrackType video/audio classification, PixelWidth/Height; an
+    UNKNOWN-SIZE Segment (live-stream form, size vint all-ones)
+    extends to the blob end; Cluster payloads skipped; non-EBML and
+    overrunning elements quarantine under fake=True."""
+    import struct
+
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import _mkv_structure, mkv_audit
+
+    header = _ebml(b"\x1a\x45\xdf\xa3", _ebml(b"\x42\x82", b"webm"))
+    info = _ebml(
+        b"\x15\x49\xa9\x66",
+        _ebml(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+        + _ebml(b"\x44\x89", struct.pack(">d", 12345.0)),
+    )
+    vtrack = _ebml(
+        b"\xae",
+        _ebml(b"\x83", b"\x01")
+        + _ebml(b"\xe0",
+                _ebml(b"\xb0", (1280).to_bytes(2, "big"))
+                + _ebml(b"\xba", (720).to_bytes(2, "big"))),
+    )
+    atrack = _ebml(b"\xae", _ebml(b"\x83", b"\x02"))
+    tracks = _ebml(b"\x16\x54\xae\x6b", vtrack + atrack)
+    cluster = _ebml(b"\x1f\x43\xb6\x75", b"\xde\xad" * 20)  # skipped
+    seg_body = info + tracks + cluster
+    mkv = header + _ebml(b"\x18\x53\x80\x67", seg_body)
+    s = _mkv_structure(mkv)
+    assert s == {"doctype": "webm", "timescale_ns": 1_000_000,
+                 "duration_ms": 12345, "n_tracks": 2, "has_video": True,
+                 "has_audio": True, "width": 1280, "height": 720}
+
+    # unknown-size Segment (live stream): size vint 0xFF = all value
+    # bits set at length 1 -> extends to end of blob
+    live = header + b"\x18\x53\x80\x67" + b"\xff" + seg_body
+    assert _mkv_structure(live)["duration_ms"] == 12345
+
+    # hostile Duration floats (inf/nan/negative) must be ValueError,
+    # not OverflowError leaking past the quarantine (fuzz-found)
+    for hostile in (float("inf"), float("nan"), -5.0):
+        bad_info = _ebml(
+            b"\x15\x49\xa9\x66", _ebml(b"\x44\x89", struct.pack(">d", hostile))
+        )
+        bad = header + _ebml(b"\x18\x53\x80\x67", bad_info + tracks)
+        with _pytest.raises(ValueError, match="implausible"):
+            _mkv_structure(bad)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(mkv)), (2, bytearray(live)),
+         (3, bytearray(b"\x00\x00garbage")), (4, bytearray(mkv[:15]))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in mkv_audit(df).collect()}
+    assert rows[1]["duration_ms"] == 12345 and rows[1]["has_video"]
+    assert (rows[1]["width"], rows[1]["height"]) == (1280, 720)
+    assert rows[2]["n_tracks"] == 2
+    assert rows[3]["doctype"] is None
+    assert rows[4]["doctype"] is None  # truncated mid-header
+    with _pytest.raises(Exception, match="EBML"):
+        mkv_audit(df, fake=False).collect()
+
+    # contract fuzz
+    import random
+
+    rng = random.Random(17)
+    for _ in range(1500):
+        b = bytearray(mkv)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:
+            b = b[: rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes(
+                rng.randrange(256) for _ in range(rng.randint(1, 12))
+            ) + b[i:]
+        try:
+            _mkv_structure(bytes(b))
+        except ValueError:
+            pass
+
+
 def _tiff_ifd(bo: str, entries: list[tuple[int, int]], next_off: int) -> bytes:
     out = len(entries).to_bytes(2, bo)
     for tag, val in entries:
