@@ -64,41 +64,25 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # a pytest keeps the script and the table format in lockstep. Update
 # the paragraph below by hand each round.
 #
-# State after round 9 (rebuilt for round 10): 354 registered gates,
-# CORRECTNESS_r09 50/50 green, driver-checked union r01-r09 = 354/354,
-# zero mismatches ever. _NEVER_SAMPLED stays empty, so the round-10
+# State after round 10 (rebuilt for round 11): 360 registered gates,
+# CORRECTNESS_r10 50/50 green, driver-checked union r01-r10 = 360/360,
+# zero mismatches ever. _NEVER_SAMPLED stays empty, so the round-11
 # window = gates registered this round (bucket 1, in registration
-# order) + the oldest confirmed tail (bucket 2: the 4 deferred r2 gates
-# whose rows are 8 rounds old, then the 50 r3 gates). Keep net-new <= 6
-# so the window clears the whole r2 tail plus >= 40 of the r3 tail,
-# leaving only a handful of r3 stragglers for round 11.
+# order) + the oldest confirmed tail (bucket 2: the 10 r3 stragglers
+# whose rows are 8 rounds old, then the oldest of the 50 r4 gates).
+# Keep net-new <= 6 so the window clears all of r3 plus >= 34 of the
+# r4 tail. Burn-down plan for the r4 tail (50 rows after this fold):
+# r11 clears ~34, r12's window takes the remaining ~16 r4 rows at its
+# head — by r12-close no evidence row should be older than r5.
 
 _NEVER_SAMPLED: tuple[str, ...] = ()
 
 _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
-    # latest driver row: round 2 (4 gates)
-    "winnow_fingerprint_stats": 2, "word_stats": 2, "wordcount": 2,
-    "xml_records": 2,
-    # latest driver row: round 3 (50 gates)
-    "ann_rp_lsh_topk": 3, "approx_quantile_bounds": 3, "bbp_pi": 3,
-    "boilerplate_removal": 3, "cohort_retention": 3, "concurrent_events":
-    3, "corpus_drift": 3, "corpus_pipeline_v2": 3, "dbcount_pageview": 3,
-    "dedup_incremental": 3, "dedup_simhash": 3, "duplicate_span_stats": 3,
-    "duplicate_spans": 3, "event_funnel": 3, "event_interval_join": 3,
-    "fuzzy_term_join": 3, "grep_top": 3, "grouped_topk": 3,
-    "grouping_sets_agg": 3, "hash_sample_orders": 3,
-    "hll_distinct_rollup": 3, "inactive_rich_customers": 3,
-    "large_volume_customer": 3, "lm_perplexity": 3,
-    "local_supplier_volume": 3, "nation_value_share": 3, "nqueens": 3,
-    "order_priority_exists": 3, "pagerank_nations": 3,
-    "per_group_sample_orders": 3, "profile_orders": 3, "quantile_buckets":
-    3, "range_join": 3, "returned_items_topk": 3, "scd2_user_status": 3,
-    "semdedup": 3, "session_window": 3, "sessionize": 3, "set_ops_bag": 3,
-    "shipping_priority": 3, "side_data_lookup": 3, "skew_salted_join": 3,
-    "sliding_window": 3, "stratified_sample_orders": 3,
-    "supplier_part_counts": 3, "token_budget_mix": 3,
-    "train_holdout_split": 3, "tumbling_window": 3, "vocab_stats": 3,
-    "zorder_values": 3,
+    # latest driver row: round 3 (10 gates)
+    "side_data_lookup": 3, "skew_salted_join": 3, "sliding_window": 3,
+    "stratified_sample_orders": 3, "supplier_part_counts": 3,
+    "token_budget_mix": 3, "train_holdout_split": 3, "tumbling_window": 3,
+    "vocab_stats": 3, "zorder_values": 3,
     # latest driver row: round 4 (50 gates)
     "ann_ivf_pq_topk": 4, "ann_pq_adc_topk": 4, "bfs_trade_reach": 4,
     "bm25_retrieval": 4, "centroid_separation": 4, "cms_heavy_hitters": 4,
@@ -230,6 +214,26 @@ _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
     "text_normalize": 9, "tf_idf": 9, "token_counts": 9, "topk_orders": 9,
     "uniq_capped": 9, "value_histogram": 9, "window_analytics": 9,
     "window_range_frame": 9, "window_rank_family": 9, "yule_k_tokens": 9,
+    # latest driver row: round 10 (50 gates)
+    "ann_rp_lsh_topk": 10, "approx_quantile_bounds": 10, "bbp_pi": 10,
+    "boilerplate_removal": 10, "cohort_retention": 10,
+    "concurrent_events": 10, "corpus_drift": 10, "corpus_pipeline_v2": 10,
+    "dbcount_pageview": 10, "dedup_incremental": 10, "dedup_simhash": 10,
+    "duplicate_span_stats": 10, "duplicate_spans": 10, "event_funnel": 10,
+    "event_interval_join": 10, "ewma_chart_daily_returns": 10,
+    "fuzzy_term_join": 10, "grep_top": 10, "grouped_topk": 10,
+    "grouping_sets_agg": 10, "hash_sample_orders": 10, "herdan_c_tokens":
+    10, "hll_distinct_rollup": 10, "inactive_rich_customers": 10,
+    "large_volume_customer": 10, "lm_perplexity": 10,
+    "local_supplier_volume": 10, "nation_value_share": 10, "nqueens": 10,
+    "order_priority_exists": 10, "pagerank_nations": 10,
+    "per_group_sample_orders": 10, "profile_orders": 10,
+    "quantile_buckets": 10, "range_join": 10, "returned_items_topk": 10,
+    "run_rules_daily_returns": 10, "scd2_user_status": 10, "semdedup": 10,
+    "session_window": 10, "sessionize": 10, "set_ops_bag": 10,
+    "shipping_priority": 10, "simpson_d_tokens": 10, "token_entropy": 10,
+    "winnow_fingerprint_stats": 10, "word_stats": 10, "wordcount": 10,
+    "xml_records": 10, "youden_j_orderstatus": 10,
 }
 
 
