@@ -1043,16 +1043,21 @@ def _mp4_structure(blob: bytes) -> dict:
                     raise ValueError("truncated ftyp")
                 brand = blob[body : body + 4].decode("latin-1")
             elif btype == b"mvhd":
-                if body + 4 > end:
+                # field reads must stay inside the box's OWN declared
+                # extent (pos+size), not the parent range: an undersized
+                # mvhd followed by a sibling would otherwise silently
+                # yield the sibling's bytes as timescale/duration
+                box_end = pos + size
+                if body + 4 > box_end:
                     raise ValueError("truncated mvhd")
                 ver = blob[body]
                 if ver == 1:
-                    if body + 32 > end:
+                    if body + 32 > box_end:
                         raise ValueError("truncated mvhd v1")
                     timescale = int.from_bytes(blob[body + 20 : body + 24], "big")
                     dur = int.from_bytes(blob[body + 24 : body + 32], "big")
                 else:
-                    if body + 20 > end:
+                    if body + 20 > box_end:
                         raise ValueError("truncated mvhd v0")
                     timescale = int.from_bytes(blob[body + 12 : body + 16], "big")
                     dur = int.from_bytes(blob[body + 16 : body + 20], "big")
@@ -1066,10 +1071,13 @@ def _mp4_structure(blob: bytes) -> dict:
                     if w and h:
                         width, height = w >> 16, h >> 16
             elif btype == b"hdlr":
-                if body + 12 <= end:
-                    handler = blob[body + 8 : body + 12]
-                    has_video = has_video or handler == b"vide"
-                    has_audio = has_audio or handler == b"soun"
+                # same own-extent rule as mvhd: an undersized hdlr must
+                # quarantine, never read a sibling's bytes as the handler
+                if body + 12 > pos + size:
+                    raise ValueError("truncated hdlr")
+                handler = blob[body + 8 : body + 12]
+                has_video = has_video or handler == b"vide"
+                has_audio = has_audio or handler == b"soun"
             elif btype == b"trak":
                 n_tracks += 1
             if btype in containers:
@@ -1382,23 +1390,86 @@ def _pillow():
     return _PIL_IMAGE
 
 
+def _pure_decodable(blob: bytes) -> bool:
+    """Header probe mirroring the pure decoders' variant envelope:
+    True iff the blob is a variant ``_decode_bmp`` / ``_decode_png`` /
+    ``_decode_gif`` / ``llm.jpeg.decode_jpeg`` would accept (by header
+    shape — the body may still be corrupt). The Pillow fast path is
+    gated on this so outputs NEVER depend on whether Pillow is
+    installed: a variant the pure decoders reject (16-bit or interlaced
+    PNG, arithmetic/lossless JPEG, non-24bpp BMP) takes the same
+    deterministic fake/raise path either way, instead of Pillow quietly
+    real-decoding it on clusters that have the library. Probe failures
+    return False (pure path governs — its error contract is the pinned
+    one). Pure Python, no Pillow needed, so the envelope itself is
+    testable in this container."""
+    try:
+        if blob[:2] == b"BM":
+            if len(blob) < 54:
+                return False
+            hdr = int.from_bytes(blob[14:18], "little")
+            bpp = int.from_bytes(blob[28:30], "little")
+            comp = int.from_bytes(blob[30:34], "little")
+            return hdr >= 40 and bpp == 24 and comp == 0
+        if blob[:8] == _PNG_SIG:
+            # IHDR must be the first chunk (PNG spec); mirror
+            # _decode_png: 8-bit, gray/rgb(+alpha), no interlace
+            if len(blob) < 33 or blob[12:16] != b"IHDR":
+                return False
+            bitd, color, comp, filt, interlace = blob[24:29]
+            return (
+                bitd == 8
+                and color in (0, 2, 4, 6)
+                and comp == 0
+                and filt == 0
+                and interlace == 0
+            )
+        if blob[:6] in _GIF_SIGS:
+            return True  # _decode_gif covers GIF87a/89a fully
+        if blob[:3] == _JPEG_SIG:
+            # walk markers to the first SOFn: accept baseline /
+            # extended-sequential / progressive Huffman at 8-bit
+            # precision with 1 or 3 components (decode_jpeg's gate)
+            pos = 2
+            while pos + 4 <= len(blob):
+                if blob[pos] != 0xFF:
+                    return False
+                marker = blob[pos + 1]
+                if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                ln = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+                if ln < 2:
+                    return False
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    if marker not in (0xC0, 0xC1, 0xC2):
+                        return False  # arithmetic/lossless/differential
+                    seg = blob[pos + 4 : pos + 2 + ln]
+                    return (
+                        len(seg) >= 6 and seg[0] == 8 and seg[5] in (1, 3)
+                    )
+                pos += 2 + ln
+            return False
+    except Exception:
+        return False
+    return False
+
+
 def _pillow_rgb(blob: bytes):
     """Fast-path decode → (h, w, 3) uint8 RGB, or None meaning 'use the
     pure-Python codecs'. Only the four natively-decoded raster magics
-    are attempted, so unknown formats keep the documented fake/stub
-    contract (oracled gates feed non-raster blobs through the
-    DETERMINISTIC pseudo-decode — Pillow must never intercept those);
-    any Pillow failure falls back so the pure decoders' error contract
-    (ValueError-or-decode, pinned by the fuzz tests) still governs."""
+    are attempted, AND only the variants the pure decoders accept
+    (``_pure_decodable`` header probe), so unknown formats and
+    unsupported variants keep the documented fake/stub contract
+    (oracled gates feed non-raster blobs through the DETERMINISTIC
+    pseudo-decode — Pillow must never intercept those, nor real-decode
+    a 16-bit PNG the pure path would fake); any Pillow failure falls
+    back so the pure decoders' error contract (ValueError-or-decode,
+    pinned by the fuzz tests) still governs."""
     mod = _pillow()
     if mod is None:
         return None
-    if not (
-        blob[:2] == b"BM"
-        or blob[:8] == _PNG_SIG
-        or blob[:6] in _GIF_SIGS
-        or blob[:3] == _JPEG_SIG
-    ):
+    if not _pure_decodable(blob):
         return None
     import io
 
@@ -1461,9 +1532,14 @@ def attach_media_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
         & (F.hex(F.substring(b, 9, 4)) == b"WEBP".hex().upper()),
         F.lit("webp"),
     ).otherwise(fmt)
-    # ISO-BMFF's magic sits at offset 4 ('ftyp'), outside the prefix table
+    # ISO-BMFF's magic sits at offset 4 ('ftyp'), outside the prefix
+    # table — but it only refines blobs NO leading magic claimed
+    # (mirroring the WebP rule refining RIFF): a RIFF/WAV whose 4-byte
+    # size field happens to spell 'ftyp' must stay 'wav'
     fmt = F.when(
-        F.hex(F.substring(b, 5, 4)) == b"ftyp".hex().upper(), F.lit("mp4")
+        (fmt == "unknown")
+        & (F.hex(F.substring(b, 5, 4)) == b"ftyp".hex().upper()),
+        F.lit("mp4"),
     ).otherwise(fmt)
     return df.withColumn(
         "media_meta",
@@ -1752,7 +1828,10 @@ def resize_images(
             # baseline 4:4:4 (one recompression generation, like any
             # JPEG thumbnailer). Decode takes the Pillow fast path when
             # installed (the expensive leg); re-encode stays the pure
-            # encoder so output bytes are deterministic either way.
+            # encoder. NOTE: unlike the lossless formats, JPEG output
+            # bytes are environment-dependent — Pillow's IDCT rounds
+            # differently from the pure decoder, so the re-encoded
+            # pixels differ within the bounded-delta luma contract.
             from hadoop_fcfs_spark.llm.jpeg import decode_jpeg, encode_jpeg
 
             rgb = _pillow_rgb(blob)

@@ -2570,6 +2570,121 @@ def test_mp4_audit_box_walk(spark):
             pass
 
 
+def test_mp4_undersized_boxes_quarantine():
+    """r11 ADVICE fix: mvhd/hdlr field reads are bounded by the box's
+    OWN declared extent (pos+size), not the parent range — an
+    undersized mvhd or hdlr followed by a sibling box must raise
+    (→ NULL quarantine row under fake=True), never silently read the
+    sibling's bytes as timescale/duration/handler."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import _mp4_structure
+
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 8)
+    # v0 mvhd declaring an 8-byte body (needs 20): the 'free' sibling's
+    # payload sits exactly where the old parent-range check would have
+    # let timescale/duration be read from
+    short_mvhd = _box(b"mvhd", b"\x00" * 8)
+    sibling = _box(b"free", b"\x11" * 64)
+    with _pytest.raises(ValueError, match="truncated mvhd"):
+        _mp4_structure(ftyp + _box(b"moov", short_mvhd + sibling))
+    # v1 mvhd declaring a 20-byte body (needs 32)
+    short_v1 = _box(b"mvhd", b"\x01" + b"\x00" * 19)
+    with _pytest.raises(ValueError, match="truncated mvhd v1"):
+        _mp4_structure(ftyp + _box(b"moov", short_v1 + sibling))
+    # hdlr declaring an 8-byte body (handler type needs 12)
+    short_hdlr = _box(b"hdlr", b"\x00" * 8)
+    trak = _box(b"trak", _box(b"mdia", short_hdlr + _box(b"free", b"vide")))
+    with _pytest.raises(ValueError, match="truncated hdlr"):
+        _mp4_structure(ftyp + _box(b"moov", trak))
+
+
+def test_media_meta_ftyp_refines_only_unknown(spark):
+    """r11 ADVICE fix: the ISO-BMFF sniff ('ftyp' at offset 4) only
+    refines blobs NO leading magic claimed — a RIFF/WAV whose 4-byte
+    size field happens to spell 'ftyp' stays 'wav' (mirroring how the
+    WebP rule only refines RIFF)."""
+    from hadoop_fcfs_spark.llm.multimodal import attach_media_meta
+
+    riff_ftyp = b"RIFF" + b"ftyp" + b"WAVE" + b"\x00" * 24
+    real_mp4 = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + b"\x00" * 24
+    webp = b"RIFF" + b"\x20\x00\x00\x00" + b"WEBP" + b"VP8 " + b"\x00" * 16
+    df = spark.createDataFrame(
+        [(1, bytearray(riff_ftyp)), (2, bytearray(real_mp4)),
+         (3, bytearray(webp))],
+        "media_id long, payload binary",
+    )
+    fmts = {r["media_id"]: r["media_meta"]["format"]
+            for r in attach_media_meta(df).collect()}
+    assert fmts == {1: "wav", 2: "mp4", 3: "webp"}
+
+
+def test_pure_decodable_mirrors_pure_decoder_envelope():
+    """r11 ADVICE fix: the Pillow fast path is gated on
+    _pure_decodable so decode outputs never depend on whether Pillow
+    is installed — variants the pure decoders reject (16-bit or
+    interlaced or palette PNG, arithmetic JPEG, non-24bpp BMP) must
+    probe False (fake/raise path either way); the supported envelope
+    must probe True. The probe is pure Python, so the envelope is
+    testable without Pillow."""
+    import numpy as np
+
+    from hadoop_fcfs_spark.llm.jpeg import encode_jpeg, encode_jpeg_progressive
+    from hadoop_fcfs_spark.llm.multimodal import (
+        _encode_png,
+        _pure_decodable,
+    )
+
+    def png_hdr(bitd, color, interlace):
+        ihdr = ((1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+                + bytes([bitd, color, 0, 0, interlace]))
+        return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big")
+                + b"IHDR" + ihdr + b"\x00" * 4)
+
+    assert _pure_decodable(png_hdr(8, 2, 0))
+    assert _pure_decodable(png_hdr(8, 0, 0))
+    assert not _pure_decodable(png_hdr(16, 2, 0))  # 16-bit
+    assert not _pure_decodable(png_hdr(8, 2, 1))   # interlaced
+    assert not _pure_decodable(png_hdr(8, 3, 0))   # palette
+    rgb = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert _pure_decodable(_encode_png(rgb))       # real encoder output
+
+    def bmp_hdr(bpp, comp):
+        return (b"BM" + b"\x00" * 12 + (40).to_bytes(4, "little")
+                + (1).to_bytes(4, "little") + (1).to_bytes(4, "little")
+                + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
+                + comp.to_bytes(4, "little") + b"\x00" * 20)
+
+    assert _pure_decodable(bmp_hdr(24, 0))
+    assert not _pure_decodable(bmp_hdr(8, 0))      # palettized
+    assert not _pure_decodable(bmp_hdr(24, 1))     # RLE-compressed
+
+    assert _pure_decodable(b"GIF89a" + b"\x00" * 16)
+    assert _pure_decodable(b"GIF87a" + b"\x00" * 16)
+
+    # real encoder outputs: baseline AND progressive Huffman accepted
+    assert _pure_decodable(encode_jpeg(rgb, quality=90))
+    assert _pure_decodable(encode_jpeg_progressive(rgb, quality=90))
+
+    def sof_jpeg(marker, prec=8, ncomp=3):
+        seg = bytes([prec]) + (1).to_bytes(2, "big") + (1).to_bytes(2, "big") \
+            + bytes([ncomp]) + b"\x01\x11\x00" * ncomp
+        ln = 2 + len(seg)
+        return (b"\xff\xd8" + b"\xff" + bytes([marker])
+                + ln.to_bytes(2, "big") + seg)
+
+    assert _pure_decodable(sof_jpeg(0xC0))
+    assert _pure_decodable(sof_jpeg(0xC2))
+    assert not _pure_decodable(sof_jpeg(0xC9))         # arithmetic
+    assert not _pure_decodable(sof_jpeg(0xC3))         # lossless
+    assert not _pure_decodable(sof_jpeg(0xC0, prec=12))
+    assert not _pure_decodable(sof_jpeg(0xC0, ncomp=4))  # CMYK
+
+    assert not _pure_decodable(b"")
+    assert not _pure_decodable(b"\x00" * 64)
+    assert not _pure_decodable(b"\xff\xd8\xff")  # JPEG with no SOF
+
+
 def _ebml(eid: bytes, payload: bytes) -> bytes:
     n = len(payload)
     size = bytes([0x80 | n]) if n < 127 else bytes([0x40 | (n >> 8), n & 0xFF])
