@@ -1183,6 +1183,56 @@ def herdan_c(tf: DataFrame, term_col: str, count_col: str) -> DataFrame:
     )
 
 
+def hapax_richness(
+    tf: DataFrame, term_col: str, count_col: str
+) -> DataFrame:
+    """Honoré's R and Sichel's S over a term-frequency table — the
+    RARE-WORD legs of the lexical tier (yule_k/simpson_d read the
+    repeat rate, herdan_c/entropy the whole distribution; R and S read
+    the singleton/doubleton fringe where productive vocabulary lives):
+    R = 100·ln N / (1 − V₁/V) (Honoré 1979 — grows with the hapax
+    share; template/boilerplate text has almost no hapax legomena and
+    reads LOW), S = V₂/V (Sichel 1975 — the dis-legomena proportion,
+    empirically near-constant ~0.03–0.05 for natural prose across
+    sizes, so drift flags synthetic or deduplicated-to-death text).
+    Both are quoted by the stylometry/authorship literature alongside
+    Yule's K, and both are Good–Turing-adjacent: V₁, V₂ are exactly
+    the N₁, N₂ counts good_turing_mass already reads.
+
+    Exactness: V, N, V₁, V₂ are exact BIGINT counts off the term
+    grain; ln N floor-micro quantizes immediately (the heaps/herdan
+    trick), then r_e3 = ⌊ln N·1e6⌋·V div (10·(V−V₁)) is one flooring
+    division on nonnegative operands (R·10³ since 100·1e6/1e3·10⁻⁴…
+    = the 1e6 log scale over 10·1e3) and s_e6 = V₂·1e6 div V another.
+    NULL R when every type is a hapax (V₁ = V — R diverges) or N ≤ 1;
+    NULL S when V = 0.
+
+    Scale shape: ONE map-side-combinable aggregation over the
+    term-frequency grain — no joins, no windows. Output: 1 row
+    (vocab_size, n_tokens, n_hapax, n_dis, honore_r_e3,
+    sichel_s_e6)."""
+    cnt = F.col(count_col)
+    m = tf.agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum(cnt).cast("long").alias("n_tokens"),
+        F.sum(F.when(cnt == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.sum(F.when(cnt == 2, 1).otherwise(0)).cast("long").alias("n_dis"),
+    )
+    q = m.withColumn(
+        "__ln",
+        F.floor(F.log(F.col("n_tokens").cast("double")) * 1_000_000)
+        .cast("long"),
+    )
+    return q.selectExpr(
+        "vocab_size", "n_tokens", "n_hapax", "n_dis",
+        "CASE WHEN n_tokens > 1 AND vocab_size > n_hapax THEN "
+        "CAST(CAST(__ln AS DECIMAL(38,0)) * vocab_size "
+        "div (10 * (vocab_size - n_hapax)) AS BIGINT) END AS honore_r_e3",
+        "CASE WHEN vocab_size > 0 THEN "
+        "CAST(n_dis * 1000000 div vocab_size AS BIGINT) END AS sichel_s_e6",
+    )
+
+
 def token_entropy(tf: DataFrame, term_col: str, count_col: str) -> DataFrame:
     """Shannon entropy of the token distribution (nats) plus its
     normalized form ("efficiency", H / ln V ∈ [0, 1]) over a

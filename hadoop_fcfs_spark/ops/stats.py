@@ -992,6 +992,145 @@ def mann_whitney_u(
     )
 
 
+def brunner_munzel(
+    df: DataFrame, value_col: str, group_col: str, group_a: str, group_b: str
+) -> DataFrame:
+    """Brunner–Munzel test (generalized Wilcoxon, Brunner & Munzel
+    2000): tests P(A < B) + ½P(A = B) = ½ WITHOUT the equal-variance /
+    equal-shape assumption :func:`mann_whitney_u` inherits — the
+    rank-world analogue of Welch-vs-Student. MWU's normal z is exact
+    only under exchangeability; when the two arms have different
+    spread (the common real case: a treatment that also widens the
+    distribution), BM's studentized statistic with Welch–Satterthwaite
+    df is the textbook replacement.
+
+    Exactness on the MWU substrate: collapse to the distinct-VALUE
+    grain with per-group counts, ONE two-column exclusive prefix
+    (ops.sort.global_running_sum over pooled and group-A counts —
+    group B's prefix is their difference), then all rank moments are
+    exact integers on the 2x midrank scale: 2R̄ sums r2g = Σ c_g·(2·bef
+    + c + 1), and the BM rank-variance sums collapse per VALUE because
+    tied observations share both their pooled and within-group
+    midrank: with dg = 2·(pooled − within midrank) = 2bef + c − 2bef_g
+    − c_g and centered gg = n_g·dg − r2g + n_g(n_g+1), Q_g = Σ c_g·gg²
+    is an exact DECIMAL(38,0) sum and S_g² = Q_g/(4·n_g²·(n_g−1)).
+    The statistic and df are then flat float expressions over those
+    integers (identical shape both engines): with T_g =
+    Q_g/(n_g(n_g−1)), W = (n_a·r2b − n_b·r2a)/(N·√(T_a+T_b)) and df =
+    (T_a+T_b)²/(T_a²/(n_a−1) + T_b²/(n_b−1)). The common-language
+    effect estimate p̂ = P(A<B)+½P(A=B) = (r2b − n_b(n_b+1)) div
+    (2·n_a·n_b) floors to micros on nonnegative BIGINTs (r2b is
+    minimal exactly when every B ranks below every A).
+
+    Integer bounds (documented; ANSI throws rather than corrupting):
+    |gg| ≤ ~3·n_g·N so Q_g ≤ ~9·n_g³·N² — DECIMAL(38,0) holds it for
+    N up to ~5·10⁷ pooled rows; beyond that pre-quantize values to a
+    coarser grain (same remedy as MWU's tie-term bound). NULL w/df
+    when either arm has < 2 rows or both rank variances are 0 (the
+    degenerate all-tied case — scipy warns, we NULL). Output: 1 row
+    (n_a, n_b, phat_e6, w_e6, df_e3)."""
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    dec = "decimal(38,0)"
+    grain = waypoint(
+        df.filter(
+            F.col(group_col).isin([group_a, group_b])
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
+            .cast("long")
+            .alias("__ca"),
+            F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
+            .cast("long")
+            .alias("__cb"),
+        )
+        .withColumn("__c", F.col("__ca") + F.col("__cb"))
+    )
+    before = global_running_sum(
+        grain, ["__v"], ["__c", "__ca"],
+        out_col=["__bef", "__befa"], inclusive=False,
+    )
+    tot = before.agg(
+        F.sum("__ca").cast("long").alias("__na"),
+        F.sum("__cb").cast("long").alias("__nb"),
+        F.sum(F.col("__ca") * (2 * F.col("__bef") + F.col("__c") + 1))
+        .cast("long").alias("__r2a"),
+        F.sum(F.col("__cb") * (2 * F.col("__bef") + F.col("__c") + 1))
+        .cast("long").alias("__r2b"),
+    )
+    # per-value centered rank deviations need the arm totals: broadcast
+    # the 1-row scalar back over the value grain (pr_auc precedent)
+    cent = (
+        before.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__da",
+            2 * F.col("__bef") + F.col("__c")
+            - 2 * F.col("__befa") - F.col("__ca"),
+        )
+        .withColumn(
+            "__db",
+            2 * F.col("__bef") + F.col("__c")
+            - 2 * (F.col("__bef") - F.col("__befa"))
+            - F.col("__cb"),
+        )
+        .withColumn(
+            "__ga",
+            F.col("__na").cast(dec) * F.col("__da") - F.col("__r2a")
+            + F.col("__na").cast(dec) * (F.col("__na") + 1),
+        )
+        .withColumn(
+            "__gb",
+            F.col("__nb").cast(dec) * F.col("__db") - F.col("__r2b")
+            + F.col("__nb").cast(dec) * (F.col("__nb") + 1),
+        )
+    )
+    q = cent.agg(
+        F.max("__na").alias("__na"), F.max("__nb").alias("__nb"),
+        F.max("__r2a").alias("__r2a"), F.max("__r2b").alias("__r2b"),
+        F.sum(F.col("__ca") * F.col("__ga") * F.col("__ga"))
+        .cast(dec).alias("__qa"),
+        F.sum(F.col("__cb") * F.col("__gb") * F.col("__gb"))
+        .cast(dec).alias("__qb"),
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    nd = (na + nb).cast("double")
+    ta = F.col("__qa").cast("double") / (
+        na.cast("double") * (na.cast("double") - 1.0)
+    )
+    tb = F.col("__qb").cast("double") / (
+        nb.cast("double") * (nb.cast("double") - 1.0)
+    )
+    w = (
+        na.cast("double") * F.col("__r2b").cast("double")
+        - nb.cast("double") * F.col("__r2a").cast("double")
+    ) / (nd * F.sqrt(ta + tb))
+    dfree = (ta + tb) * (ta + tb) / (
+        ta * ta / (na.cast("double") - 1.0)
+        + tb * tb / (nb.cast("double") - 1.0)
+    )
+    ok = (na > 1) & (nb > 1) & (F.col("__qa") + F.col("__qb") > 0)
+    # empty-input contract: with no qualifying rows the grain is empty
+    # and the maxes are NULL — read as (0, 0, NULL, NULL, NULL) like
+    # the other scalar gates (property-test-found, r11)
+    return q.select(
+        F.coalesce(na, F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(nb, F.lit(0)).cast("long").alias("n_b"),
+        F.when(
+            (na > 0) & (nb > 0),
+            F.expr(
+                "CAST((CAST(__r2b AS DECIMAL(38,0)) - CAST(__nb AS "
+                "DECIMAL(38,0)) * (__nb + 1)) * 1000000 div "
+                "(2 * CAST(__na AS DECIMAL(38,0)) * __nb) AS BIGINT)"
+            ),
+        ).alias("phat_e6"),
+        F.when(ok, F.floor(w * 1_000_000).cast("long")).alias("w_e6"),
+        F.when(ok, F.floor(dfree * 1_000).cast("long")).alias("df_e3"),
+    )
+
+
 def welch_ttest(
     df: DataFrame,
     value_col: str,
@@ -4668,6 +4807,111 @@ def run_rules(
         (
             (F.col("side") != 0) & (F.col("run_len") >= F.lit(int(min_run)))
         ).alias("rule2"),
+    )
+
+
+def nelson_rules(
+    df: DataFrame,
+    group_col: Column | str,
+    defect_cond: Column,
+    group_alias: str = "grain",
+    min_trend: int = 6,
+    min_alt: int = 14,
+) -> DataFrame:
+    """Nelson rules 3 and 4 over an ordered proportion grain — the
+    DIFFERENCE-pattern legs of the SPC suite (p_chart catches one 3σ
+    excursion, CUSUM/EWMA a sustained/slow shift, run rule 2 a
+    same-side run; rules 3/4 read the point-to-point DELTAS): rule 3
+    flags a steady trend (``min_trend`` = 6 points in a row continually
+    increasing or decreasing), rule 4 systematic oscillation
+    (``min_alt`` = 14 points in a row alternating up and down —
+    the two-stream / overcorrection signature).
+
+    Semantics: direction d_t = sign(rate_t − rate_{t−1}) on exact
+    flooring micro-rates (d of the first point is NULL; equal rates
+    give d = 0 and BREAK both patterns — the conservative textbook
+    reading). ``trend_len`` / ``alt_len`` count the consecutive
+    qualifying DIFFS ending at each point, so a rule covers k+1
+    points when its diff-run is k long; each rule fires AT every
+    point COMPLETING a qualifying run (trend_len ≥ min_trend−1 /
+    alt_len ≥ min_alt−1) — the qcc-style "which point violates"
+    contract, a pure prefix property (no forward look).
+
+    Exactness: rates floor to micros off exact BIGINT grain counts, so
+    d is engine-exact; runs are gaps-and-islands on the diff stream
+    (prefix sums of integer break flags + per-island row numbers).
+
+    Scale shape: one map-side-combinable grain aggregation, then
+    GRAIN-bounded summary windows only (the kaplan_meier precedent:
+    calendar days, never events — the grain is bounded by the
+    observation span, not data volume). Output per grain cell: grain,
+    n, x, rate_e6, direction, trend_len, rule3, alt_len, rule4."""
+    from pyspark.sql import Window
+
+    if min_trend < 2 or min_alt < 2:
+        raise ValueError(
+            f"min_trend/min_alt must be >= 2, got {min_trend}/{min_alt}"
+        )
+    gc = F.col(group_col) if isinstance(group_col, str) else group_col
+    grain = df.groupBy(gc.alias(group_alias)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(defect_cond, 1).otherwise(0)).cast("long").alias("x"),
+    ).withColumn("rate_e6", F.expr("CAST(x * 1000000 div n AS BIGINT)"))
+    # grain-bounded summary windows (kaplan_meier precedent): the day
+    # grain is calendar-bounded, so one ordered pass over it is fine
+    w = Window.orderBy(group_alias)
+    w_run = Window.orderBy(group_alias).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = F.when(
+        F.lag("rate_e6").over(w).isNotNull(),
+        F.signum(F.col("rate_e6") - F.lag("rate_e6").over(w)).cast("int"),
+    )
+    diffed = grain.withColumn("__d", d).withColumn(
+        "__pd", F.lag("__d").over(w)
+    )
+    # rule 3 (trend): a diff extends the run iff it is nonzero and
+    # equals the previous diff; anything else starts a new island
+    brk_t = F.when(
+        F.col("__d").isNull() | (F.col("__d") == 0), 1
+    ).when(
+        F.col("__pd").isNull()
+        | (F.col("__pd") == 0)
+        | (F.col("__d") != F.col("__pd")),
+        1,
+    ).otherwise(0)
+    # rule 4 (alternation): extends iff nonzero and OPPOSITE of previous
+    brk_a = F.when(
+        F.col("__d").isNull() | (F.col("__d") == 0), 1
+    ).when(
+        F.col("__pd").isNull()
+        | (F.col("__pd") == 0)
+        | (F.col("__pd") != -F.col("__d")),
+        1,
+    ).otherwise(0)
+    isl = diffed.withColumn("__ti", F.sum(brk_t).over(w_run)).withColumn(
+        "__ai", F.sum(brk_a).over(w_run)
+    )
+    live = F.col("__d").isNotNull() & (F.col("__d") != 0)
+    trend_len = F.when(
+        live,
+        F.row_number().over(Window.partitionBy("__ti").orderBy(group_alias)),
+    ).otherwise(0).cast("long")
+    alt_len = F.when(
+        live,
+        F.row_number().over(Window.partitionBy("__ai").orderBy(group_alias)),
+    ).otherwise(0).cast("long")
+    return (
+        isl.withColumn("trend_len", trend_len)
+        .withColumn("alt_len", alt_len)
+        .select(
+            group_alias, "n", "x", "rate_e6",
+            F.col("__d").alias("direction"),
+            "trend_len",
+            (F.col("trend_len") >= F.lit(int(min_trend - 1))).alias("rule3"),
+            "alt_len",
+            (F.col("alt_len") >= F.lit(int(min_alt - 1))).alias("rule4"),
+        )
     )
 
 

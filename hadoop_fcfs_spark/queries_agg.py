@@ -6266,6 +6266,175 @@ def run_rules_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nelson_rules_daily_returns",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS grain,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (SELECT grain, n, x, x * 1000000 // n AS rate_e6 FROM g),
+    d AS (
+      SELECT *,
+             CASE WHEN lag(rate_e6) OVER (ORDER BY grain) IS NULL THEN NULL
+                  WHEN rate_e6 > lag(rate_e6) OVER (ORDER BY grain) THEN 1
+                  WHEN rate_e6 < lag(rate_e6) OVER (ORDER BY grain) THEN -1
+                  ELSE 0 END AS dir
+      FROM r
+    ),
+    p AS (SELECT *, lag(dir) OVER (ORDER BY grain) AS pd FROM d),
+    b AS (
+      SELECT *,
+        CASE WHEN dir IS NULL OR dir = 0 THEN 1
+             WHEN pd IS NULL OR pd = 0 OR dir <> pd THEN 1
+             ELSE 0 END AS bt,
+        CASE WHEN dir IS NULL OR dir = 0 THEN 1
+             WHEN pd IS NULL OR pd = 0 OR pd <> -dir THEN 1
+             ELSE 0 END AS ba
+      FROM p
+    ),
+    i AS (
+      SELECT *, SUM(bt) OVER w AS ti, SUM(ba) OVER w AS ai
+      FROM b WINDOW w AS (ORDER BY grain
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    lens AS (
+      SELECT grain, n, x, rate_e6, dir,
+        CASE WHEN dir IS NOT NULL AND dir <> 0
+             THEN ROW_NUMBER() OVER (PARTITION BY ti ORDER BY grain)
+             ELSE 0 END AS trend_len,
+        CASE WHEN dir IS NOT NULL AND dir <> 0
+             THEN ROW_NUMBER() OVER (PARTITION BY ai ORDER BY grain)
+             ELSE 0 END AS alt_len
+      FROM i
+    )
+    SELECT grain, n, x, rate_e6, CAST(dir AS INT) AS direction,
+           CAST(trend_len AS BIGINT) AS trend_len,
+           trend_len >= 5 AS rule3,
+           CAST(alt_len AS BIGINT) AS alt_len,
+           alt_len >= 13 AS rule4
+    FROM lens
+    """,
+    doc="Nelson rules 3 and 4 over the daily return-rate series "
+    "(ops.stats.nelson_rules) - the difference-pattern legs "
+    "completing the SPC suite on this grain: rule 3 flags 6 points "
+    "continually increasing/decreasing (a steady trend the "
+    "center-line tests smear out), rule 4 flags 14 points "
+    "alternating up/down (the two-stream / overcorrection "
+    "signature). Direction = sign of the micro-rate delta (exact "
+    "BIGINT; equal rates break both patterns), runs are "
+    "gaps-and-islands on the DIFF stream, each rule fires at every "
+    "point completing a qualifying run - a pure prefix property. "
+    "Grain-bounded summary windows only (calendar days, never "
+    "events; the kaplan_meier precedent).",
+)
+def nelson_rules_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import nelson_rules
+
+    li = t(spark, sf_dir, "lineitem")
+    return nelson_rules(
+        li,
+        F.to_date("l_shipdate").cast("string"),
+        F.col("l_returnflag") == "R",
+        group_alias="grain",
+        min_trend=6,
+        min_alt=14,
+    )
+
+
+@register(
+    "brunner_munzel_price",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS v,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+               ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1
+               ELSE 0 END) AS BIGINT) AS cb
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT ca, cb, ca + cb AS c,
+             COALESCE(SUM(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+             COALESCE(SUM(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS befa
+      FROM g
+    ),
+    tmom AS (
+      SELECT SUM(ca) AS na, SUM(cb) AS nb,
+             SUM(ca * (2 * bef + c + 1)) AS r2a,
+             SUM(cb * (2 * bef + c + 1)) AS r2b
+      FROM r
+    ),
+    q AS (
+      SELECT na, nb, r2a, r2b,
+        SUM(ca * (CAST(na AS HUGEINT) * (2 * bef + c - 2 * befa - ca)
+                  - r2a + CAST(na AS HUGEINT) * (na + 1))
+               * (CAST(na AS HUGEINT) * (2 * bef + c - 2 * befa - ca)
+                  - r2a + CAST(na AS HUGEINT) * (na + 1))) AS qa,
+        SUM(cb * (CAST(nb AS HUGEINT)
+                    * (2 * bef + c - 2 * (bef - befa) - cb)
+                  - r2b + CAST(nb AS HUGEINT) * (nb + 1))
+               * (CAST(nb AS HUGEINT)
+                    * (2 * bef + c - 2 * (bef - befa) - cb)
+                  - r2b + CAST(nb AS HUGEINT) * (nb + 1))) AS qb
+      FROM r CROSS JOIN tmom
+      GROUP BY 1, 2, 3, 4
+    ),
+    s AS (
+      SELECT na, nb, r2a, r2b, qa, qb,
+        CAST(qa AS DOUBLE)
+          / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) AS ta,
+        CAST(qb AS DOUBLE)
+          / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) AS tb
+      FROM q
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      CASE WHEN na > 0 AND nb > 0 THEN
+        CAST((CAST(r2b AS HUGEINT) - CAST(nb AS HUGEINT) * (nb + 1))
+             * 1000000 // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT)
+      END AS phat_e6,
+      CASE WHEN na > 1 AND nb > 1 AND qa + qb > 0 THEN
+        CAST(FLOOR((CAST(na AS DOUBLE) * CAST(r2b AS DOUBLE)
+                    - CAST(nb AS DOUBLE) * CAST(r2a AS DOUBLE))
+             / (CAST(na + nb AS DOUBLE) * sqrt(ta + tb))
+             * 1000000) AS BIGINT)
+      END AS w_e6,
+      CASE WHEN na > 1 AND nb > 1 AND qa + qb > 0 THEN
+        CAST(FLOOR((ta + tb) * (ta + tb)
+             / (ta * ta / (CAST(na AS DOUBLE) - 1.0)
+                + tb * tb / (CAST(nb AS DOUBLE) - 1.0))
+             * 1000) AS BIGINT)
+      END AS df_e3
+    FROM s
+    """,
+    doc="Brunner-Munzel test: do URGENT orders carry stochastically "
+    "larger totals than LOW-priority ones WITHOUT mwu_priority_price's "
+    "equal-shape assumption (ops.stats.brunner_munzel) - the "
+    "rank-world Welch: studentized P(A<B)+P(A=B)/2 estimate with "
+    "Welch-Satterthwaite df, the textbook replacement when the arms "
+    "differ in spread. Same value-grain substrate as MWU (one "
+    "two-column exclusive prefix via global_running_sum), all rank "
+    "moments exact 2x-scaled BIGINT/DECIMAL sums (ties collapse per "
+    "value), statistic and df one flat float expression floored to "
+    "micros/millis.",
+)
+def brunner_munzel_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import brunner_munzel
+
+    return brunner_munzel(
+        t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority",
+        "1-URGENT", "5-LOW",
+    )
+
+
+@register(
     "youden_j_orderstatus",
     oracle="""
     WITH g AS (

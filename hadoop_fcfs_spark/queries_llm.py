@@ -5698,6 +5698,63 @@ def herdan_c_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hapax_richness_tokens",
+    oracle="""
+    WITH tf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+             CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dis
+      FROM tf
+    ),
+    q AS (
+      SELECT *, CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE)) * 1000000)
+               AS BIGINT) AS lnn
+      FROM m
+    )
+    SELECT vocab_size, n_tokens, n_hapax, n_dis,
+           CASE WHEN n_tokens > 1 AND vocab_size > n_hapax THEN
+             CAST(CAST(lnn AS HUGEINT) * vocab_size
+                  // (10 * (vocab_size - n_hapax)) AS BIGINT)
+           END AS honore_r_e3,
+           CASE WHEN vocab_size > 0 THEN
+             CAST(n_dis * 1000000 // vocab_size AS BIGINT)
+           END AS sichel_s_e6
+    FROM q
+    """,
+    doc="Honore's R and Sichel's S over the corpus token-frequency "
+    "table (llm.textan.hapax_richness) - the rare-word legs of the "
+    "lexical tier: R = 100 ln N / (1 - V1/V) grows with the "
+    "hapax-legomena share (boilerplate reads low), S = V2/V is the "
+    "dis-legomena proportion the stylometry literature treats as a "
+    "near-constant for natural prose (~0.03-0.05), so drift flags "
+    "synthetic or over-deduplicated text. V1/V2 are exactly "
+    "good_turing's N1/N2 counts; ln N floor-micro quantizes "
+    "immediately (the heaps/herdan trick) and both ratios are one "
+    "flooring BIGINT division on nonnegative operands; ONE "
+    "map-side-combinable aggregation over the wordcount grain, no "
+    "joins.",
+)
+def hapax_richness_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import hapax_richness
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = toks.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+    return hapax_richness(tf, "w", "n")
+
+
+@register(
     "token_entropy",
     oracle="""
     WITH tf AS (

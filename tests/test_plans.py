@@ -1672,6 +1672,46 @@ def test_lexical_scalars_single_agg_no_join(spark):
             assert j not in plan, (name, j)
 
 
+def test_nelson_rules_grain_windows_no_joins(spark):
+    """nelson_rules_daily_returns (r11): day grain map-side combined,
+    then GRAIN-bounded summary windows only (the kaplan_meier
+    precedent — calendar days, never events); rules 3/4 need no center
+    line, so NO join operator of any kind may appear (unlike
+    run_rules' broadcast pooled scalar)."""
+    plan = _plan(Q["nelson_rules_daily_returns"].spark_fn(spark, SF_ORACLE))
+    assert "partial_count" in plan or "partial_sum" in plan
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan, j
+
+
+def test_brunner_munzel_one_prefix_broadcast_only(spark):
+    """brunner_munzel_price (r11): the MWU substrate — value-grain
+    collapse map-side combined, ONE distinct range exchange (the
+    two-column exclusive prefix), arm totals broadcast back over the
+    grain; no shuffled or cartesian join anywhere."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()
+    plan = _plan(Q["brunner_munzel_price"].spark_fn(spark, SF_ORACLE))
+    assert "partial_sum" in plan
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals cross
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    release_waypoints()
+
+
+def test_hapax_richness_single_agg_no_join(spark):
+    """hapax_richness_tokens (r11): like the other lexical scalars,
+    ONE map-side-combinable aggregation over the wordcount grain
+    collapsing to a 1-row scalar — no join operator of any kind."""
+    plan = _plan(Q["hapax_richness_tokens"].spark_fn(spark, SF_ORACLE))
+    assert "partial_sum" in plan
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan, j
+
+
 def test_blob_column_pruned_for_metadata_only_reads(spark, tmp_path):
     """The multimodal scale contract (llm/multimodal.py module doc):
     metadata-only transforms must let the scan prune the binary payload

@@ -1119,3 +1119,261 @@ def test_youden_j_property_matches_enumeration(spark, pairs):
             best, best_v = jv, v
     assert r["j_e6"] == best and r["threshold"] == best_v
     assert -1_000_000 <= best <= 1_000_000
+
+
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(-50, 50),  # grid index (negatives pin the
+            st.integers(1, 12),    # truncating-cast chunk adjacency)
+            st.integers(0, 12),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda c: c[0],
+    ).filter(lambda cs: all(x <= n for _, n, x in cs)),
+    window=st.sampled_from([1, 3, 20, 40]),
+)
+@settings(max_examples=8, deadline=None)
+def test_ewma_chart_matches_python_replay_property(spark, cells, window):
+    """ewma_chart (r10) vs a pure-Python replay of the exact dyadic
+    closed form on arbitrary sparse integer grids — negative indices,
+    gap days (truncated + gap mass to p̄), window = 1/40 extremes; the
+    EWMA band join's chunked adjacency has the most edge surface of
+    the r10 ops (r10 verdict item 6). Analytic bound: ewma_e6 sits
+    between min(rates ∪ {p̄}) − 1 and max(rates ∪ {p̄})."""
+    from hadoop_fcfs_spark.ops.stats import ewma_chart
+
+    rows = []
+    for idx, n, x in cells:
+        rows.extend((idx, i < x) for i in range(n))
+    df = spark.createDataFrame(rows, "idx long, defect boolean")
+    out = {
+        r["n_idx"]: r
+        for r in ewma_chart(
+            df, "idx", F.col("defect"), idx_alias="n_idx",
+            window=window, h_e6=50_000,
+        ).collect()
+    }
+    tn = sum(n for _, n, _ in cells)
+    tx = sum(x for _, _, x in cells)
+    pbar = tx * 1_000_000 // tn
+    rate = {idx: x * 1_000_000 // n for idx, n, x in cells}
+    full = 1 << window
+    assert set(out) == set(rate)
+    lo = min(min(rate.values()), pbar) - 1
+    hi = max(max(rate.values()), pbar)
+    for idx, n, x in cells:
+        wsum = wtot = 0
+        for j, rj in rate.items():
+            if idx - window < j <= idx:
+                wgt = 1 << (window - 1 - (idx - j))
+                wsum += rj * wgt
+                wtot += wgt
+        want = (wsum + (full - wtot) * pbar) // full
+        got = out[idx]
+        assert got["n"] == n and got["x"] == x and got["rate_e6"] == rate[idx]
+        assert got["ewma_e6"] == want, (idx, window, got["ewma_e6"], want)
+        assert got["alarm_up"] == (want > pbar + 50_000)
+        assert got["alarm_dn"] == (want < pbar - 50_000)
+        assert lo <= want <= hi
+
+
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(1, 10), st.integers(0, 10)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda cs: all(x <= n for n, x in cs)),
+    min_run=st.sampled_from([2, 3, 9]),
+)
+@settings(max_examples=8, deadline=None)
+def test_run_rules_matches_python_replay_property(spark, cells, min_run):
+    """run_rules (r10) vs a pure-Python sequential replay of the WE
+    rule-2 island semantics on arbitrary rate sequences (r10 verdict
+    item 6): side on exact flooring micro-rates, center-line points
+    side 0 breaking runs, every point of a qualifying island flagged."""
+    from hadoop_fcfs_spark.ops.stats import run_rules
+
+    rows = []
+    for g, (n, x) in enumerate(cells):
+        rows.extend((g, i < x) for i in range(n))
+    df = spark.createDataFrame(rows, "g long, defect boolean")
+    out = {
+        r["grain"]: r
+        for r in run_rules(
+            df, "g", F.col("defect"), group_alias="grain", min_run=min_run
+        ).collect()
+    }
+    tn = sum(n for n, _ in cells)
+    tx = sum(x for _, x in cells)
+    pbar = tx * 1_000_000 // tn
+    rate = [x * 1_000_000 // n for n, x in cells]
+    side = [1 if r > pbar else -1 if r < pbar else 0 for r in rate]
+    # sequential islands: maximal runs of equal side
+    run_len = [0] * len(cells)
+    i = 0
+    while i < len(cells):
+        j = i
+        while j < len(cells) and side[j] == side[i]:
+            j += 1
+        for k in range(i, j):
+            run_len[k] = j - i
+        i = j
+    for g, (n, x) in enumerate(cells):
+        r = out[g]
+        assert (r["n"], r["x"], r["rate_e6"]) == (n, x, rate[g])
+        assert r["side"] == side[g]
+        assert r["run_len"] == run_len[g], (g, r["run_len"], run_len[g])
+        assert r["rule2"] == (side[g] != 0 and run_len[g] >= min_run)
+
+
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(1, 10), st.integers(0, 10)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda cs: all(x <= n for n, x in cs)),
+)
+@settings(max_examples=8, deadline=None)
+def test_nelson_rules_match_python_replay_property(spark, cells):
+    """nelson_rules (r11) vs a pure-Python sequential replay: direction
+    = sign of the micro-rate delta (first point NULL, equal rates 0 and
+    breaking both patterns), trend_len/alt_len the consecutive
+    qualifying diffs ending at each point, rules firing at every
+    completing point (diff-run ≥ min−1)."""
+    from hadoop_fcfs_spark.ops.stats import nelson_rules
+
+    rows = []
+    for g, (n, x) in enumerate(cells):
+        rows.extend((g, i < x) for i in range(n))
+    df = spark.createDataFrame(rows, "g long, defect boolean")
+    out = {
+        r["grain"]: r
+        for r in nelson_rules(
+            df, "g", F.col("defect"), group_alias="grain",
+            min_trend=3, min_alt=4,
+        ).collect()
+    }
+    rate = [x * 1_000_000 // n for n, x in cells]
+    k = len(cells)
+    d = [None] + [
+        (rate[i] > rate[i - 1]) - (rate[i] < rate[i - 1])
+        for i in range(1, k)
+    ]
+    tl, al = [0] * k, [0] * k
+    for i in range(k):
+        if d[i] in (None, 0):
+            continue
+        tl[i] = tl[i - 1] + 1 if (i > 0 and d[i - 1] == d[i]) else 1
+        al[i] = (
+            al[i - 1] + 1
+            if (i > 0 and d[i - 1] not in (None, 0) and d[i - 1] == -d[i])
+            else 1
+        )
+    for g in range(k):
+        r = out[g]
+        assert r["rate_e6"] == rate[g]
+        assert r["direction"] == d[g]
+        assert r["trend_len"] == tl[g], (g, r["trend_len"], tl[g])
+        assert r["alt_len"] == al[g], (g, r["alt_len"], al[g])
+        assert r["rule3"] == (tl[g] >= 2)
+        assert r["rule4"] == (al[g] >= 3)
+
+
+@given(
+    xs=st.lists(st.integers(0, 6), min_size=0, max_size=15),
+    ys=st.lists(st.integers(0, 6), min_size=0, max_size=15),
+)
+@settings(max_examples=8, deadline=None)
+def test_brunner_munzel_matches_python_replay_property(spark, xs, ys):
+    """brunner_munzel (r11) vs a pure-Python replay of the Brunner &
+    Munzel (2000) statistic on arbitrary tied integer samples: pooled
+    and within midranks, rank variances, studentized W and
+    Welch–Satterthwaite df, plus the NULL contracts (arm < 2 rows, all
+    rank variances 0) and p̂ ∈ [0, 1e6]."""
+    import collections
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import brunner_munzel
+
+    rows = [("A", float(v)) for v in xs] + [("B", float(v)) for v in ys]
+    if not rows:
+        rows = [("C", 0.0)]  # neither arm: empty-input contract
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = brunner_munzel(df, "v", "g", "A", "B").collect()[0]
+    na, nb = len(xs), len(ys)
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+
+    def midranks(vals, pool):
+        cnt = collections.Counter(pool)
+        mr, c = {}, 0
+        for v in sorted(cnt):
+            mr[v] = c + (cnt[v] + 1) / 2
+            c += cnt[v]
+        return [mr[v] for v in vals]
+
+    if na == 0 or nb == 0:
+        assert r["phat_e6"] is None and r["w_e6"] is None
+        return
+    pool = xs + ys
+    rcx, rcy = midranks(xs, pool), midranks(ys, pool)
+    my = sum(rcy) / nb
+    # exact-integer p̂ replay on the 2x midrank scale (a float replay
+    # floors the wrong way when p̂ lands exactly on a micro multiple)
+    r2b = round(2 * sum(rcy))
+    assert r["phat_e6"] == (r2b - nb * (nb + 1)) * 1_000_000 // (
+        2 * na * nb
+    )
+    assert 0 <= r["phat_e6"] <= 1_000_000
+    rx, ry = midranks(xs, xs), midranks(ys, ys)
+    mx = sum(rcx) / na
+    if na < 2 or nb < 2:
+        assert r["w_e6"] is None and r["df_e3"] is None
+        return
+    sx = sum(
+        (rcx[i] - rx[i] - mx + (na + 1) / 2) ** 2 for i in range(na)
+    ) / (na - 1)
+    sy = sum(
+        (rcy[i] - ry[i] - my + (nb + 1) / 2) ** 2 for i in range(nb)
+    ) / (nb - 1)
+    if sx == 0 and sy == 0:
+        assert r["w_e6"] is None and r["df_e3"] is None
+        return
+    w = na * nb * (my - mx) / ((na + nb) * math.sqrt(na * sx + nb * sy))
+    dfree = (na * sx + nb * sy) ** 2 / (
+        (na * sx) ** 2 / (na - 1) + (nb * sy) ** 2 / (nb - 1)
+    )
+    # float replay vs the exact-integer route: allow 1 ulp of flooring
+    assert abs(r["w_e6"] - math.floor(w * 1e6)) <= 1, (r["w_e6"], w)
+    assert abs(r["df_e3"] - math.floor(dfree * 1e3)) <= 1
+
+
+@given(
+    counts=st.lists(st.integers(1, 40), min_size=1, max_size=25),
+)
+@settings(max_examples=8, deadline=None)
+def test_hapax_richness_matches_python_replay_property(spark, counts):
+    """hapax_richness (r11) vs the exact integer formulas on arbitrary
+    frequency tables, plus the NULL contracts (all-hapax R, N ≤ 1) and
+    the analytic ranges S ∈ [0, 1e6], R > 0 when defined."""
+    import math
+
+    from hadoop_fcfs_spark.llm.textan import hapax_richness
+
+    tf = spark.createDataFrame(
+        [("w%d" % i, c) for i, c in enumerate(counts)], "w string, n long"
+    )
+    r = hapax_richness(tf, "w", "n").collect()[0]
+    v, n = len(counts), sum(counts)
+    v1 = sum(1 for c in counts if c == 1)
+    v2 = sum(1 for c in counts if c == 2)
+    assert (r["vocab_size"], r["n_tokens"]) == (v, n)
+    assert (r["n_hapax"], r["n_dis"]) == (v1, v2)
+    assert r["sichel_s_e6"] == v2 * 1_000_000 // v
+    assert 0 <= r["sichel_s_e6"] <= 1_000_000
+    if n <= 1 or v1 == v:
+        assert r["honore_r_e3"] is None
+    else:
+        want = math.floor(math.log(n) * 1e6) * v // (10 * (v - v1))
+        assert r["honore_r_e3"] == want and want >= 0
