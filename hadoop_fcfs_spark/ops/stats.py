@@ -4915,6 +4915,102 @@ def nelson_rules(
     )
 
 
+def zone_rules(
+    df: DataFrame,
+    group_col: Column | str,
+    defect_cond: Column,
+    group_alias: str = "grain",
+) -> DataFrame:
+    """Nelson rules 5–8 (the Western Electric ZONE tests) over an
+    ordered proportion grain — completing the Nelson 1–8 battery on
+    one grain (:func:`p_chart` is rule 1, :func:`run_rules` rule 2,
+    :func:`nelson_rules` rules 3/4): rule 5 = 2 of 3 consecutive
+    points beyond 2σ on the same side, rule 6 = 4 of 5 beyond 1σ on
+    the same side, rule 7 = 15 consecutive WITHIN 1σ (stratification —
+    the too-good-to-be-true signature: subgroup mixing or a gamed
+    metric), rule 8 = 8 consecutive beyond 1σ with none within
+    (bimodality / two interleaved streams). Each rule fires AT every
+    point completing its pattern — the same pure-prefix contract as
+    :func:`nelson_rules`.
+
+    Arithmetic (the p_chart discipline): counts and rate_e6 are exact
+    BIGINTs; each cell's zone boundaries p̄ ± k·σ_i with σ_i =
+    √(p̄(1−p̄)/n_i) need one sqrt, so zone flags compare the exact
+    rate against floats built from single-rounded IEEE ops on exact
+    integer inputs — cross-engine deterministic (the wilson-bounds
+    precedent). Variable per-cell n gives each point its own zone
+    widths — the textbook attribute-chart form, not the constant-n
+    approximation.
+
+    Scale shape: one map-side-combinable grain aggregation, one
+    broadcast pooled scalar, then GRAIN-bounded ROLLING windows only
+    (3/5/8/15 rows over calendar days — the kaplan_meier precedent;
+    never events). Output per grain cell: grain, n, x, rate_e6,
+    beyond1, beyond2 (−1/0/+1 zone sides), within1, rule5, rule6,
+    rule7, rule8."""
+    from pyspark.sql import Window
+
+    gc = F.col(group_col) if isinstance(group_col, str) else group_col
+    grain = df.groupBy(gc.alias(group_alias)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(defect_cond, 1).otherwise(0)).cast("long").alias("x"),
+    )
+    pooled = grain.agg(
+        F.sum("n").cast("long").alias("__tn"),
+        F.sum("x").cast("long").alias("__tx"),
+    )
+    out = grain.crossJoin(F.broadcast(pooled))
+    pbar = F.col("__tx").cast("double") / F.col("__tn").cast("double")
+    sig = F.sqrt(pbar * (F.lit(1.0) - pbar) / F.col("n").cast("double"))
+    rate = F.col("x").cast("double") / F.col("n").cast("double")
+    zoned = out.select(
+        group_alias, "n", "x",
+        F.expr("CAST(x * 1000000 div n AS BIGINT)").alias("rate_e6"),
+        F.when(rate > pbar + 2.0 * sig, 1)
+        .when(rate < pbar - 2.0 * sig, -1)
+        .otherwise(0).cast("int").alias("beyond2"),
+        F.when(rate > pbar + sig, 1)
+        .when(rate < pbar - sig, -1)
+        .otherwise(0).cast("int").alias("beyond1"),
+    ).withColumn("within1", F.col("beyond1") == 0)
+
+    def last(k: int):
+        # grain-bounded rolling windows (kaplan_meier precedent)
+        return Window.orderBy(group_alias).rowsBetween(-(k - 1), 0)
+
+    def side_count(col: str, side: int, k: int) -> Column:
+        return F.sum(
+            F.when(F.col(col) == side, 1).otherwise(0)
+        ).over(last(k))
+
+    rn = F.row_number().over(Window.orderBy(group_alias))
+    return zoned.select(
+        group_alias, "n", "x", "rate_e6", "beyond1", "beyond2", "within1",
+        (
+            (side_count("beyond2", 1, 3) >= 2)
+            | (side_count("beyond2", -1, 3) >= 2)
+        ).alias("rule5"),
+        (
+            (side_count("beyond1", 1, 5) >= 4)
+            | (side_count("beyond1", -1, 5) >= 4)
+        ).alias("rule6"),
+        (
+            (rn >= 15)
+            & (
+                F.sum(F.when(F.col("within1"), 1).otherwise(0)).over(last(15))
+                == 15
+            )
+        ).alias("rule7"),
+        (
+            (rn >= 8)
+            & (
+                F.sum(F.when(F.col("within1"), 0).otherwise(1)).over(last(8))
+                == 8
+            )
+        ).alias("rule8"),
+    )
+
+
 def pr_auc(
     df: DataFrame, score_col: str, label_col: Column | str
 ) -> DataFrame:

@@ -6345,6 +6345,88 @@ def nelson_rules_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zone_rules_daily_returns",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS grain,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS tn, SUM(x) AS tx FROM g),
+    z AS (
+      SELECT grain, n, x, x * 1000000 // n AS rate_e6,
+        CASE WHEN CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                  > CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE)
+                    + 2.0 * sqrt(CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE)
+                      * (1.0 - CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+                      / CAST(n AS DOUBLE)) THEN 1
+             WHEN CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                  < CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE)
+                    - 2.0 * sqrt(CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE)
+                      * (1.0 - CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+                      / CAST(n AS DOUBLE)) THEN -1
+             ELSE 0 END AS beyond2,
+        CASE WHEN CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                  > CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE)
+                    + sqrt(CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE)
+                      * (1.0 - CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+                      / CAST(n AS DOUBLE)) THEN 1
+             WHEN CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                  < CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE)
+                    - sqrt(CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE)
+                      * (1.0 - CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+                      / CAST(n AS DOUBLE)) THEN -1
+             ELSE 0 END AS beyond1
+      FROM g CROSS JOIN tot
+    )
+    SELECT grain, n, x, rate_e6, beyond1, beyond2,
+      beyond1 = 0 AS within1,
+      SUM(CASE WHEN beyond2 = 1 THEN 1 ELSE 0 END) OVER w3 >= 2
+        OR SUM(CASE WHEN beyond2 = -1 THEN 1 ELSE 0 END) OVER w3 >= 2
+        AS rule5,
+      SUM(CASE WHEN beyond1 = 1 THEN 1 ELSE 0 END) OVER w5 >= 4
+        OR SUM(CASE WHEN beyond1 = -1 THEN 1 ELSE 0 END) OVER w5 >= 4
+        AS rule6,
+      ROW_NUMBER() OVER (ORDER BY grain) >= 15
+        AND SUM(CASE WHEN beyond1 = 0 THEN 1 ELSE 0 END) OVER w15 = 15
+        AS rule7,
+      ROW_NUMBER() OVER (ORDER BY grain) >= 8
+        AND SUM(CASE WHEN beyond1 = 0 THEN 0 ELSE 1 END) OVER w8 = 8
+        AS rule8
+    FROM z
+    WINDOW
+      w3 AS (ORDER BY grain ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      w5 AS (ORDER BY grain ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+      w8 AS (ORDER BY grain ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+      w15 AS (ORDER BY grain ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Nelson rules 5-8 (the Western Electric zone tests) over the "
+    "daily return-rate series (ops.stats.zone_rules) - COMPLETING the "
+    "Nelson 1-8 battery on this grain (p_chart = rule 1, run_rules = "
+    "rule 2, nelson_rules = rules 3/4): rule 5 = 2 of 3 beyond "
+    "2-sigma same side, rule 6 = 4 of 5 beyond 1-sigma same side, "
+    "rule 7 = 15 within 1-sigma (stratification / gamed metric), "
+    "rule 8 = 8 with none within (bimodality). Per-cell zone widths "
+    "from the variable-n attribute-chart form; zone flags compare "
+    "exact integer counts against single-rounded IEEE floats (the "
+    "p_chart/wilson discipline); rolling 3/5/8/15-row windows over "
+    "the calendar-bounded day grain only.",
+)
+def zone_rules_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import zone_rules
+
+    li = t(spark, sf_dir, "lineitem")
+    return zone_rules(
+        li,
+        F.to_date("l_shipdate").cast("string"),
+        F.col("l_returnflag") == "R",
+        group_alias="grain",
+    )
+
+
+@register(
     "brunner_munzel_price",
     oracle="""
     WITH g AS (

@@ -1685,6 +1685,19 @@ def test_nelson_rules_grain_windows_no_joins(spark):
         assert j not in plan, j
 
 
+def test_zone_rules_grain_windows_broadcast_scalar_only(spark):
+    """zone_rules_daily_returns (r11): day grain map-side combined, the
+    pooled scalar joins back as a broadcast 1-row cross (the p_chart
+    shape), then GRAIN-bounded rolling windows only — no shuffled or
+    cartesian join, no range exchange (zone tests need no global row
+    number)."""
+    plan = _plan(Q["zone_rules_daily_returns"].spark_fn(spark, SF_ORACLE))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row pooled scalar
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_brunner_munzel_one_prefix_broadcast_only(spark):
     """brunner_munzel_price (r11): the MWU substrate — value-grain
     collapse map-side combined, ONE distinct range exchange (the

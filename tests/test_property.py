@@ -1377,3 +1377,56 @@ def test_hapax_richness_matches_python_replay_property(spark, counts):
     else:
         want = math.floor(math.log(n) * 1e6) * v // (10 * (v - v1))
         assert r["honore_r_e3"] == want and want >= 0
+
+
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(1, 10), st.integers(0, 10)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda cs: all(x <= n for n, x in cs)),
+)
+@settings(max_examples=8, deadline=None)
+def test_zone_rules_match_python_replay_property(spark, cells):
+    """zone_rules (r11) vs a pure-Python sequential replay of the
+    Nelson 5–8 zone tests: per-cell variable-n zone widths from the
+    float pooled rate, rolling 3/5/8/15-point windows, rules firing at
+    every completing point."""
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import zone_rules
+
+    rows = []
+    for g, (n, x) in enumerate(cells):
+        rows.extend((g, i < x) for i in range(n))
+    df = spark.createDataFrame(rows, "g long, defect boolean")
+    out = {
+        r["grain"]: r
+        for r in zone_rules(
+            df, "g", F.col("defect"), group_alias="grain"
+        ).collect()
+    }
+    tn = sum(n for n, _ in cells)
+    tx = sum(x for _, x in cells)
+    pbar = tx / tn
+    b1, b2 = [], []
+    for n, x in cells:
+        sig = math.sqrt(pbar * (1.0 - pbar) / n)
+        r = x / n
+        b2.append(1 if r > pbar + 2.0 * sig else -1 if r < pbar - 2.0 * sig else 0)
+        b1.append(1 if r > pbar + sig else -1 if r < pbar - sig else 0)
+    k = len(cells)
+    for g, (n, x) in enumerate(cells):
+        r = out[g]
+        assert (r["n"], r["x"]) == (n, x)
+        assert r["rate_e6"] == x * 1_000_000 // n
+        assert r["beyond1"] == b1[g] and r["beyond2"] == b2[g]
+        assert r["within1"] == (b1[g] == 0)
+        w3 = b2[max(0, g - 2) : g + 1]
+        w5 = b1[max(0, g - 4) : g + 1]
+        w8 = b1[max(0, g - 7) : g + 1]
+        w15 = b1[max(0, g - 14) : g + 1]
+        assert r["rule5"] == (w3.count(1) >= 2 or w3.count(-1) >= 2)
+        assert r["rule6"] == (w5.count(1) >= 4 or w5.count(-1) >= 4)
+        assert r["rule7"] == (g >= 14 and w15.count(0) == 15)
+        assert r["rule8"] == (g >= 7 and w8.count(0) == 0)
