@@ -178,6 +178,93 @@ def stream_ewma_monitor(
     )
 
 
+def stream_nelson_monitor(
+    stream_df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    rate_col: str,
+    min_trend: int = 6,
+    min_alt: int = 14,
+):
+    """Live Nelson rules 3/4 monitor — the streaming twin of
+    ``ops.stats.nelson_rules`` and the fifth live-engine bridge:
+    per-key state carries (last_rate, last_dir, trend_len, alt_len) —
+    four longs, fixed width — and each arriving grain row advances the
+    EXACT integer recursion the batch replay pins: direction =
+    sign(rate − last_rate), trend_len extends on an equal nonzero
+    direction, alt_len on an opposite one, both reset to 1 on any
+    other nonzero diff and to 0 on a tie. Unlike the EWMA bridge
+    (float recursion, kernel-truncation bound) everything here is
+    integer-exact, so on an in-order grain replay the live monitor
+    matches the batch operator's direction/trend_len/alt_len/rule3/
+    rule4 EXACTLY — the bridge test pins equality, not a bound.
+
+    Input rows must be the GRAIN (one row per key per index, e.g.
+    day → micro-rate) in per-key index order across micro-batches;
+    rows are sorted by index within each batch (the stream_ewma /
+    debounce arrival caveat). last_dir uses −2 as the
+    "no previous diff" sentinel in the state store. Emits (key, idx,
+    rate, direction, trend_len, alt_len, rule3, rule4); write with
+    outputMode('append')."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        last_rate, last_dir, tl, al = (
+            state.get if state.exists else (None, -2, 0, 0)
+        )
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(i), int(r))
+                for i, r in zip(pdf[idx_col], pdf[rate_col])
+            )
+        out = {k: [] for k in
+               ("idx", "rate", "direction", "trend_len", "alt_len")}
+        for i, r in sorted(rows):
+            if last_rate is None:
+                d = None
+                tl = al = 0
+            else:
+                d = (r > last_rate) - (r < last_rate)
+                if d == 0:
+                    tl = al = 0
+                else:
+                    tl = tl + 1 if last_dir == d else 1
+                    al = al + 1 if last_dir == -d else 1
+            last_rate, last_dir = r, (-2 if d is None else d)
+            out["idx"].append(i)
+            out["rate"].append(r)
+            out["direction"].append(d)
+            out["trend_len"].append(tl)
+            out["alt_len"].append(al)
+        if rows:
+            state.update((last_rate, last_dir, tl, al))
+        if out["idx"]:
+            yield pd.DataFrame({
+                key_col: key[0],
+                idx_col: out["idx"],
+                rate_col: out["rate"],
+                "direction": pd.array(out["direction"], dtype="Int32"),
+                "trend_len": out["trend_len"],
+                "alt_len": out["alt_len"],
+                "rule3": [v >= min_trend - 1 for v in out["trend_len"]],
+                "rule4": [v >= min_alt - 1 for v in out["alt_len"]],
+            })
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} string, {idx_col} long, {rate_col} long, "
+            "direction int, trend_len long, alt_len long, "
+            "rule3 boolean, rule4 boolean"
+        ),
+        stateStructType=(
+            "last_rate long, last_dir long, trend_len long, alt_len long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_inactivity_sessions(
     stream_df: DataFrame,
     key_col: str,

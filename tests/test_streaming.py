@@ -1025,6 +1025,83 @@ def test_stream_ewma_monitor_tracks_batch_chart(spark, tmp_path):
             assert live[d]["alarm_dn"] == chart[d]["alarm_dn"], d
 
 
+def test_stream_nelson_monitor_matches_batch_exactly(spark, tmp_path):
+    """stream_nelson_monitor bridge (r11, fifth live bridge): on an
+    in-order day-grain replay the live integer recursion must match
+    ops.stats.nelson_rules EXACTLY — direction, trend_len, alt_len,
+    rule3, rule4 on every day, across a micro-batch split placed
+    mid-series (the four-long state is load-bearing). No tolerance:
+    unlike the EWMA bridge, both sides are exact integer arithmetic."""
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import nelson_rules
+    from hadoop_fcfs_spark.streaming.stateful import stream_nelson_monitor
+
+    rng = random.Random(47)
+    days = sorted(rng.sample(range(100, 200), 60))
+    raw = []
+    for d in days:
+        n = rng.randint(4, 12)
+        x = rng.randint(0, 4)  # small range -> plenty of ties and runs
+        raw += [(d, i < min(x, n)) for i in range(n)]
+    batch = spark.createDataFrame(raw, "d long, bad boolean")
+    chart = {
+        r["grain"]: r
+        for r in nelson_rules(
+            batch, "d", F.col("bad"), group_alias="grain",
+            min_trend=3, min_alt=4,  # small thresholds -> rules do fire
+        ).collect()
+    }
+    assert any(r["rule3"] for r in chart.values()) or any(
+        r["rule4"] for r in chart.values()
+    ), "degenerate fixture: no rule ever fires"
+
+    per_day = {}
+    for d, bad in raw:
+        n, x = per_day.get(d, (0, 0))
+        per_day[d] = (n + 1, x + (1 if bad else 0))
+    grain_rows = [
+        ("s", d, per_day[d][1] * 1_000_000 // per_day[d][0]) for d in days
+    ]
+    src = str(tmp_path / "nelson_src")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "k string, d long, rate long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    split = len(grain_rows) // 2
+    write(grain_rows[:split])
+    stream = spark.readStream.schema("k string, d long, rate long").parquet(src)
+    mon = stream_nelson_monitor(
+        stream, "k", "d", "rate", min_trend=3, min_alt=4
+    )
+    q = (
+        mon.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("nelson_mon")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(grain_rows[split:])
+        q.processAllAvailable()
+        live = {
+            r["d"]: r for r in spark.sql("SELECT * FROM nelson_mon").collect()
+        }
+    finally:
+        q.stop()
+
+    assert sorted(live) == days
+    for d in days:
+        lv, bt = live[d], chart[d]
+        assert lv["rate"] == bt["rate_e6"], d
+        assert lv["direction"] == bt["direction"], d
+        assert lv["trend_len"] == bt["trend_len"], d
+        assert lv["alt_len"] == bt["alt_len"], d
+        assert lv["rule3"] == bt["rule3"] and lv["rule4"] == bt["rule4"], d
+
+
 def test_dedup_audit_engine_exact_variant(spark):
     """The engine-exact (first-anchored) audit: matches the ENGINE's
     verdicts on the discriminating chain where the refresh-anchored
