@@ -1233,6 +1233,52 @@ def hapax_richness(
     )
 
 
+def ttr_family(tf: DataFrame, term_col: str, count_col: str) -> DataFrame:
+    """Guiraud's R and Maas a² over a term-frequency table — the
+    length-CORRECTED type-token ratios completing the TTR family
+    (:func:`herdan_c` is the log ratio; these are the two corrections
+    the lexical-diversity literature quotes when comparing corpora of
+    different sizes): R = V/√N (Guiraud 1954 — root-TTR, stable where
+    raw TTR collapses ∝ 1/N) and a² = (ln N − ln V)/ln²N (Maas 1972 —
+    the most length-invariant of the classical family; LOW a² = rich
+    vocabulary, and unlike R it is bounded and dimensionless).
+
+    Exactness: √N floor-micro quantizes immediately (sqrt is
+    correctly-rounded IEEE, the wilson/p_chart discipline), so
+    guiraud_r_e3 = V·10⁹ div ⌊√N·1e6⌋ is one flooring BIGINT division;
+    both logs floor-micro quantize (the heaps/herdan trick) and
+    maas_a2_e6 = (⌊ln N·1e6⌋ − ⌊ln V·1e6⌋)·1e6 div (⌊ln N·1e6⌋² div
+    1e6) keeps every operand a nonnegative BIGINT (V ≤ N ⇒ ln V ≤
+    ln N). NULL a² when N ≤ 1 (ln N = 0). Scale shape: ONE
+    map-side-combinable aggregation over the term-frequency grain —
+    no joins, no windows. Output: 1 row (vocab_size, n_tokens,
+    guiraud_r_e3, maas_a2_e6)."""
+    cnt = F.col(count_col)
+    m = tf.agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum(cnt).cast("long").alias("n_tokens"),
+    )
+    q = m.select(
+        "vocab_size", "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000)
+        .cast("long").alias("__sq"),
+        F.floor(F.log(F.col("n_tokens").cast("double")) * 1_000_000)
+        .cast("long").alias("__ln"),
+        F.floor(F.log(F.col("vocab_size").cast("double")) * 1_000_000)
+        .cast("long").alias("__lv"),
+    )
+    return q.selectExpr(
+        "vocab_size", "n_tokens",
+        "CASE WHEN n_tokens > 0 THEN "
+        "CAST(CAST(vocab_size AS DECIMAL(38,0)) * 1000000000 div __sq "
+        "AS BIGINT) END AS guiraud_r_e3",
+        "CASE WHEN n_tokens > 1 THEN "
+        "CAST((__ln - __lv) * 1000000 div "
+        "(CAST(__ln AS DECIMAL(38,0)) * __ln div 1000000) AS BIGINT) "
+        "END AS maas_a2_e6",
+    )
+
+
 def token_entropy(tf: DataFrame, term_col: str, count_col: str) -> DataFrame:
     """Shannon entropy of the token distribution (nats) plus its
     normalized form ("efficiency", H / ln V ∈ [0, 1]) over a

@@ -5011,6 +5011,65 @@ def zone_rules(
     )
 
 
+def durbin_watson(
+    df: DataFrame,
+    group_col: Column | str,
+    defect_cond: Column,
+    group_alias: str = "grain",
+) -> DataFrame:
+    """Durbin–Watson statistic over an ordered proportion grain: DW =
+    Σ(r_t − r_{t−1})² / Σ(r_t − r̄)² — the serial-correlation companion
+    to the Nelson battery (the run/zone rules FLAG autocorrelation
+    patterns; DW QUANTIFIES lag-1 dependence: DW ≈ 2 for independence,
+    → 0 under positive serial correlation — the drifting-process
+    signature — and → 4 under negative, the overcorrection signature
+    rule 4 hunts). The classic regression-residual form with the mean
+    as the fitted model.
+
+    Exactness: rates floor to micros off exact BIGINT grain counts;
+    the numerator Σ(Δr)² sums squared integer deltas and the
+    denominator clears its mean via the moment identity k·Σ(r−r̄)² =
+    k·Σr² − (Σr)², so dw_e6 = k·num·1e6 div (k·Σr² − (Σr)²) is ONE
+    flooring DECIMAL(38,0) division on nonnegative operands —
+    engine- and order-exact, no float anywhere. NULL when k < 2 or
+    all rates are equal (zero variance — DW undefined).
+
+    Scale shape: one map-side-combinable grain aggregation, one lag
+    over the GRAIN (calendar-bounded; the kaplan_meier precedent),
+    one scalar reduce. Output: 1 row (n_points, dw_e6)."""
+    from pyspark.sql import Window
+
+    gc = F.col(group_col) if isinstance(group_col, str) else group_col
+    grain = df.groupBy(gc.alias(group_alias)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(defect_cond, 1).otherwise(0)).cast("long").alias("x"),
+    ).withColumn("__r", F.expr("CAST(x * 1000000 div n AS BIGINT)"))
+    w = Window.orderBy(group_alias)
+    dec = "decimal(38,0)"
+    lagged = grain.withColumn("__pr", F.lag("__r").over(w))
+    m = lagged.agg(
+        F.count("*").cast("long").alias("__k"),
+        F.sum("__r").cast("long").alias("__s1"),
+        F.sum(F.col("__r").cast(dec) * F.col("__r")).cast(dec).alias("__s2"),
+        F.sum(
+            F.when(
+                F.col("__pr").isNotNull(),
+                (F.col("__r").cast(dec) - F.col("__pr"))
+                * (F.col("__r") - F.col("__pr")),
+            ).otherwise(F.lit(0).cast(dec))
+        ).cast(dec).alias("__num"),
+    )
+    return m.selectExpr(
+        "__k AS n_points",
+        "CASE WHEN __k > 1 AND (CAST(__k AS DECIMAL(38,0)) * __s2"
+        " - CAST(__s1 AS DECIMAL(38,0)) * __s1) > 0 THEN"
+        " CAST((CAST(__k AS DECIMAL(38,0)) * __num * 1000000)"
+        " div (CAST(__k AS DECIMAL(38,0)) * __s2"
+        " - CAST(__s1 AS DECIMAL(38,0)) * __s1) AS BIGINT)"
+        " END AS dw_e6",
+    )
+
+
 def pr_auc(
     df: DataFrame, score_col: str, label_col: Column | str
 ) -> DataFrame:

@@ -6427,6 +6427,58 @@ def zone_rules_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "durbin_watson_daily_returns",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS grain,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (SELECT grain, x * 1000000 // n AS rate FROM g),
+    d AS (
+      SELECT rate, lag(rate) OVER (ORDER BY grain) AS pr FROM r
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(rate) AS s1,
+             SUM(CAST(rate AS HUGEINT) * rate) AS s2,
+             SUM(CASE WHEN pr IS NOT NULL
+                 THEN CAST(rate - pr AS HUGEINT) * (rate - pr)
+                 ELSE 0 END) AS num
+      FROM d
+    )
+    SELECT k AS n_points,
+           CASE WHEN k > 1 AND (k * s2 - CAST(s1 AS HUGEINT) * s1) > 0 THEN
+             CAST((k * num * 1000000)
+                  // (k * s2 - CAST(s1 AS HUGEINT) * s1) AS BIGINT)
+           END AS dw_e6
+    FROM m
+    """,
+    doc="Durbin-Watson statistic over the daily return-rate series "
+    "(ops.stats.durbin_watson) - the serial-correlation companion to "
+    "the Nelson battery: the run/zone rules FLAG autocorrelation "
+    "patterns, DW quantifies lag-1 dependence (2 = independent, -> 0 "
+    "positive/drifting, -> 4 negative/overcorrecting). Numerator sums "
+    "squared integer micro-rate deltas, denominator clears the mean "
+    "via k*Sum(r^2) - (Sum r)^2, one flooring DECIMAL division - "
+    "exact BIGINT throughout, no float; one grain aggregation + one "
+    "calendar-bounded lag + a scalar reduce.",
+)
+def durbin_watson_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import durbin_watson
+
+    li = t(spark, sf_dir, "lineitem")
+    return durbin_watson(
+        li,
+        F.to_date("l_shipdate").cast("string"),
+        F.col("l_returnflag") == "R",
+        group_alias="grain",
+    )
+
+
+@register(
     "brunner_munzel_price",
     oracle="""
     WITH g AS (

@@ -5698,6 +5698,62 @@ def herdan_c_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ttr_family_tokens",
+    oracle="""
+    WITH tf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             CAST(SUM(n) AS BIGINT) AS n_tokens
+      FROM tf
+    ),
+    q AS (
+      SELECT vocab_size, n_tokens,
+             CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
+               AS BIGINT) AS sq,
+             CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE)) * 1000000)
+               AS BIGINT) AS lnn,
+             CAST(FLOOR(ln(CAST(vocab_size AS DOUBLE)) * 1000000)
+               AS BIGINT) AS lv
+      FROM m
+    )
+    SELECT vocab_size, n_tokens,
+           CASE WHEN n_tokens > 0 THEN
+             CAST(CAST(vocab_size AS HUGEINT) * 1000000000 // sq AS BIGINT)
+           END AS guiraud_r_e3,
+           CASE WHEN n_tokens > 1 THEN
+             CAST((lnn - lv) * 1000000
+                  // (CAST(lnn AS HUGEINT) * lnn // 1000000) AS BIGINT)
+           END AS maas_a2_e6
+    FROM q
+    """,
+    doc="Guiraud's R and Maas a^2 over the corpus token-frequency "
+    "table (llm.textan.ttr_family) - the length-corrected type-token "
+    "ratios completing the TTR family alongside herdan_c_tokens: "
+    "R = V/sqrt(N) (root-TTR, stable where raw TTR collapses), "
+    "a^2 = (ln N - ln V)/ln^2 N (the most length-invariant classical "
+    "correction; LOW = rich vocabulary). sqrt and ln floor-micro "
+    "quantize immediately (correctly-rounded IEEE on exact integer "
+    "inputs), both ratios one flooring BIGINT division on "
+    "nonnegative operands; ONE map-side-combinable aggregation, no "
+    "joins.",
+)
+def ttr_family_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import ttr_family
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = toks.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+    return ttr_family(tf, "w", "n")
+
+
+@register(
     "hapax_richness_tokens",
     oracle="""
     WITH tf AS (

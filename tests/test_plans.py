@@ -1698,6 +1698,29 @@ def test_zone_rules_grain_windows_broadcast_scalar_only(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_durbin_watson_grain_lag_no_joins(spark):
+    """durbin_watson_daily_returns (r11): day grain map-side combined,
+    one calendar-bounded lag window, scalar reduce — no join operator
+    of any kind (the moment identity clears the mean without a second
+    pass or broadcast)."""
+    plan = _plan(Q["durbin_watson_daily_returns"].spark_fn(spark, SF_ORACLE))
+    assert "partial_count" in plan or "partial_sum" in plan
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan, j
+
+
+def test_ttr_family_single_agg_no_join(spark):
+    """ttr_family_tokens (r11): like the other lexical scalars, ONE
+    map-side-combinable aggregation over the wordcount grain — no join
+    operator of any kind."""
+    plan = _plan(Q["ttr_family_tokens"].spark_fn(spark, SF_ORACLE))
+    assert "partial_sum" in plan
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan, j
+
+
 def test_brunner_munzel_one_prefix_broadcast_only(spark):
     """brunner_munzel_price (r11): the MWU substrate — value-grain
     collapse map-side combined, ONE distinct range exchange (the

@@ -1430,3 +1430,67 @@ def test_zone_rules_match_python_replay_property(spark, cells):
         assert r["rule6"] == (w5.count(1) >= 4 or w5.count(-1) >= 4)
         assert r["rule7"] == (g >= 14 and w15.count(0) == 15)
         assert r["rule8"] == (g >= 7 and w8.count(0) == 0)
+
+
+@given(
+    counts=st.lists(st.integers(1, 40), min_size=1, max_size=25),
+)
+@settings(max_examples=8, deadline=None)
+def test_ttr_family_matches_python_replay_property(spark, counts):
+    """ttr_family (r11) vs the exact integer formulas: Guiraud's R and
+    Maas a² with floor-micro sqrt/log quantization, nested flooring
+    replicated; a² ∈ [0, 1e6) for V ≥ 2 (ln V > 0) and a² = NULL at
+    N ≤ 1."""
+    import math
+
+    from hadoop_fcfs_spark.llm.textan import ttr_family
+
+    tf = spark.createDataFrame(
+        [("w%d" % i, c) for i, c in enumerate(counts)], "w string, n long"
+    )
+    r = ttr_family(tf, "w", "n").collect()[0]
+    v, n = len(counts), sum(counts)
+    assert (r["vocab_size"], r["n_tokens"]) == (v, n)
+    sq = math.floor(math.sqrt(n) * 1e6)
+    assert r["guiraud_r_e3"] == v * 1_000_000_000 // sq
+    if n <= 1:
+        assert r["maas_a2_e6"] is None
+    else:
+        lnn = math.floor(math.log(n) * 1e6)
+        lv = math.floor(math.log(v) * 1e6)
+        want = (lnn - lv) * 1_000_000 // (lnn * lnn // 1_000_000)
+        assert r["maas_a2_e6"] == want
+        assert 0 <= want <= 1_000_001  # micro slack from nested floors
+
+
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(1, 10), st.integers(0, 10)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda cs: all(x <= n for n, x in cs)),
+)
+@settings(max_examples=8, deadline=None)
+def test_durbin_watson_matches_python_replay_property(spark, cells):
+    """durbin_watson (r11) vs the exact integer moment identity on
+    arbitrary rate sequences, the zero-variance/k<2 NULL contract, and
+    the analytic range DW ∈ [0, 4] (+1 micro flooring slack)."""
+    from hadoop_fcfs_spark.ops.stats import durbin_watson
+
+    rows = []
+    for g, (n, x) in enumerate(cells):
+        rows.extend((g, i < x) for i in range(n))
+    df = spark.createDataFrame(rows, "g long, defect boolean")
+    r = durbin_watson(df, "g", F.col("defect"), group_alias="grain").collect()[0]
+    rate = [x * 1_000_000 // n for n, x in cells]
+    k = len(cells)
+    assert r["n_points"] == k
+    s1, s2 = sum(rate), sum(v * v for v in rate)
+    den = k * s2 - s1 * s1
+    if k < 2 or den == 0:
+        assert r["dw_e6"] is None
+        return
+    num = sum((rate[i] - rate[i - 1]) ** 2 for i in range(1, k))
+    want = k * num * 1_000_000 // den
+    assert r["dw_e6"] == want
+    assert 0 <= want <= 4_000_001
