@@ -4974,14 +4974,14 @@ def zone_rules(
         .otherwise(0).cast("int").alias("beyond1"),
     ).withColumn("within1", F.col("beyond1") == 0)
 
-    def last(k: int):
+    def zone_rolling(k: int):
         # grain-bounded rolling windows (kaplan_meier precedent)
         return Window.orderBy(group_alias).rowsBetween(-(k - 1), 0)
 
     def side_count(col: str, side: int, k: int) -> Column:
         return F.sum(
             F.when(F.col(col) == side, 1).otherwise(0)
-        ).over(last(k))
+        ).over(zone_rolling(k))
 
     rn = F.row_number().over(Window.orderBy(group_alias))
     return zoned.select(
@@ -4997,14 +4997,14 @@ def zone_rules(
         (
             (rn >= 15)
             & (
-                F.sum(F.when(F.col("within1"), 1).otherwise(0)).over(last(15))
+                F.sum(F.when(F.col("within1"), 1).otherwise(0)).over(zone_rolling(15))
                 == 15
             )
         ).alias("rule7"),
         (
             (rn >= 8)
             & (
-                F.sum(F.when(F.col("within1"), 0).otherwise(1)).over(last(8))
+                F.sum(F.when(F.col("within1"), 0).otherwise(1)).over(zone_rolling(8))
                 == 8
             )
         ).alias("rule8"),

@@ -546,6 +546,13 @@ def test_no_unallowed_unpartitioned_windows_static_sweep():
         ("queries_llm.py", "hybrid_rank_fusion"),
         # 10-row decile-summary cumulative window
         ("queries_relational.py", "lorenz_deciles"),
+        # r11 SPC/serial-correlation tier: lag/rolling/row-number
+        # windows over the calendar-bounded DAY grain (kaplan_meier
+        # precedent — bounded by the observation span, never events)
+        ("ops/stats.py", "nelson_rules"),
+        ("ops/stats.py", "zone_rules"),
+        ("ops/stats.py", "zone_rolling"),  # zone_rules' rolling helper
+        ("ops/stats.py", "durbin_watson"),
     }
     root = pathlib.Path("hadoop_fcfs_spark")
     found = set()
