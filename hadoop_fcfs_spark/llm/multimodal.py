@@ -12,10 +12,14 @@ one RAW format for real and stubs the compressed ones honestly:
   decode/resize/aHash FOR REAL; the image tier has NO stubs left
   (arithmetic-coded/lossless JPEG raises honestly).
 - VIDEO: Y4M (yuv4mpeg2) frame extraction is REAL (text header + raw
-  YUV planes); webm/mp4 stay stubbed (need ffmpeg).
+  YUV planes); webm/mp4 CONTAINER metadata is REAL (``mkv_audit`` /
+  ``mp4_audit`` header walks) — only the codec bitstream decode stays
+  stubbed (needs ffmpeg).
 - AUDIO: WAV decode, resampling AND spectral feature extraction are
-  REAL (stdlib wave/audioop + numpy rFFT filterbank); mp3/ogg stay
-  stubbed (need a codec).
+  REAL (stdlib wave/audioop + numpy rFFT filterbank); mp3 FRAMING
+  metadata is REAL (``mp3_audit`` frame-header walk — frames,
+  duration, bitrate, CBR/VBR); only mp3/ogg sample DECODE stays
+  stubbed (needs a codec).
 The stubs are deterministic fakes (fake=True) or NotImplementedError
 (fake=False), and everything Spark-side is real and tested either way:
 schema contract, Arrow batch shape, mapInPandas signatures, partition
@@ -1128,6 +1132,167 @@ def mp4_audit(
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
                 try:
                     s = _mp4_structure(bytes(blob))
+                except ValueError:
+                    if not fake:
+                        raise
+                    rows.append({c: None for c in cols} | {id_col: mid})
+                    continue
+                rows.append({id_col: mid} | s)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, binary_col).mapInPandas(audit, schema=out_schema)
+
+
+_MP3_BITRATES = {
+    # (version_group, layer) -> kbps by bitrate index 1..14 (0 = free,
+    # 15 = bad). version_group: 1 = MPEG1, 2 = MPEG2/2.5 (shared tables).
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {  # version code (header bits) -> sample rates by index 0..2
+    3: (44100, 48000, 32000),   # MPEG1
+    2: (22050, 24000, 16000),   # MPEG2
+    0: (11025, 12000, 8000),    # MPEG2.5
+}
+
+
+def _mp3_structure(blob: bytes) -> dict:
+    """Header-only walk of an MPEG audio (mp3) stream (public specs:
+    ISO/IEC 11172-3 + 13818-3 frame headers): skip a leading ID3v2 tag
+    (syncsafe size), then hop frame to frame via each header's DECLARED
+    length — Huffman/subband payload bytes are never parsed, so "how
+    long is this audio" costs a per-frame 4-byte read exactly like the
+    mp4/mkv audits cost a box/element walk. Counts frames, derives the
+    exact sample duration n_frames·samples_per_frame/sample_rate, and
+    classifies CBR vs VBR from the bitrate-index spread (catching VBR
+    without trusting a Xing/VBRI tag). A trailing 128-byte ID3v1 'TAG'
+    is accepted. Raises ValueError on non-MPEG sync, reserved
+    version/layer/rate codes, free-format streams (frame length is not
+    derivable without payload scanning — honest boundary), mid-frame
+    truncation, or parameter changes mid-stream; the actual audio
+    DECODE stays behind the documented codec stub
+    (`extract_audio_features`/`decode_wav` mp3 boundary). Returns
+    {version, layer, sample_rate, channels, n_frames, duration_ms,
+    bitrate_kbps, vbr}."""
+    pos = 0
+    if blob[:3] == b"ID3":
+        if len(blob) < 10:
+            raise ValueError("truncated ID3v2 header")
+        if any(b & 0x80 for b in blob[6:10]):
+            raise ValueError("bad ID3v2 syncsafe size")
+        size = (
+            (blob[6] << 21) | (blob[7] << 14) | (blob[8] << 7) | blob[9]
+        )
+        pos = 10 + size + (10 if blob[5] & 0x10 else 0)  # footer flag
+        if pos > len(blob):
+            raise ValueError("ID3v2 tag overruns the blob")
+    end = len(blob)
+    if end - pos >= 128 and blob[end - 128 : end - 125] == b"TAG":
+        end -= 128  # trailing ID3v1
+    version = layer = rate = channels = None
+    n_frames = 0
+    frame_bytes = 0
+    br_indices = set()
+    spf = None
+    while pos < end:
+        if end - pos < 4:
+            raise ValueError("truncated MPEG frame header")
+        h0, h1, h2, h3 = blob[pos : pos + 4]
+        if h0 != 0xFF or (h1 & 0xE0) != 0xE0:
+            raise ValueError("lost MPEG frame sync")
+        vcode = (h1 >> 3) & 3
+        lcode = (h1 >> 1) & 3
+        if vcode == 1 or lcode == 0:
+            raise ValueError("reserved MPEG version/layer")
+        lyr = 4 - lcode  # 3->Layer I, 2->II, 1->III
+        br_idx = h2 >> 4
+        sr_idx = (h2 >> 2) & 3
+        if br_idx == 0:
+            raise ValueError("free-format MPEG stream not supported")
+        if br_idx == 15 or sr_idx == 3:
+            raise ValueError("bad MPEG bitrate/samplerate index")
+        vgroup = 1 if vcode == 3 else 2
+        kbps = _MP3_BITRATES[(vgroup, lyr)][br_idx - 1]
+        sr = _MP3_RATES[vcode][sr_idx]
+        pad = (h2 >> 1) & 1
+        ch = 1 if (h3 >> 6) == 3 else 2
+        if lyr == 1:
+            flen = (12 * kbps * 1000 // sr + pad) * 4
+            this_spf = 384
+        elif lyr == 2:
+            flen = 144 * kbps * 1000 // sr + pad
+            this_spf = 1152
+        else:
+            this_spf = 1152 if vgroup == 1 else 576
+            flen = this_spf // 8 * kbps * 1000 // sr + pad
+        if flen < 4:
+            raise ValueError("bad MPEG frame length")
+        if pos + flen > end:
+            raise ValueError("MPEG frame overruns the blob")
+        cur = (vcode, lyr, sr, ch)
+        if version is None:
+            version, layer, rate, channels = cur
+            spf = this_spf
+        elif (version, layer, rate, channels) != cur:
+            raise ValueError("MPEG stream parameters change mid-stream")
+        br_indices.add(br_idx)
+        n_frames += 1
+        frame_bytes += flen
+        pos += flen
+        if n_frames > 1_000_000:
+            raise ValueError("oversized MPEG stream")
+    if n_frames == 0:
+        raise ValueError("no MPEG frames")
+    duration_ms = n_frames * spf * 1000 // rate
+    # exact average bitrate over the frame span, in kbps
+    bitrate_kbps = frame_bytes * 8 * rate // (n_frames * spf) // 1000
+    return {
+        "version": {3: "MPEG1", 2: "MPEG2", 0: "MPEG2.5"}[version],
+        "layer": layer,
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_ms": duration_ms,
+        "bitrate_kbps": bitrate_kbps,
+        "vbr": len(br_indices) > 1,
+    }
+
+
+def mp3_audit(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Audio-tier sibling of :func:`mp4_audit`/:func:`mkv_audit`:
+    per-blob (version, layer, sample_rate, channels, n_frames,
+    duration_ms, bitrate_kbps, vbr) from the MPEG frame-header chain
+    only — Huffman/subband payloads hopped via declared frame lengths,
+    so the compressed-audio boundary now mirrors the video one: the
+    container/framing metadata is REAL while sample decode stays behind
+    the documented mp3/ogg codec stub. NULL-row quarantine under
+    fake=True, raise under fake=False; pytest-locked against hand-built
+    frame chains + a mutation fuzz."""
+    out_schema = (
+        f"{id_col} long, version string, layer int, sample_rate int, "
+        "channels int, n_frames long, duration_ms long, "
+        "bitrate_kbps long, vbr boolean"
+    )
+    cols = [
+        id_col, "version", "layer", "sample_rate", "channels",
+        "n_frames", "duration_ms", "bitrate_kbps", "vbr",
+    ]
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    s = _mp3_structure(bytes(blob))
                 except ValueError:
                     if not fake:
                         raise

@@ -2685,6 +2685,110 @@ def test_pure_decodable_mirrors_pure_decoder_envelope():
     assert not _pure_decodable(b"\xff\xd8\xff")  # JPEG with no SOF
 
 
+def test_mp3_audit_frame_walk(spark):
+    """mp3_audit (r11, pytest-locked): hand-built MPEG audio frame
+    chains — exact frame counting/duration via declared frame lengths
+    (payloads hopped), ID3v2 skip (syncsafe size), ID3v1 tail, VBR
+    classification from the bitrate-index spread, MPEG1/2.5 + layer
+    matrix; free-format, truncation, mid-stream parameter changes and
+    lost sync quarantine under fake=True, raise under fake=False."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import _mp3_structure, mp3_audit
+
+    V1L3 = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    V2L3 = (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+    def frame(br_idx, vcode=3, lcode=1, sr_idx=0, pad=0, mono=True):
+        rates = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+                 0: (11025, 12000, 8000)}
+        sr = rates[vcode][sr_idx]
+        kbps = (V1L3 if vcode == 3 else V2L3)[br_idx - 1]
+        spf = 1152 if vcode == 3 else 576
+        flen = spf // 8 * kbps * 1000 // sr + pad
+        h = bytes([
+            0xFF, 0xE0 | (vcode << 3) | (lcode << 1) | 1,
+            (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+            (3 if mono else 0) << 6,
+        ])
+        return h + b"\x00" * (flen - 4)
+
+    # CBR MPEG1 Layer III, 128 kbps, 44.1 kHz mono, 10 frames
+    cbr = b"".join(frame(9) for _ in range(10))
+    s = _mp3_structure(cbr)
+    assert (s["version"], s["layer"], s["sample_rate"], s["channels"]) == (
+        "MPEG1", 3, 44100, 1)
+    assert s["n_frames"] == 10 and not s["vbr"]
+    assert s["duration_ms"] == 10 * 1152 * 1000 // 44100
+    flen = 144 * 128_000 // 44100
+    assert s["bitrate_kbps"] == flen * 10 * 8 * 44100 // (10 * 1152) // 1000
+
+    # ID3v2 prefix (syncsafe size) + ID3v1 tail both skipped
+    tagged = (b"ID3\x03\x00\x00" + bytes([0, 0, 0x02, 0x05])
+              + b"\x00" * ((2 << 7) + 5) + cbr + b"TAG" + b"\x00" * 125)
+    assert _mp3_structure(tagged)["n_frames"] == 10
+
+    # VBR: mixed bitrate indices; padding bit honored in frame length
+    vbr = frame(9) + frame(12, pad=1) + frame(5) + frame(9)
+    s = _mp3_structure(vbr)
+    assert s["vbr"] and s["n_frames"] == 4
+
+    # MPEG2.5 Layer III: 576 samples per frame at 11025 Hz, stereo
+    low = b"".join(frame(3, vcode=0, mono=False) for _ in range(8))
+    s = _mp3_structure(low)
+    assert (s["version"], s["sample_rate"], s["channels"]) == (
+        "MPEG2.5", 11025, 2)
+    assert s["duration_ms"] == 8 * 576 * 1000 // 11025
+
+    # quarantine contracts
+    with _pytest.raises(ValueError, match="overruns"):
+        _mp3_structure(cbr[:-10])  # truncated final frame
+    with _pytest.raises(ValueError, match="free-format"):
+        _mp3_structure(bytes([0xFF, 0xFB, 0x00, 0xC0]) + b"\x00" * 400)
+    with _pytest.raises(ValueError, match="sync"):
+        _mp3_structure(b"\x00\x01" + cbr)
+    with _pytest.raises(ValueError, match="parameters change"):
+        _mp3_structure(frame(9) + frame(9, sr_idx=1))
+    with _pytest.raises(ValueError, match="reserved"):
+        _mp3_structure(bytes([0xFF, 0xE9, 0x90, 0xC0]) + b"\x00" * 100)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(cbr)), (2, bytearray(tagged)), (3, bytearray(vbr)),
+         (4, bytearray(b"RIFF" + b"\x00" * 40)), (5, bytearray(cbr[:-10]))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in mp3_audit(df).collect()}
+    assert rows[1]["n_frames"] == 10 and rows[1]["bitrate_kbps"] is not None
+    assert rows[2]["n_frames"] == 10
+    assert rows[3]["vbr"] is True
+    assert rows[4]["version"] is None and rows[5]["version"] is None
+    with _pytest.raises(Exception, match="MPEG|sync|overruns"):
+        mp3_audit(df, fake=False).collect()
+
+    # contract fuzz: dict or ValueError, never IndexError/KeyError
+    import random
+
+    rng = random.Random(17)
+    base = tagged
+    for _ in range(1500):
+        b = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:
+            b = b[: rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes(
+                rng.randrange(256) for _ in range(rng.randint(1, 12))
+            ) + b[i:]
+        try:
+            _mp3_structure(bytes(b))
+        except ValueError:
+            pass
+
+
 def _ebml(eid: bytes, payload: bytes) -> bytes:
     n = len(payload)
     size = bytes([0x80 | n]) if n < 127 else bytes([0x40 | (n >> 8), n & 0xFF])
