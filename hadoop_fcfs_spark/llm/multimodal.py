@@ -16,10 +16,11 @@ one RAW format for real and stubs the compressed ones honestly:
   ``mp4_audit`` header walks) — only the codec bitstream decode stays
   stubbed (needs ffmpeg).
 - AUDIO: WAV decode, resampling AND spectral feature extraction are
-  REAL (stdlib wave/audioop + numpy rFFT filterbank); mp3 FRAMING
-  metadata is REAL (``mp3_audit`` frame-header walk — frames,
-  duration, bitrate, CBR/VBR); only mp3/ogg sample DECODE stays
-  stubbed (needs a codec).
+  REAL (stdlib wave/audioop + numpy rFFT filterbank); mp3 FRAMING and
+  ogg PAGING metadata are REAL (``mp3_audit`` frame-header walk,
+  ``ogg_audit`` page walk + Vorbis/Opus ID headers — frames/pages,
+  duration, bitrate, CBR/VBR); only mp3/vorbis/opus sample DECODE
+  stays stubbed (needs a codec).
 The stubs are deterministic fakes (fake=True) or NotImplementedError
 (fake=False), and everything Spark-side is real and tested either way:
 schema contract, Arrow batch shape, mapInPandas signatures, partition
@@ -58,6 +59,7 @@ _MAGIC = {
     b"YUV4MPEG2": "y4m",
     b"RIFF": "wav",
     b"ID3": "mp3",
+    b"OggS": "ogg",
     b"\x1a\x45\xdf\xa3": "webm",
     b"II*\x00": "tiff",
     b"MM\x00*": "tiff",
@@ -1260,6 +1262,134 @@ def _mp3_structure(blob: bytes) -> dict:
         "bitrate_kbps": bitrate_kbps,
         "vbr": len(br_indices) > 1,
     }
+
+
+def _ogg_structure(blob: bytes) -> dict:
+    """Header-only walk of an Ogg container (public specs: RFC 3533
+    framing + the Vorbis I / RFC 7845 Opus ID headers): hop page to
+    page via each header's lacing table (packet payloads never
+    parsed), identify the codec from the BOS packet's magic
+    ('\\x01vorbis' → channels/rate at fixed offsets; 'OpusHead' →
+    channels, pre-skip, 48 kHz granule clock), count pages, and derive
+    duration from the LAST page's granule position — so "how long is
+    this audio" costs one ~27-byte header read per page, the same
+    posture as the mp3/mp4/mkv audits. Raises ValueError on a bad
+    capture pattern, nonzero version, truncation, granule regression,
+    or a MULTIPLEXED physical stream (second BOS serial — honest
+    boundary: concurrent multiplexing needs per-stream demux). Unknown
+    BOS codecs keep page accounting but yield NULL duration (no
+    granule clock). Returns {codec, channels, sample_rate, n_pages,
+    duration_ms, eos}."""
+    pos = 0
+    codec = None
+    channels = rate = None
+    pre_skip = 0
+    serial = None
+    last_granule = None
+    n_pages = 0
+    eos = False
+    while pos < len(blob):
+        if len(blob) - pos < 27:
+            raise ValueError("truncated Ogg page header")
+        if blob[pos : pos + 4] != b"OggS":
+            raise ValueError("bad Ogg capture pattern")
+        if blob[pos + 4] != 0:
+            raise ValueError("unsupported Ogg version")
+        htype = blob[pos + 5]
+        granule = int.from_bytes(
+            blob[pos + 6 : pos + 14], "little", signed=True
+        )
+        ser = int.from_bytes(blob[pos + 14 : pos + 18], "little")
+        nsegs = blob[pos + 26]
+        lace_end = pos + 27 + nsegs
+        if lace_end > len(blob):
+            raise ValueError("truncated Ogg lacing table")
+        body = sum(blob[pos + 27 : lace_end])
+        if lace_end + body > len(blob):
+            raise ValueError("Ogg page overruns the blob")
+        if htype & 0x02:  # beginning of stream
+            if serial is not None and ser != serial:
+                raise ValueError("multiplexed Ogg not supported")
+            serial = ser
+            pkt = blob[lace_end : lace_end + body]
+            if pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+                codec = "vorbis"
+                channels = pkt[11]
+                rate = int.from_bytes(pkt[12:16], "little")
+            elif pkt[:8] == b"OpusHead" and len(pkt) >= 19:
+                codec = "opus"
+                channels = pkt[9]
+                pre_skip = int.from_bytes(pkt[10:12], "little")
+                rate = int.from_bytes(pkt[12:16], "little")
+            else:
+                codec = "unknown"
+        elif serial is not None and ser != serial:
+            raise ValueError("multiplexed Ogg not supported")
+        if granule >= 0:
+            if last_granule is not None and granule < last_granule:
+                raise ValueError("Ogg granule position regressed")
+            last_granule = granule
+        eos = bool(htype & 0x04)
+        n_pages += 1
+        pos = lace_end + body
+        if n_pages > 1_000_000:
+            raise ValueError("oversized Ogg stream")
+    if n_pages == 0:
+        raise ValueError("no Ogg pages")
+    duration_ms = None
+    if last_granule is not None:
+        if codec == "vorbis" and rate:
+            duration_ms = last_granule * 1000 // rate
+        elif codec == "opus":
+            # granule clock is ALWAYS 48 kHz for Opus; pre-skip samples
+            # are decoder warm-up, excluded from the play duration
+            duration_ms = max(0, last_granule - pre_skip) * 1000 // 48000
+    return {
+        "codec": codec,
+        "channels": channels,
+        "sample_rate": rate,
+        "n_pages": n_pages,
+        "duration_ms": duration_ms,
+        "eos": eos,
+    }
+
+
+def ogg_audit(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Second audio-tier audit, completing the mp3/ogg pair: per-blob
+    (codec, channels, sample_rate, n_pages, duration_ms, eos) from the
+    Ogg page chain + BOS ID header only — packet payloads hopped via
+    lacing tables, Vorbis/Opus sample DECODE stays behind the codec
+    stub. NULL-row quarantine under fake=True, raise under
+    fake=False."""
+    out_schema = (
+        f"{id_col} long, codec string, channels int, sample_rate int, "
+        "n_pages long, duration_ms long, eos boolean"
+    )
+    cols = [
+        id_col, "codec", "channels", "sample_rate", "n_pages",
+        "duration_ms", "eos",
+    ]
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    s = _ogg_structure(bytes(blob))
+                except ValueError:
+                    if not fake:
+                        raise
+                    rows.append({c: None for c in cols} | {id_col: mid})
+                    continue
+                rows.append({id_col: mid} | s)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, binary_col).mapInPandas(audit, schema=out_schema)
 
 
 def mp3_audit(

@@ -2789,6 +2789,107 @@ def test_mp3_audit_frame_walk(spark):
             pass
 
 
+def test_ogg_audit_page_walk(spark):
+    """ogg_audit (r11, pytest-locked): hand-built Ogg streams — page
+    hop via lacing tables, Vorbis/Opus BOS ID parsing (rate/channels/
+    pre-skip), duration from the last granule (Opus on the 48 kHz
+    clock minus pre-skip), EOS flag; bad capture/version, truncation,
+    granule regression and multiplexed streams quarantine under
+    fake=True, raise under fake=False."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import _ogg_structure, ogg_audit
+
+    def page(body, granule, serial=7, htype=0, seq=0):
+        # single-packet page: lacing = 255*k + remainder
+        lac = b"\xff" * (len(body) // 255) + bytes([len(body) % 255])
+        return (b"OggS\x00" + bytes([htype])
+                + granule.to_bytes(8, "little", signed=True)
+                + serial.to_bytes(4, "little")
+                + seq.to_bytes(4, "little") + b"\x00" * 4
+                + bytes([len(lac)]) + lac + body)
+
+    vorbis_id = (b"\x01vorbis" + b"\x00" * 4      # version
+                 + bytes([2])                      # channels
+                 + (44100).to_bytes(4, "little") + b"\x00" * 14)
+    vorbis = (page(vorbis_id, 0, htype=2)
+              + page(b"\x05" * 300, 44100)
+              + page(b"\x05" * 300, 88200, htype=4))
+    s = _ogg_structure(vorbis)
+    assert (s["codec"], s["channels"], s["sample_rate"]) == ("vorbis", 2, 44100)
+    assert s["n_pages"] == 3 and s["eos"]
+    assert s["duration_ms"] == 2000
+
+    opus_id = (b"OpusHead" + bytes([1, 1])         # version, channels
+               + (312).to_bytes(2, "little")       # pre-skip
+               + (48000).to_bytes(4, "little") + b"\x00" * 3)
+    opus = (page(opus_id, 0, htype=2)
+            + page(b"\x09" * 100, 48000 + 312, htype=4))
+    s = _ogg_structure(opus)
+    assert (s["codec"], s["channels"], s["sample_rate"]) == ("opus", 1, 48000)
+    assert s["duration_ms"] == 1000  # pre-skip excluded
+
+    # unknown BOS codec: pages counted, duration NULL (no granule clock)
+    unk = page(b"weird-codec-id!!", 0, htype=2) + page(b"\x01" * 50, 999, htype=4)
+    s = _ogg_structure(unk)
+    assert s["codec"] == "unknown" and s["duration_ms"] is None
+    assert s["n_pages"] == 2
+
+    with _pytest.raises(ValueError, match="capture"):
+        _ogg_structure(b"NotO" + vorbis[4:])
+    with _pytest.raises(ValueError, match="version"):
+        _ogg_structure(b"OggS\x01" + vorbis[5:])
+    with _pytest.raises(ValueError, match="overruns|truncated"):
+        _ogg_structure(vorbis[:-20])
+    with _pytest.raises(ValueError, match="regressed"):
+        _ogg_structure(page(vorbis_id, 0, htype=2)
+                       + page(b"a" * 10, 500) + page(b"a" * 10, 400))
+    with _pytest.raises(ValueError, match="multiplexed"):
+        _ogg_structure(page(vorbis_id, 0, htype=2)
+                       + page(opus_id, 0, serial=9, htype=2))
+
+    df = spark.createDataFrame(
+        [(1, bytearray(vorbis)), (2, bytearray(opus)),
+         (3, bytearray(b"\x00" * 40))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in ogg_audit(df).collect()}
+    assert rows[1]["codec"] == "vorbis" and rows[1]["duration_ms"] == 2000
+    assert rows[2]["codec"] == "opus" and rows[2]["duration_ms"] == 1000
+    assert rows[3]["codec"] is None
+    with _pytest.raises(Exception, match="Ogg|capture"):
+        ogg_audit(df, fake=False).collect()
+
+    # the meta sniffer now classifies ogg by its leading magic
+    from hadoop_fcfs_spark.llm.multimodal import attach_media_meta
+
+    fmts = {r["media_id"]: r["media_meta"]["format"]
+            for r in attach_media_meta(df).collect()}
+    assert fmts[1] == "ogg" and fmts[2] == "ogg" and fmts[3] == "unknown"
+
+    # contract fuzz: dict or ValueError
+    import random
+
+    rng = random.Random(23)
+    for _ in range(1500):
+        b = bytearray(vorbis)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:
+            b = b[: rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes(
+                rng.randrange(256) for _ in range(rng.randint(1, 12))
+            ) + b[i:]
+        try:
+            _ogg_structure(bytes(b))
+        except ValueError:
+            pass
+
+
 def _ebml(eid: bytes, payload: bytes) -> bytes:
     n = len(payload)
     size = bytes([0x80 | n]) if n < 127 else bytes([0x40 | (n >> 8), n & 0xFF])
