@@ -16,11 +16,12 @@ one RAW format for real and stubs the compressed ones honestly:
   ``mp4_audit`` header walks) — only the codec bitstream decode stays
   stubbed (needs ffmpeg).
 - AUDIO: WAV decode, resampling AND spectral feature extraction are
-  REAL (stdlib wave/audioop + numpy rFFT filterbank); mp3 FRAMING and
-  ogg PAGING metadata are REAL (``mp3_audit`` frame-header walk,
-  ``ogg_audit`` page walk + Vorbis/Opus ID headers — frames/pages,
-  duration, bitrate, CBR/VBR); only mp3/vorbis/opus sample DECODE
-  stays stubbed (needs a codec).
+  REAL (stdlib wave/audioop + numpy rFFT filterbank); mp3 FRAMING,
+  ogg PAGING and FLAC STREAMINFO metadata are REAL (``mp3_audit``
+  frame-header walk, ``ogg_audit`` page walk + Vorbis/Opus ID
+  headers, ``flac_audit`` metadata-block walk — frames/pages,
+  duration, bitrate, CBR/VBR); only mp3/vorbis/opus/FLAC sample
+  DECODE stays stubbed (needs a codec).
 The stubs are deterministic fakes (fake=True) or NotImplementedError
 (fake=False), and everything Spark-side is real and tested either way:
 schema contract, Arrow batch shape, mapInPandas signatures, partition
@@ -60,6 +61,7 @@ _MAGIC = {
     b"RIFF": "wav",
     b"ID3": "mp3",
     b"OggS": "ogg",
+    b"fLaC": "flac",
     b"\x1a\x45\xdf\xa3": "webm",
     b"II*\x00": "tiff",
     b"MM\x00*": "tiff",
@@ -1352,6 +1354,109 @@ def _ogg_structure(blob: bytes) -> dict:
         "duration_ms": duration_ms,
         "eos": eos,
     }
+
+
+def _flac_structure(blob: bytes) -> dict:
+    """Header-only walk of a FLAC stream's metadata section (public
+    spec: xiph.org FLAC format): 'fLaC' magic, then metadata blocks
+    hopped via their 24-bit declared lengths — STREAMINFO (mandatory
+    first block, 34 bytes) carries sample rate (20 bits), channels−1
+    (3), bits-per-sample−1 (5) and total samples (36) in one packed
+    64-bit field, so duration is exact without touching a single audio
+    frame. The walk stops at the last-metadata flag; frame data is
+    never read. Raises ValueError on a bad magic, a first block that
+    is not a 34-byte STREAMINFO, the invalid block type 127, overruns,
+    or a zero sample rate. Returns {sample_rate, channels,
+    bits_per_sample, total_samples, duration_ms, n_meta_blocks,
+    has_seektable}."""
+    if blob[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    first = True
+    info = None
+    n_blocks = 0
+    has_seektable = False
+    while True:
+        if pos + 4 > len(blob):
+            raise ValueError("truncated FLAC metadata header")
+        btype = blob[pos] & 0x7F
+        last = bool(blob[pos] & 0x80)
+        ln = int.from_bytes(blob[pos + 1 : pos + 4], "big")
+        body = pos + 4
+        if btype == 127:
+            raise ValueError("invalid FLAC block type 127")
+        if body + ln > len(blob):
+            raise ValueError("FLAC metadata block overruns the blob")
+        if first:
+            if btype != 0 or ln != 34:
+                raise ValueError("first FLAC block must be 34-byte STREAMINFO")
+            packed = int.from_bytes(blob[body + 10 : body + 18], "big")
+            rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            if rate == 0:
+                raise ValueError("FLAC sample rate 0 is invalid")
+            info = (rate, channels, bps, total)
+            first = False
+        elif btype == 3:
+            has_seektable = True
+        n_blocks += 1
+        pos = body + ln
+        if n_blocks > 100_000:
+            raise ValueError("oversized FLAC metadata chain")
+        if last:
+            break
+    rate, channels, bps, total = info
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": bps,
+        "total_samples": total,
+        # 0 total samples = "unknown" per spec, not an empty stream
+        "duration_ms": total * 1000 // rate if total else None,
+        "n_meta_blocks": n_blocks,
+        "has_seektable": has_seektable,
+    }
+
+
+def flac_audit(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Third audio-tier audit (lossless leg): per-blob (sample_rate,
+    channels, bits_per_sample, total_samples, duration_ms,
+    n_meta_blocks, has_seektable) from the FLAC metadata chain only —
+    frame data never read; Rice/LPC decode stays behind the codec
+    stub. NULL-row quarantine under fake=True, raise under
+    fake=False."""
+    out_schema = (
+        f"{id_col} long, sample_rate int, channels int, "
+        "bits_per_sample int, total_samples long, duration_ms long, "
+        "n_meta_blocks int, has_seektable boolean"
+    )
+    cols = [
+        id_col, "sample_rate", "channels", "bits_per_sample",
+        "total_samples", "duration_ms", "n_meta_blocks", "has_seektable",
+    ]
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    s = _flac_structure(bytes(blob))
+                except ValueError:
+                    if not fake:
+                        raise
+                    rows.append({c: None for c in cols} | {id_col: mid})
+                    continue
+                rows.append({id_col: mid} | s)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, binary_col).mapInPandas(audit, schema=out_schema)
 
 
 def ogg_audit(

@@ -2890,6 +2890,89 @@ def test_ogg_audit_page_walk(spark):
             pass
 
 
+def test_flac_audit_streaminfo(spark):
+    """flac_audit (r11, pytest-locked): hand-built FLAC metadata chains
+    — STREAMINFO packed-field extraction (20-bit rate, 3-bit channels,
+    5-bit bps, 36-bit total samples), block hop via 24-bit lengths,
+    last-flag stop before frame data, seektable detection,
+    unknown-length (total=0) NULL duration; bad magic / non-STREAMINFO
+    first block / type 127 / overrun / zero rate quarantine."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import _flac_structure, flac_audit
+
+    def streaminfo(rate, channels, bps, total, last=False):
+        packed = (rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | total
+        body = (b"\x10\x00\x10\x00" + b"\x00" * 6
+                + packed.to_bytes(8, "big") + b"\x00" * 16)
+        assert len(body) == 34
+        return bytes([(0x80 if last else 0) | 0]) + (34).to_bytes(3, "big") + body
+
+    def block(btype, body, last=False):
+        return bytes([(0x80 if last else 0) | btype]) + len(body).to_bytes(3, "big") + body
+
+    flac = (b"fLaC" + streaminfo(44100, 2, 16, 44100 * 3)
+            + block(3, b"\x00" * 18)          # seektable
+            + block(4, b"vorbis-comment", last=True)
+            + b"\xff\xf8" + b"\x00" * 64)      # frame data, never read
+    s = _flac_structure(flac)
+    assert (s["sample_rate"], s["channels"], s["bits_per_sample"]) == (44100, 2, 16)
+    assert s["duration_ms"] == 3000 and s["n_meta_blocks"] == 3
+    assert s["has_seektable"]
+
+    # unknown total samples -> NULL duration; 8-channel 24-bit
+    s = _flac_structure(b"fLaC" + streaminfo(96000, 8, 24, 0, last=True))
+    assert s["duration_ms"] is None and s["channels"] == 8
+    assert s["bits_per_sample"] == 24 and s["sample_rate"] == 96000
+
+    with _pytest.raises(ValueError, match="not a FLAC"):
+        _flac_structure(b"fLaX" + b"\x00" * 40)
+    with _pytest.raises(ValueError, match="STREAMINFO"):
+        _flac_structure(b"fLaC" + block(4, b"x" * 34, last=True))
+    with _pytest.raises(ValueError, match="type 127"):
+        _flac_structure(b"fLaC" + bytes([127]) + (34).to_bytes(3, "big") + b"\x00" * 34)
+    with _pytest.raises(ValueError, match="overruns"):
+        _flac_structure(flac[:20])
+    with _pytest.raises(ValueError, match="rate 0"):
+        _flac_structure(b"fLaC" + streaminfo(0, 2, 16, 100, last=True))
+
+    df = spark.createDataFrame(
+        [(1, bytearray(flac)), (2, bytearray(b"ID3" + b"\x00" * 40))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in flac_audit(df).collect()}
+    assert rows[1]["duration_ms"] == 3000 and rows[2]["sample_rate"] is None
+    with _pytest.raises(Exception, match="FLAC"):
+        flac_audit(df, fake=False).collect()
+
+    from hadoop_fcfs_spark.llm.multimodal import attach_media_meta
+
+    fmts = {r["media_id"]: r["media_meta"]["format"]
+            for r in attach_media_meta(df).collect()}
+    assert fmts == {1: "flac", 2: "mp3"}
+
+    import random
+
+    rng = random.Random(29)
+    for _ in range(1500):
+        b = bytearray(flac)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:
+            b = b[: rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes(
+                rng.randrange(256) for _ in range(rng.randint(1, 12))
+            ) + b[i:]
+        try:
+            _flac_structure(bytes(b))
+        except ValueError:
+            pass
+
+
 def _ebml(eid: bytes, payload: bytes) -> bytes:
     n = len(payload)
     size = bytes([0x80 | n]) if n < 127 else bytes([0x40 | (n >> 8), n & 0xFF])
