@@ -265,6 +265,100 @@ def stream_nelson_monitor(
     )
 
 
+def stream_zone_monitor(
+    stream_df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    n_col: str,
+    x_col: str,
+    center_num: int,
+    center_den: int,
+):
+    """Live Nelson 5–8 zone monitor — the streaming twin of
+    ``ops.stats.zone_rules`` and the sixth live-engine bridge. The
+    rolling 3/5/8/15-point windows need the last 14 zone values of
+    history, which still fits FIXED-WIDTH state by packing them as
+    base-3 digits of two longs (beyond1 history: 14 trits < 3¹⁴ <
+    2²³; beyond2 history: 2 trits) plus a row counter — no row-history
+    state, the applyInPandasWithState discipline.
+
+    The center line is a PARAMETER like the EWMA bridge's, but passed
+    as the exact RATIO (``center_num``/``center_den`` = pooled
+    defects/pooled rows) so the per-cell zone widths p̄ ± k·√(p̄(1−p̄)/n)
+    reproduce the batch operator's float expression bit-for-bit (p̄ =
+    num/den in one IEEE division — feeding a pre-divided double would
+    round differently). Zone flags and all four rules are then
+    integer-window counts, so on an in-order grain replay fed the
+    batch pooled totals the live monitor matches zone_rules EXACTLY —
+    the bridge test pins equality across a micro-batch split.
+
+    Input rows are the GRAIN (one row per key per index: day → n, x)
+    in per-key index order across micro-batches; rows sort by index
+    within each batch. Emits (key, idx, n, x, rate_e6, beyond1,
+    beyond2, within1, rule5, rule6, rule7, rule8); outputMode
+    'append'."""
+    import math
+
+    pbar = float(center_num) / float(center_den)
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        h1, h2, seen = state.get if state.exists else (0, 0, 0)
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(i), int(n), int(x))
+                for i, n, x in zip(pdf[idx_col], pdf[n_col], pdf[x_col])
+            )
+        out = []
+        for i, n, x in sorted(rows):
+            sig = math.sqrt(pbar * (1.0 - pbar) / n)
+            rate = x / n
+            b2 = 1 if rate > pbar + 2.0 * sig else -1 if rate < pbar - 2.0 * sig else 0
+            b1 = 1 if rate > pbar + sig else -1 if rate < pbar - sig else 0
+            # decode prior history (newest at digit 0), truncated to the
+            # rows actually seen — unseen digits decode as 0 trits and
+            # would read as phantom −1 zones otherwise; windows include
+            # the current point
+            prior1 = []
+            v = h1
+            for _ in range(min(seen, 14)):
+                prior1.append(v % 3 - 1)
+                v //= 3
+            prior2 = [h2 % 3 - 1, h2 // 3 % 3 - 1][: min(seen, 2)]
+            w3 = [b2] + prior2[:2]
+            w5 = [b1] + prior1[:4]
+            w8 = [b1] + prior1[:7]
+            w15 = [b1] + prior1[:14]
+            seen += 1
+            out.append({
+                key_col: key[0], idx_col: i, n_col: n, x_col: x,
+                "rate_e6": x * 1_000_000 // n,
+                "beyond1": b1, "beyond2": b2, "within1": b1 == 0,
+                "rule5": w3.count(1) >= 2 or w3.count(-1) >= 2,
+                "rule6": w5.count(1) >= 4 or w5.count(-1) >= 4,
+                "rule7": seen >= 15 and w15.count(0) == 15,
+                "rule8": seen >= 8 and all(v != 0 for v in w8),
+            })
+            h1 = (h1 * 3 + (b1 + 1)) % (3 ** 14)
+            h2 = (h2 * 3 + (b2 + 1)) % 9
+        if rows:
+            state.update((h1, h2, seen))
+        if out:
+            yield pd.DataFrame(out)
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} string, {idx_col} long, {n_col} long, {x_col} long, "
+            "rate_e6 long, beyond1 int, beyond2 int, within1 boolean, "
+            "rule5 boolean, rule6 boolean, rule7 boolean, rule8 boolean"
+        ),
+        stateStructType="hist1 long, hist2 long, seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_inactivity_sessions(
     stream_df: DataFrame,
     key_col: str,

@@ -1102,6 +1102,82 @@ def test_stream_nelson_monitor_matches_batch_exactly(spark, tmp_path):
         assert lv["rule3"] == bt["rule3"] and lv["rule4"] == bt["rule4"], d
 
 
+def test_stream_zone_monitor_matches_batch_exactly(spark, tmp_path):
+    """stream_zone_monitor bridge (r11, sixth live bridge): on an
+    in-order grain replay fed the batch pooled totals AS A RATIO (so
+    p̄ = num/den reproduces the batch float bit-for-bit), the live
+    monitor's trit-packed rolling windows must match zone_rules
+    EXACTLY on every column and every day — across a micro-batch
+    split, so the (hist1, hist2, seen) state including the
+    phantom-history guard is load-bearing."""
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import zone_rules
+    from hadoop_fcfs_spark.streaming.stateful import stream_zone_monitor
+
+    rng = random.Random(53)
+    days = sorted(rng.sample(range(300, 420), 70))
+    raw = []
+    per_day = {}
+    for d in days:
+        n = rng.randint(3, 25)
+        x = rng.randint(0, n)
+        per_day[d] = (n, x)
+        raw += [(d, i < x) for i in range(n)]
+    batch = spark.createDataFrame(raw, "d long, bad boolean")
+    chart = {
+        r["grain"]: r
+        for r in zone_rules(
+            batch, "d", F.col("bad"), group_alias="grain"
+        ).collect()
+    }
+    assert any(
+        r["rule5"] or r["rule6"] or r["rule7"] or r["rule8"]
+        for r in chart.values()
+    ), "degenerate fixture: no zone rule ever fires"
+    tn = sum(n for n, _ in per_day.values())
+    tx = sum(x for _, x in per_day.values())
+
+    src = str(tmp_path / "zone_src")
+    grain_rows = [("s", d, per_day[d][0], per_day[d][1]) for d in days]
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "k string, d long, n long, x long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    split = len(grain_rows) // 2
+    write(grain_rows[:split])
+    stream = spark.readStream.schema(
+        "k string, d long, n long, x long"
+    ).parquet(src)
+    mon = stream_zone_monitor(
+        stream, "k", "d", "n", "x", center_num=tx, center_den=tn
+    )
+    q = (
+        mon.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("zone_mon")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(grain_rows[split:])
+        q.processAllAvailable()
+        live = {
+            r["d"]: r for r in spark.sql("SELECT * FROM zone_mon").collect()
+        }
+    finally:
+        q.stop()
+
+    assert sorted(live) == days
+    for d in days:
+        lv, bt = live[d], chart[d]
+        for col in ("rate_e6", "beyond1", "beyond2", "within1",
+                    "rule5", "rule6", "rule7", "rule8"):
+            assert lv[col] == bt[col], (d, col, lv[col], bt[col])
+
+
 def test_dedup_audit_engine_exact_variant(spark):
     """The engine-exact (first-anchored) audit: matches the ENGINE's
     verdicts on the discriminating chain where the refresh-anchored
