@@ -1494,3 +1494,86 @@ def test_durbin_watson_matches_python_replay_property(spark, cells):
     want = k * num * 1_000_000 // den
     assert r["dw_e6"] == want
     assert 0 <= want <= 4_000_001
+
+
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(1, 10), st.integers(0, 10)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda cs: all(x <= n for n, x in cs)),
+)
+@settings(max_examples=8, deadline=None)
+def test_p_chart_matches_python_replay_property(spark, cells):
+    """p_chart vs a pure-Python replay (extends the r11 battery-wide
+    hypothesis pattern to rule 1): variable-n 3σ binomial limits from
+    the float pooled rate, exact flooring micro-rates, lcl clamped at
+    0, out_of_control on the float comparison."""
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import p_chart
+
+    rows = []
+    for g, (n, x) in enumerate(cells):
+        rows.extend((g, i < x) for i in range(n))
+    df = spark.createDataFrame(rows, "g long, defect boolean")
+    out = {
+        r["grain"]: r
+        for r in p_chart(df, "g", F.col("defect"), group_alias="grain").collect()
+    }
+    tn = sum(n for n, _ in cells)
+    tx = sum(x for _, x in cells)
+    pbar = tx / tn
+    for g, (n, x) in enumerate(cells):
+        r = out[g]
+        sig = math.sqrt(pbar * (1.0 - pbar) / n)
+        ucl, lcl = pbar + 3.0 * sig, max(0.0, pbar - 3.0 * sig)
+        assert (r["n"], r["x"]) == (n, x)
+        assert r["rate_e6"] == x * 1_000_000 // n
+        assert r["ucl_e6"] == math.floor(1_000_000 * ucl)
+        assert r["lcl_e6"] == math.floor(1_000_000 * lcl)
+        assert r["out_of_control"] == (x / n > ucl or x / n < lcl)
+
+
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(1, 10), st.integers(0, 10)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda cs: all(x <= n for n, x in cs)),
+    slack_e6=st.sampled_from([0, 5000, 100_000]),
+)
+@settings(max_examples=8, deadline=None)
+def test_cusum_chart_matches_sequential_replay_property(spark, cells, slack_e6):
+    """cusum_chart vs the SEQUENTIAL tabular recursion C_t = max(0,
+    C_{t−1} + s_t) on arbitrary rate sequences and slack values — the
+    closed form (prefix sum minus running min) must agree exactly with
+    the textbook loop on both sides, in exact BIGINT micro-counts."""
+    from hadoop_fcfs_spark.ops.stats import cusum_chart
+
+    rows = []
+    for g, (n, x) in enumerate(cells):
+        rows.extend((g, i < x) for i in range(n))
+    df = spark.createDataFrame(rows, "g long, defect boolean")
+    h = 3_000_000
+    out = {
+        r["grain"]: r
+        for r in cusum_chart(
+            df, "g", F.col("defect"), group_alias="grain",
+            slack_e6=slack_e6, h_e6=h,
+        ).collect()
+    }
+    tn = sum(n for n, _ in cells)
+    tx = sum(x for _, x in cells)
+    pbar = tx * 1_000_000 // tn
+    cu = cd = 0
+    for g, (n, x) in enumerate(cells):
+        s_up = x * 1_000_000 - n * (pbar + slack_e6)
+        s_dn = n * (pbar - slack_e6) - x * 1_000_000
+        cu = max(0, cu + s_up)
+        cd = max(0, cd + s_dn)
+        r = out[g]
+        assert (r["n"], r["x"]) == (n, x)
+        assert r["cusum_up_e6"] == cu, (g, r["cusum_up_e6"], cu)
+        assert r["cusum_dn_e6"] == cd, (g, r["cusum_dn_e6"], cd)
+        assert r["alarm_up"] == (cu > h) and r["alarm_dn"] == (cd > h)
