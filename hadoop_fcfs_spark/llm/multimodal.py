@@ -1356,6 +1356,285 @@ def _ogg_structure(blob: bytes) -> dict:
     }
 
 
+def _gzip_structure(blob: bytes) -> dict:
+    """Header + trailer audit of a gzip member (public spec: RFC
+    1952): magic/method check, FLG-driven optional-field walk (FEXTRA
+    length, NUL-terminated FNAME/FCOMMENT, FHCRC), MTIME and OS code
+    from the fixed header, and ISIZE (uncompressed size mod 2³²) from
+    the LAST 8 trailer bytes — the DEFLATE payload itself is never
+    inflated, so "what is this archive and how big does it claim to
+    be" costs a ~20-byte read per blob. Caveat (documented, not
+    hidden): a multi-member stream's trailer belongs to its last
+    member and member boundaries are not findable without inflating,
+    so isize reports the last member's — the single-member case (the
+    norm for web-archive records) is exact. Raises ValueError on bad
+    magic, a non-deflate method, reserved FLG bits, overruns. Returns
+    {mtime, os_code, fname, has_comment, has_extra, isize,
+    compressed_size}."""
+    if len(blob) < 18:
+        raise ValueError("truncated gzip member")
+    if blob[:2] != b"\x1f\x8b":
+        raise ValueError("not a gzip stream")
+    if blob[2] != 8:
+        raise ValueError(f"unsupported gzip method {blob[2]}")
+    flg = blob[3]
+    if flg & 0xE0:
+        raise ValueError("reserved gzip FLG bits set")
+    mtime = int.from_bytes(blob[4:8], "little")
+    os_code = blob[9]
+    pos = 10
+    if flg & 0x04:  # FEXTRA
+        if pos + 2 > len(blob):
+            raise ValueError("truncated gzip FEXTRA length")
+        xlen = int.from_bytes(blob[pos : pos + 2], "little")
+        pos += 2 + xlen
+        if pos > len(blob):
+            raise ValueError("gzip FEXTRA overruns the blob")
+    fname = None
+    if flg & 0x08:  # FNAME
+        nul = blob.find(b"\x00", pos)
+        if nul < 0:
+            raise ValueError("unterminated gzip FNAME")
+        fname = blob[pos:nul].decode("latin-1")
+        pos = nul + 1
+    if flg & 0x10:  # FCOMMENT
+        nul = blob.find(b"\x00", pos)
+        if nul < 0:
+            raise ValueError("unterminated gzip FCOMMENT")
+        pos = nul + 1
+    if flg & 0x02:  # FHCRC
+        pos += 2
+    if pos + 8 > len(blob):
+        raise ValueError("gzip header overruns the trailer")
+    isize = int.from_bytes(blob[-4:], "little")
+    return {
+        "mtime": mtime,
+        "os_code": os_code,
+        "fname": fname,
+        "has_comment": bool(flg & 0x10),
+        "has_extra": bool(flg & 0x04),
+        "isize": isize,
+        "compressed_size": len(blob),
+    }
+
+
+def _zip_structure(blob: bytes) -> dict:
+    """Central-directory audit of a ZIP archive (public spec: PKWARE
+    APPNOTE): locate the end-of-central-directory record (backward
+    scan over the ≤64 KiB comment window), then walk the central
+    directory entries — per-entry method and compressed/uncompressed
+    sizes come from the directory alone, so cataloguing an archive
+    never touches file payloads. Raises ValueError on a missing/torn
+    EOCD, directory overruns, bad entry signatures, multi-disk
+    archives, or ZIP64 markers (honest boundary — the 4-byte fields
+    saturate at 0xFFFFFFFF; parse the ZIP64 records the day a corpus
+    needs >4 GiB members). Returns {n_entries, total_uncompressed,
+    total_compressed, n_stored, n_deflated, has_encrypted,
+    comment_len}."""
+    tail = blob[-(65536 + 22):] if len(blob) > 65536 + 22 else blob
+    eocd_rel = tail.rfind(b"PK\x05\x06")
+    if eocd_rel < 0:
+        raise ValueError("no ZIP end-of-central-directory record")
+    eocd = len(blob) - len(tail) + eocd_rel
+    if eocd + 22 > len(blob):
+        raise ValueError("torn ZIP EOCD record")
+    disk = int.from_bytes(blob[eocd + 4 : eocd + 6], "little")
+    cd_disk = int.from_bytes(blob[eocd + 6 : eocd + 8], "little")
+    n_here = int.from_bytes(blob[eocd + 8 : eocd + 10], "little")
+    n_total = int.from_bytes(blob[eocd + 10 : eocd + 12], "little")
+    cd_size = int.from_bytes(blob[eocd + 12 : eocd + 16], "little")
+    cd_off = int.from_bytes(blob[eocd + 16 : eocd + 20], "little")
+    comment_len = int.from_bytes(blob[eocd + 20 : eocd + 22], "little")
+    if disk != 0 or cd_disk != 0 or n_here != n_total:
+        raise ValueError("multi-disk ZIP not supported")
+    if 0xFFFF in (n_total,) or 0xFFFFFFFF in (cd_size, cd_off):
+        raise ValueError("ZIP64 archive not supported")
+    if cd_off + cd_size > eocd:
+        raise ValueError("ZIP central directory overruns the EOCD")
+    pos = cd_off
+    end = cd_off + cd_size
+    total_u = total_c = n_stored = n_deflated = 0
+    has_encrypted = False
+    for _ in range(n_total):
+        if pos + 46 > end:
+            raise ValueError("ZIP central directory entry overruns")
+        if blob[pos : pos + 4] != b"PK\x01\x02":
+            raise ValueError("bad ZIP central-directory signature")
+        gpflag = int.from_bytes(blob[pos + 8 : pos + 10], "little")
+        method = int.from_bytes(blob[pos + 10 : pos + 12], "little")
+        csize = int.from_bytes(blob[pos + 20 : pos + 24], "little")
+        usize = int.from_bytes(blob[pos + 24 : pos + 28], "little")
+        if 0xFFFFFFFF in (csize, usize):
+            raise ValueError("ZIP64 entry sizes not supported")
+        nlen = int.from_bytes(blob[pos + 28 : pos + 30], "little")
+        xlen = int.from_bytes(blob[pos + 30 : pos + 32], "little")
+        clen = int.from_bytes(blob[pos + 32 : pos + 34], "little")
+        has_encrypted = has_encrypted or bool(gpflag & 0x1)
+        if method == 0:
+            n_stored += 1
+        elif method == 8:
+            n_deflated += 1
+        total_c += csize
+        total_u += usize
+        pos += 46 + nlen + xlen + clen
+    if pos != end:
+        raise ValueError("ZIP central directory size mismatch")
+    return {
+        "n_entries": n_total,
+        "total_uncompressed": total_u,
+        "total_compressed": total_c,
+        "n_stored": n_stored,
+        "n_deflated": n_deflated,
+        "has_encrypted": has_encrypted,
+        "comment_len": comment_len,
+    }
+
+
+def _zstd_structure(blob: bytes) -> dict:
+    """Frame-header audit of a zstd stream (public spec: RFC 8878):
+    magic, frame-header descriptor (FCS field size, single-segment,
+    checksum, dictionary-ID size), window descriptor → window size,
+    and the DECLARED frame content size when present — blocks are
+    never decoded. Leading skippable frames (magic 0x184D2A5?) are
+    hopped via their declared lengths. Raises ValueError on a bad
+    magic, reserved descriptor bits, or truncation. Returns
+    {content_size, window_size, has_checksum, dict_id,
+    n_skippable}."""
+    pos = 0
+    n_skippable = 0
+    while True:
+        if pos + 4 > len(blob):
+            raise ValueError("truncated zstd magic")
+        magic = int.from_bytes(blob[pos : pos + 4], "little")
+        if (magic & 0xFFFFFFF0) == 0x184D2A50:  # skippable frame
+            if pos + 8 > len(blob):
+                raise ValueError("truncated zstd skippable frame")
+            ln = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+            pos += 8 + ln
+            if pos > len(blob):
+                raise ValueError("zstd skippable frame overruns the blob")
+            n_skippable += 1
+            if n_skippable > 10_000:
+                raise ValueError("oversized zstd skippable chain")
+            continue
+        if magic != 0xFD2FB528:
+            raise ValueError("not a zstd frame")
+        break
+    pos += 4
+    if pos >= len(blob):
+        raise ValueError("truncated zstd frame header")
+    fhd = blob[pos]
+    pos += 1
+    if fhd & 0x08:
+        raise ValueError("reserved zstd frame-header bit set")
+    fcs_code = fhd >> 6
+    single_segment = bool(fhd & 0x20)
+    has_checksum = bool(fhd & 0x04)
+    did_code = fhd & 0x03
+    window_size = None
+    if not single_segment:
+        if pos >= len(blob):
+            raise ValueError("truncated zstd window descriptor")
+        wd = blob[pos]
+        pos += 1
+        exponent, mantissa = wd >> 3, wd & 7
+        base = 1 << (10 + exponent)
+        window_size = base + (base // 8) * mantissa
+    did_len = (0, 1, 2, 4)[did_code]
+    if pos + did_len > len(blob):
+        raise ValueError("truncated zstd dictionary id")
+    dict_id = (
+        int.from_bytes(blob[pos : pos + did_len], "little") if did_len else None
+    )
+    pos += did_len
+    fcs_len = (0, 2, 4, 8)[fcs_code] if not single_segment else (1, 2, 4, 8)[fcs_code]
+    content_size = None
+    if fcs_len:
+        if pos + fcs_len > len(blob):
+            raise ValueError("truncated zstd frame content size")
+        content_size = int.from_bytes(blob[pos : pos + fcs_len], "little")
+        if fcs_len == 2:
+            content_size += 256
+    if single_segment and window_size is None:
+        window_size = content_size
+    return {
+        "content_size": content_size,
+        "window_size": window_size,
+        "has_checksum": has_checksum,
+        "dict_id": dict_id,
+        "n_skippable": n_skippable,
+    }
+
+
+def archive_audit(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Archive/compression audit — the tier a web-archive corpus sweep
+    runs before any decompression: classify each blob as gzip / zip /
+    zstd by magic, then read ONLY headers, trailers, or the central
+    directory to report entry counts and declared sizes (per-format
+    walks: :func:`_gzip_structure` RFC 1952, :func:`_zip_structure`
+    PKWARE central directory, :func:`_zstd_structure` RFC 8878). The
+    compression-ratio and bomb-screen columns (claimed uncompressed
+    vs actual compressed bytes) come for free — a declared 10⁶×
+    expansion is a zip-bomb signal worth quarantining BEFORE an
+    executor inflates it. NULL-row quarantine under fake=True, raise
+    under fake=False. Output: (id, format, n_entries,
+    uncompressed_size, compressed_size, expansion_e3)."""
+    out_schema = (
+        f"{id_col} long, format string, n_entries long, "
+        "uncompressed_size long, compressed_size long, expansion_e3 long"
+    )
+    cols = [
+        id_col, "format", "n_entries", "uncompressed_size",
+        "compressed_size", "expansion_e3",
+    ]
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                blob = bytes(blob)
+                try:
+                    if blob[:2] == b"\x1f\x8b":
+                        s = _gzip_structure(blob)
+                        fmt, n = "gzip", 1
+                        usize, csize = s["isize"], s["compressed_size"]
+                    elif blob[:4] == b"\x28\xb5\x2f\xfd" or (
+                        len(blob) >= 4
+                        and (int.from_bytes(blob[:4], "little") & 0xFFFFFFF0)
+                        == 0x184D2A50
+                    ):
+                        s = _zstd_structure(blob)
+                        fmt, n = "zstd", 1
+                        usize, csize = s["content_size"], len(blob)
+                    else:
+                        s = _zip_structure(blob)  # EOCD scan finds zips
+                        fmt, n = "zip", s["n_entries"]
+                        usize = s["total_uncompressed"]
+                        csize = s["total_compressed"]
+                    exp = (
+                        usize * 1000 // csize
+                        if usize is not None and csize
+                        else None
+                    )
+                    rows.append({
+                        id_col: mid, "format": fmt, "n_entries": n,
+                        "uncompressed_size": usize,
+                        "compressed_size": csize, "expansion_e3": exp,
+                    })
+                except ValueError:
+                    if not fake:
+                        raise
+                    rows.append({c: None for c in cols} | {id_col: mid})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, binary_col).mapInPandas(audit, schema=out_schema)
+
+
 def _flac_structure(blob: bytes) -> dict:
     """Header-only walk of a FLAC stream's metadata section (public
     spec: xiph.org FLAC format): 'fLaC' magic, then metadata blocks

@@ -2973,6 +2973,121 @@ def test_flac_audit_streaminfo(spark):
             pass
 
 
+def test_archive_audit_gzip_zip_zstd(spark):
+    """archive_audit (r11, pytest-locked): gzip members via stdlib
+    gzip (REAL fixtures — header-flag walk incl. FNAME/FEXTRA, trailer
+    ISIZE), zip central directories via stdlib zipfile (entry counts,
+    stored/deflated split, declared sizes — payloads never read), zstd
+    frame headers (hand-built per RFC 8878: FCS field sizes,
+    single-segment, window descriptor, dict id, skippable-frame hop),
+    and the expansion_e3 zip-bomb screen; quarantine contracts for
+    torn EOCDs, reserved bits, ZIP64 and multi-disk markers."""
+    import gzip as _gzip
+    import io
+    import zipfile
+
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import (
+        _gzip_structure,
+        _zip_structure,
+        _zstd_structure,
+        archive_audit,
+    )
+
+    # --- gzip: real stdlib fixture with a filename ---
+    buf = io.BytesIO()
+    with _gzip.GzipFile("corpus.txt", "wb", fileobj=buf, mtime=1_700_000_000) as g:
+        g.write(b"hello gzip world " * 1000)
+    gz = buf.getvalue()
+    s = _gzip_structure(gz)
+    assert s["fname"] == "corpus.txt" and s["mtime"] == 1_700_000_000
+    assert s["isize"] == 17_000 and s["compressed_size"] == len(gz)
+    with _pytest.raises(ValueError, match="not a gzip"):
+        _gzip_structure(b"\x1f\x8c" + gz[2:])
+    with _pytest.raises(ValueError, match="reserved"):
+        _gzip_structure(gz[:3] + b"\xe0" + gz[4:])
+
+    # --- zip: real stdlib fixture, stored + deflated entries ---
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as z:
+        z.writestr("a.txt", b"A" * 5000, compress_type=zipfile.ZIP_DEFLATED)
+        z.writestr("b.bin", b"B" * 300, compress_type=zipfile.ZIP_STORED)
+        z.writestr("c.txt", b"C" * 7000, compress_type=zipfile.ZIP_DEFLATED)
+    zp = zbuf.getvalue()
+    s = _zip_structure(zp)
+    assert s["n_entries"] == 3 and s["n_stored"] == 1 and s["n_deflated"] == 2
+    assert s["total_uncompressed"] == 12_300
+    assert 0 < s["total_compressed"] < 12_300
+    assert not s["has_encrypted"]
+    with _pytest.raises(ValueError, match="no ZIP end-of-central"):
+        _zip_structure(zp[: len(zp) // 2])
+    # doctor the EOCD's total-entries field to the ZIP64 sentinel
+    eocd = zp.rfind(b"PK\x05\x06")
+    doctored = zp[: eocd + 10] + b"\xff\xff" + zp[eocd + 12 :]
+    with _pytest.raises(ValueError, match="not supported"):
+        _zip_structure(doctored)
+
+    # --- zstd: hand frames per RFC 8878 ---
+    # FCS code 1 (2-byte field, value+256), window descriptor, checksum
+    zst = (b"\x28\xb5\x2f\xfd"
+           + bytes([0x40 | 0x04]) + bytes([0x08])  # fhd, window wd=8
+           + (1744).to_bytes(2, "little")          # content 1744+256=2000
+           + b"\x00" * 32)
+    s = _zstd_structure(zst)
+    assert s["content_size"] == 2000 and s["has_checksum"]
+    assert s["window_size"] == (1 << 11) and s["dict_id"] is None
+    # single-segment + 1-byte FCS + a leading skippable frame
+    skip = (0x184D2A50).to_bytes(4, "little") + (6).to_bytes(4, "little") + b"x" * 6
+    zst2 = skip + b"\x28\xb5\x2f\xfd" + bytes([0x20]) + bytes([42]) + b"\x00" * 8
+    s = _zstd_structure(zst2)
+    assert s["n_skippable"] == 1 and s["content_size"] == 42
+    assert s["window_size"] == 42  # single-segment: window = content
+    with _pytest.raises(ValueError, match="reserved"):
+        _zstd_structure(b"\x28\xb5\x2f\xfd" + bytes([0x08]) + b"\x00" * 8)
+    with _pytest.raises(ValueError, match="truncated"):
+        _zstd_structure(zst[:5])
+
+    # --- the Spark audit + zip-bomb screen ---
+    df = spark.createDataFrame(
+        [(1, bytearray(gz)), (2, bytearray(zp)), (3, bytearray(zst)),
+         (4, bytearray(b"\x00" * 64))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in archive_audit(df).collect()}
+    assert rows[1]["format"] == "gzip" and rows[1]["uncompressed_size"] == 17_000
+    assert rows[1]["expansion_e3"] == 17_000 * 1000 // len(gz)
+    assert rows[2]["format"] == "zip" and rows[2]["n_entries"] == 3
+    assert rows[3]["format"] == "zstd" and rows[3]["uncompressed_size"] == 2000
+    assert rows[4]["format"] is None
+    with _pytest.raises(Exception, match="ZIP|gzip|zstd"):
+        archive_audit(df, fake=False).collect()
+
+    # mutation fuzz across all three walkers: dict or ValueError
+    import random
+
+    rng = random.Random(31)
+    for base in (gz, zp, zst2):
+        for _ in range(700):
+            b = bytearray(base)
+            op = rng.randrange(3)
+            if op == 0:
+                for _ in range(rng.randint(1, 6)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            elif op == 1:
+                b = b[: rng.randrange(len(b))]
+            else:
+                i = rng.randrange(len(b))
+                b = b[:i] + bytes(
+                    rng.randrange(256) for _ in range(rng.randint(1, 12))
+                ) + b[i:]
+            for fn in (_gzip_structure, _zip_structure, _zstd_structure):
+                try:
+                    fn(bytes(b))
+                except ValueError:
+                    pass
+
+
 def _ebml(eid: bytes, payload: bytes) -> bytes:
     n = len(payload)
     size = bytes([0x80 | n]) if n < 127 else bytes([0x40 | (n >> 8), n & 0xFF])
