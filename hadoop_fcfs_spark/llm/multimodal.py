@@ -1635,6 +1635,124 @@ def archive_audit(
     return df.select(id_col, binary_col).mapInPandas(audit, schema=out_schema)
 
 
+def _warc_structure(blob: bytes) -> dict:
+    """Record-chain audit of an (uncompressed) WARC file (public spec:
+    ISO 28500 / the IIPC WARC/1.x format — the CommonCrawl container):
+    each record is a 'WARC/1.x' version line + named header lines +
+    CRLFCRLF, then exactly Content-Length payload octets, then
+    CRLFCRLF — so the chain hops payload bytes via the declared
+    lengths and cataloguing a crawl segment (record counts by
+    WARC-Type, payload volume, truncation flags) never reads a single
+    response body. Pairs with :func:`_gzip_structure`: CommonCrawl
+    .warc.gz files are per-record gzip members, so at 100 TB the
+    pipeline is member-split → inflate one record → THIS walk. Raises
+    ValueError on a bad version line, a missing/invalid
+    Content-Length, missing CRLFCRLF terminators, or overruns.
+    Returns {n_records, n_responses, n_requests, n_warcinfo,
+    n_metadata, total_content_bytes, has_truncated, warc_version}."""
+    pos = 0
+    n = resp = req = winfo = meta = 0
+    total = 0
+    has_trunc = False
+    version = None
+    while pos < len(blob):
+        eol = blob.find(b"\r\n", pos)
+        if eol < 0 or not blob[pos:eol].startswith(b"WARC/"):
+            raise ValueError("bad WARC version line")
+        ver = blob[pos + 5 : eol].decode("latin-1", "replace")
+        if version is None:
+            version = ver
+        hdr_end = blob.find(b"\r\n\r\n", eol)
+        if hdr_end < 0:
+            raise ValueError("unterminated WARC header block")
+        clen = None
+        rtype = None
+        for line in blob[eol + 2 : hdr_end].split(b"\r\n"):
+            k, _, v = line.partition(b":")
+            key = k.strip().lower()
+            if key == b"content-length":
+                try:
+                    clen = int(v.strip())
+                except ValueError:
+                    raise ValueError("invalid WARC Content-Length") from None
+            elif key == b"warc-type":
+                rtype = v.strip().lower()
+            elif key == b"warc-truncated":
+                has_trunc = True
+        if clen is None or clen < 0:
+            raise ValueError("missing WARC Content-Length")
+        body = hdr_end + 4
+        if body + clen + 4 > len(blob):
+            raise ValueError("WARC record overruns the blob")
+        if blob[body + clen : body + clen + 4] != b"\r\n\r\n":
+            raise ValueError("missing WARC record terminator")
+        n += 1
+        total += clen
+        if rtype == b"response":
+            resp += 1
+        elif rtype == b"request":
+            req += 1
+        elif rtype == b"warcinfo":
+            winfo += 1
+        elif rtype == b"metadata":
+            meta += 1
+        pos = body + clen + 4
+        if n > 1_000_000:
+            raise ValueError("oversized WARC chain")
+    if n == 0:
+        raise ValueError("no WARC records")
+    return {
+        "n_records": n,
+        "n_responses": resp,
+        "n_requests": req,
+        "n_warcinfo": winfo,
+        "n_metadata": meta,
+        "total_content_bytes": total,
+        "has_truncated": has_trunc,
+        "warc_version": version,
+    }
+
+
+def warc_audit(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Crawl-segment catalogue: per-blob WARC record counts by type,
+    payload volume and truncation flags from the header chain only
+    (:func:`_warc_structure` — response bodies hopped via
+    Content-Length). NULL-row quarantine under fake=True, raise under
+    fake=False."""
+    out_schema = (
+        f"{id_col} long, n_records long, n_responses long, "
+        "n_requests long, n_warcinfo long, n_metadata long, "
+        "total_content_bytes long, has_truncated boolean, "
+        "warc_version string"
+    )
+    cols = [
+        id_col, "n_records", "n_responses", "n_requests", "n_warcinfo",
+        "n_metadata", "total_content_bytes", "has_truncated",
+        "warc_version",
+    ]
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    s = _warc_structure(bytes(blob))
+                except ValueError:
+                    if not fake:
+                        raise
+                    rows.append({c: None for c in cols} | {id_col: mid})
+                    continue
+                rows.append({id_col: mid} | s)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, binary_col).mapInPandas(audit, schema=out_schema)
+
+
 def _flac_structure(blob: bytes) -> dict:
     """Header-only walk of a FLAC stream's metadata section (public
     spec: xiph.org FLAC format): 'fLaC' magic, then metadata blocks

@@ -3088,6 +3088,96 @@ def test_archive_audit_gzip_zip_zstd(spark):
                     pass
 
 
+def test_warc_audit_record_chain(spark):
+    """warc_audit (r11, pytest-locked): hand-built WARC/1.0 chains —
+    record hop via Content-Length (bodies never read), type counts,
+    truncation flag, version capture; bad version lines, missing
+    Content-Length, torn terminators and overruns quarantine."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import _warc_structure, warc_audit
+
+    def rec(rtype, body, extra=()):
+        hdrs = [b"WARC/1.0",
+                b"WARC-Type: " + rtype,
+                b"WARC-Record-ID: <urn:uuid:1>",
+                b"WARC-Date: 2026-08-16T00:00:00Z",
+                *extra,
+                b"Content-Length: " + str(len(body)).encode()]
+        return b"\r\n".join(hdrs) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+    warc = (rec(b"warcinfo", b"software: test\r\n")
+            + rec(b"request", b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+            + rec(b"response", b"HTTP/1.1 200 OK\r\n\r\n" + b"<html>" * 500)
+            + rec(b"response", b"HTTP/1.1 200 OK\r\n\r\n" + b"B" * 100,
+                  extra=(b"WARC-Truncated: length",))
+            + rec(b"metadata", b"fetchTimeMs: 12\r\n"))
+    s = _warc_structure(warc)
+    assert s["n_records"] == 5 and s["n_responses"] == 2
+    assert s["n_requests"] == 1 and s["n_warcinfo"] == 1
+    assert s["n_metadata"] == 1 and s["has_truncated"]
+    assert s["warc_version"] == "1.0"
+    assert s["total_content_bytes"] == (
+        len(b"software: test\r\n")
+        + len(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+        + len(b"HTTP/1.1 200 OK\r\n\r\n") + 3000
+        + len(b"HTTP/1.1 200 OK\r\n\r\n") + 100
+        + len(b"fetchTimeMs: 12\r\n")
+    )
+
+    with _pytest.raises(ValueError, match="version line"):
+        _warc_structure(b"WARX/1.0\r\n" + warc[10:])
+    with _pytest.raises(ValueError, match="overruns|terminator|unterminated"):
+        _warc_structure(warc[:-6])
+    no_len = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n"
+    with _pytest.raises(ValueError, match="Content-Length"):
+        _warc_structure(no_len)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(warc)), (2, bytearray(b"PK\x03\x04" + b"\x00" * 40))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in warc_audit(df).collect()}
+    assert rows[1]["n_records"] == 5 and rows[2]["n_records"] is None
+    with _pytest.raises(Exception, match="WARC"):
+        warc_audit(df, fake=False).collect()
+
+    # the 100 TB pipeline shape: a CommonCrawl-style .warc.gz member
+    # inflates to exactly this walk's input (gzip_audit -> warc_audit)
+    import gzip as _gzip
+    import io
+
+    from hadoop_fcfs_spark.llm.multimodal import _gzip_structure
+
+    buf = io.BytesIO()
+    with _gzip.GzipFile(fileobj=buf, mode="wb") as g:
+        g.write(warc)
+    gz = buf.getvalue()
+    assert _gzip_structure(gz)["isize"] == len(warc)
+    assert _warc_structure(_gzip.decompress(gz))["n_records"] == 5
+
+    import random
+
+    rng = random.Random(37)
+    for _ in range(1500):
+        b = bytearray(warc)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:
+            b = b[: rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes(
+                rng.randrange(256) for _ in range(rng.randint(1, 12))
+            ) + b[i:]
+        try:
+            _warc_structure(bytes(b))
+        except ValueError:
+            pass
+
+
 def _ebml(eid: bytes, payload: bytes) -> bytes:
     n = len(payload)
     size = bytes([0x80 | n]) if n < 127 else bytes([0x40 | (n >> 8), n & 0xFF])
