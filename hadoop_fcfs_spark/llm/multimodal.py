@@ -62,6 +62,10 @@ _MAGIC = {
     b"ID3": "mp3",
     b"OggS": "ogg",
     b"fLaC": "flac",
+    b"\x1f\x8b": "gzip",
+    b"PK\x03\x04": "zip",
+    b"\x28\xb5\x2f\xfd": "zstd",
+    b"WARC/": "warc",
     b"\x1a\x45\xdf\xa3": "webm",
     b"II*\x00": "tiff",
     b"MM\x00*": "tiff",

@@ -3063,6 +3063,13 @@ def test_archive_audit_gzip_zip_zstd(spark):
     with _pytest.raises(Exception, match="ZIP|gzip|zstd"):
         archive_audit(df, fake=False).collect()
 
+    # the meta sniffer catalogues the archive magics too
+    from hadoop_fcfs_spark.llm.multimodal import attach_media_meta
+
+    fmts = {r["media_id"]: r["media_meta"]["format"]
+            for r in attach_media_meta(df).collect()}
+    assert fmts == {1: "gzip", 2: "zip", 3: "zstd", 4: "unknown"}
+
     # mutation fuzz across all three walkers: dict or ValueError
     import random
 
