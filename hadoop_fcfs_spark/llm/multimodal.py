@@ -1717,6 +1717,101 @@ def _warc_structure(blob: bytes) -> dict:
     }
 
 
+def _pdf_structure(blob: bytes) -> dict:
+    """Head+tail audit of a PDF (public spec: ISO 32000): the '%PDF-'
+    version header (within the first 1024 bytes, the Acrobat
+    convention), the '%%EOF' marker and 'startxref' offset from the
+    LAST 2048 bytes, the object count from the trailer's '/Size'
+    (searched in the tail for classic xref tables, then within 512
+    bytes of the startxref target for cross-reference STREAMS), plus
+    '/Linearized' (first 1024) and '/Encrypt' (tail) flags — so "is
+    this a well-formed PDF, how many objects, is it encrypted" reads
+    ≤ ~3.5 KB of a blob of ANY size, never the content streams.
+    Raises ValueError on a missing header, missing %%EOF, or a
+    missing/malformed startxref — a torn download quarantines to a
+    NULL row, exactly the damaged-blob signal a corpus sweep wants.
+    Returns {version, n_objects, startxref, linearized, encrypted}."""
+    head = blob[:1024]
+    h = head.find(b"%PDF-")
+    if h < 0:
+        raise ValueError("no %PDF header")
+    ver = head[h + 5 : h + 8].decode("latin-1", "replace")
+    if len(ver) < 3 or ver[1] != ".":
+        raise ValueError("malformed PDF version")
+    tail = blob[-2048:]
+    if b"%%EOF" not in tail:
+        raise ValueError("no %%EOF marker")
+    sx = tail.rfind(b"startxref")
+    if sx < 0:
+        raise ValueError("no startxref")
+    after = tail[sx + 9 :].split()
+    if not after or not after[0].isdigit():
+        raise ValueError("malformed startxref offset")
+    startxref = int(after[0])
+    if startxref >= len(blob):
+        raise ValueError("startxref beyond the blob")
+    n_objects = None
+    tsize = tail.rfind(b"/Size")
+    if tsize >= 0:
+        toks = tail[tsize + 5 :].split()
+        if toks and toks[0].rstrip(b">]").isdigit():
+            n_objects = int(toks[0].rstrip(b">]"))
+    if n_objects is None:
+        # cross-reference stream: /Size lives in the object dict at
+        # the startxref target
+        xr = blob[startxref : startxref + 512]
+        ssize = xr.find(b"/Size")
+        if ssize >= 0:
+            toks = xr[ssize + 5 :].split()
+            if toks and toks[0].rstrip(b">]/").isdigit():
+                n_objects = int(toks[0].rstrip(b">]/"))
+    return {
+        "version": ver,
+        "n_objects": n_objects,
+        "startxref": startxref,
+        "linearized": b"/Linearized" in head,
+        "encrypted": b"/Encrypt" in tail,
+    }
+
+
+def pdf_audit(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Document-tier audit: per-blob (version, n_objects, startxref,
+    linearized, encrypted) from the PDF head+tail only
+    (:func:`_pdf_structure` — ≤ ~3.5 KB read per blob of any size;
+    content streams never parsed, text EXTRACTION stays out of scope).
+    NULL-row quarantine under fake=True (a torn download IS the
+    signal), raise under fake=False."""
+    out_schema = (
+        f"{id_col} long, version string, n_objects long, "
+        "startxref long, linearized boolean, encrypted boolean"
+    )
+    cols = [
+        id_col, "version", "n_objects", "startxref", "linearized",
+        "encrypted",
+    ]
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    s = _pdf_structure(bytes(blob))
+                except ValueError:
+                    if not fake:
+                        raise
+                    rows.append({c: None for c in cols} | {id_col: mid})
+                    continue
+                rows.append({id_col: mid} | s)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, binary_col).mapInPandas(audit, schema=out_schema)
+
+
 def warc_audit(
     df: DataFrame,
     binary_col: str = "payload",

@@ -3185,6 +3185,88 @@ def test_warc_audit_record_chain(spark):
             pass
 
 
+def test_pdf_audit_head_tail(spark):
+    """pdf_audit (r11, pytest-locked): hand-built classic-xref and
+    xref-STREAM PDFs — version from the (possibly offset) header,
+    startxref + /Size from the tail or the startxref target,
+    linearized/encrypted flags; missing header/%%EOF/startxref
+    quarantine (a torn download is the signal)."""
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import _pdf_structure, pdf_audit
+
+    body = (b"%PDF-1.7\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Count 3 >> endobj\n"
+            + b"3 0 obj << /Length 20 >> stream\n" + b"Q" * 20
+            + b"\nendstream endobj\n")
+    classic = (body + b"xref\n0 4\n" + b"0000000000 65535 f \n" * 4
+               + b"trailer << /Size 4 /Root 1 0 R >>\n"
+               b"startxref\n" + str(len(body)).encode() + b"\n%%EOF\n")
+    s = _pdf_structure(classic)
+    assert s["version"] == "1.7" and s["n_objects"] == 4
+    assert s["startxref"] == len(body)
+    assert not s["linearized"] and not s["encrypted"]
+
+    # xref STREAM form: /Size lives at the startxref target, not the tail
+    xobj = b"4 0 obj << /Type /XRef /Size 5 /W [1 2 1] >> stream\nXX\nendstream endobj\n"
+    xstream = (body + xobj
+               + b"startxref\n" + str(len(body)).encode() + b"\n%%EOF\n")
+    s = _pdf_structure(xstream)
+    assert s["n_objects"] == 5 and s["startxref"] == len(body)
+
+    # junk-prefixed header (within 1024), linearized + encrypted flags
+    lin = (b"\xef\xbb\xbfJUNK" + b"%PDF-1.4\n"
+           b"1 0 obj << /Linearized 1 >> endobj\n" + b"x" * 50
+           + b"trailer << /Size 9 /Encrypt 7 0 R >>\nstartxref\n12\n%%EOF")
+    s = _pdf_structure(lin)
+    assert s["version"] == "1.4" and s["linearized"] and s["encrypted"]
+    assert s["n_objects"] == 9
+
+    with _pytest.raises(ValueError, match="no %PDF"):
+        _pdf_structure(b"HELLO" * 300)
+    with _pytest.raises(ValueError, match="%%EOF"):
+        _pdf_structure(classic.replace(b"%%EOF", b"%%EOX"))
+    with _pytest.raises(ValueError, match="startxref"):
+        _pdf_structure(classic.replace(b"startxref", b"startxrex"))
+    with _pytest.raises(ValueError, match="beyond"):
+        _pdf_structure(classic.replace(
+            b"startxref\n" + str(len(body)).encode(),
+            b"startxref\n99999999"))
+
+    df = spark.createDataFrame(
+        [(1, bytearray(classic)), (2, bytearray(xstream)),
+         (3, bytearray(b"torn %PDF-1.5 download"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in pdf_audit(df).collect()}
+    assert rows[1]["n_objects"] == 4 and rows[2]["n_objects"] == 5
+    assert rows[3]["version"] is None  # no %%EOF -> quarantined
+    with _pytest.raises(Exception, match="PDF|EOF|startxref"):
+        pdf_audit(df, fake=False).collect()
+
+    import random
+
+    rng = random.Random(41)
+    for _ in range(1500):
+        b = bytearray(classic)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:
+            b = b[: rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes(
+                rng.randrange(256) for _ in range(rng.randint(1, 12))
+            ) + b[i:]
+        try:
+            _pdf_structure(bytes(b))
+        except ValueError:
+            pass
+
+
 def _ebml(eid: bytes, payload: bytes) -> bytes:
     n = len(payload)
     size = bytes([0x80 | n]) if n < 127 else bytes([0x40 | (n >> 8), n & 0xFF])
