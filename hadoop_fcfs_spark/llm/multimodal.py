@@ -1717,6 +1717,118 @@ def _warc_structure(blob: bytes) -> dict:
     }
 
 
+def _tar_structure(blob: bytes) -> dict:
+    """Entry-chain audit of a tar archive (public spec: POSIX ustar /
+    pax): 512-byte headers hopped via each entry's octal size field
+    (file payloads never read), counting entries by typeflag
+    (regular/dir/symlink/pax-extended), total declared bytes, and
+    whether ustar/pax/GNU markers are present. The end-of-archive is
+    two zero blocks (a single one, or a chain that simply ends at the
+    blob boundary, is accepted — truncated tails are common in
+    streamed dumps and the n_trailing_zeros field reports what was
+    found). Raises ValueError on a non-numeric size field, a header
+    checksum that fails the POSIX sum (spaces-for-checksum rule), or
+    an entry overrunning the blob. Returns {n_entries, n_files,
+    n_dirs, n_links, n_pax, total_file_bytes, is_ustar,
+    complete_trailer}."""
+    pos = 0
+    n = files = dirs = links = pax = 0
+    total = 0
+    is_ustar = False
+    complete = False
+    while pos + 512 <= len(blob):
+        hdr = blob[pos : pos + 512]
+        if hdr == b"\x00" * 512:
+            complete = (
+                pos + 1024 <= len(blob)
+                and blob[pos + 512 : pos + 1024] == b"\x00" * 512
+            )
+            break
+        # POSIX checksum: sum of header bytes with the chksum field
+        # read as spaces
+        try:
+            stored = int(hdr[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        except ValueError:
+            raise ValueError("bad tar checksum field") from None
+        calc = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if stored != calc:
+            raise ValueError("tar header checksum mismatch")
+        size_field = hdr[124:136].split(b"\x00")[0].strip()
+        try:
+            size = int(size_field or b"0", 8)
+        except ValueError:
+            raise ValueError("bad tar size field") from None
+        typeflag = hdr[156:157]
+        magic = hdr[257:263]
+        is_ustar = is_ustar or magic in (b"ustar\x00", b"ustar ")
+        n += 1
+        if typeflag in (b"0", b"\x00", b"7"):
+            files += 1
+            total += size
+        elif typeflag == b"5":
+            dirs += 1
+        elif typeflag in (b"1", b"2"):
+            links += 1
+        elif typeflag in (b"x", b"g", b"L", b"K"):
+            pax += 1
+        data_blocks = (size + 511) // 512
+        pos += 512 + data_blocks * 512
+        if pos > len(blob):
+            raise ValueError("tar entry overruns the blob")
+        if n > 1_000_000:
+            raise ValueError("oversized tar chain")
+    if n == 0:
+        raise ValueError("no tar entries")
+    return {
+        "n_entries": n,
+        "n_files": files,
+        "n_dirs": dirs,
+        "n_links": links,
+        "n_pax": pax,
+        "total_file_bytes": total,
+        "is_ustar": is_ustar,
+        "complete_trailer": complete,
+    }
+
+
+def tar_audit(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Tar catalogue completing the archive tier: per-blob entry
+    counts by type, declared payload bytes, ustar/pax detection and
+    trailer completeness from the 512-byte header chain only
+    (:func:`_tar_structure` — file payloads hopped). NULL-row
+    quarantine under fake=True, raise under fake=False."""
+    out_schema = (
+        f"{id_col} long, n_entries long, n_files long, n_dirs long, "
+        "n_links long, n_pax long, total_file_bytes long, "
+        "is_ustar boolean, complete_trailer boolean"
+    )
+    cols = [
+        id_col, "n_entries", "n_files", "n_dirs", "n_links", "n_pax",
+        "total_file_bytes", "is_ustar", "complete_trailer",
+    ]
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    s = _tar_structure(bytes(blob))
+                except ValueError:
+                    if not fake:
+                        raise
+                    rows.append({c: None for c in cols} | {id_col: mid})
+                    continue
+                rows.append({id_col: mid} | s)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, binary_col).mapInPandas(audit, schema=out_schema)
+
+
 def _pdf_structure(blob: bytes) -> dict:
     """Head+tail audit of a PDF (public spec: ISO 32000): the '%PDF-'
     version header (within the first 1024 bytes, the Acrobat

@@ -3267,6 +3267,97 @@ def test_pdf_audit_head_tail(spark):
             pass
 
 
+def test_tar_audit_header_chain(spark):
+    """tar_audit (r11, pytest-locked): REAL stdlib tarfile fixtures
+    (ustar + pax, files/dirs/symlinks) — entry hop via octal sizes,
+    POSIX checksum verification, type counts, trailer completeness;
+    doctored checksums/sizes and overruns quarantine."""
+    import io
+    import tarfile
+
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import _tar_structure, tar_audit
+
+    def make_tar(fmt):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as t:
+            for name, size in (("a.txt", 5000), ("b/c.bin", 300)):
+                ti = tarfile.TarInfo(name)
+                ti.size = size
+                t.addfile(ti, io.BytesIO(b"Q" * size))
+            d = tarfile.TarInfo("b")
+            d.type = tarfile.DIRTYPE
+            t.addfile(d)
+            ln = tarfile.TarInfo("link")
+            ln.type = tarfile.SYMTYPE
+            ln.linkname = "a.txt"
+            t.addfile(ln)
+        return buf.getvalue()
+
+    ustar = make_tar(tarfile.USTAR_FORMAT)
+    s = _tar_structure(ustar)
+    assert s["n_files"] == 2 and s["n_dirs"] == 1 and s["n_links"] == 1
+    assert s["n_pax"] == 0 and s["total_file_bytes"] == 5300
+    assert s["is_ustar"] and s["complete_trailer"]
+
+    pax = make_tar(tarfile.PAX_FORMAT)
+    s = _tar_structure(pax)
+    assert s["n_files"] == 2 and s["total_file_bytes"] == 5300
+
+    # truncated tail (strip ALL trailing zero blocks — tarfile pads to
+    # the 10240 blocking factor): entries still counted, trailer
+    # incomplete
+    end = len(ustar)
+    while end >= 512 and ustar[end - 512 : end] == b"\x00" * 512:
+        end -= 512
+    s = _tar_structure(ustar[:end])
+    assert s["n_files"] == 2 and not s["complete_trailer"]
+
+    bad_sum = bytearray(ustar)
+    bad_sum[0] ^= 0xFF
+    with _pytest.raises(ValueError, match="checksum"):
+        _tar_structure(bytes(bad_sum))
+    bad_size = bytearray(ustar)
+    bad_size[124:130] = b"zzzzzz"
+    with _pytest.raises(ValueError, match="checksum|size"):
+        _tar_structure(bytes(bad_size))
+    with _pytest.raises(ValueError, match="no tar entries"):
+        _tar_structure(b"\x00" * 1024)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(ustar)), (2, bytearray(pax)),
+         (3, bytearray(b"not a tar" * 60))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in tar_audit(df).collect()}
+    assert rows[1]["n_entries"] == 4 and rows[2]["n_files"] == 2
+    assert rows[3]["n_entries"] is None
+    with _pytest.raises(Exception, match="tar"):
+        tar_audit(df, fake=False).collect()
+
+    import random
+
+    rng = random.Random(43)
+    for _ in range(1500):
+        b = bytearray(ustar)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:
+            b = b[: rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes(
+                rng.randrange(256) for _ in range(rng.randint(1, 12))
+            ) + b[i:]
+        try:
+            _tar_structure(bytes(b))
+        except ValueError:
+            pass
+
+
 def _ebml(eid: bytes, payload: bytes) -> bytes:
     n = len(payload)
     size = bytes([0x80 | n]) if n < 127 else bytes([0x40 | (n >> 8), n & 0xFF])
