@@ -64,42 +64,24 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # a pytest keeps the script and the table format in lockstep. Update
 # the paragraph below by hand each round.
 #
-# State after round 10 (rebuilt for round 11): 360 registered gates,
-# CORRECTNESS_r10 50/50 green, driver-checked union r01-r10 = 360/360,
-# zero mismatches ever. _NEVER_SAMPLED stays empty, so the round-11
+# State after round 11 (rebuilt for round 12): 366 registered gates,
+# CORRECTNESS_r11 50/50 green, driver-checked union r01-r11 = 366/366,
+# zero mismatches ever. _NEVER_SAMPLED stays empty, so the round-12
 # window = gates registered this round (bucket 1, in registration
-# order) + the oldest confirmed tail (bucket 2: the 10 r3 stragglers
-# whose rows are 8 rounds old, then the oldest of the 50 r4 gates).
-# Keep net-new <= 6 so the window clears all of r3 plus >= 34 of the
-# r4 tail. Burn-down plan for the r4 tail (50 rows after this fold):
-# r11 clears ~34, r12's window takes the remaining ~16 r4 rows at its
-# head — by r12-close no evidence row should be older than r5.
+# order) + the oldest confirmed tail (bucket 2: the 16 remaining r4
+# gates, then the oldest of the 50 r5 gates). Keep net-new <= 6 so the
+# window clears all 16 r4 rows plus >= 28 of the r5 tail — by
+# r12-close no evidence row should be older than r5 (burn-down
+# promise from r11). Per-round counts after this fold: 16 x r4, 50
+# each r5-r11.
 
 _NEVER_SAMPLED: tuple[str, ...] = ()
 
 _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
-    # latest driver row: round 3 (10 gates)
-    "side_data_lookup": 3, "skew_salted_join": 3, "sliding_window": 3,
-    "stratified_sample_orders": 3, "supplier_part_counts": 3,
-    "token_budget_mix": 3, "train_holdout_split": 3, "tumbling_window": 3,
-    "vocab_stats": 3, "zorder_values": 3,
-    # latest driver row: round 4 (50 gates)
-    "ann_ivf_pq_topk": 4, "ann_pq_adc_topk": 4, "bfs_trade_reach": 4,
-    "bm25_retrieval": 4, "centroid_separation": 4, "cms_heavy_hitters": 4,
-    "cms_join_size": 4, "containment_dedup": 4, "contrastive_negatives":
-    4, "corpus_pipeline_v3": 4, "corpus_report": 4,
-    "cross_source_duplication": 4, "customer_distribution": 4,
-    "daily_event_anomaly": 4, "data_validation": 4,
-    "disjunctive_filter_revenue": 4, "duplicate_safe_split": 4,
-    "embedding_gram": 4, "excess_volume_suppliers": 4, "forecast_revenue":
-    4, "gap_fill_hourly": 4, "inverted_index": 4, "jaccard_prefix_dedup":
-    4, "key_skew_report": 4, "kll_quantile_rollup": 4, "kn_bigram_model":
-    4, "late_lines_priority": 4, "latest_event_per_user": 4,
-    "lineitem_corr": 4, "mad_event_anomaly": 4, "merge_upsert_customers":
-    4, "merged_user_coverage": 4, "min_acctbal_supplier": 4,
-    "national_market_share": 4, "orders_mutual_info": 4,
-    "product_type_profit": 4, "promo_revenue_ratio": 4, "skew_salted_agg":
-    4, "small_quantity_revenue": 4, "snapshot_diff_orders": 4,
+    # latest driver row: round 4 (16 gates)
+    "orders_mutual_info": 4, "product_type_profit": 4,
+    "promo_revenue_ratio": 4, "skew_salted_agg": 4,
+    "small_quantity_revenue": 4, "snapshot_diff_orders": 4,
     "terasort_validate": 4, "theta_user_overlap": 4,
     "token_budget_mix_weighted": 4, "top_supplier": 4, "volume_shipping":
     4, "volume_trend": 4, "waiting_suppliers": 4,
@@ -234,6 +216,30 @@ _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
     "shipping_priority": 10, "simpson_d_tokens": 10, "token_entropy": 10,
     "winnow_fingerprint_stats": 10, "word_stats": 10, "wordcount": 10,
     "xml_records": 10, "youden_j_orderstatus": 10,
+    # latest driver row: round 11 (50 gates)
+    "ann_ivf_pq_topk": 11, "ann_pq_adc_topk": 11, "bfs_trade_reach": 11,
+    "bm25_retrieval": 11, "brunner_munzel_price": 11,
+    "centroid_separation": 11, "cms_heavy_hitters": 11, "cms_join_size":
+    11, "containment_dedup": 11, "contrastive_negatives": 11,
+    "corpus_pipeline_v3": 11, "corpus_report": 11,
+    "cross_source_duplication": 11, "customer_distribution": 11,
+    "daily_event_anomaly": 11, "data_validation": 11,
+    "disjunctive_filter_revenue": 11, "duplicate_safe_split": 11,
+    "durbin_watson_daily_returns": 11, "embedding_gram": 11,
+    "excess_volume_suppliers": 11, "forecast_revenue": 11,
+    "gap_fill_hourly": 11, "hapax_richness_tokens": 11, "inverted_index":
+    11, "jaccard_prefix_dedup": 11, "key_skew_report": 11,
+    "kll_quantile_rollup": 11, "kn_bigram_model": 11,
+    "late_lines_priority": 11, "latest_event_per_user": 11,
+    "lineitem_corr": 11, "mad_event_anomaly": 11,
+    "merge_upsert_customers": 11, "merged_user_coverage": 11,
+    "min_acctbal_supplier": 11, "national_market_share": 11,
+    "nelson_rules_daily_returns": 11, "side_data_lookup": 11,
+    "skew_salted_join": 11, "sliding_window": 11,
+    "stratified_sample_orders": 11, "supplier_part_counts": 11,
+    "token_budget_mix": 11, "train_holdout_split": 11,
+    "ttr_family_tokens": 11, "tumbling_window": 11, "vocab_stats": 11,
+    "zone_rules_daily_returns": 11, "zorder_values": 11,
 }
 
 
