@@ -1241,6 +1241,18 @@ def _mp3_structure(blob: bytes) -> dict:
             raise ValueError("bad MPEG frame length")
         if pos + flen > end:
             raise ValueError("MPEG frame overruns the blob")
+        if n_frames == 0 and version is None and lyr == 3:
+            # A LAME/Xing 'Xing'/'Info' (or Fraunhofer 'VBRI') header
+            # rides in the otherwise-silent FIRST frame, after the
+            # Layer III side info — it is metadata, not audio, so it
+            # must not count toward n_frames/duration or contribute its
+            # bitrate index to the CBR/VBR spread (a CBR file whose
+            # Info frame is encoded at a different index is still CBR).
+            side = (17 if ch == 1 else 32) if vgroup == 1 else (9 if ch == 1 else 17)
+            tag = blob[pos + 4 + side : pos + 8 + side]
+            if tag in (b"Xing", b"Info") or blob[pos + 36 : pos + 40] == b"VBRI":
+                pos += flen
+                continue
         cur = (vcode, lyr, sr, ch)
         if version is None:
             version, layer, rate, channels = cur
@@ -1313,10 +1325,15 @@ def _ogg_structure(blob: bytes) -> dict:
         body = sum(blob[pos + 27 : lace_end])
         if lace_end + body > len(blob):
             raise ValueError("Ogg page overruns the blob")
-        if htype & 0x02:  # beginning of stream
-            if serial is not None and ser != serial:
-                raise ValueError("multiplexed Ogg not supported")
+        # Pin the physical-stream serial from the FIRST page whether or
+        # not it carries BOS (a headerless/clipped chain would otherwise
+        # leave serial None and silently disable the multiplexed-stream
+        # check for the whole walk).
+        if serial is None:
             serial = ser
+        elif ser != serial:
+            raise ValueError("multiplexed Ogg not supported")
+        if htype & 0x02:  # beginning of stream
             pkt = blob[lace_end : lace_end + body]
             if pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
                 codec = "vorbis"
@@ -1329,8 +1346,6 @@ def _ogg_structure(blob: bytes) -> dict:
                 rate = int.from_bytes(pkt[12:16], "little")
             else:
                 codec = "unknown"
-        elif serial is not None and ser != serial:
-            raise ValueError("multiplexed Ogg not supported")
         if granule >= 0:
             if last_granule is not None and granule < last_granule:
                 raise ValueError("Ogg granule position regressed")
@@ -1436,12 +1451,27 @@ def _zip_structure(blob: bytes) -> dict:
     total_compressed, n_stored, n_deflated, has_encrypted,
     comment_len}."""
     tail = blob[-(65536 + 22):] if len(blob) > 65536 + 22 else blob
-    eocd_rel = tail.rfind(b"PK\x05\x06")
-    if eocd_rel < 0:
+    base = len(blob) - len(tail)
+    # Backward scan over PK\x05\x06 candidates: a stored member or the
+    # archive comment itself can contain the magic, so the rfind hit is
+    # not necessarily the record. The standard disambiguation accepts
+    # the candidate whose comment_len field equals the distance from
+    # the end of its fixed record to the end of the blob.
+    eocd = -1
+    search_end = len(tail)
+    while search_end >= 4:
+        rel = tail.rfind(b"PK\x05\x06", 0, search_end)
+        if rel < 0:
+            break
+        cand = base + rel
+        if cand + 22 <= len(blob):
+            cand_clen = int.from_bytes(blob[cand + 20 : cand + 22], "little")
+            if cand + 22 + cand_clen == len(blob):
+                eocd = cand
+                break
+        search_end = rel + 3  # keep overlapping magics findable
+    if eocd < 0:
         raise ValueError("no ZIP end-of-central-directory record")
-    eocd = len(blob) - len(tail) + eocd_rel
-    if eocd + 22 > len(blob):
-        raise ValueError("torn ZIP EOCD record")
     disk = int.from_bytes(blob[eocd + 4 : eocd + 6], "little")
     cd_disk = int.from_bytes(blob[eocd + 6 : eocd + 8], "little")
     n_here = int.from_bytes(blob[eocd + 8 : eocd + 10], "little")
@@ -1721,7 +1751,9 @@ def _tar_structure(blob: bytes) -> dict:
     """Entry-chain audit of a tar archive (public spec: POSIX ustar /
     pax): 512-byte headers hopped via each entry's octal size field
     (file payloads never read), counting entries by typeflag
-    (regular/dir/symlink/pax-extended), total declared bytes, and
+    (regular/dir/symlink; n_meta buckets BOTH pax extended headers
+    x/g AND GNU long-name extensions L/K — all metadata-extension
+    entries, none of them files), total declared bytes, and
     whether ustar/pax/GNU markers are present. The end-of-archive is
     two zero blocks (a single one, or a chain that simply ends at the
     blob boundary, is accepted — truncated tails are common in
@@ -1729,7 +1761,7 @@ def _tar_structure(blob: bytes) -> dict:
     found). Raises ValueError on a non-numeric size field, a header
     checksum that fails the POSIX sum (spaces-for-checksum rule), or
     an entry overrunning the blob. Returns {n_entries, n_files,
-    n_dirs, n_links, n_pax, total_file_bytes, is_ustar,
+    n_dirs, n_links, n_meta, total_file_bytes, is_ustar,
     complete_trailer}."""
     pos = 0
     n = files = dirs = links = pax = 0
@@ -1784,7 +1816,7 @@ def _tar_structure(blob: bytes) -> dict:
         "n_files": files,
         "n_dirs": dirs,
         "n_links": links,
-        "n_pax": pax,
+        "n_meta": pax,
         "total_file_bytes": total,
         "is_ustar": is_ustar,
         "complete_trailer": complete,
@@ -1804,11 +1836,11 @@ def tar_audit(
     quarantine under fake=True, raise under fake=False."""
     out_schema = (
         f"{id_col} long, n_entries long, n_files long, n_dirs long, "
-        "n_links long, n_pax long, total_file_bytes long, "
+        "n_links long, n_meta long, total_file_bytes long, "
         "is_ustar boolean, complete_trailer boolean"
     )
     cols = [
-        id_col, "n_entries", "n_files", "n_dirs", "n_links", "n_pax",
+        id_col, "n_entries", "n_files", "n_dirs", "n_links", "n_meta",
         "total_file_bytes", "is_ustar", "complete_trailer",
     ]
 

@@ -311,6 +311,12 @@ def stream_zone_monitor(
             )
         out = []
         for i, n, x in sorted(rows):
+            if n <= 0:
+                # Malformed grain row (the batch operator's grain always
+                # has n >= 1, but the monitor ingests external rows):
+                # dropping it here mirrors that invariant instead of
+                # letting sqrt/ZeroDivisionError kill the whole query.
+                continue
             sig = math.sqrt(pbar * (1.0 - pbar) / n)
             rate = x / n
             b2 = 1 if rate > pbar + 2.0 * sig else -1 if rate < pbar - 2.0 * sig else 0

@@ -2733,6 +2733,23 @@ def test_mp3_audit_frame_walk(spark):
     s = _mp3_structure(vbr)
     assert s["vbr"] and s["n_frames"] == 4
 
+    # Xing/Info VBR-header frame (r12 ADVICE fix): the LAME tag rides
+    # in the first frame after the Layer III side info (MPEG1 mono =
+    # 17 bytes) — it is metadata, so it must not count toward
+    # n_frames/duration nor contribute its bitrate index to the
+    # CBR/VBR spread.
+    info = bytearray(frame(5))  # 64 kbps — a DIFFERENT index than cbr's
+    info[4 + 17 : 4 + 21] = b"Info"
+    s = _mp3_structure(bytes(info) + cbr)
+    assert s["n_frames"] == 10 and not s["vbr"]  # still CBR, 10 frames
+    assert s["duration_ms"] == 10 * 1152 * 1000 // 44100
+    xing = bytearray(frame(9))
+    xing[4 + 17 : 4 + 21] = b"Xing"
+    s = _mp3_structure(bytes(xing) + vbr)
+    assert s["n_frames"] == 4 and s["vbr"]
+    with _pytest.raises(ValueError, match="no MPEG frames"):
+        _mp3_structure(bytes(xing))  # a tag frame alone is not audio
+
     # MPEG2.5 Layer III: 576 samples per frame at 11025 Hz, stereo
     low = b"".join(frame(3, vcode=0, mono=False) for _ in range(8))
     s = _mp3_structure(low)
@@ -2847,6 +2864,15 @@ def test_ogg_audit_page_walk(spark):
     with _pytest.raises(ValueError, match="multiplexed"):
         _ogg_structure(page(vorbis_id, 0, htype=2)
                        + page(opus_id, 0, serial=9, htype=2))
+    # r12 ADVICE fix: the serial pins from the FIRST page even when it
+    # lacks BOS (clipped chain), so interleaved serials still trip the
+    # multiplexed check instead of being silently mixed into one
+    # page/granule accounting.
+    with _pytest.raises(ValueError, match="multiplexed"):
+        _ogg_structure(page(b"a" * 10, 100, serial=7)
+                       + page(b"b" * 10, 200, serial=9))
+    s = _ogg_structure(page(b"a" * 10, 100) + page(b"b" * 10, 200, htype=4))
+    assert s["codec"] is None and s["n_pages"] == 2  # headerless chain ok
 
     df = spark.createDataFrame(
         [(1, bytearray(vorbis)), (2, bytearray(opus)),
@@ -3027,6 +3053,21 @@ def test_archive_audit_gzip_zip_zstd(spark):
     doctored = zp[: eocd + 10] + b"\xff\xff" + zp[eocd + 12 :]
     with _pytest.raises(ValueError, match="not supported"):
         _zip_structure(doctored)
+
+    # r12 ADVICE fix: a stored member or the archive COMMENT can
+    # contain the EOCD magic — the backward scan must reject the false
+    # (later) occurrence and accept the record whose comment_len equals
+    # the distance to the end of the blob.
+    zbuf2 = io.BytesIO()
+    with zipfile.ZipFile(zbuf2, "w") as z:
+        z.writestr("d.bin", b"D" * 10 + b"PK\x05\x06" + b"\x00" * 30,
+                   compress_type=zipfile.ZIP_STORED)
+        z.comment = b"decoy magic PK\x05\x06 inside the comment"
+    zp2 = zbuf2.getvalue()
+    assert zp2.count(b"PK\x05\x06") == 3  # payload + real EOCD + comment
+    s = _zip_structure(zp2)
+    assert s["n_entries"] == 1 and s["n_stored"] == 1
+    assert s["comment_len"] == len(b"decoy magic PK\x05\x06 inside the comment")
 
     # --- zstd: hand frames per RFC 8878 ---
     # FCS code 1 (2-byte field, value+256), window descriptor, checksum
@@ -3298,7 +3339,7 @@ def test_tar_audit_header_chain(spark):
     ustar = make_tar(tarfile.USTAR_FORMAT)
     s = _tar_structure(ustar)
     assert s["n_files"] == 2 and s["n_dirs"] == 1 and s["n_links"] == 1
-    assert s["n_pax"] == 0 and s["total_file_bytes"] == 5300
+    assert s["n_meta"] == 0 and s["total_file_bytes"] == 5300
     assert s["is_ustar"] and s["complete_trailer"]
 
     pax = make_tar(tarfile.PAX_FORMAT)

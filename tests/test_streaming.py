@@ -1178,6 +1178,42 @@ def test_stream_zone_monitor_matches_batch_exactly(spark, tmp_path):
             assert lv[col] == bt[col], (d, col, lv[col], bt[col])
 
 
+def test_stream_zone_monitor_quarantines_nonpositive_n(spark, tmp_path):
+    """r12 ADVICE fix: the batch zone_rules grain always has n >= 1,
+    but the live monitor ingests EXTERNAL grain rows — an n=0 (or
+    negative) row must be dropped, mirroring that invariant, instead
+    of a ZeroDivisionError/math-domain error inside
+    applyInPandasWithState killing the whole streaming query. The
+    valid rows around it must keep their exact window state."""
+    from hadoop_fcfs_spark.streaming.stateful import stream_zone_monitor
+
+    src = str(tmp_path / "zone_guard_src")
+    rows = [("s", 1, 10, 2), ("s", 2, 0, 0), ("s", 3, -4, 1),
+            ("s", 4, 10, 3), ("s", 5, 10, 1)]
+    spark.createDataFrame(
+        rows, "k string, d long, n long, x long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "k string, d long, n long, x long"
+    ).parquet(src)
+    mon = stream_zone_monitor(
+        stream, "k", "d", "n", "x", center_num=6, center_den=30
+    )
+    q = (
+        mon.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("zone_guard")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        live = spark.sql("SELECT * FROM zone_guard").collect()
+    finally:
+        q.stop()
+    assert sorted(r["d"] for r in live) == [1, 4, 5]
+    assert all(r["n"] > 0 for r in live)
+
+
 def test_dedup_audit_engine_exact_variant(spark):
     """The engine-exact (first-anchored) audit: matches the ENGINE's
     verdicts on the discriminating chain where the refresh-anchored
