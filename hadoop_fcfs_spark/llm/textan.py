@@ -1279,6 +1279,74 @@ def ttr_family(tf: DataFrame, term_col: str, count_col: str) -> DataFrame:
     )
 
 
+def ttr_curve_auc(
+    tok: DataFrame, doc_col: str, pos_col: str, term_col: str
+) -> DataFrame:
+    """Area under the type-token (vocabulary-growth) curve over a
+    POSITIONED token stream — the sequence-aware complement to the
+    order-free TTR family (:func:`ttr_family` corrects raw TTR for
+    length; this reads HOW vocabulary accrues: V(t) = #types among
+    the first t tokens, and AUC = Σ_{t=1..N} V(t) is large when new
+    types keep arriving late — Heaps-like growth — and small when the
+    vocabulary saturates early, the repeated-boilerplate signature
+    MTLD/vocd measure sequentially on a single document, lifted here
+    to corpus scale).
+
+    The curve never needs materializing: a type first seen at global
+    position p contributes to V(t) for every t ≥ p, so AUC =
+    Σ_types (N − p + 1) = V·(N + 1) − Σ first-positions — three exact
+    BIGINT scalars off the first-occurrence grain. The global token
+    order is (doc, within-doc position): within-doc ranks are
+    DOC-bounded windows, doc offsets ONE range-partitioned exclusive
+    prefix over the per-doc counts (ops.sort.global_running_sum — the
+    log-rank/KS substrate), broadcast back; no global sort, no
+    unpartitioned window.
+
+    Exactness: positions, V, N, Σp and AUC are exact BIGINTs (AUC ≤
+    V·N — overflows past ~10⁹·10⁹; lift the final sum to
+    DECIMAL(38,0) at that scale). auc_norm_e6 = AUC·10⁶ div (V·N) ∈
+    [~10⁶/V, 10⁶] is one flooring division on a DECIMAL(38,0)
+    product; 10⁶ means every type was seen at position 1 would
+    require V = 1 — higher = earlier saturation. Output: 1 row
+    (vocab_size, n_tokens, ttr_auc, auc_norm_e6)."""
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.ops.sort import global_running_sum
+
+    w_doc = Window.partitionBy(doc_col).orderBy(pos_col)
+    ranked = tok.select(doc_col, pos_col, term_col).withColumn(
+        "__wpos", F.row_number().over(w_doc).cast("long")
+    )
+    per_doc = ranked.groupBy(doc_col).agg(
+        F.count("*").cast("long").alias("__cnt")
+    )
+    offs = global_running_sum(
+        per_doc, [doc_col], ["__cnt"], out_col=["__off"], inclusive=False
+    )
+    gpos = ranked.join(
+        F.broadcast(offs.select(doc_col, "__off")), doc_col
+    ).select(
+        term_col, (F.col("__off") + F.col("__wpos")).alias("__gpos")
+    )
+    first = gpos.groupBy(term_col).agg(
+        F.min("__gpos").alias("__p"),
+        F.count("*").cast("long").alias("__n"),
+    )
+    m = first.agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum("__n").cast("long").alias("n_tokens"),
+        F.sum("__p").cast("long").alias("__sump"),
+    )
+    return m.selectExpr(
+        "vocab_size", "n_tokens",
+        "CAST(vocab_size * (n_tokens + 1) - __sump AS BIGINT) AS ttr_auc",
+        "CASE WHEN vocab_size > 0 AND n_tokens > 0 THEN"
+        " CAST(CAST(vocab_size * (n_tokens + 1) - __sump AS DECIMAL(38,0))"
+        "      * 1000000 div (CAST(vocab_size AS DECIMAL(38,0)) * n_tokens)"
+        " AS BIGINT) END AS auc_norm_e6",
+    )
+
+
 def token_entropy(tf: DataFrame, term_col: str, count_col: str) -> DataFrame:
     """Shannon entropy of the token distribution (nats) plus its
     normalized form ("efficiency", H / ln V ∈ [0, 1]) over a

@@ -2506,6 +2506,109 @@ def mann_kendall_trend(
     )
 
 
+def kendall_tau_b_cells(
+    df: DataFrame, x_col: Column | str, y_col: Column | str
+) -> DataFrame:
+    """Kendall's tau-b between two BOUNDED-DOMAIN columns of RAW data
+    rows — the cell-grain sibling of :func:`kendall_tau_b` (that one
+    censuses i<j ROW pairs, so it is only usable on an
+    already-bounded summary grain; this one collapses to the distinct
+    value-pair CELL grain first, so a 10⁹-row fact table with 50×11
+    distinct cells pays a 550²-cell quadratic, never a row
+    quadratic). Goodman & Kruskal's gamma (the ties-excluded variant)
+    rides along from the same cells.
+
+    The pair set collapses to the distinct VALUE-PAIR grain first
+    (the brunner_munzel discipline): group to cells (x, y, count),
+    then a broadcast nested-loop self-join over ordered CELL pairs —
+    concordant/discordant masses are n_a·n_b products, so the
+    quadratic is bounded by (#distinct x · #distinct y)², never data
+    rows. Within-cell pairs are joint ties: they enter the tau-b
+    denominator through the marginal tie totals and never C or D.
+
+    Exactness: C, D, the marginal tie-pair totals T_x = Σ t(t−1)/2,
+    T_y, the joint T_xy and D₀ = n(n−1)/2 are exact BIGINTs (products
+    bounded by n² — overflows past ~3·10⁹ rows; pre-quantize or lift
+    to DECIMAL(38,0) at that scale, the brunner_munzel remedy). Only
+    the final tau_b = (C−D)/√((D₀−T_x)(D₀−T_y)) and gamma =
+    (C−D)/(C+D) are flat doubles rounded @6, NULL when their
+    denominators degenerate (a constant axis / no untied pair).
+
+    Output: 1 row (n, n_concordant, n_discordant, ties_x, ties_y,
+    ties_xy, tau_b_r6, gamma_r6)."""
+    xc = F.col(x_col) if isinstance(x_col, str) else x_col
+    yc = F.col(y_col) if isinstance(y_col, str) else y_col
+    base = df.select(xc.alias("__x"), yc.alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    cells = base.groupBy("__x", "__y").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    a = cells.select(
+        F.col("__x").alias("__xa"), F.col("__y").alias("__ya"),
+        F.col("__c").alias("__ca"),
+    )
+    b = cells.select(
+        F.col("__x").alias("__xb"), F.col("__y").alias("__yb"),
+        F.col("__c").alias("__cb"),
+    )
+    # ordered cell pairs: strict lexicographic (xa, ya) < (xb, yb) so
+    # each unordered pair is evaluated exactly once; xa = xb pairs are
+    # x-ties and contribute to neither C nor D
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("__xa") < F.col("__xb"))
+        | ((F.col("__xa") == F.col("__xb")) & (F.col("__ya") < F.col("__yb"))),
+    )
+    cd = pairs.agg(
+        F.sum(
+            F.when(
+                (F.col("__xa") < F.col("__xb")) & (F.col("__ya") < F.col("__yb")),
+                F.col("__ca") * F.col("__cb"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("__C"),
+        F.sum(
+            F.when(
+                (F.col("__xa") < F.col("__xb")) & (F.col("__ya") > F.col("__yb")),
+                F.col("__ca") * F.col("__cb"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("__D"),
+    )
+    tx = base.groupBy("__x").agg(F.count("*").cast("long").alias("__t")).agg(
+        F.sum("__t").cast("long").alias("__n"),
+        F.sum(F.col("__t") * (F.col("__t") - 1)).cast("long").alias("__tx2"),
+    )
+    ty = base.groupBy("__y").agg(F.count("*").cast("long").alias("__t")).agg(
+        F.sum(F.col("__t") * (F.col("__t") - 1)).cast("long").alias("__ty2"),
+    )
+    txy = cells.agg(
+        F.sum(F.col("__c") * (F.col("__c") - 1)).cast("long").alias("__txy2"),
+    )
+    return (
+        cd.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(txy))
+        .selectExpr(
+            "__n AS n",
+            "COALESCE(__C, 0) AS n_concordant",
+            "COALESCE(__D, 0) AS n_discordant",
+            "CAST(__tx2 div 2 AS BIGINT) AS ties_x",
+            "CAST(__ty2 div 2 AS BIGINT) AS ties_y",
+            "CAST(__txy2 div 2 AS BIGINT) AS ties_xy",
+            "CASE WHEN (__n * (__n - 1)) div 2 - __tx2 div 2 > 0"
+            " AND (__n * (__n - 1)) div 2 - __ty2 div 2 > 0 THEN"
+            " ROUND((CAST(COALESCE(__C, 0) AS DOUBLE) - COALESCE(__D, 0))"
+            "  / SQRT(CAST((__n * (__n - 1)) div 2 - __tx2 div 2 AS DOUBLE)"
+            "         * CAST((__n * (__n - 1)) div 2 - __ty2 div 2"
+            "                AS DOUBLE)), 6) END AS tau_b_r6",
+            "CASE WHEN COALESCE(__C, 0) + COALESCE(__D, 0) > 0 THEN"
+            " ROUND((CAST(COALESCE(__C, 0) AS DOUBLE) - COALESCE(__D, 0))"
+            "  / (CAST(COALESCE(__C, 0) AS DOUBLE) + COALESCE(__D, 0)), 6)"
+            " END AS gamma_r6",
+        )
+    )
+
+
 def mcnemar_test(
     df: DataFrame, correct_a_col: Column | str, correct_b_col: Column | str
 ) -> DataFrame:
@@ -4912,6 +5015,113 @@ def nelson_rules(
             "alt_len",
             (F.col("alt_len") >= F.lit(int(min_alt - 1))).alias("rule4"),
         )
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    group_col: Column | str,
+    defect_cond: Column,
+    group_alias: str = "grain",
+) -> DataFrame:
+    """Wald–Wolfowitz runs test over an ordered proportion grain — the
+    SIGNIFICANCE quantifier for the pattern the Western Electric run
+    rule flags qualitatively (:func:`run_rules` says "this point sits
+    in a ≥9-point same-side run"; this says "is the whole sequence's
+    side arrangement non-random at all"): dichotomize each grain cell
+    about the pooled center line, count the number of runs R of the
+    nonzero-side sequence, and compare to the exact randomization
+    moments E[R] = 2·n₁·n₂/m + 1 and Var[R] = 2n₁n₂(2n₁n₂ − m) /
+    (m²(m − 1)) with m = n₁ + n₂ — too FEW runs means clustering
+    (persistent shifts), too MANY means overcorrection/alternation,
+    the same two signatures Nelson rules 2 and 4 pattern-match.
+
+    Semantics: side = sign(rate − p̄) on exact flooring BIGINT
+    micro-rates (run_rules' center discipline); cells exactly ON the
+    center line are DROPPED before run counting (the classic
+    ties-to-the-median dichotomy — reported as ``n_zero`` for the
+    audit trail, never silently). A run boundary is side ≠ lag(side)
+    over the surviving grain sequence.
+
+    Exactness: n₁/n₂/R and the z numerator R·m − 2n₁n₂ − m are exact
+    BIGINTs; only the final z = num / sqrt(2n₁n₂·(2n₁n₂ − m)/(m − 1))
+    is one flat double expression (wilson discipline), rounded @6,
+    NULL when the variance degenerates (one-sided sequence or
+    2n₁n₂ ≤ m — e.g. n₁ or n₂ = 0, or a 1-vs-1 split).
+
+    Scale shape: one map-side-combinable grain aggregation, one
+    broadcast pooled scalar, one lag over the CALENDAR-bounded grain
+    sequence (kaplan_meier precedent: days, never events), then two
+    single-row aggregates broadcast-crossed. Output: 1 row (n_pos,
+    n_neg, n_zero, n_runs, z_num, z_r6)."""
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.caching import waypoint
+
+    gc = F.col(group_col) if isinstance(group_col, str) else group_col
+    grain = df.groupBy(gc.alias(group_alias)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(defect_cond, 1).otherwise(0)).cast("long").alias("x"),
+    )
+    pooled = grain.agg(
+        F.sum("n").cast("long").alias("__tn"),
+        F.sum("x").cast("long").alias("__tx"),
+    )
+    sided = waypoint(
+        grain.crossJoin(F.broadcast(pooled))
+        .withColumn("rate_e6", F.expr("CAST(x * 1000000 div n AS BIGINT)"))
+        .withColumn(
+            "__pbar", F.expr("CAST(__tx * 1000000 div __tn AS BIGINT)")
+        )
+        .withColumn(
+            "side",
+            F.when(F.col("rate_e6") > F.col("__pbar"), 1)
+            .when(F.col("rate_e6") < F.col("__pbar"), -1)
+            .otherwise(0).cast("int"),
+        )
+        .select(group_alias, "side")
+    )
+    zeros = sided.agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_zero")
+    )
+    w = Window.orderBy(group_alias)
+    nz = sided.filter(F.col("side") != 0).withColumn(
+        "__new_run",
+        F.when(
+            F.lag("side").over(w).isNull()
+            | (F.col("side") != F.lag("side").over(w)),
+            1,
+        ).otherwise(0).cast("long"),
+    )
+    counts = nz.agg(
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("side") == -1, 1).otherwise(0)).cast("long")
+        .alias("n_neg"),
+        F.sum("__new_run").cast("long").alias("n_runs"),
+    )
+    return counts.crossJoin(F.broadcast(zeros)).selectExpr(
+        # an all-on-center sequence leaves the filtered aggregates NULL;
+        # the contract is (0, 0, n_zero, 0, 0, NULL) — found by the
+        # hypothesis replay, the brunner_munzel empty-input precedent
+        "COALESCE(n_pos, 0) AS n_pos",
+        "COALESCE(n_neg, 0) AS n_neg",
+        "n_zero",
+        "COALESCE(n_runs, 0) AS n_runs",
+    ).selectExpr(
+        "n_pos", "n_neg", "n_zero", "n_runs",
+        # z numerator R·m − 2n₁n₂ − m (exact; z's sign and magnitude
+        # scale live here — 0 means R is exactly at expectation)
+        "CAST(n_runs * (n_pos + n_neg) - 2 * n_pos * n_neg"
+        " - (n_pos + n_neg) AS BIGINT) AS z_num",
+        "CASE WHEN n_pos + n_neg >= 2"
+        " AND 2 * n_pos * n_neg > n_pos + n_neg THEN"
+        " ROUND(CAST(n_runs * (n_pos + n_neg) - 2 * n_pos * n_neg"
+        "            - (n_pos + n_neg) AS DOUBLE)"
+        "  / SQRT(CAST(2 * n_pos * n_neg AS DOUBLE)"
+        "         * (2 * n_pos * n_neg - (n_pos + n_neg))"
+        "         / (n_pos + n_neg - 1)), 6) END AS z_r6",
     )
 
 

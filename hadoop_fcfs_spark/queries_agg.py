@@ -7092,3 +7092,153 @@ def bh_fdr_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bh_fdr(pv, "grain", "p_e6", alpha_e6=50_000)
+
+
+@register(
+    "runs_test_daily_returns",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS grain,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS tn, SUM(x) AS tx FROM g),
+    s AS (
+      SELECT grain,
+             CASE WHEN x * 1000000 // n > tx * 1000000 // tn THEN 1
+                  WHEN x * 1000000 // n < tx * 1000000 // tn THEN -1
+                  ELSE 0 END AS side
+      FROM g CROSS JOIN tot
+    ),
+    nz AS (
+      SELECT side,
+             CASE WHEN lag(side) OVER (ORDER BY grain) IS NULL
+                    OR side <> lag(side) OVER (ORDER BY grain)
+                  THEN 1 ELSE 0 END AS new_run
+      FROM s WHERE side <> 0
+    ),
+    c AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_pos,
+             CAST(COALESCE(SUM(CASE WHEN side = -1 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_neg,
+             CAST(COALESCE(SUM(new_run), 0) AS BIGINT) AS n_runs
+      FROM nz
+    ),
+    zz AS (
+      SELECT CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+      FROM s
+    )
+    SELECT n_pos, n_neg, n_zero, n_runs,
+           CAST(n_runs * (n_pos + n_neg) - 2 * n_pos * n_neg
+                - (n_pos + n_neg) AS BIGINT) AS z_num,
+           CASE WHEN n_pos + n_neg >= 2
+                 AND 2 * n_pos * n_neg > n_pos + n_neg THEN
+             ROUND(CAST(n_runs * (n_pos + n_neg) - 2 * n_pos * n_neg
+                        - (n_pos + n_neg) AS DOUBLE)
+               / SQRT(CAST(2 * n_pos * n_neg AS DOUBLE)
+                      * (2 * n_pos * n_neg - (n_pos + n_neg))
+                      / (n_pos + n_neg - 1)), 6) END AS z_r6
+    FROM c CROSS JOIN zz
+    """,
+    doc="Wald-Wolfowitz runs test over the daily return-rate series "
+    "(ops.stats.runs_test) - the significance quantifier for the "
+    "patterns run rule 2 and Nelson rule 4 flag qualitatively: too "
+    "FEW runs of the side-of-center sequence = clustering/persistent "
+    "shifts, too MANY = overcorrection/alternation, z from the exact "
+    "randomization moments. Sides on exact flooring micro-rates "
+    "(run_rules' center discipline), on-center days dropped (the "
+    "classic ties dichotomy, reported as n_zero); ONE grain collapse, "
+    "one broadcast pooled scalar, one lag over the calendar-bounded "
+    "day grain, two single-row aggregates broadcast-crossed; only "
+    "the final z is a flat double (round @6).",
+)
+def runs_test_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import runs_test
+
+    li = t(spark, sf_dir, "lineitem")
+    return runs_test(
+        li,
+        F.to_date("l_shipdate").cast("string"),
+        F.col("l_returnflag") == "R",
+        group_alias="grain",
+    )
+
+
+@register(
+    "kendall_tau_quantity_discount",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(l_quantity AS INT) AS x,
+             CAST(ROUND(l_discount * 100) AS INT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    ),
+    cells AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY x, y
+    ),
+    cd AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN a.x < b.x AND a.y < b.y
+                                    THEN a.c * b.c ELSE 0 END), 0)
+               AS BIGINT) AS n_concordant,
+             CAST(COALESCE(SUM(CASE WHEN a.x < b.x AND a.y > b.y
+                                    THEN a.c * b.c ELSE 0 END), 0)
+               AS BIGINT) AS n_discordant
+      FROM cells a JOIN cells b
+        ON a.x < b.x OR (a.x = b.x AND a.y < b.y)
+    ),
+    tx AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(t * (t - 1)) AS BIGINT) AS tx2
+      FROM (SELECT COUNT(*) AS t FROM base GROUP BY x)
+    ),
+    ty AS (
+      SELECT CAST(SUM(t * (t - 1)) AS BIGINT) AS ty2
+      FROM (SELECT COUNT(*) AS t FROM base GROUP BY y)
+    ),
+    txy AS (
+      SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS txy2 FROM cells
+    )
+    SELECT n, n_concordant, n_discordant,
+           CAST(tx2 // 2 AS BIGINT) AS ties_x,
+           CAST(ty2 // 2 AS BIGINT) AS ties_y,
+           CAST(txy2 // 2 AS BIGINT) AS ties_xy,
+           CASE WHEN (n * (n - 1)) // 2 - tx2 // 2 > 0
+                 AND (n * (n - 1)) // 2 - ty2 // 2 > 0 THEN
+             ROUND((CAST(n_concordant AS DOUBLE) - n_discordant)
+               / SQRT(CAST((n * (n - 1)) // 2 - tx2 // 2 AS DOUBLE)
+                      * CAST((n * (n - 1)) // 2 - ty2 // 2 AS DOUBLE)), 6)
+           END AS tau_b_r6,
+           CASE WHEN n_concordant + n_discordant > 0 THEN
+             ROUND((CAST(n_concordant AS DOUBLE) - n_discordant)
+               / (CAST(n_concordant AS DOUBLE) + n_discordant), 6)
+           END AS gamma_r6
+    FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN txy
+    """,
+    doc="Kendall's tau-b (+ Goodman-Kruskal gamma) between order "
+    "quantity and discount percent (ops.stats.kendall_tau_b_cells) - "
+    "the "
+    "tie-corrected bivariate concordance coefficient completing the "
+    "rank-association tier on RAW data rows (kendall_events_daily's "
+    "row-pair census needs a pre-bounded summary grain; this one "
+    "does not). Pair masses collapse to the bounded VALUE-PAIR "
+    "cell grain first (50 quantities x 11 discounts), then one "
+    "broadcast nested-loop self-join over ordered CELL pairs - the "
+    "quadratic is (#cells)^2, never data rows (brunner_munzel "
+    "discipline); C/D/tie totals exact BIGINT, only the final tau-b "
+    "and gamma divisions are flat doubles (round @6).",
+)
+def kendall_tau_quantity_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import kendall_tau_b_cells
+
+    li = t(spark, sf_dir, "lineitem")
+    return kendall_tau_b_cells(
+        li,
+        F.col("l_quantity").cast("int"),
+        F.round(F.col("l_discount") * 100).cast("int"),
+    )

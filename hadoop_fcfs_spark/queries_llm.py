@@ -5961,3 +5961,64 @@ def krippendorff_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     votes = r1.unionByName(r2).unionByName(r3)
     return krippendorff_alpha(votes, "doc_id", "l")
+
+
+@register(
+    "ttr_curve_auc_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, arr[i] AS w, i AS rpos
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr
+            FROM documents)
+      CROSS JOIN LATERAL (
+        SELECT UNNEST(generate_series(1, len(arr))) AS i
+      ) pos
+    ),
+    nz AS (SELECT doc_id, w, rpos FROM tok WHERE w <> ''),
+    g AS (
+      SELECT w, ROW_NUMBER() OVER (ORDER BY doc_id, rpos) AS gpos
+      FROM nz
+    ),
+    f AS (
+      SELECT w, CAST(MIN(gpos) AS BIGINT) AS p,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM g GROUP BY w
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(SUM(p) AS BIGINT) AS sump
+      FROM f
+    )
+    SELECT vocab_size, n_tokens,
+           CAST(vocab_size * (n_tokens + 1) - sump AS BIGINT) AS ttr_auc,
+           CASE WHEN vocab_size > 0 AND n_tokens > 0 THEN
+             CAST((CAST(vocab_size AS HUGEINT) * (n_tokens + 1) - sump)
+                  * 1000000
+                  // (CAST(vocab_size AS HUGEINT) * n_tokens) AS BIGINT)
+           END AS auc_norm_e6
+    FROM m
+    """,
+    doc="Area under the corpus vocabulary-growth curve "
+    "(llm.textan.ttr_curve_auc) - the sequence-aware complement to "
+    "the order-free TTR family: V(t) = #types among the first t "
+    "tokens in (doc, position) order, AUC = sum_t V(t); late-arriving "
+    "vocabulary (Heaps-like growth) reads low-normalized, early "
+    "saturation (repeated boilerplate) reads high. The curve never "
+    "materializes: AUC = V*(N+1) - sum of first-occurrence positions "
+    "- three exact BIGINT scalars off the first-occurrence grain. "
+    "Global positions = doc-bounded within-doc ranks + ONE "
+    "range-partitioned exclusive prefix over per-doc counts "
+    "(global_running_sum, the KS/log-rank substrate) broadcast back; "
+    "no global sort, no unpartitioned window; auc_norm_e6 one "
+    "flooring DECIMAL division.",
+)
+def ttr_curve_auc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import ttr_curve_auc
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\s+")).alias("rpos", "w"),
+    ).filter(F.col("w") != "")
+    return ttr_curve_auc(toks, "doc_id", "rpos", "w")

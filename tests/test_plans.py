@@ -553,6 +553,9 @@ def test_no_unallowed_unpartitioned_windows_static_sweep():
         ("ops/stats.py", "zone_rules"),
         ("ops/stats.py", "zone_rolling"),  # zone_rules' rolling helper
         ("ops/stats.py", "durbin_watson"),
+        # r12: one lag over the calendar-bounded day grain (same
+        # kaplan_meier rationale as the rest of the SPC tier)
+        ("ops/stats.py", "runs_test"),
     }
     root = pathlib.Path("hadoop_fcfs_spark")
     found = set()
@@ -1786,3 +1789,49 @@ def test_blob_column_pruned_for_metadata_only_reads(spark, tmp_path):
     lplan = _plan(listing)
     lscan = lplan[lplan.index("ReadSchema"):]
     assert "content" not in lscan, "listing-only read must not scan bytes"
+
+
+def test_runs_test_grain_lag_broadcast_scalars_only(spark):
+    """runs_test_daily_returns (r12): day grain map-side combined, the
+    pooled center joins back as a broadcast 1-row cross (run_rules'
+    shape), one calendar-bounded lag, then two single-row aggregates
+    broadcast-crossed — no shuffled or cartesian join anywhere."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()
+    plan = _plan(Q["runs_test_daily_returns"].spark_fn(spark, SF_ORACLE))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar crosses
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    release_waypoints()
+
+
+def test_kendall_tau_cells_bounded_quadratic(spark):
+    """kendall_tau_quantity_discount (r12): raw rows collapse to the
+    bounded VALUE-PAIR cell grain map-side combined, the cell-pair
+    quadratic is a broadcast nested-loop join over CELLS (50×11,
+    never data rows), tie totals broadcast-crossed — no shuffled or
+    cartesian join anywhere."""
+    plan = _plan(Q["kendall_tau_quantity_discount"].spark_fn(spark, SF_ORACLE))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # cell pairs + scalar crosses
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ttr_curve_auc_one_prefix_broadcast_offsets(spark):
+    """ttr_curve_auc_tokens (r12): within-doc ranks are DOC-partitioned
+    windows, doc offsets ONE range-partitioned exclusive prefix
+    (global_running_sum) broadcast back as an equi-join — exactly one
+    range exchange, a BroadcastHashJoin for the offsets, and no
+    shuffled or cartesian join."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()
+    plan = _plan(Q["ttr_curve_auc_tokens"].spark_fn(spark, SF_ORACLE))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
+    assert "BroadcastHashJoin" in plan  # doc-offset equi-join
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    release_waypoints()

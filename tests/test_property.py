@@ -1577,3 +1577,136 @@ def test_cusum_chart_matches_sequential_replay_property(spark, cells, slack_e6):
         assert r["cusum_up_e6"] == cu, (g, r["cusum_up_e6"], cu)
         assert r["cusum_dn_e6"] == cd, (g, r["cusum_dn_e6"], cd)
         assert r["alarm_up"] == (cu > h) and r["alarm_dn"] == (cd > h)
+
+
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(1, 10), st.integers(0, 10)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda cs: all(x <= n for n, x in cs)),
+)
+@settings(max_examples=8, deadline=None)
+def test_runs_test_matches_python_replay_property(spark, cells):
+    """runs_test (r12) vs a pure-Python sequential replay of the
+    Wald-Wolfowitz census: sides on exact flooring micro-rates,
+    on-center cells dropped (reported as n_zero), runs counted over
+    the surviving sequence, z from the exact randomization moments
+    (NULL exactly when the variance degenerates)."""
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import runs_test
+
+    rows = []
+    for g, (n, x) in enumerate(cells):
+        rows.extend((g, i < x) for i in range(n))
+    df = spark.createDataFrame(rows, "g long, defect boolean")
+    [r] = runs_test(df, "g", F.col("defect"), group_alias="grain").collect()
+    tn = sum(n for n, _ in cells)
+    tx = sum(x for _, x in cells)
+    pbar = tx * 1_000_000 // tn
+    side = [
+        1 if x * 1_000_000 // n > pbar else -1
+        if x * 1_000_000 // n < pbar else 0
+        for n, x in cells
+    ]
+    nz = [s for s in side if s != 0]
+    n_pos = sum(1 for s in nz if s == 1)
+    n_neg = len(nz) - n_pos
+    n_runs = sum(
+        1 for i, s in enumerate(nz) if i == 0 or s != nz[i - 1]
+    )
+    m = n_pos + n_neg
+    c = 2 * n_pos * n_neg
+    assert (r["n_pos"], r["n_neg"], r["n_zero"]) == (
+        n_pos, n_neg, len(side) - m)
+    assert r["n_runs"] == n_runs
+    assert r["z_num"] == n_runs * m - c - m
+    if m >= 2 and c > m:
+        want = (n_runs * m - c - m) / math.sqrt(c * (c - m) / (m - 1))
+        assert r["z_r6"] is not None
+        assert abs(r["z_r6"] - want) <= 1e-6, (r["z_r6"], want)
+    else:
+        assert r["z_r6"] is None
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 3)),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_kendall_tau_cells_matches_python_census_property(spark, pts):
+    """kendall_tau_b_cells (r12) vs a brute-force O(n^2) pair census in
+    Python on heavy-tie integer grids: C/D/tie-pair totals exact, tau-b
+    and gamma NULL exactly when their denominators degenerate
+    (constant axis / no untied pair)."""
+    import math
+
+    from hadoop_fcfs_spark.ops.stats import kendall_tau_b_cells
+
+    df = spark.createDataFrame(pts, "x int, y int")
+    [r] = kendall_tau_b_cells(df, "x", "y").collect()
+    n = len(pts)
+    C = D = tx = ty = txy = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            (xa, ya), (xb, yb) = pts[i], pts[j]
+            s = (xa > xb) - (xa < xb)
+            t = (ya > yb) - (ya < yb)
+            if s * t > 0:
+                C += 1
+            elif s * t < 0:
+                D += 1
+            if s == 0:
+                tx += 1
+            if t == 0:
+                ty += 1
+            if s == 0 and t == 0:
+                txy += 1
+    d0 = n * (n - 1) // 2
+    assert (r["n"], r["n_concordant"], r["n_discordant"]) == (n, C, D)
+    assert (r["ties_x"], r["ties_y"], r["ties_xy"]) == (tx, ty, txy)
+    if d0 - tx > 0 and d0 - ty > 0:
+        want = (C - D) / math.sqrt((d0 - tx) * (d0 - ty))
+        assert abs(r["tau_b_r6"] - want) <= 1e-6
+    else:
+        assert r["tau_b_r6"] is None
+    if C + D > 0:
+        assert abs(r["gamma_r6"] - (C - D) / (C + D)) <= 1e-6
+    else:
+        assert r["gamma_r6"] is None
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_ttr_curve_auc_matches_python_replay_property(spark, docs):
+    """ttr_curve_auc (r12) vs a pure-Python sequential replay of the
+    vocabulary-growth curve in (doc, position) order: AUC via the
+    first-occurrence identity V*(N+1) - sum(p) must equal the literal
+    sum over prefix vocab sizes."""
+    from hadoop_fcfs_spark.llm.textan import ttr_curve_auc
+
+    rows = [
+        (d, p, w)
+        for d, toks in enumerate(docs)
+        for p, w in enumerate(toks)
+    ]
+    df = spark.createDataFrame(rows, "doc long, pos long, w string")
+    [r] = ttr_curve_auc(df, "doc", "pos", "w").collect()
+    seq = [w for _, toks in enumerate(docs) for w in toks]
+    seen, auc = set(), 0
+    for w in seq:
+        seen.add(w)
+        auc += len(seen)
+    V, N = len(seen), len(seq)
+    assert (r["vocab_size"], r["n_tokens"], r["ttr_auc"]) == (V, N, auc)
+    assert r["auc_norm_e6"] == auc * 1_000_000 // (V * N)
