@@ -145,6 +145,86 @@ def mutual_information(
     )
 
 
+def theil_u(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Theil's uncertainty coefficient U between two categorical
+    columns, BOTH directions — the normalized, asymmetric member of
+    the categorical-association family (:func:`mutual_information` is
+    the raw nats, :func:`cramers_v` the symmetric χ²-based effect
+    size; U(Y|X) = I(X;Y)/H(Y) answers "what fraction of Y's
+    uncertainty does knowing X remove" and U(Y|X) ≠ U(X|Y) exposes
+    WHICH column predicts which — the direction a leakage screen
+    actually cares about).
+
+    Exactness (token_entropy's floor-micro discipline, no
+    order-dependent float sums): each entropy is H_e6 = ⌊ln N·10⁶⌋ −
+    (Σ c·⌊ln c·10⁶⌋) div N with the weighted log sum an exact
+    DECIMAL(38,0); I comes from the quantized identity I = H(X) +
+    H(Y) − H(X,Y) (exact in the micro algebra, within a few µnats of
+    the true value), and each U is one flooring BIGINT division.
+    U NULL when the conditioning entropy is 0 (a constant column —
+    no uncertainty to remove). mi_q_e6 is clamped at 0 (quantization
+    can push an independent pair a few µ negative).
+
+    Scale shape: ONE map-side-combined pass to the contingency grain
+    (the mutual_information/cramers_v contract: observed cells only,
+    marginals re-aggregated FROM the cells, never a second data
+    scan), then three cell-grain aggregates broadcast-crossed.
+    Output: 1 row (n, n_x, n_y, hx_e6, hy_e6, hxy_e6, mi_q_e6,
+    theil_u_yx_e6, theil_u_xy_e6)."""
+    from hadoop_fcfs_spark.caching import waypoint
+
+    joint = waypoint(
+        df.groupBy(F.col(col_x).alias("__x"), F.col(col_y).alias("__y")).agg(
+            F.count("*").cast("long").alias("__nxy")
+        )
+    )
+
+    def ent(cells: DataFrame, cnt_col: str, out: str) -> DataFrame:
+        # H_e6 = lnn - (sum c*floor(ln c * 1e6)) div N, token_entropy's
+        # per-term quantization: exact DECIMAL sum, order-independent
+        m = cells.agg(
+            F.sum(cnt_col).cast("long").alias("__N"),
+            F.sum(
+                F.col(cnt_col).cast("decimal(38,0)")
+                * F.floor(F.log(F.col(cnt_col).cast("double")) * 1_000_000)
+                .cast("long")
+            ).cast("decimal(38,0)").alias("__sfl"),
+            F.count("*").cast("long").alias("__k"),
+        )
+        return m.selectExpr(
+            "__N",
+            "__k",
+            "CAST(CAST(FLOOR(LN(CAST(__N AS DOUBLE)) * 1000000) AS BIGINT)"
+            f" - __sfl div __N AS BIGINT) AS {out}",
+        )
+    hx = ent(
+        joint.groupBy("__x").agg(F.sum("__nxy").cast("long").alias("__c")),
+        "__c", "hx_e6",
+    ).selectExpr("__k AS n_x", "hx_e6")
+    hy = ent(
+        joint.groupBy("__y").agg(F.sum("__nxy").cast("long").alias("__c")),
+        "__c", "hy_e6",
+    ).selectExpr("__k AS n_y", "hy_e6")
+    hxy = ent(joint, "__nxy", "hxy_e6").selectExpr("__N AS n", "hxy_e6")
+    return (
+        hxy.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .selectExpr(
+            "n", "n_x", "n_y", "hx_e6", "hy_e6", "hxy_e6",
+            "GREATEST(CAST(0 AS BIGINT),"
+            " CAST(hx_e6 + hy_e6 - hxy_e6 AS BIGINT)) AS mi_q_e6",
+            "CASE WHEN hy_e6 > 0 THEN"
+            " GREATEST(CAST(0 AS BIGINT),"
+            "  CAST(hx_e6 + hy_e6 - hxy_e6 AS BIGINT)) * 1000000 div hy_e6"
+            " END AS theil_u_yx_e6",
+            "CASE WHEN hx_e6 > 0 THEN"
+            " GREATEST(CAST(0 AS BIGINT),"
+            "  CAST(hx_e6 + hy_e6 - hxy_e6 AS BIGINT)) * 1000000 div hx_e6"
+            " END AS theil_u_xy_e6",
+        )
+    )
+
+
 def key_skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Key-distribution skew diagnostic — the planning report you run
     BEFORE choosing a partitioning/salting strategy (ops.skew has the

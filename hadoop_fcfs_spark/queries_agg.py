@@ -7242,3 +7242,77 @@ def kendall_tau_quantity_discount(
         F.col("l_quantity").cast("int"),
         F.round(F.col("l_discount") * 100).cast("int"),
     )
+
+
+@register(
+    "theil_u_source_lang",
+    oracle="""
+    WITH joint AS (
+      SELECT source AS x, lang AS y, CAST(COUNT(*) AS BIGINT) AS nxy
+      FROM documents GROUP BY 1, 2
+    ),
+    hx AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_x,
+             CAST(SUM(c) AS BIGINT) AS nn,
+             SUM(CAST(c AS HUGEINT)
+                 * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+               AS sfl
+      FROM (SELECT CAST(SUM(nxy) AS BIGINT) AS c FROM joint GROUP BY x)
+    ),
+    hy AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_y,
+             CAST(SUM(c) AS BIGINT) AS nn,
+             SUM(CAST(c AS HUGEINT)
+                 * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+               AS sfl
+      FROM (SELECT CAST(SUM(nxy) AS BIGINT) AS c FROM joint GROUP BY y)
+    ),
+    hxy AS (
+      SELECT CAST(SUM(nxy) AS BIGINT) AS nn,
+             SUM(CAST(nxy AS HUGEINT)
+                 * CAST(FLOOR(ln(CAST(nxy AS DOUBLE)) * 1000000) AS BIGINT))
+               AS sfl
+      FROM joint
+    ),
+    e AS (
+      SELECT hxy.nn AS n, hx.n_x, hy.n_y,
+             CAST(CAST(FLOOR(ln(CAST(hx.nn AS DOUBLE)) * 1000000) AS BIGINT)
+                  - hx.sfl // hx.nn AS BIGINT) AS hx_e6,
+             CAST(CAST(FLOOR(ln(CAST(hy.nn AS DOUBLE)) * 1000000) AS BIGINT)
+                  - hy.sfl // hy.nn AS BIGINT) AS hy_e6,
+             CAST(CAST(FLOOR(ln(CAST(hxy.nn AS DOUBLE)) * 1000000) AS BIGINT)
+                  - hxy.sfl // hxy.nn AS BIGINT) AS hxy_e6
+      FROM hxy CROSS JOIN hx CROSS JOIN hy
+    )
+    SELECT n, n_x, n_y, hx_e6, hy_e6, hxy_e6,
+           GREATEST(CAST(0 AS BIGINT),
+                    CAST(hx_e6 + hy_e6 - hxy_e6 AS BIGINT)) AS mi_q_e6,
+           CASE WHEN hy_e6 > 0 THEN
+             CAST(GREATEST(CAST(0 AS BIGINT),
+                           CAST(hx_e6 + hy_e6 - hxy_e6 AS BIGINT))
+                  * 1000000 // hy_e6 AS BIGINT) END AS theil_u_yx_e6,
+           CASE WHEN hx_e6 > 0 THEN
+             CAST(GREATEST(CAST(0 AS BIGINT),
+                           CAST(hx_e6 + hy_e6 - hxy_e6 AS BIGINT))
+                  * 1000000 // hx_e6 AS BIGINT) END AS theil_u_xy_e6
+    FROM e
+    """,
+    doc="Theil's uncertainty coefficient between document source and "
+    "language, BOTH directions (ops.stats.theil_u) - the normalized "
+    "ASYMMETRIC member of the categorical-association family "
+    "(orders_mutual_info raw nats, cramers_v symmetric chi2 effect "
+    "size): U(lang|source) = I/H(lang) is the fraction of language "
+    "uncertainty the source removes, and the yx/xy asymmetry says "
+    "which column predicts which - the direction a leakage screen "
+    "cares about. Exact floor-micro entropies (token_entropy's "
+    "per-term quantization, DECIMAL sums - no order-dependent float "
+    "accumulation), I from the quantized identity H(X)+H(Y)-H(X,Y) "
+    "clamped at 0, each U one flooring BIGINT division; ONE pass to "
+    "the observed-cells contingency grain, marginals re-aggregated "
+    "from cells.",
+)
+def theil_u_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.stats import theil_u
+
+    docs = t(spark, sf_dir, "documents")
+    return theil_u(docs, "source", "lang")

@@ -1835,3 +1835,19 @@ def test_ttr_curve_auc_one_prefix_broadcast_offsets(spark):
     assert "BroadcastHashJoin" in plan  # doc-offset equi-join
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     release_waypoints()
+
+
+def test_theil_u_contingency_broadcast_scalars_only(spark):
+    """theil_u_source_lang (r12): ONE pass to the observed-cells
+    contingency grain (map-side combined), marginals re-aggregated
+    FROM the cells, three entropy scalars broadcast-crossed — no
+    shuffled or cartesian join anywhere."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()
+    plan = _plan(Q["theil_u_source_lang"].spark_fn(spark, SF_ORACLE))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row entropy crosses
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    release_waypoints()

@@ -1710,3 +1710,46 @@ def test_ttr_curve_auc_matches_python_replay_property(spark, docs):
     V, N = len(seen), len(seq)
     assert (r["vocab_size"], r["n_tokens"], r["ttr_auc"]) == (V, N, auc)
     assert r["auc_norm_e6"] == auc * 1_000_000 // (V * N)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2)),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_theil_u_matches_python_replay_property(spark, pts):
+    """theil_u (r12) vs a pure-Python replay of the floor-micro
+    entropy algebra on categorical grids: Hx/Hy/Hxy exact to the
+    micro quantization, I = Hx + Hy - Hxy clamped at 0, U NULL
+    exactly when the conditioning entropy is 0 (constant column)."""
+    import math
+    from collections import Counter
+
+    from hadoop_fcfs_spark.ops.stats import theil_u
+
+    df = spark.createDataFrame(
+        [(f"x{a}", f"y{b}") for a, b in pts], "x string, y string"
+    )
+    [r] = theil_u(df, "x", "y").collect()
+
+    def h_e6(counts):
+        n = sum(counts)
+        sfl = sum(c * math.floor(math.log(c) * 1_000_000) for c in counts)
+        return math.floor(math.log(n) * 1_000_000) - sfl // n
+
+    cx = Counter(a for a, _ in pts)
+    cy = Counter(b for _, b in pts)
+    cxy = Counter(pts)
+    hx, hy, hxy = (
+        h_e6(list(cx.values())), h_e6(list(cy.values())),
+        h_e6(list(cxy.values())),
+    )
+    mi = max(0, hx + hy - hxy)
+    assert (r["n"], r["n_x"], r["n_y"]) == (len(pts), len(cx), len(cy))
+    assert (r["hx_e6"], r["hy_e6"], r["hxy_e6"]) == (hx, hy, hxy)
+    assert r["mi_q_e6"] == mi
+    assert r["theil_u_yx_e6"] == (mi * 1_000_000 // hy if hy > 0 else None)
+    assert r["theil_u_xy_e6"] == (mi * 1_000_000 // hx if hx > 0 else None)
