@@ -4265,3 +4265,82 @@ def test_wav_ops_quarantine_hostile_blobs(spark):
     assert resample_wav(df, 4000).count() == 300
     assert audio_fingerprint(df).count() == 300
     assert extract_audio_features(df).count() == 300  # fake=True total
+
+
+def test_lz76_complexity_definition_replay():
+    """lz76_complexity (r12, pytest-locked per the non-SQL-expressible
+    rule): the Kaspar-Schuster O(n^2) scan vs an INDEPENDENT
+    definition-based brute force (longest self-reproducible extension
+    via explicit substring search) on exhaustive small binaries and
+    random small-alphabet sequences, plus the canonical anchors:
+    constant -> 2, alternating -> 3, the K&S paper vector -> 6."""
+    import itertools
+    import random
+
+    from hadoop_fcfs_spark.llm.textan import lz76_complexity
+
+    def brute(seq):
+        s = list(seq)
+        n = len(s)
+        c = i = 0
+        while i < n:
+            L = 0
+            while i + L < n and any(
+                s[j : j + L + 1] == s[i : i + L + 1] for j in range(i)
+            ):
+                L += 1
+            i += L + 1
+            c += 1
+        return c
+
+    assert lz76_complexity([]) == 0
+    assert lz76_complexity(["x"]) == 1
+    for k in range(2, 40):
+        assert lz76_complexity(["x"] * k) == 2
+    assert lz76_complexity(list("ababab")) == 3
+    assert lz76_complexity(list("1001111011000010")) == 6  # K&S 1987
+    # exhaustive over all binary strings up to length 10
+    for n in range(1, 11):
+        for bits in itertools.product("01", repeat=n):
+            assert lz76_complexity(bits) == brute(bits), bits
+    # random small-alphabet token sequences
+    rng = random.Random(31)
+    for _ in range(300):
+        seq = [rng.choice("abcd") for _ in range(rng.randint(1, 60))]
+        assert lz76_complexity(seq) == brute(seq), seq
+    # complexity is bounded by the trivial parse and hits it on
+    # all-distinct input
+    distinct = [f"t{i}" for i in range(25)]
+    assert lz76_complexity(distinct) == 25
+
+
+def test_doc_lz_complexity_spark_plumbing(spark):
+    """doc_lz_complexity: the mapInPandas wrapper reproduces the pure
+    function per document (whitespace tokens), empty docs yield
+    (0, 0, NULL), and template-like text reads lower-ratio than
+    all-distinct text."""
+    from hadoop_fcfs_spark.llm.textan import (
+        doc_lz_complexity,
+        lz76_complexity,
+    )
+
+    docs = [
+        (1, "spam spam spam spam spam spam spam spam"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "to be or not to be or not to be or not"),
+        (4, ""),
+        (5, "  "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in doc_lz_complexity(df, "doc_id", "text").collect()}
+    for did, text in docs:
+        toks = text.split()
+        r = rows[did]
+        assert r["n_tokens"] == len(toks)
+        assert r["lz_phrases"] == lz76_complexity(toks)
+        if toks:
+            assert r["lz_ratio_e6"] == r["lz_phrases"] * 1_000_000 // len(toks)
+        else:
+            assert r["lz_ratio_e6"] is None
+    assert rows[1]["lz_ratio_e6"] < rows[2]["lz_ratio_e6"]
+    assert rows[3]["lz_ratio_e6"] < rows[2]["lz_ratio_e6"]
