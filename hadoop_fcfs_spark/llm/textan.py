@@ -1338,8 +1338,12 @@ def ttr_curve_auc(
         F.sum("__p").cast("long").alias("__sump"),
     )
     return m.selectExpr(
-        "vocab_size", "n_tokens",
-        "CAST(vocab_size * (n_tokens + 1) - __sump AS BIGINT) AS ttr_auc",
+        # empty input pins to (0, 0, 0, NULL) — COALESCE the sums the
+        # empty aggregate leaves NULL
+        "vocab_size",
+        "COALESCE(n_tokens, 0) AS n_tokens",
+        "CAST(vocab_size * (COALESCE(n_tokens, 0) + 1)"
+        " - COALESCE(__sump, 0) AS BIGINT) AS ttr_auc",
         "CASE WHEN vocab_size > 0 AND n_tokens > 0 THEN"
         " CAST(CAST(vocab_size * (n_tokens + 1) - __sump AS DECIMAL(38,0))"
         "      * 1000000 div (CAST(vocab_size AS DECIMAL(38,0)) * n_tokens)"

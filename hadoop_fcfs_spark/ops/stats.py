@@ -210,7 +210,12 @@ def theil_u(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
         hxy.crossJoin(F.broadcast(hx))
         .crossJoin(F.broadcast(hy))
         .selectExpr(
-            "n", "n_x", "n_y", "hx_e6", "hy_e6", "hxy_e6",
+            # empty input: counts pin to 0, entropies stay NULL (the
+            # honest "undefined" answer), the Us NULL with them
+            "COALESCE(n, 0) AS n",
+            "COALESCE(n_x, 0) AS n_x",
+            "COALESCE(n_y, 0) AS n_y",
+            "hx_e6", "hy_e6", "hxy_e6",
             "GREATEST(CAST(0 AS BIGINT),"
             " CAST(hx_e6 + hy_e6 - hxy_e6 AS BIGINT)) AS mi_q_e6",
             "CASE WHEN hy_e6 > 0 THEN"
@@ -2669,12 +2674,14 @@ def kendall_tau_b_cells(
         .crossJoin(F.broadcast(ty))
         .crossJoin(F.broadcast(txy))
         .selectExpr(
-            "__n AS n",
+            # empty input pins to the all-zero row (brunner_munzel
+            # empty-contract precedent)
+            "COALESCE(__n, 0) AS n",
             "COALESCE(__C, 0) AS n_concordant",
             "COALESCE(__D, 0) AS n_discordant",
-            "CAST(__tx2 div 2 AS BIGINT) AS ties_x",
-            "CAST(__ty2 div 2 AS BIGINT) AS ties_y",
-            "CAST(__txy2 div 2 AS BIGINT) AS ties_xy",
+            "CAST(COALESCE(__tx2, 0) div 2 AS BIGINT) AS ties_x",
+            "CAST(COALESCE(__ty2, 0) div 2 AS BIGINT) AS ties_y",
+            "CAST(COALESCE(__txy2, 0) div 2 AS BIGINT) AS ties_xy",
             "CASE WHEN (__n * (__n - 1)) div 2 - __tx2 div 2 > 0"
             " AND (__n * (__n - 1)) div 2 - __ty2 div 2 > 0 THEN"
             " ROUND((CAST(COALESCE(__C, 0) AS DOUBLE) - COALESCE(__D, 0))"
@@ -5187,7 +5194,7 @@ def runs_test(
         # hypothesis replay, the brunner_munzel empty-input precedent
         "COALESCE(n_pos, 0) AS n_pos",
         "COALESCE(n_neg, 0) AS n_neg",
-        "n_zero",
+        "COALESCE(n_zero, 0) AS n_zero",  # empty input → all-zero row
         "COALESCE(n_runs, 0) AS n_runs",
     ).selectExpr(
         "n_pos", "n_neg", "n_zero", "n_runs",

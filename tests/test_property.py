@@ -1753,3 +1753,43 @@ def test_theil_u_matches_python_replay_property(spark, pts):
     assert r["mi_q_e6"] == mi
     assert r["theil_u_yx_e6"] == (mi * 1_000_000 // hy if hy > 0 else None)
     assert r["theil_u_xy_e6"] == (mi * 1_000_000 // hx if hx > 0 else None)
+
+
+def test_r12_ops_empty_input_contracts(spark):
+    """Empty-input pins for the r12 operators (the brunner_munzel
+    precedent: degenerate inputs get an explicit contract, not a NULL
+    surprise): runs_test and kendall_tau_b_cells pin all-zero count
+    rows with NULL statistics, ttr_curve_auc pins (0, 0, 0, NULL),
+    theil_u pins zero counts with NULL entropies/Us."""
+    from hadoop_fcfs_spark.llm.textan import ttr_curve_auc
+    from hadoop_fcfs_spark.ops.stats import (
+        kendall_tau_b_cells,
+        runs_test,
+        theil_u,
+    )
+
+    empty2 = spark.createDataFrame([], "g long, defect boolean")
+    [r] = runs_test(empty2, "g", F.col("defect"), group_alias="grain").collect()
+    assert (r["n_pos"], r["n_neg"], r["n_zero"], r["n_runs"]) == (0, 0, 0, 0)
+    assert r["z_num"] == 0 and r["z_r6"] is None
+
+    [r] = kendall_tau_b_cells(
+        spark.createDataFrame([], "x int, y int"), "x", "y"
+    ).collect()
+    assert (r["n"], r["n_concordant"], r["n_discordant"]) == (0, 0, 0)
+    assert (r["ties_x"], r["ties_y"], r["ties_xy"]) == (0, 0, 0)
+    assert r["tau_b_r6"] is None and r["gamma_r6"] is None
+
+    [r] = ttr_curve_auc(
+        spark.createDataFrame([], "doc long, pos long, w string"),
+        "doc", "pos", "w",
+    ).collect()
+    assert (r["vocab_size"], r["n_tokens"], r["ttr_auc"]) == (0, 0, 0)
+    assert r["auc_norm_e6"] is None
+
+    [r] = theil_u(
+        spark.createDataFrame([], "x string, y string"), "x", "y"
+    ).collect()
+    assert (r["n"], r["n_x"], r["n_y"]) == (0, 0, 0)
+    assert r["hx_e6"] is None and r["hy_e6"] is None and r["hxy_e6"] is None
+    assert r["theil_u_yx_e6"] is None and r["theil_u_xy_e6"] is None
