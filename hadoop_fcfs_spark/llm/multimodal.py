@@ -1459,7 +1459,7 @@ def _zip_structure(blob: bytes) -> dict:
     # the end of its fixed record to the end of the blob.
     eocd = -1
     search_end = len(tail)
-    while search_end >= 4:
+    for _ in range(64):  # hostile magic-stuffed tails stay O(64·tail)
         rel = tail.rfind(b"PK\x05\x06", 0, search_end)
         if rel < 0:
             break

@@ -3068,6 +3068,10 @@ def test_archive_audit_gzip_zip_zstd(spark):
     s = _zip_structure(zp2)
     assert s["n_entries"] == 1 and s["n_stored"] == 1
     assert s["comment_len"] == len(b"decoy magic PK\x05\x06 inside the comment")
+    # a magic-stuffed hostile tail quarantines after a BOUNDED candidate
+    # scan (64 attempts) instead of going quadratic in the 64 KiB window
+    with _pytest.raises(ValueError, match="no ZIP end-of-central"):
+        _zip_structure(b"PK\x05\x06" * 20000)
 
     # --- zstd: hand frames per RFC 8878 ---
     # FCS code 1 (2-byte field, value+256), window descriptor, checksum
