@@ -421,3 +421,98 @@ def stream_inactivity_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_runs_monitor(
+    stream_df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    n_col: str,
+    x_col: str,
+    center_num: int,
+    center_den: int,
+):
+    """Live Wald–Wolfowitz runs census — the streaming twin of
+    ``ops.stats.runs_test`` and the seventh live-engine bridge. Where
+    ``durbin_watson`` has NO exact twin (its global second moment
+    makes every emitted term retroactive — the declared non-bridge in
+    SCALING.md), the runs census is a pure per-key recursion over
+    FIXED-WIDTH state once the center line is a parameter (the
+    zone/nelson convention: pass the batch pooled totals, here as the
+    exact RATIO so p̄ = num·10⁶ div den reproduces the batch flooring
+    BIGINT center bit-for-bit): five longs — n_pos, n_neg, n_zero,
+    n_runs, last_side — advance by integer comparisons only, so the
+    emitted census AT EVERY POINT equals batch ``runs_test`` run over
+    exactly that prefix. The bridge test pins per-prefix EXACT
+    equality (integer columns, no tolerance) across a micro-batch
+    split.
+
+    Semantics mirror the batch operator: side = sign(rate_e6 − p̄) on
+    exact flooring micro-rates; side-0 rows increment ``n_zero`` only
+    and do NOT update last_side (the batch drops them BEFORE run
+    counting, so a center-line day between two same-side days must
+    not break the run); malformed rows with n ≤ 0 are dropped (the
+    stream_zone_monitor quarantine guard). ``z_num`` = R·m − 2n₁n₂ −
+    m rides along exactly; the float z is left to the consumer (one
+    flat expression off the exact census — keeping the bridge
+    contract all-integer).
+
+    Input rows are the GRAIN (one row per key per index: day → n, x)
+    in per-key index order across micro-batches; rows sort by index
+    within each batch. Emits (key, idx, n, x, side, n_pos, n_neg,
+    n_zero, n_runs, z_num); outputMode 'append'. last_side uses 0 as
+    the "no sided point yet" sentinel (a real side is ±1)."""
+    pbar = center_num * 1_000_000 // center_den
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n_pos, n_neg, n_zero, n_runs, last_side = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(i), int(n), int(x))
+                for i, n, x in zip(pdf[idx_col], pdf[n_col], pdf[x_col])
+            )
+        out = []
+        for i, n, x in sorted(rows):
+            if n <= 0:
+                continue  # malformed external grain row — quarantine
+            rate = x * 1_000_000 // n
+            side = (rate > pbar) - (rate < pbar)
+            if side == 0:
+                n_zero += 1
+            else:
+                if side == 1:
+                    n_pos += 1
+                else:
+                    n_neg += 1
+                if side != last_side:
+                    n_runs += 1
+                last_side = side
+            m = n_pos + n_neg
+            out.append({
+                key_col: key[0], idx_col: i, n_col: n, x_col: x,
+                "side": side, "n_pos": n_pos, "n_neg": n_neg,
+                "n_zero": n_zero, "n_runs": n_runs,
+                "z_num": n_runs * m - 2 * n_pos * n_neg - m,
+            })
+        if rows:
+            state.update((n_pos, n_neg, n_zero, n_runs, last_side))
+        if out:
+            yield pd.DataFrame(out)
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} string, {idx_col} long, {n_col} long, {x_col} long, "
+            "side int, n_pos long, n_neg long, n_zero long, n_runs long, "
+            "z_num long"
+        ),
+        stateStructType=(
+            "n_pos long, n_neg long, n_zero long, n_runs long, "
+            "last_side long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1487,3 +1487,91 @@ def test_stream_interval_join_watermark_batching_semantics(spark, tmp_path):
     )
     assert twin == [(3, 2), (4, 1)]
     assert set(split) <= set(twin) and set(together) == set(twin)
+
+
+def test_stream_runs_monitor_matches_batch_exactly(spark, tmp_path):
+    """stream_runs_monitor bridge (r12, seventh live bridge): fed the
+    batch pooled totals as the exact ratio, the live census must (a)
+    equal batch runs_test EXACTLY on the full series at the final
+    point — integer columns, no tolerance — across a micro-batch
+    split (so the five-long state is load-bearing), (b) match a pure
+    fixed-center sequential replay at EVERY point, and (c) quarantine
+    n <= 0 grain rows like stream_zone_monitor."""
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import runs_test
+    from hadoop_fcfs_spark.streaming.stateful import stream_runs_monitor
+
+    rng = random.Random(59)
+    days = sorted(rng.sample(range(100, 260), 80))
+    per_day = {d: (rng.randint(3, 25),) for d in days}
+    per_day = {d: (n[0], rng.randint(0, n[0])) for d, n in per_day.items()}
+    raw = [(d, i < x) for d, (n, x) in per_day.items() for i in range(n)]
+    batch_df = spark.createDataFrame(raw, "d long, bad boolean")
+    [b] = runs_test(batch_df, "d", F.col("bad"), group_alias="grain").collect()
+    tn = sum(n for n, _ in per_day.values())
+    tx = sum(x for _, x in per_day.values())
+
+    src = str(tmp_path / "runs_src")
+    grain_rows = [("s", d, per_day[d][0], per_day[d][1]) for d in days]
+    # a malformed n=0 row mid-stream must be dropped, not kill the query
+    grain_rows.insert(40, ("s", 1, 0, 0))
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "k string, d long, n long, x long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    split = len(grain_rows) // 2
+    write(grain_rows[:split])
+    stream = spark.readStream.schema(
+        "k string, d long, n long, x long"
+    ).parquet(src)
+    mon = stream_runs_monitor(
+        stream, "k", "d", "n", "x", center_num=tx, center_den=tn
+    )
+    q = (
+        mon.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("runs_mon")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(grain_rows[split:])
+        q.processAllAvailable()
+        live = {
+            r["d"]: r for r in spark.sql("SELECT * FROM runs_mon").collect()
+        }
+    finally:
+        q.stop()
+
+    assert 1 not in live  # the n=0 row was quarantined
+    assert sorted(live) == days
+    # (a) final point == batch on the full series, integer-exact
+    last = live[days[-1]]
+    assert (last["n_pos"], last["n_neg"], last["n_zero"], last["n_runs"],
+            last["z_num"]) == (
+        b["n_pos"], b["n_neg"], b["n_zero"], b["n_runs"], b["z_num"])
+    # (b) every point matches the fixed-center sequential replay
+    pbar = tx * 1_000_000 // tn
+    np_ = nn = nz = nr = 0
+    last_side = 0
+    for d in days:
+        n, x = per_day[d]
+        side = ((x * 1_000_000 // n) > pbar) - ((x * 1_000_000 // n) < pbar)
+        if side == 0:
+            nz += 1
+        else:
+            if side == 1:
+                np_ += 1
+            else:
+                nn += 1
+            if side != last_side:
+                nr += 1
+            last_side = side
+        m = np_ + nn
+        r = live[d]
+        assert (r["side"], r["n_pos"], r["n_neg"], r["n_zero"],
+                r["n_runs"]) == (side, np_, nn, nz, nr), d
+        assert r["z_num"] == nr * m - 2 * np_ * nn - m, d
