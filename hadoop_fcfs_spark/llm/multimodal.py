@@ -1249,8 +1249,15 @@ def _mp3_structure(blob: bytes) -> dict:
             # bitrate index to the CBR/VBR spread (a CBR file whose
             # Info frame is encoded at a different index is still CBR).
             side = (17 if ch == 1 else 32) if vgroup == 1 else (9 if ch == 1 else 17)
-            tag = blob[pos + 4 + side : pos + 8 + side]
-            if tag in (b"Xing", b"Info") or blob[pos + 36 : pos + 40] == b"VBRI":
+            # probes bounded by the frame's OWN extent (the mvhd/hdlr
+            # lesson): a tiny low-bitrate frame must not read the next
+            # frame's payload and mistake it for a tag
+            tag = (
+                blob[pos + 4 + side : pos + 8 + side]
+                if 4 + side + 4 <= flen else b""
+            )
+            vbri = blob[pos + 36 : pos + 40] if 40 <= flen else b""
+            if tag in (b"Xing", b"Info") or vbri == b"VBRI":
                 pos += flen
                 continue
         cur = (vcode, lyr, sr, ch)

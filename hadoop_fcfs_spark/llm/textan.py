@@ -1299,7 +1299,9 @@ def ttr_curve_auc(
     order is (doc, within-doc position): within-doc ranks are
     DOC-bounded windows, doc offsets ONE range-partitioned exclusive
     prefix over the per-doc counts (ops.sort.global_running_sum — the
-    log-rank/KS substrate), broadcast back; no global sort, no
+    log-rank/KS substrate) equi-joined back on the doc key (no
+    broadcast hint — the offsets table is O(#documents); AQE
+    broadcasts it when small, SMJ when not); no global sort, no
     unpartitioned window.
 
     Exactness: positions, V, N, Σp and AUC are exact BIGINTs (AUC ≤
@@ -1323,9 +1325,11 @@ def ttr_curve_auc(
     offs = global_running_sum(
         per_doc, [doc_col], ["__cnt"], out_col=["__off"], inclusive=False
     )
-    gpos = ranked.join(
-        F.broadcast(offs.select(doc_col, "__off")), doc_col
-    ).select(
+    # plain equi-join on the doc key — NOT a forced broadcast: the
+    # offsets table is O(#documents), so a hint would bake in a
+    # driver/8 GB ceiling at corpus scale; AQE broadcasts it when it
+    # is actually small and co-partitions an SMJ when it is not
+    gpos = ranked.join(offs.select(doc_col, "__off"), doc_col).select(
         term_col, (F.col("__off") + F.col("__wpos")).alias("__gpos")
     )
     first = gpos.groupBy(term_col).agg(
@@ -1465,7 +1469,7 @@ def lz76_complexity(seq) -> int:
 
 
 def doc_lz_complexity(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str, max_tokens: int = 10_000
 ) -> DataFrame:
     """Per-document LZ76 complexity over whitespace tokens — the
     sequence-compressibility quality signal completing the
@@ -1477,12 +1481,16 @@ def doc_lz_complexity(
     readout (low = template-like, the dedup-candidate signature).
 
     Scale shape: one Arrow-batched ``mapInPandas`` pass, per-row cost
-    O(len²) in the document's OWN token count — embarrassingly
-    parallel, no shuffle, no state (the bpe_encode contract). Empty
-    docs yield (0, 0, NULL)."""
+    O(len²) in the document's OWN token count, BOUNDED by
+    ``max_tokens`` (the mp3/tar walk-cap discipline): a pathological
+    multi-million-token document would otherwise stall an executor
+    core for hours, so oversized docs quarantine as
+    (n_tokens, NULL, NULL) rows — counted, never parsed. Empty docs
+    yield (0, 0, NULL)."""
     out_schema = (
         f"{id_col} long, n_tokens long, lz_phrases long, lz_ratio_e6 long"
     )
+    cols = [id_col, "n_tokens", "lz_phrases", "lz_ratio_e6"]
 
     def run(batches):
         import pandas as pd
@@ -1492,13 +1500,16 @@ def doc_lz_complexity(
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 toks = [w for w in (text or "").split() if w]
                 m = len(toks)
+                if m > max_tokens:
+                    rows.append((did, m, None, None))
+                    continue
                 c = lz76_complexity(toks)
-                rows.append({
-                    id_col: did,
-                    "n_tokens": m,
-                    "lz_phrases": c,
-                    "lz_ratio_e6": (c * 1_000_000 // m) if m else None,
-                })
-            yield pd.DataFrame(rows)
+                rows.append(
+                    (did, m, c, (c * 1_000_000 // m) if m else None)
+                )
+            # columns= keeps the schema on zero-row batches (the
+            # multimodal-audit convention — a bare pd.DataFrame([])
+            # has no columns and breaks Arrow conversion)
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)

@@ -2749,6 +2749,15 @@ def test_mp3_audit_frame_walk(spark):
     assert s["n_frames"] == 4 and s["vbr"]
     with _pytest.raises(ValueError, match="no MPEG frames"):
         _mp3_structure(bytes(xing))  # a tag frame alone is not audio
+    # probe bounds (r12 review fix): a TINY first frame (26 bytes —
+    # MPEG2 8 kbps) must not have its VBRI probe read into the second
+    # frame's payload; bytes spelling 'VBRI' at blob offset 36 (10
+    # bytes into frame 2) must NOT demote frame 1 to a tag frame
+    tiny2 = bytearray(frame(1, vcode=2))
+    assert len(frame(1, vcode=2)) == 26  # probe window 36:40 > flen
+    tiny2[10:14] = b"VBRI"
+    s = _mp3_structure(frame(1, vcode=2) + bytes(tiny2))
+    assert s["n_frames"] == 2  # both are audio frames
 
     # MPEG2.5 Layer III: 576 samples per frame at 11025 Hz, stereo
     low = b"".join(frame(3, vcode=0, mono=False) for _ in range(8))
@@ -4348,3 +4357,12 @@ def test_doc_lz_complexity_spark_plumbing(spark):
             assert r["lz_ratio_e6"] is None
     assert rows[1]["lz_ratio_e6"] < rows[2]["lz_ratio_e6"]
     assert rows[3]["lz_ratio_e6"] < rows[2]["lz_ratio_e6"]
+    # max_tokens cap (r12 review fix): an oversized doc quarantines as
+    # (n_tokens, NULL, NULL) instead of stalling an executor on the
+    # O(len^2) parse
+    big = spark.createDataFrame(
+        [(9, "w " * 50)], "doc_id long, text string"
+    )
+    [r] = doc_lz_complexity(big, "doc_id", "text", max_tokens=10).collect()
+    assert r["n_tokens"] == 50
+    assert r["lz_phrases"] is None and r["lz_ratio_e6"] is None

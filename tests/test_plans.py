@@ -1820,20 +1820,25 @@ def test_kendall_tau_cells_bounded_quadratic(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_ttr_curve_auc_one_prefix_broadcast_offsets(spark):
+def test_ttr_curve_auc_one_prefix_equi_offsets(spark):
     """ttr_curve_auc_tokens (r12): within-doc ranks are DOC-partitioned
     windows, doc offsets ONE range-partitioned exclusive prefix
-    (global_running_sum) broadcast back as an equi-join — exactly one
-    range exchange, a BroadcastHashJoin for the offsets, and no
-    shuffled or cartesian join."""
+    (global_running_sum) EQUI-joined back on the doc key — exactly one
+    range exchange and no nested-loop or cartesian join. The join
+    strategy is deliberately NOT pinned: the offsets table is
+    O(#documents), so a forced broadcast would bake in a driver
+    ceiling at corpus scale; AQE picks broadcast when it is actually
+    small."""
     from hadoop_fcfs_spark.caching import release_waypoints
 
     release_waypoints()
     plan = _plan(Q["ttr_curve_auc_tokens"].spark_fn(spark, SF_ORACLE))
     assert "partial_count" in plan or "partial_sum" in plan
     assert len(_distinct_exchange_ids(plan, "rangepartitioning")) == 1, plan
-    assert "BroadcastHashJoin" in plan  # doc-offset equi-join
-    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)  # doc-offset equi-join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
     release_waypoints()
 
 
