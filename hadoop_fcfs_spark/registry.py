@@ -64,51 +64,29 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # a pytest keeps the script and the table format in lockstep. Update
 # the paragraph below by hand each round.
 #
-# State after round 11 (rebuilt for round 12): 366 registered gates,
-# CORRECTNESS_r11 50/50 green, driver-checked union r01-r11 = 366/366,
-# zero mismatches ever. _NEVER_SAMPLED stays empty, so the round-12
+# State after round 12 (rebuilt for round 13): 370 registered gates,
+# CORRECTNESS_r12 50/50 green, driver-checked union r01-r12 = 370/370,
+# zero mismatches ever. _NEVER_SAMPLED stays empty, so the round-13
 # window = gates registered this round (bucket 1, in registration
-# order) + the oldest confirmed tail (bucket 2: the 16 remaining r4
-# gates, then the oldest of the 50 r5 gates). Keep net-new <= 6 so the
-# window clears all 16 r4 rows plus >= 28 of the r5 tail — by
-# r12-close no evidence row should be older than r5 (burn-down
-# promise from r11). Per-round counts after this fold: 16 x r4, 50
-# each r5-r11.
+# order) + the oldest confirmed tail (bucket 2: the 20 remaining r5
+# gates, then the oldest of the 50 r6 gates). Keep net-new <= 6 so the
+# window clears all 20 r5 rows plus >= 24 of the r6 tail — by
+# r13-close no evidence row should be older than r6 (burn-down
+# promise from r12). Per-round counts after this fold: 20 x r5, 50
+# each r6-r12.
 
 _NEVER_SAMPLED: tuple[str, ...] = ()
 
 _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
-    # latest driver row: round 4 (16 gates)
-    "orders_mutual_info": 4, "product_type_profit": 4,
-    "promo_revenue_ratio": 4, "skew_salted_agg": 4,
-    "small_quantity_revenue": 4, "snapshot_diff_orders": 4,
-    "terasort_validate": 4, "theta_user_overlap": 4,
-    "token_budget_mix_weighted": 4, "top_supplier": 4, "volume_shipping":
-    4, "volume_trend": 4, "waiting_suppliers": 4,
-    "weighted_sample_orders": 4, "winsorize_events": 4,
-    "word_cooccurrence": 4,
-    # latest driver row: round 5 (50 gates)
-    "ab_test_conversion": 5, "benford_price_audit": 5, "bpe_pair_counts":
-    5, "chi2_source_lang": 5, "cohort_ltv_curve": 5,
-    "concept_communities": 5, "copurchase_lift": 5, "corpus_pipeline_v4":
-    5, "dead_stock_audit": 5, "dsir_selection": 5, "dup_family_histogram":
-    5, "embedding_norm_qa": 5, "event_seasonality": 5,
-    "event_transitions": 5, "ewma_daily_events": 5, "footer_table_stats":
-    5, "frequent_brand_triples": 5, "gini_order_values": 5,
-    "hhi_supplier_concentration": 5, "hybrid_rank_fusion": 5,
-    "kaplan_meier_retention": 5, "kcenter_coreset": 5,
-    "knn_label_confusion": 5, "langid_confusion": 5, "lorenz_deciles": 5,
-    "lpa_communities": 5, "negative_table_draws": 5,
-    "new_vs_returning_daily": 5, "pareto_orders": 5,
-    "prefiltered_revenue": 5, "psi_price_drift": 5,
-    "purchase_attribution": 5, "qty_price_histogram2d": 5,
-    "repeat_order_intervals": 5, "rfm_segments": 5, "rolling_wau": 5,
-    "script_profile": 5, "session_path_topk": 5, "shipping_lead_time": 5,
-    "spearman_qty_price": 5, "term_dictionary": 5, "tfidf_cosine_topk": 5,
-    "theil_sen_trend": 5, "top_nations_with_other": 5,
-    "trade_degree_assortativity": 5, "trade_triangles": 5,
-    "trending_parts": 5, "user_behavior_entropy": 5, "vocab_richness": 5,
-    "weighted_median_price": 5,
+    # latest driver row: round 5 (20 gates)
+    "psi_price_drift": 5, "purchase_attribution": 5,
+    "qty_price_histogram2d": 5, "repeat_order_intervals": 5,
+    "rfm_segments": 5, "rolling_wau": 5, "script_profile": 5,
+    "session_path_topk": 5, "shipping_lead_time": 5, "spearman_qty_price":
+    5, "term_dictionary": 5, "tfidf_cosine_topk": 5, "theil_sen_trend": 5,
+    "top_nations_with_other": 5, "trade_degree_assortativity": 5,
+    "trade_triangles": 5, "trending_parts": 5, "user_behavior_entropy": 5,
+    "vocab_richness": 5, "weighted_median_price": 5,
     # latest driver row: round 6 (50 gates)
     "abc_inventory_classes": 6, "acf_daily_events": 6, "ann_ivf_recall":
     6, "anova_acctbal_segments": 6, "binseg_daily_events": 6,
@@ -240,6 +218,29 @@ _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
     "token_budget_mix": 11, "train_holdout_split": 11,
     "ttr_family_tokens": 11, "tumbling_window": 11, "vocab_stats": 11,
     "zone_rules_daily_returns": 11, "zorder_values": 11,
+    # latest driver row: round 12 (50 gates)
+    "ab_test_conversion": 12, "benford_price_audit": 12,
+    "bpe_pair_counts": 12, "chi2_source_lang": 12, "cohort_ltv_curve": 12,
+    "concept_communities": 12, "copurchase_lift": 12,
+    "corpus_pipeline_v4": 12, "dead_stock_audit": 12, "dsir_selection":
+    12, "dup_family_histogram": 12, "embedding_norm_qa": 12,
+    "event_seasonality": 12, "event_transitions": 12, "ewma_daily_events":
+    12, "footer_table_stats": 12, "frequent_brand_triples": 12,
+    "gini_order_values": 12, "hhi_supplier_concentration": 12,
+    "hybrid_rank_fusion": 12, "kaplan_meier_retention": 12,
+    "kcenter_coreset": 12, "kendall_tau_quantity_discount": 12,
+    "knn_label_confusion": 12, "langid_confusion": 12, "lorenz_deciles":
+    12, "lpa_communities": 12, "negative_table_draws": 12,
+    "new_vs_returning_daily": 12, "orders_mutual_info": 12,
+    "pareto_orders": 12, "prefiltered_revenue": 12, "product_type_profit":
+    12, "promo_revenue_ratio": 12, "runs_test_daily_returns": 12,
+    "skew_salted_agg": 12, "small_quantity_revenue": 12,
+    "snapshot_diff_orders": 12, "terasort_validate": 12,
+    "theil_u_source_lang": 12, "theta_user_overlap": 12,
+    "token_budget_mix_weighted": 12, "top_supplier": 12,
+    "ttr_curve_auc_tokens": 12, "volume_shipping": 12, "volume_trend": 12,
+    "waiting_suppliers": 12, "weighted_sample_orders": 12,
+    "winsorize_events": 12, "word_cooccurrence": 12,
 }
 
 
