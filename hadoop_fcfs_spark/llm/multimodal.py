@@ -1249,12 +1249,17 @@ def _mp3_structure(blob: bytes) -> dict:
             # bitrate index to the CBR/VBR spread (a CBR file whose
             # Info frame is encoded at a different index is still CBR).
             side = (17 if ch == 1 else 32) if vgroup == 1 else (9 if ch == 1 else 17)
+            # protection bit 0 = a 16-bit CRC sits between the header
+            # and the side info, so the tag shifts by 2 (ISO 11172-3
+            # §2.4.1.3.1); CRC-protected LAME files must still have
+            # their Info frame excluded from the audio census
+            crc = 2 if (h1 & 1) == 0 else 0
             # probes bounded by the frame's OWN extent (the mvhd/hdlr
             # lesson): a tiny low-bitrate frame must not read the next
             # frame's payload and mistake it for a tag
             tag = (
-                blob[pos + 4 + side : pos + 8 + side]
-                if 4 + side + 4 <= flen else b""
+                blob[pos + 4 + crc + side : pos + 8 + crc + side]
+                if 4 + crc + side + 4 <= flen else b""
             )
             vbri = blob[pos + 36 : pos + 40] if 40 <= flen else b""
             if tag in (b"Xing", b"Info") or vbri == b"VBRI":
@@ -1447,7 +1452,10 @@ def _gzip_structure(blob: bytes) -> dict:
 def _zip_structure(blob: bytes) -> dict:
     """Central-directory audit of a ZIP archive (public spec: PKWARE
     APPNOTE): locate the end-of-central-directory record (backward
-    scan over the ≤64 KiB comment window), then walk the central
+    scan over the ≤64 KiB comment window; exact comment_len match
+    preferred, last structurally-plausible candidate accepted so
+    trailing-garbage archives — appended signatures, SFX padding —
+    still parse), then walk the central
     directory entries — per-entry method and compressed/uncompressed
     sizes come from the directory alone, so cataloguing an archive
     never touches file payloads. Raises ValueError on a missing/torn
@@ -1463,8 +1471,13 @@ def _zip_structure(blob: bytes) -> dict:
     # archive comment itself can contain the magic, so the rfind hit is
     # not necessarily the record. The standard disambiguation accepts
     # the candidate whose comment_len field equals the distance from
-    # the end of its fixed record to the end of the blob.
+    # the end of its fixed record to the end of the blob; archives with
+    # trailing bytes AFTER the EOCD (appended signatures, SFX padding)
+    # have no exact match, so fall back to the last structurally
+    # plausible candidate — comment fits inside the blob and the
+    # central directory lands entirely before the record.
     eocd = -1
+    fallback = -1
     search_end = len(tail)
     for _ in range(64):  # hostile magic-stuffed tails stay O(64·tail)
         rel = tail.rfind(b"PK\x05\x06", 0, search_end)
@@ -1476,7 +1489,14 @@ def _zip_structure(blob: bytes) -> dict:
             if cand + 22 + cand_clen == len(blob):
                 eocd = cand
                 break
+            if fallback < 0 and cand + 22 + cand_clen <= len(blob):
+                c_size = int.from_bytes(blob[cand + 12 : cand + 16], "little")
+                c_off = int.from_bytes(blob[cand + 16 : cand + 20], "little")
+                if c_off + c_size <= cand:
+                    fallback = cand
         search_end = rel + 3  # keep overlapping magics findable
+    if eocd < 0:
+        eocd = fallback
     if eocd < 0:
         raise ValueError("no ZIP end-of-central-directory record")
     disk = int.from_bytes(blob[eocd + 4 : eocd + 6], "little")

@@ -367,6 +367,132 @@ def ivf_topk(
     )
 
 
+def ivf_recall_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    probes: tuple[int, ...] = (1, 2, 4, 8),
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Recall@k vs n_probe curve for the IVF index — the tuning sweep
+    that turns :func:`ivf_topk`'s single recall spot-check
+    (ann_ivf_recall) into the operating-point picker an ANN deployment
+    actually reads: one row per n_probe with pooled recall against the
+    exact brute-force ranking, so "how many cells must I probe for
+    95% recall" is one query.
+
+    Scale shape: candidate pairs are generated ONCE at max(probes) —
+    each query's probed cells carry their probe RANK (1 = nearest
+    cell), the sweep is a per-candidate explode over the probe values
+    with `cell_rank <= n_probe`, and per-(n_probe, query) top-k is a
+    window over the already-bounded candidate set. The corpus is
+    scanned once for cell assignment and once for the exact baseline;
+    sweeping more operating points adds NO corpus work (candidate
+    sets are nested by construction). Broadcast probe join; no
+    cartesian. Determinism: @4-rounded cosine + vec_id tiebreak on
+    both rankings (the ann_ivf_recall contract).
+
+    Output, ordered: (n_probe, n_queries, n_exact, n_hits,
+    recall_e6) — recall pooled over queries (micro-average)."""
+    cents = centroids if centroids is not None else kmeans_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    max_p = max(probes)
+    cells = _assign_to_centroid(corpus, cents, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.col("__centroid").alias("cell"),
+    )
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    # probed cells WITH their probe rank (posexplode of the ranked
+    # slice — the rank is what lets one candidate pass serve every
+    # sweep point)
+    vec = F.col("__qv")
+    dist_arr = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+    )
+    ranked = F.transform(
+        F.array_sort(
+            F.zip_with(
+                dist_arr,
+                F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        ),
+        lambda s: s["i"],
+    )
+    probed = qdf.select(
+        "query_id",
+        "__qv",
+        F.posexplode(F.slice(ranked, 1, max_p)).alias("__pos", "cell"),
+    ).withColumn("cell_rank", (F.col("__pos") + 1).cast("int"))
+    pairs = (
+        cells.join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "cell_rank",
+            (F.round(cosine(F.col("__qv"), F.col("embedding")), 4) + 0.0)
+            .alias("cos"),
+        )
+    )
+    swept = pairs.withColumn(
+        "n_probe", F.explode(F.array(*[F.lit(int(p)) for p in sorted(probes)]))
+    ).filter(F.col("cell_rank") <= F.col("n_probe"))
+    w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    approx = (
+        swept.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("n_probe", "query_id", "vec_id")
+    )
+    exact = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    hits = approx.join(
+        exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    tot = exact.agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+    )
+    hits_np = hits.groupBy("n_probe").agg(
+        F.count("*").cast("long").alias("__h")
+    )
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(
+        [(int(p),) for p in sorted(probes)], "n_probe int"
+    )
+    return (
+        probe_df.crossJoin(F.broadcast(tot))
+        .join(hits_np, "n_probe", "left")
+        .selectExpr(
+            "CAST(n_probe AS BIGINT) AS n_probe",
+            "n_queries",
+            "n_exact",
+            "CAST(COALESCE(__h, 0) AS BIGINT) AS n_hits",
+            "(1000000 * COALESCE(__h, 0)) div n_exact AS recall_e6",
+        )
+        .orderBy("n_probe")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 # Small deterministic stopword inventories (n-gram heuristic seed sets).
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -101,6 +102,60 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(toks).cast("long").alias("ws_tokens"),
         F.size(bpe).cast("long").alias("bpe_tokens"),
         F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame, lang_col: str, text_col: str
+) -> DataFrame:
+    """Tokenizer fertility per language: subword tokens per word
+    (BPE-ish pre-tokens / whitespace words) and chars per subword
+    token — the per-language cost columns a multilingual pretraining
+    mix report needs next to token_budget_mix (a language whose
+    fertility runs high pays proportionally more context budget per
+    word; chars/token is the compression-rate sanity check on the
+    tokenizer itself). Same BPE_PATTERN pre-tokenization as
+    :func:`token_counts`, so the two gates share a definition.
+
+    Scale shape: one scan, per-row array sizes (no explode — counts
+    only), map-side-combined groupBy on the bounded language grain.
+    Exact BIGINT sums; the e6 ratios lift the numerator to
+    DECIMAL(38,0) before the integer division (1e6·n_tokens overflows
+    BIGINT past ~9.2e12 tokens — a 100 TB corpus is past it), NULL
+    when a language has no words/tokens (not 0 — no evidence).
+
+    Output per language, ordered: (lang, n_docs, n_chars, n_words,
+    n_tokens, fertility_e6, chars_per_token_e6)."""
+    toks = _tokens(text_col)
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
+    per = df.select(
+        F.col(lang_col).alias("lang"),
+        F.size(toks).cast("long").alias("__w"),
+        F.size(bpe).cast("long").alias("__t"),
+        F.length(text_col).cast("long").alias("__c"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__c").cast("long").alias("n_chars"),
+            F.sum("__w").cast("long").alias("n_words"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+        )
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "n_chars",
+            "n_words",
+            "n_tokens",
+            "CASE WHEN n_words > 0 THEN"
+            " CAST(1000000 AS DECIMAL(38,0)) * n_tokens div n_words"
+            " END AS fertility_e6",
+            "CASE WHEN n_tokens > 0 THEN"
+            " CAST(1000000 AS DECIMAL(38,0)) * n_chars div n_tokens"
+            " END AS chars_per_token_e6",
+        )
+        .orderBy("lang")
     )
 
 
@@ -1487,8 +1542,16 @@ def doc_lz_complexity(
     core for hours, so oversized docs quarantine as
     (n_tokens, NULL, NULL) rows — counted, never parsed. Empty docs
     yield (0, 0, NULL)."""
-    out_schema = (
-        f"{id_col} long, n_tokens long, lz_phrases long, lz_ratio_e6 long"
+    # the id field keeps the caller's actual type (a hardcoded 'long'
+    # silently Arrow-casts int ids and fails string ids)
+    id_field = StructField(id_col, df.schema[id_col].dataType)
+    out_schema = StructType(
+        [
+            id_field,
+            StructField("n_tokens", LongType()),
+            StructField("lz_phrases", LongType()),
+            StructField("lz_ratio_e6", LongType()),
+        ]
     )
     cols = [id_col, "n_tokens", "lz_phrases", "lz_ratio_e6"]
 

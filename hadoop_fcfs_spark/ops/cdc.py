@@ -180,6 +180,89 @@ def snapshot_diff(
     )
 
 
+def cdc_net_changes(
+    log: DataFrame,
+    key: str,
+    ts_col: str,
+    op_col: str,
+    value_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Minimal-changelog compaction of a CDC log (the Debezium /
+    changefeed / Delta-CDF shape): collapse each key's I/U/D history
+    over the window to its NET effect — the one-row-per-key changeset
+    that, applied to the window's opening snapshot, lands the same
+    final state as replaying the full log. The fourth CDC leg next to
+    :func:`scd2_from_changes` (keep all history), :func:`apply_changeset`
+    (merge into a snapshot) and :func:`snapshot_diff` (derive the log):
+    ``apply_changeset(snap, cdc_net_changes(log, ...))`` equals
+    replaying the log row-by-row, at one-row-per-key cost.
+
+    Net rule on (first_op, last_op) per key:
+      - first=I, last=D            -> NO row (born and deleted inside
+        the window — the opening snapshot never sees the key)
+      - first=I, last in {I,U}     -> 'I' with the last values
+      - first in {U,D}, last=D     -> 'D' (values NULLed)
+      - first in {U,D}, last other -> 'U' with the last values
+
+    Scale shape: ONE map-side-combinable groupBy — first/last ops and
+    carried values are min_by/max_by over the (ts, tiebreak) struct
+    order, so there is no per-key sort, no window function, and
+    partial aggregation halves the shuffle before it happens (the
+    combiner discipline, SURVEY §2.4). Unknown ops fail loudly up
+    front (the apply_changeset guard — a silent drop is how changelog
+    compaction corrupts downstream merges).
+
+    Output: key, net_op, n_changes, first_ts, last_ts, last_<value>
+    per value column (NULL on net deletes)."""
+    ops = ("I", "U", "D")
+    bad = log.filter(~F.col(op_col).isin(*ops))
+    if bad.take(1):
+        vals = [r[op_col] for r in bad.select(op_col).distinct().take(5)]
+        raise ValueError(
+            f"unknown ops in CDC log: {vals}; expected one of {ops}"
+        )
+    ord_ = (
+        F.struct(F.col(ts_col), F.col(tiebreak))
+        if tiebreak
+        else F.col(ts_col)
+    )
+    agg = log.groupBy(key).agg(
+        F.min_by(op_col, ord_).alias("__first_op"),
+        F.max_by(op_col, ord_).alias("__last_op"),
+        *[F.max_by(c, ord_).alias(f"__last_{c}") for c in value_cols],
+        F.count("*").cast("long").alias("n_changes"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+    )
+    net = (
+        F.when(
+            (F.col("__first_op") == "I") & (F.col("__last_op") == "D"),
+            F.lit(None).cast("string"),
+        )
+        .when(F.col("__first_op") == "I", F.lit("I"))
+        .when(F.col("__last_op") == "D", F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    return (
+        agg.withColumn("net_op", net)
+        .filter(F.col("net_op").isNotNull())
+        .select(
+            F.col(key),
+            F.col("net_op"),
+            F.col("n_changes"),
+            F.col("first_ts"),
+            F.col("last_ts"),
+            *[
+                F.when(F.col("net_op") == "D", F.lit(None))
+                .otherwise(F.col(f"__last_{c}"))
+                .alias(f"last_{c}")
+                for c in value_cols
+            ],
+        )
+    )
+
+
 def weighted_partial_agg(
     rows: DataFrame,
     keys: list[str],

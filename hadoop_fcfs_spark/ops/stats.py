@@ -2592,7 +2592,10 @@ def mann_kendall_trend(
 
 
 def kendall_tau_b_cells(
-    df: DataFrame, x_col: Column | str, y_col: Column | str
+    df: DataFrame,
+    x_col: Column | str,
+    y_col: Column | str,
+    max_cells: int | None = 4096,
 ) -> DataFrame:
     """Kendall's tau-b between two BOUNDED-DOMAIN columns of RAW data
     rows — the cell-grain sibling of :func:`kendall_tau_b` (that one
@@ -2612,12 +2615,22 @@ def kendall_tau_b_cells(
     denominator through the marginal tie totals and never C or D.
 
     Exactness: C, D, the marginal tie-pair totals T_x = Σ t(t−1)/2,
-    T_y, the joint T_xy and D₀ = n(n−1)/2 are exact BIGINTs (products
-    bounded by n² — overflows past ~3·10⁹ rows; pre-quantize or lift
-    to DECIMAL(38,0) at that scale, the brunner_munzel remedy). Only
-    the final tau_b = (C−D)/√((D₀−T_x)(D₀−T_y)) and gamma =
-    (C−D)/(C+D) are flat doubles rounded @6, NULL when their
-    denominators degenerate (a constant axis / no untied pair).
+    T_y, the joint T_xy and D₀ = n(n−1)/2 are summed in DECIMAL(38,0)
+    (the brunner_munzel remedy — n² products overflow BIGINT past
+    ~3·10⁹ rows, and at 100 TB the fact table IS past it), so the
+    statistics stay exact to 10³⁸; only the REPORTED count columns
+    cast back to BIGINT (they saturate to NULL past ~9.2·10¹⁸ pairs
+    while tau_b/gamma remain correct). The final tau_b =
+    (C−D)/√((D₀−T_x)(D₀−T_y)) and gamma = (C−D)/(C+D) are flat
+    doubles rounded @6, NULL when their denominators degenerate (a
+    constant axis / no untied pair).
+
+    Misuse guard: the cell-pair census is quadratic in #cells, so a
+    continuous column would silently degenerate to an n²-cell
+    broadcast NLJ — ``max_cells`` (default 4096) counts the cells
+    up-front (one bounded job at plan-construction time) and raises
+    past the cap; pass ``max_cells=None`` to skip the eager check
+    when the domain is known-bounded and the extra scan matters.
 
     Output: 1 row (n, n_concordant, n_discordant, ties_x, ties_y,
     ties_xy, tau_b_r6, gamma_r6)."""
@@ -2629,6 +2642,16 @@ def kendall_tau_b_cells(
     cells = base.groupBy("__x", "__y").agg(
         F.count("*").cast("long").alias("__c")
     )
+    if max_cells is not None:
+        n_cells = cells.limit(max_cells + 1).count()
+        if n_cells > max_cells:
+            raise ValueError(
+                f"kendall_tau_b_cells: >{max_cells} distinct value-pair "
+                "cells — the cell-pair census is quadratic in #cells, so "
+                "a continuous axis degenerates to an n²-cell broadcast "
+                "NLJ. Pre-quantize the axis (key_skew_report is the "
+                "pre-check) or raise max_cells explicitly."
+            )
     a = cells.select(
         F.col("__x").alias("__xa"), F.col("__y").alias("__ya"),
         F.col("__c").alias("__ca"),
@@ -2645,29 +2668,32 @@ def kendall_tau_b_cells(
         (F.col("__xa") < F.col("__xb"))
         | ((F.col("__xa") == F.col("__xb")) & (F.col("__ya") < F.col("__yb"))),
     )
+    # DECIMAL(38,0) sums throughout (the brunner_munzel remedy): every
+    # term below is an n² product, BIGINT-unsafe past ~3e9 rows
+    dec = "decimal(38,0)"
     cd = pairs.agg(
         F.sum(
             F.when(
                 (F.col("__xa") < F.col("__xb")) & (F.col("__ya") < F.col("__yb")),
-                F.col("__ca") * F.col("__cb"),
-            ).otherwise(F.lit(0))
-        ).cast("long").alias("__C"),
+                F.col("__ca").cast(dec) * F.col("__cb"),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("__C"),
         F.sum(
             F.when(
                 (F.col("__xa") < F.col("__xb")) & (F.col("__ya") > F.col("__yb")),
-                F.col("__ca") * F.col("__cb"),
-            ).otherwise(F.lit(0))
-        ).cast("long").alias("__D"),
+                F.col("__ca").cast(dec) * F.col("__cb"),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("__D"),
     )
     tx = base.groupBy("__x").agg(F.count("*").cast("long").alias("__t")).agg(
         F.sum("__t").cast("long").alias("__n"),
-        F.sum(F.col("__t") * (F.col("__t") - 1)).cast("long").alias("__tx2"),
+        F.sum(F.col("__t").cast(dec) * (F.col("__t") - 1)).alias("__tx2"),
     )
     ty = base.groupBy("__y").agg(F.count("*").cast("long").alias("__t")).agg(
-        F.sum(F.col("__t") * (F.col("__t") - 1)).cast("long").alias("__ty2"),
+        F.sum(F.col("__t").cast(dec) * (F.col("__t") - 1)).alias("__ty2"),
     )
     txy = cells.agg(
-        F.sum(F.col("__c") * (F.col("__c") - 1)).cast("long").alias("__txy2"),
+        F.sum(F.col("__c").cast(dec) * (F.col("__c") - 1)).alias("__txy2"),
     )
     return (
         cd.crossJoin(F.broadcast(tx))
@@ -2675,22 +2701,31 @@ def kendall_tau_b_cells(
         .crossJoin(F.broadcast(txy))
         .selectExpr(
             # empty input pins to the all-zero row (brunner_munzel
-            # empty-contract precedent)
+            # empty-contract precedent); count columns cast back to
+            # BIGINT for the reported schema — the statistics below
+            # stay on the DECIMAL(38,0) path
             "COALESCE(__n, 0) AS n",
-            "COALESCE(__C, 0) AS n_concordant",
-            "COALESCE(__D, 0) AS n_discordant",
+            "CAST(COALESCE(__C, 0) AS BIGINT) AS n_concordant",
+            "CAST(COALESCE(__D, 0) AS BIGINT) AS n_discordant",
             "CAST(COALESCE(__tx2, 0) div 2 AS BIGINT) AS ties_x",
             "CAST(COALESCE(__ty2, 0) div 2 AS BIGINT) AS ties_y",
             "CAST(COALESCE(__txy2, 0) div 2 AS BIGINT) AS ties_xy",
-            "CASE WHEN (__n * (__n - 1)) div 2 - __tx2 div 2 > 0"
-            " AND (__n * (__n - 1)) div 2 - __ty2 div 2 > 0 THEN"
-            " ROUND((CAST(COALESCE(__C, 0) AS DOUBLE) - COALESCE(__D, 0))"
-            "  / SQRT(CAST((__n * (__n - 1)) div 2 - __tx2 div 2 AS DOUBLE)"
-            "         * CAST((__n * (__n - 1)) div 2 - __ty2 div 2"
-            "                AS DOUBLE)), 6) END AS tau_b_r6",
+            # D0 - T_x = (n(n-1) - Σt(t-1)) / 2 computed in
+            # DECIMAL(38,0): both terms even, the half exact; the
+            # double conversion happens once at the SQRT boundary
+            "CASE WHEN CAST(__n AS DECIMAL(38,0)) * (__n - 1)"
+            "          - COALESCE(__tx2, 0) > 0"
+            " AND CAST(__n AS DECIMAL(38,0)) * (__n - 1)"
+            "          - COALESCE(__ty2, 0) > 0 THEN"
+            " ROUND(CAST(COALESCE(__C, 0) - COALESCE(__D, 0) AS DOUBLE)"
+            "  / SQRT(CAST(CAST(__n AS DECIMAL(38,0)) * (__n - 1)"
+            "              - COALESCE(__tx2, 0) AS DOUBLE) / 2"
+            "         * (CAST(CAST(__n AS DECIMAL(38,0)) * (__n - 1)"
+            "                 - COALESCE(__ty2, 0) AS DOUBLE) / 2)), 6)"
+            " END AS tau_b_r6",
             "CASE WHEN COALESCE(__C, 0) + COALESCE(__D, 0) > 0 THEN"
-            " ROUND((CAST(COALESCE(__C, 0) AS DOUBLE) - COALESCE(__D, 0))"
-            "  / (CAST(COALESCE(__C, 0) AS DOUBLE) + COALESCE(__D, 0)), 6)"
+            " ROUND(CAST(COALESCE(__C, 0) - COALESCE(__D, 0) AS DOUBLE)"
+            "  / CAST(COALESCE(__C, 0) + COALESCE(__D, 0) AS DOUBLE), 6)"
             " END AS gamma_r6",
         )
     )

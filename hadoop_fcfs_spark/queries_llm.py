@@ -6022,3 +6022,140 @@ def ttr_curve_auc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split("text", r"\s+")).alias("rpos", "w"),
     ).filter(F.col("w") != "")
     return ttr_curve_auc(toks, "doc_id", "rpos", "w")
+
+
+@register(
+    "tokenizer_fertility_lang",
+    oracle="""
+    WITH per AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             w -> w <> '')) AS w,
+             len(regexp_extract_all(text,
+                 '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS t,
+             LENGTH(text) AS c
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           CAST(SUM(w) AS BIGINT) AS n_words,
+           CAST(SUM(t) AS BIGINT) AS n_tokens,
+           CASE WHEN SUM(w) > 0 THEN
+             CAST((1000000 * CAST(SUM(t) AS HUGEINT))
+                  // CAST(SUM(w) AS HUGEINT) AS BIGINT)
+           END AS fertility_e6,
+           CASE WHEN SUM(t) > 0 THEN
+             CAST((1000000 * CAST(SUM(c) AS HUGEINT))
+                  // CAST(SUM(t) AS HUGEINT) AS BIGINT)
+           END AS chars_per_token_e6
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+    doc="Tokenizer fertility per language (llm.textan."
+    "tokenizer_fertility): BPE-ish pre-tokens per whitespace word and "
+    "chars per pre-token by lang - the per-language cost columns a "
+    "multilingual pretraining mix report reads next to "
+    "token_budget_mix (high fertility = more context budget per word; "
+    "chars/token = tokenizer compression-rate sanity). Shares "
+    "BPE_PATTERN with the token_counts gate; one scan, per-row array "
+    "sizes (no explode), map-side-combined groupBy on the bounded "
+    "lang grain; exact BIGINT sums, e6 ratios via DECIMAL(38,0) "
+    "numerators (1e6*n_tokens is BIGINT-unsafe at corpus scale), "
+    "NULL on empty denominators.",
+)
+def tokenizer_fertility_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.textan import tokenizer_fertility
+
+    return tokenizer_fertility(t(spark, sf_dir, "documents"), "lang", "text")
+
+
+@register(
+    "ann_ivf_recall_curve",
+    oracle="""
+    WITH corpus AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 10),
+    pairs AS (
+      SELECT query_id, e.vec_id,
+             ROUND(list_dot_product(qv, e.v) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(e.v, e.v))), 4) + 0.0 AS cos
+      FROM q CROSS JOIN corpus e WHERE query_id <> e.vec_id
+    ),
+    exact AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS rank
+        FROM pairs) WHERE rank <= 10
+    ),
+    cents AS MATERIALIZED (
+      SELECT vec_id AS cid, v AS cv FROM corpus WHERE vec_id < 16
+    ),
+    assign AS MATERIALIZED (
+      SELECT vec_id, v, cid AS cell FROM (
+        SELECT c.vec_id, c.v, ct.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                  ORDER BY list_distance(c.v, ct.cv), ct.cid) AS rn
+        FROM corpus c CROSS JOIN cents ct) WHERE rn = 1
+    ),
+    probes AS MATERIALIZED (
+      SELECT query_id, qv, cid AS cell, rn AS cell_rank FROM (
+        SELECT qq.query_id, qq.qv, ct.cid,
+               ROW_NUMBER() OVER (PARTITION BY qq.query_id
+                                  ORDER BY list_distance(qq.qv, ct.cv), ct.cid) AS rn
+        FROM q qq CROSS JOIN cents ct) WHERE rn <= 8
+    ),
+    sweep AS (SELECT * FROM (VALUES (1), (2), (4), (8)) s(np)),
+    ipairs AS (
+      SELECT s.np, p.query_id, a.vec_id,
+             ROUND(list_dot_product(p.qv, a.v) /
+                   (sqrt(list_dot_product(p.qv, p.qv)) *
+                    sqrt(list_dot_product(a.v, a.v))), 4) + 0.0 AS cos
+      FROM probes p JOIN sweep s ON p.cell_rank <= s.np
+      JOIN assign a USING (cell)
+      WHERE p.query_id <> a.vec_id
+    ),
+    ivf AS MATERIALIZED (
+      SELECT np, query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY np, query_id
+                                     ORDER BY cos DESC, vec_id) AS rank
+        FROM ipairs) WHERE rank <= 10
+    )
+    SELECT CAST(s.np AS BIGINT) AS n_probe,
+           CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+           (1000000 * CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0
+                                    END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+             AS recall_e6
+    FROM sweep s CROSS JOIN exact e
+    LEFT JOIN ivf i
+      ON i.np = s.np AND i.query_id = e.query_id AND i.vec_id = e.vec_id
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="IVF recall@10 vs n_probe curve (llm.similarity."
+    "ivf_recall_sweep): pooled recall against the exact brute-force "
+    "ranking at n_probe in {1,2,4,8} - the operating-point picker "
+    "that turns ann_ivf_recall's single spot-check into the tuning "
+    "curve an ANN deployment reads ('how many cells for 95% "
+    "recall'). Candidate pairs generated ONCE at max n_probe with "
+    "their cell's probe rank; the sweep filters cell_rank <= np and "
+    "re-ranks per (np, query) - nested candidate sets, no extra "
+    "corpus work per point. Same fixed 16-centroid quantizer, "
+    "@4-rounded cosine and vec_id tiebreak as the ANN tier; exact "
+    "BIGINT hit counts, integer-division recall_e6.",
+)
+def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import ivf_recall_sweep
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    return ivf_recall_sweep(
+        emb, queries, k=10, probes=(1, 2, 4, 8), centroids=cents
+    )

@@ -4227,3 +4227,72 @@ def rbo_stability_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
     )
     return rbo_topk_by_period(m, "p", "l_partkey", "qty")
+
+
+@register(
+    "cdc_net_changes_users",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op,
+             CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM log
+    ),
+    fl AS (
+      SELECT user_id,
+             MAX(CASE WHEN rn = 1 THEN op END) AS first_op,
+             MAX(CASE WHEN rn = n THEN op END) AS last_op,
+             MAX(CASE WHEN rn = n THEN value_cents END) AS lv,
+             CAST(MAX(n) AS BIGINT) AS n_changes,
+             MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      FROM ranked GROUP BY 1
+    )
+    SELECT user_id,
+           CASE WHEN first_op = 'I' THEN 'I'
+                WHEN last_op = 'D' THEN 'D'
+                ELSE 'U' END AS net_op,
+           n_changes, first_ts, last_ts,
+           CASE WHEN last_op = 'D' THEN NULL ELSE lv END
+             AS last_value_cents
+    FROM fl
+    WHERE NOT (first_op = 'I' AND last_op = 'D')
+    ORDER BY user_id
+    """,
+    doc="Minimal-changelog compaction (ops.cdc.cdc_net_changes, the "
+    "Debezium/changefeed/Delta-CDF shape): each user's I/U/D event "
+    "history collapses to its NET effect - I+...+D vanishes, "
+    "I+...+U nets to one insert, U/D-led histories net to one "
+    "update/delete carrying the LAST value - the one-row-per-key "
+    "changeset equal to replaying the full log against the opening "
+    "snapshot; fourth CDC leg beside scd2_from_changes / "
+    "apply_changeset / snapshot_diff. ONE map-side-combinable "
+    "groupBy: first/last via min_by/max_by over the (ts, event_id) "
+    "struct order - no window, no per-key sort; ops mapped "
+    "signup->I, error->D, else U; exact FLOOR-cents value; unknown "
+    "ops fail loudly.",
+)
+def cdc_net_changes_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.ops.cdc import cdc_net_changes
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return cdc_net_changes(
+        ev, "user_id", "ts", "op", ["value_cents"], tiebreak="event_id"
+    ).orderBy("user_id")

@@ -516,3 +516,70 @@ def stream_runs_monitor(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_benford_monitor(
+    stream_df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    v_col: str,
+):
+    """Live Benford first-digit census — the eighth live-engine
+    bridge. It passes the boundary test the runs/durbin_watson pair
+    documents: the state is FIXED-WIDTH (nine longs, one per first
+    digit) and the reference distribution log10(1+1/d) is a CONSTANT,
+    not a stream-estimated parameter, so no emitted term is ever
+    retroactive — the census at every point equals the batch
+    ``benford_price_audit`` digit counts over exactly that prefix,
+    integer-exactly.
+
+    Semantics mirror the batch gate: digit = first character of
+    CAST(FLOOR(v) AS BIGINT) as a string; rows with v < 1 (or
+    NULL/non-finite) are dropped exactly as the batch ``>= 1`` filter
+    drops them — counted in nothing. The chi-squared screen stays a
+    flat consumer expression off the exact census (the runs-z
+    convention: the bridge contract is all-integer; the float is one
+    deterministic expression away).
+
+    Input rows are the GRAIN (one row per key per index) in per-key
+    index order across micro-batches; rows sort by index within each
+    batch. Emits (key, idx, digit, d1..d9, n_total); outputMode
+    'append'."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import math
+
+        counts = list(state.get) if state.exists else [0] * 9
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(i), None if v is None else float(v))
+                for i, v in zip(pdf[idx_col], pdf[v_col])
+            )
+        out = []
+        for i, v in sorted(rows, key=lambda r: r[0]):
+            if v is None or not math.isfinite(v) or v < 1:
+                continue  # the batch gate's >= 1 filter, mirrored
+            digit = int(str(int(math.floor(v)))[0])
+            counts[digit - 1] += 1
+            out.append({
+                key_col: key[0], idx_col: i, "digit": digit,
+                **{f"d{d}": counts[d - 1] for d in range(1, 10)},
+                "n_total": sum(counts),
+            })
+        if rows:
+            state.update(tuple(counts))
+        if out:
+            yield pd.DataFrame(out)
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} string, {idx_col} long, digit int, "
+            + ", ".join(f"d{d} long" for d in range(1, 10))
+            + ", n_total long"
+        ),
+        stateStructType=", ".join(f"d{d} long" for d in range(1, 10)),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

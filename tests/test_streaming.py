@@ -1575,3 +1575,82 @@ def test_stream_runs_monitor_matches_batch_exactly(spark, tmp_path):
         assert (r["side"], r["n_pos"], r["n_neg"], r["n_zero"],
                 r["n_runs"]) == (side, np_, nn, nz, nr), d
         assert r["z_num"] == nr * m - 2 * np_ * nn - m, d
+
+
+def test_stream_benford_monitor_matches_batch_exactly(spark, tmp_path):
+    """stream_benford_monitor bridge (r13, eighth live bridge): the
+    live nine-long census must (a) equal the batch
+    benford_price_audit digit counts EXACTLY on the full series at
+    the final point — integer columns, no tolerance — across a
+    micro-batch split (so the fixed-width state is load-bearing),
+    (b) match a pure sequential replay at EVERY point, and (c) drop
+    sub-1 / NULL values exactly as the batch >= 1 filter does."""
+    import math
+    import random
+
+    from hadoop_fcfs_spark.streaming.stateful import stream_benford_monitor
+
+    rng = random.Random(61)
+    vals = [round(math.exp(rng.uniform(0, 11)), 2) for _ in range(160)]
+    rows = [("s", i, v) for i, v in enumerate(vals)]
+    # sub-1 and NULL values mid-stream must be filtered, not counted
+    rows.insert(30, ("s", 1000, 0.37))
+    rows.insert(60, ("s", 1001, None))
+
+    # batch twin: the benford_price_audit digit extraction verbatim
+    batch_df = spark.createDataFrame(
+        [(v,) for v in vals], "v double"
+    ).filter(F.col("v") >= 1)
+    digit = F.substring(
+        F.floor(F.col("v")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    batch_counts = {
+        r["digit"]: r["n"]
+        for r in batch_df.groupBy(digit.alias("digit"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+
+    src = str(tmp_path / "benford_src")
+
+    def write(chunk):
+        spark.createDataFrame(
+            chunk, "k string, i long, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    split = len(rows) // 2
+    write(rows[:split])
+    stream = spark.readStream.schema("k string, i long, v double").parquet(src)
+    mon = stream_benford_monitor(stream, "k", "i", "v")
+    q = (
+        mon.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("benford_mon")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(rows[split:])
+        q.processAllAvailable()
+        live = {
+            r["i"]: r for r in spark.sql("SELECT * FROM benford_mon").collect()
+        }
+    finally:
+        q.stop()
+
+    assert 1000 not in live and 1001 not in live  # filtered, not counted
+    assert sorted(live) == list(range(len(vals)))
+    # (a) final census == batch digit counts, integer-exact
+    last = live[len(vals) - 1]
+    for d in range(1, 10):
+        assert last[f"d{d}"] == batch_counts.get(d, 0), d
+    assert last["n_total"] == sum(batch_counts.values())
+    # (b) every point matches the sequential replay
+    counts = [0] * 9
+    for i, v in enumerate(vals):
+        dg = int(str(int(math.floor(v)))[0])
+        counts[dg - 1] += 1
+        r = live[i]
+        assert r["digit"] == dg, i
+        assert [r[f"d{d}"] for d in range(1, 10)] == counts, i
+        assert r["n_total"] == sum(counts), i
