@@ -1856,3 +1856,45 @@ def test_theil_u_contingency_broadcast_scalars_only(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
     release_waypoints()
+
+
+def test_tokenizer_fertility_one_scan_no_explode(spark):
+    """tokenizer_fertility_lang (r13): per-row array SIZES only — no
+    explode (Generate), no join of any kind, ONE map-side-combined
+    hash aggregation to the bounded lang grain plus the output range
+    sort; two exchanges total."""
+    plan = _plan(Q["tokenizer_fertility_lang"].spark_fn(spark, SF_ORACLE))
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert "Generate" not in plan, "fertility must count arrays, not explode"
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan, j
+    assert plan.count("Exchange") == 2, plan.count("Exchange")
+
+
+def test_ann_ivf_recall_curve_broadcast_cells_no_cartesian(spark):
+    """ann_ivf_recall_curve (r13): the candidate pass joins corpus
+    cells to BROADCAST probed queries (equi-join on cell, forced) and
+    the sweep is an explode over already-bounded candidates — the
+    nested-set design means no cartesian product anywhere, and the
+    only nested-loop join is the 1-row totals cross (the scalar-cross
+    convention)."""
+    plan = _plan(Q["ann_ivf_recall_curve"].spark_fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan  # cells x broadcast probes
+    assert "Generate" in plan           # probe + sweep explodes
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan             # per-(np, query) top-k
+
+
+def test_cdc_net_changes_single_combined_agg_no_window(spark):
+    """cdc_net_changes_users (r13): first/last ops and carried values
+    are min_by/max_by over the (ts, tiebreak) struct order in ONE
+    map-side-combined aggregation — no window function, no per-key
+    sort, no join; two exchanges (the groupBy + the output sort)."""
+    plan = _plan(Q["cdc_net_changes_users"].spark_fn(spark, SF_ORACLE))
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    assert "Window" not in plan, "net compaction must not need a window"
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan, j
+    assert plan.count("Exchange") == 2, plan.count("Exchange")

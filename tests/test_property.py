@@ -1793,3 +1793,210 @@ def test_r12_ops_empty_input_contracts(spark):
     assert (r["n"], r["n_x"], r["n_y"]) == (0, 0, 0)
     assert r["hx_e6"] is None and r["hy_e6"] is None and r["hxy_e6"] is None
     assert r["theil_u_yx_e6"] is None and r["theil_u_xy_e6"] is None
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "zh"]),
+            st.text(
+                alphabet="ab1 .!\t",
+                min_size=0,
+                max_size=30,
+            ),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_tokenizer_fertility_matches_python_property(spark, docs):
+    """tokenizer_fertility (r13) vs a pure-Python replay of both
+    tokenizers per language: exact sums, floor-e6 ratios, NULL on
+    empty denominators, empty input -> zero rows."""
+    import re
+
+    from hadoop_fcfs_spark.llm.textan import tokenizer_fertility
+
+    df = spark.createDataFrame(docs, "lang string, text string")
+    got = {r["lang"]: r for r in tokenizer_fertility(df, "lang", "text").collect()}
+
+    want = {}
+    for lang, text in docs:
+        w = len([x for x in re.split(r"\s+", text) if x != ""])
+        tk = len(re.findall(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]", text))
+        c = len(text)
+        d = want.setdefault(lang, [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += c
+        d[2] += w
+        d[3] += tk
+    assert sorted(got) == sorted(want)
+    for lang, (nd, nc, nw, nt) in want.items():
+        r = got[lang]
+        assert (r["n_docs"], r["n_chars"], r["n_words"], r["n_tokens"]) == (
+            nd, nc, nw, nt)
+        assert r["fertility_e6"] == (
+            1_000_000 * nt // nw if nw > 0 else None)
+        assert r["chars_per_token_e6"] == (
+            1_000_000 * nc // nt if nt > 0 else None)
+
+
+@given(
+    seqs=st.dictionaries(
+        st.integers(0, 5),
+        st.lists(
+            st.tuples(st.sampled_from("IUD"), st.integers(-100, 100)),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_cdc_net_changes_equals_sequential_replay_property(spark, seqs):
+    """cdc_net_changes (r13): applying the NET changeset to the
+    window's opening snapshot must land the same final state as
+    replaying the full log row-by-row — for ANY per-key I/U/D
+    history (keys whose first op is I start absent; U/D-led keys
+    start present, the consistency contract of a CDC log)."""
+    from hadoop_fcfs_spark.ops.cdc import cdc_net_changes
+
+    log = [
+        (k, i, op, v)
+        for k, ops in seqs.items()
+        for i, (op, v) in enumerate(ops)
+    ]
+    # opening snapshot consistent with the log
+    snap = {k: -999 for k, ops in seqs.items() if ops[0][0] != "I"}
+
+    # ground truth: sequential replay
+    replay = dict(snap)
+    for k, ops in seqs.items():
+        for op, v in ops:
+            if op == "D":
+                replay.pop(k, None)
+            else:
+                replay[k] = v
+
+    if not log:
+        df = spark.createDataFrame([], "k long, ts long, op string, v long")
+    else:
+        df = spark.createDataFrame(log, "k long, ts long, op string, v long")
+    net = cdc_net_changes(df, "k", "ts", "op", ["v"], tiebreak="ts").collect()
+    assert len(net) == len({r["k"] for r in net})  # one row per key
+
+    applied = dict(snap)
+    for r in net:
+        if r["net_op"] == "D":
+            assert r["last_v"] is None
+            applied.pop(r["k"], None)
+        else:
+            applied[r["k"]] = r["last_v"]
+    assert applied == replay
+    # net rule spot-checks: I..D keys vanish from the changeset
+    for k, ops in seqs.items():
+        if ops[0][0] == "I" and ops[-1][0] == "D":
+            assert all(r["k"] != k for r in net)
+    for r in net:
+        ops = seqs[r["k"]]
+        assert r["n_changes"] == len(ops)
+        assert r["first_ts"] == 0 and r["last_ts"] == len(ops) - 1
+
+
+def test_cdc_net_changes_unknown_op_fails_loudly(spark):
+    """cdc_net_changes (r13): an op outside I/U/D raises up front (the
+    apply_changeset guard) instead of silently dropping rows."""
+    import pytest
+
+    from hadoop_fcfs_spark.ops.cdc import cdc_net_changes
+
+    df = spark.createDataFrame(
+        [(1, 0, "I", 5), (1, 1, "X", 6)], "k long, ts long, op string, v long"
+    )
+    with pytest.raises(ValueError, match="unknown ops in CDC log"):
+        cdc_net_changes(df, "k", "ts", "op", ["v"], tiebreak="ts")
+
+
+def test_kendall_tau_cells_max_cells_guard(spark):
+    """kendall_tau_b_cells (r13, r12-verdict advisory #1): a
+    continuous-looking column must fail LOUDLY past max_cells instead
+    of silently degenerating to an n²-cell broadcast NLJ; max_cells=None
+    skips the eager check."""
+    import pytest
+
+    from hadoop_fcfs_spark.ops.stats import kendall_tau_b_cells
+
+    rows = [(i, i % 7) for i in range(40)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    with pytest.raises(ValueError, match="quadratic in #cells"):
+        kendall_tau_b_cells(df, "x", "y", max_cells=10)
+    # None skips the guard; the small census still computes exactly
+    [r] = kendall_tau_b_cells(df, "x", "y", max_cells=None).collect()
+    assert r["n"] == 40
+
+
+def test_ivf_recall_sweep_matches_python_replay(spark):
+    """ivf_recall_sweep (r13) vs an independent pure-Python replay of
+    the ENTIRE pipeline (assignment argmin, probe ranking, nested
+    candidate sets, @4-rounded cosine + id tiebreak top-k, pooled
+    recall) on a seeded vector set — plus the nestedness corollary:
+    pooled hits are nondecreasing in n_probe."""
+    import math
+    import random
+
+    from hadoop_fcfs_spark.llm.similarity import ivf_recall_sweep
+
+    rng = random.Random(13)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(60)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    queries = df.filter("vec_id < 5")
+    cents = [vecs[i] for i in range(6)]
+    k, probes = 4, (1, 2, 3, 6)
+    got = {
+        r["n_probe"]: r
+        for r in ivf_recall_sweep(
+            df, queries, k=k, probes=probes, centroids=cents
+        ).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(x * x for x in b))
+        return round(num / den, 4) + 0.0
+
+    def sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    assign = {
+        i: min(range(len(cents)), key=lambda c: (sqd(v, cents[c]), c))
+        for i, v in vecs.items()
+    }
+    exact = {}
+    for q in range(5):
+        ranked = sorted(
+            ((-cos(vecs[q], vecs[i]), i) for i in vecs if i != q)
+        )[:k]
+        exact[q] = {i for _, i in ranked}
+    prev_hits = -1
+    for np_ in probes:
+        hits = 0
+        for q in range(5):
+            cells = sorted(
+                range(len(cents)), key=lambda c: (sqd(vecs[q], cents[c]), c)
+            )[:np_]
+            cand = [i for i in vecs if i != q and assign[i] in cells]
+            approx = {
+                i for _, i in sorted(((-cos(vecs[q], vecs[i]), i) for i in cand))[:k]
+            }
+            hits += len(approx & exact[q])
+        r = got[np_]
+        n_exact = sum(len(exact[q]) for q in range(5))
+        assert (r["n_queries"], r["n_exact"], r["n_hits"]) == (5, n_exact, hits)
+        assert r["recall_e6"] == 1_000_000 * hits // n_exact
+        assert hits >= prev_hits  # nested candidate sets
+        prev_hits = hits
