@@ -4366,3 +4366,109 @@ def test_doc_lz_complexity_spark_plumbing(spark):
     [r] = doc_lz_complexity(big, "doc_id", "text", max_tokens=10).collect()
     assert r["n_tokens"] == 50
     assert r["lz_phrases"] is None and r["lz_ratio_e6"] is None
+
+
+def test_mp3_crc_protected_tag_frame_excluded():
+    """r13 ADVICE fix: when the frame header's protection bit signals
+    a CRC (h1 & 1 == 0), a 16-bit CRC sits between the header and the
+    Layer III side info, so the Xing/Info tag lives at 4+2+side — a
+    CRC-protected LAME Info frame must still be excluded from
+    n_frames/duration/the CBR-VBR spread."""
+    from hadoop_fcfs_spark.llm.multimodal import _mp3_structure
+
+    V1L3 = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+    def frame(br_idx, protected=False):
+        kbps = V1L3[br_idx - 1]
+        flen = 144 * kbps * 1000 // 44100
+        h = bytes([
+            0xFF, 0xE0 | (3 << 3) | (1 << 1) | (0 if protected else 1),
+            (br_idx << 4) | (0 << 2) | (0 << 1),
+            3 << 6,
+        ])
+        return h + b"\x00" * (flen - 4)
+
+    cbr = b"".join(frame(9) for _ in range(10))
+
+    # CRC-protected Info frame at a DIFFERENT bitrate index: the tag
+    # sits at 4 + 2(CRC) + 17(side, MPEG1 mono)
+    info = bytearray(frame(5, protected=True))
+    info[4 + 2 + 17 : 4 + 2 + 21] = b"Info"
+    s = _mp3_structure(bytes(info) + cbr)
+    assert s["n_frames"] == 10 and not s["vbr"]
+    assert s["duration_ms"] == 10 * 1152 * 1000 // 44100
+
+    # the same bytes WITHOUT the protection bit put 'Info' mid-payload,
+    # not at the tag offset — the frame is audio and the stream is VBR
+    notag = bytearray(frame(5))
+    notag[4 + 2 + 17 : 4 + 2 + 21] = b"Info"
+    s = _mp3_structure(bytes(notag) + cbr)
+    assert s["n_frames"] == 11 and s["vbr"]
+
+    # a CRC-protected PLAIN audio frame still counts normally
+    s = _mp3_structure(frame(9, protected=True) + cbr)
+    assert s["n_frames"] == 11 and not s["vbr"]
+
+
+def test_zip_trailing_bytes_after_eocd_fallback():
+    """r13 ADVICE fix: ZIPs with trailing bytes after the EOCD
+    (appended signatures, SFX padding) have no exact comment_len
+    match; the walk must fall back to the last structurally-plausible
+    candidate instead of quarantining, while hostile candidates whose
+    comment or directory overruns stay rejected."""
+    import io
+    import zipfile
+
+    import pytest as _pytest
+
+    from hadoop_fcfs_spark.llm.multimodal import _zip_structure
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("a.txt", b"alpha" * 40)
+        z.writestr("b.bin", b"\x00" * 100)
+    clean = buf.getvalue()
+    assert _zip_structure(clean)["n_entries"] == 2
+
+    # trailing signature bytes after the EOCD: previously parsed via
+    # rfind, must keep parsing via the structural fallback
+    signed = clean + b"SIGNATURE-BLOCK" * 3
+    s = _zip_structure(signed)
+    assert s["n_entries"] == 2
+    assert s["total_uncompressed"] == 5 * 40 + 100
+
+    # a stored member containing a fake EOCD magic + trailing bytes:
+    # the fallback must still pick the REAL record (directory-offset
+    # plausibility kills the decoy, which points nowhere sane)
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("decoy", b"PK\x05\x06" + b"\xff" * 18)
+        z.writestr("c.txt", b"gamma")
+    s = _zip_structure(buf2.getvalue() + b"tail-bytes")
+    assert s["n_entries"] == 2
+
+    # garbage alone still quarantines
+    with _pytest.raises(ValueError, match="end-of-central-directory"):
+        _zip_structure(b"no zip here" * 10)
+
+
+def test_doc_lz_complexity_preserves_id_dtype(spark):
+    """r13 ADVICE fix: doc_lz_complexity derives the id field's type
+    from the input schema — string and int doc ids round-trip instead
+    of silently Arrow-casting to long (or failing)."""
+    from hadoop_fcfs_spark.llm.textan import doc_lz_complexity
+
+    sdf = spark.createDataFrame(
+        [("doc-a", "x y x y x y"), ("doc-b", "")],
+        "doc string, text string",
+    )
+    out = doc_lz_complexity(sdf, "doc", "text")
+    assert dict(out.dtypes)["doc"] == "string"
+    rows = {r["doc"]: r for r in out.collect()}
+    assert rows["doc-a"]["n_tokens"] == 6
+    assert rows["doc-b"] == ("doc-b", 0, 0, None)
+
+    idf = spark.createDataFrame([(7, "a b a b")], "doc int, text string")
+    out = doc_lz_complexity(idf, "doc", "text")
+    assert dict(out.dtypes)["doc"] == "int"
+    assert out.collect()[0]["doc"] == 7
