@@ -2705,11 +2705,11 @@ def kendall_tau_b_cells(
             # BIGINT for the reported schema — the statistics below
             # stay on the DECIMAL(38,0) path
             "COALESCE(__n, 0) AS n",
-            "CAST(COALESCE(__C, 0) AS BIGINT) AS n_concordant",
-            "CAST(COALESCE(__D, 0) AS BIGINT) AS n_discordant",
-            "CAST(COALESCE(__tx2, 0) div 2 AS BIGINT) AS ties_x",
-            "CAST(COALESCE(__ty2, 0) div 2 AS BIGINT) AS ties_y",
-            "CAST(COALESCE(__txy2, 0) div 2 AS BIGINT) AS ties_xy",
+            "TRY_CAST(COALESCE(__C, 0) AS BIGINT) AS n_concordant",
+            "TRY_CAST(COALESCE(__D, 0) AS BIGINT) AS n_discordant",
+            "TRY_CAST(COALESCE(__tx2, 0) / 2 AS BIGINT) AS ties_x",
+            "TRY_CAST(COALESCE(__ty2, 0) / 2 AS BIGINT) AS ties_y",
+            "TRY_CAST(COALESCE(__txy2, 0) / 2 AS BIGINT) AS ties_xy",
             # D0 - T_x = (n(n-1) - Σt(t-1)) / 2 computed in
             # DECIMAL(38,0): both terms even, the half exact; the
             # double conversion happens once at the SQRT boundary
