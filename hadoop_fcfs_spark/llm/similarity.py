@@ -396,7 +396,10 @@ def ivf_recall_sweep(
     both rankings (the ann_ivf_recall contract).
 
     Output, ordered: (n_probe, n_queries, n_exact, n_hits,
-    recall_e6) — recall pooled over queries (micro-average)."""
+    recall_e6) — recall pooled over queries (micro-average);
+    n_queries counts queries WITH exact neighbors (the denominator
+    population), and recall_e6 is NULL when that set is empty (no
+    evidence, not 0)."""
     cents = centroids if centroids is not None else kmeans_centroids(
         corpus, n_centroids, id_col=id_col, vec_col=vec_col
     )
@@ -487,7 +490,10 @@ def ivf_recall_sweep(
             "n_queries",
             "n_exact",
             "CAST(COALESCE(__h, 0) AS BIGINT) AS n_hits",
-            "(1000000 * COALESCE(__h, 0)) div n_exact AS recall_e6",
+            # NULL recall on an empty exact set (no evidence, not 0) —
+            # ANSI div would otherwise throw on the zero denominator
+            "CASE WHEN n_exact > 0 THEN"
+            " (1000000 * COALESCE(__h, 0)) div n_exact END AS recall_e6",
         )
         .orderBy("n_probe")
     )

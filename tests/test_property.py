@@ -2000,3 +2000,24 @@ def test_ivf_recall_sweep_matches_python_replay(spark):
         assert r["recall_e6"] == 1_000_000 * hits // n_exact
         assert hits >= prev_hits  # nested candidate sets
         prev_hits = hits
+
+
+def test_ivf_recall_sweep_degenerate_contracts(spark):
+    """ivf_recall_sweep (r13) empty-denominator contract: a corpus
+    where the query has NO exact neighbors (single vector — self
+    excluded) pins n_queries=0 (only queries WITH exact neighbors
+    populate the pooled denominator), n_exact=0, n_hits=0,
+    recall_e6=NULL per sweep row (no evidence, not 0 — and no ANSI
+    division-by-zero); the curve still emits one row per n_probe."""
+    from hadoop_fcfs_spark.llm.similarity import ivf_recall_sweep
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows = ivf_recall_sweep(
+        df, df, k=3, probes=(1, 2), centroids=[[1.0, 0.0], [0.0, 1.0]]
+    ).collect()
+    assert [r["n_probe"] for r in rows] == [1, 2]
+    for r in rows:
+        assert (r["n_queries"], r["n_exact"], r["n_hits"]) == (0, 0, 0)
+        assert r["recall_e6"] is None
