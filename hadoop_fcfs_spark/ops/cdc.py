@@ -211,7 +211,11 @@ def cdc_net_changes(
     partial aggregation halves the shuffle before it happens (the
     combiner discipline, SURVEY §2.4). Unknown ops fail loudly up
     front (the apply_changeset guard — a silent drop is how changelog
-    compaction corrupts downstream merges).
+    compaction corrupts downstream merges). Determinism contract: the
+    (ts, tiebreak) order must be TOTAL per key — under duplicate
+    order keys min_by/max_by pick an arbitrary row (the same
+    same-ts-race rule apply_changeset documents); pass a unique
+    tiebreak (change-log sequence number) as CDC feeds provide.
 
     Output: key, net_op, n_changes, first_ts, last_ts, last_<value>
     per value column (NULL on net deletes)."""

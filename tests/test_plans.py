@@ -596,6 +596,7 @@ def test_no_unallowed_driver_collects_static_sweep():
         ("llm/similarity.py", "pc_projection_outliers"),  # d direction components (kmeans-centroid class)
         ("queries_llm.py", "ann_ivf_topk"),          # 16 fixture quantizer vectors
         ("queries_llm.py", "ann_ivf_recall"),        # 16 fixture quantizer vectors
+        ("queries_llm.py", "ann_ivf_recall_curve"),  # 16 fixture quantizer vectors (r13)
         ("queries_llm.py", "ann_pq_adc_topk"),       # 8 codebook vectors
         ("queries_llm.py", "ann_ivf_pq_topk"),       # 16 cents + 8 codebook vectors
         ("queries_llm.py", "pq_distortion_audit_gate"),  # 8 codebook vectors
