@@ -583,3 +583,101 @@ def stream_benford_monitor(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_cdc_net_monitor(
+    stream_df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    op_col: str,
+    v_col: str,
+):
+    """Live CDC minimal-changelog compaction — the NINTH live bridge,
+    the streaming twin of ``ops.cdc.cdc_net_changes``. It passes the
+    boundary test the runs/durbin_watson pair defines: per-key state
+    is FIXED-WIDTH (first_op fixes once on the key's first row;
+    last_op/last value simply overwrite; three counters advance
+    monotonically) and the net rule is a pure function of
+    (first_op, last_op, last value) — no emitted term is ever
+    retroactive, so the LATEST emitted row per key equals the batch
+    operator's row for that key over exactly that prefix,
+    integer-exactly (or reports net_op='X' exactly when the batch
+    emits NO row — the I..D born-and-deleted case; downstream reads
+    'X' as "drop the key from the changeset", the append-mode
+    encoding of a retracted net row).
+
+    Semantics mirror the batch operator; ONE honest divergence,
+    documented: the batch fn RAISES on an op outside I/U/D (loud
+    up-front audit), but a live query cannot die per malformed row —
+    unknown-op rows quarantine (counted in nothing), the
+    stream_zone_monitor convention. The bridge test pins the valid-op
+    equality AND the quarantine separately.
+
+    Input rows are the GRAIN (one row per key per change index) in
+    per-key index order across micro-batches; rows sort by index
+    within each batch. Emits (key, idx, op, net_op, n_changes,
+    first_idx, last_idx, last_v); outputMode 'append'."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            first_op, last_op, last_v, n_changes, first_idx, last_idx = (
+                state.get
+            )
+        else:
+            first_op, last_op, last_v = "", "", 0
+            n_changes, first_idx, last_idx = 0, 0, 0
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(i), str(op), None if pd.isna(v) else int(v))
+                for i, op, v in zip(pdf[idx_col], pdf[op_col], pdf[v_col])
+            )
+        out = []
+        for i, op, v in sorted(rows, key=lambda r: r[0]):
+            if op not in ("I", "U", "D"):
+                continue  # malformed row — quarantine (batch raises)
+            if n_changes == 0:
+                first_idx = i
+                first_op = op
+            last_op = op
+            last_idx = i
+            if op != "D":
+                last_v = 0 if v is None else v
+            n_changes += 1
+            if first_op == "I" and last_op == "D":
+                net = "X"  # batch emits NO row for this key
+            elif first_op == "I":
+                net = "I"
+            elif last_op == "D":
+                net = "D"
+            else:
+                net = "U"
+            out.append({
+                key_col: key[0], idx_col: i, op_col: op, "net_op": net,
+                "n_changes": n_changes, "first_idx": first_idx,
+                "last_idx": last_idx,
+                # NULL value on net deletes / vanished keys, exactly
+                # like the batch operator's value columns
+                "last_v": None if net in ("D", "X") else last_v,
+            })
+        if rows:
+            state.update(
+                (first_op, last_op, last_v, n_changes, first_idx, last_idx)
+            )
+        if out:
+            yield pd.DataFrame(out)
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} string, {idx_col} long, {op_col} string, "
+            "net_op string, n_changes long, first_idx long, "
+            "last_idx long, last_v long"
+        ),
+        stateStructType=(
+            "first_op string, last_op string, last_v long, "
+            "n_changes long, first_idx long, last_idx long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

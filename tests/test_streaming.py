@@ -1654,3 +1654,111 @@ def test_stream_benford_monitor_matches_batch_exactly(spark, tmp_path):
         assert r["digit"] == dg, i
         assert [r[f"d{d}"] for d in range(1, 10)] == counts, i
         assert r["n_total"] == sum(counts), i
+
+
+def test_stream_cdc_net_monitor_matches_batch_exactly(spark, tmp_path):
+    """stream_cdc_net_monitor bridge (r13, ninth live bridge): the
+    LATEST emitted row per key must equal batch cdc_net_changes on
+    the full log integer-exactly across a micro-batch split — or
+    report net_op='X' exactly for the keys where the batch emits NO
+    row (I..D born-and-deleted) — (a) final-point equality, (b) every
+    point matches a sequential replay of the net rule, (c) unknown
+    ops quarantine (the stream-side contract where batch raises)."""
+    import random
+
+    from hadoop_fcfs_spark.ops.cdc import cdc_net_changes
+    from hadoop_fcfs_spark.streaming.stateful import stream_cdc_net_monitor
+
+    rng = random.Random(67)
+    logs = {}
+    for k in range(12):
+        n = rng.randint(1, 9)
+        logs[f"k{k:02d}"] = [
+            (rng.choice("IUD"), rng.randint(-50, 50)) for _ in range(n)
+        ]
+    rows = [
+        (k, i, op, v)
+        for k, ops in logs.items()
+        for i, (op, v) in enumerate(ops)
+    ]
+    rows.insert(7, ("k00", 999, "Z", 1))  # malformed op mid-stream
+
+    batch_df = spark.createDataFrame(
+        [r for r in rows if r[2] in "IUD"],
+        "k string, ts long, op string, v long",
+    )
+    batch = {
+        r["k"]: r
+        for r in cdc_net_changes(
+            batch_df, "k", "ts", "op", ["v"], tiebreak="ts"
+        ).collect()
+    }
+
+    src = str(tmp_path / "cdc_src")
+
+    def write(chunk):
+        spark.createDataFrame(
+            chunk, "k string, i long, op string, v long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    split = len(rows) // 2
+    write(rows[:split])
+    stream = spark.readStream.schema(
+        "k string, i long, op string, v long"
+    ).parquet(src)
+    mon = stream_cdc_net_monitor(stream, "k", "i", "op", "v")
+    q = (
+        mon.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cdc_mon")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(rows[split:])
+        q.processAllAvailable()
+        live = spark.sql("SELECT * FROM cdc_mon").collect()
+    finally:
+        q.stop()
+
+    assert all(r["i"] != 999 for r in live)  # (c) malformed row quarantined
+    # (a) latest emitted row per key == batch row (or 'X' == no row)
+    last = {}
+    for r in live:
+        if r["k"] not in last or r["i"] > last[r["k"]]["i"]:
+            last[r["k"]] = r
+    assert sorted(last) == sorted(logs)
+    for k, ops in logs.items():
+        lr = last[k]
+        assert lr["n_changes"] == len(ops) and lr["last_idx"] == len(ops) - 1
+        assert lr["first_idx"] == 0
+        if k not in batch:  # I..D — batch emits nothing
+            assert lr["net_op"] == "X" and lr["last_v"] is None
+        else:
+            b = batch[k]
+            assert lr["net_op"] == b["net_op"]
+            assert lr["n_changes"] == b["n_changes"]
+            assert (lr["first_idx"], lr["last_idx"]) == (
+                b["first_ts"], b["last_ts"])
+            assert lr["last_v"] == b["last_v"]
+    # (b) every point matches the sequential net-rule replay
+    live_by_key = {}
+    for r in live:
+        live_by_key.setdefault(r["k"], {})[r["i"]] = r
+    for k, ops in logs.items():
+        first_op = ops[0][0]
+        last_v = 0
+        for i, (op, v) in enumerate(ops):
+            if op != "D":
+                last_v = v
+            if first_op == "I" and op == "D":
+                net = "X"
+            elif first_op == "I":
+                net = "I"
+            elif op == "D":
+                net = "D"
+            else:
+                net = "U"
+            r = live_by_key[k][i]
+            assert (r["op"], r["net_op"], r["n_changes"]) == (op, net, i + 1), (k, i)
+            assert r["last_v"] == (None if net in ("D", "X") else last_v), (k, i)
