@@ -233,6 +233,112 @@ def rp_lsh_topk(
     )
 
 
+def rp_lsh_recall_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    planes_sweep: tuple[int, ...] = (2, 4, 6, 8),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k vs num_planes curve for the RP-LSH index — the
+    second index family's tuning sweep beside :func:`ivf_recall_sweep`
+    (IVF dials recall with n_probe; RP-LSH dials it with plane
+    count: fewer planes → coarser buckets → more candidates → higher
+    recall at higher verify cost).
+
+    Scale shape: signatures are computed ONCE at max(planes_sweep)
+    bits (plane j is bucket bit j, the rp_lsh_buckets convention), so
+    the p-plane bucket is just the low-p-bit mask and candidate sets
+    are NESTED by construction — agreement on p+1 low bits implies
+    agreement on p. Candidates are therefore generated ONCE at the
+    COARSEST point (min planes, the largest candidate set — the
+    honest cost of measuring recall there at all), each pair tagged
+    with agree = trailing-zero count of the signature XOR; sweep
+    point p keeps pairs with agree >= p and re-ranks per (p, query).
+    Sweeping more plane counts adds NO corpus work. Broadcast query
+    side; no cartesian. Determinism: the ann-tier @4-rounded cosine
+    + vec_id tiebreak on both rankings.
+
+    Output, ordered: (num_planes, n_queries, n_exact, n_hits,
+    recall_e6) — pooled micro-average recall; n_queries counts
+    queries WITH exact neighbors, recall_e6 NULL when that set is
+    empty. The curve is monotone NONINCREASING in num_planes
+    (candidate sets shrink)."""
+    p_max = max(planes_sweep)
+    p_min = min(planes_sweep)
+    cb = rp_lsh_buckets(corpus, p_max, id_col, vec_col)
+    qb = rp_lsh_buckets(queries, p_max, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("bucket").alias("__qb"),
+    )
+    mask_min = (1 << p_min) - 1
+    pairs = (
+        cb.join(
+            F.broadcast(qb),
+            (F.col("bucket").bitwiseAND(F.lit(mask_min)))
+            == (F.col("__qb").bitwiseAND(F.lit(mask_min))),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.round(cosine(F.col("__qv"), F.col("embedding")), 4) + 0.0)
+            .alias("cos"),
+            F.col("bucket").bitwiseXOR(F.col("__qb")).alias("__diff"),
+        )
+        # agree = #low bits the two signatures share = trailing zeros
+        # of the XOR (p_max when identical) — bit_count((d & -d) - 1)
+        .withColumn(
+            "agree",
+            F.when(F.col("__diff") == 0, F.lit(p_max)).otherwise(
+                F.expr("bit_count((__diff & -__diff) - 1)")
+            ),
+        )
+    )
+    swept = pairs.withColumn(
+        "num_planes",
+        F.explode(F.array(*[F.lit(int(p)) for p in sorted(planes_sweep)])),
+    ).filter(F.col("agree") >= F.col("num_planes"))
+    w = Window.partitionBy("num_planes", "query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    approx = (
+        swept.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("num_planes", "query_id", "vec_id")
+    )
+    exact = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    hits = approx.join(
+        exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    tot = exact.agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+    )
+    hits_np = hits.groupBy("num_planes").agg(
+        F.count("*").cast("long").alias("__h")
+    )
+    spark = corpus.sparkSession
+    plane_df = spark.createDataFrame(
+        [(int(p),) for p in sorted(planes_sweep)], "num_planes int"
+    )
+    return (
+        plane_df.crossJoin(F.broadcast(tot))
+        .join(hits_np, "num_planes", "left")
+        .selectExpr(
+            "CAST(num_planes AS BIGINT) AS num_planes",
+            "n_queries",
+            "n_exact",
+            "CAST(COALESCE(__h, 0) AS BIGINT) AS n_hits",
+            "CASE WHEN n_exact > 0 THEN"
+            " (1000000 * COALESCE(__h, 0)) div n_exact END AS recall_e6",
+        )
+        .orderBy("num_planes")
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int = 16,

@@ -6159,3 +6159,49 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_recall_sweep(
         emb, queries, k=10, probes=(1, 2, 4, 8), centroids=cents
     )
+
+
+@register(
+    "ann_rp_lsh_recall_curve",
+    oracle="""
+    SELECT CAST(p AS BIGINT) AS num_planes,
+           CAST(10 AS BIGINT) AS n_queries,
+           CAST(30 AS BIGINT) AS n_exact,
+           CAST(30 AS BIGINT) AS n_hits,
+           CAST(1000000 AS BIGINT) AS recall_e6
+    FROM (VALUES (2), (4), (6), (8)) s(p) ORDER BY 1
+    """,
+    doc="RP-LSH recall@3 vs num_planes curve (llm.similarity."
+    "rp_lsh_recall_sweep): the second index family's tuning sweep "
+    "beside ann_ivf_recall_curve - signatures computed ONCE at the "
+    "max plane count, candidates generated ONCE at the coarsest "
+    "point tagged with agree = trailing zeros of the signature XOR "
+    "(low-bit prefixes nest), each sweep point filters agree >= p. "
+    "Planted self-validating value gate (the ann_rp_lsh_topk "
+    "precedent - xxhash64 planes are not SQL-expressible): 3 exact "
+    "copies of each of the 10 query vectors share EVERY plane sign "
+    "with their query, so they are the exact top-3 AND survive every "
+    "sweep point - recall is 1e6 at all four plane counts BY "
+    "CONSTRUCTION while the organic corpus is near-orthogonal. The "
+    "organic monotone-recall behavior (candidate sets shrink with "
+    "planes) is pinned in pytest where the replay can read the "
+    "buckets.",
+)
+def ann_rp_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.similarity import rp_lsh_recall_sweep
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    copies = queries.select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+    ).select(
+        (F.lit(1_000_000) + F.col("vec_id") * 3 + F.col("j")).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    return rp_lsh_recall_sweep(
+        emb.unionByName(copies), queries, k=3, planes_sweep=(2, 4, 6, 8)
+    )

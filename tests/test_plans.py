@@ -1899,3 +1899,17 @@ def test_cdc_net_changes_single_combined_agg_no_window(spark):
               "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert j not in plan, j
     assert plan.count("Exchange") == 2, plan.count("Exchange")
+
+
+def test_ann_rp_lsh_recall_curve_broadcast_prefix_no_cartesian(spark):
+    """ann_rp_lsh_recall_curve (r13): ONE candidate pass — corpus
+    signatures equi-joined on the COARSEST low-bit bucket prefix
+    against BROADCAST query signatures, the sweep an explode over
+    already-bounded candidates filtered by the trailing-zeros agree
+    tag — no cartesian product anywhere; the only nested-loop join is
+    the 1-row totals cross (the scalar-cross convention)."""
+    plan = _plan(Q["ann_rp_lsh_recall_curve"].spark_fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan  # prefix-bucket equi-join, broadcast
+    assert "Generate" in plan           # sweep explode
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan             # per-(p, query) top-k

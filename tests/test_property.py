@@ -2021,3 +2021,83 @@ def test_ivf_recall_sweep_degenerate_contracts(spark):
     for r in rows:
         assert (r["n_queries"], r["n_exact"], r["n_hits"]) == (0, 0, 0)
         assert r["recall_e6"] is None
+
+
+def test_rp_lsh_recall_sweep_matches_bucket_replay(spark):
+    """rp_lsh_recall_sweep (r13) vs an independent Python replay of
+    the sweep logic over the ACTUAL signatures (read back via
+    rp_lsh_buckets — the shared input): per plane count p, candidates
+    = pairs agreeing on the low p signature bits, top-k by
+    (@4-rounded cos desc, vec_id), pooled recall vs brute force —
+    plus the structural corollary: recall is monotone NONINCREASING
+    in num_planes (nested candidate sets), on ORGANIC near-random
+    vectors where recall actually degrades."""
+    import math
+    import random
+
+    from hadoop_fcfs_spark.llm.similarity import (
+        rp_lsh_buckets,
+        rp_lsh_recall_sweep,
+    )
+
+    rng = random.Random(29)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(50)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    queries = df.filter("vec_id < 6")
+    k, sweep = 3, (1, 2, 4, 6)
+    got = {
+        r["num_planes"]: r
+        for r in rp_lsh_recall_sweep(
+            df, queries, k=k, planes_sweep=sweep
+        ).collect()
+    }
+
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in rp_lsh_buckets(df, max(sweep)).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(x * x for x in b))
+        return round(num / den, 4) + 0.0
+
+    exact = {
+        q: {
+            i
+            for _, i in sorted(
+                ((-cos(vecs[q], vecs[i]), i) for i in vecs if i != q)
+            )[:k]
+        }
+        for q in range(6)
+    }
+    n_exact = sum(len(exact[q]) for q in range(6))
+    prev_hits = None
+    for p in sweep:
+        mask = (1 << p) - 1
+        hits = 0
+        for q in range(6):
+            cand = [
+                i for i in vecs
+                if i != q and (buckets[i] & mask) == (buckets[q] & mask)
+            ]
+            approx = {
+                i
+                for _, i in sorted(
+                    ((-cos(vecs[q], vecs[i]), i) for i in cand)
+                )[:k]
+            }
+            hits += len(approx & exact[q])
+        r = got[p]
+        assert (r["n_queries"], r["n_exact"], r["n_hits"]) == (6, n_exact, hits), p
+        assert r["recall_e6"] == 1_000_000 * hits // n_exact
+        if prev_hits is not None:
+            assert hits <= prev_hits  # nested candidate sets shrink
+        prev_hits = hits
+    # the organic set must actually exercise degradation somewhere
+    assert got[max(sweep)]["n_hits"] < got[min(sweep)]["n_hits"] or (
+        got[min(sweep)]["n_hits"] == n_exact
+    )
