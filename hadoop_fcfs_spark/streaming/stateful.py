@@ -681,3 +681,86 @@ def stream_cdc_net_monitor(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_cusum_monitor(
+    stream_df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    n_col: str,
+    x_col: str,
+    center_num: int,
+    center_den: int,
+    slack_e6: int = 0,
+    h_e6: int = 5_000_000,
+):
+    """Live two-sided tabular CUSUM — the TENTH live bridge and the
+    streaming twin of ``ops.stats.cusum_chart``, completing the SPC
+    family live: zone/nelson flag single excursions and patterns,
+    EWMA the slow drift, runs the randomness, and CUSUM the SUSTAINED
+    small shift a publish loop would otherwise ship for weeks. It
+    passes the boundary test the runs/durbin_watson pair defines:
+    once the center line is a parameter (the batch pooled totals as
+    the exact RATIO, so p̄ = num·10⁶ div den reproduces the batch
+    flooring BIGINT center bit-for-bit — the runs-monitor
+    convention), the recursion C_t = max(0, C_{t−1} + s_t) advances
+    two longs by integer arithmetic only; no emitted term is ever
+    retroactive, so the emitted chart AT EVERY POINT equals batch
+    ``cusum_chart`` run over exactly that prefix, integer-exactly —
+    even though the batch computes it as a closed-form prefix-sum
+    identity and the stream as the literal recursion (the bridge test
+    pins the two formulations against each other, which is itself a
+    proof the closed form is right).
+
+    Semantics mirror the batch operator: s_up = x·10⁶ − n·(p̄+slack),
+    s_dn = n·(p̄−slack) − x·10⁶, exact BIGINT micro-counts; alarms
+    fire strictly above ``h_e6``. Malformed rows with n ≤ 0 are
+    dropped (the zone-monitor quarantine). Same argument validation
+    as the batch fn (slack ≥ 0, h > 0) — misconfiguration fails at
+    construction, not per row.
+
+    Input rows are the GRAIN (one row per key per index: day → n, x)
+    in per-key index order across micro-batches; rows sort by index
+    within each batch. Emits (key, idx, n, x, cusum_up_e6,
+    cusum_dn_e6, alarm_up, alarm_dn); outputMode 'append'."""
+    if slack_e6 < 0:
+        raise ValueError(f"slack_e6 must be >= 0, got {slack_e6}")
+    if h_e6 <= 0:
+        raise ValueError(f"h_e6 must be > 0, got {h_e6}")
+    pbar = center_num * 1_000_000 // center_den
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        up, dn = state.get if state.exists else (0, 0)
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(i), int(n), int(x))
+                for i, n, x in zip(pdf[idx_col], pdf[n_col], pdf[x_col])
+            )
+        out = []
+        for i, n, x in sorted(rows):
+            if n <= 0:
+                continue  # malformed external grain row — quarantine
+            up = max(0, up + x * 1_000_000 - n * (pbar + slack_e6))
+            dn = max(0, dn + n * (pbar - slack_e6) - x * 1_000_000)
+            out.append({
+                key_col: key[0], idx_col: i, n_col: n, x_col: x,
+                "cusum_up_e6": up, "cusum_dn_e6": dn,
+                "alarm_up": up > h_e6, "alarm_dn": dn > h_e6,
+            })
+        if rows:
+            state.update((up, dn))
+        if out:
+            yield pd.DataFrame(out)
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} string, {idx_col} long, {n_col} long, {x_col} long, "
+            "cusum_up_e6 long, cusum_dn_e6 long, "
+            "alarm_up boolean, alarm_dn boolean"
+        ),
+        stateStructType="cusum_up long, cusum_dn long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1762,3 +1762,91 @@ def test_stream_cdc_net_monitor_matches_batch_exactly(spark, tmp_path):
             r = live_by_key[k][i]
             assert (r["op"], r["net_op"], r["n_changes"]) == (op, net, i + 1), (k, i)
             assert r["last_v"] == (None if net in ("D", "X") else last_v), (k, i)
+
+
+def test_stream_cusum_monitor_matches_batch_exactly(spark, tmp_path):
+    """stream_cusum_monitor bridge (r13, tenth live bridge): fed the
+    batch pooled totals as the exact ratio, the live two-long
+    recursion C_t = max(0, C_{t-1} + s_t) must equal batch
+    cusum_chart's CLOSED-FORM prefix-sum formulation (C_t = S_t -
+    min(0, min S_j)) at EVERY grain point, integer-exactly, across a
+    micro-batch split — the two formulations proving each other —
+    including nonzero slack, alarm thresholds, and the n <= 0
+    quarantine."""
+    import random
+
+    from hadoop_fcfs_spark.ops.stats import cusum_chart
+    from hadoop_fcfs_spark.streaming.stateful import stream_cusum_monitor
+
+    rng = random.Random(71)
+    days = sorted(rng.sample(range(100, 240), 70))
+    per_day = {}
+    for d in days:
+        n = rng.randint(3, 25)
+        # drift upward in the second half so both sides + alarms move
+        bias = 3 if d > days[35] else 0
+        per_day[d] = (n, min(n, rng.randint(0, n // 2 + bias)))
+    raw = [(d, i < x) for d, (n, x) in per_day.items() for i in range(n)]
+    batch_df = spark.createDataFrame(raw, "d long, bad boolean")
+    SLACK, H = 40_000, 900_000
+    batch = {
+        r["grain"]: r
+        for r in cusum_chart(
+            batch_df, "d", F.col("bad"), slack_e6=SLACK, h_e6=H
+        ).collect()
+    }
+    tn = sum(n for n, _ in per_day.values())
+    tx = sum(x for _, x in per_day.values())
+
+    src = str(tmp_path / "cusum_src")
+    grain_rows = [("s", d, per_day[d][0], per_day[d][1]) for d in days]
+    grain_rows.insert(25, ("s", 1, 0, 0))  # malformed n=0 row
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "k string, d long, n long, x long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    split = len(grain_rows) // 2
+    write(grain_rows[:split])
+    stream = spark.readStream.schema(
+        "k string, d long, n long, x long"
+    ).parquet(src)
+    mon = stream_cusum_monitor(
+        stream, "k", "d", "n", "x",
+        center_num=tx, center_den=tn, slack_e6=SLACK, h_e6=H,
+    )
+    q = (
+        mon.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum_mon")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(grain_rows[split:])
+        q.processAllAvailable()
+        live = {
+            r["d"]: r for r in spark.sql("SELECT * FROM cusum_mon").collect()
+        }
+    finally:
+        q.stop()
+
+    assert 1 not in live  # quarantined
+    assert sorted(live) == days
+    fired_up = False
+    for d in days:
+        r, b = live[d], batch[d]
+        assert (r["n"], r["x"]) == (b["n"], b["x"]), d
+        assert r["cusum_up_e6"] == b["cusum_up_e6"], d
+        assert r["cusum_dn_e6"] == b["cusum_dn_e6"], d
+        assert r["alarm_up"] == b["alarm_up"] and r["alarm_dn"] == b["alarm_dn"], d
+        fired_up = fired_up or r["alarm_up"]
+    assert fired_up  # the drifted half must actually alarm
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="slack_e6"):
+        stream_cusum_monitor(stream, "k", "d", "n", "x", 1, 2, slack_e6=-1)
+    with _pytest.raises(ValueError, match="h_e6"):
+        stream_cusum_monitor(stream, "k", "d", "n", "x", 1, 2, h_e6=0)
