@@ -624,7 +624,7 @@ def stream_cdc_net_monitor(
                 state.get
             )
         else:
-            first_op, last_op, last_v = "", "", 0
+            first_op, last_op, last_v = "", "", None
             n_changes, first_idx, last_idx = 0, 0, 0
         rows = []
         for pdf in pdfs:
@@ -642,7 +642,9 @@ def stream_cdc_net_monitor(
             last_op = op
             last_idx = i
             if op != "D":
-                last_v = 0 if v is None else v
+                # carried verbatim, NULL included — the batch max_by
+                # carries the last row's value whatever it is
+                last_v = v
             n_changes += 1
             if first_op == "I" and last_op == "D":
                 net = "X"  # batch emits NO row for this key

@@ -1676,6 +1676,10 @@ def test_stream_cdc_net_monitor_matches_batch_exactly(spark, tmp_path):
         logs[f"k{k:02d}"] = [
             (rng.choice("IUD"), rng.randint(-50, 50)) for _ in range(n)
         ]
+    # a key whose LAST op is a NULL-valued update: the carried value
+    # must stay NULL (the batch max_by carries the last row verbatim),
+    # not coerce to 0
+    logs["knull"] = [("I", 5), ("U", None)]
     rows = [
         (k, i, op, v)
         for k, ops in logs.items()
