@@ -858,8 +858,12 @@ def ngram_novelty(
             F.sum("__nv").cast("long").alias("n_novel"),
         )
         .withColumn(
+            # DECIMAL(38,0) numerator: 1e6·gram-count is BIGINT-unsafe
+            # past ~9.2e12 grams (the kendall/fertility remedy, r13)
             "novelty_e6",
-            F.expr("(1000000 * n_novel) div n_grams").cast("long"),
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * n_novel) div n_grams"
+            ).cast("long"),
         )
         .orderBy("bucket")
     )

@@ -191,8 +191,11 @@ def k_anonymity_audit(
         .alias("rows_below_k"),
     ).select(
         "*",
-        F.expr("(1000000 * rows_below_k) div n_rows").cast("long")
-        .alias("rows_below_k_share_e6"),
+        # DECIMAL(38,0) numerator: 1e6·rows is BIGINT-unsafe past
+        # ~9.2e12 rows (the kendall/fertility remedy, r13)
+        F.expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * rows_below_k) div n_rows"
+        ).cast("long").alias("rows_below_k_share_e6"),
     )
 
 
