@@ -4799,7 +4799,12 @@ def cusum_chart(
     n·(p̄_e6 + slack), s_dn = n·(p̄_e6 − slack) − x·1e6 with p̄_e6 the
     flooring pooled rate, so every engine agrees to the last micro.
     alarm_* fires when the cusum exceeds ``h_e6`` (the decision
-    interval, in micro-defect units).
+    interval, in micro-defect units). Integer bound (ANSI throws,
+    never silent): the prefix sums reach ~1e6·Σn under sustained
+    one-sided drift, BIGINT-unsafe past ~9.2e12 rows drifting the
+    same way between alarms — reset the window on alarm (standard
+    CUSUM practice) or lift to DECIMAL(38,0) at that scale (the
+    kendall remedy).
 
     Scale shape: one grain aggregation, one broadcast scalar, two
     prefix passes over GRAIN rows (days/shards — bounded), zero

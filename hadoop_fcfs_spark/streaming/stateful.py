@@ -717,7 +717,10 @@ def stream_cusum_monitor(
     Semantics mirror the batch operator: s_up = x·10⁶ − n·(p̄+slack),
     s_dn = n·(p̄−slack) − x·10⁶, exact BIGINT micro-counts; alarms
     fire strictly above ``h_e6``. Malformed rows with n ≤ 0 are
-    dropped (the zone-monitor quarantine). Same argument validation
+    dropped (the zone-monitor quarantine). Same integer bound as the
+    batch twin: the accumulators reach ~1e6·Σn under sustained
+    one-sided drift (Python side is exact bignum, but the long state
+    field caps at 2⁶³) — reset on alarm at that scale. Same argument validation
     as the batch fn (slack ≥ 0, h > 0) — misconfiguration fails at
     construction, not per row.
 
