@@ -64,44 +64,23 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # a pytest keeps the script and the table format in lockstep. Update
 # the paragraph below by hand each round.
 #
-# State after round 12 (rebuilt for round 13): 370 registered gates,
-# CORRECTNESS_r12 50/50 green, driver-checked union r01-r12 = 370/370,
-# zero mismatches ever. _NEVER_SAMPLED stays empty, so the round-13
+# State after round 13 (rebuilt for round 14): 374 registered gates,
+# CORRECTNESS_r13 50/50 green, driver-checked union r01-r13 = 374/374,
+# zero mismatches ever. _NEVER_SAMPLED stays empty, so the round-14
 # window = gates registered this round (bucket 1, in registration
-# order) + the oldest confirmed tail (bucket 2: the 20 remaining r5
-# gates, then the oldest of the 50 r6 gates). Keep net-new <= 6 so the
-# window clears all 20 r5 rows plus >= 24 of the r6 tail — by
-# r13-close no evidence row should be older than r6 (burn-down
-# promise from r12). Per-round counts after this fold: 20 x r5, 50
-# each r6-r12.
+# order) + the oldest confirmed tail (bucket 2: the 24 remaining r6
+# gates, then the oldest of the 50 r7 gates). Keep net-new <= 6 so the
+# window clears all 24 r6 rows plus >= 20 of the r7 tail — by
+# r14-close no evidence row should be older than r7 (burn-down
+# promise from r13). Per-round counts after this fold: 24 x r6, 50
+# each r7-r13.
 
 _NEVER_SAMPLED: tuple[str, ...] = ()
 
 _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
-    # latest driver row: round 5 (20 gates)
-    "psi_price_drift": 5, "purchase_attribution": 5,
-    "qty_price_histogram2d": 5, "repeat_order_intervals": 5,
-    "rfm_segments": 5, "rolling_wau": 5, "script_profile": 5,
-    "session_path_topk": 5, "shipping_lead_time": 5, "spearman_qty_price":
-    5, "term_dictionary": 5, "tfidf_cosine_topk": 5, "theil_sen_trend": 5,
-    "top_nations_with_other": 5, "trade_degree_assortativity": 5,
-    "trade_triangles": 5, "trending_parts": 5, "user_behavior_entropy": 5,
-    "vocab_richness": 5, "weighted_median_price": 5,
-    # latest driver row: round 6 (50 gates)
-    "abc_inventory_classes": 6, "acf_daily_events": 6, "ann_ivf_recall":
-    6, "anova_acctbal_segments": 6, "binseg_daily_events": 6,
-    "bootstrap_mean_totalprice": 6, "cms_heavy_change": 6,
-    "copurchase_eval_topk": 6, "copurchase_kcore": 6,
-    "corpus_pipeline_v5": 6, "corpus_qa_panel": 6, "cusum_split_events":
-    6, "debounce_events": 6, "dedup_survivorship": 6,
-    "diversified_top_orders": 6, "doc_keywords": 6,
-    "frequent_subsequences": 6, "gini_by_nation": 6,
-    "greedy_gram_coverage": 6, "hits_trade_roles": 6,
-    "interpolated_hourly_value": 6, "ivm_orders_yearly": 6,
-    "k_anonymity_customers": 6, "ks_price_returnflag": 6,
-    "ks_source_drift": 6, "linear_attribution": 6, "logrank_cohorts": 6,
-    "loo_priority_price": 6, "markov_entropy_rate": 6,
-    "markov_next_event_eval": 6, "markov_stationary_events": 6,
+    # latest driver row: round 6 (24 gates)
+    "logrank_cohorts": 6, "loo_priority_price": 6, "markov_entropy_rate":
+    6, "markov_next_event_eval": 6, "markov_stationary_events": 6,
     "mutual_nn_pairs": 6, "mwu_priority_price": 6, "nelson_aalen_hazard":
     6, "ngram_novelty_curve": 6, "ols_qty_price_by_brand": 6,
     "pacf_daily_events": 6, "quantile_normalize_segments": 6,
@@ -241,6 +220,29 @@ _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
     "ttr_curve_auc_tokens": 12, "volume_shipping": 12, "volume_trend": 12,
     "waiting_suppliers": 12, "weighted_sample_orders": 12,
     "winsorize_events": 12, "word_cooccurrence": 12,
+    # latest driver row: round 13 (50 gates)
+    "abc_inventory_classes": 13, "acf_daily_events": 13, "ann_ivf_recall":
+    13, "ann_ivf_recall_curve": 13, "ann_rp_lsh_recall_curve": 13,
+    "anova_acctbal_segments": 13, "binseg_daily_events": 13,
+    "bootstrap_mean_totalprice": 13, "cdc_net_changes_users": 13,
+    "cms_heavy_change": 13, "copurchase_eval_topk": 13,
+    "copurchase_kcore": 13, "corpus_pipeline_v5": 13, "corpus_qa_panel":
+    13, "cusum_split_events": 13, "debounce_events": 13,
+    "dedup_survivorship": 13, "diversified_top_orders": 13,
+    "doc_keywords": 13, "frequent_subsequences": 13, "gini_by_nation": 13,
+    "greedy_gram_coverage": 13, "hits_trade_roles": 13,
+    "interpolated_hourly_value": 13, "ivm_orders_yearly": 13,
+    "k_anonymity_customers": 13, "ks_price_returnflag": 13,
+    "ks_source_drift": 13, "linear_attribution": 13, "psi_price_drift":
+    13, "purchase_attribution": 13, "qty_price_histogram2d": 13,
+    "repeat_order_intervals": 13, "rfm_segments": 13, "rolling_wau": 13,
+    "script_profile": 13, "session_path_topk": 13, "shipping_lead_time":
+    13, "spearman_qty_price": 13, "term_dictionary": 13,
+    "tfidf_cosine_topk": 13, "theil_sen_trend": 13,
+    "tokenizer_fertility_lang": 13, "top_nations_with_other": 13,
+    "trade_degree_assortativity": 13, "trade_triangles": 13,
+    "trending_parts": 13, "user_behavior_entropy": 13, "vocab_richness":
+    13, "weighted_median_price": 13,
 }
 
 
