@@ -7,7 +7,7 @@ from __future__ import annotations
 import zlib
 from itertools import groupby
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from hadoop_fcfs_spark.bench.tera import teragen, terasort, teravalidate
@@ -1435,6 +1435,7 @@ def test_zone_rules_match_python_replay_property(spark, cells):
 @given(
     counts=st.lists(st.integers(1, 40), min_size=1, max_size=25),
 )
+@example(counts=[2])  # V=1, N=2: a2 = 1/ln 2 > 1 is CORRECT (r13 judge find)
 @settings(max_examples=8, deadline=None)
 def test_ttr_family_matches_python_replay_property(spark, counts):
     """ttr_family (r11) vs the exact integer formulas: Guiraud's R and
@@ -1460,7 +1461,10 @@ def test_ttr_family_matches_python_replay_property(spark, counts):
         lv = math.floor(math.log(v) * 1e6)
         want = (lnn - lv) * 1_000_000 // (lnn * lnn // 1_000_000)
         assert r["maas_a2_e6"] == want
-        assert 0 <= want <= 1_000_001  # micro slack from nested floors
+        if v >= 2:
+            # range bound only holds for V >= 2 (docstring precondition);
+            # at V=1, a2 = 1/ln N exceeds 1 for N < e and that is correct
+            assert 0 <= want <= 1_000_001  # micro slack from nested floors
 
 
 @given(
