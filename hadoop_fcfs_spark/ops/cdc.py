@@ -25,6 +25,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _checked_op(op_col: str, ops: tuple[str, ...], what: str) -> Column:
+    """The op column wrapped so every row validates as the one real
+    pass consumes it: unknown (or NULL) ops raise_error at execution
+    time with the offending value in the message. Replaces the former
+    eager ``bad.take(1)`` pre-scan guards (r13 ADVICE / verdict #4) —
+    at 100 TB those doubled the read; this costs one codegen branch
+    inside the scan that already happens and keeps construction lazy.
+    Surfaces as ``pyspark.errors.SparkRuntimeException
+    [USER_RAISED_EXCEPTION]`` on the first action."""
+    return F.when(F.col(op_col).isin(*ops), F.col(op_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"unknown ops in {what}: "),
+                F.coalesce(F.col(op_col), F.lit("<null>")),
+                F.lit(f"; expected one of {ops}"),
+            )
+        )
+    )
+
+
 def scd2_from_changes(
     changes: DataFrame,
     key: str,
@@ -85,10 +105,19 @@ def apply_changeset(
       - key only in snapshot            -> kept as-is
       - key in changes with op='U'      -> change row wins (insert or update)
       - key in changes with op='D'      -> dropped
+
+    Both guards (unknown op, ambiguous no-ts changeset) are FUSED into
+    that single pass and raise on the first action
+    (``SparkRuntimeException [USER_RAISED_EXCEPTION]``), not at
+    construction — the function is fully lazy and never pre-scans the
+    changeset (r13 ADVICE / verdict #4). The ambiguity guard is a
+    per-key count window whose hash partitioning the merge join reuses,
+    so it adds no exchange.
     """
     ops = ("U", "D")
     data_cols = [c for c in snapshot.columns if c != key]
     latest = changes
+    op_expr = _checked_op(op_col, ops, "changeset")
     if ts_col is not None:
         order = [F.col(ts_col).desc()] + ([F.col(tiebreak).desc()] if tiebreak else [])
         w = Window.partitionBy(key).orderBy(*order)
@@ -98,24 +127,29 @@ def apply_changeset(
             .drop("__rn")
         )
     else:
-        dupes = latest.groupBy(key).count().filter(F.col("count") > 1)
-        if dupes.take(1):
-            raise ValueError(
-                f"changeset has multiple rows per {key!r} and no ts_col to "
-                "pick the latest - compact it or pass ts_col"
-            )
+        # ambiguity guard fused into the merge pass: per-key count via a
+        # window the join's own hash partitioning absorbs; >1 raises as
+        # the row flows through, no eager groupBy+take job
+        keycnt = F.count("*").over(Window.partitionBy(key))
+        op_expr = F.when(
+            keycnt > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"changeset has multiple rows per {key!r} "),
+                    F.lit("(e.g. "),
+                    F.col(key).cast("string"),
+                    F.lit(") and no ts_col to pick the latest - compact "
+                          "it or pass ts_col"),
+                )
+            ),
+        ).otherwise(op_expr)
     ch = latest.select(
         F.col(key),
-        F.col(op_col).alias("__op"),
+        op_expr.alias("__op"),
         *[F.col(c).alias(f"__ch_{c}") for c in data_cols],
     )
     merged = snapshot.join(ch, key, "full_outer")
     surviving = merged.filter(F.col("__op").isNull() | (F.col("__op") == "U"))
-    bad = latest.filter(~F.col(op_col).isin(*ops))
-    # cheap guard: unknown ops fail loudly instead of silently dropping
-    if bad.take(1):
-        vals = [r[op_col] for r in bad.select(op_col).distinct().take(5)]
-        raise ValueError(f"unknown ops in changeset: {vals}; expected one of {ops}")
     return surviving.select(
         F.col(key),
         *[
@@ -209,9 +243,15 @@ def cdc_net_changes(
     carried values are min_by/max_by over the (ts, tiebreak) struct
     order, so there is no per-key sort, no window function, and
     partial aggregation halves the shuffle before it happens (the
-    combiner discipline, SURVEY §2.4). Unknown ops fail loudly up
-    front (the apply_changeset guard — a silent drop is how changelog
-    compaction corrupts downstream merges). Determinism contract: the
+    combiner discipline, SURVEY §2.4). Unknown ops fail loudly (the
+    apply_changeset guard — a silent drop is how changelog compaction
+    corrupts downstream merges), with the check FUSED into the same
+    single aggregation scan: the op column is validated as the
+    combiner consumes it, so construction stays lazy and the log is
+    read exactly once (the former eager ``bad.take(1)`` doubled the
+    read at 100 TB — r13 ADVICE / verdict #4); the raise surfaces on
+    the first action as ``SparkRuntimeException
+    [USER_RAISED_EXCEPTION]``. Determinism contract: the
     (ts, tiebreak) order must be TOTAL per key — under duplicate
     order keys min_by/max_by pick an arbitrary row (the same
     same-ts-race rule apply_changeset documents); pass a unique
@@ -220,20 +260,15 @@ def cdc_net_changes(
     Output: key, net_op, n_changes, first_ts, last_ts, last_<value>
     per value column (NULL on net deletes)."""
     ops = ("I", "U", "D")
-    bad = log.filter(~F.col(op_col).isin(*ops))
-    if bad.take(1):
-        vals = [r[op_col] for r in bad.select(op_col).distinct().take(5)]
-        raise ValueError(
-            f"unknown ops in CDC log: {vals}; expected one of {ops}"
-        )
+    checked = _checked_op(op_col, ops, "CDC log")
     ord_ = (
         F.struct(F.col(ts_col), F.col(tiebreak))
         if tiebreak
         else F.col(ts_col)
     )
     agg = log.groupBy(key).agg(
-        F.min_by(op_col, ord_).alias("__first_op"),
-        F.max_by(op_col, ord_).alias("__last_op"),
+        F.min_by(checked, ord_).alias("__first_op"),
+        F.max_by(checked, ord_).alias("__last_op"),
         *[F.max_by(c, ord_).alias(f"__last_{c}") for c in value_cols],
         F.count("*").cast("long").alias("n_changes"),
         F.min(ts_col).alias("first_ts"),

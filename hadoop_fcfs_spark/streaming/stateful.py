@@ -607,8 +607,9 @@ def stream_cdc_net_monitor(
     encoding of a retracted net row).
 
     Semantics mirror the batch operator; ONE honest divergence,
-    documented: the batch fn RAISES on an op outside I/U/D (loud
-    up-front audit), but a live query cannot die per malformed row —
+    documented: the batch fn RAISES on an op outside I/U/D (fused
+    into its single scan since r14; surfaces on the first action),
+    but a live query cannot die per malformed row —
     unknown-op rows quarantine (counted in nothing), the
     stream_zone_monitor convention. The bridge test pins the valid-op
     equality AND the quarantine separately.

@@ -876,10 +876,14 @@ def test_apply_changeset_merge_semantics(spark):
     )
     assert got2 == [(1, "a", 10), (3, "z", 3)]  # 2 deleted, 3 -> latest (z)
 
-    with pytest.raises(ValueError, match="multiple rows"):
+    # both guards are fused into the merge pass (r14): they raise on
+    # the first action as USER_RAISED_EXCEPTION, never pre-scanning
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException, match="multiple rows"):
         apply_changeset(snap, ch2.drop("ts", "seq"), "k").collect()
     bad = spark.createDataFrame([(1, "X", "q", 9)], "k long, op string, name string, v long")
-    with pytest.raises(ValueError, match="unknown ops"):
+    with pytest.raises(SparkRuntimeException, match="unknown ops"):
         apply_changeset(snap, bad, "k").collect()
 
 

@@ -1899,6 +1899,11 @@ def test_cdc_net_changes_single_combined_agg_no_window(spark):
               "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert j not in plan, j
     assert plan.count("Exchange") == 2, plan.count("Exchange")
+    # r14: the unknown-op guard is fused into this same pass — the log
+    # is scanned exactly ONCE (no eager pre-scan job, no second scan)
+    # and the validation raise_error rides the aggregation input
+    assert plan.count("FileScan") == 1, plan.count("FileScan")
+    assert "raise_error" in plan, "fused loud-fail guard missing"
 
 
 def test_ann_rp_lsh_recall_curve_broadcast_prefix_no_cartesian(spark):
