@@ -1455,7 +1455,11 @@ def _zip_structure(blob: bytes) -> dict:
     scan over the ≤64 KiB comment window; exact comment_len match
     preferred, last structurally-plausible candidate accepted so
     trailing-garbage archives — appended signatures, SFX padding —
-    still parse), then walk the central
+    still parse; a fallback candidate must additionally point at a
+    real central directory — PK\x01\x02 at its cd_off, or an empty
+    directory at the record itself — so a plausible-looking fake EOCD
+    planted in the trailing bytes cannot beat the real record in the
+    backward scan), then walk the central
     directory entries — per-entry method and compressed/uncompressed
     sizes come from the directory alone, so cataloguing an archive
     never touches file payloads. Raises ValueError on a missing/torn
@@ -1492,7 +1496,21 @@ def _zip_structure(blob: bytes) -> dict:
             if fallback < 0 and cand + 22 + cand_clen <= len(blob):
                 c_size = int.from_bytes(blob[cand + 12 : cand + 16], "little")
                 c_off = int.from_bytes(blob[cand + 16 : cand + 20], "little")
-                if c_off + c_size <= cand:
+                # r14 ADVICE: a plausible-LOOKING fake EOCD inside the
+                # very trailing bytes the fallback tolerates would beat
+                # the real record in this backward scan — so a fallback
+                # candidate must also point at an actual central
+                # directory: PK\x01\x02 at its cd_off (or an empty
+                # directory). Otherwise keep scanning for an earlier
+                # candidate instead of accepting the decoy.
+                if c_size == 0:
+                    cd_sig_ok = c_off == cand  # truly empty archive
+                else:
+                    cd_sig_ok = (
+                        c_off + 4 <= len(blob)
+                        and blob[c_off : c_off + 4] == b"PK\x01\x02"
+                    )
+                if c_off + c_size <= cand and cd_sig_ok:
                     fallback = cand
         search_end = rel + 3  # keep overlapping magics findable
     if eocd < 0:

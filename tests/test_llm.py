@@ -4451,6 +4451,33 @@ def test_zip_trailing_bytes_after_eocd_fallback():
     with _pytest.raises(ValueError, match="end-of-central-directory"):
         _zip_structure(b"no zip here" * 10)
 
+    # r14 ADVICE fix: a structurally-PLAUSIBLE fake EOCD planted in the
+    # trailing bytes (comment fits, directory span lands before the
+    # record) sits closer to the end than the real record — it must
+    # lose because its cd_off does not point at a PK\x01\x02 central
+    # directory entry; the scan keeps going and finds the real EOCD
+    fake = (
+        b"PK\x05\x06"
+        + (0).to_bytes(2, "little")   # disk
+        + (0).to_bytes(2, "little")   # cd_disk
+        + (1).to_bytes(2, "little")   # n_here
+        + (1).to_bytes(2, "little")   # n_total
+        + (46).to_bytes(4, "little")  # cd_size
+        + (10).to_bytes(4, "little")  # cd_off -> deflate payload, no sig
+        + (5).to_bytes(2, "little")   # comment_len (inexact on purpose)
+    )
+    decoyed = clean + fake + b"padpadpad"  # fake is plausible, sits last
+    s = _zip_structure(decoyed)
+    assert s["n_entries"] == 2, "decoy EOCD in trailing bytes won the scan"
+
+    # an EMPTY archive with trailing bytes: fallback accepts cd_size=0
+    # only when cd_off points at the record itself (real empty zip)
+    ebuf = io.BytesIO()
+    with zipfile.ZipFile(ebuf, "w"):
+        pass
+    s = _zip_structure(ebuf.getvalue() + b"sig")
+    assert s["n_entries"] == 0
+
 
 def test_doc_lz_complexity_preserves_id_dtype(spark):
     """r13 ADVICE fix: doc_lz_complexity derives the id field's type
