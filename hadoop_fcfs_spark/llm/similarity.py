@@ -332,8 +332,11 @@ def rp_lsh_recall_sweep(
             "n_queries",
             "n_exact",
             "CAST(COALESCE(__h, 0) AS BIGINT) AS n_hits",
+            # DECIMAL(38,0) numerator: the r13 overflow-class rule —
+            # 1e6·BIGINT-count products lift uniformly (r14 ADVICE)
             "CASE WHEN n_exact > 0 THEN"
-            " (1000000 * COALESCE(__h, 0)) div n_exact END AS recall_e6",
+            " CAST(1000000 AS DECIMAL(38,0)) * COALESCE(__h, 0)"
+            " div n_exact END AS recall_e6",
         )
         .orderBy("num_planes")
     )
@@ -599,7 +602,8 @@ def ivf_recall_sweep(
             # NULL recall on an empty exact set (no evidence, not 0) —
             # ANSI div would otherwise throw on the zero denominator
             "CASE WHEN n_exact > 0 THEN"
-            " (1000000 * COALESCE(__h, 0)) div n_exact END AS recall_e6",
+            " CAST(1000000 AS DECIMAL(38,0)) * COALESCE(__h, 0)"
+            " div n_exact END AS recall_e6",
         )
         .orderBy("n_probe")
     )

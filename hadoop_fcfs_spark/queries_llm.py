@@ -6122,15 +6122,21 @@ def tokenizer_fertility_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY cos DESC, vec_id) AS rank
         FROM ipairs) WHERE rank <= 10
     )
+    -- driven from the sweep VALUES with a LEFT JOIN to exact (r14
+    -- ADVICE): an empty exact set yields one row per n_probe with
+    -- NULL recall, matching the Spark fn's empty-input contract,
+    -- instead of collapsing to 0 rows
     SELECT CAST(s.np AS BIGINT) AS n_probe,
            CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
-           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(e.query_id) AS BIGINT) AS n_exact,
            CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
              AS BIGINT) AS n_hits,
-           (1000000 * CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0
-                                    END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
-             AS recall_e6
-    FROM sweep s CROSS JOIN exact e
+           CASE WHEN COUNT(e.query_id) > 0 THEN
+             (1000000 * CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0
+                                      END) AS BIGINT))
+               // CAST(COUNT(e.query_id) AS BIGINT)
+           END AS recall_e6
+    FROM sweep s LEFT JOIN exact e ON TRUE
     LEFT JOIN ivf i
       ON i.np = s.np AND i.query_id = e.query_id AND i.vec_id = e.vec_id
     GROUP BY 1 ORDER BY 1
@@ -6185,7 +6191,13 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CONSTRUCTION while the organic corpus is near-orthogonal. The "
     "organic monotone-recall behavior (candidate sets shrink with "
     "planes) is pinned in pytest where the replay can read the "
-    "buckets.",
+    "buckets. GATE INVARIANT (r14 ADVICE): the constant oracle "
+    "assumes no ORGANIC corpus vector has @4-rounded cosine 1.0 "
+    "with any query (such a vector would beat the 1e6+ planted ids "
+    "on the ascending-id tiebreak); "
+    "test_rp_lsh_planted_gate_fixture_assumption asserts it against "
+    "the live fixture so a regeneration fails THERE, not as a "
+    "mysterious oracle mismatch.",
 )
 def ann_rp_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.llm.similarity import rp_lsh_recall_sweep

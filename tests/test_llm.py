@@ -101,6 +101,35 @@ def test_rp_lsh_topk_finds_planted_duplicates(spark):
         assert key in exact and exact[key] == cos
 
 
+def test_rp_lsh_planted_gate_fixture_assumption():
+    """r14 ADVICE: the constant planted oracles of ann_rp_lsh_topk and
+    ann_rp_lsh_recall_curve assume NO organic corpus vector has
+    @4-rounded cosine 1.0 with any query (vec_id < 10) — such a vector
+    would beat the 1e6+ planted copies on the ascending-id tiebreak
+    and break the 30/30 constant. Assert it against the LIVE fixture
+    (the SF the oracle gates run at) so a fixture regeneration fails
+    HERE with a named invariant, not as a mysterious hash mismatch."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_ORACLE
+
+    tbl = pq.read_table(f"{SF_ORACLE}/embeddings.parquet")
+    ids = tbl.column("vec_id").to_numpy()
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    qmask = ids < 10
+    cos = (vecs[qmask] @ vecs.T) / np.outer(norms[qmask], norms)
+    # mask each query's self-pair; everything else is organic corpus
+    for qi, qid in enumerate(ids[qmask]):
+        cos[qi, ids == qid] = -2.0
+    worst = np.round(cos, 4).max()
+    assert worst < 1.0, (
+        f"organic vector @4-rounds to cos {worst} with a query - the "
+        "planted-copy constant oracle invariant no longer holds"
+    )
+
+
 def test_multimodal_plumbing(spark):
     blobs = spark.range(8).select(
         F.col("id").alias("media_id"),

@@ -2076,6 +2076,22 @@ def test_ivf_recall_sweep_degenerate_contracts(spark):
     for r in rows:
         assert (r["n_queries"], r["n_exact"], r["n_hits"]) == (0, 0, 0)
         assert r["recall_e6"] is None
+    # r14 ADVICE: the gate ORACLE honors the same contract — on an
+    # empty embeddings table it emits one row per n_probe with NULL
+    # recall (sweep-driven LEFT JOIN) instead of collapsing to 0 rows
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT 1::BIGINT AS vec_id,"
+        " [0.1::FLOAT] AS embedding, 0 AS label WHERE FALSE"
+    )
+    odf = con.execute(entry.oracle_sql()["ann_ivf_recall_curve"]).df()
+    assert list(odf["n_probe"]) == [1, 2, 4, 8]
+    assert odf["recall_e6"].isna().all()
+    assert (odf["n_exact"] == 0).all() and (odf["n_queries"] == 0).all()
 
 
 def test_rp_lsh_recall_sweep_matches_bucket_replay(spark):
