@@ -4802,9 +4802,13 @@ def cusum_chart(
     interval, in micro-defect units). Integer bound (ANSI throws,
     never silent): the prefix sums reach ~1e6·Σn under sustained
     one-sided drift, BIGINT-unsafe past ~9.2e12 rows drifting the
-    same way between alarms — reset the window on alarm (standard
-    CUSUM practice) or lift to DECIMAL(38,0) at that scale (the
-    kendall remedy).
+    same way between alarms — reset the window on alarm. RECORDED
+    DECISION (r14, SCALING.md): documentation, not a DECIMAL lift,
+    is the remedy for this one overflow-class member — the live
+    twin's long state fields cannot lift, so batch-only DECIMAL
+    would break the bridge's bit-for-bit twin contract, and
+    reset-on-alarm is the textbook CUSUM protocol (a chart past h is
+    saturated evidence).
 
     Scale shape: one grain aggregation, one broadcast scalar, two
     prefix passes over GRAIN rows (days/shards — bounded), zero

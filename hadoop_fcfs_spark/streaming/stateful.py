@@ -721,7 +721,9 @@ def stream_cusum_monitor(
     dropped (the zone-monitor quarantine). Same integer bound as the
     batch twin: the accumulators reach ~1e6·Σn under sustained
     one-sided drift (Python side is exact bignum, but the long state
-    field caps at 2⁶³) — reset on alarm at that scale. Same argument validation
+    field caps at 2⁶³) — reset on alarm at that scale; the recorded
+    r14 ruling (SCALING.md) keeps BOTH twins on BIGINT so the bridge
+    contract stays symmetric. Same argument validation
     as the batch fn (slack ≥ 0, h > 0) — misconfiguration fails at
     construction, not per row.
 
