@@ -2218,6 +2218,135 @@ def bpe_pair_counts_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wordpiece_pair_scores",
+    oracle="""
+    WITH w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    pc AS (
+      SELECT CASE WHEN i = 1 THEN substr(word, 1, 1)
+                  ELSE '##' || substr(word, i, 1) END AS l,
+             '##' || substr(word, i + 1, 1) AS r, cnt
+      FROM (SELECT word, cnt, UNNEST(range(1, length(word))) AS i
+            FROM w WHERE length(word) >= 2)
+    ),
+    pcc AS (SELECT l, r, SUM(cnt) AS pair_count FROM pc GROUP BY 1, 2),
+    sc AS (
+      SELECT sym, SUM(cnt) AS sym_count FROM (
+        SELECT CASE WHEN i = 1 THEN substr(word, 1, 1)
+                    ELSE '##' || substr(word, i, 1) END AS sym, cnt
+        FROM (SELECT word, cnt, UNNEST(range(1, length(word) + 1)) AS i
+              FROM w)
+      ) GROUP BY 1
+    )
+    SELECT l AS left_sym, r AS right_sym,
+           CAST(pair_count AS BIGINT) AS pair_count,
+           CAST(ls.sym_count AS BIGINT) AS left_count,
+           CAST(rs.sym_count AS BIGINT) AS right_count,
+           CAST((1000000000000 * pair_count)
+                // (ls.sym_count * rs.sym_count) AS BIGINT) AS score_e12
+    FROM pcc JOIN sc ls ON pcc.l = ls.sym JOIN sc rs ON pcc.r = rs.sym
+    ORDER BY score_e12 DESC, pair_count DESC, left_sym, right_sym
+    LIMIT 50
+    """,
+    doc="WordPiece trainer criterion, iteration-1 statistics "
+    "(llm.bpe.wordpiece_pair_scores over llm.bpe.wordpiece_word_vocab): "
+    "score(a,b) = count(ab)/(count(a)*count(b)) — the likelihood-ratio "
+    "merge ranking of the BERT tokenizer family (r14 absent-capability: "
+    "BPE ranks pairs by raw frequency; a user training a BERT-family "
+    "vocab ranks by THIS and could not before). '##' continuation "
+    "marking, score_e12 = pair*1e12 div (cnt_a*cnt_b) with both "
+    "products DECIMAL(38,0) (overflow-class rule applied from birth), "
+    "top-50 with (score, count, lexical) total-order ties. Pair and "
+    "symbol counts from the word-TYPE table, never the token stream; "
+    "the symbol-count join sides are alphabet-bounded broadcasts. The "
+    "merge LOOP (argmax + in-array rewrite) and greedy longest-match "
+    "encode are pytest-locked vs a pure-Python reference per the "
+    "declared bpe_encode rule.",
+)
+def wordpiece_pair_scores_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.llm.bpe import (
+        wordpiece_pair_scores,
+        wordpiece_word_vocab,
+    )
+
+    # the word-TYPE table feeds three consumers (pair census + both
+    # symbol-count join sides) — waypoint it so the corpus is scanned
+    # ONCE (the trainer loop localCheckpoints it for the same reason)
+    vocab = waypoint(wordpiece_word_vocab(t(spark, sf_dir, "documents"), "text"))
+    sc = wordpiece_pair_scores(vocab)
+    return (
+        sc.select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.col("left_count").cast("long").alias("left_count"),
+            F.col("right_count").cast("long").alias("right_count"),
+            F.col("score_e12").cast("long").alias("score_e12"),
+        )
+        .orderBy(
+            F.desc("score_e12"), F.desc("pair_count"), "left_sym", "right_sym"
+        )
+        .limit(50)
+    )
+
+
+@register(
+    "unigram_seed_candidates",
+    oracle="""
+    WITH w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    subs AS (
+      SELECT substr(ws.word, ws.i, ls.l) AS piece, ws.word, ws.cnt
+      FROM (SELECT word, cnt, UNNEST(range(1, length(word) + 1)) AS i
+            FROM w) ws,
+           generate_series(1, 4) ls(l)
+      WHERE ws.i + ls.l - 1 <= length(ws.word)
+    ),
+    cand AS (
+      SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
+             CAST(SUM(cnt) AS BIGINT) AS piece_count,
+             CAST(COUNT(DISTINCT word) AS BIGINT) AS n_word_types
+      FROM subs GROUP BY 1
+    )
+    SELECT piece, piece_len, piece_count, n_word_types
+    FROM cand WHERE piece_len = 1 OR piece_count >= 2
+    ORDER BY piece_count DESC, piece LIMIT 200
+    """,
+    doc="Unigram-LM (SentencePiece family) seed-vocabulary census "
+    "(llm.bpe.unigram_seed_candidates): every substring of length "
+    "1..4 of every word TYPE, frequency-weighted with in-word "
+    "multiplicity, single chars always kept (the Viterbi coverage "
+    "floor), longer pieces clear min_count=2 (r14 absent-capability: "
+    "the tokenizer family's third algorithm — this census seeds the "
+    "hard-EM trainer llm.bpe.unigram_lm_em, whose iterative Viterbi "
+    "re-estimation is pytest-locked integer-exact vs a pure-Python "
+    "replay per the declared rule). Word-TYPE grain only (substring "
+    "explode bounded by max_len x type length, never the token "
+    "stream), one map-side-combined census. Top-200, (count, piece) "
+    "total order.",
+)
+def unigram_seed_candidates_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.bpe import unigram_seed_candidates
+
+    return (
+        unigram_seed_candidates(
+            t(spark, sf_dir, "documents"), "text", max_len=4, min_count=2
+        )
+        .orderBy(F.desc("piece_count"), "piece")
+        .limit(200)
+    )
+
+
+@register(
     "knn_label_confusion",
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,

