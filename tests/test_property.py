@@ -2175,9 +2175,9 @@ def test_rp_lsh_recall_sweep_matches_bucket_replay(spark):
 
 
 @given(
-    word=st.text(alphabet="abc", min_size=1, max_size=8),
+    word=st.text(alphabet="abç日", min_size=1, max_size=8),
     pieces=st.dictionaries(
-        st.text(alphabet="abc", min_size=1, max_size=3),
+        st.text(alphabet="abç日", min_size=1, max_size=3),
         st.integers(-5_000_000, -1),
         min_size=1,
         max_size=12,
