@@ -603,6 +603,8 @@ def unigram_lm_em(
     counts = {
         r["piece"]: int(r["piece_count"]) for r in seed.collect()
     }
+    if not counts:
+        return []  # empty corpus: empty model (no evidence, not an error)
     total = sum(counts.values())
     logp = {
         p: math.floor(math.log(c / total) * 1_000_000)

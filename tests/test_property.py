@@ -2201,3 +2201,123 @@ def test_viterbi_segment_is_optimal_property(word, pieces):
     assert got == want
     if got is not None:
         assert "".join(got) == word
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(max_examples=6, deadline=None)
+def test_wordpiece_pair_scores_matches_python_replay_property(spark, words):
+    """wordpiece_pair_scores (r14) vs an exact Python replay of the
+    likelihood-ratio table on arbitrary corpora: ##-marked symbol
+    census, pair census, and the truncating 1e12 integer score agree
+    row-for-row (the FULL table, not just the argmax)."""
+    from collections import Counter
+
+    from hadoop_fcfs_spark.llm.bpe import (
+        CONT,
+        wordpiece_pair_scores,
+        wordpiece_word_vocab,
+    )
+
+    corpus = " ".join(words)
+    wc = Counter(words)
+    pc: Counter = Counter()
+    sc: Counter = Counter()
+    for w, c in wc.items():
+        syms = [w[0]] + [CONT + ch for ch in w[1:]]
+        for s in syms:
+            sc[s] += c
+        for a, b in zip(syms, syms[1:]):
+            pc[(a, b)] += c
+    ref = {
+        (a, b): (n, sc[a], sc[b], (10**12 * n) // (sc[a] * sc[b]))
+        for (a, b), n in pc.items()
+    }
+
+    df = spark.createDataFrame([(corpus,)], "text string")
+    got = {
+        (r["left"], r["right"]): (
+            r["pair_count"],
+            r["left_count"],
+            r["right_count"],
+            r["score_e12"],
+        )
+        for r in wordpiece_pair_scores(
+            wordpiece_word_vocab(df, "text")
+        ).collect()
+    }
+    assert got == ref
+
+
+@given(
+    vocab_pieces=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=3),
+        min_size=1,
+        max_size=8,
+    ),
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(max_examples=6, deadline=None)
+def test_wordpiece_encode_matches_python_replay_property(
+    spark, vocab_pieces, words
+):
+    """wordpiece_encode (r14) vs an independent Python greedy
+    longest-match-first replay over arbitrary vocab/word combinations:
+    identical tokens, whole-word [UNK] on any unmatchable remainder,
+    and every non-UNK encoding concatenates back to its word."""
+    from hadoop_fcfs_spark.llm.bpe import CONT, wordpiece_encode
+
+    vocab = set()
+    for p in vocab_pieces:
+        vocab.add(p)
+        vocab.add(CONT + p)
+
+    def ref_encode(word):
+        out, start = [], 0
+        while start < len(word):
+            end = len(word)
+            hit = None
+            while end > start:
+                cand = word[start:end]
+                if start > 0:
+                    cand = CONT + cand
+                if cand in vocab:
+                    hit = cand
+                    break
+                end -= 1
+            if hit is None:
+                return ["[UNK]"]
+            out.append(hit)
+            start = end
+        return out
+
+    text = " ".join(words)
+    want = [tok for w in words for tok in ref_encode(w)]
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = wordpiece_encode(df, "text", vocab, id_col="doc_id").collect()[0]
+    assert row["tokens"] == want and row["n_tokens"] == len(want)
+    for w in words:
+        enc = ref_encode(w)
+        if enc != ["[UNK]"]:
+            assert "".join(
+                t[len(CONT):] if t.startswith(CONT) else t for t in enc
+            ) == w
+
+
+def test_unigram_lm_em_empty_corpus_contract(spark):
+    """unigram_lm_em (r14 self-review): an empty/whitespace corpus
+    returns an EMPTY model (no evidence, not a ZeroDivisionError in
+    the seed log-prob)."""
+    from hadoop_fcfs_spark.llm.bpe import unigram_lm_em
+
+    df = spark.createDataFrame([("",), ("   ",)], "text string")
+    assert unigram_lm_em(df, "text", n_iterations=2) == []
