@@ -61,17 +61,25 @@ def pagerank(
     # window partitioned by src: a hub with 1e8 out-edges would put its
     # whole edge list through ONE window task, while the aggregation
     # partial-combines map-side and the join is AQE-skew-splittable
-    out_mass = ew.groupBy("src").agg(F.sum("w").alias("__wsum"))
-    norm = ew.join(out_mass, "src").select(
-        "src", "dst", (F.col("w") / F.col("__wsum")).alias("wn")
-    )
+    from hadoop_fcfs_spark.caching import waypoint
 
-    nodes = (
+    out_mass = ew.groupBy("src").agg(F.sum("w").alias("__wsum"))
+    # the normalized edge table and the node set are consumed EVERY
+    # iteration (and the node set three more times: count, rank init,
+    # dangling anti-join) — without the waypoints each consumer re-runs
+    # the raw edge scan + normalization shuffle per iteration (r14
+    # class sweep; the markov_stationary precedent in this file)
+    norm = waypoint(
+        ew.join(out_mass, "src").select(
+            "src", "dst", (F.col("w") / F.col("__wsum")).alias("wn")
+        )
+    )
+    nodes = waypoint(
         ew.select(F.col("src").alias("node"))
         .unionByName(ew.select(F.col("dst").alias("node")))
         .distinct()
     )
-    n = nodes.count()  # one scalar; the only driver-side value
+    n = nodes.count()  # one scalar over the cached node set
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
 

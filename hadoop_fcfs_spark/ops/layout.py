@@ -132,10 +132,18 @@ def rank_normalize(df: DataFrame, col: str, id_col: str, bits: int = 16, out_col
     ``ranked_total_order`` (range partition + per-partition enumeration +
     broadcast offsets) and the bucket is a per-row expression
     (``ntile_from_rank``) — no single-task WindowExec, so normalizing a
-    100 TB column shuffles once and never funnels through one task."""
+    100 TB column shuffles once and never funnels through one task.
+
+    The row count the bucket formula needs is read from the WAYPOINTED
+    input (r14, the CDC-guard class sweep: an uncached ``df.count()``
+    here was a second full pass over an arbitrary upstream lineage —
+    with the waypoint, the input materializes once and both the count
+    and the rank pass read the cache)."""
+    from hadoop_fcfs_spark.caching import waypoint
     from hadoop_fcfs_spark.ops.sort import ntile_from_rank, ranked_total_order
 
     out = out_col or f"{col}_znorm"
+    df = waypoint(df)
     n = df.count()
     ranked = ranked_total_order(df, [F.col(col), F.col(id_col)], rank_col="__rk")
     return ranked.withColumn(
