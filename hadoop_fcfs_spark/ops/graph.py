@@ -141,7 +141,14 @@ def bfs_levels(
     if not sources:
         raise ValueError("sources must be non-empty")
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    from hadoop_fcfs_spark.caching import waypoint
+
+    # the deduped edge table is joined EVERY hop — without the waypoint
+    # each hop re-runs the raw scan AND the distinct's shuffle (r14
+    # class sweep; pagerank/markov precedent)
+    e = waypoint(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
     visited = spark.createDataFrame(
         [(s, 0) for s in sources], ["node", "hops"]
     ).distinct()
@@ -194,9 +201,15 @@ def sssp(
     if not sources:
         raise ValueError("sources must be non-empty")
     spark = edges.sparkSession
-    e = edges.select(
-        F.col(src).alias("__es"), F.col(dst).alias("__ed"),
-        F.col(weight).cast("long").alias("__ew"),
+    from hadoop_fcfs_spark.caching import waypoint
+
+    # joined every relaxation round — cache the projection so rounds
+    # re-read the materialized edges, not the raw upstream lineage
+    e = waypoint(
+        edges.select(
+            F.col(src).alias("__es"), F.col(dst).alias("__ed"),
+            F.col(weight).cast("long").alias("__ew"),
+        )
     )
     dist = spark.createDataFrame([(s, 0) for s in sources], ["node", "dist"])
     dist = dist.groupBy("node").agg(F.min("dist").alias("dist"))
