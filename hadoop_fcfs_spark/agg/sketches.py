@@ -150,12 +150,20 @@ def cms_partial(
         F.col(key_col).alias("__k"),
     )
     return (
-        rows.select(
-            *gc, "row", F.pmod(F.xxhash64("row", "__k"), F.lit(width)).alias("pos")
-        )
+        rows.select(*gc, "row", cms_cell_pos("row", "__k", width).alias("pos"))
         .groupBy(*gc, "row", "pos")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def cms_cell_pos(row_col: str, key_col: str, width: int) -> Column:
+    """THE CMS cell-hash definition: pos = xxhash64(row, key) mod width
+    — one shared expression so the batch build (:func:`cms_partial`),
+    the estimator (:func:`cms_estimate`) and the streaming twin
+    (streaming.stateful.stream_cms_monitor) can never disagree on
+    where an element lands (the hashing stays JVM-side in all three;
+    the stream twin's Python state only ADDS, it never hashes)."""
+    return F.pmod(F.xxhash64(row_col, key_col), F.lit(width))
 
 
 def cms_rollup(
@@ -183,7 +191,7 @@ def cms_estimate(
             F.col(key_col),
             F.explode(F.sequence(F.lit(0), F.col("__maxrow"))).alias("row"),
         )
-        .withColumn("pos", F.pmod(F.xxhash64("row", key_col), F.lit(width)))
+        .withColumn("pos", cms_cell_pos("row", key_col, width))
     )
     hit = cand.join(sketch, ["row", "pos"], "left").select(
         key_col, F.coalesce("cnt", F.lit(0)).alias("cnt")

@@ -772,3 +772,92 @@ def stream_cusum_monitor(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_cms_monitor(
+    stream_df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    elem_col: str,
+    depth: int = 4,
+    width: int = 64,
+):
+    """Live Count-Min sketch maintenance — the ELEVENTH live bridge,
+    extending the bridge family to the SKETCH tier. It passes the
+    boundary test trivially and by construction: CMS counters only
+    ADD (sum-merge is monotone — the cleanest possible "no emitted
+    term is ever retroactive"), and the cell HASHING never enters
+    Python at all — the stream pre-projects (row, pos) with the SAME
+    JVM expression the batch build uses (``agg.sketches.cms_cell_pos``
+    — one shared definition, so stream and batch cannot disagree on
+    where an element lands), and the stateful operator's only job is
+    integer increments over a bounded counter map.
+
+    Emits one row per (element, hash row): (key, idx, row, pos, cnt)
+    with cnt the counter value AFTER that element — a live MERGE-feed
+    (the stream_cdc_net_monitor convention): a downstream that applies
+    the LATEST cnt per (key, row, pos) holds, at any moment, exactly
+    the sketch batch ``cms_partial`` would build over that prefix,
+    integer-exactly — point estimates (``cms_estimate``) and
+    counter-sum merges (``cms_rollup``) run on the materialized cells
+    unchanged. State per key is the touched-cell map, bounded by
+    depth·width longs regardless of stream length (two parallel
+    arrays in the Arrow state). NULL elements hash like the batch
+    build hashes them (same expression — dropped rows would diverge).
+
+    Input rows are the GRAIN (one row per key per element index) in
+    per-key index order across micro-batches; rows sort by index
+    within each batch. outputMode 'append'."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.agg.sketches import cms_cell_pos
+
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    cells = stream_df.select(
+        key_col,
+        idx_col,
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+        F.col(elem_col).alias("__e"),
+    ).select(
+        key_col,
+        idx_col,
+        "row",
+        cms_cell_pos("row", "__e", width).alias("pos"),
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            cell_ids, cnts = state.get
+            counters = dict(zip(cell_ids, cnts))
+        else:
+            counters = {}
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(i), int(r), int(p))
+                for i, r, p in zip(pdf[idx_col], pdf["row"], pdf["pos"])
+            )
+        out = []
+        for i, r, p in sorted(rows):
+            cell = r * width + p
+            counters[cell] = counters.get(cell, 0) + 1
+            out.append({
+                key_col: key[0], idx_col: i, "row": r, "pos": p,
+                "cnt": counters[cell],
+            })
+        if rows:
+            ks = sorted(counters)
+            state.update((ks, [counters[k] for k in ks]))
+        if out:
+            yield pd.DataFrame(out)
+
+    return cells.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} string, {idx_col} long, row int, pos int, cnt long"
+        ),
+        stateStructType="cell_ids array<long>, cnts array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1854,3 +1854,113 @@ def test_stream_cusum_monitor_matches_batch_exactly(spark, tmp_path):
         stream_cusum_monitor(stream, "k", "d", "n", "x", 1, 2, slack_e6=-1)
     with _pytest.raises(ValueError, match="h_e6"):
         stream_cusum_monitor(stream, "k", "d", "n", "x", 1, 2, h_e6=0)
+
+
+def test_stream_cms_monitor_matches_batch_exactly(spark, tmp_path):
+    """stream_cms_monitor bridge (r14, eleventh live bridge — the
+    sketch tier goes live): (a) the latest emitted cnt per (key, row,
+    pos) over the full stream equals batch cms_partial on the full
+    input integer-exactly; (b) the SAME holds mid-stream — after the
+    first chunk the live cells equal cms_partial over exactly that
+    prefix (micro-batch-split invariance); (c) every emission matches
+    a sequential replay over the JVM-projected cells (the hashing is
+    the shared cms_cell_pos expression — Python never hashes); NULL
+    elements hash identically on both sides."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hadoop_fcfs_spark.agg.sketches import cms_cell_pos, cms_partial
+    from hadoop_fcfs_spark.streaming.stateful import stream_cms_monitor
+
+    depth, width = 3, 16
+    rng = random.Random(41)
+    elems = {
+        f"s{k}": [
+            rng.choice(["a", "b", "c", "dd", "ee", "zipf"])
+            + str(rng.randint(0, 5))
+            for _ in range(rng.randint(3, 20))
+        ]
+        for k in range(6)
+    }
+    elems["s0"].append(None)  # NULL element: must hash like the batch
+    rows = [(k, i, e) for k, es in elems.items() for i, e in enumerate(es)]
+    rng.shuffle(rows)
+    rows.sort(key=lambda r: r[1])  # per-key index order, keys interleaved
+
+    def sketch_of(prefix_rows):
+        df = spark.createDataFrame(prefix_rows, "k string, i long, e string")
+        return {
+            (r["k"], r["row"], r["pos"]): r["cnt"]
+            for r in cms_partial(
+                df, "e", depth=depth, width=width, group_cols=["k"]
+            ).collect()
+        }
+
+    split = len(rows) // 2
+    batch_full = sketch_of(rows)
+    batch_prefix = sketch_of(rows[:split])
+
+    # JVM-projected cells for the sequential replay (c)
+    cells_df = (
+        spark.createDataFrame(rows, "k string, i long, e string")
+        .select(
+            "k", "i",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+            "e",
+        )
+        .select("k", "i", "row", cms_cell_pos("row", "e", width).alias("pos"))
+        .collect()
+    )
+    cell_of = {(r["k"], r["i"], r["row"]): r["pos"] for r in cells_df}
+
+    src = str(tmp_path / "cms_src")
+
+    def write(chunk):
+        spark.createDataFrame(
+            chunk, "k string, i long, e string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write(rows[:split])
+    stream = spark.readStream.schema("k string, i long, e string").parquet(src)
+    mon = stream_cms_monitor(stream, "k", "i", "e", depth=depth, width=width)
+    q = (
+        mon.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cms_mon")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        live_prefix = spark.sql("SELECT * FROM cms_mon").collect()
+        write(rows[split:])
+        q.processAllAvailable()
+        live = spark.sql("SELECT * FROM cms_mon").collect()
+    finally:
+        q.stop()
+
+    def latest_cells(emissions):
+        best = {}
+        for r in emissions:
+            cell = (r["k"], r["row"], r["pos"])
+            if cell not in best or r["i"] > best[cell][0]:
+                best[cell] = (r["i"], r["cnt"])
+        return {c: cnt for c, (_, cnt) in best.items()}
+
+    # (b) mid-stream: live cells after chunk 1 == batch sketch of chunk 1
+    assert latest_cells(live_prefix) == batch_prefix
+    # (a) full stream == batch sketch of everything
+    assert latest_cells(live) == batch_full
+    assert len(live) == len(rows) * depth  # one emission per (element, row)
+
+    # (c) sequential replay over the JVM cells: counters per key/cell
+    counters: dict = {}
+    want = {}
+    for k, i, _ in sorted(rows, key=lambda r: (r[0], r[1])):
+        for row in range(depth):
+            pos = cell_of[(k, i, row)]
+            cell = (k, row, pos)
+            counters[cell] = counters.get(cell, 0) + 1
+            want[(k, i, row)] = (pos, counters[cell])
+    for r in live:
+        assert (r["pos"], r["cnt"]) == want[(r["k"], r["i"], r["row"])], r
