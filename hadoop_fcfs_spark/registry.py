@@ -78,42 +78,19 @@ def register(name: str, oracle: str | None, doc: str = ""):
 _NEVER_SAMPLED: tuple[str, ...] = ()
 
 _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
-    # latest driver row: round 6 (24 gates)
-    "logrank_cohorts": 6, "loo_priority_price": 6, "markov_entropy_rate":
-    6, "markov_next_event_eval": 6, "markov_stationary_events": 6,
-    "mutual_nn_pairs": 6, "mwu_priority_price": 6, "nelson_aalen_hazard":
-    6, "ngram_novelty_curve": 6, "ols_qty_price_by_brand": 6,
-    "pacf_daily_events": 6, "quantile_normalize_segments": 6,
-    "ra_link_parts": 6, "rolling_zscore_daily": 6, "scd2_pit_join": 6,
-    "sssp_trade_cost": 6, "temperature_mix_langs": 6,
-    "temporal_split_audit": 6, "theta_churn_new_users": 6,
-    "trimmed_mean_price": 6, "weekday_adjusted_anomaly": 6,
-    "weighted_quantile_ladder": 6, "welch_acctbal_segments": 6,
-    "wilson_conversion_bounds": 6,
-    # latest driver row: round 7 (50 gates)
-    "ab_power_priorities": 7, "ams_f2_custkey": 7, "auc_by_segment": 7,
-    "auc_delong_orderstatus": 7, "bradley_terry_suppliers": 7,
-    "brier_orderstatus": 7, "brown_forsythe_acctbal": 7,
-    "calibration_orderstatus": 7, "ccf_click_purchase": 7,
-    "cmh_segment_status": 7, "cochran_armitage_returns": 7,
-    "cohort_retention_matrix": 7, "conformal_threshold_prices": 7,
-    "corpus_pipeline_v6": 7, "cramers_v_segment_priority": 7,
-    "cuped_purchases": 7, "dispersion_daily_events": 7, "ece_orderstatus":
-    7, "effect_sizes_returnflag": 7, "emd_price_returnflag": 7,
-    "friedman_priority_volume": 7, "funnel_conversion": 7,
-    "gains_orderstatus": 7, "hodges_lehmann_daily": 7, "info_gain_orders":
-    7, "isotonic_orderstatus": 7, "jonckheere_priority_price": 7,
-    "kendall_events_daily": 7, "knn_ndcg_labels": 7,
-    "kruskal_priority_price": 7, "langid_kappa": 7, "lin_ccc_order_value":
-    7, "mann_kendall_daily_events": 7, "neyman_allocation_orders": 7,
-    "ordinal_assoc_weekday": 7, "page_trend_priority": 7,
-    "position_attribution": 7, "pps_ess_priorities": 7, "rmst_retention":
-    7, "robust_scale_price": 7, "roc_auc_orderstatus": 7,
-    "rolling_origin_folds_events": 7, "seasonal_naive_events": 7,
-    "simpson_segment_status": 7, "smd_balance_nations": 7,
-    "t_closeness_customers": 7, "theil_decomposition_nations": 7,
-    "theil_order_values": 7, "training_shard_manifest": 7,
-    "woe_price_returns": 7,
+    # latest driver row: round 7 (26 gates)
+    "info_gain_orders": 7, "isotonic_orderstatus": 7,
+    "jonckheere_priority_price": 7, "kendall_events_daily": 7,
+    "knn_ndcg_labels": 7, "kruskal_priority_price": 7, "langid_kappa": 7,
+    "lin_ccc_order_value": 7, "mann_kendall_daily_events": 7,
+    "neyman_allocation_orders": 7, "ordinal_assoc_weekday": 7,
+    "page_trend_priority": 7, "position_attribution": 7,
+    "pps_ess_priorities": 7, "rmst_retention": 7, "robust_scale_price": 7,
+    "roc_auc_orderstatus": 7, "rolling_origin_folds_events": 7,
+    "seasonal_naive_events": 7, "simpson_segment_status": 7,
+    "smd_balance_nations": 7, "t_closeness_customers": 7,
+    "theil_decomposition_nations": 7, "theil_order_values": 7,
+    "training_shard_manifest": 7, "woe_price_returns": 7,
     # latest driver row: round 8 (50 gates)
     "aalen_johansen_cif": 8, "agg_descriptors": 8, "ann_cosine_pairs": 8,
     "ann_cosine_topk": 8, "ann_ivf_topk": 8, "ari_kmeans_labels": 8,
@@ -243,6 +220,31 @@ _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
     "trade_degree_assortativity": 13, "trade_triangles": 13,
     "trending_parts": 13, "user_behavior_entropy": 13, "vocab_richness":
     13, "weighted_median_price": 13,
+    # latest driver row: round 14 (50 gates)
+    "ab_power_priorities": 14, "ams_f2_custkey": 14, "auc_by_segment": 14,
+    "auc_delong_orderstatus": 14, "bradley_terry_suppliers": 14,
+    "brier_orderstatus": 14, "brown_forsythe_acctbal": 14,
+    "calibration_orderstatus": 14, "ccf_click_purchase": 14,
+    "cmh_segment_status": 14, "cochran_armitage_returns": 14,
+    "cohort_retention_matrix": 14, "conformal_threshold_prices": 14,
+    "corpus_pipeline_v6": 14, "cramers_v_segment_priority": 14,
+    "cuped_purchases": 14, "dispersion_daily_events": 14,
+    "ece_orderstatus": 14, "effect_sizes_returnflag": 14,
+    "emd_price_returnflag": 14, "friedman_priority_volume": 14,
+    "funnel_conversion": 14, "gains_orderstatus": 14,
+    "hodges_lehmann_daily": 14, "logrank_cohorts": 14,
+    "loo_priority_price": 14, "markov_entropy_rate": 14,
+    "markov_next_event_eval": 14, "markov_stationary_events": 14,
+    "mutual_nn_pairs": 14, "mwu_priority_price": 14,
+    "nelson_aalen_hazard": 14, "ngram_novelty_curve": 14,
+    "ols_qty_price_by_brand": 14, "pacf_daily_events": 14,
+    "quantile_normalize_segments": 14, "ra_link_parts": 14,
+    "rolling_zscore_daily": 14, "scd2_pit_join": 14, "sssp_trade_cost":
+    14, "temperature_mix_langs": 14, "temporal_split_audit": 14,
+    "theta_churn_new_users": 14, "trimmed_mean_price": 14,
+    "unigram_seed_candidates": 14, "weekday_adjusted_anomaly": 14,
+    "weighted_quantile_ladder": 14, "welch_acctbal_segments": 14,
+    "wilson_conversion_bounds": 14, "wordpiece_pair_scores": 14,
 }
 
 
