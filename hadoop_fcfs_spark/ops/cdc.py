@@ -25,16 +25,35 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _checked_op(op_col: str, ops: tuple[str, ...], what: str) -> Column:
-    """The op column wrapped so every row validates as the one real
-    pass consumes it: unknown (or NULL) ops raise_error at execution
-    time with the offending value in the message. Replaces the former
-    eager ``bad.take(1)`` pre-scan guards (r13 ADVICE / verdict #4) —
-    at 100 TB those doubled the read; this costs one codegen branch
-    inside the scan that already happens and keeps construction lazy.
-    Surfaces as ``pyspark.errors.SparkRuntimeException
-    [USER_RAISED_EXCEPTION]`` on the first action."""
-    return F.when(F.col(op_col).isin(*ops), F.col(op_col)).otherwise(
+def _checked_op(
+    op_col: str,
+    ops: tuple[str, ...],
+    what: str,
+    then: Column | None = None,
+) -> Column:
+    """``then`` (default: the op column itself) wrapped so the row
+    validates as the one real pass consumes it: unknown (or NULL) ops
+    raise_error at execution time with the offending value in the
+    message. Replaces the former eager ``bad.take(1)`` pre-scan guards
+    (r13 ADVICE / verdict #4) — at 100 TB those doubled the read; this
+    costs one codegen branch inside the scan that already happens and
+    keeps construction lazy. Surfaces as
+    ``pyspark.errors.SparkRuntimeException [USER_RAISED_EXCEPTION]``
+    on the first action.
+
+    Placement rule (r14 ADVICE #1): the wrapper must ride an expression
+    position that is evaluated for EVERY row. A plain projection
+    qualifies; the VALUE side of min_by/max_by and any
+    compact-then-validate shape do NOT — min_by/max_by evaluate their
+    value expression lazily (only when a row wins the running
+    extremum), so a bad op strictly between a key's extrema slips
+    through, and a row_number pre-filter drops rows before a
+    downstream check sees them. For those shapes pass the ORDERING
+    expression as ``then`` — orderings are computed for every row."""
+    return F.when(
+        F.col(op_col).isin(*ops),
+        F.col(op_col) if then is None else then,
+    ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"unknown ops in {what}: "),
@@ -112,14 +131,29 @@ def apply_changeset(
     construction — the function is fully lazy and never pre-scans the
     changeset (r13 ADVICE / verdict #4). The ambiguity guard is a
     per-key count window whose hash partitioning the merge join reuses,
-    so it adds no exchange.
+    so it adds no exchange. Unknown-op scope (recorded contract, r15):
+    with ``ts_col`` the check applies to each key's surviving LATEST
+    row — a superseded row's op cannot affect the output and is
+    tolerated (the r13 eager guard likewise validated the compacted
+    set); contrast cdc_net_changes, which validates every row because
+    every row feeds its net rule.
     """
     ops = ("U", "D")
     data_cols = [c for c in snapshot.columns if c != key]
     latest = changes
     op_expr = _checked_op(op_col, ops, "changeset")
     if ts_col is not None:
-        order = [F.col(ts_col).desc()] + ([F.col(tiebreak).desc()] if tiebreak else [])
+        # Contract note (r15, ADVICE-#1 class sweep): validation here
+        # is compact-THEN-validate — only each key's surviving latest
+        # row is checked, because a superseded row's op cannot affect
+        # the merged output (latest-wins picks by ts/tiebreak, never by
+        # op). This matches the r13 eager guard, which also filtered
+        # `latest`, not `changes`. cdc_net_changes is the opposite
+        # case: every row's op feeds its net rule, so its guard rides
+        # the per-row-evaluated ordering.
+        order = [F.col(ts_col).desc()] + (
+            [F.col(tiebreak).desc()] if tiebreak else []
+        )
         w = Window.partitionBy(key).orderBy(*order)
         latest = (
             changes.withColumn("__rn", F.row_number().over(w))
@@ -246,10 +280,13 @@ def cdc_net_changes(
     combiner discipline, SURVEY §2.4). Unknown ops fail loudly (the
     apply_changeset guard — a silent drop is how changelog compaction
     corrupts downstream merges), with the check FUSED into the same
-    single aggregation scan: the op column is validated as the
-    combiner consumes it, so construction stays lazy and the log is
-    read exactly once (the former eager ``bad.take(1)`` doubled the
-    read at 100 TB — r13 ADVICE / verdict #4); the raise surfaces on
+    single aggregation scan: the op column is validated inside the
+    min_by/max_by ORDERING expression, which the combiner evaluates
+    for EVERY row — not the value side, which is lazy and would skip
+    a bad op strictly between a key's extrema (r14 ADVICE #1) — so
+    construction stays lazy and the log is read exactly once (the
+    former eager ``bad.take(1)`` doubled the read at 100 TB — r13
+    ADVICE / verdict #4); the raise surfaces on
     the first action as ``SparkRuntimeException
     [USER_RAISED_EXCEPTION]``. Determinism contract: the
     (ts, tiebreak) order must be TOTAL per key — under duplicate
@@ -260,15 +297,20 @@ def cdc_net_changes(
     Output: key, net_op, n_changes, first_ts, last_ts, last_<value>
     per value column (NULL on net deletes)."""
     ops = ("I", "U", "D")
-    checked = _checked_op(op_col, ops, "CDC log")
-    ord_ = (
+    raw_ord = (
         F.struct(F.col(ts_col), F.col(tiebreak))
         if tiebreak
         else F.col(ts_col)
     )
+    # Validation rides the ORDERING expression, which min_by/max_by
+    # evaluate for every row; on the VALUE side it only runs when a
+    # row wins the running extremum, so a bad op strictly between a
+    # key's first and last (ts, tiebreak) would silently drop — the
+    # exact corruption this guard exists to prevent (r14 ADVICE #1).
+    ord_ = _checked_op(op_col, ops, "CDC log", then=raw_ord)
     agg = log.groupBy(key).agg(
-        F.min_by(checked, ord_).alias("__first_op"),
-        F.max_by(checked, ord_).alias("__last_op"),
+        F.min_by(F.col(op_col), ord_).alias("__first_op"),
+        F.max_by(F.col(op_col), ord_).alias("__last_op"),
         *[F.max_by(c, ord_).alias(f"__last_{c}") for c in value_cols],
         F.count("*").cast("long").alias("n_changes"),
         F.min(ts_col).alias("first_ts"),

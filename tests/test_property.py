@@ -1910,11 +1910,16 @@ def test_cdc_net_changes_equals_sequential_replay_property(spark, seqs):
 
 
 def test_cdc_net_changes_unknown_op_fails_loudly(spark):
-    """cdc_net_changes (r13; guard fused r14): an op outside I/U/D —
-    including NULL, which the old pre-scan filter silently missed —
-    raises inside the single aggregation scan on the first action
-    instead of silently dropping rows; construction stays lazy (no
-    pre-scan job — r13 ADVICE / r14 verdict #4)."""
+    """cdc_net_changes (r13; guard fused r14, re-fused r15): an op
+    outside I/U/D — including NULL, which the old pre-scan filter
+    silently missed — raises inside the single aggregation scan on the
+    first action instead of silently dropping rows; construction stays
+    lazy (no pre-scan job — r13 ADVICE / r14 verdict #4). The r15
+    cases (r14 ADVICE #1): the bad op sits STRICTLY BETWEEN the key's
+    min and max (ts, tiebreak) — a value-position check inside
+    min_by/max_by is evaluated lazily (only when a row wins the
+    running extremum) and silently dropped exactly that row; the guard
+    now rides the ordering expression, evaluated for every row."""
     import pytest
     from pyspark.errors import SparkRuntimeException
 
@@ -1931,6 +1936,61 @@ def test_cdc_net_changes_unknown_op_fails_loudly(spark):
     )
     with pytest.raises(SparkRuntimeException, match="unknown ops in CDC log"):
         cdc_net_changes(nul, "k", "ts", "op", ["v"], tiebreak="ts").collect()
+    # r15: bad op strictly between the extrema (input order puts it
+    # LAST so incremental-extremum shortcuts can't see it win either
+    # bound) — the r14 value-position guard let this collect cleanly
+    # and drop 'X'
+    mid = spark.createDataFrame(
+        [(1, 0, "I", 5), (1, 2, "D", 7), (1, 1, "X", 6)],
+        "k long, ts long, op string, v long",
+    )
+    with pytest.raises(SparkRuntimeException, match="unknown ops in CDC log"):
+        cdc_net_changes(mid, "k", "ts", "op", ["v"], tiebreak="ts").collect()
+    midnul = spark.createDataFrame(
+        [(1, 0, "I", 5), (1, 2, "U", 7), (1, 1, None, 6)],
+        "k long, ts long, op string, v long",
+    )
+    with pytest.raises(SparkRuntimeException, match="unknown ops in CDC log"):
+        cdc_net_changes(midnul, "k", "ts", "op", ["v"], tiebreak="ts").collect()
+
+
+def test_apply_changeset_guard_is_compact_then_validate(spark):
+    """apply_changeset with ts_col (r15, r14 ADVICE #1 class sweep —
+    adjudicated NOT a member): the unknown-op guard checks each key's
+    SURVIVING latest row only. A superseded row's op cannot affect the
+    merged output (latest-wins orders by ts/tiebreak, never by op), and
+    the r13 eager guard also filtered the compacted `latest`, not the
+    raw changeset — so compact-then-validate is the recorded contract,
+    unlike cdc_net_changes where every row's op feeds the net rule.
+    Pins: tolerated unknown op on a superseded row, raise on a
+    surviving one (including NULL), and the clean-tiebreak compaction."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from hadoop_fcfs_spark.ops.cdc import apply_changeset
+
+    snap = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    superseded = spark.createDataFrame(
+        [(1, 0, "X", 11), (1, 1, "U", 12)], "k long, ts long, op string, v long"
+    )
+    got = apply_changeset(snap, superseded, "k", ts_col="ts")
+    assert sorted(map(tuple, got.collect())) == [(1, 12), (2, 20)]
+    surviving = spark.createDataFrame(
+        [(1, 0, "U", 11), (1, 1, "X", 12)], "k long, ts long, op string, v long"
+    )
+    with pytest.raises(SparkRuntimeException, match="unknown ops in changeset"):
+        apply_changeset(snap, surviving, "k", ts_col="ts").collect()
+    nul = spark.createDataFrame(
+        [(2, 0, "U", 21), (2, 1, None, 22)], "k long, ts long, op string, v long"
+    )
+    with pytest.raises(SparkRuntimeException, match="unknown ops in changeset"):
+        apply_changeset(snap, nul, "k", ts_col="ts").collect()
+    good = spark.createDataFrame(
+        [(1, 1, 0, "U", 11), (1, 1, 1, "U", 12), (2, 0, 0, "D", 0)],
+        "k long, ts long, tb long, op string, v long",
+    )
+    got2 = apply_changeset(snap, good, "k", ts_col="ts", tiebreak="tb")
+    assert sorted(map(tuple, got2.collect())) == [(1, 12)]
 
 
 def test_cdc_guards_are_lazy_single_pass(spark):
