@@ -476,6 +476,18 @@ def unigram_seed_candidates(
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
+    return _seed_from_vocab(w, max_len=max_len, min_count=min_count)
+
+
+def _seed_from_vocab(
+    w: DataFrame, max_len: int, min_count: int
+) -> DataFrame:
+    """The substring census of :func:`unigram_seed_candidates` over an
+    already-built word-TYPE vocab (columns ``word``, ``cnt``) — split
+    out (r15, r14 verdict #2) so :func:`unigram_lm_em` can feed its own
+    waypointed type table instead of re-deriving the identical census
+    from the raw corpus (which cost a second corpus scan + two shuffles
+    at trainer startup)."""
     subs = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.length("word")),
@@ -570,8 +582,11 @@ def unigram_lm_em(
     driver-side, drop unused multi-char pieces (single chars are the
     permanent coverage floor), optionally prune to ``vocab_size`` by
     (usage desc, piece) keeping all single chars. The word-type table
-    is localCheckpointed ONCE; iterations rerun the same bounded job
-    with a new closure table, so lineage never grows.
+    is waypointed ONCE and the seed census derives FROM it (not from
+    the raw corpus — r14 verdict #2: startup is one corpus scan total,
+    and the waypointed seed serves both the max_pieces guard count and
+    the collect); iterations rerun the same bounded job with a new
+    closure table, so lineage never grows.
 
     Returns the final piece table as [(piece, logp_e6, usage_count)],
     sorted by (usage desc, piece) — list form because the result is a
@@ -590,8 +605,15 @@ def unigram_lm_em(
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    seed = unigram_seed_candidates(
-        df, text_col, max_len=max_len, min_count=min_count
+    # One corpus scan total at startup (r15, r14 verdict #2 / ADVICE
+    # #2): the seed census derives from the already-waypointed `types`
+    # table (same grain, same agg as unigram_seed_candidates — shared
+    # _seed_from_vocab body), and `seed` is itself waypointed so the
+    # eager max_pieces guard count and the collect below share one
+    # evaluation. The count-before-collect refuse-early contract is
+    # unchanged: an oversized census raises before any big collect.
+    seed = waypoint(
+        _seed_from_vocab(types, max_len=max_len, min_count=min_count)
     )
     n_seed = seed.count()
     if n_seed > max_pieces:
