@@ -807,13 +807,20 @@ def stream_cms_monitor(
 
     Input rows are the GRAIN (one row per key per element index) in
     per-key index order across micro-batches; rows sort by index
-    within each batch. outputMode 'append'."""
+    within each batch. Key and index output fields carry the INPUT
+    schema's types (derived from ``stream_df.dtypes``, the
+    wordpiece_encode id_col convention — r14 ADVICE #3: the batch twin
+    ``cms_partial`` accepts arbitrary ``group_cols`` types, so a
+    hardcoded string/long here silently cast or mismatched at
+    runtime); the index must still be integral (emissions sort by it).
+    outputMode 'append'."""
     from pyspark.sql import functions as F
 
     from hadoop_fcfs_spark.agg.sketches import cms_cell_pos
 
     if depth < 1 or width < 1:
         raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    dt = dict(stream_df.dtypes)
     cells = stream_df.select(
         key_col,
         idx_col,
@@ -855,7 +862,8 @@ def stream_cms_monitor(
     return cells.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=(
-            f"{key_col} string, {idx_col} long, row int, pos int, cnt long"
+            f"`{key_col}` {dt[key_col]}, `{idx_col}` {dt[idx_col]}, "
+            "row int, pos int, cnt long"
         ),
         stateStructType="cell_ids array<long>, cnts array<long>",
         outputMode="append",

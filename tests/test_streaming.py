@@ -1964,3 +1964,51 @@ def test_stream_cms_monitor_matches_batch_exactly(spark, tmp_path):
             want[(k, i, row)] = (pos, counters[cell])
     for r in live:
         assert (r["pos"], r["cnt"]) == want[(r["k"], r["i"], r["row"])], r
+
+
+def test_stream_cms_monitor_preserves_key_and_index_types(spark, tmp_path):
+    """stream_cms_monitor (r15, r14 ADVICE #3): the output schema's key
+    and index fields derive from the INPUT schema (the wordpiece_encode
+    id_col convention) instead of a hardcoded string/long — the batch
+    twin cms_partial accepts arbitrary group_cols, so a LONG key or INT
+    index must round-trip typed, not silently cast or mismatch. Counts
+    re-checked against batch cms_partial on the typed key."""
+    from hadoop_fcfs_spark.agg.sketches import cms_partial
+    from hadoop_fcfs_spark.streaming.stateful import stream_cms_monitor
+
+    depth, width = 2, 8
+    rows = [(7, 0, "a"), (7, 1, "b"), (9, 0, "a"), (7, 2, "a")]
+    src = str(tmp_path / "cms_typed_src")
+    spark.createDataFrame(rows, "k long, i int, e string").coalesce(
+        1
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k long, i int, e string").parquet(src)
+    mon = stream_cms_monitor(stream, "k", "i", "e", depth=depth, width=width)
+    assert dict(mon.dtypes)["k"] == "bigint"
+    assert dict(mon.dtypes)["i"] == "int"
+    q = (
+        mon.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cms_mon_typed")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        live = spark.sql("SELECT * FROM cms_mon_typed").collect()
+    finally:
+        q.stop()
+    assert {type(r["k"]) for r in live} == {int}
+    assert len(live) == len(rows) * depth
+    best: dict = {}
+    for r in live:
+        cell = (r["k"], r["row"], r["pos"])
+        if cell not in best or r["i"] > best[cell][0]:
+            best[cell] = (r["i"], r["cnt"])
+    batch = {
+        (r["k"], r["row"], r["pos"]): r["cnt"]
+        for r in cms_partial(
+            spark.createDataFrame(rows, "k long, i int, e string"),
+            "e", depth=depth, width=width, group_cols=["k"],
+        ).collect()
+    }
+    assert {c: cnt for c, (_, cnt) in best.items()} == batch
