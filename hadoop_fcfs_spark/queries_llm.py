@@ -6346,3 +6346,60 @@ def ann_rp_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_lsh_recall_sweep(
         emb.unionByName(copies), queries, k=3, planes_sweep=(2, 4, 6, 8)
     )
+
+
+@register(
+    "host_cap_documents",
+    oracle="""
+    SELECT doc_id, host,
+           CAST(host_total AS BIGINT) AS host_total,
+           CAST(CASE WHEN host_total < 10 THEN host_total ELSE 10 END
+                AS BIGINT) AS host_kept
+    FROM (
+      SELECT doc_id, host,
+             ROW_NUMBER() OVER (
+               PARTITION BY host
+               ORDER BY n_chars DESC,
+                        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT),
+                        doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY host) AS host_total
+      FROM (SELECT doc_id, n_chars,
+                   CASE WHEN doc_id % 4 = 0 THEN 'bulk-mirror.example'
+                        ELSE source || '.' || CAST(doc_id % 3 AS VARCHAR)
+                        END AS host
+            FROM documents)
+    ) WHERE rk <= 10
+    """,
+    doc="Per-host document-cap dedup (llm.dedup.host_cap_documents) - "
+    "the CommonCrawl/RefinedWeb host-level policy applied before "
+    "near-dedup: at most 10 survivors per host, preferring LONGER "
+    "documents (n_chars as the quality proxy), md5-sample-key + id "
+    "fallback for ties (the ops.sampling determinism convention), "
+    "each survivor carrying the host_total/host_kept drop audit. The "
+    "over-represented host is PLANTED deterministically (every "
+    "doc_id % 4 == 0 maps to 'bulk-mirror.example' - ~25% of the "
+    "corpus on one host; organic hosts are source subhosts of ~8 "
+    "docs at sf0.01), so the gate exercises BOTH policy branches at "
+    "the driver's SF: the planted mega-host caps at 10 of its "
+    "host_total while the under-cap organic hosts keep everything "
+    "(host_kept == host_total). ONE hash exchange on host - rank and "
+    "audit count share the partitioning (plan-tripwired).",
+)
+def host_cap_documents_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.dedup import host_cap_documents
+
+    hosted = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("doc_id") % 4 == 0, F.lit("bulk-mirror.example"))
+        .otherwise(
+            F.concat(
+                F.col("source"), F.lit("."), (F.col("doc_id") % 3).cast("string")
+            )
+        )
+        .alias("host"),
+    )
+    return host_cap_documents(
+        hosted, "host", "doc_id", 10, prefer_col="n_chars"
+    ).select("doc_id", "host", "host_total", "host_kept")

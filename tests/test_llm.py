@@ -4804,3 +4804,60 @@ def test_doc_lz_complexity_preserves_id_dtype(spark):
     out = doc_lz_complexity(idf, "doc", "text")
     assert dict(out.dtypes)["doc"] == "int"
     assert out.collect()[0]["doc"] == 7
+
+
+def test_host_cap_documents_policy_semantics(spark):
+    """r15: host_cap_documents (the CommonCrawl/RefinedWeb host-cap
+    policy) vs a pure-Python replay — quality preference keeps the
+    LONGEST docs, ties and the no-preference case fall back to the
+    md5 sample-key order with id tiebreak (replayed with hashlib,
+    independent of the engine), under-cap hosts keep everything, and
+    the audit columns carry PRE-cap totals; cap < 1 raises."""
+    import hashlib
+
+    import pytest
+
+    from hadoop_fcfs_spark.llm.dedup import host_cap_documents
+
+    def skey(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    rows = (
+        [("big.example", i, 100 + (i % 3)) for i in range(10, 17)]  # 7 docs
+        + [("tie.example", i, 50) for i in range(20, 25)]           # 5 docs, all tied
+        + [("small.example", 30, 10)]                               # 1 doc
+    )
+    df = spark.createDataFrame(rows, "host string, doc_id long, n_chars long")
+    got = {
+        r["doc_id"]: (r["host"], r["host_total"], r["host_kept"])
+        for r in host_cap_documents(
+            df, "host", "doc_id", 3, prefer_col="n_chars"
+        ).collect()
+    }
+    big = sorted(
+        (i for h, i, _ in rows if h == "big.example"),
+        key=lambda i: (-(100 + (i % 3)), skey(i), i),
+    )[:3]
+    tie = sorted(
+        (i for h, i, _ in rows if h == "tie.example"),
+        key=lambda i: (skey(i), i),
+    )[:3]
+    want = (
+        {i: ("big.example", 7, 3) for i in big}
+        | {i: ("tie.example", 5, 3) for i in tie}
+        | {30: ("small.example", 1, 1)}
+    )
+    assert got == want
+    # no-preference case: pure hash order (per_group_sample's order,
+    # but with the audit columns the policy adds)
+    nopref = {
+        r["doc_id"]
+        for r in host_cap_documents(df, "host", "doc_id", 3).collect()
+        if r["host"] == "big.example"
+    }
+    assert nopref == set(
+        sorted((i for h, i, _ in rows if h == "big.example"),
+               key=lambda i: (skey(i), i))[:3]
+    )
+    with pytest.raises(ValueError, match="cap must be >= 1"):
+        host_cap_documents(df, "host", "doc_id", 0)

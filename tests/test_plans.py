@@ -1952,3 +1952,22 @@ def test_ann_rp_lsh_recall_curve_broadcast_prefix_no_cartesian(spark):
     assert "Generate" in plan           # sweep explode
     assert "CartesianProduct" not in plan
     assert "Window" in plan             # per-(p, query) top-k
+
+
+def test_host_cap_documents_one_exchange_shared_partitioning(spark):
+    """host_cap_documents (r15): the survivor rank and the audit count
+    are two Window nodes over the SAME hashpartitioning(host) — ONE
+    exchange, ONE sort (the count window reuses the rank window's
+    sorted partitioning), no join; the audit count sits BEFORE the
+    rank<=cap filter so host_total counts the host's full pre-cap
+    population; the scan prunes to (doc_id, source, n_chars) — the
+    text column never reads."""
+    plan = _plan(Q["host_cap_documents"].spark_fn(spark, SF_ORACLE))
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert plan.count("Window") == 2
+    assert plan.count("Sort") == 1, "count window must reuse the rank sort"
+    assert plan.count("FileScan") == 1
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "CartesianProduct"):
+        assert j not in plan, j
+    assert "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>" in plan
