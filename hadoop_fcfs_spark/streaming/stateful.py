@@ -13,6 +13,13 @@ fields — never row history); each micro-batch shuffles on the key once
 (AQE is disabled for stateful queries, so size
 ``spark.sql.shuffle.partitions`` to the state-store parallelism you
 want). Timeouts bound state lifetime for session-style operators.
+
+Output-schema convention (r15, r14 ADVICE #3 swept as a class): echoed
+KEY and INDEX columns derive their types from the input schema (the
+batch twins accept arbitrary key types, so a long key round-trips
+typed instead of silently casting); computed and sample columns keep
+the monitors' declared long/double contract types — integer samples
+upcast losslessly, and the long state fields they feed cannot lift.
 """
 
 from __future__ import annotations
@@ -53,9 +60,10 @@ def stream_running_stats(
             {key_col: [key[0]], "n": [n], "total": [total], "vmax": [vmax]}
         )
 
+    dt = dict(stream_df.dtypes)
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} string, n long, total double, vmax double",
+        outputStructType=f"`{key_col}` {dt[key_col]}, n long, total double, vmax double",
         stateStructType="n long, total double, vmax double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -101,9 +109,10 @@ def stream_debounce(
         if starters:
             yield pd.DataFrame({key_col: key[0], "ts_us": starters})
 
+    dt = dict(stream_df.dtypes)
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} string, ts_us long",
+        outputStructType=f"`{key_col}` {dt[key_col]}, ts_us long",
         stateStructType="last_us long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -166,10 +175,12 @@ def stream_ewma_monitor(
                 "alarm_dn": [v < center_e6 - h_e6 for v in out_z],
             })
 
+    dt = dict(stream_df.dtypes)
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=(
-            f"{key_col} string, {idx_col} long, ewma_e6 double, "
+            f"`{key_col}` {dt[key_col]}, `{idx_col}` {dt[idx_col]}, "
+            "ewma_e6 double, "
             "alarm_up boolean, alarm_dn boolean"
         ),
         stateStructType="last_idx long, z double",
@@ -250,10 +261,12 @@ def stream_nelson_monitor(
                 "rule4": [v >= min_alt - 1 for v in out["alt_len"]],
             })
 
+    dt = dict(stream_df.dtypes)
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=(
-            f"{key_col} string, {idx_col} long, {rate_col} long, "
+            f"`{key_col}` {dt[key_col]}, `{idx_col}` {dt[idx_col]}, "
+            f"{rate_col} long, "
             "direction int, trend_len long, alt_len long, "
             "rule3 boolean, rule4 boolean"
         ),
@@ -352,10 +365,12 @@ def stream_zone_monitor(
         if out:
             yield pd.DataFrame(out)
 
+    dt = dict(stream_df.dtypes)
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=(
-            f"{key_col} string, {idx_col} long, {n_col} long, {x_col} long, "
+            f"`{key_col}` {dt[key_col]}, `{idx_col}` {dt[idx_col]}, "
+            f"{n_col} long, {x_col} long, "
             "rate_e6 long, beyond1 int, beyond2 int, within1 boolean, "
             "rule5 boolean, rule6 boolean, rule7 boolean, rule8 boolean"
         ),
@@ -414,9 +429,10 @@ def stream_inactivity_sessions(
         # already makes this function a generator)
         return
 
+    dt = dict(stream_df.dtypes)
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} string, n_events long, first_ts long, last_ts long",
+        outputStructType=f"`{key_col}` {dt[key_col]}, n_events long, first_ts long, last_ts long",
         stateStructType="n_events long, first_ts long, last_ts long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
@@ -502,10 +518,12 @@ def stream_runs_monitor(
         if out:
             yield pd.DataFrame(out)
 
+    dt = dict(stream_df.dtypes)
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=(
-            f"{key_col} string, {idx_col} long, {n_col} long, {x_col} long, "
+            f"`{key_col}` {dt[key_col]}, `{idx_col}` {dt[idx_col]}, "
+            f"{n_col} long, {x_col} long, "
             "side int, n_pos long, n_neg long, n_zero long, n_runs long, "
             "z_num long"
         ),
@@ -572,10 +590,11 @@ def stream_benford_monitor(
         if out:
             yield pd.DataFrame(out)
 
+    dt = dict(stream_df.dtypes)
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=(
-            f"{key_col} string, {idx_col} long, digit int, "
+            f"`{key_col}` {dt[key_col]}, `{idx_col}` {dt[idx_col]}, digit int, "
             + ", ".join(f"d{d} long" for d in range(1, 10))
             + ", n_total long"
         ),
@@ -670,10 +689,12 @@ def stream_cdc_net_monitor(
         if out:
             yield pd.DataFrame(out)
 
+    dt = dict(stream_df.dtypes)
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=(
-            f"{key_col} string, {idx_col} long, {op_col} string, "
+            f"`{key_col}` {dt[key_col]}, `{idx_col}` {dt[idx_col]}, "
+            f"`{op_col}` {dt[op_col]}, "
             "net_op string, n_changes long, first_idx long, "
             "last_idx long, last_v long"
         ),
@@ -761,10 +782,12 @@ def stream_cusum_monitor(
         if out:
             yield pd.DataFrame(out)
 
+    dt = dict(stream_df.dtypes)
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=(
-            f"{key_col} string, {idx_col} long, {n_col} long, {x_col} long, "
+            f"`{key_col}` {dt[key_col]}, `{idx_col}` {dt[idx_col]}, "
+            f"{n_col} long, {x_col} long, "
             "cusum_up_e6 long, cusum_dn_e6 long, "
             "alarm_up boolean, alarm_dn boolean"
         ),

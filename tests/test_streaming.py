@@ -2012,3 +2012,56 @@ def test_stream_cms_monitor_preserves_key_and_index_types(spark, tmp_path):
         ).collect()
     }
     assert {c: cnt for c, (_, cnt) in best.items()} == batch
+
+
+def test_all_monitors_echo_key_and_index_types(spark, tmp_path):
+    """r15 class sweep of r14 ADVICE #3: EVERY stateful monitor derives
+    its echoed key (and index, where it has one) output types from the
+    input schema instead of hardcoding string/long — the batch twins
+    accept arbitrary key types, so a LONG key must round-trip typed.
+    Construction-time check: applyInPandasWithState's output schema is
+    known before any stream starts, so this pins all eleven monitors
+    cheaply. Computed/sample columns keep their long/double contract
+    types (integer samples upcast losslessly; the recorded design)."""
+    from hadoop_fcfs_spark.streaming.stateful import (
+        stream_benford_monitor,
+        stream_cdc_net_monitor,
+        stream_cms_monitor,
+        stream_cusum_monitor,
+        stream_debounce,
+        stream_ewma_monitor,
+        stream_inactivity_sessions,
+        stream_nelson_monitor,
+        stream_running_stats,
+        stream_runs_monitor,
+        stream_zone_monitor,
+    )
+
+    src = str(tmp_path / "typed_monitor_src")
+    schema = (
+        "k long, i int, v long, n long, x long, ts timestamp, "
+        "op string, e string"
+    )
+    spark.createDataFrame(
+        [(1, 0, 5, 10, 3, None, "I", "a")], schema
+    ).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    mons = {
+        "running_stats": stream_running_stats(stream, "k", "v"),
+        "debounce": stream_debounce(stream, "k", "ts", 100),
+        "ewma": stream_ewma_monitor(stream, "k", "i", "v", 500_000),
+        "nelson": stream_nelson_monitor(stream, "k", "i", "v"),
+        "zone": stream_zone_monitor(stream, "k", "i", "n", "x", 1, 2),
+        "inactivity": stream_inactivity_sessions(stream, "k", "ts", 100),
+        "runs": stream_runs_monitor(stream, "k", "i", "n", "x", 1, 2),
+        "benford": stream_benford_monitor(stream, "k", "i", "v"),
+        "cdc_net": stream_cdc_net_monitor(stream, "k", "i", "op", "v"),
+        "cusum": stream_cusum_monitor(stream, "k", "i", "n", "x", 1, 2),
+        "cms": stream_cms_monitor(stream, "k", "i", "e"),
+    }
+    for name, mon in mons.items():
+        d = dict(mon.dtypes)
+        assert d["k"] == "bigint", (name, d)
+        if "i" in d:
+            assert d["i"] == "int", (name, d)
