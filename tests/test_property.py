@@ -2381,3 +2381,53 @@ def test_unigram_lm_em_empty_corpus_contract(spark):
 
     df = spark.createDataFrame([("",), ("   ",)], "text string")
     assert unigram_lm_em(df, "text", n_iterations=2) == []
+
+
+@given(
+    seqs=st.dictionaries(
+        st.integers(0, 3),
+        st.lists(
+            st.tuples(st.sampled_from("IUD"), st.integers(-50, 50)),
+            min_size=2,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    key_pick=st.integers(0, 1000),
+    pos_pick=st.integers(0, 1000),
+    bad_op=st.sampled_from(["X", "", "u", "UPDATE", None]),
+    shuffle_seed=st.integers(0, 1000),
+)
+@settings(max_examples=10, deadline=None)
+def test_cdc_net_changes_guard_is_position_independent_property(
+    spark, seqs, key_pick, pos_pick, bad_op, shuffle_seed
+):
+    """cdc_net_changes guard (r15, the r14 ADVICE #1 fix hardened):
+    corrupting ONE op at an ARBITRARY (key, position) — first, last,
+    or strictly between the extrema, under arbitrary input row order —
+    always raises. The r14 value-position guard was position-DEPENDENT
+    (only extremal rows validated); riding the per-row-evaluated
+    ordering makes the raise a total property of the log's contents,
+    which is what 'fail loudly on unknown ops' must mean."""
+    import random
+
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from hadoop_fcfs_spark.ops.cdc import cdc_net_changes
+
+    keys = sorted(seqs)
+    k = keys[key_pick % len(keys)]
+    pos = pos_pick % len(seqs[k])
+    log = []
+    for kk, ops in seqs.items():
+        for i, (op, v) in enumerate(ops):
+            if kk == k and i == pos:
+                op = bad_op
+            log.append((kk, i, op, v))
+    random.Random(shuffle_seed).shuffle(log)
+    df = spark.createDataFrame(log, "k long, ts long, op string, v long")
+    net = cdc_net_changes(df, "k", "ts", "op", ["v"], tiebreak="ts")
+    with pytest.raises(SparkRuntimeException, match="unknown ops in CDC log"):
+        net.collect()
