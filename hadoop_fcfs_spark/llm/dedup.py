@@ -21,7 +21,7 @@ Scale design notes (the interesting part at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -925,5 +925,130 @@ def host_cap_documents(
             "host_kept",
             F.least(F.col("host_total"), F.lit(int(cap))).cast("long"),
         )
+        .drop("__rk")
+    )
+
+
+# Tracking query parameters dropped by canonical_url: click/campaign
+# identifiers that vary per referral without changing the resource.
+# lower-cased comparison; the utm_* family is matched by prefix.
+_TRACKING_PARAMS = (
+    "fbclid",
+    "gclid",
+    "msclkid",
+    "ref",
+    "igshid",
+    "mc_eid",
+    "mc_cid",
+)
+
+
+def canonical_url(url: str | Column) -> Column:
+    """Canonical form of a URL — the CCNet / RefinedWeb URL-level dedup
+    key. Pure per-row expression (no shuffle, no Python): two crawls of
+    the same page differing only in scheme, ``www.`` prefix, host case,
+    default port, trailing slash, fragment, tracking query parameters
+    (``utm_*``, fbclid, gclid, msclkid, ref, igshid, mc_eid, mc_cid) or
+    query-parameter ORDER map to one key.
+
+    Rules, in order (each also states the deliberate non-rule):
+    1. drop the fragment (first ``#`` onward);
+    2. strip the scheme (``<alpha><alnum+.->*://``) — http/https/ftp
+       mirrors collapse;
+    3. strip one leading ``www.`` (case-insensitive);
+    4. split off the query at the FIRST ``?``;
+    5. lower-case the host (authority up to the first ``/``) and strip
+       an explicit default port ``:80``/``:443`` — other ports are
+       meaningful and KEPT;
+    6. strip trailing slashes from the path — path CASE is kept
+       (paths are case-sensitive per RFC 3986; hosts are not);
+    7. drop empty and tracking query params, sort the survivors
+       byte-wise, re-join with ``&`` — VALUES are kept as-is (no
+       percent-decoding: decoding can merge distinct resources).
+    Output: ``host + path + ('?' + params if any)`` — scheme-less.
+
+    Every step is a builtin string/array function with verified
+    byte-identical DuckDB twins (split_part out-of-range → '', RE2/Java
+    ``(?i)`` inline flag, binary-collation list_sort == array_sort), so
+    the oracle can replicate the key exactly. Reference parity: the
+    reference normalizes record keys only via Text byte ordering
+    (hadoop-common/src/main/java/org/apache/hadoop/io/Text.java:1);
+    URL canonicalization is part of the LLM-pipeline extension tier.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    nofrag = F.split_part(u, F.lit("#"), F.lit(1))
+    rest = F.regexp_replace(nofrag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    rest = F.regexp_replace(rest, r"^(?i)www\.", "")
+    pq = F.split_part(rest, F.lit("?"), F.lit(1))
+    qs = rest.substr(F.length(pq) + F.lit(2), F.length(rest))
+    hostraw = F.split_part(pq, F.lit("/"), F.lit(1))
+    host = F.regexp_replace(F.lower(hostraw), r":(80|443)$", "")
+    path = F.regexp_replace(
+        pq.substr(F.length(hostraw) + F.lit(1), F.length(pq)), r"/+$", ""
+    )
+
+    def _key(p: Column) -> Column:
+        return F.lower(F.split_part(p, F.lit("="), F.lit(1)))
+
+    keep = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != F.lit(""))
+            & (F.substring(_key(p), 1, 4) != F.lit("utm_"))
+            & ~_key(p).isin(*_TRACKING_PARAMS),
+        )
+    )
+    q2 = F.array_join(keep, "&")
+    return F.concat(
+        host, path, F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit(""))
+    )
+
+
+def url_dedup_documents(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    prefer_col: str | None = None,
+) -> DataFrame:
+    """URL-level dedup — the FIRST, cheapest dedup rung in the CCNet /
+    RefinedWeb pipeline order (URL dedup → exact text dedup →
+    near-dedup): collapse re-crawls and URL VARIANTS of the same page
+    before any content hashing. Absent-capability statement (r15): a
+    user can exact-dedup on a raw column (exact_dedup), cap per host
+    (host_cap_documents), or near-dedup on content, but cannot collapse
+    URL variants — scheme / www / host-case / default-port /
+    trailing-slash / fragment / tracking-param / param-order
+    differences — to one canonical key, nor get the per-URL dupe count
+    a crawl-frequency audit needs, as one pass.
+
+    Survivor per canonical key: higher ``prefer_col`` first when given
+    (quality preference), then the md5 sample key with id tiebreak (the
+    ops.sampling._sample_key convention — deterministic, uniform,
+    engine-portable). Every survivor carries ``canonical_url`` and
+    ``url_dupes`` (rows that mapped to its key — the re-crawl count).
+
+    Scale shape: canonicalization is row-local (rides the scan); then
+    ONE hash exchange on the canonical key, survivor rank and dupe
+    count as two windows over the SAME partitioning (Catalyst reuses
+    the exchange and the sort — plan-tripwired like host_cap). Key
+    cardinality ~ corpus size, so no mega-key skew by construction:
+    a URL re-crawled even thousands of times is a bounded partition
+    sort. Nothing collects to the driver.
+    """
+    from pyspark.sql import Window
+
+    from hadoop_fcfs_spark.ops.sampling import _sample_key
+
+    order = ([F.col(prefer_col).desc()] if prefer_col else []) + [
+        _sample_key(id_col),
+        F.col(id_col),
+    ]
+    wrank = Window.partitionBy("canonical_url").orderBy(*order)
+    wkey = Window.partitionBy("canonical_url")
+    return (
+        df.withColumn("canonical_url", canonical_url(url_col))
+        .withColumn("__rk", F.row_number().over(wrank))
+        .withColumn("url_dupes", F.count("*").over(wkey).cast("long"))
+        .filter(F.col("__rk") == 1)
         .drop("__rk")
     )

@@ -6403,3 +6403,151 @@ def host_cap_documents_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_cap_documents(
         hosted, "host", "doc_id", 10, prefer_col="n_chars"
     ).select("doc_id", "host", "host_total", "host_kept")
+
+_URL_CANON_SQL = r"""
+      SELECT doc_id, n_chars,
+             host || path ||
+             (CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END) AS canonical_url
+      FROM (
+        SELECT doc_id, n_chars,
+               regexp_replace(lower(split_part(pq, '/', 1)),
+                              ':(80|443)$', '') AS host,
+               regexp_replace(substring(pq,
+                              length(split_part(pq, '/', 1)) + 1),
+                              '/+$', '') AS path,
+               array_to_string(list_sort(list_filter(
+                 string_split(substring(rest,
+                              length(split_part(rest, '?', 1)) + 2), '&'),
+                 p -> p <> ''
+                      AND substring(lower(split_part(p, '=', 1)), 1, 4)
+                          <> 'utm_'
+                      AND lower(split_part(p, '=', 1)) NOT IN
+                          ('fbclid','gclid','msclkid','ref','igshid',
+                           'mc_eid','mc_cid'))), '&') AS q2
+        FROM (
+          SELECT doc_id, n_chars, rest,
+                 split_part(rest, '?', 1) AS pq
+          FROM (
+            SELECT doc_id, n_chars,
+                   regexp_replace(
+                     regexp_replace(split_part(url, '#', 1),
+                                    '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                     '^(?i)www\.', '') AS rest
+            FROM (
+              SELECT doc_id, n_chars,
+                CASE doc_id % 6
+                  WHEN 0 THEN 'https://WWW.News-Site.com/articles/item?id='
+                              || CAST(doc_id % 40 AS VARCHAR)
+                              || '&utm_source=feed#top'
+                  WHEN 1 THEN 'http://news-site.com:80/articles/item/?id='
+                              || CAST(doc_id % 40 AS VARCHAR)
+                  WHEN 2 THEN 'https://news-site.com/articles/item?utm_campaign=x&id='
+                              || CAST(doc_id % 40 AS VARCHAR) || '&fbclid=ZZZ'
+                  WHEN 3 THEN 'https://' || source || '.example.net/p/'
+                              || CAST(doc_id % 5 AS VARCHAR) || '?a=1&b=2'
+                  WHEN 4 THEN 'https://' || source || '.example.net/p/'
+                              || CAST(doc_id % 5 AS VARCHAR)
+                              || '?b=2&a=1&gclid=G' || CAST(doc_id AS VARCHAR)
+                  ELSE 'https://unique-' || CAST(doc_id AS VARCHAR)
+                       || '.org/page/' || CAST(doc_id AS VARCHAR)
+                END AS url
+              FROM documents)))) """
+
+
+@register(
+    "url_dedup_documents",
+    oracle="SELECT doc_id, canonical_url, CAST(url_dupes AS BIGINT) AS url_dupes"
+    """
+    FROM (
+      SELECT doc_id, canonical_url,
+             ROW_NUMBER() OVER (
+               PARTITION BY canonical_url
+               ORDER BY n_chars DESC,
+                        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT),
+                        doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY canonical_url) AS url_dupes
+      FROM ("""
+    + _URL_CANON_SQL
+    + """)
+    ) WHERE rk = 1
+    """,
+    doc="URL-level dedup (llm.dedup.url_dedup_documents + canonical_url) "
+    "- the FIRST dedup rung of the CCNet/RefinedWeb pipeline, applied "
+    "before any content hashing: URL VARIANTS (scheme, www, host case, "
+    "default port :80/:443, trailing slash, fragment, tracking params "
+    "utm_*/fbclid/gclid/..., query-param order) collapse to one "
+    "canonical key; one survivor per key (longer doc preferred, "
+    "md5-sample-key + id fallback), each carrying url_dupes (the "
+    "re-crawl count). URLs are PLANTED deterministically over "
+    "documents so every rule branch exercises at the driver's SF: "
+    "doc_id%6 in {0,1,2} are three variant spellings of the same "
+    "article URL (40 canonical articles, ~6 re-crawls each at sf0.01), "
+    "{3,4} are param-order/tracking variants per (source, doc_id%5) "
+    "page, 5 is the singleton branch (url_dupes=1). Canonicalization "
+    "is row-local builtin string/array ops (rides the scan, "
+    "byte-identical DuckDB twin); then ONE hash exchange on the "
+    "canonical key - rank and dupe-count windows share it "
+    "(plan-tripwired).",
+)
+def url_dedup_documents_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.dedup import url_dedup_documents
+
+    d = F.col("doc_id")
+    b = (d % 40).cast("string")
+    k = (d % 5).cast("string")
+    url = (
+        F.when(
+            d % 6 == 0,
+            F.concat(
+                F.lit("https://WWW.News-Site.com/articles/item?id="),
+                b,
+                F.lit("&utm_source=feed#top"),
+            ),
+        )
+        .when(
+            d % 6 == 1,
+            F.concat(F.lit("http://news-site.com:80/articles/item/?id="), b),
+        )
+        .when(
+            d % 6 == 2,
+            F.concat(
+                F.lit("https://news-site.com/articles/item?utm_campaign=x&id="),
+                b,
+                F.lit("&fbclid=ZZZ"),
+            ),
+        )
+        .when(
+            d % 6 == 3,
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.net/p/"),
+                k,
+                F.lit("?a=1&b=2"),
+            ),
+        )
+        .when(
+            d % 6 == 4,
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.net/p/"),
+                k,
+                F.lit("?b=2&a=1&gclid=G"),
+                d.cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://unique-"),
+                d.cast("string"),
+                F.lit(".org/page/"),
+                d.cast("string"),
+            )
+        )
+    )
+    crawled = t(spark, sf_dir, "documents").select("doc_id", "n_chars", url.alias("url"))
+    return url_dedup_documents(crawled, "url", "doc_id", prefer_col="n_chars").select(
+        "doc_id", "canonical_url", "url_dupes"
+    )

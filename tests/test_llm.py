@@ -4861,3 +4861,100 @@ def test_host_cap_documents_policy_semantics(spark):
     )
     with pytest.raises(ValueError, match="cap must be >= 1"):
         host_cap_documents(df, "host", "doc_id", 0)
+
+
+def test_canonical_url_rules_python_replay(spark):
+    """r15: canonical_url vs a pure-Python replay (re/str only, no
+    engine) over a battery hitting EVERY rule branch: fragment,
+    scheme strip (any scheme), www strip (case-insensitive, once),
+    host lower-casing (path case KEPT), default-port strip (:80/:443
+    only — :8080 kept), trailing-slash strip, empty/tracking param
+    drop (utm_* prefix + the named set, key case-insensitive), param
+    byte-sort, no-scheme / no-path / query-only / empty-string edges."""
+    import re
+
+    from hadoop_fcfs_spark.llm.dedup import _TRACKING_PARAMS, canonical_url
+
+    def canon_py(u):
+        nofrag = u.split("#", 1)[0]
+        rest = re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "", nofrag)
+        rest = re.sub(r"^www\.", "", rest, flags=re.I)
+        pq, _, qs = rest.partition("?")
+        hostraw = pq.split("/", 1)[0]
+        host = re.sub(r":(80|443)$", "", hostraw.lower())
+        path = re.sub(r"/+$", "", pq[len(hostraw):])
+        keep = sorted(
+            p
+            for p in qs.split("&")
+            if p
+            and not p.split("=", 1)[0].lower().startswith("utm_")
+            and p.split("=", 1)[0].lower() not in _TRACKING_PARAMS
+        )
+        return host + path + (("?" + "&".join(keep)) if keep else "")
+
+    urls = [
+        "https://WWW.News-Site.com/articles/item?id=7&utm_source=feed#top",
+        "http://news-site.com:80/articles/item/?id=7",
+        "https://news-site.com/articles/item?utm_campaign=x&id=7&fbclid=ZZZ",
+        "HTTPS://WwW.EXAMPLE.COM/A/B",      # host lowers, path case kept
+        "ftp://www.example.com/f/",          # non-http scheme strips too
+        "example.com",                       # no scheme, no path
+        "https://example.com?x=1",           # query, no path
+        "https://example.com:8080/z",        # non-default port KEPT
+        "https://example.com:443/z",         # default port stripped
+        "https://example.com/a?x=1&x=0",     # dup keys byte-sort
+        "https://example.com/a?b=2&a=1&gclid=G&",  # sort + drop + empty
+        "https://example.com/a?UTM_Source=1&Ref=r",  # key case-insensitive
+        "https://example.com/#",             # empty fragment
+        "https://www.www.example.com/",      # www strips ONCE
+        "https://example.com/p//",           # run of trailing slashes
+        "",                                  # empty string
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["c"]
+        for r in df.select(canonical_url("url").alias("c"), "url")
+        .orderBy("url")
+        .collect()
+    ]
+    want = [canon_py(u) for u in sorted(urls)]
+    assert got == want
+    # the three news variants above collapse to ONE key
+    assert len({canon_py(u) for u in urls[:3]}) == 1
+
+
+def test_url_dedup_documents_policy_semantics(spark):
+    """r15: url_dedup_documents — one survivor per canonical key
+    (longer doc preferred; ties fall to the md5 sample-key + id order,
+    replayed with hashlib), url_dupes counts ALL rows that mapped to
+    the key (the re-crawl audit), singletons pass through with
+    url_dupes=1, and the echoed columns keep their input types."""
+    import hashlib
+
+    from hadoop_fcfs_spark.llm.dedup import url_dedup_documents
+
+    def skey(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    rows = [
+        (1, 90, "https://WWW.Site.com/a?utm_source=x"),   # \
+        (2, 99, "http://site.com:80/a/"),                 #  same key, 2 wins (99)
+        (3, 90, "https://site.com/a#frag"),               # /
+        (4, 50, "https://other.org/p?b=2&a=1"),           # \ tied pair -> hash order
+        (5, 50, "https://other.org/p?a=1&b=2&fbclid=F"),  # /
+        (6, 10, "https://lone.net/q"),                    # singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long, url string")
+    out = url_dedup_documents(df, "url", "doc_id", prefer_col="n_chars")
+    got = {
+        r["canonical_url"]: (r["doc_id"], r["url_dupes"]) for r in out.collect()
+    }
+    tie_winner = min((4, 5), key=lambda i: (skey(i), i))
+    assert got == {
+        "site.com/a": (2, 3),
+        "other.org/p?a=1&b=2": (tie_winner, 2),
+        "lone.net/q": (6, 1),
+    }
+    dt = dict(out.dtypes)
+    assert dt["doc_id"] == "bigint" and dt["url_dupes"] == "bigint"
+    assert dt["canonical_url"] == "string"

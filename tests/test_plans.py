@@ -1971,3 +1971,23 @@ def test_host_cap_documents_one_exchange_shared_partitioning(spark):
               "CartesianProduct"):
         assert j not in plan, j
     assert "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>" in plan
+
+
+def test_url_dedup_documents_one_exchange_shared_partitioning(spark):
+    """url_dedup_documents (r15): canonicalization is row-local string
+    ops computed in the scan-side Project (the shuffle carries the
+    canonical KEY, never recomputes it after the exchange); then the
+    host_cap shape — survivor rank and dupe-count are two Window nodes
+    over the SAME hashpartitioning(canonical_url), ONE exchange, ONE
+    sort, no join; the scan prunes to (doc_id, source, n_chars) — the
+    text column never reads."""
+    plan = _plan(Q["url_dedup_documents"].spark_fn(spark, SF_ORACLE))
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert plan.count("Window") == 2
+    assert plan.count("Sort") == 1, "count window must reuse the rank sort"
+    assert plan.count("FileScan") == 1
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "CartesianProduct"):
+        assert j not in plan, j
+    assert "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>" in plan
+    assert "hashpartitioning(canonical_url" in plan
