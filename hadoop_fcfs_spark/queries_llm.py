@@ -6404,12 +6404,19 @@ def host_cap_documents_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         hosted, "host", "doc_id", 10, prefer_col="n_chars"
     ).select("doc_id", "host", "host_total", "host_kept")
 
-_URL_CANON_SQL = r"""
-      SELECT doc_id, n_chars,
+def _url_canon_sql(inner: str, passthrough: str) -> str:
+    """DuckDB staged replay of ``llm.dedup.canonical_url`` over
+    ``inner`` (any SELECT producing a ``url`` column plus the
+    ``passthrough`` columns). ONE definition shared by the
+    url_dedup_documents oracle and the three-engine fuzz battery
+    (tests/test_llm.py) so the oracle's canonicalization and the
+    battery's can never drift apart."""
+    return rf"""
+      SELECT {passthrough},
              host || path ||
              (CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END) AS canonical_url
       FROM (
-        SELECT doc_id, n_chars,
+        SELECT {passthrough},
                regexp_replace(lower(split_part(pq, '/', 1)),
                               ':(80|443)$', '') AS host,
                regexp_replace(substring(pq,
@@ -6425,16 +6432,19 @@ _URL_CANON_SQL = r"""
                           ('fbclid','gclid','msclkid','ref','igshid',
                            'mc_eid','mc_cid'))), '&') AS q2
         FROM (
-          SELECT doc_id, n_chars, rest,
+          SELECT {passthrough}, rest,
                  split_part(rest, '?', 1) AS pq
           FROM (
-            SELECT doc_id, n_chars,
+            SELECT {passthrough},
                    regexp_replace(
                      regexp_replace(split_part(url, '#', 1),
                                     '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
                      '^(?i)www\.', '') AS rest
-            FROM (
-              SELECT doc_id, n_chars,
+            FROM ({inner})))) """
+
+
+_URL_CANON_SQL = _url_canon_sql(
+    r"""SELECT doc_id, n_chars,
                 CASE doc_id % 6
                   WHEN 0 THEN 'https://WWW.News-Site.com/articles/item?id='
                               || CAST(doc_id % 40 AS VARCHAR)
@@ -6451,7 +6461,9 @@ _URL_CANON_SQL = r"""
                   ELSE 'https://unique-' || CAST(doc_id AS VARCHAR)
                        || '.org/page/' || CAST(doc_id AS VARCHAR)
                 END AS url
-              FROM documents)))) """
+              FROM documents""",
+    "doc_id, n_chars",
+)
 
 
 @register(

@@ -4871,26 +4871,8 @@ def test_canonical_url_rules_python_replay(spark):
     only — :8080 kept), trailing-slash strip, empty/tracking param
     drop (utm_* prefix + the named set, key case-insensitive), param
     byte-sort, no-scheme / no-path / query-only / empty-string edges."""
-    import re
-
-    from hadoop_fcfs_spark.llm.dedup import _TRACKING_PARAMS, canonical_url
-
-    def canon_py(u):
-        nofrag = u.split("#", 1)[0]
-        rest = re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "", nofrag)
-        rest = re.sub(r"^www\.", "", rest, flags=re.I)
-        pq, _, qs = rest.partition("?")
-        hostraw = pq.split("/", 1)[0]
-        host = re.sub(r":(80|443)$", "", hostraw.lower())
-        path = re.sub(r"/+$", "", pq[len(hostraw):])
-        keep = sorted(
-            p
-            for p in qs.split("&")
-            if p
-            and not p.split("=", 1)[0].lower().startswith("utm_")
-            and p.split("=", 1)[0].lower() not in _TRACKING_PARAMS
-        )
-        return host + path + (("?" + "&".join(keep)) if keep else "")
+    from hadoop_fcfs_spark.llm.dedup import canonical_url
+    from tests.conftest import _canon_url_py as canon_py
 
     urls = [
         "https://WWW.News-Site.com/articles/item?id=7&utm_source=feed#top",
@@ -4958,3 +4940,80 @@ def test_url_dedup_documents_policy_semantics(spark):
     dt = dict(out.dtypes)
     assert dt["doc_id"] == "bigint" and dt["url_dupes"] == "bigint"
     assert dt["canonical_url"] == "string"
+
+
+def test_canonical_url_three_engine_fuzz(spark, duck):
+    """r15: three-engine randomized battery over ~400 adversarial URLs
+    — the Spark canonical_url expression, the DuckDB oracle replay
+    (built from the SAME _url_canon_sql template the gate's oracle
+    uses), and the pure-Python reference must agree byte-for-byte on
+    every input. Inputs: (a) decorated well-formed URLs (random
+    scheme/www/host-case/port/trailing-slash/fragment/tracking-param/
+    param-order soup over random host+path+params), (b) structural
+    garbage from a hostile alphabet (unbalanced #?&=:// runs, spaces,
+    empty string), (c) re-fed canonical OUTPUTS of (a)+(b) — the key
+    space the dedup actually shuffles on. ASCII only by contract: IDN
+    hosts are punycode ASCII (RFC 3490); non-ASCII case folding is
+    engine/locale-dependent and out of scope. Locks the byte-identical
+    DuckDB-twin claim (split_part out-of-range -> '', RE2/Java (?i),
+    binary-collation sort) far beyond the 16-URL hand battery."""
+    import random
+
+    import pandas as pd
+
+    from hadoop_fcfs_spark.llm.dedup import canonical_url
+    from hadoop_fcfs_spark.queries_llm import _url_canon_sql
+    from tests.conftest import _canon_url_py
+
+    rng = random.Random(20260816)
+    schemes = ["", "https://", "http://", "HTTPS://", "ftp://", "a+b-c.9://"]
+    hostparts = ["Example", "NEWS-site", "x", "a.b", "WWW", "www"]
+    ports = ["", ":80", ":443", ":8080", ":080", ":443x", ":80:80"]
+    pathseg = ["A", "b", "UTM_page", "p%20q", ":80", "www.x"]
+    keys = ["id", "a", "B", "utm_source", "UTM_X", "utm", "ref", "Ref",
+            "FBCLID", "gclid", "mc_eid", "x", ""]
+    vals = ["", "1", "A&B", "a=b", "https://x.com", "%2F", "#t"]
+
+    def rand_url():
+        host = ".".join(rng.choice(hostparts) for _ in range(rng.randint(1, 3)))
+        www = rng.choice(["", "www.", "WWW.", "www.www."])
+        path = "".join("/" + rng.choice(pathseg) for _ in range(rng.randint(0, 3)))
+        path += "/" * rng.randint(0, 2)
+        params = "&".join(
+            rng.choice(keys) + rng.choice(["", "=" + rng.choice(vals)])
+            for _ in range(rng.randint(0, 4))
+        )
+        q = ("?" + params) if (params or rng.random() < 0.2) else ""
+        frag = rng.choice(["", "#", "#top", "#a?b=c#d"])
+        return rng.choice(schemes) + www + host + rng.choice(ports) + path + q + frag
+
+    garbage_alpha = "aZ9.:/?#&=%+-_~ "
+
+    def rand_garbage():
+        return "".join(rng.choice(garbage_alpha) for _ in range(rng.randint(0, 24)))
+
+    urls = [rand_url() for _ in range(160)] + [rand_garbage() for _ in range(90)]
+    urls += [_canon_url_py(u) for u in urls[:120]]  # re-fed canonical keys
+    urls.append("")
+    want = [_canon_url_py(u) for u in urls]
+
+    df = spark.createDataFrame(list(enumerate(urls)), "i long, url string")
+    got_spark = [
+        r["c"]
+        for r in df.select("i", canonical_url("url").alias("c"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got_spark == want
+
+    duck.register("fuzz_urls", pd.DataFrame({"i": range(len(urls)), "url": urls}))
+    try:
+        got_duck = [
+            r[1]
+            for r in duck.execute(
+                _url_canon_sql("SELECT i, url FROM fuzz_urls", "i") + " ORDER BY i"
+            ).fetchall()
+        ]
+    finally:
+        duck.unregister("fuzz_urls")
+    assert got_duck == want

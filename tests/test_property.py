@@ -2431,3 +2431,70 @@ def test_cdc_net_changes_guard_is_position_independent_property(
     net = cdc_net_changes(df, "k", "ts", "op", ["v"], tiebreak="ts")
     with pytest.raises(SparkRuntimeException, match="unknown ops in CDC log"):
         net.collect()
+
+
+@given(
+    hostseed=st.lists(
+        st.text(alphabet="abcXY09-", min_size=1, max_size=5), min_size=1, max_size=3
+    ),
+    pathsegs=st.lists(
+        st.text(alphabet="abDE09._-", min_size=1, max_size=4), max_size=3
+    ),
+    params=st.lists(
+        st.tuples(
+            st.text(alphabet="abz09", min_size=1, max_size=4),
+            st.text(alphabet="abz09.-", max_size=4),
+        ),
+        max_size=4,
+    ),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_canonical_url_variant_invariance(hostseed, pathsegs, params, data):
+    """r15: the url-canonicalizer's CONTRACT as a property — for any
+    base page (host, path, kept params), EVERY documented variant
+    decoration (scheme choice, one www. prefix, host case flips,
+    default port :80/:443, trailing slashes, any fragment, injected
+    tracking params + empty segments, query-param order) maps to the
+    SAME canonical key, and appending one more KEPT param always
+    changes the key. Pure Python over the engine-checked replay (the
+    three-engine fuzz in test_llm.py pins Spark == DuckDB == replay).
+    The param-key alphabet cannot spell any tracking name (no w/_/
+    r-e-f...), so kept-ness is by construction; hosts cannot contain
+    'w', so the single once-only www-strip (documented: www.www.x !=
+    www.x, hand-battery-pinned) is never ambiguous."""
+    from tests.conftest import _canon_url_py as canon
+
+    host = ".".join(hostseed)
+    path = "".join("/" + s for s in pathsegs)
+    rendered = [k + "=" + v for k, v in params]
+
+    def decorate():
+        scheme = data.draw(
+            st.sampled_from(["", "http://", "https://", "HTTPS://", "ftp://"])
+        )
+        www = data.draw(st.sampled_from(["", "www.", "WwW."]))
+        hcase = "".join(
+            c.upper() if data.draw(st.booleans()) else c.lower() for c in host
+        )
+        port = data.draw(st.sampled_from(["", ":80", ":443"]))
+        slashes = "/" * data.draw(st.integers(0, 2))
+        tracking = data.draw(
+            st.lists(
+                st.sampled_from(
+                    ["utm_source=x", "UTM_campaign=Y", "fbclid=1", "Ref=z",
+                     "gclid=", ""]
+                ),
+                max_size=3,
+            )
+        )
+        q = list(data.draw(st.permutations(rendered + tracking)))
+        qs = ("?" + "&".join(q)) if q else ""
+        frag = data.draw(st.sampled_from(["", "#", "#frag?x=1"]))
+        return scheme + www + hcase + port + path + slashes + qs + frag
+
+    u1, u2 = decorate(), decorate()
+    assert canon(u1) == canon(u2), (u1, u2)
+    # one more KEPT param is a DIFFERENT page, never a variant
+    extra = canon("https://" + host + path + "?" + "&".join(rendered + ["zz9=1"]))
+    assert extra != canon(u1), (u1, extra)
