@@ -6443,8 +6443,13 @@ def _url_canon_sql(inner: str, passthrough: str) -> str:
             FROM ({inner})))) """
 
 
-_URL_CANON_SQL = _url_canon_sql(
-    r"""SELECT doc_id, n_chars,
+# Deterministic planted crawl over documents — the input both the
+# url_dedup_documents gate and corpus_pipeline_v8 replay (one SQL
+# fragment + one Spark builder, the _V5_PIPE_CTES shared-fragment
+# convention): doc_id%6 in {0,1,2} are three variant spellings of one
+# article URL, {3,4} param-order/tracking variants per (source,
+# doc_id%5) page, 5 the singleton branch.
+_PLANTED_CRAWL_SQL = r"""SELECT doc_id, n_chars,
                 CASE doc_id % 6
                   WHEN 0 THEN 'https://WWW.News-Site.com/articles/item?id='
                               || CAST(doc_id % 40 AS VARCHAR)
@@ -6461,50 +6466,13 @@ _URL_CANON_SQL = _url_canon_sql(
                   ELSE 'https://unique-' || CAST(doc_id AS VARCHAR)
                        || '.org/page/' || CAST(doc_id AS VARCHAR)
                 END AS url
-              FROM documents""",
-    "doc_id, n_chars",
-)
+              FROM documents"""
+
+_URL_CANON_SQL = _url_canon_sql(_PLANTED_CRAWL_SQL, "doc_id, n_chars")
 
 
-@register(
-    "url_dedup_documents",
-    oracle="SELECT doc_id, canonical_url, CAST(url_dupes AS BIGINT) AS url_dupes"
-    """
-    FROM (
-      SELECT doc_id, canonical_url,
-             ROW_NUMBER() OVER (
-               PARTITION BY canonical_url
-               ORDER BY n_chars DESC,
-                        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                             AS BIGINT),
-                        doc_id) AS rk,
-             COUNT(*) OVER (PARTITION BY canonical_url) AS url_dupes
-      FROM ("""
-    + _URL_CANON_SQL
-    + """)
-    ) WHERE rk = 1
-    """,
-    doc="URL-level dedup (llm.dedup.url_dedup_documents + canonical_url) "
-    "- the FIRST dedup rung of the CCNet/RefinedWeb pipeline, applied "
-    "before any content hashing: URL VARIANTS (scheme, www, host case, "
-    "default port :80/:443, trailing slash, fragment, tracking params "
-    "utm_*/fbclid/gclid/..., query-param order) collapse to one "
-    "canonical key; one survivor per key (longer doc preferred, "
-    "md5-sample-key + id fallback), each carrying url_dupes (the "
-    "re-crawl count). URLs are PLANTED deterministically over "
-    "documents so every rule branch exercises at the driver's SF: "
-    "doc_id%6 in {0,1,2} are three variant spellings of the same "
-    "article URL (40 canonical articles, ~6 re-crawls each at sf0.01), "
-    "{3,4} are param-order/tracking variants per (source, doc_id%5) "
-    "page, 5 is the singleton branch (url_dupes=1). Canonicalization "
-    "is row-local builtin string/array ops (rides the scan, "
-    "byte-identical DuckDB twin); then ONE hash exchange on the "
-    "canonical key - rank and dupe-count windows share it "
-    "(plan-tripwired).",
-)
-def url_dedup_documents_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hadoop_fcfs_spark.llm.dedup import url_dedup_documents
-
+def _planted_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _PLANTED_CRAWL_SQL: (doc_id, n_chars, url)."""
     d = F.col("doc_id")
     b = (d % 40).cast("string")
     k = (d % 5).cast("string")
@@ -6559,7 +6527,157 @@ def url_dedup_documents_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    crawled = t(spark, sf_dir, "documents").select("doc_id", "n_chars", url.alias("url"))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", url.alias("url")
+    )
+
+
+@register(
+    "url_dedup_documents",
+    oracle="SELECT doc_id, canonical_url, CAST(url_dupes AS BIGINT) AS url_dupes"
+    """
+    FROM (
+      SELECT doc_id, canonical_url,
+             ROW_NUMBER() OVER (
+               PARTITION BY canonical_url
+               ORDER BY n_chars DESC,
+                        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT),
+                        doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY canonical_url) AS url_dupes
+      FROM ("""
+    + _URL_CANON_SQL
+    + """)
+    ) WHERE rk = 1
+    """,
+    doc="URL-level dedup (llm.dedup.url_dedup_documents + canonical_url) "
+    "- the FIRST dedup rung of the CCNet/RefinedWeb pipeline, applied "
+    "before any content hashing: URL VARIANTS (scheme, www, host case, "
+    "default port :80/:443, trailing slash, fragment, tracking params "
+    "utm_*/fbclid/gclid/..., query-param order) collapse to one "
+    "canonical key; one survivor per key (longer doc preferred, "
+    "md5-sample-key + id fallback), each carrying url_dupes (the "
+    "re-crawl count). URLs are PLANTED deterministically over "
+    "documents so every rule branch exercises at the driver's SF: "
+    "doc_id%6 in {0,1,2} are three variant spellings of the same "
+    "article URL (40 canonical articles, ~6 re-crawls each at sf0.01), "
+    "{3,4} are param-order/tracking variants per (source, doc_id%5) "
+    "page, 5 is the singleton branch (url_dupes=1). Canonicalization "
+    "is row-local builtin string/array ops (rides the scan, "
+    "byte-identical DuckDB twin); then ONE hash exchange on the "
+    "canonical key - rank and dupe-count windows share it "
+    "(plan-tripwired).",
+)
+def url_dedup_documents_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.llm.dedup import url_dedup_documents
+
+    crawled = _planted_crawl(spark, sf_dir)
     return url_dedup_documents(crawled, "url", "doc_id", prefer_col="n_chars").select(
         "doc_id", "canonical_url", "url_dupes"
+    )
+
+
+_SKEY_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+
+
+@register(
+    "corpus_pipeline_v8",
+    oracle=f"""
+    WITH canon AS ({_url_canon_sql(_PLANTED_CRAWL_SQL, "doc_id, n_chars")}),
+    u AS (
+      SELECT doc_id, n_chars, canonical_url,
+             ROW_NUMBER() OVER (
+               PARTITION BY canonical_url
+               ORDER BY n_chars DESC, {_SKEY_SQL}, doc_id) AS rk
+      FROM canon
+    ),
+    s1 AS (SELECT doc_id, n_chars, canonical_url FROM u WHERE rk = 1),
+    h AS (
+      SELECT *, split_part(split_part(canonical_url, '?', 1), '/', 1) AS host
+      FROM s1
+    ),
+    c AS (
+      SELECT doc_id, ROW_NUMBER() OVER (
+               PARTITION BY host
+               ORDER BY n_chars DESC, {_SKEY_SQL}, doc_id) AS hk
+      FROM h
+    ),
+    s2 AS (SELECT doc_id FROM c WHERE hk <= 8),
+    s3 AS (SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY doc_id % 120),
+    n0 AS (SELECT COUNT(*) AS n FROM documents),
+    n1 AS (SELECT COUNT(*) AS n FROM s1),
+    n2 AS (SELECT COUNT(*) AS n FROM s2),
+    n3 AS (SELECT COUNT(*) AS n FROM s3)
+    SELECT 'url_dedup' AS stage, CAST(n0.n AS BIGINT) AS rows_in,
+           CAST(n1.n AS BIGINT) AS rows_kept,
+           CAST(n0.n - n1.n AS BIGINT) AS rows_dropped FROM n0, n1
+    UNION ALL
+    SELECT 'host_cap', n1.n, n2.n, n1.n - n2.n FROM n1, n2
+    UNION ALL
+    SELECT 'exact_dedup', n2.n, n3.n, n2.n - n3.n FROM n2, n3
+    """,
+    doc="Composed training-data pipeline v8 - the ACQUISITION layer in "
+    "the CCNet/RefinedWeb stage order, which v1-v7 never exercise "
+    "(they all start at the quality floor / content-hash rungs): URL "
+    "canonicalization dedup (url_dedup_documents over the SHARED "
+    "planted crawl, _PLANTED_CRAWL_SQL / _planted_crawl) -> per-host "
+    "document cap at 8 on the host of the CANONICAL key (the planted "
+    "news host holds 40 url-survivors, so the cap branch exercises; "
+    "example.net hosts stay under-cap) -> exact content dedup "
+    "(exact_dedup on a planted content key, doc_id%120 - cross-host "
+    "mirrors collapse). Output is the per-stage drop LEDGER (stage, "
+    "rows_in, rows_kept, rows_dropped) every production pipeline "
+    "publishes with its corpus. Scale shape: the corpus scans ONCE - "
+    "the url stage's rows_in is derived from its own audit column "
+    "(sum(url_dupes) = input rows, no second scan), later stages "
+    "count waypointed survivors; ledger rows assemble via 1x1 "
+    "cross-joins + inline, nothing collects.",
+)
+def corpus_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_fcfs_spark.caching import waypoint
+    from hadoop_fcfs_spark.llm.dedup import (
+        exact_dedup,
+        host_cap_documents,
+        url_dedup_documents,
+    )
+
+    crawled = _planted_crawl(spark, sf_dir).withColumn(
+        "ckey",
+        F.concat(F.lit("article-"), (F.col("doc_id") % 120).cast("string")),
+    )
+    s1 = waypoint(url_dedup_documents(crawled, "url", "doc_id", prefer_col="n_chars"))
+    hosted = s1.withColumn(
+        "host",
+        F.split_part(
+            F.split_part(F.col("canonical_url"), F.lit("?"), F.lit(1)),
+            F.lit("/"),
+            F.lit(1),
+        ),
+    )
+    s2 = waypoint(host_cap_documents(hosted, "host", "doc_id", 8, prefer_col="n_chars"))
+    s3 = exact_dedup(s2, "doc_id", "ckey", normalize=False)
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias(name))
+
+    # rows_in of the url stage from its own audit column: every input
+    # row maps to exactly one canonical key, so sum(url_dupes) is the
+    # crawl size — no second corpus scan.
+    counts = (
+        s1.agg(F.sum("url_dupes").cast("long").alias("n0"))
+        .crossJoin(cnt(s1, "n1"))
+        .crossJoin(cnt(s2, "n2"))
+        .crossJoin(cnt(s3, "n3"))
+    )
+    return counts.selectExpr(
+        """inline(array(
+             named_struct('stage', 'url_dedup',
+                          'rows_in', n0, 'rows_kept', n1,
+                          'rows_dropped', n0 - n1),
+             named_struct('stage', 'host_cap',
+                          'rows_in', n1, 'rows_kept', n2,
+                          'rows_dropped', n1 - n2),
+             named_struct('stage', 'exact_dedup',
+                          'rows_in', n2, 'rows_kept', n3,
+                          'rows_dropped', n2 - n3)))"""
     )

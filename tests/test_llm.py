@@ -5017,3 +5017,33 @@ def test_canonical_url_three_engine_fuzz(spark, duck):
     finally:
         duck.unregister("fuzz_urls")
     assert got_duck == want
+
+
+def test_corpus_pipeline_v8_ledger_telescopes(spark):
+    """r15: the v8 acquisition ledger is internally consistent — the
+    stages telescope (rows_in of each stage == rows_kept of the
+    previous; url stage's rows_in == the planted crawl size == the
+    documents row count), every stage keeps and drops at least one row
+    at the driver SF (all policy branches exercise), and kept+dropped
+    == in."""
+    from tests.conftest import SF_ORACLE
+    from hadoop_fcfs_spark.registry import all_queries
+    from hadoop_fcfs_spark.tables import t
+
+    rows = {
+        r["stage"]: (r["rows_in"], r["rows_kept"], r["rows_dropped"])
+        for r in all_queries()["corpus_pipeline_v8"]
+        .spark_fn(spark, SF_ORACLE)
+        .collect()
+    }
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    release_waypoints()
+    assert set(rows) == {"url_dedup", "host_cap", "exact_dedup"}
+    n_docs = t(spark, SF_ORACLE, "documents").count()
+    assert rows["url_dedup"][0] == n_docs
+    assert rows["host_cap"][0] == rows["url_dedup"][1]
+    assert rows["exact_dedup"][0] == rows["host_cap"][1]
+    for stage, (n_in, kept, dropped) in rows.items():
+        assert kept >= 1 and dropped >= 1, (stage, rows)
+        assert n_in == kept + dropped, (stage, rows)

@@ -1991,3 +1991,29 @@ def test_url_dedup_documents_one_exchange_shared_partitioning(spark):
         assert j not in plan, j
     assert "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>" in plan
     assert "hashpartitioning(canonical_url" in plan
+
+
+def test_corpus_pipeline_v8_single_scan_no_cartesian(spark):
+    """corpus_pipeline_v8 (r15): the acquisition-pipeline ledger reads
+    the corpus ONCE — every FileScan in the plan (including those
+    rendered inside the waypoints' cached lineages) is the same pruned
+    documents scan (doc_id, source, n_chars — text never reads); the
+    url stage's rows_in derives from sum(url_dupes), not a second
+    crawl scan; the only joins are the three 1x1 ledger-assembly cross
+    joins and the exact-dedup broadcast semi-join; no cartesian, data
+    join, or row-Python anywhere."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+
+    plan = _plan(Q["corpus_pipeline_v8"].spark_fn(spark, SF_ORACLE))
+    release_waypoints()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans and all("documents" in ln for ln in scans), scans
+    assert all(
+        "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>" in ln
+        for ln in scans
+    ), scans
+    assert plan.count("BroadcastNestedLoopJoin") == 3, "1x1 ledger assembly"
+    assert plan.count("BroadcastHashJoin") == 1, "exact-dedup semi-join"
+    for bad in ("CartesianProduct", "SortMergeJoin", "ShuffledHashJoin",
+                "BatchEvalPython"):
+        assert bad not in plan, bad
