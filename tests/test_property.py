@@ -2498,3 +2498,55 @@ def test_canonical_url_variant_invariance(hostseed, pathsegs, params, data):
     # one more KEPT param is a DIFFERENT page, never a variant
     extra = canon("https://" + host + path + "?" + "&".join(rendered + ["zz9=1"]))
     assert extra != canon(u1), (u1, extra)
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_host_cap_documents_randomized_replay(spark, data):
+    """r15: host_cap_documents vs the hashlib replay under RANDOMIZED
+    structure — random host fan-out (up to 5 hosts x 24 docs, duplicate
+    and tied n_chars, hosts straddling the cap both ways), random cap
+    1-4, with AND without the quality preference, input order shuffled
+    — full-output equality including the pre-cap audit columns. The
+    r14 CDC hole was position-dependence a fixed-fixture test missed;
+    this is the same randomized-structure lock for the host-cap
+    policy."""
+    import hashlib
+
+    from hadoop_fcfs_spark.llm.dedup import host_cap_documents
+
+    members = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 4), st.integers(0, 3)),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    cap = data.draw(st.integers(1, 4))
+    prefer = data.draw(st.booleans())
+    rows = [(f"h{h}.example", i, 40 + b) for i, (h, b) in enumerate(members)]
+    rows = list(data.draw(st.permutations(rows)))
+    df = spark.createDataFrame(rows, "host string, doc_id long, n_chars long")
+    got = {
+        r["doc_id"]: (r["host"], r["host_total"], r["host_kept"])
+        for r in host_cap_documents(
+            df, "host", "doc_id", cap, prefer_col="n_chars" if prefer else None
+        ).collect()
+    }
+
+    def skey(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    hosts = {}
+    for host, i, n in rows:
+        hosts.setdefault(host, []).append((i, n))
+    want = {}
+    for host, docs in hosts.items():
+        key = (
+            (lambda d: (-d[1], skey(d[0]), d[0]))
+            if prefer
+            else (lambda d: (skey(d[0]), d[0]))
+        )
+        for i, _ in sorted(docs, key=key)[:cap]:
+            want[i] = (host, len(docs), min(len(docs), cap))
+    assert got == want
