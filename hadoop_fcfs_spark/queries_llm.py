@@ -6634,6 +6634,19 @@ _SKEY_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
     "cross-joins + inline, nothing collects.",
 )
 def corpus_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    crawled = _planted_crawl(spark, sf_dir).withColumn(
+        "ckey",
+        F.concat(F.lit("article-"), (F.col("doc_id") % 120).cast("string")),
+    )
+    return _acquisition_ledger(crawled)
+
+
+def _acquisition_ledger(crawled: DataFrame) -> DataFrame:
+    """The v8 pipeline body over any (doc_id, n_chars, url, ckey)
+    crawl: url dedup → host-cap(8) on the canonical host → exact
+    content dedup, returning the 3-row drop ledger. Split out so the
+    empty-crawl contract (all-zero ledger, never NULL — an empty
+    shard must telescope like any other) is testable directly."""
     from hadoop_fcfs_spark.caching import waypoint
     from hadoop_fcfs_spark.llm.dedup import (
         exact_dedup,
@@ -6641,10 +6654,6 @@ def corpus_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_dedup_documents,
     )
 
-    crawled = _planted_crawl(spark, sf_dir).withColumn(
-        "ckey",
-        F.concat(F.lit("article-"), (F.col("doc_id") % 120).cast("string")),
-    )
     s1 = waypoint(url_dedup_documents(crawled, "url", "doc_id", prefer_col="n_chars"))
     hosted = s1.withColumn(
         "host",
@@ -6662,9 +6671,10 @@ def corpus_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # rows_in of the url stage from its own audit column: every input
     # row maps to exactly one canonical key, so sum(url_dupes) is the
-    # crawl size — no second corpus scan.
+    # crawl size — no second corpus scan. coalesce: an EMPTY crawl's
+    # sum is NULL; the ledger contract is zeros.
     counts = (
-        s1.agg(F.sum("url_dupes").cast("long").alias("n0"))
+        s1.agg(F.coalesce(F.sum("url_dupes"), F.lit(0)).cast("long").alias("n0"))
         .crossJoin(cnt(s1, "n1"))
         .crossJoin(cnt(s2, "n2"))
         .crossJoin(cnt(s3, "n3"))

@@ -5047,3 +5047,27 @@ def test_corpus_pipeline_v8_ledger_telescopes(spark):
     for stage, (n_in, kept, dropped) in rows.items():
         assert kept >= 1 and dropped >= 1, (stage, rows)
         assert n_in == kept + dropped, (stage, rows)
+
+
+def test_acquisition_ledger_empty_crawl_all_zero(spark):
+    """r15: the v8 ledger on an EMPTY crawl (an empty shard at scale)
+    telescopes to three all-zero rows — never NULL: sum(url_dupes)
+    over zero rows is NULL and must coalesce to 0 so downstream
+    ledger consumers (rate = dropped/in guards, unions across shards)
+    don't poison on the empty partition."""
+    from hadoop_fcfs_spark.caching import release_waypoints
+    from hadoop_fcfs_spark.queries_llm import _acquisition_ledger
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, n_chars long, url string, ckey string"
+    )
+    rows = {
+        r["stage"]: (r["rows_in"], r["rows_kept"], r["rows_dropped"])
+        for r in _acquisition_ledger(empty).collect()
+    }
+    release_waypoints()
+    assert rows == {
+        "url_dedup": (0, 0, 0),
+        "host_cap": (0, 0, 0),
+        "exact_dedup": (0, 0, 0),
+    }
