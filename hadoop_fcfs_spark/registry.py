@@ -64,53 +64,30 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # a pytest keeps the script and the table format in lockstep. Update
 # the paragraph below by hand each round.
 #
-# State after round 13 (rebuilt for round 14): 374 registered gates,
-# CORRECTNESS_r13 50/50 green, driver-checked union r01-r13 = 374/374,
-# zero mismatches ever. _NEVER_SAMPLED stays empty, so the round-14
-# window = gates registered this round (bucket 1, in registration
-# order) + the oldest confirmed tail (bucket 2: the 24 remaining r6
-# gates, then the oldest of the 50 r7 gates). Keep net-new <= 6 so the
-# window clears all 24 r6 rows plus >= 20 of the r7 tail — by
-# r14-close no evidence row should be older than r7 (burn-down
-# promise from r13). Per-round counts after this fold: 24 x r6, 50
-# each r7-r13.
+# State after round 15 (rebuilt for round 16, OPTIMIZATION round 1):
+# 379 registered gates, CORRECTNESS_r15 50/50 green, driver-checked
+# union r01-r15 = 379/379, zero mismatches ever. _NEVER_SAMPLED stays
+# empty; round 16 is an optimization round (no net-new gates), so the
+# round-16 window = the 29 remaining r8 rows + the oldest 21 of the 50
+# r9 rows (bucket 2, oldest-first) — by r16-close no evidence row
+# should be older than r9 (burn-down promise from r15). Per-round
+# counts after this fold: 29 x r8, 50 each r9-r15.
 
 _NEVER_SAMPLED: tuple[str, ...] = ()
 
 _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
-    # latest driver row: round 7 (26 gates)
-    "info_gain_orders": 7, "isotonic_orderstatus": 7,
-    "jonckheere_priority_price": 7, "kendall_events_daily": 7,
-    "knn_ndcg_labels": 7, "kruskal_priority_price": 7, "langid_kappa": 7,
-    "lin_ccc_order_value": 7, "mann_kendall_daily_events": 7,
-    "neyman_allocation_orders": 7, "ordinal_assoc_weekday": 7,
-    "page_trend_priority": 7, "position_attribution": 7,
-    "pps_ess_priorities": 7, "rmst_retention": 7, "robust_scale_price": 7,
-    "roc_auc_orderstatus": 7, "rolling_origin_folds_events": 7,
-    "seasonal_naive_events": 7, "simpson_segment_status": 7,
-    "smd_balance_nations": 7, "t_closeness_customers": 7,
-    "theil_decomposition_nations": 7, "theil_order_values": 7,
-    "training_shard_manifest": 7, "woe_price_returns": 7,
-    # latest driver row: round 8 (50 gates)
-    "aalen_johansen_cif": 8, "agg_descriptors": 8, "ann_cosine_pairs": 8,
-    "ann_cosine_topk": 8, "ann_ivf_topk": 8, "ari_kmeans_labels": 8,
-    "asof_join": 8, "blocking_quality_mingram": 8, "char_entropy": 8,
-    "cochran_langid": 8, "corpus_pipeline_v7": 8, "cube_agg": 8,
-    "dedup_watermark_audit": 8, "embedding_pc_outliers": 8,
-    "embedding_top_pc": 8, "fd_source_lang": 8, "feature_hash_profile": 8,
-    "fellegi_sunter_customers": 8, "fieldsel": 8, "fleiss_langid": 8,
-    "good_turing_tokens": 8, "grep_count": 8, "heaps_vocab_growth": 8,
-    "hilbert_values": 8, "js_drift_sources": 8, "keyfield_sort": 8,
-    "kmeans_embedding_cells": 8, "kmeans_silhouette_cells": 8,
-    "knn_map_labels": 8, "knn_mrr_labels": 8, "mcnemar_langid": 8,
-    "minhash_estimate_audit": 8, "mmr_rerank_embeddings": 8,
-    "modularity_regions": 8, "monte_carlo_pi": 8, "p_chart_daily_returns":
-    8, "pivot_agg": 8, "pq_distortion_audit": 8, "pr_curve_orderstatus":
-    8, "rake_source_lang": 8, "rbo_stability_parts": 8,
-    "readability_sources": 8, "set_except": 8, "sorted_group_apply": 8,
-    "supplier_winrate_bounds": 8, "topk_stability_parts": 8,
-    "trade_clustering": 8, "union_distinct": 8, "watermark_late_audit": 8,
-    "zipf_slope_tokens": 8,
+    # latest driver row: round 8 (29 gates)
+    "grep_count": 8, "heaps_vocab_growth": 8, "hilbert_values": 8,
+    "js_drift_sources": 8, "keyfield_sort": 8, "kmeans_embedding_cells":
+    8, "kmeans_silhouette_cells": 8, "knn_map_labels": 8,
+    "knn_mrr_labels": 8, "mcnemar_langid": 8, "minhash_estimate_audit": 8,
+    "mmr_rerank_embeddings": 8, "modularity_regions": 8, "monte_carlo_pi":
+    8, "p_chart_daily_returns": 8, "pivot_agg": 8, "pq_distortion_audit":
+    8, "pr_curve_orderstatus": 8, "rake_source_lang": 8,
+    "rbo_stability_parts": 8, "readability_sources": 8, "set_except": 8,
+    "sorted_group_apply": 8, "supplier_winrate_bounds": 8,
+    "topk_stability_parts": 8, "trade_clustering": 8, "union_distinct": 8,
+    "watermark_late_audit": 8, "zipf_slope_tokens": 8,
     # latest driver row: round 9 (50 gates)
     "bh_fdr_daily_returns": 9, "chunk_documents": 9,
     "contamination_check": 9, "corpus_pipeline": 9,
@@ -245,6 +222,29 @@ _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
     "unigram_seed_candidates": 14, "weekday_adjusted_anomaly": 14,
     "weighted_quantile_ladder": 14, "welch_acctbal_segments": 14,
     "wilson_conversion_bounds": 14, "wordpiece_pair_scores": 14,
+    # latest driver row: round 15 (50 gates)
+    "aalen_johansen_cif": 15, "agg_descriptors": 15, "ann_cosine_pairs":
+    15, "ann_cosine_topk": 15, "ann_ivf_topk": 15, "ari_kmeans_labels":
+    15, "asof_join": 15, "blocking_quality_mingram": 15, "char_entropy":
+    15, "cochran_langid": 15, "corpus_pipeline_v7": 15,
+    "corpus_pipeline_v8": 15, "cube_agg": 15, "dedup_watermark_audit": 15,
+    "embedding_pc_outliers": 15, "embedding_top_pc": 15, "fd_source_lang":
+    15, "feature_hash_profile": 15, "fellegi_sunter_customers": 15,
+    "fieldsel": 15, "fleiss_langid": 15, "good_turing_tokens": 15,
+    "host_cap_documents": 15, "info_gain_orders": 15,
+    "isotonic_orderstatus": 15, "jonckheere_priority_price": 15,
+    "kendall_events_daily": 15, "knn_ndcg_labels": 15,
+    "kruskal_priority_price": 15, "langid_kappa": 15,
+    "lin_ccc_order_value": 15, "mann_kendall_daily_events": 15,
+    "neyman_allocation_orders": 15, "ordinal_assoc_weekday": 15,
+    "page_trend_priority": 15, "position_attribution": 15,
+    "pps_ess_priorities": 15, "rmst_retention": 15, "robust_scale_price":
+    15, "roc_auc_orderstatus": 15, "rolling_origin_folds_events": 15,
+    "seasonal_naive_events": 15, "simpson_segment_status": 15,
+    "smd_balance_nations": 15, "t_closeness_customers": 15,
+    "theil_decomposition_nations": 15, "theil_order_values": 15,
+    "training_shard_manifest": 15, "url_dedup_documents": 15,
+    "woe_price_returns": 15,
 }
 
 
