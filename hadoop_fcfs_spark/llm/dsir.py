@@ -20,7 +20,7 @@ share one materialized feature table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hadoop_fcfs_spark.caching import waypoint
@@ -94,16 +94,25 @@ def dsir_log_weights(
         F.sum("cnt").alias("__r"),
         F.sum(F.when(F.col("__is_t"), F.col("cnt")).otherwise(F.lit(0))).alias("__t"),
     )
-    totals = stats.agg(
-        F.sum("__r").alias("__rtot"), F.sum("__t").alias("__ttot")
-    )
+    # Corpus totals ride a whole-frame window over the BUCKET-grain
+    # stats table (≤ num_buckets rows by construction — the bounded
+    # summary-window class, never data-grain), so the bucket aggregation
+    # over the cached feature table runs ONCE; the previous
+    # stats.agg→crossJoin shape evaluated it twice (once to build the
+    # totals broadcast, once for the model side). Integer sums — the
+    # totals are exact and identical either way.
+    wall = Window.partitionBy()
     lam = (
-        F.log((F.col("__t") + 1.0) / (F.col("__ttot") + F.lit(float(num_buckets))))
-        - F.log((F.col("__r") + 1.0) / (F.col("__rtot") + F.lit(float(num_buckets))))
+        F.log(
+            (F.col("__t") + 1.0)
+            / (F.sum("__t").over(wall) + F.lit(float(num_buckets)))
+        )
+        - F.log(
+            (F.col("__r") + 1.0)
+            / (F.sum("__r").over(wall) + F.lit(float(num_buckets)))
+        )
     )
-    model = F.broadcast(
-        stats.crossJoin(F.broadcast(totals)).select("bucket", lam.alias("__lam"))
-    )
+    model = F.broadcast(stats.select("bucket", lam.alias("__lam")))
     return (
         feats.join(model, "bucket")
         .groupBy(id_col)
