@@ -597,6 +597,15 @@ def jaccard_prefix_pairs(
     no global sort — it's a per-doc rank against broadcast-free
     joined frequencies. Output: (doc_a, doc_b, jaccard) with
     J >= threshold, doc_a < doc_b.
+
+    Shingles are collapsed to 64-bit xxhash64 values at the source
+    (the minhash_lsh_pairs convention — collision on a corpus's
+    shingle set is negligible): every shuffle, per-doc sort, cache row
+    and verify array moves 8-byte longs instead of multi-word shingle
+    strings (r16: ~25 bytes/shingle at n=3). The pigeonhole
+    completeness argument holds under ANY total order on shingles, so
+    ordering by (df, gram_hash) instead of (df, gram string) keeps the
+    candidate set complete and the verified output identical.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -620,9 +629,9 @@ def jaccard_prefix_pairs(
     frac = Fraction(str(threshold)).limit_denominator(10**6)
     p, q = frac.numerator, frac.denominator
 
-    grams = waypoint(_gram_rows(df, id_col, text_col, n))  # (doc, gram) distinct
-    freq = grams.groupBy("gram").agg(F.count("*").alias("__gdf"))
-    wdoc = Window.partitionBy("doc").orderBy(F.asc("__gdf"), F.asc("gram"))
+    grams = waypoint(_hashed_gram_rows(df, id_col, text_col, n))  # (doc, gram_h)
+    freq = grams.groupBy("gram_h").agg(F.count("*").alias("__gdf"))
+    wdoc = Window.partitionBy("doc").orderBy(F.asc("__gdf"), F.asc("gram_h"))
     # ranked is waypointed as THE shared doc-partitioned intermediate:
     # both the prefix postings (below) and the verify arrays derive from
     # it, so the scan→shingle→freq-join→window chain runs once, and the
@@ -630,10 +639,13 @@ def jaccard_prefix_pairs(
     # NO further exchange (one doc-sized shuffle total for rank+arrays,
     # where the previous shape paid a second full exchange of the gram
     # table by doc to rebuild the arrays from grams — guide §2.4).
+    # __gdf is projected away before the persist — it only orders the
+    # rank and would otherwise fatten every cached row.
     ranked = waypoint(
-        grams.join(freq, "gram")
+        grams.join(freq, "gram_h")
         .withColumn("__rn", F.row_number().over(wdoc))
         .withColumn("__sz", F.count("*").over(Window.partitionBy("doc")))
+        .select("doc", "gram_h", "__rn", "__sz")
     )
     lprefix = (
         F.col("__sz")
@@ -641,14 +653,14 @@ def jaccard_prefix_pairs(
         + 1
     )
     prefix = ranked.filter(F.col("__rn") <= lprefix).select(
-        "doc", "gram", "__rn", "__sz"
+        "doc", "gram_h", "__rn", "__sz"
     )
     pa = prefix.select(
-        F.col("doc").alias("doc_a"), "gram",
+        F.col("doc").alias("doc_a"), "gram_h",
         F.col("__rn").alias("__ra"), F.col("__sz").alias("__za"),
     )
     pb = prefix.select(
-        F.col("doc").alias("doc_b"), "gram",
+        F.col("doc").alias("doc_b"), "gram_h",
         F.col("__rn").alias("__rb"), F.col("__sz").alias("__zb"),
     )
     # Two more COMPLETE PPJoin filters, both necessary conditions of
@@ -666,7 +678,7 @@ def jaccard_prefix_pairs(
         F.least(F.col("__za") - F.col("__ra"), F.col("__zb") - F.col("__rb")) + 1
     )
     cand = (
-        pa.join(pb, "gram")
+        pa.join(pb, "gram_h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
             # ceil(t·max) <= min  <=>  t·max <= min (min is integral)
@@ -683,7 +695,7 @@ def jaccard_prefix_pairs(
     # rides the window's doc partitioning (zero additional exchange)
     # instead of re-shuffling the gram table by doc a second time.
     arrays = ranked.groupBy("doc").agg(
-        F.sort_array(F.collect_list("gram")).alias("__set"),
+        F.sort_array(F.collect_list("gram_h")).alias("__set"),
         F.count("*").alias("__n"),
     )
     aa = arrays.select(

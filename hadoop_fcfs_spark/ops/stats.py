@@ -1694,13 +1694,18 @@ def ks_group_drift(
     rows, G = #groups (small by contract: sources, cohorts); group
     cumulatives run over that dense table via
     ops.sort.chunked_running_sum (value-bucket chunks, no per-group
-    window task), the global cumulative via global_running_sum joined
-    back by value. Per-row gap = one division per side over exact
+    window task), the global cumulative as the per-value SUM of the
+    group cumulatives (a G-row-bounded window on the same dense table
+    — the dense grid makes Σ_g cum(g,v) the exact global running
+    count, so no separate global prefix-sum pass is needed). Per-row
+    gap = one division per side over exact
     BIGINTs; max() order-independent. Output: one row per group
     (group, n_g, n_total, d_e6), d vs the global distribution including the group
     itself (self-inclusive convention, documented)."""
+    from pyspark.sql import Window
+
     from hadoop_fcfs_spark.caching import waypoint
-    from hadoop_fcfs_spark.ops.sort import chunked_running_sum, global_running_sum
+    from hadoop_fcfs_spark.ops.sort import chunked_running_sum
 
     gg = waypoint(
         df.filter(F.col(value_col).isNotNull())
@@ -1711,9 +1716,6 @@ def ks_group_drift(
     groups = gg.groupBy("__g").agg(F.sum("__c").alias("__ng"))
     gv = waypoint(gg.groupBy("__v").agg(F.sum("__c").alias("__cc")))
     nn = gv.agg(F.sum("__cc").alias("__nn"))
-    gcum = global_running_sum(gv, ["__v"], "__cc", out_col="__gcm").select(
-        "__v", "__gcm"
-    )
     dense = (
         gv.select("__v")
         .crossJoin(F.broadcast(groups))
@@ -1732,12 +1734,21 @@ def ks_group_drift(
         "__c",
         out_col="__cum",
     )
+    # Global cumulative derived from the SAME dense per-group cumulative
+    # — exact integer identity Σ_g cum(g, v) = Σ_{v'<=v} Σ_g c(g, v') =
+    # global running count at v, because the dense grid carries EVERY
+    # group at every value. One value-partitioned window (G rows per
+    # value — group-count-bounded by contract, never data-grain) replaces
+    # the previous separate global_running_sum chain (range shuffle +
+    # enumerate-persist + offsets window + join back by value): r16
+    # exchange-count reduction, identical BIGINT cumulatives.
+    gcm = F.sum("__cum").over(Window.partitionBy("__v"))
     gap = F.abs(
         F.col("__cum").cast("double") / F.col("__ng").cast("double")
         - F.col("__gcm").cast("double") / F.col("__nn").cast("double")
     )
     return (
-        dcum.join(gcum, "__v")
+        dcum.withColumn("__gcm", gcm)
         .crossJoin(F.broadcast(nn))
         .groupBy(F.col("__g").alias(group_col))
         .agg(
