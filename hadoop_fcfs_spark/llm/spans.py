@@ -102,7 +102,15 @@ def duplicate_spans(
     crossing window was not duplicated, so the concatenation is not an
     attested duplicate substring).
     """
-    grams = window_fingerprints(df, id_col, text_col, w)
+    from hadoop_fcfs_spark.caching import waypoint
+
+    # grams feeds TWO structurally different consumers (the corpus-wide
+    # fingerprint census and the semi-join probe side); without the
+    # persist the scan→tokenize→window-hash chain executes once per
+    # consumer (no ReusedExchange across the branches). Rows are
+    # (id, pos, fp) — 24 bytes each, same size class as the jaccard/LSH
+    # gram waypoints.
+    grams = waypoint(window_fingerprints(df, id_col, text_col, w))
     # Posting list: fingerprints seen >= min_count times corpus-wide.
     # 8-byte keys + a count; map-side partial agg absorbs boilerplate skew.
     dup_fps = grams.groupBy("fp").count().where(F.col("count") >= min_count).select("fp")

@@ -387,25 +387,26 @@ def temperature_mix(
         raise ValueError("budget fraction must be positive")
     q20 = 1_048_576  # 2^20
     c = df.groupBy(F.col(group_col)).agg(F.count("*").alias("__n"))
-    tot = c.agg(
-        F.sum("__n").alias("__nt"),
-        F.sum(
-            F.floor(F.sqrt(F.col("__n").cast("double")) * q20)
-        ).cast("long").alias("__sq"),
-    )
-    p = (
-        c.crossJoin(F.broadcast(tot))
-        .select(
-            group_col,
-            "__n",
-            F.least(
-                F.lit(1.0),
-                (F.col("__nt") * budget_num).cast("double") / budget_den
-                * F.sqrt(F.col("__n").cast("double")) * q20
-                / F.col("__sq")
-                / F.col("__n").cast("double"),
-            ).alias("__p"),
-        )
+    # Normalizer totals ride a whole-frame window over the GROUP-grain
+    # count table (≤ #groups rows by construction — bounded summary
+    # grain): the previous agg→broadcast→crossJoin shape evaluated the
+    # group-count aggregation twice (once building the totals broadcast,
+    # once for the probability side). Integer sums — identical values.
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    nt = F.sum("__n").over(wall)
+    sq = F.sum(F.floor(F.sqrt(F.col("__n").cast("double")) * q20).cast("long")).over(wall)
+    p = c.select(
+        group_col,
+        "__n",
+        F.least(
+            F.lit(1.0),
+            (nt * budget_num).cast("double") / budget_den
+            * F.sqrt(F.col("__n").cast("double")) * q20
+            / sq
+            / F.col("__n").cast("double"),
+        ).alias("__p"),
     )
     thresh = F.floor(F.col("__p") * F.lit(4294967296.0)).cast("long")
     return (

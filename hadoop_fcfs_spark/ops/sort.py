@@ -362,7 +362,12 @@ def chunked_running_sum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = chunked.withColumn("__local", F.sum(value_col).over(w_local))
-    totals = chunked.groupBy(*group_cols, "__chunk").agg(
+    # Totals aggregate over `local`, not `chunked`: same rows and the
+    # same (group, chunk) grain, but `local` is already exchanged and
+    # sorted by the window, so the aggregation rides that partitioning
+    # — deriving totals from `chunked` re-evaluated the whole upstream
+    # subtree a second time (one extra corpus-sized pass at scale).
+    totals = local.groupBy(*group_cols, "__chunk").agg(
         F.sum(value_col).alias("__tot")
     )
     w_off = (
