@@ -928,6 +928,9 @@ def host_cap_documents(
     — re-runs and other engines agree). Every survivor carries
     ``host_total`` (documents the host had) and ``host_kept``
     (min(total, cap)) so the drop audit needs no second pass.
+    ``host_total``/``host_kept`` are RESERVED output names: input
+    columns with those names are silently overwritten (withColumn
+    semantics) — rename caller-side audit columns before this pass.
 
     Scale shape: ONE hash exchange on ``host_col``; the survivor rank
     and the audit count are two window functions over the SAME
@@ -997,8 +1000,17 @@ def canonical_url(url: str | Column) -> Column:
     3. strip one leading ``www.`` (case-insensitive);
     4. split off the query at the FIRST ``?``;
     5. lower-case the host (authority up to the first ``/``) and strip
-       an explicit default port ``:80``/``:443`` — other ports are
-       meaningful and KEPT;
+       an explicit port ``:80``/``:443`` — other ports are meaningful
+       and KEPT. The strip is SCHEME-AGNOSTIC by design: the scheme is
+       already discarded in rule 2 (http/https collapse), so whether a
+       literal ``:80``/``:443`` was that scheme's default is unknowable
+       here — ``http://host:443/x`` and ``https://host/x`` share a key.
+       A userinfo component (``user@host``) is KEPT AS-IS inside the
+       authority and lower-cased along with it (userinfo is
+       case-sensitive per RFC 3986, but crawler corpora essentially
+       never carry it; keeping it un-split keeps the authority parse
+       one split_part) — ``alice@news-site.com/x`` and
+       ``news-site.com/x`` stay distinct keys;
     6. strip trailing slashes from the path — path CASE is kept
        (paths are case-sensitive per RFC 3986; hosts are not);
     7. drop empty and tracking query params, sort the survivors
@@ -1065,6 +1077,9 @@ def url_dedup_documents(
     ops.sampling._sample_key convention — deterministic, uniform,
     engine-portable). Every survivor carries ``canonical_url`` and
     ``url_dupes`` (rows that mapped to its key — the re-crawl count).
+    Both are RESERVED output names: input columns with those names are
+    silently overwritten (withColumn semantics) — rename caller-side
+    columns before this pass.
 
     Scale shape: canonicalization is row-local (rides the scan); then
     ONE hash exchange on the canonical key, survivor rank and dupe

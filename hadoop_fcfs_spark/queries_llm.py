@@ -6672,10 +6672,14 @@ def _acquisition_ledger(crawled: DataFrame) -> DataFrame:
     # rows_in of the url stage from its own audit column: every input
     # row maps to exactly one canonical key, so sum(url_dupes) is the
     # crawl size — no second corpus scan. coalesce: an EMPTY crawl's
-    # sum is NULL; the ledger contract is zeros.
+    # sum is NULL; the ledger contract is zeros. n0 and n1 FUSE into
+    # one aggregate over the cached s1 (r15 verdict advisory #2: the
+    # split form paid two passes over the waypoint for one line).
     counts = (
-        s1.agg(F.coalesce(F.sum("url_dupes"), F.lit(0)).cast("long").alias("n0"))
-        .crossJoin(cnt(s1, "n1"))
+        s1.agg(
+            F.coalesce(F.sum("url_dupes"), F.lit(0)).cast("long").alias("n0"),
+            F.count("*").cast("long").alias("n1"),
+        )
         .crossJoin(cnt(s2, "n2"))
         .crossJoin(cnt(s3, "n3"))
     )

@@ -266,7 +266,7 @@ def stream_nelson_monitor(
         update,
         outputStructType=(
             f"`{key_col}` {dt[key_col]}, `{idx_col}` {dt[idx_col]}, "
-            f"{rate_col} long, "
+            f"`{rate_col}` long, "
             "direction int, trend_len long, alt_len long, "
             "rule3 boolean, rule4 boolean"
         ),
@@ -370,7 +370,7 @@ def stream_zone_monitor(
         update,
         outputStructType=(
             f"`{key_col}` {dt[key_col]}, `{idx_col}` {dt[idx_col]}, "
-            f"{n_col} long, {x_col} long, "
+            f"`{n_col}` long, `{x_col}` long, "
             "rate_e6 long, beyond1 int, beyond2 int, within1 boolean, "
             "rule5 boolean, rule6 boolean, rule7 boolean, rule8 boolean"
         ),
@@ -523,7 +523,7 @@ def stream_runs_monitor(
         update,
         outputStructType=(
             f"`{key_col}` {dt[key_col]}, `{idx_col}` {dt[idx_col]}, "
-            f"{n_col} long, {x_col} long, "
+            f"`{n_col}` long, `{x_col}` long, "
             "side int, n_pos long, n_neg long, n_zero long, n_runs long, "
             "z_num long"
         ),
@@ -787,7 +787,7 @@ def stream_cusum_monitor(
         update,
         outputStructType=(
             f"`{key_col}` {dt[key_col]}, `{idx_col}` {dt[idx_col]}, "
-            f"{n_col} long, {x_col} long, "
+            f"`{n_col}` long, `{x_col}` long, "
             "cusum_up_e6 long, cusum_dn_e6 long, "
             "alarm_up boolean, alarm_dn boolean"
         ),

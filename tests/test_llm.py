@@ -4974,6 +4974,11 @@ def test_canonical_url_three_engine_fuzz(spark, duck):
             "FBCLID", "gclid", "mc_eid", "x", ""]
     vals = ["", "1", "A&B", "a=b", "https://x.com", "%2F", "#t"]
 
+    # r16 (r15 verdict advisory #1): userinfo components — kept as-is
+    # inside the authority and lower-cased with it (the documented
+    # non-rule), so user@host and host stay distinct keys.
+    userinfos = ["", "", "", "alice@", "Alice@", "a:PW@", "@"]
+
     def rand_url():
         host = ".".join(rng.choice(hostparts) for _ in range(rng.randint(1, 3)))
         www = rng.choice(["", "www.", "WWW.", "www.www."])
@@ -4985,7 +4990,10 @@ def test_canonical_url_three_engine_fuzz(spark, duck):
         )
         q = ("?" + params) if (params or rng.random() < 0.2) else ""
         frag = rng.choice(["", "#", "#top", "#a?b=c#d"])
-        return rng.choice(schemes) + www + host + rng.choice(ports) + path + q + frag
+        return (
+            rng.choice(schemes) + rng.choice(userinfos) + www + host
+            + rng.choice(ports) + path + q + frag
+        )
 
     garbage_alpha = "aZ9.:/?#&=%+-_~ "
 
@@ -4995,6 +5003,14 @@ def test_canonical_url_three_engine_fuzz(spark, duck):
     urls = [rand_url() for _ in range(160)] + [rand_garbage() for _ in range(90)]
     urls += [_canon_url_py(u) for u in urls[:120]]  # re-fed canonical keys
     urls.append("")
+    # hand-pinned userinfo pairs: user@host never merges with host, and
+    # a case-varied userinfo lower-cases with the authority (documented)
+    urls += [
+        "https://alice@news-site.com/x",
+        "https://news-site.com/x",
+        "http://ALICE@News-Site.com/x",
+        "ftp://a:pw@example.com:80/y",
+    ]
     want = [_canon_url_py(u) for u in urls]
 
     df = spark.createDataFrame(list(enumerate(urls)), "i long, url string")
