@@ -375,9 +375,14 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.llm.textan import quality_score, token_counts
 
     docs = t(spark, sf_dir, "documents")
-    # 1. quality gate: drop the bottom tail
+    # 1. quality gate: drop the bottom tail. good is itself waypointed:
+    # exact_dedup consumes it TWICE (digest census + the semi-join's
+    # left side), so without the persist the quality aggregation —
+    # a full pass over the corpus text — executed once per consumer.
     q = quality_score(docs, "doc_id", "text").select("doc_id", "quality_e6")
-    good = docs.join(q.filter(F.col("quality_e6") >= 300_000), "doc_id", "left_semi")
+    good = waypoint(
+        docs.join(q.filter(F.col("quality_e6") >= 300_000), "doc_id", "left_semi")
+    )
     # 2. exact dedup, 3. near dedup (LSH). The survivors feed THREE
     # consumers each (near-dedup shingling, the anti join, token
     # accounting) — persist the two pipeline waypoints (tracked, see

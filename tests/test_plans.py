@@ -1447,15 +1447,20 @@ def test_aqe_runtime_join_demotion_to_broadcast(spark, tmp_path):
     join whenever a filter collapses one side, without anyone
     re-writing the query."""
     big_p, dim_p = str(tmp_path / "big"), str(tmp_path / "dim")
+    # fixture codec pinned: the test is calibrated to the dim table's
+    # STATIC on-disk size exceeding the 512 KB threshold, which must not
+    # drift with the session's default parquet codec (r16: zstd default
+    # shrank the file under the threshold and the initial plan went
+    # straight to BHJ)
     spark.range(500_000).select(
         F.col("id").alias("k"), F.col("id").alias("v")
-    ).write.parquet(big_p)
+    ).write.option("compression", "snappy").parquet(big_p)
     spark.range(300_000).select(
         F.col("id").alias("k"),
         F.concat(F.lit("x" * 60), F.col("id").cast("string")).alias("pad"),
         F.when(F.col("id") % 3000 == 0, "keep").otherwise("drop")
         .alias("tag"),
-    ).write.parquet(dim_p)
+    ).write.option("compression", "snappy").parquet(dim_p)
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "524288")
     try:
@@ -1999,9 +2004,11 @@ def test_corpus_pipeline_v8_single_scan_no_cartesian(spark):
     rendered inside the waypoints' cached lineages) is the same pruned
     documents scan (doc_id, source, n_chars — text never reads); the
     url stage's rows_in derives from sum(url_dupes), not a second
-    crawl scan; the only joins are the three 1x1 ledger-assembly cross
-    joins and the exact-dedup broadcast semi-join; no cartesian, data
-    join, or row-Python anywhere."""
+    crawl scan; the only joins are the TWO 1x1 ledger-assembly cross
+    joins (r16: n0 and n1 fused into one aggregate over the cached s1
+    — r15 verdict advisory #2 — so three assembly joins became two)
+    and the exact-dedup broadcast semi-join; no cartesian, data join,
+    or row-Python anywhere."""
     from hadoop_fcfs_spark.caching import release_waypoints
 
     plan = _plan(Q["corpus_pipeline_v8"].spark_fn(spark, SF_ORACLE))
@@ -2012,7 +2019,7 @@ def test_corpus_pipeline_v8_single_scan_no_cartesian(spark):
         "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>" in ln
         for ln in scans
     ), scans
-    assert plan.count("BroadcastNestedLoopJoin") == 3, "1x1 ledger assembly"
+    assert plan.count("BroadcastNestedLoopJoin") == 2, "1x1 ledger assembly"
     assert plan.count("BroadcastHashJoin") == 1, "exact-dedup semi-join"
     for bad in ("CartesianProduct", "SortMergeJoin", "ShuffledHashJoin",
                 "BatchEvalPython"):
