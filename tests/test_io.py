@@ -533,3 +533,31 @@ def test_read_binary_files_feeds_multimodal(spark, tmp_path):
     assert (len(gif) > len(png) and kept == ["b.png"]) or set(kept) == {
         "a.gif", "b.png"
     }
+
+
+def test_table_handle_memo_is_plans_not_data(spark):
+    """r16: tables.t memoizes the ANALYZED HANDLE per (app, path, table)
+    — repeat calls return the identical DataFrame object (no re-listing
+    / footer re-read), different sf dirs stay distinct, and the handle
+    is a logical plan, not cached data: execution after a blanket
+    clearCache still reads the parquet files (row counts match a fresh
+    un-memoized read), and the events handle keeps its micros-converted
+    timestamp column."""
+    from tests.conftest import SF_ORACLE, SF_SMOKE
+
+    from hadoop_fcfs_spark.tables import t
+
+    a1 = t(spark, SF_SMOKE, "orders")
+    a2 = t(spark, SF_SMOKE, "orders")
+    b = t(spark, SF_ORACLE, "orders")
+    assert a1 is a2, "same (app, path, table) must return the memoized handle"
+    assert a1 is not b, "different sf dirs must not share a handle"
+
+    fresh = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    spark.catalog.clearCache()
+    assert a1.count() == fresh.count() > 0
+
+    ev1 = t(spark, SF_SMOKE, "events")
+    ev2 = t(spark, SF_SMOKE, "events")
+    assert ev1 is ev2
+    assert dict(ev1.dtypes)["ts"] == "timestamp"
