@@ -64,39 +64,19 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # a pytest keeps the script and the table format in lockstep. Update
 # the paragraph below by hand each round.
 #
-# State after round 15 (rebuilt for round 16, OPTIMIZATION round 1):
-# 379 registered gates, CORRECTNESS_r15 50/50 green, driver-checked
-# union r01-r15 = 379/379, zero mismatches ever. _NEVER_SAMPLED stays
-# empty; round 16 is an optimization round (no net-new gates), so the
-# round-16 window = the 29 remaining r8 rows + the oldest 21 of the 50
-# r9 rows (bucket 2, oldest-first) — by r16-close no evidence row
-# should be older than r9 (burn-down promise from r15). Per-round
-# counts after this fold: 29 x r8, 50 each r9-r15.
+# State after round 16 (rebuilt for round 17, OPTIMIZATION round 2):
+# 379 registered gates, CORRECTNESS_r16 50/50 green, driver-checked
+# union r01-r16 = 379/379, zero mismatches ever. _NEVER_SAMPLED stays
+# empty; round 17 is an optimization round (no net-new gates), so the
+# round-17 window = the 29 remaining r9 rows + the oldest 21 of the 50
+# r10 rows (bucket 2, oldest-first) — by r17-close no evidence row
+# should be older than r10 (burn-down promise from r16). Per-round
+# counts after this fold: 29 x r9, 50 each r10-r16.
 
 _NEVER_SAMPLED: tuple[str, ...] = ()
 
 _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
-    # latest driver row: round 8 (29 gates)
-    "grep_count": 8, "heaps_vocab_growth": 8, "hilbert_values": 8,
-    "js_drift_sources": 8, "keyfield_sort": 8, "kmeans_embedding_cells":
-    8, "kmeans_silhouette_cells": 8, "knn_map_labels": 8,
-    "knn_mrr_labels": 8, "mcnemar_langid": 8, "minhash_estimate_audit": 8,
-    "mmr_rerank_embeddings": 8, "modularity_regions": 8, "monte_carlo_pi":
-    8, "p_chart_daily_returns": 8, "pivot_agg": 8, "pq_distortion_audit":
-    8, "pr_curve_orderstatus": 8, "rake_source_lang": 8,
-    "rbo_stability_parts": 8, "readability_sources": 8, "set_except": 8,
-    "sorted_group_apply": 8, "supplier_winrate_bounds": 8,
-    "topk_stability_parts": 8, "trade_clustering": 8, "union_distinct": 8,
-    "watermark_late_audit": 8, "zipf_slope_tokens": 8,
-    # latest driver row: round 9 (50 gates)
-    "bh_fdr_daily_returns": 9, "chunk_documents": 9,
-    "contamination_check": 9, "corpus_pipeline": 9,
-    "cusum_chart_daily_returns": 9, "dedup_clusters": 9, "dedup_exact": 9,
-    "dedup_minhash_lsh": 9, "dedup_ngram_jaccard": 9,
-    "embedding_near_dup": 9, "fingerprint": 9, "gray_test_cohorts": 9,
-    "heaps_exponent_docs": 9, "interval_sample": 9, "join_anti": 9,
-    "join_full_outer": 9, "join_inner_agg": 9, "join_multiway": 9,
-    "join_override": 9, "join_semi": 9, "json_extract_agg": 9,
+    # latest driver row: round 9 (29 gates)
     "krippendorff_langid": 9, "kv_split": 9, "lang_id": 9,
     "mondrian_conformal_prices": 9, "multimodal_pipeline": 9,
     "near_dedup_clustered": 9, "near_dedup_corpus": 9, "pii_scrub": 9,
@@ -245,6 +225,27 @@ _DRIVER_CONFIRMED_ROUND: dict[str, int] = {
     "theil_decomposition_nations": 15, "theil_order_values": 15,
     "training_shard_manifest": 15, "url_dedup_documents": 15,
     "woe_price_returns": 15,
+    # latest driver row: round 16 (50 gates)
+    "bh_fdr_daily_returns": 16, "chunk_documents": 16,
+    "contamination_check": 16, "corpus_pipeline": 16,
+    "cusum_chart_daily_returns": 16, "dedup_clusters": 16, "dedup_exact":
+    16, "dedup_minhash_lsh": 16, "dedup_ngram_jaccard": 16,
+    "embedding_near_dup": 16, "fingerprint": 16, "gray_test_cohorts": 16,
+    "grep_count": 16, "heaps_exponent_docs": 16, "heaps_vocab_growth": 16,
+    "hilbert_values": 16, "interval_sample": 16, "join_anti": 16,
+    "join_full_outer": 16, "join_inner_agg": 16, "join_multiway": 16,
+    "join_override": 16, "join_semi": 16, "js_drift_sources": 16,
+    "json_extract_agg": 16, "keyfield_sort": 16, "kmeans_embedding_cells":
+    16, "kmeans_silhouette_cells": 16, "knn_map_labels": 16,
+    "knn_mrr_labels": 16, "mcnemar_langid": 16, "minhash_estimate_audit":
+    16, "mmr_rerank_embeddings": 16, "modularity_regions": 16,
+    "monte_carlo_pi": 16, "p_chart_daily_returns": 16, "pivot_agg": 16,
+    "pq_distortion_audit": 16, "pr_curve_orderstatus": 16,
+    "rake_source_lang": 16, "rbo_stability_parts": 16,
+    "readability_sources": 16, "set_except": 16, "sorted_group_apply": 16,
+    "supplier_winrate_bounds": 16, "topk_stability_parts": 16,
+    "trade_clustering": 16, "union_distinct": 16, "watermark_late_audit":
+    16, "zipf_slope_tokens": 16,
 }
 
 
