@@ -6,11 +6,12 @@ distribution, log w(x) = Σ_f c_f · (ln p_t(f) − ln p_r(f)), with
 features hashed into a fixed bucket space so the model is two
 B-sized count vectors, not a vocabulary.
 
-Scale shape: one explode of unigrams+bigrams → per-(doc, bucket)
-counts (the only data-sized shuffle, map-side combined); the bucket
-log-ratio model re-aggregates FROM that table (aggregate-of-aggregate,
-no second corpus scan) and is ≤ B rows — broadcast back for the
-per-doc weight sum. The bucket key is the md5-uniform32 idiom
+Scale shape: per-(doc, bucket) counts fold IN-ROW (sort + run-length
+encode of each doc's bucket array — no data-sized shuffle at all); the
+bucket log-ratio model aggregates FROM that doc-grain table (explode +
+map-side combine bounds the exchange at ≤ B rows per task) and
+collapses to ONE dense B-double-array row broadcast back for the
+in-row per-doc weight fold. The bucket key is the md5-uniform32 idiom
 (ops/sampling._sample_key) so any engine replays the exact weights.
 
 Reference analog: the aggregate-framework two-job shape
@@ -34,6 +35,99 @@ def _bucket(col: Column, num_buckets: int) -> Column:
     return key % num_buckets
 
 
+def _gram_bucket_arrays(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 8192,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Doc-grain hashed gram-instance buckets: id + carry_cols + ``__bk``,
+    an array<long> with ONE element per unigram/bigram instance (doc
+    order, duplicates kept) — the flat per-gram form of the feature bag,
+    computed without any exchange. Documents with no tokens yield no row
+    (explode parity)."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    base = df.select(F.col(id_col), *carry_cols, toks.alias("__ws"))
+    ws = F.col("__ws")
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bk = F.transform(F.concat(ws, bigrams), lambda g: _bucket(g, num_buckets))
+    return base.select(id_col, *carry_cols, bk.alias("__bk")).where(
+        F.size(F.col("__bk")) > 0
+    )
+
+
+def _ngram_bucket_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 8192,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Doc-grain hashed feature bags: id + carry_cols + ``__fb``, an
+    array<struct<bucket,cnt>> sorted by bucket, computed IN-ROW (sort +
+    run-length encode of the per-doc bucket array). The per-(doc, bucket)
+    counts are EXACTLY the rows the old explode→groupBy produced — same
+    integer cnt per (doc, bucket), grouped inside the row instead of
+    through a data-sized exchange. Documents with no tokens yield no row
+    (explode parity). Bigrams are built inside the token ARRAY (zip of
+    the array with its own shift — never a positions self-join)."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    base = df.select(F.col(id_col), *carry_cols, toks.alias("__ws"))
+    ws = F.col("__ws")
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bs = F.array_sort(
+        F.transform(F.concat(ws, bigrams), lambda g: _bucket(g, num_buckets))
+    )
+    rows = base.select(id_col, *carry_cols, bs.alias("__bs")).where(
+        F.size(F.col("__bs")) > 0
+    )
+    n = F.size(F.col("__bs"))
+    # Run starts in the sorted bucket array. The i == 1 guard compares
+    # bs[1] to bs[max(i-1, 1)] = bs[1] (never index 0 — ANSI-safe
+    # without relying on OR short-circuit), which is false, so position
+    # 1 rides the explicit i == 1 disjunct.
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == F.lit(1))
+        | (
+            F.element_at(F.col("__bs"), i)
+            != F.element_at(F.col("__bs"), F.greatest(i - 1, F.lit(1)))
+        ),
+    )
+    nexts = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n + 1),
+    )
+    fb = F.zip_with(
+        starts,
+        nexts,
+        lambda s, e: F.struct(
+            F.element_at(F.col("__bs"), s).alias("bucket"),
+            (e - s).cast("long").alias("cnt"),
+        ),
+    )
+    # The n > 0 guard makes the expression TOTAL: the optimizer infers a
+    # `size(__fb) > 0` conjunct from a downstream explode and can
+    # evaluate it on rows the size(__bs) > 0 filter would drop (conjunct
+    # evaluation order is not a contract), and on an empty __bs
+    # sequence(1, 0) descends through index 0 — element_at throws.
+    # when/otherwise branch laziness IS a contract, so empty rows yield
+    # NULL (then filtered) instead of evaluating the RLE.
+    guarded = F.when(n > 0, fb).otherwise(
+        F.lit(None).cast("array<struct<bucket:bigint,cnt:bigint>>")
+    )
+    return rows.select(id_col, *carry_cols, guarded.alias("__fb"))
+
+
 def hashed_ngram_features(
     df: DataFrame,
     id_col: str,
@@ -43,24 +137,18 @@ def hashed_ngram_features(
 ) -> DataFrame:
     """Per-document hashed feature-bag counts: whitespace unigrams plus
     adjacent bigrams, bucketed. Output: id + carry_cols + (bucket, cnt).
-    Bigrams are built inside the token ARRAY (zip of the array with its
-    own shift — never a positions self-join), and the token array is
-    projected to a column first so lambdas don't re-tokenize per
-    element."""
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    base = df.select(F.col(id_col), *carry_cols, toks.alias("__ws"))
-    ws = F.col("__ws")
-    bigrams = F.zip_with(
-        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
-        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+    The (doc, bucket) counts fold IN-ROW (``_ngram_bucket_rows``) and
+    explode — same rows as the old explode→groupBy shape with ZERO
+    exchange (the data-sized (doc, bucket) shuffle is gone)."""
+    rows = _ngram_bucket_rows(df, id_col, text_col, num_buckets, carry_cols)
+    return rows.select(
+        id_col, *carry_cols, F.explode(F.col("__fb")).alias("__e")
+    ).select(
+        id_col,
+        *carry_cols,
+        F.col("__e.bucket").alias("bucket"),
+        F.col("__e.cnt").alias("cnt"),
     )
-    grams = base.select(
-        id_col, *carry_cols, F.explode(F.concat(ws, bigrams)).alias("__g")
-    )
-    return grams.groupBy(
-        id_col, *carry_cols, _bucket(F.col("__g"), num_buckets).alias("bucket")
-    ).agg(F.count("*").alias("cnt"))
 
 
 def dsir_log_weights(
@@ -82,7 +170,7 @@ def dsir_log_weights(
     the weight should compare a FLOOR-quantized copy, not rank raw
     float sums."""
     feats = waypoint(
-        hashed_ngram_features(
+        _gram_bucket_arrays(
             df.withColumn("__is_t", target_pred),
             id_col,
             text_col,
@@ -90,9 +178,19 @@ def dsir_log_weights(
             carry_cols=("__is_t",),
         )
     )
-    stats = feats.groupBy("bucket").agg(
-        F.sum("cnt").alias("__r"),
-        F.sum(F.when(F.col("__is_t"), F.col("cnt")).otherwise(F.lit(0))).alias("__t"),
+    # Bucket totals: explode the doc-grain gram-bucket arrays and
+    # aggregate to bucket grain — partial (map-side) aggregation bounds
+    # the exchange at ≤ num_buckets rows per map task, so unlike the old
+    # (doc, bucket) feature shuffle nothing data-sized crosses the wire.
+    # COUNT per bucket over gram instances == SUM(cnt) over the old
+    # per-(doc, bucket) rows — identical integers, so lam is
+    # bit-identical.
+    ex = feats.select("__is_t", F.explode(F.col("__bk")).alias("__b"))
+    stats = ex.groupBy(F.col("__b").alias("bucket")).agg(
+        F.count("*").alias("__r"),
+        F.sum(F.when(F.col("__is_t"), F.lit(1)).otherwise(F.lit(0))).alias(
+            "__t"
+        ),
     )
     # Corpus totals ride a whole-frame window over the BUCKET-grain
     # stats table (≤ num_buckets rows by construction — the bounded
@@ -112,14 +210,45 @@ def dsir_log_weights(
             / (F.sum("__r").over(wall) + F.lit(float(num_buckets)))
         )
     )
-    model = F.broadcast(stats.select("bucket", lam.alias("__lam")))
-    return (
-        feats.join(model, "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.sum("cnt").cast("long").alias("n_features"),
-            F.sum(F.col("cnt") * F.col("__lam")).alias("log_weight"),
-        )
+    # Scoring: the model collapses to ONE row — a dense num_buckets
+    # double array indexed by bucket (built once from the ≤ num_buckets
+    # model rows; every bucket referenced by any doc exists in stats by
+    # construction, absent buckets fill 0.0 and are never read) — and is
+    # broadcast-attached to the doc-grain gram arrays. The per-doc
+    # weight folds IN-ROW over the grams (one lam term per gram
+    # instance, doc order), so the old explode→broadcast-join→
+    # groupBy(doc) re-shuffle of the feature table is gone: after the
+    # waypoint the doc side is exchange-free. Per-doc Σ_g lam[bucket(g)]
+    # sums the SAME real mass as the old Σ_b cnt_b·lam_b with a
+    # different float term grouping — the DuckDB oracles are
+    # restructured in lockstep (per-gram model join), and the gate's
+    # floor-e3 margin (min |·×1000 − round| ≈ 5e-5 at sf0.1) dwarfs the
+    # ~1e-9 regrouping perturbation; verified output-identical at all
+    # three SFs.
+    model = stats.select("bucket", lam.alias("__lam"))
+    mm = model.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("__lam")))
+        ).alias("__mm")
+    )
+    dense = mm.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_buckets - 1)),
+            lambda b: F.coalesce(
+                F.try_element_at(F.col("__mm"), b.cast("long")), F.lit(0.0)
+            ),
+        ).alias("__lams")
+    )
+    lams = F.col("__lams")
+    return feats.crossJoin(F.broadcast(dense)).select(
+        id_col,
+        F.size(F.col("__bk")).cast("long").alias("n_features"),
+        F.aggregate(
+            F.col("__bk"),
+            F.lit(0.0),
+            lambda acc, b: acc
+            + F.element_at(lams, (b + F.lit(1)).cast("int")),
+        ).alias("log_weight"),
     )
 
 

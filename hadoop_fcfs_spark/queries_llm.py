@@ -2136,14 +2136,12 @@ def jaccard_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     feats AS (
       SELECT doc_id, is_t,
-             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 8192 AS bucket,
-             CAST(COUNT(*) AS BIGINT) AS cnt
+             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 8192 AS bucket
       FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
-      GROUP BY 1, 2, 3
     ),
     stats AS (
-      SELECT bucket, SUM(cnt) AS r,
-             SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS tt
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tt
       FROM feats GROUP BY 1
     ),
     tot AS (SELECT SUM(r) AS rr, SUM(tt) AS t FROM stats),
@@ -2152,8 +2150,8 @@ def jaccard_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              ln((tt + 1.0) / (t + 8192.0)) - ln((r + 1.0) / (rr + 8192.0)) AS lam
       FROM stats CROSS JOIN tot
     )
-    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_features,
-           CAST(FLOOR(SUM(cnt * lam) * 1000) AS BIGINT) AS logw_e3
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+           CAST(FLOOR(SUM(lam) * 1000) AS BIGINT) AS logw_e3
     FROM feats JOIN model USING (bucket)
     GROUP BY doc_id
     """,
@@ -2719,14 +2717,12 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     feats AS (
       SELECT doc_id, source, is_t,
-             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 8192 AS bucket,
-             CAST(COUNT(*) AS BIGINT) AS cnt
+             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 8192 AS bucket
       FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
-      GROUP BY 1, 2, 3, 4
     ),
     stats AS (
-      SELECT bucket, SUM(cnt) AS r,
-             SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS tt
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tt
       FROM feats GROUP BY 1
     ),
     tot AS (SELECT SUM(r) AS rr, SUM(tt) AS t FROM stats),
@@ -2737,8 +2733,8 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     weights AS (
       SELECT doc_id, ANY_VALUE(source) AS source,
-             CAST(SUM(cnt) AS BIGINT) AS n_tok,
-             CAST(FLOOR(SUM(cnt * lam) * 1000) AS BIGINT) AS logw_e3
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(FLOOR(SUM(lam) * 1000) AS BIGINT) AS logw_e3
       FROM feats JOIN model USING (bucket)
       GROUP BY doc_id
     )

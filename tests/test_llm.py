@@ -5087,3 +5087,46 @@ def test_acquisition_ledger_empty_crawl_all_zero(spark):
         "host_cap": (0, 0, 0),
         "exact_dedup": (0, 0, 0),
     }
+
+
+def test_hashed_ngram_features_inrow_rle_matches_python_replay(spark):
+    """The r17 in-row bucket-count fold (sort + run-length encode of the
+    per-doc bucket array, llm/dsir._ngram_bucket_rows) must reproduce
+    EXACTLY the rows the old explode->groupBy shape produced: per-(doc,
+    bucket) integer counts over whitespace unigrams + adjacent bigrams,
+    md5-uniform bucketing, token-less docs absent. Replayed brute-force
+    in Python (hashlib md5 idiom) over edge shapes: single token (no
+    bigram), repeated token (bucket runs longer than 1), multi-run
+    docs, whitespace-only doc (must vanish), carry col preserved."""
+    import hashlib
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from hadoop_fcfs_spark.llm.dsir import hashed_ngram_features
+
+    def bucket(g: str, b: int = 64) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % b
+
+    rows = [
+        (1, "solo", True),
+        (2, "rep rep rep rep", False),
+        (3, "alpha beta gamma alpha beta", True),
+        (4, "   ", False),  # whitespace-only: zero tokens, no output rows
+        (5, "x y", True),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tag boolean")
+    got = {
+        (r["doc_id"], r["bucket"]): (r["cnt"], r["tag"])
+        for r in hashed_ngram_features(
+            df, "doc_id", "text", num_buckets=64, carry_cols=("tag",)
+        ).collect()
+    }
+    want = {}
+    for doc_id, text, tag in rows:
+        toks = [w for w in text.split() if w]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        for bkt, cnt in Counter(bucket(g) for g in grams).items():
+            want[(doc_id, bkt)] = (cnt, tag)
+    assert got == want
+    assert not any(d == 4 for d, _ in got)
