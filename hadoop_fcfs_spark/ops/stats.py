@@ -1714,13 +1714,34 @@ def ks_group_drift(
         .agg(F.count("*").cast("long").alias("__c"))
     )
     groups = gg.groupBy("__g").agg(F.sum("__c").alias("__ng"))
-    gv = waypoint(gg.groupBy("__v").agg(F.sum("__c").alias("__cc")))
+    # Value-grain stats carry each value's per-group counts IN-ROW (a
+    # ≤ G-entry map), so the dense grid is a broadcast-attach of the
+    # G-row group table + one map lookup per (value, group) cell —
+    # the former gv⨯groups LEFT JOIN gg on (g, v) and its two hash
+    # exchanges (plus the join stage) are gone; same exact integer
+    # counts (a missing map entry IS the left join's unmatched NULL,
+    # coalesced to 0, and NULL groups zero out under both shapes —
+    # lookup by NULL key yields NULL, as NULL = NULL never matched).
+    gv = waypoint(
+        gg.groupBy("__v").agg(
+            F.sum("__c").alias("__cc"),
+            F.map_from_entries(
+                F.filter(
+                    F.collect_list(F.struct(F.col("__g"), F.col("__c"))),
+                    lambda e: e["__g"].isNotNull(),
+                )
+            ).alias("__m"),
+        )
+    )
     nn = gv.agg(F.sum("__cc").alias("__nn"))
     dense = (
-        gv.select("__v")
+        gv.select("__v", "__m")
         .crossJoin(F.broadcast(groups))
-        .join(gg, ["__g", "__v"], "left")
-        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)))
+        .withColumn(
+            "__c",
+            F.coalesce(F.try_element_at(F.col("__m"), F.col("__g")), F.lit(0)),
+        )
+        .drop("__m")
     )
     # chunk = truncation-monotone value bucket (cast-to-long truncation
     # and arithmetic shiftright are both non-decreasing in __v), so the
