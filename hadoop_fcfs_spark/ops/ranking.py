@@ -111,28 +111,35 @@ def _edge_collapse(
     )
 
 
-def _mm_denominator(edges: DataFrame, p: DataFrame) -> DataFrame:
+def _mm_denominator(
+    edges: DataFrame, p: DataFrame, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """One MM step's denominator D_i = Σ_j g_ij·10¹²/(p_i+p_j) (exact
     integer per-edge terms): two SHUFFLE_HASH joins of node-state onto
     the edge list (never broadcast — node counts are unbounded; hash,
     not sort-merge, so the edge list is never re-sorted per iteration)
-    + one map-side-combined node-grain aggregation."""
+    + one map-side-combined node-grain aggregation. The j join runs
+    FIRST so the i join's hash partitioning is the LAST exchange and the
+    node aggregation rides it (no third edge-grain exchange).
+    ``carry_cols``: node-constant columns of ``p`` echoed through the
+    aggregation (max over join-replicated copies — exact), so callers
+    fuse their numerator lookup into this job instead of re-joining
+    node state per iteration."""
+    pj = p.select(F.col("node").alias("j"), F.col("p").alias("__pj"))
+    pi = p.select(
+        F.col("node").alias("i"),
+        F.col("p").alias("__pi"),
+        *[F.col(c) for c in carry_cols],
+    )
     return (
-        edges.join(
-            p.select(F.col("node").alias("i"), F.col("p").alias("__pi"))
-            .hint("SHUFFLE_HASH"),
-            "i",
-        )
-        .join(
-            p.select(F.col("node").alias("j"), F.col("p").alias("__pj"))
-            .hint("SHUFFLE_HASH"),
-            "j",
-        )
+        edges.join(pj.hint("SHUFFLE_HASH"), "j")
+        .join(pi.hint("SHUFFLE_HASH"), "i")
         .groupBy(F.col("i").alias("node"))
         .agg(
             F.sum(
                 F.expr("g * 1000000000000 div (__pi + __pj)")
-            ).alias("__d")
+            ).alias("__d"),
+            *[F.max(c).alias(c) for c in carry_cols],
         )
     )
 
@@ -166,11 +173,14 @@ def bradley_terry(
     unioned in both directions first, so there is a single
     map-side-combined exchange, not a directed-pair collapse followed
     by a symmetric one; per iteration two SHUFFLE_HASH joins of
-    node-state onto that edge list + one node-grain aggregation + a
-    broadcast scalar max — state stays node-shaped (never broadcast:
-    item counts are unbounded in RLHF logs), the comparison log is
-    never rescanned, and hash joins skip the per-iteration edge-list
-    sorts a sort-merge plan would pay. Integer bounds (ANSI throws
+    node-state onto that edge list (j side first, so the node
+    aggregation rides the i join's partitioning — no third edge-grain
+    exchange) + one node-grain aggregation that also echoes the
+    carried wins/games (no per-iteration numerator join) + a broadcast
+    scalar max — state stays node-shaped (never broadcast: item counts
+    are unbounded in RLHF logs), the comparison log is never
+    rescanned, and hash joins skip the per-iteration edge-list sorts a
+    sort-merge plan would pay. Integer bounds (ANSI throws
     rather than corrupting): per-edge g < ~9.2e6 games, per-node
     W_i < ~9.2e6 wins; beyond that drop the scale to 10⁹ (milli).
 
@@ -186,19 +196,26 @@ def bradley_terry(
         F.sum("w").cast("long").alias("wins"),
         F.sum("g").cast("long").alias("games"),
     ).localCheckpoint(eager=True)
-    p = wins.select("node", F.lit(1_000_000).cast("long").alias("p"))
+    # wins/games ride IN the node state (carried through the i-side
+    # join and echoed by the denominator aggregation), so each MM step
+    # is ONE job tree — the former per-iteration wins⨝d numerator join
+    # (its two node-grain exchanges and stages) is fused away.
+    p = wins.select(
+        "node", F.lit(1_000_000).cast("long").alias("p"), "wins", "games"
+    )
     for it in range(iterations):
-        d = _mm_denominator(edges, p)
+        d = _mm_denominator(edges, p, carry_cols=("wins", "games"))
         # materialize the node-grain __raw once per iteration: it feeds
         # BOTH the broadcast scalar max and the normalized projection
         # (unmaterialized, the iteration's join tree evaluates twice),
         # and the eager checkpoint keeps lineage bounded at any
         # iteration count (node-shaped state only — never the edges)
         raw = (
-            wins.join(d, "node")
-            .selectExpr(
+            d.selectExpr(
                 "node",
                 "CAST((wins * 1000000000000) div __d AS BIGINT) AS __raw",
+                "wins",
+                "games",
             )
             .localCheckpoint(eager=True)
         )
@@ -212,8 +229,10 @@ def bradley_terry(
                     / F.col("__mx").cast("double") * 1_000_000.0
                 ).cast("long"),
             ).alias("p"),
+            "wins",
+            "games",
         )
-    return p.join(wins, "node").select(
+    return p.select(
         "node", F.col("p").alias("strength_e6"), "wins", "games"
     )
 
