@@ -634,19 +634,27 @@ def jaccard_prefix_pairs(
     wdoc = Window.partitionBy("doc").orderBy(F.asc("__gdf"), F.asc("gram_h"))
     # ranked is waypointed as THE shared doc-partitioned intermediate:
     # both the prefix postings (below) and the verify arrays derive from
-    # it, so the scan→shingle→freq-join→window chain runs once, and the
-    # arrays aggregation reuses the window's hashpartitioning(doc) with
-    # NO further exchange (one doc-sized shuffle total for rank+arrays,
-    # where the previous shape paid a second full exchange of the gram
-    # table by doc to rebuild the arrays from grams — guide §2.4).
-    # __gdf is projected away before the persist — it only orders the
-    # rank and would otherwise fatten every cached row.
+    # it, so the scan→shingle→freq-join→window chain runs once. __gdf is
+    # projected away before the persist — it only orders the rank and
+    # would otherwise fatten every cached row.
     ranked = waypoint(
         grams.join(freq, "gram_h")
         .withColumn("__rn", F.row_number().over(wdoc))
         .withColumn("__sz", F.count("*").over(Window.partitionBy("doc")))
         .select("doc", "gram_h", "__rn", "__sz")
     )
+    # Materialize the waypoint BEFORE planning its consumers: an
+    # unmaterialized cache is an InMemoryRelation(AdaptiveSparkPlan)
+    # whose output partitioning is unknown at planning time, so the
+    # arrays aggregation below paid a second full exchange of the gram
+    # table by doc (the r16 residual; a repartition("doc") ahead of the
+    # persist was tried per the r17 brief and does NOT help — the AQE
+    # wrapper still reports UnknownPartitioning). Once the cache is
+    # finalized, consumers ride its hashpartitioning(doc) statically —
+    # guide §2.4 (share one exchange). The count is the cache build the
+    # first consumer would have paid anyway, shifted before planning;
+    # the bench timer covers query construction, so it stays timed.
+    ranked.count()
     lprefix = (
         F.col("__sz")
         - F.expr(f"({p}L * __sz + {q - 1}L) DIV {q}L")
