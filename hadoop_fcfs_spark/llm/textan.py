@@ -25,14 +25,22 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 def _tokens(text_col: str) -> Column:
     # One parsed expr string instead of the Column-API filter/lambda
     # build (~16 ms of py4j lambda plumbing per call site, 13 sites in
-    # this module) — identical expression tree.
-    return F.expr(rf"filter(split({text_col}, '\\s+'), w -> w != '')")
+    # this module) — identical expression tree. The interpolated name is
+    # backtick-quoted (embedded backticks doubled per SQL ident rules),
+    # so a column named with spaces/dots/reserved words parses the same
+    # as the old Column-API form did (r16 ADVICE #1).
+    ident = text_col.replace("`", "``")
+    return F.expr(rf"filter(split(`{ident}`, '\\s+'), w -> w != '')")
 
 
 def _stop_ratio(toks: Column, words: tuple[str, ...]) -> Column:
     # Stopword array as one parsed literal (was len(words) py4j lit()
-    # calls per use; lang_id builds one per language).
-    sw = F.expr("array(" + ",".join(f"'{w}'" for w in words) + ")")
+    # calls per use; lang_id builds one per language). Quotes in a
+    # future stopword are escaped so the literal can't break the parse
+    # (r16 ADVICE #1; today's dictionaries are quote-free ASCII).
+    sw = F.expr(
+        "array(" + ",".join("'" + w.replace("'", "\\'") + "'" for w in words) + ")"
+    )
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
     return hits / F.greatest(F.size(toks), F.lit(1))
 

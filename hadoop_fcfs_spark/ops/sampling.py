@@ -392,6 +392,11 @@ def temperature_mix(
     # grain): the previous agg→broadcast→crossJoin shape evaluated the
     # group-count aggregation twice (once building the totals broadcast,
     # once for the probability side). Integer sums — identical values.
+    # CONTRACT (r16 ADVICE #3, the ks_group_drift convention): group_col
+    # is a small-cardinality mixing dimension (language, source, shard)
+    # — the unpartitioned window funnels the #groups-row count table
+    # through one task, which is the right trade at that grain; a
+    # data-grain group column would need the agg+broadcast shape back.
     from pyspark.sql import Window
 
     wall = Window.partitionBy()

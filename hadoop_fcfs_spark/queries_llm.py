@@ -2107,7 +2107,12 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Same answer as the full posting join (the oracle IS the naive "
     "join), provably complete by the prefix pigeonhole; the join "
     "fan-out collapses to the rare-shingle postings. Floor-e4 "
-    "jaccard; exact-division threshold identical both engines.",
+    "jaccard; exact-division threshold identical both engines. "
+    "Hashed-shingle convention (r16, the minhash_lsh_pairs "
+    "precedent): Spark scores Jaccard over xxhash64'd shingles while "
+    "the oracle uses strings — identical modulo ~2^-64 collision "
+    "probability, so an eventual parity diff here points at that "
+    "known caveat before a logic bug.",
 )
 def jaccard_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_fcfs_spark.llm.dedup import jaccard_prefix_pairs

@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 # measured), while the returned DataFrame is an immutable logical plan
 # whose execution always scans the parquet files — no data or results
 # are cached here, only the handle.
-_HANDLES: dict[tuple[str, str, str], DataFrame] = {}
+# The value stores the owning SparkSession alongside the handle: a
+# DataFrame is bound to the session that created it (its confs, its
+# temp views), and applicationId alone cannot distinguish two sessions
+# sharing one app (SparkSession.newSession) — a hit is honored only if
+# the caller IS the owning session, else rebuilt (r16 ADVICE #2).
+_HANDLES: dict[tuple[str, str, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -34,8 +39,8 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     key = (spark.sparkContext.applicationId, os.path.abspath(path), name)
     hit = _HANDLES.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
@@ -50,7 +55,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(path)
-    _HANDLES[key] = df
+    _HANDLES[key] = (spark, df)
     return df
 
 

@@ -561,3 +561,14 @@ def test_table_handle_memo_is_plans_not_data(spark):
     ev2 = t(spark, SF_SMOKE, "events")
     assert ev1 is ev2
     assert dict(ev1.dtypes)["ts"] == "timestamp"
+
+    # r17 (r16 ADVICE #2): a hit is honored only for the OWNING session
+    # — a sibling session sharing the applicationId gets its own handle
+    # (DataFrames bind to the session's confs/temp views). Latest owner
+    # wins the slot (alternating sessions rebuild — correct, just not
+    # memoized); the repo runs one getOrCreate session in practice.
+    sib = spark.newSession()
+    s1 = t(sib, SF_SMOKE, "orders")
+    assert s1 is not a1, "sibling session must not receive another session's handle"
+    assert t(sib, SF_SMOKE, "orders") is s1
+    assert t(spark, SF_SMOKE, "orders") is not s1
