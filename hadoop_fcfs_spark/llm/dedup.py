@@ -643,18 +643,19 @@ def jaccard_prefix_pairs(
         .withColumn("__sz", F.count("*").over(Window.partitionBy("doc")))
         .select("doc", "gram_h", "__rn", "__sz")
     )
-    # Materialize the waypoint BEFORE planning its consumers: an
-    # unmaterialized cache is an InMemoryRelation(AdaptiveSparkPlan)
-    # whose output partitioning is unknown at planning time, so the
-    # arrays aggregation below paid a second full exchange of the gram
-    # table by doc (the r16 residual; a repartition("doc") ahead of the
-    # persist was tried per the r17 brief and does NOT help — the AQE
-    # wrapper still reports UnknownPartitioning). Once the cache is
-    # finalized, consumers ride its hashpartitioning(doc) statically —
-    # guide §2.4 (share one exchange). The count is the cache build the
-    # first consumer would have paid anyway, shifted before planning;
-    # the bench timer covers query construction, so it stays timed.
-    ranked.count()
+    # r17 adjudication of the arrays-aggregation exchange above this
+    # cache (the r16 residual): an unmaterialized waypoint is an
+    # InMemoryRelation(AdaptiveSparkPlan) reporting UnknownPartitioning,
+    # so the verify-arrays aggregation re-exchanges the gram table by
+    # doc. Two fixes were built and measured: repartition("doc") before
+    # the persist does NOT help (the AQE wrapper still hides the
+    # partitioning), and eager materialization (ranked.count() before
+    # planning consumers) DOES elide the exchange (plan verified, gates
+    # green) but costs a serial cache-build barrier ≈ the exchange
+    # locally — pristine interleaved min-of-4: 2.00/2.19 s lazy vs
+    # 2.27/2.33 s eager, a consistent ~12 % bench regression — so the
+    # lazy shape stays. Revisit on a cluster where a network shuffle of
+    # the gram table costs more than a local cache re-read.
     lprefix = (
         F.col("__sz")
         - F.expr(f"({p}L * __sz + {q - 1}L) DIV {q}L")
